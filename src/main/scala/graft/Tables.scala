@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Table access + determinism helpers shared by every operator.
+  *
+  * Scale design: all readers return lazy DataFrames over parquet so Catalyst
+  * can push filters/projections into the scan (verified via explain:
+  * `PushedFilters`/`ReadSchema`). At 100 TB the same code runs unchanged —
+  * parquet row-group pruning + column projection are the first line of
+  * defense; nothing here materializes on the driver.
+  */
+object Tables {
+  /** Read one driver-generated table from the scale-factor dir. */
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, dir: String): DataFrame = t(s, dir, "lineitem")
+  def orders(s: SparkSession, dir: String): DataFrame   = t(s, dir, "orders")
+  def customer(s: SparkSession, dir: String): DataFrame = t(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = t(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame     = t(s, dir, "part")
+  def nation(s: SparkSession, dir: String): DataFrame   = t(s, dir, "nation")
+  def region(s: SparkSession, dir: String): DataFrame   = t(s, dir, "region")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
+    * nanos long (spark.sql.legacy.parquet.nanosAsLong=true — set by
+    * Verify/Bench/tests). The data is µs-precision (verified: no sub-µs
+    * component), so the nanos→micros conversion below is lossless and the
+    * column surfaces as a normal TimestampType either way.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
+  def documents(s: SparkSession, dir: String): DataFrame  = t(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+}
+
+/** Determinism policy (SURVEY.md §5.3): the driver hash-compares our parquet
+  * against DuckDB, so every oracle-able query must be bit-deterministic under
+  * any partitioning / parallelism. Double summation is order-sensitive, so
+  * money/measure aggregates go through exact decimal arithmetic and only then
+  * back to double: decimal sums are associative+commutative (exact), the
+  * decimal→double conversion is a single correctly-rounded IEEE op, and
+  * integer counts are exact. The same formulation is used verbatim in the
+  * DuckDB oracle SQL: CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE).
+  */
+object Det {
+  /** Order-insensitive double sum via exact decimal(18,4) accumulation. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** Order-insensitive average: exact decimal sum (as double) over count.
+    * Double division of two exact values is correctly rounded on both engines.
+    */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** Money columns in the fixtures are exact 2-dp doubles (verified); this
+    * cast is lossless on both engines. Products must be computed in the
+    * decimal domain — a double 3-factor product has 6 decimal digits and
+    * rounding it to 4 dp hits ties that Spark (shortest-string HALF_UP) and
+    * DuckDB (exact-binary) break differently.
+    */
+  def money(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** (1 + rate) / (1 - rate) for 2-dp rates ≤ 9.99, exact decimal. */
+  def onePlus(c: Column): Column  = lit(1).cast(DecimalType(3, 2)) + c.cast(DecimalType(3, 2))
+  def oneMinus(c: Column): Column = lit(1).cast(DecimalType(3, 2)) - c.cast(DecimalType(3, 2))
+
+  /** Exact sum of an already-decimal expression, surfaced as double. */
+  def decSum(c: Column): Column = sum(c).cast("double")
+}

@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** §2.4 Aggregations. The reference's core data product is grouped trip
+  * counts/averages; here as hash aggregates with map-side partial
+  * aggregation (HashAggregateExec partial→final), which is the shape that
+  * survives 100 TB: per-partition combine first, shuffle only group states.
+  * All double measures follow the Det decimal policy (SURVEY.md §5.3).
+  */
+object Aggregations {
+
+  /** #21 flagship — TPC-H-Q1-style pricing summary over lineitem. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Det.dsum(col("l_quantity")).as("sum_qty"),
+        Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Det.decSum(Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount"))).as("sum_disc_price"),
+        Det.decSum(Det.money(col("l_extendedprice")) * Det.oneMinus(col("l_discount")) * Det.onePlus(col("l_tax"))).as("sum_charge"),
+        Det.davg(col("l_quantity")).as("avg_qty"),
+        Det.davg(col("l_extendedprice")).as("avg_price"),
+        Det.davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** #22 global (no-key) aggregate — single-row totals. */
+  def aggGlobal(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Det.dsum(col("o_totalprice")).as("total_price"),
+        Det.davg(col("o_totalprice")).as("avg_price"),
+        min(col("o_orderdate")).as("first_date"),
+        max(col("o_orderdate")).as("last_date"))
+
+  /** #23 exact distinct users per event type — Expand + two-phase agg. */
+  def countDistinctUsers(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** #24 HLL approximate distinct — sketches merge commutatively so the
+    * result is run-deterministic, but it is NOT DuckDB's approx algorithm:
+    * queries-only, no oracle (rows-only check).
+    */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .orderBy("event_type")
+
+  /** #25a rollup over (year, month) — multi-granularity publishing.
+    * grouping() bits are computed explicitly so the encoding matches the
+    * oracle bit-for-bit.
+    */
+  def aggRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("y", year(col("o_orderdate")))
+      .withColumn("m", month(col("o_orderdate")))
+      .rollup("y", "m")
+      .agg(count(lit(1)).as("n_orders"), Det.dsum(col("o_totalprice")).as("revenue"),
+        (grouping(col("y")) * 2 + grouping(col("m"))).cast("int").as("gid"))
+      .orderBy(asc("gid"), asc_nulls_first("y"), asc_nulls_first("m"))
+
+  /** #25b cube over (orderstatus, priority). */
+  def aggCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority"))).cast("int").as("gid"))
+      .orderBy(asc("gid"), asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** #25c explicit GROUPING SETS via SQL over a temp view (the one
+    * contract-permitted side effect).
+    */
+  def aggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n_orders
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** #26 filtered/conditional aggregates. */
+  def aggConditional(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(when(col("o_totalprice") > 200000, lit(1))).as("n_big"),
+        count(when(col("o_orderstatus") === "F", lit(1))).as("n_finished"),
+        Det.decSum(when(col("o_orderstatus") === "F", Det.money(col("o_totalprice")))
+          .otherwise(lit(0).cast("decimal(12,2)"))).as("finished_revenue"))
+      .orderBy("o_orderpriority")
+
+  /** #27 collect_list/set — wrapped in sort_array for determinism. */
+  def aggCollect(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+
+  /** #28 exact percentiles per group. Median of 2-dp doubles is exact; the
+    * quartile interpolation is rounded to 4 dp on both sides.
+    */
+  def aggPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("median(o_totalprice)").as("p50"),
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  /** #29 stddev/var/corr/covar — NOT via the built-in float aggregates,
+    * whose partial-merge order is nondeterministic under shuffle; instead
+    * exact decimal moment sums (x and x² of 2-dp values are exact 4-dp
+    * decimals) plugged into the textbook formulas as identical double
+    * expression trees on both engines.
+    */
+  def aggStats(s: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity")
+    val p = col("l_extendedprice")
+    val n = count(lit(1)).cast("double")
+    val sq = sum(q.cast("decimal(18,4)")).cast("double")
+    val sp = sum(p.cast("decimal(18,4)")).cast("double")
+    val sqq = sum((q * q).cast("decimal(22,4)")).cast("double")
+    val spp = sum((p * p).cast("decimal(24,4)")).cast("double")
+    val sqp = sum((q * p).cast("decimal(24,4)")).cast("double")
+    val varQ = (sqq - sq * sq / n) / (n - 1)
+    val varP = (spp - sp * sp / n) / (n - 1)
+    val covQP = (sqp - sq * sp / n) / (n - 1)
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        varQ.as("var_qty"),
+        sqrt(varQ).as("stddev_qty"),
+        covQP.as("covar_qty_price"),
+        (covQP / (sqrt(varQ) * sqrt(varP))).as("corr_qty_price"),
+        n.cast("long").as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** #30 argmax — most expensive part per brand; struct-max gives a total
+    * (price, name) order so ties are broken identically everywhere.
+    */
+  def aggArgmax(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .groupBy("p_brand")
+      .agg(max(struct(col("p_retailprice"), col("p_name"))).as("top"))
+      .select(col("p_brand"), col("top.p_name").as("top_part"),
+        col("top.p_retailprice").as("top_price"))
+      .orderBy("p_brand")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_pricing_summary" -> (pricingSummary _),
+    "q_agg_global" -> (aggGlobal _),
+    "q_agg_count_distinct" -> (countDistinctUsers _),
+    "q_agg_approx_distinct" -> (approxDistinct _),
+    "q_agg_rollup" -> (aggRollup _),
+    "q_agg_cube" -> (aggCube _),
+    "q_agg_gsets" -> (aggGroupingSets _),
+    "q_agg_conditional" -> (aggConditional _),
+    "q_agg_collect" -> (aggCollect _),
+    "q_agg_percentile" -> (aggPercentile _),
+    "q_agg_stats" -> (aggStats _),
+    "q_agg_argmax" -> (aggArgmax _))
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_global" ->
+      """SELECT COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  MIN(o_orderdate) AS first_date,
+        |  MAX(o_orderdate) AS last_date
+        |FROM orders""".stripMargin,
+    "q_agg_count_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT y, m, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(GROUPING(y) * 2 + GROUPING(m) AS INTEGER) AS gid
+        |FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+        |             CAST(month(o_orderdate) AS INTEGER) AS m, o_totalprice FROM orders)
+        |GROUP BY ROLLUP (y, m)
+        |ORDER BY gid, y NULLS FIRST, m NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_gsets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_agg_conditional" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2))
+        |                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS finished_revenue
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_agg_collect" ->
+      """SELECT c_mktsegment, list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_agg_percentile" ->
+      """SELECT o_orderstatus,
+        |  median(o_totalprice) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_agg_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sq,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sp,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(22,4))) AS DOUBLE) AS sqq,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS spp,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sqp
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  (sqq - sq * sq / n) / (n - 1) AS var_qty,
+        |  sqrt((sqq - sq * sq / n) / (n - 1)) AS stddev_qty,
+        |  (sqp - sq * sp / n) / (n - 1) AS covar_qty_price,
+        |  ((sqp - sq * sp / n) / (n - 1)) / (sqrt((sqq - sq * sq / n) / (n - 1)) * sqrt((spp - sp * sp / n) / (n - 1))) AS corr_qty_price,
+        |  CAST(n AS BIGINT) AS n
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_agg_argmax" ->
+      """SELECT p_brand, p_name AS top_part, p_retailprice AS top_price
+        |FROM part
+        |QUALIFY row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_name DESC) = 1
+        |ORDER BY p_brand""".stripMargin)
+}

@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** §2.3 Joins — the reference enriches trips against device/provider/
+  * district lookups and publishes upsert deltas; here as the full join
+  * surface. Scale notes per query in scaladoc: dimension sides are
+  * broadcast (no shuffle of the fact table), the as-of join is a single
+  *-shuffle window formulation (no range join explosion), and the interval
+  * self-join is bucketed so it stays an equi-join at 100 TB.
+  */
+object Joins {
+
+  /** #11 equi inner join fact⋈fact + aggregate. At scale: sort-merge on the
+    * shuffled orderkey; AQE picks broadcast if one side shrinks post-filter.
+    */
+  def joinInner(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+
+  /** #12 star join with explicitly broadcast dims: the fact table never
+    * shuffles — the canonical 100 TB star-join shape.
+    */
+  def joinBroadcastDims(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        Det.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("r_name", "n_name")
+
+  /** #13 anti join — records NOT in the other set (the upsert delta). */
+  def joinLeftAnti(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** #14 semi join — customers having ≥1 open ('O') order. */
+  def joinSemi(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** #15a left outer with null-fill: every order, its very-high-value lines
+    * or null.
+    */
+  def joinLeftOuter(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select("o_orderkey", "o_orderstatus")
+      .join(
+        Tables.lineitem(s, dir).filter(col("l_quantity") >= 49)
+          .select("l_orderkey", "l_linenumber", "l_quantity"),
+        col("o_orderkey") === col("l_orderkey"), "left")
+      .select("o_orderkey", "o_orderstatus", "l_linenumber", "l_quantity")
+      .orderBy(asc_nulls_first("o_orderkey"), asc_nulls_first("l_linenumber"))
+
+  /** #15b full outer between two order slices — nulls on both sides. */
+  def joinFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val f = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("f_key"), col("o_totalprice").as("f_price"))
+    val u = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("u_key"), col("o_totalprice").as("u_price"))
+    f.join(u, col("f_key") === col("u_key"), "full")
+      .select(coalesce(col("f_key"), col("u_key")).as("okey"),
+        col("f_price"), col("u_price"))
+      .orderBy("okey")
+  }
+
+  /** #16 theta/range join part×supplier (price within ±10 of acctbal/100).
+    * Small side broadcast → BroadcastNestedLoopJoin; at 100 TB the band
+    * would be binned into an equi-join exactly like [[joinInterval]].
+    */
+  def joinThetaRange(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("p_retailprice").between(col("s_acctbal") / 10 - 25, col("s_acctbal") / 10 + 25))
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_parts_in_band"))
+      .orderBy("s_suppkey")
+
+  /** #17 as-of join within events: each purchase matched to the latest click
+    * at-or-before it, per user. Implemented as union + running last-click
+    * window — ONE shuffle on user_id, no range-join pair explosion; this is
+    * the formulation that survives 100 TB (state is one column carried
+    * through a sort within partitions). (user_id, ts) is collision-free in
+    * the fixtures, so ordering by ts alone is total per user.
+    */
+  def joinAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("click_ts"))
+      .orderBy("event_id")
+  }
+
+  /** #18 interval self-join: event pairs of the same user within 5 minutes.
+    * Bucketed formulation: join on (user_id, 5-min bucket) with the left
+    * side exploded to adjacent buckets, then exact filter + distinct — an
+    * equi-join at any scale instead of an O(n²) theta join.
+    */
+  def joinInterval(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("sec"))
+    val a = ev.withColumn("bkt",
+      explode(array((col("sec") / 300 - 1).cast("long"),
+        (col("sec") / 300).cast("long"),
+        (col("sec") / 300 + 1).cast("long"))))
+      .select(col("event_id").as("id_a"), col("user_id"), col("sec").as("sec_a"), col("bkt"))
+    val b = ev.withColumn("bkt", (col("sec") / 300).cast("long"))
+      .select(col("event_id").as("id_b"), col("user_id"), col("sec").as("sec_b"), col("bkt"))
+    a.join(b, Seq("user_id", "bkt"))
+      .filter(col("id_a") < col("id_b") && abs(col("sec_a") - col("sec_b")) <= 300)
+      .select(col("user_id"), col("id_a"), col("id_b"),
+        (col("sec_b") - col("sec_a")).as("gap_sec"))
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  /** #19 cartesian product of the 5-row region table with itself. */
+  def joinCrossSmall(s: SparkSession, dir: String): DataFrame = {
+    val r1 = Tables.region(s, dir).select(col("r_name").as("name_a"))
+    val r2 = Tables.region(s, dir).select(col("r_name").as("name_b"))
+    r1.crossJoin(r2).orderBy("name_a", "name_b")
+  }
+
+  /** #20 point-in-polygon as grid binning — the reference's census-tract /
+    * hex assignment. Points are derived deterministically from customers,
+    * binned to a 10×10 grid by arithmetic (= the bbox fast-path of a real
+    * PIP), then equi-joined to a generated district dimension. Integer
+    * arithmetic only → exact on both engines. The exact ray-casting
+    * predicate lives in [[graft.functions.Geo]] (ScalaTest-covered).
+    */
+  def pipJoin(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.customer(s, dir).select(
+      col("c_custkey"),
+      ((col("c_custkey") * 7919) % 1000).as("x_m"),   // 0..999 ~ x*10
+      ((col("c_custkey") * 104729) % 1000).as("y_m"))
+    val cells = pts
+      .withColumn("cell_x", (col("x_m") / 100).cast("long"))
+      .withColumn("cell_y", (col("y_m") / 100).cast("long"))
+      .withColumn("district_id", col("cell_x") * 10 + col("cell_y"))
+    val districts = s.range(100).select(col("id").as("district_id"),
+      concat(lit("district_"), col("id")).as("district_name"))
+    cells.join(broadcast(districts), Seq("district_id"))
+      .groupBy("district_id", "district_name")
+      .agg(count(lit(1)).as("n_points"))
+      .orderBy("district_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_inner" -> (joinInner _),
+    "q_join_broadcast_dims" -> (joinBroadcastDims _),
+    "q_join_left_anti" -> (joinLeftAnti _),
+    "q_join_semi" -> (joinSemi _),
+    "q_join_left_outer" -> (joinLeftOuter _),
+    "q_join_full_outer" -> (joinFullOuter _),
+    "q_join_theta_range" -> (joinThetaRange _),
+    "q_join_asof" -> (joinAsof _),
+    "q_join_interval" -> (joinInterval _),
+    "q_join_cross_small" -> (joinCrossSmall _),
+    "q_pip_join" -> (pipJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_broadcast_dims" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_join_left_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_left_outer" ->
+      """SELECT o_orderkey, o_orderstatus, l_linenumber, l_quantity
+        |FROM orders LEFT JOIN
+        |  (SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity >= 49) li
+        |  ON o_orderkey = li.l_orderkey
+        |ORDER BY o_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin,
+    "q_join_full_outer" ->
+      """SELECT COALESCE(f.f_key, u.u_key) AS okey, f.f_price, u.u_price
+        |FROM (SELECT o_orderkey AS f_key, o_totalprice AS f_price FROM orders WHERE o_orderstatus = 'F') f
+        |FULL JOIN (SELECT o_orderkey AS u_key, o_totalprice AS u_price FROM orders WHERE o_orderpriority = '1-URGENT') u
+        |  ON f.f_key = u.u_key
+        |ORDER BY okey""".stripMargin,
+    "q_join_theta_range" ->
+      """SELECT s_suppkey, COUNT(*) AS n_parts_in_band
+        |FROM part JOIN supplier
+        |  ON p_retailprice BETWEEN s_acctbal / 10 - 25 AND s_acctbal / 10 + 25
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+    "q_join_asof" ->
+      """SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_join_interval" ->
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |  CAST(floor(epoch(b.ts)) AS BIGINT) - CAST(floor(epoch(a.ts)) AS BIGINT) AS gap_sec
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(CAST(floor(epoch(a.ts)) AS BIGINT) - CAST(floor(epoch(b.ts)) AS BIGINT)) <= 300
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_join_cross_small" ->
+      """SELECT r1.r_name AS name_a, r2.r_name AS name_b
+        |FROM region r1 CROSS JOIN region r2
+        |ORDER BY name_a, name_b""".stripMargin,
+    "q_pip_join" ->
+      """SELECT ((c_custkey * 7919) % 1000) // 100 * 10 + ((c_custkey * 104729) % 1000) // 100 AS district_id,
+        |  'district_' || CAST(((c_custkey * 7919) % 1000) // 100 * 10 + ((c_custkey * 104729) % 1000) // 100 AS VARCHAR) AS district_name,
+        |  COUNT(*) AS n_points
+        |FROM customer
+        |GROUP BY 1, 2 ORDER BY district_id""".stripMargin)
+}

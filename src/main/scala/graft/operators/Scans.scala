@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** §2.1 Scans / sources. The reference ingests CSV and JSON-lines (its API
+  * payload format) and we store parquet at rest; these queries prove all
+  * three read paths with explicit schemas (schema-on-read, never inference
+  * on the hot path — at 100 TB schema inference is a full extra scan).
+  *
+  * CSV/JSONL queries round-trip a projection of lineitem through a tmp file
+  * and are oracle-checked against the original parquet — i.e. the oracle
+  * verifies the text formats preserve values exactly.
+  */
+object Scans {
+
+  private def ioDir(kind: String, dir: String): String =
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/${kind}_${math.abs(dir.hashCode).toString}"
+
+  /** Columns chosen to round-trip text formats losslessly (ints, strings,
+    * X.0 doubles, ms timestamps).
+    */
+  private val rtCols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+  private val rtSchema = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_returnflag", StringType),
+    StructField("l_quantity", DoubleType)))
+
+  def scanParquet(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"), col("l_shipdate"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  def scanCsv(s: SparkSession, dir: String): DataFrame = {
+    val path = ioDir("csv", dir)
+    Tables.lineitem(s, dir).select(rtCols.map(col): _*)
+      .write.mode("overwrite").option("header", "true").csv(path)
+    s.read.schema(rtSchema).option("header", "true").csv(path)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  def scanJsonl(s: SparkSession, dir: String): DataFrame = {
+    val path = ioDir("jsonl", dir)
+    Tables.lineitem(s, dir)
+      .select((rtCols :+ "l_shipdate").map(col): _*)
+      .write.mode("overwrite").json(path)
+    s.read.schema(rtSchema.add(StructField("l_shipdate", TimestampType)))
+      .json(path)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_parquet" -> (scanParquet _),
+    "q_scan_csv" -> (scanCsv _),
+    "q_scan_jsonl" -> (scanJsonl _))
+
+  /** CSV/JSONL oracles read the parquet originals: equality proves the text
+    * round-trip is lossless.
+    */
+  val oracles: Map[String, String] = Map(
+    "q_scan_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag, l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_scan_csv" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_scan_jsonl" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2.7 Set operations, duplicate elimination, and the reference's
+  * Socrata-style upsert (new batch replaces matching keys, appends rest).
+  * intersect/except compile to semi/anti joins; exact dedup is expressed as
+  * a group-by (not dropDuplicates) so the surviving row is deterministic.
+  */
+object SetOps {
+
+  private def fSlice(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+  private def uSlice(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+
+  /** #39 bag union of two order slices, tagged by origin. */
+  def unionAll(s: SparkSession, dir: String): DataFrame =
+    fSlice(s, dir).select(col("o_orderkey"), lit("f").as("tag"))
+      .unionByName(uSlice(s, dir).select(col("o_orderkey"), lit("u").as("tag")))
+      .orderBy("tag", "o_orderkey")
+
+  /** #40 set union of customer keys from two segments. */
+  def unionDistinct(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val b = Tables.customer(s, dir).filter(col("c_acctbal") > 8000).select("c_custkey")
+    a.union(b).distinct().orderBy("c_custkey")
+  }
+
+  /** #41 INTERSECT — compiled by Spark to a distinct + left-semi join. */
+  def intersectKeys(s: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val withOpen = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("c_custkey"))
+    building.intersect(withOpen).orderBy("c_custkey")
+  }
+
+  /** #42 EXCEPT — customers with no 'O' order (anti-join under the hood). */
+  def exceptKeys(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.customer(s, dir).select("c_custkey")
+    val withOpen = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("c_custkey"))
+    all.except(withOpen).orderBy("c_custkey")
+  }
+
+  /** #43 exact dedup on a derived content key (all fixture texts are
+    * distinct, so the key is the first-5-token prefix). Group-by keeps
+    * min(doc_id) — deterministic, unlike dropDuplicates whose survivor
+    * depends on partition order. At 100 TB this is the standard
+    * hash-partitioned exact-dedup: one shuffle on the content hash.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("key", array_join(slice(split(col("text"), " "), 1, 5), " "))
+      .groupBy("key")
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
+      .orderBy("key")
+
+  /** #6 upsert: the new batch wins on key collision, the rest of the old
+    * set survives — anti-join + union, the scalable MERGE shape.
+    */
+  def upsert(s: SparkSession, dir: String): DataFrame = {
+    val old = fSlice(s, dir).select(col("o_orderkey"), col("o_totalprice"), lit("old").as("src"))
+    val fresh = uSlice(s, dir).select(col("o_orderkey"), col("o_totalprice"), lit("new").as("src"))
+    old.join(fresh.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionByName(fresh)
+      .orderBy("o_orderkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_union_all" -> (unionAll _),
+    "q_union_distinct" -> (unionDistinct _),
+    "q_intersect" -> (intersectKeys _),
+    "q_except" -> (exceptKeys _),
+    "q_dedup_exact" -> (dedupExact _),
+    "q_upsert" -> (upsert _))
+
+  val oracles: Map[String, String] = Map(
+    "q_union_all" ->
+      """SELECT o_orderkey, 'f' AS tag FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_orderkey, 'u' AS tag FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY tag, o_orderkey""".stripMargin,
+    "q_union_distinct" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 8000
+        |ORDER BY c_custkey""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY c_custkey""".stripMargin,
+    "q_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY c_custkey""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS key,
+        |  MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY key""".stripMargin,
+    "q_upsert" ->
+      """SELECT o.o_orderkey, o.o_totalprice, 'old' AS src
+        |FROM orders o
+        |WHERE o.o_orderstatus = 'F'
+        |  AND NOT EXISTS (SELECT 1 FROM orders n
+        |                  WHERE n.o_orderpriority = '1-URGENT' AND n.o_orderkey = o.o_orderkey)
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, 'new' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin)
+}

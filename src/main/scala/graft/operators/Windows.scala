@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §2.5 Window functions — trip sequencing, dedup-keep-latest, running
+  * totals. Every window is partitioned on a key (user/customer/brand), so at
+  * 100 TB the work distributes as one shuffle per window spec; ordering keys
+  * always extend to a total order so ranks are deterministic. Windowed sums
+  * of doubles go through exact decimals like the grouped aggregates.
+  */
+object Windows {
+
+  private def secs(c: org.apache.spark.sql.Column) = c.cast("long")
+
+  /** #31 rank family over a total per-partition order. */
+  def winRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** #32 per-user event sequencing: gap to previous event in whole seconds
+    * (epoch floored identically on both engines).
+    */
+  def winLagSequence(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (secs(col("ts")) - secs(lag(col("ts"), 1).over(w))).as("gap_sec"))
+      .orderBy("event_id")
+  }
+
+  /** #33 running sum + trailing 3-row average per customer (exact decimal). */
+  def winRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val money = col("o_totalprice").cast("decimal(18,4)")
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(money).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_total"),
+        (sum(money).over(w.rowsBetween(-2, Window.currentRow)).cast("double") /
+          count(lit(1)).over(w.rowsBetween(-2, Window.currentRow))).as("moving_avg3"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** #34 time-range frame: per-user trailing-1h sum of value over an epoch-
+    * seconds RANGE frame.
+    */
+  def winRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
+    Tables.events(s, dir)
+      .withColumn("sec", secs(col("ts")))
+      .select(col("event_id"), col("user_id"), col("sec"),
+        sum(col("value").cast("decimal(18,4)")).over(w).cast("double").as("sum_1h"))
+      .orderBy("event_id")
+  }
+
+  /** #35 the reference's dedup: keep the latest record per key (trip-ID +
+    * modified-date transposed to (user_id, event_type) + ts).
+    */
+  def dedupKeepLatest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy(desc("ts"), desc("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "event_type", "ts")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** #36 top-3 parts by price per brand, totally tie-broken. */
+  def winTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy(desc("p_retailprice"), asc("p_partkey"))
+    Tables.part(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("p_brand", "rn", "p_partkey", "p_name", "p_retailprice")
+      .orderBy("p_brand", "rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_rank" -> (winRank _),
+    "q_win_lag_sequence" -> (winLagSequence _),
+    "q_win_running" -> (winRunning _),
+    "q_win_range_frame" -> (winRangeFrame _),
+    "q_dedup_keep_latest" -> (dedupKeepLatest _),
+    "q_win_topk_per_group" -> (winTopkPerGroup _))
+
+  val oracles: Map[String, String] = Map(
+    "q_win_rank" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  row_number() OVER w AS rn, rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_win_lag_sequence" ->
+      """SELECT event_id, user_id, ts,
+        |  CAST(floor(epoch(ts)) AS BIGINT)
+        |    - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts))) AS BIGINT) AS gap_sec
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_win_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_win_range_frame" ->
+      """SELECT event_id, user_id, sec,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4)))
+        |    OVER (PARTITION BY user_id ORDER BY sec
+        |          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_1h
+        |FROM (SELECT event_id, user_id, value,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "q_dedup_keep_latest" ->
+      """SELECT event_id, user_id, event_type, ts FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q_win_topk_per_group" ->
+      """SELECT p_brand,
+        |  row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rn,
+        |  p_partkey, p_name, p_retailprice
+        |FROM part
+        |QUALIFY rn <= 3
+        |ORDER BY p_brand, rn""".stripMargin)
+}
