@@ -23,7 +23,13 @@ object SparkEntry {
       (Aggregations.queries, Aggregations.oracles),
       (Joins.queries, Joins.oracles),
       (Windows.queries, Windows.oracles),
-      (SetOps.queries, SetOps.oracles))
+      (SetOps.queries, SetOps.oracles),
+      (ScalarFuncs.queries, ScalarFuncs.oracles),
+      (TimeWindows.queries, TimeWindows.oracles),
+      (TextOps.queries, TextOps.oracles),
+      (DedupOps.queries, DedupOps.oracles),
+      (SimilarityOps.queries, SimilarityOps.oracles),
+      (Udfs.queries, Udfs.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
