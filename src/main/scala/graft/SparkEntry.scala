@@ -29,7 +29,10 @@ object SparkEntry {
       (TextOps.queries, TextOps.oracles),
       (DedupOps.queries, DedupOps.oracles),
       (SimilarityOps.queries, SimilarityOps.oracles),
-      (Udfs.queries, Udfs.oracles))
+      (Udfs.queries, Udfs.oracles),
+      (Sorts.queries, Sorts.oracles),
+      (NativeExprs.queries, NativeExprs.oracles),
+      (Multimodal.queries, Multimodal.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -47,7 +47,7 @@ object SimilarityOps {
     * bucket holds ~1/16 of the corpus (recall/speedup trade-off knob).
     */
   private val NumPlanes = 4
-  private[operators] lazy val planes: Seq[Seq[Double]] = {
+  lazy val planes: Seq[Seq[Double]] = {
     def splitmix(seed: Long): Long = {
       var z = seed + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (§2.9 #54–#57). The reference is batch-only
+  * ETL; these make the same event pipeline incremental. Batch/stream parity:
+  * every transform here accepts any events-shaped DataFrame, so the exact
+  * code paths are exercised both by MemoryStream tests and by the batch
+  * fixtures.
+  *
+  * 100 TB design notes (state is the scaling hazard, not throughput):
+  *  - every stateful op sits behind a watermark so state is bounded and
+  *    reclaimed; without it, session/dedup state grows without limit.
+  *  - for large deployments configure the RocksDB state store provider
+  *    (spark.sql.streaming.stateStore.providerClass) — keeps state off-heap
+  *    and incremental-checkpointable; the operators here are agnostic.
+  *  - session state is per-user and merged incrementally in
+  *    flatMapGroupsWithState — state size O(open sessions), not O(events).
+  */
+object StreamingOps {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionSummary(user_id: Long, session_start: Timestamp,
+                            session_end: Timestamp, n_events: Int, sum_value: Double)
+
+  /** Public: Janino-generated encoder code must reach the accessors. */
+  case class SessionState(start: Long, last: Long, n: Int, sum: Double)
+
+  /** #54 watermarked 1-hour tumbling counts; in append mode a window only
+    * emits once the watermark passes its end, and later-than-watermark rows
+    * are dropped.
+    */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("bucket_start"), col("event_type"), col("n_events"))
+
+  /** #55 stateful dedup on event_id, state expired by watermark. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** #57 custom sessionization (30-min gap) via flatMapGroupsWithState
+    * with event-time timeout: a session closes when the watermark passes
+    * last_ts + gap, emitting exactly one summary row per session.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(userId, new Timestamp(s.start),
+              new Timestamp(s.last + gapMs), s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionSummary]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t < s.last + gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed ::= SessionSummary(userId, new Timestamp(s.start),
+                    new Timestamp(s.last + gapMs), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** #56 micro-batch upsert sink: each batch merges into a parquet dir by
+    * key (new rows win) — the reference's incremental Socrata publish,
+    * streamified via foreachBatch.
+    */
+  def upsertBatch(spark: org.apache.spark.sql.SparkSession,
+                  batch: DataFrame, keyCol: String, targetDir: String): Unit = {
+    val target = new java.io.File(targetDir)
+    val merged =
+      if (target.exists() && target.listFiles().exists(_.getName.endsWith(".parquet"))) {
+        val old = spark.read.parquet(targetDir)
+        old.join(batch.select(keyCol), Seq(keyCol), "left_anti").unionByName(batch)
+      } else batch
+    val tmp = targetDir + ".tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    // atomic-ish swap (single-process test harness)
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmr)
+      f.delete(): Unit
+    }
+    if (target.exists()) rmr(target)
+    new java.io.File(tmp).renameTo(target): Unit
+  }
+}

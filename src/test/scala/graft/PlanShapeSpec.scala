@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that actually matter at 100 TB
+  * — broadcasts where expected, pushdown reaching the scan, top-k not
+  * becoming a global sort, codegen on the hot path.
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkFixture {
+
+  private def executed(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan
+  }
+
+  /** Deep traversal that crosses AQE boundaries (QueryStageExec is a leaf
+    * node whose real subtree hangs off .plan).
+    */
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: collectAll(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: collectAll(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r +: collectAll(r.child)
+    case other => other +: (other.children.flatMap(collectAll) ++ other.subqueries.flatMap(collectAll))
+  }
+
+  test("star join broadcasts all three dimensions") {
+    val plan = executed(operators.Joins.joinBroadcastDims(spark, sfDir))
+    val bhj = collectAll(plan).count(_.isInstanceOf[BroadcastHashJoinExec])
+    assert(bhj === 3, s"expected 3 BroadcastHashJoin, plan:\n$plan")
+  }
+
+  test("validity filter predicates are pushed to the parquet scan") {
+    val df = operators.Relational.filterValidity(spark, sfDir)
+    val scans = collectAll(df.queryExecution.sparkPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, df.queryExecution.sparkPlan.toString)
+    val pushed = scans.head.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_quantity"), pushed)
+    assert(pushed.contains("l_shipdate"), pushed)
+  }
+
+  test("scan projection prunes to selected columns only") {
+    val df = operators.Relational.projectRename(spark, sfDir)
+    val scans = collectAll(df.queryExecution.sparkPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, df.queryExecution.sparkPlan.toString)
+    val schema = scans.head.schema.fieldNames.toSet
+    assert(schema === Set("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"),
+      s"scan reads $schema")
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject (no full sort)") {
+    val plan = executed(operators.Sorts.topk(spark, sfDir))
+    assert(collectAll(plan).exists(_.isInstanceOf[TakeOrderedAndProjectExec]), plan.toString)
+  }
+
+  test("flagship aggregate runs inside whole-stage codegen") {
+    val plan = executed(operators.Aggregations.pricingSummary(spark, sfDir))
+    assert(collectAll(plan).exists(_.isInstanceOf[WholeStageCodegenExec]), plan.toString)
+  }
+
+  test("theta join broadcasts the small side (nested loop, not cartesian shuffle)") {
+    // static plan: at tiny scale AQE may collapse the whole query to an
+    // EmptyRelation, so the executed plan can't be asserted on
+    val plan = operators.Joins.joinThetaRange(spark, sfDir).queryExecution.sparkPlan
+    assert(collectAll(plan).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]), plan.toString)
+  }
+
+  test("as-of join shuffles exactly once (window formulation)") {
+    val plan = executed(operators.Joins.joinAsof(spark, sfDir))
+    // one exchange for the user_id window, one for the final global sort
+    val exchanges = collectAll(plan).count(_.isInstanceOf[Exchange])
+    assert(exchanges <= 2, s"as-of join should not shuffle more than window+sort:\n$plan")
+  }
+}

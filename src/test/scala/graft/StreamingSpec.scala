@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+
+/** §2.9 #54–#57: Structured Streaming behavior under watermarks — late-row
+  * dropping, stateful dedup, custom session state, micro-batch upsert sink.
+  */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  private def runBatches[A](stream: MemoryStream[A], name: String,
+                            transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                            batches: Seq[Seq[A]], outputMode: String): Unit = {
+    val q = transform(stream.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(outputMode)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+  }
+
+  test("#54 watermarked tumbling agg drops late rows in append mode") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Event]
+    runBatches(stream, "tumbling",
+      df => StreamingOps.tumblingCounts(df, "10 minutes"),
+      Seq(
+        Seq(Event(1, ts(5), 1, "click", 1.0), Event(2, ts(20), 1, "click", 1.0)),
+        // advance watermark past 11:10 so the 10:00 window closes
+        Seq(Event(3, Timestamp.valueOf("2024-01-01 11:30:00"), 1, "click", 1.0)),
+        // this event is in the closed 10:00 window → must be dropped
+        Seq(Event(4, ts(45), 1, "click", 1.0)),
+        Seq(Event(5, Timestamp.valueOf("2024-01-01 12:45:00"), 1, "click", 1.0))),
+      "append")
+    val out = spark.table("tumbling").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(2))).toMap
+    // the 10:00 window emitted exactly the 2 on-time events; late event 4 dropped
+    assert(out("2024-01-01 10:00:00.0") === 2L)
+  }
+
+  test("#55 dropDuplicatesWithinWatermark dedups within the watermark window") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Event]
+    runBatches(stream, "dedup",
+      df => StreamingOps.dedupWithinWatermark(df, "10 minutes"),
+      Seq(
+        Seq(Event(1, ts(0), 1, "click", 1.0), Event(1, ts(1), 1, "click", 1.0)),
+        Seq(Event(1, ts(2), 1, "click", 1.0), Event(2, ts(3), 1, "view", 2.0))),
+      "append")
+    val ids = spark.table("dedup").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L))
+  }
+
+  test("#57 flatMapGroupsWithState emits one summary per closed session") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = StreamingOps.sessionize(stream.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // session A: 10:00-10:05 (2 events); then silence; session B at 12:00
+      stream.addData(Seq(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(5), 7, "view", 2.0)))
+      q.processAllAvailable()
+      // watermark jump far past session A's timeout → A closes
+      stream.addData(Seq(Event(3, Timestamp.valueOf("2024-01-01 12:00:00"), 7, "click", 4.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(Event(4, Timestamp.valueOf("2024-01-01 14:00:00"), 7, "click", 8.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sessions").collect()
+      .map(r => (r.getTimestamp(1).toString, r.getInt(3), r.getDouble(4))).sortBy(_._1)
+    assert(rows.length >= 2)
+    assert(rows.head === ("2024-01-01 10:00:00.0", 2, 3.0))
+    assert(rows(1) === ("2024-01-01 12:00:00.0", 1, 4.0))
+  }
+
+  test("#56 foreachBatch upsert sink: new batch wins, old rows survive") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/t"
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDF().toDF("id", "payload")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingOps.upsertBatch(spark, batch, "id", dir)
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      stream.addData(Seq((1L, "a"), (2L, "b")))
+      q.processAllAvailable()
+      stream.addData(Seq((2L, "b2"), (3L, "c")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+}
