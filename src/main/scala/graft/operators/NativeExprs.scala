@@ -37,10 +37,23 @@ object NativeExprs {
       .orderBy("doc_id")
   }
 
+  /** #61c the custom whole-operator path: same rank-filter query as
+    * q_win_topk_per_group, but with graft.plans.RankFilterToTopK +
+    * TopKPerGroupStrategy installed, so Filter+Window is replaced by
+    * TopKPerGroupExec. Same oracle as the window formulation — the
+    * rewrite must be invisible to results.
+    */
+  def topkCustom(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftPlanner.install(s)
+    Windows.winTopkPerGroup(s, dir)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_haversine_native" -> (haversineNative _),
-    "q_fingerprint_native" -> (rollingHash _))
+    "q_fingerprint_native" -> (rollingHash _),
+    "q_topk_custom" -> (topkCustom _))
 
   val oracles: Map[String, String] = Map(
-    "q_haversine_native" -> ScalarFuncs.oracles("q_haversine"))
+    "q_haversine_native" -> ScalarFuncs.oracles("q_haversine"),
+    "q_topk_custom" -> Windows.oracles("q_win_topk_per_group"))
 }
