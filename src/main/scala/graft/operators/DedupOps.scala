@@ -22,20 +22,24 @@ import graft.Tables
   */
 object DedupOps {
 
-  /** token-set + 3-token shingles of each document. */
-  private def docsWithShingles(s: SparkSession, dir: String): DataFrame = {
+  /** 3-token shingles of each document, represented directly as 64-bit
+    * hashes: tokens are hashed once, a shingle hash is the hash of the
+    * three token hashes — no shingle strings are ever materialized
+    * (at corpus scale the concat alone dominates the signature cost).
+    */
+  private def docsWithShingleHashes(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     Tables.documents(s, dir)
-      .withColumn("toks", toks)
-      .withColumn("tokset", array_distinct(col("toks")))
-      .withColumn("shingles",
-        when(size(col("toks")) >= 3,
-          array_distinct(transform(sequence(lit(0), size(col("toks")) - 3),
-            i => concat_ws(" ",
-              element_at(col("toks"), i + 1),
-              element_at(col("toks"), i + 2),
-              element_at(col("toks"), i + 3)))))
-          .otherwise(array(col("text"))))
+      .withColumn("tokh", transform(toks, t => xxhash64(t)))
+      .withColumn("sh_hashes",
+        when(size(col("tokh")) >= 3,
+          array_distinct(transform(sequence(lit(0), size(col("tokh")) - 3),
+            i => xxhash64(
+              element_at(col("tokh"), i + 1),
+              element_at(col("tokh"), i + 2),
+              element_at(col("tokh"), i + 3)))))
+          .otherwise(array(xxhash64(col("text")))))
+      .select(col("doc_id"), col("sh_hashes"))
   }
 
   private val NumPerms = 64
@@ -53,10 +57,10 @@ object DedupOps {
     // interpreted evaluation gets re-inlined per consumer and explodes
     // cost. This shape is also the distributed formulation: map-side
     // combine reduces each partition to one 64-minimum state per doc.
-    val exploded = docsWithShingles(s, dir)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val exploded = docsWithShingleHashes(s, dir)
+      .select(col("doc_id"), explode(col("sh_hashes")).as("sh_hash"))
     val sigCols = (0 until NumPerms).map(j =>
-      min(xxhash64(concat(lit(s"$j#"), col("sh")))).as(s"m$j"))
+      min(xxhash64(lit(j), col("sh_hash"))).as(s"m$j"))
     val sigs = exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bandCols = (0 until Bands).map(b =>
       xxhash64(concat_ws(",", (0 until 4).map(r => col(s"m${b * 4 + r}").cast("string")): _*)).as(s"band$b"))
