@@ -32,7 +32,8 @@ object SparkEntry {
       (Udfs.queries, Udfs.oracles),
       (Sorts.queries, Sorts.oracles),
       (NativeExprs.queries, NativeExprs.oracles),
-      (Multimodal.queries, Multimodal.oracles))
+      (Multimodal.queries, Multimodal.oracles),
+      (SqlSuite.queries, SqlSuite.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

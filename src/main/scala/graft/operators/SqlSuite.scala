@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SQL front door + optimizer-surface queries: multi-join analytics via
+  * spark.sql over temp views (ReorderJoin / CostBasedJoinReorder
+  * territory), subquery decorrelation (scalar + correlated EXISTS + IN),
+  * and pivot. These prove a reference user could keep writing plain SQL
+  * against this engine.
+  */
+object SqlSuite {
+
+  private def views(s: SparkSession, dir: String): Unit = {
+    Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+    Tables.nation(s, dir).createOrReplaceTempView("v_nation")
+    Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
+  }
+
+  /** Shipping-priority classic (TPC-H Q3 shape, fixture date domain):
+    * 3-way join, grouped decimal revenue, top-10 by revenue.
+    */
+  def sqlShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM v_customer
+        |JOIN v_orders   ON c_custkey = o_custkey
+        |JOIN v_lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+
+  /** Returned-item reporting (TPC-H Q10 shape): 4-way join + top-20. */
+  def sqlReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM v_customer
+        |JOIN v_orders   ON c_custkey = o_custkey
+        |JOIN v_lineitem ON l_orderkey = o_orderkey
+        |JOIN v_nation   ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin)
+  }
+
+  /** Scalar subquery: orders above the (exact decimal) global average. */
+  def sqlScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(
+      """SELECT o_orderkey, o_totalprice
+        |FROM v_orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) FROM v_orders)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Correlated EXISTS — decorrelated by Catalyst into a semi join. */
+  def sqlCorrelatedExists(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(
+      """SELECT c_custkey, c_name
+        |FROM v_customer c
+        |WHERE EXISTS (SELECT 1 FROM v_orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** IN subquery over a dimension. */
+  def sqlInSubquery(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(
+      """SELECT s_suppkey, s_name
+        |FROM v_supplier
+        |WHERE s_nationkey IN (SELECT n_nationkey FROM v_nation WHERE n_regionkey = 2)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  /** Pivot: order counts by year × status (fixed status columns; nulls
+    * filled to 0 to match the relational conditional-count twin).
+    */
+  def pivotStatus(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("y", year(col("o_orderdate")))
+      .groupBy("y")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0, Seq("F", "O", "P"))
+      .orderBy("y")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_shipping_priority" -> (sqlShippingPriority _),
+    "q_sql_returned_items" -> (sqlReturnedItems _),
+    "q_sql_scalar_subquery" -> (sqlScalarSubquery _),
+    "q_sql_correlated_exists" -> (sqlCorrelatedExists _),
+    "q_sql_in_subquery" -> (sqlInSubquery _),
+    "q_pivot_status" -> (pivotStatus _))
+
+  val oracles: Map[String, String] = Map(
+    "q_sql_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_sql_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q_sql_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_sql_correlated_exists" ->
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_sql_in_subquery" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_pivot_status" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY 1 ORDER BY y""".stripMargin)
+}
