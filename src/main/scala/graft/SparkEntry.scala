@@ -33,7 +33,8 @@ object SparkEntry {
       (Sorts.queries, Sorts.oracles),
       (NativeExprs.queries, NativeExprs.oracles),
       (Multimodal.queries, Multimodal.oracles),
-      (SqlSuite.queries, SqlSuite.oracles))
+      (SqlSuite.queries, SqlSuite.oracles),
+      (ExtraFuncs.queries, ExtraFuncs.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** Completeness round-out: window value functions, ordered string
+  * aggregation, regexp-extract-all, row generators, remaining array
+  * higher-order functions, and a salted two-phase aggregation — the skew
+  * pattern for hot keys at 100 TB, oracle-checked to be result-identical
+  * to the direct group-by.
+  */
+object ExtraFuncs {
+
+  /** first/last/nth_value + percent_rank/cume_dist over a total order. */
+  def winValueFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(wFull).as("first_price"),
+        last(col("o_totalprice")).over(wFull).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(wFull).as("second_price"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Ordered string aggregation (sorted collect + join — deterministic). */
+  def stringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir)
+      .groupBy("n_regionkey")
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy("n_regionkey")
+
+  /** regexp_extract_all over part names. */
+  def regexpAll(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        regexp_extract_all(col("p_name"), lit("([a-z]{5,})"), lit(1)).as("long_words"),
+        size(regexp_extract_all(col("p_name"), lit("([a-z]{5,})"), lit(1))).as("n_long"))
+      .orderBy("p_partkey")
+
+  /** Row generator: sequence + explode (calendar scaffold — the
+    * zero-filled time axis the reference's published extracts need).
+    */
+  def generateSeries(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(year(col("o_orderdate")).as("y")).distinct()
+      .withColumn("m", explode(sequence(lit(1), lit(12))))
+      .orderBy("y", "m")
+
+  /** Array HOF completeness: exists / forall / position / flatten. */
+  def arrayHof(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        exists(col("embedding"), x => x.cast("double") > 0.9).as("has_gt09"),
+        forall(col("embedding"), x => abs(x.cast("double")) <= 10).as("all_small"),
+        array_position(col("embedding"), element_at(col("embedding"), 1)).as("first_pos"),
+        size(flatten(array(col("embedding"), col("embedding")))).as("doubled_dim"))
+      .orderBy("vec_id")
+
+  /** Salted two-phase aggregation: partial agg on (key, salt) then final
+    * on key — how a hot key is spread over the cluster. Result must be
+    * bit-identical to the direct group-by (exact decimal partials), which
+    * is exactly what the oracle checks.
+    */
+  def aggSalted(s: SparkSession, dir: String): DataFrame = {
+    val salted = Tables.lineitem(s, dir)
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("part_qty"),
+        count(lit(1)).as("part_n"))
+    salted.groupBy("l_returnflag")
+      .agg(sum(col("part_qty")).cast("double").as("sum_qty"),
+        sum(col("part_n")).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_value_funcs" -> (winValueFuncs _),
+    "q_string_agg" -> (stringAgg _),
+    "q_regexp_all" -> (regexpAll _),
+    "q_generate_series" -> (generateSeries _),
+    "q_array_hof" -> (arrayHof _),
+    "q_agg_salted" -> (aggSalted _))
+
+  val oracles: Map[String, String] = Map(
+    "q_win_value_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER wf AS first_price,
+        |  last_value(o_totalprice) OVER wf AS last_price,
+        |  nth_value(o_totalprice, 2) OVER wf AS second_price,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_string_agg" ->
+      """SELECT n_regionkey,
+        |  array_to_string(list_sort(list(n_name)), ',') AS nations,
+        |  COUNT(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q_regexp_all" ->
+      """SELECT p_partkey,
+        |  regexp_extract_all(p_name, '([a-z]{5,})', 1) AS long_words,
+        |  CAST(len(regexp_extract_all(p_name, '([a-z]{5,})', 1)) AS INTEGER) AS n_long
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_generate_series" ->
+      """SELECT y, CAST(m AS INTEGER) AS m
+        |FROM (SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS y FROM orders)
+        |CROSS JOIN (SELECT unnest(range(1, 13)) AS m)
+        |ORDER BY y, m""".stripMargin,
+    "q_array_hof" ->
+      """SELECT vec_id,
+        |  len(list_filter(embedding, x -> x > 0.9)) > 0 AS has_gt09,
+        |  len(list_filter(embedding, x -> NOT abs(x) <= 10)) = 0 AS all_small,
+        |  CAST(list_position(embedding, embedding[1]) AS BIGINT) AS first_pos,
+        |  CAST(len(flatten([embedding, embedding])) AS INTEGER) AS doubled_dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_agg_salted" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+}
