@@ -67,11 +67,19 @@ object DedupOps {
     val banded = sigs.select(col("doc_id") +: bandCols: _*)
     val melted = banded.select(col("doc_id"),
       posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_hash")))
-    val candidates = melted.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
-      .join(melted.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash")),
-        Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+    // Candidates via bucket-collect + pair-explode instead of a self-join:
+    // a DataFrame self-join would execute the whole signature subplan
+    // twice (Spark reuses no common subplans without caching), and at
+    // scale the join side is the full corpus again. One shuffle on the
+    // band key, pairs generated inside each (small) bucket.
+    val candidates = melted.groupBy("band_idx", "band_hash")
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(docs, (a, i) ->
+          |  transform(slice(docs, i + 2, size(docs)), b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     val sets = Tables.documents(s, dir)
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tokset"))
@@ -126,14 +134,19 @@ object DedupOps {
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("chunk_idx", "chunk")))
-    val a = chunked.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
-      col("chunk_idx"), col("chunk"))
-    val b = chunked.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
-      col("chunk_idx"), col("chunk"))
-    a.join(b, Seq("chunk_idx", "chunk"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+    // bucket-collect + pair-explode (see dedupNearMinhash): one signature
+    // computation, pairs generated inside each chunk bucket
+    chunked.groupBy("chunk_idx", "chunk")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(docs, (a, i) ->
+          |  transform(slice(docs, i + 2, size(docs)), b ->
+          |    struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |           a.simhash AS sim_a, b.simhash AS sim_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        bit_count(col("p.sim_a").bitwiseXOR(col("p.sim_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy("doc_a", "doc_b")

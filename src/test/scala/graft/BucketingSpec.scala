@@ -12,9 +12,19 @@ class BucketingSpec extends AnyFunSuite with SparkFixture {
 
   test("join of two tables bucketed on the key plans without a shuffle") {
     // warehouse dir is a static conf; the default ./spark-warehouse is
-    // fine for the test JVM (gitignored)
+    // fine for the test JVM (gitignored). A fresh in-memory catalog does
+    // not know tables written by a previous JVM, so DROP alone leaves the
+    // location behind — remove the dirs too.
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmr)
+        f.delete(): Unit
+      }
+      if (loc.exists()) rmr(loc)
+    }
     Tables.orders(spark, sfDir)
       .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("b_orders")
