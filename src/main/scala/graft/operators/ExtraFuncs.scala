@@ -79,7 +79,27 @@ object ExtraFuncs {
       .orderBy("l_returnflag")
   }
 
+  /** explode_outer: null-preserving generator — docs keep a row even when
+    * no token matches the prefix.
+    */
+  def explodeOuter(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode_outer(filter(split(col("text"), " "), t => t.startsWith("z"))).as("z_token"))
+      .orderBy(asc("doc_id"), asc_nulls_first("z_token"))
+
+  /** Unpivot/melt: wide measures → (measure, value) long form. */
+  def unpivotMeasures(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_nationkey").cast("double").as("c_nation_d"))
+      .unpivot(Array(col("c_custkey")),
+        Array(col("c_acctbal"), col("c_nation_d")), "measure", "value")
+      .orderBy("c_custkey", "measure")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_explode_outer" -> (explodeOuter _),
+    "q_unpivot" -> (unpivotMeasures _),
     "q_win_value_funcs" -> (winValueFuncs _),
     "q_string_agg" -> (stringAgg _),
     "q_regexp_all" -> (regexpAll _),
@@ -88,6 +108,18 @@ object ExtraFuncs {
     "q_agg_salted" -> (aggSalted _))
 
   val oracles: Map[String, String] = Map(
+    "q_explode_outer" ->
+      """SELECT doc_id,
+        |  unnest(CASE WHEN len(list_filter(string_split(text, ' '), t -> starts_with(t, 'z'))) = 0
+        |              THEN [NULL]
+        |              ELSE list_filter(string_split(text, ' '), t -> starts_with(t, 'z')) END) AS z_token
+        |FROM documents
+        |ORDER BY doc_id ASC, z_token NULLS FIRST""".stripMargin,
+    "q_unpivot" ->
+      """SELECT c_custkey, 'c_acctbal' AS measure, c_acctbal AS value FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'c_nation_d' AS measure, CAST(c_nationkey AS DOUBLE) AS value FROM customer
+        |ORDER BY c_custkey, measure""".stripMargin,
     "q_win_value_funcs" ->
       """SELECT o_custkey, o_orderkey,
         |  first_value(o_totalprice) OVER wf AS first_price,
