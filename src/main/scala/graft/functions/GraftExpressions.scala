@@ -90,8 +90,67 @@ object RollingHashExpr {
   }
 }
 
+/** Codegen'd dot product over two float/double arrays, accumulating in
+  * double with a strict left fold — the same op sequence as
+  * aggregate(zip_with(a, b, _*_), 0.0, _+_), so results are bit-identical
+  * to the HOF formulation (and to the DuckDB oracle twins), but evaluated
+  * as one tight loop instead of per-element interpreted lambdas. The
+  * vector-similarity hot path: at 13M pairs × 64 dims the HOF version
+  * dominated the whole bench.
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two float/double arrays, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotProductExpr.dot(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isFloat(left),
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.DotProductExpr.dot($a, ${isFloat(left)}, $b, ${isFloat(right)})")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductExpr {
+  def dot(a: org.apache.spark.sql.catalyst.util.ArrayData, aFloat: Boolean,
+          b: org.apache.spark.sql.catalyst.util.ArrayData, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+}
+
 /** Registration: makes the native expressions available to SQL / expr()
-  * as graft_haversine(lat1, lon1, lat2, lon2) and graft_rolling_hash(s).
+  * as graft_haversine(lat1, lon1, lat2, lon2), graft_rolling_hash(s) and
+  * graft_dot(a, b).
   */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
@@ -101,5 +160,7 @@ object GraftFunctions {
         Cast(exprs(2), DoubleType), Cast(exprs(3), DoubleType)), "scala_udf")
     registry.createOrReplaceTempFunction("graft_rolling_hash",
       exprs => RollingHashExpr(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction("graft_dot",
+      exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")
   }
 }

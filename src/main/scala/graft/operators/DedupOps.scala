@@ -156,17 +156,18 @@ object DedupOps {
     * DuckDB's list_cosine_similarity (both sides rounded to 6 dp).
     */
   def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val base = Tables.embeddings(s, dir)
-      .withColumn("v", transform(col("embedding"), x => x.cast("double")))
-      .withColumn("norm", sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), _ + _)))
-      .select(col("vec_id"), col("label"), col("v"), col("norm"))
-    val a = base.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
-    val b = base.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
+      // norm + pairwise dot through the native codegen'd kernel (same
+      // left-fold op order as the HOF formulation → identical doubles)
+      .withColumn("norm", sqrt(expr("graft_dot(embedding, embedding)")))
+      .select(col("vec_id"), col("label"), col("embedding"), col("norm"))
+    val a = base.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("va"), col("norm").as("na"))
+    val b = base.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("vb"), col("norm").as("nb"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("label"), col("vec_a"), col("vec_b"),
-        round(aggregate(zip_with(col("va"), col("vb"), _ * _), lit(0.0), _ + _) /
-          (col("na") * col("nb")), 6).as("cosine"))
+        round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 6).as("cosine"))
       .filter(col("cosine") >= 0.35)
       .orderBy("vec_a", "vec_b")
   }

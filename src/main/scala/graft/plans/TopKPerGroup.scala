@@ -139,3 +139,15 @@ object GraftPlanner {
         spark.experimental.extraStrategies :+ TopKPerGroupStrategy
   }
 }
+
+/** Build-time injection entry point: pass
+  * `--conf spark.sql.extensions=graft.plans.GraftSessionExtensions` (or
+  * `.withExtensions(new GraftSessionExtensions)`) and every session gets
+  * the top-k rewrite plus the native functions without calling install().
+  */
+class GraftSessionExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => RankFilterToTopK)
+    e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+  }
+}

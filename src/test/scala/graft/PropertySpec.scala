@@ -55,7 +55,7 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
 
   test("splitmix-derived LSH planes have fixed shape and range") {
     val p = operators.SimilarityOps.planes
-    assert(p.length === 4 && p.forall(_.length === 64))
+    assert(p.length === 32 && p.forall(_.length === 64))
     assert(p.flatten.forall(x => x >= -0.5 && x < 0.5))
     // not degenerate: planes differ from each other
     assert(p.distinct.length === p.length)

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pinned quality metrics for the approximate operators — correctness of
+  * an ANN/sketch/classifier is a number, not a boolean; these floors keep
+  * regressions visible. Data is fixed (seed=42), so the metrics are
+  * deterministic.
+  */
+class QualitySpec extends AnyFunSuite with SparkFixture {
+
+  test("multi-table LSH recall@5 vs brute force stays above floor") {
+    val bf = operators.SimilarityOps.simCosineTopk(spark, sfDir)
+      .select("probe_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = operators.SimilarityOps.simLshBucketed(spark, sfDir)
+      .select("probe_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    info(s"recall@5 = $recall (${bf.size} true neighbors)")
+    assert(recall >= 0.4, s"LSH recall regressed: $recall")
+  }
+
+  test("HLL approx distinct within 3x the configured rsd of exact") {
+    val exact = operators.Aggregations.countDistinctUsers(spark, sfDir)
+      .select("event_type", "n_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = operators.Aggregations.approxDistinct(spark, sfDir)
+      .select("event_type", "approx_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val err = math.abs(approx(k) - e).toDouble / e
+      assert(err <= 0.06, s"$k: approx=${approx(k)} exact=$e err=$err")
+    }
+  }
+
+  test("lexicon language-ID beats chance on the 5-language corpus") {
+    val rows = operators.TextOps.textLangId(spark, sfDir).collect()
+    val acc = rows.count(r => r.getString(1) == r.getString(2)).toDouble / rows.length
+    info(s"accuracy = $acc over ${rows.length} docs")
+    assert(acc >= 0.25, s"below chance+margin: $acc") // chance = 0.20
+  }
+
+  test("minhash-emitted pairs agree with independently recomputed jaccard") {
+    // note: MinHash here is SHINGLE-based (word-order-sensitive), so its
+    // candidate recall is measured against shingle similarity (crafted
+    // near-dup recall lives in PropertySpec); this test checks that every
+    // emitted pair's confirm-filter jaccard is correct and >= threshold,
+    // recomputed driver-side from the raw text.
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    val pairs = operators.DedupOps.dedupNearMinhash(spark, sfDir).collect()
+    info(s"${pairs.length} near-dup pairs emitted")
+    pairs.foreach { r =>
+      val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val expected = texts(a).intersect(texts(b)).size.toDouble / texts(a).union(texts(b)).size
+      assert(j >= 0.5 && math.abs(j - expected) < 1e-9, s"pair ($a,$b): got $j expected $expected")
+    }
+  }
+}
