@@ -162,5 +162,14 @@ object GraftFunctions {
       exprs => RollingHashExpr(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction("graft_dot",
       exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its own
+    // runtime filters but does not expose them in the SQL registry; surface
+    // them so the explicit runtime-filter pattern is scriptable.
+    registry.createOrReplaceTempFunction("graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1), exprs(2)).toAggregateExpression(), "scala_udf")
+    registry.createOrReplaceTempFunction("graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -97,7 +97,36 @@ object ExtraFuncs {
         Array(col("c_acctbal"), col("c_nation_d")), "measure", "value")
       .orderBy("c_custkey", "measure")
 
+  /** Runtime-filter pattern: build a bloom filter over the (small) key
+    * side, pre-filter the fact scan with might_contain, then apply the
+    * exact semi join. might_contain admits false positives only, so the
+    * final result equals the plain semi join (the oracle) — the bloom is
+    * purely a scan-side row killer. At 100 TB this is the difference
+    * between shuffling the whole fact table and shuffling the ~matching
+    * fraction; Spark's own runtime row-group filters do the same thing
+    * under AQE, here it's explicit and testable.
+    */
+  def bloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.supplier(s, dir).filter(col("s_acctbal") > 5000)
+      .createOrReplaceTempView("v_rich_supp")
+    Tables.lineitem(s, dir).createOrReplaceTempView("v_li_bloom")
+    // might_contain requires the bloom as a constant/scalar subquery —
+    // exactly how Spark's own injected runtime filters are shaped
+    s.sql(
+      """SELECT l_suppkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM v_li_bloom
+        |WHERE graft_might_contain(
+        |        (SELECT graft_bloom_agg(xxhash64(s_suppkey), 1000L, 8192L) FROM v_rich_supp),
+        |        xxhash64(l_suppkey))
+        |  AND EXISTS (SELECT 1 FROM v_rich_supp WHERE s_suppkey = l_suppkey)
+        |GROUP BY l_suppkey
+        |ORDER BY l_suppkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_semi_join" -> (bloomSemiJoin _),
     "q_explode_outer" -> (explodeOuter _),
     "q_unpivot" -> (unpivotMeasures _),
     "q_win_value_funcs" -> (winValueFuncs _),
@@ -108,6 +137,13 @@ object ExtraFuncs {
     "q_agg_salted" -> (aggSalted _))
 
   val oracles: Map[String, String] = Map(
+    "q_bloom_semi_join" ->
+      """SELECT l_suppkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM supplier
+        |              WHERE s_suppkey = l_suppkey AND s_acctbal > 5000)
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     "q_explode_outer" ->
       """SELECT doc_id,
         |  unnest(CASE WHEN len(list_filter(string_split(text, ' '), t -> starts_with(t, 'z'))) = 0
