@@ -34,7 +34,8 @@ object SparkEntry {
       (NativeExprs.queries, NativeExprs.oracles),
       (Multimodal.queries, Multimodal.oracles),
       (SqlSuite.queries, SqlSuite.oracles),
-      (ExtraFuncs.queries, ExtraFuncs.oracles))
+      (ExtraFuncs.queries, ExtraFuncs.oracles),
+      (TypedOps.queries, TypedOps.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
