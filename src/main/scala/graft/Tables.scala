@@ -74,4 +74,13 @@ object Det {
 
   /** Exact sum of an already-decimal expression, surfaced as double. */
   def decSum(c: Column): Column = sum(c).cast("double")
+
+  /** Cross-engine caveat for decimal→double: Spark always converts via
+    * BigDecimal (correctly rounded); DuckDB converts int128/10^scale with
+    * TWO roundings, which can differ by 1 ulp once the scaled integer
+    * exceeds 2^53 (observed: a 17-digit price² moment at sf0.001). Any
+    * oracle whose decimal sum can exceed ~9e15 scaled units must wrap the
+    * DuckDB side as CAST(CAST(sum AS VARCHAR) AS DOUBLE) — string parsing
+    * is correctly rounded and matches Spark (see q_agg_stats).
+    */
 }

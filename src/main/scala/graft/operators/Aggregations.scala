@@ -129,14 +129,19 @@ object Aggregations {
     * expression trees on both engines.
     */
   def aggStats(s: SparkSession, dir: String): DataFrame = {
-    val q = col("l_quantity")
-    val p = col("l_extendedprice")
+    // moments must be EXACT: squares/products are computed in the decimal
+    // domain (2-dp casts are tie-free, decimal multiplication is exact) —
+    // casting a double product to decimal instead hits representation ties
+    // that Spark (shortest-string HALF_UP) and DuckDB (exact binary) round
+    // differently, which flipped the last ulp of corr at sf0.001
+    val q = Det.money(col("l_quantity"))
+    val p = Det.money(col("l_extendedprice"))
     val n = count(lit(1)).cast("double")
-    val sq = sum(q.cast("decimal(18,4)")).cast("double")
-    val sp = sum(p.cast("decimal(18,4)")).cast("double")
-    val sqq = sum((q * q).cast("decimal(22,4)")).cast("double")
-    val spp = sum((p * p).cast("decimal(24,4)")).cast("double")
-    val sqp = sum((q * p).cast("decimal(24,4)")).cast("double")
+    val sq = sum(q).cast("double")
+    val sp = sum(p).cast("double")
+    val sqq = sum(q * q).cast("double")
+    val spp = sum(p * p).cast("double")
+    val sqp = sum(q * p).cast("double")
     val varQ = (sqq - sq * sq / n) / (n - 1)
     val varP = (spp - sp * sp / n) / (n - 1)
     val covQP = (sqp - sq * sp / n) / (n - 1)
@@ -243,11 +248,11 @@ object Aggregations {
       """WITH m AS (
         |  SELECT l_returnflag,
         |    CAST(COUNT(*) AS DOUBLE) AS n,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sq,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sp,
-        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(22,4))) AS DOUBLE) AS sqq,
-        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS spp,
-        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sqp
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sq,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sp,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sqq,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS spp,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sqp
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag,
         |  (sqq - sq * sq / n) / (n - 1) AS var_qty,
