@@ -72,6 +72,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(collectAll(plan).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]), plan.toString)
   }
 
+  test("bloom runtime filter evaluates as a reused scalar subquery") {
+    val df = operators.ExtraFuncs.bloomSemiJoin(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("bloom_filter_agg") || plan.contains("graft_bloom"), plan)
+    assert(plan.contains("might_contain"), plan)
+    assert(df.count() >= 0)
+  }
+
+  test("typed cogroup plans a CoGroup over both shuffled sides") {
+    val df = operators.TypedOps.cogroupCustOrders(spark, sfDir)
+    assert(df.queryExecution.optimizedPlan.toString.contains("CoGroup"),
+      df.queryExecution.optimizedPlan.toString)
+  }
+
   test("as-of join shuffles exactly once (window formulation)") {
     val plan = executed(operators.Joins.joinAsof(spark, sfDir))
     // one exchange for the user_id window, one for the final global sort
