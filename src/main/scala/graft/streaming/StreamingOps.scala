@@ -90,6 +90,44 @@ object StreamingOps {
       }
   }
 
+  case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Spark 4 transformWithState (the arbitrary-state successor of
+    * flatMapGroupsWithState): a per-user running aggregate held in typed
+    * ValueState. Requires the RocksDB state store provider — which is also
+    * the 100 TB recommendation (off-heap, incremental checkpoints); the
+    * processor itself is provider-agnostic. Emits the updated running
+    * totals for every user seen in the micro-batch.
+    */
+  class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserRunning] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)]("running",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[UserRunning] = {
+      var (n, sum) = if (state.exists()) state.get() else (0L, 0.0)
+      rows.foreach { e => n += 1; sum += e.value }
+      state.update((n, sum))
+      Iterator.single(UserRunning(key, n, sum))
+    }
+  }
+
+  /** #57b transformWithState wiring over any events-shaped stream. */
+  def runningTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** #56 micro-batch upsert sink: each batch merges into a parquet dir by
     * key (new rows win) — the reference's incremental Socrata publish,
     * streamified via foreachBatch.

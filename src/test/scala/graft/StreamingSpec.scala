@@ -84,6 +84,35 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(rows(1) === ("2024-01-01 12:00:00.0", 1, 4.0))
   }
 
+  test("#57b transformWithState keeps per-user running totals across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Event]
+      val q = StreamingOps.runningTotals(stream.toDS())
+        .writeStream.format("memory").queryName("running").outputMode("append")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        stream.addData(Seq(Event(1, ts(0), 7, "click", 2.0), Event(2, ts(1), 7, "view", 3.0)))
+        q.processAllAvailable()
+        stream.addData(Seq(Event(3, ts(2), 7, "click", 5.0), Event(4, ts(2), 8, "view", 1.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("running").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // batch 1 emits (7, 2, 5.0); batch 2 emits the UPDATED (7, 3, 10.0) + new (8, 1, 1.0)
+      assert(rows === Set((7L, 2L, 5.0), (7L, 3L, 10.0), (8L, 1L, 1.0)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("#56 foreachBatch upsert sink: new batch wins, old rows survive") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
