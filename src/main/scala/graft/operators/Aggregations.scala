@@ -100,12 +100,16 @@ object Aggregations {
           .otherwise(lit(0).cast("decimal(12,2)"))).as("finished_revenue"))
       .orderBy("o_orderpriority")
 
-  /** #27 collect_list/set — wrapped in sort_array for determinism. */
+  /** #27 collect_list/set — wrapped in sort_array for determinism. The
+    * graded projection joins the array to a string: the driver's pandas
+    * canonicalization cannot hash ndarray cells, so array outputs are
+    * string-canonicalized on BOTH engines.
+    */
   def aggCollect(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
-      .agg(sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
+      .agg(array_join(sort_array(collect_set(col("o_orderpriority"))), ",").as("priorities"),
         count(lit(1)).as("n_orders"))
       .orderBy("c_mktsegment")
 
@@ -233,7 +237,7 @@ object Aggregations {
         |                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS finished_revenue
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_agg_collect" ->
-      """SELECT c_mktsegment, list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+      """SELECT c_mktsegment, array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
         |  COUNT(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,

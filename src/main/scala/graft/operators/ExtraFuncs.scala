@@ -35,11 +35,13 @@ object ExtraFuncs {
         count(lit(1)).as("n"))
       .orderBy("n_regionkey")
 
-  /** regexp_extract_all over part names. */
+  /** regexp_extract_all over part names (array output string-canonicalized
+    * for the cross-engine hash compare).
+    */
   def regexpAll(s: SparkSession, dir: String): DataFrame =
     Tables.part(s, dir)
       .select(col("p_partkey"),
-        regexp_extract_all(col("p_name"), lit("([a-z]{5,})"), lit(1)).as("long_words"),
+        array_join(regexp_extract_all(col("p_name"), lit("([a-z]{5,})"), lit(1)), ",").as("long_words"),
         size(regexp_extract_all(col("p_name"), lit("([a-z]{5,})"), lit(1))).as("n_long"))
       .orderBy("p_partkey")
 
@@ -175,7 +177,7 @@ object ExtraFuncs {
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "q_regexp_all" ->
       """SELECT p_partkey,
-        |  regexp_extract_all(p_name, '([a-z]{5,})', 1) AS long_words,
+        |  coalesce(array_to_string(regexp_extract_all(p_name, '([a-z]{5,})', 1), ','), '') AS long_words,
         |  CAST(len(regexp_extract_all(p_name, '([a-z]{5,})', 1)) AS INTEGER) AS n_long
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q_generate_series" ->

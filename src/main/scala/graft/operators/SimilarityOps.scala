@@ -124,12 +124,17 @@ object SimilarityOps {
 
   /** #66 L2 normalization: unit-norm vectors (elements rounded to 4 dp for
     * the cross-engine compare) + a checksum that the post-norm L2 is 1.
+    * The vector rides as a comma-joined string of decimal(7,4) elements:
+    * the driver cannot hash ndarray cells, and decimal formatting is the
+    * only double→string path both engines render identically (doubles'
+    * shortest-repr diverges: Spark "1.0E-4" vs DuckDB "0.0001").
     */
   def embedNormalize(s: SparkSession, dir: String): DataFrame =
     vectors(s, dir)
       .select(col("vec_id"),
         round(col("norm"), 6).as("l2_norm"),
-        transform(col("v"), x => round(x / col("norm"), 4)).as("unit_vec"),
+        array_join(transform(col("v"),
+          x => round(x / col("norm"), 4).cast("decimal(7,4)").cast("string")), ",").as("unit_vec"),
         round(aggregate(transform(col("v"), x => (x / col("norm")) * (x / col("norm"))),
           lit(0.0), _ + _), 4).as("unit_norm_sq"))
       .orderBy("vec_id")
@@ -165,7 +170,8 @@ object SimilarityOps {
         |    sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS norm
         |  FROM embeddings)
         |SELECT vec_id, round(norm, 6) AS l2_norm,
-        |  list_transform(v, x -> round(x / norm, 4)) AS unit_vec,
+        |  array_to_string(list_transform(v,
+        |    x -> CAST(CAST(round(x / norm, 4) AS DECIMAL(7,4)) AS VARCHAR)), ',') AS unit_vec,
         |  round(list_aggregate(list_transform(v, x -> (x / norm) * (x / norm)), 'sum'), 4) AS unit_norm_sq
         |FROM base ORDER BY vec_id""".stripMargin)
 }
