@@ -162,6 +162,13 @@ object GraftFunctions {
       exprs => RollingHashExpr(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction("graft_dot",
       exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")
+    // sketch aggregates (see SketchAggs.scala): graft_minhash_sig(h, n)
+    // and graft_simhash(h)
+    registry.createOrReplaceTempFunction("graft_minhash_sig",
+      exprs => MinHashSigAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]).toAggregateExpression(), "scala_udf")
+    registry.createOrReplaceTempFunction("graft_simhash",
+      exprs => SimHashAgg(exprs(0)).toAggregateExpression(), "scala_udf")
     // Spark ships BloomFilterAggregate/BloomFilterMightContain for its own
     // runtime filters but does not expose them in the SQL registry; surface
     // them so the explicit runtime-filter pattern is scriptable.

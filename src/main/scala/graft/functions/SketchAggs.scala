@@ -1,0 +1,162 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Native sketch AGGREGATES (SURVEY.md §4.3 continued): the MinHash
+  * signature and SimHash fingerprint as single TypedImperativeAggregate
+  * kernels.
+  *
+  * Why not N separate agg columns: a 64-wide `agg(min(...), ...)` emits
+  * 64 aggregate expressions → a multi-thousand-line generated aggregate
+  * class whose Janino compilation costs multiple seconds per plan (it
+  * dominated q_dedup_near_minhash's wall time), and every executor pays
+  * it again on first task. One typed aggregate is a ~20-line JIT'd
+  * update loop with a fixed 8·N-byte buffer, constant codegen size, and
+  * identical map-side partial aggregation (the buffer serializes between
+  * partial and final).
+  */
+object Splitmix64 {
+  /** Public splitmix64 mix — deterministic constant generator. */
+  def apply(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
+/** MinHash signature: for permutation j of [[numPerms]],
+  * sig(j) = min over input hashes h of rotl(h, j mod 64) ^ c_j, with
+  * splitmix64 constants c_j — a distinct rotated-XOR order per
+  * permutation over already-uniform 64-bit shingle hashes. Returns
+  * array<bigint> of length numPerms. Insensitive to duplicate inputs
+  * (min), so callers need not pre-distinct the shingle stream.
+  */
+case class MinHashSigAgg(
+    child: Expression,
+    numPerms: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def prettyName: String = "graft_minhash_sig"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] = Array.fill(numPerms)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var j = 0
+      while (j < numPerms) {
+        val p = java.lang.Long.rotateLeft(h, j & 63) ^ MinHashSigAgg.const(j)
+        if (p < buf(j)) buf(j) = p
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var j = 0
+    while (j < numPerms) { if (b(j) < a(j)) a(j) = b(j); j += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * numPerms)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(numPerms)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashSigAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashSigAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigAgg =
+    copy(child = newChild)
+}
+
+object MinHashSigAgg {
+  private val MaxPerms = 256
+  private val consts: Array[Long] =
+    Array.tabulate(MaxPerms)(j => Splitmix64(0xD0C5EEDL + j))
+  def const(j: Int): Long = consts(j)
+}
+
+/** SimHash fingerprint: per input hash h, each of the 64 bit counters
+  * moves by +1 if bit j of h is set else -1; the fingerprint sets bit j
+  * iff counter j ends positive. Feeding one row per token OCCURRENCE is
+  * equivalent to the textbook frequency-weighted form (±freq per distinct
+  * token), so no pre-aggregation of token counts is needed.
+  */
+case class SimHashAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def prettyName: String = "graft_simhash"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var j = 0
+      while (j < 64) {
+        buf(j) += (((h >>> j) & 1L) * 2L - 1L) // +1 if bit set, else -1
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var j = 0
+    while (j < 64) { a(j) += b(j); j += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (buf(j) > 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * 64)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(64)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): SimHashAgg =
+    copy(child = newChild)
+}

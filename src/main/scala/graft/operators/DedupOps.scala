@@ -26,18 +26,29 @@ object DedupOps {
     * hashes: tokens are hashed once, a shingle hash is the hash of the
     * three token hashes — no shingle strings are ever materialized
     * (at corpus scale the concat alone dominates the signature cost).
+    *
+    * The 3-grams are built with zip_with over pre-shifted slices, NOT
+    * with element_at(tokh, i+k) inside a transform lambda: HOFs are
+    * interpreted, and indexing an OUTER array from inside a lambda costs
+    * ~9µs per element (it was >80% of this query's wall time). With
+    * zip_with every array argument is evaluated once per row and the
+    * lambdas touch only their own variables. No array_distinct: the only
+    * consumer is the MinHash min-aggregate, which is duplicate-
+    * insensitive.
     */
   private def docsWithShingleHashes(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
+    val n = size(col("tokh"))
     Tables.documents(s, dir)
       .withColumn("tokh", transform(toks, t => xxhash64(t)))
+      .withColumn("z12", zip_with(col("tokh"),
+        slice(col("tokh"), lit(2), greatest(n - 1, lit(0))),
+        (a, b) => struct(a.as("h1"), b.as("h2"))))
       .withColumn("sh_hashes",
-        when(size(col("tokh")) >= 3,
-          array_distinct(transform(sequence(lit(0), size(col("tokh")) - 3),
-            i => xxhash64(
-              element_at(col("tokh"), i + 1),
-              element_at(col("tokh"), i + 2),
-              element_at(col("tokh"), i + 3)))))
+        when(n >= 3, slice(
+          zip_with(col("z12"), slice(col("tokh"), lit(3), greatest(n - 2, lit(0))),
+            (p, c) => xxhash64(p("h1"), p("h2"), c)),
+          lit(1), n - 2))
           .otherwise(array(xxhash64(col("text")))))
       .select(col("doc_id"), col("sh_hashes"))
   }
@@ -45,41 +56,94 @@ object DedupOps {
   private val NumPerms = 64
   private val Bands = 16 // 16 bands × 4 rows
 
-  /** #63 MinHash + banded LSH near-dup pipeline: shingle → 64-perm MinHash
-    * (perm j = min over shingles of xxhash64(j ++ shingle)) → 16 4-row
-    * bands → band-bucket equi-join for candidates → exact Jaccard ≥ 0.5
-    * confirm. xxhash64 has no DuckDB twin, so this is a rows-only query;
-    * the exact-Jaccard twin below is the hash-free oracle-checked path.
+  /** Candidate buckets are CAPPED at this many docs: a hot bucket (mass
+    * boilerplate near-dups, a degenerate hash) otherwise materializes the
+    * whole bucket in one aggregation row and B²/2 pair structs in one
+    * output row — the one OOM hazard of the bucket-collect shape at
+    * corpus scale. row_number ≤ cap runs BEFORE collect_list, so the
+    * aggregation buffer itself is bounded (the window sort is an
+    * external, spillable sort — safe for any bucket size); pairs per
+    * bucket are ≤ cap²/2. Overflowing docs lose only their LSH pairing in
+    * that one band — with 16 independent bands a true near-dup pair still
+    * has 15 other collision chances. [[bucketOverflow]] reports dropped
+    * volume for monitoring.
     */
-  def dedupNearMinhash(s: SparkSession, dir: String): DataFrame = {
-    // Explode to (doc, shingle) rows and compute the 64 permutation minima
-    // as codegen'd partial aggregates — NOT as nested array lambdas, whose
-    // interpreted evaluation gets re-inlined per consumer and explodes
-    // cost. This shape is also the distributed formulation: map-side
-    // combine reduces each partition to one 64-minimum state per doc.
-    val exploded = docsWithShingleHashes(s, dir)
-      .select(col("doc_id"), explode(col("sh_hashes")).as("sh_hash"))
-    val sigCols = (0 until NumPerms).map(j =>
-      min(xxhash64(lit(j), col("sh_hash"))).as(s"m$j"))
-    val sigs = exploded.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    val bandCols = (0 until Bands).map(b =>
-      xxhash64(concat_ws(",", (0 until 4).map(r => col(s"m${b * 4 + r}").cast("string")): _*)).as(s"band$b"))
-    val banded = sigs.select(col("doc_id") +: bandCols: _*)
-    val melted = banded.select(col("doc_id"),
-      posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_hash")))
-    // Candidates via bucket-collect + pair-explode instead of a self-join:
-    // a DataFrame self-join would execute the whole signature subplan
-    // twice (Spark reuses no common subplans without caching), and at
-    // scale the join side is the full corpus again. One shuffle on the
-    // band key, pairs generated inside each (small) bucket.
-    val candidates = melted.groupBy("band_idx", "band_hash")
-      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+  private[graft] val MaxBucket = 256
+
+  /** Shared candidate-pair tail: cap each (key, bucket) to [[MaxBucket]]
+    * members (bounded memory, see above), collect, and explode the
+    * intra-bucket pairs. `payload` rides alongside doc_id through the
+    * bucket (empty for minhash; simhash carries the fingerprint).
+    */
+  private def boundedBucketPairs(melted: DataFrame, keyCols: Seq[String],
+      payload: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy("doc_id")
+    val entry = struct((col("doc_id") +: payload.map(col)): _*)
+    // window + groupBy share the (key) hash partitioning → ONE shuffle
+    melted
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MaxBucket)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(entry)).as("docs"))
       .filter(size(col("docs")) > 1)
       .select(explode(expr(
         """flatten(transform(docs, (a, i) ->
-          |  transform(slice(docs, i + 2, size(docs)), b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin))
+          |  transform(slice(docs, i + 2, size(docs)), b -> struct(a, b))))""".stripMargin))
         .as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+  }
+
+  /** Oversized-bucket monitor: (band, bucket) cells whose membership
+    * exceeds [[MaxBucket]], with the dropped-doc count — the "logged
+    * overflow" companion to the cap (run it alongside the dedup job; at
+    * healthy shingle entropy it returns 0 rows).
+    */
+  def bucketOverflow(s: SparkSession, dir: String): DataFrame =
+    minhashMelted(s, dir)
+      .groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > MaxBucket)
+      .select(col("band_idx"), col("band_hash"), (col("n") - MaxBucket).as("dropped"))
+
+  /** doc → 16 (band_idx, band_hash) rows: the shared head of the LSH
+    * pipeline. The 64 permutation minima come from ONE native
+    * [[graft.functions.MinHashSigAgg]] kernel (a 64-wide `agg(min, …)`
+    * generates a multi-thousand-line Janino class that takes seconds to
+    * compile per plan; the typed aggregate is a constant-size JIT'd
+    * loop with the same map-side partial aggregation). Band hash = one
+    * variadic xxhash64 over the 4 row minima, via TOP-LEVEL element_at —
+    * never array indexing inside a lambda (see docsWithShingleHashes).
+    */
+  private def minhashMelted(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val exploded = docsWithShingleHashes(s, dir)
+      .select(col("doc_id"), explode(col("sh_hashes")).as("sh_hash"))
+    val sigs = exploded.groupBy("doc_id")
+      .agg(expr(s"graft_minhash_sig(sh_hash, $NumPerms)").as("sig"))
+    val bandCols = (0 until Bands).map(b =>
+      xxhash64((0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1)): _*).as(s"band$b"))
+    val banded = sigs.select(col("doc_id") +: bandCols: _*)
+    banded.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** #63 MinHash + banded LSH near-dup pipeline: shingle → 64-perm MinHash
+    * → 16 4-row bands → band-bucket grouping for candidates → exact
+    * Jaccard ≥ 0.5 confirm. Hash-based, so this is a rows-only query;
+    * the exact-Jaccard twin below is the hash-free oracle-checked path.
+    *
+    * Candidates via bucket-collect + pair-explode instead of a self-join:
+    * a DataFrame self-join would execute the whole signature subplan
+    * twice (Spark reuses no common subplans without caching), and at
+    * scale the join side is the full corpus again. One shuffle on the
+    * band key, pairs generated inside each bucket, bucket size capped
+    * ([[MaxBucket]]).
+    */
+  def dedupNearMinhash(s: SparkSession, dir: String): DataFrame = {
+    val candidates =
+      boundedBucketPairs(minhashMelted(s, dir), Seq("band_idx", "band_hash"), Seq.empty)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sets = Tables.documents(s, dir)
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tokset"))
@@ -113,40 +177,30 @@ object DedupOps {
 
   /** SimHash fingerprint + hamming-≤3 candidate pairs via the 4-chunk
     * pigeonhole block join. Rows-only (hash algorithm is Spark-native).
+    * Fingerprint = ONE native [[graft.functions.SimHashAgg]] over the
+    * per-occurrence token hashes — replaces 64 conditional-sum agg
+    * columns (seconds of Janino compile per plan) AND the
+    * (doc_id, token) pre-count shuffle: ±1 per occurrence sums to the
+    * same counters as ±freq per distinct token, so one shuffle on
+    * doc_id does it.
     */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val tokenFreq = Tables.documents(s, dir)
+    graft.functions.GraftFunctions.register(s)
+    val sigs = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("freq"))
-      .withColumn("h", xxhash64(col("token")))
-    val bitSums: Seq[Column] = (0 until 64).map { bit =>
-      sum(when(col("h").bitwiseAND(lit(1L << bit)) =!= 0, col("freq"))
-        .otherwise(-col("freq"))).as(s"bit$bit")
-    }
-    val simhash: Column = (0 until 64)
-      .map(bit => when(col(s"bit$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    val sigs = tokenFreq.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), simhash.as("simhash"))
+      .select(col("doc_id"), xxhash64(col("token")).as("h"))
+      .groupBy("doc_id")
+      .agg(expr("graft_simhash(h)").as("simhash"))
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("chunk_idx", "chunk")))
     // bucket-collect + pair-explode (see dedupNearMinhash): one signature
-    // computation, pairs generated inside each chunk bucket
-    chunked.groupBy("chunk_idx", "chunk")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("docs"))
-      .filter(size(col("docs")) > 1)
-      .select(explode(expr(
-        """flatten(transform(docs, (a, i) ->
-          |  transform(slice(docs, i + 2, size(docs)), b ->
-          |    struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
-          |           a.simhash AS sim_a, b.simhash AS sim_b))))""".stripMargin))
-        .as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"),
-        bit_count(col("p.sim_a").bitwiseXOR(col("p.sim_b"))).as("hamming"))
+    // computation, pairs generated inside each chunk bucket, bucket size
+    // capped (MaxBucket)
+    boundedBucketPairs(chunked, Seq("chunk_idx", "chunk"), Seq("simhash"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy("doc_a", "doc_b")

@@ -113,4 +113,24 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("LSH hot bucket is capped: mass-duplicate docs yield bounded pairs") {
+    import spark.implicits._
+    // 600 byte-identical docs all land in ONE bucket of every band — the
+    // boilerplate-duplication worst case. Uncapped this is C(600,2) pairs
+    // in a single aggregation row; the row_number cap must bound it to
+    // C(MaxBucket,2) and the overflow monitor must account for the rest.
+    val n = 600
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (1 to n).map(i => (i.toLong, text, "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hot").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val k = operators.DedupOps.MaxBucket.toLong
+    // identical docs → every surviving candidate pair confirms at jaccard 1
+    assert(operators.DedupOps.dedupNearMinhash(spark, tmp).count() === k * (k - 1) / 2)
+    val overflow = operators.DedupOps.bucketOverflow(spark, tmp).collect()
+    assert(overflow.length === 16) // one oversized bucket per band
+    assert(overflow.forall(_.getAs[Long]("dropped") === n - k))
+  }
 }
