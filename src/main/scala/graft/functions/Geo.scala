@@ -36,6 +36,10 @@ object Geo {
       ((ay > py) =!= (by > py)) &&
         (px < (bx - ax) * (py - ay) / (by - ay) + ax)
     })
-    size(crossing) % 2 === 1
+    // degenerate polygons (< 3 vertices) are never "inside" — and the
+    // n >= 3 guard keeps sequence(0, n-1) from going out of bounds for an
+    // EMPTY polygon (sequence(0,-1) = [0,-1] → ANSI element_at error),
+    // matching PointInPolygonExpr's false-for-degenerate behavior
+    when(n >= 3, size(crossing) % 2 === 1).otherwise(lit(false))
   }
 }

@@ -95,21 +95,31 @@ case class BBoxContainsExpr(first: Expression, second: Expression, third: Expres
     copy(first = f, second = s, third = t)
 }
 
-/** Conjoins the bbox prefilter in front of every exact PIP predicate in a
-  * Filter — the reference's manual "bbox first, exact second" ordering as
-  * a declarative rewrite. Guarded on the absence of BBoxContainsExpr so
-  * the fixed-point optimizer applies it exactly once per Filter.
+/** Conjoins the bbox prefilter in front of every exact PIP predicate —
+  * the reference's manual "bbox first, exact second" ordering as a
+  * declarative rewrite. Matches BOTH Filter conditions and Join
+  * conditions: PushPredicateThroughJoin moves a PIP filter over a
+  * point×district cross join INTO the join condition before user-provided
+  * rules run, so a Filter-only rewrite would silently miss the most
+  * common spatial-join shape. Guarded on the absence of BBoxContainsExpr
+  * so the fixed-point optimizer applies it exactly once per condition.
   */
 object PipBBoxPrefilter extends Rule[LogicalPlan] {
+  private def needs(cond: Expression): Boolean =
+    cond.exists(_.isInstanceOf[PointInPolygonExpr]) &&
+      !cond.exists(_.isInstanceOf[BBoxContainsExpr])
+
+  private def conjoin(cond: Expression): Expression = cond.transformUp {
+    case p: PointInPolygonExpr =>
+      And(BBoxContainsExpr(p.first, p.second, p.third), p)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, child)
-      if cond.exists(_.isInstanceOf[PointInPolygonExpr])
-        && !cond.exists(_.isInstanceOf[BBoxContainsExpr]) =>
-      val rewritten = cond.transformUp {
-        case p: PointInPolygonExpr =>
-          And(BBoxContainsExpr(p.first, p.second, p.third), p)
-      }
-      Filter(rewritten, child)
+    case f @ Filter(cond, child) if needs(cond) =>
+      Filter(conjoin(cond), child)
+    case j: org.apache.spark.sql.catalyst.plans.logical.Join
+      if j.condition.exists(needs) =>
+      j.copy(condition = j.condition.map(conjoin))
   }
 }
 

@@ -164,6 +164,65 @@ object Joins {
       .orderBy("district_id")
   }
 
+  /** Synthetic districts for the EXACT point-in-polygon query: integer
+    * vertices (exact as doubles on every engine), one convex quad, one
+    * triangle, and one CONCAVE pentagon — the case a bbox-only
+    * approximation gets wrong, so a hash match proves real ray casting
+    * on both engines. Shared by the Spark query and the generated DuckDB
+    * oracle so the two can never drift.
+    */
+  private val pipDistricts: Seq[(Long, Seq[(Double, Double)])] = Seq(
+    (1L, Seq((10.0, 10.0), (40.0, 12.0), (38.0, 40.0), (12.0, 42.0))),
+    (2L, Seq((50.0, 5.0), (90.0, 10.0), (70.0, 45.0))),
+    (3L, Seq((5.0, 60.0), (45.0, 60.0), (45.0, 95.0), (25.0, 75.0), (5.0, 95.0))))
+
+  /** #20b EXACT point-in-polygon join through the native graft_pip
+    * expression; [[graft.functions.PipBBoxPrefilter]] conjoins the cheap
+    * bbox test ahead of the ray cast (plan-asserted in GeoExprSpec).
+    * Points derive deterministically from part keys on a 100×100 integer
+    * grid; districts broadcast (small dim), so the corpus streams through
+    * one scan — the 100 TB shape for "assign each record to a district".
+    */
+  def pipExact(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GeoFunctions.register(s)
+    import s.implicits._
+    val polyDf = pipDistricts.toDF("district_id", "verts")
+      .select(col("district_id"), transform(col("verts"),
+        v => struct(v.getField("_1").as("x"), v.getField("_2").as("y"))).as("poly"))
+    val pts = Tables.part(s, dir).select(
+      col("p_partkey"),
+      (col("p_partkey") % 100).cast("double").as("px"),
+      expr("(p_partkey div 10) % 100").cast("double").as("py"))
+    pts.crossJoin(broadcast(polyDf))
+      .filter(expr("graft_pip(px, py, poly)"))
+      .select(col("district_id"), col("p_partkey"), col("px"), col("py"))
+      .orderBy("district_id", "p_partkey")
+  }
+
+  /** DuckDB twin of the ray cast: identical formula, list lambdas over
+    * the same vertex literals (generated from [[pipDistricts]]).
+    */
+  private def pipExactOracle: String = {
+    val polyRows = pipDistricts.map { case (id, verts) =>
+      val lst = verts.map { case (x, y) => s"{'x': ${x}, 'y': ${y}}" }.mkString("[", ", ", "]")
+      s"($id, $lst::STRUCT(x DOUBLE, y DOUBLE)[])"
+    }.mkString(",\n        ")
+    s"""WITH polys(district_id, poly) AS (VALUES
+       |        $polyRows),
+       |pts AS (
+       |  SELECT p_partkey,
+       |    CAST(p_partkey % 100 AS DOUBLE) AS px,
+       |    CAST((p_partkey // 10) % 100 AS DOUBLE) AS py
+       |  FROM part)
+       |SELECT district_id, p_partkey, px, py
+       |FROM pts CROSS JOIN polys
+       |WHERE len(list_filter(range(1, len(poly) + 1), i ->
+       |    ((poly[i].y > py) <> (poly[1 + (i % len(poly))].y > py))
+       |    AND px < (poly[1 + (i % len(poly))].x - poly[i].x) * (py - poly[i].y)
+       |              / (poly[1 + (i % len(poly))].y - poly[i].y) + poly[i].x)) % 2 = 1
+       |ORDER BY district_id, p_partkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_inner" -> (joinInner _),
     "q_join_broadcast_dims" -> (joinBroadcastDims _),
@@ -175,7 +234,8 @@ object Joins {
     "q_join_asof" -> (joinAsof _),
     "q_join_interval" -> (joinInterval _),
     "q_join_cross_small" -> (joinCrossSmall _),
-    "q_pip_join" -> (pipJoin _))
+    "q_pip_join" -> (pipJoin _),
+    "q_pip_exact" -> (pipExact _))
 
   val oracles: Map[String, String] = Map(
     "q_join_inner" ->
@@ -239,5 +299,6 @@ object Joins {
         |  'district_' || CAST(((c_custkey * 7919) % 1000) // 100 * 10 + ((c_custkey * 104729) % 1000) // 100 AS VARCHAR) AS district_name,
         |  COUNT(*) AS n_points
         |FROM customer
-        |GROUP BY 1, 2 ORDER BY district_id""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY district_id""".stripMargin,
+    "q_pip_exact" -> pipExactOracle)
 }

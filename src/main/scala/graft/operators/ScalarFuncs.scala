@@ -47,6 +47,24 @@ object ScalarFuncs {
         minute(col("ts")).as("mins"))
       .orderBy("event_id")
 
+  /** #45c UTC ↔ US/Central conversion — the reference's published
+    * datasets carry local times (SURVEY §0.1). The fixture events are
+    * January-only, so a +2-month shifted twin column crosses the
+    * 2024-03-10 CST→CDT spring-forward: ct is uniformly UTC-6 while
+    * ct_spring mixes UTC-6 and UTC-5, and the round-trip equality proves
+    * to_utc_timestamp inverts from_utc_timestamp across the boundary.
+    */
+  def tzConvert(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("ts2", expr("timestampadd(MONTH, 2, ts)"))
+      .select(
+        col("event_id"),
+        from_utc_timestamp(col("ts"), "America/Chicago").as("ct"),
+        from_utc_timestamp(col("ts2"), "America/Chicago").as("ct_spring"),
+        (to_utc_timestamp(from_utc_timestamp(col("ts2"), "America/Chicago"),
+          "America/Chicago") === col("ts2")).as("roundtrip_ok"))
+      .orderBy("event_id")
+
   /** #45b date arithmetic over order dates. */
   def dateArith(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -134,6 +152,7 @@ object ScalarFuncs {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_str_funcs" -> (strFuncs _),
     "q_date_funcs" -> (dateFuncs _),
+    "q_tz_convert" -> (tzConvert _),
     "q_date_arith" -> (dateArith _),
     "q_math_funcs" -> (mathFuncs _),
     "q_haversine" -> (haversine _),
@@ -163,6 +182,18 @@ object ScalarFuncs {
         |  CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
         |  CAST(hour(ts) AS INTEGER) AS hr,
         |  CAST(minute(ts) AS INTEGER) AS mins
+        |FROM events ORDER BY event_id""".stripMargin,
+    // timezone(tz, TIMESTAMP) interprets a naive ts in tz → TIMESTAMPTZ;
+    // timezone(tz, TIMESTAMPTZ) renders naive wall time in tz. Chaining
+    // through an explicit 'UTC' step keeps the oracle independent of the
+    // DuckDB session timezone.
+    "q_tz_convert" ->
+      """SELECT event_id,
+        |  timezone('America/Chicago', timezone('UTC', ts)) AS ct,
+        |  timezone('America/Chicago', timezone('UTC', ts + INTERVAL 2 MONTH)) AS ct_spring,
+        |  timezone('UTC', timezone('America/Chicago',
+        |    timezone('America/Chicago', timezone('UTC', ts + INTERVAL 2 MONTH))))
+        |    = ts + INTERVAL 2 MONTH AS roundtrip_ok
         |FROM events ORDER BY event_id""".stripMargin,
     "q_date_arith" ->
       """SELECT o_orderkey,

@@ -69,13 +69,41 @@ object SetOps {
       .orderBy("o_orderkey")
   }
 
+  /** Socrata-style batch publish serialization: each row becomes a JSON
+    * object (to_json over a struct — field order fixed by the struct),
+    * rows are grouped into key-range batches of 500 and concatenated into
+    * one `[...]` array payload per batch — the reference's
+    * rows-per-request publish format. Key-range batching (not
+    * row_number) keeps it one shuffle and deterministic; the in-batch
+    * order is pinned by sorting the collected (key, json) structs.
+    */
+  def publishJson(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("row_json", to_json(struct(
+        col("o_orderkey"), col("o_orderstatus"),
+        // dates ride as yyyy-MM-dd strings: engines disagree on JSON
+        // timestamp rendering (ISO 'T' + millis vs space-separated)
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))))
+      .withColumn("batch_id", floor(col("o_orderkey") / 500).cast("long"))
+      .groupBy("batch_id")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        concat(lit("["),
+          array_join(transform(
+            sort_array(collect_list(struct(col("o_orderkey"), col("row_json")))),
+            p => p.getField("row_json")), ","),
+          lit("]")).as("payload"))
+      .orderBy("batch_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_union_all" -> (unionAll _),
     "q_union_distinct" -> (unionDistinct _),
     "q_intersect" -> (intersectKeys _),
     "q_except" -> (exceptKeys _),
     "q_dedup_exact" -> (dedupExact _),
-    "q_upsert" -> (upsert _))
+    "q_upsert" -> (upsert _),
+    "q_publish_json" -> (publishJson _))
 
   val oracles: Map[String, String] = Map(
     "q_union_all" ->
@@ -110,5 +138,18 @@ object SetOps {
         |                  WHERE n.o_orderpriority = '1-URGENT' AND n.o_orderkey = o.o_orderkey)
         |UNION ALL
         |SELECT o_orderkey, o_totalprice, 'new' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_publish_json" ->
+      """WITH r AS (
+        |  SELECT o_orderkey,
+        |    CAST(floor(o_orderkey / 500) AS BIGINT) AS batch_id,
+        |    to_json(struct_pack(
+        |      o_orderkey := o_orderkey,
+        |      o_orderstatus := o_orderstatus,
+        |      o_orderdate := strftime(o_orderdate, '%Y-%m-%d'),
+        |      o_orderpriority := o_orderpriority)) AS row_json
+        |  FROM orders)
+        |SELECT batch_id, COUNT(*) AS n_rows,
+        |  '[' || string_agg(row_json, ',' ORDER BY o_orderkey) || ']' AS payload
+        |FROM r GROUP BY batch_id ORDER BY batch_id""".stripMargin)
 }

@@ -45,10 +45,31 @@ object RankFilterToTopK extends Rule[LogicalPlan] {
 
   private def rankLimit(cond: Expression, rank: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType)) if a.semanticEquals(rank) => Some(k)
-    case LessThan(a: Attribute, Literal(k: Int, IntegerType)) if a.semanticEquals(rank) => Some(k - 1)
+    // k > MinValue: k - 1 must not wrap to MaxValue (rn < MinValue is an
+    // always-false filter that would otherwise rewrite into keep-everything)
+    case LessThan(a: Attribute, Literal(k: Int, IntegerType))
+      if a.semanticEquals(rank) && k > Int.MinValue => Some(k - 1)
     case EqualTo(a: Attribute, Literal(1, IntegerType)) if a.semanticEquals(rank) => Some(1)
     case EqualTo(Literal(1, IntegerType), a: Attribute) if a.semanticEquals(rank) => Some(1)
     case _ => None
+  }
+
+  /** Float/double anywhere in a partition-key type ⇒ skip the rewrite:
+    * TopKPerGroupExec detects group boundaries by raw UnsafeRow byte
+    * equality, and NormalizeFloatingNumbers only targets built-in
+    * Window/Aggregate/Join nodes — 0.0 vs -0.0 (or NaN bit patterns) in a
+    * float key would split one group into two. Integer/string/date keys —
+    * the overwhelmingly common case — keep the fast path.
+    */
+  private def hasFloatingPoint(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case FloatType | DoubleType => true
+      case ArrayType(et, _) => hasFloatingPoint(et)
+      case MapType(kt, vt, _) => hasFloatingPoint(kt) || hasFloatingPoint(vt)
+      case StructType(fields) => fields.exists(f => hasFloatingPoint(f.dataType))
+      case _ => false
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -57,7 +78,7 @@ object RankFilterToTopK extends Rule[LogicalPlan] {
       w.windowExpressions.head match {
         case alias @ Alias(WindowExpression(_: RowNumber, WindowSpecDefinition(part, order, _)), _) =>
           rankLimit(cond, alias.toAttribute) match {
-            case Some(k) if k >= 1 =>
+            case Some(k) if k >= 1 && !part.exists(p => hasFloatingPoint(p.dataType)) =>
               TopKPerGroupNode(part, order, k, alias.toAttribute, w.child)
             case _ => f
           }

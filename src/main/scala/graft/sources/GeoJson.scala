@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** GeoJSON FeatureCollection ingestion — the reference loads its district
+  * polygons from GeoJSON files; this turns a JSON string column into one
+  * row per polygon ring, typed as the `array<struct<x:double,y:double>>`
+  * the graft_pip / graft_bbox_contains expressions consume.
+  *
+  * Pure from_json parsing (no UDF, no driver-side JSON library): the
+  * geometry is parsed TWICE with fixed-depth coordinate schemas —
+  * 3-level for Polygon, 4-level for MultiPolygon — and PERMISSIVE mode
+  * nulls out whichever depth doesn't match each feature, so one pass
+  * handles mixed collections. Scales as a plain projection: a million
+  * district files or a streamed Socrata geojson export parse identically
+  * per-row with no shuffle.
+  */
+object GeoJson {
+
+  private def coords(depth: Int): DataType =
+    (1 to depth).foldLeft(DoubleType: DataType)((t, _) => ArrayType(t))
+
+  private def fcSchema(coordDepth: Int): StructType =
+    StructType(Seq(
+      StructField("type", StringType),
+      StructField("features", ArrayType(StructType(Seq(
+        StructField("type", StringType),
+        StructField("properties", MapType(StringType, StringType)),
+        StructField("geometry", StructType(Seq(
+          StructField("type", StringType),
+          StructField("coordinates", coords(coordDepth)))))))))))
+
+  /** ring: array<array<double>> → array<struct<x,y>> (lambda-var-only
+    * accesses — see DedupOps on the cost of outer refs in HOF lambdas).
+    */
+  private def ringToPoly(ring: Column): Column =
+    transform(ring, pt =>
+      struct(element_at(pt, 1).as("x"), element_at(pt, 2).as("y")))
+
+  /** Explodes a FeatureCollection string column into
+    * (feature_idx, name, poly_idx, polygon) rows: Polygon features yield
+    * one row (outer ring), MultiPolygon features one row per member
+    * polygon. `nameProp` selects the feature property to surface.
+    */
+  def features(df: DataFrame, jsonCol: Column, nameProp: String): DataFrame = {
+    val parsed = df
+      .withColumn("_fc3", from_json(jsonCol, fcSchema(3)))
+      .withColumn("_fc4", from_json(jsonCol, fcSchema(4)))
+    parsed
+      .select(col("*"), posexplode(col("_fc3.features")).as(Seq("feature_idx", "_f3")))
+      .withColumn("_f4", element_at(col("_fc4.features"), col("feature_idx") + 1))
+      .withColumn("name", element_at(col("_f3.properties"), nameProp))
+      .withColumn("_rings",
+        when(col("_f3.geometry.type") === "Polygon",
+          // outer ring only (index 1); holes are rings 2..n
+          array(ringToPoly(element_at(col("_f3.geometry.coordinates"), 1))))
+        .when(col("_f3.geometry.type") === "MultiPolygon",
+          transform(col("_f4.geometry.coordinates"), p => ringToPoly(element_at(p, 1))))
+        .otherwise(array().cast("array<array<struct<x:double,y:double>>>")))
+      .select(col("feature_idx"), col("name"),
+        posexplode(col("_rings")).as(Seq("poly_idx", "polygon")))
+  }
+
+  /** File-reading convenience: whole-file GeoJSON documents → polygons. */
+  def read(spark: org.apache.spark.sql.SparkSession, path: String,
+           nameProp: String = "name"): DataFrame =
+    features(
+      spark.read.option("wholetext", true).text(path),
+      col("value"), nameProp)
+}

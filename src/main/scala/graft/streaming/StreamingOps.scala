@@ -148,6 +148,10 @@ object StreamingOps {
       f.delete(): Unit
     }
     if (target.exists()) rmr(target)
-    new java.io.File(tmp).renameTo(target): Unit
+    // the old target is gone at this point — a silently failed rename
+    // would leave the sink empty/corrupt, so surface it
+    if (!new java.io.File(tmp).renameTo(target))
+      throw new java.io.IOException(
+        s"upsertBatch: rename $tmp -> $targetDir failed after target delete")
   }
 }

@@ -45,4 +45,24 @@ class GeoExprSpec extends AnyFunSuite with SparkFixture {
     val actual = df.select("c_custkey").collect().map(_.getLong(0)).toSet
     assert(actual === expected && actual.nonEmpty)
   }
+
+  test("q_pip_exact plan puts the bbox conjunct AHEAD of the ray cast") {
+    val df = operators.Joins.queries("q_pip_exact")(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan
+    // find the condition carrying the PIP predicate (the optimizer pushes
+    // the filter into the join condition) and assert the And ordering:
+    // cheap bbox left (evaluated first), exact PIP right
+    val conds = optimized.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join if j.condition.nonEmpty =>
+        j.condition.get
+    }
+    val pipAnds = conds.flatMap(_.collect {
+      case a @ org.apache.spark.sql.catalyst.expressions.And(l, r)
+        if l.isInstanceOf[graft.functions.BBoxContainsExpr]
+          && r.isInstanceOf[graft.functions.PointInPolygonExpr] => a
+    })
+    assert(pipAnds.nonEmpty, optimized.toString)
+    assert(df.count() > 0)
+  }
 }
