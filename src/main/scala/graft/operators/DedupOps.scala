@@ -206,6 +206,60 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-dup CLUSTER ASSIGNMENT — the step after candidate pairs that
+    * actual corpus dedup needs: connected components over the similarity
+    * graph, each doc labeled with the min doc_id of its component (keep
+    * the representative, drop the rest). Iterative min-label propagation
+    * (the GraphFrames/Pregel shape without the dependency): per round,
+    * every node takes the min of its own label and its neighbors' labels;
+    * rounds = graph diameter (small for near-dup clusters). Each round is
+    * one join + one aggregate — at 100 TB both hash-partition on node id;
+    * localCheckpoint truncates the growing lineage so round N doesn't
+    * re-execute rounds 1..N-1.
+    *
+    * Oracle: DuckDB WITH RECURSIVE reachability over the same exact-
+    * Jaccard edge list — an engine-independent definition of the same
+    * components.
+    */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val edges = dedupJaccardBlocked(s, dir).select(col("doc_a"), col("doc_b"))
+    val sym = edges.unionByName(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
+    var labels = sym.select(col("doc_a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("doc_a"), col("label")), Seq("doc_a"))
+        .groupBy(col("doc_b").as("node"))
+        .agg(min(col("label")).as("nbr_label"))
+      val prop = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("label").as("old"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // pointer jump: also adopt the label OF the current representative
+      // (labels are monotone non-increasing node ids, so rep_label ≤
+      // label) — path lengths halve per round, so convergence is
+      // O(log diameter) rounds instead of O(diameter). The previous
+      // label rides along so the convergence check is a filter over the
+      // checkpointed blocks, not another join.
+      val next = prop
+        .join(prop.select(col("node").as("rep"), col("label").as("rep_label")),
+          prop("label") === col("rep"), "left")
+        .select(prop("node"), prop("old"),
+          least(prop("label"), coalesce(col("rep_label"), prop("label"))).as("label"))
+        .localCheckpoint() // eager: materializes + cuts lineage
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select("node", "label")
+      iter += 1
+    }
+    sym.unpersist()
+    System.err.println(s"[graft] dedupComponents converged after $iter rounds")
+    labels.select(col("node").as("doc_id"), col("label").as("component"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-dup within label blocks, oracle-checked against
     * DuckDB's list_cosine_similarity (both sides rounded to 6 dp).
     */
@@ -230,7 +284,8 @@ object DedupOps {
     "q_dedup_near_minhash" -> (dedupNearMinhash _),
     "q_dedup_jaccard_blocked" -> (dedupJaccardBlocked _),
     "q_dedup_simhash" -> (dedupSimhash _),
-    "q_dedup_embed_cosine" -> (dedupEmbedCosine _))
+    "q_dedup_embed_cosine" -> (dedupEmbedCosine _),
+    "q_dedup_components" -> (dedupComponents _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_jaccard_blocked" ->
@@ -245,6 +300,25 @@ object DedupOps {
         |WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
         |        / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_components" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |sym AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS component
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "q_dedup_embed_cosine" ->
       """WITH base AS (
         |  SELECT vec_id, label,

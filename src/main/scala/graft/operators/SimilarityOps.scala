@@ -111,6 +111,57 @@ object SimilarityOps {
       .orderBy("probe_id", "rank")
   }
 
+  /** IVF (inverted-file) ANN — the second standard index shape next to
+    * LSH: a deterministic coarse quantizer (every 37th vector is a
+    * centroid, ~C = N/37 lists), each vector assigned to its nearest
+    * centroid (argmax cosine over the BROADCAST centroid list — the
+    * O(N·C) assignment pass every IVF build pays), probes search only
+    * their nprobe = 4 nearest lists. Candidate volume ≈ nprobe/C of the
+    * corpus per probe; recall floor pinned in QualitySpec. Rows-only:
+    * the assignment argmax + rank chain has no maintainable SQL twin.
+    */
+  private val IvfNprobe = 4
+  def simIvfBucketed(s: SparkSession, dir: String): DataFrame = {
+    val base = vectors(s, dir)
+    val cents = base.filter(col("vec_id") % 37 === 3)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centv"), col("norm").as("cnorm"))
+    // build: nearest-centroid assignment; struct-max tie-break keeps the
+    // argmax deterministic under any partitioning
+    val scored = base.select(col("vec_id"), col("embedding"), col("norm"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct((expr("graft_dot(embedding, centv)") / (col("norm") * col("cnorm"))).as("cos"),
+          col("cent_id")).as("sc"))
+    val assign = scored.groupBy("vec_id").agg(max(col("sc")).getField("cent_id").as("cent_id"))
+    // probes: nprobe nearest centroid lists each
+    val pw = Window.partitionBy("probe_id").orderBy(desc("pcos"), asc("cent_id"))
+    val probeLists = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"), col("norm").as("pnorm"))
+      .crossJoin(broadcast(cents))
+      .select(col("probe_id"),
+        (expr("graft_dot(pv, centv)") / (col("pnorm") * col("cnorm"))).as("pcos"),
+        col("cent_id"))
+      .withColumn("crank", row_number().over(pw))
+      .filter(col("crank") <= IvfNprobe)
+      .select("probe_id", "cent_id")
+    // search: candidates = members of the probed lists only
+    val candidates = probeLists.join(assign, Seq("cent_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .distinct()
+    val probes = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"), col("norm").as("pnorm"))
+    val w = Window.partitionBy("probe_id").orderBy(desc("cosine"), asc("cand_id"))
+    candidates
+      .join(base.select(col("vec_id").as("cand_id"), col("embedding").as("cv"), col("norm").as("cnorm")), Seq("cand_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(expr("graft_dot(pv, cv)") / (col("pnorm") * col("cnorm")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy("probe_id", "rank")
+  }
+
   /** #65 multimodal join: text metadata ⋈ vectors on aligned ids with a
     * combined relational + vector-norm predicate.
     */
@@ -142,6 +193,7 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_cosine_topk" -> (simCosineTopk _),
     "q_sim_lsh_bucketed" -> (simLshBucketed _),
+    "q_sim_ivf_bucketed" -> (simIvfBucketed _),
     "q_multimodal_join" -> (multimodalJoin _),
     "q_embed_normalize" -> (embedNormalize _))
 

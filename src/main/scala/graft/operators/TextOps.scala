@@ -101,7 +101,71 @@ object TextOps {
         substring_index(col("text"), " ", 1).as("first_token"))
       .orderBy("doc_id")
 
+  /** Context-window chunking — the training-pipeline step that slices
+    * documents into overlapping token windows (size 50, stride 40) with
+    * stable (doc_id, chunk_idx) identity. Pure per-row explode: no
+    * shuffle, chunk starts come from sequence() and the window itself
+    * from a Column-arg slice — everything stays codegen-friendly and
+    * scales as a map over the corpus.
+    */
+  private val ChunkSize = 50
+  private val ChunkStride = 40
+  def textChunk(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("start",
+        explode(sequence(lit(0), greatest(col("n_toks") - 1, lit(0)), lit(ChunkStride))))
+      .select(col("doc_id"),
+        (col("start") / ChunkStride).cast("int").as("chunk_idx"),
+        array_join(slice(col("toks"), col("start") + 1, lit(ChunkSize)), " ").as("chunk_text"),
+        least(col("n_toks") - col("start"), lit(ChunkSize)).as("chunk_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Stratified sampling + train/test split for training-data mixtures:
+    * per-language keep rates and a 90/10 split, both decided by
+    * DETERMINISTIC Lehmer residues of doc_id — reproducible across runs,
+    * engines, and partitionings (no rand()). The fixture ids are small
+    * enough for exact Long arithmetic under ANSI; at corpus scale swap
+    * the residue base for xxhash64(doc_id) — same shape, no oracle.
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val M = 2147483647L
+    val u1 = (col("doc_id") * 48271L) % M   // sampling residue
+    val u2 = (col("doc_id") * 69621L) % M   // split residue
+    Tables.documents(s, dir)
+      .withColumn("keep_rate",
+        when(col("lang") === "en", 0.5)
+          .when(col("lang") === "de", 0.4).otherwise(0.25))
+      .filter(u1.cast("double") < col("keep_rate") * M)
+      .withColumn("split", when(u2 % 10 < 9, "train").otherwise("test"))
+      .select(col("doc_id"), col("lang"), col("source"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction — training-data cleaning: scrub emails and phone
+    * numbers via POSIX-simple regexes (kept dialect-portable). The
+    * fixture text carries no PII, so a synthetic contact string derived
+    * from each doc exercises the patterns end-to-end.
+    */
+  def textRedact(s: SparkSession, dir: String): DataFrame = {
+    val contact = concat(lit("reach user"), col("doc_id"),
+      lit(" at u"), col("doc_id"), lit("@example.com or +1-512-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" re: "),
+      substring(col("text"), 1, 40))
+    Tables.documents(s, dir)
+      .withColumn("contact", contact)
+      .select(col("doc_id"), col("contact"),
+        regexp_replace(
+          regexp_replace(col("contact"), lit("[a-z0-9._]+@[a-z0-9.]+"), lit("<EMAIL>")),
+          lit("\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"), lit("<PHONE>")).as("redacted"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_chunk" -> (textChunk _),
+    "q_sample_stratified" -> (sampleStratified _),
+    "q_text_redact" -> (textRedact _),
     "q_udtf_tokenize" -> (tokenize _),
     "q_text_stats" -> (textStats _),
     "q_text_topterms" -> (textTopTerms _),
@@ -110,6 +174,39 @@ object TextOps {
     "q_text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_text_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    unnest(range(0, CAST(len(toks) AS BIGINT), 40)) AS start
+        |  FROM t)
+        |SELECT doc_id, CAST(start // 40 AS INTEGER) AS chunk_idx,
+        |  array_to_string(list_slice(toks, start + 1, least(start + 50, n)), ' ') AS chunk_text,
+        |  CAST(least(n - start, 50) AS INTEGER) AS chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, source,
+        |  CASE WHEN ((doc_id * 69621) % 2147483647) % 10 < 9
+        |       THEN 'train' ELSE 'test' END AS split
+        |FROM documents
+        |WHERE CAST((doc_id * 48271) % 2147483647 AS DOUBLE)
+        |      < (CASE WHEN lang = 'en' THEN 0.5
+        |              WHEN lang = 'de' THEN 0.4 ELSE 0.25 END) * 2147483647
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_redact" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    'reach user' || CAST(doc_id AS VARCHAR) || ' at u' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or +1-512-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' re: ' || substring(text, 1, 40) AS contact
+        |  FROM documents)
+        |SELECT doc_id, contact,
+        |  regexp_replace(
+        |    regexp_replace(contact, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |    '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_udtf_tokenize" ->
       """SELECT doc_id, CAST(pos - 1 AS INTEGER) AS pos, token
         |FROM (SELECT doc_id,

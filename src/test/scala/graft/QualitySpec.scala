@@ -21,6 +21,18 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.4, s"LSH recall regressed: $recall")
   }
 
+  test("IVF recall@5 vs brute force stays above floor") {
+    val bf = operators.SimilarityOps.simCosineTopk(spark, sfDir)
+      .select("probe_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = operators.SimilarityOps.simIvfBucketed(spark, sfDir)
+      .select("probe_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    info(s"recall@5 = $recall (${bf.size} true neighbors)")
+    assert(recall >= 0.3, s"IVF recall regressed: $recall")
+  }
+
   test("HLL approx distinct within 3x the configured rsd of exact") {
     val exact = operators.Aggregations.countDistinctUsers(spark, sfDir)
       .select("event_type", "n_users").collect()
