@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -190,7 +190,46 @@ object SimilarityOps {
           lit(0.0), _ + _), 4).as("unit_norm_sq"))
       .orderBy("vec_id")
 
+  /** int8 embedding quantization — the 4× memory/IO cut that makes
+    * billion-vector ANN fit a cluster: per-vector absmax scale,
+    * q = floor(x·127/absmax + 0.5) (floor form, NOT round() — the two
+    * engines' round() tie rules differ; floor(x+0.5) is bit-identical),
+    * plus reconstruction-error metrics. Pure per-row math, no shuffle.
+    */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    // every metric is a closed-form per-element expression over v alone —
+    // no intermediate q array shared between folds (two HOF folds
+    // consuming one lambda-built array tripped an optimizer interaction
+    // that perturbed the last ulp of the fold result), and the error is
+    // reported in integer MICRO-units via floor: floor of bit-identical
+    // doubles is tie-rule-free, unlike round()/decimal casts whose
+    // midpoint handling differs between engines.
+    def qOf(x: Column, a: Column): Column = floor(x * lit(127.0) / a + 0.5)
+    val base = Tables.embeddings(s, dir)
+      .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("absmax",
+        greatest(aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))), lit(1e-12)))
+    base.select(col("vec_id"),
+      col("absmax"),
+      size(col("v")).as("n_dims"),
+      // saturation via the closed-form threshold (|x|·127/a ≥ 126.5 ⇔ q = ±127)
+      aggregate(col("v"), lit(0), (acc, x) =>
+        acc + when(abs(x) * 127.0 / col("absmax") >= 126.5, 1).otherwise(0)).as("n_saturated"),
+      floor(aggregate(
+        transform(col("v"), x =>
+          abs(x - qOf(x, col("absmax")) * col("absmax") / 127.0)),
+        lit(0.0), (acc, e) => greatest(acc, e)) * 1e6).as("max_err_micro"))
+      // round AFTER the aggregates, in a separate projection: aliasing
+      // round(absmax) AS absmax inside the SAME select rebinds the sibling
+      // lambdas' absmax references onto the ROUNDED value in the optimized
+      // plan (same-name alias + CollapseProject) — the errors then silently
+      // use 6-dp absmax and diverge from the oracle in the last µ-unit
+      .withColumn("absmax", round(col("absmax"), 6))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_quantize" -> (embedQuantize _),
     "q_sim_cosine_topk" -> (simCosineTopk _),
     "q_sim_lsh_bucketed" -> (simLshBucketed _),
     "q_sim_ivf_bucketed" -> (simIvfBucketed _),
@@ -198,6 +237,21 @@ object SimilarityOps {
     "q_embed_normalize" -> (embedNormalize _))
 
   val oracles: Map[String, String] = Map(
+    "q_embed_quantize" ->
+      """WITH b AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v,
+        |    greatest(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 1e-12) AS absmax
+        |  FROM b)
+        |SELECT vec_id, round(absmax, 6) AS absmax,
+        |  CAST(len(v) AS INTEGER) AS n_dims,
+        |  CAST(len(list_filter(v, x -> abs(x) * 127.0 / absmax >= 126.5)) AS INTEGER) AS n_saturated,
+        |  CAST(floor(list_aggregate(
+        |    list_transform(v, x -> abs(x - floor(x * 127.0 / absmax + 0.5) * absmax / 127.0)),
+        |    'max') * 1e6) AS BIGINT) AS max_err_micro
+        |FROM m ORDER BY vec_id""".stripMargin,
     "q_sim_cosine_topk" ->
       """WITH base AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -162,7 +162,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary building + OOV coverage — the tokenizer-prep step: top-500
+    * corpus vocabulary (count + deterministic tie-break) joined back to
+    * score each document's out-of-vocabulary rate. The vocab is tiny and
+    * broadcast; the corpus is scanned twice but never shuffled for the
+    * scoring join. (The global row_number over ~30k distinct tokens is
+    * fine here; at corpus scale swap in the top-k-per-partition + merge
+    * pattern from Sorts.)
+    */
+  def textVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(desc("freq"), asc("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 500)
+      .select(col("token"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1).otherwise(0)).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov").cast("double") / col("n_tokens"), 6))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_vocab_coverage" -> (textVocabCoverage _),
     "q_text_chunk" -> (textChunk _),
     "q_sample_stratified" -> (sampleStratified _),
     "q_text_redact" -> (textRedact _),
@@ -174,6 +198,21 @@ object TextOps {
     "q_text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_text_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, COUNT(*) AS freq,
+        |      row_number() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rk
+        |    FROM toks GROUP BY token)
+        |  WHERE rk <= 500)
+        |SELECT t.doc_id, t.lang, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  round(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 6) AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON t.token = v.token
+        |GROUP BY t.doc_id, t.lang ORDER BY doc_id""".stripMargin,
     "q_text_chunk" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
