@@ -35,7 +35,8 @@ object SparkEntry {
       (Multimodal.queries, Multimodal.oracles),
       (SqlSuite.queries, SqlSuite.oracles),
       (ExtraFuncs.queries, ExtraFuncs.oracles),
-      (TypedOps.queries, TypedOps.oracles))
+      (TypedOps.queries, TypedOps.oracles),
+      (QualityOps.queries, QualityOps.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

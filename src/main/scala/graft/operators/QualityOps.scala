@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-governance operators: the declarative data-quality report every
+  * scheduled ETL publishes next to its data, and SCD2 (slowly-changing-
+  * dimension) history derivation — the reference's modified-date upsert
+  * generalized to full validity intervals.
+  */
+object QualityOps {
+
+  /** Constraint-validation report: one row per check with its violation
+    * count — not-null, range, domain, and referential integrity. Each
+    * check is an aggregate over one scan (the FK check is a broadcast-able
+    * anti join); the union of tiny one-row aggregates costs nothing at any
+    * scale, and the report shape is stable as checks are added.
+    */
+  def dqChecks(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    def check(name: String, df: DataFrame, violation: org.apache.spark.sql.Column): DataFrame =
+      df.agg(count(when(violation, 1)).as("n_violations"), count(lit(1)).as("n_checked"))
+        .select(lit(name).as("check_name"), col("n_violations"), col("n_checked"))
+    val fkViolations = o.join(Tables.customer(s, dir),
+        o("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("orders_customer_fk").as("check_name"), col("n_violations"))
+      .crossJoin(o.agg(count(lit(1)).as("n_checked")))
+    check("o_custkey_not_null", o, col("o_custkey").isNull)
+      .unionByName(check("o_totalprice_positive", o, col("o_totalprice") <= 0))
+      .unionByName(check("o_orderdate_in_range", o,
+        col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
+          col("o_orderdate") >= lit("2003-01-01").cast("timestamp")))
+      .unionByName(check("l_quantity_range", li, !col("l_quantity").between(1, 50)))
+      .unionByName(check("l_discount_domain", li, !col("l_discount").between(0, 0.1)))
+      .unionByName(fkViolations)
+      .orderBy("check_name")
+  }
+
+  /** SCD2 history: per user, the event-type "status" timeline collapsed to
+    * change intervals — valid_from/valid_to plus an is_current flag
+    * (valid_to null). Two window passes over one shuffle on user_id:
+    * consecutive-duplicate collapse (lag), then interval close (lead).
+    */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val changes = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type").as("status"))
+      .withColumn("prev_status", lag(col("status"), 1).over(w))
+      .filter(col("prev_status").isNull || col("prev_status") =!= col("status"))
+    val w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes
+      .withColumn("valid_to", lead(col("ts"), 1).over(w2))
+      .select(col("user_id"), col("status"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_checks" -> (dqChecks _),
+    "q_scd2_history" -> (scd2History _))
+
+  val oracles: Map[String, String] = Map(
+    "q_dq_checks" ->
+      """SELECT * FROM (
+        |  SELECT 'o_custkey_not_null' AS check_name,
+        |    COUNT(*) FILTER (WHERE o_custkey IS NULL) AS n_violations, COUNT(*) AS n_checked
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice_positive', COUNT(*) FILTER (WHERE o_totalprice <= 0), COUNT(*)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate_in_range',
+        |    COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1992-01-01'
+        |                        OR o_orderdate >= TIMESTAMP '2003-01-01'), COUNT(*)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'l_quantity_range',
+        |    COUNT(*) FILTER (WHERE l_quantity NOT BETWEEN 1 AND 50), COUNT(*)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount_domain',
+        |    COUNT(*) FILTER (WHERE l_discount NOT BETWEEN 0 AND 0.1), COUNT(*)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders_customer_fk',
+        |    (SELECT COUNT(*) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |    COUNT(*)
+        |  FROM orders)
+        |ORDER BY check_name""".stripMargin,
+    "q_scd2_history" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, ts, event_type AS status,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_status
+        |  FROM events),
+        |changes AS (
+        |  SELECT user_id, event_id, ts, status FROM seq
+        |  WHERE prev_status IS NULL OR prev_status <> status)
+        |SELECT user_id, status, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM changes ORDER BY user_id, valid_from""".stripMargin)
+}

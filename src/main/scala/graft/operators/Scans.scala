@@ -67,10 +67,25 @@ object Scans {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** ORC round-trip — the second columnar format Spark ships natively.
+    * Binary format, so unlike CSV/JSONL the full-fidelity columns
+    * (double prices, timestamps) ride along untruncated.
+    */
+  def scanOrc(s: SparkSession, dir: String): DataFrame = {
+    val path = ioDir("orc", dir)
+    ensureWritten(path) {
+      Tables.lineitem(s, dir)
+        .select((rtCols ++ Seq("l_extendedprice", "l_shipdate")).map(col): _*)
+        .write.mode("overwrite").orc(path)
+    }
+    s.read.orc(path).orderBy("l_orderkey", "l_linenumber")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_parquet" -> (scanParquet _),
     "q_scan_csv" -> (scanCsv _),
-    "q_scan_jsonl" -> (scanJsonl _))
+    "q_scan_jsonl" -> (scanJsonl _),
+    "q_scan_orc" -> (scanOrc _))
 
   /** CSV/JSONL oracles read the parquet originals: equality proves the text
     * round-trip is lossless.
@@ -84,5 +99,8 @@ object Scans {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_scan_jsonl" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_scan_orc" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice, l_shipdate
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
 }
