@@ -36,6 +36,26 @@ class GeoJsonSpec extends AnyFunSuite with SparkFixture {
     assert(poly0.length === 5)
   }
 
+  test("whole-file read path parses a GeoJSON document from disk") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gj").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/districts.geojson"), fc)
+    val rows = GeoJson.read(spark, s"$tmp/districts.geojson").collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getString(1)).toSet === Set("downtown", "islands"))
+  }
+
+  test("malformed documents yield zero rows instead of failing the job") {
+    import spark.implicits._
+    val bad = Seq("{not json at all", """{"type": "FeatureCollection"}""",
+      """{"type": "FeatureCollection", "features": [{"type": "Feature",
+        |"properties": {"name": "pointy"},
+        |"geometry": {"type": "Point", "coordinates": [1.0, 2.0]}}]}""".stripMargin)
+    val out = GeoJson.features(bad.toDF("value"), col("value"), "name").collect()
+    // the Point feature parses but contributes no polygon rows; garbage
+    // and empty collections contribute nothing
+    assert(out.isEmpty, out.mkString(";"))
+  }
+
   test("parsed polygons drive the exact PIP expression") {
     import spark.implicits._
     graft.functions.GeoFunctions.register(spark)

@@ -92,4 +92,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     val exchanges = collectAll(plan).count(_.isInstanceOf[Exchange])
     assert(exchanges <= 2, s"as-of join should not shuffle more than window+sort:\n$plan")
   }
+
+  test("minhash signature aggregates via the native kernel, not 64 agg columns") {
+    val plan = operators.DedupOps.dedupNearMinhash(spark, sfDir)
+      .queryExecution.sparkPlan
+    val objAggs = collectAll(plan).collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(objAggs.exists(_.aggregateExpressions.exists(
+      _.aggregateFunction.isInstanceOf[graft.functions.MinHashSigAgg])), plan.toString.take(4000))
+  }
+
+  test("dq FK check broadcasts the dimension for the anti join") {
+    val plan = executed(operators.QualityOps.dqChecks(spark, sfDir))
+    val antiBhj = collectAll(plan).collect {
+      case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT ANTI" => j
+    }
+    assert(antiBhj.nonEmpty, plan.toString.take(4000))
+  }
+
+  test("vocabulary coverage joins the vocab back via broadcast") {
+    val plan = executed(operators.TextOps.textVocabCoverage(spark, sfDir))
+    assert(collectAll(plan).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      plan.toString.take(4000))
+  }
+
+  test("publish-json batches in a single aggregation shuffle") {
+    val plan = executed(operators.SetOps.publishJson(spark, sfDir))
+    // one exchange for the batch groupBy + one for the final sort
+    val exchanges = collectAll(plan).count(_.isInstanceOf[Exchange])
+    assert(exchanges <= 2, s"publish should be groupBy+sort only:\n$plan")
+  }
 }
