@@ -169,6 +169,9 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Int]).toAggregateExpression(), "scala_udf")
     registry.createOrReplaceTempFunction("graft_simhash",
       exprs => SimHashAgg(exprs(0)).toAggregateExpression(), "scala_udf")
+    registry.createOrReplaceTempFunction("graft_minhash_sig_arr",
+      exprs => MinHashSigExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
     // Spark ships BloomFilterAggregate/BloomFilterMightContain for its own
     // runtime filters but does not expose them in the SQL registry; surface
     // them so the explicit runtime-filter pattern is scriptable.

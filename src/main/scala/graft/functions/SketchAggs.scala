@@ -99,6 +99,60 @@ object MinHashSigAgg {
   def const(j: Int): Long = consts(j)
 }
 
+/** Scalar sibling of [[MinHashSigAgg]]: the same signature from a per-row
+  * ARRAY of shingle hashes (vs the aggregate's exploded rows). Same
+  * permutation constants ⇒ bit-identical signatures, so batch (aggregate)
+  * and streaming (per-row, no shuffle before the stateful stage) paths
+  * agree exactly. Codegen'd: one static call into a tight loop.
+  */
+case class MinHashSigExpr(child: Expression, numPerms: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig_arr"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSigExpr.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numPerms)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSigExpr.compute($c, $numPerms)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+object MinHashSigExpr {
+  def compute(hashes: org.apache.spark.sql.catalyst.util.ArrayData,
+              numPerms: Int): GenericArrayData = {
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < numPerms) {
+        val p = java.lang.Long.rotateLeft(h, j & 63) ^ MinHashSigAgg.const(j)
+        if (p < sig(j)) sig(j) = p
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
 /** SimHash fingerprint: per input hash h, each of the 64 bit counters
   * moves by +1 if bit j of h is set else -1; the fingerprint sets bit j
   * iff counter j ends positive. Feeding one row per token OCCURRENCE is

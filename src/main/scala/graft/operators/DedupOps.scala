@@ -36,10 +36,13 @@ object DedupOps {
     * consumer is the MinHash min-aggregate, which is duplicate-
     * insensitive.
     */
-  private def docsWithShingleHashes(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
+  /** Appends a `sh_hashes` column to ANY df with a text column — pure
+    * projections, so the same head serves batch and streaming inputs.
+    */
+  private[graft] def withShingleHashes(df: DataFrame, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
     val n = size(col("tokh"))
-    Tables.documents(s, dir)
+    df
       .withColumn("tokh", transform(toks, t => xxhash64(t)))
       .withColumn("z12", zip_with(col("tokh"),
         slice(col("tokh"), lit(2), greatest(n - 1, lit(0))),
@@ -49,12 +52,16 @@ object DedupOps {
           zip_with(col("z12"), slice(col("tokh"), lit(3), greatest(n - 2, lit(0))),
             (p, c) => xxhash64(p("h1"), p("h2"), c)),
           lit(1), n - 2))
-          .otherwise(array(xxhash64(col("text")))))
-      .select(col("doc_id"), col("sh_hashes"))
+          .otherwise(array(xxhash64(col(textCol)))))
+      .drop("tokh", "z12")
   }
 
-  private val NumPerms = 64
-  private val Bands = 16 // 16 bands × 4 rows
+  private def docsWithShingleHashes(s: SparkSession, dir: String): DataFrame =
+    withShingleHashes(Tables.documents(s, dir), "text")
+      .select(col("doc_id"), col("sh_hashes"))
+
+  private[graft] val NumPerms = 64
+  private[graft] val Bands = 16 // 16 bands × 4 rows
 
   /** Candidate buckets are CAPPED at this many docs: a hot bucket (mass
     * boilerplate near-dups, a degenerate hash) otherwise materializes the

@@ -128,6 +128,75 @@ object StreamingOps {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  case class Doc(doc_id: Long, text: String)
+  case class CandidatePair(band_idx: Int, band_hash: Long, doc_a: Long, doc_b: Long)
+
+  /** Streaming incremental near-dup candidates: as documents arrive, each
+    * is hashed into its 16 LSH band buckets (per-row native
+    * [[graft.functions.MinHashSigExpr]] — bit-identical signatures to the
+    * batch aggregate, same constants) and checked against the bucket's
+    * MEMBERSHIP STATE: a ListState of previously-seen doc ids, capped at
+    * [[graft.operators.DedupOps.MaxBucket]] exactly like the batch cap.
+    * Emits one (doc_a, doc_b) candidate row per collision with an
+    * already-seen doc — the incremental "is this new crawl page a near
+    * dup of anything in the corpus" query, with state O(corpus × 16) ids,
+    * not O(corpus²) pairs.
+    */
+  class LshBucketProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[(Int, Long), (Int, Long, Long), CandidatePair] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var seen: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[Long]("seen", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[(Int, Long, Long)],
+                                 timerValues: TimerValues): Iterator[CandidatePair] = {
+      val existing = scala.collection.mutable.ArrayBuffer.from(seen.get())
+      val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
+      rows.toSeq.sortBy(_._3).foreach { case (bandIdx, bandHash, docId) =>
+        if (!existing.contains(docId)) {
+          existing.foreach { other =>
+            val (a, b) = if (other < docId) (other, docId) else (docId, other)
+            out += CandidatePair(bandIdx, bandHash, a, b)
+          }
+          if (existing.size < graft.operators.DedupOps.MaxBucket) {
+            existing += docId
+            seen.appendValue(docId)
+          }
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Wiring: docs stream → shingle hashes (shared batch head) → per-row
+    * signature → 16 banded rows → keyed bucket state. One shuffle (the
+    * groupByKey), bounded per-bucket state.
+    */
+  def streamingLshCandidates(docs: Dataset[Doc]): Dataset[CandidatePair] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val perms = graft.operators.DedupOps.NumPerms
+    val bands = graft.operators.DedupOps.Bands
+    val sigs = graft.operators.DedupOps.withShingleHashes(docs.toDF(), "text")
+      .withColumn("sig", expr(s"graft_minhash_sig_arr(sh_hashes, $perms)"))
+    val bandCols = (0 until bands).map(b =>
+      xxhash64((0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1)): _*).as(s"band$b"))
+    sigs.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_hash")))
+      .select(col("band_idx"), col("band_hash"), col("doc_id"))
+      .as[(Int, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .transformWithState(new LshBucketProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** #56 micro-batch upsert sink: each batch merges into a parquet dir by
     * key (new rows win) — the reference's incremental Socrata publish,
     * streamified via foreachBatch.

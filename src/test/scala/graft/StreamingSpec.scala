@@ -134,4 +134,59 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     assert(rows.toSeq === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
   }
+
+  test("streaming LSH flags near-dups of docs seen in EARLIER batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val boiler = ("alpha beta gamma delta epsilon zeta eta theta " * 6).trim
+      val stream = MemoryStream[StreamingOps.Doc]
+      val q = StreamingOps.streamingLshCandidates(stream.toDS())
+        .writeStream.format("memory").queryName("lsh_cands").outputMode("append")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        // batch 1: the original + an unrelated doc
+        stream.addData(Seq(StreamingOps.Doc(1, boiler),
+          StreamingOps.Doc(2, "completely different words entirely unrelated content here now")))
+        q.processAllAvailable()
+        // batch 2: a near-copy of doc 1 arrives LATER — must pair with the
+        // doc held in bucket state from batch 1
+        stream.addData(Seq(StreamingOps.Doc(3, boiler + " iota")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val pairs = spark.table("lsh_cands").collect()
+        .map(r => (r.getLong(2), r.getLong(3))).toSet
+      assert(pairs.contains((1L, 3L)), pairs.toString)
+      assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), pairs.toString)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming signature path is bit-identical to the batch aggregate path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    // same doc set through (a) the scalar per-row kernel and (b) the
+    // exploded min-aggregate — identical signature arrays required
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six seven"),
+      (3L, "ab")).toDF("doc_id", "text")
+    val perms = graft.operators.DedupOps.NumPerms
+    val viaExpr = graft.operators.DedupOps.withShingleHashes(docs, "text")
+      .select(col("doc_id"), expr(s"graft_minhash_sig_arr(sh_hashes, $perms)").as("sig"))
+    val viaAgg = graft.operators.DedupOps.withShingleHashes(docs, "text")
+      .select(col("doc_id"), explode(col("sh_hashes")).as("h"))
+      .groupBy("doc_id")
+      .agg(expr(s"graft_minhash_sig(h, $perms)").as("sig"))
+    val a = viaExpr.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val b = viaAgg.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(a.toSeq === b.toSeq)
+  }
 }
