@@ -117,6 +117,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       plan.toString.take(4000))
   }
 
+  test("scd2 history reuses one user_id shuffle for both window passes") {
+    val plan = executed(operators.QualityOps.scd2History(spark, sfDir))
+    // lag-collapse and lead-close share the (user_id) clustering: one
+    // exchange for the windows + one for the final global sort
+    val exchanges = collectAll(plan).count(_.isInstanceOf[Exchange])
+    assert(exchanges <= 2, s"scd2 should not re-shuffle between windows:\n$plan")
+  }
+
+  test("chunking scan prunes to (doc_id, text) only") {
+    val df = operators.TextOps.textChunk(spark, sfDir)
+    val scans = collectAll(df.queryExecution.sparkPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, df.queryExecution.sparkPlan.toString)
+    assert(scans.head.schema.fieldNames.toSet === Set("doc_id", "text"),
+      scans.head.schema.fieldNames.mkString(","))
+  }
+
   test("publish-json batches in a single aggregation shuffle") {
     val plan = executed(operators.SetOps.publishJson(spark, sfDir))
     // one exchange for the batch groupBy + one for the final sort
