@@ -232,8 +232,12 @@ object DedupOps {
     val edges = dedupJaccardBlocked(s, dir).select(col("doc_a"), col("doc_b"))
     val sym = edges.unionByName(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
-    var labels = sym.select(col("doc_a").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // init fuses propagation round 1: label₀ = min(self, direct neighbors)
+    // in ONE aggregation over the edge list — same result as identity-init
+    // plus a full join round, one less iteration of the loop below
+    var labels = sym.groupBy(col("doc_a").as("node"))
+      .agg(min(col("doc_b")).as("nb"))
+      .select(col("node"), least(col("node"), col("nb")).as("label"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0
