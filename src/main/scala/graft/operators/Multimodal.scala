@@ -102,10 +102,37 @@ object Multimodal {
         sum(length(col("frame_bytes"))).as("sampled_bytes"))
       .orderBy("doc_id")
 
+  /** "Resize" for image payloads.
+    * ==== STUB: a real implementation would decode, scale with an image
+    * library, and re-encode; none ships in this environment, so the
+    * deterministic stand-in keeps every Kth byte (stride sampling — a
+    * genuine 1/K payload reduction) and halves the metadata dims. The
+    * Spark-side contract is the real part: payload bytes shrink, metadata
+    * stays consistent, and the op composes with the decode/frame stages.
+    */
+  def resizePayload(media: DataFrame, factor: Int = 2): DataFrame =
+    media.filter(col("fmt") === "img")
+      .withColumn("payload_small", expr(
+        // every factor-th byte via a binary-safe concat fold (per-element
+        // copy is fine for the stub; a real codec path would be a native
+        // expression over the byte array)
+        s"""aggregate(transform(sequence(1, greatest(1, octet_length(payload)), $factor),
+           |  i -> substring(payload, i, 1)), cast('' as binary), (acc, b) -> acc || b)""".stripMargin))
+      .select(col("doc_id"),
+        greatest(lit(1), (col("width") / factor).cast("int")).as("width"),
+        greatest(lit(1), (col("height") / factor).cast("int")).as("height"),
+        length(col("payload")).as("orig_bytes"),
+        length(col("payload_small")).as("resized_bytes"))
+
+  /** Rows-only: resize-stub output shape. */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame =
+    resizePayload(mediaTable(s, dir)).orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _),
-    "q_multimodal_frames" -> (multimodalFrames _))
+    "q_multimodal_frames" -> (multimodalFrames _),
+    "q_multimodal_resize" -> (multimodalResize _))
 
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" ->

@@ -185,7 +185,26 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Token counting the way a GPT-style pre-tokenizer sees text: a BPE-ish
+    * regex (apostrophe suffix | space?+letter-run | space?+digit-run |
+    * space?+punct-run) vs plain whitespace counting — the fertility ratio
+    * is the standard "how many model tokens per word" cost estimate. The
+    * pattern is alternation + classes only, so Spark's java.util.regex and
+    * DuckDB's RE2 agree.
+    */
+  def textTokensBpe(s: SparkSession, dir: String): DataFrame = {
+    val pat = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ']+"
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        round(col("n_bpe_tokens").cast("double") / col("n_ws_tokens"), 6))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokens_bpe" -> (textTokensBpe _),
     "q_text_vocab_coverage" -> (textVocabCoverage _),
     "q_text_chunk" -> (textChunk _),
     "q_sample_stratified" -> (sampleStratified _),
@@ -198,6 +217,13 @@ object TextOps {
     "q_text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_text_tokens_bpe" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 '']+', 0)) AS INTEGER) AS n_bpe_tokens,
+        |  round(CAST(len(regexp_extract_all(text, '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 '']+', 0)) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 6) AS fertility
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_vocab_coverage" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
