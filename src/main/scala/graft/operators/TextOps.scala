@@ -131,8 +131,11 @@ object TextOps {
     */
   def sampleStratified(s: SparkSession, dir: String): DataFrame = {
     val M = 2147483647L
-    val u1 = (col("doc_id") * 48271L) % M   // sampling residue
-    val u2 = (col("doc_id") * 69621L) % M   // split residue
+    // TWO multiplicative rounds: a single (id · a) mod M never wraps for
+    // small ids (id < ~44k ⇒ residue = id·a, monotone ⇒ every fixture doc
+    // under the threshold — not a sample at all); the second round mixes
+    val u1 = (((col("doc_id") * 48271L + 12345L) % M) * 48271L) % M // sampling residue
+    val u2 = (((col("doc_id") * 69621L + 54321L) % M) * 69621L) % M // split residue
     Tables.documents(s, dir)
       .withColumn("keep_rate",
         when(col("lang") === "en", 0.5)
@@ -252,10 +255,10 @@ object TextOps {
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_sample_stratified" ->
       """SELECT doc_id, lang, source,
-        |  CASE WHEN ((doc_id * 69621) % 2147483647) % 10 < 9
+        |  CASE WHEN ((((doc_id * 69621 + 54321) % 2147483647) * 69621) % 2147483647) % 10 < 9
         |       THEN 'train' ELSE 'test' END AS split
         |FROM documents
-        |WHERE CAST((doc_id * 48271) % 2147483647 AS DOUBLE)
+        |WHERE CAST((((doc_id * 48271 + 12345) % 2147483647) * 48271) % 2147483647 AS DOUBLE)
         |      < (CASE WHEN lang = 'en' THEN 0.5
         |              WHEN lang = 'de' THEN 0.4 ELSE 0.25 END) * 2147483647
         |ORDER BY doc_id""".stripMargin,

@@ -114,6 +114,79 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("chunking covers every token: stride-window reconstruction") {
+    import spark.implicits._
+    // with stride 40 < size 50, consecutive chunks overlap by 10 tokens;
+    // dropping each chunk's first 10 tokens (except chunk 0) and
+    // concatenating must reproduce the document exactly
+    val texts = samples(Gen.chooseNum(1, 130), 20).zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(k => s"w$k").mkString(" "), "en", "s0", 0L)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chunk").toString
+    texts.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val chunks = operators.TextOps.textChunk(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+    texts.foreach { case (id, text, _, _, _) =>
+      val parts = chunks(id)
+      val rebuilt = (parts.head :: parts.tail.map(_.split(" ").drop(10).mkString(" ")))
+        .filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt === text, s"doc $id")
+    }
+  }
+
+  test("quantization error is bounded by half the quantization step") {
+    val rows = operators.SimilarityOps.embedQuantize(spark, sfDir).collect()
+    rows.foreach { r =>
+      val absmax = r.getDouble(1)
+      val maxErrMicro = r.getLong(4)
+      // err ≤ absmax/254 (half step) + rounding slack of the µ-floor
+      assert(maxErrMicro <= math.floor(absmax / 254.0 * 1e6) + 1,
+        s"vec ${r.getLong(0)}: $maxErrMicro µ vs step/2 ${absmax / 254.0}")
+    }
+  }
+
+  test("stratified sample hits the configured keep rates within tolerance") {
+    val rows = operators.TextOps.sampleStratified(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(3)))
+    val total = Tables.documents(spark, sfDir).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    val expected = Map("en" -> 0.5, "de" -> 0.4).withDefaultValue(0.25)
+    kept.foreach { case (lang, n) =>
+      val rate = n.toDouble / total(lang)
+      assert(math.abs(rate - expected(lang)) < 0.15, s"$lang keep rate $rate")
+    }
+    // split is ~90/10
+    val trainFrac = rows.count(_._2 == "train").toDouble / rows.length
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction $trainFrac")
+  }
+
+  test("connected components are correct on a crafted graph") {
+    import spark.implicits._
+    // block keys force the edges: chain 10-11-12, pair 20-21 (via shared
+    // rare-token overlap), and isolated 30 — labels must be the component
+    // minima. Texts engineered so jaccard ≥ 0.2 exactly along the
+    // intended edges (shared (lang, source) block).
+    val mk = (id: Long, words: String) => (id, words, "en", "s0", 0L)
+    val docs = Seq(
+      mk(10, "a b c d e f g h"),
+      mk(11, "a b c d e x y z"),          // j(10,11) = 5/11 ≥ .2
+      mk(12, "x y z q r s t u"),          // j(11,12) = 3/13 ≥ .2, j(10,12) = 0
+      mk(20, "m n o p"),
+      mk(21, "m n o p"),                  // identical pair
+      mk(30, "entirely unrelated standalone content"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cc").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val labels = operators.DedupOps.dedupComponents(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(10L) === 10L && labels(11L) === 10L && labels(12L) === 10L)
+    assert(labels(20L) === 20L && labels(21L) === 20L)
+    assert(!labels.contains(30L)) // isolated: never enters the edge list
+  }
+
   test("LSH hot bucket is capped: mass-duplicate docs yield bounded pairs") {
     import spark.implicits._
     // 600 byte-identical docs all land in ONE bucket of every band — the
