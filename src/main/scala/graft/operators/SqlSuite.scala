@@ -103,7 +103,29 @@ object SqlSuite {
       .na.fill(0, Seq("F", "O", "P"))
       .orderBy("y")
 
+  /** Large-volume-customer classic (TPC-H Q18 shape): IN over a
+    * grouped-HAVING subquery — the decorrelation-into-semi-join case the
+    * lighter IN/EXISTS queries don't cover (aggregate inside the
+    * subquery), plus a re-aggregation on the outer side.
+    */
+  def sqlBigOrders(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |FROM v_customer
+        |JOIN v_orders   ON c_custkey = o_custkey
+        |JOIN v_lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM v_lineitem
+        |  GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+        |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 50""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_big_orders" -> (sqlBigOrders _),
     "q_sql_shipping_priority" -> (sqlShippingPriority _),
     "q_sql_returned_items" -> (sqlReturnedItems _),
     "q_sql_scalar_subquery" -> (sqlScalarSubquery _),
@@ -112,6 +134,18 @@ object SqlSuite {
     "q_pivot_status" -> (pivotStatus _))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_big_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+        |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 50""".stripMargin,
     "q_sql_shipping_priority" ->
       """SELECT l_orderkey,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
