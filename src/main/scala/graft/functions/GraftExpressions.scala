@@ -172,6 +172,10 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction("graft_minhash_sig_arr",
       exprs => MinHashSigExpr(exprs(0),
         exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+    registry.createOrReplaceTempFunction("graft_sign_lsh",
+      exprs => SignLshSigExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]), "scala_udf")
     // Spark ships BloomFilterAggregate/BloomFilterMightContain for its own
     // runtime filters but does not expose them in the SQL registry; surface
     // them so the explicit runtime-filter pattern is scriptable.

@@ -78,19 +78,16 @@ object SimilarityOps {
     * constants have no SQL twin worth maintaining).
     */
   def simLshBucketed(s: SparkSession, dir: String): DataFrame = {
-    val tableBuckets = (0 until NumTables).map { t =>
-      val sig = (0 until PlanesPerTable).map { b =>
-        val pl = planes(t * PlanesPerTable + b)
-        when(call_function("graft_dot", col("embedding"), typedLit(pl)) >= 0,
-          lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("tbl"), sig.as("sig"))
-    }
     val base = vectors(s, dir)
-    // bucket join carries only ids — vectors are attached AFTER pair
-    // dedup so the 64-wide arrays never ride through the exploded join
-    val buckets = base.select(col("vec_id"),
-      explode(array(tableBuckets: _*)).as("bkt"))
+    // all table signatures in ONE native kernel call (SignLshSigExpr —
+    // same splitmix64 planes as the Column formulation, identical
+    // buckets); bucket join carries only ids — vectors are attached
+    // AFTER pair dedup so the 64-wide arrays never ride through the
+    // exploded join
+    val buckets = base
+      .withColumn("sigs", expr(s"graft_sign_lsh(embedding, $NumTables, $PlanesPerTable)"))
+      .select(col("vec_id"), posexplode(col("sigs")).as(Seq("tbl", "sig")))
+      .select(col("vec_id"), struct(col("tbl"), col("sig")).as("bkt"))
     val probeBuckets = buckets.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("bkt"))
     val candPairs = buckets.select(col("vec_id").as("cand_id"), col("bkt"))

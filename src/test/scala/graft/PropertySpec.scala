@@ -59,6 +59,18 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(p.flatten.forall(x => x >= -0.5 && x < 0.5))
     // not degenerate: planes differ from each other
     assert(p.distinct.length === p.length)
+    // the native SignLshSigExpr kernel derives the SAME planes: its
+    // signatures must equal a direct recomputation from this val
+    val v = Array.tabulate(64)(i => (i % 7 - 3) / 3.0)
+    val sig = graft.functions.SignLshSigExpr.compute(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(v), false, 8, 4)
+    (0 until 8).foreach { t =>
+      val expected = (0 until 4).foldLeft(0L) { (acc, b) =>
+        val dot = v.zip(p(t * 4 + b)).map { case (x, y) => x * y }.sum
+        if (dot >= 0) acc | (1L << b) else acc
+      }
+      assert(sig.getLong(t) === expected, s"table $t")
+    }
   }
 
   test("dedup is idempotent on a DataFrame") {
