@@ -56,6 +56,22 @@ object Aggregations {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       .orderBy("event_type")
 
+  /** #24b approximate percentile sketch (GK/KLL-family) — the quantile
+    * companion to HLL: mergeable per-partition sketches, the 100 TB
+    * alternative to exact percentile's full sort. Rows-only (DuckDB's
+    * approx_quantile is a different sketch); QualitySpec bounds the error
+    * against the exact quantiles.
+    */
+  def approxPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile_approx(o_totalprice, array(0.25, 0.5, 0.75), 1000)").as("q"))
+      .select(col("o_orderstatus"),
+        element_at(col("q"), 1).as("p25"),
+        element_at(col("q"), 2).as("p50"),
+        element_at(col("q"), 3).as("p75"))
+      .orderBy("o_orderstatus")
+
   /** #25a rollup over (year, month) — multi-granularity publishing.
     * grouping() bits are computed explicitly so the encoding matches the
     * oracle bit-for-bit.
@@ -176,6 +192,7 @@ object Aggregations {
     "q_agg_global" -> (aggGlobal _),
     "q_agg_count_distinct" -> (countDistinctUsers _),
     "q_agg_approx_distinct" -> (approxDistinct _),
+    "q_agg_approx_percentile" -> (approxPercentile _),
     "q_agg_rollup" -> (aggRollup _),
     "q_agg_cube" -> (aggCube _),
     "q_agg_gsets" -> (aggGroupingSets _),

@@ -46,6 +46,18 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("approx percentile lands within 2% relative error of exact") {
+    val exact = operators.Aggregations.aggPercentile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(1), r.getDouble(3))).toMap
+    val approx = operators.Aggregations.approxPercentile(spark, sfDir).collect()
+    approx.foreach { r =>
+      val (e25, e50, e75) = exact(r.getString(0))
+      Seq((r.getDouble(1), e25), (r.getDouble(2), e50), (r.getDouble(3), e75)).foreach {
+        case (a, e) => assert(math.abs(a - e) / e <= 0.02, s"${r.getString(0)}: $a vs $e")
+      }
+    }
+  }
+
   test("lexicon language-ID beats chance on the 5-language corpus") {
     val rows = operators.TextOps.textLangId(spark, sfDir).collect()
     val acc = rows.count(r => r.getString(1) == r.getString(2)).toDouble / rows.length
