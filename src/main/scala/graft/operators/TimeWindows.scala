@@ -45,12 +45,116 @@ object TimeWindows {
         col("user_id"), col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
 
+  /** Zero-filled calendar scaffold + linear interpolation — the published
+    * time-series extract shape: every hour between the corpus min and max
+    * appears exactly once; hours with no `purchase` events carry
+    * n_events = 0 and a value linearly interpolated between the nearest
+    * observed hours (edges clamp to the nearest observation). The
+    * scaffold bounds come from one 1-row aggregate cross-joined
+    * (broadcast) into the sequence explode, so the shape is scan + 1
+    * aggregate + 1 window pass at any scale.
+    */
+  def tsGapfill(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
+    val bounds = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+    val scaffold = bounds
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("hour")
+    val filled = scaffold.join(hourly, Seq("hour"), "left")
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      // epoch hours for the interpolation weights
+      .withColumn("h", (unix_timestamp(col("hour")) / 3600).cast("long"))
+      .withColumn("prev_v", last(col("sum_value"), ignoreNulls = true)
+        .over(w.rowsBetween(Long.MinValue, 0)))
+      .withColumn("prev_h", last(when(col("sum_value").isNotNull, col("h")), ignoreNulls = true)
+        .over(w.rowsBetween(Long.MinValue, 0)))
+      .withColumn("next_v", first(col("sum_value"), ignoreNulls = true)
+        .over(w.rowsBetween(0, Long.MaxValue)))
+      .withColumn("next_h", first(when(col("sum_value").isNotNull, col("h")), ignoreNulls = true)
+        .over(w.rowsBetween(0, Long.MaxValue)))
+    filled.select(col("hour"), col("n_events"),
+      round(
+        when(col("sum_value").isNotNull, col("sum_value"))
+          .when(col("prev_v").isNull, col("next_v"))
+          .when(col("next_v").isNull, col("prev_v"))
+          .otherwise(col("prev_v") + (col("next_v") - col("prev_v"))
+            * (col("h") - col("prev_h")) / (col("next_h") - col("prev_h"))), 6)
+        .as("value_filled"))
+      .orderBy("hour")
+  }
+
+  /** Histogram: fixed-width binning of order totals by explicit floor
+    * arithmetic (engine-portable, unlike width_bucket dialects), with
+    * empty bins zero-filled from a bin scaffold.
+    */
+  def histogram(s: SparkSession, dir: String): DataFrame = {
+    val width = 50000
+    val nBins = 12
+    val binned = Tables.orders(s, dir)
+      .withColumn("bin", least(floor(col("o_totalprice") / width).cast("int"), lit(nBins - 1)))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val scaffold = Tables.orders(s, dir).sparkSession.range(nBins)
+      .select(col("id").cast("int").as("bin"))
+    scaffold.join(binned, Seq("bin"), "left")
+      .select(col("bin"),
+        (col("bin") * width).cast("double").as("lo"),
+        ((col("bin") + 1) * width).cast("double").as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_gapfill" -> (tsGapfill _),
+    "q_histogram" -> (histogram _),
     "q_window_tumbling" -> (windowTumbling _),
     "q_window_sliding" -> (windowSliding _),
     "q_window_session" -> (windowSession _))
 
   val oracles: Map[String, String] = Map(
+    "q_ts_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |scaffold AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT min(hour) FROM hourly),
+        |    (SELECT max(hour) FROM hourly), INTERVAL 1 HOUR)) AS hour),
+        |filled AS (
+        |  SELECT s.hour, coalesce(h.n_events, 0) AS n_events, h.sum_value,
+        |    CAST(floor(epoch(s.hour)) AS BIGINT) // 3600 AS hh,
+        |    last_value(h.sum_value IGNORE NULLS) OVER
+        |      (ORDER BY s.hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        |    last_value(CASE WHEN h.sum_value IS NOT NULL
+        |      THEN CAST(floor(epoch(s.hour)) AS BIGINT) // 3600 END IGNORE NULLS) OVER
+        |      (ORDER BY s.hour ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+        |    first_value(h.sum_value IGNORE NULLS) OVER
+        |      (ORDER BY s.hour ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        |    first_value(CASE WHEN h.sum_value IS NOT NULL
+        |      THEN CAST(floor(epoch(s.hour)) AS BIGINT) // 3600 END IGNORE NULLS) OVER
+        |      (ORDER BY s.hour ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+        |  FROM scaffold s LEFT JOIN hourly h ON s.hour = h.hour)
+        |SELECT hour, n_events,
+        |  round(CASE WHEN sum_value IS NOT NULL THEN sum_value
+        |             WHEN prev_v IS NULL THEN next_v
+        |             WHEN next_v IS NULL THEN prev_v
+        |             ELSE prev_v + (next_v - prev_v) * (hh - prev_h) / (next_h - prev_h)
+        |        END, 6) AS value_filled
+        |FROM filled ORDER BY hour""".stripMargin,
+    "q_histogram" ->
+      """WITH binned AS (
+        |  SELECT least(CAST(floor(o_totalprice / 50000) AS INTEGER), 11) AS bin, COUNT(*) AS n
+        |  FROM orders GROUP BY 1),
+        |scaffold AS (SELECT unnest(range(0, 12)) AS bin)
+        |SELECT CAST(s.bin AS INTEGER) AS bin,
+        |  CAST(s.bin * 50000 AS DOUBLE) AS lo,
+        |  CAST((s.bin + 1) * 50000 AS DOUBLE) AS hi,
+        |  coalesce(b.n, 0) AS n
+        |FROM scaffold s LEFT JOIN binned b ON s.bin = b.bin
+        |ORDER BY bin""".stripMargin,
     "q_window_tumbling" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start, event_type,
         |  COUNT(*) AS n_events,
