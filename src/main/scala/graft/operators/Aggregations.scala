@@ -72,6 +72,26 @@ object Aggregations {
         element_at(col("q"), 3).as("p75"))
       .orderBy("o_orderstatus")
 
+  /** O/D flow matrix — the reference's Data-Explorer data product: trip
+    * counts + averages grouped by (origin cell, destination cell, period).
+    * Cells derive deterministically from the keys (the same arithmetic
+    * grid as q_pip_join); flows with < 3 trips are suppressed, the
+    * k-anonymity rule public mobility extracts apply. One hash-agg
+    * shuffle on the composite key at any scale.
+    */
+  def odFlows(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("o_cell", ((col("o_custkey") * 7919) % 10).cast("int"))
+      .withColumn("d_cell", ((col("o_orderkey") * 104729) % 10).cast("int"))
+      .withColumn("period", date_format(col("o_orderdate"), "yyyy"))
+      .groupBy("o_cell", "d_cell", "period")
+      .agg(count(lit(1)).as("n_trips"),
+        Det.davg(Det.money(col("o_totalprice"))).as("avg_value"))
+      .filter(col("n_trips") >= 3)
+      .select(col("o_cell"), col("d_cell"), col("period"),
+        col("n_trips"), round(col("avg_value"), 6).as("avg_value"))
+      .orderBy("o_cell", "d_cell", "period")
+
   /** #25a rollup over (year, month) — multi-granularity publishing.
     * grouping() bits are computed explicitly so the encoding matches the
     * oracle bit-for-bit.
@@ -193,6 +213,7 @@ object Aggregations {
     "q_agg_count_distinct" -> (countDistinctUsers _),
     "q_agg_approx_distinct" -> (approxDistinct _),
     "q_agg_approx_percentile" -> (approxPercentile _),
+    "q_od_flows" -> (odFlows _),
     "q_agg_rollup" -> (aggRollup _),
     "q_agg_cube" -> (aggCube _),
     "q_agg_gsets" -> (aggGroupingSets _),
@@ -286,5 +307,15 @@ object Aggregations {
       """SELECT p_brand, p_name AS top_part, p_retailprice AS top_price
         |FROM part
         |QUALIFY row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_name DESC) = 1
-        |ORDER BY p_brand""".stripMargin)
+        |ORDER BY p_brand""".stripMargin,
+    "q_od_flows" ->
+      """SELECT CAST((o_custkey * 7919) % 10 AS INTEGER) AS o_cell,
+        |  CAST((o_orderkey * 104729) % 10 AS INTEGER) AS d_cell,
+        |  strftime(o_orderdate, '%Y') AS period,
+        |  COUNT(*) AS n_trips,
+        |  round(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(18,4))) AS DOUBLE)
+        |        / COUNT(*), 6) AS avg_value
+        |FROM orders
+        |GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3
+        |ORDER BY o_cell, d_cell, period""".stripMargin)
 }
