@@ -50,6 +50,15 @@ case class MinHashSigAgg(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType != LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a bigint hash column, got ${child.dataType.simpleString}")
+    else if (numPerms < 1 || numPerms > MinHashSigAgg.MaxPerms)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName supports 1..${MinHashSigAgg.MaxPerms} permutations, got $numPerms")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
   override def createAggregationBuffer(): Array[Long] = Array.fill(numPerms)(Long.MaxValue)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
@@ -93,7 +102,7 @@ case class MinHashSigAgg(
 }
 
 object MinHashSigAgg {
-  private val MaxPerms = 256
+  val MaxPerms = 256
   private val consts: Array[Long] =
     Array.tabulate(MaxPerms)(j => Splitmix64(0xD0C5EEDL + j))
   def const(j: Int): Long = consts(j)
@@ -110,8 +119,11 @@ case class MinHashSigExpr(child: Expression, numPerms: Int)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(LongType, _) =>
+      case ArrayType(LongType, _) if numPerms >= 1 && numPerms <= MinHashSigAgg.MaxPerms =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName supports 1..${MinHashSigAgg.MaxPerms} permutations, got $numPerms")
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"$prettyName requires array<bigint>, got ${other.simpleString}")

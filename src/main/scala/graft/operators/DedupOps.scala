@@ -249,6 +249,10 @@ object DedupOps {
       val prop = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        // materialize before the self-join below: Spark reuses no common
+        // subplans, so an unmaterialized prop would execute the
+        // sym⋈labels join + aggregate TWICE per round
+        .localCheckpoint()
       // pointer jump: also adopt the label OF the current representative
       // (labels are monotone non-increasing node ids, so rep_label ≤
       // label) — path lengths halve per round, so convergence is

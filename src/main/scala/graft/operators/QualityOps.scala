@@ -57,7 +57,9 @@ object QualityOps {
       .select(col("user_id"), col("status"),
         col("ts").as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))
-      .orderBy("user_id", "valid_from")
+      // status in the sort: two same-timestamp changes for one user would
+      // otherwise tie and the engines could order them differently
+      .orderBy("user_id", "valid_from", "status")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -104,5 +106,5 @@ object QualityOps {
         |SELECT user_id, status, ts AS valid_from,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
-        |FROM changes ORDER BY user_id, valid_from""".stripMargin)
+        |FROM changes ORDER BY user_id, valid_from, status""".stripMargin)
 }

@@ -34,10 +34,15 @@ object GeoJson {
 
   /** ring: array<array<double>> → array<struct<x,y>> (lambda-var-only
     * accesses — see DedupOps on the cost of outer refs in HOF lambdas).
+    * Malformed rings (any vertex with < 2 coords) yield null — ANSI
+    * element_at on a short array would otherwise kill the whole job —
+    * and null rings are stripped before the polygon explode.
     */
   private def ringToPoly(ring: Column): Column =
-    transform(ring, pt =>
-      struct(element_at(pt, 1).as("x"), element_at(pt, 2).as("y")))
+    when(forall(ring, pt => size(pt) >= 2),
+      transform(ring, pt =>
+        struct(element_at(pt, 1).as("x"), element_at(pt, 2).as("y"))))
+      .otherwise(lit(null))
 
   /** Explodes a FeatureCollection string column into
     * (feature_idx, name, poly_idx, polygon) rows: Polygon features yield
@@ -51,14 +56,20 @@ object GeoJson {
     parsed
       .select(col("*"), posexplode(col("_fc3.features")).as(Seq("feature_idx", "_f3")))
       .withColumn("_f4", element_at(col("_fc4.features"), col("feature_idx") + 1))
-      .withColumn("name", element_at(col("_f3.properties"), nameProp))
-      .withColumn("_rings",
+      // getItem (not element_at): ANSI element_at throws on a missing map
+      // key, so one feature without the property would fail the job;
+      // getItem degrades to name = null
+      .withColumn("name", col("_f3.properties").getItem(nameProp))
+      .withColumn("_rings", filter(
         when(col("_f3.geometry.type") === "Polygon",
           // outer ring only (index 1); holes are rings 2..n
-          array(ringToPoly(element_at(col("_f3.geometry.coordinates"), 1))))
+          array(ringToPoly(get(col("_f3.geometry.coordinates"), lit(0)))))
         .when(col("_f3.geometry.type") === "MultiPolygon",
-          transform(col("_f4.geometry.coordinates"), p => ringToPoly(element_at(p, 1))))
-        .otherwise(array().cast("array<array<struct<x:double,y:double>>>")))
+          // get (0-based, null-on-OOB) not element_at: an empty member
+          // polygon must not ANSI-error the job
+          transform(col("_f4.geometry.coordinates"), p => ringToPoly(get(p, lit(0)))))
+        .otherwise(array().cast("array<array<struct<x:double,y:double>>>")),
+        r => r.isNotNull))
       .select(col("feature_idx"), col("name"),
         posexplode(col("_rings")).as(Seq("poly_idx", "polygon")))
   }

@@ -157,15 +157,17 @@ object StreamingOps {
       val existing = scala.collection.mutable.ArrayBuffer.from(seen.get())
       val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
       rows.toSeq.sortBy(_._3).foreach { case (bandIdx, bandHash, docId) =>
-        if (!existing.contains(docId)) {
+        // full bucket ⇒ the doc neither pairs nor joins, EXACTLY like the
+        // batch rn<=MaxBucket cap — otherwise a hot bucket would emit
+        // |bucket| pairs per arrival forever (unbounded output volume)
+        if (!existing.contains(docId) &&
+            existing.size < graft.operators.DedupOps.MaxBucket) {
           existing.foreach { other =>
             val (a, b) = if (other < docId) (other, docId) else (docId, other)
             out += CandidatePair(bandIdx, bandHash, a, b)
           }
-          if (existing.size < graft.operators.DedupOps.MaxBucket) {
-            existing += docId
-            seen.appendValue(docId)
-          }
+          existing += docId
+          seen.appendValue(docId)
         }
       }
       out.iterator

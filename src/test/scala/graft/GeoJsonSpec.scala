@@ -49,11 +49,31 @@ class GeoJsonSpec extends AnyFunSuite with SparkFixture {
     val bad = Seq("{not json at all", """{"type": "FeatureCollection"}""",
       """{"type": "FeatureCollection", "features": [{"type": "Feature",
         |"properties": {"name": "pointy"},
-        |"geometry": {"type": "Point", "coordinates": [1.0, 2.0]}}]}""".stripMargin)
+        |"geometry": {"type": "Point", "coordinates": [1.0, 2.0]}}]}""".stripMargin,
+      // short-coordinate vertex: must drop the polygon, not ANSI-error
+      """{"type": "FeatureCollection", "features": [{"type": "Feature",
+        |"properties": {"name": "broken"},
+        |"geometry": {"type": "Polygon", "coordinates": [[[1.0], [2.0, 3.0]]]}}]}""".stripMargin,
+      // empty coordinates array
+      """{"type": "FeatureCollection", "features": [{"type": "Feature",
+        |"properties": {"name": "empty"},
+        |"geometry": {"type": "Polygon", "coordinates": []}}]}""".stripMargin)
     val out = GeoJson.features(bad.toDF("value"), col("value"), "name").collect()
-    // the Point feature parses but contributes no polygon rows; garbage
-    // and empty collections contribute nothing
+    // the Point feature parses but contributes no polygon rows; garbage,
+    // empty collections, and malformed rings contribute nothing
     assert(out.isEmpty, out.mkString(";"))
+  }
+
+  test("features missing the name property parse with name = null") {
+    import spark.implicits._
+    val noName =
+      """{"type": "FeatureCollection", "features": [{"type": "Feature",
+        |"properties": {"code": "D9"},
+        |"geometry": {"type": "Polygon",
+        |  "coordinates": [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]]}}]}""".stripMargin
+    val rows = GeoJson.features(Seq(noName).toDF("value"), col("value"), "name").collect()
+    assert(rows.length === 1)
+    assert(rows(0).isNullAt(1)) // name column null, row retained
   }
 
   test("parsed polygons drive the exact PIP expression") {
