@@ -141,4 +141,46 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     val exchanges = collectAll(plan).count(_.isInstanceOf[Exchange])
     assert(exchanges <= 2, s"publish should be groupBy+sort only:\n$plan")
   }
+
+  test("constant folding collapses literal arithmetic before execution") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > lit(100) * lit(1000) + lit(500))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("100500"), optimized) // folded to one literal
+    assert(!optimized.contains("* 1000"), optimized)
+  }
+
+  test("correlated EXISTS decorrelates into a join (no subquery at runtime)") {
+    val df = operators.SqlSuite.queries("q_sql_correlated_exists")(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan
+    val hasJoin = optimized.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.nonEmpty
+    assert(hasJoin, optimized.toString)
+    assert(!optimized.toString.contains("exists#"),
+      "EXISTS predicate survived decorrelation:\n" + optimized)
+  }
+
+  test("dynamic partition pruning fires on a partitioned fact join") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.orders(spark, sfDir)
+      .withColumn("status", col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("status").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // dim filter on a NON-join column read from parquet: the status="F"
+    // restriction is opaque to constraint inference, so pruning the fact
+    // partitions requires the runtime DPP subquery
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    import spark.implicits._
+    Seq(("F", "keep"), ("O", "drop"), ("P", "drop"))
+      .toDF("status", "flag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("flag") === "keep")
+    val joined = fact.join(dim, Seq("status"))
+      .agg(count(lit(1)).as("n"))
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruning"), planStr.take(3000))
+    assert(joined.collect()(0).getLong(0) > 0)
+  }
 }
