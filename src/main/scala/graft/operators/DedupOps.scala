@@ -249,18 +249,17 @@ object DedupOps {
       val prop = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        // materialize before the self-join below: Spark reuses no common
-        // subplans, so an unmaterialized prop would execute the
-        // sym⋈labels join + aggregate TWICE per round
-        .localCheckpoint()
-      // pointer jump: also adopt the label OF the current representative
-      // (labels are monotone non-increasing node ids, so rep_label ≤
-      // label) — path lengths halve per round, so convergence is
-      // O(log diameter) rounds instead of O(diameter). The previous
-      // label rides along so the convergence check is a filter over the
-      // checkpointed blocks, not another join.
+      // pointer jump: also adopt the PREVIOUS round's label of the new
+      // representative (rep_label is ≥ the final label and ≤ the naive
+      // path, so paths still contract super-linearly) — jumping through
+      // the already-checkpointed `labels` instead of a prop self-join
+      // keeps the sym⋈labels propagation executing exactly ONCE per
+      // round with a single checkpoint. The old label rides along so the
+      // convergence check is a filter over the checkpointed blocks, not
+      // another join. Fixpoint is exact: once no label changes,
+      // rep_label = label and the loop exits.
       val next = prop
-        .join(prop.select(col("node").as("rep"), col("label").as("rep_label")),
+        .join(labels.select(col("node").as("rep"), col("label").as("rep_label")),
           prop("label") === col("rep"), "left")
         .select(prop("node"), prop("old"),
           least(prop("label"), coalesce(col("rep_label"), prop("label"))).as("label"))
