@@ -36,7 +36,8 @@ object SparkEntry {
       (SqlSuite.queries, SqlSuite.oracles),
       (ExtraFuncs.queries, ExtraFuncs.oracles),
       (TypedOps.queries, TypedOps.oracles),
-      (QualityOps.queries, QualityOps.oracles))
+      (QualityOps.queries, QualityOps.oracles),
+      (GraphOps.queries, GraphOps.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
