@@ -178,8 +178,13 @@ case class SignLshSigExpr(child: Expression, numTables: Int, planesPerTable: Int
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _)
+        if numTables >= 1 && planesPerTable >= 1 && planesPerTable <= 64 =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs numTables >= 1 and 1..64 planes per table " +
+            s"(got $numTables, $planesPerTable — a 65th plane would alias bit 0)")
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"$prettyName requires array<float|double>, got ${other.simpleString}")

@@ -164,10 +164,12 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** n-gram (token-set) Jaccard similarity over (lang, source)-blocked
-    * pairs — bounded-quadratic blocked all-pairs, oracle-checked.
+  /** Unsorted blocked-Jaccard pair list (doc_a < doc_b, jaccard ≥ 0.2) —
+    * the shared edge-list head for the graded query, connected
+    * components, and PageRank. No ORDER BY: the iterative consumers
+    * persist this inside joins where a global sort is pure waste.
     */
-  def dedupJaccardBlocked(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir)
       .withColumn("tokset", array_distinct(split(col("text"), " ")))
       .select(col("doc_id"), col("lang"), col("source"), col("tokset"))
@@ -179,8 +181,13 @@ object DedupOps {
         round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
           size(array_union(col("set_a"), col("set_b"))), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** n-gram (token-set) Jaccard similarity over (lang, source)-blocked
+    * pairs — bounded-quadratic blocked all-pairs, oracle-checked.
+    */
+  def dedupJaccardBlocked(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(s, dir).orderBy("doc_a", "doc_b")
 
   /** SimHash fingerprint + hamming-≤3 candidate pairs via the 4-chunk
     * pigeonhole block join. Rows-only (hash algorithm is Spark-native).
@@ -229,7 +236,7 @@ object DedupOps {
     * components.
     */
   def dedupComponents(s: SparkSession, dir: String): DataFrame = {
-    val edges = dedupJaccardBlocked(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
     val sym = edges.unionByName(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
     // init fuses propagation round 1: label₀ = min(self, direct neighbors)

@@ -105,19 +105,17 @@ object Multimodal {
   /** "Resize" for image payloads.
     * ==== STUB: a real implementation would decode, scale with an image
     * library, and re-encode; none ships in this environment, so the
-    * deterministic stand-in keeps every Kth byte (stride sampling — a
-    * genuine 1/K payload reduction) and halves the metadata dims. The
-    * Spark-side contract is the real part: payload bytes shrink, metadata
-    * stays consistent, and the op composes with the decode/frame stages.
+    * deterministic stand-in crops the payload to its first 1/K bytes (a
+    * genuine 1/K reduction in O(n) — a per-byte stride fold would copy
+    * the accumulated prefix per element, O(n²) on real-size images) and
+    * halves the metadata dims. The Spark-side contract is the real part:
+    * payload bytes shrink, metadata stays consistent, and the op
+    * composes with the decode/frame stages.
     */
   def resizePayload(media: DataFrame, factor: Int = 2): DataFrame =
     media.filter(col("fmt") === "img")
       .withColumn("payload_small", expr(
-        // every factor-th byte via a binary-safe concat fold (per-element
-        // copy is fine for the stub; a real codec path would be a native
-        // expression over the byte array)
-        s"""aggregate(transform(sequence(1, greatest(1, octet_length(payload)), $factor),
-           |  i -> substring(payload, i, 1)), cast('' as binary), (acc, b) -> acc || b)""".stripMargin))
+        s"substring(payload, 1, greatest(1, octet_length(payload) div $factor))"))
       .select(col("doc_id"),
         greatest(lit(1), (col("width") / factor).cast("int")).as("width"),
         greatest(lit(1), (col("height") / factor).cast("int")).as("height"),

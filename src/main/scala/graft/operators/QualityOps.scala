@@ -51,9 +51,8 @@ object QualityOps {
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type").as("status"))
       .withColumn("prev_status", lag(col("status"), 1).over(w))
       .filter(col("prev_status").isNull || col("prev_status") =!= col("status"))
-    val w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes
-      .withColumn("valid_to", lead(col("ts"), 1).over(w2))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
       .select(col("user_id"), col("status"),
         col("ts").as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))

@@ -96,8 +96,7 @@ object TimeWindows {
     val binned = Tables.orders(s, dir)
       .withColumn("bin", least(floor(col("o_totalprice") / width).cast("int"), lit(nBins - 1)))
       .groupBy("bin").agg(count(lit(1)).as("n"))
-    val scaffold = Tables.orders(s, dir).sparkSession.range(nBins)
-      .select(col("id").cast("int").as("bin"))
+    val scaffold = s.range(nBins).select(col("id").cast("int").as("bin"))
     scaffold.join(binned, Seq("bin"), "left")
       .select(col("bin"),
         (col("bin") * width).cast("double").as("lo"),

@@ -62,7 +62,7 @@ object GeoJson {
       .withColumn("name", col("_f3.properties").getItem(nameProp))
       .withColumn("_rings", filter(
         when(col("_f3.geometry.type") === "Polygon",
-          // outer ring only (index 1); holes are rings 2..n
+          // outer ring only (0-based index 0); holes are rings 1..n-1
           array(ringToPoly(get(col("_f3.geometry.coordinates"), lit(0)))))
         .when(col("_f3.geometry.type") === "MultiPolygon",
           // get (0-based, null-on-OOB) not element_at: an empty member
