@@ -27,13 +27,17 @@ object GraphOps {
   def pageRank(s: SparkSession, dir: String): DataFrame = {
     val pairs = DedupOps.jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
     val sym = pairs.unionByName(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
-    val deg = sym.groupBy(col("doc_a").as("node")).agg(count(lit(1)).as("deg")).persist()
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val deg = sym.groupBy(col("doc_a").as("node")).agg(count(lit(1)).as("deg"))
+    // out-degree rides ON the edge list (joined once, persisted): each of
+    // the 5 rounds then needs only the single ranks join
+    val symDeg = sym
+      .join(deg.select(col("node").as("doc_a"), col("deg")), Seq("doc_a"))
+      .persist()
     var ranks = deg.select(col("node"), lit(UnitMass).as("r")).localCheckpoint()
     (1 to Iterations).foreach { _ =>
-      val contrib = sym
+      val contrib = symDeg
         .join(ranks.select(col("node").as("doc_a"), col("r")), Seq("doc_a"))
-        .join(deg.select(col("node").as("doc_a"), col("deg")), Seq("doc_a"))
         .select(col("doc_b"), expr("r div deg").as("c"))
       ranks = contrib.groupBy(col("doc_b").as("node"))
         .agg(sum(col("c")).as("in_mass"))
@@ -41,7 +45,7 @@ object GraphOps {
           (lit(150000L) + expr("(85 * in_mass) div 100")).as("r"))
         .localCheckpoint()
     }
-    sym.unpersist(); deg.unpersist()
+    symDeg.unpersist()
     ranks.select(col("node").as("doc_id"), col("r").as("rank_micros"))
       .orderBy("doc_id")
   }
