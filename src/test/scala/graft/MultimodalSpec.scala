@@ -53,4 +53,15 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       assert(frame.toSeq === expected.toSeq, s"frame $i")
     }
   }
+
+  test("resize stub halves payload bytes and dims consistently") {
+    val rows = Multimodal.resizePayload(Multimodal.mediaTable(spark, sfDir)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val orig = r.getAs[Int]("orig_bytes")
+      val resized = r.getAs[Int]("resized_bytes")
+      assert(resized === math.max(1, orig / 2), s"doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("height") >= 1)
+    }
+  }
 }
