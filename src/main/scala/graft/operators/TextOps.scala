@@ -206,7 +206,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Training-mixture weights — the dataset-mixing report a multilingual
+    * corpus pipeline publishes: per (lang, source) token counts, corpus
+    * share, and temperature-resampled weights (τ = 2 ⇒ weight ∝ √share —
+    * upweights low-resource slices, the standard multilingual sampling
+    * technique). Cross-engine exactness: shares are integer micro-units
+    * (bigint division), and the only float op is sqrt — correctly rounded
+    * IEEE on both engines — floored straight back to micro-units, so no
+    * accumulation-order or rounding-rule divergence anywhere.
+    */
+  def mixWeights(s: SparkSession, dir: String): DataFrame = {
+    val grouped = Tables.documents(s, dir)
+      .select(col("lang"), col("source"), size(split(col("text"), " ")).as("n_toks"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tokens"))
+    grouped
+      .withColumn("share_micro",
+        expr("(tokens * 1000000) div sum(tokens) over ()"))
+      .withColumn("w_micro",
+        floor(sqrt(col("share_micro").cast("double") / 1e6) * 1e6).cast("long"))
+      .withColumn("weight_micro",
+        expr("(w_micro * 1000000) div sum(w_micro) over ()"))
+      .select(col("lang"), col("source"), col("n_docs"), col("tokens"),
+        col("share_micro"), col("weight_micro"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_weights" -> (mixWeights _),
     "q_text_tokens_bpe" -> (textTokensBpe _),
     "q_text_vocab_coverage" -> (textVocabCoverage _),
     "q_text_chunk" -> (textChunk _),
@@ -220,6 +247,19 @@ object TextOps {
     "q_text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_mix_weights" ->
+      """WITH g AS (
+        |  SELECT lang, source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY lang, source),
+        |sh AS (
+        |  SELECT *, (tokens * 1000000) // SUM(tokens) OVER () AS share_micro FROM g),
+        |wm AS (
+        |  SELECT *, CAST(floor(sqrt(CAST(share_micro AS DOUBLE) / 1e6) * 1e6) AS BIGINT) AS w_micro
+        |  FROM sh)
+        |SELECT lang, source, n_docs, tokens, share_micro,
+        |  (w_micro * 1000000) // SUM(w_micro) OVER () AS weight_micro
+        |FROM wm ORDER BY lang, source""".stripMargin,
     "q_text_tokens_bpe" ->
       """SELECT doc_id, lang,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
