@@ -25,7 +25,7 @@ object GraphOps {
     * localCheckpoint per round so lineage stays flat.
     */
   def pageRank(s: SparkSession, dir: String): DataFrame = {
-    val pairs = DedupOps.jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = DedupOps.materializedEdges(s, dir)
     val sym = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val deg = sym.groupBy(col("doc_a").as("node")).agg(count(lit(1)).as("deg"))
