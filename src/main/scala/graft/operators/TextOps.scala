@@ -253,12 +253,15 @@ object TextOps {
         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
         |  FROM documents GROUP BY lang, source),
         |sh AS (
-        |  SELECT *, (tokens * 1000000) // SUM(tokens) OVER () AS share_micro FROM g),
+        |  -- CAST: DuckDB's windowed SUM(BIGINT) is HUGEINT, so // returns
+        |  -- HUGEINT -> float64 in the driver's pandas frame; Spark emits
+        |  -- int64 and the value hash diverges (r2 q_mix_weights fail)
+        |  SELECT *, CAST((tokens * 1000000) // SUM(tokens) OVER () AS BIGINT) AS share_micro FROM g),
         |wm AS (
         |  SELECT *, CAST(floor(sqrt(CAST(share_micro AS DOUBLE) / 1e6) * 1e6) AS BIGINT) AS w_micro
         |  FROM sh)
         |SELECT lang, source, n_docs, tokens, share_micro,
-        |  (w_micro * 1000000) // SUM(w_micro) OVER () AS weight_micro
+        |  CAST((w_micro * 1000000) // SUM(w_micro) OVER () AS BIGINT) AS weight_micro
         |FROM wm ORDER BY lang, source""".stripMargin,
     "q_text_tokens_bpe" ->
       """SELECT doc_id, lang,
