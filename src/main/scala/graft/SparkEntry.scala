@@ -37,7 +37,8 @@ object SparkEntry {
       (ExtraFuncs.queries, ExtraFuncs.oracles),
       (TypedOps.queries, TypedOps.oracles),
       (QualityOps.queries, QualityOps.oracles),
-      (GraphOps.queries, GraphOps.oracles))
+      (GraphOps.queries, GraphOps.oracles),
+      (PipelineOps.queries, PipelineOps.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

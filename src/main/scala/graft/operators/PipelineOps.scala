@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data pipeline governance operators (round 3): benchmark
+  * contamination detection, deterministic split assignment, within-doc
+  * repetition scoring, sequence packing, and canonical-document selection
+  * over near-dup components — the decision layer that turns the dedup /
+  * quality signals into an actual training corpus.
+  *
+  * Scale design: contamination is a broadcast semi-join of corpus n-grams
+  * against the (tiny) benchmark gram set; split assignment is a pure
+  * per-row hash projection; repetition is per-row array math (no
+  * shuffle); packing windows are PARTITIONED per language shard so the
+  * running sum parallelizes; canonical selection reuses the materialized
+  * component labels and adds one window over (component).
+  */
+object PipelineOps {
+
+  /** 3-gram string windows via zip_with over pre-shifted slices — same
+    * shape as DedupOps.withShingleHashes but producing the gram STRINGS
+    * (needed for the exact cross-engine overlap check; hashes have no
+    * DuckDB twin). Everything evaluates once per row; no outer-array
+    * indexing inside lambdas (the ~9µs/element HOF trap).
+    */
+  private def triGrams(toks: Column, n: Column): Column = {
+    val z12 = zip_with(toks, slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    when(n >= 3,
+      slice(zip_with(z12, slice(toks, lit(3), greatest(n - 2, lit(0))),
+        (p, c) => concat_ws(" ", p, c)), lit(1), n - 2))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private def biGrams(toks: Column, n: Column): Column =
+    when(n >= 2,
+      slice(zip_with(toks, slice(toks, lit(2), greatest(n - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b)), lit(1), n - 1))
+      .otherwise(array().cast("array<string>"))
+
+  private def withGrams(df: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    df.withColumn("toks", toks)
+      .withColumn("grams", array_distinct(triGrams(col("toks"), size(col("toks")))))
+  }
+
+  /** Benchmark-contamination check — the eval-set hygiene step of every
+    * LLM data pipeline: which training documents contain 3-grams that
+    * also appear in the benchmark set (here: the deterministic
+    * doc_id % 29 slice standing in for an eval corpus)? Exact distinct
+    * n-gram overlap per doc; at 100 TB the benchmark gram set stays
+    * broadcast-sized (benchmarks are small by definition) so the check
+    * is a broadcast left join over exploded corpus grams — one pass, no
+    * corpus shuffle (the groupBy(doc_id) re-aggregates what explode
+    * un-rolled, map-side combined).
+    */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val g = withGrams(Tables.documents(s, dir)).select(col("doc_id"), col("grams"))
+    val bench = g.filter(col("doc_id") % 29 === 0)
+      .select(explode(col("grams")).as("gram")).distinct()
+      .withColumn("hit", lit(1))
+    val corpus = g.filter(col("doc_id") % 29 =!= 0)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    corpus.join(broadcast(bench), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
+      .withColumn("contamination",
+        round(col("n_contaminated").cast("double") / col("n_grams"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/val/test assignment by content-addressed hash
+    * ranges — the reproducible-split technique (a doc's split never
+    * depends on partitioning, row order, or corpus size): md5 of a
+    * salted key, first byte compared against fixed hex boundaries
+    * (0x00-0xcb train ≈ 79.7%, 0xcc-0xe5 val ≈ 10.2%, rest test).
+    * Pure per-row projection — embarrassingly parallel at any scale.
+    */
+  def splitAssign(s: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Within-document repetition scoring — the Gopher/RefinedWeb-style
+    * quality rule: fraction of duplicated 2-grams and 3-grams inside
+    * each document (templated/boilerplate text scores high). Per-row
+    * array arithmetic only; distributes as a map.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, dir)
+      .withColumn("toks", toks)
+      .withColumn("n", size(col("toks")))
+      .withColumn("g2", biGrams(col("toks"), col("n")))
+      .withColumn("g3", triGrams(col("toks"), col("n")))
+      .select(col("doc_id"), col("lang"), col("n").as("n_tokens"),
+        round(lit(1.0) - size(array_distinct(col("g2"))).cast("double") / size(col("g2")), 6)
+          .as("dup_bigram_frac"),
+        round(lit(1.0) - size(array_distinct(col("g3"))).cast("double") / size(col("g3")), 6)
+          .as("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Context-window length for sequence packing. */
+  private val PackCtx = 128
+
+  /** Sequence packing — the batch-efficiency step before training:
+    * documents are packed CONTIGUOUSLY (in stable doc_id order) into
+    * fixed context windows; a doc's bin is its cumulative start offset
+    * div the window size. The running sum is PARTITIONED per language
+    * shard, so each shard packs independently and in parallel — exactly
+    * how a 100 TB corpus is packed (per input shard), with no global
+    * single-partition window.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), size(split(col("text"), " ")).as("n_toks"))
+      .withColumn("start_off", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .withColumn("bin_id", expr(s"start_off div $PackCtx"))
+      .groupBy("lang", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .orderBy("lang", "bin_id")
+  }
+
+  /** Canonical-document selection — the final keep/drop decision of
+    * corpus dedup: within each near-dup component (connected components
+    * over the exact-Jaccard similarity graph; singletons form their own
+    * component), keep the highest-quality member (longest text,
+    * deterministic doc_id tiebreak). One left join against the label
+    * table plus one window over (component) — both hash-partition on
+    * small keys at any scale. Labels come from the same materialized-
+    * derived-table pattern as the edge list (computed once per corpus,
+    * reused by every downstream consumer).
+    */
+  def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val comp = componentLabels(s, dir)
+    val w = Window.partitionBy("component").orderBy(desc("n_chars"), asc("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("is_kept", when(row_number().over(w) === 1, 1).otherwise(0))
+      .select(col("doc_id"), col("component"), col("n_chars"), col("is_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Materialized component labels (doc_id, component) — built once per
+    * corpus via [[DedupOps.dedupComponents]], then read from parquet
+    * (same derived-table discipline as DedupOps.materializedEdges).
+    */
+  private[graft] def componentLabels(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/components_v1_${math.abs(dir.hashCode)}"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      DedupOps.dedupComponents(s, dir)
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path).select(col("doc_id"), col("component"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_contamination" -> (contamination _),
+    "q_split_assign" -> (splitAssign _),
+    "q_text_repetition" -> (textRepetition _),
+    "q_pack_sequences" -> (packSequences _),
+    "q_dedup_canonical" -> (dedupCanonical _))
+
+  val oracles: Map[String, String] = Map(
+    "q_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams FROM t),
+        |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 29 = 0),
+        |cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 29 <> 0)
+        |SELECT cg.doc_id, COUNT(*) AS n_grams, COUNT(bg.gram) AS n_contaminated,
+        |  round(CAST(COUNT(bg.gram) AS DOUBLE) / COUNT(*), 6) AS contamination
+        |FROM cg LEFT JOIN bg USING (gram)
+        |GROUP BY cg.doc_id ORDER BY doc_id""".stripMargin,
+    "q_split_assign" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |       WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, len(toks) AS n_tokens,
+        |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS g2,
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+        |  FROM t)
+        |SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) AS dup_bigram_frac,
+        |  round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6) AS dup_trigram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_toks FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, n_toks,
+        |    COALESCE(CAST(SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_off
+        |  FROM t)
+        |SELECT lang, CAST(start_off // 128 AS BIGINT) AS bin_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY lang, bin_id ORDER BY lang, bin_id""".stripMargin,
+    "q_dedup_canonical" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |sym AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+        |comp AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a)
+        |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.n_chars,
+        |  CASE WHEN row_number() OVER (
+        |    PARTITION BY COALESCE(c.component, d.doc_id)
+        |    ORDER BY d.n_chars DESC, d.doc_id ASC) = 1 THEN 1 ELSE 0 END AS is_kept
+        |FROM documents d LEFT JOIN comp c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)
+}

@@ -18,6 +18,7 @@ object SqlSuite {
     Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
     Tables.nation(s, dir).createOrReplaceTempView("v_nation")
     Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
+    Tables.region(s, dir).createOrReplaceTempView("v_region")
   }
 
   /** Shipping-priority classic (TPC-H Q3 shape, fixture date domain):
@@ -124,7 +125,82 @@ object SqlSuite {
         |LIMIT 50""".stripMargin)
   }
 
+  /** National market share (TPC-H Q8 shape): 7-way star join — the
+    * deepest join-reorder exercise in the suite — with a two-level
+    * share division per year. Numerator and denominator are exact
+    * decimal sums; their double quotient is a single correctly-rounded
+    * op on both engines, then rounded to 6 dp.
+    */
+  def sqlMarketShare(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(
+      """WITH rev AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS volume,
+        |    n2.n_name AS supp_nation
+        |  FROM v_lineitem
+        |  JOIN v_orders   ON l_orderkey = o_orderkey
+        |  JOIN v_customer ON o_custkey = c_custkey
+        |  JOIN v_nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN v_region    ON n1.n_regionkey = r_regionkey
+        |  JOIN v_supplier  ON l_suppkey = s_suppkey
+        |  JOIN v_nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA')
+        |SELECT o_year,
+        |  round(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume
+        |                      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |        / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+        |FROM rev GROUP BY o_year ORDER BY o_year""".stripMargin)
+  }
+
+  /** Waiting-supplier classic (TPC-H Q21 shape): correlated EXISTS and
+    * NOT EXISTS against the same fact table — the double-decorrelation
+    * case (semi join + anti join on l_orderkey) the single-subquery
+    * queries don't reach. "Late" is shipment > 90 days after order.
+    */
+  def sqlWaitingSupplier(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM v_supplier
+        |JOIN v_lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN v_orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM v_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM v_lineitem l3
+        |              WHERE l3.l_orderkey = l1.l_orderkey
+        |                AND l3.l_suppkey <> l1.l_suppkey
+        |                AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)
+  }
+
+  /** Idle high-balance customers (TPC-H Q22 shape): scalar subquery
+    * (average positive balance) + NOT EXISTS over recent orders,
+    * re-aggregated per nation.
+    */
+  def sqlIdleCustomers(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(
+      """SELECT n_name, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM v_customer JOIN v_nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |    FROM v_customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM v_orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_market_share" -> (sqlMarketShare _),
+    "q_sql_waiting_supplier" -> (sqlWaitingSupplier _),
+    "q_sql_idle_customers" -> (sqlIdleCustomers _),
     "q_sql_big_orders" -> (sqlBigOrders _),
     "q_sql_shipping_priority" -> (sqlShippingPriority _),
     "q_sql_returned_items" -> (sqlReturnedItems _),
@@ -134,6 +210,51 @@ object SqlSuite {
     "q_pivot_status" -> (pivotStatus _))
 
   val oracles: Map[String, String] = Map(
+    "q_sql_market_share" ->
+      """WITH rev AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS volume,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders   ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region    ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier  ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA')
+        |SELECT o_year,
+        |  round(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume
+        |                      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        |        / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+        |FROM rev GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q_sql_waiting_supplier" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |              WHERE l3.l_orderkey = l1.l_orderkey
+        |                AND l3.l_suppkey <> l1.l_suppkey
+        |                AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q_sql_idle_customers" ->
+      """SELECT n_name, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |    FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_sql_big_orders" ->
       """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
