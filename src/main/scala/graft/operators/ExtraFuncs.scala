@@ -127,7 +127,24 @@ object ExtraFuncs {
         |ORDER BY l_suppkey""".stripMargin)
   }
 
+  /** URL parsing (parse_url surface): host / path / query extraction
+    * over synthesized-but-realistic crawl URLs. Spark's parse_url is a
+    * java.net.URI-backed builtin; the DuckDB twin uses equivalent
+    * regexes (URLs are constructed clean, so the dialects agree).
+    */
+  def urlParse(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("url",
+        concat(lit("https://"), col("source"), lit(".example.org/docs/"),
+          col("doc_id").cast("string"), lit("?lang="), col("lang")))
+      .select(col("doc_id"), col("url"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_url_parse" -> (urlParse _),
     "q_bloom_semi_join" -> (bloomSemiJoin _),
     "q_explode_outer" -> (explodeOuter _),
     "q_unpivot" -> (unpivotMeasures _),
@@ -139,6 +156,17 @@ object ExtraFuncs {
     "q_agg_salted" -> (aggSalted _))
 
   val oracles: Map[String, String] = Map(
+    "q_url_parse" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.org/docs/' || CAST(doc_id AS VARCHAR)
+        |      || '?lang=' || lang AS url
+        |  FROM documents)
+        |SELECT doc_id, url,
+        |  regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+        |  regexp_extract(url, '://[^/]+(/[^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS query
+        |FROM u ORDER BY doc_id""".stripMargin,
     "q_bloom_semi_join" ->
       """SELECT l_suppkey, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price

@@ -232,7 +232,35 @@ object TextOps {
       .orderBy("lang", "source")
   }
 
+  /** Unigram language-model scoring — the perplexity-style quality
+    * filter of corpus pipelines: train add-one-smoothed unigram
+    * probabilities on the corpus itself, score each document by average
+    * negative log-likelihood. Determinism across engines AND
+    * partitionings: each token's nll is floored to integer NANO-units
+    * (double multiply + floor are exact, order-free), the per-doc sum is
+    * integer (associative/commutative), and only the final average
+    * returns to double — the same discipline as Det's decimal sums,
+    * adapted to irrational ln() values. At 100 TB the frequency table is
+    * the only shuffle (vocab aggregates are map-side combined) and the
+    * scoring join broadcasts the vocab.
+    */
+  def textPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val freq = tok.groupBy("token").agg(count(lit(1)).as("f"))
+    val tot = freq.agg(sum(col("f")).as("total"), count(lit(1)).as("v"))
+    tok.join(broadcast(freq), Seq("token"))
+      .crossJoin(broadcast(tot))
+      .withColumn("nll_nano",
+        floor(-log((col("f") + 1.0) / (col("total") + col("v"))) * 1e9).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("nll_nano")) / 1e9 / count(lit(1)), 6).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_perplexity" -> (textPerplexity _),
     "q_mix_weights" -> (mixWeights _),
     "q_text_tokens_bpe" -> (textTokensBpe _),
     "q_text_vocab_coverage" -> (textVocabCoverage _),
@@ -247,6 +275,18 @@ object TextOps {
     "q_text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_text_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |freq AS (SELECT token, COUNT(*) AS f FROM tok GROUP BY token),
+        |tot AS (SELECT CAST(SUM(f) AS BIGINT) AS total, COUNT(*) AS v FROM freq),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    CAST(floor(-ln((f + 1.0) / (total + v)) * 1e9) AS BIGINT) AS nll_nano
+        |  FROM tok t JOIN freq USING (token) CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  round(CAST(SUM(nll_nano) AS BIGINT) / 1e9 / COUNT(*), 6) AS avg_nll
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_mix_weights" ->
       """WITH g AS (
         |  SELECT lang, source, COUNT(*) AS n_docs,

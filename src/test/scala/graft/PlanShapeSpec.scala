@@ -183,4 +183,45 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(planStr.contains("dynamicpruning"), planStr.take(3000))
     assert(joined.collect()(0).getLong(0) > 0)
   }
+
+  test("AQE splits a skewed join partition (OptimizeSkewedJoin fires)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one hot key carrying ~100k rows vs 100 singleton keys — the shape
+    // salting handles manually (q_agg_salted); here the runtime re-plan
+    // handles it: AQE detects the oversized shuffle partition and splits
+    // it across tasks (SMJ prints skew=true). Thresholds are lowered so
+    // the fixture-sized data trips the same code path as a hot key at
+    // 100 TB; broadcast is disabled to keep the join a shuffle join.
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.shuffle.partitions")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 16 partitions so the hot key's partition dwarfs the median; the
+      // payload must survive column pruning (it feeds the aggregate) so
+      // the skewed partition is big in BYTES, which is what AQE measures
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      val fact = spark.range(0, 100000)
+        .select(when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          concat(lit("payload_"), rpad(col("id").cast("string"), 32, "x")).as("payload"))
+      val dim = spark.range(0, 100000, 10).select(col("id").as("k"), lit("d").as("tag"))
+      val joined = fact.join(dim, Seq("k")).agg(sum(length(col("payload"))))
+      assert(joined.collect()(0).getLong(0) === 100000L * 40)
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("skew=true"), planStr.take(3000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
