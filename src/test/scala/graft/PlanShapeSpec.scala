@@ -184,6 +184,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(joined.collect()(0).getLong(0) > 0)
   }
 
+  test("join strategy hints are honored (SHUFFLE_HASH and MERGE beat auto-broadcast)") {
+    import org.apache.spark.sql.functions._
+    val l = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    // without a hint these dims auto-broadcast; the hints must override
+    val shj = executed(l.hint("SHUFFLE_HASH")
+      .join(o, l("l_orderkey") === o("o_orderkey")).agg(count(lit(1))))
+    assert(collectAll(shj).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+      s"SHUFFLE_HASH hint ignored:\n$shj")
+    val smj = executed(l.hint("MERGE")
+      .join(o, l("l_orderkey") === o("o_orderkey")).agg(count(lit(1))))
+    assert(collectAll(smj).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      s"MERGE hint ignored:\n$smj")
+  }
+
   test("AQE splits a skewed join partition (OptimizeSkewedJoin fires)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -189,4 +189,34 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val b = viaAgg.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
     assert(a.toSeq === b.toSeq)
   }
+
+  test("aggregation state survives a query restart from the checkpoint") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val stream = MemoryStream[Event]
+    def startQuery(name: String) =
+      stream.toDF().groupBy("event_type").count()
+        .writeStream.format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0)).start()
+    // run 1: three clicks, then a clean stop (checkpoint holds the state)
+    val q1 = startQuery("ckpt_run1")
+    try {
+      stream.addData(Seq(Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 1, "click", 1.0), Event(3, ts(2), 2, "click", 1.0)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // run 2: a NEW query over the same checkpoint — the recovered state
+    // must carry the previous count (5, not 2). The memory sink table is
+    // fresh, so a 5 can only come from the restored state store.
+    val q2 = startQuery("ckpt_run2")
+    try {
+      stream.addData(Seq(Event(4, ts(3), 2, "click", 1.0), Event(5, ts(4), 3, "click", 1.0)))
+      q2.processAllAvailable()
+      val n = spark.table("ckpt_run2").filter($"event_type" === "click")
+        .collect()(0).getLong(1)
+      assert(n === 5L, s"state not recovered from checkpoint (click count = $n)")
+    } finally q2.stop()
+  }
 }
