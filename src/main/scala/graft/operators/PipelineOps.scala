@@ -152,7 +152,40 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** End-to-end corpus manifest — the composition the individual
+    * governance operators exist for, as ONE declarative plan: canonical
+    * dedup keep (one doc per near-dup component) → repetition quality
+    * gate (duplicated-bigram fraction ≤ 0.08) → deterministic split
+    * assignment → per-(split, lang) doc/token accounting. Catalyst fuses
+    * the per-row stages (grams, md5 ranges, token counts) into the scan
+    * projection; the only shuffles are the component-label join and the
+    * final tiny aggregate — the same plan shape at 100 TB.
+    */
+  def corpusManifest(s: SparkSession, dir: String): DataFrame = {
+    val comp = DedupOps.componentLabels(s, dir).select(col("doc_id"), col("component"))
+    val keepW = Window.partitionBy("component").orderBy(desc("n_chars"), asc("doc_id"))
+    val toks = split(col("text"), " ")
+    val h = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2)
+    Tables.documents(s, dir)
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("rn", row_number().over(keepW))
+      .filter(col("rn") === 1)
+      .withColumn("toks", toks)
+      .withColumn("n", size(col("toks")))
+      .withColumn("g2", biGrams(col("toks"), col("n")))
+      .withColumn("dup2",
+        round(lit(1.0) - size(array_distinct(col("g2"))).cast("double") / size(col("g2")), 6))
+      .filter(col("dup2") <= 0.08)
+      .withColumn("split",
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).cast("long").as("tokens"))
+      .orderBy("split", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_manifest" -> (corpusManifest _),
     "q_contamination" -> (contamination _),
     "q_split_assign" -> (splitAssign _),
     "q_text_repetition" -> (textRepetition _),
@@ -160,6 +193,46 @@ object PipelineOps {
     "q_dedup_canonical" -> (dedupCanonical _))
 
   val oracles: Map[String, String] = Map(
+    "q_corpus_manifest" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |sym AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+        |comp AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
+        |kept AS (
+        |  SELECT d.doc_id, d.lang, d.text,
+        |    len(string_split(d.text, ' ')) AS n_toks
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY COALESCE(c.component, d.doc_id)
+        |    ORDER BY d.n_chars DESC, d.doc_id ASC) = 1),
+        |quality AS (
+        |  SELECT doc_id, lang, n_toks,
+        |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |         WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(string_split(text,' '))),
+        |        i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))) AS DOUBLE)
+        |      / len(list_transform(range(1, len(string_split(text,' '))),
+        |        i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])), 6) AS dup2
+        |  FROM kept)
+        |SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS tokens
+        |FROM quality
+        |WHERE dup2 <= 0.08
+        |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "q_contamination" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
