@@ -198,8 +198,21 @@ object DedupOps {
     * cache in Scans. The graded q_dedup_jaccard_blocked query still
     * computes the blocked join itself.
     */
+  /** Cache key for the derived tables below: md5 of the dir path PLUS the
+    * source file's (length, mtime) — collision-free in practice (unlike
+    * abs(hashCode), which can collide across dirs and is negative for
+    * Int.MinValue) and self-invalidating if the fixture at the same path
+    * is regenerated with different content.
+    */
+  private[graft] def cacheKey(dir: String, table: String): String = {
+    val f = new java.io.File(s"$dir/$table.parquet")
+    val raw = s"$dir|${f.length()}|${f.lastModified()}"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   private[graft] def materializedEdges(s: SparkSession, dir: String): DataFrame = {
-    val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/edges_v1_${math.abs(dir.hashCode)}"
+    val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/edges_v2_${cacheKey(dir, "documents")}"
     if (!new java.io.File(path, "_SUCCESS").exists())
       jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
         .write.mode("overwrite").parquet(path)
@@ -266,7 +279,7 @@ object DedupOps {
     * results, only avoid re-running the iteration.
     */
   private[graft] def componentLabels(s: SparkSession, dir: String): DataFrame = {
-    val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/components_v1_${math.abs(dir.hashCode)}"
+    val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/components_v2_${cacheKey(dir, "documents")}"
     if (!new java.io.File(path, "_SUCCESS").exists())
       computeComponents(s, dir)
         .write.mode("overwrite").parquet(path)

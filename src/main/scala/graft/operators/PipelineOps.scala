@@ -72,20 +72,32 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** The split assignment expression — md5 of a salted key, first byte
+    * against fixed hex boundaries (0x00-0xcb train ≈ 79.7%, 0xcc-0xe5
+    * val ≈ 10.2%, rest test). ONE definition shared by q_split_assign
+    * and q_corpus_manifest so the composed pipeline can never
+    * desynchronize from the standalone operator.
+    */
+  private def splitCol(docId: Column): Column = {
+    val h = substring(md5(concat(lit("split:"), docId.cast("string"))), 1, 2)
+    when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+  }
+
+  /** Duplicated-gram fraction (1 - distinct/total), rounded — shared by
+    * q_text_repetition and q_corpus_manifest.
+    */
+  private def dupFrac(grams: Column): Column =
+    round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6)
+
   /** Deterministic train/val/test assignment by content-addressed hash
     * ranges — the reproducible-split technique (a doc's split never
-    * depends on partitioning, row order, or corpus size): md5 of a
-    * salted key, first byte compared against fixed hex boundaries
-    * (0x00-0xcb train ≈ 79.7%, 0xcc-0xe5 val ≈ 10.2%, rest test).
-    * Pure per-row projection — embarrassingly parallel at any scale.
+    * depends on partitioning, row order, or corpus size). Pure per-row
+    * projection — embarrassingly parallel at any scale.
     */
-  def splitAssign(s: SparkSession, dir: String): DataFrame = {
-    val h = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2)
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"),
-        when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split"))
+      .select(col("doc_id"), col("lang"), splitCol(col("doc_id")).as("split"))
       .orderBy("doc_id")
-  }
 
   /** Within-document repetition scoring — the Gopher/RefinedWeb-style
     * quality rule: fraction of duplicated 2-grams and 3-grams inside
@@ -100,10 +112,8 @@ object PipelineOps {
       .withColumn("g2", biGrams(col("toks"), col("n")))
       .withColumn("g3", triGrams(col("toks"), col("n")))
       .select(col("doc_id"), col("lang"), col("n").as("n_tokens"),
-        round(lit(1.0) - size(array_distinct(col("g2"))).cast("double") / size(col("g2")), 6)
-          .as("dup_bigram_frac"),
-        round(lit(1.0) - size(array_distinct(col("g3"))).cast("double") / size(col("g3")), 6)
-          .as("dup_trigram_frac"))
+        dupFrac(col("g2")).as("dup_bigram_frac"),
+        dupFrac(col("g3")).as("dup_trigram_frac"))
       .orderBy("doc_id")
   }
 
@@ -164,21 +174,16 @@ object PipelineOps {
   def corpusManifest(s: SparkSession, dir: String): DataFrame = {
     val comp = DedupOps.componentLabels(s, dir).select(col("doc_id"), col("component"))
     val keepW = Window.partitionBy("component").orderBy(desc("n_chars"), asc("doc_id"))
-    val toks = split(col("text"), " ")
-    val h = substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 2)
     Tables.documents(s, dir)
       .join(comp, Seq("doc_id"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_id")))
       .withColumn("rn", row_number().over(keepW))
       .filter(col("rn") === 1)
-      .withColumn("toks", toks)
+      .withColumn("toks", split(col("text"), " "))
       .withColumn("n", size(col("toks")))
-      .withColumn("g2", biGrams(col("toks"), col("n")))
-      .withColumn("dup2",
-        round(lit(1.0) - size(array_distinct(col("g2"))).cast("double") / size(col("g2")), 6))
+      .withColumn("dup2", dupFrac(biGrams(col("toks"), col("n"))))
       .filter(col("dup2") <= 0.08)
-      .withColumn("split",
-        when(h < "cc", "train").when(h < "e6", "val").otherwise("test"))
+      .withColumn("split", splitCol(col("doc_id")))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).cast("long").as("tokens"))
       .orderBy("split", "lang")

@@ -17,7 +17,7 @@ import graft.Tables
 object Scans {
 
   private def ioDir(kind: String, dir: String): String =
-    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/${kind}_v2_${math.abs(dir.hashCode).toString}"
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/${kind}_v3_${DedupOps.cacheKey(dir, "lineitem")}"
 
   /** The round-trip files are a pure function of (sfDir, projection), so
     * the write happens once per tmp lifetime — repeated Verify/Bench runs

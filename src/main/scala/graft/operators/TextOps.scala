@@ -240,16 +240,18 @@ object TextOps {
     * (double multiply + floor are exact, order-free), the per-doc sum is
     * integer (associative/commutative), and only the final average
     * returns to double — the same discipline as Det's decimal sums,
-    * adapted to irrational ln() values. At 100 TB the frequency table is
-    * the only shuffle (vocab aggregates are map-side combined) and the
-    * scoring join broadcasts the vocab.
+    * adapted to irrational ln() values. At 100 TB the vocab aggregate is
+    * map-side combined and the scoring join is left to the planner: a
+    * bounded vocabulary auto-broadcasts, a web-scale one (hundreds of
+    * millions of distinct tokens) hash-partitions on the token — no
+    * hard broadcast hint that would pin a driver-OOM at that size.
     */
   def textPerplexity(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
     val freq = tok.groupBy("token").agg(count(lit(1)).as("f"))
     val tot = freq.agg(sum(col("f")).as("total"), count(lit(1)).as("v"))
-    tok.join(broadcast(freq), Seq("token"))
+    tok.join(freq, Seq("token"))
       .crossJoin(broadcast(tot))
       .withColumn("nll_nano",
         floor(-log((col("f") + 1.0) / (col("total") + col("v"))) * 1e9).cast("long"))

@@ -31,7 +31,8 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     val total = counts.values.sum
     assert(counts.keySet === Set("train", "val", "test"))
     assert(total === Tables.documents(spark, sfDir).count())
-    // md5 is uniform: train ≈ 204/256; allow wide tolerance at sf0.001 (50 docs)
+    // md5 is uniform: train ≈ 204/256 ≈ 79.7%; the sf0.001 fixture has
+    // 500 docs (binomial spread ~±5%), so 0.6 is a comfortable bound
     assert(counts("train").toDouble / total > 0.6)
     // stable across runs (content-addressed, not rand())
     val a = df.collect().toSeq
