@@ -61,11 +61,49 @@ object QualityOps {
       .orderBy("user_id", "valid_from", "status")
   }
 
+  /** IQR outlier detection — the robust anomaly screen of telemetry QA:
+    * per event_type quartiles (exact interpolated percentiles), flag
+    * values outside [q1 - 1.5·IQR, q3 + 1.5·IQR]. The quartile table is
+    * group-cardinality-sized (broadcast at any corpus size); the fact
+    * scan is filtered in place, so outlier detection costs one scan +
+    * one tiny aggregate. Cross-engine: quartiles interpolate the same
+    * sorted 2-dp doubles on both engines, and values sit far from the
+    * irrational bounds, so strict comparisons agree.
+    */
+  def outlierIqr(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val q = ev.groupBy("event_type").agg(
+      expr("percentile(value, 0.25)").as("q1"),
+      expr("percentile(value, 0.75)").as("q3"))
+    ev.join(broadcast(q), Seq("event_type"))
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+      .filter(col("value") > col("hi") || col("value") < col("lo"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        when(col("value") > col("hi"), "high").otherwise("low").as("side"))
+      .orderBy("event_type", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_outlier_iqr" -> (outlierIqr _),
     "q_dq_checks" -> (dqChecks _),
     "q_scd2_history" -> (scd2History _))
 
   val oracles: Map[String, String] = Map(
+    "q_outlier_iqr" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.25) AS q1,
+        |    quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY event_type),
+        |b AS (
+        |  SELECT event_type, q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi
+        |  FROM q)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  CASE WHEN e.value > b.hi THEN 'high' ELSE 'low' END AS side
+        |FROM events e JOIN b USING (event_type)
+        |WHERE e.value > b.hi OR e.value < b.lo
+        |ORDER BY event_type, event_id""".stripMargin,
     "q_dq_checks" ->
       """SELECT * FROM (
         |  SELECT 'o_custkey_not_null' AS check_name,
