@@ -26,7 +26,7 @@ object PipelineOps {
     * DuckDB twin). Everything evaluates once per row; no outer-array
     * indexing inside lambdas (the ~9µs/element HOF trap).
     */
-  private def triGrams(toks: Column, n: Column): Column = {
+  private[graft] def triGrams(toks: Column, n: Column): Column = {
     val z12 = zip_with(toks, slice(toks, lit(2), greatest(n - 1, lit(0))),
       (a, b) => concat_ws(" ", a, b))
     when(n >= 3,
@@ -35,7 +35,7 @@ object PipelineOps {
       .otherwise(array().cast("array<string>"))
   }
 
-  private def biGrams(toks: Column, n: Column): Column =
+  private[graft] def biGrams(toks: Column, n: Column): Column =
     when(n >= 2,
       slice(zip_with(toks, slice(toks, lit(2), greatest(n - 1, lit(0))),
         (a, b) => concat_ws(" ", a, b)), lit(1), n - 1))

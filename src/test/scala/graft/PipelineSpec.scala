@@ -70,6 +70,34 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("gram builders equal Scala sliding windows on random token lists") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val tokenGen = Gen.listOf(Gen.oneOf("a", "bb", "ccc", "dd", "e"))
+    val lists = (0 until 60).map(i =>
+      tokenGen.pureApply(Gen.Parameters.default, Seed(7L + i)))
+    val df = lists.zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"),
+        operators.PipelineOps.biGrams(col("toks"), col("n")).as("g2"),
+        operators.PipelineOps.triGrams(col("toks"), col("n")).as("g3"))
+    val got = df.collect().map(r =>
+      r.getLong(0) -> (r.getSeq[String](1), r.getSeq[String](2))).toMap
+    lists.zipWithIndex.foreach { case (ts, i) =>
+      // split("") yields [""], so the empty-text row tokenizes to one
+      // empty token — mirror that in the expectation
+      val toks = if (ts.isEmpty) Seq("") else ts
+      val exp2 = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val exp3 = toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      assert(got(i.toLong)._1 === exp2, s"bigrams for $toks")
+      assert(got(i.toLong)._2 === exp3, s"trigrams for $toks")
+    }
+  }
+
   test("canonical selection keeps exactly one doc per component, the longest") {
     val rows = PipelineOps.dedupCanonical(spark, sfDir).collect()
     assert(rows.length === Tables.documents(spark, sfDir).count())
