@@ -81,11 +81,26 @@ object Scans {
     s.read.orc(path).orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** XML round-trip — Spark 4 ships the (formerly spark-xml) source
+    * natively. rowTag framing, explicit schema on the read (same
+    * schema-on-read rule as CSV/JSONL: no inference scan).
+    */
+  def scanXml(s: SparkSession, dir: String): DataFrame = {
+    val path = ioDir("xml", dir)
+    ensureWritten(path) {
+      Tables.lineitem(s, dir).select(rtCols.map(col): _*)
+        .write.mode("overwrite").option("rowTag", "row").format("xml").save(path)
+    }
+    s.read.schema(rtSchema).option("rowTag", "row").format("xml").load(path)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_parquet" -> (scanParquet _),
     "q_scan_csv" -> (scanCsv _),
     "q_scan_jsonl" -> (scanJsonl _),
-    "q_scan_orc" -> (scanOrc _))
+    "q_scan_orc" -> (scanOrc _),
+    "q_scan_xml" -> (scanXml _))
 
   /** CSV/JSONL oracles read the parquet originals: equality proves the text
     * round-trip is lossless.
@@ -102,5 +117,8 @@ object Scans {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_scan_orc" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_scan_xml" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
 }
