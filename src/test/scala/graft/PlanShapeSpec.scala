@@ -184,6 +184,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(joined.collect()(0).getLong(0) > 0)
   }
 
+  test("ANALYZE TABLE feeds exact row counts into the optimizer's statistics") {
+    // rowCount propagates into logical-plan stats only under CBO
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS graft_stats_t")
+      // a previously-failed run can leave the warehouse dir without the
+      // metastore entry; clear it so saveAsTable doesn't trip on it
+      def rmr(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmr)
+        f.delete(): Unit
+      }
+      rmr(new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+        "graft_stats_t"))
+      Tables.nation(spark, sfDir).write.mode("overwrite").saveAsTable("graft_stats_t")
+      spark.sql("ANALYZE TABLE graft_stats_t COMPUTE STATISTICS")
+      val expected = Tables.nation(spark, sfDir).count()
+      val stats = spark.table("graft_stats_t").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(expected)),
+        s"optimizer stats rowCount=${stats.rowCount}, expected $expected")
+      spark.sql("DROP TABLE graft_stats_t")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
   test("join strategy hints are honored (SHUFFLE_HASH and MERGE beat auto-broadcast)") {
     import org.apache.spark.sql.functions._
     val l = Tables.lineitem(spark, sfDir)
