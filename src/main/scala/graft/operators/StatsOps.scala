@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Dataset statistics & layout operators a 100 TB curation pipeline runs
+  * before/while training-data selection: column profiling, percentile
+  * winsorization, quantile bucketing (ntile), Z-order clustering keys
+  * for co-locating multi-dimension range predicates, and token-entropy
+  * document scoring.
+  */
+object StatsOps {
+
+  /** One profile row (count / nulls / ndv / min / max) per column. Each
+    * source table is scanned ONCE for all its profiled columns (one agg
+    * emitting a struct per column, then a stack) — at 100 TB profiling
+    * cost is #tables scans, not #columns. min/max/count are map-side
+    * combined; ndv is the only shuffle-heavy term and swaps to
+    * approx_count_distinct at corpus scale (exact here for the oracle).
+    */
+  def profileColumns(s: SparkSession, dir: String): DataFrame = {
+    def prof(df: DataFrame, cols: Seq[String]): DataFrame = {
+      val aggs = cols.flatMap { c =>
+        Seq(count(lit(1)).as(s"${c}__n"),
+          (count(lit(1)) - count(col(c))).as(s"${c}__n_null"),
+          countDistinct(col(c)).as(s"${c}__ndv"),
+          min(col(c)).cast("double").as(s"${c}__min_v"),
+          max(col(c)).cast("double").as(s"${c}__max_v"))
+      }
+      val wide = df.agg(aggs.head, aggs.tail: _*)
+      val perCol = cols.map { c =>
+        wide.select(lit(c).as("col_name"), col(s"${c}__n").as("n"),
+          col(s"${c}__n_null").as("n_null"), col(s"${c}__ndv").as("ndv"),
+          col(s"${c}__min_v").as("min_v"), col(s"${c}__max_v").as("max_v"))
+      }
+      perCol.reduce(_ unionAll _)
+    }
+    prof(Tables.orders(s, dir), Seq("o_totalprice", "o_custkey"))
+      .unionAll(prof(Tables.lineitem(s, dir), Seq("l_quantity", "l_discount")))
+      .unionAll(prof(Tables.customer(s, dir), Seq("c_acctbal")))
+      .orderBy("col_name")
+  }
+
+  /** Winsorize account balances at the exact per-segment p05/p95. The
+    * percentile table is group-cardinality-sized (broadcast anywhere);
+    * the clip itself is a comparison, so each output value is either the
+    * original 2-dp double or the interpolated bound — both engines
+    * interpolate the same sorted doubles, so equality is exact.
+    */
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val q = cust.groupBy(col("c_mktsegment").as("seg")).agg(
+      expr("percentile(c_acctbal, 0.05)").as("p05"),
+      expr("percentile(c_acctbal, 0.95)").as("p95"))
+    cust.join(broadcast(q), col("c_mktsegment") === col("seg"))
+      .select(col("c_custkey"), col("c_acctbal"),
+        least(greatest(col("c_acctbal"), col("p05")), col("p95")).as("w_acctbal"),
+        when(col("c_acctbal") < col("p05"), "low")
+          .when(col("c_acctbal") > col("p95"), "high")
+          .otherwise("in").as("clip"))
+      .orderBy("c_custkey")
+  }
+
+  /** Quantile bucketing over a total order (ntile). A global ORDER BY is
+    * inherently one range-partitioned sort; at 100 TB the same result
+    * comes from rank()·k/n arithmetic over a range-partitioned sort
+    * rather than a single-partition window — the bucket ids are
+    * identical because the (price, orderkey) order is total.
+    */
+  def ntileBuckets(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("o_totalprice", "o_orderkey")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), ntile(8).over(w).cast("long").as("bucket"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Z-order (Morton) clustering key: interleave the low 8 bits of
+    * partkey/suppkey so rows close in BOTH dimensions land in the same
+    * zbucket — the layout trick behind multi-dimensional data skipping
+    * (write sorted by zkey → min/max row-group stats prune 2-D range
+    * predicates). Pure bit arithmetic, codegen'd, shuffle-free until the
+    * final layout sort.
+    */
+  def zorderKey(s: SparkSession, dir: String): DataFrame = {
+    val zkey: Column = (0 until 8).map { i =>
+      shiftleft(shiftright(col("l_partkey"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(col("l_suppkey"), i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), zkey.as("zkey"))
+      .groupBy(shiftright(col("zkey"), 10).as("zbucket"))
+      .agg(count(lit(1)).as("n"), min(col("zkey")).as("min_z"), max(col("zkey")).as("max_z"))
+      .orderBy("zbucket")
+  }
+
+  /** Token-entropy document scoring (low entropy = repetitive/boilerplate
+    * → filter candidate). Shannon entropy via H = ln(N) − (Σ c·ln c)/N:
+    * the order-sensitive Σ c·ln c is floored to integer micro-units per
+    * (doc, token) group first (same integer-nano discipline as
+    * q_text_perplexity), so the cross-partition sum is exact-integer and
+    * partitioning-independent; only the final closed-form returns to
+    * double.
+    */
+  def textEntropy(s: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    cnt.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_distinct"),
+        sum(floor(col("c") * log(col("c")) * 1e6).cast("long")).as("s_micro"))
+      .select(col("doc_id"), col("n_tok"), col("n_distinct"),
+        floor((log(col("n_tok")) - col("s_micro") / 1e6 / col("n_tok"))
+          / log(lit(2.0)) * 1e6).cast("long").as("entropy_micro"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile_columns" -> (profileColumns _),
+    "q_winsorize" -> (winsorize _),
+    "q_ntile" -> (ntileBuckets _),
+    "q_zorder_key" -> (zorderKey _),
+    "q_text_entropy" -> (textEntropy _))
+
+  val oracles: Map[String, String] = Map(
+    "q_profile_columns" ->
+      """SELECT * FROM (
+        |  SELECT 'o_totalprice' AS col_name, COUNT(*) AS n,
+        |    COUNT(*) - COUNT(o_totalprice) AS n_null, COUNT(DISTINCT o_totalprice) AS ndv,
+        |    CAST(MIN(o_totalprice) AS DOUBLE) AS min_v, CAST(MAX(o_totalprice) AS DOUBLE) AS max_v
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+        |    CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE) FROM orders
+        |  UNION ALL
+        |  SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity), COUNT(DISTINCT l_quantity),
+        |    CAST(MIN(l_quantity) AS DOUBLE), CAST(MAX(l_quantity) AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount), COUNT(DISTINCT l_discount),
+        |    CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'c_acctbal', COUNT(*), COUNT(*) - COUNT(c_acctbal), COUNT(DISTINCT c_acctbal),
+        |    CAST(MIN(c_acctbal) AS DOUBLE), CAST(MAX(c_acctbal) AS DOUBLE) FROM customer
+        |) ORDER BY col_name""".stripMargin,
+    "q_winsorize" ->
+      """WITH q AS (
+        |  SELECT c_mktsegment AS seg,
+        |    quantile_cont(c_acctbal, 0.05) AS p05, quantile_cont(c_acctbal, 0.95) AS p95
+        |  FROM customer GROUP BY c_mktsegment)
+        |SELECT c_custkey, c_acctbal,
+        |  least(greatest(c_acctbal, p05), p95) AS w_acctbal,
+        |  CASE WHEN c_acctbal < p05 THEN 'low'
+        |       WHEN c_acctbal > p95 THEN 'high' ELSE 'in' END AS clip
+        |FROM customer JOIN q ON c_mktsegment = seg
+        |ORDER BY c_custkey""".stripMargin,
+    "q_ntile" ->
+      """SELECT o_orderkey,
+        |  CAST(ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_zorder_key" ->
+      """WITH z AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    ((l_partkey & 1) << 1) | (l_suppkey & 1)
+        |    | (((l_partkey >> 1) & 1) << 3)  | (((l_suppkey >> 1) & 1) << 2)
+        |    | (((l_partkey >> 2) & 1) << 5)  | (((l_suppkey >> 2) & 1) << 4)
+        |    | (((l_partkey >> 3) & 1) << 7)  | (((l_suppkey >> 3) & 1) << 6)
+        |    | (((l_partkey >> 4) & 1) << 9)  | (((l_suppkey >> 4) & 1) << 8)
+        |    | (((l_partkey >> 5) & 1) << 11) | (((l_suppkey >> 5) & 1) << 10)
+        |    | (((l_partkey >> 6) & 1) << 13) | (((l_suppkey >> 6) & 1) << 12)
+        |    | (((l_partkey >> 7) & 1) << 15) | (((l_suppkey >> 7) & 1) << 14) AS zkey
+        |  FROM lineitem)
+        |SELECT zkey >> 10 AS zbucket, COUNT(*) AS n, MIN(zkey) AS min_z, MAX(zkey) AS max_z
+        |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
+    "q_text_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |cnt AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token),
+        |terms AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok, COUNT(*) AS n_distinct,
+        |    CAST(SUM(CAST(floor(c * ln(c) * 1e6) AS BIGINT)) AS BIGINT) AS s_micro
+        |  FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, n_tok, n_distinct,
+        |  CAST(floor((ln(n_tok) - (s_micro / 1e6) / n_tok) / ln(2) * 1e6) AS BIGINT) AS entropy_micro
+        |FROM terms ORDER BY doc_id""".stripMargin)
+}
