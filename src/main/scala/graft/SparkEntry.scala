@@ -38,7 +38,10 @@ object SparkEntry {
       (TypedOps.queries, TypedOps.oracles),
       (QualityOps.queries, QualityOps.oracles),
       (GraphOps.queries, GraphOps.oracles),
-      (PipelineOps.queries, PipelineOps.oracles))
+      (PipelineOps.queries, PipelineOps.oracles),
+      (EventOps.queries, EventOps.oracles),
+      (StatsOps.queries, StatsOps.oracles),
+      (SqlSuite2.queries, SqlSuite2.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

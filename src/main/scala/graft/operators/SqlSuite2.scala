@@ -186,17 +186,21 @@ object SqlSuite2 {
   }
 
   /** Small-quantity revenue (TPC-H Q17 shape; brand+size replace the
-    * missing container). The 0.2·avg threshold is evaluated by exact
-    * decimal cross-multiplication (qty·cnt·5 < sum_qty) — no division,
-    * so no engine-specific rounding at the filter boundary. The per-part
-    * aggregate is tiny (≤ #parts rows) and broadcasts at any scale.
+    * missing container). The 0.2·avg threshold is evaluated by integer
+    * cross-multiplication (qty·cnt·5 < sum_qty) — quantities are
+    * whole-number doubles 1..50 (fixture-verified), so the BIGINT cast
+    * is exact and the comparison is pure int64 in BOTH engines; a
+    * decimal formulation would chain DECIMAL×BIGINT×INT past width 38
+    * and silently promote to DOUBLE in DuckDB, moving the strict `<`
+    * boundary. The per-part aggregate is tiny (≤ #parts rows) and
+    * broadcasts at any scale.
     */
   def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
     views(s, dir)
     s.sql(
       """WITH agg AS (
         |  SELECT l_partkey AS a_partkey,
-        |         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+        |         SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
         |         COUNT(*) AS cnt
         |  FROM v_lineitem GROUP BY l_partkey)
         |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
@@ -205,7 +209,7 @@ object SqlSuite2 {
         |JOIN v_part ON p_partkey = l_partkey
         |JOIN agg    ON a_partkey = l_partkey
         |WHERE p_brand = 'Brand#23' AND p_size <= 10
-        |  AND CAST(l_quantity AS DECIMAL(18,4)) * cnt * 5 < sum_qty""".stripMargin)
+        |  AND CAST(l_quantity AS BIGINT) * cnt * 5 < sum_qty""".stripMargin)
   }
 
   /** Disjunctive predicate revenue (TPC-H Q19 shape): three OR'd
@@ -319,7 +323,7 @@ object SqlSuite2 {
     "q_sql_small_qty" ->
       """WITH agg AS (
         |  SELECT l_partkey AS a_partkey,
-        |         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+        |         SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
         |         COUNT(*) AS cnt
         |  FROM lineitem GROUP BY l_partkey)
         |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
@@ -328,7 +332,7 @@ object SqlSuite2 {
         |JOIN part ON p_partkey = l_partkey
         |JOIN agg  ON a_partkey = l_partkey
         |WHERE p_brand = 'Brand#23' AND p_size <= 10
-        |  AND CAST(l_quantity AS DECIMAL(18,4)) * cnt * 5 < sum_qty""".stripMargin,
+        |  AND CAST(l_quantity AS BIGINT) * cnt * 5 < sum_qty""".stripMargin,
     "q_sql_disjunctive" ->
       """SELECT
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))

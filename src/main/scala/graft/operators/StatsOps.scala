@@ -43,17 +43,20 @@ object StatsOps {
       .orderBy("col_name")
   }
 
-  /** Winsorize account balances at the exact per-segment p05/p95. The
+  /** Winsorize account balances at the per-segment p05/p95. The
     * percentile table is group-cardinality-sized (broadcast anywhere);
-    * the clip itself is a comparison, so each output value is either the
-    * original 2-dp double or the interpolated bound — both engines
-    * interpolate the same sorted doubles, so equality is exact.
+    * the clip itself is a comparison. Cross-engine interpolation of the
+    * same sorted doubles can differ at the last ulp, so — same
+    * convention as q_agg_percentile — both engines round the bounds to
+    * 4 dp before comparing/clipping (the interpolated value of 2-dp
+    * inputs at a 2-dp fraction is an exact 4-dp number, so the rounding
+    * is tie-free).
     */
   def winsorize(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir)
     val q = cust.groupBy(col("c_mktsegment").as("seg")).agg(
-      expr("percentile(c_acctbal, 0.05)").as("p05"),
-      expr("percentile(c_acctbal, 0.95)").as("p95"))
+      round(expr("percentile(c_acctbal, 0.05)"), 4).as("p05"),
+      round(expr("percentile(c_acctbal, 0.95)"), 4).as("p95"))
     cust.join(broadcast(q), col("c_mktsegment") === col("seg"))
       .select(col("c_custkey"), col("c_acctbal"),
         least(greatest(col("c_acctbal"), col("p05")), col("p95")).as("w_acctbal"),
@@ -63,16 +66,41 @@ object StatsOps {
       .orderBy("c_custkey")
   }
 
-  /** Quantile bucketing over a total order (ntile). A global ORDER BY is
-    * inherently one range-partitioned sort; at 100 TB the same result
-    * comes from rank()·k/n arithmetic over a range-partitioned sort
-    * rather than a single-partition window — the bucket ids are
-    * identical because the (price, orderkey) order is total.
+  /** Quantile bucketing over a total order (ntile) WITHOUT the textbook
+    * scale-killer (`Window.orderBy` with no partitionBy serializes the
+    * whole table through one task). Two-phase global rank instead:
+    * range-partition by the total (price, orderkey) order, take a
+    * #partitions-row histogram (the only driver materialization — same
+    * bounded shape as the fixpoint convergence counts), then global
+    * rank = per-partition row_number + broadcast cumulative offset, and
+    * the bucket id comes from exact integer ntile arithmetic: the first
+    * n%k buckets hold n/k+1 rows, the rest n/k — identical output to
+    * ntile(k) because the order is total. localCheckpoint freezes the
+    * range boundaries so histogram and rank pass see the same pids.
     */
   def ntileBuckets(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy("o_totalprice", "o_orderkey")
-    Tables.orders(s, dir)
-      .select(col("o_orderkey"), ntile(8).over(w).cast("long").as("bucket"))
+    val k = 8
+    val sorted = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .repartitionByRange(col("o_totalprice"), col("o_orderkey"))
+      .sortWithinPartitions("o_totalprice", "o_orderkey")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val hist = sorted.groupBy("pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = hist.map(_._2).sum
+    val offsets: Map[Int, Long] = hist.map(_._1).zip(hist.scanLeft(0L)(_ + _._2)).toMap
+    val q = n / k
+    val rem = n % k
+    val w = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    sorted
+      .withColumn("r", element_at(typedLit(offsets), col("pid")) + row_number().over(w))
+      .withColumn("bucket",
+        when(lit(rem) =!= 0 && col("r") <= lit(rem * (q + 1)),
+          expr(s"(r - 1) div ${q + 1} + 1"))
+          .otherwise(expr(s"$rem + (r - 1 - ${rem * (q + 1)}) div ${math.max(q, 1L)} + 1"))
+          .cast("long"))
+      .select(col("o_orderkey"), col("bucket"))
       .orderBy("o_orderkey")
   }
 
@@ -146,7 +174,8 @@ object StatsOps {
     "q_winsorize" ->
       """WITH q AS (
         |  SELECT c_mktsegment AS seg,
-        |    quantile_cont(c_acctbal, 0.05) AS p05, quantile_cont(c_acctbal, 0.95) AS p95
+        |    round(quantile_cont(c_acctbal, 0.05), 4) AS p05,
+        |    round(quantile_cont(c_acctbal, 0.95), 4) AS p95
         |  FROM customer GROUP BY c_mktsegment)
         |SELECT c_custkey, c_acctbal,
         |  least(greatest(c_acctbal, p05), p95) AS w_acctbal,
