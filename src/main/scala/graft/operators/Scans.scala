@@ -99,12 +99,44 @@ object Scans {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Partitioned layout + dynamic partition pruning — the single most
+    * valuable scan optimization at 100 TB: lineitem written once
+    * hive-partitioned by ship year (the derived-cache pattern above, so
+    * repeated runs pay only the read), then joined on the partition
+    * column against a dim restricted by a NON-join predicate (urgent
+    * 1996 orders). The year set is only known at runtime, so static
+    * partition pruning can't fire; Catalyst inserts a DPP subquery that
+    * reuses the dim broadcast and the fact scan reads ONE ship_year
+    * directory out of seven (PlanShapeSpec asserts `dynamicpruning` in
+    * the partition filters). Oracle: same join over the unpartitioned
+    * originals.
+    */
+  def scanPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val path = ioDir("partyear", dir)
+    ensureWritten(path) {
+      Tables.lineitem(s, dir)
+        .withColumn("ship_year", year(col("l_shipdate")))
+        .write.mode("overwrite").partitionBy("ship_year").parquet(path)
+    }
+    val fact = s.read.parquet(path)
+    val dim = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT"
+        && col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(year(col("o_orderdate")).as("ship_year")).distinct()
+    fact.join(dim, Seq("ship_year"))
+      .groupBy(col("ship_year").cast("long").as("ship_year"))
+      .agg(count(lit(1)).as("n"), graft.Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("ship_year")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_parquet" -> (scanParquet _),
     "q_scan_csv" -> (scanCsv _),
     "q_scan_jsonl" -> (scanJsonl _),
     "q_scan_orc" -> (scanOrc _),
-    "q_scan_xml" -> (scanXml _))
+    "q_scan_xml" -> (scanXml _),
+    "q_scan_partitioned" -> (scanPartitioned _))
 
   /** CSV/JSONL oracles read the parquet originals: equality proves the text
     * round-trip is lossless.
@@ -125,5 +157,18 @@ object Scans {
     "q_scan_xml" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
         |FROM lineitem WHERE l_orderkey % 10 = 0
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_scan_partitioned" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS ship_year
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate <  TIMESTAMP '1997-01-01')
+        |SELECT ship_year, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM (SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year, l_extendedprice
+        |      FROM lineitem) l
+        |JOIN dim USING (ship_year)
+        |GROUP BY ship_year ORDER BY ship_year""".stripMargin)
 }

@@ -109,18 +109,26 @@ object SimilarityOps {
   }
 
   /** IVF (inverted-file) ANN — the second standard index shape next to
-    * LSH: a deterministic coarse quantizer (every 37th vector is a
-    * centroid, ~C = N/37 lists), each vector assigned to its nearest
-    * centroid (argmax cosine over the BROADCAST centroid list — the
-    * O(N·C) assignment pass every IVF build pays), probes search only
-    * their nprobe = 4 nearest lists. Candidate volume ≈ nprobe/C of the
-    * corpus per probe; recall floor pinned in QualitySpec. Rows-only:
-    * the assignment argmax + rank chain has no maintainable SQL twin.
+    * LSH: a FIXED number of coarse-quantizer centroids (C = 16, a build
+    * parameter chosen offline ≈ √N — decoupled from corpus size, so the
+    * assignment pass is O(N·C), linear in N, and the broadcast centroid
+    * list stays bounded at any scale; a corpus-proportional centroid
+    * rule would make the build quadratic and overflow the broadcast at
+    * 100×). Centroids are a deterministic pseudo-random sample: vectors
+    * ordered by md5(vec_id), top C via TakeOrderedAndProject. Each
+    * vector is assigned to its nearest centroid (argmax cosine over the
+    * broadcast list); probes search only their nprobe = 4 nearest
+    * lists. Candidate volume ≈ nprobe/C of the corpus per probe; recall
+    * floor pinned in QualitySpec. Rows-only: the assignment argmax +
+    * rank chain has no maintainable SQL twin.
     */
   private val IvfNprobe = 4
+  private val IvfCentroids = 16
   def simIvfBucketed(s: SparkSession, dir: String): DataFrame = {
     val base = vectors(s, dir)
-    val cents = base.filter(col("vec_id") % 37 === 3)
+    val cents = base
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(IvfCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("centv"), col("norm").as("cnorm"))
     // build: nearest-centroid assignment; struct-max tie-break keeps the
     // argmax deterministic under any partitioning

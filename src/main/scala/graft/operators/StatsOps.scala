@@ -29,13 +29,15 @@ object StatsOps {
           min(col(c)).cast("double").as(s"${c}__min_v"),
           max(col(c)).cast("double").as(s"${c}__max_v"))
       }
-      val wide = df.agg(aggs.head, aggs.tail: _*)
-      val perCol = cols.map { c =>
-        wide.select(lit(c).as("col_name"), col(s"${c}__n").as("n"),
-          col(s"${c}__n_null").as("n_null"), col(s"${c}__ndv").as("ndv"),
-          col(s"${c}__min_v").as("min_v"), col(s"${c}__max_v").as("max_v"))
-      }
-      perCol.reduce(_ unionAll _)
+      // one agg row per table, exploded into one row per column — the
+      // single-table-scan claim is structural, not an optimizer favor
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map { c =>
+          struct(lit(c).as("col_name"), col(s"${c}__n").as("n"),
+            col(s"${c}__n_null").as("n_null"), col(s"${c}__ndv").as("ndv"),
+            col(s"${c}__min_v").as("min_v"), col(s"${c}__max_v").as("max_v"))
+        }: _*)).as("p"))
+        .select(col("p.*"))
     }
     prof(Tables.orders(s, dir), Seq("o_totalprice", "o_custkey"))
       .unionAll(prof(Tables.lineitem(s, dir), Seq("l_quantity", "l_discount")))

@@ -229,6 +229,49 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"MERGE hint ignored:\n$smj")
   }
 
+  test("partitioned-scan query prunes fact partitions via runtime DPP subquery") {
+    val df = operators.Scans.scanPartitioned(spark, sfDir)
+    val planStr = executed(df).toString
+    assert(planStr.contains("dynamicpruning"), planStr.take(3000))
+    // the partitioned parquet scan must carry a partition filter on ship_year
+    assert(planStr.contains("PartitionFilters") && planStr.contains("ship_year"),
+      planStr.take(3000))
+  }
+
+  test("Q6-shape SQL pushes every predicate into the lineitem scan") {
+    val df = operators.SqlSuite2.revenueForecast(spark, sfDir)
+    val scans = collectAll(df.queryExecution.sparkPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, df.queryExecution.sparkPlan.toString)
+    val pushed = scans.map(_.metadata("PushedFilters")).mkString(";")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
+    assert(pushed.contains("LessThan(l_quantity,24"), pushed)
+    assert(pushed.contains("l_discount"), pushed)
+  }
+
+  test("Q5-shape SQL broadcasts all dimension joins") {
+    val plan = executed(operators.SqlSuite2.localVolume(spark, sfDir))
+    val bhj = collectAll(plan).count(_.isInstanceOf[BroadcastHashJoinExec])
+    assert(bhj >= 3, s"expected supplier/nation/region broadcasts, got $bhj:\n$plan")
+  }
+
+  test("column profiling scans each source table exactly once") {
+    val df = operators.StatsOps.profileColumns(spark, sfDir)
+    val scans = collectAll(df.queryExecution.sparkPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    // orders + lineitem + customer — profiling cost is #tables, not #columns
+    assert(scans.length === 3, s"expected 3 table scans, got ${scans.length}")
+  }
+
+  test("partitioned ntile plans no single-partition exchange") {
+    val df = operators.StatsOps.ntileBuckets(spark, sfDir)
+    val planStr = executed(df).toString
+    assert(!planStr.contains("SinglePartition"),
+      "global-window ntile reintroduced a single-partition stage:\n" + planStr.take(3000))
+  }
+
   test("AQE splits a skewed join partition (OptimizeSkewedJoin fires)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

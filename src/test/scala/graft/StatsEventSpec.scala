@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral bounds for the round-7-registered stats/event operators,
+  * independent of the DuckDB oracle: the funnel is re-derived through a
+  * typed per-user fold (different execution path than the conditional-min
+  * aggregate), ntile through Spark's own built-in window function, and
+  * winsorize/zorder through their defining invariants.
+  */
+class StatsEventSpec extends AnyFunSuite with SparkFixture {
+
+  test("funnel matches an independent typed per-user fold (incl. null/order semantics)") {
+    import spark.implicits._
+    val got = operators.EventOps.funnel(spark, sfDir).collect()(0)
+    val folded = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts").cast("long").as("t"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (_, it) =>
+        val evs = it.toSeq
+        def first(k: String): Option[Long] = {
+          val ts = evs.collect { case (_, `k`, t) => t }
+          if (ts.isEmpty) None else Some(ts.min)
+        }
+        val v = first("view"); val c = first("click"); val b = first("purchase")
+        val sv = v.isDefined
+        val sc = sv && c.exists(_ > v.get)
+        val sb = sc && b.exists(_ > c.get)
+        (1L, if (sv) 1L else 0L, if (sc) 1L else 0L, if (sb) 1L else 0L)
+      }
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) === folded)
+    // monotone by construction; nonzero top-of-funnel proves the fixture exercises it
+    assert(got.getLong(0) >= got.getLong(1) && got.getLong(1) >= got.getLong(2)
+      && got.getLong(2) >= got.getLong(3) && got.getLong(1) > 0)
+  }
+
+  test("retention cohort 0-offset equals its cohort size and offsets are non-negative") {
+    val rows = operators.EventOps.retention(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) >= 0L), "negative week offset")
+    // every cohort has an offset-0 row (the week of first activity itself)
+    val byCohort = rows.groupBy(_.get(0))
+    assert(byCohort.values.forall(_.exists(_.getLong(1) == 0L)))
+    // offset-0 count is the cohort max: retention can only shrink or rejoin, never exceed
+    byCohort.values.foreach { rs =>
+      val at0 = rs.find(_.getLong(1) == 0L).get.getLong(2)
+      assert(rs.forall(_.getLong(2) <= at0), s"cohort bigger at later offset than at 0")
+    }
+  }
+
+  test("partitioned ntile equals Spark's built-in ntile(8) global window") {
+    val mine = operators.StatsOps.ntileBuckets(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ref = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        ntile(8).over(Window.orderBy("o_totalprice", "o_orderkey")).cast("long").as("bucket"))
+      .orderBy("o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mine.length === ref.length)
+    assert(mine.sameElements(ref))
+  }
+
+  test("winsorize clips are sided correctly and idempotent at the row level") {
+    val rows = operators.StatsOps.winsorize(spark, sfDir).collect()
+    var low = 0; var high = 0
+    rows.foreach { r =>
+      val (orig, w, clip) = (r.getDouble(1), r.getDouble(2), r.getString(3))
+      clip match {
+        case "in"   => assert(w === orig)
+        case "low"  => assert(w > orig); low += 1
+        case "high" => assert(w < orig); high += 1
+      }
+    }
+    // the fixture has mass in both tails (5% each side, modulo segment ties)
+    assert(low > 0 && high > 0, s"degenerate clip: low=$low high=$high")
+    assert(low + high < rows.length / 2, "clipped more than half the rows")
+  }
+
+  test("zorder buckets partition the morton range and cover every lineitem row") {
+    val rows = operators.StatsOps.zorderKey(spark, sfDir).collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total === Tables.lineitem(spark, sfDir).count())
+    rows.foreach { r =>
+      val (zb, minZ, maxZ) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      // bucket = zkey >> 10: all member keys live in [zb*1024, (zb+1)*1024)
+      assert(minZ >= zb * 1024 && maxZ < (zb + 1) * 1024 && minZ <= maxZ,
+        s"bucket $zb range [$minZ,$maxZ] escapes its 1024-wide cell")
+    }
+    // 16-bit morton keys: buckets confined to [0, 64)
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 64))
+  }
+
+  test("IVF centroid count is a fixed build parameter, not corpus-proportional") {
+    // the scale contract from the scaladoc: C is bounded regardless of N
+    val got = operators.SimilarityOps.simIvfBucketed(spark, sfDir)
+    assert(got.collect().length <= 10 * 5) // 10 probes × top-5
+  }
+}
