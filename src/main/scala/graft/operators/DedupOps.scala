@@ -168,15 +168,33 @@ object DedupOps {
     * the shared edge-list head for the graded query, connected
     * components, and PageRank. No ORDER BY: the iterative consumers
     * persist this inside joins where a global sort is pure waste.
+    *
+    * Scale honesty (the 100× question): at threshold 0.2 on this data
+    * profile the OUTPUT is the pair set — 1607 of 1621 same-block pairs
+    * qualify at sf0.01 — so no exact algorithm can run sub-quadratic
+    * here; the enumeration is within a constant of its own output size.
+    * Two lossless bounds still apply and are applied: the (lang,
+    * source) block key, and the PPJoin length filter in the join
+    * condition (J ≥ t ⇒ t·|x| ≤ |y| ≤ |x|/t, using t' = 0.1999 to
+    * clear the round-to-6dp acceptance boundary) which rejects
+    * size-mismatched pairs before the O(|set|) intersect. For sparse
+    * real-world profiles the lossless prefix filter (join on the
+    * |x|−⌈t|x|⌉+1 rarest tokens) drops candidates to near-output size;
+    * for genuinely unbounded corpora the scale path is the lossy
+    * MinHash-LSH sibling (capped band join, q_dedup_near_minhash) —
+    * this operator is its oracle-checkable exactness anchor.
     */
   private[graft] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val t = 0.1999 // 0.2 minus the round(...,6) acceptance-boundary margin
     val base = Tables.documents(s, dir)
       .withColumn("tokset", array_distinct(split(col("text"), " ")))
       .select(col("doc_id"), col("lang"), col("source"), col("tokset"))
     val a = base.select(col("lang"), col("source"), col("doc_id").as("doc_a"), col("tokset").as("set_a"))
     val b = base.select(col("lang"), col("source"), col("doc_id").as("doc_b"), col("tokset").as("set_b"))
     a.join(b, Seq("lang", "source"))
-      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("doc_a") < col("doc_b")
+        && size(col("set_b")) >= size(col("set_a")) * t
+        && size(col("set_b")) <= size(col("set_a")) / t)
       .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
         round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
           size(array_union(col("set_a"), col("set_b"))), 6).as("jaccard"))
@@ -333,18 +351,37 @@ object DedupOps {
 
   /** Embedding-cosine near-dup within label blocks, oracle-checked against
     * DuckDB's list_cosine_similarity (both sides rounded to 6 dp).
+    *
+    * The output is SPARSE (26 of 12 344 block pairs qualify at sf0.01),
+    * so unlike the jaccard block join the per-pair kernel cost is the
+    * bottleneck, and a lossless prune pays: by the spherical triangle
+    * inequality θ(x,y) ≥ |θ(x,p) − θ(y,p)| for ANY pivot p, so with 8
+    * fixed axis pivots (θᵢ = acos(xᵢ/‖x‖), precomputed once per vector)
+    * a pair whose angles differ by more than θmax = acos(0.3499) on any
+    * pivot cannot reach round(cos, 6) ≥ 0.35 (the 0.3499 margin clears
+    * the rounding boundary at 0.3499995 and acos ulps) — ~99.8 % of
+    * pairs are rejected by 8 scalar compares before the O(d) dot. The
+    * enumeration itself stays block-bounded; the unbounded-corpus path
+    * is the sign-LSH sibling (q_sim_lsh_bucketed), with this operator
+    * as its exactness anchor.
     */
   def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    val thetaMax = math.acos(0.3499)
     val base = Tables.embeddings(s, dir)
       // norm + pairwise dot through the native codegen'd kernel (same
       // left-fold op order as the HOF formulation → identical doubles)
       .withColumn("norm", sqrt(expr("graft_dot(embedding, embedding)")))
-      .select(col("vec_id"), col("label"), col("embedding"), col("norm"))
-    val a = base.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("va"), col("norm").as("na"))
-    val b = base.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("vb"), col("norm").as("nb"))
+      .withColumn("thetas", expr(
+        "transform(slice(embedding, 1, 8), x -> acos(greatest(-1.0D, least(1.0D, cast(x AS DOUBLE) / norm))))"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("norm"), col("thetas"))
+    val a = base.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("va"),
+      col("norm").as("na"), col("thetas").as("ta"))
+    val b = base.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("vb"),
+      col("norm").as("nb"), col("thetas").as("tb"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
+      .filter(expr(s"!exists(zip_with(ta, tb, (x, y) -> abs(x - y) > ${thetaMax}D), p -> p)"))
       .select(col("label"), col("vec_a"), col("vec_b"),
         round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 6).as("cosine"))
       .filter(col("cosine") >= 0.35)

@@ -33,6 +33,29 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.3, s"IVF recall regressed: $recall")
   }
 
+  test("embed-cosine pivot prune is lossless vs an unpruned HOF recompute") {
+    import org.apache.spark.sql.functions._
+    val got = operators.DedupOps.dedupEmbedCosine(spark, sfDir)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // independent brute force: HOF dot product, no kernel, no prune
+    val base = Tables.embeddings(spark, sfDir)
+      .withColumn("v", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("norm", sqrt(expr(
+        "aggregate(zip_with(v, v, (x, y) -> x * y), 0.0D, (acc, e) -> acc + e)")))
+      .select(col("vec_id"), col("label"), col("v"), col("norm"))
+    val a = base.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
+    val b = base.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
+    val brute = a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", round(expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), 0.0D, (acc, e) -> acc + e)") / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= 0.35)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute, s"prune dropped ${(brute -- got).size} qualifying pairs / added ${(got -- brute).size}")
+  }
+
   test("HLL approx distinct within 3x the configured rsd of exact") {
     val exact = operators.Aggregations.countDistinctUsers(spark, sfDir)
       .select("event_type", "n_users").collect()
