@@ -199,6 +199,30 @@ object StreamingOps {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** Stream-stream interval join (view→click attribution): each side is
+    * watermarked and the join condition bounds click_ts to a window after
+    * view_ts, so Spark can compute a state-eviction watermark for BOTH
+    * sides — without the time bound the join state would grow without
+    * limit (the 100 TB hazard for stream-stream joins). Inner mode emits
+    * matches as they arrive; leftOuter additionally emits (view, null)
+    * once the watermark proves no click can still match.
+    */
+  def streamStreamIntervalJoin(views: DataFrame, clicks: DataFrame,
+                               joinType: String = "inner"): DataFrame = {
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("click_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    v.join(c,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
+      joinType)
+      .select(col("user_id"), col("view_id"), col("view_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** #56 micro-batch upsert sink: each batch merges into a parquet dir by
     * key (new rows win) — the reference's incremental Socrata publish,
     * streamified via foreachBatch.

@@ -169,6 +169,37 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("stream-stream interval join matches clicks within the bound, left-outer emits null after watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = StreamingOps.streamStreamIntervalJoin(views.toDF(), clicks.toDF(), "leftOuter")
+      .writeStream.format("memory").queryName("attrib").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // view 10 (user 1) clicked 10 min later → match; view 20 (user 2)
+      // clicked 60 min later → outside the 30-min bound → no match
+      views.addData(Seq(Event(10, ts(0), 1, "view", 0.0), Event(20, ts(0), 2, "view", 0.0)))
+      clicks.addData(Seq(Event(11, ts(10), 1, "click", 0.0)))
+      q.processAllAvailable()
+      clicks.addData(Seq(Event(21, Timestamp.valueOf("2024-01-01 11:00:00"), 2, "click", 0.0)))
+      q.processAllAvailable()
+      // push BOTH watermarks far past view 20's join window so the
+      // left-outer null row for it can be emitted
+      views.addData(Seq(Event(90, Timestamp.valueOf("2024-01-01 13:00:00"), 9, "view", 0.0)))
+      clicks.addData(Seq(Event(91, Timestamp.valueOf("2024-01-01 13:00:00"), 9, "click", 0.0)))
+      q.processAllAvailable()
+      views.addData(Seq(Event(92, Timestamp.valueOf("2024-01-01 15:00:00"), 9, "view", 0.0)))
+      clicks.addData(Seq(Event(93, Timestamp.valueOf("2024-01-01 15:00:00"), 9, "click", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("attrib").collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(rows(10L) === 11L, s"view 10 should match click 11: $rows")
+    assert(rows(20L) === -1L, s"view 20 should left-outer to null: $rows")
+  }
+
   test("streaming signature path is bit-identical to the batch aggregate path") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
