@@ -41,7 +41,8 @@ object SparkEntry {
       (PipelineOps.queries, PipelineOps.oracles),
       (EventOps.queries, EventOps.oracles),
       (StatsOps.queries, StatsOps.oracles),
-      (SqlSuite2.queries, SqlSuite2.oracles))
+      (SqlSuite2.queries, SqlSuite2.oracles),
+      (SqlSuite3.queries, SqlSuite3.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -256,6 +256,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(bhj >= 3, s"expected supplier/nation/region broadcasts, got $bhj:\n$plan")
   }
 
+  test("Q2-shape correlated scalar-MIN decorrelates to equi-joins (no nested loop)") {
+    val plan = executed(operators.SqlSuite3.minPriceSupplier(spark, sfDir))
+    val all = collectAll(plan)
+    assert(!all.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      s"correlated subquery fell back to a nested loop:\n$plan")
+    assert(!plan.toString.contains("CartesianProduct"), plan.toString.take(3000))
+  }
+
+  test("Q16-shape NOT IN plans as an anti join, never a cartesian") {
+    val plan = executed(operators.SqlSuite3.supplierCnt(spark, sfDir))
+    val planStr = plan.toString
+    assert(planStr.contains("LeftAnti"), s"NOT IN did not become an anti join:\n${planStr.take(3000)}")
+    assert(!planStr.contains("CartesianProduct"), planStr.take(3000))
+  }
+
+  test("Q13-shape ON-clause filter keeps zero-order customers (left join not degraded)") {
+    import org.apache.spark.sql.functions._
+    val dist = operators.SqlSuite3.custDistribution(spark, sfDir)
+    val total = dist.agg(sum("custdist")).collect()(0).getLong(0)
+    val customers = Tables.customer(spark, sfDir).count()
+    assert(total === customers,
+      s"distribution covers $total customers of $customers — the ON-clause filter leaked into WHERE")
+  }
+
   test("column profiling scans each source table exactly once") {
     val df = operators.StatsOps.profileColumns(spark, sfDir)
     val scans = collectAll(df.queryExecution.sparkPlan).collect {
