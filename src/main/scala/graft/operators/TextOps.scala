@@ -169,16 +169,16 @@ object TextOps {
     * corpus vocabulary (count + deterministic tie-break) joined back to
     * score each document's out-of-vocabulary rate. The vocab is tiny and
     * broadcast; the corpus is scanned twice but never shuffled for the
-    * scoring join. (The global row_number over ~30k distinct tokens is
-    * fine here; at corpus scale swap in the top-k-per-partition + merge
-    * pattern from Sorts.)
+    * scoring join. The top-500 selection is sort+limit, which Spark
+    * plans as TakeOrderedAndProject (per-partition top-k, then a 500-row
+    * merge on the driver) — a billion-token vocabulary never funnels
+    * through one task, unlike a global row_number window.
     */
   def textVocabCoverage(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(desc("freq"), asc("token"))
     val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 500)
+      .orderBy(desc("freq"), asc("token")).limit(500)
       .select(col("token"), lit(1).as("in_vocab"))
     toks.join(broadcast(vocab), Seq("token"), "left")
       .groupBy("doc_id", "lang")

@@ -280,6 +280,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"distribution covers $total customers of $customers — the ON-clause filter leaked into WHERE")
   }
 
+  test("vocab top-500 is TakeOrderedAndProject, not a single-partition window") {
+    val plan = executed(operators.TextOps.textVocabCoverage(spark, sfDir))
+    val all = collectAll(plan)
+    assert(all.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"vocab selection should be a distributed top-k:\n$plan")
+    assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      s"vocab selection reintroduced a window:\n$plan")
+  }
+
   test("column profiling scans each source table exactly once") {
     val df = operators.StatsOps.profileColumns(spark, sfDir)
     val scans = collectAll(df.queryExecution.sparkPlan).collect {
