@@ -189,12 +189,47 @@ object PipelineOps {
       .orderBy("split", "lang")
   }
 
+  /** Cross-document boilerplate scoring — the line-dedup step of the
+    * C4/RefinedWeb pipelines in span form (the fixture text is a single
+    * token stream, so the "line" unit is the 3-gram span): a gram is
+    * boilerplate when it appears in more than 3 distinct documents
+    * (nav bars, license footers, templated headers at web scale); each
+    * document reports what fraction of its distinct spans are
+    * boilerplate and a keep flag at the 0.15 ratio gate.
+    *
+    * Two shuffles of the exploded gram stream, both on the gram key:
+    * one for the document-frequency count, one to join the hot set
+    * back. The hot set is NOT broadcast by hint — its size grows with
+    * corpus diversity, so the plan leaves the choice to AQE (at sf0.1
+    * it picks a broadcast; at 100 TB a hot-set too big to broadcast
+    * degrades to a shuffle join instead of an OOM). The keep flag
+    * compares the RAW ratio (IEEE division is engine-exact), only the
+    * reported ratio is rounded.
+    */
+  def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val exploded = withGrams(Tables.documents(s, dir))
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    // grams are per-doc distinct, so count(*) per gram = document frequency
+    val hot = exploded.groupBy("gram").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 3)
+      .select(col("gram"), lit(1).as("boiler"))
+    exploded.join(hot, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("boiler")).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        round(col("n_boiler").cast("double") / col("n_grams"), 6))
+      .withColumn("keep",
+        (col("n_boiler").cast("double") / col("n_grams") <= 0.15).cast("int"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_manifest" -> (corpusManifest _),
     "q_contamination" -> (contamination _),
     "q_split_assign" -> (splitAssign _),
     "q_text_repetition" -> (textRepetition _),
     "q_pack_sequences" -> (packSequences _),
+    "q_text_boilerplate" -> (textBoilerplate _),
     "q_dedup_canonical" -> (dedupCanonical _))
 
   val oracles: Map[String, String] = Map(
@@ -238,6 +273,19 @@ object PipelineOps {
         |FROM quality
         |WHERE dup2 <= 0.08
         |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "q_text_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams FROM t),
+        |cg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |hot AS (SELECT gram, 1 AS boiler FROM cg GROUP BY gram HAVING COUNT(*) > 3)
+        |SELECT cg.doc_id, COUNT(*) AS n_grams, COUNT(hot.boiler) AS n_boiler,
+        |  round(CAST(COUNT(hot.boiler) AS DOUBLE) / COUNT(*), 6) AS boiler_ratio,
+        |  CAST(CAST(COUNT(hot.boiler) AS DOUBLE) / COUNT(*) <= 0.15 AS INT) AS keep
+        |FROM cg LEFT JOIN hot USING (gram)
+        |GROUP BY cg.doc_id ORDER BY doc_id""".stripMargin,
     "q_contamination" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
