@@ -148,6 +148,39 @@ object DotProductExpr {
   }
 }
 
+/** Count-Min point estimate: min over the sketch rows of the counter
+  * addressed by the same (hash, row) columns the aggregate incremented
+  * (shared [[CountMinAgg.col]]). Codegen'd like the other kernels.
+  */
+case class CmsEstimateExpr(left: Expression, right: Expression,
+                           depth: Int, width: Int)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<bigint> sketch, bigint hash), got " +
+            s"${l.simpleString}, ${r.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_cms_estimate"
+
+  override protected def nullSafeEval(sketch: Any, h: Any): Any =
+    CountMinAgg.estimate(sketch.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      h.asInstanceOf[Long], depth, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, h) =>
+      s"graft.functions.CountMinAgg.estimate($s, $h, $depth, $width)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CmsEstimateExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration: makes the native expressions available to SQL / expr()
   * as graft_haversine(lat1, lon1, lat2, lon2), graft_rolling_hash(s) and
   * graft_dot(a, b).
@@ -179,6 +212,14 @@ object GraftFunctions {
     // Spark ships BloomFilterAggregate/BloomFilterMightContain for its own
     // runtime filters but does not expose them in the SQL registry; surface
     // them so the explicit runtime-filter pattern is scriptable.
+    registry.createOrReplaceTempFunction("graft_cms_agg",
+      exprs => CountMinAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]).toAggregateExpression(), "scala_udf")
+    registry.createOrReplaceTempFunction("graft_cms_estimate",
+      exprs => CmsEstimateExpr(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int],
+        exprs(3).eval().asInstanceOf[Int]), "scala_udf")
     registry.createOrReplaceTempFunction("graft_bloom_agg",
       exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         exprs(0), exprs(1), exprs(2)).toAggregateExpression(), "scala_udf")

@@ -223,6 +223,33 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Global contiguous sample index 0..N-1 over the (doc_id) total order —
+    * every training pipeline's "give each sample a stable integer id"
+    * step. Same two-phase global rank as StatsOps.ntileBuckets (its
+    * scaladoc has the full argument): range-partition on the order key,
+    * per-partition row_number, plus a broadcast cumulative offset from a
+    * #partitions-row histogram — never a single-partition window.
+    * monotonically_increasing_id() is NOT used: its ids are partition-
+    * sparse (gaps), not contiguous, and change with partitioning.
+    */
+  def sampleIndex(s: SparkSession, dir: String): DataFrame = {
+    val sorted = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val hist = sorted.groupBy("pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] = hist.map(_._1).zip(hist.scanLeft(0L)(_ + _._2)).toMap
+    val w = Window.partitionBy("pid").orderBy("doc_id")
+    sorted
+      .withColumn("sample_idx",
+        element_at(typedLit(offsets), col("pid")) + row_number().over(w) - 1)
+      .select(col("doc_id"), col("lang"), col("sample_idx"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_manifest" -> (corpusManifest _),
     "q_contamination" -> (contamination _),
@@ -230,6 +257,7 @@ object PipelineOps {
     "q_text_repetition" -> (textRepetition _),
     "q_pack_sequences" -> (packSequences _),
     "q_text_boilerplate" -> (textBoilerplate _),
+    "q_sample_index" -> (sampleIndex _),
     "q_dedup_canonical" -> (dedupCanonical _))
 
   val oracles: Map[String, String] = Map(
@@ -273,6 +301,10 @@ object PipelineOps {
         |FROM quality
         |WHERE dup2 <= 0.08
         |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "q_sample_index" ->
+      """SELECT doc_id, lang,
+        |  row_number() OVER (ORDER BY doc_id) - 1 AS sample_idx
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_boilerplate" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -49,6 +49,34 @@ object TextOps {
       .orderBy(desc("freq"), asc("token"))
       .limit(20)
 
+  /** #62c top-20 terms with Count-Min-sketch estimates riding along —
+    * the sketch path a 100 TB pipeline uses when the distinct-token
+    * space is too large to shuffle: ONE pass builds a fixed
+    * 4×8192-counter sketch ([[graft.functions.CountMinAgg]], a full
+    * commutative monoid: map-side partials combine and the shuffled
+    * state is 256 KB regardless of corpus size), then candidate tokens
+    * are probed against it. Candidates here are the exact top-20 (so
+    * the oracle-checked twin pins the estimates); in production they
+    * come from per-partition heavy-hitter tracking. cms_est is graded
+    * rows-only-adjacent: QualitySpec pins the CMS guarantee
+    * (est ≥ exact, est ≤ exact + (e/width)·N) and at this vocabulary
+    * the 8192-wide rows are collision-free, so est == exact and the
+    * query IS oracle-checkable with cms_est = freq.
+    */
+  def textTopTermsCms(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val tok = tokens(Tables.documents(s, dir))
+      .select(col("token"), xxhash64(col("token")).as("h"))
+    val sketch = tok.agg(expr("graft_cms_agg(h, 4, 8192)").as("sketch"))
+    tok.groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("token"))
+      .limit(20)
+      .crossJoin(broadcast(sketch))
+      .select(col("token"), col("freq"),
+        expr("graft_cms_estimate(sketch, xxhash64(token), 4, 8192)").as("cms_est"))
+      .orderBy(desc("freq"), asc("token"))
+  }
+
   /** Language-ID: build a top-20-tokens-per-lang lexicon from the corpus
     * (the "training" aggregate — broadcast-sized), score each document by
     * lexicon hits per language, predict the argmax language. A real
@@ -272,6 +300,7 @@ object TextOps {
     "q_udtf_tokenize" -> (tokenize _),
     "q_text_stats" -> (textStats _),
     "q_text_topterms" -> (textTopTerms _),
+    "q_text_topterms_cms" -> (textTopTermsCms _),
     "q_text_lang_id" -> (textLangId _),
     "q_text_quality" -> (textQuality _),
     "q_text_fingerprint" -> (textFingerprint _))
@@ -376,6 +405,13 @@ object TextOps {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_topterms" ->
       """SELECT token, COUNT(*) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 20""".stripMargin,
+    // cms_est = freq is exact here: QualitySpec pins the one-sided CMS
+    // bound and the fixture vocabulary is collision-free at width 8192
+    // (verified at sf0.01 and sf0.1)
+    "q_text_topterms_cms" ->
+      """SELECT token, COUNT(*) AS freq, COUNT(*) AS cms_est
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 20""".stripMargin,
     "q_text_lang_id" ->

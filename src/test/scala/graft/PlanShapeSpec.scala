@@ -298,6 +298,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(scans.length === 3, s"expected 3 table scans, got ${scans.length}")
   }
 
+  test("global sample index plans no single-partition exchange") {
+    val df = operators.PipelineOps.sampleIndex(spark, sfDir)
+    val planStr = executed(df).toString
+    assert(!planStr.contains("SinglePartition"),
+      "contiguous-id assignment funnelled through one partition:\n" + planStr.take(3000))
+  }
+
   test("partitioned ntile plans no single-partition exchange") {
     val df = operators.StatsOps.ntileBuckets(spark, sfDir)
     val planStr = executed(df).toString

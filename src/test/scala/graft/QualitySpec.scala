@@ -21,6 +21,31 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.4, s"LSH recall regressed: $recall")
   }
 
+  test("Count-Min estimates obey the sketch guarantee over the full vocabulary") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val tok = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .select(col("token"), xxhash64(col("token")).as("h"))
+    val sketch = tok.agg(expr("graft_cms_agg(h, 4, 8192)").as("sketch"))
+    val rows = tok.groupBy("token").agg(count(lit(1)).as("exact"))
+      .crossJoin(broadcast(sketch))
+      .select(col("token"), col("exact"),
+        expr("graft_cms_estimate(sketch, xxhash64(token), 4, 8192)").as("est"))
+      .collect()
+    val n = rows.map(_.getLong(1)).sum
+    val epsN = math.ceil(math.E / 8192 * n).toLong
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS under-estimated ${r.getString(0)}: $est < $exact")
+      assert(est <= exact + epsN, s"CMS blew the eps bound on ${r.getString(0)}: $est > $exact + $epsN")
+    }
+    // the oracle for q_text_topterms_cms asserts est == exact; pin the
+    // collision-freeness that claim rests on at this fixture scale
+    assert(rows.forall(r => r.getLong(1) == r.getLong(2)),
+      "vocabulary no longer collision-free at width 8192 — demote the oracle to rows-only")
+  }
+
   test("IVF recall@5 vs brute force stays above floor") {
     val bf = operators.SimilarityOps.simCosineTopk(spark, sfDir)
       .select("probe_id", "cand_id").collect()
