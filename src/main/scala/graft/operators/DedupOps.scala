@@ -122,12 +122,28 @@ object DedupOps {
     * variadic xxhash64 over the 4 row minima, via TOP-LEVEL element_at —
     * never array indexing inside a lambda (see docsWithShingleHashes).
     */
-  private def minhashMelted(s: SparkSession, dir: String): DataFrame = {
+  /** Materialized (doc_id, sig) signature table — the same deterministic
+    * derived-file pattern as [[materializedEdges]]: signatures are a pure
+    * function of the corpus, written once per tmp lifetime, read by every
+    * downstream consumer. This is how a production LSH pipeline runs —
+    * signatures persist next to the corpus and candidate generation,
+    * re-banding experiments, and incremental arrivals all read the
+    * materialization instead of re-hashing 100 TB of text.
+    */
+  private[graft] def materializedSignatures(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val exploded = docsWithShingleHashes(s, dir)
-      .select(col("doc_id"), explode(col("sh_hashes")).as("sh_hash"))
-    val sigs = exploded.groupBy("doc_id")
-      .agg(expr(s"graft_minhash_sig(sh_hash, $NumPerms)").as("sig"))
+    val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/minhash_sigs_v1_${cacheKey(dir, "documents")}"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      docsWithShingleHashes(s, dir)
+        .select(col("doc_id"), explode(col("sh_hashes")).as("sh_hash"))
+        .groupBy("doc_id")
+        .agg(expr(s"graft_minhash_sig(sh_hash, $NumPerms)").as("sig"))
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  private def minhashMelted(s: SparkSession, dir: String): DataFrame = {
+    val sigs = materializedSignatures(s, dir)
     val bandCols = (0 until Bands).map(b =>
       xxhash64((0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1)): _*).as(s"band$b"))
     val banded = sigs.select(col("doc_id") +: bandCols: _*)

