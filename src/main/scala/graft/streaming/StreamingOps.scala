@@ -199,6 +199,18 @@ object StreamingOps {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** Stream-static enrichment join: every micro-batch joins against a
+    * static dimension (user profile, geo lookup) — broadcast per batch,
+    * no streaming state, no watermark needed (the static side is
+    * re-planned each batch, so a dimension refreshed on disk is picked
+    * up without restarting the query). left join keeps events whose
+    * dimension row is missing — dropping them silently is the classic
+    * enrichment bug.
+    */
+  def enrichAgainstStatic(events: DataFrame, dim: DataFrame,
+                          key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Stream-stream interval join (view→click attribution): each side is
     * watermarked and the join condition bounds click_ts to a window after
     * view_ts, so Spark can compute a state-eviction watermark for BOTH

@@ -169,6 +169,25 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("stream-static enrichment join keeps dimension-less events (left join)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val stream = MemoryStream[Event]
+    val q = StreamingOps.enrichAgainstStatic(stream.toDF(), dim, "user_id")
+      .select("event_id", "user_id", "tier")
+      .writeStream.format("memory").queryName("enriched").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      stream.addData(Seq(Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 2, "view", 1.0), Event(3, ts(2), 99, "click", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("enriched").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(rows === Map(1L -> "gold", 2L -> "silver", 3L -> null))
+  }
+
   test("stream-stream interval join matches clicks within the bound, left-outer emits null after watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
