@@ -148,12 +148,55 @@ object SqlSuite3 {
         |ORDER BY s_suppkey""".stripMargin)
   }
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE, UNION ALL form): walk a
+    * synthetic binary-tree hierarchy over nation (parent = (key-1) div 2)
+    * to the root, reporting depth and ancestor-key sum. Terminates
+    * because the ancestor key strictly decreases — the UNION ALL
+    * restriction means cyclic graphs need the iterative DataFrame path
+    * (DedupOps.dedupComponents) instead; this is the DAG/hierarchy use
+    * case recursive CTEs exist for. Integer sums cast to BIGINT on both
+    * engines (DuckDB SUM(int) promotes to DECIMAL(38,0)).
+    */
+  def recursiveWalk(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(
+      """WITH RECURSIVE walk(nationkey, name, anc, depth) AS (
+        |  SELECT n_nationkey, n_name, CAST(n_nationkey AS BIGINT), 0 FROM v_nation
+        |  UNION ALL
+        |  SELECT w.nationkey, w.name, (w.anc - 1) div 2, w.depth + 1
+        |  FROM walk w WHERE w.anc > 0)
+        |SELECT nationkey, name,
+        |  CAST(max(depth) AS BIGINT) AS depth_to_root,
+        |  CAST(sum(anc) AS BIGINT) AS anc_key_sum
+        |FROM walk GROUP BY nationkey, name
+        |ORDER BY nationkey""".stripMargin)
+  }
+
+  /** LATERAL correlated subquery with ORDER BY + LIMIT — the SQL-native
+    * top-N-per-group (the DataFrame twin is q_win_topk_per_group /
+    * TopKPerGroupExec): latest 2 orders per customer. Catalyst
+    * decorrelates the lateral to a window under the hood; the total
+    * (o_orderdate, o_orderkey) DESC order makes the pick deterministic.
+    */
+  def lateralTopN(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(
+      """SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        |FROM v_customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM v_orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2) l
+        |ORDER BY c_custkey, o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_cust_distribution" -> (custDistribution _),
     "q_sql_product_profit" -> (productProfit _),
     "q_sql_min_price_supplier" -> (minPriceSupplier _),
     "q_sql_supplier_cnt" -> (supplierCnt _),
-    "q_sql_promo_suppliers" -> (promoSuppliers _))
+    "q_sql_promo_suppliers" -> (promoSuppliers _),
+    "q_sql_recursive_walk" -> (recursiveWalk _),
+    "q_sql_lateral_topn" -> (lateralTopN _))
 
   val oracles: Map[String, String] = Map(
     "q_sql_cust_distribution" ->
@@ -201,6 +244,24 @@ object SqlSuite3 {
         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY p_brand, p_type, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q_sql_recursive_walk" ->
+      """WITH RECURSIVE walk(nationkey, name, anc, depth) AS (
+        |  SELECT n_nationkey, n_name, CAST(n_nationkey AS BIGINT), 0 FROM nation
+        |  UNION ALL
+        |  SELECT w.nationkey, w.name, CAST(floor((w.anc - 1) / 2) AS BIGINT), w.depth + 1
+        |  FROM walk w WHERE w.anc > 0)
+        |SELECT nationkey, name,
+        |  CAST(max(depth) AS BIGINT) AS depth_to_root,
+        |  CAST(sum(anc) AS BIGINT) AS anc_key_sum
+        |FROM walk GROUP BY nationkey, name
+        |ORDER BY nationkey""".stripMargin,
+    "q_sql_lateral_topn" ->
+      """SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2) l
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
     "q_sql_promo_suppliers" ->
       """SELECT s_suppkey, s_name
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
