@@ -56,6 +56,24 @@ object Aggregations {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       .orderBy("event_type")
 
+  /** #24c HLL sketch RE-aggregation (Spark 4's Datasketches builtins):
+    * per-(type, day) sketches union to per-type distinct estimates
+    * without re-touching rows — the mergeable-cube pattern that makes
+    * distinct counts incremental at 100 TB (daily sketch bytes persist;
+    * month/quarter/lifetime rollups are unions of those partials, never
+    * a rescan). Union is lossless at equal lgK, so the two-level
+    * estimate is bit-identical to a direct one-level sketch — pinned in
+    * QualitySpec alongside a 5% bound vs exact. Rows-only (DuckDB has
+    * no Datasketches HLL twin).
+    */
+  def aggHllPartial(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .groupBy("event_type")
+      .agg(expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)").as("approx_users"))
+      .orderBy("event_type")
+
   /** #24b approximate percentile sketch (GK/KLL-family) — the quantile
     * companion to HLL: mergeable per-partition sketches, the 100 TB
     * alternative to exact percentile's full sort. Rows-only (DuckDB's
@@ -212,6 +230,7 @@ object Aggregations {
     "q_agg_global" -> (aggGlobal _),
     "q_agg_count_distinct" -> (countDistinctUsers _),
     "q_agg_approx_distinct" -> (approxDistinct _),
+    "q_agg_hll_partial" -> (aggHllPartial _),
     "q_agg_approx_percentile" -> (approxPercentile _),
     "q_od_flows" -> (odFlows _),
     "q_agg_rollup" -> (aggRollup _),

@@ -46,6 +46,26 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
       "vocabulary no longer collision-free at width 8192 — demote the oracle to rows-only")
   }
 
+  test("HLL partial-union estimate equals the direct sketch and stays within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val viaPartials = operators.Aggregations.aggHllPartial(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(expr("CAST(hll_sketch_estimate(hll_sketch_agg(user_id, 12)) AS BIGINT)").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // union of per-day partials is lossless at equal lgK
+    assert(viaPartials === direct, s"partial-union drifted from the direct sketch")
+    exact.foreach { case (k, n) =>
+      val est = viaPartials(k)
+      assert(math.abs(est - n).toDouble / n <= 0.05,
+        s"$k: HLL estimate $est vs exact $n exceeds 5%")
+    }
+  }
+
   test("IVF recall@5 vs brute force stays above floor") {
     val bf = operators.SimilarityOps.simCosineTopk(spark, sfDir)
       .select("probe_id", "cand_id").collect()
