@@ -272,6 +272,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.toString.contains("CartesianProduct"), plan.toString.take(3000))
   }
 
+  test("LATERAL ORDER BY+LIMIT decorrelates to a window, not a per-row join") {
+    val plan = executed(operators.SqlSuite3.lateralTopN(spark, sfDir))
+    val all = collectAll(plan)
+    assert(!all.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      s"lateral fell back to a nested loop:\n$plan")
+    assert(!plan.toString.contains("CartesianProduct"), plan.toString.take(3000))
+    assert(all.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]) ||
+      all.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowGroupLimitExec]),
+      s"expected a window rewrite of the correlated LIMIT:\n$plan")
+  }
+
   test("Q16-shape NOT IN plans as an anti join, never a cartesian") {
     val plan = executed(operators.SqlSuite3.supplierCnt(spark, sfDir))
     val planStr = plan.toString
