@@ -50,10 +50,52 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  /** Per-node triangle participation over the similarity graph — the
+    * clustering-coefficient numerator (dense near-dup clusters score
+    * high; bridges score 0). Edges stay id-oriented (doc_a < doc_b), so
+    * each triangle a<b<c is enumerated exactly once: join e1(a,b) with
+    * e2(b,c) on the middle node, close with the (a,c) edge — two hash
+    * joins on node keys, no symmetrization blow-up. At web scale the
+    * orientation should be by (degree, id) instead of raw id (bounds
+    * the wedge fan-out by arboricity — the standard compact-forward
+    * trick); id-orientation keeps the DuckDB twin trivially identical
+    * and the fixture degrees are near-uniform.
+    */
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    val e = DedupOps.materializedEdges(s, dir)
+    val e1 = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val e2 = e.select(col("doc_a").as("b"), col("doc_b").as("c"))
+    val e3 = e.select(col("doc_a").as("a"), col("doc_b").as("c"))
+    e1.join(e2, Seq("b")).join(e3, Seq("a", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_graph_pagerank" -> (pageRank _))
+    "q_graph_pagerank" -> (pageRank _),
+    "q_graph_triangles" -> (triangles _))
 
   val oracles: Map[String, String] = Map(
+    "q_graph_triangles" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |tri AS (
+        |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        |  FROM pairs e1
+        |  JOIN pairs e2 ON e1.doc_b = e2.doc_a
+        |  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+        |SELECT doc_id, COUNT(*) AS n_triangles
+        |FROM (SELECT unnest([t.a, t.b, t.c]) AS doc_id FROM tri t)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_graph_pagerank" ->
       """WITH RECURSIVE base AS (
         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset

@@ -289,7 +289,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF top-3 terms per document — the classic relevance weighting,
+    * under the repo's ln() determinism discipline: idf is floored to
+    * integer nanos ONCE per token (floor(ln((N+1)/(df+1))·1e9)), then
+    * multiplied by the integer term frequency, so every downstream sum,
+    * comparison and tie-break is pure int64 in both engines (same
+    * pattern as perplexity's nll_nano). Two token-key aggregates + one
+    * join; the doc-count is a 1-row broadcast. Top-3 via a window
+    * PARTITIONED by doc — never global.
+    */
+  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    val tok = tokens(Tables.documents(s, dir)).select("doc_id", "token")
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf_nano"), asc("token"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_nano",
+        floor(log((col("n_docs") + 1.0) / (col("df") + 1.0)) * 1e9).cast("long"))
+      .withColumn("tfidf_nano", col("tf") * col("idf_nano"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"), col("tfidf_nano"))
+      .orderBy("doc_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tfidf" -> (textTfidf _),
     "q_text_perplexity" -> (textPerplexity _),
     "q_mix_weights" -> (mixWeights _),
     "q_text_tokens_bpe" -> (textTokensBpe _),
@@ -306,6 +333,20 @@ object TextOps {
     "q_text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |ranked AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    tf.tf * CAST(floor(ln((n_docs + 1.0) / (df.df + 1.0)) * 1e9) AS BIGINT) AS tfidf_nano,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * CAST(floor(ln((n_docs + 1.0) / (df.df + 1.0)) * 1e9) AS BIGINT) DESC, tf.token ASC) AS rank
+        |  FROM tf JOIN df USING (token) CROSS JOIN nd)
+        |SELECT doc_id, rank, token, tf, df, tfidf_nano
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q_text_perplexity" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
