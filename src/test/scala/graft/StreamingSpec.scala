@@ -240,6 +240,39 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("chained stateful operators: 15-min windows re-aggregate into 1-hour windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Event]
+    // two stateful aggs in ONE query (Spark 4 multiple-stateful-operator
+    // support): fine windows roll up into coarse ones without a second
+    // job or an intermediate sink — the streaming mirror of the HLL
+    // partial re-aggregation pattern
+    val fine = stream.toDF().withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val coarse = fine
+      .groupBy(window(col("window"), "1 hour"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n_events"))
+    val q = coarse.writeStream.format("memory").queryName("chained")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      stream.addData(Seq(Event(1, ts(5), 1, "click", 1.0), Event(2, ts(20), 1, "click", 1.0),
+        Event(3, ts(50), 2, "click", 1.0)))
+      q.processAllAvailable()
+      // advance the watermark far past the 10:00 hour so both levels close
+      stream.addData(Seq(Event(4, Timestamp.valueOf("2024-01-01 13:00:00"), 9, "view", 1.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(Event(5, Timestamp.valueOf("2024-01-01 15:00:00"), 9, "view", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("chained").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(out.contains(("2024-01-01 10:00:00.0", "click", 3L)), out.toString)
+  }
+
   test("aggregation state survives a query restart from the checkpoint") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
