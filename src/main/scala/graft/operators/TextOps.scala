@@ -260,6 +260,36 @@ object TextOps {
       .orderBy("lang", "source")
   }
 
+  /** Mixture RESAMPLING — the step after [[mixWeights]]: expand/contract
+    * each (lang, source) slice to its temperature-adjusted weight by
+    * deterministic per-doc replication. rate = weight/share in integer
+    * micro-units; every doc gets floor(rate) copies plus one more iff
+    * its content hash falls under the fractional part — the fraction
+    * compare is done on 6-hex-digit STRINGS (md5 prefix vs
+    * hex-formatted integer threshold), so both engines evaluate the
+    * same lexicographic test with zero float math. Content-addressed
+    * like splitAssign: a doc's copy count is independent of
+    * partitioning, order, and engine. Pure map over a broadcast 97-row
+    * weight table + explode — embarrassingly parallel at any scale.
+    */
+  def mixResample(s: SparkSession, dir: String): DataFrame = {
+    val w = mixWeights(s, dir)
+      .select(col("lang"), col("source"), col("share_micro"), col("weight_micro"))
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"))
+      .join(broadcast(w), Seq("lang", "source"))
+      .withColumn("rate_micro", expr("(weight_micro * 1000000L) div share_micro"))
+      .withColumn("hex6",
+        substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 6))
+      .withColumn("thr",
+        lower(lpad(hex(expr("((rate_micro % 1000000L) * 16777216L) div 1000000L")), 6, "0")))
+      .withColumn("n_copies",
+        expr("rate_micro div 1000000L") + when(col("hex6") < col("thr"), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
   /** Unigram language-model scoring — the perplexity-style quality
     * filter of corpus pipelines: train add-one-smoothed unigram
     * probabilities on the corpus itself, score each document by average
@@ -319,6 +349,7 @@ object TextOps {
     "q_text_tfidf" -> (textTfidf _),
     "q_text_perplexity" -> (textPerplexity _),
     "q_mix_weights" -> (mixWeights _),
+    "q_mix_resample" -> (mixResample _),
     "q_text_tokens_bpe" -> (textTokensBpe _),
     "q_text_vocab_coverage" -> (textVocabCoverage _),
     "q_text_chunk" -> (textChunk _),
@@ -359,6 +390,34 @@ object TextOps {
         |SELECT doc_id, COUNT(*) AS n_tokens,
         |  round(CAST(SUM(nll_nano) AS BIGINT) / 1e9 / COUNT(*), 6) AS avg_nll
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_mix_resample" ->
+      """WITH g AS (
+        |  SELECT lang, source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY lang, source),
+        |sh AS (
+        |  SELECT *, CAST((tokens * 1000000) // SUM(tokens) OVER () AS BIGINT) AS share_micro FROM g),
+        |wm AS (
+        |  SELECT *, CAST(floor(sqrt(CAST(share_micro AS DOUBLE) / 1e6) * 1e6) AS BIGINT) AS w_micro
+        |  FROM sh),
+        |w AS (
+        |  SELECT lang, source, share_micro,
+        |    CAST((w_micro * 1000000) // SUM(w_micro) OVER () AS BIGINT) AS weight_micro
+        |  FROM wm),
+        |d AS (
+        |  SELECT doc_id, documents.lang, documents.source,
+        |    CAST((weight_micro * 1000000) // share_micro AS BIGINT) AS rate_micro,
+        |    substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 6) AS hex6
+        |  FROM documents JOIN w USING (lang, source)),
+        |c AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(rate_micro // 1000000
+        |      + CASE WHEN hex6 < lower(lpad(hex((rate_micro % 1000000) * 16777216 // 1000000), 6, '0'))
+        |             THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        |  FROM d)
+        |SELECT doc_id, lang, source, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
+        |FROM c WHERE n_copies > 0
+        |ORDER BY doc_id, copy_idx""".stripMargin,
     "q_mix_weights" ->
       """WITH g AS (
         |  SELECT lang, source, COUNT(*) AS n_docs,
