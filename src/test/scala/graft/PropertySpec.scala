@@ -19,6 +19,24 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     if (a.isEmpty && b.isEmpty) 1.0
     else a.intersect(b).size.toDouble / a.union(b).size
 
+  test("query results are invariant to the shuffle partition count") {
+    // the Det policy's core claim, tested directly: same rows, same order,
+    // under deliberately mismatched parallelism (2 vs 17 partitions)
+    val keys = Seq("q_agg_pricing_summary", "q_win_running", "q_corpus_manifest", "q_mix_resample")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def runAll(n: String): Map[String, Seq[org.apache.spark.sql.Row]] = {
+      spark.conf.set("spark.sql.shuffle.partitions", n)
+      keys.map(k => k -> SparkEntry.queries(k)(spark, sfDir).collect().toSeq).toMap
+    }
+    try {
+      val at2 = runAll("2")
+      val at17 = runAll("17")
+      keys.foreach { k =>
+        assert(at2(k) === at17(k), s"$k differs across partition counts")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("jaccard is symmetric, bounded, and 1 on self") {
     val pairs = samples(Gen.zip(Gen.listOf(Gen.alphaStr), Gen.listOf(Gen.alphaStr)))
     pairs.foreach { case (xs, ys) =>
