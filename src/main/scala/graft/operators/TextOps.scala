@@ -290,6 +290,51 @@ object TextOps {
       .orderBy("doc_id", "copy_idx")
   }
 
+  /** Fuzzy matching on edit distance — the entity-resolution/near-dup
+    * primitive the hash families (MinHash/SimHash) can't express:
+    * levenshtein ≤ 6 on the 16-char document prefix, within
+    * (lang, source) blocks. Levenshtein is O(len²) PER PAIR, so the
+    * enumeration is the cost driver: the block key bounds the quadratic
+    * term and the |len(a) − len(b)| ≤ 6 length filter (a lossless lower
+    * bound on edit distance) rejects pairs before the DP table is
+    * built. Both engines run the same textbook DP on identical strings
+    * → identical integer distances.
+    */
+  def textFuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        substring(col("text"), 1, 16).as("prefix"))
+    val a = base.select(col("lang"), col("source"),
+      col("doc_id").as("doc_a"), col("prefix").as("pa"))
+    val b = base.select(col("lang"), col("source"),
+      col("doc_id").as("doc_b"), col("prefix").as("pb"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("doc_a") < col("doc_b")
+        && abs(length(col("pa")) - length(col("pb"))) <= 6)
+      .withColumn("dist", levenshtein(col("pa"), col("pb")))
+      .filter(col("dist") <= 6)
+      .select(col("lang"), col("source"), col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Deterministic bounded sample per stratum — "give me 5 exemplar docs
+    * per language", reproducibly: rank by the content-addressed md5 of
+    * the doc id inside each (lang) partition and keep the first 5. The
+    * complement of the Bernoulli stratified sampler (q_sample_stratified):
+    * that one keeps a RATE per stratum, this one keeps a COUNT. Window
+    * is partitioned (never global); the hash order makes the pick
+    * independent of partitioning and engine.
+    */
+  def samplePerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(concat(lit("pick:"), col("doc_id").cast("string"))), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("pick_rank", row_number().over(w))
+      .filter(col("pick_rank") <= 5)
+      .orderBy("lang", "pick_rank")
+  }
+
   /** Unigram language-model scoring — the perplexity-style quality
     * filter of corpus pipelines: train add-one-smoothed unigram
     * probabilities on the corpus itself, score each document by average
@@ -350,6 +395,8 @@ object TextOps {
     "q_text_perplexity" -> (textPerplexity _),
     "q_mix_weights" -> (mixWeights _),
     "q_mix_resample" -> (mixResample _),
+    "q_text_fuzzy_match" -> (textFuzzyMatch _),
+    "q_sample_per_group" -> (samplePerGroup _),
     "q_text_tokens_bpe" -> (textTokensBpe _),
     "q_text_vocab_coverage" -> (textVocabCoverage _),
     "q_text_chunk" -> (textChunk _),
@@ -390,6 +437,26 @@ object TextOps {
         |SELECT doc_id, COUNT(*) AS n_tokens,
         |  round(CAST(SUM(nll_nano) AS BIGINT) / 1e9 / COUNT(*), 6) AS avg_nll
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_fuzzy_match" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, substring(text, 1, 16) AS prefix FROM documents)
+        |SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.prefix, b.prefix) AS INT) AS dist
+        |FROM base a JOIN base b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE abs(len(a.prefix) - len(b.prefix)) <= 6
+        |  AND levenshtein(a.prefix, b.prefix) <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_sample_per_group" ->
+      """SELECT doc_id, lang,
+        |  CAST(pick_rank AS INT) AS pick_rank
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('pick:' || CAST(doc_id AS VARCHAR)), doc_id) AS pick_rank
+        |  FROM documents)
+        |WHERE pick_rank <= 5
+        |ORDER BY lang, pick_rank""".stripMargin,
     "q_mix_resample" ->
       """WITH g AS (
         |  SELECT lang, source,
