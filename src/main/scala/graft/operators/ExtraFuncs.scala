@@ -143,7 +143,50 @@ object ExtraFuncs {
         parse_url(col("url"), lit("QUERY")).as("query"))
       .orderBy("doc_id")
 
+  /** Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): the year-over-
+    * year priority comparison where the "priority missing" bucket must
+    * match ITSELF across years — a plain `=` silently drops the null
+    * rows from the join. Still a hash join (null-safe equality is a
+    * valid equi-key; no fallback to nested loop). ORDER BY pins NULLS
+    * FIRST explicitly because Spark and DuckDB default opposite null
+    * orders.
+    */
+  def joinNullSafe(s: SparkSession, dir: String): DataFrame = {
+    def yearAgg(year: Int, out: String): DataFrame =
+      Tables.orders(s, dir)
+        .filter(expr(s"year(o_orderdate) = $year"))
+        .withColumn("prio", expr("nullif(o_orderpriority, '5-LOW')"))
+        .groupBy("prio").agg(count(lit(1)).as(out))
+    val a = yearAgg(1995, "n_1995")
+    val b = yearAgg(1996, "n_1996").withColumnRenamed("prio", "prio_b")
+    a.join(b, col("prio") <=> col("prio_b"))
+      .select(col("prio"), col("n_1995"), col("n_1996"))
+      .orderBy(col("prio").asc_nulls_first)
+  }
+
+  /** Spark 4 VARIANT round-trip: build a JSON payload, parse it into the
+    * binary VARIANT type, extract typed fields back with variant_get —
+    * the semi-structured ingestion path (VARIANT keeps the parsed tree,
+    * so repeated extractions never re-parse the text, unlike
+    * get_json_object over strings). The oracle recomputes the extracted
+    * values straight from the source columns: the query proves the
+    * variant path is value-preserving.
+    */
+  def jsonVariant(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 100 === 0)
+      .withColumn("payload", concat(
+        lit("{\"qty\": "), col("l_quantity").cast("int"),
+        lit(", \"flag\": \""), col("l_returnflag"), lit("\"}")))
+      .withColumn("v", expr("parse_json(payload)"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("variant_get(v, '$.qty', 'int')").as("qty"),
+        expr("variant_get(v, '$.flag', 'string')").as("flag"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_null_safe" -> (joinNullSafe _),
+    "q_json_variant" -> (jsonVariant _),
     "q_url_parse" -> (urlParse _),
     "q_bloom_semi_join" -> (bloomSemiJoin _),
     "q_explode_outer" -> (explodeOuter _),
@@ -156,6 +199,21 @@ object ExtraFuncs {
     "q_agg_salted" -> (aggSalted _))
 
   val oracles: Map[String, String] = Map(
+    "q_join_null_safe" ->
+      """WITH a AS (
+        |  SELECT nullif(o_orderpriority, '5-LOW') AS prio, COUNT(*) AS n_1995
+        |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        |b AS (
+        |  SELECT nullif(o_orderpriority, '5-LOW') AS prio, COUNT(*) AS n_1996
+        |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)
+        |SELECT a.prio, n_1995, n_1996
+        |FROM a JOIN b ON a.prio IS NOT DISTINCT FROM b.prio
+        |ORDER BY a.prio NULLS FIRST""".stripMargin,
+    "q_json_variant" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS INT) AS qty, l_returnflag AS flag
+        |FROM lineitem WHERE l_orderkey % 100 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_url_parse" ->
       """WITH u AS (
         |  SELECT doc_id,
