@@ -186,6 +186,23 @@ case class CmsEstimateExpr(left: Expression, right: Expression,
   * graft_dot(a, b).
   */
 object GraftFunctions {
+  /** Sketch-parameter arguments (depth, width, #perms …) must be integer
+    * literals — they size aggregation buffers at planning time. Checking
+    * foldability here turns a mistyped `graft_cms_agg(h, d_col, w)` into
+    * a clear analysis error instead of an opaque eval/cast exception.
+    */
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case lit if lit.foldable =>
+      lit.eval() match {
+        case i: Int => i
+        case l: Long if l.isValidInt => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"$fn: argument '$arg' must be an integer literal, got $other")
+      }
+    case _ => throw new IllegalArgumentException(
+      s"$fn: argument '$arg' must be a literal (foldable), got ${e.sql}")
+  }
+
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("graft_haversine",
@@ -199,27 +216,27 @@ object GraftFunctions {
     // and graft_simhash(h)
     registry.createOrReplaceTempFunction("graft_minhash_sig",
       exprs => MinHashSigAgg(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]).toAggregateExpression(), "scala_udf")
+        intLit(exprs(1), "graft_minhash_sig", "num_perms")).toAggregateExpression(), "scala_udf")
     registry.createOrReplaceTempFunction("graft_simhash",
       exprs => SimHashAgg(exprs(0)).toAggregateExpression(), "scala_udf")
     registry.createOrReplaceTempFunction("graft_minhash_sig_arr",
       exprs => MinHashSigExpr(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+        intLit(exprs(1), "graft_minhash_sig_arr", "num_perms")), "scala_udf")
     registry.createOrReplaceTempFunction("graft_sign_lsh",
       exprs => SignLshSigExpr(exprs(0),
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int]), "scala_udf")
+        intLit(exprs(1), "graft_sign_lsh", "num_bits"),
+        intLit(exprs(2), "graft_sign_lsh", "seed")), "scala_udf")
+    registry.createOrReplaceTempFunction("graft_cms_agg",
+      exprs => CountMinAgg(exprs(0),
+        intLit(exprs(1), "graft_cms_agg", "depth"),
+        intLit(exprs(2), "graft_cms_agg", "width")).toAggregateExpression(), "scala_udf")
+    registry.createOrReplaceTempFunction("graft_cms_estimate",
+      exprs => CmsEstimateExpr(exprs(0), exprs(1),
+        intLit(exprs(2), "graft_cms_estimate", "depth"),
+        intLit(exprs(3), "graft_cms_estimate", "width")), "scala_udf")
     // Spark ships BloomFilterAggregate/BloomFilterMightContain for its own
     // runtime filters but does not expose them in the SQL registry; surface
     // them so the explicit runtime-filter pattern is scriptable.
-    registry.createOrReplaceTempFunction("graft_cms_agg",
-      exprs => CountMinAgg(exprs(0),
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int]).toAggregateExpression(), "scala_udf")
-    registry.createOrReplaceTempFunction("graft_cms_estimate",
-      exprs => CmsEstimateExpr(exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Int],
-        exprs(3).eval().asInstanceOf[Int]), "scala_udf")
     registry.createOrReplaceTempFunction("graft_bloom_agg",
       exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         exprs(0), exprs(1), exprs(2)).toAggregateExpression(), "scala_udf")

@@ -339,12 +339,17 @@ case class CountMinAgg(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
 
+  // width ceiling: each aggregation buffer (and every map-side partial)
+  // allocates depth·width longs, so an unbounded width is an executor-OOM
+  // bomb at analysis time — 2^24 columns (128 MiB/row at depth 16) is far
+  // beyond any useful eps and cheap to refuse here instead of at runtime.
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == LongType && depth >= 1 && depth <= 16 && width >= 16)
+    if (child.dataType == LongType && depth >= 1 && depth <= 16 &&
+        width >= 16 && width <= (1 << 24))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires a bigint hash column, 1 <= depth <= 16, width >= 16")
+        s"$prettyName requires a bigint hash column, 1 <= depth <= 16, 16 <= width <= 2^24")
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
 

@@ -132,7 +132,10 @@ object DedupOps {
     */
   private[graft] def materializedSignatures(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/minhash_sigs_v1_${cacheKey(dir, "documents")}"
+    // NumPerms is part of the cache identity: changing it must re-derive
+    // the signatures, not silently serve stale ones (shingle width is the
+    // only other parameter; bump the _s3 tag if it ever changes).
+    val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/minhash_sigs_v1_p${NumPerms}_s3_${cacheKey(dir, "documents")}"
     if (!new java.io.File(path, "_SUCCESS").exists())
       docsWithShingleHashes(s, dir)
         .select(col("doc_id"), explode(col("sh_hashes")).as("sh_hash"))

@@ -130,13 +130,69 @@ object Scans {
       .orderBy("ship_year")
   }
 
+  /** Bucketed sort-merge (SMB) join — the OTHER storage-layout join lever
+    * at 100 TB next to DPP: both fact tables written ONCE bucketed+sorted
+    * on the join key (8 buckets here; thousands on a cluster), after
+    * which every key-equi join between them runs with ZERO shuffle — the
+    * scan itself delivers the co-partitioning, so a 100 TB×100 TB join
+    * moves no bytes between executors (PlanShapeSpec asserts no
+    * ShuffleExchange on the key feeding the SortMergeJoin).
+    *
+    * Derived-cache discipline as everywhere in this file: the bucketed
+    * layout is a pure function of the source table, written once per tmp
+    * lifetime. Bucketed metadata lives in the session catalog (bucket ids
+    * are encoded in file NAMES, not parquet footers), which is in-memory
+    * and dies with the JVM — so a fresh JVM re-attaches the existing
+    * files with a CREATE TABLE … CLUSTERED BY DDL instead of rewriting
+    * the data; only the very first run pays the write. The merge hint
+    * pins SMJ (orders at test SF is broadcast-sized, which would bypass
+    * the layout being demonstrated; at real scale neither side
+    * broadcasts and SMJ is what the planner picks anyway).
+    */
+  def scanBucketed(s: SparkSession, dir: String): DataFrame = {
+    val key = DedupOps.cacheKey(dir, "lineitem").take(16)
+    def ensure(name: String, path: String, ddlCols: String, bucketCol: String)
+              (write: => Unit): Unit =
+      if (!s.catalog.tableExists(name)) {
+        if (new java.io.File(path, "_SUCCESS").exists())
+          s.sql(s"""CREATE TABLE $name ($ddlCols) USING PARQUET
+                   |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO 8 BUCKETS
+                   |LOCATION '$path'""".stripMargin)
+        else write
+      }
+    val liName = s"graft_b_lineitem_$key"
+    val liPath = ioDir("bkt_lineitem", dir)
+    ensure(liName, liPath, "l_orderkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE",
+        "l_orderkey") {
+      Tables.lineitem(s, dir).select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", liPath).mode("overwrite").saveAsTable(liName)
+    }
+    val ordName = s"graft_b_orders_$key"
+    val ordPath = ioDir("bkt_orders", dir)
+    ensure(ordName, ordPath, "o_orderkey BIGINT, o_orderstatus STRING", "o_orderkey") {
+      Tables.orders(s, dir).select("o_orderkey", "o_orderstatus")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", ordPath).mode("overwrite").saveAsTable(ordName)
+    }
+    val li = s.table(liName)
+    val ord = s.table(ordName)
+    li.join(ord.hint("merge"), li("l_orderkey") === ord("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        graft.Det.dsum(col("l_quantity")).as("sum_qty"),
+        graft.Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_parquet" -> (scanParquet _),
     "q_scan_csv" -> (scanCsv _),
     "q_scan_jsonl" -> (scanJsonl _),
     "q_scan_orc" -> (scanOrc _),
     "q_scan_xml" -> (scanXml _),
-    "q_scan_partitioned" -> (scanPartitioned _))
+    "q_scan_partitioned" -> (scanPartitioned _),
+    "q_scan_bucketed" -> (scanBucketed _))
 
   /** CSV/JSONL oracles read the parquet originals: equality proves the text
     * round-trip is lossless.
@@ -170,5 +226,11 @@ object Scans {
         |FROM (SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year, l_extendedprice
         |      FROM lineitem) l
         |JOIN dim USING (ship_year)
-        |GROUP BY ship_year ORDER BY ship_year""".stripMargin)
+        |GROUP BY ship_year ORDER BY ship_year""".stripMargin,
+    "q_scan_bucketed" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }

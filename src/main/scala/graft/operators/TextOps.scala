@@ -277,6 +277,11 @@ object TextOps {
       .select(col("lang"), col("source"), col("share_micro"), col("weight_micro"))
     Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"))
       .join(broadcast(w), Seq("lang", "source"))
+      // strata under 1 ppm of corpus tokens floor to share_micro = 0; the
+      // rate is undefined there (Spark div yields NULL, DuckDB // raises),
+      // so drop them EXPLICITLY in both engines — the resample targets
+      // measurable strata, a <1ppm slice has no meaningful rate anyway
+      .filter(col("share_micro") > 0)
       .withColumn("rate_micro", expr("(weight_micro * 1000000L) div share_micro"))
       .withColumn("hex6",
         substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 6))
@@ -475,7 +480,8 @@ object TextOps {
         |  SELECT doc_id, documents.lang, documents.source,
         |    CAST((weight_micro * 1000000) // share_micro AS BIGINT) AS rate_micro,
         |    substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 6) AS hex6
-        |  FROM documents JOIN w USING (lang, source)),
+        |  FROM documents JOIN w USING (lang, source)
+        |  WHERE share_micro > 0),
         |c AS (
         |  SELECT doc_id, lang, source,
         |    CAST(rate_micro // 1000000

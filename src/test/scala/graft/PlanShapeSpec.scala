@@ -246,6 +246,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       planStr.take(3000))
   }
 
+  test("bucketed-scan query sort-merge-joins with zero shuffle on the key") {
+    val df = operators.Scans.scanBucketed(spark, sfDir)
+    val plan = executed(df)
+    val all = collectAll(plan)
+    assert(all.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      s"expected a SortMergeJoin, plan:\n$plan")
+    // the bucketed layout must carry the co-partitioning: no exchange may
+    // hash on the join key anywhere (the only allowed exchange is the
+    // final tiny groupBy(o_orderstatus) agg)
+    val keyExchanges = all.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("orderkey") => e
+    }
+    assert(keyExchanges.isEmpty, s"bucketed join still shuffles on the key:\n$plan")
+  }
+
   test("Q6-shape SQL pushes every predicate into the lineitem scan") {
     val df = operators.SqlSuite2.revenueForecast(spark, sfDir)
     val scans = collectAll(df.queryExecution.sparkPlan).collect {

@@ -35,11 +35,17 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
       .collect()
     val n = rows.map(_.getLong(1)).sum
     val epsN = math.ceil(math.E / 8192 * n).toLong
+    // one-sidedness (est >= exact) is a hard structural invariant; the
+    // eps bound is only PROBABILISTIC (per-query failure prob e^-depth ≈
+    // 1.8% at depth 4), so a regenerated fixture can legitimately exceed
+    // it on a few tokens — assert the failure FRACTION, not every token
     rows.foreach { r =>
       val (exact, est) = (r.getLong(1), r.getLong(2))
       assert(est >= exact, s"CMS under-estimated ${r.getString(0)}: $est < $exact")
-      assert(est <= exact + epsN, s"CMS blew the eps bound on ${r.getString(0)}: $est > $exact + $epsN")
     }
+    val over = rows.count(r => r.getLong(2) > r.getLong(1) + epsN)
+    assert(over.toDouble / rows.length <= 0.05,
+      s"CMS blew the eps bound on $over/${rows.length} tokens (allowed: e^-depth ≈ 1.8%)")
     // the oracle for q_text_topterms_cms asserts est == exact; pin the
     // collision-freeness that claim rests on at this fixture scale
     assert(rows.forall(r => r.getLong(1) == r.getLong(2)),
