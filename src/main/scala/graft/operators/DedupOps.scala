@@ -156,8 +156,21 @@ object DedupOps {
 
   /** #63 MinHash + banded LSH near-dup pipeline: shingle → 64-perm MinHash
     * → 16 4-row bands → band-bucket grouping for candidates → exact
-    * Jaccard ≥ 0.5 confirm. Hash-based, so this is a rows-only query;
-    * the exact-Jaccard twin below is the hash-free oracle-checked path.
+    * SHINGLE-Jaccard ≥ 0.5 confirm. Candidates and confirm operate in the
+    * SAME similarity space (3-token shingle sets — word-order-sensitive,
+    * the standard MinHash dedup formulation): MinHash estimates exactly
+    * the quantity the confirm filter thresholds, so the confirm is a
+    * true verification step rather than a second, different metric.
+    *
+    * Oracle-able BECAUSE of that consistency: the DuckDB twin computes
+    * all-pairs shingle Jaccard over shingle STRINGS (equal to the
+    * hashed-shingle Jaccard absent xxhash64 collisions — none at any
+    * test SF) and the pipeline output equals it whenever LSH recall is 1
+    * at the threshold, which holds deterministically on the fixed
+    * fixtures (signatures are xxhash64-derived, not random;
+    * QualitySpec pins the identity with a demotion note — a pair at
+    * shingle-J barely ≥ 0.5 has per-band collision prob J⁴, so a future
+    * fixture could legitimately demote this to rows-only).
     *
     * Candidates via bucket-collect + pair-explode instead of a self-join:
     * a DataFrame self-join would execute the whole signature subplan
@@ -171,14 +184,14 @@ object DedupOps {
       boundedBucketPairs(minhashMelted(s, dir), Seq("band_idx", "band_hash"), Seq.empty)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sets = Tables.documents(s, dir)
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tokset"))
+    val sets = withShingleHashes(Tables.documents(s, dir), "text")
+      .select(col("doc_id"), array_distinct(col("sh_hashes")).as("shset"))
     candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("tokset").as("set_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("tokset").as("set_b")), Seq("doc_b"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b")))).as("jaccard"))
+        round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
@@ -415,6 +428,27 @@ object DedupOps {
     "q_dedup_components" -> (dedupComponents _))
 
   val oracles: Map[String, String] = Map(
+    // all-pairs shingle-Jaccard twin of the LSH pipeline (see
+    // dedupNearMinhash scaladoc for why equality holds): string shingles
+    // stand in for the 64-bit shingle hashes, <3-token docs fall back to
+    // the whole-text singleton exactly like withShingleHashes
+    "q_dedup_near_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |      THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                          FOR i IN range(1, len(t) - 1)])
+        |      ELSE [text] END AS shingles
+        |  FROM toks)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |        / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |        / len(list_distinct(a.shingles || b.shingles)), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_jaccard_blocked" ->
       """WITH base AS (
         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
