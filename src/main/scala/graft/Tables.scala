@@ -42,6 +42,25 @@ object Tables {
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
 }
 
+/** Session-memoized `v_*` temp views for the SQL-front-door suites.
+  *
+  * Each SqlSuite query used to re-register all seven views on every call
+  * — seven parquet-footer schema reads per query, pure overhead once the
+  * suite grows to dozens of queries per Verify/Bench run. Views are a
+  * pure function of (session, dir), so register once and only re-run
+  * when the dir changes for that session (the dev-subset and test paths
+  * all pass the same sfDir; a dir switch — e.g. PropertySpec fixtures —
+  * self-invalidates via the map check).
+  */
+object SqlViews {
+  private val lastDir = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+  private val tables =
+    Seq("customer", "orders", "lineitem", "nation", "supplier", "region", "part")
+  def ensure(s: SparkSession, dir: String): Unit =
+    if (lastDir.put(System.identityHashCode(s), dir) != dir)
+      tables.foreach(n => Tables.t(s, dir, n).createOrReplaceTempView(s"v_$n"))
+}
+
 /** Determinism policy (SURVEY.md §5.3): the driver hash-compares our parquet
   * against DuckDB, so every oracle-able query must be bit-deterministic under
   * any partitioning / parallelism. Double summation is order-sensitive, so

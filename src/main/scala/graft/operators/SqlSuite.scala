@@ -12,14 +12,8 @@ import graft.Tables
   */
 object SqlSuite {
 
-  private def views(s: SparkSession, dir: String): Unit = {
-    Tables.customer(s, dir).createOrReplaceTempView("v_customer")
-    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
-    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
-    Tables.nation(s, dir).createOrReplaceTempView("v_nation")
-    Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
-    Tables.region(s, dir).createOrReplaceTempView("v_region")
-  }
+  private def views(s: SparkSession, dir: String): Unit =
+    graft.SqlViews.ensure(s, dir)
 
   /** Shipping-priority classic (TPC-H Q3 shape, fixture date domain):
     * 3-way join, grouped decimal revenue, top-10 by revenue.

@@ -24,15 +24,8 @@ import graft.Tables
   */
 object SqlSuite2 {
 
-  private def views(s: SparkSession, dir: String): Unit = {
-    Tables.customer(s, dir).createOrReplaceTempView("v_customer")
-    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
-    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
-    Tables.nation(s, dir).createOrReplaceTempView("v_nation")
-    Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
-    Tables.region(s, dir).createOrReplaceTempView("v_region")
-    Tables.part(s, dir).createOrReplaceTempView("v_part")
-  }
+  private def views(s: SparkSession, dir: String): Unit =
+    graft.SqlViews.ensure(s, dir)
 
   /** Order-priority checking (TPC-H Q4 shape). The reference schema has
     * no commitdate/receiptdate, so "late" is shipdate > orderdate + 30d.

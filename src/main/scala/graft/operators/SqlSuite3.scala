@@ -23,15 +23,8 @@ import graft.Tables
   */
 object SqlSuite3 {
 
-  private def views(s: SparkSession, dir: String): Unit = {
-    Tables.customer(s, dir).createOrReplaceTempView("v_customer")
-    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
-    Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
-    Tables.nation(s, dir).createOrReplaceTempView("v_nation")
-    Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
-    Tables.region(s, dir).createOrReplaceTempView("v_region")
-    Tables.part(s, dir).createOrReplaceTempView("v_part")
-  }
+  private def views(s: SparkSession, dir: String): Unit =
+    graft.SqlViews.ensure(s, dir)
 
   /** Customer order-count distribution (TPC-H Q13 shape). The defining
     * feature is the filter in the LEFT JOIN's ON clause (a WHERE filter

@@ -53,6 +53,16 @@ object TimeWindows {
     * scaffold bounds come from one 1-row aggregate cross-joined
     * (broadcast) into the sequence explode, so the shape is scan + 1
     * aggregate + 1 window pass at any scale.
+    *
+    * The interpolation window is GLOBAL (unpartitioned) by necessity —
+    * gap edges must see across any partition boundary — and is SAFE by
+    * construction: it runs over the hourly SCAFFOLD, whose cardinality
+    * is hours-in-range (720 at sf0.1, ~10⁵ for a decade), independent of
+    * event count. The 100 TB of raw events are reduced by the hour
+    * aggregate BEFORE the window; the single-partition stage never sees
+    * more than ~10⁵ rows. (Contrast the two-phase global rank in
+    * StatsOps.ntileBuckets, needed when the windowed relation itself
+    * scales with the data.)
     */
   def tsGapfill(s: SparkSession, dir: String): DataFrame = {
     val hourly = Tables.events(s, dir)
