@@ -50,9 +50,83 @@ object EventOps {
       .orderBy("cohort_wk", "offset_wk")
   }
 
+  /** Gap-based sessionization — the per-EVENT session assignment that
+    * session_window (q_window_session) can't give: every event carries
+    * its user's running session index, computed as a cumulative sum of
+    * "gap to previous event > 30 min" flags. Two window passes over the
+    * SAME (user_id → ts, event_id) partitioning/order, so Spark plans
+    * exactly one shuffle and one sort; at 100 TB this is the canonical
+    * sessionize shape (state per user = one timestamp, never a buffer).
+    * (ts, event_id) is a total order per user, so the assignment is
+    * engine- and partitioning-independent.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("gap_sec",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+      .withColumn("new_sess",
+        when(col("gap_sec").isNull || col("gap_sec") > 1800, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_sess"))
+        .over(w.rowsBetween(Long.MinValue, 0)))
+      .select(col("user_id"), col("event_id"), col("ts"), col("session_idx"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  /** Top user journeys: each user's first 5 event types in time order as
+    * a path string, counted across users. The window top-5 keeps the
+    * per-user state bounded (rn ≤ 5 prunes before the collect), the path
+    * aggregate shuffles #users rows, and the final count shuffles
+    * #distinct-paths ≤ 4⁵ rows — nothing scales with raw event count
+    * except the first windowed pass.
+    */
+  def eventPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 5)
+      .groupBy("user_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(20)
+  }
+
+  /** Recency-weighted activity score: Σ value · w(age) per user, with
+    * HYPERBOLIC decay w = 1/(1 + age_days/30) — deliberately not exp():
+    * 1/(1+x) is a chain of individually correctly-rounded IEEE ops, so
+    * both engines produce bit-identical weights, whereas libm exp() is
+    * not guaranteed identical across implementations. Each term is
+    * floored to integer nanos and the per-user sum is integer — the
+    * [[graft.Det]] discipline for order-free float aggregation. The
+    * reference instant is the corpus max ts (1-row broadcast), keeping
+    * the query deterministic for a fixed input at any parallelism.
+    */
+  def timeDecay(s: SparkSession, dir: String): DataFrame = {
+    val ref = Tables.events(s, dir)
+      .agg(max(unix_timestamp(col("ts"))).as("ref_sec"))
+    Tables.events(s, dir)
+      .crossJoin(broadcast(ref))
+      .withColumn("age_days",
+        (col("ref_sec") - unix_timestamp(col("ts"))).cast("double") / lit(86400.0))
+      .withColumn("score_nano",
+        floor(col("value") * lit(1e9) / (lit(1.0) + col("age_days") / lit(30.0))).cast("long"))
+      .groupBy("user_id")
+      .agg(sum(col("score_nano")).as("score_nano"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (funnel _),
-    "q_retention" -> (retention _))
+    "q_retention" -> (retention _),
+    "q_sessionize" -> (sessionize _),
+    "q_event_paths" -> (eventPaths _),
+    "q_time_decay" -> (timeDecay _))
 
   val oracles: Map[String, String] = Map(
     "q_funnel" ->
@@ -74,5 +148,39 @@ object EventOps {
         |f AS (SELECT user_id, MIN(wk) AS cohort_wk FROM a GROUP BY user_id)
         |SELECT cohort_wk, date_diff('day', cohort_wk, wk) // 7 AS offset_wk, COUNT(*) AS n_users
         |FROM a JOIN f USING (user_id)
-        |GROUP BY cohort_wk, offset_wk ORDER BY cohort_wk, offset_wk""".stripMargin)
+        |GROUP BY cohort_wk, offset_wk ORDER BY cohort_wk, offset_wk""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - CAST(floor(epoch(lag(ts, 1) OVER w)) AS BIGINT) AS gap_sec
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id, ts,
+        |  CAST(SUM(CASE WHEN gap_sec IS NULL OR gap_sec > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |FROM g ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_event_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id)
+        |SELECT path, COUNT(*) AS n_users FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+    "q_time_decay" ->
+      """WITH ref AS (
+        |  SELECT MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS ref_sec FROM events),
+        |t AS (
+        |  SELECT user_id,
+        |    CAST(floor(value * 1e9 / (1.0 +
+        |      ((ref_sec - CAST(floor(epoch(ts)) AS BIGINT)) / 86400.0) / 30.0)) AS BIGINT)
+        |      AS score_nano
+        |  FROM events, ref)
+        |SELECT user_id, CAST(SUM(score_nano) AS BIGINT) AS score_nano,
+        |  COUNT(*) AS n_events
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

@@ -146,14 +146,40 @@ object StatsOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic per-group mode: the most frequent event_type per user
+    * with an explicit (count DESC, value ASC) tiebreak — both engines'
+    * built-in mode() leave ties implementation-defined, so the portable
+    * formulation is count + row_number over the count order. Two
+    * aggregations sharing the user_id hash partitioning plus one
+    * #users-sized window — the standard scalable mode shape (never a
+    * per-group collect).
+    */
+  def aggMode(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("user_id").orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("mode_event"), col("n"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile_columns" -> (profileColumns _),
     "q_winsorize" -> (winsorize _),
     "q_ntile" -> (ntileBuckets _),
     "q_zorder_key" -> (zorderKey _),
+    "q_agg_mode" -> (aggMode _),
     "q_text_entropy" -> (textEntropy _))
 
   val oracles: Map[String, String] = Map(
+    "q_agg_mode" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id, event_type AS mode_event, n FROM c
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) = 1
+        |ORDER BY user_id""".stripMargin,
     "q_profile_columns" ->
       """SELECT * FROM (
         |  SELECT 'o_totalprice' AS col_name, COUNT(*) AS n,

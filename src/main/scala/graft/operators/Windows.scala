@@ -27,6 +27,23 @@ object Windows {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Distribution window functions — percent_rank / cume_dist (+ decile
+    * ntile), completing the rank family in #31. Both are exact-integer
+    * ratios ((rank−1)/(n−1), rank_hi/n) evaluated as one double division
+    * — correctly rounded identically in both engines — over a total
+    * per-partition order (o_totalprice ties broken by o_orderkey), so
+    * values are reproducible at any parallelism.
+    */
+  def winCume(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        ntile(10).over(w).as("decile"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** #32 per-user event sequencing: gap to previous event in whole seconds
     * (epoch floored identically on both engines).
     */
@@ -88,6 +105,7 @@ object Windows {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_rank" -> (winRank _),
     "q_win_lag_sequence" -> (winLagSequence _),
+    "q_win_cume" -> (winCume _),
     "q_win_running" -> (winRunning _),
     "q_win_range_frame" -> (winRangeFrame _),
     "q_dedup_keep_latest" -> (dedupKeepLatest _),
@@ -101,6 +119,14 @@ object Windows {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, rn""".stripMargin,
+    "q_win_cume" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  CAST(ntile(10) OVER w AS INTEGER) AS decile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_win_lag_sequence" ->
       """SELECT event_id, user_id, ts,
         |  CAST(floor(epoch(ts)) AS BIGINT)

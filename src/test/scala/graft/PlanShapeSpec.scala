@@ -93,6 +93,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges <= 2, s"as-of join should not shuffle more than window+sort:\n$plan")
   }
 
+  test("sessionize runs both window passes on one user_id shuffle") {
+    val plan = executed(operators.EventOps.sessionize(spark, sfDir))
+    // lag + running-sum share the same (partitionBy, orderBy), so the
+    // planner must reuse a single hashpartitioning(user_id) exchange;
+    // the only other allowed exchange is the final presentation sort
+    val exchanges = collectAll(plan).count(_.isInstanceOf[Exchange])
+    assert(exchanges <= 2, s"sessionize should shuffle once + final sort:\n$plan")
+  }
+
   test("minhash signature aggregates via the native kernel, not 64 agg columns") {
     // signatures are materialized once per corpus (derived-file pattern);
     // the kernel assertion targets the materialization's own plan
