@@ -42,7 +42,9 @@ object SparkEntry {
       (EventOps.queries, EventOps.oracles),
       (StatsOps.queries, StatsOps.oracles),
       (SqlSuite2.queries, SqlSuite2.oracles),
-      (SqlSuite3.queries, SqlSuite3.oracles))
+      (SqlSuite3.queries, SqlSuite3.oracles),
+      (SearchOps.queries, SearchOps.oracles),
+      (ClusterOps.queries, ClusterOps.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.{Det, Tables}
 
 /** §2.3 Joins — the reference enriches trips against device/provider/
@@ -223,7 +224,34 @@ object Joins {
        |ORDER BY district_id, p_partkey""".stripMargin
   }
 
+  /** Skew-mitigated (salted) equi join: the build side is replicated
+    * once per salt value and the probe side picks a deterministic salt
+    * from a row-unique hash, so one hot key's rows spread over
+    * [[SaltFactor]] reducers instead of one. Result is provably
+    * identical to the unsalted join (each probe row still matches
+    * exactly one replica) — the oracle IS the plain join. At 100 TB
+    * this is the manual fallback when AQE skew-join can't fire (e.g. a
+    * skewed key feeding a stateful agg); here the dim is 5 rows so
+    * broadcast would also work — the query exists to grade the
+    * technique's correctness, plan shape and determinism.
+    */
+  def joinSalted(s: SparkSession, dir: String): DataFrame = {
+    val SaltFactor = 8
+    val events = Tables.events(s, dir)
+    val dim = events.groupBy("event_type").agg(count(lit(1)).as("type_n"))
+    val saltedDim = dim.withColumn("salt",
+      explode(sequence(lit(0), lit(SaltFactor - 1))))
+    val fact = events.withColumn("salt",
+      pmod(xxhash64(col("event_id")), lit(SaltFactor)).cast("int"))
+    fact.join(saltedDim, Seq("event_type", "salt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max(col("type_n")).as("type_n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_salted" -> (joinSalted _),
     "q_join_inner" -> (joinInner _),
     "q_join_broadcast_dims" -> (joinBroadcastDims _),
     "q_join_left_anti" -> (joinLeftAnti _),
@@ -238,6 +266,13 @@ object Joins {
     "q_pip_exact" -> (pipExact _))
 
   val oracles: Map[String, String] = Map(
+    "q_join_salted" ->
+      """WITH dim AS (
+        |  SELECT event_type, COUNT(*) AS type_n FROM events GROUP BY event_type)
+        |SELECT e.event_type, COUNT(*) AS n, MAX(d.type_n) AS type_n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "q_join_inner" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price

@@ -84,12 +84,56 @@ object QualityOps {
       .orderBy("event_type", "event_id")
   }
 
+  /** Snapshot reconciliation (CDC-style diff): classify every key of
+    * two table versions as added / removed / changed / unchanged via
+    * one full-outer join on the key, then aggregate per class. The two
+    * "snapshots" are deterministic slices of the fixture's orders table
+    * (old drops keys ≡0 mod 97; new drops keys ≡0 mod 101 and bumps
+    * the price of keys ≡0 mod 89). At 100 TB this is one key-partitioned
+    * shuffle join (AQE-sized) with map-side-combined class counts — the
+    * shape of every snapshot-integrity / replication-audit job.
+    */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val oldSnap = orders.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+      .select(col("o_orderkey").as("key"), col("o_totalprice").as("price_old"))
+    val newSnap = orders.filter(pmod(col("o_orderkey"), lit(101)) =!= 0)
+      .select(col("o_orderkey").as("key"),
+        (col("o_totalprice") +
+          when(pmod(col("o_orderkey"), lit(89)) === 0, 1.0).otherwise(0.0)).as("price_new"))
+    oldSnap.join(newSnap, Seq("key"), "full_outer")
+      .withColumn("change_type",
+        when(col("price_old").isNull, "added")
+          .when(col("price_new").isNull, "removed")
+          .when(col("price_old") =!= col("price_new"), "changed")
+          .otherwise("unchanged"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n"), min(col("key")).as("min_key"), max(col("key")).as("max_key"))
+      .orderBy("change_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_diff" -> (snapshotDiff _),
     "q_outlier_iqr" -> (outlierIqr _),
     "q_dq_checks" -> (dqChecks _),
     "q_scd2_history" -> (scd2History _))
 
   val oracles: Map[String, String] = Map(
+    "q_snapshot_diff" ->
+      """WITH olds AS (
+        |  SELECT o_orderkey AS key, o_totalprice AS price_old
+        |  FROM orders WHERE o_orderkey % 97 <> 0),
+        |news AS (
+        |  SELECT o_orderkey AS key,
+        |    o_totalprice + CASE WHEN o_orderkey % 89 = 0 THEN 1.0 ELSE 0.0 END AS price_new
+        |  FROM orders WHERE o_orderkey % 101 <> 0)
+        |SELECT CASE WHEN price_old IS NULL THEN 'added'
+        |            WHEN price_new IS NULL THEN 'removed'
+        |            WHEN price_old <> price_new THEN 'changed'
+        |            ELSE 'unchanged' END AS change_type,
+        |  COUNT(*) AS n, MIN(key) AS min_key, MAX(key) AS max_key
+        |FROM olds FULL OUTER JOIN news USING (key)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_outlier_iqr" ->
       """WITH q AS (
         |  SELECT event_type,

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
 /** Dataset statistics & layout operators a 100 TB curation pipeline runs
@@ -164,7 +165,73 @@ object StatsOps {
       .orderBy("user_id")
   }
 
+  /** Robust dispersion per market segment: median, MAD (median absolute
+    * deviation) and the count of |x − median| > 3·MAD outliers. Same
+    * ulp discipline as winsorize: both engines round each interpolated
+    * median to 4 dp before any downstream arithmetic (2-dp inputs
+    * interpolated at 0.5 are exact 3-dp numbers, so 4-dp rounding is
+    * tie-free), making the 3·MAD comparison exact. Two group-key
+    * aggregates over a segment-cardinality table — the percentile state
+    * is the only non-map-side term and swaps to approx_percentile at
+    * corpus scale.
+    */
+  def statsMad(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val med = cust.groupBy(col("c_mktsegment").as("seg"))
+      .agg(round(expr("percentile(c_acctbal, 0.5)"), 4).as("med"))
+    val dev = cust.join(broadcast(med), col("c_mktsegment") === col("seg"))
+      .withColumn("adev", abs(col("c_acctbal") - col("med")))
+    val mad = dev.groupBy("seg", "med")
+      .agg(round(expr("percentile(adev, 0.5)"), 4).as("mad"))
+    dev.drop("med").join(broadcast(mad), Seq("seg"))
+      .groupBy("seg", "med", "mad")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("adev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("seg")
+  }
+
+  /** Per-segment simple linear regression of order value on the
+    * customer's account balance, from closed-form exact sums: slope =
+    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), intercept = (Σy − slope·Σx)/n,
+    * r² = num² / (denx·deny). The 2-dp money inputs become exact
+    * integer CENTS up front (round(x·100) — both engines land on the
+    * same integer), every Σ is an exact DECIMAL(38,0) [DuckDB twin:
+    * HUGEINT] with map-side combine, and floats appear only in the
+    * final identically-ordered correctly-rounded double ops. One
+    * aggregate pass — the textbook mean-centered formula would need
+    * two — and no window anywhere.
+    */
+  def statsRegression(s: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val j = Tables.orders(s, dir).join(Tables.customer(s, dir),
+      col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("xc"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("yc"))
+    // per-row products stay in int64 (cents² ≤ ~5e13 here); the sums do not
+    val sums = j.groupBy("seg").agg(
+      count(lit(1)).as("n"),
+      sum(col("xc").cast(big)).as("sx"),
+      sum(col("yc").cast(big)).as("sy"),
+      sum((col("xc") * col("yc")).cast(big)).as("sxy"),
+      sum((col("xc") * col("xc")).cast(big)).as("sxx"),
+      sum((col("yc") * col("yc")).cast(big)).as("syy"))
+    sums
+      .withColumn("num", (col("n").cast(big) * col("sxy") - col("sx") * col("sy")).cast("double"))
+      .withColumn("denx", (col("n").cast(big) * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("deny", (col("n").cast(big) * col("syy") - col("sy") * col("sy")).cast("double"))
+      .withColumn("slope_raw", col("num") / col("denx"))
+      .select(col("seg"), col("n"),
+        round(col("slope_raw"), 6).as("slope"),
+        round((col("sy").cast("double") - col("slope_raw") * col("sx").cast("double"))
+          / col("n") / 100.0, 4).as("intercept"),
+        round(col("num") * col("num") / (col("denx") * col("deny")), 6).as("r2"))
+      .orderBy("seg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_mad" -> (statsMad _),
+    "q_stats_regression" -> (statsRegression _),
     "q_profile_columns" -> (profileColumns _),
     "q_winsorize" -> (winsorize _),
     "q_ntile" -> (ntileBuckets _),
@@ -173,6 +240,42 @@ object StatsOps {
     "q_text_entropy" -> (textEntropy _))
 
   val oracles: Map[String, String] = Map(
+    "q_stats_mad" ->
+      """WITH med AS (
+        |  SELECT c_mktsegment AS seg, round(quantile_cont(c_acctbal, 0.5), 4) AS med
+        |  FROM customer GROUP BY c_mktsegment),
+        |dev AS (
+        |  SELECT seg, med, abs(c_acctbal - med) AS adev
+        |  FROM customer JOIN med ON c_mktsegment = seg),
+        |mad AS (
+        |  SELECT seg, med, round(quantile_cont(adev, 0.5), 4) AS mad
+        |  FROM dev GROUP BY seg, med)
+        |SELECT d.seg, m.med, m.mad, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN d.adev > m.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m USING (seg)
+        |GROUP BY d.seg, m.med, m.mad ORDER BY d.seg""".stripMargin,
+    "q_stats_regression" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(round(c_acctbal * 100) AS HUGEINT) AS xc,
+        |    CAST(round(o_totalprice * 100) AS HUGEINT) AS yc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |sums AS (
+        |  SELECT seg, COUNT(*) AS n,
+        |    SUM(xc) AS sx, SUM(yc) AS sy,
+        |    SUM(xc*yc) AS sxy, SUM(xc*xc) AS sxx, SUM(yc*yc) AS syy
+        |  FROM j GROUP BY seg),
+        |t AS (
+        |  SELECT seg, n,
+        |    CAST(n*sxy - sx*sy AS DOUBLE) AS num,
+        |    CAST(n*sxx - sx*sx AS DOUBLE) AS denx,
+        |    CAST(n*syy - sy*sy AS DOUBLE) AS deny,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM sums)
+        |SELECT seg, n, round(num/denx, 6) AS slope,
+        |  round((syd - (num/denx)*sxd)/n/100.0, 4) AS intercept,
+        |  round(num*num/(denx*deny), 6) AS r2
+        |FROM t ORDER BY seg""".stripMargin,
     "q_agg_mode" ->
       """WITH c AS (
         |  SELECT user_id, event_type, COUNT(*) AS n

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral checks for the round-8 retrieval / clustering / stats
+  * operators, independent of the DuckDB oracle: BM25 and the regression
+  * are re-derived in driver-side Scala over the collected fixture
+  * (exactly — both pipelines are integer-nano/exact-sum disciplined, so
+  * a JVM re-computation must match bit-for-bit), k-means is checked
+  * against Lloyd's monotonicity guarantee, and the salted join against
+  * its own unsalted twin.
+  */
+class SearchClusterSpec extends AnyFunSuite with SparkFixture {
+
+  test("BM25 matches an exact driver-side recomputation (integer-nano discipline)") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val qTerms = Seq("join", "vector", "scan")
+    val nDocs = docs.size.toLong
+    val totalLen = docs.values.map(_.size.toLong).sum
+    val dfm = qTerms.map(t => t -> docs.values.count(_.contains(t)).toLong).toMap
+    val expected = docs.flatMap { case (id, toks) =>
+      val dl = toks.size.toLong
+      val scores = qTerms.flatMap { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf == 0) None else {
+          val df = dfm(t)
+          val idfNano = math.floor(math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0) * 1e9).toLong
+          val ratio = (dl * nDocs).toDouble / totalLen
+          Some(math.floor(idfNano * ((tf * (1.2 + 1.0)) /
+            (tf + 1.2 * (1.0 - 0.75 + 0.75 * ratio)))).toLong)
+        }
+      }
+      if (scores.isEmpty) None
+      else Some(id -> (scores.size.toLong, BigDecimal(scores.sum / 1e9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val top = expected.toSeq
+      .sortBy { case (id, (_, s)) => (-(s * 1e6).toLong, id) }.take(50)
+    val got = operators.SearchOps.textBm25(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+    assert(got.length === top.length)
+    got.zip(top).foreach { case (g, e) => assert(g === e) }
+  }
+
+  test("posting lists are capped at 8, ordered by tf desc, and df/total_tf are consistent") {
+    val rows = operators.SearchOps.textPostings(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (df, totalTf, postings) = (r.getLong(1), r.getLong(2), r.getString(3))
+      val entries = postings.split(",").map { e =>
+        val Array(d, tf) = e.split(":"); (d.toLong, tf.toLong)
+      }
+      assert(entries.length == math.min(df, 8L).toInt, s"cap violated for ${r.getString(0)}")
+      assert(entries.map(_._1).distinct.length == entries.length, "duplicate doc in postings")
+      // non-increasing tf along the serialized list
+      assert(entries.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+      assert(totalTf >= df, "total_tf must dominate df")
+      assert(entries.map(_._2).sum <= totalTf)
+    }
+  }
+
+  test("k-means: members partition the corpus and Lloyd's update never increases inertia") {
+    val n = Tables.embeddings(spark, sfDir).count()
+    val out = operators.ClusterOps.embedKmeans(spark, sfDir).collect()
+    assert(out.map(_.getLong(1)).sum === n, "every vector assigned exactly once")
+    assert(out.map(_.getInt(0)).distinct.length === out.length)
+    // Lloyd monotonicity: inertia under updated centroids <= inertia under seeds
+    val vecs = operators.ClusterOps.quantized(spark, sfDir)
+    val seed = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("q").as("c"))
+    val a1 = operators.ClusterOps.assign(vecs, seed)
+    val i1 = a1.agg(sum("dist")).collect()(0).getLong(0)
+    val i2 = out.map(_.getLong(2)).sum
+    assert(i2 <= i1, s"inertia rose after a Lloyd round: $i1 -> $i2")
+  }
+
+  test("MAD stats are internally consistent (nonneg dispersion, outliers a strict subset)") {
+    val rows = operators.StatsOps.statsMad(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0, "negative MAD")
+      assert(r.getLong(4) < r.getLong(3), "outliers must be a strict subset")
+    }
+  }
+
+  test("regression matches an exact BigInt driver-side recomputation") {
+    val joined = Tables.orders(spark, sfDir).join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("c_acctbal"), col("o_totalprice")).collect()
+    val bySeg = joined.groupBy(_.getString(0))
+    val expected = bySeg.map { case (seg, rs) =>
+      val xy = rs.map(r => (BigInt(math.round(r.getDouble(1) * 100)),
+        BigInt(math.round(r.getDouble(2) * 100))))
+      val n = BigInt(xy.length)
+      val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val sxx = xy.map(p => p._1 * p._1).sum
+      val num = (n * sxy - sx * sy).toDouble
+      val denx = (n * sxx - sx * sx).toDouble
+      seg -> BigDecimal(num / denx).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = operators.StatsOps.statsRegression(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (seg, slope) => assert(got(seg) === slope, s"slope mismatch in $seg") }
+  }
+
+  test("snapshot diff classes reconcile with the raw key arithmetic") {
+    val keys = Tables.orders(spark, sfDir).select("o_orderkey").collect().map(_.getLong(0))
+    val added = keys.count(k => k % 97 == 0 && k % 101 != 0).toLong
+    val removed = keys.count(k => k % 101 == 0 && k % 97 != 0).toLong
+    val changed = keys.count(k => k % 89 == 0 && k % 97 != 0 && k % 101 != 0).toLong
+    val m = operators.QualityOps.snapshotDiff(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.getOrElse("added", 0L) === added)
+    assert(m.getOrElse("removed", 0L) === removed)
+    assert(m.getOrElse("changed", 0L) === changed)
+    assert(m.values.sum === keys.count(k => k % 97 != 0 || k % 101 != 0).toLong)
+  }
+
+  test("salted join returns exactly the unsalted join's aggregate") {
+    val events = Tables.events(spark, sfDir)
+    val dim = events.groupBy("event_type").agg(count(lit(1)).as("type_n"))
+    val plain = events.join(dim, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max("type_n").as("type_n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val salted = operators.Joins.joinSalted(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(salted === plain)
+  }
+}
