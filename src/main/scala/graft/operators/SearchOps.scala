@@ -88,9 +88,45 @@ object SearchOps {
       .orderBy("token")
   }
 
+  /** Token co-occurrence with PMI: top-20 token pairs by pointwise
+    * mutual information ln(c12·N / (c1·c2)) over document-level
+    * incidence, support ≥ 20 docs. Scale control is STRUCTURAL: pairs
+    * are generated only within the top-64-df vocabulary (broadcast
+    * semi-join prefilter), so the per-document pair fan-out is ≤ 64²/2
+    * regardless of corpus vocabulary growth; margins still come from
+    * the full vocabulary. PMI follows the ln()-nano discipline
+    * (floored once per pair; the ln argument is one exact int64
+    * product per side), and the final top-20 is TakeOrderedAndProject.
+    */
+  def textCooccur(s: SparkSession, dir: String): DataFrame = {
+    val docTok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+    val margins = docTok.groupBy("token").agg(count(lit(1)).as("c1"))
+    val vocab = margins.orderBy(col("c1").desc, col("token")).limit(64).select("token")
+    val tv = docTok.join(broadcast(vocab), Seq("token"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val pairs = tv.as("a").join(tv.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.token") < col("b.token"))
+      .groupBy(col("a.token").as("t1"), col("b.token").as("t2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= 20)
+    pairs
+      .join(broadcast(margins.select(col("token").as("t1"), col("c1").as("m1"))), Seq("t1"))
+      .join(broadcast(margins.select(col("token").as("t2"), col("c1").as("m2"))), Seq("t2"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("pmi_nano",
+        floor(log((col("c12") * col("n_docs")).cast("double")
+          / (col("m1") * col("m2")).cast("double")) * 1e9).cast("long"))
+      .orderBy(col("pmi_nano").desc, col("t1"), col("t2"))
+      .limit(20)
+      .select("t1", "t2", "c12", "pmi_nano")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_bm25" -> (textBm25 _),
-    "q_text_postings" -> (textPostings _))
+    "q_text_postings" -> (textPostings _),
+    "q_text_cooccur" -> (textCooccur _))
 
   val oracles: Map[String, String] = Map(
     "q_text_bm25" ->
@@ -114,6 +150,25 @@ object SearchOps {
         |FROM scored GROUP BY doc_id
         |ORDER BY CAST(round(CAST(SUM(score_nano) AS BIGINT) / 1e9, 6) * 1e6 AS BIGINT) DESC, doc_id
         |LIMIT 50""".stripMargin,
+    "q_text_cooccur" ->
+      """WITH tokd AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)),
+        |m AS (SELECT token, COUNT(*) AS c1 FROM tokd GROUP BY token),
+        |vocab AS (SELECT token FROM m ORDER BY c1 DESC, token LIMIT 64),
+        |tv AS (SELECT tokd.* FROM tokd JOIN vocab USING (token)),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |p AS (
+        |  SELECT a.token AS t1, b.token AS t2, COUNT(*) AS c12
+        |  FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.token < b.token
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 20),
+        |j AS (
+        |  SELECT t1, t2, c12,
+        |    CAST(floor(ln(CAST(c12 * n_docs AS DOUBLE) / CAST(m1.c1 * m2.c1 AS DOUBLE)) * 1e9) AS BIGINT)
+        |      AS pmi_nano
+        |  FROM p JOIN m m1 ON p.t1 = m1.token JOIN m m2 ON p.t2 = m2.token CROSS JOIN nd)
+        |SELECT t1, t2, c12, pmi_nano FROM j
+        |ORDER BY pmi_nano DESC, t1, t2 LIMIT 20""".stripMargin,
     "q_text_postings" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

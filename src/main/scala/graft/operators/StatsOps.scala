@@ -229,7 +229,35 @@ object StatsOps {
       .orderBy("seg")
   }
 
+  /** χ² test of independence for the (lang × source) contingency table:
+    * is corpus source correlated with language? Observed counts are one
+    * group-key aggregate; margins and the total are cells-cardinality
+    * re-aggregates (broadcast); expected counts rt·ct/n use one exact
+    * int64 product and one double division, and each cell's
+    * (o−e)²/e term is nano-floored BEFORE the global sum, so the
+    * statistic is partition-order-free. Everything after the first
+    * aggregate operates on |lang|·|source| rows — trivially small at
+    * any corpus size.
+    */
+  def statsChisq(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.documents(s, dir).groupBy("lang", "source")
+      .agg(count(lit(1)).as("o"))
+    val rowT = obs.groupBy("lang").agg(sum(col("o")).as("rt"))
+    val colT = obs.groupBy("source").agg(sum(col("o")).as("ct"))
+    val tot = obs.agg(sum(col("o")).as("n"),
+      countDistinct(col("lang")).as("nl"), countDistinct(col("source")).as("ns"))
+    obs.join(broadcast(rowT), Seq("lang")).join(broadcast(colT), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("e", (col("rt") * col("ct")).cast("double") / col("n"))
+      .withColumn("d", col("o").cast("double") - col("e"))
+      .withColumn("term_nano", floor(col("d") * col("d") / col("e") * 1e9).cast("long"))
+      .agg(count(lit(1)).as("n_cells"),
+        max((col("nl") - 1) * (col("ns") - 1)).as("dof"),
+        round(sum(col("term_nano")) / 1e9, 6).as("chi2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_chisq" -> (statsChisq _),
     "q_stats_mad" -> (statsMad _),
     "q_stats_regression" -> (statsRegression _),
     "q_profile_columns" -> (profileColumns _),
@@ -240,6 +268,23 @@ object StatsOps {
     "q_text_entropy" -> (textEntropy _))
 
   val oracles: Map[String, String] = Map(
+    "q_stats_chisq" ->
+      """WITH obs AS (
+        |  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source),
+        |rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM obs GROUP BY lang),
+        |ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY source),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |  COUNT(DISTINCT lang) AS nl, COUNT(DISTINCT source) AS ns FROM obs),
+        |cells AS (
+        |  SELECT o, CAST(rt * ct AS DOUBLE) / n AS e, nl, ns
+        |  FROM obs JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot),
+        |t AS (
+        |  SELECT CAST(floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e * 1e9) AS BIGINT)
+        |    AS term_nano, nl, ns
+        |  FROM cells)
+        |SELECT COUNT(*) AS n_cells, MAX((nl - 1) * (ns - 1)) AS dof,
+        |  round(CAST(SUM(term_nano) AS BIGINT) / 1e9, 6) AS chi2
+        |FROM t""".stripMargin,
     "q_stats_mad" ->
       """WITH med AS (
         |  SELECT c_mktsegment AS seg, round(quantile_cont(c_acctbal, 0.5), 4) AS med

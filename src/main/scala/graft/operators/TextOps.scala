@@ -408,7 +408,36 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** Deterministic weighted sampling (Efraimidis–Spirakis A-ES): per
+    * lang, the 5 docs with the largest key u^(1/w) where w = n_chars
+    * and u is a seeded md5-uniform — so longer docs are
+    * proportionally likelier, yet the draw is a pure function of
+    * doc_id (rerunnable, engine-independent; no rand()). Ordering by
+    * u^(1/w) == ordering by ln(u)/w, and ln is floored to integer
+    * nanos ONCE (the repo's ln() discipline) before the single exact
+    * int/int double division that forms the sort key, so the ranking
+    * can never drift. One window per lang partition; at 100 TB the
+    * top-5 heap per stratum is WindowGroupLimit-pruned map-side.
+    */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("key").desc, col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("ln_nano",
+        floor(log((col("h").cast("double") + 0.5) / 4294967296.0) * 1e9).cast("long"))
+      .withColumn("key", col("ln_nano").cast("double") / col("n_chars"))
+      .withColumn("pick_rank", row_number().over(w))
+      .filter(col("pick_rank") <= 5)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("pick_rank").cast("int").as("pick_rank"))
+      .orderBy("lang", "pick_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_weighted" -> (sampleWeighted _),
     "q_text_tfidf" -> (textTfidf _),
     "q_text_perplexity" -> (textPerplexity _),
     "q_mix_weights" -> (mixWeights _),
@@ -429,6 +458,20 @@ object TextOps {
     "q_text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_sample_weighted" ->
+      """WITH k AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(floor(ln((('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+        |      / 4294967296.0) * 1e9) AS BIGINT) AS ln_nano
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST(ln_nano AS DOUBLE) / n_chars DESC, doc_id) AS pick_rank
+        |  FROM k)
+        |SELECT doc_id, lang, n_chars, CAST(pick_rank AS INT) AS pick_rank
+        |FROM r WHERE pick_rank <= 5
+        |ORDER BY lang, pick_rank""".stripMargin,
     "q_text_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

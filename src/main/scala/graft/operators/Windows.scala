@@ -102,7 +102,26 @@ object Windows {
       .orderBy("p_brand", "rn")
   }
 
+  /** Time-windowed deduplication: an event survives iff the previous
+    * event with the same (user_id, event_type) is more than 600 s older
+    * (the batch twin of the streaming watermark-dedup in
+    * StreamingOps). Note the lag is against the previous RAW event, not
+    * the previous KEPT one — that variant is inherently sequential
+    * state (the streaming op's job); this one is a single key-
+    * partitioned window, embarrassingly parallel at any scale.
+    */
+  def dedupWindowed(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withColumn("gap", secs(col("ts")) - secs(lag(col("ts"), 1).over(w)))
+      .filter(col("gap").isNull || col("gap") > 600)
+      .select("event_id", "user_id", "event_type", "ts")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_windowed" -> (dedupWindowed _),
     "q_win_rank" -> (winRank _),
     "q_win_lag_sequence" -> (winLagSequence _),
     "q_win_cume" -> (winCume _),
@@ -112,6 +131,16 @@ object Windows {
     "q_win_topk_per_group" -> (winTopkPerGroup _))
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_windowed" ->
+      """WITH g AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - CAST(floor(epoch(lag(ts, 1) OVER w)) AS BIGINT) AS gap
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+        |SELECT event_id, user_id, event_type, ts
+        |FROM g WHERE gap IS NULL OR gap > 600
+        |ORDER BY event_id""".stripMargin,
     "q_win_rank" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |  row_number() OVER w AS rn, rank() OVER w AS rnk,

@@ -396,4 +396,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("BM25 top-50 is TakeOrderedAndProject and the term stats are broadcast") {
+    val plan = executed(operators.SearchOps.textBm25(spark, sfDir))
+    val all = collectAll(plan)
+    assert(all.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"expected TakeOrderedAndProject, plan:\n$plan")
+    // df (query-vocab-sized) and the 1-row corpus stats must both be broadcast
+    assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]), s"plan:\n$plan")
+    assert(all.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]), s"plan:\n$plan")
+  }
+
+  test("k-means assignment broadcasts centroids and never explodes the vectors") {
+    import org.apache.spark.sql.functions.col
+    val vecs = operators.ClusterOps.quantized(spark, sfDir)
+    val seed = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("q").as("c"))
+    val assigned = operators.ClusterOps.assign(vecs, seed)
+    val all = collectAll(executed(assigned))
+    // centroids arrive via a broadcast (BNLJ cross of a K-row side)
+    assert(all.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "centroids were not broadcast")
+    // the distance is zip_with/aggregate over the arrays — no Generate
+    // (explode) may appear anywhere on the assignment path
+    assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.GenerateExec]),
+      "assignment path exploded the vectors")
+    // top-1-per-vector is pushed down as a WindowGroupLimit before the shuffle
+    assert(all.map(_.getClass.getSimpleName).count(_ == "WindowGroupLimitExec") >= 2,
+      "expected partial+final WindowGroupLimit for the rn=1 filter")
+  }
 }

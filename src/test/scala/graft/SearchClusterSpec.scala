@@ -121,6 +121,80 @@ class SearchClusterSpec extends AnyFunSuite with SparkFixture {
     assert(m.values.sum === keys.count(k => k % 97 != 0 || k % 101 != 0).toLong)
   }
 
+  test("weighted sample matches an exact driver-side A-ES recomputation") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(docId: Long): Double = {
+      val hex = md.digest(s"ws:$docId".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (lang, rs) =>
+      rs.sortBy { case (id, _, w) =>
+        (-(math.floor(math.log(u(id)) * 1e9).toLong.toDouble / w), id)
+      }.take(5).zipWithIndex.map { case ((id, _, _), i) => (lang, i + 1) -> id }
+    }.toMap
+    val got = operators.TextOps.sampleWeighted(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getInt(3)) -> r.getLong(0)).toMap
+    assert(got === expected)
+  }
+
+  test("chi-square statistic matches an exact driver-side recomputation") {
+    val rows = Tables.documents(spark, sfDir).select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val obs = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rt = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ct = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = rows.length.toLong
+    val chi2Nano = obs.map { case ((l, s), o) =>
+      val e = (rt(l) * ct(s)).toDouble / n
+      val d = o.toDouble - e
+      math.floor(d * d / e * 1e9).toLong
+    }.sum
+    val r = operators.StatsOps.statsChisq(spark, sfDir).collect()(0)
+    assert(r.getLong(0) === obs.size.toLong)
+    assert(r.getLong(1) === (rt.size - 1).toLong * (ct.size - 1))
+    assert(r.getDouble(2) === BigDecimal(chi2Nano / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("windowed dedup keeps exactly the first event of every burst") {
+    val kept = operators.Windows.dedupWindowed(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val evs = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "user_id", "event_type", "cast(ts as long) as sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expected = evs.groupBy(e => (e._2, e._3)).values.flatMap { grp =>
+      val sorted = grp.sortBy(e => (e._4, e._1))
+      sorted.zip(None +: sorted.map(Some(_))).collect {
+        case (e, prev) if prev.forall(p => e._4 - p._4 > 600) => e._1
+      }
+    }.toSet
+    assert(kept === expected)
+  }
+
+  test("co-occurrence pairs are ordered, supported, and PMI-consistent with margins") {
+    val rows = operators.SearchOps.textCooccur(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docTok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    val m = docTok.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val byDoc = docTok.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val (t1, t2, c12, pmiNano) = (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+      assert(t1 < t2, "pair not canonically ordered")
+      assert(c12 >= 20, "support filter violated")
+      val trueC12 = byDoc.values.count(s => s(t1) && s(t2)).toLong
+      assert(c12 === trueC12, s"co-occurrence count wrong for ($t1,$t2)")
+      val expected = math.floor(math.log((c12 * nDocs).toDouble / (m(t1) * m(t2)).toDouble) * 1e9).toLong
+      assert(pmiNano === expected, s"PMI mismatch for ($t1,$t2)")
+    }
+  }
+
   test("salted join returns exactly the unsalted join's aggregate") {
     val events = Tables.events(spark, sfDir)
     val dim = events.groupBy("event_type").agg(count(lit(1)).as("type_n"))
