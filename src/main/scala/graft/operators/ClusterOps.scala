@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
 /** Embedding-space clustering: Lloyd's k-means with a fixed seed set and
@@ -74,10 +75,107 @@ object ClusterOps {
       .orderBy("cluster_id")
   }
 
+  /** Collapse a (dim, wv) table into a single-row array ordered by dim
+    * — the K·D-sized "model state" that gets broadcast back at vectors.
+    */
+  private def asRow(df: DataFrame, valueCol: String, outCol: String): DataFrame =
+    df.groupBy(lit(1).as("one"))
+      .agg(array_sort(collect_list(struct(col("dim"), col(valueCol)))).as("pairs"))
+      .select(transform(col("pairs"), p => p(valueCol)).as(outCol))
+
+  /** Top principal component of the embedding corpus via MATRIX-FREE
+    * power iteration: the d×d covariance is never materialized —
+    * each round computes dot_v = c_v·w as a map over vectors
+    * (zip_with/aggregate, codegen) and the next direction
+    * x = Σ_v dot_v·c_v as one (dim)-key aggregate, i.e. two linear
+    * passes instead of a d² build. Exactness discipline: centered
+    * vectors are integer micros; dots are exact int64; the Σ dot·c
+    * accumulators are exact DECIMAL(38,0) [DuckDB: HUGEINT]; the only
+    * floats are the per-round max-norm rescale (floor(x/max|x|·1e6),
+    * three correctly-rounded double ops on identical inputs) and the
+    * final Rayleigh quotient — so the iterate is bit-identical across
+    * engines and partitionings. Max-norm (not L2) renormalization
+    * keeps every round in integer space; the direction converges
+    * identically. Sign is canonicalized so the largest-|w| component
+    * is positive. Output: 64 rows (dim, w_micro, lambda).
+    */
+  def embedPca(s: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    def dotCol(w: org.apache.spark.sql.Column) =
+      aggregate(zip_with(col("c"), w, (a, b) => a * b), lit(0L), (acc, v) => acc + v)
+    val vecs = quantized(s, dir)
+    val mean = vecs.select(posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("mv"))
+    val centered = vecs.crossJoin(broadcast(asRow(mean, "mv", "m")))
+      .select(col("vec_id"), zip_with(col("q"), col("m"), (a, b) => a - b).as("c"))
+    val w0 = centered.filter(col("vec_id") === 0).select(col("c").as("w"))
+    def iterate(w: DataFrame): DataFrame = {
+      val dots = centered.crossJoin(broadcast(w))
+        .select(col("vec_id"), col("c"), dotCol(col("w")).as("dot"))
+      val x = dots.select(posexplode(col("c")).as(Seq("dim", "cv")), col("dot"))
+        .groupBy("dim").agg(sum(col("cv").cast(big) * col("dot").cast(big)).as("x"))
+      val mx = x.agg(max(abs(col("x"))).as("mx"))
+      val w1 = x.crossJoin(broadcast(mx))
+        .select(col("dim"),
+          floor(col("x").cast("double") / col("mx").cast("double") * 1e6).cast("long").as("wv"))
+      asRow(w1, "wv", "w")
+    }
+    val w2 = iterate(iterate(w0))
+    val dots2 = centered.crossJoin(broadcast(w2))
+      .select(dotCol(col("w")).as("dot"))
+    val lam = dots2.agg(
+      sum(col("dot").cast(big) * col("dot").cast(big)).cast("double").as("sd2"),
+      count(lit(1)).as("nv"))
+    val exploded = w2.select(posexplode(col("w")).as(Seq("dim0", "wv")))
+    val signRow = exploded.orderBy(abs(col("wv")).desc, col("dim0")).limit(1)
+      .select(when(col("wv") < 0, -1L).otherwise(1L).as("sgn"))
+    val ww = exploded.agg(sum(col("wv") * col("wv")).cast("double").as("wwd"))
+    exploded.crossJoin(broadcast(signRow)).crossJoin(broadcast(lam)).crossJoin(broadcast(ww))
+      .select((col("dim0") + 1).as("dim"),
+        (col("wv") * col("sgn")).as("w_micro"),
+        round(col("sd2") / col("nv") / col("wwd") / 1e12, 6).as("lambda"))
+      .orderBy("dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_embed_kmeans" -> (embedKmeans _))
+    "q_embed_kmeans" -> (embedKmeans _),
+    "q_embed_pca" -> (embedPca _))
 
   val oracles: Map[String, String] = Map(
+    "q_embed_pca" ->
+      """WITH qv AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM embeddings),
+        |m AS (SELECT dim, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mv
+        |      FROM qv GROUP BY dim),
+        |c AS (SELECT vec_id, qv.dim, v - mv AS cv FROM qv JOIN m USING (dim)),
+        |w0 AS (SELECT dim, cv AS wv FROM c WHERE vec_id = 0),
+        |d1 AS (SELECT c.vec_id, SUM(c.cv * w0.wv) AS dot FROM c JOIN w0 USING (dim)
+        |       GROUP BY c.vec_id),
+        |x1 AS (SELECT dim, SUM(CAST(cv AS HUGEINT) * dot) AS x FROM c JOIN d1 USING (vec_id)
+        |       GROUP BY dim),
+        |mx1 AS (SELECT MAX(abs(x)) AS mx FROM x1),
+        |w1 AS (SELECT dim, CAST(floor(CAST(x AS DOUBLE) / CAST(mx AS DOUBLE) * 1000000.0) AS BIGINT) AS wv
+        |       FROM x1 CROSS JOIN mx1),
+        |d2 AS (SELECT c.vec_id, SUM(c.cv * w1.wv) AS dot FROM c JOIN w1 USING (dim)
+        |       GROUP BY c.vec_id),
+        |x2 AS (SELECT dim, SUM(CAST(cv AS HUGEINT) * dot) AS x FROM c JOIN d2 USING (vec_id)
+        |       GROUP BY dim),
+        |mx2 AS (SELECT MAX(abs(x)) AS mx FROM x2),
+        |w2 AS (SELECT dim, CAST(floor(CAST(x AS DOUBLE) / CAST(mx AS DOUBLE) * 1000000.0) AS BIGINT) AS wv
+        |       FROM x2 CROSS JOIN mx2),
+        |d3 AS (SELECT c.vec_id, SUM(c.cv * w2.wv) AS dot FROM c JOIN w2 USING (dim)
+        |       GROUP BY c.vec_id),
+        |lam AS (SELECT CAST(SUM(CAST(dot AS HUGEINT) * CAST(dot AS HUGEINT)) AS DOUBLE) AS sd2,
+        |          COUNT(*) AS nv FROM d3),
+        |ww AS (SELECT CAST(SUM(wv * wv) AS DOUBLE) AS wwd FROM w2),
+        |sgn AS (SELECT CASE WHEN wv < 0 THEN -1 ELSE 1 END AS sgn FROM w2
+        |        ORDER BY abs(wv) DESC, dim LIMIT 1)
+        |SELECT dim, wv * sgn AS w_micro, round(sd2 / nv / wwd / 1e12, 6) AS lambda
+        |FROM w2 CROSS JOIN sgn CROSS JOIN lam CROSS JOIN ww
+        |ORDER BY dim""".stripMargin,
     "q_embed_kmeans" ->
       """WITH qv AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,

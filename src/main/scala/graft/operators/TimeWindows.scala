@@ -115,7 +115,36 @@ object TimeWindows {
       .orderBy("bin")
   }
 
+  /** OHLC downsampling: per (event_type, hour), the opening value
+    * (first by (ts, event_id)), high, low, closing value (last), and
+    * the event count — the classic time-series resample. Open/close
+    * are picked by two row_number windows over the SAME
+    * (event_type, hour) partitioning (one extra sort, no extra
+    * shuffle — the tiebreak on event_id makes both picks total-order
+    * deterministic), then folded into the high/low aggregate with
+    * max(when(rn=1)). Everything is key-partitioned; no global step.
+    */
+  def tsOhlc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hour = date_trunc("hour", col("ts"))
+    val base = Tables.events(s, dir)
+      .select(col("event_type"), hour.as("hour"), col("ts"), col("event_id"), col("value"))
+    val wAsc = Window.partitionBy("event_type", "hour").orderBy(col("ts").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy("event_type", "hour").orderBy(col("ts").desc, col("event_id").desc)
+    base
+      .withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy("event_type", "hour")
+      .agg(max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type", "hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_ohlc" -> (tsOhlc _),
     "q_ts_gapfill" -> (tsGapfill _),
     "q_histogram" -> (histogram _),
     "q_window_tumbling" -> (windowTumbling _),
@@ -123,6 +152,21 @@ object TimeWindows {
     "q_window_session" -> (windowSession _))
 
   val oracles: Map[String, String] = Map(
+    "q_ts_ohlc" ->
+      """WITH b AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY ts ASC, event_id ASC) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT event_type, hour,
+        |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  COUNT(*) AS n
+        |FROM b GROUP BY event_type, hour
+        |ORDER BY event_type, hour""".stripMargin,
     "q_ts_gapfill" ->
       """WITH hourly AS (
         |  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,

@@ -195,6 +195,65 @@ class SearchClusterSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("power-iteration PCA matches an exact driver-side recomputation") {
+    val raw = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(f => math.floor(f.toDouble * 1e6).toLong).toArray)
+      .sortBy(_._1)
+    val d = raw.head._2.length
+    val n = raw.length
+    val mean = Array.tabulate(d)(j => math.floor(raw.map(_._2(j)).sum.toDouble / n).toLong)
+    val c = raw.map { case (id, q) => id -> q.zip(mean).map { case (a, b) => a - b } }
+    def iterate(w: Array[Long]): Array[Long] = {
+      val dots = c.map { case (_, cv) => cv.zip(w).map { case (a, b) => a * b }.sum }
+      val x = Array.tabulate(d) { j =>
+        c.zip(dots).map { case ((_, cv), dot) => BigInt(cv(j)) * BigInt(dot) }.sum
+      }
+      val mx = x.map(_.abs).max
+      x.map(xi => math.floor(xi.toDouble / mx.toDouble * 1e6).toLong)
+    }
+    val w2 = iterate(iterate(c.find(_._1 == 0L).get._2))
+    val maxIdx = w2.indices.minBy(i => (-w2(i).abs, i))
+    val sgn = if (w2(maxIdx) < 0) -1L else 1L
+    val dots2 = c.map { case (_, cv) => cv.zip(w2).map { case (a, b) => a * b }.sum }
+    val sd2 = dots2.map(v => BigInt(v) * BigInt(v)).sum.toDouble
+    val wwd = w2.map(v => v * v).sum.toDouble
+    val lambda = BigDecimal(sd2 / n / wwd / 1e12)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = operators.ClusterOps.embedPca(spark, sfDir).collect()
+    assert(got.length === d)
+    got.foreach { r =>
+      val dim = r.getInt(0) // 1-based
+      assert(r.getLong(1) === w2(dim - 1) * sgn, s"w mismatch at dim $dim")
+      assert(r.getDouble(2) === lambda)
+    }
+    // max-norm scaling pins the dominant component to exactly +1e6 after sign fix
+    assert(got.map(_.getLong(1)).max === 1000000L)
+    assert(lambda > 0.0)
+  }
+
+  test("incremental merge equals the direct full-table aggregate") {
+    val direct = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(graft.Det.money(col("l_quantity"))).cast("double").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val merged = operators.Aggregations.aggIncremental(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(merged === direct)
+  }
+
+  test("OHLC bars are internally ordered (low <= open,close <= high)") {
+    val rows = operators.TimeWindows.tsOhlc(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (open, high, low, close, n) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))
+      assert(n > 0 && low <= high)
+      assert(open >= low && open <= high, "open outside [low, high]")
+      assert(close >= low && close <= high, "close outside [low, high]")
+    }
+  }
+
   test("salted join returns exactly the unsalted join's aggregate") {
     val events = Tables.events(spark, sfDir)
     val dim = events.groupBy("event_type").agg(count(lit(1)).as("type_n"))
