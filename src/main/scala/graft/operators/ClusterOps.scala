@@ -68,8 +68,11 @@ object ClusterOps {
     val vecs = quantized(s, dir)
     val seed = vecs.filter(col("vec_id") < K)
       .select(col("vec_id").cast("int").as("cid"), col("q").as("c"))
-    // Iters-1 update rounds, then one final assignment that is graded
-    val cents = (1 until Iters).foldLeft(seed)((c, _) => update(assign(vecs, c)))
+    // Iters-1 update rounds, then one final assignment that is graded.
+    // Each round's K-row centroid table is localCheckpoint'd (GraphOps
+    // discipline) so round N's plan doesn't re-execute rounds 1..N-1.
+    val cents = (1 until Iters).foldLeft(seed)((c, _) =>
+      update(assign(vecs, c)).localCheckpoint())
     assign(vecs, cents).groupBy(col("cid").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("inertia"))
       .orderBy("cluster_id")
@@ -107,8 +110,12 @@ object ClusterOps {
     val mean = vecs.select(posexplode(col("q")).as(Seq("dim", "v")))
       .groupBy("dim")
       .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("mv"))
+    // localCheckpoint (GraphOps discipline): the centered corpus feeds
+    // every round's two passes AND the final Rayleigh pass; without the
+    // flat lineage each nested round would replay quantize+center.
     val centered = vecs.crossJoin(broadcast(asRow(mean, "mv", "m")))
       .select(col("vec_id"), zip_with(col("q"), col("m"), (a, b) => a - b).as("c"))
+      .localCheckpoint()
     val w0 = centered.filter(col("vec_id") === 0).select(col("c").as("w"))
     def iterate(w: DataFrame): DataFrame = {
       val dots = centered.crossJoin(broadcast(w))
@@ -119,7 +126,9 @@ object ClusterOps {
       val w1 = x.crossJoin(broadcast(mx))
         .select(col("dim"),
           floor(col("x").cast("double") / col("mx").cast("double") * 1e6).cast("long").as("wv"))
-      asRow(w1, "wv", "w")
+      // the 1-row direction vector: checkpoint so the next round's plan
+      // starts from materialized state instead of nesting this round's
+      asRow(w1, "wv", "w").localCheckpoint()
     }
     val w2 = iterate(iterate(w0))
     val dots2 = centered.crossJoin(broadcast(w2))
@@ -138,9 +147,43 @@ object ClusterOps {
       .orderBy("dim")
   }
 
+  /** Cluster-quality evaluation: per k-means cluster (same seeds/
+    * iterations as [[embedKmeans]]), the majority ground-truth label,
+    * its share of the cluster in exact basis points, and the label
+    * entropy in integer nanos — the standard external-validity check
+    * when a labeled subset exists. Runs the same assignment pipeline
+    * plus one (cluster, label)-key aggregate and a cluster-key window;
+    * everything after assignment is K·|labels| rows.
+    */
+  def embedClusterPurity(s: SparkSession, dir: String): DataFrame = {
+    val vecs = quantized(s, dir)
+    val seed = vecs.filter(col("vec_id") < K)
+      .select(col("vec_id").cast("int").as("cid"), col("q").as("c"))
+    val cents = (1 until Iters).foldLeft(seed)((c, _) =>
+      update(assign(vecs, c)).localCheckpoint())
+    val labeled = assign(vecs, cents)
+      .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")), Seq("vec_id"))
+    val byLabel = labeled.groupBy("cid", "label").agg(count(lit(1)).as("n"))
+    val byCluster = byLabel.groupBy("cid").agg(sum(col("n")).as("n_total"))
+    val w = Window.partitionBy("cid").orderBy(col("n").desc, col("label"))
+    byLabel.join(byCluster, Seq("cid"))
+      // per-label entropy term floored to nanos BEFORE the sum (ln discipline)
+      .withColumn("h_nano",
+        floor(-log(col("n").cast("double") / col("n_total")) * col("n") * 1e9 / col("n_total"))
+          .cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("cid").as("cluster_id"))
+      .agg(max(col("n_total")).as("n_members"),
+        max(when(col("rn") === 1, col("label"))).as("majority_label"),
+        max(when(col("rn") === 1, expr("(n * 10000) div n_total"))).as("purity_bp"),
+        sum(col("h_nano")).as("entropy_nano"))
+      .orderBy("cluster_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_kmeans" -> (embedKmeans _),
-    "q_embed_pca" -> (embedPca _))
+    "q_embed_pca" -> (embedPca _),
+    "q_embed_cluster_purity" -> (embedClusterPurity _))
 
   val oracles: Map[String, String] = Map(
     "q_embed_pca" ->
@@ -176,6 +219,43 @@ object ClusterOps {
         |SELECT dim, wv * sgn AS w_micro, round(sd2 / nv / wwd / 1e12, 6) AS lambda
         |FROM w2 CROSS JOIN sgn CROSS JOIN lam CROSS JOIN ww
         |ORDER BY dim""".stripMargin,
+    "q_embed_cluster_purity" ->
+      """WITH qv AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM embeddings),
+        |cent0 AS (
+        |  SELECT CAST(vec_id AS INT) AS cid, dim, v FROM qv WHERE vec_id < 8),
+        |d1 AS (
+        |  SELECT a.vec_id, c.cid, SUM((a.v - c.v) * (a.v - c.v)) AS dist
+        |  FROM qv a JOIN cent0 c USING (dim) GROUP BY a.vec_id, c.cid),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM d1
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+        |cent1 AS (
+        |  SELECT a1.cid, qv.dim,
+        |    CAST(floor(CAST(SUM(qv.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+        |  FROM qv JOIN a1 USING (vec_id) GROUP BY a1.cid, qv.dim),
+        |d2 AS (
+        |  SELECT a.vec_id, c.cid, SUM((a.v - c.v) * (a.v - c.v)) AS dist
+        |  FROM qv a JOIN cent1 c USING (dim) GROUP BY a.vec_id, c.cid),
+        |a2 AS (
+        |  SELECT vec_id, cid FROM d2
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+        |lab AS (SELECT a2.vec_id, a2.cid, e.label FROM a2 JOIN embeddings e USING (vec_id)),
+        |bl AS (SELECT cid, label, COUNT(*) AS n FROM lab GROUP BY cid, label),
+        |bc AS (SELECT cid, CAST(SUM(n) AS BIGINT) AS n_total FROM bl GROUP BY cid),
+        |j AS (
+        |  SELECT bl.cid, bl.label, bl.n, bc.n_total,
+        |    CAST(floor(-ln(CAST(bl.n AS DOUBLE) / bc.n_total) * bl.n * 1e9 / bc.n_total) AS BIGINT)
+        |      AS h_nano,
+        |    row_number() OVER (PARTITION BY bl.cid ORDER BY bl.n DESC, bl.label) AS rn
+        |  FROM bl JOIN bc USING (cid))
+        |SELECT cid AS cluster_id, MAX(n_total) AS n_members,
+        |  MAX(CASE WHEN rn = 1 THEN label END) AS majority_label,
+        |  MAX(CASE WHEN rn = 1 THEN (n * 10000) // n_total END) AS purity_bp,
+        |  CAST(SUM(h_nano) AS BIGINT) AS entropy_nano
+        |FROM j GROUP BY cid ORDER BY cluster_id""".stripMargin,
     "q_embed_kmeans" ->
       """WITH qv AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,

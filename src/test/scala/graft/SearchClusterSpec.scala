@@ -254,6 +254,19 @@ class SearchClusterSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("cluster purity is consistent: shares in (0,10000], entropy >= 0, members partition corpus") {
+    val n = Tables.embeddings(spark, sfDir).count()
+    val rows = operators.ClusterOps.embedClusterPurity(spark, sfDir).collect()
+    assert(rows.map(_.getLong(1)).sum === n)
+    rows.foreach { r =>
+      val (purity, entropy) = (r.getLong(3), r.getLong(4))
+      assert(purity > 0 && purity <= 10000, s"purity_bp out of range: $purity")
+      assert(entropy >= 0, "negative label entropy")
+      // a pure cluster has zero entropy and vice versa (10000 bp needs 1 label)
+      if (purity == 10000) assert(entropy === 0L)
+    }
+  }
+
   test("salted join returns exactly the unsalted join's aggregate") {
     val events = Tables.events(spark, sfDir)
     val dim = events.groupBy("event_type").agg(count(lit(1)).as("type_n"))
