@@ -22,7 +22,10 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
   test("query results are invariant to the shuffle partition count") {
     // the Det policy's core claim, tested directly: same rows, same order,
     // under deliberately mismatched parallelism (2 vs 17 partitions)
-    val keys = Seq("q_agg_pricing_summary", "q_win_running", "q_corpus_manifest", "q_mix_resample")
+    val keys = Seq("q_agg_pricing_summary", "q_win_running", "q_corpus_manifest", "q_mix_resample",
+      // r8 float-disciplined ops: the ones where a slipped nano-floor
+      // would surface exactly here
+      "q_text_bm25", "q_embed_pca", "q_stats_regression", "q_stats_chisq")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(n: String): Map[String, Seq[org.apache.spark.sql.Row]] = {
       spark.conf.set("spark.sql.shuffle.partitions", n)
