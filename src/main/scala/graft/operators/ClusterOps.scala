@@ -180,12 +180,49 @@ object ClusterOps {
       .orderBy("cluster_id")
   }
 
+  /** Per-dimension feature moments of the embedding corpus — the
+    * mean/variance/min/max table that feature whitening, drift
+    * monitoring, and the PCA centering step all read. One posexplode +
+    * one (dim)-key aggregate with map-side combine (64 output rows at
+    * any corpus size); sums are exact int64 in micro units (decimal at
+    * >10⁹ rows), variance via the one-pass formula on exact sums with
+    * an identically-ordered double tail.
+    */
+  def embedMoments(s: SparkSession, dir: String): DataFrame =
+    quantized(s, dir)
+      .select(posexplode(col("q")).as(Seq("dim0", "v")))
+      .groupBy((col("dim0") + 1).as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("svv"),
+        min(col("v")).as("min_micro"),
+        max(col("v")).as("max_micro"))
+      .select(col("dim"), col("n"),
+        floor(col("sv").cast("double") / col("n")).cast("long").as("mean_micro"),
+        floor((col("svv").cast("double") - col("sv").cast("double") * col("sv").cast("double") / col("n"))
+          / col("n")).cast("long").as("var_micro2"),
+        col("min_micro"), col("max_micro"))
+      .orderBy("dim")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_kmeans" -> (embedKmeans _),
     "q_embed_pca" -> (embedPca _),
-    "q_embed_cluster_purity" -> (embedClusterPurity _))
+    "q_embed_cluster_purity" -> (embedClusterPurity _),
+    "q_embed_moments" -> (embedMoments _))
 
   val oracles: Map[String, String] = Map(
+    "q_embed_moments" ->
+      """WITH qv AS (
+        |  SELECT generate_subscripts(embedding, 1) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM embeddings)
+        |SELECT dim, COUNT(*) AS n,
+        |  CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_micro,
+        |  CAST(floor((CAST(SUM(v * v) AS DOUBLE)
+        |    - CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE) / COUNT(*)) / COUNT(*)) AS BIGINT)
+        |    AS var_micro2,
+        |  MIN(v) AS min_micro, MAX(v) AS max_micro
+        |FROM qv GROUP BY dim ORDER BY dim""".stripMargin,
     "q_embed_pca" ->
       """WITH qv AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,

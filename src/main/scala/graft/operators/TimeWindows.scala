@@ -143,7 +143,36 @@ object TimeWindows {
       .orderBy("event_type", "hour")
   }
 
+  /** Time-weighted average value (TWAP) per user: each event's value
+    * holds until the next event, so the average weights by holding
+    * duration, not event count — the standard correction when event
+    * arrival is bursty. Weights are exact integer (micro-value ×
+    * duration-seconds) products summed in int64, with ONE double
+    * division at the end; users whose observation span is zero are
+    * excluded (no 0-division path on either engine). One lead window
+    * + one group aggregate, both on the user_id partitioning.
+    */
+  def tsTwap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("sec", col("ts").cast("long"))
+      .withColumn("dur", lead(col("sec"), 1).over(w) - col("sec"))
+      .filter(col("dur").isNotNull)
+      .withColumn("vmicro", floor(col("value") * 1e6).cast("long"))
+      .groupBy("user_id")
+      .agg((count(lit(1)) + 1).as("n_events"),
+        sum(col("dur")).as("span_sec"),
+        sum(col("vmicro") * col("dur")).as("svd"))
+      .filter(col("span_sec") > 0)
+      .select(col("user_id"), col("n_events"), col("span_sec"),
+        round(col("svd").cast("double") / col("span_sec") / 1e6, 6).as("twap"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_twap" -> (tsTwap _),
     "q_ts_ohlc" -> (tsOhlc _),
     "q_ts_gapfill" -> (tsGapfill _),
     "q_histogram" -> (histogram _),
@@ -152,6 +181,22 @@ object TimeWindows {
     "q_window_session" -> (windowSession _))
 
   val oracles: Map[String, String] = Map(
+    "q_ts_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(floor(value * 1e6) AS BIGINT) AS vmicro,
+        |    lead(CAST(floor(epoch(ts)) AS BIGINT), 1)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |iv AS (SELECT user_id, vmicro, nxt - sec AS dur FROM e WHERE nxt IS NOT NULL),
+        |agg AS (
+        |  SELECT user_id, COUNT(*) + 1 AS n_events,
+        |    CAST(SUM(dur) AS BIGINT) AS span_sec,
+        |    CAST(SUM(vmicro * dur) AS BIGINT) AS svd
+        |  FROM iv GROUP BY user_id)
+        |SELECT user_id, n_events, span_sec,
+        |  round(CAST(svd AS DOUBLE) / span_sec / 1e6, 6) AS twap
+        |FROM agg WHERE span_sec > 0 ORDER BY user_id""".stripMargin,
     "q_ts_ohlc" ->
       """WITH b AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id, value,

@@ -267,6 +267,36 @@ class SearchClusterSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("embedding moments: nonneg variance, mean within [min,max], full corpus per dim") {
+    val n = Tables.embeddings(spark, sfDir).count()
+    val rows = operators.ClusterOps.embedMoments(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === n, "dimension missing vectors")
+      assert(r.getLong(3) >= 0, "negative variance")
+      assert(r.getLong(2) >= r.getLong(4) && r.getLong(2) <= r.getLong(5),
+        "mean outside [min, max]")
+    }
+  }
+
+  test("TWAP lies within the user's held-value range") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val held = Tables.events(spark, sfDir)
+      .withColumn("nxt", lead(col("ts"), 1).over(w))
+      .filter(col("nxt").isNotNull) // last event's value holds for 0 seconds
+      .groupBy("user_id").agg(min("value").as("lo"), max("value").as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val rows = operators.TimeWindows.tsTwap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi) = held(r.getLong(0))
+      val twap = r.getDouble(3)
+      assert(twap >= lo - 1e-5 && twap <= hi + 1e-5,
+        s"TWAP $twap outside held range [$lo, $hi] for user ${r.getLong(0)}")
+    }
+  }
+
   test("salted join returns exactly the unsalted join's aggregate") {
     val events = Tables.events(spark, sfDir)
     val dim = events.groupBy("event_type").agg(count(lit(1)).as("type_n"))
