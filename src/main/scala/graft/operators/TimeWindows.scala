@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.{Det, Tables}
 
 /** §2.9 batch forms of the streaming time windows — tumbling, sliding and
@@ -171,7 +172,135 @@ object TimeWindows {
       .orderBy("user_id")
   }
 
+  /** Truncated exponential moving average per user: the current value
+    * weighted 128, each of the 7 preceding values at half the previous
+    * weight (… 64, 32, …, 1) — α = 1/2 with an 8-row horizon. Because
+    * the weights are powers of two and values are int64 micros, the
+    * weighted numerator and the present-weight denominator are EXACT
+    * integers on both engines (no float recurrence to diverge); the
+    * single division happens at the end. One window pass: the 8 lag()
+    * calls share the user_id partitioning, and the frame never leaves
+    * the key partition — no global step at any scale.
+    */
+  def tsEwma(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val base = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * 1e6).cast("long").as("vmicro"))
+    val lags = (0 to 7).map { k =>
+      val wt = 1L << (7 - k)
+      val v = if (k == 0) col("vmicro") else lag(col("vmicro"), k).over(w)
+      (v * wt, when(v.isNotNull, lit(wt)).otherwise(lit(0L)))
+    }
+    base
+      .withColumn("num", lags.map(p => coalesce(p._1, lit(0L))).reduce(_ + _))
+      .withColumn("den", lags.map(_._2).reduce(_ + _))
+      .select(col("user_id"), col("event_id"),
+        round(col("num").cast("double") / col("den") / 1e6, 6).as("ewma"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Union-of-intervals coverage per user: each event opens a 30-minute
+    * activity interval; overlapping/touching intervals merge and the
+    * total covered seconds + merged-island count are reported. The
+    * sweep is the classic closed-form: an interval starts a new island
+    * iff its start exceeds the running max of all earlier ends, and the
+    * island id is the running sum of those flags — two window passes
+    * over the SAME user_id partitioning (zero extra shuffles), then one
+    * (user, island) aggregate. All arithmetic is integer seconds.
+    */
+  def tsCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("sec"))
+      .withColumn("fin", col("sec") + 1800L)
+      .withColumn("prev_max_fin", max(col("fin")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_fin").isNull || col("sec") > col("prev_max_fin"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(w))
+      .groupBy("user_id", "island")
+      .agg(min(col("sec")).as("lo"), max(col("fin")).as("hi"))
+      .groupBy("user_id")
+      .agg(sum(col("hi") - col("lo")).as("covered_sec"),
+        count(lit(1)).as("n_islands"))
+      .orderBy("user_id")
+  }
+
+  /** One-sided CUSUM change-point scan over daily value mass per event
+    * type. The recursive definition S_d = max(0, S_{d-1} + (x_d − c))
+    * is rewritten in its closed form S_d = P_d − min_{j≤d} P_j (P =
+    * prefix sum of deviations), which needs only a cumulative sum and a
+    * cumulative min — both plain window functions on the event_type
+    * partitioning, no driver-side recursion. Deviations are exact
+    * int64 micros against the per-type integer mean (floor), and the
+    * alarm fires when S exceeds one mean day's mass. The windowed
+    * relation is days×types — bounded by calendar time, not event
+    * count, so the window stage stays small at any corpus size.
+    */
+  def tsCusum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+    val stats = daily.groupBy("event_type")
+      .agg(expr("sum(x) div count(1)").as("c"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily.join(broadcast(stats), Seq("event_type"))
+      .withColumn("p", sum(col("x") - col("c")).over(w))
+      .withColumn("s", col("p") - least(min(col("p")).over(w), lit(0L)))
+      .select(col("event_type"), col("day"), col("s").as("cusum_micro"),
+        (col("s") > col("c")).as("alarm"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Lag-k autocorrelation (k = 1, 2, 3) of the hourly event-count
+    * series per event type — the seasonality probe run before picking
+    * a forecast window. Counts are exact integers, so all five
+    * correlation sums are int64 and the Pearson quotient is one double
+    * expression at the end (identical on both engines). One hourly
+    * aggregate, one window pass for the three lags (shared
+    * partitioning), one (type, k) aggregate over the stacked lags.
+    */
+  def tsAcf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("hour")
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("x"))
+    hourly
+      .withColumn("l1", lag(col("x"), 1).over(w))
+      .withColumn("l2", lag(col("x"), 2).over(w))
+      .withColumn("l3", lag(col("x"), 3).over(w))
+      .select(col("event_type"),
+        expr("stack(3, 1, l1, 2, l2, 3, l3) AS (k, y)"), col("x"))
+      .filter(col("y").isNotNull)
+      // DECIMAL(38,0) sums (DuckDB twin: HUGEINT): hourly counts grow
+      // linearly with the corpus, so the x² terms outgrow int64 long
+      // before the series length does — decimal keeps every sum exact,
+      // and the only doubles are the two variance factors cast at the
+      // very end (identical IEEE ops on both engines).
+      .withColumn("xd", col("x").cast(DecimalType(38, 0)))
+      .withColumn("yd", col("y").cast(DecimalType(38, 0)))
+      .groupBy("event_type", "k")
+      .agg(count(lit(1)).as("n"), sum(col("xd")).as("sx"), sum(col("yd")).as("sy"),
+        sum(col("xd") * col("yd")).as("sxy"),
+        sum(col("xd") * col("xd")).as("sxx"), sum(col("yd") * col("yd")).as("syy"))
+      .withColumn("num", (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+      .withColumn("varx", (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("vary", (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+      .filter(col("varx") > 0 && col("vary") > 0)
+      .select(col("event_type"), col("k"), col("n"),
+        round(col("num") / sqrt(col("varx") * col("vary")), 6).as("acf"))
+      .orderBy("event_type", "k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_ewma" -> (tsEwma _),
+    "q_ts_coverage" -> (tsCoverage _),
+    "q_ts_cusum" -> (tsCusum _),
+    "q_ts_acf" -> (tsAcf _),
     "q_ts_twap" -> (tsTwap _),
     "q_ts_ohlc" -> (tsOhlc _),
     "q_ts_gapfill" -> (tsGapfill _),
@@ -181,6 +310,101 @@ object TimeWindows {
     "q_window_session" -> (windowSession _))
 
   val oracles: Map[String, String] = Map(
+    "q_ts_ewma" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(floor(value * 1e6) AS BIGINT) AS vmicro
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, vmicro,
+        |    lag(vmicro, 1) OVER w AS v1, lag(vmicro, 2) OVER w AS v2,
+        |    lag(vmicro, 3) OVER w AS v3, lag(vmicro, 4) OVER w AS v4,
+        |    lag(vmicro, 5) OVER w AS v5, lag(vmicro, 6) OVER w AS v6,
+        |    lag(vmicro, 7) OVER w AS v7
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id,
+        |  round(CAST(vmicro * 128
+        |      + COALESCE(v1, 0) * 64 + COALESCE(v2, 0) * 32
+        |      + COALESCE(v3, 0) * 16 + COALESCE(v4, 0) * 8
+        |      + COALESCE(v5, 0) * 4 + COALESCE(v6, 0) * 2
+        |      + COALESCE(v7, 0) AS DOUBLE)
+        |    / (128 + CASE WHEN v1 IS NULL THEN 0 ELSE 64 END
+        |      + CASE WHEN v2 IS NULL THEN 0 ELSE 32 END
+        |      + CASE WHEN v3 IS NULL THEN 0 ELSE 16 END
+        |      + CASE WHEN v4 IS NULL THEN 0 ELSE 8 END
+        |      + CASE WHEN v5 IS NULL THEN 0 ELSE 4 END
+        |      + CASE WHEN v6 IS NULL THEN 0 ELSE 2 END
+        |      + CASE WHEN v7 IS NULL THEN 0 ELSE 1 END) / 1e6, 6) AS ewma
+        |FROM l ORDER BY user_id, event_id""".stripMargin,
+    "q_ts_coverage" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS fin
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, sec, fin,
+        |    max(fin) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmf
+        |  FROM e),
+        |f AS (
+        |  SELECT *, CASE WHEN pmf IS NULL OR sec > pmf THEN 1 ELSE 0 END AS ni
+        |  FROM m),
+        |i AS (
+        |  SELECT user_id, sec, fin,
+        |    SUM(ni) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS island
+        |  FROM f),
+        |g AS (
+        |  SELECT user_id, island, min(sec) AS lo, max(fin) AS hi
+        |  FROM i GROUP BY user_id, island)
+        |SELECT user_id, CAST(SUM(hi - lo) AS BIGINT) AS covered_sec,
+        |  COUNT(*) AS n_islands
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_ts_cusum" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, day),
+        |st AS (
+        |  SELECT event_type, CAST(SUM(x) AS BIGINT) // COUNT(*) AS c
+        |  FROM d GROUP BY event_type),
+        |p AS (
+        |  SELECT d.event_type, day, x, c,
+        |    CAST(SUM(x - c) OVER (PARTITION BY d.event_type ORDER BY day) AS BIGINT) AS p
+        |  FROM d JOIN st USING (event_type)),
+        |s AS (
+        |  SELECT event_type, day, c,
+        |    p - least(min(p) OVER (PARTITION BY event_type ORDER BY day), 0) AS s
+        |  FROM p)
+        |SELECT event_type, day, CAST(s AS BIGINT) AS cusum_micro, s > c AS alarm
+        |FROM s ORDER BY event_type, day""".stripMargin,
+    "q_ts_acf" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS x
+        |  FROM events GROUP BY event_type, hour),
+        |l AS (
+        |  SELECT event_type, x,
+        |    lag(x, 1) OVER w AS l1, lag(x, 2) OVER w AS l2, lag(x, 3) OVER w AS l3
+        |  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour)),
+        |st AS (
+        |  SELECT event_type, 1 AS k, x, l1 AS y FROM l WHERE l1 IS NOT NULL
+        |  UNION ALL SELECT event_type, 2, x, l2 FROM l WHERE l2 IS NOT NULL
+        |  UNION ALL SELECT event_type, 3, x, l3 FROM l WHERE l3 IS NOT NULL),
+        |a AS (
+        |  SELECT event_type, k, COUNT(*) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM st GROUP BY event_type, k),
+        |v AS (
+        |  SELECT event_type, k, n,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS varx,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS vary
+        |  FROM a)
+        |SELECT event_type, k, n, round(num / sqrt(varx * vary), 6) AS acf
+        |FROM v WHERE varx > 0 AND vary > 0
+        |ORDER BY event_type, k""".stripMargin,
     "q_ts_twap" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,

@@ -297,6 +297,91 @@ class SearchClusterSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("EWMA matches an exact driver-side recomputation of the truncated kernel") {
+    val byUser = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("sec"),
+        floor(col("value") * 1e6).cast("long").as("vmicro"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val expected = byUser.flatMap { case (_, evs) =>
+      val ordered = evs.sortBy(e => (e._3, e._2))
+      ordered.indices.map { i =>
+        val window = ordered.slice(math.max(0, i - 7), i + 1).reverse // newest first
+        val num = window.zipWithIndex.map { case (e, k) => e._4 * (1L << (7 - k)) }.sum
+        val den = window.indices.map(k => 1L << (7 - k)).sum
+        (ordered(i)._1, ordered(i)._2) ->
+          BigDecimal(num.toDouble / den / 1e6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val got = operators.TimeWindows.tsEwma(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size === expected.size)
+    expected.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-9, s"EWMA mismatch at $k") }
+  }
+
+  test("interval coverage matches an exact driver-side sweep for every user") {
+    val byUser = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("long").as("sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val expected = byUser.map { case (u, evs) =>
+      val iv = evs.map(e => (e._2, e._2 + 1800L)).sortBy(_._1)
+      var (islands, covered, curLo, curHi) = (0L, 0L, iv.head._1, iv.head._2)
+      iv.tail.foreach { case (lo, hi) =>
+        if (lo > curHi) { islands += 1; covered += curHi - curLo; curLo = lo; curHi = hi }
+        else curHi = math.max(curHi, hi)
+      }
+      u -> (covered + (curHi - curLo), islands + 1)
+    }
+    val got = operators.TimeWindows.tsCoverage(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+  }
+
+  test("closed-form CUSUM equals the recursive definition S_n = max(0, S_n-1 + dev)") {
+    val daily = operators.TimeWindows.tsCusum(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2), r.getBoolean(3)))
+    assert(daily.nonEmpty)
+    // rebuild x_d and c from the raw data, run the textbook recursion
+    val raw = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    raw.groupBy(_._1).foreach { case (tpe, rows) =>
+      val ordered = rows.sortBy(_._2)
+      val c = ordered.map(_._3).sum / ordered.length // floor div, matches `div`
+      var s = 0L
+      val exp = ordered.map { r => s = math.max(0L, s + (r._3 - c)); (tpe, r._2, s, s > c) }
+      val gotType = daily.filter(_._1 == tpe).sortBy(_._2)
+      assert(gotType.toSeq === exp.toSeq, s"CUSUM recursion mismatch for $tpe")
+    }
+  }
+
+  test("ACF values are bounded and lag-1 matches an exact driver recomputation") {
+    val rows = operators.TimeWindows.tsAcf(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9, "|acf| > 1"))
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    hourly.groupBy(_._1).foreach { case (tpe, hs) =>
+      val xs = hs.sortBy(_._2).map(_._3.toDouble)
+      if (xs.length > 1) {
+        val (x, y) = (xs.drop(1), xs.dropRight(1))
+        val n = x.length.toDouble
+        val num = n * x.zip(y).map { case (a, b) => a * b }.sum - x.sum * y.sum
+        val varx = n * x.map(a => a * a).sum - x.sum * x.sum
+        val vary = n * y.map(a => a * a).sum - y.sum * y.sum
+        if (varx > 0 && vary > 0) {
+          val exp = num / math.sqrt(varx * vary)
+          val got = rows.find(r => r.getString(0) == tpe && r.getInt(1) == 1).get.getDouble(3)
+          assert(math.abs(got - exp) < 1e-6, s"lag-1 ACF mismatch for $tpe")
+        }
+      }
+    }
+  }
+
   test("salted join returns exactly the unsalted join's aggregate") {
     val events = Tables.events(spark, sfDir)
     val dim = events.groupBy("event_type").agg(count(lit(1)).as("type_n"))
