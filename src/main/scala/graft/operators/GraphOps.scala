@@ -73,11 +73,69 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  private val KCoreK = 4
+  private val KCoreRounds = 4
+
+  /** 4-core of the similarity graph by synchronous peeling: each round
+    * drops every node whose CURRENT degree is < k and keeps only edges
+    * with both endpoints alive — per round one degree aggregate + one
+    * semi-join on each endpoint, localCheckpoint to keep lineage flat
+    * (the same bounded-iteration shape as pageRank). The contract is
+    * EXACTLY `KCoreRounds` rounds on both engines (extra rounds past
+    * the fixpoint are no-ops; the fixture converges in 2 — pinned by
+    * the spec's "every survivor has core degree ≥ k" assertion, which
+    * holds ONLY at fixpoint). Output: surviving nodes + within-core
+    * degree — the dense near-dup community worth human review.
+    */
+  def kcore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.materializedEdges(s, dir)
+    var edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b")).localCheckpoint()
+    (1 to KCoreRounds).foreach { _ =>
+      val deg = edges.select(col("a").as("n")).unionAll(edges.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val alive = deg.filter(col("d") >= KCoreK).select("n")
+      edges = edges
+        .join(alive.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("n").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+    }
+    edges.select(col("a").as("doc_id")).unionAll(edges.select(col("b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("core_degree"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_kcore" -> (kcore _),
     "q_graph_pagerank" -> (pageRank _),
     "q_graph_triangles" -> (triangles _))
 
   val oracles: Map[String, String] = Map(
+    "q_graph_kcore" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |e0 AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+        |d1 AS (SELECT n, COUNT(*) AS d FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY n),
+        |a1 AS (SELECT n FROM d1 WHERE d >= 4),
+        |e1 AS (SELECT a, b FROM e0 WHERE a IN (SELECT n FROM a1) AND b IN (SELECT n FROM a1)),
+        |d2 AS (SELECT n, COUNT(*) AS d FROM (SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1) GROUP BY n),
+        |a2 AS (SELECT n FROM d2 WHERE d >= 4),
+        |e2 AS (SELECT a, b FROM e1 WHERE a IN (SELECT n FROM a2) AND b IN (SELECT n FROM a2)),
+        |d3 AS (SELECT n, COUNT(*) AS d FROM (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) GROUP BY n),
+        |a3 AS (SELECT n FROM d3 WHERE d >= 4),
+        |e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT n FROM a3) AND b IN (SELECT n FROM a3)),
+        |d4 AS (SELECT n, COUNT(*) AS d FROM (SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3) GROUP BY n),
+        |a4 AS (SELECT n FROM d4 WHERE d >= 4),
+        |e4 AS (SELECT a, b FROM e3 WHERE a IN (SELECT n FROM a4) AND b IN (SELECT n FROM a4))
+        |SELECT doc_id, COUNT(*) AS core_degree
+        |FROM (SELECT a AS doc_id FROM e4 UNION ALL SELECT b AS doc_id FROM e4)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_graph_triangles" ->
       """WITH base AS (
         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset

@@ -250,7 +250,39 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Largest-remainder (Hamilton) apportionment of a fixed sample
+    * budget across (lang, source) strata, proportional to character
+    * mass: floor quotas first, then the leftover seats go to the
+    * largest integer remainders (ties broken by stratum key) — the
+    * exact-integer answer to "give me exactly B samples, proportional
+    * to corpus share". Everything after the one corpus aggregate runs
+    * on |lang|·|source| rows — structurally bounded like the chi-square
+    * contingency table, so the unpartitioned remainder-rank window is
+    * safe at any corpus size (the same boundedness argument as
+    * q_stats_chisq; contrast StatsOps.ntileBuckets where the windowed
+    * relation grows with the data).
+    */
+  def sampleApportion(s: SparkSession, dir: String): DataFrame = {
+    val budget = 10000L
+    val strata = Tables.documents(s, dir)
+      .groupBy("lang", "source")
+      .agg(sum(col("n_chars")).as("w"))
+    val total = strata.agg(sum(col("w")).as("tw"))
+    val wAll = Window.orderBy(desc("rem"), col("lang"), col("source"))
+    strata.crossJoin(broadcast(total))
+      .withColumn("floor_q", expr(s"($budget * w) div tw"))
+      .withColumn("rem", expr(s"($budget * w) % tw"))
+      .withColumn("deficit",
+        lit(budget) - sum(col("floor_q")).over(Window.partitionBy()))
+      .withColumn("rk", row_number().over(wAll))
+      .select(col("lang"), col("source"), col("w").as("n_chars_total"),
+        (col("floor_q") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_apportion" -> (sampleApportion _),
     "q_corpus_manifest" -> (corpusManifest _),
     "q_contamination" -> (contamination _),
     "q_split_assign" -> (splitAssign _),
@@ -261,6 +293,22 @@ object PipelineOps {
     "q_dedup_canonical" -> (dedupCanonical _))
 
   val oracles: Map[String, String] = Map(
+    "q_sample_apportion" ->
+      """WITH strata AS (
+        |  SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS w
+        |  FROM documents GROUP BY lang, source),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM strata),
+        |q AS (
+        |  SELECT lang, source, w,
+        |    (10000 * w) // tw AS floor_q, (10000 * w) % tw AS rem
+        |  FROM strata, t),
+        |r AS (
+        |  SELECT *, 10000 - SUM(floor_q) OVER () AS deficit,
+        |    row_number() OVER (ORDER BY rem DESC, lang, source) AS rk
+        |  FROM q)
+        |SELECT lang, source, w AS n_chars_total,
+        |  CAST(floor_q + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r ORDER BY lang, source""".stripMargin,
     "q_corpus_manifest" ->
       """WITH RECURSIVE base AS (
         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset

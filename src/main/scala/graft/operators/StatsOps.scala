@@ -256,7 +256,41 @@ object StatsOps {
         round(sum(col("term_nano")) / 1e9, 6).as("chi2"))
   }
 
+  /** Pairwise Pearson correlation between event types over their
+    * hourly value-mass series — the metric-dependency matrix read
+    * before alert tuning or feature pruning. Series align on common
+    * hours via one self-join of the hourly aggregate (hour-keyed; the
+    * joined relation is hours × type-pairs, calendar-bounded, not
+    * event-bounded). All five correlation sums run in DECIMAL(38,0)
+    * [DuckDB twin: HUGEINT] because the micro-mass products outgrow
+    * int64 with corpus size; the two variance factors are cast to
+    * double only at the final quotient, so the result is bit-stable
+    * across engines and partitionings. Output is |types|²/2 rows.
+    */
+  def statsCorrPairs(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+    val a = hourly.select(col("event_type").as("type_a"), col("hour"),
+      col("x").cast(DecimalType(38, 0)).as("xa"))
+    val b = hourly.select(col("event_type").as("type_b"), col("hour"),
+      col("x").cast(DecimalType(38, 0)).as("xb"))
+    a.join(b, Seq("hour")).filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n"), sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
+        sum(col("xa") * col("xb")).as("sxy"),
+        sum(col("xa") * col("xa")).as("sxx"), sum(col("xb") * col("xb")).as("syy"))
+      .withColumn("num", (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+      .withColumn("varx", (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("vary", (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+      .filter(col("varx") > 0 && col("vary") > 0)
+      .select(col("type_a"), col("type_b"), col("n"),
+        round(col("num") / sqrt(col("varx") * col("vary")), 6).as("corr"))
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_corr_pairs" -> (statsCorrPairs _),
     "q_stats_chisq" -> (statsChisq _),
     "q_stats_mad" -> (statsMad _),
     "q_stats_regression" -> (statsRegression _),
@@ -268,6 +302,29 @@ object StatsOps {
     "q_text_entropy" -> (textEntropy _))
 
   val oracles: Map[String, String] = Map(
+    "q_stats_corr_pairs" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS HUGEINT) AS x
+        |  FROM events GROUP BY event_type, hour),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.x AS xa, b.x AS xb
+        |  FROM h a JOIN h b ON a.hour = b.hour AND a.event_type < b.event_type),
+        |agg AS (
+        |  SELECT type_a, type_b, COUNT(*) AS n,
+        |    SUM(xa) AS sx, SUM(xb) AS sy, SUM(xa * xb) AS sxy,
+        |    SUM(xa * xa) AS sxx, SUM(xb * xb) AS syy
+        |  FROM p GROUP BY type_a, type_b),
+        |v AS (
+        |  SELECT type_a, type_b, n,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS varx,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS vary
+        |  FROM agg)
+        |SELECT type_a, type_b, n, round(num / sqrt(varx * vary), 6) AS corr
+        |FROM v WHERE varx > 0 AND vary > 0
+        |ORDER BY type_a, type_b""".stripMargin,
     "q_stats_chisq" ->
       """WITH obs AS (
         |  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source),

@@ -120,7 +120,30 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Rolling LOWER median of the last 5 values per user — the robust
+    * smoother that, unlike the mean, ignores single spikes. Median
+    * rank is (m+1) div 2 over the m ≤ 5 values in frame (for odd m the
+    * true median, for even m the lower of the two middles) — an
+    * integer-exact definition, so micro-unit values survive the
+    * cross-engine hash compare with no float averaging of middle
+    * elements. The 5-element frame list is collected, sorted, and
+    * indexed per row: constant work per row on a key-partitioned
+    * window, no global step.
+    */
+  def winRollingMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * 1e6).cast("long").as("vmicro"))
+      .withColumn("frame", array_sort(collect_list(col("vmicro")).over(w)))
+      .select(col("user_id"), col("event_id"),
+        element_at(col("frame"), expr("(size(frame) + 1) div 2").cast("int"))
+          .as("med_micro"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_rolling_median" -> (winRollingMedian _),
     "q_dedup_windowed" -> (dedupWindowed _),
     "q_win_rank" -> (winRank _),
     "q_win_lag_sequence" -> (winLagSequence _),
@@ -131,6 +154,18 @@ object Windows {
     "q_win_topk_per_group" -> (winTopkPerGroup _))
 
   val oracles: Map[String, String] = Map(
+    "q_win_rolling_median" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(floor(value * 1e6) AS BIGINT) AS vmicro
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id,
+        |    list_sort(list(vmicro) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS frame
+        |  FROM e)
+        |SELECT user_id, event_id, frame[(len(frame) + 1) // 2] AS med_micro
+        |FROM f ORDER BY user_id, event_id""".stripMargin,
     "q_dedup_windowed" ->
       """WITH g AS (
         |  SELECT event_id, user_id, event_type, ts,
