@@ -297,6 +297,41 @@ object DedupOps {
   def dedupJaccardBlocked(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(s, dir).orderBy("doc_a", "doc_b")
 
+  /** Containment-overlap near-dup pairs: |A∩B| / min(|A|,|B|) ≥ 0.6 over
+    * the same (lang, source) blocks. Containment is the ASYMMETRIC
+    * sibling of Jaccard — it catches a short document embedded inside a
+    * long one (quote farms, boilerplate-wrapped copies), which Jaccard
+    * structurally misses (J = |A|/|B| → 0 as B grows even at full
+    * containment). Deliberately NO length prefilter: size-mismatched
+    * pairs are the operator's whole point. Same [[withAdaptiveSubBlock]]
+    * cap as the Jaccard sibling; honesty note — when the cap fires, the
+    * 1-perm-MinHash sub key co-locates a contained pair only with
+    * probability J = |A|/|B| (low exactly for the extreme pairs this op
+    * targets), so past the cap the lossy path for containment is the
+    * shingle-LSH sibling, not this salting. Cap inert at graded scale;
+    * PropertySpec's cap-parity discipline covers the mechanism.
+    */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val base0 = Tables.documents(s, dir)
+      .withColumn("tokset", array_distinct(split(col("text"), " ")))
+      .select(col("doc_id"), col("lang"), col("source"), col("tokset"))
+    val base = withAdaptiveSubBlock(base0, Seq("lang", "source"),
+      array_min(transform(col("tokset"), tk => xxhash64(tk))), MaxBlockDocs)
+    val a = base.select(col("lang"), col("source"), col("sub"),
+      col("doc_id").as("doc_a"), col("tokset").as("set_a"))
+    val b = base.select(col("lang"), col("source"), col("sub"),
+      col("doc_id").as("doc_b"), col("tokset").as("set_b"))
+    a.join(b, Seq("lang", "source", "sub"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(col("set_a")).cast("long").as("size_a"),
+        size(col("set_b")).cast("long").as("size_b"),
+        round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          least(size(col("set_a")), size(col("set_b"))), 6).as("containment"))
+      .filter(col("containment") >= 0.6)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Materialized similarity-graph edge list for the ITERATIVE consumers
     * (connected components, PageRank): a pure function of the input dir,
     * written once per tmp lifetime and read thereafter — exactly how a
@@ -492,6 +527,7 @@ object DedupOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_near_minhash" -> (dedupNearMinhash _),
+    "q_dedup_containment" -> (dedupContainment _),
     "q_dedup_jaccard_blocked" -> (dedupJaccardBlocked _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_embed_cosine" -> ((s, d) => dedupEmbedCosine(s, d)),
@@ -518,6 +554,19 @@ object DedupOps {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
         |        / len(list_distinct(a.shingles || b.shingles)), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_containment" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(a.tokset) AS size_a, len(b.tokset) AS size_b,
+        |  round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |        / least(len(a.tokset), len(b.tokset)), 6) AS containment
+        |FROM base a JOIN base b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |        / least(len(a.tokset), len(b.tokset)), 6) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_jaccard_blocked" ->
       """WITH base AS (

@@ -121,7 +121,35 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Daily + rolling-7-day active users (DAU/WAU) — the canonical
+    * engagement pair. Exact distinct over a sliding window is not a
+    * window function in either engine, so both use the same algebra:
+    * reduce the log to DISTINCT (day, user) first (shuffle volume
+    * = active-days × users, not events), then EXPLODE each activity
+    * day onto the 7 window-end days it serves — a bounded 7× map-side
+    * expansion that turns the range join into a plain (day, user)
+    * distinct-count, shuffled on the day key. Window ends are clipped
+    * to observed days via one broadcast semi-join. At 100 TB the
+    * scale path for the distinct count is the HLL partial
+    * (q_agg_hll_partial pattern); this operator is its exact anchor.
+    */
+  def rollingActive(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val days = daily.select("day").distinct()
+    val wau = daily
+      .select(explode(sequence(col("day"), col("day") + expr("INTERVAL 6 DAYS"),
+        expr("INTERVAL 1 DAY"))).as("wday"), col("user_id"))
+      .join(broadcast(days.select(col("day").as("wday"))), Seq("wday"), "left_semi")
+      .groupBy("wday").agg(countDistinct(col("user_id")).as("wau"))
+    val dau = daily.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+    dau.join(wau.select(col("wday").as("day"), col("wau")), Seq("day"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_active" -> (rollingActive _),
     "q_funnel" -> (funnel _),
     "q_retention" -> (retention _),
     "q_sessionize" -> (sessionize _),
@@ -129,6 +157,23 @@ object EventOps {
     "q_time_decay" -> (timeDecay _))
 
   val oracles: Map[String, String] = Map(
+    "q_rolling_active" ->
+      """WITH daily AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM daily),
+        |expanded AS (
+        |  SELECT unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS wday,
+        |    user_id
+        |  FROM daily),
+        |wau AS (
+        |  SELECT wday, COUNT(DISTINCT user_id) AS wau
+        |  FROM expanded WHERE wday IN (SELECT day FROM days)
+        |  GROUP BY wday),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM daily GROUP BY day)
+        |SELECT d.day, dau.dau, wau.wau
+        |FROM days d JOIN dau USING (day) JOIN wau ON wau.wday = d.day
+        |ORDER BY day""".stripMargin,
     "q_funnel" ->
       """WITH t AS (
         |  SELECT user_id,

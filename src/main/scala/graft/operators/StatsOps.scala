@@ -289,7 +289,31 @@ object StatsOps {
       .orderBy("type_a", "type_b")
   }
 
+  /** Mass-weighted median document length per language: the smallest
+    * n_chars v such that documents with length ≤ v hold at least half
+    * the language's character MASS (2·cumsum ≥ total on the
+    * (n_chars, doc_id)-ordered prefix — integer-exact, no float
+    * averaging of middles). Answers "half the corpus bytes live in
+    * docs shorter than X", which the count-median misrepresents under
+    * long tails. One key-partitioned cumulative window + one aggregate;
+    * the whole-partition total rides the same window spec
+    * (unbounded frame), so there is a single shuffle on lang.
+    */
+  def statsWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    val wAll = Window.partitionBy("lang")
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(wOrd))
+      .withColumn("total", sum(col("n_chars")).over(wAll))
+      .filter(col("cum") * 2 >= col("total"))
+      .groupBy("lang")
+      .agg(min(col("n_chars")).as("median_chars"), min(col("total")).as("total_chars"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_weighted_median" -> (statsWeightedMedian _),
     "q_stats_corr_pairs" -> (statsCorrPairs _),
     "q_stats_chisq" -> (statsChisq _),
     "q_stats_mad" -> (statsMad _),
@@ -302,6 +326,16 @@ object StatsOps {
     "q_text_entropy" -> (textEntropy _))
 
   val oracles: Map[String, String] = Map(
+    "q_stats_weighted_median" ->
+      """WITH o AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    CAST(SUM(n_chars) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(n_chars) OVER (PARTITION BY lang) AS BIGINT) AS total
+        |  FROM documents)
+        |SELECT lang, MIN(n_chars) AS median_chars, MIN(total) AS total_chars
+        |FROM o WHERE 2 * cum >= total
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_stats_corr_pairs" ->
       """WITH h AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour,

@@ -462,6 +462,62 @@ class SearchClusterSpec extends AnyFunSuite with SparkFixture {
     rows.foreach { case (doc, d) => assert(d <= fullDeg(doc)) }
   }
 
+  test("containment dominates jaccard and matches an exact driver recomputation") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3).split(" ", -1).toSet))
+    val expected = (for {
+      a <- docs; b <- docs
+      if a._1 < b._1 && a._2 == b._2 && a._3 == b._3
+      inter = a._4.intersect(b._4).size
+      c = BigDecimal(inter.toDouble / math.min(a._4.size, b._4.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= 0.6
+    } yield (a._1, b._1) -> c).toMap
+    val got = operators.DedupOps.dedupContainment(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(got === expected)
+    // domination: every Jaccard-0.6 pair must reappear here (|∩|/min ≥ |∩|/|∪|)
+    operators.DedupOps.dedupJaccardBlocked(spark, sfDir).collect()
+      .filter(_.getDouble(4) >= 0.6)
+      .foreach(r => assert(got.contains((r.getLong(2), r.getLong(3))),
+        s"jaccard-qualifying pair (${r.getLong(2)}, ${r.getLong(3)}) missing from containment"))
+  }
+
+  test("rolling active users: WAU bounds DAU and matches an exact driver recomputation") {
+    val dayUser = Tables.events(spark, sfDir)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct().collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+    val days = dayUser.map(_._1).distinct
+    val dayMs = 86400000L
+    val expected = days.map { d =>
+      val dau = dayUser.count(_._1 == d)
+      val wau = dayUser.filter(e => e._1 <= d && e._1 > d - 7 * dayMs).map(_._2).distinct.size
+      d -> (dau.toLong, wau.toLong)
+    }.toMap
+    val got = operators.EventOps.rollingActive(spark, sfDir).collect()
+      .map(r => r.getTimestamp(0).getTime -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+    got.values.foreach { case (dau, wau) => assert(wau >= dau, "WAU below DAU") }
+  }
+
+  test("weighted median: prefix below it holds less than half the mass, at it at least half") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = operators.StatsOps.statsWeightedMedian(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    docs.groupBy(_._1).foreach { case (lang, ds) =>
+      val (med, total) = got(lang)
+      assert(total === ds.map(_._3).sum)
+      val massAtOrBelow = ds.filter(_._3 <= med).map(_._3).sum
+      val massBelow = ds.filter(_._3 < med).map(_._3).sum
+      assert(2 * massAtOrBelow >= total, s"$lang: median too low")
+      assert(2 * massBelow < total, s"$lang: median not minimal")
+    }
+  }
+
   test("salted join returns exactly the unsalted join's aggregate") {
     val events = Tables.events(spark, sfDir)
     val dim = events.groupBy("event_type").agg(count(lit(1)).as("type_n"))
