@@ -148,7 +148,33 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** Sketch-merge twin of [[rollingActive]]: one HLL sketch per day
+    * (the only pass over the raw events), then each day's FIXED-SIZE
+    * sketch — not its users — is exploded onto the 7 window ends and
+    * union-merged per window. This is the 100 TB shape: daily sketches
+    * are a few KB regardless of user count, so the window merge moves
+    * days × 7 sketches instead of days × users rows; the exact sibling
+    * stays as the graded anchor and the spec bounds this one against
+    * it (≤ 5% relative error at lgK = 12). Rows-only by design —
+    * DuckDB has no matching HLL algorithm.
+    */
+  def rollingActiveHll(s: SparkSession, dir: String): DataFrame = {
+    val daySketch = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val days = daySketch.select("day").distinct()
+    daySketch
+      .select(explode(sequence(col("day"), col("day") + expr("INTERVAL 6 DAYS"),
+        expr("INTERVAL 1 DAY"))).as("wday"), col("sk"))
+      .join(broadcast(days.select(col("day").as("wday"))), Seq("wday"), "left_semi")
+      .groupBy("wday")
+      .agg(expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)").as("wau_approx"))
+      .select(col("wday").as("day"), col("wau_approx"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_active_hll" -> (rollingActiveHll _),
     "q_rolling_active" -> (rollingActive _),
     "q_funnel" -> (funnel _),
     "q_retention" -> (retention _),

@@ -425,4 +425,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(all.map(_.getClass.getSimpleName).count(_ == "WindowGroupLimitExec") >= 2,
       "expected partial+final WindowGroupLimit for the rn=1 filter")
   }
+
+  test("rolling active users plans as hash joins — the explode avoided the range join") {
+    for (df <- Seq(operators.EventOps.rollingActive(spark, sfDir),
+                   operators.EventOps.rollingActiveHll(spark, sfDir))) {
+      val all = collectAll(executed(df))
+      // a naive day-range formulation degenerates to BroadcastNestedLoopJoin;
+      // the 7× explode must keep everything equi-keyed
+      assert(!all.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+        "rolling window fell back to a nested-loop range join")
+      assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "observed-days clip is not a broadcast hash semi-join")
+    }
+  }
+
+  test("EWMA runs all 8 lags in ONE window pass over one shuffle") {
+    val all = collectAll(executed(operators.TimeWindows.tsEwma(spark, sfDir)))
+    val windows = all.count(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
+    assert(windows === 1, s"expected a single WindowExec for the 8 lags, got $windows")
+  }
+
+  test("interval coverage shares one hash shuffle across both window passes") {
+    val all = collectAll(executed(operators.TimeWindows.tsCoverage(spark, sfDir)))
+    val hashShuffles = all.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    // one user_id shuffle feeds cummax + island-sum + the island aggregate;
+    // the only other hash exchange is the final per-user aggregate
+    assert(hashShuffles.size <= 2,
+      s"expected <= 2 hash shuffles (windows must share partitioning), got ${hashShuffles.size}")
+  }
 }

@@ -518,6 +518,18 @@ class SearchClusterSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("HLL rolling WAU tracks the exact sibling within 5% on every day") {
+    val exact = operators.EventOps.rollingActive(spark, sfDir).collect()
+      .map(r => r.getTimestamp(0).getTime -> r.getLong(2)).toMap
+    val approx = operators.EventOps.rollingActiveHll(spark, sfDir).collect()
+      .map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet, "sketch path covers different days")
+    exact.foreach { case (d, w) =>
+      val a = approx(d)
+      assert(math.abs(a - w).toDouble / w <= 0.05, s"day $d: approx $a vs exact $w")
+    }
+  }
+
   test("salted join returns exactly the unsalted join's aggregate") {
     val events = Tables.events(spark, sfDir)
     val dim = events.groupBy("event_type").agg(count(lit(1)).as("type_n"))
