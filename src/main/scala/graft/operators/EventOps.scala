@@ -33,6 +33,66 @@ object EventOps {
         && col("t_buy") > col("t_click"), lit(1))).as("step_buy"))
   }
 
+  /** Conversion-latency distribution for the fully-converting funnel
+    * cohort: for users whose first view < first click < first purchase
+    * (exactly [[funnel]]'s step-3 predicate), the view→purchase delay in
+    * integer seconds, summarized as exact interpolated percentiles
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`, the q_agg_percentile
+    * pairing) rounded 4dp. Same one-hash-agg-per-user reduction as the
+    * funnel — shuffle volume is #users — followed by a 1-row global agg.
+    */
+  def funnelLatency(s: SparkSession, dir: String): DataFrame = {
+    val steps = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+      .filter(col("t_view").isNotNull && col("t_click") > col("t_view")
+        && col("t_buy") > col("t_click"))
+      .select((col("t_buy").cast("long") - col("t_view").cast("long")).as("lat_sec"))
+    steps.agg(
+      count(lit(1)).as("n_converted"),
+      round(expr("percentile(lat_sec, 0.5)"), 4).as("p50_sec"),
+      round(expr("percentile(lat_sec, 0.9)"), 4).as("p90_sec"),
+      max(col("lat_sec")).as("max_sec"))
+  }
+
+  /** Last-touch attribution: each purchase is credited to the LATEST
+    * preceding non-purchase event of the same user within 24 h (ties on
+    * ts broken by larger event_id — total order), else to "organic".
+    * The as-of pick uses max_by over the bounded interval join on the
+    * user key — at scale the join is user-partitioned and the per-user
+    * candidate set is the user's own 24 h history, never a cross
+    * product. Output: credited channel × purchase count + value mass.
+    */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("buy_id"),
+        col("ts").cast("long").as("buy_sec"),
+        floor(col("value") * 1e6).cast("long").as("vmicro"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("t_uid"), col("event_type").as("channel"),
+        col("event_id").as("touch_id"), col("ts").cast("long").as("touch_sec"))
+    // the 24 h window belongs IN the join condition: a buy whose touches
+    // are all out-of-window must surface as the unmatched (organic) row,
+    // not be filtered away after the join
+    val credited = buys.join(touches,
+        col("user_id") === col("t_uid")
+          && col("touch_sec") <= col("buy_sec")
+          && col("touch_sec") > col("buy_sec") - 86400L, "left")
+      .groupBy("buy_id", "vmicro")
+      .agg(max_by(col("channel"),
+        when(col("touch_sec").isNotNull, struct(col("touch_sec"), col("touch_id"))))
+        .as("channel"))
+    credited
+      .select(coalesce(col("channel"), lit("organic")).as("channel"),
+        col("vmicro"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"), sum(col("vmicro")).as("value_micro"))
+      .orderBy("channel")
+  }
+
   /** Weekly cohort retention: cohort = Monday of the user's first active
     * week; one row per (cohort, week-offset) with the distinct users
     * still active. Week arithmetic stays integral (datediff/7 on
@@ -174,6 +234,8 @@ object EventOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_latency" -> (funnelLatency _),
+    "q_attribution" -> (attribution _),
     "q_rolling_active_hll" -> (rollingActiveHll _),
     "q_rolling_active" -> (rollingActive _),
     "q_funnel" -> (funnel _),
@@ -183,6 +245,45 @@ object EventOps {
     "q_time_decay" -> (timeDecay _))
 
   val oracles: Map[String, String] = Map(
+    "q_funnel_latency" ->
+      """WITH t AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        |  FROM events GROUP BY user_id),
+        |l AS (
+        |  SELECT CAST(floor(epoch(t_buy)) AS BIGINT)
+        |       - CAST(floor(epoch(t_view)) AS BIGINT) AS lat_sec
+        |  FROM t
+        |  WHERE t_view IS NOT NULL AND t_click > t_view AND t_buy > t_click)
+        |SELECT COUNT(*) AS n_converted,
+        |  round(quantile_cont(lat_sec, 0.5), 4) AS p50_sec,
+        |  round(quantile_cont(lat_sec, 0.9), 4) AS p90_sec,
+        |  MAX(lat_sec) AS max_sec
+        |FROM l""".stripMargin,
+    "q_attribution" ->
+      """WITH buys AS (
+        |  SELECT user_id, event_id AS buy_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS buy_sec,
+        |    CAST(floor(value * 1e6) AS BIGINT) AS vmicro
+        |  FROM events WHERE event_type = 'purchase'),
+        |touches AS (
+        |  SELECT user_id AS t_uid, event_type AS channel, event_id AS touch_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS touch_sec
+        |  FROM events WHERE event_type <> 'purchase'),
+        |credited AS (
+        |  SELECT buy_id, vmicro, channel FROM (
+        |    SELECT b.buy_id, b.vmicro, t.channel,
+        |      row_number() OVER (PARTITION BY b.buy_id
+        |        ORDER BY t.touch_sec DESC NULLS LAST, t.touch_id DESC NULLS LAST) AS rn
+        |    FROM buys b LEFT JOIN touches t
+        |      ON b.user_id = t.t_uid AND t.touch_sec <= b.buy_sec
+        |         AND t.touch_sec > b.buy_sec - 86400)
+        |  WHERE rn = 1)
+        |SELECT COALESCE(channel, 'organic') AS channel,
+        |  COUNT(*) AS n_purchases, CAST(SUM(vmicro) AS BIGINT) AS value_micro
+        |FROM credited GROUP BY channel ORDER BY channel""".stripMargin,
     "q_rolling_active" ->
       """WITH daily AS (
         |  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id

@@ -99,4 +99,34 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
     val got = operators.SimilarityOps.simIvfBucketed(spark, sfDir)
     assert(got.collect().length <= 10 * 5) // 10 probes × top-5
   }
+
+  test("funnel latency cohort equals the funnel's step-3 count and percentiles are ordered") {
+    val f = operators.EventOps.funnel(spark, sfDir).collect()(0)
+    val l = operators.EventOps.funnelLatency(spark, sfDir).collect()(0)
+    assert(l.getLong(0) === f.getLong(3), "latency cohort != funnel step_buy count")
+    if (l.getLong(0) > 0) {
+      assert(l.getDouble(1) <= l.getDouble(2), "p50 > p90")
+      assert(l.getDouble(2) <= l.getLong(3).toDouble, "p90 > max")
+      assert(l.getDouble(1) > 0, "nonpositive latency for a strictly-ordered funnel")
+    }
+  }
+
+  test("attribution conserves purchases and value, and matches a driver-side recompute") {
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("sec"), floor(col("value") * 1e6).cast("long").as("vmicro"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val buys = events.filter(_._3 == "purchase")
+    val expected = buys.map { case (u, _, _, bSec, bV) =>
+      val cand = events.filter(e => e._1 == u && e._3 != "purchase"
+        && e._4 <= bSec && e._4 > bSec - 86400L)
+      val ch = if (cand.isEmpty) "organic"
+        else cand.maxBy(e => (e._4, e._2))._3
+      ch -> bV
+    }.groupBy(_._1).map { case (ch, vs) => ch -> (vs.length.toLong, vs.map(_._2).sum) }
+    val got = operators.EventOps.attribution(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+    assert(got.values.map(_._1).sum === buys.length.toLong, "purchases not conserved")
+  }
 }
