@@ -25,7 +25,11 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     val keys = Seq("q_agg_pricing_summary", "q_win_running", "q_corpus_manifest", "q_mix_resample",
       // r8 float-disciplined ops: the ones where a slipped nano-floor
       // would surface exactly here
-      "q_text_bm25", "q_embed_pca", "q_stats_regression", "q_stats_chisq")
+      "q_text_bm25", "q_embed_pca", "q_stats_regression", "q_stats_chisq",
+      // late-r8 double-emitting ops: every double is a single terminal
+      // division/sqrt over exact integer/decimal sums — partition-free
+      "q_ts_twap", "q_ts_ewma", "q_ts_acf", "q_stats_corr_pairs",
+      "q_funnel_latency", "q_attribution")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(n: String): Map[String, Seq[org.apache.spark.sql.Row]] = {
       spark.conf.set("spark.sql.shuffle.partitions", n)
