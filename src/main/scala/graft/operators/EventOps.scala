@@ -93,6 +93,29 @@ object EventOps {
       .orderBy("channel")
   }
 
+  /** Inter-event gap histogram in log₂ buckets per event type — the
+    * burstiness diagnostic (a heavy bucket 0-4 = machine-gun retries,
+    * a flat tail = Poisson-ish arrivals). The bucket is floor(log₂ gap)
+    * computed EXACTLY as length(bin(gap)) − 1 — integer bit arithmetic,
+    * no floating log to drift cross-engine (DuckDB twin uses
+    * printf('%b')); zero gaps land in bucket 0 via greatest(gap, 1).
+    * One user-partitioned lag + one (type, bucket) aggregate.
+    */
+  def gapHistogram(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").cast("long").as("sec"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .withColumn("bucket", (length(bin(greatest(col("gap"), lit(1L)))) - 1).cast("long"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"), min(col("gap")).as("min_gap_sec"),
+        max(col("gap")).as("max_gap_sec"))
+      .orderBy("event_type", "bucket")
+  }
+
   /** Weekly cohort retention: cohort = Monday of the user's first active
     * week; one row per (cohort, week-offset) with the distinct users
     * still active. Week arithmetic stays integral (datediff/7 on
@@ -234,6 +257,7 @@ object EventOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gap_histogram" -> (gapHistogram _),
     "q_funnel_latency" -> (funnelLatency _),
     "q_attribution" -> (attribution _),
     "q_rolling_active_hll" -> (rollingActiveHll _),
@@ -245,6 +269,22 @@ object EventOps {
     "q_time_decay" -> (timeDecay _))
 
   val oracles: Map[String, String] = Map(
+    "q_gap_histogram" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    sec - lag(sec, 1) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap
+        |  FROM e),
+        |b AS (
+        |  SELECT event_type,
+        |    CAST(length(printf('%b', greatest(gap, 1))) - 1 AS BIGINT) AS bucket, gap
+        |  FROM g WHERE gap IS NOT NULL)
+        |SELECT event_type, bucket, COUNT(*) AS n,
+        |  MIN(gap) AS min_gap_sec, MAX(gap) AS max_gap_sec
+        |FROM b GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin,
     "q_funnel_latency" ->
       """WITH t AS (
         |  SELECT user_id,

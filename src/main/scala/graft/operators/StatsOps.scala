@@ -312,7 +312,34 @@ object StatsOps {
       .orderBy("lang")
   }
 
+  /** Daily z-score anomaly flags per event type: each day's value mass
+    * against its type's own mean/population-σ, computed from EXACT
+    * int64 micro sums in one aggregate and broadcast back onto the
+    * calendar-bounded daily relation; the z quotient is the single
+    * terminal double (6dp), flagged at |z| > 2. The z-test complement
+    * to the CUSUM scan — point outliers vs sustained drift.
+    */
+  def statsZscoreDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("x").cast(DecimalType(38, 0))).as("sxx"))
+      .withColumn("mean", col("sx").cast("double") / col("n"))
+      .withColumn("sd", sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) / col("n"))
+      .select(col("event_type"), col("mean"), col("sd"))
+    daily.join(broadcast(stats), Seq("event_type"))
+      .filter(col("sd") > 0)
+      .select(col("event_type"), col("day"), col("x").as("mass_micro"),
+        round((col("x") - col("mean")) / col("sd"), 6).as("z"))
+      .withColumn("anomaly", abs(col("z")) > 2.0)
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_zscore_daily" -> (statsZscoreDaily _),
     "q_stats_weighted_median" -> (statsWeightedMedian _),
     "q_stats_corr_pairs" -> (statsCorrPairs _),
     "q_stats_chisq" -> (statsChisq _),
@@ -326,6 +353,25 @@ object StatsOps {
     "q_text_entropy" -> (textEntropy _))
 
   val oracles: Map[String, String] = Map(
+    "q_stats_zscore_daily" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, day),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM d GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, CAST(sx AS DOUBLE) / n AS mean,
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n AS sd
+        |  FROM st),
+        |z AS (
+        |  SELECT d.event_type, day, x AS mass_micro,
+        |    round((x - mean) / sd, 6) AS z
+        |  FROM d JOIN m USING (event_type) WHERE sd > 0)
+        |SELECT event_type, day, mass_micro, z, abs(z) > 2.0 AS anomaly
+        |FROM z ORDER BY event_type, day""".stripMargin,
     "q_stats_weighted_median" ->
       """WITH o AS (
         |  SELECT lang, doc_id, n_chars,

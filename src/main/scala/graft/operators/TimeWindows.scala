@@ -296,7 +296,29 @@ object TimeWindows {
       .orderBy("event_type", "k")
   }
 
+  /** Week-over-week percent change of daily value mass per event type —
+    * the period-over-period comparison that respects weekly seasonality
+    * (lag 7 on the daily series compares Monday to Monday). Daily
+    * masses are exact int64 micros; the change ratio is the single
+    * terminal double, 6dp, with zero-baseline days structurally
+    * excluded on both engines. One key-partitioned lag window over the
+    * calendar-bounded daily relation.
+    */
+  def tsPctChange(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("day")
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .withColumn("prev", lag(col("x"), 7).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= 0L)
+      .select(col("event_type"), col("day"), col("x").as("mass_micro"),
+        round((col("x") - col("prev")).cast("double") / col("prev"), 6).as("wow_change"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_pct_change" -> (tsPctChange _),
     "q_ts_ewma" -> (tsEwma _),
     "q_ts_coverage" -> (tsCoverage _),
     "q_ts_cusum" -> (tsCusum _),
@@ -310,6 +332,19 @@ object TimeWindows {
     "q_window_session" -> (windowSession _))
 
   val oracles: Map[String, String] = Map(
+    "q_ts_pct_change" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, day),
+        |l AS (
+        |  SELECT event_type, day, x,
+        |    lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        |  FROM d)
+        |SELECT event_type, day, x AS mass_micro,
+        |  round(CAST(x - prev AS DOUBLE) / prev, 6) AS wow_change
+        |FROM l WHERE prev IS NOT NULL AND prev <> 0
+        |ORDER BY event_type, day""".stripMargin,
     "q_ts_ewma" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts,

@@ -111,6 +111,63 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("gap histogram buckets bound their gaps and conserve the gap count") {
+    val rows = operators.EventOps.gapHistogram(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, bucket, n, lo, hi) =>
+      assert(n > 0 && lo <= hi)
+      val floor = if (bucket == 0) 0L else 1L << bucket
+      assert(lo >= floor, s"bucket $bucket holds gap $lo below ${floor}")
+      assert(hi < (1L << (bucket + 1)), s"bucket $bucket holds gap $hi past ${1L << (bucket + 1)}")
+    }
+    val ev = Tables.events(spark, sfDir)
+    val expectedGaps = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum === expectedGaps, "per-user gap count not conserved")
+  }
+
+  test("week-over-week change matches an exact driver recomputation") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val expected = daily.groupBy(_._1).flatMap { case (tpe, ds) =>
+      val ordered = ds.sortBy(_._2)
+      ordered.indices.drop(7).flatMap { i =>
+        val prev = ordered(i - 7)._3
+        if (prev == 0) None
+        else Some((tpe, ordered(i)._2) -> BigDecimal((ordered(i)._3 - prev).toDouble / prev)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.toMap
+    val got = operators.TimeWindows.tsPctChange(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime) -> r.getDouble(3)).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-9, s"WoW mismatch at $k") }
+  }
+
+  test("daily z-scores match an exact driver recomputation and flag only |z| > 2") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val rows = operators.StatsOps.statsZscoreDaily(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    daily.groupBy(_._1).foreach { case (tpe, ds) =>
+      val n = ds.length
+      val sx = ds.map(e => BigInt(e._3)).sum
+      val sxx = ds.map(e => BigInt(e._3) * BigInt(e._3)).sum
+      val mean = sx.toDouble / n
+      val sd = math.sqrt((BigInt(n) * sxx - sx * sx).toDouble) / n
+      if (sd > 0) ds.foreach { case (_, day, x) =>
+        val exp = BigDecimal((x - mean) / sd).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val got = rows.find(r => r.getString(0) == tpe && r.getTimestamp(1).getTime == day).get
+        assert(math.abs(got.getDouble(3) - exp) < 1e-9, s"z mismatch ($tpe, $day)")
+        assert(got.getBoolean(4) === (math.abs(got.getDouble(3)) > 2.0))
+      }
+    }
+  }
+
   test("attribution conserves purchases and value, and matches a driver-side recompute") {
     val events = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("event_type"),
