@@ -204,13 +204,54 @@ object ClusterOps {
         col("min_micro"), col("max_micro"))
       .orderBy("dim")
 
+  /** Top-20 embedding outliers by exact squared-L2 distance to the
+    * corpus centroid — the "what doesn't belong in this corpus" probe
+    * run before contamination triage. The centroid is the per-dim
+    * floor-mean (the [[embedMoments]] means, one (dim)-key aggregate),
+    * re-assembled into a 1-row broadcast; distances stay in int64
+    * micro² end to end (components ~1e6 → per-dim diff² ≤ 4e12, ×64
+    * dims ≪ 2^63), so there is NO floating point anywhere — the rank
+    * and the hash are partition-proof by construction. Top-20 is a
+    * TakeOrderedAndProject heap, never a global sort.
+    */
+  def embedOutliers(s: SparkSession, dir: String): DataFrame = {
+    val centroid = quantized(s, dir)
+      .select(posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("cv"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+      .select(transform(col("pairs"), p => p.getField("cv")).as("c"))
+    val dist2 = aggregate(
+      zip_with(col("q"), col("c"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    quantized(s, dir).crossJoin(broadcast(centroid))
+      .select(col("vec_id"), dist2.as("dist2_micro2"))
+      .orderBy(desc("dist2_micro2"), col("vec_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_outliers" -> (embedOutliers _),
     "q_embed_kmeans" -> (embedKmeans _),
     "q_embed_pca" -> (embedPca _),
     "q_embed_cluster_purity" -> (embedClusterPurity _),
     "q_embed_moments" -> (embedMoments _))
 
   val oracles: Map[String, String] = Map(
+    "q_embed_outliers" ->
+      """WITH qv AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT dim, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+        |  FROM qv GROUP BY dim),
+        |d AS (
+        |  SELECT vec_id, CAST(SUM((v - cv) * (v - cv)) AS BIGINT) AS dist2_micro2
+        |  FROM qv JOIN c USING (dim) GROUP BY vec_id)
+        |SELECT vec_id, dist2_micro2 FROM d
+        |ORDER BY dist2_micro2 DESC, vec_id LIMIT 20""".stripMargin,
     "q_embed_moments" ->
       """WITH qv AS (
         |  SELECT generate_subscripts(embedding, 1) AS dim,

@@ -530,6 +530,23 @@ class SearchClusterSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("embedding outliers match an exact integer driver recomputation") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(f => math.floor(f.toDouble * 1e6).toLong))
+    val d = vecs.head._2.length
+    val n = vecs.length
+    val centroid = (0 until d).map { i =>
+      math.floor(vecs.map(_._2(i)).sum.toDouble / n).toLong
+    }
+    val expected = vecs.map { case (id, q) =>
+      id -> q.zip(centroid).map { case (x, c) => (x - c) * (x - c) }.sum
+    }.sortBy { case (id, dist) => (-dist, id) }.take(20)
+    val got = operators.ClusterOps.embedOutliers(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got === expected)
+  }
+
   test("salted join returns exactly the unsalted join's aggregate") {
     val events = Tables.events(spark, sfDir)
     val dim = events.groupBy("event_type").agg(count(lit(1)).as("type_n"))
