@@ -185,7 +185,32 @@ object Scans {
       .orderBy("o_orderstatus")
   }
 
+  /** Read through the custom DataSource V2 connector
+    * ([[graft.sources.KvLogSource]]): documents exported once to the
+    * tab-separated "graftlog" text format (derived-cache discipline,
+    * 4 files → 4 input partitions), then scanned back with a pushed
+    * n_chars range filter and a pruned 3-column projection — the
+    * pushdown/pruning contract is asserted in SourceV2Spec; THIS query
+    * proves end-to-end value correctness against the parquet original.
+    */
+  def scanDsv2(s: SparkSession, dir: String): DataFrame = {
+    val path = ioDir("kvlog", dir)
+    ensureWritten(path) {
+      Tables.documents(s, dir)
+        .select(concat_ws("\t", col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .as("value"))
+        .repartition(4, col("value"))
+        .write.mode("overwrite").text(path)
+    }
+    s.read.format("graft.sources.KvLogSource").load(path)
+      .filter(col("n_chars") >= 500)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_dsv2" -> (scanDsv2 _),
     "q_scan_parquet" -> (scanParquet _),
     "q_scan_csv" -> (scanCsv _),
     "q_scan_jsonl" -> (scanJsonl _),
@@ -198,6 +223,11 @@ object Scans {
     * round-trip is lossless.
     */
   val oracles: Map[String, String] = Map(
+    "q_scan_dsv2" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE n_chars >= 500
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q_scan_parquet" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag, l_shipdate
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
