@@ -3,9 +3,10 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, LessThan}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -67,13 +68,16 @@ class KvLogSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
 }
 
-class KvLogTable(path: String) extends Table with SupportsRead {
+class KvLogTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graftlog($path)"
   override def schema(): StructType = KvLog.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvLogScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new KvLogWriteBuilder(path, info.schema())
 }
 
 class KvLogScanBuilder(path: String)
@@ -121,6 +125,84 @@ class KvLogReaderFactory(fields: Array[String], pushed: Array[Filter])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new KvLogPartitionReader(partition.asInstanceOf[KvLogFilePartition].file, fields, pushed)
+}
+
+/** Batch write with the standard two-phase commit shape: each task
+  * writes to a task-unique `_tmp_` file and reports it in its commit
+  * message; only the DRIVER's commit() renames temp files into place
+  * (and truncate, when requested, clears old data at that same commit
+  * point — not when tasks start). A failed/speculative task's temp file
+  * is deleted by abort(); readers never observe partial output because
+  * `_`-prefixed files are invisible to [[KvLogBatch]]'s listing. This is
+  * the same rename-on-commit protocol file committers use, scaled down
+  * to one class.
+  */
+class KvLogWriteBuilder(path: String, schema: StructType)
+  extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new KvLogBatchWrite(path, schema, doTruncate)
+  }
+}
+
+case class KvLogCommitMessage(tmpFile: String) extends WriterCommitMessage
+
+class KvLogBatchWrite(path: String, schema: StructType, doTruncate: Boolean)
+  extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new KvLogWriterFactory(path, schema.fieldNames)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new java.io.File(path)
+    // truncate = drop everything a reader could see (same visibility rule
+    // as KvLogBatch: non-underscore, non-hidden files)
+    if (doTruncate)
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .foreach(_.delete())
+    messages.foreach { case KvLogCommitMessage(tmp) =>
+      val f = new java.io.File(tmp)
+      if (!f.renameTo(new java.io.File(dir, f.getName.stripPrefix("_tmp_"))))
+        throw new java.io.IOException(s"commit rename failed for $tmp")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case KvLogCommitMessage(tmp) => new java.io.File(tmp).delete()
+      case _ =>
+    }
+}
+
+class KvLogWriterFactory(path: String, fields: Array[String]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KvLogDataWriter(path, fields, partitionId, taskId)
+}
+
+class KvLogDataWriter(path: String, fields: Array[String], partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+  new java.io.File(path).mkdirs()
+  private val tmp = new java.io.File(path, s"_tmp_part-$partitionId-$taskId.log")
+  private val out = new java.io.PrintWriter(
+    new java.io.OutputStreamWriter(new java.io.FileOutputStream(tmp), "UTF-8"))
+
+  override def write(row: InternalRow): Unit = {
+    val cols = fields.indices.map { i =>
+      fields(i) match {
+        case "doc_id" | "n_chars" => row.getLong(i).toString
+        case "lang" | "source" => row.getUTF8String(i).toString
+      }
+    }
+    out.println(cols.mkString("\t"))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    KvLogCommitMessage(tmp.getAbsolutePath)
+  }
+  override def abort(): Unit = { out.close(); tmp.delete() }
+  override def close(): Unit = out.close()
 }
 
 /** Streams one file; pushed filters run on the parsed line BEFORE

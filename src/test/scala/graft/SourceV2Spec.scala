@@ -70,6 +70,27 @@ class SourceV2Spec extends AnyFunSuite with SparkFixture {
       scan.scan.description())
   }
 
+  test("batch write round-trips through the connector and truncate replaces data") {
+    val dir = java.nio.file.Files.createTempDirectory("kvlog_write").toString
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source", "n_chars")
+    docs.write.format("graft.sources.KvLogSource").mode("append").save(dir)
+    val back = spark.read.format("graft.sources.KvLogSource").load(dir)
+    assert(back.count() === docs.count())
+    val got = back.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).sortBy(_._1)
+    val exp = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).sortBy(_._1)
+    assert(got === exp)
+    // no temp debris after commit
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_tmp_")))
+    // overwrite truncates at the COMMIT point: half the rows replace the full set
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.format("graft.sources.KvLogSource").mode("overwrite").save(dir)
+    assert(spark.read.format("graft.sources.KvLogSource").load(dir).count()
+      === docs.filter(col("doc_id") % 2 === 0).count())
+  }
+
   test("split planning yields one input partition per data file") {
     val files = new java.io.File(logPath).listFiles()
       .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
