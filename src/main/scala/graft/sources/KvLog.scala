@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, LessThan}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -72,8 +73,8 @@ class KvLogTable(path: String) extends Table with SupportsRead with SupportsWrit
   override def name(): String = s"graftlog($path)"
   override def schema(): StructType = KvLog.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvLogScanBuilder(path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -105,6 +106,59 @@ class KvLogScan(path: String, required: StructType, pushed: Array[Filter]) exten
     s"KvLogScan path=$path, PushedFilters=[${pushed.mkString(", ")}], " +
       s"ReadSchema=${required.simpleString}"
   override def toBatch: Batch = new KvLogBatch(path, required, pushed)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new KvLogMicroBatchStream(path, required, pushed)
+}
+
+/** File-set offsets: an offset IS the sorted list of visible data files,
+  * so a micro-batch is exactly the files that appeared since the last
+  * one — the same discovery model as Spark's own file stream source,
+  * minimized. Offsets serialize as a JSON array (checkpoint-stable);
+  * files are assumed append-only and immutable once visible, the
+  * standard log-directory contract. Pushed filters and pruning flow
+  * into each micro-batch's readers unchanged — streaming reads get the
+  * same leaf-level pushdown as batch.
+  */
+class KvLogOffset(val files: Seq[String]) extends Offset {
+  override def json(): String =
+    files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+class KvLogMicroBatchStream(path: String, required: StructType, pushed: Array[Filter])
+  extends MicroBatchStream {
+
+  private def visibleFiles(): Seq[String] = {
+    val files = new java.io.File(path).listFiles()
+    if (files == null) Seq.empty
+    else files.filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getAbsolutePath).sorted.toSeq
+  }
+
+  override def initialOffset(): Offset = new KvLogOffset(Seq.empty)
+  override def latestOffset(): Offset = new KvLogOffset(visibleFiles())
+
+  override def deserializeOffset(json: String): Offset = {
+    // minimal JSON string-array parse (offsets are produced by json() above)
+    val inner = json.trim.stripPrefix("[").stripSuffix("]").trim
+    val files =
+      if (inner.isEmpty) Seq.empty[String]
+      else inner.split("\",\\s*\"").toSeq
+        .map(_.stripPrefix("\"").stripSuffix("\"").replace("\\\"", "\"").replace("\\\\", "\\"))
+    new KvLogOffset(files)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[KvLogOffset].files.toSet
+    end.asInstanceOf[KvLogOffset].files.filterNot(seen)
+      .map(f => KvLogFilePartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KvLogReaderFactory(required.fieldNames, pushed)
+
+  override def commit(end: Offset): Unit = () // files are immutable; nothing to release
+  override def stop(): Unit = ()
 }
 
 case class KvLogFilePartition(file: String) extends InputPartition

@@ -91,6 +91,33 @@ class SourceV2Spec extends AnyFunSuite with SparkFixture {
       === docs.filter(col("doc_id") % 2 === 0).count())
   }
 
+  test("micro-batch streaming reads exactly the files that appeared since the last batch") {
+    val dir = java.nio.file.Files.createTempDirectory("kvlog_stream").toFile
+    def writeFile(name: String, rows: Seq[String]): Unit = {
+      val tmp = new java.io.File(dir, s"_tmp_$name")
+      val w = new java.io.PrintWriter(tmp, "UTF-8")
+      rows.foreach(w.println); w.close()
+      assert(tmp.renameTo(new java.io.File(dir, name)))
+    }
+    writeFile("a.log", Seq("1\ten\tweb\t100", "2\tde\tweb\t200"))
+    val q = spark.readStream.format("graft.sources.KvLogSource")
+      .load(dir.getAbsolutePath)
+      .writeStream.format("memory").queryName("kvlog_stream_sink")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("kvlog_ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("kvlog_stream_sink").count() === 2)
+      writeFile("b.log", Seq("3\tfr\tnews\t300"))
+      q.processAllAvailable()
+      val rows = spark.table("kvlog_stream_sink").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).sortBy(_._1)
+      assert(rows === Array((1L, "en", "web", 100L), (2L, "de", "web", 200L),
+        (3L, "fr", "news", 300L)), "second batch must add ONLY the new file's rows")
+    } finally q.stop()
+  }
+
   test("split planning yields one input partition per data file") {
     val files = new java.io.File(logPath).listFiles()
       .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
