@@ -168,6 +168,26 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("SCD2 point-in-time lookup partitions exactly the users active before T") {
+    val asOf = java.sql.Timestamp.valueOf("2024-01-15 12:00:00")
+    val expected = Tables.events(spark, sfDir)
+      .filter(col("ts") <= lit(asOf))
+      .select("user_id").distinct().count()
+    val rows = operators.QualityOps.scd2Pit(spark, sfDir).collect()
+    assert(rows.map(_.getLong(1)).sum === expected,
+      "every user with history at T must hold exactly one status interval")
+    // spot-verify one user's status against a direct latest-event-before-T pick
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    val direct = Tables.events(spark, sfDir)
+      .filter(col("ts") <= lit(asOf))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("event_type").as("status")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pit = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pit === direct, "PIT status distribution != latest-event-before-T distribution")
+  }
+
   test("attribution conserves purchases and value, and matches a driver-side recompute") {
     val events = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("event_type"),
