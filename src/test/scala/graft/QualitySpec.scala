@@ -168,4 +168,26 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     assert(emitted === brute,
       s"LSH tail drifted from all-pairs: missed=${brute -- emitted} extra=${emitted -- brute}")
   }
+
+  test("Dataset.observe surfaces DQ metrics from the SAME pass as the pipeline action") {
+    // the operational pattern for 100 TB jobs: data-quality counters ride
+    // the production action as accumulator-style observed metrics — no
+    // second scan, no separate DQ job. Observation blocks until the
+    // action's QueryExecution reports the named metrics.
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions._
+    val obs = Observation("dq_lineitem")
+    val df = Tables.lineitem(spark, sfDir)
+      .observe(obs,
+        count(lit(1)).as("rows_seen"),
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("nonpositive_qty"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("null_shipdate"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    val grouped = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val metrics = obs.get
+    assert(metrics("rows_seen").asInstanceOf[Long] === grouped.values.sum,
+      "observed row count must equal the action's own row count")
+    assert(metrics("nonpositive_qty").asInstanceOf[Long] === 0L)
+    assert(metrics("null_shipdate").asInstanceOf[Long] === 0L)
+  }
 }

@@ -118,6 +118,36 @@ class SourceV2Spec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming restart from checkpoint resumes at the committed offset (no reprocessing)") {
+    val dir = java.nio.file.Files.createTempDirectory("kvlog_ckpt_src").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("kvlog_ckpt_loc").toString
+    def writeFile(name: String, rows: Seq[String]): Unit = {
+      val tmp = new java.io.File(dir, s"_tmp_$name")
+      val w = new java.io.PrintWriter(tmp, "UTF-8")
+      rows.foreach(w.println); w.close()
+      assert(tmp.renameTo(new java.io.File(dir, name)))
+    }
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start() = spark.readStream.format("graft.sources.KvLogSource")
+      .load(dir.getAbsolutePath)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("doc_id").collect().foreach(r => seen.add(r.getLong(0)))
+      }.start()
+    writeFile("a.log", Seq("1\ten\tweb\t100", "2\tde\tweb\t200"))
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSeq.sorted === Seq(1L, 2L))
+    // restart against the SAME checkpoint: the committed file-set offset
+    // round-trips through deserializeOffset, so only the new file replays
+    writeFile("b.log", Seq("3\tfr\tnews\t300"))
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(seen.asScala.toSeq.sorted === Seq(1L, 2L, 3L),
+      s"restart reprocessed or dropped rows: ${seen.asScala.toSeq}")
+  }
+
   test("split planning yields one input partition per data file") {
     val files = new java.io.File(logPath).listFiles()
       .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
