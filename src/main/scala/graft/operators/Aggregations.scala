@@ -74,6 +74,25 @@ object Aggregations {
       .agg(expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)").as("approx_users"))
       .orderBy("event_type")
 
+  /** Boolean + bitwise aggregate family per event type: count_if,
+    * bool_and/bool_or, and bit_and/bit_or/bit_xor over the JSON-props
+    * integer — the SQL-surface corner every migration eventually hits
+    * (feature-flag folds, permission masks, parity checks). All six are
+    * single-pass, map-side-combined, and integer/boolean exact, so the
+    * cross-engine hash has no tolerance anywhere.
+    */
+  def aggBitwiseBool(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(expr("count_if(value > 300.0)").as("n_high"),
+        expr("bool_and(value > 0.0)").as("all_positive"),
+        expr("bool_or(value > 990.0)").as("any_extreme"),
+        expr("bit_and(k)").as("k_and"),
+        expr("bit_or(k)").as("k_or"),
+        expr("bit_xor(k)").as("k_xor"))
+      .orderBy("event_type")
+
   /** #24b approximate percentile sketch (GK/KLL-family) — the quantile
     * companion to HLL: mergeable per-partition sketches, the 100 TB
     * alternative to exact percentile's full sort. Rows-only (DuckDB's
@@ -266,6 +285,7 @@ object Aggregations {
     "q_agg_approx_distinct" -> (approxDistinct _),
     "q_agg_hll_partial" -> (aggHllPartial _),
     "q_agg_approx_percentile" -> (approxPercentile _),
+    "q_agg_bitwise_bool" -> (aggBitwiseBool _),
     "q_od_flows" -> (odFlows _),
     "q_agg_rollup" -> (aggRollup _),
     "q_agg_cube" -> (aggCube _),
@@ -277,6 +297,17 @@ object Aggregations {
     "q_agg_argmax" -> (aggArgmax _))
 
   val oracles: Map[String, String] = Map(
+    "q_agg_bitwise_bool" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type,
+        |  COUNT(*) FILTER (value > 300.0) AS n_high,
+        |  bool_and(value > 0.0) AS all_positive,
+        |  bool_or(value > 990.0) AS any_extreme,
+        |  bit_and(k) AS k_and, bit_or(k) AS k_or, bit_xor(k) AS k_xor
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_agg_incremental" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -76,12 +76,12 @@ class KvLogTable(path: String) extends Table with SupportsRead with SupportsWrit
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KvLogScanBuilder(path)
+    new KvLogScanBuilder(path, options.getOrDefault("mode", "permissive").toLowerCase)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new KvLogWriteBuilder(path, info.schema())
 }
 
-class KvLogScanBuilder(path: String)
+class KvLogScanBuilder(path: String, mode: String)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = KvLog.Schema
@@ -97,17 +97,18 @@ class KvLogScanBuilder(path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new KvLogScan(path, required, pushed)
+  override def build(): Scan = new KvLogScan(path, required, pushed, mode)
 }
 
-class KvLogScan(path: String, required: StructType, pushed: Array[Filter]) extends Scan {
+class KvLogScan(path: String, required: StructType, pushed: Array[Filter],
+    mode: String = "permissive") extends Scan {
   override def readSchema(): StructType = required
   override def description(): String =
     s"KvLogScan path=$path, PushedFilters=[${pushed.mkString(", ")}], " +
       s"ReadSchema=${required.simpleString}"
-  override def toBatch: Batch = new KvLogBatch(path, required, pushed)
+  override def toBatch: Batch = new KvLogBatch(path, required, pushed, mode)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new KvLogMicroBatchStream(path, required, pushed)
+    new KvLogMicroBatchStream(path, required, pushed, mode)
 }
 
 /** File-set offsets: an offset IS the sorted list of visible data files,
@@ -125,8 +126,8 @@ class KvLogOffset(val files: Seq[String]) extends Offset {
       .mkString("[", ",", "]")
 }
 
-class KvLogMicroBatchStream(path: String, required: StructType, pushed: Array[Filter])
-  extends MicroBatchStream {
+class KvLogMicroBatchStream(path: String, required: StructType, pushed: Array[Filter],
+    mode: String = "permissive") extends MicroBatchStream {
 
   private def visibleFiles(): Seq[String] = {
     val files = new java.io.File(path).listFiles()
@@ -155,7 +156,7 @@ class KvLogMicroBatchStream(path: String, required: StructType, pushed: Array[Fi
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KvLogReaderFactory(required.fieldNames, pushed)
+    new KvLogReaderFactory(required.fieldNames, pushed, mode)
 
   override def commit(end: Offset): Unit = () // files are immutable; nothing to release
   override def stop(): Unit = ()
@@ -163,7 +164,8 @@ class KvLogMicroBatchStream(path: String, required: StructType, pushed: Array[Fi
 
 case class KvLogFilePartition(file: String) extends InputPartition
 
-class KvLogBatch(path: String, required: StructType, pushed: Array[Filter]) extends Batch {
+class KvLogBatch(path: String, required: StructType, pushed: Array[Filter],
+    mode: String = "permissive") extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val files = new java.io.File(path).listFiles()
     if (files == null) Array.empty
@@ -172,13 +174,14 @@ class KvLogBatch(path: String, required: StructType, pushed: Array[Filter]) exte
       .map(f => KvLogFilePartition(f.getAbsolutePath): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new KvLogReaderFactory(required.fieldNames, pushed)
+    new KvLogReaderFactory(required.fieldNames, pushed, mode)
 }
 
-class KvLogReaderFactory(fields: Array[String], pushed: Array[Filter])
-  extends PartitionReaderFactory {
+class KvLogReaderFactory(fields: Array[String], pushed: Array[Filter],
+    mode: String = "permissive") extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new KvLogPartitionReader(partition.asInstanceOf[KvLogFilePartition].file, fields, pushed)
+    new KvLogPartitionReader(partition.asInstanceOf[KvLogFilePartition].file, fields,
+      pushed, mode)
 }
 
 /** Batch write with the standard two-phase commit shape: each task
@@ -262,22 +265,37 @@ class KvLogDataWriter(path: String, fields: Array[String], partitionId: Int, tas
 /** Streams one file; pushed filters run on the parsed line BEFORE
   * projection, so rejected rows cost one parse and zero row objects.
   */
-class KvLogPartitionReader(file: String, fields: Array[String], pushed: Array[Filter])
+class KvLogPartitionReader(file: String, fields: Array[String], pushed: Array[Filter],
+    mode: String = "permissive")
   extends PartitionReader[InternalRow] {
 
+  private val failFast = mode == "failfast"
   private val source = scala.io.Source.fromFile(file, "UTF-8")
   private val lines = source.getLines()
+  private var lineNo = 0L
   private var current: InternalRow = _
+
+  // malformed-record policy, mirroring the built-in text sources:
+  // permissive (default) drops bad lines at the leaf; failfast raises
+  // with file+line coordinates so the bad record is findable at 100 TB
+  private def parsed(line: String): Option[(Long, String, String, Long)] = {
+    val parts = line.split("\t", -1)
+    try {
+      if (parts.length != 4) throw new IllegalArgumentException("expected 4 fields")
+      Some((parts(0).toLong, parts(1), parts(2), parts(3).toLong))
+    } catch {
+      case e: Exception if !failFast => None
+      case e: Exception =>
+        throw new IllegalArgumentException(
+          s"malformed graftlog record at $file:$lineNo: '$line' (${e.getMessage})")
+    }
+  }
 
   override def next(): Boolean = {
     current = null
     while (current == null && lines.hasNext) {
-      val parts = lines.next().split("\t", -1)
-      if (parts.length == 4) {
-        val docId = parts(0).toLong
-        val lang = parts(1)
-        val src = parts(2)
-        val nChars = parts(3).toLong
+      lineNo += 1
+      parsed(lines.next()).foreach { case (docId, lang, src, nChars) =>
         if (pushed.forall(KvLog.eval(_, lang, src, nChars))) {
           val values: Seq[Any] = fields.toSeq.map {
             case "doc_id" => docId

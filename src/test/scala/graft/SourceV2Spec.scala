@@ -148,6 +148,27 @@ class SourceV2Spec extends AnyFunSuite with SparkFixture {
       s"restart reprocessed or dropped rows: ${seen.asScala.toSeq}")
   }
 
+  test("permissive mode drops malformed lines; failfast raises with file:line coordinates") {
+    val dir = java.nio.file.Files.createTempDirectory("kvlog_malformed").toFile
+    val f = new java.io.File(dir, "bad.log")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    w.println("1\ten\tweb\t100")
+    w.println("not\ta\tvalid\trecord") // non-numeric doc_id
+    w.println("2\tde\tweb") // missing field
+    w.println("3\tfr\tnews\t300")
+    w.close()
+    val permissive = spark.read.format("graft.sources.KvLogSource")
+      .load(dir.getAbsolutePath)
+    assert(permissive.collect().map(_.getLong(0)).sorted === Array(1L, 3L),
+      "permissive must keep exactly the well-formed records")
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft.sources.KvLogSource").option("mode", "failfast")
+        .load(dir.getAbsolutePath).collect()
+    }
+    val msg = Option(ex.getCause).map(_.getMessage).getOrElse(ex.getMessage)
+    assert(msg.contains("bad.log:2"), s"failfast error must carry file:line, got: $msg")
+  }
+
   test("split planning yields one input partition per data file") {
     val files = new java.io.File(logPath).listFiles()
       .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
