@@ -230,22 +230,17 @@ object PipelineOps {
     * per-partition row_number, plus a broadcast cumulative offset from a
     * #partitions-row histogram — never a single-partition window.
     * monotonically_increasing_id() is NOT used: its ids are partition-
-    * sparse (gaps), not contiguous, and change with partitioning.
+    * sparse (gaps), not contiguous, and change with partitioning. The
+    * explicit partition count pins the exchange against AQE coalescing
+    * (a bare repartitionByRange folds small inputs to one partition —
+    * the exact single-task shape this avoids; see ntileBuckets).
     */
   def sampleIndex(s: SparkSession, dir: String): DataFrame = {
-    val sorted = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"))
-      .repartitionByRange(col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val hist = sorted.groupBy("pid").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets: Map[Int, Long] = hist.map(_._1).zip(hist.scanLeft(0L)(_ + _._2)).toMap
-    val w = Window.partitionBy("pid").orderBy("doc_id")
-    sorted
-      .withColumn("sample_idx",
-        element_at(typedLit(offsets), col("pid")) + row_number().over(w) - 1)
+    val (ranked, _) = StatsOps.globalRanked(s,
+      Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+      Seq(col("doc_id")))
+    ranked
+      .withColumn("sample_idx", col("r") - 1)
       .select(col("doc_id"), col("lang"), col("sample_idx"))
       .orderBy("doc_id")
   }

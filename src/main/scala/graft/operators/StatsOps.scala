@@ -80,24 +80,21 @@ object StatsOps {
     * n%k buckets hold n/k+1 rows, the rest n/k — identical output to
     * ntile(k) because the order is total. localCheckpoint freezes the
     * range boundaries so histogram and rank pass see the same pids.
+    * The partition count is passed explicitly: a bare
+    * repartitionByRange(cols) is an AQE-coalescible exchange, and on a
+    * small input AQE folds it to ONE partition — re-creating the very
+    * single-task window this operator exists to avoid. An explicit N
+    * pins the exchange (user-specified counts are exempt from
+    * coalescing) while staying cluster-tunable via shuffle.partitions.
     */
   def ntileBuckets(s: SparkSession, dir: String): DataFrame = {
     val k = 8
-    val sorted = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_totalprice"))
-      .repartitionByRange(col("o_totalprice"), col("o_orderkey"))
-      .sortWithinPartitions("o_totalprice", "o_orderkey")
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val hist = sorted.groupBy("pid").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val n = hist.map(_._2).sum
-    val offsets: Map[Int, Long] = hist.map(_._1).zip(hist.scanLeft(0L)(_ + _._2)).toMap
+    val (ranked, n) = globalRanked(s,
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+      Seq(col("o_totalprice"), col("o_orderkey")))
     val q = n / k
     val rem = n % k
-    val w = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
-    sorted
-      .withColumn("r", element_at(typedLit(offsets), col("pid")) + row_number().over(w))
+    ranked
       .withColumn("bucket",
         when(lit(rem) =!= 0 && col("r") <= lit(rem * (q + 1)),
           expr(s"(r - 1) div ${q + 1} + 1"))
@@ -105,6 +102,32 @@ object StatsOps {
           .cast("long"))
       .select(col("o_orderkey"), col("bucket"))
       .orderBy("o_orderkey")
+  }
+
+  /** Shared two-phase global rank kernel (ntileBuckets' scaladoc has the
+    * full design argument). The partition count is explicit because a
+    * bare repartitionByRange(cols) is an AQE-coalescible exchange that
+    * folds small inputs into ONE partition at runtime — re-creating the
+    * single-task window this kernel exists to avoid, invisibly to any
+    * static plan assertion. User-specified counts are exempt from AQE
+    * coalescing, and reading shuffle.partitions keeps it cluster-tuned.
+    * Returns (input columns + pid + 1-based global rank `r`, total N).
+    */
+  private[graft] def globalRanked(s: SparkSession, df: DataFrame,
+      sortCols: Seq[Column]): (DataFrame, Long) = {
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df
+      .repartitionByRange(nPart, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val hist = sorted.groupBy("pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] = hist.map(_._1).zip(hist.scanLeft(0L)(_ + _._2)).toMap
+    val w = Window.partitionBy("pid").orderBy(sortCols: _*)
+    (sorted.withColumn("r",
+      element_at(typedLit(offsets), col("pid")) + row_number().over(w)),
+      hist.map(_._2).sum)
   }
 
   /** Z-order (Morton) clustering key: interleave the low 8 bits of

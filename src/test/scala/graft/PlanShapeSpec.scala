@@ -356,6 +356,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "global-window ntile reintroduced a single-partition stage:\n" + planStr.take(3000))
   }
 
+  test("two-phase global rank really runs on >1 partition at runtime") {
+    import org.apache.spark.sql.functions._
+    // the static no-SinglePartition assertions above can't see AQE's
+    // runtime coalescing: a bare repartitionByRange(cols) over a small
+    // input folds to ONE partition after the fact. The kernel pins the
+    // exchange with an explicit count — verify the materialized pid
+    // histogram is actually multi-partition.
+    val (ranked, n) = operators.StatsOps.globalRanked(spark,
+      Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_totalprice")),
+      Seq(col("o_totalprice"), col("o_orderkey")))
+    val nPids = ranked.select("pid").distinct().count()
+    assert(nPids > 1, s"rank kernel collapsed to $nPids partition(s) at runtime")
+    assert(ranked.agg(min("r"), max("r")).head() ===
+      org.apache.spark.sql.Row(1L, n), "global rank must be contiguous 1..N")
+  }
+
   test("AQE splits a skewed join partition (OptimizeSkewedJoin fires)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
