@@ -132,14 +132,71 @@ object QualityOps {
       .orderBy("change_type")
   }
 
+  /** Right-to-erasure cascade: given a tombstone set of customer keys
+    * (here a deterministic slice: negative-balance MACHINERY customers),
+    * propagate the deletion through the FK chain customer → orders →
+    * lineitem and report, per table, how many rows the cascade removes
+    * vs keeps — the audit artifact a GDPR/CCPA deletion job must emit
+    * before the actual rewrite. Tombstone keys are dim-sized so both
+    * fact scans prune via BROADCAST semi/anti joins (the orders slice
+    * re-broadcasts for lineitem): zero fact-table shuffles, and each
+    * per-table count is one map-side-combined global aggregate.
+    */
+  def deleteCascade(s: SparkSession, dir: String): DataFrame = {
+    val tomb = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "MACHINERY" && col("c_acctbal") < 0)
+      .select(col("c_custkey"))
+    val orders = Tables.orders(s, dir)
+    val deadOrders = orders.join(broadcast(tomb),
+      col("o_custkey") === col("c_custkey"), "left_semi")
+    val li = Tables.lineitem(s, dir)
+    val deadLines = li.join(broadcast(deadOrders.select(col("o_orderkey"))),
+      col("l_orderkey") === col("o_orderkey"), "left_semi")
+    def audit(table: String, total: DataFrame, dead: DataFrame): DataFrame =
+      total.agg(count(lit(1)).as("n_total")).crossJoin(
+          dead.agg(count(lit(1)).as("n_deleted")))
+        .select(lit(table).as("table_name"), col("n_total"), col("n_deleted"),
+          (col("n_total") - col("n_deleted")).as("n_kept"))
+    audit("customer", Tables.customer(s, dir), tomb)
+      .unionByName(audit("orders", orders, deadOrders))
+      .unionByName(audit("lineitem", li, deadLines))
+      .orderBy("table_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_snapshot_diff" -> (snapshotDiff _),
     "q_outlier_iqr" -> (outlierIqr _),
     "q_dq_checks" -> (dqChecks _),
+    "q_delete_cascade" -> (deleteCascade _),
     "q_scd2_history" -> (scd2History _),
     "q_scd2_pit" -> (scd2Pit _))
 
   val oracles: Map[String, String] = Map(
+    "q_delete_cascade" ->
+      """WITH tomb AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'MACHINERY' AND c_acctbal < 0),
+        |dead_orders AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM tomb))
+        |SELECT 'customer' AS table_name,
+        |  (SELECT COUNT(*) FROM customer) AS n_total,
+        |  (SELECT COUNT(*) FROM tomb) AS n_deleted,
+        |  (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM tomb) AS n_kept
+        |UNION ALL
+        |SELECT 'orders',
+        |  (SELECT COUNT(*) FROM orders),
+        |  (SELECT COUNT(*) FROM dead_orders),
+        |  (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM dead_orders)
+        |UNION ALL
+        |SELECT 'lineitem',
+        |  (SELECT COUNT(*) FROM lineitem),
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE l_orderkey IN (SELECT o_orderkey FROM dead_orders)),
+        |  (SELECT COUNT(*) FROM lineitem)
+        |    - (SELECT COUNT(*) FROM lineitem
+        |       WHERE l_orderkey IN (SELECT o_orderkey FROM dead_orders))
+        |ORDER BY table_name""".stripMargin,
     "q_snapshot_diff" ->
       """WITH olds AS (
         |  SELECT o_orderkey AS key, o_totalprice AS price_old

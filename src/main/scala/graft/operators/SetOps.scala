@@ -96,6 +96,38 @@ object SetOps {
           lit("]")).as("payload"))
       .orderBy("batch_id")
 
+  /** Full MERGE INTO semantics in one relational pass — the lakehouse
+    * statement every warehouse migration asks about first. Target =
+    * finished orders; source = urgent orders carrying a data-derived op
+    * (small ones are retractions, the rest upserts). One full-outer join
+    * on the key expresses all four MERGE arms branch-free:
+    * WHEN MATCHED AND op='delete'  THEN DELETE (filtered out),
+    * WHEN MATCHED                  THEN UPDATE (source price wins),
+    * WHEN NOT MATCHED AND op!='delete' THEN INSERT,
+    * plus untouched target rows pass through. Exactly one shuffle (or a
+    * broadcast when the source is dim-sized); the same single-join shape
+    * Delta/Iceberg MERGE compiles to before write-back.
+    */
+  def mergeFull(s: SparkSession, dir: String): DataFrame = {
+    val target = fSlice(s, dir)
+      .select(col("o_orderkey").as("t_key"), col("o_totalprice").as("t_price"))
+    val source = uSlice(s, dir)
+      .select(col("o_orderkey").as("s_key"), col("o_totalprice").as("s_price"),
+        when(col("o_totalprice") < 50000, "delete").otherwise("upsert").as("op"))
+    target.join(source, col("t_key") === col("s_key"), "full_outer")
+      // matched-delete AND source-only-delete both drop; target-only rows
+      // carry a NULL op and must survive (NULL != 'delete' is NULL, so the
+      // null-safe form is required, not a plain !=)
+      .filter(!(col("op") <=> "delete"))
+      .select(
+        coalesce(col("t_key"), col("s_key")).as("o_orderkey"),
+        coalesce(col("s_price"), col("t_price")).as("o_totalprice"),
+        when(col("s_key").isNull, "kept")
+          .when(col("t_key").isNull, "inserted")
+          .otherwise("updated").as("action"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_union_all" -> (unionAll _),
     "q_union_distinct" -> (unionDistinct _),
@@ -103,6 +135,7 @@ object SetOps {
     "q_except" -> (exceptKeys _),
     "q_dedup_exact" -> (dedupExact _),
     "q_upsert" -> (upsert _),
+    "q_merge_full" -> (mergeFull _),
     "q_publish_json" -> (publishJson _))
 
   val oracles: Map[String, String] = Map(
@@ -130,6 +163,22 @@ object SetOps {
       """SELECT array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS key,
         |  MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY key""".stripMargin,
+    "q_merge_full" ->
+      """WITH target AS (
+        |  SELECT o_orderkey AS t_key, o_totalprice AS t_price
+        |  FROM orders WHERE o_orderstatus = 'F'),
+        |source AS (
+        |  SELECT o_orderkey AS s_key, o_totalprice AS s_price,
+        |    CASE WHEN o_totalprice < 50000 THEN 'delete' ELSE 'upsert' END AS op
+        |  FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT coalesce(t_key, s_key) AS o_orderkey,
+        |  coalesce(s_price, t_price) AS o_totalprice,
+        |  CASE WHEN s_key IS NULL THEN 'kept'
+        |       WHEN t_key IS NULL THEN 'inserted'
+        |       ELSE 'updated' END AS action
+        |FROM target FULL OUTER JOIN source ON t_key = s_key
+        |WHERE op IS DISTINCT FROM 'delete'
+        |ORDER BY o_orderkey""".stripMargin,
     "q_upsert" ->
       """SELECT o.o_orderkey, o.o_totalprice, 'old' AS src
         |FROM orders o

@@ -130,6 +130,35 @@ object StatsOps {
       hist.map(_._2).sum)
   }
 
+  /** Equi-DEPTH histogram (the optimizer-statistics sibling of the
+    * zero-filled equi-width q_histogram): k buckets with equal ROW
+    * counts, each reporting its [lo, hi] value bounds and count — the
+    * boundary list a cost-based planner stores for selectivity
+    * estimates on skewed columns. Bucket assignment rides the shared
+    * two-phase global rank (no single-partition window); the per-bucket
+    * reduction is an 8-group map-side-combined aggregate. Bounds are
+    * exact 2-dp money values, so the cross-engine hash is tolerance-free.
+    */
+  def histogramEquidepth(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val (ranked, n) = globalRanked(s,
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+      Seq(col("o_totalprice"), col("o_orderkey")))
+    val q = n / k
+    val rem = n % k
+    ranked
+      .withColumn("bucket",
+        when(lit(rem) =!= 0 && col("r") <= lit(rem * (q + 1)),
+          expr(s"(r - 1) div ${q + 1} + 1"))
+          .otherwise(expr(s"$rem + (r - 1 - ${rem * (q + 1)}) div ${math.max(q, 1L)} + 1"))
+          .cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy("bucket")
+  }
+
   /** Z-order (Morton) clustering key: interleave the low 8 bits of
     * partkey/suppkey so rows close in BOTH dimensions land in the same
     * zbucket — the layout trick behind multi-dimensional data skipping
@@ -371,6 +400,7 @@ object StatsOps {
     "q_profile_columns" -> (profileColumns _),
     "q_winsorize" -> (winsorize _),
     "q_ntile" -> (ntileBuckets _),
+    "q_histogram_equidepth" -> (histogramEquidepth _),
     "q_zorder_key" -> (zorderKey _),
     "q_agg_mode" -> (aggMode _),
     "q_text_entropy" -> (textEntropy _))
@@ -523,6 +553,14 @@ object StatsOps {
       """SELECT o_orderkey,
         |  CAST(ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_histogram_equidepth" ->
+      """WITH b AS (
+        |  SELECT o_totalprice,
+        |    CAST(ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
+        |  FROM orders)
+        |SELECT bucket, COUNT(*) AS n_rows,
+        |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_zorder_key" ->
       """WITH z AS (
         |  SELECT l_orderkey, l_linenumber,

@@ -142,8 +142,38 @@ object Windows {
       .orderBy("user_id", "event_id")
   }
 
+  /** Ratio-to-report: each nation's share of its region's revenue, the
+    * window formulation (sum over the region partition) rather than a
+    * join-back — one shuffle on the partition key, and the window input
+    * is the already-reduced nation-level aggregate (|nations| rows), so
+    * the window itself is trivially small at any corpus scale. Revenue
+    * sums are exact decimals; the share divides two exact decimals cast
+    * to double (one correctly-rounded op on both engines) and rounds to
+    * 6 dp, the Det ratio discipline.
+    */
+  def winRatioReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.Det
+    val nationRev = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      // stay decimal through the window sum: a double window sum would be
+      // partition-order-sensitive; decimal addition is exact either way
+      .agg(sum(Det.money(col("o_totalprice"))).as("nation_rev_dec"))
+    val w = Window.partitionBy("r_name")
+    nationRev
+      .withColumn("region_rev_dec", sum(col("nation_rev_dec")).over(w))
+      .select(col("r_name"), col("n_name"),
+        col("nation_rev_dec").cast("double").as("nation_rev"),
+        round(col("nation_rev_dec").cast("double") / col("region_rev_dec").cast("double"),
+          6).as("share"))
+      .orderBy("r_name", "n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_rolling_median" -> (winRollingMedian _),
+    "q_win_ratio_report" -> (winRatioReport _),
     "q_dedup_windowed" -> (dedupWindowed _),
     "q_win_rank" -> (winRank _),
     "q_win_lag_sequence" -> (winLagSequence _),
@@ -154,6 +184,20 @@ object Windows {
     "q_win_topk_per_group" -> (winTopkPerGroup _))
 
   val oracles: Map[String, String] = Map(
+    "q_win_ratio_report" ->
+      """WITH nr AS (
+        |  SELECT r_name, n_name,
+        |    SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS nation_rev_dec
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name, n_name,
+        |  CAST(nation_rev_dec AS DOUBLE) AS nation_rev,
+        |  round(CAST(nation_rev_dec AS DOUBLE)
+        |    / CAST(SUM(nation_rev_dec) OVER (PARTITION BY r_name) AS DOUBLE), 6) AS share
+        |FROM nr ORDER BY r_name, n_name""".stripMargin,
     "q_win_rolling_median" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts,

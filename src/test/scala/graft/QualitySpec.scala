@@ -190,4 +190,28 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     assert(metrics("nonpositive_qty").asInstanceOf[Long] === 0L)
     assert(metrics("null_shipdate").asInstanceOf[Long] === 0L)
   }
+
+  test("MERGE arms partition the key space correctly (incl. the NULL-op target-only arm)") {
+    import org.apache.spark.sql.functions._
+    val out = operators.SetOps.mergeFull(spark, sfDir).cache()
+    val target = Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "F")
+    val source = Tables.orders(spark, sfDir).filter(col("o_orderpriority") === "1-URGENT")
+    val tKeys = target.select("o_orderkey").as[Long](spark.implicits.newLongEncoder).collect().toSet
+    val sOps = source.select(col("o_orderkey"),
+        when(col("o_totalprice") < 50000, "delete").otherwise("upsert").as("op"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val actions = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // target-only rows (NULL op after the outer join) must all survive as 'kept'
+    val targetOnly = tKeys -- sOps.keySet
+    assert(targetOnly.nonEmpty && targetOnly.forall(k => actions.get(k).contains("kept")),
+      "a NULL-op target-only row was dropped or mislabeled — the filter must be null-safe")
+    // every deletion (matched or not) must be absent from the output
+    val deletes = sOps.collect { case (k, "delete") => k }.toSet
+    assert(deletes.nonEmpty && deletes.forall(k => !actions.contains(k)))
+    // matched upserts update, unmatched upserts insert
+    val upserts = sOps.collect { case (k, "upsert") => k }.toSet
+    assert(upserts.forall(k =>
+      actions.get(k).contains(if (tKeys(k)) "updated" else "inserted")))
+    out.unpersist()
+  }
 }
