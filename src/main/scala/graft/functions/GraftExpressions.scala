@@ -148,6 +148,85 @@ object DotProductExpr {
   }
 }
 
+/** Jaro-Winkler similarity over UTF-8 bytes, codegen'd — the fuzzy-name
+  * scorer Spark lacks (it ships only levenshtein). Semantics are pinned
+  * empirically to the RapidFuzz formulation DuckDB exposes as
+  * jaro_winkler_similarity, so oracle queries can use the builtin
+  * directly: byte-level comparison (not codepoints), match window
+  * max(l1,l2)/2 − 1, two-pass transposition count, Winkler prefix boost
+  * (cap 4, weight 0.1) applied only when jaro > 0.7, and any empty input
+  * — including both empty — scores 0.0. The double arithmetic follows
+  * the same (m/l1 + m/l2 + (m−t)/m)/3 op order as the reference
+  * implementations so cross-engine values are bit-identical.
+  */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two string arguments, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaro_winkler"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerExpr.sim(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.JaroWinklerExpr.sim($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaroWinklerExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinklerExpr {
+  def sim(aS: UTF8String, bS: UTF8String): Double = {
+    val a = aS.getBytes
+    val b = bS.getBytes
+    val l1 = a.length
+    val l2 = b.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(0, math.max(l1, l2) / 2 - 1)
+    val f1 = new Array[Boolean](l1)
+    val f2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val hi = math.min(l2 - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!f2(j) && a(i) == b(j)) { f1(i) = true; f2(j) = true; m += 1; found = true }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (f1(i)) {
+        while (!f2(k)) k += 1
+        if (a(i) != b(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val mm = m.toDouble
+    val jaro = (mm / l1 + mm / l2 + (mm - t / 2) / mm) / 3.0
+    if (jaro <= 0.7) return jaro
+    val maxP = math.min(4, math.min(l1, l2))
+    var p = 0
+    while (p < maxP && a(p) == b(p)) p += 1
+    jaro + 0.1 * p * (1.0 - jaro)
+  }
+}
+
 /** Count-Min point estimate: min over the sketch rows of the counter
   * addressed by the same (hash, row) columns the aggregate incremented
   * (shared [[CountMinAgg.col]]). Codegen'd like the other kernels.
@@ -212,6 +291,8 @@ object GraftFunctions {
       exprs => RollingHashExpr(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction("graft_dot",
       exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("graft_jaro_winkler",
+      exprs => JaroWinklerExpr(exprs(0), exprs(1)), "scala_udf")
     // sketch aggregates (see SketchAggs.scala): graft_minhash_sig(h, n)
     // and graft_simhash(h)
     registry.createOrReplaceTempFunction("graft_minhash_sig",

@@ -48,12 +48,42 @@ object NativeExprs {
     Windows.winTopkPerGroup(s, dir)
   }
 
+  /** #61d native Jaro-Winkler fuzzy name matching over the DISTINCT part
+    * vocabulary. Pair generation runs on the name dimension — 64 names
+    * at every scale factor (the vocabulary is a bounded adjective×noun
+    * catalog), never the fact table — so the all-pairs stage is O(V²)
+    * with V catalog-bounded, each score one codegen'd kernel call.
+    * Oracle = DuckDB's builtin jaro_winkler_similarity (identical
+    * RapidFuzz semantics, pinned in [[graft.functions.JaroWinklerExpr]];
+    * the filter applies to the raw score, the output rounds to 4 dp on
+    * both engines).
+    */
+  def jaroWinklerPairs(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val names = Tables.part(s, dir).select(col("p_name")).distinct()
+    names.select(col("p_name").as("name_a"))
+      .join(broadcast(names.select(col("p_name").as("name_b"))),
+        col("name_a") < col("name_b"))
+      .withColumn("jw_raw", expr("graft_jaro_winkler(name_a, name_b)"))
+      .filter(col("jw_raw") > 0.8)
+      .select(col("name_a"), col("name_b"), round(col("jw_raw"), 4).as("jw"))
+      .orderBy("name_a", "name_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_haversine_native" -> (haversineNative _),
     "q_fingerprint_native" -> (rollingHash _),
+    "q_jaro_winkler" -> (jaroWinklerPairs _),
     "q_topk_custom" -> (topkCustom _))
 
   val oracles: Map[String, String] = Map(
     "q_haversine_native" -> ScalarFuncs.oracles("q_haversine"),
+    "q_jaro_winkler" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) > 0.8
+        |ORDER BY name_a, name_b""".stripMargin,
     "q_topk_custom" -> Windows.oracles("q_win_topk_per_group"))
 }

@@ -49,4 +49,31 @@ class ExpressionSpec extends AnyFunSuite with SparkFixture {
         "graft_rolling_hash(CAST(NULL AS STRING)) AS h").collect().head
     assert(row.isNullAt(0) && row.isNullAt(1))
   }
+
+  test("jaro-winkler kernel matches the DuckDB/RapidFuzz reference values") {
+    import graft.functions.JaroWinklerExpr
+    def jw(a: String, b: String): Double =
+      JaroWinklerExpr.sim(UTF8String.fromString(a), UTF8String.fromString(b))
+    // pinned against DuckDB jaro_winkler_similarity this session
+    assert(jw("MARTHA", "MARHTA") === 0.9611111111111111)
+    assert(jw("DWAYNE", "DUANE") === 0.8400000000000001)
+    assert(jw("DIXON", "DICKSONX") === 0.8133333333333332)
+    assert(jw("abc", "abc") === 1.0)
+    assert(jw("abc", "") === 0.0)
+    assert(jw("", "") === 0.0) // DuckDB scores both-empty 0, not 1
+    assert(jw("ab", "ba") === 0.0) // window 0: only same-position matches
+    assert(jw("CRATE", "TRACE") === 0.7333333333333334) // jaro ≤ 0.7+: no boost below threshold
+    assert(jw("abcdefgh", "abzzzzzz") === 0.5) // common prefix but jaro ≤ 0.7 → unboosted
+    assert(jw("aaaaaaaaaab", "aaaaaaaaaac") === 0.9636363636363636) // prefix caps at 4
+    assert(jw("héllo", "hello") === 0.8400000000000001) // byte-level (UTF-8), matching DuckDB
+  }
+
+  test("jaro-winkler evaluates through codegen and propagates nulls") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      "SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS a, " +
+        "graft_jaro_winkler(CAST(NULL AS STRING), 'x') AS b").collect().head
+    assert(row.getDouble(0) === 0.9611111111111111)
+    assert(row.isNullAt(1))
+  }
 }
