@@ -163,7 +163,36 @@ object QualityOps {
       .orderBy("table_name")
   }
 
+  /** Benford's-law first-digit audit over order totals — the classic
+    * anomaly screen for fabricated or truncated monetary data. All
+    * arithmetic is integer: prices become exact cents, the leading digit
+    * comes from string length (no log10 near power-of-ten boundaries),
+    * observed shares are floor-ppm integer division, and the expected
+    * Benford shares floor(1e6·log10(1+1/d)) are precomputed literals
+    * shared verbatim with the oracle — so the comparison is
+    * tolerance-free on both engines. One map-side-combined 9-group
+    * aggregate; linear at any scale.
+    */
+  def benfordDigits(s: SparkSession, dir: String): DataFrame = {
+    val expPpm = Map(1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L,
+      5 -> 79181L, 6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+    val digits = Tables.orders(s, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+      .withColumn("digit",
+        expr("cents div CAST(pow(10, length(CAST(cents AS STRING)) - 1) AS BIGINT)"))
+      .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+    digits
+      // the unpartitioned total window runs over ≤9 rows (digits 1-9) —
+      // bounded by construction, same argument as the chi-square table
+      .withColumn("obs_ppm", expr("(1000000 * n_orders) div sum(n_orders) OVER ()"))
+      .withColumn("exp_ppm", element_at(typedLit(expPpm), col("digit").cast("int")))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+      .select(col("digit"), col("n_orders"), col("obs_ppm"), col("exp_ppm"), col("dev_ppm"))
+      .orderBy("digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_benford" -> (benfordDigits _),
     "q_snapshot_diff" -> (snapshotDiff _),
     "q_outlier_iqr" -> (outlierIqr _),
     "q_dq_checks" -> (dqChecks _),
@@ -172,6 +201,22 @@ object QualityOps {
     "q_scd2_pit" -> (scd2Pit _))
 
   val oracles: Map[String, String] = Map(
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders),
+        |g AS (
+        |  SELECT cents // CAST(pow(10, length(CAST(cents AS VARCHAR)) - 1) AS BIGINT)
+        |    AS digit, COUNT(*) AS n_orders
+        |  FROM d GROUP BY 1),
+        |e(digit, exp_ppm) AS (VALUES (1, 301029), (2, 176091), (3, 124938),
+        |  (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152), (9, 45757))
+        |SELECT g.digit, g.n_orders,
+        |  (1000000 * g.n_orders) // SUM(g.n_orders) OVER () AS obs_ppm,
+        |  CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+        |  abs((1000000 * g.n_orders) // SUM(g.n_orders) OVER ()
+        |    - CAST(e.exp_ppm AS BIGINT)) AS dev_ppm
+        |FROM g JOIN e ON g.digit = e.digit
+        |ORDER BY g.digit""".stripMargin,
     "q_delete_cascade" ->
       """WITH tomb AS (
         |  SELECT c_custkey FROM customer

@@ -171,9 +171,42 @@ object Windows {
       .orderBy("r_name", "n_name")
   }
 
+  /** Last-observation-carried-forward: a metric observed only on
+    * purchase events is forward-filled across each user's event stream —
+    * the sensor/price-feed fill every time-series migration needs. One
+    * window per user (last + IGNORE NULLS over a running frame); values
+    * pass through unchanged so the cross-engine hash is exact.
+    */
+  def winLocf(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("observed", when(col("event_type") === "purchase", col("value")))
+      .withColumn("filled", last(col("observed"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("event_id"), col("observed"), col("filled"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Running COUNT(DISTINCT) per user — Spark rejects distinct aggregates
+    * over windows, so the idiomatic rewrite is size(collect_set().over):
+    * same semantics (nulls dropped), bounded state (the distinct domain
+    * here is the small event_type vocabulary). The DuckDB twin uses the
+    * native COUNT(DISTINCT ...) OVER, proving the rewrite equivalent.
+    */
+  def winDistinctRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("n_types_seen", size(collect_set(col("event_type")).over(w)).cast("long"))
+      .select(col("user_id"), col("event_id"), col("n_types_seen"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_rolling_median" -> (winRollingMedian _),
     "q_win_ratio_report" -> (winRatioReport _),
+    "q_win_locf" -> (winLocf _),
+    "q_win_distinct_running" -> (winDistinctRunning _),
     "q_dedup_windowed" -> (dedupWindowed _),
     "q_win_rank" -> (winRank _),
     "q_win_lag_sequence" -> (winLagSequence _),
@@ -184,6 +217,19 @@ object Windows {
     "q_win_topk_per_group" -> (winTopkPerGroup _))
 
   val oracles: Map[String, String] = Map(
+    "q_win_locf" ->
+      """SELECT user_id, event_id,
+        |  CASE WHEN event_type = 'purchase' THEN value END AS observed,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_win_distinct_running" ->
+      """SELECT user_id, event_id,
+        |  COUNT(DISTINCT event_type)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_types_seen
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q_win_ratio_report" ->
       """WITH nr AS (
         |  SELECT r_name, n_name,
