@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -256,7 +257,30 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** Gaps-and-islands run detection: maximal runs of consecutive
+    * same-typed events per user, via the row_number-difference trick
+    * (global seq minus per-type seq is constant within a run) — the
+    * standard O(n) formulation, two windows sharing one user_id
+    * shuffle, no self-join. Output is one row per island with its span
+    * and length — the state-machine primitive behind uptime reports,
+    * streak analytics, and status-history compaction.
+    */
+  def statusIslands(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val byType = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .withColumn("grp", row_number().over(byUser) - row_number().over(byType))
+      .groupBy("user_id", "event_type", "grp")
+      .agg(min(col("ts")).as("island_start"), max(col("ts")).as("island_end"),
+        count(lit(1)).as("n_events"))
+      .filter(col("n_events") >= 2) // report real runs, not singletons
+      .select(col("user_id"), col("event_type"), col("island_start"),
+        col("island_end"), col("n_events"))
+      .orderBy("user_id", "island_start", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_status_islands" -> (statusIslands _),
     "q_gap_histogram" -> (gapHistogram _),
     "q_funnel_latency" -> (funnelLatency _),
     "q_attribution" -> (attribution _),
@@ -269,6 +293,19 @@ object EventOps {
     "q_time_decay" -> (timeDecay _))
 
   val oracles: Map[String, String] = Map(
+    "q_status_islands" ->
+      """WITH g AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |      AS grp
+        |  FROM events)
+        |SELECT user_id, event_type,
+        |  MIN(ts) AS island_start, MAX(ts) AS island_end,
+        |  COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, event_type, grp
+        |HAVING COUNT(*) >= 2
+        |ORDER BY user_id, island_start, event_type""".stripMargin,
     "q_gap_histogram" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

@@ -178,6 +178,40 @@ object StatsOps {
       .orderBy("zbucket")
   }
 
+  /** Geohash cell encoding (precision 6) — the string-keyed sibling of
+    * the Morton z-order key: quantize lat/lon to 15 bits each (floor of
+    * the scaled coordinate ≡ 15 bisections of the standard algorithm),
+    * interleave lon-first into a 30-bit cell id, and emit six base32
+    * chars. Pure integer/bit arithmetic after one exact double scale, so
+    * the same formula runs verbatim in the oracle; codegen'd,
+    * shuffle-free, the prefix-truncatable spatial bucketing key
+    * (substr(geohash, 1, k) = coarser cell) used for geo data layout.
+    * Coordinates are the synthetic per-customer points shared with
+    * q_haversine_native.
+    */
+  def geohashCell(s: SparkSession, dir: String): DataFrame = {
+    val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    val latq = least(floor((col("lat") + 90.0) / 180.0 * 32768.0), lit(32767.0)).cast("long")
+    val lonq = least(floor((col("lon") + 180.0) / 360.0 * 32768.0), lit(32767.0)).cast("long")
+    val z: Column = (0 until 15).map { i =>
+      shiftleft(shiftright(col("lonq"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(col("latq"), i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+    val chars = (0 until 6).map { j =>
+      lit(alphabet).substr(
+        (shiftright(col("z"), 25 - 5 * j).bitwiseAND(lit(31L)) + 1).cast("int"), lit(1))
+    }
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        (((col("c_custkey") * 7919) % 12000).cast("double") / 100 - 60).as("lat"),
+        (((col("c_custkey") * 104729) % 36000).cast("double") / 100 - 180).as("lon"))
+      .withColumn("latq", latq).withColumn("lonq", lonq)
+      .withColumn("z", z)
+      .withColumn("geohash6", concat(chars: _*))
+      .select(col("c_custkey"), col("lat"), col("lon"), col("geohash6"))
+      .orderBy("c_custkey")
+  }
+
   /** Token-entropy document scoring (low entropy = repetitive/boilerplate
     * → filter candidate). Shannon entropy via H = ln(N) − (Σ c·ln c)/N:
     * the order-sensitive Σ c·ln c is floored to integer micro-units per
@@ -401,6 +435,7 @@ object StatsOps {
     "q_winsorize" -> (winsorize _),
     "q_ntile" -> (ntileBuckets _),
     "q_histogram_equidepth" -> (histogramEquidepth _),
+    "q_geohash" -> (geohashCell _),
     "q_zorder_key" -> (zorderKey _),
     "q_agg_mode" -> (aggMode _),
     "q_text_entropy" -> (textEntropy _))
@@ -553,6 +588,28 @@ object StatsOps {
       """SELECT o_orderkey,
         |  CAST(ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_geohash" ->
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |    CAST((c_custkey * 7919) % 12000 AS DOUBLE) / 100 - 60 AS lat,
+        |    CAST((c_custkey * 104729) % 36000 AS DOUBLE) / 100 - 180 AS lon
+        |  FROM customer),
+        |q AS (
+        |  SELECT c_custkey, lat, lon,
+        |    CAST(least(floor((lat + 90.0) / 180.0 * 32768.0), 32767.0) AS BIGINT) AS latq,
+        |    CAST(least(floor((lon + 180.0) / 360.0 * 32768.0), 32767.0) AS BIGINT) AS lonq
+        |  FROM pts),
+        |z AS (
+        |  SELECT c_custkey, lat, lon,
+        |    list_sum(list_transform(range(0, 15), i ->
+        |      (((lonq >> i) & 1) << (2 * i + 1)) | (((latq >> i) & 1) << (2 * i)))) AS z
+        |  FROM q)
+        |SELECT c_custkey, lat, lon,
+        |  list_aggregate(list_transform(range(0, 6), j ->
+        |    substring('0123456789bcdefghjkmnpqrstuvwxyz',
+        |      CAST(((z >> (25 - 5 * j)) & 31) + 1 AS INTEGER), 1)),
+        |    'string_agg', '') AS geohash6
+        |FROM z ORDER BY c_custkey""".stripMargin,
     "q_histogram_equidepth" ->
       """WITH b AS (
         |  SELECT o_totalprice,
