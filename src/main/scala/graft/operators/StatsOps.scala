@@ -178,6 +178,91 @@ object StatsOps {
       .orderBy("zbucket")
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov distance between the price
+    * distributions of two order-priority slices — the distribution-drift
+    * gate a training pipeline runs between snapshots. Everything is
+    * integer: prices become cents, ties collapse via one groupBy, and
+    * the KS statistic is computed as max |ca·Nb − cb·Na| over the merged
+    * support (an integer, divided into ppm only at the end), so the
+    * cross-engine hash is tolerance-free. The cumulative counts use the
+    * same two-phase shape as [[globalRanked]] — range-partition the
+    * distinct support (AQE-pinned explicit count), per-partition running
+    * sums plus broadcast per-partition offsets for EACH sample — never a
+    * single-partition window; the argmax location is tie-broken to the
+    * smallest cents via a two-stage aggregate on the bounded support.
+    */
+  def ksDrift(s: SparkSession, dir: String): DataFrame = {
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val grouped = Tables.orders(s, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("a"),
+        when(col("o_orderpriority") === "5-LOW", 1L).otherwise(0L).as("b"))
+      .groupBy("cents").agg(sum(col("a")).as("a_n"), sum(col("b")).as("b_n"))
+      .repartitionByRange(nPart, col("cents"))
+      .sortWithinPartitions("cents")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val hist = grouped.groupBy("pid")
+      .agg(sum(col("a_n")).as("pa"), sum(col("b_n")).as("pb")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val offA: Map[Int, Long] = hist.map(_._1).zip(hist.scanLeft(0L)(_ + _._2)).toMap
+    val offB: Map[Int, Long] = hist.map(_._1).zip(hist.scanLeft(0L)(_ + _._3)).toMap
+    val na = hist.map(_._2).sum
+    val nb = hist.map(_._3).sum
+    val w = Window.partitionBy("pid").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grouped
+      .withColumn("ca", element_at(typedLit(offA), col("pid")) + sum(col("a_n")).over(w))
+      .withColumn("cb", element_at(typedLit(offB), col("pid")) + sum(col("b_n")).over(w))
+      .withColumn("dnum", abs(col("ca") * nb - col("cb") * na))
+    val dmax = cum.agg(max(col("dnum")).as("d_num"))
+    cum.join(broadcast(dmax), col("dnum") === col("d_num"))
+      .groupBy("d_num")
+      .agg(min(col("cents")).as("at_cents"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"), col("d_num"),
+        expr(s"(1000000 * d_num) div ${na * nb}").as("d_ppm"), col("at_cents"))
+  }
+
+  /** Population Stability Index between two customer segments' balance
+    * distributions — the standard ML-monitoring drift score
+    * Σ (pa−pb)·ln(pa/pb) over fixed bins, with Laplace smoothing so
+    * empty bins are defined. Discipline: bins are zero-filled (the
+    * smoothed shares must see every bin), each log-ratio is of a ratio
+    * of exact int64 products and floored to integer nanos ONCE (the
+    * perplexity/tfidf ln pattern), each term is the exact integer
+    * diff_num·lr_nano summed in DECIMAL(38,0), and the single float
+    * division happens once at the end. The DuckDB twin casts its HUGEINT
+    * sum through VARCHAR (Det's decimal→double caveat). One 10-bin
+    * aggregate over a filtered scan — linear, broadcast-only joins.
+    */
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val nBins = 10
+    val binned = Tables.customer(s, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(
+        least(greatest(floor((col("c_acctbal") + 1000.0) / 1100.0), lit(0.0)), lit(9.0))
+          .cast("long").as("bin"),
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("a"),
+        when(col("c_mktsegment") === "MACHINERY", 1L).otherwise(0L).as("b"))
+      .groupBy("bin").agg(sum(col("a")).as("a_n"), sum(col("b")).as("b_n"))
+    val g = s.range(nBins).toDF("bin")
+      .join(binned, Seq("bin"), "left").na.fill(0L, Seq("a_n", "b_n"))
+    val tot = g.agg(sum(col("a_n")).as("na"), sum(col("b_n")).as("nb"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("naB", col("na") + nBins)
+      .withColumn("nbB", col("nb") + nBins)
+      .withColumn("lr_nano",
+        floor(log(((col("a_n") + 1) * col("nbB")).cast("double")
+          / ((col("b_n") + 1) * col("naB")).cast("double")) * 1e9).cast("long"))
+      .withColumn("diff_num", (col("a_n") + 1) * col("nbB") - (col("b_n") + 1) * col("naB"))
+      .withColumn("term",
+        (col("diff_num") * col("lr_nano")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        round(sum(col("term")).cast("double")
+          / (max(col("naB")) * max(col("nbB"))).cast("double") / 1e9, 6).as("psi"))
+  }
+
   /** Geohash cell encoding (precision 6) — the string-keyed sibling of
     * the Morton z-order key: quantize lat/lon to 15 bits each (floor of
     * the scaled coordinate ≡ 15 bisections of the standard algorithm),
@@ -436,6 +521,8 @@ object StatsOps {
     "q_ntile" -> (ntileBuckets _),
     "q_histogram_equidepth" -> (histogramEquidepth _),
     "q_geohash" -> (geohashCell _),
+    "q_ks_drift" -> (ksDrift _),
+    "q_psi_drift" -> (psiDrift _),
     "q_zorder_key" -> (zorderKey _),
     "q_agg_mode" -> (aggMode _),
     "q_text_entropy" -> (textEntropy _))
@@ -588,6 +675,51 @@ object StatsOps {
       """SELECT o_orderkey,
         |  CAST(ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_psi_drift" ->
+      """WITH m AS (
+        |  SELECT CAST(least(greatest(floor((c_acctbal + 1000.0) / 1100.0), 0.0), 9.0)
+        |      AS BIGINT) AS bin,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS b
+        |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |raw AS (SELECT bin, SUM(a) AS a_n, SUM(b) AS b_n FROM m GROUP BY bin),
+        |g AS (
+        |  SELECT gs.bin, coalesce(a_n, 0) AS a_n, coalesce(b_n, 0) AS b_n
+        |  FROM generate_series(0, 9) AS gs(bin) LEFT JOIN raw ON raw.bin = gs.bin),
+        |t AS (SELECT SUM(a_n) AS na, SUM(b_n) AS nb FROM g),
+        |terms AS (
+        |  SELECT
+        |    CAST(floor(ln(CAST((a_n + 1) * (nb + 10) AS DOUBLE)
+        |      / CAST((b_n + 1) * (na + 10) AS DOUBLE)) * 1e9) AS BIGINT)
+        |      * ((a_n + 1) * (nb + 10) - (b_n + 1) * (na + 10)) AS term,
+        |    na, nb
+        |  FROM g CROSS JOIN t)
+        |SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
+        |  round(CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE)
+        |    / CAST(MAX(na + 10) * MAX(nb + 10) AS DOUBLE) / 1e9, 6) AS psi
+        |FROM terms""".stripMargin,
+    "q_ks_drift" ->
+      """WITH m AS (
+        |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS b
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |g AS (SELECT cents, SUM(a) AS a_n, SUM(b) AS b_n FROM m GROUP BY 1),
+        |t AS (SELECT SUM(a_n) AS na, SUM(b_n) AS nb FROM g),
+        |c AS (
+        |  SELECT cents,
+        |    SUM(a_n) OVER (ORDER BY cents) AS ca,
+        |    SUM(b_n) OVER (ORDER BY cents) AS cb
+        |  FROM g),
+        |d AS (
+        |  SELECT cents, abs(ca * (SELECT nb FROM t) - cb * (SELECT na FROM t)) AS dnum
+        |  FROM c),
+        |mx AS (SELECT MAX(dnum) AS d_num FROM d)
+        |SELECT (SELECT na FROM t) AS n_a, (SELECT nb FROM t) AS n_b,
+        |  (SELECT d_num FROM mx) AS d_num,
+        |  (1000000 * (SELECT d_num FROM mx))
+        |    // ((SELECT na FROM t) * (SELECT nb FROM t)) AS d_ppm,
+        |  (SELECT MIN(cents) FROM d WHERE dnum = (SELECT d_num FROM mx)) AS at_cents""".stripMargin,
     "q_geohash" ->
       """WITH pts AS (
         |  SELECT c_custkey,
