@@ -279,7 +279,35 @@ object EventOps {
       .orderBy("user_id", "island_start", "event_type")
   }
 
+  /** Floor-clamped running balance — the inventory/credit-ledger fold
+    * b' = max(0, b + Δ) whose clamp makes it NON-linear: no window or
+    * prefix-sum can express it, it is inherently sequential per key. The
+    * scalable shape: one shuffle to the key, events sorted inside a
+    * per-group array, and the fold runs as a codegen'd aggregate() HOF —
+    * group-local sequential state, cluster-parallel across keys (the
+    * same per-user-bounded collect argument as q_event_paths). Deltas
+    * are exact micro-ints (purchases credit, everything else debits), so
+    * the fold is integer arithmetic and the oracle (DuckDB list_reduce
+    * with a prepended zero seed) hash-matches exactly.
+    */
+  def runningCapped(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("delta",
+        when(col("event_type") === "purchase", floor(col("value") * 1e6).cast("long"))
+          .otherwise(-floor(col("value") * 1e6).cast("long")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("ts"), col("event_id"), col("delta"))))
+          .as("ordered"))
+      .withColumn("balance_micro",
+        expr("aggregate(transform(ordered, s -> s.delta), 0L, " +
+          "(acc, x) -> greatest(acc + x, 0L))"))
+      .select(col("user_id"), col("n_events"), col("balance_micro"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_running_capped" -> (runningCapped _),
     "q_status_islands" -> (statusIslands _),
     "q_gap_histogram" -> (gapHistogram _),
     "q_funnel_latency" -> (funnelLatency _),
@@ -293,6 +321,21 @@ object EventOps {
     "q_time_decay" -> (timeDecay _))
 
   val oracles: Map[String, String] = Map(
+    "q_running_capped" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 1e6) AS BIGINT)
+        |      ELSE -CAST(floor(value * 1e6) AS BIGINT) END AS delta
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    list(delta ORDER BY ts, event_id) AS ds
+        |  FROM d GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), ds),
+        |    (x, y) -> greatest(x + y, 0)) AS balance_micro
+        |FROM l ORDER BY user_id""".stripMargin,
     "q_status_islands" ->
       """WITH g AS (
         |  SELECT user_id, event_type, ts, event_id,
