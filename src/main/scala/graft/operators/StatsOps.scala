@@ -178,6 +178,92 @@ object StatsOps {
       .orderBy("zbucket")
   }
 
+  /** Gini coefficient of customer revenue concentration, exact: with
+    * per-customer cents x_i ranked ascending (two-phase global rank, the
+    * [[globalRanked]] kernel — never a single-partition window), G =
+    * (2·Σ r_i·x_i − (n+1)·Σ x_i) / (n·Σ x_i). Every product is int64,
+    * the sums accumulate in DECIMAL(38,0) (DuckDB HUGEINT twin), and the
+    * one double division at the end routes the DuckDB side through
+    * VARCHAR per Det's decimal→double caveat. The ranked relation is the
+    * per-customer aggregate, already reduced before ranking.
+    */
+  def giniRevenue(s: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val perCust = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val (ranked, n) = globalRanked(s, perCust, Seq(col("cents"), col("o_custkey")))
+    ranked
+      .agg(sum(col("cents").cast(big)).as("sx"),
+        sum((col("r") * col("cents")).cast(big)).as("srx"))
+      .select(lit(n).as("n_customers"),
+        round(
+          (lit(2).cast(big) * col("srx") - lit(n + 1).cast(big) * col("sx")).cast("double")
+            / (lit(n).cast(big) * col("sx")).cast("double"), 6).as("gini"))
+  }
+
+  /** Lorenz-curve deciles: the revenue share held by each tenth of
+    * customers, poorest to richest — the distribution table behind the
+    * Gini scalar. Decile assignment is the exact ntile arithmetic on the
+    * kernel's global rank; shares are integer ppm (floor), and the
+    * cumulative share is a running window over the 10-row decile
+    * relation (bounded by construction). All integer until ppm.
+    */
+  def lorenzDeciles(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val big = DecimalType(38, 0)
+    val perCust = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val (ranked, n) = globalRanked(s, perCust, Seq(col("cents"), col("o_custkey")))
+    val q = n / k
+    val rem = n % k
+    val deciles = ranked
+      .withColumn("decile",
+        when(lit(rem) =!= 0 && col("r") <= lit(rem * (q + 1)),
+          expr(s"(r - 1) div ${q + 1} + 1"))
+          .otherwise(expr(s"$rem + (r - 1 - ${rem * (q + 1)}) div ${math.max(q, 1L)} + 1"))
+          .cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents").cast(big)).as("decile_cents"))
+    val w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles
+      // total + cumulative run over the 10-row decile relation — bounded
+      .withColumn("total_cents", sum(col("decile_cents")).over(Window.partitionBy()))
+      .withColumn("cum_cents", sum(col("decile_cents")).over(w))
+      .select(col("decile"), col("n_customers"),
+        col("decile_cents").cast("long").as("decile_cents"),
+        // integral div on the exact decimals (no scale-rounding before the
+        // floor, unlike decimal '/'), matching DuckDB's // exactly
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * decile_cents) div total_cents")
+          .as("share_ppm"),
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * cum_cents) div total_cents")
+          .as("cum_share_ppm"))
+      .orderBy("decile")
+  }
+
+  /** Herfindahl–Hirschman concentration of revenue across nations —
+    * Σ share² in the standard 0–10000 points scale, exact: integer
+    * cents, per-nation sums in DECIMAL(38,0), and HHI computed from the
+    * exact decimal ratio before one final rounding. One nation-cardinality
+    * aggregate after a broadcast dim join.
+    */
+  def hhiConcentration(s: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val byNation = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).cast(big).as("cents"))
+    byNation
+      .withColumn("total", sum(col("cents")).over(Window.partitionBy())) // |nations| rows
+      .withColumn("share_ppm",
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * cents) div total"))
+      .agg(count(lit(1)).as("n_nations"),
+        // Σ (share_ppm)² / 1e8 → the 0–10000 HHI points scale, integer-floored
+        expr("sum(share_ppm * share_ppm) div 100000000").as("hhi_points"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov distance between the price
     * distributions of two order-priority slices — the distribution-drift
     * gate a training pipeline runs between snapshots. Everything is
@@ -523,6 +609,9 @@ object StatsOps {
     "q_geohash" -> (geohashCell _),
     "q_ks_drift" -> (ksDrift _),
     "q_psi_drift" -> (psiDrift _),
+    "q_gini" -> (giniRevenue _),
+    "q_lorenz_deciles" -> (lorenzDeciles _),
+    "q_hhi" -> (hhiConcentration _),
     "q_zorder_key" -> (zorderKey _),
     "q_agg_mode" -> (aggMode _),
     "q_text_entropy" -> (textEntropy _))
@@ -675,6 +764,51 @@ object StatsOps {
       """SELECT o_orderkey,
         |  CAST(ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_gini" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (
+        |  SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS r FROM pc),
+        |t AS (
+        |  SELECT COUNT(*) AS n, SUM(cents) AS sx, SUM(r * cents) AS srx FROM r)
+        |SELECT n AS n_customers,
+        |  round(CAST(CAST(2 * srx - (n + 1) * sx AS VARCHAR) AS DOUBLE)
+        |    / CAST(CAST(n * sx AS VARCHAR) AS DOUBLE), 6) AS gini
+        |FROM t""".stripMargin,
+    "q_lorenz_deciles" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (
+        |  SELECT cents,
+        |    CAST(ntile(10) OVER (ORDER BY cents, o_custkey) AS BIGINT) AS decile
+        |  FROM pc),
+        |d AS (
+        |  SELECT decile, COUNT(*) AS n_customers, SUM(cents) AS decile_cents
+        |  FROM r GROUP BY decile)
+        |SELECT decile, n_customers,
+        |  CAST(decile_cents AS BIGINT) AS decile_cents,
+        |  CAST((1000000 * decile_cents) // SUM(decile_cents) OVER () AS BIGINT)
+        |    AS share_ppm,
+        |  CAST((1000000 * SUM(decile_cents) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |    // SUM(decile_cents) OVER () AS BIGINT) AS cum_share_ppm
+        |FROM d ORDER BY decile""".stripMargin,
+    "q_hhi" ->
+      """WITH bn AS (
+        |  SELECT n_name,
+        |    SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name),
+        |sh AS (
+        |  SELECT CAST((1000000 * cents) // SUM(cents) OVER () AS BIGINT) AS share_ppm
+        |  FROM bn)
+        |SELECT COUNT(*) AS n_nations,
+        |  CAST(SUM(share_ppm * share_ppm) // 100000000 AS BIGINT) AS hhi_points
+        |FROM sh""".stripMargin,
     "q_psi_drift" ->
       """WITH m AS (
         |  SELECT CAST(least(greatest(floor((c_acctbal + 1000.0) / 1100.0), 0.0), 9.0)
