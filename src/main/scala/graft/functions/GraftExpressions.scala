@@ -227,6 +227,78 @@ object JaroWinklerExpr {
   }
 }
 
+/** FULL Damerau-Levenshtein distance (Lowrance-Wagner, with the
+  * last-occurrence table — adjacent-transposition blocks can move, so
+  * e.g. CA→ABC is 2, where the restricted OSA variant says 3), over
+  * UTF-8 bytes. Pinned empirically to DuckDB's damerau_levenshtein so
+  * oracles can use the builtin: byte alphabet (256-entry da table),
+  * integer output, empty-string distance = other length. Complements
+  * Spark's builtin levenshtein and graft_jaro_winkler.
+  */
+case class DamerauLevenshteinExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two string arguments, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_damerau_levenshtein"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DamerauLevenshteinExpr.dist(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DamerauLevenshteinExpr.dist($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DamerauLevenshteinExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object DamerauLevenshteinExpr {
+  def dist(aS: UTF8String, bS: UTF8String): Int = {
+    val a = aS.getBytes
+    val b = bS.getBytes
+    val l1 = a.length
+    val l2 = b.length
+    if (l1 == 0) return l2
+    if (l2 == 0) return l1
+    val inf = l1 + l2
+    // d is (l1+2) x (l2+2) with a sentinel border row/col of `inf`
+    val d = Array.ofDim[Int](l1 + 2, l2 + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= l1) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= l2) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
+    val da = new Array[Int](256)
+    i = 1
+    while (i <= l1) {
+      var db = 0
+      j = 1
+      while (j <= l2) {
+        val k = da(b(j - 1) & 0xff)
+        val l = db
+        var cost = 1
+        if (a(i - 1) == b(j - 1)) { cost = 0; db = j }
+        val sub = d(i)(j) + cost
+        val ins = d(i + 1)(j) + 1
+        val del = d(i)(j + 1) + 1
+        val trans = d(k)(l) + (i - k - 1) + 1 + (j - l - 1)
+        d(i + 1)(j + 1) = math.min(math.min(sub, ins), math.min(del, trans))
+        j += 1
+      }
+      da(a(i - 1) & 0xff) = i
+      i += 1
+    }
+    d(l1 + 1)(l2 + 1)
+  }
+}
+
 /** Count-Min point estimate: min over the sketch rows of the counter
   * addressed by the same (hash, row) columns the aggregate incremented
   * (shared [[CountMinAgg.col]]). Codegen'd like the other kernels.
@@ -293,6 +365,8 @@ object GraftFunctions {
       exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction("graft_jaro_winkler",
       exprs => JaroWinklerExpr(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("graft_damerau_levenshtein",
+      exprs => DamerauLevenshteinExpr(exprs(0), exprs(1)), "scala_udf")
     // sketch aggregates (see SketchAggs.scala): graft_minhash_sig(h, n)
     // and graft_simhash(h)
     registry.createOrReplaceTempFunction("graft_minhash_sig",

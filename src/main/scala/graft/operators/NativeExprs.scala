@@ -70,10 +70,28 @@ object NativeExprs {
       .orderBy("name_a", "name_b")
   }
 
+  /** #61e FULL Damerau-Levenshtein over the same vocabulary-bounded name
+    * pairs as q_jaro_winkler — the edit-distance complement (integer
+    * output: zero float considerations). Oracle = DuckDB's builtin
+    * damerau_levenshtein (same Lowrance-Wagner full variant, pinned in
+    * [[graft.functions.DamerauLevenshteinExpr]]).
+    */
+  def damerauPairs(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val names = Tables.part(s, dir).select(col("p_name")).distinct()
+    names.select(col("p_name").as("name_a"))
+      .join(broadcast(names.select(col("p_name").as("name_b"))),
+        col("name_a") < col("name_b"))
+      .withColumn("dl", expr("graft_damerau_levenshtein(name_a, name_b)"))
+      .filter(col("dl") <= 4)
+      .orderBy("name_a", "name_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_haversine_native" -> (haversineNative _),
     "q_fingerprint_native" -> (rollingHash _),
     "q_jaro_winkler" -> (jaroWinklerPairs _),
+    "q_damerau" -> (damerauPairs _),
     "q_topk_custom" -> (topkCustom _))
 
   val oracles: Map[String, String] = Map(
@@ -84,6 +102,13 @@ object NativeExprs {
         |  round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
         |FROM n a JOIN n b ON a.p_name < b.p_name
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) > 0.8
+        |ORDER BY name_a, name_b""".stripMargin,
+    "q_damerau" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(damerau_levenshtein(a.p_name, b.p_name) AS INTEGER) AS dl
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE damerau_levenshtein(a.p_name, b.p_name) <= 4
         |ORDER BY name_a, name_b""".stripMargin,
     "q_topk_custom" -> Windows.oracles("q_win_topk_per_group"))
 }

@@ -68,6 +68,22 @@ class ExpressionSpec extends AnyFunSuite with SparkFixture {
     assert(jw("héllo", "hello") === 0.8400000000000001) // byte-level (UTF-8), matching DuckDB
   }
 
+  test("damerau-levenshtein kernel matches the DuckDB reference values (FULL variant)") {
+    import graft.functions.DamerauLevenshteinExpr
+    def dl(a: String, b: String): Int =
+      DamerauLevenshteinExpr.dist(UTF8String.fromString(a), UTF8String.fromString(b))
+    // pinned against DuckDB damerau_levenshtein this session
+    assert(dl("CA", "ABC") === 2) // FULL DL, not OSA (OSA would say 3)
+    assert(dl("abcdef", "abcfad") === 3)
+    assert(dl("kitten", "sitting") === 3)
+    assert(dl("ab", "ba") === 1)
+    assert(dl("", "abc") === 3)
+    assert(dl("", "") === 0)
+    assert(dl("teh", "the") === 1)
+    assert(dl("abcd", "acbd") === 1)
+    assert(dl("héllo", "hello") === 2) // byte-level: é is two UTF-8 bytes
+  }
+
   test("jaro-winkler evaluates through codegen and propagates nulls") {
     GraftFunctions.register(spark)
     val row = spark.sql(
