@@ -284,4 +284,34 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(identicalPairs.size === 60, // 20 families x C(3,2)
       s"identical-doc pairs lost under forced cap: ${identicalPairs.size}")
   }
+
+  test("string-similarity kernels: metric laws over generated strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.{DamerauLevenshteinExpr, JaroWinklerExpr}
+    def u(s: String) = UTF8String.fromString(s)
+    val pairs = samples(Gen.zip(Gen.alphaStr, Gen.alphaStr), 200)
+    pairs.foreach { case (a, b) =>
+      val jw = JaroWinklerExpr.sim(u(a), u(b))
+      assert(jw >= 0.0 && jw <= 1.0, s"jw out of range for ($a, $b): $jw")
+      assert(jw === JaroWinklerExpr.sim(u(b), u(a)), s"jw asymmetric for ($a, $b)")
+      if (a.nonEmpty) assert(JaroWinklerExpr.sim(u(a), u(a)) === 1.0)
+      val dl = DamerauLevenshteinExpr.dist(u(a), u(b))
+      assert(dl >= 0 && dl <= math.max(a.length, b.length),
+        s"dl out of bounds for ($a, $b): $dl")
+      assert(dl === DamerauLevenshteinExpr.dist(u(b), u(a)), s"dl asymmetric for ($a, $b)")
+      assert(DamerauLevenshteinExpr.dist(u(a), u(a)) === 0)
+      assert((dl == 0) === (a == b), s"dl identity-of-indiscernibles fails for ($a, $b)")
+      // DL never exceeds plain Levenshtein (transpositions only help) and
+      // both are bounded below by the length difference
+      assert(dl >= math.abs(a.length - b.length))
+    }
+    // triangle inequality on a smaller triple sample (full DL is a metric)
+    val triples = samples(Gen.zip(Gen.alphaStr, Gen.alphaStr, Gen.alphaStr), 60)
+    triples.foreach { case (a, b, c) =>
+      val ab = DamerauLevenshteinExpr.dist(u(a), u(b))
+      val bc = DamerauLevenshteinExpr.dist(u(b), u(c))
+      val ac = DamerauLevenshteinExpr.dist(u(a), u(c))
+      assert(ac <= ab + bc, s"triangle violated for ($a, $b, $c): $ac > $ab + $bc")
+    }
+  }
 }
