@@ -41,6 +41,21 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("bucket_start"), col("event_type"), col("n_events"))
 
+  /** Native session_window aggregation — Spark's built-in dynamic-gap
+    * session operator (vs the hand-rolled FMGWS sessionize below, which
+    * exists for custom per-session state). Sessions merge while events
+    * arrive within the gap; the watermark closes a session once it passes
+    * last_ts + gap, emitting one row per (user, session) in append mode.
+    */
+  def sessionWindowCounts(events: DataFrame, gap: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
   /** #55 stateful dedup on event_id, state expired by watermark. */
   def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)

@@ -46,6 +46,41 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(out("2024-01-01 10:00:00.0") === 2L)
   }
 
+  test("native session_window merges within the gap and closes on watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Event]
+    runBatches(stream, "sessions_native",
+      df => StreamingOps.sessionWindowCounts(df, "10 minutes", "10 minutes"),
+      Seq(
+        // three events 5 min apart → ONE session (each extends the gap)
+        Seq(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "click", 1.0),
+          Event(3, ts(10), 1, "click", 1.0)),
+        // a separate user in the same batch, single event
+        Seq(Event(4, ts(12), 2, "view", 1.0)),
+        // advance the watermark far past every open session → all close
+        Seq(Event(5, Timestamp.valueOf("2024-01-01 13:00:00"), 9, "click", 1.0))),
+      "append")
+    val out = spark.table("sessions_native").collect()
+      .map(r => (r.getLong(2), r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+        r.getLong(3)))
+    val byUser = out.groupBy(_._1)
+    // user 1: one merged session [10:00, 10:20) (last event + gap), 3 events
+    assert(byUser(1L).toSeq === Seq((1L, "2024-01-01 10:00:00.0", "2024-01-01 10:20:00.0", 3L)),
+      s"user-1 session wrong: ${byUser(1L).toSeq}")
+    // user 2: singleton session [10:12, 10:22)
+    assert(byUser(2L).toSeq === Seq((2L, "2024-01-01 10:12:00.0", "2024-01-01 10:22:00.0", 1L)))
+    // streaming result equals the batch session_window over the same rows
+    val batchRows = Seq(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "click", 1.0),
+      Event(3, ts(10), 1, "click", 1.0), Event(4, ts(12), 2, "view", 1.0))
+    val batch = StreamingOps.sessionWindowCounts(batchRows.toDF(), "10 minutes", "0 seconds")
+      .collect().map(r => (r.getLong(2), r.getTimestamp(0).toString,
+        r.getTimestamp(1).toString, r.getLong(3))).toSet
+    assert(out.filter(_._1 != 9L).toSet === batch,
+      "streaming sessions must equal the batch session_window result")
+  }
+
   test("#55 dropDuplicatesWithinWatermark dedups within the watermark window") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
