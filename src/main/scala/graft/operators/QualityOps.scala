@@ -191,7 +191,41 @@ object QualityOps {
       .orderBy("digit")
   }
 
+  /** Malformed-payload quarantine — the ingest split every production
+    * pipeline needs: parse a JSON payload column permissively, route
+    * unparseable rows to a quarantine count instead of failing the job,
+    * and aggregate only the valid ones. Payloads are synthesized
+    * deterministically from the documents table (every 7th is truncated
+    * → invalid), so both engines see byte-identical inputs; Spark's
+    * from_json returns NULL on malformed input (the permissive
+    * contract), DuckDB's json_valid gates the same rows. Linear, one
+    * aggregate, no shuffle beyond the lang rollup.
+    */
+  def jsonQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val parsedType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang").as("doc_lang"),
+        concat(lit("{\"lang\": \""), col("lang"), lit("\", \"n_chars\": "),
+          col("n_chars").cast("string"), lit("}")).as("payload"))
+      .withColumn("payload",
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          expr("substring(payload, 1, length(payload) - 1)"))
+          .otherwise(col("payload")))
+      .withColumn("parsed", from_json(col("payload"), parsedType))
+      .withColumn("ok", col("parsed").isNotNull && col("parsed.n_chars").isNotNull)
+      .groupBy(col("doc_lang").as("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_quarantined"),
+        sum(when(col("ok"), col("parsed.n_chars")).otherwise(0L)).as("chars_valid"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_quarantine" -> (jsonQuarantine _),
     "q_benford" -> (benfordDigits _),
     "q_snapshot_diff" -> (snapshotDiff _),
     "q_outlier_iqr" -> (outlierIqr _),
@@ -201,6 +235,24 @@ object QualityOps {
     "q_scd2_pit" -> (scd2Pit _))
 
   val oracles: Map[String, String] = Map(
+    "q_json_quarantine" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang AS doc_lang,
+        |    '{"lang": "' || lang || '", "n_chars": ' || CAST(n_chars AS VARCHAR) || '}'
+        |      AS payload0
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, doc_lang,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN substring(payload0, 1, length(payload0) - 1)
+        |      ELSE payload0 END AS payload
+        |  FROM p)
+        |SELECT doc_lang AS lang, COUNT(*) AS n_total,
+        |  SUM(CASE WHEN json_valid(payload) THEN 0 ELSE 1 END) AS n_quarantined,
+        |  SUM(CASE WHEN json_valid(payload)
+        |    THEN CAST(json_extract(payload, '$.n_chars') AS BIGINT) ELSE 0 END)
+        |    AS chars_valid
+        |FROM c GROUP BY doc_lang ORDER BY doc_lang""".stripMargin,
     "q_benford" ->
       """WITH d AS (
         |  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders),
