@@ -191,6 +191,40 @@ object QualityOps {
       .orderBy("digit")
   }
 
+  /** Effective-dated dimension join — the general SCD2 read path (vs
+    * q_scd2_pit's single global AS OF): every purchase fact picks up the
+    * user's status AS OF its own timestamp, i.e. the unique history
+    * interval with valid_from ≤ ts < valid_to (open-ended current rows
+    * included; purchases before any status observation keep NULL via the
+    * left join). The dimension is the status history built from the
+    * NON-purchase events. The equi key (user_id) makes this a sort-merge
+    * join with the range as a post-filter — per-user histories are
+    * bounded, so no banding is needed (contrast q_join_interval, where
+    * both sides are ranges).
+    */
+  def scd2Join(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("d_user").orderBy("ts", "event_id")
+    val hist = Tables.events(s, dir)
+      .filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("d_user"), col("event_id"), col("ts"),
+        col("event_type").as("status"))
+      .withColumn("prev_status", lag(col("status"), 1).over(w))
+      .filter(col("prev_status").isNull || col("prev_status") =!= col("status"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("d_user"), col("status"), col("ts").as("valid_from"), col("valid_to"))
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .join(hist,
+        col("user_id") === col("d_user")
+          && col("valid_from") <= col("ts")
+          && (col("valid_to").isNull || col("ts") < col("valid_to")),
+        "left")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("status").as("status_at_purchase"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Malformed-payload quarantine — the ingest split every production
     * pipeline needs: parse a JSON payload column permissively, route
     * unparseable rows to a quarantine count instead of failing the job,
@@ -225,6 +259,7 @@ object QualityOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2_join" -> (scd2Join _),
     "q_json_quarantine" -> (jsonQuarantine _),
     "q_benford" -> (benfordDigits _),
     "q_snapshot_diff" -> (snapshotDiff _),
@@ -235,6 +270,22 @@ object QualityOps {
     "q_scd2_pit" -> (scd2Pit _))
 
   val oracles: Map[String, String] = Map(
+    "q_scd2_join" ->
+      """WITH seq AS (
+        |  SELECT user_id AS d_user, event_id, ts, event_type AS status,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_status
+        |  FROM events WHERE event_type <> 'purchase'),
+        |hist AS (
+        |  SELECT d_user, status, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY d_user ORDER BY ts, event_id) AS valid_to
+        |  FROM seq WHERE prev_status IS NULL OR prev_status <> status)
+        |SELECT f.user_id, f.event_id, f.ts,
+        |  h.status AS status_at_purchase
+        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') f
+        |LEFT JOIN hist h ON f.user_id = h.d_user
+        |  AND h.valid_from <= f.ts AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+        |ORDER BY f.user_id, f.event_id""".stripMargin,
     "q_json_quarantine" ->
       """WITH p AS (
         |  SELECT doc_id, lang AS doc_lang,
