@@ -356,6 +356,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "global-window ntile reintroduced a single-partition stage:\n" + planStr.take(3000))
   }
 
+  test("SCD2 effective-dated join plans as an equi join, not a nested loop") {
+    val plan = executed(operators.QualityOps.scd2Join(spark, sfDir))
+    val str = plan.toString
+    assert(!str.contains("BroadcastNestedLoopJoin") && !str.contains("CartesianProduct"),
+      "the range condition must ride the user_id equi join as a post-filter:\n" +
+        str.take(3000))
+  }
+
+  test("delete cascade prunes both fact tables via broadcast joins (no fact shuffle)") {
+    val plan = executed(operators.QualityOps.deleteCascade(spark, sfDir))
+    val joins = collectAll(plan).filter(_.nodeName.toLowerCase.contains("join"))
+    assert(joins.nonEmpty)
+    val nonBroadcast = joins.filterNot(j =>
+      j.nodeName.contains("BroadcastHashJoin") || j.nodeName.contains("BroadcastNestedLoop"))
+    assert(nonBroadcast.isEmpty,
+      s"cascade joins must broadcast the tombstones: ${joins.map(_.nodeName)}")
+  }
+
+  test("MERGE compiles to exactly one join") {
+    val plan = executed(operators.SetOps.mergeFull(spark, sfDir))
+    val joins = collectAll(plan).filter(_.nodeName.toLowerCase.contains("join"))
+    assert(joins.length === 1,
+      s"all four MERGE arms must share one full-outer join: ${joins.map(_.nodeName)}")
+  }
+
   test("two-phase global rank really runs on >1 partition at runtime") {
     import org.apache.spark.sql.functions._
     // the static no-SinglePartition assertions above can't see AQE's
