@@ -74,6 +74,31 @@ object Aggregations {
       .agg(expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)").as("approx_users"))
       .orderBy("event_type")
 
+  /** HLL set-algebra: estimate the AUDIENCE OVERLAP |clickers ∩ buyers|
+    * by inclusion-exclusion over three mergeable sketches (|A| + |B| −
+    * |A∪B|) — the sketch-only answer to "how many users did both"
+    * without ever shuffling user ids to one place. Rows-only by design
+    * (estimates); QualitySpec bounds all four estimates against exact
+    * distinct counts. The union sketch merges the two per-slice sketches
+    * (hll_union_agg), not a rescan.
+    */
+  def aggHllIntersect(s: SparkSession, dir: String): DataFrame = {
+    val sketches = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("event_type")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    sketches
+      .agg(
+        expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)").as("est_union"),
+        expr("CAST(hll_sketch_estimate(max_by(sk, CASE WHEN event_type = 'click' " +
+          "THEN 1 ELSE 0 END)) AS BIGINT)").as("est_clickers"),
+        expr("CAST(hll_sketch_estimate(max_by(sk, CASE WHEN event_type = 'purchase' " +
+          "THEN 1 ELSE 0 END)) AS BIGINT)").as("est_buyers"))
+      .select(col("est_clickers"), col("est_buyers"), col("est_union"),
+        greatest(col("est_clickers") + col("est_buyers") - col("est_union"), lit(0L))
+          .as("est_overlap"))
+  }
+
   /** Boolean + bitwise aggregate family per event type: count_if,
     * bool_and/bool_or, and bit_and/bit_or/bit_xor over the JSON-props
     * integer — the SQL-surface corner every migration eventually hits
@@ -284,6 +309,7 @@ object Aggregations {
     "q_agg_count_distinct" -> (countDistinctUsers _),
     "q_agg_approx_distinct" -> (approxDistinct _),
     "q_agg_hll_partial" -> (aggHllPartial _),
+    "q_agg_hll_intersect" -> (aggHllIntersect _),
     "q_agg_approx_percentile" -> (approxPercentile _),
     "q_agg_bitwise_bool" -> (aggBitwiseBool _),
     "q_od_flows" -> (odFlows _),

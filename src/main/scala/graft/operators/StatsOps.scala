@@ -178,6 +178,29 @@ object StatsOps {
       .orderBy("zbucket")
   }
 
+  /** Join-key skew diagnostics — the report you run BEFORE deciding to
+    * salt or skew-hint a 100 TB join: per-key cardinality stats (max,
+    * floor-micro mean, max/mean skew ratio) plus the top-5 hottest keys.
+    * One map-side-combined count per key, a 1-row global reduction, and
+    * the hot list via orderBy+limit (TakeOrderedAndProject — never a
+    * global sort). All integer arithmetic.
+    */
+  def skewReport(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_rows_key"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"), sum(col("n_rows_key")).as("n_rows"),
+      max(col("n_rows_key")).as("max_rows"))
+    val top = counts.orderBy(col("n_rows_key").desc, col("o_custkey").asc).limit(5)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n_rows_key").desc, col("o_custkey").asc)))
+    top.crossJoin(broadcast(stats))
+      .select(col("rank"), col("o_custkey"), col("n_rows_key"),
+        col("n_keys"), col("max_rows"),
+        expr("(1000000 * n_rows) div n_keys").as("mean_rows_micro"),
+        expr("(1000000 * max_rows * n_keys) div n_rows").as("skew_ratio_micro"))
+      .orderBy("rank")
+  }
+
   /** Gini coefficient of customer revenue concentration, exact: with
     * per-customer cents x_i ranked ascending (two-phase global rank, the
     * [[globalRanked]] kernel — never a single-partition window), G =
@@ -610,6 +633,7 @@ object StatsOps {
     "q_ks_drift" -> (ksDrift _),
     "q_psi_drift" -> (psiDrift _),
     "q_gini" -> (giniRevenue _),
+    "q_skew_report" -> (skewReport _),
     "q_lorenz_deciles" -> (lorenzDeciles _),
     "q_hhi" -> (hhiConcentration _),
     "q_zorder_key" -> (zorderKey _),
@@ -764,6 +788,21 @@ object StatsOps {
       """SELECT o_orderkey,
         |  CAST(ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_skew_report" ->
+      """WITH c AS (
+        |  SELECT o_custkey, COUNT(*) AS n_rows_key FROM orders GROUP BY o_custkey),
+        |s AS (
+        |  SELECT COUNT(*) AS n_keys, CAST(SUM(n_rows_key) AS BIGINT) AS n_rows,
+        |    MAX(n_rows_key) AS max_rows FROM c),
+        |t AS (
+        |  SELECT o_custkey, n_rows_key,
+        |    row_number() OVER (ORDER BY n_rows_key DESC, o_custkey ASC) AS rank
+        |  FROM c ORDER BY n_rows_key DESC, o_custkey ASC LIMIT 5)
+        |SELECT CAST(rank AS INTEGER) AS rank, o_custkey, n_rows_key,
+        |  n_keys, max_rows,
+        |  (1000000 * n_rows) // n_keys AS mean_rows_micro,
+        |  (1000000 * max_rows * n_keys) // n_rows AS skew_ratio_micro
+        |FROM t CROSS JOIN s ORDER BY rank""".stripMargin,
     "q_gini" ->
       """WITH pc AS (
         |  SELECT o_custkey, SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents

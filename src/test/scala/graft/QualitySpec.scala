@@ -191,6 +191,29 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     assert(metrics("null_shipdate").asInstanceOf[Long] === 0L)
   }
 
+  test("HLL inclusion-exclusion overlap estimate stays near the exact intersection") {
+    import org.apache.spark.sql.functions._
+    val row = operators.Aggregations.aggHllIntersect(spark, sfDir).head()
+    val (estC, estB, estU, estI) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val ev = Tables.events(spark, sfDir)
+    def exact(t: String): Long =
+      ev.filter(col("event_type") === t).select("user_id").distinct().count()
+    val exC = exact("click"); val exB = exact("purchase")
+    val exU = ev.filter(col("event_type").isin("click", "purchase"))
+      .select("user_id").distinct().count()
+    val exI = exC + exB - exU
+    // each single-sketch estimate is within 5% (rsd at lgK=12 is ~1.6%);
+    // the overlap difference compounds three estimates, so allow the sum
+    // of the absolute sketch errors plus 10% of exact as slack
+    assert(math.abs(estC - exC) <= 0.05 * exC, s"clickers: $estC vs $exC")
+    assert(math.abs(estB - exB) <= 0.05 * exB, s"buyers: $estB vs $exB")
+    assert(math.abs(estU - exU) <= 0.05 * exU, s"union: $estU vs $exU")
+    val slack = math.abs(estC - exC) + math.abs(estB - exB) +
+      math.abs(estU - exU) + 0.1 * exI
+    assert(math.abs(estI - exI) <= slack, s"overlap: $estI vs $exI (slack $slack)")
+  }
+
   test("MERGE arms partition the key space correctly (incl. the NULL-op target-only arm)") {
     import org.apache.spark.sql.functions._
     val out = operators.SetOps.mergeFull(spark, sfDir).cache()
