@@ -143,6 +143,44 @@ object ExtraFuncs {
         parse_url(col("url"), lit("QUERY")).as("query"))
       .orderBy("doc_id")
 
+  /** Data-vault surrogate key generation: deterministic SHA-256 hub keys
+    * from delimited business keys and a composite link key — the
+    * collision-safe, engine-portable alternative to sequence-assigned
+    * surrogates (no coordination, safe to recompute anywhere, identical
+    * on every engine that has sha256 — pinned cross-engine by the
+    * oracle). Pure projection: codegen'd, shuffle-free.
+    */
+  def surrogateKeys(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        sha2(concat_ws("|", lit("customer"), col("o_custkey")), 256)
+          .as("hub_customer_hk"),
+        sha2(concat_ws("|", lit("order"), col("o_orderkey")), 256).as("hub_order_hk"),
+        sha2(concat_ws("|", col("o_custkey"), col("o_orderkey")), 256).as("link_hk"))
+      .orderBy("o_orderkey")
+
+  /** Co-purchase top-3 recommendations: for every part, the three parts
+    * most often appearing in the same order — the collaborative-
+    * filtering primitive. The pair space is generated per order (a self
+    * equi join on the order key), so its size is Σ items-per-order² —
+    * bounded by basket size, never |parts|²; the top-3 cut is a window
+    * partitioned by part with a deterministic (count DESC, co_part ASC)
+    * tiebreak.
+    */
+  def coPurchase(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val w = Window.partitionBy("part").orderBy(col("n_co").desc, col("co_part").asc)
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .groupBy(col("a.pk").as("part"), col("b.pk").as("co_part"))
+      .agg(count(lit(1)).as("n_co"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("part"), col("rank"), col("co_part"), col("n_co"))
+      .orderBy("part", "rank")
+  }
+
   /** Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): the year-over-
     * year priority comparison where the "priority missing" bucket must
     * match ITSELF across years — a plain `=` silently drops the null
@@ -188,6 +226,8 @@ object ExtraFuncs {
     "q_join_null_safe" -> (joinNullSafe _),
     "q_json_variant" -> (jsonVariant _),
     "q_url_parse" -> (urlParse _),
+    "q_surrogate_keys" -> (surrogateKeys _),
+    "q_copurchase_topk" -> (coPurchase _),
     "q_bloom_semi_join" -> (bloomSemiJoin _),
     "q_explode_outer" -> (explodeOuter _),
     "q_unpivot" -> (unpivotMeasures _),
@@ -214,6 +254,27 @@ object ExtraFuncs {
         |  CAST(l_quantity AS INT) AS qty, l_returnflag AS flag
         |FROM lineitem WHERE l_orderkey % 100 = 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_surrogate_keys" ->
+      """SELECT o_orderkey, o_custkey,
+        |  sha256('customer' || '|' || CAST(o_custkey AS VARCHAR)) AS hub_customer_hk,
+        |  sha256('order' || '|' || CAST(o_orderkey AS VARCHAR)) AS hub_order_hk,
+        |  sha256(CAST(o_custkey AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR))
+        |    AS link_hk
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_copurchase_topk" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS part, b.pk AS co_part, COUNT(*) AS n_co
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+        |  GROUP BY a.pk, b.pk),
+        |ranked AS (
+        |  SELECT part, co_part, n_co,
+        |    row_number() OVER (PARTITION BY part ORDER BY n_co DESC, co_part ASC)
+        |      AS rank
+        |  FROM pairs)
+        |SELECT part, CAST(rank AS INTEGER) AS rank, co_part, n_co
+        |FROM ranked WHERE rank <= 3 ORDER BY part, rank""".stripMargin,
     "q_url_parse" ->
       """WITH u AS (
         |  SELECT doc_id,
