@@ -34,4 +34,36 @@ class TopKPlanSpec extends AnyFunSuite with SparkFixture {
     assert(!df.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
     assert(df.count() > 0)
   }
+
+  test("GraftSessionExtensions wires the rewrite at session build time (no install())") {
+    import org.apache.spark.sql.SparkSession
+    // a sibling session on the same context, built through the
+    // SparkSessionExtensions injector. (The equivalent conf form,
+    // spark.sql.extensions=graft.plans.GraftSessionExtensions, is a
+    // STATIC conf read from the SparkContext at startup — it cannot be
+    // demonstrated on a test-shared context, which is exactly why the
+    // class also supports the programmatic withExtensions path.)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = try {
+      SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.plans.GraftSessionExtensions)
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+    } finally {
+      // whatever happens, later tests must see the fixture session again
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+    assert(ext ne spark, "builder must have created a distinct session")
+    val df = operators.Windows.winTopkPerGroup(ext, sfDir)
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+      "extensions-built session must plan the custom exec without install()")
+    assert(df.collect().toSeq ===
+      operators.Windows.winTopkPerGroup(spark, sfDir).collect().toSeq,
+      "results must match the stock window formulation")
+  }
 }
