@@ -44,7 +44,8 @@ object SparkEntry {
       (SqlSuite2.queries, SqlSuite2.oracles),
       (SqlSuite3.queries, SqlSuite3.oracles),
       (SearchOps.queries, SearchOps.oracles),
-      (ClusterOps.queries, ClusterOps.oracles))
+      (ClusterOps.queries, ClusterOps.oracles),
+      (EvalOps.queries, EvalOps.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,369 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Model/dataset evaluation metrics a training pipeline runs on every
+  * candidate corpus or classifier head: exact ROC-AUC, calibration
+  * (reliability) bins, thresholded confusion matrices, mutual
+  * information between categorical columns, the Mann-Whitney U rank
+  * test, and a deterministic Poisson-bootstrap confidence interval.
+  *
+  * Scale + determinism design shared by the whole module:
+  *   - every statistic is computed from GROUPED counts (by score value,
+  *     bin, or category), never from per-row ranks, so the shuffled
+  *     relations are bounded by the score/category DOMAIN, not the row
+  *     count;
+  *   - all arithmetic stays in integers (counts, ppm, nano-nats) until
+  *     at most one final division, under the repo's floor-ln discipline
+  *     (ln floored to integer nanos once per distinct argument — both
+  *     engines evaluate ln() on the same integer inputs);
+  *   - products of two counts are cast to DECIMAL(38,0) BEFORE the
+  *     multiply (HUGEINT in the DuckDB twins) — at 10^12 rows a
+  *     count*count term overflows int64.
+  */
+object EvalOps {
+
+  /** ln(x) floored to integer nano-nats — the repo-wide cross-engine ln
+    * convention (TextOps.textTfidf, StatsOps.psiDrift use the same).
+    */
+  private def lnNano(c: Column): Column =
+    floor(log(c.cast("double")) * 1e9).cast("long")
+
+  /** Exact ROC-AUC of a "long documents are English" classifier
+    * (score = n_chars, label = lang='en') from the tie-aware pair
+    * formula: AUC = (2*C + T) / (2*np*nn) where C counts concordant
+    * (pos above neg) pairs and T ties.
+    *
+    * Shape: one groupBy(score) aggregate (map-side combined), then a
+    * cumulative window over the DISTINCT-SCORE relation — bounded by
+    * the n_chars domain (hundreds here, at most ~10^5 for document
+    * lengths), independent of corpus row count, the same boundedness
+    * argument as TimeWindows.tsGapfill's hourly scaffold. The pair
+    * counts C and T are derived from counts, never materialized as
+    * pairs: exact AUC at 100 TB without an O(N^2) pair join or a
+    * global per-row sort.
+    */
+  def evalAuc(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir)
+      .select(col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy("score")
+      .agg(sum(col("pos")).as("np"), sum(lit(1L) - col("pos")).as("nn"))
+    // negatives strictly below this score; window relation = distinct scores
+    val w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cum_nn", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .agg(
+        sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np").cast(DecimalType(38, 0)) * col("cum_nn")).as("c_dec"),
+        sum(col("np").cast(DecimalType(38, 0)) * col("nn")).as("t_dec"))
+      .select(col("n_pos"), col("n_neg"),
+        col("c_dec").cast("long").as("n_concordant"),
+        col("t_dec").cast("long").as("n_tied"),
+        round((col("c_dec") * 2 + col("t_dec")).cast("double") /
+          (col("n_pos").cast(DecimalType(38, 0)) * col("n_neg") * 2).cast("double"), 6)
+          .as("auc"))
+  }
+
+  /** Reliability diagram: predicted probability = min(1, n_chars/600)
+    * in ppm, 10 equal-width bins, per-bin mean prediction vs empirical
+    * positive rate. Pure integer arithmetic; one aggregate over 10
+    * groups — map-side combined, trivially scale-free.
+    */
+  def evalCalibration(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        expr("least(1000000L, (n_chars * 1000000L) div 600)").as("score_ppm"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .withColumn("bin", expr("least(9L, score_ppm div 100000)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("score_ppm").cast(DecimalType(38, 0))).as("s_sum"),
+        sum(col("pos")).as("n_pos"))
+      .select(col("bin"), col("n"),
+        expr("s_sum div cast(n as decimal(38,0))").as("mean_score_ppm"),
+        col("n_pos"), expr("(n_pos * 1000000) div n").as("pos_rate_ppm"))
+      .orderBy("bin")
+
+  /** Confusion matrix + precision/recall/F1 (ppm) at three score
+    * thresholds. The 3x explode happens before a map-side-combined
+    * aggregate, so the shuffle carries 3 rows per partition whatever
+    * the corpus size; ratios are NULL (both engines) when a threshold
+    * degenerates to an empty predicted-positive set.
+    */
+  def evalConfusion(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .withColumn("thr", explode(typedLit(Seq(200L, 300L, 450L))))
+      .groupBy("thr")
+      .agg(
+        sum(when(col("score") >= col("thr"), col("pos")).otherwise(0L)).as("tp"),
+        sum(when(col("score") >= col("thr"), lit(1L) - col("pos")).otherwise(0L)).as("fp"),
+        sum(when(col("score") < col("thr"), col("pos")).otherwise(0L)).as("fn"),
+        sum(when(col("score") < col("thr"), lit(1L) - col("pos")).otherwise(0L)).as("tn"))
+      .withColumn("precision_ppm",
+        when(col("tp") + col("fp") > 0, expr("(tp * 1000000) div (tp + fp)")))
+      .withColumn("recall_ppm",
+        when(col("tp") + col("fn") > 0, expr("(tp * 1000000) div (tp + fn)")))
+      .withColumn("f1_ppm",
+        when(coalesce(col("precision_ppm"), lit(0L)) + coalesce(col("recall_ppm"), lit(0L)) > 0,
+          expr("(2 * precision_ppm * recall_ppm) div (precision_ppm + recall_ppm)")))
+      .orderBy("thr")
+
+  /** Mutual information (and marginal entropies) of the (lang, source)
+    * contingency table, in integer nano-nats:
+    * MI = sum over cells of n_ls*(ln n_ls + ln N - ln n_l - ln n_s) / N.
+    *
+    * One groupBy(lang, source) shuffle; marginals and the total are
+    * re-aggregates of the |L|x|S| cell relation and joined back
+    * broadcast. Every ln is floored once per distinct integer count, so
+    * both engines sum identical integer terms; term sums are
+    * DECIMAL(38,0) because count*ln_nano reaches ~10^22 at corpus
+    * scale. All final divisions have positive numerators (entropy >= 0,
+    * and empirical MI's positive bias ~(L-1)(S-1)/2N nats dominates the
+    * <=4e-9 per-term floor error), so truncating integer division
+    * agrees across engines.
+    */
+  def mutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val joint = Tables.documents(s, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n_ls"))
+    val margL = joint.groupBy("lang").agg(sum(col("n_ls")).as("n_l"))
+    val margS = joint.groupBy("source").agg(sum(col("n_ls")).as("n_s"))
+    val tot = joint.agg(sum(col("n_ls")).as("n"))
+    val mi = joint.join(broadcast(margL), "lang").join(broadcast(margS), "source")
+      .crossJoin(broadcast(tot))
+      .select((col("n_ls").cast(DecimalType(38, 0)) *
+        (lnNano(col("n_ls")) + lnNano(col("n")) -
+          lnNano(col("n_l")) - lnNano(col("n_s")))).as("term"))
+      .agg(sum(col("term")).as("mi_num"))
+    val hl = margL.agg(sum(col("n_l").cast(DecimalType(38, 0)) * lnNano(col("n_l"))).as("sl"))
+    val hs = margS.agg(sum(col("n_s").cast(DecimalType(38, 0)) * lnNano(col("n_s"))).as("ss"))
+    tot.crossJoin(broadcast(mi)).crossJoin(broadcast(hl)).crossJoin(broadcast(hs))
+      .select(col("n").as("n_docs"),
+        expr("(cast(n as decimal(38,0)) * cast(floor(ln(cast(n as double)) * 1e9) as long) - sl)" +
+          " div cast(n as decimal(38,0))").as("h_lang_nano"),
+        expr("(cast(n as decimal(38,0)) * cast(floor(ln(cast(n as double)) * 1e9) as long) - ss)" +
+          " div cast(n as decimal(38,0))").as("h_source_nano"),
+        expr("mi_num div cast(n as decimal(38,0))").as("mi_nano"))
+      .withColumn("nmi_ppm",
+        when(least(col("h_lang_nano"), col("h_source_nano")) > 0,
+          expr("(mi_nano * 1000000) div least(h_lang_nano, h_source_nano)")))
+  }
+
+  /** Exact Mann-Whitney U (tie-aware, midranks) comparing purchase vs
+    * click event values. Same grouped-cents + two-phase cumulative
+    * shape as StatsOps.ksDrift: group rows by integer cents (relation
+    * bounded by the value domain), range-partition the grouped
+    * relation, per-partition cumulative counts plus collected partition
+    * offsets — never a single-partition window over per-row ranks.
+    * midrank2 = 2*(combined rank average) stays integer; U2 = 2*U and
+    * the rank-biserial effect (= P(a > b) + P(a = b)/2, in ppm) are
+    * exact integer expressions of it.
+    */
+  def mannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val grouped = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(round(col("value") * 100, 0).cast("long").as("cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("a"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("b"))
+      .groupBy("cents").agg(sum(col("a")).as("a_n"), sum(col("b")).as("b_n"))
+      .repartitionByRange(nPart, col("cents"))
+      .sortWithinPartitions("cents")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val hist = grouped.groupBy("pid")
+      .agg(sum(col("a_n")).as("pa"), sum(col("b_n")).as("pb")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val offA: Map[Int, Long] = hist.map(_._1).zip(hist.scanLeft(0L)(_ + _._2)).toMap
+    val offB: Map[Int, Long] = hist.map(_._1).zip(hist.scanLeft(0L)(_ + _._3)).toMap
+    val na = hist.map(_._2).sum
+    val nb = hist.map(_._3).sum
+    val w = Window.partitionBy("pid").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grouped
+      .withColumn("ca", element_at(typedLit(offA), col("pid")) + sum(col("a_n")).over(w))
+      .withColumn("cb", element_at(typedLit(offB), col("pid")) + sum(col("b_n")).over(w))
+      .withColumn("midrank2",
+        lit(2) * (col("ca") - col("a_n") + col("cb") - col("b_n")) +
+          col("a_n") + col("b_n") + 1)
+    cum.agg(sum(col("a_n").cast(DecimalType(38, 0)) * col("midrank2")).as("r2a"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        (col("r2a") - lit(na).cast(DecimalType(38, 0)) * (lit(na) + lit(1L)))
+          .as("u2dec"))
+      .select(col("n_a"), col("n_b"), col("u2dec").cast("long").as("u2"),
+        expr("(u2dec * 1000000) div (2 * cast(n_a as decimal(38,0)) * n_b)")
+          .as("effect_ppm"))
+  }
+
+  /** 95% CI of the mean order value via the Poisson bootstrap — THE
+    * resampling scheme that works on a cluster: each of B=64 replicates
+    * weights every row by an iid Poisson(1) count, so a replicate's
+    * statistic is one weighted aggregate, no per-replicate materialized
+    * resample. Counts are deterministic (md5 of replicate x orderkey
+    * against fixed Poisson-cdf ppm thresholds — no rand(), rerunnable),
+    * the explode-by-64 feeds a map-side-combined aggregate (shuffle =
+    * 64 rows per partition), and the replicate-mean relation is B rows,
+    * so the final sorted-array percentile pick is bounded. Integer
+    * micro-cents end to end.
+    */
+  def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val u = conv(substring(md5(concat(lit("boot:"), col("b").cast("string"),
+      lit(":"), col("o_orderkey").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 1000000
+    // Poisson(1) cdf in ppm: P(<=k) for k = 0..4, else 5
+    val k = when(u < 367879, 0L).when(u < 735758, 1L).when(u < 919698, 2L)
+      .when(u < 981011, 3L).when(u < 996340, 4L).otherwise(5L)
+    val means = o.withColumn("b", explode(expr("sequence(0, 63)")))
+      .withColumn("k", k)
+      .groupBy("b")
+      .agg(sum(col("k")).as("n_k"),
+        sum((col("k") * col("cents")).cast(DecimalType(38, 0))).as("kc"))
+      .select(expr("(1000000 * kc) div cast(n_k as decimal(38,0))").as("mean_micro_b"))
+      .agg(sort_array(collect_list(col("mean_micro_b"))).as("ms"))
+    val point = o.agg(count(lit(1)).as("n_orders"),
+      sum(col("cents").cast(DecimalType(38, 0))).as("sc"))
+    point.crossJoin(broadcast(means))
+      .select(col("n_orders"),
+        expr("(1000000 * sc) div cast(n_orders as decimal(38,0))").as("mean_micro"),
+        element_at(col("ms"), 2).as("ci_lo_micro"),
+        element_at(col("ms"), 63).as("ci_hi_micro"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_auc" -> (evalAuc _),
+    "q_eval_calibration" -> (evalCalibration _),
+    "q_eval_confusion" -> (evalConfusion _),
+    "q_mutual_info" -> (mutualInfo _),
+    "q_mann_whitney" -> (mannWhitney _),
+    "q_bootstrap_ci" -> (bootstrapCi _))
+
+  val oracles: Map[String, String] = Map(
+    "q_eval_auc" ->
+      """WITH g AS (
+        |  SELECT n_chars AS score,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+        |    SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nn
+        |  FROM documents GROUP BY score),
+        |c AS (
+        |  SELECT np, nn, COALESCE(SUM(nn) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+        |  FROM g)
+        |SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+        |  CAST(SUM(CAST(np AS HUGEINT) * cum_nn) AS BIGINT) AS n_concordant,
+        |  CAST(SUM(CAST(np AS HUGEINT) * nn) AS BIGINT) AS n_tied,
+        |  round(CAST(2 * SUM(CAST(np AS HUGEINT) * cum_nn) + SUM(CAST(np AS HUGEINT) * nn) AS DOUBLE)
+        |    / CAST(2 * SUM(np) * SUM(nn) AS DOUBLE), 6) AS auc
+        |FROM c""".stripMargin,
+    "q_eval_calibration" ->
+      """WITH d AS (
+        |  SELECT least(1000000, (n_chars * 1000000) // 600) AS score_ppm,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |b AS (SELECT least(9, score_ppm // 100000) AS bin, score_ppm, pos FROM d)
+        |SELECT bin, COUNT(*) AS n,
+        |  CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS mean_score_ppm,
+        |  CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |  CAST((SUM(pos) * 1000000) // COUNT(*) AS BIGINT) AS pos_rate_ppm
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q_eval_confusion" ->
+      """WITH d AS (
+        |  SELECT n_chars AS score, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |t AS (SELECT CAST(unnest([200, 300, 450]) AS BIGINT) AS thr),
+        |m AS (
+        |  SELECT thr,
+        |    SUM(CASE WHEN score >= thr THEN pos ELSE 0 END) AS tp,
+        |    SUM(CASE WHEN score >= thr THEN 1 - pos ELSE 0 END) AS fp,
+        |    SUM(CASE WHEN score < thr THEN pos ELSE 0 END) AS fn,
+        |    SUM(CASE WHEN score < thr THEN 1 - pos ELSE 0 END) AS tn
+        |  FROM d CROSS JOIN t GROUP BY thr),
+        |r AS (
+        |  SELECT thr, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |    CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+        |    CASE WHEN tp + fp > 0 THEN CAST((tp * 1000000) // (tp + fp) AS BIGINT) END AS precision_ppm,
+        |    CASE WHEN tp + fn > 0 THEN CAST((tp * 1000000) // (tp + fn) AS BIGINT) END AS recall_ppm
+        |  FROM m)
+        |SELECT thr, tp, fp, fn, tn, precision_ppm, recall_ppm,
+        |  CASE WHEN COALESCE(precision_ppm, 0) + COALESCE(recall_ppm, 0) > 0
+        |    THEN CAST((2 * precision_ppm * recall_ppm) // (precision_ppm + recall_ppm) AS BIGINT)
+        |  END AS f1_ppm
+        |FROM r ORDER BY thr""".stripMargin,
+    "q_mutual_info" ->
+      """WITH j AS (
+        |  SELECT lang, source, COUNT(*) AS n_ls FROM documents GROUP BY lang, source),
+        |ml AS (SELECT lang, SUM(n_ls) AS n_l FROM j GROUP BY lang),
+        |ms AS (SELECT source, SUM(n_ls) AS n_s FROM j GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_ls) AS BIGINT) AS n FROM j),
+        |mi AS (
+        |  SELECT SUM(CAST(n_ls AS HUGEINT) *
+        |    (CAST(floor(ln(CAST(n_ls AS DOUBLE)) * 1e9) AS BIGINT)
+        |     + CAST(floor(ln(CAST(n AS DOUBLE)) * 1e9) AS BIGINT)
+        |     - CAST(floor(ln(CAST(n_l AS DOUBLE)) * 1e9) AS BIGINT)
+        |     - CAST(floor(ln(CAST(n_s AS DOUBLE)) * 1e9) AS BIGINT))) AS mi_num
+        |  FROM j JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN tot),
+        |hl AS (SELECT SUM(CAST(n_l AS HUGEINT) *
+        |  CAST(floor(ln(CAST(n_l AS DOUBLE)) * 1e9) AS BIGINT)) AS sl FROM ml),
+        |hs AS (SELECT SUM(CAST(n_s AS HUGEINT) *
+        |  CAST(floor(ln(CAST(n_s AS DOUBLE)) * 1e9) AS BIGINT)) AS ss FROM ms),
+        |f AS (
+        |  SELECT n AS n_docs,
+        |    CAST((CAST(n AS HUGEINT) * CAST(floor(ln(CAST(n AS DOUBLE)) * 1e9) AS BIGINT) - sl) // n AS BIGINT) AS h_lang_nano,
+        |    CAST((CAST(n AS HUGEINT) * CAST(floor(ln(CAST(n AS DOUBLE)) * 1e9) AS BIGINT) - ss) // n AS BIGINT) AS h_source_nano,
+        |    CAST(mi_num // n AS BIGINT) AS mi_nano
+        |  FROM tot CROSS JOIN mi CROSS JOIN hl CROSS JOIN hs)
+        |SELECT n_docs, h_lang_nano, h_source_nano, mi_nano,
+        |  CASE WHEN least(h_lang_nano, h_source_nano) > 0
+        |    THEN CAST((mi_nano * 1000000) // least(h_lang_nano, h_source_nano) AS BIGINT)
+        |  END AS nmi_ppm
+        |FROM f""".stripMargin,
+    "q_mann_whitney" ->
+      """WITH g AS (
+        |  SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS a_n,
+        |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS b_n
+        |  FROM events WHERE event_type IN ('purchase', 'click') GROUP BY cents),
+        |c AS (
+        |  SELECT a_n, b_n,
+        |    2 * COALESCE(SUM(a_n + b_n) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + a_n + b_n + 1 AS midrank2
+        |  FROM g),
+        |agg AS (
+        |  SELECT CAST((SELECT SUM(a_n) FROM g) AS BIGINT) AS n_a,
+        |    CAST((SELECT SUM(b_n) FROM g) AS BIGINT) AS n_b,
+        |    SUM(CAST(a_n AS HUGEINT) * midrank2) AS r2a
+        |  FROM c)
+        |SELECT n_a, n_b, CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2,
+        |  CAST(((r2a - n_a * (n_a + 1)) * 1000000) // (2 * CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS effect_ppm
+        |FROM agg""".stripMargin,
+    "q_bootstrap_ci" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |k AS (
+        |  SELECT b, cents,
+        |    CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1 WHEN u < 919698 THEN 2
+        |         WHEN u < 981011 THEN 3 WHEN u < 996340 THEN 4 ELSE 5 END AS k
+        |  FROM (
+        |    SELECT b.b AS b, o.cents AS cents,
+        |      ('0x' || substring(md5('boot:' || CAST(b.b AS VARCHAR) || ':'
+        |        || CAST(o.o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS u
+        |    FROM o CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b)),
+        |m AS (
+        |  SELECT b, CAST((1000000 * SUM(CAST(k AS HUGEINT) * cents)) // SUM(k) AS BIGINT) AS mean_micro_b
+        |  FROM k GROUP BY b),
+        |ms AS (SELECT list(mean_micro_b ORDER BY mean_micro_b) AS l FROM m),
+        |p AS (SELECT COUNT(*) AS n_orders,
+        |  CAST((1000000 * SUM(CAST(cents AS HUGEINT))) // COUNT(*) AS BIGINT) AS mean_micro
+        |  FROM o)
+        |SELECT p.n_orders, p.mean_micro, ms.l[2] AS ci_lo_micro, ms.l[63] AS ci_hi_micro
+        |FROM p CROSS JOIN ms""".stripMargin)
+}

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral checks for the EvalOps metrics, independent of the DuckDB
+  * oracle: AUC and Mann-Whitney are re-derived by brute-force driver
+  * loops over the collected fixture (O(N^2) pair counting — exactly the
+  * computation the distributed formulation avoids), the bootstrap by
+  * recomputing one replicate end to end, and the rest through their
+  * defining conservation laws.
+  */
+class EvalSpec extends AnyFunSuite with SparkFixture {
+
+  private def docs =
+    Tables.documents(spark, sfDir)
+      .select(col("n_chars"), (col("lang") === "en").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1) == 1))
+
+  test("evalAuc equals brute-force pair counting on the collected fixture") {
+    val row = operators.EvalOps.evalAuc(spark, sfDir).collect()(0)
+    val d = docs
+    val pos = d.filter(_._2).map(_._1)
+    val neg = d.filterNot(_._2).map(_._1)
+    var c = 0L; var t = 0L
+    for (p <- pos; n <- neg) {
+      if (p > n) c += 1 else if (p == n) t += 1
+    }
+    assert(row.getLong(0) === pos.length.toLong)
+    assert(row.getLong(1) === neg.length.toLong)
+    assert(row.getLong(2) === c, "concordant pairs")
+    assert(row.getLong(3) === t, "tied pairs")
+    val auc = row.getDouble(4)
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(auc === BigDecimal((2.0 * c + t) / (2.0 * pos.length * neg.length))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("evalCalibration conserves docs and keeps rates in [0, 1e6]") {
+    val rows = operators.EvalOps.evalCalibration(spark, sfDir).collect()
+    assert(rows.map(_.getLong(1)).sum === docs.length.toLong)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 9)
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000000, "mean score ppm")
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000000, "pos rate ppm")
+      assert(r.getLong(3) <= r.getLong(1), "n_pos <= n")
+    }
+    // bins must arrive sorted (total ORDER BY discipline)
+    assert(rows.map(_.getLong(0)).toSeq === rows.map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("evalConfusion conserves the label marginals at every threshold") {
+    val rows = operators.EvalOps.evalConfusion(spark, sfDir).collect()
+    assert(rows.length === 3)
+    val nPos = docs.count(_._2).toLong
+    val n = docs.length.toLong
+    rows.foreach { r =>
+      val (tp, fp, fn, tn) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(tp + fn === nPos, "positive marginal")
+      assert(tp + fp + fn + tn === n, "total conservation")
+      // recall must fall as the threshold rises (weakly)
+    }
+    val recalls = rows.map(_.getLong(6))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b },
+      "recall monotone non-increasing in threshold")
+  }
+
+  test("mutualInfo matches a driver recomputation under the same floor-ln") {
+    val row = operators.EvalOps.mutualInfo(spark, sfDir).collect()(0)
+    val cells = Tables.documents(spark, sfDir)
+      .groupBy("lang", "source").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val n = cells.map(_._2).sum
+    val nl = cells.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val ns = cells.groupBy(_._1._2).view.mapValues(_.map(_._2).sum).toMap
+    def lnNano(x: Long): Long = math.floor(math.log(x.toDouble) * 1e9).toLong
+    val miNum = cells.map { case ((l, s2), c) =>
+      BigInt(c) * (lnNano(c) + lnNano(n) - lnNano(nl(l)) - lnNano(ns(s2)))
+    }.sum
+    val hlNum = BigInt(n) * lnNano(n) - nl.values.map(v => BigInt(v) * lnNano(v)).sum
+    val hsNum = BigInt(n) * lnNano(n) - ns.values.map(v => BigInt(v) * lnNano(v)).sum
+    assert(row.getLong(0) === n)
+    assert(row.getLong(1) === (hlNum / n).toLong, "H(lang)")
+    assert(row.getLong(2) === (hsNum / n).toLong, "H(source)")
+    assert(row.getLong(3) === (miNum / n).toLong, "MI")
+    assert(row.getLong(3) >= 0L, "MI non-negative")
+    // MI <= min(H): information about one variable can't exceed its entropy
+    assert(row.getLong(3) <= math.min(row.getLong(1), row.getLong(2)))
+  }
+
+  test("mannWhitney equals brute-force pair counting over event values") {
+    val row = operators.EvalOps.mannWhitney(spark, sfDir).collect()(0)
+    val vals = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(round(col("value") * 100, 0).cast("long"),
+        (col("event_type") === "purchase").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1) == 1))
+    val a = vals.filter(_._2).map(_._1)
+    val b = vals.filterNot(_._2).map(_._1)
+    var wins2 = 0L // 2*wins + ties, i.e. u2 by brute force
+    for (x <- a; y <- b) {
+      if (x > y) wins2 += 2 else if (x == y) wins2 += 1
+    }
+    assert(row.getLong(0) === a.length.toLong)
+    assert(row.getLong(1) === b.length.toLong)
+    assert(row.getLong(2) === wins2, "2*U via pair counting")
+    assert(row.getLong(3) >= 0L && row.getLong(3) <= 1000000L)
+  }
+
+  test("bootstrapCi brackets the point estimate and replicate 0 recomputes exactly") {
+    val row = operators.EvalOps.bootstrapCi(spark, sfDir).collect()(0)
+    val (nOrders, mean, lo, hi) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(lo <= hi)
+    // fixture pin, not a theorem: a 95% CI should cover the point estimate
+    // on this deterministic fixture (it does; a regeneration that breaks
+    // this signals a hash/threshold drift, not sampling noise)
+    assert(lo <= mean && mean <= hi)
+    val cents = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nOrders === cents.length.toLong)
+    val exact = cents.map(c => BigInt(c._2)).sum * 1000000 / cents.length
+    assert(mean === exact.toLong, "point estimate is the exact mean in micro-cents")
+    // replicate b=0 end to end on the driver (same md5 ppm thresholds)
+    def pois(key: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(hex, 16) % 1000000
+      if (u < 367879) 0L else if (u < 735758) 1L else if (u < 919698) 2L
+      else if (u < 981011) 3L else if (u < 996340) 4L else 5L
+    }
+    // all 64 replicates end to end on the driver: same md5, same ppm
+    // thresholds, same integer micro-cent division — the CI bounds must
+    // be exactly the 2nd and 63rd order statistics of these means
+    val means = (0 to 63).map { b =>
+      val ks = cents.map { case (k, c) => (pois(s"boot:$b:$k"), c) }
+      val nK = ks.map(_._1).sum
+      (ks.map { case (k, c) => BigInt(k) * c }.sum * 1000000 / nK).toLong
+    }.sorted
+    assert(lo === means(1), "ci_lo = 2nd order statistic")
+    assert(hi === means(62), "ci_hi = 63rd order statistic")
+  }
+}
