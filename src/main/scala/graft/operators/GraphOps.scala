@@ -104,12 +104,139 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  /** Adamic-Adar link prediction: for each non-adjacent pair with at
+    * least one common neighbor, score = sum over common neighbors z of
+    * 1/ln(deg z) — rare shared neighbors count more. Top-20 predicted
+    * links of the similarity graph ("docs that SHOULD be near-dups" —
+    * the transitive-closure review queue).
+    *
+    * Weights are integer nano-units: inv_nano = 10^18 div ln_nano(deg)
+    * (a common neighbor has deg >= 2, so ln_nano >= 693147180 > 0),
+    * summed exactly — no float accumulation across engines. Shape: one
+    * wedge self-join on the middle node (fan-out = sum of deg², bounded
+    * because edges come from the sub-block-capped jaccard graph — same
+    * argument as [[triangles]]; at web scale orient wedges by
+    * (degree, id) to bound by arboricity), one anti-join against the
+    * existing edges, one aggregate, TakeOrderedAndProject top-20.
+    */
+  def adamicAdar(s: SparkSession, dir: String): DataFrame = {
+    val e = DedupOps.materializedEdges(s, dir)
+    val sym = e.select(col("doc_a").as("x"), col("doc_b").as("z"))
+      .unionByName(e.select(col("doc_b").as("x"), col("doc_a").as("z")))
+    val deg = sym.groupBy(col("x").as("n")).agg(count(lit(1)).as("d"))
+    // only deg >= 2 nodes can be a common neighbor; the filter also keeps
+    // the ANSI-mode division away from ln(1) = 0 on deg-1 leaves
+    val inv = deg.filter(col("d") >= 2).select(col("n").as("mid"),
+      expr("1000000000000000000 div cast(floor(ln(cast(d as double)) * 1e9) as bigint)")
+        .as("inv_nano"))
+    val wedges = sym.select(col("x").as("a"), col("z").as("mid"))
+      .join(sym.select(col("z").as("b"), col("x").as("mid")), Seq("mid"))
+      .filter(col("a") < col("b"))
+    wedges
+      .join(e.select(col("doc_a").as("a"), col("doc_b").as("b")), Seq("a", "b"), "left_anti")
+      .join(inv, Seq("mid"))
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+      .agg(sum(col("inv_nano").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .cast("long").as("aa_nano"))
+      .orderBy(desc("aa_nano"), col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** Degree assortativity: the Pearson correlation of endpoint degrees
+    * over the directed (symmetrized) edge list — positive when hubs
+    * attach to hubs (dup clusters), negative for hub-and-spoke
+    * (template + variants). All five moment sums are exact
+    * DECIMAL(38,0) integer sums of degrees; the single terminal double
+    * expression (num / sqrt(d1) / sqrt(d2), round 6) is evaluated in
+    * the same operation order by the DuckDB twin. NULL when the graph
+    * is degree-regular (zero variance) on both engines.
+    */
+  def assortativity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = DedupOps.materializedEdges(s, dir)
+    val sym = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(e.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    val deg = sym.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+    val ed = sym.join(deg.select(col("n").as("a"), col("d").as("dx")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("dy")), Seq("b"))
+    ed.agg(count(lit(1)).as("m"),
+        sum(col("dx").cast(DecimalType(38, 0))).as("sx"),
+        sum(col("dy").cast(DecimalType(38, 0))).as("sy"),
+        sum(col("dx").cast(DecimalType(38, 0)) * col("dy")).as("sxy"),
+        sum(col("dx").cast(DecimalType(38, 0)) * col("dx")).as("sxx"),
+        sum(col("dy").cast(DecimalType(38, 0)) * col("dy")).as("syy"))
+      .select(col("m").as("m_edges"),
+        when((col("m") * col("sxx") - col("sx") * col("sx")) > 0 &&
+            (col("m") * col("syy") - col("sy") * col("sy")) > 0,
+          round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")) /
+            sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double")), 6))
+          .as("assortativity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_kcore" -> (kcore _),
     "q_graph_pagerank" -> (pageRank _),
+    "q_graph_adamic_adar" -> (adamicAdar _),
+    "q_graph_assortativity" -> (assortativity _),
     "q_graph_triangles" -> (triangles _))
 
   val oracles: Map[String, String] = Map(
+    "q_graph_adamic_adar" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |sym AS (SELECT doc_a AS x, doc_b AS z FROM pairs
+        |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |deg AS (SELECT x AS n, COUNT(*) AS d FROM sym GROUP BY x),
+        |inv AS (SELECT n, 1000000000000000000 // CAST(floor(ln(CAST(d AS DOUBLE)) * 1e9) AS BIGINT) AS inv_nano FROM deg WHERE d >= 2),
+        |w AS (
+        |  SELECT s1.x AS a, s2.z AS b, s1.z AS mid
+        |  FROM sym s1 JOIN sym s2 ON s1.z = s2.x AND s1.x < s2.z),
+        |cand AS (
+        |  SELECT a, b, mid FROM w
+        |  WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.doc_a = w.a AND p.doc_b = w.b)),
+        |sc AS (
+        |  SELECT a AS doc_a, b AS doc_b,
+        |    CAST(SUM(CAST(inv_nano AS HUGEINT)) AS BIGINT) AS aa_nano
+        |  FROM cand JOIN inv ON inv.n = cand.mid GROUP BY a, b)
+        |SELECT doc_a, doc_b, aa_nano FROM sc
+        |ORDER BY aa_nano DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+    "q_graph_assortativity" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |deg AS (SELECT a AS n, COUNT(*) AS d FROM sym GROUP BY a),
+        |ed AS (
+        |  SELECT dx.d AS dx, dy.d AS dy
+        |  FROM sym JOIN deg dx ON dx.n = sym.a JOIN deg dy ON dy.n = sym.b),
+        |m AS (
+        |  SELECT COUNT(*) AS m, SUM(CAST(dx AS HUGEINT)) AS sx, SUM(CAST(dy AS HUGEINT)) AS sy,
+        |    SUM(CAST(dx AS HUGEINT) * dy) AS sxy,
+        |    SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+        |    SUM(CAST(dy AS HUGEINT) * dy) AS syy
+        |  FROM ed)
+        |SELECT m AS m_edges,
+        |  CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+        |    THEN round(CAST(m * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+        |      / sqrt(CAST(m * syy - sy * sy AS DOUBLE)), 6)
+        |  END AS assortativity
+        |FROM m""".stripMargin,
     "q_graph_kcore" ->
       """WITH base AS (
         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset

@@ -547,6 +547,53 @@ class SearchClusterSpec extends AnyFunSuite with SparkFixture {
     assert(got === expected)
   }
 
+  test("adamic-adar matches an exact driver recomputation and never predicts an existing edge") {
+    val edges = operators.DedupOps.materializedEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val edgeSet = edges.toSet
+    def lnNano(x: Long): Long = math.floor(math.log(x.toDouble) * 1e9).toLong
+    val cand = for {
+      (z, nbrs) <- adj.toSeq
+      a <- nbrs; b <- nbrs
+      if a < b && !edgeSet.contains((a, b))
+    } yield ((a, b), 1000000000000000000L / lnNano(adj(z).size))
+    val expected = cand.groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toSeq
+      .map { case ((a, b), sc) => (a, b, sc) }
+      .sortBy { case (a, b, sc) => (-sc, a, b) }.take(20)
+    val got = operators.GraphOps.adamicAdar(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    got.foreach { case (a, b, sc) =>
+      assert(!edgeSet.contains((a, b)), "predicted pair already linked")
+      assert(sc > 0L)
+    }
+  }
+
+  test("assortativity is a correlation in [-1, 1] and matches a driver recomputation") {
+    val edges = operators.DedupOps.materializedEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sym = edges ++ edges.map { case (a, b) => (b, a) }
+    val deg = sym.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val xs = sym.map { case (a, b) => (deg(a), deg(b)) }
+    val m = xs.length.toLong
+    val sx = xs.map(p => BigInt(p._1)).sum; val sy = xs.map(p => BigInt(p._2)).sum
+    val sxy = xs.map(p => BigInt(p._1) * p._2).sum
+    val sxx = xs.map(p => BigInt(p._1) * p._1).sum
+    val syy = xs.map(p => BigInt(p._2) * p._2).sum
+    val d1 = m * sxx - sx * sx; val d2 = m * syy - sy * sy
+    val row = operators.GraphOps.assortativity(spark, sfDir).collect()(0)
+    assert(row.getLong(0) === m)
+    if (d1 > 0 && d2 > 0) {
+      val r = (m * sxy - sx * sy).toDouble / math.sqrt(d1.toDouble) / math.sqrt(d2.toDouble)
+      val exp = BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(row.getDouble(1) === exp)
+      assert(row.getDouble(1) >= -1.0 && row.getDouble(1) <= 1.0)
+    } else assert(row.isNullAt(1))
+  }
+
   test("salted join returns exactly the unsalted join's aggregate") {
     val events = Tables.events(spark, sfDir)
     val dim = events.groupBy("event_type").agg(count(lit(1)).as("type_n"))
