@@ -306,7 +306,31 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences: count (from, to) for every consecutive pair in
+    * (ts, event_id) order, report row-stochastic probabilities in ppm.
+    * One user-keyed lag window (per-user cardinality bounded by user
+    * activity, the q_event_paths argument) + one (from, to) aggregate
+    * whose output is |types|² rows; the from-marginal joins back
+    * broadcast. The "what do users do next" primitive under session
+    * analysis and next-event prediction baselines.
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(s, dir)
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum(col("n")).as("from_total"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("from_total"),
+        expr("(n * 1000000) div from_total").as("p_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_transitions" -> (eventTransitions _),
     "q_running_capped" -> (runningCapped _),
     "q_status_islands" -> (statusIslands _),
     "q_gap_histogram" -> (gapHistogram _),
@@ -321,6 +345,20 @@ object EventOps {
     "q_time_decay" -> (timeDecay _))
 
   val oracles: Map[String, String] = Map(
+    "q_event_transitions" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+        |    event_type AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n
+        |  FROM p WHERE from_type IS NOT NULL GROUP BY from_type, to_type),
+        |t AS (SELECT from_type, SUM(n) AS from_total FROM c GROUP BY from_type)
+        |SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+        |  CAST(t.from_total AS BIGINT) AS from_total,
+        |  CAST((c.n * 1000000) // t.from_total AS BIGINT) AS p_ppm
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
     "q_running_capped" ->
       """WITH d AS (
         |  SELECT user_id, ts, event_id,

@@ -276,7 +276,107 @@ object PipelineOps {
       .orderBy("lang", "source")
   }
 
+  /** Length-bucketed batch assignment + padding-waste report — the
+    * step between curation and the data loader: docs go to a
+    * power-of-two token-length bucket (explicit comparison ladder, no
+    * floating log2 to disagree at bucket edges), each bucket is cut
+    * into fixed-size batches of 8 in (doc_id) order, and each batch
+    * reports its padding waste (docs*max_len - sum_len — what a
+    * rectangular tensor throws away).
+    *
+    * Scale shape: in-bucket positions come from ONE two-phase global
+    * rank ordered by (bucket, doc_id) minus broadcast per-bucket
+    * offsets (the bucket-count relation is ladder-sized, <= 6 rows,
+    * collected like the rank kernel's pid histogram) — NOT a
+    * per-bucket row_number window, whose per-partition cardinality
+    * would grow with the corpus (the exact ntile failure mode the
+    * shared kernel exists to avoid).
+    */
+  def batchBuckets(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        when(col("n_tokens") <= 16, 16L).when(col("n_tokens") <= 32, 32L)
+          .when(col("n_tokens") <= 64, 64L).when(col("n_tokens") <= 128, 128L)
+          .when(col("n_tokens") <= 256, 256L).otherwise(512L))
+    val (ranked, _) = StatsOps.globalRanked(s, toks,
+      Seq(col("bucket"), col("doc_id")))
+    val offsets = toks.groupBy("bucket").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val off: Map[Long, Long] =
+      offsets.map(_._1).zip(offsets.scanLeft(0L)(_ + _._2)).toMap
+    ranked
+      .withColumn("in_bucket_idx",
+        (col("r") - 1 - element_at(typedLit(off), col("bucket"))).cast("long"))
+      .withColumn("batch_id", expr("in_bucket_idx div 8"))
+      .groupBy("bucket", "batch_id")
+      .agg(count(lit(1)).as("n_docs"), max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("pad_waste", col("n_docs") * col("max_tokens") - col("sum_tokens"))
+      .orderBy("bucket", "batch_id")
+  }
+
+  /** Deterministic negative sampling for contrastive training: each doc
+    * draws 4 pseudo-random partners by hashing (doc_id, j) onto the
+    * contiguous sample index ring (md5 ppm-free variant of splitCol's
+    * idiom — no rand(), rerunnable and shard-stable), shifting by one
+    * on self-collision. Two uses of the two-phase rank kernel output:
+    * once to index, once (as a broadcast-able projection) to resolve
+    * the drawn index back to a doc_id via an equi-join. O(4N) rows,
+    * all equi-joins — no cross join anywhere.
+    */
+  def negativePairs(s: SparkSession, dir: String): DataFrame = {
+    val (ranked, n) = StatsOps.globalRanked(s,
+      Tables.documents(s, dir).select(col("doc_id")), Seq(col("doc_id")))
+    val idx = ranked.select(col("doc_id"), (col("r") - 1).as("idx"))
+    val drawn = idx
+      .withColumn("j", explode(expr("sequence(1, 4)")))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("neg:"), col("doc_id").cast("string"),
+          lit(":"), col("j").cast("string"))), 1, 8), 16, 10).cast("long") % n)
+      .withColumn("neg_idx",
+        when(col("h") === col("idx"), (col("h") + 1) % n).otherwise(col("h")))
+    drawn
+      .join(idx.select(col("idx").as("neg_idx"), col("doc_id").as("neg_doc_id")),
+        Seq("neg_idx"))
+      .select(col("doc_id"), col("j").cast("long").as("j"), col("neg_doc_id"))
+      .orderBy("doc_id", "j")
+  }
+
+  /** Curriculum ordering with stratified interleave: within each lang,
+    * docs rank easy-to-hard (n_chars, doc_id); the global curriculum
+    * position round-robins the strata — position = (rank-1)*L + si — so
+    * every window of L consecutive samples sees every language once.
+    * In-stratum ranks ride the SAME two-phase global rank ordered by
+    * (lang, n_chars, doc_id) minus broadcast per-lang offsets (the lang
+    * relation is |L| rows) — per-stratum windows would shard the corpus
+    * into |L| giant partitions at 100 TB.
+    */
+  def curriculumInterleave(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val (ranked, _) = StatsOps.globalRanked(s, docs,
+      Seq(col("lang"), col("n_chars"), col("doc_id")))
+    val langs = docs.groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val off: Map[String, Long] =
+      langs.map(_._1).zip(langs.scanLeft(0L)(_ + _._2)).toMap
+    val si: Map[String, Long] = langs.map(_._1).zipWithIndex
+      .map { case (l, i) => (l, i.toLong) }.toMap
+    val l = langs.length
+    ranked
+      .withColumn("stratum_rank", col("r") - element_at(typedLit(off), col("lang")))
+      .withColumn("position",
+        (col("stratum_rank") - 1) * l + element_at(typedLit(si), col("lang")))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("stratum_rank"), col("position"))
+      .orderBy("position")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_batch_buckets" -> (batchBuckets _),
+    "q_negative_pairs" -> (negativePairs _),
+    "q_curriculum" -> (curriculumInterleave _),
     "q_sample_apportion" -> (sampleApportion _),
     "q_corpus_manifest" -> (corpusManifest _),
     "q_contamination" -> (contamination _),
@@ -288,6 +388,55 @@ object PipelineOps {
     "q_dedup_canonical" -> (dedupCanonical _))
 
   val oracles: Map[String, String] = Map(
+    "q_batch_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+        |         WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+        |         WHEN n_tokens <= 256 THEN 256 ELSE 512 END AS bucket
+        |  FROM t),
+        |i AS (
+        |  SELECT bucket, n_tokens,
+        |    (ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 8 AS batch_id
+        |  FROM b)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(batch_id AS BIGINT) AS batch_id,
+        |  COUNT(*) AS n_docs, MAX(n_tokens) AS max_tokens,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS pad_waste
+        |FROM i GROUP BY bucket, batch_id ORDER BY bucket, batch_id""".stripMargin,
+    "q_negative_pairs" ->
+      """WITH ix AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS idx
+        |  FROM documents),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |d AS (
+        |  SELECT ix.doc_id, ix.idx, j.j,
+        |    ('0x' || substring(md5('neg:' || CAST(ix.doc_id AS VARCHAR) || ':'
+        |      || CAST(j.j AS VARCHAR)), 1, 8))::BIGINT % n.n AS h
+        |  FROM ix CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS j) j CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, CAST(j AS BIGINT) AS j,
+        |    CASE WHEN h = idx THEN (h + 1) % (SELECT n FROM n) ELSE h END AS neg_idx
+        |  FROM d)
+        |SELECT r.doc_id, r.j, ix.doc_id AS neg_doc_id
+        |FROM r JOIN ix ON ix.idx = r.neg_idx
+        |ORDER BY r.doc_id, r.j""".stripMargin,
+    "q_curriculum" ->
+      """WITH l AS (
+        |  SELECT lang, ROW_NUMBER() OVER (ORDER BY lang) - 1 AS si
+        |  FROM (SELECT DISTINCT lang FROM documents)),
+        |nl AS (SELECT COUNT(*) AS n_langs FROM l),
+        |r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS stratum_rank
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang, r.n_chars, CAST(r.stratum_rank AS BIGINT) AS stratum_rank,
+        |  CAST((r.stratum_rank - 1) * nl.n_langs + l.si AS BIGINT) AS position
+        |FROM r JOIN l USING (lang) CROSS JOIN nl
+        |ORDER BY position""".stripMargin,
     "q_sample_apportion" ->
       """WITH strata AS (
         |  SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS w

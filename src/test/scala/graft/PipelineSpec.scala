@@ -98,6 +98,62 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("batch buckets conserve docs, respect the ladder, and only the last batch is partial") {
+    val rows = PipelineOps.batchBuckets(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val n = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_._3).sum === n, "every doc lands in exactly one batch")
+    val ladder = Seq(16L, 32L, 64L, 128L, 256L, 512L)
+    rows.foreach { case (bucket, _, nDocs, maxT, sumT, waste) =>
+      assert(ladder.contains(bucket))
+      assert(nDocs >= 1 && nDocs <= 8, "batch size bound")
+      assert(maxT <= bucket, "tokens fit the bucket")
+      assert(waste === nDocs * maxT - sumT && waste >= 0L)
+    }
+    // within a bucket, batch ids are contiguous from 0 and only the last is partial
+    rows.groupBy(_._1).foreach { case (bucket, bs) =>
+      val sorted = bs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (0L until sorted.length).toSeq)
+      sorted.dropRight(1).foreach { b =>
+        assert(b._3 === 8L, s"non-terminal partial batch in bucket $bucket")
+      }
+    }
+  }
+
+  test("negative pairs: 4 per doc, never self, all partners exist") {
+    val ids = Tables.documents(spark, sfDir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val rows = PipelineOps.negativePairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === ids.size * 4)
+    rows.groupBy(_._1).foreach { case (d, ps) =>
+      assert(ps.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L, 4L), s"doc $d draws")
+    }
+    rows.foreach { case (d, _, neg) =>
+      assert(d != neg, "self-pair leaked through the collision shift")
+      assert(ids.contains(neg), "partner not in corpus")
+    }
+  }
+
+  test("curriculum interleave: unique positions, easy-first within stratum, round-robin head") {
+    val rows = PipelineOps.curriculumInterleave(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._5).distinct.length === rows.length, "positions unique")
+    assert(rows.map(_._5).toSeq === rows.map(_._5).sorted.toSeq, "ordered by position")
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val byRank = rs.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq === (1L to rs.length).toSeq, s"$lang ranks contiguous")
+      val lens = byRank.map(_._3)
+      assert(lens.zip(lens.tail).forall { case (a, b) => a <= b }, s"$lang easy-first")
+    }
+    // while every stratum is alive, each consecutive L-block covers all langs
+    val l = rows.map(_._2).distinct.length
+    val minCount = rows.groupBy(_._2).values.map(_.length).min
+    rows.take(minCount * l).grouped(l).foreach { block =>
+      assert(block.map(_._2).distinct.length === l, "round-robin block")
+    }
+  }
+
   test("canonical selection keeps exactly one doc per component, the longest") {
     val rows = PipelineOps.dedupCanonical(spark, sfDir).collect()
     assert(rows.length === Tables.documents(spark, sfDir).count())

@@ -38,6 +38,27 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
       && got.getLong(2) >= got.getLong(3) && got.getLong(1) > 0)
   }
 
+  test("event transitions are row-stochastic and match an exact driver recomputation") {
+    val rows = operators.EventOps.eventTransitions(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // row-stochastic: per from_type the counts sum to the reported total
+    rows.groupBy(_._1).foreach { case (ft, rs) =>
+      assert(rs.map(_._3).sum === rs.head._4, s"$ft marginal")
+      val pSum = rs.map(_._5).sum
+      // ppm probabilities sum to 1e6 up to the truncation of each term
+      assert(pSum <= 1000000L && pSum > 1000000L - rs.length, s"$ft ppm sum")
+    }
+    // exact recomputation from the collected event log
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts").cast("long"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = evs.groupBy(_._1).values.flatMap { us =>
+      val seq = us.sortBy(e => (e._3, e._4)).map(_._2).toSeq
+      seq.zip(seq.drop(1))
+    }.toSeq.groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(r => ((r._1, r._2), r._3)).toMap === expected)
+  }
+
   test("retention cohort 0-offset equals its cohort size and offsets are non-negative") {
     val rows = operators.EventOps.retention(spark, sfDir).collect()
     assert(rows.nonEmpty)
