@@ -329,7 +329,60 @@ object EventOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** Discrete Kaplan-Meier survival of "days from first signup to first
+    * subsequent purchase", right-censored at the end of the observation
+    * window. Per duration day k: the risk set n_k (users still
+    * unconverted and uncensored), conversions d_k, censorings c_k, and
+    * the LOG-survival sum ln S(k) = Σ_{j<=k} [ln(n_j - d_j) - ln(n_j)]
+    * in integer nano-nats — ln of the two integer counts floored
+    * separately (the repo ln discipline), so the curve is exact on both
+    * engines with no floating product chain. A day that empties its
+    * risk set (n = d) contributes no term by convention (survival
+    * reaches 0; log undefined) — identical NULL-skipping both engines.
+    *
+    * Scale shape: one per-user reduction (two conditional min-aggs +
+    * one broadcast censor date), then ALL window work runs on the
+    * duration-day relation, bounded by the calendar (~10^4 days even
+    * for decades), not by users — the tsGapfill boundedness argument.
+    */
+  def survival(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val horizon = ev.agg(max(to_date(col("ts"))).as("h"))
+    val s0 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t0"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("tp"))
+      .join(s0, Seq("user_id"))
+      .filter(col("tp") >= col("t0"))
+      .groupBy("user_id").agg(min(col("tp")).as("te"))
+    val durs = s0.join(conv, Seq("user_id"), "left_outer")
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("te").isNotNull, datediff(to_date(col("te")), to_date(col("t0"))))
+          .otherwise(datediff(col("h"), to_date(col("t0")))).cast("long").as("dur"),
+        when(col("te").isNotNull, 1L).otherwise(0L).as("ev"))
+    val daily = durs.groupBy("dur")
+      .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+    // risk set = everyone with duration >= k: reverse-cumulative over the
+    // bounded day relation
+    val wDesc = Window.orderBy(desc("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("n_risk", sum(col("d") + col("c")).over(wDesc))
+      .withColumn("term",
+        when(col("n_risk") - col("d") > 0,
+          floor(log((col("n_risk") - col("d")).cast("double")) * 1e9).cast("long") -
+            floor(log(col("n_risk").cast("double")) * 1e9).cast("long")))
+      .withColumn("ln_surv_nano", sum(col("term")).over(wAsc))
+      .select(col("dur").as("duration_days"), col("n_risk"), col("d").as("n_events"),
+        col("c").as("n_censored"), col("ln_surv_nano"))
+      .orderBy("duration_days")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_survival" -> (survival _),
     "q_event_transitions" -> (eventTransitions _),
     "q_running_capped" -> (runningCapped _),
     "q_status_islands" -> (statusIslands _),
@@ -345,6 +398,43 @@ object EventOps {
     "q_time_decay" -> (timeDecay _))
 
   val oracles: Map[String, String] = Map(
+    "q_survival" ->
+      """WITH h AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
+        |s0 AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |conv AS (
+        |  SELECT e.user_id, min(e.ts) AS te
+        |  FROM events e JOIN s0 ON s0.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s0.t0
+        |  GROUP BY e.user_id),
+        |durs AS (
+        |  SELECT CASE WHEN conv.te IS NOT NULL
+        |      THEN datediff('day', CAST(s0.t0 AS DATE), CAST(conv.te AS DATE))
+        |      ELSE datediff('day', CAST(s0.t0 AS DATE), h.h) END AS dur,
+        |    CASE WHEN conv.te IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM s0 LEFT JOIN conv USING (user_id) CROSS JOIN h),
+        |daily AS (
+        |  SELECT CAST(dur AS BIGINT) AS dur, CAST(SUM(ev) AS BIGINT) AS d,
+        |    CAST(SUM(1 - ev) AS BIGINT) AS c
+        |  FROM durs GROUP BY dur),
+        |r AS (
+        |  SELECT dur, d, c,
+        |    SUM(d + c) OVER (ORDER BY dur DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        |  FROM daily),
+        |t AS (
+        |  SELECT dur, d, c, n_risk,
+        |    CASE WHEN n_risk - d > 0 THEN
+        |      CAST(floor(ln(CAST(n_risk - d AS DOUBLE)) * 1e9) AS BIGINT)
+        |      - CAST(floor(ln(CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT)
+        |    END AS term
+        |  FROM r)
+        |SELECT dur AS duration_days, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+        |  c AS n_censored,
+        |  CAST(SUM(term) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ln_surv_nano
+        |FROM t ORDER BY duration_days""".stripMargin,
     "q_event_transitions" ->
       """WITH p AS (
         |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,

@@ -174,14 +174,64 @@ object GraphOps {
           .as("assortativity"))
   }
 
+  /** Local clustering coefficient per node with degree >= 2:
+    * 2*triangles / (deg*(deg-1)) in ppm — how close each node's
+    * neighborhood is to a clique (1e6 = perfect dup-cluster, 0 =
+    * bridge). Reuses the triangle enumeration and the degree aggregate;
+    * nodes in no triangle still appear (left join, coalesce 0), nodes
+    * of degree 1 are excluded (coefficient undefined — and the ANSI
+    * division never sees deg*(deg-1) = 0). Integer end to end.
+    */
+  def clusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val e = DedupOps.materializedEdges(s, dir)
+    val sym = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(e.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    val deg = sym.groupBy(col("a").as("doc_id")).agg(count(lit(1)).as("degree"))
+    deg.filter(col("degree") >= 2)
+      .join(triangles(s, dir), Seq("doc_id"), "left_outer")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("clustering_ppm",
+        expr("(2 * n_triangles * 1000000) div (degree * (degree - 1))"))
+      .select(col("doc_id"), col("degree"), col("n_triangles"), col("clustering_ppm"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_kcore" -> (kcore _),
     "q_graph_pagerank" -> (pageRank _),
     "q_graph_adamic_adar" -> (adamicAdar _),
     "q_graph_assortativity" -> (assortativity _),
+    "q_graph_clustering" -> (clusteringCoeff _),
     "q_graph_triangles" -> (triangles _))
 
   val oracles: Map[String, String] = Map(
+    "q_graph_clustering" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |deg AS (
+        |  SELECT n AS doc_id, COUNT(*) AS degree
+        |  FROM (SELECT doc_a AS n FROM pairs UNION ALL SELECT doc_b FROM pairs)
+        |  GROUP BY n),
+        |tri AS (
+        |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        |  FROM pairs e1
+        |  JOIN pairs e2 ON e1.doc_b = e2.doc_a
+        |  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+        |tcnt AS (
+        |  SELECT doc_id, COUNT(*) AS n_triangles
+        |  FROM (SELECT unnest([t.a, t.b, t.c]) AS doc_id FROM tri t)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, d.degree, COALESCE(t.n_triangles, 0) AS n_triangles,
+        |  CAST((2 * COALESCE(t.n_triangles, 0) * 1000000) // (d.degree * (d.degree - 1)) AS BIGINT) AS clustering_ppm
+        |FROM deg d LEFT JOIN tcnt t USING (doc_id)
+        |WHERE d.degree >= 2 ORDER BY d.doc_id""".stripMargin,
     "q_graph_adamic_adar" ->
       """WITH base AS (
         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset

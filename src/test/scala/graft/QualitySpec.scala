@@ -237,4 +237,28 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
       actions.get(k).contains(if (tKeys(k)) "updated" else "inserted")))
     out.unpersist()
   }
+
+  test("Luhn kernel validates the canonical card-number vectors") {
+    import spark.implicits._
+    // classic test numbers: the first four pass Luhn, the +1 mutants fail
+    val vecs = Seq(
+      ("4111111111111111", true), ("5500005555555559", true),
+      ("4012888888881881", true), ("6011000990139424", true),
+      ("4111111111111112", false), ("4012888888881882", false),
+      ("1234567812345678", false), ("0000000000000000", true))
+    val got = vecs.map(_._1).toDF("acct")
+      .withColumn("s", org.apache.spark.sql.functions.expr(operators.TextOps.Luhn16SumSql))
+      .collect().map(r => r.getString(0) -> (r.getLong(1) % 10 == 0)).toMap
+    vecs.foreach { case (acct, valid) => assert(got(acct) === valid, acct) }
+  }
+
+  test("piiLuhn conserves candidates (one per doc) and valid counts bound by candidates") {
+    val rows = operators.TextOps.piiLuhn(spark, sfDir).collect()
+    val n = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum === n)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) === r.getLong(2) * 1000000 / r.getLong(1))
+    }
+  }
 }

@@ -594,6 +594,26 @@ class SearchClusterSpec extends AnyFunSuite with SparkFixture {
     } else assert(row.isNullAt(1))
   }
 
+  test("clustering coefficient matches brute-force adjacency intersection, in [0, 1e6]") {
+    val edges = operators.DedupOps.materializedEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val expected = adj.toSeq.collect {
+      case (v, nbrs) if nbrs.size >= 2 =>
+        val tri = nbrs.toSeq.combinations(2).count {
+          case Seq(x, y) => adj(x).contains(y)
+          case _ => false
+        }.toLong
+        val d = nbrs.size.toLong
+        (v, d, tri, 2L * tri * 1000000L / (d * (d - 1)))
+    }.sortBy(_._1)
+    val got = operators.GraphOps.clusteringCoeff(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    got.foreach { case (_, _, _, c) => assert(c >= 0L && c <= 1000000L) }
+  }
+
   test("salted join returns exactly the unsalted join's aggregate") {
     val events = Tables.events(spark, sfDir)
     val dim = events.groupBy("event_type").agg(count(lit(1)).as("type_n"))

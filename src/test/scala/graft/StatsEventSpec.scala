@@ -59,6 +59,31 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(r => ((r._1, r._2), r._3)).toMap === expected)
   }
 
+  test("survival curve: shrinking risk set, conservation, non-increasing log-survival") {
+    val rows = operators.EventOps.survival(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // duration-sorted, risk set strictly decreasing (each day removes d+c > 0 users)
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq)
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(b._2 === a._2 - a._3 - a._4, "risk set drains by exactly d+c")
+    }
+    val nSignup = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(rows.head._2 === nSignup, "initial risk set = signup cohort")
+    assert(rows.map(r => r._3 + r._4).sum === nSignup, "everyone converts or censors once")
+    // log-survival only falls, and recomputes exactly from the (n, d) pairs
+    var ln = 0L
+    rows.foreach { case (_, n, d, _, got) =>
+      if (n - d > 0)
+        ln += math.floor(math.log((n - d).toDouble) * 1e9).toLong -
+          math.floor(math.log(n.toDouble) * 1e9).toLong
+      assert(got === ln, "cumulative log-survival")
+      assert(ln <= 0L)
+    }
+  }
+
   test("retention cohort 0-offset equals its cohort size and offsets are non-negative") {
     val rows = operators.EventOps.retention(spark, sfDir).collect()
     assert(rows.nonEmpty)
