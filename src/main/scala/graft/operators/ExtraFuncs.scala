@@ -222,7 +222,46 @@ object ExtraFuncs {
         expr("variant_get(v, '$.flag', 'string')").as("flag"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** RFM customer segmentation: ascending quintile labels (1..5) for
+    * Recency / Frequency / Monetary over the per-customer order
+    * reduction, reported as 125-cell segment counts + revenue mass.
+    * Quintiles are the EXPLICIT formula q = (5*(rank-1)) div C + 1 on
+    * the (metric, custkey) total order — not ntile(), whose remainder
+    * placement differs across engines — and each rank rides the shared
+    * two-phase kernel (the per-customer relation is reduced but still
+    * corpus-proportional; a bare ORDER BY window would single-task it).
+    * The reduction is localCheckpointed once and feeds all three rank
+    * passes.
+    */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val maxD = Tables.orders(s, dir).agg(max(col("o_orderdate")).as("mx"))
+    val base = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max(col("o_orderdate")).as("last_d"),
+        count(lit(1)).as("f"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("m"))
+      .crossJoin(broadcast(maxD))
+      .select(col("custkey"), datediff(col("mx"), col("last_d")).cast("long").as("recency_days"),
+        col("f"), col("m"))
+      .localCheckpoint()
+    def quint(metric: org.apache.spark.sql.Column, name: String): DataFrame = {
+      val (ranked, n) = graft.operators.StatsOps.globalRanked(s,
+        base.select(col("custkey"), metric.as("v")), Seq(col("v"), col("custkey")))
+      ranked.select(col("custkey"), expr(s"(5 * (r - 1)) div $n + 1").as(name))
+    }
+    base
+      .join(quint(col("recency_days"), "r_q"), Seq("custkey"))
+      .join(quint(col("f"), "f_q"), Seq("custkey"))
+      .join(quint(col("m"), "m_q"), Seq("custkey"))
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("m").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("long").as("sum_cents"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm_segments" -> (rfmSegments _),
     "q_join_null_safe" -> (joinNullSafe _),
     "q_json_variant" -> (jsonVariant _),
     "q_url_parse" -> (urlParse _),
@@ -239,6 +278,26 @@ object ExtraFuncs {
     "q_agg_salted" -> (aggSalted _))
 
   val oracles: Map[String, String] = Map(
+    "q_rfm_segments" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS mx FROM orders),
+        |b AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(datediff('day', max(o_orderdate), (SELECT mx FROM mx)) AS BIGINT) AS recency_days,
+        |    COUNT(*) AS f,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS m
+        |  FROM orders GROUP BY o_custkey),
+        |c AS (SELECT COUNT(*) AS c FROM b),
+        |rq AS (SELECT custkey, (5 * (ROW_NUMBER() OVER (ORDER BY recency_days, custkey) - 1))
+        |    // (SELECT c FROM c) + 1 AS r_q FROM b),
+        |fq AS (SELECT custkey, (5 * (ROW_NUMBER() OVER (ORDER BY f, custkey) - 1))
+        |    // (SELECT c FROM c) + 1 AS f_q FROM b),
+        |mq AS (SELECT custkey, (5 * (ROW_NUMBER() OVER (ORDER BY m, custkey) - 1))
+        |    // (SELECT c FROM c) + 1 AS m_q FROM b)
+        |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+        |  CAST(m_q AS BIGINT) AS m_q, COUNT(*) AS n_customers,
+        |  CAST(SUM(b.m) AS BIGINT) AS sum_cents
+        |FROM b JOIN rq USING (custkey) JOIN fq USING (custkey) JOIN mq USING (custkey)
+        |GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q""".stripMargin,
     "q_join_null_safe" ->
       """WITH a AS (
         |  SELECT nullif(o_orderpriority, '5-LOW') AS prio, COUNT(*) AS n_1995

@@ -59,6 +59,23 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(r => ((r._1, r._2), r._3)).toMap === expected)
   }
 
+  test("RFM segments conserve customers and each quintile marginal is balanced") {
+    val rows = operators.ExtraFuncs.rfmSegments(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val c = Tables.orders(spark, sfDir).select("o_custkey").distinct().count()
+    assert(rows.map(_._4).sum === c, "every ordering customer lands in one segment")
+    rows.foreach { case (r, f, m, _, _) =>
+      assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5)
+    }
+    // each dimension's quintile sizes differ from C/5 by at most 1
+    Seq[((Long, Long, Long, Long, Long)) => Long](_._1, _._2, _._3).foreach { dim =>
+      rows.groupBy(dim).foreach { case (label, seg) =>
+        val size = seg.map(_._4).sum
+        assert(math.abs(size - c / 5) <= 1, s"quintile $label size $size vs ${c / 5}")
+      }
+    }
+  }
+
   test("survival curve: shrinking risk set, conservation, non-increasing log-survival") {
     val rows = operators.EventOps.survival(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
