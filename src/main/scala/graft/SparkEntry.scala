@@ -45,7 +45,8 @@ object SparkEntry {
       (SqlSuite3.queries, SqlSuite3.oracles),
       (SearchOps.queries, SearchOps.oracles),
       (ClusterOps.queries, ClusterOps.oracles),
-      (EvalOps.queries, EvalOps.oracles))
+      (EvalOps.queries, EvalOps.oracles),
+      (InferenceOps.queries, InferenceOps.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

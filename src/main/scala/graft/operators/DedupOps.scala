@@ -285,9 +285,15 @@ object DedupOps {
       .filter(col("doc_a") < col("doc_b")
         && size(col("set_b")) >= size(col("set_a")) * t
         && size(col("set_b")) <= size(col("set_a")) / t)
+      // |A∪B| = |A|+|B|−|A∩B| exactly (toksets are array_distinct), so one
+      // array_intersect replaces the intersect+union pair — the per-pair
+      // array work is the whole cost of this operator, so this halves it
       .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))), 6).as("jaccard"))
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("inter"),
+        (size(col("set_a")) + size(col("set_b"))).cast("long").as("sz_sum"))
+      .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / (col("sz_sum") - col("inter")), 6)
+          .as("jaccard"))
       .filter(col("jaccard") >= 0.2)
   }
 

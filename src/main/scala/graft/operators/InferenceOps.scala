@@ -1,0 +1,273 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Classical statistical inference over the fixture relations: Welch's
+  * two-sample t-test, one-way ANOVA, Spearman rank correlation, and
+  * lagged cross-correlation — the hypothesis-testing layer a data team
+  * runs before trusting a corpus change or an A/B readout.
+  *
+  * Scale + determinism design shared by the module (same discipline as
+  * [[EvalOps]]):
+  *   - every statistic reduces to GROUPED integer sums (count / sum /
+  *     sum-of-squares per group), so the only shuffled relations are
+  *     group-cardinality (2 for the t-test, |lang| for ANOVA,
+  *     |event_type|² day-joined for cross-correlation), never
+  *     row-cardinality;
+  *   - sums and products of counts run in DECIMAL(38,0) (HUGEINT in the
+  *     DuckDB twins) BEFORE any multiply — a sumsq of micro-masses
+  *     outgrows int64 at 10^10 rows;
+  *   - doubles appear only in the terminal closed-form quotient, with
+  *     the oracle mirroring the exact expression tree, and results
+  *     rounded to 6dp (the repo-wide float-compare convention,
+  *     [[graft.Det]]).
+  *
+  * Spearman is the one op that needs per-row ranks; it takes average
+  * ranks from a cumulative window over the DISTINCT-VALUE relation
+  * (domain-bounded, same argument as EvalOps.evalAuc's score scaffold)
+  * and joins them back — never a global per-row row_number.
+  */
+object InferenceOps {
+
+  /** Welch's unequal-variance t-test: does mean document length differ
+    * between English and non-English docs? One 2-group aggregate of
+    * exact integer (n, Σx, Σx²) in DECIMAL, then the closed-form
+    * t = (m1−m2)/√(v1/n1+v2/n2) and Welch–Satterthwaite degrees of
+    * freedom, evaluated once on the driver-side 1-row relation. Sample
+    * (n−1) variances. Map-side combine does all the work; nothing
+    * row-cardinality crosses the wire.
+    */
+  def welchT(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir)
+      .select(when(col("lang") === "en", "en").otherwise("other").as("grp"),
+        col("n_chars").cast(DecimalType(38, 0)).as("x"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      // sample variance from exact sums: (n·Σx² − (Σx)²) / (n·(n−1))
+      .withColumn("mean", col("sx").cast("double") / col("n"))
+      .withColumn("v", (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+        (col("n").cast("double") * (col("n") - 1)))
+    g.agg(
+        max(when(col("grp") === "en", col("n"))).as("n_en"),
+        max(when(col("grp") === "en", col("mean"))).as("m1"),
+        max(when(col("grp") === "en", col("v"))).as("v1"),
+        max(when(col("grp") === "other", col("n"))).as("n_other"),
+        max(when(col("grp") === "other", col("mean"))).as("m2"),
+        max(when(col("grp") === "other", col("v"))).as("v2"))
+      .withColumn("se1", col("v1") / col("n_en"))
+      .withColumn("se2", col("v2") / col("n_other"))
+      .select(col("n_en"), col("n_other"),
+        round(col("m1") - col("m2"), 6).as("mean_diff"),
+        round((col("m1") - col("m2")) / sqrt(col("se1") + col("se2")), 6).as("t_stat"),
+        round((col("se1") + col("se2")) * (col("se1") + col("se2")) /
+          (col("se1") * col("se1") / (col("n_en") - 1) +
+           col("se2") * col("se2") / (col("n_other") - 1)), 6).as("df_welch"))
+  }
+
+  /** One-way ANOVA: does mean document length differ across languages?
+    * Per-language exact (n, Σx, Σx²) in one aggregate (|lang| groups),
+    * then the textbook decomposition on the tiny grouped relation:
+    * SSB = Σ_g S_g²/n_g − S²/N, SSW = Σ_g (Σx²_g − S_g²/n_g),
+    * F = (SSB/(k−1)) / (SSW/(N−k)). The S_g²/n_g quotient is the first
+    * double (after a DECIMAL square), mirrored term-for-term in the
+    * oracle. Output: one row with k, n, ssb, ssw, f_stat.
+    */
+  def anovaLang(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), col("n_chars").cast(DecimalType(38, 0)).as("x"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("n_total"),
+        sum(col("sx")).as("s_all"),
+        sum(col("sxx").cast("double")).as("ss_all"),
+        sum((col("sx") * col("sx")).cast("double") / col("n")).as("b_all"))
+      .withColumn("ssb", col("b_all") - (col("s_all") * col("s_all")).cast("double") / col("n_total"))
+      .withColumn("ssw", col("ss_all") - col("b_all"))
+      .select(col("k"), col("n_total"),
+        round(col("ssb"), 4).as("ssb"),
+        round(col("ssw"), 4).as("ssw"),
+        round((col("ssb") / (col("k") - 1)) / (col("ssw") / (col("n_total") - col("k"))), 6)
+          .as("f_stat"))
+
+  /** Spearman rank correlation between per-user activity (event count)
+    * and per-user spend mass (Σ value micros): are heavy clickers heavy
+    * spenders, monotonically? Tie-aware average ranks, kept integer by
+    * carrying 2·rank (2·avgrank = 2·|{x' < x}| + |{x'' = x}| + 1 is
+    * always integral), derived from a cumulative window over the
+    * DISTINCT-VALUE relation of each variable — bounded by the value
+    * domain, not the user count — then joined back (hash join on the
+    * value) and fed to an exact-decimal Pearson over users. ρ on 2r is
+    * ρ on r (scale-invariant). No global per-row window anywhere.
+    */
+  def spearman(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("x"),
+        sum(floor(col("value") * 1e6).cast("long")).as("y"))
+
+    // 2·average-rank of each distinct value: 2·cum_below + count_eq + 1
+    def rank2(df: DataFrame, c: String): DataFrame = {
+      val w = Window.orderBy(c).rowsBetween(Window.unboundedPreceding, -1)
+      df.groupBy(c).agg(count(lit(1)).as("cnt"))
+        .withColumn(s"r2_$c",
+          (coalesce(sum(col("cnt")).over(w), lit(0L)) * 2 + col("cnt") + 1)
+            .cast(DecimalType(38, 0)))
+        .drop("cnt")
+    }
+
+    u.join(rank2(u, "x"), Seq("x"))
+      .join(rank2(u, "y"), Seq("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r2_x")).as("sx"), sum(col("r2_y")).as("sy"),
+        sum(col("r2_x") * col("r2_y")).as("sxy"),
+        sum(col("r2_x") * col("r2_x")).as("sxx"),
+        sum(col("r2_y") * col("r2_y")).as("syy"))
+      .select(col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt(((col("n") * col("sxx") - col("sx") * col("sx")) *
+                (col("n") * col("syy") - col("sy") * col("sy"))).cast("double")), 6)
+          .as("rho"))
+  }
+
+  /** Lag-1 cross-correlation between every ordered pair of event-type
+    * daily mass series: does type A's volume today predict type B's
+    * tomorrow? The joined relation is days × ordered type pairs —
+    * calendar-bounded (≤366·|types|² rows/year), the same boundedness
+    * as StatsOps.statsCorrPairs, which this extends with a day offset.
+    * Exact int64 daily masses, DECIMAL cross-products, one terminal
+    * double quotient at 6dp.
+    */
+  def crossCorrLag1(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+    val a = daily.select(col("event_type").as("type_a"), col("day"),
+      col("x").cast(DecimalType(38, 0)).as("xa"))
+    val b = daily.select(col("event_type").as("type_b"),
+      (col("day") - expr("INTERVAL 1 DAY")).as("day"),
+      col("x").cast(DecimalType(38, 0)).as("xb"))
+    a.join(b, Seq("day")).filter(col("type_a") =!= col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n"), sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
+        sum(col("xa") * col("xb")).as("sxy"),
+        sum(col("xa") * col("xa")).as("sxx"), sum(col("xb") * col("xb")).as("syy"))
+      .withColumn("num", (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+      .withColumn("varx", (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("vary", (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+      .filter(col("varx") > 0 && col("vary") > 0)
+      .select(col("type_a"), col("type_b"), col("n"),
+        round(col("num") / sqrt(col("varx") * col("vary")), 6).as("xcorr_lag1"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_welch_t" -> (welchT _),
+    "q_stats_anova" -> (anovaLang _),
+    "q_stats_spearman" -> (spearman _),
+    "q_ts_cross_corr" -> (crossCorrLag1 _))
+
+  val oracles: Map[String, String] = Map(
+    "q_stats_welch_t" ->
+      """WITH g AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS grp,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS sxx
+        |  FROM documents GROUP BY 1),
+        |m AS (
+        |  SELECT grp, n, CAST(sx AS DOUBLE) / n AS mean,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)) AS v
+        |  FROM g),
+        |p AS (
+        |  SELECT
+        |    MAX(CASE WHEN grp = 'en' THEN n END) AS n_en,
+        |    MAX(CASE WHEN grp = 'en' THEN mean END) AS m1,
+        |    MAX(CASE WHEN grp = 'en' THEN v END) AS v1,
+        |    MAX(CASE WHEN grp = 'other' THEN n END) AS n_other,
+        |    MAX(CASE WHEN grp = 'other' THEN mean END) AS m2,
+        |    MAX(CASE WHEN grp = 'other' THEN v END) AS v2
+        |  FROM m),
+        |se AS (SELECT *, v1 / n_en AS se1, v2 / n_other AS se2 FROM p)
+        |SELECT n_en, n_other,
+        |  round(m1 - m2, 6) AS mean_diff,
+        |  round((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat,
+        |  round((se1 + se2) * (se1 + se2) /
+        |        (se1 * se1 / (n_en - 1) + se2 * se2 / (n_other - 1)), 6) AS df_welch
+        |FROM se""".stripMargin,
+    "q_stats_anova" ->
+      """WITH g AS (
+        |  SELECT lang, COUNT(*) AS n,
+        |    CAST(SUM(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS sxx
+        |  FROM documents GROUP BY lang),
+        |t AS (
+        |  SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n_total,
+        |    CAST(SUM(sx) AS HUGEINT) AS s_all,
+        |    SUM(CAST(sxx AS DOUBLE)) AS ss_all,
+        |    SUM(CAST(sx * sx AS DOUBLE) / n) AS b_all
+        |  FROM g),
+        |d AS (
+        |  SELECT k, n_total,
+        |    b_all - CAST(s_all * s_all AS DOUBLE) / n_total AS ssb,
+        |    ss_all - b_all AS ssw
+        |  FROM t)
+        |SELECT k, n_total, round(ssb, 4) AS ssb, round(ssw, 4) AS ssw,
+        |  round((ssb / (k - 1)) / (ssw / (n_total - k)), 6) AS f_stat
+        |FROM d""".stripMargin,
+    "q_stats_spearman" ->
+      """WITH u AS (
+        |  SELECT user_id, COUNT(*) AS x,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |rx AS (
+        |  SELECT x, CAST(2 * COALESCE(CAST(SUM(cnt) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      + cnt + 1 AS HUGEINT) AS r2_x
+        |  FROM (SELECT x, COUNT(*) AS cnt FROM u GROUP BY x)),
+        |ry AS (
+        |  SELECT y, CAST(2 * COALESCE(CAST(SUM(cnt) OVER (ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      + cnt + 1 AS HUGEINT) AS r2_y
+        |  FROM (SELECT y, COUNT(*) AS cnt FROM u GROUP BY y)),
+        |j AS (
+        |  SELECT u.user_id, rx.r2_x, ry.r2_y
+        |  FROM u JOIN rx USING (x) JOIN ry USING (y)),
+        |a AS (
+        |  SELECT COUNT(*) AS n, SUM(r2_x) AS sx, SUM(r2_y) AS sy,
+        |    SUM(r2_x * r2_y) AS sxy, SUM(r2_x * r2_x) AS sxx,
+        |    SUM(r2_y * r2_y) AS syy
+        |  FROM j)
+        |SELECT n, round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |  sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)), 6) AS rho
+        |FROM a""".stripMargin,
+    "q_ts_cross_corr" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS HUGEINT) AS x
+        |  FROM events GROUP BY event_type, day),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.x AS xa, b.x AS xb
+        |  FROM daily a JOIN daily b
+        |    ON b.day = a.day + INTERVAL 1 DAY AND a.event_type <> b.event_type),
+        |agg AS (
+        |  SELECT type_a, type_b, COUNT(*) AS n,
+        |    SUM(xa) AS sx, SUM(xb) AS sy, SUM(xa * xb) AS sxy,
+        |    SUM(xa * xa) AS sxx, SUM(xb * xb) AS syy
+        |  FROM p GROUP BY type_a, type_b),
+        |v AS (
+        |  SELECT type_a, type_b, n,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS varx,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS vary
+        |  FROM agg)
+        |SELECT type_a, type_b, n, round(num / sqrt(varx * vary), 6) AS xcorr_lag1
+        |FROM v WHERE varx > 0 AND vary > 0
+        |ORDER BY type_a, type_b""".stripMargin)
+}

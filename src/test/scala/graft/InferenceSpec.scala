@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral checks for InferenceOps, independent of the DuckDB oracle:
+  * each statistic is re-derived by a naive driver-side recomputation over
+  * the collected sf0.001 fixture (the O(row-count) / O(n log n) textbook
+  * form the distributed grouped-sums formulation replaces), plus the
+  * defining range/invariance laws.
+  */
+class InferenceSpec extends AnyFunSuite with SparkFixture {
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("welchT matches a naive driver recomputation") {
+    val row = operators.InferenceOps.welchT(spark, sfDir).collect()(0)
+    val d = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0) == "en", r.getLong(1).toDouble))
+    val en = d.filter(_._1).map(_._2)
+    val ot = d.filterNot(_._1).map(_._2)
+    def meanVar(xs: Array[Double]): (Double, Double) = {
+      val m = xs.sum / xs.length
+      (m, xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+    }
+    val (m1, v1) = meanVar(en); val (m2, v2) = meanVar(ot)
+    val se = v1 / en.length + v2 / ot.length
+    assert(row.getLong(0) === en.length.toLong)
+    assert(row.getLong(1) === ot.length.toLong)
+    assert(math.abs(row.getDouble(3) - (m1 - m2) / math.sqrt(se)) < 1e-4,
+      "t statistic")
+    val df = se * se /
+      (math.pow(v1 / en.length, 2) / (en.length - 1) +
+        math.pow(v2 / ot.length, 2) / (ot.length - 1))
+    assert(math.abs(row.getDouble(4) - df) < 1e-3, "Welch-Satterthwaite df")
+    // df must land between min(n1,n2)-1 and n1+n2-2
+    assert(row.getDouble(4) >= math.min(en.length, ot.length) - 1.0)
+    assert(row.getDouble(4) <= en.length + ot.length - 2.0)
+  }
+
+  test("anovaLang matches naive SSB/SSW and F is consistent with them") {
+    val row = operators.InferenceOps.anovaLang(spark, sfDir).collect()(0)
+    val d = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1).toDouble))
+    val groups = d.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val all = d.map(_._2)
+    val grand = all.sum / all.length
+    val ssb = groups.values.map { xs =>
+      val m = xs.sum / xs.length; xs.length * (m - grand) * (m - grand)
+    }.sum
+    val ssw = groups.values.map { xs =>
+      val m = xs.sum / xs.length; xs.map(x => (x - m) * (x - m)).sum
+    }.sum
+    val k = groups.size; val n = all.length
+    assert(row.getLong(0) === k.toLong)
+    assert(row.getLong(1) === n.toLong)
+    assert(math.abs(row.getDouble(2) - ssb) < 1e-2, "SSB")
+    assert(math.abs(row.getDouble(3) - ssw) < 1e-2, "SSW")
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(math.abs(row.getDouble(4) - f) < 1e-4, "F statistic")
+  }
+
+  test("spearman matches naive average-rank correlation and is in [-1,1]") {
+    val row = operators.InferenceOps.spearman(spark, sfDir).collect()(0)
+    val u = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("x"),
+        sum(floor(col("value") * 1e6).cast("long")).as("y"))
+      .collect().map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble))
+    def avgRanks(xs: Array[Double]): Array[Double] = {
+      val sorted = xs.zipWithIndex.sortBy(_._1)
+      val ranks = new Array[Double](xs.length)
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j + 1 < sorted.length && sorted(j + 1)._1 == sorted(i)._1) j += 1
+        val avg = (i + j + 2) / 2.0 // 1-based average rank of the tie run
+        (i to j).foreach(t => ranks(sorted(t)._2) = avg)
+        i = j + 1
+      }
+      ranks
+    }
+    val rx = avgRanks(u.map(_._1)); val ry = avgRanks(u.map(_._2))
+    val n = u.length
+    val mx = rx.sum / n; val my = ry.sum / n
+    val num = rx.zip(ry).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val den = math.sqrt(rx.map(a => (a - mx) * (a - mx)).sum *
+      ry.map(b => (b - my) * (b - my)).sum)
+    assert(row.getLong(0) === n.toLong)
+    val rho = row.getDouble(1)
+    assert(rho >= -1.0 && rho <= 1.0)
+    assert(math.abs(rho - num / den) < 1e-6, "rho vs naive average-rank Pearson")
+  }
+
+  test("crossCorrLag1 emits every ordered pair once, all within [-1,1]") {
+    val rows = operators.InferenceOps.crossCorrLag1(spark, sfDir).collect()
+    val pairs = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.distinct.length === pairs.length)
+    assert(pairs.forall { case (a, b) => a != b })
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 2, "at least two joined days")
+      val x = r.getDouble(3)
+      assert(x >= -1.0 - 1e-9 && x <= 1.0 + 1e-9, s"xcorr out of range: $x")
+    }
+    // lag-1 self-correlation is excluded by construction; the pair count
+    // is |types| * (|types| - 1) when every series has variance
+    val types = Tables.events(spark, sfDir)
+      .select("event_type").distinct().count()
+    assert(pairs.length === (types * (types - 1)).toInt)
+  }
+}
