@@ -46,7 +46,8 @@ object SparkEntry {
       (SearchOps.queries, SearchOps.oracles),
       (ClusterOps.queries, ClusterOps.oracles),
       (EvalOps.queries, EvalOps.oracles),
-      (InferenceOps.queries, InferenceOps.oracles))
+      (InferenceOps.queries, InferenceOps.oracles),
+      (CorpusOps.queries, CorpusOps.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

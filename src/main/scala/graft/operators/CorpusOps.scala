@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Corpus-wide token statistics for training-data curation: the exact
+  * duplicated-span registry (the first stage of exact-substring dedup à
+  * la "Deduplicating Training Data Makes Language Models Better"), a
+  * hashing-trick collision audit, and a Zipf-law slope fit validating
+  * the token frequency profile.
+  *
+  * Scale design: every op here is explode → groupBy — one linear pass
+  * and one hash shuffle on the token/span key with full map-side
+  * partial aggregation; no windows over row-cardinality relations. The
+  * only window (Zipf rank) sits above a LIMIT 100, so it is
+  * constant-bounded by construction. Determinism: counts are exact
+  * integers; ln() is floored to integer nano-nats once per distinct
+  * integer argument (the repo-wide convention, [[EvalOps]]); the single
+  * terminal double division is mirrored expression-for-expression in
+  * the DuckDB twins and rounded to 6dp.
+  */
+object CorpusOps {
+
+  private val SpanTokens = 8
+
+  private def lnNano(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(log(c.cast("double")) * 1e9).cast("long")
+
+  /** Registry of exact 8-token spans appearing in ≥2 distinct documents
+    * — the candidate list an exact-substring deduplicator would cut.
+    * One explode (≈ one row per token, linear) and one groupBy(span)
+    * with map-side combine; cross-document templates collapse at the
+    * reduce side. At 100 TB you would group on a 128-bit span hash and
+    * carry the span text only as a min() exemplar — here the span IS
+    * short (8 tokens), so grouping on it directly keeps the op
+    * oracle-checkable without a hash-collision caveat.
+    */
+  def dedupSpanExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= SpanTokens)
+      .select(col("doc_id"), explode(
+        expr(s"transform(sequence(1, size(w) - ${SpanTokens - 1}), i -> array_join(slice(w, i, $SpanTokens), ' '))"))
+        .as("span"))
+      .groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occur"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(desc("n_docs"), desc("n_occur"), col("span"))
+
+  /** Hashing-trick collision audit: tokens → 64 feature buckets via the
+    * cross-engine md5-prefix integer (the repo's seeded-hash pattern,
+    * PipelineOps.splitAssign), reporting per-bucket occurrence mass and
+    * distinct-token collision load. The 64-row output is what you read
+    * before choosing a feature-hash width: a bucket holding 40 distinct
+    * tokens at 10× the mean mass says the width is too small. One
+    * explode + one 64-group aggregate; countDistinct adds the standard
+    * two-phase expand, still keyed by (bucket, tok) — linear.
+    */
+  def textFeatureHash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(col("tok"),
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"), lit(64L))
+          .as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_occur"), countDistinct(col("tok")).as("n_distinct"))
+      .orderBy("bucket")
+
+  /** Zipf-law slope over the top-100 tokens: least-squares fit of
+    * ln(freq) against ln(rank); a healthy natural-language corpus sits
+    * near slope −1, while templated/synthetic text flattens or
+    * steepens. The frequency table is a linear token aggregate; the
+    * top-100 is TakeOrderedAndProject (no global sort); the rank window
+    * sits above LIMIT 100 so its single partition holds exactly 100
+    * rows at any corpus size. Both ln() inputs are exact integers
+    * (rank, freq) floored to nano-nats, so the regression sums are
+    * integer-exact cross-engine; slope and intercept are the terminal
+    * doubles at 6dp.
+    */
+  def textZipf(s: SparkSession, dir: String): DataFrame = {
+    val top = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("tok")).limit(100)
+    val pts = top
+      .withColumn("rank", row_number().over(Window.orderBy(desc("freq"), col("tok"))))
+      .select(lnNano(col("rank")).cast(DecimalType(38, 0)).as("x"),
+        lnNano(col("freq")).cast(DecimalType(38, 0)).as("y"))
+    pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .select(col("n").as("n_points"),
+        round(col("slope"), 6).as("zipf_slope"),
+        round((col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+          col("n"), 6).as("intercept_nano"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_span_exact" -> (dedupSpanExact _),
+    "q_text_feature_hash" -> (textFeatureHash _),
+    "q_text_zipf" -> (textZipf _))
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_span_exact" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(w[i:i+7], ' ') FOR i IN range(1, len(w) - 6)]) AS span
+        |  FROM t WHERE len(w) >= 8)
+        |SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occur,
+        |  MIN(doc_id) AS first_doc
+        |FROM g GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, n_occur DESC, span""".stripMargin,
+    "q_text_feature_hash" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |b AS (
+        |  SELECT tok,
+        |    ('0x' || substring(md5(tok), 1, 8))::BIGINT % 64 AS bucket
+        |  FROM toks)
+        |SELECT bucket, COUNT(*) AS n_occur, COUNT(DISTINCT tok) AS n_distinct
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_text_zipf" ->
+      """WITH freq AS (
+        |  SELECT tok, COUNT(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok ORDER BY freq DESC, tok LIMIT 100),
+        |pts AS (
+        |  SELECT CAST(CAST(floor(ln(CAST(row_number() OVER (ORDER BY freq DESC, tok) AS DOUBLE)) * 1e9) AS BIGINT) AS HUGEINT) AS x,
+        |    CAST(CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e9) AS BIGINT) AS HUGEINT) AS y
+        |  FROM freq),
+        |agg AS (
+        |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM pts),
+        |sl AS (
+        |  SELECT n, sx, sy,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+        |  FROM agg)
+        |SELECT n AS n_points, round(slope, 6) AS zipf_slope,
+        |  round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n, 6) AS intercept_nano
+        |FROM sl""".stripMargin)
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral checks for CorpusOps against naive driver-side
+  * recomputations over the collected sf0.001 fixture.
+  */
+class CorpusSpec extends AnyFunSuite with SparkFixture {
+
+  private def docTokens: Array[(Long, Array[String])] =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+
+  test("dedupSpanExact matches brute-force 8-gram registry") {
+    val rows = operators.CorpusOps.dedupSpanExact(spark, sfDir).collect()
+    val grams: Array[(String, Long)] = docTokens.flatMap { case (id, w) =>
+      if (w.length < 8) Seq.empty[(String, Long)]
+      else (0 to w.length - 8).map(i => (w.slice(i, i + 8).mkString(" "), id))
+    }
+    val byGram = grams.groupBy(_._1)
+    val expected = byGram.view
+      .mapValues(occ => (occ.map(_._2).distinct.length.toLong, occ.length.toLong,
+        occ.map(_._2).min))
+      .filter(_._2._1 >= 2).toMap
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val (nd, no, fd) = expected(r.getString(0))
+      assert(r.getLong(1) === nd, s"n_docs for '${r.getString(0)}'")
+      assert(r.getLong(2) === no, "n_occur")
+      assert(r.getLong(3) === fd, "first_doc")
+    }
+    // ordering: n_docs desc is the primary key of the report
+    val nds = rows.map(_.getLong(1))
+    assert(nds.zip(nds.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("textFeatureHash conserves token mass and bounds buckets") {
+    val rows = operators.CorpusOps.textFeatureHash(spark, sfDir).collect()
+    val totalTokens = docTokens.map(_._2.length.toLong).sum
+    assert(rows.map(_.getLong(1)).sum === totalTokens, "occurrence conservation")
+    val distinctTokens = docTokens.flatMap(_._2).distinct.length.toLong
+    assert(rows.map(_.getLong(2)).sum === distinctTokens,
+      "each distinct token lands in exactly one bucket")
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) < 64)
+      assert(r.getLong(2) >= 1 && r.getLong(1) >= r.getLong(2))
+    }
+  }
+
+  test("textZipf slope is negative and matches a naive ln-regression") {
+    val row = operators.CorpusOps.textZipf(spark, sfDir).collect()(0)
+    val freq = docTokens.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toSeq
+      .sortBy { case (tok, f) => (-f, tok) }.take(100)
+    val pts = freq.zipWithIndex.map { case ((_, f), i) =>
+      (math.floor(math.log(i + 1.0) * 1e9), math.floor(math.log(f.toDouble) * 1e9))
+    }
+    val n = pts.length
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum; val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(row.getLong(0) === n.toLong)
+    assert(row.getDouble(1) < 0, "Zipf slope must be negative")
+    assert(math.abs(row.getDouble(1) - slope) < 1e-5, "slope vs naive fit")
+  }
+}
