@@ -196,7 +196,40 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  /** BFS hop distance (≤ 6) from the lowest-id node of the similarity
+    * graph — the "how far does this cluster reach" probe run on a
+    * near-dup component before deciding whether to collapse it.
+    * Frontier expansion, not relaxation: each round joins only the
+    * NEW nodes of the previous round against the symmetric edge list,
+    * anti-joins the settled set, and localCheckpoints (same bounded-
+    * iteration discipline as [[pageRank]]/[[kcore]] — 6 edge-joins
+    * total, each shuffling at most the frontier × degree, with lineage
+    * truncated so the plan stays flat). BFS visits each node once, so
+    * the first hop that reaches a node IS its distance — no min-
+    * aggregate over paths, which is what keeps this sub-quadratic at
+    * any graph size.
+    */
+  def bfsHops(s: SparkSession, dir: String): DataFrame = {
+    val e = DedupOps.materializedEdges(s, dir)
+    val sym = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionAll(e.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .localCheckpoint()
+    var dist = e.agg(min(col("doc_a")).as("doc_id"))
+      .withColumn("hop", lit(0L)).localCheckpoint()
+    var frontier = dist.select("doc_id")
+    for (h <- 1 to 6) {
+      val next = frontier.join(sym, frontier("doc_id") === sym("a"))
+        .select(col("b").as("doc_id")).distinct()
+        .join(dist, Seq("doc_id"), "left_anti")
+        .withColumn("hop", lit(h.toLong)).localCheckpoint()
+      dist = dist.unionAll(next).localCheckpoint()
+      frontier = next.select("doc_id")
+    }
+    dist.orderBy("hop", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_bfs" -> (bfsHops _),
     "q_graph_kcore" -> (kcore _),
     "q_graph_pagerank" -> (pageRank _),
     "q_graph_adamic_adar" -> (adamicAdar _),
@@ -205,6 +238,25 @@ object GraphOps {
     "q_graph_triangles" -> (triangles _))
 
   val oracles: Map[String, String] = Map(
+    "q_graph_bfs" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |e(a, b) AS (
+        |  SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |walk(doc_id, hop) AS (
+        |  SELECT MIN(doc_a), CAST(0 AS BIGINT) FROM pairs
+        |  UNION
+        |  SELECT e.b, w.hop + 1 FROM walk w JOIN e ON e.a = w.doc_id
+        |  WHERE w.hop < 6)
+        |SELECT doc_id, MIN(hop) AS hop FROM walk GROUP BY doc_id
+        |ORDER BY hop, doc_id""".stripMargin,
     "q_graph_clustering" ->
       """WITH base AS (
         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset

@@ -317,7 +317,48 @@ object TimeWindows {
       .orderBy("event_type", "day")
   }
 
+  /** Additive seasonal decomposition of the daily event mass:
+    * trend = centered 7-day moving average (only days with a full
+    * window), seasonal = per-day-of-week mean of (mass − trend) over
+    * trend-valid days, remainder = mass − trend − seasonal. The
+    * classic STL-lite read before alerting on "weekly dip or real
+    * drop?".
+    *
+    * The 7-day window runs over the DAILY relation — calendar-bounded
+    * (≤366 rows/year regardless of corpus size; same argument as
+    * [[tsGapfill]]'s hourly scaffold), with the 100 TB of raw events
+    * reduced by the day aggregate before the window. Trend stays in
+    * exact integer micros (sum7 div 7, masses non-negative so trunc ==
+    * floor division cross-engine); the seasonal mean is the single
+    * terminal double (4dp), mirrored in the oracle; the 7-row seasonal
+    * table broadcasts back. Edge days (first/last 3) keep their mass
+    * with NULL trend/remainder — honest boundary, not zero-fill.
+    */
+  def tsSeasonal(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("mass_micro"))
+    val w7 = org.apache.spark.sql.expressions.Window
+      .orderBy("day").rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("sum7", sum(col("mass_micro")).over(w7))
+      .withColumn("trend_micro", when(col("n7") === 7, expr("sum7 div 7")))
+      .withColumn("dow", dayofweek(col("day")) - 1) // 0 = Sunday, both engines
+    val seas = t.filter(col("trend_micro").isNotNull)
+      .groupBy("dow")
+      .agg(sum(col("mass_micro") - col("trend_micro")).as("detr_sum"),
+        count(lit(1)).as("n_valid"))
+    t.join(broadcast(seas), Seq("dow"), "left")
+      .select(col("day"), col("mass_micro"), col("trend_micro"),
+        round(col("detr_sum").cast("double") / col("n_valid"), 4).as("seasonal"),
+        round((col("mass_micro") - col("trend_micro")).cast("double") -
+          col("detr_sum").cast("double") / col("n_valid"), 4).as("remainder"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_seasonal" -> (tsSeasonal _),
     "q_ts_pct_change" -> (tsPctChange _),
     "q_ts_ewma" -> (tsEwma _),
     "q_ts_coverage" -> (tsCoverage _),
@@ -332,6 +373,30 @@ object TimeWindows {
     "q_window_session" -> (windowSession _))
 
   val oracles: Map[String, String] = Map(
+    "q_ts_seasonal" ->
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS mass_micro
+        |  FROM events GROUP BY day),
+        |t AS (
+        |  SELECT day, mass_micro,
+        |    COUNT(*) OVER w AS n7,
+        |    CAST(SUM(mass_micro) OVER w AS BIGINT) AS sum7,
+        |    dayofweek(day) AS dow
+        |  FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (
+        |  SELECT day, mass_micro, dow,
+        |    CASE WHEN n7 = 7 THEN sum7 // 7 END AS trend_micro
+        |  FROM t),
+        |seas AS (
+        |  SELECT dow, CAST(SUM(mass_micro - trend_micro) AS BIGINT) AS detr_sum,
+        |    COUNT(*) AS n_valid
+        |  FROM t2 WHERE trend_micro IS NOT NULL GROUP BY dow)
+        |SELECT day, mass_micro, trend_micro,
+        |  round(CAST(detr_sum AS DOUBLE) / n_valid, 4) AS seasonal,
+        |  round(CAST(mass_micro - trend_micro AS DOUBLE)
+        |        - CAST(detr_sum AS DOUBLE) / n_valid, 4) AS remainder
+        |FROM t2 LEFT JOIN seas USING (dow) ORDER BY day""".stripMargin,
     "q_ts_pct_change" ->
       """WITH d AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

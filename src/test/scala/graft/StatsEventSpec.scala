@@ -269,4 +269,64 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
     assert(got === expected)
     assert(got.values.map(_._1).sum === buys.length.toLong, "purchases not conserved")
   }
+
+  test("tsSeasonal matches a naive driver decomposition") {
+    val rows = operators.TimeWindows.tsSeasonal(spark, sfDir).collect()
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("m"))
+      .orderBy("day").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)))
+    val n = daily.length
+    val trend: Array[Option[Long]] = daily.indices.map { i =>
+      if (i < 3 || i >= n - 3) None
+      else Some((i - 3 to i + 3).map(j => daily(j)._2).sum / 7)
+    }.toArray
+    val dow = daily.map { case (d, _) =>
+      val c = java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC"))
+      c.setTime(d); c.get(java.util.Calendar.DAY_OF_WEEK) - 1
+    }
+    val seas: Map[Int, (Long, Long)] = daily.indices
+      .filter(trend(_).isDefined)
+      .groupBy(dow(_)).view
+      .mapValues(ix => (ix.map(i => daily(i)._2 - trend(i).get).sum, ix.length.toLong))
+      .toMap
+    assert(rows.length === n)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getTimestamp(0) === daily(i)._1)
+      assert(r.getLong(1) === daily(i)._2, s"mass at $i")
+      assert(Option(if (r.isNullAt(2)) null else r.getLong(2)).map(_.asInstanceOf[Long])
+        === trend(i), s"trend at $i")
+      val (ds, nv) = seas(dow(i))
+      val expSeasonal = BigDecimal(ds.toDouble / nv)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - expSeasonal) < 1e-9, s"seasonal at $i")
+      trend(i) match {
+        case Some(t) =>
+          val expRem = BigDecimal((daily(i)._2 - t).toDouble - ds.toDouble / nv)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(math.abs(r.getDouble(4) - expRem) < 1e-9, s"remainder at $i")
+        case None => assert(r.isNullAt(4), s"edge day $i must have null remainder")
+      }
+    }
+  }
+
+  test("bfsHops matches a naive driver BFS and hops are contiguous from 0") {
+    val edges = operators.DedupOps.materializedEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seed = edges.map(_._1).min
+    var dist = Map(seed -> 0L)
+    var frontier = Set(seed)
+    for (h <- 1 to 6) {
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+      dist = dist ++ next.map(_ -> h.toLong)
+      frontier = next
+    }
+    val got = operators.GraphOps.bfsHops(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === dist)
+    val hops = got.values.toSet
+    assert((0L to hops.max).forall(hops.contains), "hop levels are contiguous")
+  }
 }
