@@ -231,14 +231,107 @@ object ClusterOps {
       .limit(20)
   }
 
+  /** Johnson–Lindenstrauss ±1 random projection 64 → 8 dims, the cheap
+    * dimensionality reduction applied before an ANN index build. The
+    * sign matrix is SEEDED, not random: sign(i, j) = +1 iff the first
+    * hex digit of md5("jl:i:j") < '8' — the repo's cross-engine seeded-
+    * hash pattern (PipelineOps.splitAssign), evaluated once driver-side
+    * here and inline in the DuckDB twin, identical by md5's definition.
+    * Components quantize to exact integer micros first, so each of the
+    * 8 outputs is an exact int64 dot product folded per-row inside
+    * codegen (zip_with + aggregate — the vector is never exploded); the
+    * op distributes as a pure map with zero shuffles.
+    */
+  def embedRandProj(s: SparkSession, dir: String): DataFrame = {
+    def sign(i: Int, j: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"jl:$i:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (hex.charAt(0) < '8') 1L else -1L
+    }
+    val projCols = (0 until 8).map { j =>
+      val signs = array((0 until 64).map(i => lit(sign(i, j))): _*)
+      aggregate(zip_with(col("q"), signs, (x, sg) => x * sg),
+        lit(0L), (acc, v) => acc + v).as(s"p$j")
+    }
+    quantized(s, dir).select((col("vec_id") +: projCols): _*).orderBy("vec_id")
+  }
+
+  /** Pairwise cosine similarity between per-label centroid DIRECTIONS —
+    * the split-drift check run before trusting a stratified train/eval
+    * cut ("are label-3 vectors pointing somewhere new?"). Cosine is
+    * scale-invariant, so the exact integer SUM vector stands in for the
+    * mean and no division ever happens: per-(label, dim) micro sums
+    * (|labels|·64 rows, map-side combined), a dim-keyed self-join of
+    * that tiny relation, and DECIMAL dot/norm accumulators with one
+    * terminal double quotient at 6dp. Nothing row-cardinality crosses
+    * the wire after the first aggregate.
+    */
+  def embedCentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val sums = Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(
+        transform(col("embedding"), x => floor(x.cast("double") * 1e6).cast("long")))
+        .as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(sum(col("v")).as("sv"))
+    val a = sums.select(col("label").as("label_a"), col("pos"),
+      col("sv").cast(DecimalType(38, 0)).as("va"))
+    val b = sums.select(col("label").as("label_b"), col("pos"),
+      col("sv").cast(DecimalType(38, 0)).as("vb"))
+    a.join(b, Seq("pos")).filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(col("va") * col("vb")).as("dot"),
+        sum(col("va") * col("va")).as("na"),
+        sum(col("vb") * col("vb")).as("nb"))
+      .select(col("label_a"), col("label_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+          .as("cosine"))
+      .orderBy("label_a", "label_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_rand_proj" -> (embedRandProj _),
+    "q_embed_centroid_drift" -> (embedCentroidDrift _),
     "q_embed_outliers" -> (embedOutliers _),
     "q_embed_kmeans" -> (embedKmeans _),
     "q_embed_pca" -> (embedPca _),
     "q_embed_cluster_purity" -> (embedClusterPurity _),
     "q_embed_moments" -> (embedMoments _))
 
+  /** DuckDB twin of [[embedRandProj]]: the same md5 sign matrix inline
+    * (embedding[i] is 1-based in DuckDB, so the seed uses i-1).
+    */
+  private def randProjOracle: String = {
+    val cols = (0 until 8).map { j =>
+      s"""CAST(list_sum([CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT)
+         |      * (CASE WHEN substring(md5('jl:' || (i - 1) || ':' || $j), 1, 1) < '8'
+         |              THEN 1 ELSE -1 END)
+         |    FOR i IN range(1, 65)]) AS BIGINT) AS p$j""".stripMargin
+    }.mkString(",\n  ")
+    s"SELECT vec_id,\n  $cols\nFROM embeddings ORDER BY vec_id"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_embed_rand_proj" -> randProjOracle,
+    "q_embed_centroid_drift" ->
+      """WITH qv AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM embeddings),
+        |sums AS (
+        |  SELECT label, pos, CAST(SUM(v) AS HUGEINT) AS sv
+        |  FROM qv GROUP BY label, pos),
+        |p AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |    a.sv AS va, b.sv AS vb
+        |  FROM sums a JOIN sums b ON a.pos = b.pos AND a.label < b.label),
+        |agg AS (
+        |  SELECT label_a, label_b, SUM(va * vb) AS dot,
+        |    SUM(va * va) AS na, SUM(vb * vb) AS nb
+        |  FROM p GROUP BY label_a, label_b)
+        |SELECT label_a, label_b,
+        |  round(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+        |    AS cosine
+        |FROM agg ORDER BY label_a, label_b""".stripMargin,
     "q_embed_outliers" ->
       """WITH qv AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,

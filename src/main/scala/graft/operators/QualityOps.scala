@@ -258,7 +258,36 @@ object QualityOps {
       .orderBy("lang")
   }
 
+  /** Differentially-private (ε = 1) release of the (lang, source) count
+    * table via the Laplace mechanism — the publishable sibling of the
+    * k-anonymity suppression in Aggregations.odFlows. The noise is
+    * SEEDED Laplace, not random: u comes from the cross-engine
+    * md5-prefix integer (uniform in [1, 999999] µ-units), inverted
+    * through the Laplace CDF as X = sgn(u−½)·(ln(10⁶) − ln(k)) with
+    * k = 10⁶ − 2|u − 500000| ∈ [2, 10⁶] — both ln() arguments are exact
+    * integers under the repo's floor-nano convention, so the noise is
+    * bit-identical cross-engine and the release is reproducible (a real
+    * deployment would swap the seed column for a secret). Sensitivity 1
+    * (unit count), b = Δ/ε = 1. One |lang|·|source|-group aggregate;
+    * noise is a per-group scalar expression — nothing beyond the count
+    * shuffle.
+    */
+  def dpNoisyCounts(s: SparkSession, dir: String): DataFrame = {
+    val u = pmod(conv(substring(md5(concat(lit("dp:"), col("lang"),
+      lit(":"), col("source"))), 1, 8), 16, 10).cast("long"), lit(999999L)) + 1
+    val k = lit(1000000L) - abs(u - 500000L) * 2
+    val sgn = when(u >= 500000L, 1L).otherwise(-1L)
+    val noiseNano = sgn * (floor(log(lit(1000000).cast("double")) * 1e9).cast("long") -
+      floor(log(k.cast("double")) * 1e9).cast("long"))
+    Tables.documents(s, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("source"),
+        round(col("n") + noiseNano.cast("double") / 1e9, 4).as("noisy_count"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dp_counts" -> (dpNoisyCounts _),
     "q_scd2_join" -> (scd2Join _),
     "q_json_quarantine" -> (jsonQuarantine _),
     "q_benford" -> (benfordDigits _),
@@ -270,6 +299,22 @@ object QualityOps {
     "q_scd2_pit" -> (scd2Pit _))
 
   val oracles: Map[String, String] = Map(
+    "q_dp_counts" ->
+      """WITH g AS (
+        |  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source),
+        |u AS (
+        |  SELECT lang, source, n,
+        |    ('0x' || substring(md5('dp:' || lang || ':' || source), 1, 8))::BIGINT
+        |      % 999999 + 1 AS uu
+        |  FROM g),
+        |k AS (
+        |  SELECT lang, source, n, uu, 1000000 - 2 * abs(uu - 500000) AS kk FROM u)
+        |SELECT lang, source,
+        |  round(n + (CASE WHEN uu >= 500000 THEN 1 ELSE -1 END)
+        |    * (CAST(floor(ln(CAST(1000000 AS DOUBLE)) * 1e9) AS BIGINT)
+        |       - CAST(floor(ln(CAST(kk AS DOUBLE)) * 1e9) AS BIGINT)) / 1e9, 4)
+        |    AS noisy_count
+        |FROM k ORDER BY lang, source""".stripMargin,
     "q_scd2_join" ->
       """WITH seq AS (
         |  SELECT user_id AS d_user, event_id, ts, event_type AS status,

@@ -625,4 +625,72 @@ class SearchClusterSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(salted === plain)
   }
+
+  private def md5sign(i: Int, j: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"jl:$i:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    if (hex.charAt(0) < '8') 1L else -1L
+  }
+
+  test("embedRandProj matches a naive driver projection for every vector") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val got = operators.ClusterOps.embedRandProj(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(c => r.getLong(c)).toVector).toMap
+    assert(got.size === vecs.length)
+    vecs.foreach { case (id, emb) =>
+      val q = emb.map(x => math.floor(x.toDouble * 1e6).toLong)
+      val exp = (0 until 8).map(j =>
+        (0 until 64).map(i => q(i) * md5sign(i, j)).sum).toVector
+      assert(got(id) === exp, s"projection of vec $id")
+    }
+  }
+
+  test("embedCentroidDrift covers all label pairs and matches one exact recompute") {
+    val rows = operators.ClusterOps.embedCentroidDrift(spark, sfDir).collect()
+    val labels = Tables.embeddings(spark, sfDir)
+      .select("label").distinct().collect().map(_.getInt(0)).sorted
+    assert(rows.length === labels.length * (labels.length - 1) / 2)
+    rows.foreach(r => assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
+    // exact recompute of the first pair from integer micro sums
+    val (la, lb) = (rows(0).getInt(0), rows(0).getInt(1))
+    val byLabel = Tables.embeddings(spark, sfDir)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray.map(x => math.floor(x.toDouble * 1e6).toLong)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def centroidSum(l: Int): Array[BigInt] =
+      byLabel(l).foldLeft(Array.fill(64)(BigInt(0))) { (acc, v) =>
+        acc.zip(v).map { case (aa, vv) => aa + vv } }
+    val (ca, cb) = (centroidSum(la), centroidSum(lb))
+    val dot = ca.zip(cb).map { case (x, y) => x * y }.sum
+    val na = ca.map(x => x * x).sum; val nb = cb.map(x => x * x).sum
+    val exp = dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    assert(math.abs(rows(0).getDouble(2) - exp) < 1e-6)
+  }
+
+  test("dpNoisyCounts noise is bounded, seeded, and exactly recomputable") {
+    val rows = operators.QualityOps.dpNoisyCounts(spark, sfDir).collect()
+    val truth = Tables.documents(spark, sfDir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows.length === truth.size)
+    val maxNoise = math.log(1e6 / 2) // |X| <= b * ln(1/u_min') with k >= 2
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val n = truth(key)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"dp:${key._1}:${key._2}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(hex.substring(0, 8), 16) % 999999L + 1
+      val k = 1000000L - 2 * math.abs(u - 500000L)
+      val sgn = if (u >= 500000L) 1L else -1L
+      val noiseNano = sgn * (math.floor(math.log(1e6) * 1e9).toLong -
+        math.floor(math.log(k.toDouble) * 1e9).toLong)
+      val exp = BigDecimal(n + noiseNano.toDouble / 1e9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) === exp, s"noisy count for $key")
+      assert(math.abs(r.getDouble(2) - n) <= maxNoise + 1e-6, "Laplace tail bound")
+    }
+  }
 }
