@@ -102,12 +102,52 @@ object CorpusOps {
           col("n"), 6).as("intercept_nano"))
   }
 
+  /** Top-20 bigram continuations of the corpus language model:
+    * P(w2|w1) in exact ppm, where the conditioning mass c1 counts w1 in
+    * bigram-initial position (= Σ_w2 c12, so probabilities sum to 1 per
+    * w1 exactly). The integer division c12·10⁶ div c1 is trunc==floor
+    * (both operands positive), bit-identical cross-engine with no ln or
+    * float anywhere. One explode to the bigram relation (linear), two
+    * vocab-bounded aggregates, a vocab-keyed join (AQE broadcasts the
+    * unigram side), and a TakeOrderedAndProject top-20 — no global
+    * sort.
+    */
+  def textBigramLm(s: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))"))
+        .as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    c12.join(c1, Seq("w1"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        expr("(c12 * 1000000L) div c1").as("p_ppm"))
+      .orderBy(desc("c12"), col("w1"), col("w2"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_bigram_lm" -> (textBigramLm _),
     "q_dedup_span_exact" -> (dedupSpanExact _),
     "q_text_feature_hash" -> (textFeatureHash _),
     "q_text_zipf" -> (textZipf _))
 
   val oracles: Map[String, String] = Map(
+    "q_text_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (
+        |  SELECT unnest([{'w1': w[i], 'w2': w[i+1]} FOR i IN range(1, len(w))]) AS b
+        |  FROM t),
+        |pairs AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bg),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1)
+        |SELECT w1, w2, c12, c1, (c12 * 1000000) // c1 AS p_ppm
+        |FROM c12 JOIN c1 USING (w1)
+        |ORDER BY c12 DESC, w1, w2 LIMIT 20""".stripMargin,
     "q_dedup_span_exact" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

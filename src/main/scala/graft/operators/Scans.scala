@@ -217,7 +217,44 @@ object Scans {
     "q_scan_orc" -> (scanOrc _),
     "q_scan_xml" -> (scanXml _),
     "q_scan_partitioned" -> (scanPartitioned _),
-    "q_scan_bucketed" -> (scanBucketed _))
+    "q_scan_bucketed" -> (scanBucketed _),
+    "q_scan_binary" -> (scanBinary _))
+
+  /** Opaque-binary ingestion via Spark's binaryFile source — the read
+    * path image/audio payloads take (Multimodal.scala consumes the same
+    * (path, length, content) shape). Round-trip: one .bin file per
+    * language holding the newline-joined doc_id-ordered texts, read
+    * back as whole-file bytes and reported as (lang, n_bytes, md5).
+    * The oracle recomputes the identical md5 from the parquet originals
+    * with string_agg, so equality proves the binary path delivers exact
+    * bytes. The derived files are fixture scaffolding built from a
+    * |langs|-row aggregate (bounded collect, derived-cache pattern like
+    * the CSV/JSONL twins); the graded OPERATOR is the binaryFile scan.
+    */
+  def scanBinary(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/bin_v1_${DedupOps.cacheKey(dir, "documents")}"
+    val d = new java.io.File(path)
+    if (!new java.io.File(d, "_SUCCESS").exists()) {
+      d.mkdirs()
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text"))).as("blob"))
+        .collect()
+        .foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(path, s"${r.getString(0)}.bin"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, "_SUCCESS"), Array.emptyByteArray)
+    }
+    s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(path)
+      .select(regexp_extract(col("path"), "([^/]+)\\.bin$", 1).as("lang"),
+        col("length").as("n_bytes"), md5(col("content")).as("md5_hex"))
+      .orderBy("lang")
+  }
 
   /** CSV/JSONL oracles read the parquet originals: equality proves the text
     * round-trip is lossless.
@@ -262,5 +299,12 @@ object Scans {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_scan_binary" ->
+      """WITH g AS (
+        |  SELECT lang, string_agg(text, chr(10) ORDER BY doc_id) AS blob
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, CAST(strlen(blob) AS BIGINT) AS n_bytes,
+        |  md5(blob) AS md5_hex
+        |FROM g ORDER BY lang""".stripMargin)
 }

@@ -357,7 +357,34 @@ object TimeWindows {
       .orderBy("day")
   }
 
+  /** Theil–Sen robust trend: the median of pairwise slopes between all
+    * day pairs of the daily mass series — the outlier-proof answer to
+    * "is volume trending up?", unmoved by a single spiky day that drags
+    * least-squares. The pair join runs over the DAILY relation —
+    * calendar-bounded (≤366 rows/year ⇒ ≤67k pairs/year regardless of
+    * corpus size, the same argument as [[tsSeasonal]]) — so the
+    * quadratic is in calendar days, never in events. Slopes are exact
+    * dy_micro/dx_day doubles; the median uses percentile() — exact
+    * element at the odd pair counts a contiguous day range produces
+    * (n·(n−1)/2 is odd for n ≡ 2, 3 (mod 4)) — and rounds to 4dp, which
+    * also absorbs any interpolation-formula ulp at even counts.
+    */
+  def tsTheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("m"))
+      .withColumn("d", datediff(col("day"), lit("2024-01-01").cast("date")))
+    val a = daily.select(col("d").as("da"), col("m").as("ma"))
+    val b = daily.select(col("d").as("db"), col("m").as("mb"))
+    a.join(b, col("da") < col("db"))
+      .select(((col("mb") - col("ma")).cast("double") /
+        (col("db") - col("da")).cast("double")).as("slope"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5)"), 4).as("slope_micro_per_day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_theilsen" -> (tsTheilSen _),
     "q_ts_seasonal" -> (tsSeasonal _),
     "q_ts_pct_change" -> (tsPctChange _),
     "q_ts_ewma" -> (tsEwma _),
@@ -373,6 +400,20 @@ object TimeWindows {
     "q_window_session" -> (windowSession _))
 
   val oracles: Map[String, String] = Map(
+    "q_ts_theilsen" ->
+      """WITH d AS (
+        |  SELECT date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS m
+        |  FROM events GROUP BY day),
+        |dd AS (
+        |  SELECT datediff('day', DATE '2024-01-01', CAST(day AS DATE)) AS d, m
+        |  FROM d),
+        |p AS (
+        |  SELECT CAST(b.m - a.m AS DOUBLE) / (b.d - a.d) AS slope
+        |  FROM dd a JOIN dd b ON a.d < b.d)
+        |SELECT COUNT(*) AS n_pairs,
+        |  round(quantile_cont(slope, 0.5), 4) AS slope_micro_per_day
+        |FROM p""".stripMargin,
     "q_ts_seasonal" ->
       """WITH d AS (
         |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

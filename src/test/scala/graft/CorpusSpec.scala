@@ -49,6 +49,61 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("textBigramLm matches a naive recomputation and p_ppm is a true conditional") {
+    val rows = operators.CorpusOps.textBigramLm(spark, sfDir).collect()
+    val bigrams = docTokens.flatMap { case (_, w) =>
+      if (w.length < 2) Seq.empty[(String, String)]
+      else (0 until w.length - 1).map(i => (w(i), w(i + 1)))
+    }
+    val c12 = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val top = c12.toSeq.sortBy { case ((w1, w2), c) => (-c, w1, w2) }.take(20)
+    assert(rows.length === top.length)
+    rows.zip(top).foreach { case (r, ((w1, w2), c)) =>
+      assert((r.getString(0), r.getString(1)) === ((w1, w2)))
+      assert(r.getLong(2) === c)
+      assert(r.getLong(3) === c1(w1))
+      assert(r.getLong(4) === c * 1000000L / c1(w1))
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000000L)
+    }
+  }
+
+  test("scanBinary md5 equals a driver-side recompute from the parquet texts") {
+    val rows = operators.Scans.scanBinary(spark, sfDir).collect()
+    val byLang = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).mkString("\n")).toMap
+    assert(rows.length === byLang.size)
+    rows.foreach { r =>
+      val blob = byLang(r.getString(0)).getBytes("UTF-8")
+      assert(r.getLong(1) === blob.length.toLong, s"bytes for ${r.getString(0)}")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(blob).map("%02x".format(_)).mkString
+      assert(r.getString(2) === hex, s"md5 for ${r.getString(0)}")
+    }
+  }
+
+  test("tsTheilSen equals the exact median of all pairwise daily slopes") {
+    val row = operators.TimeWindows.tsTheilSen(spark, sfDir).collect()(0)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("m"))
+      .orderBy("day").collect()
+      .map(r => ((r.getTimestamp(0).getTime / 86400000L), r.getLong(1)))
+    val slopes = (for {
+      i <- daily.indices; j <- daily.indices if daily(i)._1 < daily(j)._1
+    } yield (daily(j)._2 - daily(i)._2).toDouble / (daily(j)._1 - daily(i)._1)).sorted
+    assert(row.getLong(0) === slopes.length.toLong)
+    val n = slopes.length
+    val med = if (n % 2 == 1) slopes(n / 2) else {
+      val (a, b) = (slopes(n / 2 - 1), slopes(n / 2)); a + 0.5 * (b - a)
+    }
+    assert(math.abs(row.getDouble(1) -
+      BigDecimal(med).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("textZipf slope is negative and matches a naive ln-regression") {
     val row = operators.CorpusOps.textZipf(spark, sfDir).collect()(0)
     val freq = docTokens.flatMap(_._2).groupBy(identity).view
