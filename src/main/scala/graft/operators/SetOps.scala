@@ -128,7 +128,34 @@ object SetOps {
       .orderBy("o_orderkey")
   }
 
+  /** INTERSECT ALL — bag semantics: each supplier key survives with
+    * min(multiplicity in returned lines, multiplicity in accepted
+    * lines). The BAG variants are genuinely different operators from
+    * #41/#42 (Spark compiles them to a count-aggregate + generate
+    * rather than a semi/anti join) and are what dedup-accounting
+    * queries actually need ("how many shipments does each supplier
+    * have on BOTH sides?"). Shuffles once on the value key with
+    * map-side partial counts.
+    */
+  def intersectAllKeys(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R").select("l_suppkey")
+    val a = Tables.lineitem(s, dir).filter(col("l_returnflag") === "A").select("l_suppkey")
+    r.intersectAll(a).orderBy("l_suppkey")
+  }
+
+  /** EXCEPT ALL — bag difference: returned-line supplier keys with
+    * accepted-line multiplicities subtracted (max(0, cR − cA) copies
+    * survive). Same count-aggregate shape as [[intersectAllKeys]].
+    */
+  def exceptAllKeys(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R").select("l_suppkey")
+    val a = Tables.lineitem(s, dir).filter(col("l_returnflag") === "A").select("l_suppkey")
+    r.exceptAll(a).orderBy("l_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_intersect_all" -> (intersectAllKeys _),
+    "q_except_all" -> (exceptAllKeys _),
     "q_union_all" -> (unionAll _),
     "q_union_distinct" -> (unionDistinct _),
     "q_intersect" -> (intersectKeys _),
@@ -139,6 +166,16 @@ object SetOps {
     "q_publish_json" -> (publishJson _))
 
   val oracles: Map[String, String] = Map(
+    "q_intersect_all" ->
+      """SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        |INTERSECT ALL
+        |SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+        |ORDER BY l_suppkey""".stripMargin,
+    "q_except_all" ->
+      """SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        |EXCEPT ALL
+        |SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+        |ORDER BY l_suppkey""".stripMargin,
     "q_union_all" ->
       """SELECT o_orderkey, 'f' AS tag FROM orders WHERE o_orderstatus = 'F'
         |UNION ALL
