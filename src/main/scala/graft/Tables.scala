@@ -24,17 +24,23 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame     = t(s, dir, "part")
   def nation(s: SparkSession, dir: String): DataFrame   = t(s, dir, "nation")
   def region(s: SparkSession, dir: String): DataFrame   = t(s, dir, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * nanos long (spark.sql.legacy.parquet.nanosAsLong=true — set by
-    * Verify/Bench/tests). The data is µs-precision (verified: no sub-µs
-    * component), so the nanos→micros conversion below is lossless and the
-    * column surfaces as a normal TimestampType either way.
+  /** events.ts normalization. The driver has shipped this column two ways:
+    * parquet TIMESTAMP(NANOS), which Spark only reads as a nanos long
+    * (spark.sql.legacy.parquet.nanosAsLong=true — set by Verify/Bench/tests),
+    * and tz-less timestamp[us], which Spark 4 infers as TIMESTAMP_NTZ.
+    * Both are µs-precision wall-clock UTC, so both normalize losslessly to a
+    * plain TimestampType: nanos long via an integer div, NTZ via a cast that
+    * reinterprets the wall-clock in the session zone (UTC for every entry
+    * point here) — downstream `cast("long")` epoch-seconds math then works
+    * identically for either source schema.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     val df = t(s, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

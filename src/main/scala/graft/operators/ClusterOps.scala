@@ -450,6 +450,7 @@ object ClusterOps {
         |a2 AS (
         |  SELECT vec_id, cid, dist FROM d2
         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)
-        |SELECT cid AS cluster_id, COUNT(*) AS n_members, SUM(dist) AS inertia
+        |SELECT cid AS cluster_id, COUNT(*) AS n_members,
+        |  CAST(SUM(dist) AS BIGINT) AS inertia
         |FROM a2 GROUP BY cid ORDER BY cluster_id""".stripMargin)
 }

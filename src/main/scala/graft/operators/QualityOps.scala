@@ -344,10 +344,11 @@ object QualityOps {
         |      ELSE payload0 END AS payload
         |  FROM p)
         |SELECT doc_lang AS lang, COUNT(*) AS n_total,
-        |  SUM(CASE WHEN json_valid(payload) THEN 0 ELSE 1 END) AS n_quarantined,
-        |  SUM(CASE WHEN json_valid(payload)
+        |  CAST(SUM(CASE WHEN json_valid(payload) THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_quarantined,
+        |  CAST(SUM(CASE WHEN json_valid(payload)
         |    THEN CAST(json_extract(payload, '$.n_chars') AS BIGINT) ELSE 0 END)
-        |    AS chars_valid
+        |    AS BIGINT) AS chars_valid
         |FROM c GROUP BY doc_lang ORDER BY doc_lang""".stripMargin,
     "q_benford" ->
       """WITH d AS (
@@ -359,10 +360,10 @@ object QualityOps {
         |e(digit, exp_ppm) AS (VALUES (1, 301029), (2, 176091), (3, 124938),
         |  (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152), (9, 45757))
         |SELECT g.digit, g.n_orders,
-        |  (1000000 * g.n_orders) // SUM(g.n_orders) OVER () AS obs_ppm,
+        |  CAST((1000000 * g.n_orders) // SUM(g.n_orders) OVER () AS BIGINT) AS obs_ppm,
         |  CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
-        |  abs((1000000 * g.n_orders) // SUM(g.n_orders) OVER ()
-        |    - CAST(e.exp_ppm AS BIGINT)) AS dev_ppm
+        |  CAST(abs((1000000 * g.n_orders) // SUM(g.n_orders) OVER ()
+        |    - CAST(e.exp_ppm AS BIGINT)) AS BIGINT) AS dev_ppm
         |FROM g JOIN e ON g.digit = e.digit
         |ORDER BY g.digit""".stripMargin,
     "q_delete_cascade" ->

@@ -867,7 +867,7 @@ object StatsOps {
         |      * ((a_n + 1) * (nb + 10) - (b_n + 1) * (na + 10)) AS term,
         |    na, nb
         |  FROM g CROSS JOIN t)
-        |SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
+        |SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
         |  round(CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE)
         |    / CAST(MAX(na + 10) * MAX(nb + 10) AS DOUBLE) / 1e9, 6) AS psi
         |FROM terms""".stripMargin,
@@ -888,10 +888,11 @@ object StatsOps {
         |  SELECT cents, abs(ca * (SELECT nb FROM t) - cb * (SELECT na FROM t)) AS dnum
         |  FROM c),
         |mx AS (SELECT MAX(dnum) AS d_num FROM d)
-        |SELECT (SELECT na FROM t) AS n_a, (SELECT nb FROM t) AS n_b,
-        |  (SELECT d_num FROM mx) AS d_num,
-        |  (1000000 * (SELECT d_num FROM mx))
-        |    // ((SELECT na FROM t) * (SELECT nb FROM t)) AS d_ppm,
+        |SELECT CAST((SELECT na FROM t) AS BIGINT) AS n_a,
+        |  CAST((SELECT nb FROM t) AS BIGINT) AS n_b,
+        |  CAST((SELECT d_num FROM mx) AS BIGINT) AS d_num,
+        |  CAST((1000000 * (SELECT d_num FROM mx))
+        |    // ((SELECT na FROM t) * (SELECT nb FROM t)) AS BIGINT) AS d_ppm,
         |  (SELECT MIN(cents) FROM d WHERE dnum = (SELECT d_num FROM mx)) AS at_cents""".stripMargin,
     "q_geohash" ->
       """WITH pts AS (
