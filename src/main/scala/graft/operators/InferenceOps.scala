@@ -59,6 +59,10 @@ object InferenceOps {
         max(when(col("grp") === "other", col("n"))).as("n_other"),
         max(when(col("grp") === "other", col("mean"))).as("m2"),
         max(when(col("grp") === "other", col("v"))).as("v2"))
+      // degenerate fixture guard: if either group is absent, surface zero
+      // rows (an explicit oracle row-count failure) instead of an all-NULL
+      // row whose hash behavior would silently decide the comparison
+      .filter(col("n_en").isNotNull && col("n_other").isNotNull)
       .withColumn("se1", col("v1") / col("n_en"))
       .withColumn("se2", col("v2") / col("n_other"))
       .select(col("n_en"), col("n_other"),
@@ -83,10 +87,15 @@ object InferenceOps {
       .groupBy("lang")
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("x") * col("x")).as("sxx"))
+      // ss_all stays an exact DECIMAL sum (cast to double once, after); the
+      // b_all terms are inherently double quotients, so each term is pinned
+      // at 6dp and accumulated in exact DECIMAL — no partial-aggregation
+      // ordering can flip the sum on either engine.
       .agg(count(lit(1)).as("k"), sum(col("n")).as("n_total"),
         sum(col("sx")).as("s_all"),
-        sum(col("sxx").cast("double")).as("ss_all"),
-        sum((col("sx") * col("sx")).cast("double") / col("n")).as("b_all"))
+        sum(col("sxx")).cast("double").as("ss_all"),
+        sum(round((col("sx") * col("sx")).cast("double") / col("n"), 6)
+          .cast(DecimalType(38, 6))).cast("double").as("b_all"))
       .withColumn("ssb", col("b_all") - (col("s_all") * col("s_all")).cast("double") / col("n_total"))
       .withColumn("ssw", col("ss_all") - col("b_all"))
       .select(col("k"), col("n_total"),
@@ -193,7 +202,8 @@ object InferenceOps {
         |    MAX(CASE WHEN grp = 'other' THEN mean END) AS m2,
         |    MAX(CASE WHEN grp = 'other' THEN v END) AS v2
         |  FROM m),
-        |se AS (SELECT *, v1 / n_en AS se1, v2 / n_other AS se2 FROM p)
+        |se AS (SELECT *, v1 / n_en AS se1, v2 / n_other AS se2 FROM p
+        |       WHERE n_en IS NOT NULL AND n_other IS NOT NULL)
         |SELECT n_en, n_other,
         |  round(m1 - m2, 6) AS mean_diff,
         |  round((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat,
@@ -209,8 +219,9 @@ object InferenceOps {
         |t AS (
         |  SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS n_total,
         |    CAST(SUM(sx) AS HUGEINT) AS s_all,
-        |    SUM(CAST(sxx AS DOUBLE)) AS ss_all,
-        |    SUM(CAST(sx * sx AS DOUBLE) / n) AS b_all
+        |    CAST(CAST(SUM(sxx) AS VARCHAR) AS DOUBLE) AS ss_all,
+        |    CAST(CAST(SUM(CAST(round(CAST(sx * sx AS DOUBLE) / n, 6)
+        |      AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS b_all
         |  FROM g),
         |d AS (
         |  SELECT k, n_total,
