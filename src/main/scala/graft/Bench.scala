@@ -37,10 +37,14 @@ object Bench {
     println(line)
     // The driver preserves only the tail of the stdout line, which truncates
     // the per-query map once the suite is large; persist the full map so
-    // round-over-round per-query regressions stay measurable.
+    // round-over-round per-query regressions stay measurable. Path resolves
+    // from the working directory (overridable via -Dgraft.bench.out).
+    val outPath = sys.props.getOrElse("graft.bench.out",
+      java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_FULL.json").toString)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), line + "\n")
-    catch { case _: Throwable => () }
+      java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"BENCH_FULL write failed ($outPath): $e") }
     spark.stop()
   }
 }

@@ -40,6 +40,15 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // The NTZ→Timestamp cast reinterprets wall-clock in the SESSION
+        // zone — lossless only under UTC. Every entry point here sets
+        // spark.sql.session.timeZone=UTC; fail fast rather than silently
+        // shifting all epoch-seconds math if a future one forgets.
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"Tables.events requires spark.sql.session.timeZone=UTC (got $tz): " +
+            "the TIMESTAMP_NTZ ts column is wall-clock UTC and the cast to " +
+            "TimestampType reinterprets it in the session zone")
         df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }

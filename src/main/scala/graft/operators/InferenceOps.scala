@@ -91,6 +91,15 @@ object InferenceOps {
       // b_all terms are inherently double quotients, so each term is pinned
       // at 6dp and accumulated in exact DECIMAL — no partial-aggregation
       // ordering can flip the sum on either engine.
+      // Cross-engine envelope (cf. Det.money): the 6dp round is HALF_UP on
+      // Spark's shortest-string vs exact-binary on DuckDB — divergence needs
+      // the quotient sx²/n to land EXACTLY on a trailing 5 at the 7th
+      // decimal of its shortest double representation, a measure-zero event
+      // for char-count sums (verified identical on all fixtures). Overflow:
+      // each term ≤ sx² ≤ (N·maxlen)² ≈ 1e28 at 100 TB (N≈1e10 docs,
+      // maxlen≈1e4), and DECIMAL(38,6) holds 1e32, so the |lang|-term sum
+      // has ≥4 orders of headroom; Spark's silent NULL-on-overflow (ANSI
+      // off) vs DuckDB's error is unreachable inside that envelope.
       .agg(count(lit(1)).as("k"), sum(col("n")).as("n_total"),
         sum(col("sx")).as("s_all"),
         sum(col("sxx")).cast("double").as("ss_all"),

@@ -328,10 +328,11 @@ object TimeWindows {
     * (≤366 rows/year regardless of corpus size; same argument as
     * [[tsGapfill]]'s hourly scaffold), with the 100 TB of raw events
     * reduced by the day aggregate before the window. Trend stays in
-    * exact integer micros via a sign-safe floor division
-    * ((sum7 − pmod(sum7,7)) div 7 — pmod is non-negative, so the
-    * dividend is exactly divisible and trunc == floor for ANY sign of
-    * the daily mass, matching DuckDB's flooring `//`); the seasonal
+    * exact integer micros via `sum7 div 7` — Spark's `div` truncates
+    * toward zero, exactly matching DuckDB's integer `//` (also
+    * truncating: -10 // 7 = -1) for ANY sign of the daily mass, so
+    * Spark and the oracle agree bit-for-bit without a floor/trunc
+    * mismatch; the seasonal
     * mean is the single
     * terminal double (4dp), mirrored in the oracle; the 7-row seasonal
     * table broadcasts back. Edge days (first/last 3) keep their mass
@@ -347,7 +348,7 @@ object TimeWindows {
       .withColumn("n7", count(lit(1)).over(w7))
       .withColumn("sum7", sum(col("mass_micro")).over(w7))
       .withColumn("trend_micro",
-        when(col("n7") === 7, expr("(sum7 - pmod(sum7, 7)) div 7")))
+        when(col("n7") === 7, expr("sum7 div 7")))
       .withColumn("dow", dayofweek(col("day")) - 1) // 0 = Sunday, both engines
     val seas = t.filter(col("trend_micro").isNotNull)
       .groupBy("dow")
