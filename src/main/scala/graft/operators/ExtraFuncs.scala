@@ -227,32 +227,45 @@ object ExtraFuncs {
     * reduction, reported as 125-cell segment counts + revenue mass.
     * Quintiles are the EXPLICIT formula q = (5*(rank-1)) div C + 1 on
     * the (metric, custkey) total order — not ntile(), whose remainder
-    * placement differs across engines — and each rank rides the shared
-    * two-phase kernel (the per-customer relation is reduced but still
-    * corpus-proportional; a bare ORDER BY window would single-task it).
-    * The reduction is localCheckpointed once and feeds all three rank
-    * passes.
+    * placement differs across engines.
+    *
+    * Single-melt shape: the three metrics melt to one long relation
+    * (custkey, metric, v) — 3C rows — and ONE two-phase rank pass
+    * ordered by (metric, v, custkey) ranks all three at once (within a
+    * metric stratum that order IS the (v, custkey) order, so quintiles
+    * are identical to three separate passes). Every customer carries
+    * all three metrics, so each stratum holds exactly C = n/3 rows and
+    * the per-metric offset is positional (f→0, m→C, r→2C in the lex
+    * order the kernel sorts by) — no per-stratum histogram job. The
+    * pivot back is one custkey aggregate; the monetary mass rides the
+    * melt (metric='m' rows), so no join back to the base relation.
     */
   def rfmSegments(s: SparkSession, dir: String): DataFrame = {
     val maxD = Tables.orders(s, dir).agg(max(col("o_orderdate")).as("mx"))
-    val base = Tables.orders(s, dir)
+    val melted = Tables.orders(s, dir)
       .groupBy(col("o_custkey").as("custkey"))
       .agg(max(col("o_orderdate")).as("last_d"),
         count(lit(1)).as("f"),
         sum(round(col("o_totalprice") * 100, 0).cast("long")).as("m"))
       .crossJoin(broadcast(maxD))
-      .select(col("custkey"), datediff(col("mx"), col("last_d")).cast("long").as("recency_days"),
-        col("f"), col("m"))
-      .localCheckpoint()
-    def quint(metric: org.apache.spark.sql.Column, name: String): DataFrame = {
-      val (ranked, n) = graft.operators.StatsOps.globalRanked(s,
-        base.select(col("custkey"), metric.as("v")), Seq(col("v"), col("custkey")))
-      ranked.select(col("custkey"), expr(s"(5 * (r - 1)) div $n + 1").as(name))
-    }
-    base
-      .join(quint(col("recency_days"), "r_q"), Seq("custkey"))
-      .join(quint(col("f"), "f_q"), Seq("custkey"))
-      .join(quint(col("m"), "m_q"), Seq("custkey"))
+      .select(col("custkey"),
+        explode(org.apache.spark.sql.functions.map(
+          lit("f"), col("f"),
+          lit("m"), col("m"),
+          lit("r"), datediff(col("mx"), col("last_d")).cast("long"))))
+      .toDF("custkey", "metric", "v")
+    val (ranked, n) = graft.operators.StatsOps.globalRanked(s, melted,
+      Seq(col("metric"), col("v"), col("custkey")), s"$dir#orders:rfm-melt")
+    val c = n / 3
+    val off: Map[String, Long] = Map("f" -> 0L, "m" -> c, "r" -> 2 * c)
+    ranked
+      .withColumn("sr", col("r") - element_at(typedLit(off), col("metric")))
+      .withColumn("q", expr(s"(5 * (sr - 1)) div ${math.max(c, 1L)} + 1"))
+      .groupBy("custkey")
+      .agg(max(when(col("metric") === "r", col("q"))).as("r_q"),
+        max(when(col("metric") === "f", col("q"))).as("f_q"),
+        max(when(col("metric") === "m", col("q"))).as("m_q"),
+        max(when(col("metric") === "m", col("v"))).as("m"))
       .groupBy("r_q", "f_q", "m_q")
       .agg(count(lit(1)).as("n_customers"),
         sum(col("m").cast(org.apache.spark.sql.types.DecimalType(38, 0)))

@@ -238,7 +238,7 @@ object PipelineOps {
   def sampleIndex(s: SparkSession, dir: String): DataFrame = {
     val (ranked, _) = StatsOps.globalRanked(s,
       Tables.documents(s, dir).select(col("doc_id"), col("lang")),
-      Seq(col("doc_id")))
+      Seq(col("doc_id")), s"$dir#docs:doc_id")
     ranked
       .withColumn("sample_idx", col("r") - 1)
       .select(col("doc_id"), col("lang"), col("sample_idx"))
@@ -300,7 +300,7 @@ object PipelineOps {
           .when(col("n_tokens") <= 64, 64L).when(col("n_tokens") <= 128, 128L)
           .when(col("n_tokens") <= 256, 256L).otherwise(512L))
     val (ranked, _) = StatsOps.globalRanked(s, toks,
-      Seq(col("bucket"), col("doc_id")))
+      Seq(col("bucket"), col("doc_id")), s"$dir#docs:len-bucket")
     val offsets = toks.groupBy("bucket").count().collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val off: Map[Long, Long] =
@@ -326,8 +326,11 @@ object PipelineOps {
     * all equi-joins — no cross join anywhere.
     */
   def negativePairs(s: SparkSession, dir: String): DataFrame = {
+    // same (relation, order) as sampleIndex — the lang column rides along
+    // unused so the two queries share one memoized kernel build
     val (ranked, n) = StatsOps.globalRanked(s,
-      Tables.documents(s, dir).select(col("doc_id")), Seq(col("doc_id")))
+      Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+      Seq(col("doc_id")), s"$dir#docs:doc_id")
     val idx = ranked.select(col("doc_id"), (col("r") - 1).as("idx"))
     val drawn = idx
       .withColumn("j", explode(expr("sequence(1, 4)")))
@@ -353,11 +356,13 @@ object PipelineOps {
     * into |L| giant partitions at 100 TB.
     */
   def curriculumInterleave(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), col("n_chars"))
-    val (ranked, _) = StatsOps.globalRanked(s, docs,
-      Seq(col("lang"), col("n_chars"), col("doc_id")))
-    val langs = docs.groupBy("lang").count().collect()
+    val rel = StatsOps.rankedRel(s,
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+      Seq(col("lang"), col("n_chars"), col("doc_id")), s"$dir#docs:lang-chars")
+    val ranked = rel.ranked
+    // lang offsets from the kernel's checkpointed relation — a |L|-group
+    // aggregate over cached partitions, not a second parquet-scan job
+    val langs = rel.sorted.groupBy("lang").count().collect()
       .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     val off: Map[String, Long] =
       langs.map(_._1).zip(langs.scanLeft(0L)(_ + _._2)).toMap

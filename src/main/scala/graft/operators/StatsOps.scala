@@ -91,7 +91,7 @@ object StatsOps {
     val k = 8
     val (ranked, n) = globalRanked(s,
       Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
-      Seq(col("o_totalprice"), col("o_orderkey")))
+      Seq(col("o_totalprice"), col("o_orderkey")), s"$dir#orders:totalprice")
     val q = n / k
     val rem = n % k
     ranked
@@ -104,6 +104,21 @@ object StatsOps {
       .orderBy("o_orderkey")
   }
 
+  /** Memoized two-phase rank relations: the kernel's build cost is a
+    * range-sampling job + a checkpoint materialization + a histogram
+    * collect, so distinct queries over the SAME (relation, total order)
+    * — q_ntile/q_histogram_equidepth, q_gini/q_lorenz_deciles,
+    * q_sample_index/q_negative_pairs — must not each pay it inside one
+    * Verify/Bench session. Keyed by (session identity, caller key);
+    * caller keys embed the sf dir, so a dir switch self-invalidates
+    * (same discipline as [[SqlViews]]). Entries pin localCheckpoint
+    * RDDs for the session's lifetime — bounded by the handful of
+    * kernel keys per dir, megabytes at any tested SF.
+    */
+  private[graft] final case class RankedRel(sorted: DataFrame, ranked: DataFrame, n: Long)
+  private val rankCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), RankedRel]()
+
   /** Shared two-phase global rank kernel (ntileBuckets' scaladoc has the
     * full design argument). The partition count is explicit because a
     * bare repartitionByRange(cols) is an AQE-coalescible exchange that
@@ -112,23 +127,34 @@ object StatsOps {
     * static plan assertion. User-specified counts are exempt from AQE
     * coalescing, and reading shuffle.partitions keeps it cluster-tuned.
     * Returns (input columns + pid + 1-based global rank `r`, total N).
+    * `cacheKey` identifies the (input relation, total order) pair for
+    * the session memo — callers MUST give distinct keys to distinct
+    * logical inputs and embed the sf dir.
     */
-  private[graft] def globalRanked(s: SparkSession, df: DataFrame,
-      sortCols: Seq[Column]): (DataFrame, Long) = {
-    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val sorted = df
-      .repartitionByRange(nPart, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val hist = sorted.groupBy("pid").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets: Map[Int, Long] = hist.map(_._1).zip(hist.scanLeft(0L)(_ + _._2)).toMap
-    val w = Window.partitionBy("pid").orderBy(sortCols: _*)
-    (sorted.withColumn("r",
-      element_at(typedLit(offsets), col("pid")) + row_number().over(w)),
-      hist.map(_._2).sum)
+  private[graft] def globalRanked(s: SparkSession, df: => DataFrame,
+      sortCols: Seq[Column], cacheKey: String): (DataFrame, Long) = {
+    val rel = rankedRel(s, df, sortCols, cacheKey)
+    (rel.ranked, rel.n)
   }
+
+  private[graft] def rankedRel(s: SparkSession, df: => DataFrame,
+      sortCols: Seq[Column], cacheKey: String): RankedRel =
+    rankCache.computeIfAbsent((System.identityHashCode(s), cacheKey), _ => {
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val sorted = df
+        .repartitionByRange(nPart, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
+      val hist = sorted.groupBy("pid").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val offsets: Map[Int, Long] = hist.map(_._1).zip(hist.scanLeft(0L)(_ + _._2)).toMap
+      val w = Window.partitionBy("pid").orderBy(sortCols: _*)
+      RankedRel(sorted,
+        sorted.withColumn("r",
+          element_at(typedLit(offsets), col("pid")) + row_number().over(w)),
+        hist.map(_._2).sum)
+    })
 
   /** Equi-DEPTH histogram (the optimizer-statistics sibling of the
     * zero-filled equi-width q_histogram): k buckets with equal ROW
@@ -143,7 +169,7 @@ object StatsOps {
     val k = 8
     val (ranked, n) = globalRanked(s,
       Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
-      Seq(col("o_totalprice"), col("o_orderkey")))
+      Seq(col("o_totalprice"), col("o_orderkey")), s"$dir#orders:totalprice")
     val q = n / k
     val rem = n % k
     ranked
@@ -215,7 +241,8 @@ object StatsOps {
     val perCust = Tables.orders(s, dir)
       .groupBy("o_custkey")
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
-    val (ranked, n) = globalRanked(s, perCust, Seq(col("cents"), col("o_custkey")))
+    val (ranked, n) = globalRanked(s, perCust,
+      Seq(col("cents"), col("o_custkey")), s"$dir#orders:cust-cents")
     ranked
       .agg(sum(col("cents").cast(big)).as("sx"),
         sum((col("r") * col("cents")).cast(big)).as("srx"))
@@ -238,7 +265,8 @@ object StatsOps {
     val perCust = Tables.orders(s, dir)
       .groupBy("o_custkey")
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
-    val (ranked, n) = globalRanked(s, perCust, Seq(col("cents"), col("o_custkey")))
+    val (ranked, n) = globalRanked(s, perCust,
+      Seq(col("cents"), col("o_custkey")), s"$dir#orders:cust-cents")
     val q = n / k
     val rem = n % k
     val deciles = ranked

@@ -390,7 +390,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     // histogram is actually multi-partition.
     val (ranked, n) = operators.StatsOps.globalRanked(spark,
       Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_totalprice")),
-      Seq(col("o_totalprice"), col("o_orderkey")))
+      Seq(col("o_totalprice"), col("o_orderkey")), s"$sfDir#orders:totalprice")
     val nPids = ranked.select("pid").distinct().count()
     assert(nPids > 1, s"rank kernel collapsed to $nPids partition(s) at runtime")
     assert(ranked.agg(min("r"), max("r")).head() ===
