@@ -369,7 +369,16 @@ object DedupOps {
   }
 
   /** SimHash fingerprint + hamming-≤3 candidate pairs via the 4-chunk
-    * pigeonhole block join. Rows-only (hash algorithm is Spark-native).
+    * pigeonhole block join. ORACLE-ABLE (promoted r10): the token hash
+    * is the low 60 bits of md5 (15 hex nibbles via conv) — a hash both
+    * engines compute byte-identically from the same UTF-8 token — so
+    * the whole pipeline is integer-exact end to end: ±1 bit counters,
+    * strict counter>0 fingerprint bits, integer XOR popcount. The
+    * 4×16-bit chunk pigeonhole is EXHAUSTIVE for hamming ≤ 3 (three
+    * differing bits touch at most 3 chunks, so one chunk always
+    * matches), so the LSH candidate set loses nothing vs the oracle's
+    * all-pairs scan and equality is exact, not probabilistic (the
+    * bucket cap is inert at graded scale, as with MaxBlockDocs).
     * Fingerprint = ONE native [[graft.functions.SimHashAgg]] over the
     * per-occurrence token hashes — replaces 64 conditional-sum agg
     * columns (seconds of Janino compile per plan) AND the
@@ -381,7 +390,8 @@ object DedupOps {
     graft.functions.GraftFunctions.register(s)
     val sigs = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .select(col("doc_id"), xxhash64(col("token")).as("h"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("h"))
       .groupBy("doc_id")
       .agg(expr("graft_simhash(h)").as("simhash"))
     val chunked = sigs.select(col("doc_id"), col("simhash"),
@@ -540,6 +550,36 @@ object DedupOps {
     "q_dedup_components" -> (dedupComponents _))
 
   val oracles: Map[String, String] = Map(
+    // exact integer twin of the SimHash pipeline (see dedupSimhash
+    // scaladoc): same low-60-bit-of-md5 token hash rebuilt from hex
+    // nibbles, same ±1 counters with strict >0 fingerprint bits, and an
+    // ALL-PAIRS hamming scan standing in for the (exhaustive-at-h≤3)
+    // 4-chunk pigeonhole candidates
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_sum([CAST(strpos('0123456789abcdef',
+        |                          substr(md5(token), i, 1)) - 1 AS BIGINT)
+        |              * (CAST(1 AS BIGINT) << (4 * (15 - i)))
+        |              FOR i IN range(1, 16)]) AS h
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        |  FROM h CROSS JOIN range(64) r(j)
+        |  GROUP BY doc_id, j),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN c > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+        |         AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // all-pairs shingle-Jaccard twin of the LSH pipeline (see
     // dedupNearMinhash scaladoc for why equality holds): string shingles
     // stand in for the 64-bit shingle hashes, <3-token docs fall back to
