@@ -115,7 +115,8 @@ object StatsOps {
     * RDDs for the session's lifetime — bounded by the handful of
     * kernel keys per dir, megabytes at any tested SF.
     */
-  private[graft] final case class RankedRel(sorted: DataFrame, ranked: DataFrame, n: Long)
+  private[graft] final case class RankedRel(sorted: DataFrame, ranked: DataFrame,
+    n: Long, sortSig: String)
   private val rankCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), RankedRel]()
 
@@ -138,8 +139,9 @@ object StatsOps {
   }
 
   private[graft] def rankedRel(s: SparkSession, df: => DataFrame,
-      sortCols: Seq[Column], cacheKey: String): RankedRel =
-    rankCache.computeIfAbsent((System.identityHashCode(s), cacheKey), _ => {
+      sortCols: Seq[Column], cacheKey: String): RankedRel = {
+    val sig = sortCols.map(_.toString).mkString(",")
+    val rel = rankCache.computeIfAbsent((System.identityHashCode(s), cacheKey), _ => {
       val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
       val sorted = df
         .repartitionByRange(nPart, sortCols: _*)
@@ -153,8 +155,15 @@ object StatsOps {
       RankedRel(sorted,
         sorted.withColumn("r",
           element_at(typedLit(offsets), col("pid")) + row_number().over(w)),
-        hist.map(_._2).sum)
+        hist.map(_._2).sum, sig)
     })
+    // a key collision across DIFFERENT total orders would silently serve
+    // the wrong ranking — fail loudly instead (keys are caller-authored)
+    require(rel.sortSig == sig,
+      s"rank-kernel cache key '$cacheKey' reused with a different sort order: " +
+        s"cached [${rel.sortSig}] vs requested [$sig]")
+    rel
+  }
 
   /** Equi-DEPTH histogram (the optimizer-statistics sibling of the
     * zero-filled equi-width q_histogram): k buckets with equal ROW
