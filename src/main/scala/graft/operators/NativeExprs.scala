@@ -27,8 +27,10 @@ object NativeExprs {
       .orderBy("c_custkey")
   }
 
-  /** #61b native rolling-hash fingerprint (rows-only: DuckDB BIGINT
-    * arithmetic traps on the intentional 64-bit wraparound).
+  /** #61b native rolling-hash fingerprint. ORACLE-ABLE (promoted r10):
+    * DuckDB BIGINT traps on the intentional 64-bit wraparound, but a
+    * HUGEINT list_reduce fold mod 2^64 + two's-complement cast computes
+    * the identical signed fingerprint (see oracles map).
     */
   def rollingHash(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
@@ -96,6 +98,27 @@ object NativeExprs {
 
   val oracles: Map[String, String] = Map(
     "q_haversine_native" -> ScalarFuncs.oracles("q_haversine"),
+    // exact twin of RollingHashExpr (h = 31*h + byte over UTF-8, signed
+    // 64-bit wraparound): HUGEINT fold mod 2^64 via list_reduce, then a
+    // two's-complement reinterpretation back to BIGINT. ascii(char) equals
+    // the UTF-8 byte because the corpus is pure ASCII (octet_length ==
+    // length on every fixture); a non-ASCII doc would surface as a hash
+    // mismatch, not a silent pass.
+    "q_fingerprint_native" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN h - CAST('18446744073709551616' AS HUGEINT)
+        |            ELSE h END AS BIGINT) AS fingerprint
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |        [CAST(ascii(text[i]) AS HUGEINT)
+        |         FOR i IN range(1, length(text) + 1)]),
+        |      (h, c) -> (31 * h + c)
+        |                % CAST('18446744073709551616' AS HUGEINT)) AS h
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q_jaro_winkler" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part)
         |SELECT a.p_name AS name_a, b.p_name AS name_b,
