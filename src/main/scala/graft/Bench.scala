@@ -23,7 +23,10 @@ object Bench {
     } catch { case _: Throwable => () }
     // dev-only subset filter (comma-separated names); driver leaves it unset
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries
+    // sorted execution order: Map iteration order shifts when entries are
+    // added, which moves JIT/warmup position effects between queries and
+    // muddies round-over-round per-query comparison; name order is stable
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_(name)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -32,7 +35,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver preserves only the tail of the stdout line, which truncates

@@ -356,6 +356,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "global-window ntile reintroduced a single-partition stage:\n" + planStr.take(3000))
   }
 
+  test("single-melt RFM plans no single-partition exchange") {
+    // the r10 reshape ranks all three metrics in ONE kernel pass over the
+    // melted (custkey, metric, v) relation — make sure neither the melt nor
+    // the pivot-back reintroduced a global single-partition stage
+    val df = operators.ExtraFuncs.rfmSegments(spark, sfDir)
+    val planStr = executed(df).toString
+    assert(!planStr.contains("SinglePartition"),
+      "single-melt RFM funnelled through one partition:\n" + planStr.take(3000))
+  }
+
   test("SCD2 effective-dated join plans as an equi join, not a nested loop") {
     val plan = executed(operators.QualityOps.scd2Join(spark, sfDir))
     val str = plan.toString
