@@ -92,4 +92,29 @@ class ExpressionSpec extends AnyFunSuite with SparkFixture {
     assert(row.getDouble(0) === 0.9611111111111111)
     assert(row.isNullAt(1))
   }
+
+  test("simhash aggregate equals the naive counter fold (oracle-load-bearing)") {
+    // q_dedup_simhash's oracle recomputes this definition in SQL, so pin
+    // the exact semantics here: counter_j += (bit_j(h) ? +1 : -1) per
+    // OCCURRENCE, fingerprint bit j set iff counter_j ends STRICTLY > 0
+    // (a 0-tie leaves the bit clear). Also pin occurrence-weighting:
+    // duplicate hashes must count twice.
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val hashes = Seq(0x0F0FL, 0x00FFL, 0x00FFL, -1L) // -1 = all 64 bits set
+    val got = hashes.toDF("h").groupBy()
+      .agg(org.apache.spark.sql.functions.expr("graft_simhash(h)").as("fp"))
+      .collect().head.getLong(0)
+    val counters = Array.fill(64)(0L)
+    for (h <- hashes; j <- 0 until 64)
+      counters(j) += (((h >>> j) & 1L) * 2L - 1L)
+    var want = 0L
+    for (j <- 0 until 64) if (counters(j) > 0) want |= (1L << j)
+    assert(got === want)
+    // strict >0 tie rule: two inputs {bit set, bit clear} -> counter 0 -> clear
+    val tie = Seq(1L, 0L).toDF("h").groupBy()
+      .agg(org.apache.spark.sql.functions.expr("graft_simhash(h)").as("fp"))
+      .collect().head.getLong(0)
+    assert(tie === 0L, "counter==0 must leave the fingerprint bit clear")
+  }
 }
