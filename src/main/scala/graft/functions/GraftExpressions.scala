@@ -354,7 +354,13 @@ object GraftFunctions {
       s"$fn: argument '$arg' must be a literal (foldable), got ${e.sql}")
   }
 
+  // once per session: every query builder calls register(), and
+  // re-registering 13 functions per call is pure overhead plus a WARN
+  // line each in the driver log (same memo discipline as SqlViews)
+  private val registered = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
   def register(spark: SparkSession): Unit = {
+    if (!registered.add(System.identityHashCode(spark))) return
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("graft_haversine",
       exprs => HaversineExpr(Cast(exprs(0), DoubleType), Cast(exprs(1), DoubleType),
