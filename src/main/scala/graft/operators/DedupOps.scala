@@ -541,7 +541,55 @@ object DedupOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** URL-canonicalization dedup — the C4/CommonCrawl "same page, five
+    * spellings" step that runs BEFORE any content dedup: lowercase the
+    * scheme and host, strip the default :443 port, strip trailing
+    * slashes, drop utm_* tracking params, and sort the surviving query
+    * params; group on the canonical form and keep the min doc_id.
+    * The fixtures carry no URL column (like q_url_parse), so each doc
+    * derives a deterministic MESSY variant url — page = doc_id div 2,
+    * with case/port/slash/tracking/param-order varying by doc_id parity
+    * — and the graded semantics is the canonicalization chain mapping
+    * BOTH variants of every page to one key: every output group must
+    * collapse exactly two docs (the oracle hash pins that, not just
+    * the rules individually).
+    *
+    * Scale shape: the canonicalization is a codegen'd projection; the
+    * only shuffle is ONE map-side-combined groupBy on the canonical
+    * key. All string ops (regexp_extract/replace, split, sort, join)
+    * are engine-portable and mirrored verbatim in the DuckDB oracle.
+    */
+  def dedupUrl(s: SparkSession, dir: String): DataFrame = {
+    val page = expr("doc_id div 2")
+    val pmod = expr("(doc_id div 2) % 7")
+    val raw = concat(
+      when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.Example.org"))
+        .otherwise(lit("https://www.example.org")),
+      when(col("doc_id") % 4 < 2, lit(":443")).otherwise(lit("")),
+      lit("/docs/"), page.cast("string"),
+      when(col("doc_id") % 4 === 1, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("?b=2&utm_source=feed&a="), pmod.cast("string")))
+        .otherwise(concat(lit("?a="), pmod.cast("string"), lit("&utm_campaign=x&b=2"))))
+    val host = regexp_replace(
+      lower(regexp_extract(col("raw_url"), "^[A-Za-z]+://([^/?#]+)", 1)),
+      ":443$", "")
+    val path = regexp_replace(
+      regexp_extract(col("raw_url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", "")
+    val kept = array_sort(filter(split(
+      regexp_extract(col("raw_url"), "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && !startswith(p, lit("utm_"))))
+    Tables.documents(s, dir)
+      .withColumn("raw_url", raw)
+      .withColumn("canonical_url", concat(lit("https://"), host, path,
+        when(size(kept) > 0, concat(lit("?"), array_join(kept, "&"))).otherwise(lit(""))))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+      .orderBy("canonical_url")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_url" -> (dedupUrl _),
     "q_dedup_near_minhash" -> (dedupNearMinhash _),
     "q_dedup_containment" -> (dedupContainment _),
     "q_dedup_jaccard_blocked" -> (dedupJaccardBlocked _),
@@ -550,6 +598,39 @@ object DedupOps {
     "q_dedup_components" -> (dedupComponents _))
 
   val oracles: Map[String, String] = Map(
+    // verbatim mirror of dedupUrl's messy-variant synthesis + the
+    // canonicalization chain (lowercase scheme/host, strip :443, strip
+    // trailing slashes, drop utm_*, sort surviving params)
+    "q_dedup_url" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Example.org'
+        |          ELSE 'https://www.example.org' END)
+        |    || (CASE WHEN doc_id % 4 < 2 THEN ':443' ELSE '' END)
+        |    || '/docs/' || CAST(doc_id // 2 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 2 = 0
+        |          THEN '?b=2&utm_source=feed&a=' || CAST((doc_id // 2) % 7 AS VARCHAR)
+        |          ELSE '?a=' || CAST((doc_id // 2) % 7 AS VARCHAR) || '&utm_campaign=x&b=2'
+        |        END) AS raw_url
+        |  FROM documents),
+        |canon AS (
+        |  SELECT doc_id,
+        |    'https://'
+        |    || regexp_replace(lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/?#]+)', 1)),
+        |                      ':443$', '')
+        |    || regexp_replace(regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+        |                      '/+$', '')
+        |    || (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END)
+        |      AS canonical_url
+        |  FROM (
+        |    SELECT doc_id, raw_url,
+        |      list_sort(list_filter(string_split(regexp_extract(raw_url, '\?([^#]*)', 1), '&'),
+        |                            x -> x <> '' AND NOT starts_with(x, 'utm_'))) AS kept
+        |    FROM raw))
+        |SELECT canonical_url, COUNT(*) AS n_docs,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+        |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
     // exact integer twin of the SimHash pipeline (see dedupSimhash
     // scaladoc): same low-60-bit-of-md5 token hash rebuilt from hex
     // nibbles, same ±1 counters with strict >0 fingerprint bits, and an
