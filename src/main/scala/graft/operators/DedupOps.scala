@@ -542,8 +542,9 @@ object DedupOps {
   }
 
   /** URL-canonicalization dedup — the C4/CommonCrawl "same page, five
-    * spellings" step that runs BEFORE any content dedup: lowercase the
-    * scheme and host, strip the default :443 port, strip trailing
+    * spellings" step that runs BEFORE any content dedup: normalize the
+    * scheme to https (http/https serve the same page), lowercase the
+    * host, strip the default :443 port, strip trailing
     * slashes, drop utm_* tracking params, and sort the surviving query
     * params; group on the canonical form and keep the min doc_id.
     * The fixtures carry no URL column (like q_url_parse), so each doc
@@ -559,6 +560,21 @@ object DedupOps {
     * key. All string ops (regexp_extract/replace, split, sort, join)
     * are engine-portable and mirrored verbatim in the DuckDB oracle.
     */
+  /** The canonicalization chain itself, reusable on any url column;
+    * idempotent by construction (canonical output re-canonicalizes to
+    * itself — PropertySpec pins it). */
+  private[graft] def canonicalizeUrl(u: Column): Column = {
+    val host = regexp_replace(
+      lower(regexp_extract(u, "^[A-Za-z]+://([^/?#]+)", 1)), ":443$", "")
+    val path = regexp_replace(
+      regexp_extract(u, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", "")
+    val kept = array_sort(filter(split(
+      regexp_extract(u, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" && !startswith(p, lit("utm_"))))
+    concat(lit("https://"), host, path,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&"))).otherwise(lit("")))
+  }
+
   def dedupUrl(s: SparkSession, dir: String): DataFrame = {
     val page = expr("doc_id div 2")
     val pmod = expr("(doc_id div 2) % 7")
@@ -571,18 +587,9 @@ object DedupOps {
       when(col("doc_id") % 2 === 0,
         concat(lit("?b=2&utm_source=feed&a="), pmod.cast("string")))
         .otherwise(concat(lit("?a="), pmod.cast("string"), lit("&utm_campaign=x&b=2"))))
-    val host = regexp_replace(
-      lower(regexp_extract(col("raw_url"), "^[A-Za-z]+://([^/?#]+)", 1)),
-      ":443$", "")
-    val path = regexp_replace(
-      regexp_extract(col("raw_url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1), "/+$", "")
-    val kept = array_sort(filter(split(
-      regexp_extract(col("raw_url"), "\\?([^#]*)", 1), "&"),
-      p => p =!= "" && !startswith(p, lit("utm_"))))
     Tables.documents(s, dir)
       .withColumn("raw_url", raw)
-      .withColumn("canonical_url", concat(lit("https://"), host, path,
-        when(size(kept) > 0, concat(lit("?"), array_join(kept, "&"))).otherwise(lit(""))))
+      .withColumn("canonical_url", canonicalizeUrl(col("raw_url")))
       .groupBy("canonical_url")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
       .orderBy("canonical_url")

@@ -314,4 +314,31 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       assert(ac <= ab + bc, s"triangle violated for ($a, $b, $c): $ac > $ab + $bc")
     }
   }
+
+  test("URL canonicalization is idempotent on messy inputs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // canonicalize(canonicalize(u)) == canonicalize(u): the canonical form
+    // must be a fixed point of the chain (lowercase host, :443 strip,
+    // trailing-slash strip, utm_* drop, param sort) or repeated dedup
+    // passes over already-clean corpora would churn keys
+    val messy = Seq(
+      "HTTPS://WWW.Example.org:443/docs/7/?b=2&utm_source=feed&a=1",
+      "https://www.example.org/docs/7?a=1&utm_campaign=x&b=2",
+      "https://Host.org:443///",
+      "http://host.org/path/?utm_x=1",
+      "https://host.org/path?z=9&y=8&utm_medium=m",
+      "https://host.org").toDF("u")
+    val rows = messy
+      .withColumn("c1", operators.DedupOps.canonicalizeUrl(col("u")))
+      .withColumn("c2", operators.DedupOps.canonicalizeUrl(col("c1")))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(2) === r.getString(1),
+        s"not idempotent for ${r.getString(0)}: ${r.getString(1)} -> ${r.getString(2)}")
+    }
+    // and the two messy spellings of page 7 collapse to the same canonical
+    val c = rows.map(_.getString(1))
+    assert(c(0) === c(1), s"page-7 variants diverge: ${c(0)} vs ${c(1)}")
+  }
 }
