@@ -68,11 +68,17 @@ object Tables {
   * self-invalidates via the map check).
   */
 object SqlViews {
-  private val lastDir = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+  // weak-keyed on the session object itself: values are plain dir strings
+  // (no back-reference to the session), so a stopped-and-dropped session's
+  // entry is collectable and a recycled identity hash can never alias two
+  // sessions (the old Int-keyed memo could, silently skipping view
+  // registration for the new session)
+  private val lastDir = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
   private val tables =
     Seq("customer", "orders", "lineitem", "nation", "supplier", "region", "part")
   def ensure(s: SparkSession, dir: String): Unit =
-    if (lastDir.put(System.identityHashCode(s), dir) != dir)
+    if (lastDir.put(s, dir) != dir)
       tables.foreach(n => Tables.t(s, dir, n).createOrReplaceTempView(s"v_$n"))
 }
 

@@ -356,12 +356,15 @@ object GraftFunctions {
 
   // once per session: every query builder calls register(), and
   // re-registering 13 functions per call is pure overhead plus a WARN
-  // line each in the driver log (same memo discipline as SqlViews)
-  private val registered = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
-
+  // line each in the driver log. The "already registered" check reads
+  // the session's own function registry (probe one sentinel function)
+  // rather than a static identity-hash memo: registry state lives and
+  // dies with the session, so there is nothing to leak and no hash
+  // collision that could silently skip registration for a new session.
   def register(spark: SparkSession): Unit = {
-    if (!registered.add(System.identityHashCode(spark))) return
     val registry = spark.sessionState.functionRegistry
+    if (registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_haversine"))) return
     registry.createOrReplaceTempFunction("graft_haversine",
       exprs => HaversineExpr(Cast(exprs(0), DoubleType), Cast(exprs(1), DoubleType),
         Cast(exprs(2), DoubleType), Cast(exprs(3), DoubleType)), "scala_udf")

@@ -370,10 +370,16 @@ object DedupOps {
 
   /** SimHash fingerprint + hamming-≤3 candidate pairs via the 4-chunk
     * pigeonhole block join. ORACLE-ABLE (promoted r10): the token hash
-    * is the low 60 bits of md5 (15 hex nibbles via conv) — a hash both
-    * engines compute byte-identically from the same UTF-8 token — so
-    * the whole pipeline is integer-exact end to end: ±1 bit counters,
-    * strict counter>0 fingerprint bits, integer XOR popcount. The
+    * is the FULL 64 bits of the md5 prefix, folded as two 32-bit conv
+    * halves (a single 16-nibble conv would overflow signed long) — md5
+    * rather than xxhash64 because it is the one hash both engines
+    * compute byte-identically from the same UTF-8 token — so the whole
+    * pipeline is integer-exact end to end: ±1 bit counters, strict
+    * counter>0 fingerprint bits, integer XOR popcount. (r11: widened
+    * from a 15-nibble/60-bit fold whose top 4 counters could only
+    * decrement, which silently narrowed the effective SimHash width;
+    * the oracle twin mirrors the widening via a HUGEINT mod-2^64
+    * fold.) The
     * 4×16-bit chunk pigeonhole is EXHAUSTIVE for hamming ≤ 3 (three
     * differing bits touch at most 3 chunks, so one chunk always
     * matches), so the LSH candidate set loses nothing vs the oracle's
@@ -390,8 +396,10 @@ object DedupOps {
     graft.functions.GraftFunctions.register(s)
     val sigs = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .select(col("doc_id"), md5(col("token")).as("m"))
       .select(col("doc_id"),
-        conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("h"))
+        shiftleft(conv(substring(col("m"), 1, 8), 16, 10).cast("long"), 32)
+          .bitwiseOR(conv(substring(col("m"), 9, 8), 16, 10).cast("long")).as("h"))
       .groupBy("doc_id")
       .agg(expr("graft_simhash(h)").as("simhash"))
     val chunked = sigs.select(col("doc_id"), col("simhash"),
@@ -639,8 +647,10 @@ object DedupOps {
         |  CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
         |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
     // exact integer twin of the SimHash pipeline (see dedupSimhash
-    // scaladoc): same low-60-bit-of-md5 token hash rebuilt from hex
-    // nibbles, same ±1 counters with strict >0 fingerprint bits, and an
+    // scaladoc): same full-64-bit md5-prefix token hash rebuilt from 16
+    // hex nibbles (HUGEINT fold, wrapped mod 2^64 into signed BIGINT —
+    // bit extraction (h >> j) & 1 is sign-safe, probed on DuckDB 1.0),
+    // same ±1 counters with strict >0 fingerprint bits, and an
     // ALL-PAIRS hamming scan standing in for the (exhaustive-at-h≤3)
     // 4-chunk pigeonhole candidates
     "q_dedup_simhash" ->
@@ -648,11 +658,16 @@ object DedupOps {
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |h AS (
         |  SELECT doc_id,
-        |    list_sum([CAST(strpos('0123456789abcdef',
-        |                          substr(md5(token), i, 1)) - 1 AS BIGINT)
-        |              * (CAST(1 AS BIGINT) << (4 * (15 - i)))
-        |              FOR i IN range(1, 16)]) AS h
-        |  FROM toks),
+        |    CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+        |              THEN hu - CAST(18446744073709551616 AS HUGEINT)
+        |              ELSE hu END AS BIGINT) AS h
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_sum([CAST(strpos('0123456789abcdef',
+        |                            substr(md5(token), i, 1)) - 1 AS HUGEINT)
+        |                * (CAST(1 AS HUGEINT) << (4 * (16 - i)))
+        |                FOR i IN range(1, 17)]) AS hu
+        |    FROM toks)),
         |bits AS (
         |  SELECT doc_id, j,
         |    SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS c
@@ -660,9 +675,15 @@ object DedupOps {
         |  GROUP BY doc_id, j),
         |fp AS (
         |  SELECT doc_id,
-        |    CAST(SUM(CASE WHEN c > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
-        |         AS BIGINT) AS simhash
-        |  FROM bits GROUP BY doc_id)
+        |    CAST(CASE WHEN fpu >= CAST(9223372036854775808 AS HUGEINT)
+        |              THEN fpu - CAST(18446744073709551616 AS HUGEINT)
+        |              ELSE fpu END AS BIGINT) AS simhash
+        |  FROM (
+        |    SELECT doc_id,
+        |      COALESCE(SUM(CASE WHEN c > 0 THEN CAST(1 AS HUGEINT) << j
+        |                        ELSE CAST(0 AS HUGEINT) END),
+        |               CAST(0 AS HUGEINT)) AS fpu
+        |    FROM bits GROUP BY doc_id))
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id

@@ -1,130 +1,246 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.ByteBuffer
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** North-star multimodal columns: media as opaque binary payloads with
-  * typed metadata, plus decode / feature-extract / frame-sample stages.
+  * typed metadata, plus decode / feature-extract / resize / frame-sample
+  * stages running a REAL codec (JDK `javax.imageio` PNG — no external
+  * dependency) executor-side.
   *
-  * The fixtures carry no real media, so payloads are the documents' UTF-8
-  * bytes and the decoder is a DETERMINISTIC STUB (clearly marked below) —
-  * but every piece of Spark plumbing is real: BinaryType columns, typed
-  * Dataset records, mapPartitions batch processing (the Scala analog of
-  * arrow-batched UDFs: per-partition iterator, amortized setup, no
-  * per-row closure dispatch), and binary slicing for frame sampling.
+  * Payload layout: a length-prefixed container — each frame is a 4-byte
+  * big-endian length followed by genuine PNG bytes. `img`/`audio` docs
+  * carry one frame, `video` docs `doc_id % 4 + 2`. Pixel channel values
+  * are a closed-form function of (doc_id, frame, x, y) — see [[pixelR]] —
+  * which is what makes the decode queries ORACLE-ABLE despite the binary
+  * round-trip: Spark must encode real PNGs, split the container, decode
+  * the PNGs back and sum the decoded pixels; DuckDB recomputes the same
+  * integer sums directly from the formula. PNG is lossless, so any codec
+  * defect (wrong stride, channel order, premultiplication, truncated
+  * frame) breaks the hash match. The re-encode path is load-bearing too:
+  * resize decodes, scales nearest-neighbor, RE-encodes, re-decodes, and
+  * only then sums — a corrupt encoder cannot pass.
   *
   * 100 TB notes: payload bytes dominate I/O — metadata-only predicates
   * (fmt/width/height) are plain columns so they prune parquet row groups
-  * BEFORE payload pages are read; decode is per-partition so a real codec
-  * would initialize once per task, and frame explosion multiplies rows,
-  * never payload copies per frame beyond the slice.
+  * BEFORE payload pages are read; encode/decode run inside
+  * `mapPartitions`/`flatMap` (per-partition iterator, codec lookup and
+  * `ImageIO.setUseCache(false)` amortized per task, no per-row closure
+  * dispatch); frame explosion multiplies rows but each frame row slices
+  * only its own bytes out of the container.
   */
 object Multimodal {
 
+  case class MediaMeta(doc_id: Long, fmt: String, width: Int, height: Int,
+                       n_frames: Int)
   case class MediaRecord(doc_id: Long, fmt: String, width: Int, height: Int,
-                         payload: Array[Byte])
-  case class MediaFeatures(doc_id: Long, fmt: String, n_bytes: Int,
-                           checksum: Long, mean_byte: Double)
+                         n_frames: Int, payload: Array[Byte])
+  case class FramePixels(doc_id: Long, fmt: String, frame_idx: Int,
+                         w_px: Int, h_px: Int,
+                         r_sum: Long, g_sum: Long, b_sum: Long)
 
-  /** Media table: payload = UTF-8 bytes of text; fmt/width/height derived
-    * deterministically from doc_id (stand-ins for real container metadata).
+  /** Closed-form pixel channels — the cross-engine contract. Kept to
+    * cheap integer arithmetic so the DuckDB twin is a plain SUM over
+    * unnested (x, y[, f]) ranges.
     */
-  def mediaTable(s: SparkSession, dir: String): DataFrame =
+  private[graft] def pixelR(d: Long, f: Int, x: Int, y: Int): Int =
+    ((d * 31 + f * 41 + x * 7 + y * 13) % 256).toInt
+  private[graft] def pixelG(d: Long, f: Int, x: Int, y: Int): Int =
+    ((d * 17 + f * 23 + x * 5 + y * 3) % 256).toInt
+  private[graft] def pixelB(d: Long, f: Int, x: Int, y: Int): Int =
+    ((d * 29 + f * 37 + x * 11 + y * 19) % 256).toInt
+
+  private[graft] def renderFrame(d: Long, f: Int, w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (pixelR(d, f, x, y) << 16) | (pixelG(d, f, x, y) << 8) | pixelB(d, f, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private[graft] def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "png", bos))
+      throw new IllegalStateException("no PNG ImageWriter available")
+    bos.toByteArray
+  }
+
+  private[graft] def decodePng(bytes: Array[Byte]): BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null) throw new IllegalStateException("payload is not a decodable image")
+    img
+  }
+
+  /** Split a length-prefixed container into its frame byte blocks. */
+  private[graft] def splitFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
+    val bb = ByteBuffer.wrap(payload)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    while (bb.remaining() > 0) {
+      val len = bb.getInt()
+      val frame = new Array[Byte](len)
+      bb.get(frame)
+      out += frame
+    }
+    out.toSeq
+  }
+
+  private def channelSums(img: BufferedImage): (Long, Long, Long) = {
+    var (rs, gs, bs) = (0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        rs += (rgb >> 16) & 0xff; gs += (rgb >> 8) & 0xff; bs += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (rs, gs, bs)
+  }
+
+  /** Media table: executor-side PNG synthesis from the closed-form pixel
+    * function (no driver-side collect, no fixture files — each partition
+    * encodes its own rows' frames).
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     Tables.documents(s, dir).select(
-      col("doc_id"),
-      expr("element_at(array('img','audio','video'), cast(doc_id % 3 + 1 AS int))").as("fmt"),
-      (col("doc_id") % 16 + 1).cast("int").as("width"),
-      (col("doc_id") % 9 + 1).cast("int").as("height"),
-      encode(col("text"), "UTF-8").as("payload"))
+        col("doc_id"),
+        expr("element_at(array('img','audio','video'), cast(doc_id % 3 + 1 AS int))").as("fmt"),
+        (col("doc_id") % 16 + 1).cast("int").as("width"),
+        (col("doc_id") % 9 + 1).cast("int").as("height"),
+        when(col("doc_id") % 3 === 2, col("doc_id") % 4 + 2).otherwise(lit(1))
+          .cast("int").as("n_frames"))
+      .as[MediaMeta]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // in-memory streams, once per task
+        it.map { m =>
+          val frames = (0 until m.n_frames)
+            .map(f => encodePng(renderFrame(m.doc_id, f, m.width, m.height)))
+          val buf = ByteBuffer.allocate(frames.map(_.length + 4).sum)
+          frames.foreach { fb => buf.putInt(fb.length); buf.put(fb) }
+          MediaRecord(m.doc_id, m.fmt, m.width, m.height, m.n_frames, buf.array())
+        }
+      }
+      .toDF()
+  }
 
-  /** Decode + feature extraction over mapPartitions.
-    * ==== STUB: a real implementation would decode image/audio bytes here
-    * (codec init once per partition); the stub computes deterministic
-    * byte-level features so schema, batching and downstream joins are
-    * fully exercised. ====
-    */
-  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+  /** Container split + per-frame PNG decode + exact channel sums. */
+  def decodedFrames(media: Dataset[MediaRecord]): Dataset[FramePixels] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { it =>
-      // per-partition setup happens HERE (once per task, not per row)
-      it.map { r =>
-        var sum = 0L
-        var i = 0
-        while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
-        MediaFeatures(r.doc_id, r.fmt, r.payload.length, sum,
-          if (r.payload.length == 0) 0.0 else sum.toDouble / r.payload.length)
+    media.flatMap { rec =>
+      javax.imageio.ImageIO.setUseCache(false)
+      splitFrames(rec.payload).zipWithIndex.map { case (fb, i) =>
+        val img = decodePng(fb)
+        val (rs, gs, bs) = channelSums(img)
+        FramePixels(rec.doc_id, rec.fmt, i, img.getWidth, img.getHeight, rs, gs, bs)
       }
     }
   }
 
-  /** Frame sampling for "video" payloads: fixed-size binary slices every
-    * `stride` bytes, exploded to (doc_id, frame_idx, frame_bytes) rows via
-    * pure column expressions (sequence + substr on binary).
-    */
-  def frameSample(media: DataFrame, frameLen: Int = 16, stride: Int = 64): DataFrame =
-    media.filter(col("fmt") === "video")
-      .withColumn("frame_idx",
-        explode(sequence(lit(0), greatest(lit(0), floor((length(col("payload")) - 1) / stride).cast("int")))))
-      .selectExpr("doc_id", "frame_idx",
-        s"substring(payload, frame_idx * $stride + 1, $frameLen) AS frame_bytes")
-
-  /** Oracle-able metadata projection (integer arithmetic + octet_length —
-    * DuckDB-twinned; validates the schema/partition layer of the pipeline).
+  /** Oracle-able metadata projection (pure integer arithmetic — validates
+    * the schema/partition layer; `raw_bytes` is the DECODED pixel-buffer
+    * size 3·w·h·frames, a closed-form quantity, not the compressed PNG
+    * length which is encoder-specific).
     */
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     mediaTable(s, dir)
       .select(col("doc_id"), col("fmt"), col("width"), col("height"),
+        col("n_frames"),
         (col("width") * col("height")).as("pixels"),
-        length(col("payload")).as("n_bytes"))
+        (col("width") * col("height") * col("n_frames") * 3).as("raw_bytes"))
       .orderBy("doc_id")
 
-  /** Rows-only end-to-end: decode-stub features joined back to metadata,
-    * deterministic (checksums are pure byte arithmetic).
+  /** Thumbnail decode: ONLY frame 0's bytes leave the container — the
+    * other frames' PNG bytes are never decoded (at 100 TB, decoding a
+    * whole video to read its first frame is the bug).
+    */
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[FramePixels] = {
+    import media.sparkSession.implicits._
+    media.map { rec =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = decodePng(splitFrames(rec.payload).head)
+      val (rs, gs, bs) = channelSums(img)
+      FramePixels(rec.doc_id, rec.fmt, 0, img.getWidth, img.getHeight, rs, gs, bs)
+    }
+  }
+
+  /** ORACLE-ABLE (promoted r11, was rows-only stub): real PNG decode of
+    * frame 0 for every doc; output = decoded dims + exact integer channel
+    * sums, which DuckDB recomputes from the pixel formula.
     */
   def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
+    import s.implicits._
     val media = mediaTable(s, dir).as[MediaRecord]
     decodeFeatures(media).toDF()
-      .select(col("doc_id"), col("fmt"), col("n_bytes"), col("checksum"),
-        round(col("mean_byte"), 4).as("mean_byte"))
+      .select(col("doc_id"), col("fmt"), col("w_px"), col("h_px"),
+        col("r_sum"), col("g_sum"), col("b_sum"))
       .orderBy("doc_id")
   }
 
-  /** Rows-only: frame sampling output shape (frame counts + per-frame
-    * checksums via native expression-free arithmetic).
+  /** ORACLE-ABLE (promoted r11): every frame of every video container
+    * decoded; per-doc frame count + channel sums across frames.
     */
-  def multimodalFrames(s: SparkSession, dir: String): DataFrame =
-    frameSample(mediaTable(s, dir))
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = mediaTable(s, dir).filter(col("fmt") === "video").as[MediaRecord]
+    decodedFrames(media).toDF()
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_frames"),
-        sum(length(col("frame_bytes"))).as("sampled_bytes"))
+        sum(col("r_sum")).as("r_sum"),
+        sum(col("g_sum")).as("g_sum"),
+        sum(col("b_sum")).as("b_sum"))
       .orderBy("doc_id")
+  }
 
-  /** "Resize" for image payloads.
-    * ==== STUB: a real implementation would decode, scale with an image
-    * library, and re-encode; none ships in this environment, so the
-    * deterministic stand-in crops the payload to its first 1/K bytes (a
-    * genuine 1/K reduction in O(n) — a per-byte stride fold would copy
-    * the accumulated prefix per element, O(n²) on real-size images) and
-    * halves the metadata dims. The Spark-side contract is the real part:
-    * payload bytes shrink, metadata stays consistent, and the op
-    * composes with the decode/frame stages.
+  /** Nearest-neighbor 1/K downscale with a full codec round trip:
+    * decode → sample pixels (out(x,y) = in(K·x, K·y)) → RE-encode PNG →
+    * re-decode → sum. The double round trip makes the ENCODER part of
+    * the graded contract, not just the decoder.
     */
-  def resizePayload(media: DataFrame, factor: Int = 2): DataFrame =
-    media.filter(col("fmt") === "img")
-      .withColumn("payload_small", expr(
-        s"substring(payload, 1, greatest(1, octet_length(payload) div $factor))"))
-      .select(col("doc_id"),
-        greatest(lit(1), (col("width") / factor).cast("int")).as("width"),
-        greatest(lit(1), (col("height") / factor).cast("int")).as("height"),
-        length(col("payload")).as("orig_bytes"),
-        length(col("payload_small")).as("resized_bytes"))
+  def resizePayload(media: Dataset[MediaRecord], factor: Int = 2): Dataset[FramePixels] = {
+    import media.sparkSession.implicits._
+    media.map { rec =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val src = decodePng(splitFrames(rec.payload).head)
+      val (ow, oh) = (math.max(1, src.getWidth / factor), math.max(1, src.getHeight / factor))
+      val out = new BufferedImage(ow, oh, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < oh) {
+        var x = 0
+        while (x < ow) { out.setRGB(x, y, src.getRGB(x * factor, y * factor)); x += 1 }
+        y += 1
+      }
+      val rt = decodePng(encodePng(out)) // re-encode + re-decode: lossless check
+      val (rs, gs, bs) = channelSums(rt)
+      FramePixels(rec.doc_id, rec.fmt, 0, rt.getWidth, rt.getHeight, rs, gs, bs)
+    }
+  }
 
-  /** Rows-only: resize-stub output shape. */
-  def multimodalResize(s: SparkSession, dir: String): DataFrame =
-    resizePayload(mediaTable(s, dir)).orderBy("doc_id")
+  /** ORACLE-ABLE (promoted r11): img docs, 2× nearest-neighbor downscale
+    * through the encode/decode round trip above.
+    */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = mediaTable(s, dir).filter(col("fmt") === "img").as[MediaRecord]
+    resizePayload(media).toDF()
+      .select(col("doc_id"), col("w_px"), col("h_px"),
+        col("r_sum"), col("g_sum"), col("b_sum"))
+      .orderBy("doc_id")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (multimodalMeta _),
@@ -132,13 +248,62 @@ object Multimodal {
     "q_multimodal_frames" -> (multimodalFrames _),
     "q_multimodal_resize" -> (multimodalResize _))
 
+  // DuckDB twins recompute the closed-form pixel sums the Spark side must
+  // reproduce through the real PNG encode/decode round trip (see object
+  // scaladoc). Ranges are padded to the metadata maxima (w≤16, h≤9,
+  // frames≤5) and filtered per doc — ≤ 720 generated cells per doc.
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  ['img', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS fmt,
         |  CAST(doc_id % 16 + 1 AS INTEGER) AS width,
         |  CAST(doc_id % 9 + 1 AS INTEGER) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 4 + 2 ELSE 1 END AS INTEGER) AS n_frames,
         |  CAST((doc_id % 16 + 1) * (doc_id % 9 + 1) AS INTEGER) AS pixels,
-        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |  CAST((doc_id % 16 + 1) * (doc_id % 9 + 1)
+        |       * (CASE WHEN doc_id % 3 = 2 THEN doc_id % 4 + 2 ELSE 1 END) * 3
+        |       AS INTEGER) AS raw_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    ['img', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS fmt,
+        |    CAST(doc_id % 16 + 1 AS INTEGER) AS w,
+        |    CAST(doc_id % 9 + 1 AS INTEGER) AS h
+        |  FROM documents)
+        |SELECT doc_id, fmt, w AS w_px, h AS h_px,
+        |  CAST(SUM((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS r_sum,
+        |  CAST(SUM((doc_id * 17 + x * 5 + y * 3) % 256) AS BIGINT) AS g_sum,
+        |  CAST(SUM((doc_id * 29 + x * 11 + y * 19) % 256) AS BIGINT) AS b_sum
+        |FROM m CROSS JOIN range(16) rx(x) CROSS JOIN range(9) ry(y)
+        |WHERE x < w AND y < h
+        |GROUP BY doc_id, fmt, w, h ORDER BY doc_id""".stripMargin,
+    "q_multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 16 + 1 AS INTEGER) AS w,
+        |    CAST(doc_id % 9 + 1 AS INTEGER) AS h,
+        |    CAST(doc_id % 4 + 2 AS INTEGER) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(SUM((doc_id * 31 + f * 41 + x * 7 + y * 13) % 256) AS BIGINT) AS r_sum,
+        |  CAST(SUM((doc_id * 17 + f * 23 + x * 5 + y * 3) % 256) AS BIGINT) AS g_sum,
+        |  CAST(SUM((doc_id * 29 + f * 37 + x * 11 + y * 19) % 256) AS BIGINT) AS b_sum
+        |FROM m CROSS JOIN range(5) rf(f)
+        |     CROSS JOIN range(16) rx(x) CROSS JOIN range(9) ry(y)
+        |WHERE f < nf AND x < w AND y < h
+        |GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin,
+    "q_multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    GREATEST(1, CAST(doc_id % 16 + 1 AS INTEGER) // 2) AS ow,
+        |    GREATEST(1, CAST(doc_id % 9 + 1 AS INTEGER) // 2) AS oh
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id, CAST(ow AS INTEGER) AS w_px, CAST(oh AS INTEGER) AS h_px,
+        |  CAST(SUM((doc_id * 31 + (2 * x) * 7 + (2 * y) * 13) % 256) AS BIGINT) AS r_sum,
+        |  CAST(SUM((doc_id * 17 + (2 * x) * 5 + (2 * y) * 3) % 256) AS BIGINT) AS g_sum,
+        |  CAST(SUM((doc_id * 29 + (2 * x) * 11 + (2 * y) * 19) % 256) AS BIGINT) AS b_sum
+        |FROM m CROSS JOIN range(8) rx(x) CROSS JOIN range(4) ry(y)
+        |WHERE x < ow AND y < oh
+        |GROUP BY doc_id, ow, oh ORDER BY doc_id""".stripMargin)
 }

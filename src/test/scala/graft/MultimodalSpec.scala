@@ -4,8 +4,9 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Multimodal
 
-/** Multimodal plumbing: binary payloads, typed metadata, mapPartitions
-  * decode stub, frame sampling shapes.
+/** Multimodal pipeline with the real JDK ImageIO codec: container layout,
+  * lossless PNG round trip, pixel-exact decode/resize against the
+  * closed-form formula the DuckDB oracles recompute.
   */
 class MultimodalSpec extends AnyFunSuite with SparkFixture {
 
@@ -13,55 +14,77 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     val df = Multimodal.mediaTable(spark, sfDir)
     assert(df.schema("payload").dataType.typeName === "binary")
     assert(df.schema("width").dataType.typeName === "integer")
+    assert(df.schema("n_frames").dataType.typeName === "integer")
     val fmts = df.select("fmt").distinct().collect().map(_.getString(0)).toSet
     assert(fmts === Set("img", "audio", "video"))
   }
 
-  test("decode stub checksum equals driver-side recomputation") {
+  test("payloads are real PNGs: driver-side ImageIO decode matches metadata and formula") {
     import spark.implicits._
-    val sample = Multimodal.mediaTable(spark, sfDir).limit(5).as[Multimodal.MediaRecord]
-    val features = Multimodal.decodeFeatures(sample).collect().map(f => f.doc_id -> f).toMap
-    sample.collect().foreach { r =>
-      val expected = r.payload.map(_ & 0xff).map(_.toLong).sum
-      assert(features(r.doc_id).checksum === expected)
-      assert(features(r.doc_id).n_bytes === r.payload.length)
+    val recs = Multimodal.mediaTable(spark, sfDir)
+      .filter(col("doc_id") < 12).as[Multimodal.MediaRecord].collect()
+    assert(recs.nonEmpty)
+    recs.foreach { r =>
+      val frames = Multimodal.splitFrames(r.payload)
+      assert(frames.length === r.n_frames, s"doc ${r.doc_id} frame count")
+      frames.zipWithIndex.foreach { case (fb, f) =>
+        // PNG magic bytes prove these are genuine encoded images, not raw buffers
+        assert((fb(0) & 0xff) === 0x89 && fb(1) === 'P'.toByte, s"doc ${r.doc_id} PNG magic")
+        val img = Multimodal.decodePng(fb)
+        assert(img.getWidth === r.width && img.getHeight === r.height)
+        for (y <- 0 until r.height; x <- 0 until r.width) {
+          val rgb = img.getRGB(x, y)
+          assert(((rgb >> 16) & 0xff) === Multimodal.pixelR(r.doc_id, f, x, y),
+            s"doc ${r.doc_id} frame $f px($x,$y) R")
+          assert((rgb & 0xff) === Multimodal.pixelB(r.doc_id, f, x, y),
+            s"doc ${r.doc_id} frame $f px($x,$y) B")
+        }
+      }
     }
   }
 
-  test("frame sampling covers the payload with the configured stride") {
+  test("video docs carry doc_id % 4 + 2 frames and decode per frame") {
+    import spark.implicits._
     val media = Multimodal.mediaTable(spark, sfDir)
-    val frames = Multimodal.frameSample(media, frameLen = 16, stride = 64)
-    val counts = frames.groupBy("doc_id").count()
-      .join(media.select(col("doc_id"), length(col("payload")).as("len")), "doc_id")
-      .collect()
-    assert(counts.nonEmpty)
-    counts.foreach { r =>
-      val expected = math.max(1, ((r.getAs[Int]("len") - 1) / 64) + 1)
-      assert(r.getAs[Long]("count") === expected.toLong, s"doc ${r.getAs[Long]("doc_id")}")
+      .filter(col("fmt") === "video" && col("doc_id") < 30).as[Multimodal.MediaRecord]
+    val frames = Multimodal.decodedFrames(media).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (d, fs) =>
+      assert(fs.length === (d % 4 + 2).toInt, s"doc $d")
+      assert(fs.map(_.frame_idx).sorted.toSeq === (0 until fs.length))
+      // distinct frames: the frame index shifts every channel, so sums differ
+      assert(fs.map(f => (f.r_sum, f.g_sum, f.b_sum)).distinct.length === fs.length)
     }
   }
 
-  test("frame bytes are exact slices of the payload") {
-    import spark.implicits._
-    val media = Multimodal.mediaTable(spark, sfDir).limit(50)
-    val one = media.filter(col("fmt") === "video").limit(1)
-    val payload = one.select("payload").as[Array[Byte]].collect().head
-    val frames = Multimodal.frameSample(one).orderBy("frame_idx")
-      .select("frame_bytes").as[Array[Byte]].collect()
-    frames.zipWithIndex.foreach { case (frame, i) =>
-      val expected = payload.slice(i * 64, math.min(i * 64 + 16, payload.length))
-      assert(frame.toSeq === expected.toSeq, s"frame $i")
-    }
-  }
-
-  test("resize stub halves payload bytes and dims consistently") {
-    val rows = Multimodal.resizePayload(Multimodal.mediaTable(spark, sfDir)).collect()
+  test("decode channel sums equal the closed-form oracle arithmetic") {
+    val rows = Multimodal.multimodalDecode(spark, sfDir)
+      .filter(col("doc_id") < 20).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val orig = r.getAs[Int]("orig_bytes")
-      val resized = r.getAs[Int]("resized_bytes")
-      assert(resized === math.max(1, orig / 2), s"doc ${r.getAs[Long]("doc_id")}")
-      assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("height") >= 1)
+      val d = r.getAs[Long]("doc_id")
+      val (w, h) = (r.getAs[Int]("w_px"), r.getAs[Int]("h_px"))
+      assert(w === (d % 16 + 1).toInt && h === (d % 9 + 1).toInt)
+      val expR = (for (y <- 0 until h; x <- 0 until w) yield Multimodal.pixelR(d, 0, x, y).toLong).sum
+      val expG = (for (y <- 0 until h; x <- 0 until w) yield Multimodal.pixelG(d, 0, x, y).toLong).sum
+      assert(r.getAs[Long]("r_sum") === expR, s"doc $d r_sum")
+      assert(r.getAs[Long]("g_sum") === expG, s"doc $d g_sum")
+    }
+  }
+
+  test("resize round trip is nearest-neighbor exact through re-encode") {
+    val rows = Multimodal.multimodalResize(spark, sfDir)
+      .filter(col("doc_id") < 40).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      val (ow, oh) = (r.getAs[Int]("w_px"), r.getAs[Int]("h_px"))
+      assert(ow === math.max(1, (d % 16 + 1).toInt / 2))
+      assert(oh === math.max(1, (d % 9 + 1).toInt / 2))
+      val expB = (for (y <- 0 until oh; x <- 0 until ow)
+        yield Multimodal.pixelB(d, 0, 2 * x, 2 * y).toLong).sum
+      assert(r.getAs[Long]("b_sum") === expB, s"doc $d b_sum")
     }
   }
 }

@@ -1,6 +1,7 @@
 #!/usr/bin/env python3
 """Byte- and value-compare two graft.Verify output dirs (determinism probe)."""
 import sys, glob, os, hashlib
+from collections import Counter
 import duckdb
 
 a_dir, b_dir = sys.argv[1], sys.argv[2]
@@ -25,9 +26,12 @@ for n in names:
     elif sorted(map(repr, ra)) == sorted(map(repr, rb)):
         order_diff.append((n, f"same multiset, row order differs ({len(ra)} rows)"))
     else:
-        sa, sb = set(map(repr, ra)), set(map(repr, rb))
+        # Counter, not set: duplicate-row multiplicity differences must
+        # show up in the only-in counts (a set collapses them to 0/0)
+        ca, cb = Counter(map(repr, ra)), Counter(map(repr, rb))
         value_diff.append((n, f"{len(ra)} vs {len(rb)} rows; "
-                              f"{len(sa - sb)} only-in-A, {len(sb - sa)} only-in-B"))
+                              f"{sum((ca - cb).values())} only-in-A, "
+                              f"{sum((cb - ca).values())} only-in-B"))
 print(f"byte-identical: {len(byte_eq)}/{len(names)}")
 for n, why in order_diff:
     print(f"ORDER  {n}: {why}")
