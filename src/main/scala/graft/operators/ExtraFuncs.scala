@@ -161,19 +161,33 @@ object ExtraFuncs {
 
   /** Co-purchase top-3 recommendations: for every part, the three parts
     * most often appearing in the same order — the collaborative-
-    * filtering primitive. The pair space is generated per order (a self
-    * equi join on the order key), so its size is Σ items-per-order² —
-    * bounded by basket size, never |parts|²; the top-3 cut is a window
-    * partitioned by part with a deterministic (count DESC, co_part ASC)
-    * tiebreak.
+    * filtering primitive. Pairs are generated by exploding each order's
+    * distinct-part basket in memory (r11; replaces a distinct + self
+    * equi-join that shuffled lineitem three times — basket collection
+    * is ONE map-side-combined shuffle on the order key, and the O(b²)
+    * pair expansion happens inside the task, bounded by basket size b,
+    * never |parts|²). Single-item baskets are dropped before exploding.
+    * The top-3 cut is a window partitioned by part with a deterministic
+    * (count DESC, co_part ASC) tiebreak, executed as WindowGroupLimit.
     */
   def coPurchase(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val baskets = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("pks"))
+      .filter(size(col("pks")) >= 2)
     val w = Window.partitionBy("part").orderBy(col("n_co").desc, col("co_part").asc)
-    li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-      .groupBy(col("a.pk").as("part"), col("b.pk").as("co_part"))
+    baskets
+      .select(explode(expr(
+        "flatten(transform(pks, x -> transform(filter(pks, y -> y != x), " +
+          "y -> named_struct('part', x, 'co_part', y))))")).as("pr"))
+      .select(col("pr.part"), col("pr.co_part"))
+      // partition by part ALONE: hashpartitioning(part) satisfies the
+      // (part, co_part) aggregate's clustering AND the window's, fusing
+      // what would be two exchanges into one. Map-side combine is no
+      // loss here — co-occurrence counts are overwhelmingly 1, so
+      // partial aggregation would barely shrink the shuffle anyway.
+      .repartition(col("part"))
+      .groupBy("part", "co_part")
       .agg(count(lit(1)).as("n_co"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)

@@ -227,9 +227,14 @@ object Scans {
     * back as whole-file bytes and reported as (lang, n_bytes, md5).
     * The oracle recomputes the identical md5 from the parquet originals
     * with string_agg, so equality proves the binary path delivers exact
-    * bytes. The derived files are fixture scaffolding built from a
-    * |langs|-row aggregate (bounded collect, derived-cache pattern like
-    * the CSV/JSONL twins); the graded OPERATOR is the binaryFile scan.
+    * bytes. The derived files are fixture scaffolding written EXECUTOR-
+    * side: rows are hash-partitioned by lang and sorted (lang, doc_id)
+    * within partitions, so each language's file is streamed by exactly
+    * one task and no corpus-sized blob ever rides through the driver
+    * (r11 — the old |langs|-row collect carried the full per-lang
+    * corpus per row, the one 100×-scale caveat the r10 audit named; at
+    * cluster scale the same shape targets shared storage). The graded
+    * OPERATOR is the binaryFile scan.
     */
   def scanBinary(s: SparkSession, dir: String): DataFrame = {
     val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/bin_v1_${DedupOps.cacheKey(dir, "documents")}"
@@ -237,15 +242,24 @@ object Scans {
     if (!new java.io.File(d, "_SUCCESS").exists()) {
       d.mkdirs()
       Tables.documents(s, dir)
-        .groupBy("lang")
-        .agg(concat_ws("\n",
-          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
-            x => x.getField("text"))).as("blob"))
-        .collect()
-        .foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(path, s"${r.getString(0)}.bin"),
-            r.getString(1).getBytes("UTF-8"))
+        .select(col("lang"), col("doc_id"), col("text"))
+        .repartition(col("lang"))
+        .sortWithinPartitions(col("lang"), col("doc_id"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val nl = "\n".getBytes("UTF-8")
+          var cur: String = null
+          var out: java.io.OutputStream = null
+          it.foreach { r =>
+            val lang = r.getString(0)
+            if (lang != cur) { // langs are contiguous within the sorted partition
+              if (out != null) out.close()
+              cur = lang
+              out = new java.io.BufferedOutputStream(java.nio.file.Files.newOutputStream(
+                java.nio.file.Paths.get(path, s"$lang.bin")))
+            } else out.write(nl)
+            out.write(r.getString(2).getBytes("UTF-8"))
+          }
+          if (out != null) out.close()
         }
       java.nio.file.Files.write(
         java.nio.file.Paths.get(path, "_SUCCESS"), Array.emptyByteArray)
