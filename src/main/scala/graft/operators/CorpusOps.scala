@@ -129,13 +129,65 @@ object CorpusOps {
       .limit(20)
   }
 
+  private val DupGramTokens = 5
+
+  /** Corpus-level duplicate n-gram fraction per document — the Gopher /
+    * RefinedWeb quality signal ("fraction of the doc made of n-grams
+    * that also occur elsewhere"): for each doc, the share of its 5-gram
+    * occurrences whose gram appears ≥ 2 times ACROSS THE WHOLE CORPUS
+    * (including intra-doc repeats; [[graft.operators.TextOps]]'s
+    * q_text_repetition is the intra-doc-only sibling). Shape: one
+    * explode (linear), one map-side-combined groupBy(gram) for global
+    * counts, one equi join back on the gram, one groupBy(doc) — every
+    * stage hash-partitioned, no all-pairs anywhere. Grouping on the
+    * short gram text directly keeps it oracle-checkable (same
+    * no-hash-caveat argument as [[dedupSpanExact]]); at 100 TB you'd
+    * swap in a 128-bit gram hash and the plan shape is unchanged. The
+    * ≥ 5-token guard is inert on the fixtures (min doc length is 10).
+    */
+  def textDupNgrams(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= DupGramTokens)
+      .select(col("doc_id"), explode(
+        expr(s"transform(sequence(1, size(w) - ${DupGramTokens - 1}), " +
+          s"i -> array_join(slice(w, i, $DupGramTokens), ' '))")).as("gram"))
+    val counts = grams.groupBy("gram").agg(count(lit(1)).as("n_total"))
+    grams.join(counts, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_total") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_grams"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_bigram_lm" -> (textBigramLm _),
     "q_dedup_span_exact" -> (dedupSpanExact _),
     "q_text_feature_hash" -> (textFeatureHash _),
+    "q_text_dup_ngrams" -> (textDupNgrams _),
     "q_text_zipf" -> (textZipf _))
 
   val oracles: Map[String, String] = Map(
+    // same gram construction (5-token windows over the whitespace split),
+    // same global-count join, same terminal 6dp rounding of an exact
+    // integer ratio
+    "q_text_dup_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w) - 3)]) AS gram
+        |  FROM toks),
+        |c AS (SELECT gram, COUNT(*) AS n_total FROM g GROUP BY gram)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN n_total >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  round(CAST(SUM(CASE WHEN n_total >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 6) AS dup_frac
+        |FROM g JOIN c USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_text_bigram_lm" ->
       """WITH t AS (
         |  SELECT string_split(text, ' ') AS w FROM documents WHERE len(string_split(text, ' ')) >= 2),

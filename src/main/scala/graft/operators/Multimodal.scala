@@ -242,11 +242,62 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** 64-bit dHash (difference hash) — the standard perceptual image
+    * fingerprint: sample the decoded image on a 9×8 nearest-neighbor
+    * grid, integer-luma each sample (77r+150g+29b >> 8), set bit
+    * gy·8+gx iff the right neighbor is brighter. Near-identical images
+    * land within a small hamming distance; identical renderings
+    * collide exactly.
+    */
+  private[graft] def dHash(img: BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    def luma(sx: Int, sy: Int): Int = {
+      val rgb = img.getRGB(sx, sy)
+      (77 * ((rgb >> 16) & 0xff) + 150 * ((rgb >> 8) & 0xff) + 29 * (rgb & 0xff)) >> 8
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < 8) {
+      val sy = gy * h / 8
+      var gx = 0
+      while (gx < 8) {
+        if (luma((gx + 1) * w / 9, sy) > luma(gx * w / 9, sy))
+          hash |= (1L << (gy * 8 + gx))
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** ORACLE-ABLE image near-dup primitive (r11, §2 #242): dHash of every
+    * doc's frame 0 through the real PNG decode, plus the size of its
+    * exact-collision group (docs sharing the fingerprint — the
+    * perceptual analog of q_dedup_exact; threshold near-dup would
+    * bucket these hashes through the SimHash pigeonhole join). The
+    * DuckDB twin recomputes the grid lumas from the pixel formula and
+    * folds the 64 comparison bits in HUGEINT, wrapped mod 2^64.
+    */
+  def multimodalPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = mediaTable(s, dir).as[MediaRecord]
+      .map { rec =>
+        javax.imageio.ImageIO.setUseCache(false)
+        (rec.doc_id, dHash(decodePng(splitFrames(rec.payload).head)))
+      }
+      .toDF("doc_id", "phash")
+    hashes
+      .withColumn("n_same", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("phash")))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_frames" -> (multimodalFrames _),
-    "q_multimodal_resize" -> (multimodalResize _))
+    "q_multimodal_resize" -> (multimodalResize _),
+    "q_multimodal_phash" -> (multimodalPhash _))
 
   // DuckDB twins recompute the closed-form pixel sums the Spark side must
   // reproduce through the real PNG encode/decode round trip (see object
@@ -293,6 +344,36 @@ object Multimodal {
         |     CROSS JOIN range(16) rx(x) CROSS JOIN range(9) ry(y)
         |WHERE f < nf AND x < w AND y < h
         |GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin,
+    "q_multimodal_phash" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 16 + 1 AS INTEGER) AS w,
+        |    CAST(doc_id % 9 + 1 AS INTEGER) AS h
+        |  FROM documents),
+        |grid AS (
+        |  SELECT doc_id, gx, gy,
+        |    ((77 * ((doc_id * 31 + ((gx * w) // 9) * 7 + ((gy * h) // 8) * 13) % 256)
+        |    + 150 * ((doc_id * 17 + ((gx * w) // 9) * 5 + ((gy * h) // 8) * 3) % 256)
+        |    + 29 * ((doc_id * 29 + ((gx * w) // 9) * 11 + ((gy * h) // 8) * 19) % 256)) // 256)
+        |      AS luma
+        |  FROM m CROSS JOIN range(9) rx(gx) CROSS JOIN range(8) ry(gy)),
+        |bits AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN b.luma > a.luma
+        |         THEN CAST(1 AS HUGEINT) << (a.gy * 8 + a.gx)
+        |         ELSE CAST(0 AS HUGEINT) END AS bit
+        |  FROM grid a JOIN grid b
+        |    ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |ph AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN s >= CAST(9223372036854775808 AS HUGEINT)
+        |              THEN s - CAST(18446744073709551616 AS HUGEINT)
+        |              ELSE s END AS BIGINT) AS phash
+        |  FROM (SELECT doc_id, COALESCE(SUM(bit), CAST(0 AS HUGEINT)) AS s
+        |        FROM bits GROUP BY doc_id))
+        |SELECT doc_id, phash, COUNT(*) OVER (PARTITION BY phash) AS n_same
+        |FROM ph ORDER BY doc_id""".stripMargin,
     "q_multimodal_resize" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -36,6 +36,27 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     assert(nds.zip(nds.tail).forall { case (a, b) => a >= b })
   }
 
+  test("textDupNgrams matches brute-force global 5-gram counting") {
+    val rows = operators.CorpusOps.textDupNgrams(spark, sfDir).collect()
+    val perDoc: Array[(Long, Array[String])] = docTokens
+      .filter(_._2.length >= 5)
+      .map { case (id, w) =>
+        (id, (0 to w.length - 5).map(i => w.slice(i, i + 5).mkString(" ")).toArray)
+      }
+    val global = perDoc.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.length === perDoc.length, "one row per eligible doc")
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    perDoc.foreach { case (id, grams) =>
+      val r = byId(id)
+      val nDup = grams.count(g => global(g) >= 2).toLong
+      assert(r.getLong(1) === grams.length.toLong, s"n_grams doc $id")
+      assert(r.getLong(2) === nDup, s"n_dup doc $id")
+      val frac = r.getDouble(3)
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(math.abs(frac - nDup.toDouble / grams.length) < 1e-6, s"dup_frac doc $id")
+    }
+  }
+
   test("textFeatureHash conserves token mass and bounds buckets") {
     val rows = operators.CorpusOps.textFeatureHash(spark, sfDir).collect()
     val totalTokens = docTokens.map(_._2.length.toLong).sum

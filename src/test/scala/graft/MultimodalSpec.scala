@@ -73,6 +73,26 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("dHash matches a driver-side recomputation from the pixel formula") {
+    val rows = Multimodal.multimodalPhash(spark, sfDir)
+      .filter(col("doc_id") < 30).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      val (w, h) = ((d % 16 + 1).toInt, (d % 9 + 1).toInt)
+      def luma(sx: Int, sy: Int): Int =
+        (77 * Multimodal.pixelR(d, 0, sx, sy) +
+          150 * Multimodal.pixelG(d, 0, sx, sy) +
+          29 * Multimodal.pixelB(d, 0, sx, sy)) >> 8
+      var exp = 0L
+      for (gy <- 0 until 8; gx <- 0 until 8)
+        if (luma((gx + 1) * w / 9, gy * h / 8) > luma(gx * w / 9, gy * h / 8))
+          exp |= (1L << (gy * 8 + gx))
+      assert(r.getAs[Long]("phash") === exp, s"doc $d")
+      assert(r.getAs[Long]("n_same") >= 1L)
+    }
+  }
+
   test("resize round trip is nearest-neighbor exact through re-encode") {
     val rows = Multimodal.multimodalResize(spark, sfDir)
       .filter(col("doc_id") < 40).collect()
