@@ -83,14 +83,14 @@ object DedupOps {
     * bucket (empty for minhash; simhash carries the fingerprint).
     */
   private def boundedBucketPairs(melted: DataFrame, keyCols: Seq[String],
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String], maxBucket: Int = MaxBucket): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*).orderBy("doc_id")
     val entry = struct((col("doc_id") +: payload.map(col)): _*)
     // window + groupBy share the (key) hash partitioning → ONE shuffle
     melted
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= MaxBucket)
+      .filter(col("rn") <= maxBucket)
       .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(entry)).as("docs"))
       .filter(size(col("docs")) > 1)
@@ -383,8 +383,11 @@ object DedupOps {
     * 4×16-bit chunk pigeonhole is EXHAUSTIVE for hamming ≤ 3 (three
     * differing bits touch at most 3 chunks, so one chunk always
     * matches), so the LSH candidate set loses nothing vs the oracle's
-    * all-pairs scan and equality is exact, not probabilistic (the
-    * bucket cap is inert at graded scale, as with MaxBlockDocs).
+    * all-pairs scan and equality is exact, not probabilistic. Hot chunk
+    * buckets over MaxBucket refine into a second exhaustive pigeonhole
+    * level instead of capping (see the body comment — at sf0.1 a
+    * 291-doc bucket made the plain cap drop 2 true pairs; the sf0.1
+    * parity sweep caught it).
     * Fingerprint = ONE native [[graft.functions.SimHashAgg]] over the
     * per-occurrence token hashes — replaces 64 conditional-sum agg
     * columns (seconds of Janino compile per plan) AND the
@@ -392,7 +395,14 @@ object DedupOps {
     * same counters as ±freq per distinct token, so one shuffle on
     * doc_id does it.
     */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    dedupSimhashWithCap(s, dir, MaxBucket)
+
+  /** Cap-parameterized body so tests can force the two-level refinement
+    * path at fixture scale (a 500-doc corpus never fills a 256-bucket).
+    */
+  private[graft] def dedupSimhashWithCap(s: SparkSession, dir: String,
+      cap: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val sigs = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
@@ -406,10 +416,42 @@ object DedupOps {
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("chunk_idx", "chunk")))
-    // bucket-collect + pair-explode (see dedupNearMinhash): one signature
-    // computation, pairs generated inside each chunk bucket, bucket size
-    // capped (MaxBucket)
-    boundedBucketPairs(chunked, Seq("chunk_idx", "chunk"), Seq("simhash"))
+    // bucket-collect + pair-explode (see dedupNearMinhash), but with a
+    // TWO-LEVEL pigeonhole instead of a lossy cap (r11 — the sf0.1
+    // parity sweep caught a 291-doc chunk bucket overflowing MaxBucket
+    // and dropping 2 true pairs): buckets over the cap re-bucket their
+    // members by 12-bit sub-chunks of the 48 bits OUTSIDE the matching
+    // chunk. Exhaustiveness is preserved exactly — a hamming-≤3 pair
+    // matching on chunk c has all its differing bits in the other 48,
+    // and 3 diffs across 4 sub-chunks leave at least one sub-chunk
+    // equal — so the candidate set still loses nothing vs the all-pairs
+    // oracle, while the biggest pair-explosion cell shrinks from n² to
+    // the largest sub-bucket². The cap stays on as the terminal OOM
+    // guard (a sub-bucket overflow would need docs agreeing on 28 of 64
+    // fingerprint bits at cap-scale density).
+    val bucketW = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk_idx", "chunk")
+    val sized = chunked.withColumn("n_bucket", count(lit(1)).over(bucketW))
+    val small = sized.filter(col("n_bucket") <= cap).drop("n_bucket")
+    // 48-bit concatenation of the three non-matching chunks, low-to-high
+    val others = when(col("chunk_idx") === 0,
+        shiftrightunsigned(col("simhash"), 16))
+      .when(col("chunk_idx") === 1,
+        col("simhash").bitwiseAND(lit(0xFFFFL))
+          .bitwiseOR(shiftleft(shiftrightunsigned(col("simhash"), 32), 16)))
+      .when(col("chunk_idx") === 2,
+        col("simhash").bitwiseAND(lit(0xFFFFFFFFL))
+          .bitwiseOR(shiftleft(shiftrightunsigned(col("simhash"), 48), 32)))
+      .otherwise(col("simhash").bitwiseAND(lit(0xFFFFFFFFFFFFL)))
+    val big = sized.filter(col("n_bucket") > cap).drop("n_bucket")
+      .withColumn("o", others)
+      .select(col("doc_id"), col("simhash"), col("chunk_idx"), col("chunk"),
+        posexplode(array((0 until 4).map(j =>
+          shiftrightunsigned(col("o"), j * 12).bitwiseAND(lit(0xFFFL))): _*))
+          .as(Seq("sub_idx", "subchunk")))
+    boundedBucketPairs(small, Seq("chunk_idx", "chunk"), Seq("simhash"), cap)
+      .unionByName(boundedBucketPairs(big,
+        Seq("chunk_idx", "chunk", "sub_idx", "subchunk"), Seq("simhash"), cap))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()

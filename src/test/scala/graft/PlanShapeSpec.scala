@@ -102,6 +102,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges <= 2, s"sessionize should shuffle once + final sort:\n$plan")
   }
 
+  test("co-purchase fuses pair aggregate and top-3 window on one part exchange") {
+    val plan = executed(operators.ExtraFuncs.coPurchase(spark, sfDir))
+    // basket groupBy(orderkey) + repartition(part) + final sort = 3;
+    // a 4th exchange means the (part, co_part) aggregate stopped
+    // accepting hashpartitioning(part) and the window re-shuffled
+    val exchanges = collectAll(plan).count(_.isInstanceOf[Exchange])
+    assert(exchanges <= 3, s"co-purchase should shuffle basket+part+sort only:\n$plan")
+    val limits = plan.toString
+    assert(limits.contains("WindowGroupLimit"),
+      s"top-3 cut should execute as WindowGroupLimit:\n$plan")
+  }
+
   test("minhash signature aggregates via the native kernel, not 64 agg columns") {
     // signatures are materialized once per corpus (derived-file pattern);
     // the kernel assertion targets the materialization's own plan

@@ -259,6 +259,23 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       rows(operators.TextOps.textFuzzyMatch(spark, sfDir, Int.MaxValue)))
   }
 
+  test("simhash two-level pigeonhole stays exhaustive under a forced tiny cap") {
+    // force level-1 buckets over a cap of 24 into the 12-bit sub-chunk
+    // refinement (no fixture chunk bucket is near the real 256 cap) and
+    // require OUTPUT IDENTITY with the effectively-uncapped run: the
+    // refinement must lose no hamming-≤3 pair, because a pair matching
+    // on chunk c has all ≤3 diffs in the other 48 bits and 4 sub-chunks
+    // leave one untouched — the argument the sf0.1 291-doc bucket
+    // regression made load-bearing
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    val uncapped = rows(operators.DedupOps.dedupSimhashWithCap(spark, sfDir, Int.MaxValue))
+    val forced = rows(operators.DedupOps.dedupSimhashWithCap(spark, sfDir, 24))
+    assert(forced === uncapped,
+      s"refined candidate set diverged: forced=${forced.size} uncapped=${uncapped.size}")
+    assert(rows(operators.DedupOps.dedupSimhash(spark, sfDir)) === uncapped)
+  }
+
   test("forced sub-block cap yields a bounded subset and keeps exact duplicates") {
     import spark.implicits._
     // 60 docs in one (lang, source) block: 20 identical triplets. A cap
