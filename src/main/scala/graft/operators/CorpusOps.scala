@@ -137,13 +137,17 @@ object CorpusOps {
     * occurrences whose gram appears ≥ 2 times ACROSS THE WHOLE CORPUS
     * (including intra-doc repeats; [[graft.operators.TextOps]]'s
     * q_text_repetition is the intra-doc-only sibling). Shape: one
-    * explode (linear), one map-side-combined groupBy(gram) for global
-    * counts, one equi join back on the gram, one groupBy(doc) — every
-    * stage hash-partitioned, no all-pairs anywhere. Grouping on the
-    * short gram text directly keeps it oracle-checkable (same
-    * no-hash-caveat argument as [[dedupSpanExact]]); at 100 TB you'd
-    * swap in a 128-bit gram hash and the plan shape is unchanged. The
-    * ≥ 5-token guard is inert on the fixtures (min doc length is 10).
+    * explode (linear), ONE shuffle on the gram for a window count (the
+    * global occurrence total rides the same hashpartitioning(gram) the
+    * rows already need — a groupBy+join-back formulation re-shuffles
+    * the full gram set a second time and measured ~1.8× slower; with
+    * mostly-unique grams the forgone map-side combine compresses
+    * nothing anyway), one groupBy(doc) — every stage hash-partitioned,
+    * no all-pairs anywhere. Grouping on the short gram text directly
+    * keeps it oracle-checkable (same no-hash-caveat argument as
+    * [[dedupSpanExact]]); at 100 TB you'd swap in a 128-bit gram hash
+    * and the plan shape is unchanged. The ≥ 5-token guard is inert on
+    * the fixtures (min doc length is 10).
     */
   def textDupNgrams(s: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(s, dir)
@@ -152,8 +156,8 @@ object CorpusOps {
       .select(col("doc_id"), explode(
         expr(s"transform(sequence(1, size(w) - ${DupGramTokens - 1}), " +
           s"i -> array_join(slice(w, i, $DupGramTokens), ' '))")).as("gram"))
-    val counts = grams.groupBy("gram").agg(count(lit(1)).as("n_total"))
-    grams.join(counts, Seq("gram"))
+    grams
+      .withColumn("n_total", count(lit(1)).over(Window.partitionBy("gram")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("n_total") >= 2, 1L).otherwise(0L)).as("n_dup"))
