@@ -625,10 +625,15 @@ object DedupOps {
       when(size(kept) > 0, concat(lit("?"), array_join(kept, "&"))).otherwise(lit("")))
   }
 
-  def dedupUrl(s: SparkSession, dir: String): DataFrame = {
+  /** Deterministic messy-URL synthesis shared by [[dedupUrl]] and the
+    * composed pipeline (PipelineOps.pipelineE2e): page = doc_id div 2,
+    * with case/port/slash/tracking/param-order varying by parity so
+    * every page's two variants exercise the whole canonicalization.
+    */
+  private[graft] def messyUrl: Column = {
     val page = expr("doc_id div 2")
     val pmod = expr("(doc_id div 2) % 7")
-    val raw = concat(
+    concat(
       when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.Example.org"))
         .otherwise(lit("https://www.example.org")),
       when(col("doc_id") % 4 < 2, lit(":443")).otherwise(lit("")),
@@ -637,8 +642,11 @@ object DedupOps {
       when(col("doc_id") % 2 === 0,
         concat(lit("?b=2&utm_source=feed&a="), pmod.cast("string")))
         .otherwise(concat(lit("?a="), pmod.cast("string"), lit("&utm_campaign=x&b=2"))))
+  }
+
+  def dedupUrl(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
-      .withColumn("raw_url", raw)
+      .withColumn("raw_url", messyUrl)
       .withColumn("canonical_url", canonicalizeUrl(col("raw_url")))
       .groupBy("canonical_url")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))

@@ -378,7 +378,43 @@ object PipelineOps {
       .orderBy("position")
   }
 
+  /** Composed end-to-end curation pipeline (§2 #243) — the operators
+    * chained the way a real corpus build runs them: quality gate
+    * (length + distinct-token-ratio) → URL-canonicalization dedup
+    * (min-doc_id survivor per canonical URL, sharing
+    * [[DedupOps.messyUrl]]/[[DedupOps.canonicalizeUrl]] with
+    * q_dedup_url) → content-addressed split assignment ([[splitCol]],
+    * shared with q_split_assign) → per-(split, lang) corpus report.
+    * The point is compositional: each stage is the already-graded
+    * operator, unchanged, and the oracle is the same CTE chain — so a
+    * hash match proves the stages compose without order/partitioning
+    * assumptions leaking between them. Shape at scale: one narrow
+    * filter, one window over the canonical URL (hash-partitioned), one
+    * 15-group aggregate — nothing quadratic, nothing driver-side.
+    */
+  def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val quality = Tables.documents(s, dir)
+      .withColumn("toks", toks)
+      .filter(col("n_chars") >= 150 &&
+        size(array_distinct(col("toks"))).cast("double") / size(col("toks")) >= 0.35)
+    val survivors = quality
+      .withColumn("canonical_url", DedupOps.canonicalizeUrl(DedupOps.messyUrl))
+      .withColumn("keep", min(col("doc_id")).over(Window.partitionBy("canonical_url")))
+      .filter(col("doc_id") === col("keep"))
+    survivors
+      .select(col("lang"), splitCol(col("doc_id")).as("split"),
+        size(col("toks")).as("n_toks"), col("n_chars"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks").cast("long")).as("sum_tokens"),
+        round(sum(col("n_chars").cast("long")).cast("double") / count(lit(1)), 6)
+          .as("avg_chars"))
+      .orderBy("split", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_e2e" -> (pipelineE2e _),
     "q_batch_buckets" -> (batchBuckets _),
     "q_negative_pairs" -> (negativePairs _),
     "q_curriculum" -> (curriculumInterleave _),
@@ -393,6 +429,57 @@ object PipelineOps {
     "q_dedup_canonical" -> (dedupCanonical _))
 
   val oracles: Map[String, String] = Map(
+    // the same CTE chain as the composed Spark pipeline: quality gate →
+    // messy-URL synthesis + canonicalization (verbatim from q_dedup_url's
+    // twin) → min-survivor window → split CASE (verbatim from
+    // q_split_assign's twin) → per-(split, lang) aggregate
+    "q_pipeline_e2e" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS t FROM documents),
+        |q AS (
+        |  SELECT * FROM toks
+        |  WHERE n_chars >= 150
+        |    AND CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.35),
+        |raw AS (
+        |  SELECT *,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Example.org'
+        |          ELSE 'https://www.example.org' END)
+        |    || (CASE WHEN doc_id % 4 < 2 THEN ':443' ELSE '' END)
+        |    || '/docs/' || CAST(doc_id // 2 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 2 = 0
+        |          THEN '?b=2&utm_source=feed&a=' || CAST((doc_id // 2) % 7 AS VARCHAR)
+        |          ELSE '?a=' || CAST((doc_id // 2) % 7 AS VARCHAR) || '&utm_campaign=x&b=2'
+        |        END) AS raw_url
+        |  FROM q),
+        |canon AS (
+        |  SELECT doc_id, lang, n_chars, t,
+        |    'https://'
+        |    || regexp_replace(lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/?#]+)', 1)),
+        |                      ':443$', '')
+        |    || regexp_replace(regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+        |                      '/+$', '')
+        |    || (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END)
+        |      AS canonical_url
+        |  FROM (
+        |    SELECT *,
+        |      list_sort(list_filter(string_split(regexp_extract(raw_url, '\?([^#]*)', 1), '&'),
+        |                            x -> x <> '' AND NOT starts_with(x, 'utm_'))) AS kept
+        |    FROM raw)),
+        |surv AS (
+        |  SELECT * FROM (
+        |    SELECT *, MIN(doc_id) OVER (PARTITION BY canonical_url) AS keep FROM canon)
+        |  WHERE doc_id = keep),
+        |assigned AS (
+        |  SELECT lang, len(t) AS n_toks, n_chars,
+        |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |         WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM surv)
+        |SELECT split, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+        |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+        |FROM assigned GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "q_batch_buckets" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

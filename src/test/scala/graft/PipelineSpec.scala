@@ -10,6 +10,29 @@ import org.scalatest.funsuite.AnyFunSuite
 class PipelineSpec extends AnyFunSuite with SparkFixture {
   import operators.PipelineOps
 
+  test("composed pipeline equals a driver-side recomputation of its stages") {
+    val rows = PipelineOps.pipelineE2e(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // recompute the chain naively: quality gate -> min-survivor per
+    // canonical URL (URL canonicalization is already pinned by
+    // PropertySpec; page identity = doc_id div 2 after canonicalization,
+    // by construction of the messy variants) -> per-group totals
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3).split(" ")))
+    val quality = docs.filter { case (_, _, nc, t) =>
+      nc >= 150 && t.distinct.length.toDouble / t.length >= 0.35
+    }
+    val survivors = quality.groupBy { case (id, _, _, _) => id / 2 }
+      .map(_._2.minBy(_._1)).toSeq
+    assert(rows.map(_.getLong(2)).sum === survivors.size.toLong,
+      "n_docs across groups must equal the survivor count")
+    assert(rows.map(_.getLong(3)).sum === survivors.map(_._4.length.toLong).sum,
+      "token totals must be conserved across groups")
+    val splits = rows.map(_.getString(0)).distinct.toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+  }
+
   test("contamination: benchmark docs are excluded and rates are in [0,1]") {
     val df = PipelineOps.contamination(spark, sfDir).collect()
     assert(df.nonEmpty)
