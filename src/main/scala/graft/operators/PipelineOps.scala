@@ -413,8 +413,50 @@ object PipelineOps {
       .orderBy("split", "lang")
   }
 
+  /** Token-budget corpus selection (§2 #244) — the data-selection step
+    * before training: rank every document on a quality order (here
+    * n_chars DESC, doc_id as the unique tiebreak), take documents while
+    * the GLOBAL running token total stays within the budget (60% of the
+    * corpus total — scale-invariant by construction), report the
+    * selection per language. The running sum is a TWO-PHASE global
+    * prefix sum, not a single-partition window: range-repartition on
+    * the quality order, per-partition token subtotals (#partitions rows
+    * to the driver — the repo's bounded-collect pattern), then each
+    * partition adds its offset to a partition-local running sum. Same
+    * discipline as the StatsOps rank kernel, generalized from counts to
+    * weighted prefixes; at 100 TB every stage stays parallel.
+    */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"), col("n_chars"))
+    val total = docs.agg(sum(col("n_toks"))).first().getLong(0)
+    val budget = total * 6 / 10
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val order = Seq(col("n_chars").desc, col("doc_id").asc)
+    val sorted = docs
+      .repartitionByRange(nPart, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val subtotals = sorted.groupBy("pid").agg(sum(col("n_toks")).as("t")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] =
+      subtotals.map(_._1).zip(subtotals.scanLeft(0L)(_ + _._2)).toMap
+    val w = Window.partitionBy("pid").orderBy(order: _*)
+    sorted
+      .withColumn("cum",
+        element_at(typedLit(offsets), col("pid")) + sum(col("n_toks")).over(w))
+      .filter(col("cum") <= budget)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_tokens"),
+        max(col("cum")).as("max_cum"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_e2e" -> (pipelineE2e _),
+    "q_token_budget" -> (tokenBudget _),
     "q_batch_buckets" -> (batchBuckets _),
     "q_negative_pairs" -> (negativePairs _),
     "q_curriculum" -> (curriculumInterleave _),
@@ -429,6 +471,23 @@ object PipelineOps {
     "q_dedup_canonical" -> (dedupCanonical _))
 
   val oracles: Map[String, String] = Map(
+    // the oracle's single ordered window IS the semantics; the Spark
+    // side must reproduce it through the two-phase distributed prefix
+    // sum — a hash match proves offset bookkeeping exact
+    "q_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks, n_chars
+        |  FROM documents),
+        |b AS (SELECT CAST(SUM(n_toks) * 6 // 10 AS BIGINT) AS budget FROM d),
+        |r AS (
+        |  SELECT *, SUM(n_toks) OVER (ORDER BY n_chars DESC, doc_id) AS cum
+        |  FROM d)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+        |  CAST(MAX(cum) AS BIGINT) AS max_cum
+        |FROM r, b WHERE cum <= budget
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // the same CTE chain as the composed Spark pipeline: quality gate →
     // messy-URL synthesis + canonicalization (verbatim from q_dedup_url's
     // twin) → min-survivor window → split CASE (verbatim from

@@ -33,6 +33,22 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(splits.subsetOf(Set("train", "val", "test")))
   }
 
+  test("token budget selection is maximal and within budget") {
+    val rows = PipelineOps.tokenBudget(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"), size(split(col("text"), " ")).as("n_toks"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    val budget = docs.map(_._3).sum * 6 / 10
+    // driver recompute of the greedy cut on the same total order
+    val ordered = docs.sortBy { case (id, nc, _) => (-nc, id) }
+    var cum = 0L
+    val kept = ordered.takeWhile { case (_, _, t) => { cum += t; cum <= budget } }
+    assert(rows.map(_.getLong(1)).sum === kept.length.toLong, "selected doc count")
+    assert(rows.map(_.getLong(2)).sum === kept.map(_._3).sum, "selected token total")
+    assert(rows.map(_.getLong(3)).max <= budget, "cut respects the budget")
+  }
+
   test("contamination: benchmark docs are excluded and rates are in [0,1]") {
     val df = PipelineOps.contamination(spark, sfDir).collect()
     assert(df.nonEmpty)

@@ -361,6 +361,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       "contiguous-id assignment funnelled through one partition:\n" + planStr.take(3000))
   }
 
+  test("token-budget prefix sum plans no single-partition exchange") {
+    val df = operators.PipelineOps.tokenBudget(spark, sfDir)
+    val planStr = executed(df).toString
+    assert(!planStr.contains("SinglePartition"),
+      "global running sum funnelled through one partition:\n" + planStr.take(3000))
+  }
+
   test("partitioned ntile plans no single-partition exchange") {
     val df = operators.StatsOps.ntileBuckets(spark, sfDir)
     val planStr = executed(df).toString

@@ -170,6 +170,35 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(rows.toSeq === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
+  test("multimodal PNG decode runs incrementally over a payload stream") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.operators.Multimodal
+    // the decode stages are stateless typed maps, so the SAME code path
+    // that serves the batch queries must run under readStream unchanged;
+    // feed real PNG containers through MemoryStream and check the
+    // decoded pixel sums against the closed-form formula per batch
+    val recs = Multimodal.mediaTable(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 8)
+      .as[Multimodal.MediaRecord].collect().toSeq
+    val stream = MemoryStream[Multimodal.MediaRecord]
+    val q = Multimodal.decodeFeatures(stream.toDS())
+      .writeStream.format("memory").queryName("mm_decode").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      recs.grouped(3).foreach { b => stream.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val out = spark.table("mm_decode").as[Multimodal.FramePixels].collect()
+    assert(out.length === recs.length, "one decoded row per streamed payload")
+    out.foreach { f =>
+      val (w, h) = ((f.doc_id % 16 + 1).toInt, (f.doc_id % 9 + 1).toInt)
+      val expR = (for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.pixelR(f.doc_id, 0, x, y).toLong).sum
+      assert(f.w_px === w && f.h_px === h)
+      assert(f.r_sum === expR, s"doc ${f.doc_id} streamed r_sum")
+    }
+  }
+
   test("streaming LSH flags near-dups of docs seen in EARLIER batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
