@@ -454,9 +454,37 @@ object PipelineOps {
       .orderBy("lang")
   }
 
+  /** Train/test near-dup leakage report (§2 #245) — the eval-hygiene
+    * check benchmark papers keep re-discovering: a near-duplicate pair
+    * that straddles a split boundary leaks training signal into eval.
+    * Pair grid = the SAME materialized exact-Jaccard edge list the
+    * components/canonical operators consume ([[DedupOps.materializedEdges]]
+    * — LSH-blocked, never all-pairs); splits = the same content-addressed
+    * [[splitCol]] as q_split_assign. Output: pair counts per unordered
+    * split pair — every (x, y) row with x ≠ y is leakage a curation run
+    * must resolve (drop one side or re-assign). Two broadcast-size joins
+    * against the 3-row split map at scale; edges are the heavy side and
+    * stay partitioned.
+    */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val edges = DedupOps.materializedEdges(s, dir)
+    val splits = Tables.documents(s, dir)
+      .select(col("doc_id"), splitCol(col("doc_id")).as("split"))
+    edges
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+      .select(least(col("split_a"), col("split_b")).as("split_x"),
+        greatest(col("split_a"), col("split_b")).as("split_y"))
+      .groupBy("split_x", "split_y")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaked", col("split_x") =!= col("split_y"))
+      .orderBy("split_x", "split_y")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_e2e" -> (pipelineE2e _),
     "q_token_budget" -> (tokenBudget _),
+    "q_split_leakage" -> (splitLeakage _),
     "q_batch_buckets" -> (batchBuckets _),
     "q_negative_pairs" -> (negativePairs _),
     "q_curriculum" -> (curriculumInterleave _),
@@ -471,6 +499,33 @@ object PipelineOps {
     "q_dedup_canonical" -> (dedupCanonical _))
 
   val oracles: Map[String, String] = Map(
+    // pair grid verbatim from the q_dedup_components twin (blocked
+    // exact Jaccard >= 0.2); split CASE verbatim from q_split_assign
+    "q_split_leakage" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |         WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |lab AS (
+        |  SELECT least(sa.split, sb.split) AS split_x,
+        |         greatest(sa.split, sb.split) AS split_y
+        |  FROM pairs p
+        |  JOIN sp sa ON p.doc_a = sa.doc_id
+        |  JOIN sp sb ON p.doc_b = sb.doc_id)
+        |SELECT split_x, split_y, COUNT(*) AS n_pairs,
+        |  split_x <> split_y AS leaked
+        |FROM lab GROUP BY split_x, split_y ORDER BY split_x, split_y""".stripMargin,
     // the oracle's single ordered window IS the semantics; the Spark
     // side must reproduce it through the two-phase distributed prefix
     // sum — a hash match proves offset bookkeeping exact

@@ -33,6 +33,19 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(splits.subsetOf(Set("train", "val", "test")))
   }
 
+  test("split leakage partitions the full edge list by unordered split pair") {
+    val rows = PipelineOps.splitLeakage(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalEdges = operators.DedupOps.materializedEdges(spark, sfDir).count()
+    assert(rows.map(_.getLong(2)).sum === totalEdges,
+      "every near-dup pair lands in exactly one split-pair cell")
+    rows.foreach { r =>
+      val (x, y) = (r.getString(0), r.getString(1))
+      assert(x <= y, "unordered pair key must be canonical")
+      assert(r.getBoolean(3) === (x != y), "leaked flag must mirror the key")
+    }
+  }
+
   test("token budget selection is maximal and within budget") {
     val rows = PipelineOps.tokenBudget(spark, sfDir).collect()
     assert(rows.nonEmpty)
