@@ -167,6 +167,74 @@ object SimilarityOps {
       .orderBy("probe_id", "rank")
   }
 
+  /** #246 Hard-negative mining — the contrastive-training sibling of
+    * q_sim_cosine_topk (which q_negative_pairs does NOT cover: that draws
+    * UNIFORM negatives; hard negatives are the top-scoring wrong-label
+    * ones): for each probe, the 3 highest-cosine candidates whose label
+    * DIFFERS from the probe's. Same exact-anchor discipline as the other
+    * similarity queries — probes broadcast, corpus streams through one
+    * scan, per-probe window over a bounded candidate set.
+    *
+    * 100 TB: the probe side is the (small) batch being mined for; the
+    * label-mismatch predicate rides the broadcast join so wrong-label
+    * filtering happens before any shuffle. Full-corpus mining at scale
+    * swaps the scored scan for the LSH/IVF candidate join (same tail).
+    */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val base = vectors(s, dir)
+    val probes = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+        col("embedding").as("pv"), col("norm").as("pnorm"))
+    val cand = base.select(col("vec_id").as("cand_id"), col("label").as("cand_label"),
+      col("embedding").as("cv"), col("norm").as("cnorm"))
+    val scored = cand.join(broadcast(probes), col("probe_label") =!= col("cand_label"))
+      .select(col("probe_id"), col("probe_label"), col("cand_id"), col("cand_label"),
+        round(expr("graft_dot(pv, cv)") / (col("pnorm") * col("cnorm")), 6).as("cosine"))
+    val w = Window.partitionBy("probe_id").orderBy(desc("cosine"), asc("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** #247 kNN label-noise detection: for each anchor (every 10th vector —
+    * the deterministic audit sample), the share of its 5 exact nearest
+    * neighbors that carry the SAME label; per-label report of mean
+    * consistency and the count of flagged anchors (≤1 of 5 neighbors
+    * agree — likely mislabeled). The standard data-quality sweep run
+    * before training on labeled embeddings.
+    *
+    * Determinism: the mean is computed as ONE integer-ratio division
+    * (Σ n_same / (5·n_anchors)) rather than avg() over per-anchor
+    * doubles — summation order can perturb the last ulp of a double
+    * avg across engines, an integer sum cannot.
+    *
+    * 100 TB: anchored-sample audit (anchors broadcast, corpus streamed)
+    * is the scalable shape; full-corpus neighbor graphs go through the
+    * LSH candidate join instead of exact all-pairs.
+    */
+  def knnLabelNoise(s: SparkSession, dir: String): DataFrame = {
+    val base = vectors(s, dir)
+    val anchors = base.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        col("embedding").as("pv"), col("norm").as("pnorm"))
+    val cand = base.select(col("vec_id").as("cand_id"), col("label").as("cand_label"),
+      col("embedding").as("cv"), col("norm").as("cnorm"))
+    val scored = cand.join(broadcast(anchors), col("anchor_id") =!= col("cand_id"))
+      .select(col("anchor_id"), col("anchor_label"), col("cand_id"), col("cand_label"),
+        round(expr("graft_dot(pv, cv)") / (col("pnorm") * col("cnorm")), 6).as("cosine"))
+    val w = Window.partitionBy("anchor_id").orderBy(desc("cosine"), asc("cand_id"))
+    val perAnchor = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .groupBy("anchor_id", "anchor_label")
+      .agg(sum(when(col("cand_label") === col("anchor_label"), 1).otherwise(0)).as("n_same"))
+    perAnchor.groupBy(col("anchor_label").as("label"))
+      .agg(count(lit(1)).as("n_anchors"),
+        round(sum(col("n_same")).cast("double") / (lit(5.0) * count(lit(1))), 6)
+          .as("mean_consistency"),
+        sum(when(col("n_same") <= 1, 1).otherwise(0)).as("n_flagged"))
+      .orderBy("label")
+  }
+
   /** #65 multimodal join: text metadata ⋈ vectors on aligned ids with a
     * combined relational + vector-norm predicate.
     */
@@ -236,6 +304,8 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_quantize" -> (embedQuantize _),
     "q_sim_cosine_topk" -> (simCosineTopk _),
+    "q_hard_negatives" -> (hardNegatives _),
+    "q_knn_label_noise" -> (knnLabelNoise _),
     "q_sim_lsh_bucketed" -> (simLshBucketed _),
     "q_sim_ivf_bucketed" -> (simIvfBucketed _),
     "q_multimodal_join" -> (multimodalJoin _),
@@ -257,6 +327,37 @@ object SimilarityOps {
         |    list_transform(v, x -> abs(x - floor(x * 127.0 / absmax + 0.5) * absmax / 127.0)),
         |    'max') * 1e6) AS BIGINT) AS max_err_micro
         |FROM m ORDER BY vec_id""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH base AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT p.vec_id AS probe_id, p.label AS probe_label,
+        |  c.vec_id AS cand_id, c.label AS cand_label,
+        |  round(list_cosine_similarity(p.v, c.v), 6) AS cosine,
+        |  CAST(row_number() OVER (PARTITION BY p.vec_id
+        |    ORDER BY round(list_cosine_similarity(p.v, c.v), 6) DESC, c.vec_id ASC) AS INTEGER) AS rank
+        |FROM base p JOIN base c ON p.vec_id < 10 AND p.label <> c.label
+        |QUALIFY rank <= 3
+        |ORDER BY probe_id, rank""".stripMargin,
+    "q_knn_label_noise" ->
+      """WITH base AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |nn AS (
+        |  SELECT a.vec_id AS anchor_id, a.label AS anchor_label, c.label AS cand_label,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY round(list_cosine_similarity(a.v, c.v), 6) DESC, c.vec_id ASC) AS rank
+        |  FROM base a JOIN base c ON a.vec_id % 10 = 0 AND a.vec_id <> c.vec_id
+        |  QUALIFY rank <= 5),
+        |per AS (
+        |  SELECT anchor_id, anchor_label,
+        |    SUM(CASE WHEN cand_label = anchor_label THEN 1 ELSE 0 END) AS n_same
+        |  FROM nn GROUP BY anchor_id, anchor_label)
+        |SELECT anchor_label AS label,
+        |  CAST(COUNT(*) AS BIGINT) AS n_anchors,
+        |  round(CAST(SUM(n_same) AS DOUBLE) / (5.0 * COUNT(*)), 6) AS mean_consistency,
+        |  CAST(SUM(CASE WHEN n_same <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM per GROUP BY anchor_label ORDER BY label""".stripMargin,
     "q_sim_cosine_topk" ->
       """WITH base AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

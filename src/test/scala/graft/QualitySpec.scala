@@ -261,4 +261,35 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
       assert(r.getLong(3) === r.getLong(2) * 1000000 / r.getLong(1))
     }
   }
+
+  test("hard negatives never share the probe's label and ranks are dense 1..3") {
+    val rows = operators.SimilarityOps.hardNegatives(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getAs[Int]("probe_label") !== r.getAs[Int]("cand_label")))
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, g) =>
+      assert(g.map(_.getAs[Int]("rank")).sorted.toSeq === Seq(1, 2, 3), s"probe $p")
+    }
+    // a hard negative can never out-score the probe's true (any-label)
+    // nearest neighbor: top-1 overall cosine >= top-1 wrong-label cosine
+    val bf1 = operators.SimilarityOps.simCosineTopk(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Double]("cosine")).toMap
+    rows.filter(_.getAs[Int]("rank") == 1).foreach { r =>
+      assert(bf1(r.getAs[Long]("probe_id")) >= r.getAs[Double]("cosine"))
+    }
+  }
+
+  test("knn label-noise report conserves anchors and bounds consistency") {
+    import org.apache.spark.sql.functions.col
+    val rows = operators.SimilarityOps.knnLabelNoise(spark, sfDir).collect()
+    val expected = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 10 === 0).count()
+    assert(rows.map(_.getAs[Long]("n_anchors")).sum === expected)
+    rows.foreach { r =>
+      val m = r.getAs[Double]("mean_consistency")
+      assert(m >= 0.0 && m <= 1.0)
+      assert(r.getAs[Long]("n_flagged") >= 0L &&
+        r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_anchors"))
+    }
+  }
 }
