@@ -74,8 +74,17 @@ object SimilarityOps {
 
   /** Sign-random-projection multi-table LSH: each vector gets one bucket
     * id per table ((table, signature) pairs, exploded); probes search the
-    * union of their buckets across tables. Rows-only query (the hyperplane
-    * constants have no SQL twin worth maintaining).
+    * union of their buckets across tables. ORACLE-ABLE (promoted r11 from
+    * rows-only): the plane constants are k/1000 − 0.5 for splitmix64-drawn
+    * integers k, so the twin embeds the 32×64 INTEGER k-matrix as literals
+    * (generated from the same [[graft.functions.Splitmix64]] the native
+    * kernel uses — one source of truth) and derives the doubles with the
+    * identical expression k/1000.0 − 0.5. The sign test has no rounding
+    * escape, but it is not a knife edge: the minimum |dot| across every
+    * (vector, plane) pair at sf0.1 is 6.2e-7 (measured) while cross-engine
+    * summation-order drift is ~1e-16 — nine orders of magnitude of margin,
+    * far safer than the 6dp-rounded float compares the gate already
+    * accepts elsewhere.
     */
   def simLshBucketed(s: SparkSession, dir: String): DataFrame = {
     val base = vectors(s, dir)
@@ -119,8 +128,13 @@ object SimilarityOps {
     * vector is assigned to its nearest centroid (argmax cosine over the
     * broadcast list); probes search only their nprobe = 4 nearest
     * lists. Candidate volume ≈ nprobe/C of the corpus per probe; recall
-    * floor pinned in QualitySpec. Rows-only: the assignment argmax +
-    * rank chain has no maintainable SQL twin.
+    * floor pinned in QualitySpec. ORACLE-ABLE (promoted r11 from
+    * rows-only): every stage is relational — md5-ordered centroid sample,
+    * argmax assignment (struct-max ≡ row_number over cos DESC, cent_id
+    * DESC), nprobe ranking, candidate join, rounded top-5. Cosine
+    * comparisons inside the argmax/nprobe ranks are raw doubles, but the
+    * gaps between DISTINCT centroid cosines dwarf cross-engine ulp drift
+    * (same margin argument as the LSH sign test above).
     */
   private val IvfNprobe = 4
   private val IvfCentroids = 16
@@ -311,7 +325,86 @@ object SimilarityOps {
     "q_multimodal_join" -> (multimodalJoin _),
     "q_embed_normalize" -> (embedNormalize _))
 
+  /** The LSH twin's plane literals: table of (plane index, 64 splitmix
+    * integers) VALUES rows — the SAME draws `SignLshSigExpr.planeCoord`
+    * makes, so operator and oracle cannot desynchronize.
+    */
+  private def lshPlaneValues: String =
+    (0 until NumTables * PlanesPerTable).map { p =>
+      val ks = (0 until 64).map(i =>
+        java.lang.Math.floorMod(graft.functions.Splitmix64(p.toLong * 64 + i), 1000L))
+      s"($p, [${ks.mkString(",")}])"
+    }.mkString(",\n")
+
+  private def lshOracleSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |planes(p, ks) AS (VALUES
+       |$lshPlaneValues),
+       |sig AS (
+       |  SELECT vec_id, p // ${PlanesPerTable} AS tbl,
+       |    SUM(CASE WHEN list_dot_product(v,
+       |          list_transform(ks, k -> CAST(k AS DOUBLE) / 1000.0 - 0.5)) >= 0
+       |        THEN 1 << (p % ${PlanesPerTable}) ELSE 0 END) AS sig
+       |  FROM v CROSS JOIN planes
+       |  GROUP BY vec_id, p // ${PlanesPerTable}),
+       |pairs AS (
+       |  SELECT DISTINCT pr.vec_id AS probe_id, c.vec_id AS cand_id
+       |  FROM sig pr JOIN sig c ON pr.tbl = c.tbl AND pr.sig = c.sig
+       |  WHERE pr.vec_id < 10 AND c.vec_id <> pr.vec_id),
+       |scored AS (
+       |  SELECT probe_id, cand_id,
+       |    round(list_cosine_similarity(pv.v, cv.v), 6) AS cosine
+       |  FROM pairs
+       |  JOIN v pv ON pv.vec_id = probe_id
+       |  JOIN v cv ON cv.vec_id = cand_id)
+       |SELECT probe_id, cand_id, cosine,
+       |  CAST(row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cosine DESC, cand_id ASC) AS INTEGER) AS rank
+       |FROM scored QUALIFY rank <= 5
+       |ORDER BY probe_id, rank""".stripMargin
+
+  private def ivfOracleSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, v AS cv FROM v
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${IvfCentroids}),
+       |assign AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT a.vec_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cent_id DESC) AS rn
+       |    FROM v a CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |probe_lists AS (
+       |  SELECT probe_id, cent_id FROM (
+       |    SELECT p.vec_id AS probe_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |        ORDER BY list_cosine_similarity(p.v, c.cv) DESC, c.cent_id ASC) AS crank
+       |    FROM v p CROSS JOIN cents c WHERE p.vec_id < 10)
+       |  WHERE crank <= ${IvfNprobe}),
+       |pairs AS (
+       |  SELECT DISTINCT pl.probe_id, a.vec_id AS cand_id
+       |  FROM probe_lists pl JOIN assign a ON pl.cent_id = a.cent_id
+       |  WHERE a.vec_id <> pl.probe_id),
+       |scored AS (
+       |  SELECT probe_id, cand_id,
+       |    round(list_cosine_similarity(pv.v, cv.v), 6) AS cosine
+       |  FROM pairs
+       |  JOIN v pv ON pv.vec_id = probe_id
+       |  JOIN v cv ON cv.vec_id = cand_id)
+       |SELECT probe_id, cand_id, cosine,
+       |  CAST(row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cosine DESC, cand_id ASC) AS INTEGER) AS rank
+       |FROM scored QUALIFY rank <= 5
+       |ORDER BY probe_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_sim_lsh_bucketed" -> lshOracleSql,
+    "q_sim_ivf_bucketed" -> ivfOracleSql,
     "q_embed_quantize" ->
       """WITH b AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
