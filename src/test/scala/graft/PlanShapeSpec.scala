@@ -547,4 +547,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(hashShuffles.size <= 2,
       s"expected <= 2 hash shuffles (windows must share partitioning), got ${hashShuffles.size}")
   }
+
+  test("hard-negative mining and kNN audit broadcast the probe/anchor side") {
+    for (df <- Seq(operators.SimilarityOps.hardNegatives(spark, sfDir),
+                   operators.SimilarityOps.knnLabelNoise(spark, sfDir))) {
+      val all = collectAll(executed(df))
+      // the corpus must stream through a broadcast join against the small
+      // probe/anchor side (theta predicate → BroadcastNestedLoopJoin);
+      // a SortMergeJoin here would shuffle the whole corpus per audit
+      assert(all.exists(p => p.isInstanceOf[BroadcastNestedLoopJoinExec] ||
+          p.isInstanceOf[BroadcastHashJoinExec]),
+        "probe/anchor side was not broadcast")
+      assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+        "corpus was shuffle-joined against the tiny probe side")
+    }
+  }
 }
