@@ -78,6 +78,58 @@ object ClusterOps {
       .orderBy("cluster_id")
   }
 
+  /** #248 SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * public): cluster the corpus with the SAME integer-micro k-means
+    * above, then search for near-duplicate pairs ONLY within each
+    * cluster — the cluster pre-partition is what makes embedding dedup
+    * tractable at corpus scale (within-cluster all-pairs ≈ N²/K per
+    * cluster vs N² global; at 100 TB, K grows with the corpus and the
+    * per-cluster pair join stays bounded). A member is DROPPED if it
+    * has cosine ≥ 0.35 with any lower-id member (greedy keep-first —
+    * SemDeDup's keep-one-per-duplicate-group rule made deterministic).
+    * Per-cluster report: members, duplicate pairs, dropped docs, keep
+    * ratio. Exactness: pair dots and norms are exact int64 over the
+    * micro components (|q|≤~1e6, 64 dims → Σq² ≤ 6.4e13 < 2^53), so
+    * the only float is the final cosine division, rounded 6dp — the
+    * identical expression the DuckDB twin computes.
+    *
+    * Distinct from q_dedup_embed_cosine (LSH/sub-block candidates over
+    * label blocks): this is the CLUSTER-scoped method — candidates come
+    * from the learned partition, not a hash family.
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val vecs = quantized(s, dir)
+    val seed = vecs.filter(col("vec_id") < K)
+      .select(col("vec_id").cast("int").as("cid"), col("q").as("c"))
+    val cents = (1 until Iters).foldLeft(seed)((c, _) =>
+      update(assign(vecs, c)).localCheckpoint())
+    val nsq = aggregate(transform(col("q"), x => x * x), lit(0L), _ + _)
+    val assigned = assign(vecs, cents)
+      .select(col("cid"), col("vec_id"), col("q"), nsq.as("nsq"))
+    val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
+      col("q").as("qa"), col("nsq").as("na"))
+    val b = assigned.select(col("cid"), col("vec_id").as("vec_b"),
+      col("q").as("qb"), col("nsq").as("nb"))
+    val dot = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+      lit(0L), _ + _)
+    val pairs = a.join(b, Seq("cid")).filter(col("vec_a") < col("vec_b"))
+      .select(col("cid"), col("vec_a"), col("vec_b"),
+        round(dot.cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= 0.35)
+    val members = assigned.groupBy("cid").agg(count(lit(1)).as("n_members"))
+    val dups = pairs.groupBy("cid")
+      .agg(count(lit(1)).as("n_dup_pairs"), countDistinct(col("vec_b")).as("n_dropped"))
+    members.join(dups, Seq("cid"), "left")
+      .na.fill(0L, Seq("n_dup_pairs", "n_dropped"))
+      .select(col("cid").as("cluster_id"), col("n_members"),
+        col("n_dup_pairs"), col("n_dropped"),
+        round((col("n_members") - col("n_dropped")).cast("double") /
+          col("n_members").cast("double"), 6).as("keep_ratio"))
+      .orderBy("cluster_id")
+  }
+
   /** Collapse a (dim, wv) table into a single-row array ordered by dim
     * — the K·D-sized "model state" that gets broadcast back at vectors.
     */
@@ -293,6 +345,7 @@ object ClusterOps {
     "q_embed_centroid_drift" -> (embedCentroidDrift _),
     "q_embed_outliers" -> (embedOutliers _),
     "q_embed_kmeans" -> (embedKmeans _),
+    "q_dedup_semantic" -> (dedupSemantic _),
     "q_embed_pca" -> (embedPca _),
     "q_embed_cluster_purity" -> (embedClusterPurity _),
     "q_embed_moments" -> (embedMoments _))
@@ -452,5 +505,57 @@ object ClusterOps {
         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)
         |SELECT cid AS cluster_id, COUNT(*) AS n_members,
         |  CAST(SUM(dist) AS BIGINT) AS inertia
-        |FROM a2 GROUP BY cid ORDER BY cluster_id""".stripMargin)
+        |FROM a2 GROUP BY cid ORDER BY cluster_id""".stripMargin,
+    // same Lloyd chain as q_embed_kmeans through a2, then within-cluster
+    // exact-integer pair cosines and the greedy keep-first drop rule
+    "q_dedup_semantic" ->
+      """WITH qv AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM embeddings),
+        |cent0 AS (
+        |  SELECT CAST(vec_id AS INT) AS cid, dim, v FROM qv WHERE vec_id < 8),
+        |d1 AS (
+        |  SELECT a.vec_id, c.cid, SUM((a.v - c.v) * (a.v - c.v)) AS dist
+        |  FROM qv a JOIN cent0 c USING (dim) GROUP BY a.vec_id, c.cid),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM d1
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+        |cent1 AS (
+        |  SELECT a1.cid, qv.dim,
+        |    CAST(floor(CAST(SUM(qv.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+        |  FROM qv JOIN a1 USING (vec_id) GROUP BY a1.cid, qv.dim),
+        |d2 AS (
+        |  SELECT a.vec_id, c.cid, SUM((a.v - c.v) * (a.v - c.v)) AS dist
+        |  FROM qv a JOIN cent1 c USING (dim) GROUP BY a.vec_id, c.cid),
+        |a2 AS (
+        |  SELECT vec_id, cid FROM d2
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+        |qn AS (SELECT vec_id, SUM(v * v) AS nsq FROM qv GROUP BY vec_id),
+        |p AS (
+        |  SELECT ax.cid, ax.vec_id AS vec_a, ay.vec_id AS vec_b
+        |  FROM a2 ax JOIN a2 ay ON ax.cid = ay.cid AND ax.vec_id < ay.vec_id),
+        |pd AS (
+        |  SELECT p.cid, p.vec_a, p.vec_b, SUM(qa.v * qb.v) AS dot
+        |  FROM p JOIN qv qa ON qa.vec_id = p.vec_a
+        |         JOIN qv qb ON qb.vec_id = p.vec_b AND qa.dim = qb.dim
+        |  GROUP BY p.cid, p.vec_a, p.vec_b),
+        |dup AS (
+        |  SELECT * FROM (
+        |    SELECT pd.cid, vec_a, vec_b,
+        |      round(CAST(dot AS DOUBLE)
+        |        / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))), 6) AS cosine
+        |    FROM pd JOIN qn na ON na.vec_id = vec_a JOIN qn nb ON nb.vec_id = vec_b)
+        |  WHERE cosine >= 0.35),
+        |mem AS (SELECT cid, COUNT(*) AS n_members FROM a2 GROUP BY cid),
+        |dg AS (
+        |  SELECT cid, COUNT(*) AS n_dup_pairs, COUNT(DISTINCT vec_b) AS n_dropped
+        |  FROM dup GROUP BY cid)
+        |SELECT mem.cid AS cluster_id,
+        |  CAST(mem.n_members AS BIGINT) AS n_members,
+        |  CAST(COALESCE(dg.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+        |  CAST(COALESCE(dg.n_dropped, 0) AS BIGINT) AS n_dropped,
+        |  round(CAST(mem.n_members - COALESCE(dg.n_dropped, 0) AS DOUBLE)
+        |        / CAST(mem.n_members AS DOUBLE), 6) AS keep_ratio
+        |FROM mem LEFT JOIN dg USING (cid) ORDER BY cluster_id""".stripMargin)
 }

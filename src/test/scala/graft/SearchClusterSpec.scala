@@ -693,4 +693,27 @@ class SearchClusterSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(r.getDouble(2) - n) <= maxNoise + 1e-6, "Laplace tail bound")
     }
   }
+
+  test("semantic dedup conserves members and its drop rule is internally consistent") {
+    import org.apache.spark.sql.functions.col
+    val rows = operators.ClusterOps.dedupSemantic(spark, sfDir).collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    // every vector lands in exactly one cluster
+    assert(rows.map(_.getAs[Long]("n_members")).sum === n)
+    rows.foreach { r =>
+      val (m, p, d) = (r.getAs[Long]("n_members"),
+        r.getAs[Long]("n_dup_pairs"), r.getAs[Long]("n_dropped"))
+      // each dropped doc is the larger end of >= 1 pair; a pair drops <= 1 doc
+      assert(d <= p && d < m)
+      assert(math.abs(r.getAs[Double]("keep_ratio") -
+        BigDecimal((m - d).toDouble / m)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    // cluster ids must match the kmeans partition (same Lloyd chain)
+    val km = operators.ClusterOps.embedKmeans(spark, sfDir)
+      .select(col("cluster_id"), col("n_members")).collect()
+      .map(r => r.getInt(0) -> r.getAs[Long]("n_members")).toMap
+    rows.foreach(r =>
+      assert(km(r.getAs[Int]("cluster_id")) === r.getAs[Long]("n_members")))
+  }
 }
