@@ -98,24 +98,32 @@ object ClusterOps {
     * from the learned partition, not a hash family.
     */
   def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val vecs = quantized(s, dir)
     val seed = vecs.filter(col("vec_id") < K)
       .select(col("vec_id").cast("int").as("cid"), col("q").as("c"))
     val cents = (1 until Iters).foldLeft(seed)((c, _) =>
       update(assign(vecs, c)).localCheckpoint())
-    val nsq = aggregate(transform(col("q"), x => x * x), lit(0L), _ + _)
+    // qd: the micro ints as doubles — every component, product (≤1e12)
+    // and partial sum (≤6.4e13) stays below 2^53, so the double-path
+    // graft_dot kernel returns the EXACT integer dot while the hot pair
+    // loop runs codegen'd instead of through interpreted zip_with
+    // lambdas. localCheckpoint: the assignment feeds the pair join twice
+    // plus the member counts — without it the Lloyd chain re-executes
+    // per branch (GraphOps discipline).
     val assigned = assign(vecs, cents)
-      .select(col("cid"), col("vec_id"), col("q"), nsq.as("nsq"))
+      .select(col("cid"), col("vec_id"),
+        transform(col("q"), x => x.cast("double")).as("qd"))
+      .withColumn("nsq", expr("graft_dot(qd, qd)"))
+      .localCheckpoint()
     val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
-      col("q").as("qa"), col("nsq").as("na"))
+      col("qd").as("qa"), col("nsq").as("na"))
     val b = assigned.select(col("cid"), col("vec_id").as("vec_b"),
-      col("q").as("qb"), col("nsq").as("nb"))
-    val dot = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-      lit(0L), _ + _)
+      col("qd").as("qb"), col("nsq").as("nb"))
     val pairs = a.join(b, Seq("cid")).filter(col("vec_a") < col("vec_b"))
       .select(col("cid"), col("vec_a"), col("vec_b"),
-        round(dot.cast("double") /
-          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+        round(expr("graft_dot(qa, qb)") /
+          (sqrt(col("na")) * sqrt(col("nb"))), 6)
           .as("cosine"))
       .filter(col("cosine") >= 0.35)
     val members = assigned.groupBy("cid").agg(count(lit(1)).as("n_members"))
