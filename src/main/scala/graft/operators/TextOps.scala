@@ -234,6 +234,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** #249 BPE merge-pair LEARNING step — the distributed core of
+    * tokenizer TRAINING (Sennrich et al. 2016), where q_text_tokens_bpe
+    * only APPLIES a tokenizer: count every adjacent character pair
+    * across the corpus weighted by word frequency and report the top-20
+    * merge candidates — exactly the statistic each BPE training
+    * iteration maximizes.
+    *
+    * Scale shape: occurrences pre-aggregate to the (vocab-bounded)
+    * distinct-word frequency table FIRST (map-side combined — the
+    * corpus-sized explode collapses before the second shuffle), then
+    * pairs explode per DISTINCT word, weighted by freq; the pair
+    * aggregate is again map-side combined and the top-20 is a
+    * TakeOrderedAndProject bounded heap, never a global sort.
+    */
+  def bpeTrainStep(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val pairs = words
+      // >= 2 chars: a 1-char word has no adjacent pair — and Spark's
+      // sequence(1, 0) would count DOWN, fabricating junk pairs
+      .filter(length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, char_length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"), col("freq"))
+      .groupBy("pair").agg(sum(col("freq")).as("n_occurrences"))
+      .orderBy(desc("n_occurrences"), asc("pair"))
+      .limit(20)
+    pairs.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("n_occurrences"), asc("pair"))))
+      .select("rank", "pair", "n_occurrences")
+      .orderBy("rank")
+  }
+
   /** Training-mixture weights — the dataset-mixing report a multilingual
     * corpus pipeline publishes: per (lang, source) token counts, corpus
     * share, and temperature-resampled weights (τ = 2 ⇒ weight ∝ √share —
@@ -487,6 +523,7 @@ object TextOps {
     "q_text_fuzzy_match" -> ((s, d) => textFuzzyMatch(s, d)),
     "q_sample_per_group" -> (samplePerGroup _),
     "q_text_tokens_bpe" -> (textTokensBpe _),
+    "q_bpe_train_step" -> (bpeTrainStep _),
     "q_text_vocab_coverage" -> (textVocabCoverage _),
     "q_text_chunk" -> (textChunk _),
     "q_sample_stratified" -> (sampleStratified _),
@@ -624,6 +661,22 @@ object TextOps {
         |SELECT lang, source, n_docs, tokens, share_micro,
         |  CAST((w_micro * 1000000) // SUM(w_micro) OVER () AS BIGINT) AS weight_micro
         |FROM wm ORDER BY lang, source""".stripMargin,
+    "q_bpe_train_step" ->
+      """WITH words AS (
+        |  SELECT word, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |pairs AS (
+        |  SELECT unnest([substring(word, i, 2) FOR i IN range(1, length(word))]) AS pair,
+        |    freq
+        |  FROM words WHERE length(word) >= 2),
+        |agg AS (
+        |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+        |  FROM pairs GROUP BY pair)
+        |SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair ASC) AS INTEGER) AS rank,
+        |  pair, n_occurrences
+        |FROM agg
+        |ORDER BY rank LIMIT 20""".stripMargin,
     "q_text_tokens_bpe" ->
       """SELECT doc_id, lang,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,

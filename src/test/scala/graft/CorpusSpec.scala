@@ -141,4 +141,17 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     assert(row.getDouble(1) < 0, "Zipf slope must be negative")
     assert(math.abs(row.getDouble(1) - slope) < 1e-5, "slope vs naive fit")
   }
+
+  test("BPE train step matches a driver-side brute-force pair count") {
+    val texts = Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val freq = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for (t <- texts; w <- t.split(" ") if w.nonEmpty && w.length >= 2;
+         i <- 0 until w.length - 1)
+      freq(w.substring(i, i + 2)) += 1L
+    val expected = freq.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = operators.TextOps.bpeTrainStep(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("n_occurrences")))
+    assert(got.toSeq === expected, "top-20 merge candidates diverge")
+  }
 }
