@@ -237,7 +237,51 @@ object EvalOps {
         element_at(col("ms"), 63).as("ci_hi_micro"))
   }
 
+  /** #250 NDCG@10 — the standard graded-relevance ranking metric for
+    * retrieval evaluation: per query term, documents rank by term
+    * frequency (tf DESC, doc_id ASC), the graded editorial label is
+    * doc_id % 4, gain = 2^rel − 1, and the position discount 1/log2(i+1)
+    * is a 10-entry INTEGER nano table embedded as literals in both
+    * engines (computing log2 independently per engine would floor on a
+    * knife edge; a shared constant table cannot). DCG and ideal-DCG are
+    * exact int64 sums; NDCG is the single final division, rounded 6dp.
+    *
+    * Scale: per-query windows partition by the query term (never
+    * global), the candidate pool is the postings of the term, and both
+    * rankings ride ONE (term, doc) tf aggregate.
+    */
+  private val NdcgDisc: Seq[Long] = Seq(1000000000L, 630929753L, 500000000L,
+    430676558L, 386852807L, 356207187L, 333333333L, 315464876L, 301029995L,
+    289064826L)
+
+  def evalNdcg(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("join", "vector", "scan")
+    val discLit = array(NdcgDisc.map(lit): _*)
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("gain", expr("shiftleft(1L, cast(doc_id % 4 AS int)) - 1L"))
+    val sys = Window.partitionBy("token").orderBy(desc("tf"), asc("doc_id"))
+    val ideal = Window.partitionBy("token").orderBy(desc("gain"), asc("doc_id"))
+    val ranked = tf
+      .withColumn("rk", row_number().over(sys))
+      .withColumn("irk", row_number().over(ideal))
+    val dcg = ranked.filter(col("rk") <= 10)
+      .groupBy("token")
+      .agg(sum(col("gain") * element_at(discLit, col("rk"))).as("dcg_nano"))
+    val idcg = ranked.filter(col("irk") <= 10)
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_ranked"),
+        sum(col("gain") * element_at(discLit, col("irk"))).as("idcg_nano"))
+    idcg.join(dcg, Seq("token"))
+      .select(col("token"), col("n_ranked"), col("dcg_nano"), col("idcg_nano"),
+        round(col("dcg_nano").cast("double") / col("idcg_nano"), 6).as("ndcg"))
+      .orderBy("token")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_ndcg" -> (evalNdcg _),
     "q_eval_auc" -> (evalAuc _),
     "q_eval_calibration" -> (evalCalibration _),
     "q_eval_confusion" -> (evalConfusion _),
@@ -246,6 +290,33 @@ object EvalOps {
     "q_bootstrap_ci" -> (bootstrapCi _))
 
   val oracles: Map[String, String] = Map(
+    "q_eval_ndcg" ->
+      s"""WITH disc AS (
+         |  SELECT * FROM (VALUES ${NdcgDisc.zipWithIndex
+            .map { case (d, i) => s"(${i + 1}, ${d})" }.mkString(", ")}) AS t(i, d)),
+         |tf AS (
+         |  SELECT token, doc_id, COUNT(*) AS tf,
+         |    (1 << CAST(doc_id % 4 AS INTEGER)) - 1 AS gain
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |        FROM documents)
+         |  WHERE token IN ('join', 'vector', 'scan')
+         |  GROUP BY token, doc_id),
+         |ranked AS (
+         |  SELECT token, doc_id, tf, gain,
+         |    row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id ASC) AS rk,
+         |    row_number() OVER (PARTITION BY token ORDER BY gain DESC, doc_id ASC) AS irk
+         |  FROM tf),
+         |dcg AS (
+         |  SELECT token, CAST(SUM(CAST(gain AS BIGINT) * d) AS BIGINT) AS dcg_nano
+         |  FROM ranked JOIN disc ON rk = i WHERE rk <= 10 GROUP BY token),
+         |idcg AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_ranked,
+         |    CAST(SUM(CAST(gain AS BIGINT) * d) AS BIGINT) AS idcg_nano
+         |  FROM ranked JOIN disc ON irk = i WHERE irk <= 10 GROUP BY token)
+         |SELECT idcg.token AS token, n_ranked, dcg_nano, idcg_nano,
+         |  round(CAST(dcg_nano AS DOUBLE) / idcg_nano, 6) AS ndcg
+         |FROM idcg JOIN dcg ON idcg.token = dcg.token
+         |ORDER BY idcg.token""".stripMargin,
     "q_eval_auc" ->
       """WITH g AS (
         |  SELECT n_chars AS score,

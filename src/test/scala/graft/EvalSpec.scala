@@ -141,4 +141,29 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(lo === means(1), "ci_lo = 2nd order statistic")
     assert(hi === means(62), "ci_hi = 63rd order statistic")
   }
+
+  test("NDCG@10 matches a driver-side brute-force ranking") {
+    val disc = Seq(1000000000L, 630929753L, 500000000L, 430676558L,
+      386852807L, 356207187L, 333333333L, 315464876L, 301029995L, 289064826L)
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val rows = operators.EvalOps.evalNdcg(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("token")).toSeq === Seq("join", "scan", "vector"))
+    for (r <- rows) {
+      val term = r.getAs[String]("token")
+      val pool = docs.flatMap { case (id, t) =>
+        val tf = t.split(" ").count(_ == term)
+        if (tf > 0) Some((id, tf.toLong, (1L << (id % 4).toInt) - 1L)) else None
+      }
+      val sysTop = pool.sortBy { case (id, tf, _) => (-tf, id) }.take(10)
+      val idealTop = pool.sortBy { case (id, _, g) => (-g, id) }.take(10)
+      val dcg = sysTop.zipWithIndex.map { case ((_, _, g), i) => g * disc(i) }.sum
+      val idcg = idealTop.zipWithIndex.map { case ((_, _, g), i) => g * disc(i) }.sum
+      assert(r.getAs[Long]("n_ranked") === idealTop.length.toLong, term)
+      assert(r.getAs[Long]("dcg_nano") === dcg, s"$term dcg")
+      assert(r.getAs[Long]("idcg_nano") === idcg, s"$term idcg")
+      assert(r.getAs[Double]("ndcg") > 0.0 && r.getAs[Double]("ndcg") <= 1.0)
+    }
+  }
 }
