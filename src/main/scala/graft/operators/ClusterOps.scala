@@ -348,7 +348,61 @@ object ClusterOps {
       .orderBy("label_a", "label_b")
   }
 
+  private val PqM = 4   // subspaces
+  private val PqK = 4   // codes per subspace
+  private val PqSub = 16 // dims per subspace (64 / PqM)
+
+  /** #253 Product quantization (Jégou et al. 2011, public): split each
+    * 64-dim embedding into 4 contiguous 16-dim subspaces and learn an
+    * independent K=4 codebook per subspace with the SAME integer-micro
+    * Lloyd chain as [[embedKmeans]] (seeds = vec_id 0..3's sub-vectors,
+    * one update round, exact int64 squared-L2, ties to the smaller
+    * code). A vector's PQ code is its 4 per-subspace assignments; the
+    * graded output is the per-(subspace, code) occupancy and exact
+    * integer quantization SSE — the codebook-quality readout that
+    * decides nlist/nbits before an ANN deployment.
+    *
+    * Scale: the four codebooks train in ONE dataflow (subspace id is a
+    * 4-way explode feeding the same broadcast-assign + (m, cid, dim)
+    * aggregate shape as kmeans — 16 centroid rows total, so assignment
+    * is a broadcast crossJoin filtered on m, never a shuffle keyed by
+    * vector). PQ memory story: 64 dims × 4 B floats → 4 B of codes per
+    * vector (16×), which is what makes billion-vector ANN fit in RAM.
+    */
+  def embedPq(s: SparkSession, dir: String): DataFrame = {
+    val sub = quantized(s, dir)
+      .select(col("vec_id"), explode(expr(s"sequence(0, ${PqM - 1})")).as("m"),
+        col("q"))
+      .select(col("vec_id"), col("m"),
+        expr(s"slice(q, m * $PqSub + 1, $PqSub)").as("sq"))
+    val seed = sub.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("cid"), col("sq").as("c"))
+    def assignPq(cents: DataFrame): DataFrame = {
+      val dist = aggregate(
+        zip_with(col("sq"), col("c"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)
+      val w = Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("cid"))
+      sub.join(broadcast(cents), Seq("m"))
+        .select(col("vec_id"), col("m"), col("sq"), col("cid"), dist.as("dist"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("vec_id", "m", "sq", "cid", "dist")
+    }
+    val cents1 = assignPq(seed)
+      .select(col("m"), col("cid"), posexplode(col("sq")).as(Seq("dim", "v")))
+      .groupBy("m", "cid", "dim")
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("cv"))
+      .groupBy("m", "cid")
+      .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
+      .select(col("m"), col("cid"), transform(col("pairs"), p => p("cv")).as("c"))
+      .localCheckpoint()
+    assignPq(cents1)
+      .groupBy(col("m").as("subspace"), col("cid").as("code"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("dist")).as("sse"))
+      .orderBy("subspace", "code")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_pq" -> (embedPq _),
     "q_embed_rand_proj" -> (embedRandProj _),
     "q_embed_centroid_drift" -> (embedCentroidDrift _),
     "q_embed_outliers" -> (embedOutliers _),
@@ -372,6 +426,38 @@ object ClusterOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_embed_pq" ->
+      """WITH qv AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM embeddings),
+        |sv AS (
+        |  SELECT vec_id, CAST((dim - 1) // 16 AS INT) AS m, (dim - 1) % 16 AS sdim, v
+        |  FROM qv),
+        |cent0 AS (
+        |  SELECT CAST(vec_id AS INT) AS cid, m, sdim, v FROM sv WHERE vec_id < 4),
+        |d1 AS (
+        |  SELECT a.vec_id, a.m, c.cid, SUM((a.v - c.v) * (a.v - c.v)) AS dist
+        |  FROM sv a JOIN cent0 c ON c.m = a.m AND c.sdim = a.sdim
+        |  GROUP BY a.vec_id, a.m, c.cid),
+        |a1 AS (
+        |  SELECT vec_id, m, cid FROM d1
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1),
+        |cent1 AS (
+        |  SELECT a1.m, a1.cid, sv.sdim,
+        |    CAST(floor(CAST(SUM(sv.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+        |  FROM sv JOIN a1 ON a1.vec_id = sv.vec_id AND a1.m = sv.m
+        |  GROUP BY a1.m, a1.cid, sv.sdim),
+        |d2 AS (
+        |  SELECT a.vec_id, a.m, c.cid, SUM((a.v - c.v) * (a.v - c.v)) AS dist
+        |  FROM sv a JOIN cent1 c ON c.m = a.m AND c.sdim = a.sdim
+        |  GROUP BY a.vec_id, a.m, c.cid),
+        |a2 AS (
+        |  SELECT vec_id, m, cid, dist FROM d2
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1)
+        |SELECT m AS subspace, cid AS code, COUNT(*) AS n_vectors,
+        |  CAST(SUM(dist) AS BIGINT) AS sse
+        |FROM a2 GROUP BY m, cid ORDER BY subspace, code""".stripMargin,
     "q_embed_rand_proj" -> randProjOracle,
     "q_embed_centroid_drift" ->
       """WITH qv AS (

@@ -280,7 +280,48 @@ object EvalOps {
       .orderBy("token")
   }
 
+  /** #251 MAP@10 + MRR — the binary-relevance ranking metrics next to
+    * [[evalNdcg]]'s graded one: per query term, documents rank by term
+    * frequency (tf DESC, doc_id ASC) exactly as NDCG, relevance is the
+    * binary cut of the same editorial label (doc_id % 4 ≥ 2), average
+    * precision truncates each precision@i to integer ppm BEFORE the sum
+    * (so both engines add identical integers — summing rationals and
+    * flooring once would knife-edge), AP divides by min(R, 10), and the
+    * reciprocal rank is 1e6 div first-relevant rank over the full pool.
+    *
+    * Scale: identical shape to NDCG — one (term, doc) tf aggregate
+    * (map-side combined), term-partitioned windows (never global), and
+    * a per-term final aggregate whose output is |terms| rows. Zero-
+    * relevant terms report 0 on both engines (a `div 0` is NULL in
+    * Spark but an ERROR in DuckDB, so the guard is structural).
+    */
+  def evalMapMrr(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("join", "vector", "scan")
+    val wsys = Window.partitionBy("token").orderBy(desc("tf"), asc("doc_id"))
+    val ranked = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("rel", when(col("doc_id") % 4 >= 2, 1L).otherwise(0L))
+      .withColumn("rk", row_number().over(wsys))
+      .withColumn("relcum", sum(col("rel")).over(
+        wsys.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked.groupBy("token")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(col("rel")).as("n_rel"),
+        sum(when(col("rk") <= 10 && col("rel") === 1L,
+          expr("(1000000 * relcum) div rk")).otherwise(0L)).as("ap_num"),
+        min(when(col("rel") === 1L, col("rk"))).as("first_rel"))
+      .select(col("token"), col("n_candidates"), col("n_rel"),
+        when(col("n_rel") > 0, expr("ap_num div least(n_rel, 10)"))
+          .otherwise(0L).as("ap_ppm"),
+        when(col("first_rel").isNotNull, expr("1000000 div first_rel"))
+          .otherwise(0L).as("rr_ppm"))
+      .orderBy("token")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_map_mrr" -> (evalMapMrr _),
     "q_eval_ndcg" -> (evalNdcg _),
     "q_eval_auc" -> (evalAuc _),
     "q_eval_calibration" -> (evalCalibration _),
@@ -290,6 +331,33 @@ object EvalOps {
     "q_bootstrap_ci" -> (bootstrapCi _))
 
   val oracles: Map[String, String] = Map(
+    "q_eval_map_mrr" ->
+      """WITH tf AS (
+        |  SELECT token, doc_id, COUNT(*) AS tf,
+        |    CASE WHEN doc_id % 4 >= 2 THEN 1 ELSE 0 END AS rel
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  WHERE token IN ('join', 'vector', 'scan')
+        |  GROUP BY token, doc_id),
+        |ranked AS (
+        |  SELECT token, doc_id, rel,
+        |    row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id ASC) AS rk,
+        |    SUM(rel) OVER (PARTITION BY token ORDER BY tf DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS relcum
+        |  FROM tf),
+        |agg AS (
+        |  SELECT token, COUNT(*) AS n_candidates,
+        |    CAST(SUM(rel) AS BIGINT) AS n_rel,
+        |    SUM(CASE WHEN rk <= 10 AND rel = 1
+        |      THEN (1000000 * relcum) // rk ELSE 0 END) AS ap_num,
+        |    MIN(CASE WHEN rel = 1 THEN rk END) AS first_rel
+        |  FROM ranked GROUP BY token)
+        |SELECT token, n_candidates, n_rel,
+        |  CASE WHEN n_rel > 0 THEN CAST(ap_num // least(n_rel, 10) AS BIGINT)
+        |       ELSE 0 END AS ap_ppm,
+        |  CASE WHEN first_rel IS NOT NULL THEN CAST(1000000 // first_rel AS BIGINT)
+        |       ELSE 0 END AS rr_ppm
+        |FROM agg ORDER BY token""".stripMargin,
     "q_eval_ndcg" ->
       s"""WITH disc AS (
          |  SELECT * FROM (VALUES ${NdcgDisc.zipWithIndex

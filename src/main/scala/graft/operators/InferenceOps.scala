@@ -184,13 +184,135 @@ object InferenceOps {
       .orderBy("type_a", "type_b")
   }
 
+  /** #252 Multivariate OLS (two predictors + intercept) fit entirely in
+    * exact integer arithmetic: regress order price (cents) on the
+    * order's line count and total quantity, solving the 2×2 normal
+    * equations by Cramer's rule on pivot-centered moments.
+    *
+    * Determinism: single-variable regression (q_stats_regression) ends
+    * in one double quotient; a 2-predictor fit multiplies moments
+    * together, so EVERY term here stays integral — rows are centered at
+    * the FLOORED means (an arbitrary pivot only shrinks magnitudes; OLS
+    * slopes are shift-invariant), moments correct the pivot residue via
+    * S_ab = (n·Σa·b − Σa·Σb) div n in DECIMAL(38,0)/HUGEINT, and the
+    * slopes/intercept/R² are single truncating divisions of exact
+    * integers (Spark `div` and DuckDB `//` both truncate toward zero
+    * for any sign — the [[TimeWindows.tsSeasonal]] convention).
+    *
+    * Scale: one lineitem groupBy (map-side combined) + one orders join,
+    * then two global 1-row aggregates (pivot pass + moment pass) — the
+    * classic two-pass distributed regression; nothing row-cardinality
+    * leaves the executors twice. Envelope: centered cents ≲ 1e8 and
+    * moment·moment·1e6 ≲ 1e38 bounds exactness to n ≲ 1e10 orders;
+    * beyond that drop slope precision to milli (documented, like the
+    * ANOVA envelope above).
+    */
+  def olsMulti(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(count(lit(1)).as("x1"), sum(col("l_quantity").cast("long")).as("x2"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey").as("okey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("y")), Seq("okey"))
+    val piv = per.agg(count(lit(1)).as("n0"),
+        sum(col("x1")).as("t1"), sum(col("x2")).as("t2"),
+        sum(col("y").cast(DecimalType(38, 0))).as("ty"))
+      .select(col("n0"), col("t1"), col("t2"), col("ty"),
+        expr("t1 div n0").as("p1"), expr("t2 div n0").as("p2"),
+        expr("cast(ty div n0 as long)").as("py"))
+    val m = per.crossJoin(broadcast(piv))
+      .select(col("n0"), col("t1"), col("t2"), col("ty"),
+        (col("x1") - col("p1")).as("c1"), (col("x2") - col("p2")).as("c2"),
+        (col("y") - col("py")).as("cy"))
+      .groupBy("n0", "t1", "t2", "ty")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c1")).cast(DecimalType(38, 0)).as("s1"),
+        sum(col("c2")).cast(DecimalType(38, 0)).as("s2"),
+        sum(col("cy").cast(DecimalType(38, 0))).as("sy"),
+        sum((col("c1") * col("c1")).cast(DecimalType(38, 0))).as("r11"),
+        sum((col("c1") * col("c2")).cast(DecimalType(38, 0))).as("r12"),
+        sum((col("c2") * col("c2")).cast(DecimalType(38, 0))).as("r22"),
+        sum(col("c1").cast(DecimalType(38, 0)) * col("cy")).as("r1y"),
+        sum(col("c2").cast(DecimalType(38, 0)) * col("cy")).as("r2y"),
+        sum(col("cy").cast(DecimalType(38, 0)) * col("cy")).as("ryy"))
+    // Spark `div` yields LONG whatever the inputs, so every moment is
+    // re-widened to DECIMAL(38,0) immediately — moment·moment products
+    // pass 2^63 already at sf0.01
+    m.withColumn("S11", expr("cast((n * r11 - s1 * s1) div n as decimal(38,0))"))
+      .withColumn("S12", expr("cast((n * r12 - s1 * s2) div n as decimal(38,0))"))
+      .withColumn("S22", expr("cast((n * r22 - s2 * s2) div n as decimal(38,0))"))
+      .withColumn("S1y", expr("cast((n * r1y - s1 * sy) div n as decimal(38,0))"))
+      .withColumn("S2y", expr("cast((n * r2y - s2 * sy) div n as decimal(38,0))"))
+      .withColumn("Syy", expr("cast((n * ryy - sy * sy) div n as decimal(38,0))"))
+      .withColumn("det", expr("S11 * S22 - S12 * S12"))
+      .filter(col("det") =!= 0 && col("Syy") =!= 0)
+      .withColumn("beta1_micro",
+        expr("((S1y * S22 - S2y * S12) * 1000000) div det"))
+      .withColumn("beta2_micro",
+        expr("((S2y * S11 - S1y * S12) * 1000000) div det"))
+      .select(col("n").as("n_orders"),
+        col("beta1_micro").cast("long").as("beta1_micro"),
+        col("beta2_micro").cast("long").as("beta2_micro"),
+        expr("cast((ty * 1000000 - cast(beta1_micro as decimal(38,0)) * t1" +
+          " - cast(beta2_micro as decimal(38,0)) * t2) div n0 as long)")
+          .as("intercept_micro"),
+        expr("cast((cast(beta1_micro as decimal(38,0)) * S1y" +
+          " + cast(beta2_micro as decimal(38,0)) * S2y) div Syy as long)")
+          .as("r2_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_ols_multi" -> (olsMulti _),
     "q_stats_welch_t" -> (welchT _),
     "q_stats_anova" -> (anovaLang _),
     "q_stats_spearman" -> (spearman _),
     "q_ts_cross_corr" -> (crossCorrLag1 _))
 
   val oracles: Map[String, String] = Map(
+    "q_stats_ols_multi" ->
+      """WITH per AS (
+        |  SELECT l.l_orderkey AS okey, COUNT(*) AS x1,
+        |    CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS x2,
+        |    MAX(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS y
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY l.l_orderkey),
+        |piv AS (
+        |  SELECT COUNT(*) AS n0,
+        |    SUM(x1) AS t1, SUM(x2) AS t2, CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS ty,
+        |    SUM(x1) // COUNT(*) AS p1, SUM(x2) // COUNT(*) AS p2,
+        |    CAST(SUM(CAST(y AS HUGEINT)) // COUNT(*) AS BIGINT) AS py
+        |  FROM per),
+        |m AS (
+        |  SELECT n0, t1, t2, ty, COUNT(*) AS n,
+        |    CAST(SUM(x1 - p1) AS HUGEINT) AS s1,
+        |    CAST(SUM(x2 - p2) AS HUGEINT) AS s2,
+        |    CAST(SUM(CAST(y - py AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(SUM((x1 - p1) * (x1 - p1)) AS HUGEINT) AS r11,
+        |    CAST(SUM((x1 - p1) * (x2 - p2)) AS HUGEINT) AS r12,
+        |    CAST(SUM((x2 - p2) * (x2 - p2)) AS HUGEINT) AS r22,
+        |    CAST(SUM(CAST(x1 - p1 AS HUGEINT) * (y - py)) AS HUGEINT) AS r1y,
+        |    CAST(SUM(CAST(x2 - p2 AS HUGEINT) * (y - py)) AS HUGEINT) AS r2y,
+        |    CAST(SUM(CAST(y - py AS HUGEINT) * (y - py)) AS HUGEINT) AS ryy
+        |  FROM per CROSS JOIN piv
+        |  GROUP BY n0, t1, t2, ty),
+        |mom AS (
+        |  SELECT n0, t1, t2, ty, n,
+        |    (n * r11 - s1 * s1) // n AS S11, (n * r12 - s1 * s2) // n AS S12,
+        |    (n * r22 - s2 * s2) // n AS S22, (n * r1y - s1 * sy) // n AS S1y,
+        |    (n * r2y - s2 * sy) // n AS S2y, (n * ryy - sy * sy) // n AS Syy
+        |  FROM m),
+        |d AS (SELECT *, S11 * S22 - S12 * S12 AS det FROM mom
+        |      WHERE S11 * S22 - S12 * S12 <> 0 AND Syy <> 0),
+        |b AS (
+        |  SELECT *, ((S1y * S22 - S2y * S12) * 1000000) // det AS beta1_micro,
+        |    ((S2y * S11 - S1y * S12) * 1000000) // det AS beta2_micro
+        |  FROM d)
+        |SELECT CAST(n AS BIGINT) AS n_orders,
+        |  CAST(beta1_micro AS BIGINT) AS beta1_micro,
+        |  CAST(beta2_micro AS BIGINT) AS beta2_micro,
+        |  CAST((ty * 1000000 - beta1_micro * t1 - beta2_micro * t2) // n0 AS BIGINT)
+        |    AS intercept_micro,
+        |  CAST((beta1_micro * S1y + beta2_micro * S2y) // Syy AS BIGINT) AS r2_ppm
+        |FROM b""".stripMargin,
     "q_stats_welch_t" ->
       """WITH g AS (
         |  SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS grp,
