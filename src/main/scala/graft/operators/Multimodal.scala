@@ -292,7 +292,115 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ---- audio: real RIFF/WAVE PCM16 codec --------------------------------
+
+  case class AudioFeatures(doc_id: Long, n_samples: Long, energy: Long,
+                           n_zero_cross: Long, peak: Long)
+
+  /** Closed-form PCM16 sample — the audio analog of [[pixelR]]: signed,
+    * ±1000 range, exercising the negative-sample byte encoding.
+    */
+  private[graft] def sampleAt(d: Long, i: Int): Int =
+    (((d * 31 + i * 17) % 2001) - 1000).toInt
+
+  private[graft] val WavRate = 16000
+
+  /** Minimal but REAL RIFF/WAVE writer: 44-byte canonical header + mono
+    * PCM16LE data chunk.
+    */
+  private[graft] def encodeWav(samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(WavRate); bb.putInt(WavRate * 2) // sample rate, byte rate
+    bb.putShort(2); bb.putShort(16) // block align, bits/sample
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** RIFF chunk-walking PCM16 reader. Validates the container (RIFF
+    * length, WAVE form, PCM/mono/16-bit fmt chunk before data) rather
+    * than assuming the fixed 44-byte layout — a truncated payload,
+    * wrong block align, or byte-order defect fails loudly instead of
+    * producing silently-wrong sums.
+    */
+  private[graft] def decodeWav(bytes: Array[Byte]): Array[Short] = {
+    val bb = ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(tag() == "RIFF", "not a RIFF container")
+    require(bb.getInt() == bytes.length - 8, "RIFF length mismatch")
+    require(tag() == "WAVE", "not a WAVE form")
+    var fmtSeen = false
+    var out: Array[Short] = null
+    while (out == null && bb.remaining() >= 8) {
+      val (id, len) = (tag(), bb.getInt())
+      id match {
+        case "fmt " =>
+          require(len >= 16, "short fmt chunk")
+          val (audioFmt, channels) = (bb.getShort(), bb.getShort())
+          bb.getInt(); bb.getInt() // sample rate, byte rate
+          val (blockAlign, bits) = (bb.getShort(), bb.getShort())
+          require(audioFmt == 1 && channels == 1 && blockAlign == 2 && bits == 16,
+            s"unsupported WAV: fmt=$audioFmt ch=$channels align=$blockAlign bits=$bits")
+          bb.position(bb.position() + (len - 16))
+          fmtSeen = true
+        case "data" =>
+          require(fmtSeen, "data chunk before fmt chunk")
+          require(len % 2 == 0 && len <= bb.remaining(), "bad data chunk length")
+          out = Array.fill(len / 2)(bb.getShort())
+        case _ => bb.position(bb.position() + len) // skip unknown chunk
+      }
+    }
+    require(out != null, "no data chunk")
+    out
+  }
+
+  /** #256 ORACLE-ABLE audio decode: every `audio` doc synthesizes a real
+    * WAV container executor-side from the closed-form PCM formula
+    * (160 + doc_id % 81 samples), then the graded path decodes those
+    * bytes back through the chunk-walking RIFF reader and reports exact
+    * integer features: sample count, energy (Σs²), sign-change zero
+    * crossings, and peak amplitude. DuckDB recomputes the same integer
+    * sums directly from the formula over a generate_series — any codec
+    * defect (header layout, LE byte order, sign extension, truncation)
+    * breaks the hash match, the same contract as the PNG round trip.
+    *
+    * Scale: codec work is per-row inside mapPartitions (no shuffle, no
+    * driver involvement); the unnest side is bounded at ≤240 samples
+    * per doc so the oracle stays cheap at the graded scales.
+    */
+  def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).filter(col("doc_id") % 3 === 1)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          val n = 160 + (d % 81).toInt
+          val ss = decodeWav(encodeWav(Array.tabulate(n)(i => sampleAt(d, i).toShort)))
+          var (energy, zc, peak) = (0L, 0L, 0L)
+          var i = 0
+          while (i < ss.length) {
+            val v = ss(i).toLong
+            energy += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (i > 0 && ((ss(i - 1) < 0) != (v < 0))) zc += 1
+            i += 1
+          }
+          AudioFeatures(d, ss.length.toLong, energy, zc, peak)
+        }
+      }
+      .toDF().orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_audio" -> (multimodalAudio _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_frames" -> (multimodalFrames _),
@@ -304,6 +412,23 @@ object Multimodal {
   // scaladoc). Ranges are padded to the metadata maxima (w≤16, h≤9,
   // frames≤5) and filtered per doc — ≤ 720 generated cells per doc.
   val oracles: Map[String, String] = Map(
+    "q_multimodal_audio" ->
+      """WITH a AS (
+        |  SELECT doc_id, 160 + doc_id % 81 AS n FROM documents WHERE doc_id % 3 = 1),
+        |s AS (
+        |  SELECT a.doc_id, i.i, a.n,
+        |    ((a.doc_id * 31 + i.i * 17) % 2001) - 1000 AS v
+        |  FROM a JOIN (SELECT unnest(generate_series(0, 240)) AS i) i ON i.i < a.n),
+        |z AS (
+        |  SELECT doc_id, n, i, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM s)
+        |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_samples,
+        |  CAST(SUM(v * v) AS BIGINT) AS energy,
+        |  CAST(SUM(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross,
+        |  CAST(MAX(abs(v)) AS BIGINT) AS peak
+        |FROM z GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |  ['img', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS fmt,

@@ -388,7 +388,43 @@ object TimeWindows {
         round(expr("percentile(slope, 0.5)"), 4).as("slope_micro_per_day"))
   }
 
+  /** #255 Holt double exponential smoothing (level + trend) of the
+    * daily event mass per type, α = β = 1/2 so every step is one
+    * integer halving: l' = (y + l + b) div 2, b' = (l' − l + b) div 2,
+    * init (l₁, b₁) = (y₁, y₂ − y₁), plus the 3-day-ahead forecast
+    * l + 3b. Genuinely recursive (no closed form once both level and
+    * trend smooth), so the fold runs as `aggregate()` over the
+    * per-key COLLECTED daily series — safe because the daily relation
+    * is calendar-bounded (≤366 values/key/year; [[tsSeasonal]]'s
+    * boundedness argument), with the 100 TB of raw events reduced by
+    * the day aggregate BEFORE anything is collected. Trends go
+    * negative in the fixture, which is exactly where the
+    * Spark-`div` = DuckDB-`//` truncate-toward-zero agreement (the
+    * [[tsSeasonal]] convention) is load-bearing; the twin runs the
+    * identical recurrence as a recursive CTE.
+    */
+  def tsHolt(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("sd"))
+      .filter(size(col("sd")) >= 2)
+      .withColumn("s", expr("transform(sd, p -> p.x)"))
+      .withColumn("st", expr(
+        """aggregate(slice(s, 2, size(s) - 1),
+          |  named_struct('l', s[0], 'b', s[1] - s[0]),
+          |  (acc, e) -> named_struct(
+          |    'l', (e + acc.l + acc.b) div 2,
+          |    'b', (((e + acc.l + acc.b) div 2) - acc.l + acc.b) div 2))"""
+          .stripMargin))
+      .select(col("event_type"), size(col("sd")).cast("long").as("n_days"),
+        col("st.l").as("level_micro"), col("st.b").as("trend_micro"),
+        (col("st.l") + lit(3L) * col("st.b")).as("forecast3_micro"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_holt" -> (tsHolt _),
     "q_ts_theilsen" -> (tsTheilSen _),
     "q_ts_seasonal" -> (tsSeasonal _),
     "q_ts_pct_change" -> (tsPctChange _),
@@ -405,6 +441,27 @@ object TimeWindows {
     "q_window_session" -> (windowSession _))
 
   val oracles: Map[String, String] = Map(
+    "q_ts_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, day),
+        |idx AS (
+        |  SELECT event_type, row_number() OVER (PARTITION BY event_type ORDER BY day) AS i, x
+        |  FROM daily),
+        |n AS (SELECT event_type, MAX(i) AS n FROM idx GROUP BY event_type),
+        |holt(event_type, i, l, b) AS (
+        |  SELECT i1.event_type, CAST(1 AS BIGINT), i1.x, i2.x - i1.x
+        |  FROM idx i1 JOIN idx i2 ON i1.event_type = i2.event_type AND i1.i = 1 AND i2.i = 2
+        |  UNION ALL
+        |  SELECT h.event_type, h.i + 1,
+        |    (ix.x + h.l + h.b) // 2,
+        |    ((ix.x + h.l + h.b) // 2 - h.l + h.b) // 2
+        |  FROM holt h JOIN idx ix ON ix.event_type = h.event_type AND ix.i = h.i + 1)
+        |SELECT h.event_type, n.n AS n_days, h.l AS level_micro, h.b AS trend_micro,
+        |  h.l + 3 * h.b AS forecast3_micro
+        |FROM holt h JOIN n USING (event_type) WHERE h.i = n.n
+        |ORDER BY h.event_type""".stripMargin,
     "q_ts_theilsen" ->
       """WITH d AS (
         |  SELECT date_trunc('day', ts) AS day,

@@ -166,4 +166,35 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[Double]("ndcg") > 0.0 && r.getAs[Double]("ndcg") <= 1.0)
     }
   }
+
+  test("MAP@10 and MRR match a driver-side brute-force ranking") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val rows = operators.EvalOps.evalMapMrr(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("token")).toSeq === Seq("join", "scan", "vector"))
+    for (r <- rows) {
+      val term = r.getAs[String]("token")
+      val pool = docs.flatMap { case (id, t) =>
+        val tf = t.split(" ").count(_ == term)
+        if (tf > 0) Some((id, tf.toLong, id % 4 >= 2)) else None
+      }.sortBy { case (id, tf, _) => (-tf, id) }
+      val nRel = pool.count(_._3).toLong
+      var apNum = 0L; var relcum = 0L; var firstRel = 0L
+      pool.zipWithIndex.foreach { case ((_, _, rel), i0) =>
+        val rk = i0 + 1L
+        if (rel) {
+          relcum += 1
+          if (firstRel == 0L) firstRel = rk
+          if (rk <= 10) apNum += 1000000L * relcum / rk
+        }
+      }
+      assert(r.getAs[Long]("n_candidates") === pool.length.toLong, term)
+      assert(r.getAs[Long]("n_rel") === nRel, term)
+      assert(r.getAs[Long]("ap_ppm") ===
+        (if (nRel > 0) apNum / math.min(nRel, 10L) else 0L), s"$term ap")
+      assert(r.getAs[Long]("rr_ppm") ===
+        (if (firstRel > 0) 1000000L / firstRel else 0L), s"$term rr")
+    }
+  }
 }

@@ -111,4 +111,38 @@ class InferenceSpec extends AnyFunSuite with SparkFixture {
       .select("event_type").distinct().count()
     assert(pairs.length === (types * (types - 1)).toInt)
   }
+
+  test("olsMulti matches a driver-side exact integer normal-equations solve") {
+    val per = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(count(lit(1)).as("x1"), sum(col("l_quantity").cast("long")).as("x2"))
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey").as("okey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("y")), Seq("okey"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = BigInt(per.length)
+    val (t1, t2, ty) = (BigInt(per.map(_._1).sum), BigInt(per.map(_._2).sum),
+      per.map(p => BigInt(p._3)).sum)
+    val (p1, p2, py) = (t1 / n, t2 / n, ty / n)
+    val c = per.map { case (x1, x2, y) => (BigInt(x1) - p1, BigInt(x2) - p2, BigInt(y) - py) }
+    val (s1, s2, sy) = (c.map(_._1).sum, c.map(_._2).sum, c.map(_._3).sum)
+    def mom(f: ((BigInt, BigInt, BigInt)) => BigInt): BigInt = c.map(f).sum
+    val S11 = (n * mom(t => t._1 * t._1) - s1 * s1) / n
+    val S12 = (n * mom(t => t._1 * t._2) - s1 * s2) / n
+    val S22 = (n * mom(t => t._2 * t._2) - s2 * s2) / n
+    val S1y = (n * mom(t => t._1 * t._3) - s1 * sy) / n
+    val S2y = (n * mom(t => t._2 * t._3) - s2 * sy) / n
+    val Syy = (n * mom(t => t._3 * t._3) - sy * sy) / n
+    val det = S11 * S22 - S12 * S12
+    val b1 = (S1y * S22 - S2y * S12) * 1000000 / det
+    val b2 = (S2y * S11 - S1y * S12) * 1000000 / det
+    val b0 = (ty * 1000000 - b1 * t1 - b2 * t2) / n
+    val r2 = (b1 * S1y + b2 * S2y) / Syy
+    val r = operators.InferenceOps.olsMulti(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_orders") === per.length.toLong)
+    assert(r.getAs[Long]("beta1_micro") === b1.toLong)
+    assert(r.getAs[Long]("beta2_micro") === b2.toLong)
+    assert(r.getAs[Long]("intercept_micro") === b0.toLong)
+    assert(r.getAs[Long]("r2_ppm") === r2.toLong)
+    assert(r2 >= 0 && r2 <= 1000000, s"r2_ppm in range: $r2")
+  }
 }

@@ -107,4 +107,16 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[Long]("b_sum") === expB, s"doc $d b_sum")
     }
   }
+
+  test("WAV codec round-trips PCM16 exactly and rejects corrupt containers") {
+    val samples = Array.tabulate(300)(i => Multimodal.sampleAt(7L, i).toShort)
+    assert(samples.exists(_ < 0), "fixture must exercise negative samples")
+    val wav = Multimodal.encodeWav(samples)
+    assert(Multimodal.decodeWav(wav).toSeq === samples.toSeq)
+    val badTag = wav.clone(); badTag(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.decodeWav(badTag))
+    intercept[IllegalArgumentException](Multimodal.decodeWav(wav.dropRight(2)))
+    val stereo = wav.clone(); stereo(22) = 2 // fmt chunk channel count
+    intercept[IllegalArgumentException](Multimodal.decodeWav(stereo))
+  }
 }

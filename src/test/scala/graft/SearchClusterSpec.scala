@@ -716,4 +716,29 @@ class SearchClusterSpec extends AnyFunSuite with SparkFixture {
     rows.foreach(r =>
       assert(km(r.getAs[Int]("cluster_id")) === r.getAs[Long]("n_members")))
   }
+
+  test("product quantization: occupancy partitions each subspace; Lloyd round does not increase SSE") {
+    val rows = operators.ClusterOps.embedPq(spark, sfDir).collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    val bySub = rows.groupBy(_.getAs[Int]("subspace"))
+    assert(bySub.keySet === Set(0, 1, 2, 3))
+    for ((m, rs) <- bySub) {
+      assert(rs.map(_.getAs[Long]("n_vectors")).sum === n, s"subspace $m occupancy")
+      assert(rs.forall(_.getAs[Long]("sse") >= 0L), s"subspace $m sse sign")
+    }
+    // assigning straight to the seed codebook (no update round) must cost
+    // at least as much as the trained codebook: Lloyd monotonicity
+    val vecs = operators.ClusterOps.quantized(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val seeds = vecs.filter(_._1 < 4).sortBy(_._1).map(_._2)
+    def subDist(a: Array[Long], b: Array[Long], m: Int): Long =
+      (0 until 16).map { d =>
+        val diff = a(m * 16 + d) - b(m * 16 + d); diff * diff
+      }.sum
+    val seedSse = (0 until 4).map { m =>
+      vecs.map { case (_, q) => seeds.map(c => subDist(q, c, m)).min }.sum
+    }.sum
+    val trainedSse = rows.map(_.getAs[Long]("sse")).sum
+    assert(trainedSse <= seedSse, s"trained $trainedSse vs seed $seedSse")
+  }
 }

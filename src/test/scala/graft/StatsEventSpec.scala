@@ -329,4 +329,43 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
     val hops = got.values.toSet
     assert((0L to hops.max).forall(hops.contains), "hop levels are contiguous")
   }
+
+  test("labelProp matches a driver-side synchronous LPA") {
+    val edges = operators.DedupOps.materializedEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sym = edges ++ edges.map(_.swap)
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var labels: Map[Long, Long] = adj.keySet.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      labels = adj.map { case (node, nbrs) =>
+        val counts = nbrs.groupBy(labels).view.mapValues(_.size).toMap
+        node -> counts.toSeq.sortBy { case (l, cnt) => (-cnt, l) }.head._1
+      }
+    }
+    val got = operators.GraphOps.labelProp(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === labels)
+    assert(got.values.toSet.size > 1, "more than one community at fixture scale")
+  }
+
+  test("tsHolt equals the driver-side fold of the daily series") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val got = operators.TimeWindows.tsHolt(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    for (r <- got) {
+      val xs = daily.filter(_._1 == r.getString(0)).sortBy(_._2).map(_._3)
+      var l = xs(0); var b = xs(1) - xs(0)
+      for (y <- xs.drop(1)) {
+        val l2 = (y + l + b) / 2 // Long / truncates toward zero = Spark div
+        b = (l2 - l + b) / 2; l = l2
+      }
+      assert(r.getLong(1) === xs.length.toLong, "n_days")
+      assert(r.getLong(2) === l, s"level ${r.getString(0)}")
+      assert(r.getLong(3) === b, s"trend ${r.getString(0)}")
+      assert(r.getLong(4) === l + 3 * b, s"forecast ${r.getString(0)}")
+    }
+  }
 }
