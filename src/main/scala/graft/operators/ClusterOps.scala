@@ -369,7 +369,21 @@ object ClusterOps {
     * vector). PQ memory story: 64 dims × 4 B floats → 4 B of codes per
     * vector (16×), which is what makes billion-vector ANN fit in RAM.
     */
-  def embedPq(s: SparkSession, dir: String): DataFrame = {
+  /** Sub-vector relation (vec_id, m, sq) and one-round-trained PQ
+    * codebook (m, cid, c) shared by [[embedPq]] and [[embedPqAdc]].
+    */
+  private def pqSubAssign(sub: DataFrame, cents: DataFrame): DataFrame = {
+    val dist = aggregate(
+      zip_with(col("sq"), col("c"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val w = Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("cid"))
+    sub.join(broadcast(cents), Seq("m"))
+      .select(col("vec_id"), col("m"), col("sq"), col("cid"), dist.as("dist"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "m", "sq", "cid", "dist")
+  }
+
+  private[graft] def pqModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val sub = quantized(s, dir)
       .select(col("vec_id"), explode(expr(s"sequence(0, ${PqM - 1})")).as("m"),
         col("q"))
@@ -377,17 +391,7 @@ object ClusterOps {
         expr(s"slice(q, m * $PqSub + 1, $PqSub)").as("sq"))
     val seed = sub.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").cast("int").as("cid"), col("sq").as("c"))
-    def assignPq(cents: DataFrame): DataFrame = {
-      val dist = aggregate(
-        zip_with(col("sq"), col("c"), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, v) => acc + v)
-      val w = Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("cid"))
-      sub.join(broadcast(cents), Seq("m"))
-        .select(col("vec_id"), col("m"), col("sq"), col("cid"), dist.as("dist"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select("vec_id", "m", "sq", "cid", "dist")
-    }
-    val cents1 = assignPq(seed)
+    val cents1 = pqSubAssign(sub, seed)
       .select(col("m"), col("cid"), posexplode(col("sq")).as(Seq("dim", "v")))
       .groupBy("m", "cid", "dim")
       .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("cv"))
@@ -395,13 +399,48 @@ object ClusterOps {
       .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
       .select(col("m"), col("cid"), transform(col("pairs"), p => p("cv")).as("c"))
       .localCheckpoint()
-    assignPq(cents1)
+    (sub, cents1)
+  }
+
+  def embedPq(s: SparkSession, dir: String): DataFrame = {
+    val (sub, cents1) = pqModel(s, dir)
+    pqSubAssign(sub, cents1)
       .groupBy(col("m").as("subspace"), col("cid").as("code"))
       .agg(count(lit(1)).as("n_vectors"), sum(col("dist")).as("sse"))
       .orderBy("subspace", "code")
   }
 
+  /** #261 PQ asymmetric-distance search (ADC): the query-time half of
+    * [[embedPq]] — each of 10 probe vectors scores the WHOLE corpus
+    * through the compressed codes alone: dist(probe, vec) ≈ Σ_m
+    * ‖probe_m − centroid[m, code_m(vec)]‖², i.e. one 160-row
+    * probe×centroid lookup table (10 probes × 16 centroids, exact
+    * int64 — built once, broadcast) + a code join. This is THE PQ scan
+    * shape at billion-vector scale: the full-precision corpus is never
+    * touched at query time, only the 4-codes-per-vector relation and a
+    * table small enough for L1 cache. Top-3 per probe, self excluded,
+    * deterministic (adist, vec_id) tiebreak.
+    */
+  def embedPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val (sub, cents1) = pqModel(s, dir)
+    val codes = pqSubAssign(sub, cents1).select("vec_id", "m", "cid")
+    val pdist = sub.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("m"), col("sq").as("psq"))
+      .join(cents1, Seq("m"))
+      .select(col("probe_id"), col("m"), col("cid"),
+        aggregate(zip_with(col("psq"), col("c"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v).as("pd"))
+    val w = Window.partitionBy("probe_id").orderBy(col("adist"), col("vec_id"))
+    codes.join(broadcast(pdist), Seq("m", "cid"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .groupBy("probe_id", "vec_id").agg(sum(col("pd")).as("adist"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("adist"))
+      .orderBy("probe_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_pq_adc" -> (embedPqAdc _),
     "q_embed_pq" -> (embedPq _),
     "q_embed_rand_proj" -> (embedRandProj _),
     "q_embed_centroid_drift" -> (embedCentroidDrift _),
@@ -426,6 +465,53 @@ object ClusterOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_embed_pq_adc" ->
+      """WITH qv AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM embeddings),
+        |sv AS (
+        |  SELECT vec_id, CAST((dim - 1) // 16 AS INT) AS m, (dim - 1) % 16 AS sdim, v
+        |  FROM qv),
+        |cent0 AS (
+        |  SELECT CAST(vec_id AS INT) AS cid, m, sdim, v FROM sv WHERE vec_id < 4),
+        |d1 AS (
+        |  SELECT a.vec_id, a.m, c.cid, SUM((a.v - c.v) * (a.v - c.v)) AS dist
+        |  FROM sv a JOIN cent0 c ON c.m = a.m AND c.sdim = a.sdim
+        |  GROUP BY a.vec_id, a.m, c.cid),
+        |a1 AS (
+        |  SELECT vec_id, m, cid FROM d1
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1),
+        |cent1 AS (
+        |  SELECT a1.m, a1.cid, sv.sdim,
+        |    CAST(floor(CAST(SUM(sv.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+        |  FROM sv JOIN a1 ON a1.vec_id = sv.vec_id AND a1.m = sv.m
+        |  GROUP BY a1.m, a1.cid, sv.sdim),
+        |d2 AS (
+        |  SELECT a.vec_id, a.m, c.cid, SUM((a.v - c.v) * (a.v - c.v)) AS dist
+        |  FROM sv a JOIN cent1 c ON c.m = a.m AND c.sdim = a.sdim
+        |  GROUP BY a.vec_id, a.m, c.cid),
+        |a2 AS (
+        |  SELECT vec_id, m, cid FROM d2
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1),
+        |pdist AS (
+        |  SELECT p.vec_id AS probe_id, c.m, c.cid,
+        |    SUM((p.v - c.v) * (p.v - c.v)) AS pd
+        |  FROM sv p JOIN cent1 c ON c.m = p.m AND c.sdim = p.sdim
+        |  WHERE p.vec_id < 10
+        |  GROUP BY p.vec_id, c.m, c.cid),
+        |adc AS (
+        |  SELECT pd.probe_id, a2.vec_id, SUM(pd.pd) AS adist
+        |  FROM a2 JOIN pdist pd ON pd.m = a2.m AND pd.cid = a2.cid
+        |  WHERE pd.probe_id <> a2.vec_id
+        |  GROUP BY pd.probe_id, a2.vec_id),
+        |rk AS (
+        |  SELECT probe_id, vec_id, adist,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rank
+        |  FROM adc)
+        |SELECT probe_id, CAST(rank AS INTEGER) AS rank, vec_id,
+        |  CAST(adist AS BIGINT) AS adist
+        |FROM rk WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
     "q_embed_pq" ->
       """WITH qv AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,

@@ -320,7 +320,37 @@ object EvalOps {
       .orderBy("token")
   }
 
+  /** #257 Cohen's kappa — chance-corrected agreement between the cheap
+    * "long document" classifier (n_chars ≥ 300) and the English label,
+    * the standard inter-annotator/classifier agreement statistic a
+    * labeling pipeline reports before trusting weak supervision. Fully
+    * exact: kappa = (N·(n11+n00) − (r1·c1 + r0·c0)) / (N² − (r1·c1 +
+    * r0·c0)) clears every denominator, so observed/expected agreement
+    * and kappa are single truncating divisions of DECIMAL(38,0)
+    * integers (N² outgrows int64 at ~3e9 rows). One 4-cell aggregate —
+    * map-side combined, nothing row-cardinality shuffles.
+    */
+  def evalKappa(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(when(col("n_chars") >= 300, 1L).otherwise(0L).as("pred"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("truth"))
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+        sum(col("pred") * col("truth")).cast(DecimalType(38, 0)).as("n11"),
+        sum(col("pred") * (lit(1L) - col("truth"))).cast(DecimalType(38, 0)).as("n10"),
+        sum((lit(1L) - col("pred")) * col("truth")).cast(DecimalType(38, 0)).as("n01"),
+        sum((lit(1L) - col("pred")) * (lit(1L) - col("truth"))).cast(DecimalType(38, 0)).as("n00"))
+      .withColumn("chance", expr(
+        "(n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)"))
+      .select(col("n").cast("long").as("n_docs"),
+        col("n11").cast("long").as("n11"), col("n10").cast("long").as("n10"),
+        col("n01").cast("long").as("n01"), col("n00").cast("long").as("n00"),
+        expr("cast(((n11 + n00) * 1000000) div n as long)").as("po_ppm"),
+        expr("cast((chance * 1000000) div (n * n) as long)").as("pe_ppm"),
+        expr("cast(((n * (n11 + n00) - chance) * 1000000) div (n * n - chance) as long)")
+          .as("kappa_ppm"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_kappa" -> (evalKappa _),
     "q_eval_map_mrr" -> (evalMapMrr _),
     "q_eval_ndcg" -> (evalNdcg _),
     "q_eval_auc" -> (evalAuc _),
@@ -331,6 +361,29 @@ object EvalOps {
     "q_bootstrap_ci" -> (bootstrapCi _))
 
   val oracles: Map[String, String] = Map(
+    "q_eval_kappa" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS pred,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS truth
+        |  FROM documents),
+        |c AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(pred * truth) AS HUGEINT) AS n11,
+        |    CAST(SUM(pred * (1 - truth)) AS HUGEINT) AS n10,
+        |    CAST(SUM((1 - pred) * truth) AS HUGEINT) AS n01,
+        |    CAST(SUM((1 - pred) * (1 - truth)) AS HUGEINT) AS n00
+        |  FROM d),
+        |e AS (
+        |  SELECT *, (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS chance
+        |  FROM c)
+        |SELECT CAST(n AS BIGINT) AS n_docs,
+        |  CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+        |  CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+        |  CAST(((n11 + n00) * 1000000) // n AS BIGINT) AS po_ppm,
+        |  CAST((chance * 1000000) // (n * n) AS BIGINT) AS pe_ppm,
+        |  CAST(((n * (n11 + n00) - chance) * 1000000) // (n * n - chance) AS BIGINT)
+        |    AS kappa_ppm
+        |FROM e""".stripMargin,
     "q_eval_map_mrr" ->
       """WITH tf AS (
         |  SELECT token, doc_id, COUNT(*) AS tf,

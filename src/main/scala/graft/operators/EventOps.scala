@@ -381,7 +381,41 @@ object EventOps {
       .orderBy("duration_days")
   }
 
+  /** #258 Peak concurrency per event type — the capacity-planning sweep
+    * line: each event opens a 30-minute half-open activity interval
+    * [t, t+1800); the report is the maximum number of simultaneously
+    * open intervals and the first instant attaining it. The sweep is
+    * the classic ±1 delta trick: +1 at start, −1 at end, NET delta per
+    * distinct boundary (so an end exactly cancels a start at the same
+    * second — the half-open convention falls out of the grouping), one
+    * cumulative-sum window and one per-type max.
+    *
+    * Scale: the windows run over the (type, boundary-second) GROUPED
+    * relation — bounded by the time domain (2 boundaries/sec/type ×
+    * the corpus time range), not the event count; the raw 100 TB of
+    * events is reduced by the map-side-combined delta aggregate first
+    * (the [[graft.operators.EvalOps.evalAuc]] domain-bounded-window
+    * argument, in time rather than score space).
+    */
+  def peakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("ts").cast("long").as("sec"))
+    val cum = ev.select(col("event_type"), col("sec").as("t"), lit(1L).as("d"))
+      .unionByName(ev.select(col("event_type"), (col("sec") + 1800L).as("t"),
+        lit(-1L).as("d")))
+      .groupBy("event_type", "t").agg(sum(col("d")).as("net"))
+      .withColumn("conc", sum(col("net")).over(
+        Window.partitionBy("event_type").orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.withColumn("peak", max(col("conc")).over(Window.partitionBy("event_type")))
+      .filter(col("conc") === col("peak"))
+      .groupBy(col("event_type"), col("peak"))
+      .agg(min(col("t")).as("peak_start_sec"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_peak_concurrency" -> (peakConcurrency _),
     "q_survival" -> (survival _),
     "q_event_transitions" -> (eventTransitions _),
     "q_running_capped" -> (runningCapped _),
@@ -398,6 +432,28 @@ object EventOps {
     "q_time_decay" -> (timeDecay _))
 
   val oracles: Map[String, String] = Map(
+    "q_peak_concurrency" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |deltas AS (
+        |  SELECT event_type, t, SUM(d) AS net FROM (
+        |    SELECT event_type, sec AS t, 1 AS d FROM ev
+        |    UNION ALL
+        |    SELECT event_type, sec + 1800, -1 FROM ev)
+        |  GROUP BY event_type, t),
+        |cum AS (
+        |  SELECT event_type, t,
+        |    SUM(net) OVER (PARTITION BY event_type ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM deltas),
+        |pk AS (
+        |  SELECT event_type, t, conc,
+        |    MAX(conc) OVER (PARTITION BY event_type) AS peak
+        |  FROM cum)
+        |SELECT event_type, CAST(peak AS BIGINT) AS peak,
+        |  CAST(MIN(t) AS BIGINT) AS peak_start_sec
+        |FROM pk WHERE conc = peak GROUP BY event_type, peak
+        |ORDER BY event_type""".stripMargin,
     "q_survival" ->
       """WITH h AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
         |s0 AS (

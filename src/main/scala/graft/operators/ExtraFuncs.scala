@@ -287,7 +287,52 @@ object ExtraFuncs {
       .orderBy("r_q", "f_q", "m_q")
   }
 
+  /** #259 Association rules over order baskets — support / confidence /
+    * lift in exact ppm for directed part→part rules, the market-basket
+    * statistic one step past [[coPurchase]]'s raw counts (confidence is
+    * what a recommender thresholds; lift is what separates correlation
+    * from popularity). Top-10 by lift with full deterministic
+    * tiebreak.
+    *
+    * Shape: the same in-task basket-pair explosion as coPurchase (ONE
+    * order-key shuffle, O(b²) bounded by basket size), antecedent /
+    * consequent totals joined back from the item-count aggregate, and
+    * every ratio an integer division with DECIMAL(38,0) products
+    * (n_ab·N² terms pass int64 at ~1e9 orders). The min-support cut
+    * (n_ab ≥ 3) happens BEFORE the metric joins — at scale the rare
+    * pairs are the bulk of the pair relation.
+    */
+  def assocRules(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nTx = li.select(col("ok")).distinct().agg(count(lit(1)).as("n_tx"))
+    val itemCnt = li.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val baskets = li.groupBy(col("ok")).agg(collect_set(col("pk")).as("pks"))
+      .filter(size(col("pks")) >= 2)
+    val pairs = baskets
+      .select(explode(expr(
+        "flatten(transform(pks, x -> transform(filter(pks, y -> y != x), " +
+          "y -> named_struct('part', x, 'co_part', y))))")).as("pr"))
+      .select(col("pr.part"), col("pr.co_part"))
+      .groupBy("part", "co_part").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 3)
+    pairs
+      .join(itemCnt.select(col("pk").as("part"), col("n_item").as("n_a")), Seq("part"))
+      .join(itemCnt.select(col("pk").as("co_part"), col("n_item").as("n_b")), Seq("co_part"))
+      .crossJoin(broadcast(nTx))
+      .select(col("part"), col("co_part"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("(cast(n_ab as decimal(38,0)) * 1000000) div n_tx").cast("long")
+          .as("support_ppm"),
+        expr("(cast(n_ab as decimal(38,0)) * 1000000) div n_a").cast("long")
+          .as("confidence_ppm"),
+        expr("(cast(n_ab as decimal(38,0)) * n_tx * 1000000) div " +
+          "(cast(n_a as decimal(38,0)) * n_b)").cast("long").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("part"), col("co_part"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assoc_rules" -> (assocRules _),
     "q_rfm_segments" -> (rfmSegments _),
     "q_join_null_safe" -> (joinNullSafe _),
     "q_json_variant" -> (jsonVariant _),
@@ -305,6 +350,28 @@ object ExtraFuncs {
     "q_agg_salted" -> (aggSalted _))
 
   val oracles: Map[String, String] = Map(
+    "q_assoc_rules" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |tx AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_tx FROM li),
+        |item AS (SELECT pk, COUNT(*) AS n_item FROM li GROUP BY pk),
+        |pairs AS (
+        |  SELECT a.pk AS part, b.pk AS co_part, COUNT(*) AS n_ab
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+        |  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 3),
+        |m AS (
+        |  SELECT p.part, p.co_part, CAST(p.n_ab AS BIGINT) AS n_ab,
+        |    CAST(ia.n_item AS BIGINT) AS n_a, CAST(ib.n_item AS BIGINT) AS n_b,
+        |    CAST((CAST(p.n_ab AS HUGEINT) * 1000000) // t.n_tx AS BIGINT) AS support_ppm,
+        |    CAST((CAST(p.n_ab AS HUGEINT) * 1000000) // ia.n_item AS BIGINT) AS confidence_ppm,
+        |    CAST((CAST(p.n_ab AS HUGEINT) * t.n_tx * 1000000)
+        |      // (CAST(ia.n_item AS HUGEINT) * ib.n_item) AS BIGINT) AS lift_ppm
+        |  FROM pairs p
+        |  JOIN item ia ON ia.pk = p.part
+        |  JOIN item ib ON ib.pk = p.co_part
+        |  CROSS JOIN tx t)
+        |SELECT part, co_part, n_ab, n_a, n_b, support_ppm, confidence_ppm, lift_ppm
+        |FROM m ORDER BY lift_ppm DESC, part, co_part LIMIT 10""".stripMargin,
     "q_rfm_segments" ->
       """WITH mx AS (SELECT max(o_orderdate) AS mx FROM orders),
         |b AS (

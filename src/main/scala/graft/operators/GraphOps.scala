@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Iterative graph analytics over the document-similarity graph — the
   * crawl-prioritization shape (rank pages/domains by their position in
@@ -246,7 +247,7 @@ object GraphOps {
     * count = fixed job count (no driver convergence loop). The DuckDB
     * twin unrolls the identical 3 rounds as CTEs.
     */
-  def labelProp(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def lpaLabels(s: SparkSession, dir: String): DataFrame = {
     val pairs = DedupOps.materializedEdges(s, dir)
     val sym = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -265,11 +266,52 @@ object GraphOps {
         .localCheckpoint()
     }
     sym.unpersist()
-    labels.select(col("node").as("doc_id"), col("label").as("community"))
+    labels
+  }
+
+  def labelProp(s: SparkSession, dir: String): DataFrame =
+    lpaLabels(s, dir)
+      .select(col("node").as("doc_id"), col("label").as("community"))
       .orderBy("doc_id")
+
+  /** #260 Modularity Q of the LPA partition — the one-number quality
+    * readout for [[labelProp]]'s communities: Q = Σ_c [e_c/m −
+    * (d_c/2m)²], cleared of denominators to the exact integer form
+    * Q_ppm = 1e6·Σ_c(4·m·e_c − d_c²) div (4·m²) so both engines sum
+    * identical DECIMAL(38,0)/HUGEINT terms and divide once (Q can be
+    * negative — trunc-div agreement again). Intra-community edge
+    * counts come from ONE pairs⋈labels⋈labels join; community degree
+    * masses from the degree aggregate — all |C|-bounded relations
+    * after the joins.
+    */
+  def modularity(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.materializedEdges(s, dir)
+    val labels = lpaLabels(s, dir).localCheckpoint()
+    val deg = pairs.select(col("doc_a").as("node"))
+      .unionByName(pairs.select(col("doc_b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val dC = labels.join(deg, Seq("node")).groupBy("label")
+      .agg(sum(col("dg")).as("d_c"), count(lit(1)).as("n_members"))
+    val eC = pairs
+      .join(labels.select(col("node").as("doc_a"), col("label").as("la")), Seq("doc_a"))
+      .join(labels.select(col("node").as("doc_b"), col("label").as("lb")), Seq("doc_b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_c"))
+    val mRow = pairs.agg(count(lit(1)).as("m"))
+    dC.join(eC, Seq("label"), "left").na.fill(0L, Seq("e_c"))
+      .crossJoin(broadcast(mRow))
+      .agg(count(lit(1)).as("n_communities"),
+        max(col("m")).as("n_edges"),
+        max(col("n_members")).as("largest_community"),
+        sum(lit(4) * col("m").cast(DecimalType(38, 0)) * col("e_c") -
+          col("d_c").cast(DecimalType(38, 0)) * col("d_c")).as("qnum"))
+      .select(col("n_communities"), col("n_edges"), col("largest_community"),
+        expr("cast((qnum * 1000000) div " +
+          "(4 * cast(n_edges as decimal(38,0)) * n_edges) as long)").as("q_ppm"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_modularity" -> (modularity _),
     "q_graph_label_prop" -> (labelProp _),
     "q_graph_bfs" -> (bfsHops _),
     "q_graph_kcore" -> (kcore _),
@@ -280,6 +322,56 @@ object GraphOps {
     "q_graph_triangles" -> (triangles _))
 
   val oracles: Map[String, String] = Map(
+    "q_graph_modularity" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+        |l1 AS (
+        |  SELECT node, label FROM (
+        |    SELECT s.b AS node, l.label, COUNT(*) AS cnt
+        |    FROM sym s JOIN l0 l ON l.node = s.a GROUP BY s.b, l.label)
+        |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) = 1),
+        |l2 AS (
+        |  SELECT node, label FROM (
+        |    SELECT s.b AS node, l.label, COUNT(*) AS cnt
+        |    FROM sym s JOIN l1 l ON l.node = s.a GROUP BY s.b, l.label)
+        |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) = 1),
+        |l3 AS (
+        |  SELECT node, label FROM (
+        |    SELECT s.b AS node, l.label, COUNT(*) AS cnt
+        |    FROM sym s JOIN l2 l ON l.node = s.a GROUP BY s.b, l.label)
+        |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) = 1),
+        |deg AS (SELECT a AS node, COUNT(*) AS dg FROM sym GROUP BY a),
+        |mm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM pairs),
+        |dc AS (
+        |  SELECT l.label, SUM(d.dg) AS d_c, COUNT(*) AS n_members
+        |  FROM l3 l JOIN deg d ON d.node = l.node GROUP BY l.label),
+        |ec AS (
+        |  SELECT la.label, COUNT(*) AS e_c
+        |  FROM pairs p
+        |  JOIN l3 la ON la.node = p.doc_a
+        |  JOIN l3 lb ON lb.node = p.doc_b AND lb.label = la.label
+        |  GROUP BY la.label),
+        |agg AS (
+        |  SELECT COUNT(*) AS n_communities, MAX(mm.m) AS m,
+        |    MAX(dc.n_members) AS largest_community,
+        |    SUM(4 * mm.m * CAST(COALESCE(ec.e_c, 0) AS HUGEINT)
+        |        - CAST(dc.d_c AS HUGEINT) * dc.d_c) AS qnum
+        |  FROM dc LEFT JOIN ec USING (label) CROSS JOIN mm)
+        |SELECT CAST(n_communities AS BIGINT) AS n_communities,
+        |  CAST(m AS BIGINT) AS n_edges,
+        |  CAST(largest_community AS BIGINT) AS largest_community,
+        |  CAST((qnum * 1000000) // (4 * m * m) AS BIGINT) AS q_ppm
+        |FROM agg""".stripMargin,
     "q_graph_label_prop" ->
       """WITH base AS (
         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset

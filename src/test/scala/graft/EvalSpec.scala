@@ -197,4 +197,23 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
         (if (firstRel > 0) 1000000L / firstRel else 0L), s"$term rr")
     }
   }
+
+  test("Cohen's kappa matches a driver-side exact contingency computation") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("n_chars", "lang").collect()
+      .map(r => (r.getLong(0) >= 300, r.getString(1) == "en"))
+    val n = BigInt(docs.length)
+    val n11 = BigInt(docs.count(d => d._1 && d._2))
+    val n10 = BigInt(docs.count(d => d._1 && !d._2))
+    val n01 = BigInt(docs.count(d => !d._1 && d._2))
+    val n00 = BigInt(docs.count(d => !d._1 && !d._2))
+    val chance = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    val r = operators.EvalOps.evalKappa(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_docs") === n.toLong)
+    assert(r.getAs[Long]("n11") === n11.toLong)
+    assert(r.getAs[Long]("po_ppm") === (((n11 + n00) * 1000000) / n).toLong)
+    assert(r.getAs[Long]("pe_ppm") === ((chance * 1000000) / (n * n)).toLong)
+    assert(r.getAs[Long]("kappa_ppm") ===
+      (((n * (n11 + n00) - chance) * 1000000) / (n * n - chance)).toLong)
+  }
 }

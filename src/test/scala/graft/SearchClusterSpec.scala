@@ -741,4 +741,17 @@ class SearchClusterSpec extends AnyFunSuite with SparkFixture {
     val trainedSse = rows.map(_.getAs[Long]("sse")).sum
     assert(trainedSse <= seedSse, s"trained $trainedSse vs seed $seedSse")
   }
+
+  test("PQ-ADC search: 3 dense ranks per probe, self excluded, adist non-decreasing") {
+    val rows = operators.ClusterOps.embedPqAdc(spark, sfDir).collect()
+    val byProbe = rows.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.keySet === (0L to 9L).toSet)
+    for ((p, rs) <- byProbe) {
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq === Seq(1, 2, 3), s"probe $p")
+      assert(rs.forall(_.getAs[Long]("vec_id") != p), s"probe $p self-match")
+      val byRank = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("adist"))
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x <= y }, s"probe $p order")
+      assert(byRank.forall(_ >= 0L))
+    }
+  }
 }

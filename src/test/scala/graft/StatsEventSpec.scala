@@ -368,4 +368,72 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
       assert(r.getLong(4) === l + 3 * b, s"forecast ${r.getString(0)}")
     }
   }
+
+  test("peakConcurrency matches a driver-side sweep line") {
+    val evs = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts").cast("long").as("sec"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = operators.EventOps.peakConcurrency(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    for (r <- got) {
+      val secs = evs.filter(_._1 == r.getString(0)).map(_._2)
+      val deltas = (secs.map((_, 1L)) ++ secs.map(s => (s + 1800L, -1L)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+      var conc = 0L; var peak = Long.MinValue; var peakT = 0L
+      for ((t, d) <- deltas) {
+        conc += d
+        if (conc > peak) { peak = conc; peakT = t }
+      }
+      assert(r.getLong(1) === peak, s"peak ${r.getString(0)}")
+      assert(r.getLong(2) === peakT, s"peak_start ${r.getString(0)}")
+    }
+  }
+
+  test("modularity is consistent with a driver-side recompute over LPA labels") {
+    val edges = operators.DedupOps.materializedEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = operators.GraphOps.labelProp(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = BigInt(edges.length)
+    val deg = (edges.map(_._1) ++ edges.map(_._2)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val dC = deg.groupBy { case (nd, _) => labels(nd) }
+      .view.mapValues(_.values.map(BigInt(_)).sum).toMap
+    val eC = edges.filter { case (a, b) => labels(a) == labels(b) }
+      .groupBy { case (a, _) => labels(a) }.view.mapValues(x => BigInt(x.length)).toMap
+    val qnum = dC.keysIterator.map { c =>
+      4 * m * eC.getOrElse(c, BigInt(0)) - dC(c) * dC(c)
+    }.sum
+    val r = operators.GraphOps.modularity(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_communities") === dC.size.toLong)
+    assert(r.getAs[Long]("n_edges") === edges.length.toLong)
+    assert(r.getAs[Long]("q_ppm") === ((qnum * 1000000) / (4 * m * m)).toLong)
+    assert(r.getAs[Long]("q_ppm") > 0, "LPA on a similarity graph should beat chance")
+  }
+
+  test("assocRules: confidence and lift agree with a driver-side basket recount") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nTx = li.map(_._1).distinct.length.toLong
+    val itemCnt = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCnt = li.groupBy(_._1).values.toSeq.flatMap { basket =>
+      val pks = basket.map(_._2).toSeq
+      for (a <- pks; b <- pks if a != b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = operators.ExtraFuncs.assocRules(spark, sfDir).collect()
+    assert(rows.length === 10)
+    var prevLift = Long.MaxValue
+    for (r <- rows) {
+      val (a, b) = (r.getAs[Long]("part"), r.getAs[Long]("co_part"))
+      val nAb = pairCnt((a, b))
+      assert(r.getAs[Long]("n_ab") === nAb)
+      assert(r.getAs[Long]("support_ppm") === nAb * 1000000L / nTx)
+      assert(r.getAs[Long]("confidence_ppm") === nAb * 1000000L / itemCnt(a))
+      assert(r.getAs[Long]("lift_ppm") ===
+        (BigInt(nAb) * nTx * 1000000 / (BigInt(itemCnt(a)) * itemCnt(b))).toLong)
+      assert(r.getAs[Long]("lift_ppm") <= prevLift, "sorted by lift desc")
+      prevLift = r.getAs[Long]("lift_ppm")
+    }
+  }
 }
