@@ -73,7 +73,7 @@ object EvalOps {
     * positive rate. Pure integer arithmetic; one aggregate over 10
     * groups — map-side combined, trivially scale-free.
     */
-  def evalCalibration(s: SparkSession, dir: String): DataFrame =
+  private def calibBins(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(
         expr("least(1000000L, (n_chars * 1000000L) div 600)").as("score_ppm"),
@@ -83,10 +83,35 @@ object EvalOps {
       .agg(count(lit(1)).as("n"),
         sum(col("score_ppm").cast(DecimalType(38, 0))).as("s_sum"),
         sum(col("pos")).as("n_pos"))
+
+  def evalCalibration(s: SparkSession, dir: String): DataFrame =
+    calibBins(s, dir)
       .select(col("bin"), col("n"),
         expr("s_sum div cast(n as decimal(38,0))").as("mean_score_ppm"),
         col("n_pos"), expr("(n_pos * 1000000) div n").as("pos_rate_ppm"))
       .orderBy("bin")
+
+  /** #263 Expected / maximum calibration error — the single-number
+    * summary of [[evalCalibration]]'s reliability bins: ECE = Σ_b
+    * (n_b/N)·|conf_b − acc_b|, MCE = max_b |conf_b − acc_b|, where
+    * conf/acc are the SAME floored integer-ppm bin statistics the
+    * calibration query grades (so the two queries can never disagree
+    * about a bin). The n_b·gap products run in DECIMAL(38,0) (n·1e6
+    * passes int64 at ~1e13 rows); one 10-row re-aggregate after the
+    * shared bin aggregate — map-side combined, scale-free.
+    */
+  def evalEce(s: SparkSession, dir: String): DataFrame =
+    calibBins(s, dir)
+      .select(col("n"),
+        expr("s_sum div cast(n as decimal(38,0))").as("conf"),
+        expr("(n_pos * 1000000) div n").as("acc"))
+      .withColumn("gap", abs(col("conf") - col("acc")))
+      .agg(sum(col("n")).as("n_docs"),
+        sum(col("n").cast(DecimalType(38, 0)) * col("gap")).as("wgap"),
+        max(col("gap")).as("mce_ppm"))
+      .select(col("n_docs"),
+        expr("cast(wgap div cast(n_docs as decimal(38,0)) as long)").as("ece_ppm"),
+        col("mce_ppm"))
 
   /** Confusion matrix + precision/recall/F1 (ppm) at three score
     * thresholds. The 3x explode happens before a map-side-combined
@@ -350,6 +375,7 @@ object EvalOps {
           .as("kappa_ppm"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_ece" -> (evalEce _),
     "q_eval_kappa" -> (evalKappa _),
     "q_eval_map_mrr" -> (evalMapMrr _),
     "q_eval_ndcg" -> (evalNdcg _),
@@ -361,6 +387,21 @@ object EvalOps {
     "q_bootstrap_ci" -> (bootstrapCi _))
 
   val oracles: Map[String, String] = Map(
+    "q_eval_ece" ->
+      """WITH d AS (
+        |  SELECT least(1000000, (n_chars * 1000000) // 600) AS score_ppm,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |b AS (SELECT least(9, score_ppm // 100000) AS bin, score_ppm, pos FROM d),
+        |g AS (
+        |  SELECT bin, COUNT(*) AS n,
+        |    CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS conf,
+        |    CAST((SUM(pos) * 1000000) // COUNT(*) AS BIGINT) AS acc
+        |  FROM b GROUP BY bin)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CAST(n AS HUGEINT) * abs(conf - acc)) // SUM(n) AS BIGINT) AS ece_ppm,
+        |  CAST(MAX(abs(conf - acc)) AS BIGINT) AS mce_ppm
+        |FROM g""".stripMargin,
     "q_eval_kappa" ->
       """WITH d AS (
         |  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS pred,

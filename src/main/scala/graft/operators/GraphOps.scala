@@ -310,7 +310,41 @@ object GraphOps {
           "(4 * cast(n_edges as decimal(38,0)) * n_edges) as long)").as("q_ppm"))
   }
 
+  /** #264 Per-community conductance φ_c = cut_c / min(vol_c, 2m − vol_c)
+    * — the boundary-quality companion to [[modularity]]'s single global
+    * Q: vol_c is the community's degree mass, and the cut needs NO
+    * extra join because cut_c = vol_c − 2·e_c exactly (every intra
+    * edge consumes two degree endpoints). A community holding ALL edge
+    * mass has an undefined φ (denominator 0) and reports NULL on both
+    * engines — a div-0 would be an ERROR in DuckDB, so the guard is
+    * structural. Integer ppm, |C|-bounded output.
+    */
+  def conductance(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.materializedEdges(s, dir)
+    val labels = lpaLabels(s, dir).localCheckpoint()
+    val deg = pairs.select(col("doc_a").as("node"))
+      .unionByName(pairs.select(col("doc_b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val dC = labels.join(deg, Seq("node")).groupBy("label")
+      .agg(sum(col("dg")).as("vol"), count(lit(1)).as("n_members"))
+    val eC = pairs
+      .join(labels.select(col("node").as("doc_a"), col("label").as("la")), Seq("doc_a"))
+      .join(labels.select(col("node").as("doc_b"), col("label").as("lb")), Seq("doc_b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_c"))
+    val mRow = pairs.agg(count(lit(1)).as("m"))
+    dC.join(eC, Seq("label"), "left").na.fill(0L, Seq("e_c"))
+      .crossJoin(broadcast(mRow))
+      .select(col("label").as("community"), col("n_members"), col("vol"),
+        (col("vol") - lit(2L) * col("e_c")).as("cut"),
+        when(least(col("vol"), lit(2L) * col("m") - col("vol")) > 0,
+          expr("((vol - 2 * e_c) * 1000000) div least(vol, 2 * m - vol)"))
+          .as("conductance_ppm"))
+      .orderBy("community")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_conductance" -> (conductance _),
     "q_graph_modularity" -> (modularity _),
     "q_graph_label_prop" -> (labelProp _),
     "q_graph_bfs" -> (bfsHops _),
@@ -322,6 +356,53 @@ object GraphOps {
     "q_graph_triangles" -> (triangles _))
 
   val oracles: Map[String, String] = Map(
+    "q_graph_conductance" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+        |l1 AS (
+        |  SELECT node, label FROM (
+        |    SELECT s.b AS node, l.label, COUNT(*) AS cnt
+        |    FROM sym s JOIN l0 l ON l.node = s.a GROUP BY s.b, l.label)
+        |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) = 1),
+        |l2 AS (
+        |  SELECT node, label FROM (
+        |    SELECT s.b AS node, l.label, COUNT(*) AS cnt
+        |    FROM sym s JOIN l1 l ON l.node = s.a GROUP BY s.b, l.label)
+        |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) = 1),
+        |l3 AS (
+        |  SELECT node, label FROM (
+        |    SELECT s.b AS node, l.label, COUNT(*) AS cnt
+        |    FROM sym s JOIN l2 l ON l.node = s.a GROUP BY s.b, l.label)
+        |  QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) = 1),
+        |deg AS (SELECT a AS node, COUNT(*) AS dg FROM sym GROUP BY a),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+        |dc AS (
+        |  SELECT l.label, CAST(SUM(d.dg) AS BIGINT) AS vol, COUNT(*) AS n_members
+        |  FROM l3 l JOIN deg d ON d.node = l.node GROUP BY l.label),
+        |ec AS (
+        |  SELECT la.label, CAST(COUNT(*) AS BIGINT) AS e_c
+        |  FROM pairs p
+        |  JOIN l3 la ON la.node = p.doc_a
+        |  JOIN l3 lb ON lb.node = p.doc_b AND lb.label = la.label
+        |  GROUP BY la.label)
+        |SELECT dc.label AS community, CAST(dc.n_members AS BIGINT) AS n_members,
+        |  dc.vol, dc.vol - 2 * COALESCE(ec.e_c, 0) AS cut,
+        |  CASE WHEN least(dc.vol, 2 * mm.m - dc.vol) > 0
+        |    THEN CAST(((dc.vol - 2 * COALESCE(ec.e_c, 0)) * 1000000)
+        |      // least(dc.vol, 2 * mm.m - dc.vol) AS BIGINT)
+        |  END AS conductance_ppm
+        |FROM dc LEFT JOIN ec USING (label) CROSS JOIN mm
+        |ORDER BY community""".stripMargin,
     "q_graph_modularity" ->
       """WITH base AS (
         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset

@@ -278,18 +278,53 @@ object Multimodal {
     * DuckDB twin recomputes the grid lumas from the pixel formula and
     * folds the 64 comparison bits in HUGEINT, wrapped mod 2^64.
     */
-  def multimodalPhash(s: SparkSession, dir: String): DataFrame = {
+  private def phashes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hashes = mediaTable(s, dir).as[MediaRecord]
+    mediaTable(s, dir).as[MediaRecord]
       .map { rec =>
         javax.imageio.ImageIO.setUseCache(false)
         (rec.doc_id, dHash(decodePng(splitFrames(rec.payload).head)))
       }
       .toDF("doc_id", "phash")
-    hashes
+  }
+
+  def multimodalPhash(s: SparkSession, dir: String): DataFrame =
+    phashes(s, dir)
       .withColumn("n_same", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("phash")))
       .orderBy("doc_id")
+
+  /** #262 Perceptual near-duplicate pairs: hamming ≤ 3 over the 64-bit
+    * dHash of every doc's frame 0, candidates from the SAME 4×16-bit
+    * pigeonhole block join the SimHash dedup uses (3 differing bits
+    * touch ≤ 3 chunks, so one chunk always matches — exhaustive, not
+    * probabilistic), exact XOR-popcount confirm. This is image near-dup
+    * as a first-class dedup stage: the REAL decode feeds the hash, the
+    * hash feeds the standard LSH-block candidate shape. At corpus scale
+    * hot chunk buckets would reuse [[DedupOps]]' two-level pigeonhole
+    * refinement verbatim; the fixture's bucket sizes stay single-digit
+    * (hash periodicity over doc_id is much coarser than the chunk
+    * space).
+    */
+  def multimodalPhashNear(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: both sides of the candidate self-join read this
+    // relation — without it every task would re-render + re-decode PNGs
+    val hashes = phashes(s, dir).localCheckpoint()
+    val chunked = hashes.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("phash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.phash").as("ha"), col("b.phash").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
   }
 
   // ---- audio: real RIFF/WAVE PCM16 codec --------------------------------
@@ -405,7 +440,8 @@ object Multimodal {
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_frames" -> (multimodalFrames _),
     "q_multimodal_resize" -> (multimodalResize _),
-    "q_multimodal_phash" -> (multimodalPhash _))
+    "q_multimodal_phash" -> (multimodalPhash _),
+    "q_multimodal_phash_near" -> (multimodalPhashNear _))
 
   // DuckDB twins recompute the closed-form pixel sums the Spark side must
   // reproduce through the real PNG encode/decode round trip (see object
@@ -499,6 +535,47 @@ object Multimodal {
         |        FROM bits GROUP BY doc_id))
         |SELECT doc_id, phash, COUNT(*) OVER (PARTITION BY phash) AS n_same
         |FROM ph ORDER BY doc_id""".stripMargin,
+    "q_multimodal_phash_near" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 16 + 1 AS INTEGER) AS w,
+        |    CAST(doc_id % 9 + 1 AS INTEGER) AS h
+        |  FROM documents),
+        |grid AS (
+        |  SELECT doc_id, gx, gy,
+        |    ((77 * ((doc_id * 31 + ((gx * w) // 9) * 7 + ((gy * h) // 8) * 13) % 256)
+        |    + 150 * ((doc_id * 17 + ((gx * w) // 9) * 5 + ((gy * h) // 8) * 3) % 256)
+        |    + 29 * ((doc_id * 29 + ((gx * w) // 9) * 11 + ((gy * h) // 8) * 19) % 256)) // 256)
+        |      AS luma
+        |  FROM m CROSS JOIN range(9) rx(gx) CROSS JOIN range(8) ry(gy)),
+        |ph AS (
+        |  SELECT doc_id, s,
+        |    CAST(CASE WHEN s >= CAST(9223372036854775808 AS HUGEINT)
+        |              THEN s - CAST(18446744073709551616 AS HUGEINT)
+        |              ELSE s END AS BIGINT) AS phash
+        |  FROM (
+        |    SELECT a.doc_id, COALESCE(SUM(
+        |      CASE WHEN b.luma > a.luma
+        |           THEN CAST(1 AS HUGEINT) << (a.gy * 8 + a.gx)
+        |           ELSE CAST(0 AS HUGEINT) END), CAST(0 AS HUGEINT)) AS s
+        |    FROM grid a JOIN grid b
+        |      ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+        |    WHERE a.gx < 8 GROUP BY a.doc_id)),
+        |chunks AS (
+        |  SELECT p.doc_id, p.phash, c.ci,
+        |    CAST((p.s // c.d) % 65536 AS BIGINT) AS chunk
+        |  FROM ph p CROSS JOIN (VALUES
+        |    (0, CAST(1 AS HUGEINT)), (1, CAST(65536 AS HUGEINT)),
+        |    (2, CAST(4294967296 AS HUGEINT)),
+        |    (3, CAST(281474976710656 AS HUGEINT))) c(ci, d)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.phash AS ha, b.phash AS hb
+        |  FROM chunks a JOIN chunks b
+        |    ON a.ci = b.ci AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_multimodal_resize" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -423,7 +423,37 @@ object TimeWindows {
         (col("st.l") + lit(3L) * col("st.b")).as("forecast3_micro"))
       .orderBy("event_type")
 
+  /** #265 Robust daily anomaly flags: a day is anomalous for its event
+    * type when |mass − median| > 3·MAD — the outlier rule that survives
+    * the outliers themselves (mean/stddev would be dragged by the very
+    * spikes it hunts; cf. the per-value IQR variant in
+    * [[QualityOps]]). Median and MAD are EXACT low-median-pair
+    * integers ((l[(n+1)/2] + l[(n+2)/2]) div 2 over the sorted list),
+    * computed per key on the COLLECTED daily series — the same
+    * calendar-bounded collect the Holt fold justifies: ≤366 values per
+    * key per year, reduced from the raw events by the day aggregate
+    * first. Everything stays int64 micro; both engines index the same
+    * sorted lists.
+    */
+  def tsAnomaly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(col("x"))).as("xs"))
+      .withColumn("med", expr(
+        "(element_at(xs, cast((size(xs) + 1) div 2 as int)) + element_at(xs, cast((size(xs) + 2) div 2 as int))) div 2"))
+      .withColumn("devs", expr("array_sort(transform(xs, v -> abs(v - med)))"))
+      .withColumn("mad", expr(
+        "(element_at(devs, cast((size(devs) + 1) div 2 as int)) + element_at(devs, cast((size(devs) + 2) div 2 as int))) div 2"))
+      .select(col("event_type"), size(col("xs")).cast("long").as("n_days"),
+        col("med").as("median_micro"), col("mad").as("mad_micro"),
+        expr("cast(size(filter(xs, v -> abs(v - med) > 3 * mad)) as long)")
+          .as("n_anomalies"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_anomaly" -> (tsAnomaly _),
     "q_ts_holt" -> (tsHolt _),
     "q_ts_theilsen" -> (tsTheilSen _),
     "q_ts_seasonal" -> (tsSeasonal _),
@@ -441,6 +471,31 @@ object TimeWindows {
     "q_window_session" -> (windowSession _))
 
   val oracles: Map[String, String] = Map(
+    "q_ts_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, day),
+        |l AS (
+        |  SELECT event_type, list(x ORDER BY x) AS xs, COUNT(*) AS n
+        |  FROM daily GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n, xs,
+        |    (xs[CAST((n + 1) // 2 AS INT)] + xs[CAST((n + 2) // 2 AS INT)]) // 2 AS med
+        |  FROM l),
+        |d AS (
+        |  SELECT event_type, n, xs, med,
+        |    list_sort([abs(v - med) FOR v IN xs]) AS devs
+        |  FROM m),
+        |f AS (
+        |  SELECT event_type, n, med,
+        |    (devs[CAST((n + 1) // 2 AS INT)] + devs[CAST((n + 2) // 2 AS INT)]) // 2 AS mad,
+        |    xs
+        |  FROM d)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  CAST(med AS BIGINT) AS median_micro, CAST(mad AS BIGINT) AS mad_micro,
+        |  CAST(len([v FOR v IN xs IF abs(v - med) > 3 * mad]) AS BIGINT) AS n_anomalies
+        |FROM f ORDER BY event_type""".stripMargin,
     "q_ts_holt" ->
       """WITH RECURSIVE daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

@@ -216,4 +216,18 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Long]("kappa_ppm") ===
       (((n * (n11 + n00) - chance) * 1000000) / (n * n - chance)).toLong)
   }
+
+  test("ECE/MCE are consistent with the calibration query's own bins") {
+    val bins = operators.EvalOps.evalCalibration(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("n"), r.getAs[Long]("mean_score_ppm"),
+        r.getAs[Long]("pos_rate_ppm")))
+    val n = bins.map(_._1).sum
+    val gaps = bins.map { case (nb, conf, acc) => (nb, math.abs(conf - acc)) }
+    val ece = gaps.map { case (nb, g) => BigInt(nb) * g }.sum / n
+    val r = operators.EvalOps.evalEce(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_docs") === n)
+    assert(r.getAs[Long]("ece_ppm") === ece.toLong)
+    assert(r.getAs[Long]("mce_ppm") === gaps.map(_._2).max)
+    assert(r.getAs[Long]("ece_ppm") <= r.getAs[Long]("mce_ppm"))
+  }
 }

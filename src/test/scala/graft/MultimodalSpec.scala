@@ -119,4 +119,17 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     val stereo = wav.clone(); stereo(22) = 2 // fmt chunk channel count
     intercept[IllegalArgumentException](Multimodal.decodeWav(stereo))
   }
+
+  test("phash near-dup pairs equal the driver-side all-pairs hamming scan") {
+    val hashes = Multimodal.multimodalPhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    val got = Multimodal.multimodalPhashNear(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture should contain at least one near-identical pair")
+  }
 }

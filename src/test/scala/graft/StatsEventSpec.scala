@@ -436,4 +436,49 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
       prevLift = r.getAs[Long]("lift_ppm")
     }
   }
+
+  test("conductance: cut = vol - 2*e_c, volumes sum to 2m, phi in [0, 1e6]") {
+    val edges = operators.DedupOps.materializedEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val m = edges.length.toLong
+    val rows = operators.GraphOps.conductance(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("vol")).sum === 2 * m)
+    val labels = operators.GraphOps.labelProp(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val deg = (edges.map(_._1) ++ edges.map(_._2)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    for (r <- rows) {
+      val c = r.getAs[Long]("community")
+      val vol = deg.collect { case (nd, d) if labels(nd) == c => d }.sum
+      val eIn = edges.count { case (a, b) => labels(a) == c && labels(b) == c }.toLong
+      assert(r.getAs[Long]("vol") === vol, s"vol $c")
+      assert(r.getAs[Long]("cut") === vol - 2 * eIn, s"cut $c")
+      val denom = math.min(vol, 2 * m - vol)
+      if (denom > 0) {
+        assert(r.getAs[Long]("conductance_ppm") === (vol - 2 * eIn) * 1000000L / denom)
+        assert(r.getAs[Long]("conductance_ppm") >= 0L)
+        assert(r.getAs[Long]("conductance_ppm") <= 1000000L)
+      } else assert(r.isNullAt(r.fieldIndex("conductance_ppm")), s"phi $c")
+    }
+  }
+
+  test("tsAnomaly median/MAD equal the driver-side sorted-pair medians") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    def medPair(l: Seq[Long]): Long = {
+      val n = l.length
+      (l((n + 1) / 2 - 1) + l((n + 2) / 2 - 1)) / 2
+    }
+    for (r <- operators.TimeWindows.tsAnomaly(spark, sfDir).collect()) {
+      val xs = daily.filter(_._1 == r.getString(0)).map(_._2).sorted.toSeq
+      val med = medPair(xs)
+      val mad = medPair(xs.map(v => math.abs(v - med)).sorted)
+      assert(r.getLong(1) === xs.length.toLong)
+      assert(r.getLong(2) === med, s"median ${r.getString(0)}")
+      assert(r.getLong(3) === mad, s"mad ${r.getString(0)}")
+      assert(r.getLong(4) === xs.count(v => math.abs(v - med) > 3 * mad).toLong)
+    }
+  }
 }
