@@ -562,4 +562,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
         "corpus was shuffle-joined against the tiny probe side")
     }
   }
+
+  test("PQ-ADC scores codes against a BROADCAST probe-centroid table") {
+    val plan = executed(operators.ClusterOps.embedPqAdc(spark, sfDir))
+    // the pdist lookup must broadcast — a shuffle join keyed by (m, cid)
+    // would move the whole code relation for a 160-row table
+    assert(collectAll(plan).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"pdist join should be BroadcastHashJoin:\n$plan")
+  }
+
+  test("association rules broadcast the 1-row transaction total") {
+    val plan = executed(operators.ExtraFuncs.assocRules(spark, sfDir))
+    val bnlj = collectAll(plan).count(_.isInstanceOf[BroadcastNestedLoopJoinExec])
+    assert(bnlj >= 1, s"n_tx crossJoin should be a broadcast nested loop:\n$plan")
+    assert(plan.toString.contains("TakeOrderedAndProject") ||
+      collectAll(plan).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      s"top-10 by lift should not global-sort:\n$plan")
+  }
+
+  test("peak concurrency windows stay partitioned by event type (no SinglePartition)") {
+    val plan = executed(operators.EventOps.peakConcurrency(spark, sfDir))
+    val windows = collectAll(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"every window must partition by event_type:\n$plan")
+  }
 }
