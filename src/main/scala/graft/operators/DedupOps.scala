@@ -655,6 +655,7 @@ object DedupOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_url" -> (dedupUrl _),
+    "q_sketch_calibration" -> (sketchCalibration _),
     "q_dedup_near_minhash" -> (dedupNearMinhash _),
     "q_dedup_containment" -> (dedupContainment _),
     "q_dedup_jaccard_blocked" -> (dedupJaccardBlocked _),
@@ -662,7 +663,104 @@ object DedupOps {
     "q_dedup_embed_cosine" -> ((s, d) => dedupEmbedCosine(s, d)),
     "q_dedup_components" -> (dedupComponents _))
 
+  private val CalibPerms = 32
+
+  /** #266 Sketch calibration: how well does a K-permutation MinHash
+    * estimate track EXACT Jaccard on this corpus? For every exact pair
+    * (the ≥0.2 blocked edge set), the estimate is the matching-position
+    * fraction of a 32-perm signature; pairs bucket by exact-similarity
+    * decile and each bucket reports mean exact, mean estimate, and mean
+    * absolute error, all floored integer ppm. This is the measurement
+    * that justifies (or indicts) the production LSH parameters — the
+    * expected |err| of a K-perm estimator is √(J(1−J)/K) ≈ 80k ppm at
+    * K=32, and the report shows whether the corpus behaves.
+    *
+    * The calibration signature is md5-based (the repo's one
+    * cross-engine hash), NOT the production xxhash64 kernel — the
+    * kernel's values are unreproducible in the oracle engine, and a
+    * calibration statistic needs any exchangeable permutation family.
+    * Cost control: signatures are computed ONLY for documents that
+    * appear in the edge set (a semi-join before the 32-way explode),
+    * so the md5 work is |pair docs|·tokens·K, not corpus-wide; the
+    * signature hashes the TOKEN SETS — the exact-jaccard space —
+    * because estimator and truth must share the set definition.
+    */
+  def sketchCalibration(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"),
+      expr("cast(round(jaccard * 1e6) as long)").as("exact_ppm"))
+    val docIds = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    // minhash the TOKEN SETS — the same similarity space jaccardPairs
+    // measures exactly (an earlier draft hashed 3-gram shingles and the
+    // PropertySpec bias bound caught the systematic ~250k-ppm offset:
+    // shingle jaccard underestimates token jaccard, so estimator and
+    // truth MUST share the set definition)
+    val sh = Tables.documents(s, dir).join(docIds, Seq("doc_id"))
+      .withColumn("tokset", array_distinct(split(col("text"), " ")))
+      .select(col("doc_id"), col("tokset"))
+    val sigs = sh
+      .select(col("doc_id"), explode(col("tokset")).as("sg"))
+      .withColumn("p", explode(expr(s"sequence(0, ${CalibPerms - 1})")))
+      .select(col("doc_id"), col("p"),
+        conv(substring(md5(concat(col("p").cast("string"), lit(":"), col("sg"))),
+          1, 8), 16, 10).cast("long").as("h"))
+      .groupBy("doc_id", "p").agg(min(col("h")).as("minh"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("p"), col("minh")))).as("ps"))
+      .select(col("doc_id"), expr("transform(ps, x -> x.minh)").as("sig"))
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), Seq("doc_b"))
+      .withColumn("est_ppm", expr(
+        s"(aggregate(zip_with(sa, sb, (x, y) -> if(x = y, 1L, 0L)), 0L, " +
+          s"(a, v) -> a + v) * 1000000) div $CalibPerms"))
+      .withColumn("bucket", expr("least(9L, exact_ppm div 100000)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(exact_ppm) div count(1)").as("mean_exact_ppm"),
+        expr("sum(est_ppm) div count(1)").as("mean_est_ppm"),
+        expr("sum(abs(est_ppm - exact_ppm)) div count(1)").as("mean_abs_err_ppm"))
+      .orderBy("bucket")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_sketch_calibration" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, text,
+        |    list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(round(round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |        / len(list_distinct(a.tokset || b.tokset)), 6) * 1e6) AS BIGINT)
+        |      AS exact_ppm
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |ids AS (SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b FROM pairs),
+        |sgx AS (
+        |  SELECT b.doc_id, unnest(b.tokset) AS sg
+        |  FROM base b JOIN ids USING (doc_id)),
+        |hx AS (
+        |  SELECT doc_id, p, MIN(h) AS minh FROM (
+        |    SELECT doc_id, p.p AS p,
+        |      ('0x' || substring(md5(CAST(p.p AS VARCHAR) || ':' || sg), 1, 8))::BIGINT AS h
+        |    FROM sgx CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS p) p)
+        |  GROUP BY doc_id, p),
+        |est AS (
+        |  SELECT pr.doc_a, pr.doc_b, pr.exact_ppm,
+        |    (SUM(CASE WHEN ha.minh = hb.minh THEN 1 ELSE 0 END) * 1000000) // 32
+        |      AS est_ppm
+        |  FROM pairs pr
+        |  JOIN hx ha ON ha.doc_id = pr.doc_a
+        |  JOIN hx hb ON hb.doc_id = pr.doc_b AND hb.p = ha.p
+        |  GROUP BY pr.doc_a, pr.doc_b, pr.exact_ppm)
+        |SELECT least(9, exact_ppm // 100000) AS bucket, COUNT(*) AS n_pairs,
+        |  CAST(SUM(exact_ppm) // COUNT(*) AS BIGINT) AS mean_exact_ppm,
+        |  CAST(SUM(est_ppm) // COUNT(*) AS BIGINT) AS mean_est_ppm,
+        |  CAST(SUM(abs(est_ppm - exact_ppm)) // COUNT(*) AS BIGINT) AS mean_abs_err_ppm
+        |FROM est GROUP BY bucket ORDER BY bucket""".stripMargin,
     // verbatim mirror of dedupUrl's messy-variant synthesis + the
     // canonicalization chain (lowercase scheme/host, strip :443, strip
     // trailing slashes, drop utm_*, sort surviving params)

@@ -234,17 +234,23 @@ object InferenceOps {
         sum(col("c1").cast(DecimalType(38, 0)) * col("cy")).as("r1y"),
         sum(col("c2").cast(DecimalType(38, 0)) * col("cy")).as("r2y"),
         sum(col("cy").cast(DecimalType(38, 0)) * col("cy")).as("ryy"))
-    // Spark `div` yields LONG whatever the inputs, so every moment is
-    // re-widened to DECIMAL(38,0) immediately — moment·moment products
-    // pass 2^63 already at sf0.01
+    // Spark `div` yields LONG whatever the inputs — and for decimal
+    // operands it WRAPS SILENTLY modulo 2^64 when the true quotient
+    // passes 2^63 (no ANSI overflow error; found by the sf0.1 parity
+    // sweep: Syy ≈ 3.06e19 wrapped to −6.34e18 and flipped R²'s sign).
+    // So: every moment quotient that provably fits int64 (S11..S2y —
+    // bounded by n·feature-range²) is re-widened to DECIMAL(38,0) after
+    // its div; Syy, the one moment that outgrows int64 at sf0.1, is
+    // kept UNDIVIDED (SyyN = n·Syy, exact decimal) and the n folds into
+    // the final R² division instead.
     m.withColumn("S11", expr("cast((n * r11 - s1 * s1) div n as decimal(38,0))"))
       .withColumn("S12", expr("cast((n * r12 - s1 * s2) div n as decimal(38,0))"))
       .withColumn("S22", expr("cast((n * r22 - s2 * s2) div n as decimal(38,0))"))
       .withColumn("S1y", expr("cast((n * r1y - s1 * sy) div n as decimal(38,0))"))
       .withColumn("S2y", expr("cast((n * r2y - s2 * sy) div n as decimal(38,0))"))
-      .withColumn("Syy", expr("cast((n * ryy - sy * sy) div n as decimal(38,0))"))
+      .withColumn("SyyN", expr("n * ryy - sy * sy"))
       .withColumn("det", expr("S11 * S22 - S12 * S12"))
-      .filter(col("det") =!= 0 && col("Syy") =!= 0)
+      .filter(col("det") =!= 0 && col("SyyN") =!= 0)
       .withColumn("beta1_micro",
         expr("((S1y * S22 - S2y * S12) * 1000000) div det"))
       .withColumn("beta2_micro",
@@ -255,8 +261,8 @@ object InferenceOps {
         expr("cast((ty * 1000000 - cast(beta1_micro as decimal(38,0)) * t1" +
           " - cast(beta2_micro as decimal(38,0)) * t2) div n0 as long)")
           .as("intercept_micro"),
-        expr("cast((cast(beta1_micro as decimal(38,0)) * S1y" +
-          " + cast(beta2_micro as decimal(38,0)) * S2y) div Syy as long)")
+        expr("cast(((cast(beta1_micro as decimal(38,0)) * S1y" +
+          " + cast(beta2_micro as decimal(38,0)) * S2y) * n) div SyyN as long)")
           .as("r2_ppm"))
   }
 
@@ -298,10 +304,10 @@ object InferenceOps {
         |  SELECT n0, t1, t2, ty, n,
         |    (n * r11 - s1 * s1) // n AS S11, (n * r12 - s1 * s2) // n AS S12,
         |    (n * r22 - s2 * s2) // n AS S22, (n * r1y - s1 * sy) // n AS S1y,
-        |    (n * r2y - s2 * sy) // n AS S2y, (n * ryy - sy * sy) // n AS Syy
+        |    (n * r2y - s2 * sy) // n AS S2y, (n * ryy - sy * sy) AS SyyN
         |  FROM m),
         |d AS (SELECT *, S11 * S22 - S12 * S12 AS det FROM mom
-        |      WHERE S11 * S22 - S12 * S12 <> 0 AND Syy <> 0),
+        |      WHERE S11 * S22 - S12 * S12 <> 0 AND SyyN <> 0),
         |b AS (
         |  SELECT *, ((S1y * S22 - S2y * S12) * 1000000) // det AS beta1_micro,
         |    ((S2y * S11 - S1y * S12) * 1000000) // det AS beta2_micro
@@ -311,7 +317,7 @@ object InferenceOps {
         |  CAST(beta2_micro AS BIGINT) AS beta2_micro,
         |  CAST((ty * 1000000 - beta1_micro * t1 - beta2_micro * t2) // n0 AS BIGINT)
         |    AS intercept_micro,
-        |  CAST((beta1_micro * S1y + beta2_micro * S2y) // Syy AS BIGINT) AS r2_ppm
+        |  CAST(((beta1_micro * S1y + beta2_micro * S2y) * n) // SyyN AS BIGINT) AS r2_ppm
         |FROM b""".stripMargin,
     "q_stats_welch_t" ->
       """WITH g AS (

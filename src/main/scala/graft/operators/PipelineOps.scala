@@ -481,7 +481,44 @@ object PipelineOps {
       .orderBy("split_x", "split_y")
   }
 
+  /** #267 Compaction planning — the table-maintenance step every
+    * file-based lakehouse runs: given a file inventory (simulated here
+    * as one file per (lang, 50-doc slab), bytes = summed n_chars),
+    * group small files into target-sized packs (8 KB here, scaled to the fixture; production targets are 128 MB+). The policy is sorted
+    * sequential packing: files order by (bytes DESC, file_id) within
+    * their lang and a file's pack is its EXCLUSIVE running-bytes prefix
+    * div the target — deterministic, one-pass, and
+    * SQL-expressible (true first-fit-decreasing needs a mutable bin
+    * state; the sorted-prefix rule is the standard scalable
+    * approximation and over-fills a pack only by the one straddling
+    * file).
+    *
+    * Scale: every relation here is MANIFEST-cardinality (files, not
+    * rows) — the 100 TB of data appears only as the metadata aggregate
+    * that builds the inventory; the planning window runs over ~N/64KB
+    * entries per lang. Output: per (lang, pack) file count, bytes, and
+    * fill ratio vs target in ppm.
+    */
+  def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val target = 8192L
+    val files = Tables.documents(s, dir)
+      .groupBy(col("lang"), expr("doc_id div 50").as("file_id"))
+      .agg(sum(col("n_chars")).as("bytes"), count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("bytes").desc, col("file_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"cum_before div ${target}L"))
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("pack_bytes"),
+        sum(col("n_docs")).as("n_docs"))
+      .withColumn("fill_ppm", expr(s"(pack_bytes * 1000000) div ${target}L"))
+      .orderBy("lang", "pack_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_compaction_plan" -> (compactionPlan _),
     "q_pipeline_e2e" -> (pipelineE2e _),
     "q_token_budget" -> (tokenBudget _),
     "q_split_leakage" -> (splitLeakage _),
@@ -499,6 +536,23 @@ object PipelineOps {
     "q_dedup_canonical" -> (dedupCanonical _))
 
   val oracles: Map[String, String] = Map(
+    "q_compaction_plan" ->
+      """WITH files AS (
+        |  SELECT lang, doc_id // 50 AS file_id,
+        |    CAST(SUM(n_chars) AS BIGINT) AS bytes, COUNT(*) AS n_docs
+        |  FROM documents GROUP BY lang, doc_id // 50),
+        |planned AS (
+        |  SELECT lang, file_id, bytes, n_docs,
+        |    COALESCE(SUM(bytes) OVER (PARTITION BY lang
+        |      ORDER BY bytes DESC, file_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 8192
+        |      AS pack_id
+        |  FROM files)
+        |SELECT lang, CAST(pack_id AS BIGINT) AS pack_id, COUNT(*) AS n_files,
+        |  CAST(SUM(bytes) AS BIGINT) AS pack_bytes,
+        |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |  CAST((SUM(bytes) * 1000000) // 8192 AS BIGINT) AS fill_ppm
+        |FROM planned GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
     // pair grid verbatim from the q_dedup_components twin (blocked
     // exact Jaccard >= 0.2); split CASE verbatim from q_split_assign
     "q_split_leakage" ->

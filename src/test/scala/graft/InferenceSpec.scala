@@ -131,12 +131,12 @@ class InferenceSpec extends AnyFunSuite with SparkFixture {
     val S22 = (n * mom(t => t._2 * t._2) - s2 * s2) / n
     val S1y = (n * mom(t => t._1 * t._3) - s1 * sy) / n
     val S2y = (n * mom(t => t._2 * t._3) - s2 * sy) / n
-    val Syy = (n * mom(t => t._3 * t._3) - sy * sy) / n
+    val SyyN = n * mom(t => t._3 * t._3) - sy * sy
     val det = S11 * S22 - S12 * S12
     val b1 = (S1y * S22 - S2y * S12) * 1000000 / det
     val b2 = (S2y * S11 - S1y * S12) * 1000000 / det
     val b0 = (ty * 1000000 - b1 * t1 - b2 * t2) / n
-    val r2 = (b1 * S1y + b2 * S2y) / Syy
+    val r2 = (b1 * S1y + b2 * S2y) * n / SyyN
     val r = operators.InferenceOps.olsMulti(spark, sfDir).collect().head
     assert(r.getAs[Long]("n_orders") === per.length.toLong)
     assert(r.getAs[Long]("beta1_micro") === b1.toLong)

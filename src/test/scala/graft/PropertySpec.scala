@@ -358,4 +358,38 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     val c = rows.map(_.getString(1))
     assert(c(0) === c(1), s"page-7 variants diverge: ${c(0)} vs ${c(1)}")
   }
+
+  test("sketch calibration conserves pairs and the estimator tracks exact jaccard") {
+    val nPairs = operators.DedupOps.dedupJaccardBlocked(spark, sfDir).count()
+    val rows = operators.DedupOps.sketchCalibration(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === nPairs, "every pair lands in one bucket")
+    for (r <- rows) {
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 2 && b <= 9, s"bucket $b outside the >=0.2 jaccard domain")
+      val est = r.getAs[Long]("mean_est_ppm")
+      assert(est >= 0L && est <= 1000000L)
+      // K=32 => sigma ~ 88k ppm; bucket means of n>=10 pairs should sit
+      // well within 2 sigma of the exact mean
+      if (r.getAs[Long]("n_pairs") >= 10)
+        assert(math.abs(est - r.getAs[Long]("mean_exact_ppm")) <= 180000L,
+          s"bucket $b estimator bias")
+    }
+  }
+
+  test("compaction plan conserves docs and bytes within each lang") {
+    val rows = operators.PipelineOps.compactionPlan(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("pack_id"), r.getAs[Long]("n_files"),
+        r.getAs[Long]("pack_bytes"), r.getAs[Long]("n_docs"), r.getAs[Long]("fill_ppm")))
+    val docs = Tables.documents(spark, sfDir)
+      .groupBy("lang").agg(org.apache.spark.sql.functions.sum("n_chars").as("b"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((lang, rs) <- rows.groupBy(_._1)) {
+      assert(rs.map(_._4).sum === docs(lang)._1, s"$lang bytes conserved")
+      assert(rs.map(_._5).sum === docs(lang)._2, s"$lang docs conserved")
+      val packs = rs.map(_._2).sorted
+      assert(packs.head === 0L, s"$lang packs start at 0")
+    }
+    assert(rows.forall(_._6 > 0L), "no empty packs")
+  }
 }
