@@ -247,7 +247,33 @@ object GraphOps {
     * count = fixed job count (no driver convergence loop). The DuckDB
     * twin unrolls the identical 3 rounds as CTEs.
     */
+  /** Session memo for the 3-round LPA label relation — three graded
+    * queries (#254 labelProp, #260 modularity, #264 conductance) share
+    * the identical labels; without the memo each re-runs the full
+    * propagation chain. Same weak-session discipline as
+    * [[StatsOps]]'s rank kernel: entries hold their session via
+    * WeakReference and every lookup sweeps dead/stopped sessions,
+    * releasing their checkpoint blocks.
+    */
+  private final case class LpaEntry(
+    session: java.lang.ref.WeakReference[SparkSession], labels: DataFrame)
+  private val lpaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, LpaEntry]()
+
   private[graft] def lpaLabels(s: SparkSession, dir: String): DataFrame = {
+    val key = DedupOps.cacheKey(dir, "documents")
+    lpaCache.entrySet.removeIf { e =>
+      val sess = e.getValue.session.get()
+      sess == null || sess.sparkContext.isStopped
+    }
+    lpaCache.compute(key, (_, old) => {
+      if (old != null && (old.session.get() eq s)) old
+      else LpaEntry(new java.lang.ref.WeakReference(s),
+        lpaLabelsUncached(s, dir).localCheckpoint())
+    }).labels
+  }
+
+  private def lpaLabelsUncached(s: SparkSession, dir: String): DataFrame = {
     val pairs = DedupOps.materializedEdges(s, dir)
     val sym = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -286,7 +312,7 @@ object GraphOps {
     */
   def modularity(s: SparkSession, dir: String): DataFrame = {
     val pairs = DedupOps.materializedEdges(s, dir)
-    val labels = lpaLabels(s, dir).localCheckpoint()
+    val labels = lpaLabels(s, dir)
     val deg = pairs.select(col("doc_a").as("node"))
       .unionByName(pairs.select(col("doc_b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("dg"))
@@ -321,7 +347,7 @@ object GraphOps {
     */
   def conductance(s: SparkSession, dir: String): DataFrame = {
     val pairs = DedupOps.materializedEdges(s, dir)
-    val labels = lpaLabels(s, dir).localCheckpoint()
+    val labels = lpaLabels(s, dir)
     val deg = pairs.select(col("doc_a").as("node"))
       .unionByName(pairs.select(col("doc_b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("dg"))
