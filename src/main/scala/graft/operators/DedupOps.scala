@@ -301,7 +301,7 @@ object DedupOps {
     * pairs — bounded-quadratic blocked all-pairs, oracle-checked.
     */
   def dedupJaccardBlocked(s: SparkSession, dir: String): DataFrame =
-    jaccardPairs(s, dir).orderBy("doc_a", "doc_b")
+    materializedJaccard(s, dir).orderBy("doc_a", "doc_b")
 
   /** Containment-overlap near-dup pairs: |A∩B| / min(|A|,|B|) ≥ 0.6 over
     * the same (lang, source) blocks. Containment is the ASYMMETRIC
@@ -360,13 +360,22 @@ object DedupOps {
     md.digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
-  private[graft] def materializedEdges(s: SparkSession, dir: String): DataFrame = {
-    val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/edges_v2_${cacheKey(dir, "documents")}"
+  /** Materialized full jaccard pair relation (lang, source, doc_a,
+    * doc_b, jaccard) — one derived file now serves BOTH the edge-list
+    * consumers (graph ops, components, leakage) and the jaccard-valued
+    * consumers (q_dedup_jaccard_blocked, sketch calibration); before
+    * r11b the blocked-pair scan ran twice per bench pass, once for the
+    * edges file and once for the jaccard query.
+    */
+  private[graft] def materializedJaccard(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/jaccard_v3_${cacheKey(dir, "documents")}"
     if (!new java.io.File(path, "_SUCCESS").exists())
-      jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
-        .write.mode("overwrite").parquet(path)
+      jaccardPairs(s, dir).write.mode("overwrite").parquet(path)
     s.read.parquet(path)
   }
+
+  private[graft] def materializedEdges(s: SparkSession, dir: String): DataFrame =
+    materializedJaccard(s, dir).select(col("doc_a"), col("doc_b"))
 
   /** SimHash fingerprint + hamming-≤3 candidate pairs via the 4-chunk
     * pigeonhole block join. ORACLE-ABLE (promoted r10): the token hash
@@ -686,7 +695,7 @@ object DedupOps {
     * because estimator and truth must share the set definition.
     */
   def sketchCalibration(s: SparkSession, dir: String): DataFrame = {
-    val pairs = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"),
+    val pairs = materializedJaccard(s, dir).select(col("doc_a"), col("doc_b"),
       expr("cast(round(jaccard * 1e6) as long)").as("exact_ppm"))
     val docIds = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
@@ -695,15 +704,19 @@ object DedupOps {
     // PropertySpec bias bound caught the systematic ~250k-ppm offset:
     // shingle jaccard underestimates token jaccard, so estimator and
     // truth MUST share the set definition)
-    val sh = Tables.documents(s, dir).join(docIds, Seq("doc_id"))
-      .withColumn("tokset", array_distinct(split(col("text"), " ")))
-      .select(col("doc_id"), col("tokset"))
-    val sigs = sh
-      .select(col("doc_id"), explode(col("tokset")).as("sg"))
+    val toks = Tables.documents(s, dir).join(docIds, Seq("doc_id"))
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("sg"))
+    // md5 runs once per (DISTINCT token, perm) — the vocab is orders of
+    // magnitude smaller than the (doc, token) occurrence relation, and
+    // the 32-row-per-token hash table broadcasts back (r11b: this was
+    // the bench's hottest query at 3.7 s with per-occurrence hashing)
+    val vocabHash = toks.select(col("sg")).distinct()
       .withColumn("p", explode(expr(s"sequence(0, ${CalibPerms - 1})")))
-      .select(col("doc_id"), col("p"),
+      .select(col("sg"), col("p"),
         conv(substring(md5(concat(col("p").cast("string"), lit(":"), col("sg"))),
           1, 8), 16, 10).cast("long").as("h"))
+    val sigs = toks.join(broadcast(vocabHash), Seq("sg"))
       .groupBy("doc_id", "p").agg(min(col("h")).as("minh"))
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("p"), col("minh")))).as("ps"))
