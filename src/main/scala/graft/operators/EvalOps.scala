@@ -374,7 +374,67 @@ object EvalOps {
         expr("cast(((n * (n11 + n00) - chance) * 1000000) div (n * n - chance) as long)")
           .as("kappa_ppm"))
 
+  /** Shared threshold relation for the PR family: per DISTINCT score
+    * (descending), cumulative predicted-positive counts tp/fp — the
+    * same score-domain-bounded scaffold as [[evalAuc]], so the window
+    * relation never grows with corpus row count.
+    */
+  private def prThresholds(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir)
+      .select(col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy("score")
+      .agg(sum(col("pos")).as("np"), sum(lit(1L) - col("pos")).as("nn"))
+    val w = Window.orderBy(desc("score")).rowsBetween(Window.unboundedPreceding, 0)
+    g.withColumn("tp", sum(col("np")).over(w))
+      .withColumn("fp", sum(col("nn")).over(w))
+      .crossJoin(broadcast(g.agg(sum(col("np")).as("pos_total"))))
+  }
+
+  /** #268 Precision-recall curve of the "long documents are English"
+    * classifier: one row per distinct score threshold (predict positive
+    * iff score ≥ threshold) with exact integer tp/fp and floored-ppm
+    * precision/recall. The retrieval-side companion to [[evalAuc]]'s
+    * ROC — on the skewed label distributions corpus filters actually
+    * face, PR is the curve that moves.
+    *
+    * Scale: identical boundedness argument to evalAuc — one
+    * map-side-combined groupBy(score), then windows over the
+    * DISTINCT-SCORE relation (score domain ≲ 10^5 for document
+    * lengths), never row-cardinality. Determinism: counts + truncating
+    * ppm divisions only.
+    */
+  def evalPrCurve(s: SparkSession, dir: String): DataFrame =
+    prThresholds(s, dir)
+      .select(col("score"), col("tp"), col("fp"),
+        expr("(tp * 1000000) div (tp + fp)").as("precision_ppm"),
+        expr("(tp * 1000000) div pos_total").as("recall_ppm"))
+      .orderBy(desc("score"))
+
+  /** #268 Average precision (area under the PR curve by the step rule
+    * AP = Σ_i (R_i − R_{i−1})·P_i over descending-score thresholds) —
+    * the single-number PR summary, exact from the same integer-ppm
+    * curve points as [[evalPrCurve]] (the two can never disagree), with
+    * the Δrecall·precision products in DECIMAL(38,0).
+    */
+  def evalPrAuc(s: SparkSession, dir: String): DataFrame = {
+    val wlag = Window.orderBy(desc("score"))
+    prThresholds(s, dir)
+      .select(col("score"), col("pos_total"),
+        expr("(tp * 1000000) div (tp + fp)").as("precision_ppm"),
+        expr("(tp * 1000000) div pos_total").as("recall_ppm"))
+      .withColumn("r_prev", lag(col("recall_ppm"), 1, 0L).over(wlag))
+      .agg(count(lit(1)).as("n_thresholds"),
+        max(col("pos_total")).as("n_pos"),
+        sum((col("recall_ppm") - col("r_prev")).cast(DecimalType(38, 0)) *
+          col("precision_ppm")).as("ap_num"))
+      .select(col("n_thresholds"), col("n_pos"),
+        expr("cast(ap_num div 1000000 as long)").as("ap_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_pr_curve" -> (evalPrCurve _),
+    "q_eval_pr_auc" -> (evalPrAuc _),
     "q_eval_ece" -> (evalEce _),
     "q_eval_kappa" -> (evalKappa _),
     "q_eval_map_mrr" -> (evalMapMrr _),
@@ -387,6 +447,50 @@ object EvalOps {
     "q_bootstrap_ci" -> (bootstrapCi _))
 
   val oracles: Map[String, String] = Map(
+    "q_eval_pr_curve" ->
+      """WITH g AS (
+        |  SELECT n_chars AS score,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |  FROM documents GROUP BY n_chars),
+        |c AS (
+        |  SELECT score,
+        |    CAST(SUM(np) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |    CAST(SUM(nn) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+        |    CAST((SELECT SUM(np) FROM g) AS BIGINT) AS pos_total
+        |  FROM g)
+        |SELECT score, tp, fp,
+        |  CAST((tp * 1000000) // (tp + fp) AS BIGINT) AS precision_ppm,
+        |  CAST((tp * 1000000) // pos_total AS BIGINT) AS recall_ppm
+        |FROM c ORDER BY score DESC""".stripMargin,
+    "q_eval_pr_auc" ->
+      """WITH g AS (
+        |  SELECT n_chars AS score,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |  FROM documents GROUP BY n_chars),
+        |c AS (
+        |  SELECT score,
+        |    CAST(SUM(np) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |    CAST(SUM(nn) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+        |    CAST((SELECT SUM(np) FROM g) AS BIGINT) AS pos_total
+        |  FROM g),
+        |p AS (
+        |  SELECT pos_total,
+        |    CAST((tp * 1000000) // (tp + fp) AS BIGINT) AS precision_ppm,
+        |    CAST((tp * 1000000) // pos_total AS BIGINT) AS recall_ppm,
+        |    CAST(COALESCE(lag((tp * 1000000) // pos_total)
+        |      OVER (ORDER BY score DESC), 0) AS BIGINT) AS r_prev
+        |  FROM c)
+        |SELECT COUNT(*) AS n_thresholds,
+        |  CAST(MAX(pos_total) AS BIGINT) AS n_pos,
+        |  CAST(SUM(CAST(recall_ppm - r_prev AS HUGEINT) * precision_ppm)
+        |    // 1000000 AS BIGINT) AS ap_ppm
+        |FROM p""".stripMargin,
     "q_eval_ece" ->
       """WITH d AS (
         |  SELECT least(1000000, (n_chars * 1000000) // 600) AS score_ppm,

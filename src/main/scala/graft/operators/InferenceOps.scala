@@ -266,7 +266,88 @@ object InferenceOps {
           .as("r2_ppm"))
   }
 
+  /** #269 Kendall rank correlation (tau-a, with tie counts) between the
+    * daily order count and daily revenue — the rank-concordance readout
+    * that, unlike Spearman's rho, is defined directly from pair
+    * orderings and so needs no midrank machinery.
+    *
+    * Scale: the concordance pair join runs over the DAILY aggregate,
+    * which is calendar-bounded (|days| rows whatever the order count —
+    * the [[TimeWindows]].tsSeasonal argument), so the d² pair relation
+    * is ~365²/2 per year of data, independent of corpus size; the only
+    * row-cardinality work is the one map-side-combined groupBy(day).
+    * Determinism: concordant / discordant / tie classification is pure
+    * integer sign arithmetic; tau_a_ppm is one truncating division
+    * (Spark `div` = DuckDB `//`). Tau-b's √((n0−tx)(n0−ty)) denominator
+    * would need a cross-engine floor-sqrt on a ~1e10 product — knife-
+    * edge flooring for no extra information, so tau-a + explicit tie
+    * counts is the contract (the caller can form tau-b externally).
+    */
+  def kendallDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("y"))
+    val a = daily.select(col("day").as("da"), col("x").as("xa"), col("y").as("ya"))
+    val b = daily.select(col("day").as("db"), col("x").as("xb"), col("y").as("yb"))
+    a.join(b, col("da") < col("db"))
+      .select(
+        (signum(col("xb") - col("xa")) * signum(col("yb") - col("ya")))
+          .cast("long").as("sgn"),
+        (col("xa") === col("xb")).cast("long").as("tx"),
+        (col("ya") === col("yb")).cast("long").as("ty"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_concordant"),
+        sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_discordant"),
+        sum(col("tx")).as("n_ties_x"), sum(col("ty")).as("n_ties_y"))
+      .select(col("n_pairs"), col("n_concordant"), col("n_discordant"),
+        col("n_ties_x"), col("n_ties_y"),
+        expr("((n_concordant - n_discordant) * 1000000) div n_pairs")
+          .as("tau_a_ppm"))
+  }
+
+  /** #273 Two-proportion z-test: does the purchase share of events
+    * differ weekend vs weekday? The A/B-readout companion to Welch's t
+    * for binary outcomes. Reported as z² in milli (χ²(1) scale) so the
+    * whole statistic is integer: proportions are floored to ppm FIRST
+    * (both engines floor the same integer quotients — the documented
+    * precision envelope: ±1 ppm flooring on p̂ moves z² by ≪ the 3.841
+    * decision threshold at any n where the test is meaningful), then
+    * z²_milli = d_ppm² · n1 · n2 · 1000 div (p_ppm · (1e6 − p_ppm) ·
+    * (n1 + n2)) with every product in DECIMAL(38,0)/HUGEINT.
+    * Scale: one 2-group map-side-combined aggregate; nothing
+    * row-cardinality shuffles. Envelope: d_ppm² ≤ 1e12 and n1·n2·1e3 ≤
+    * 1e27 keeps the numerator inside 1e38 past 1e12 events per arm.
+    */
+  def propZ(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        when(dayofweek(col("ts")).isin(1, 7), lit("weekend"))
+          .otherwise(lit("weekday")).as("grp"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("hit"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("hit")).as("x"))
+      .agg(
+        max(when(col("grp") === "weekend", col("n"))).as("n_we"),
+        max(when(col("grp") === "weekend", col("x"))).as("x_we"),
+        max(when(col("grp") === "weekday", col("n"))).as("n_wd"),
+        max(when(col("grp") === "weekday", col("x"))).as("x_wd"))
+      .select(col("n_we"), col("x_we"), col("n_wd"), col("x_wd"),
+        expr("(x_we * 1000000) div n_we").as("p_we_ppm"),
+        expr("(x_wd * 1000000) div n_wd").as("p_wd_ppm"),
+        expr("((x_we + x_wd) * 1000000) div (n_we + n_wd)").as("p_pool_ppm"))
+      .withColumn("d_ppm", col("p_we_ppm") - col("p_wd_ppm"))
+      .withColumn("z2_milli",
+        expr("cast((cast(d_ppm as decimal(38,0)) * d_ppm * n_we * n_wd * 1000)" +
+          " div (cast(p_pool_ppm as decimal(38,0)) * (1000000 - p_pool_ppm)" +
+          " * (n_we + n_wd)) as long)"))
+      .select(col("n_we"), col("x_we"), col("n_wd"), col("x_wd"),
+        col("p_we_ppm"), col("p_wd_ppm"), col("z2_milli"),
+        (col("z2_milli") > 3841L).as("significant_05"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_kendall" -> (kendallDaily _),
+    "q_stats_prop_z" -> (propZ _),
     "q_stats_ols_multi" -> (olsMulti _),
     "q_stats_welch_t" -> (welchT _),
     "q_stats_anova" -> (anovaLang _),
@@ -274,6 +355,54 @@ object InferenceOps {
     "q_ts_cross_corr" -> (crossCorrLag1 _))
 
   val oracles: Map[String, String] = Map(
+    "q_stats_kendall" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS day, COUNT(*) AS x,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT CAST(sign(b.x - a.x) * sign(b.y - a.y) AS BIGINT) AS sgn,
+        |    CAST(a.x = b.x AS BIGINT) AS tx, CAST(a.y = b.y AS BIGINT) AS ty
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |agg AS (
+        |  SELECT COUNT(*) AS n_pairs,
+        |    CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_concordant,
+        |    CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_discordant,
+        |    CAST(SUM(tx) AS BIGINT) AS n_ties_x, CAST(SUM(ty) AS BIGINT) AS n_ties_y
+        |  FROM p)
+        |SELECT n_pairs, n_concordant, n_discordant, n_ties_x, n_ties_y,
+        |  CAST(((n_concordant - n_discordant) * 1000000) // n_pairs AS BIGINT)
+        |    AS tau_a_ppm
+        |FROM agg""".stripMargin,
+    "q_stats_prop_z" ->
+      """WITH g AS (
+        |  SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 'weekend'
+        |              ELSE 'weekday' END AS grp,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT
+        |    MAX(CASE WHEN grp = 'weekend' THEN n END) AS n_we,
+        |    MAX(CASE WHEN grp = 'weekend' THEN x END) AS x_we,
+        |    MAX(CASE WHEN grp = 'weekday' THEN n END) AS n_wd,
+        |    MAX(CASE WHEN grp = 'weekday' THEN x END) AS x_wd
+        |  FROM g),
+        |r AS (
+        |  SELECT *, (x_we * 1000000) // n_we AS p_we_ppm,
+        |    (x_wd * 1000000) // n_wd AS p_wd_ppm,
+        |    ((x_we + x_wd) * 1000000) // (n_we + n_wd) AS p_pool_ppm
+        |  FROM p),
+        |z AS (
+        |  SELECT *, p_we_ppm - p_wd_ppm AS d_ppm,
+        |    CAST((CAST(p_we_ppm - p_wd_ppm AS HUGEINT) * (p_we_ppm - p_wd_ppm)
+        |      * n_we * n_wd * 1000)
+        |      // (CAST(p_pool_ppm AS HUGEINT) * (1000000 - p_pool_ppm)
+        |      * (n_we + n_wd)) AS BIGINT) AS z2_milli
+        |  FROM r)
+        |SELECT n_we, x_we, n_wd, x_wd, p_we_ppm, p_wd_ppm, z2_milli,
+        |  z2_milli > 3841 AS significant_05
+        |FROM z""".stripMargin,
     "q_stats_ols_multi" ->
       """WITH per AS (
         |  SELECT l.l_orderkey AS okey, COUNT(*) AS x1,

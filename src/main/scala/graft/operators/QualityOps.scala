@@ -286,7 +286,80 @@ object QualityOps {
       .orderBy("lang", "source")
   }
 
+  /** #271 CDC log apply: reduce an ordered change-data-capture stream
+    * of INSERT / UPDATE / DELETE operations to the final table state —
+    * the core primitive of every lakehouse MERGE/materialization path
+    * (q_upsert applies one batch of upserts; this applies a FULL
+    * multi-operation history with deletes, latest-op-wins).
+    *
+    * The change log is derived deterministically from orders so both
+    * engines see the identical stream: seq 1 = INSERT of every order at
+    * its original price; seq 2 = UPDATE (+5%, integer cents div 20) for
+    * open-status orders; seq 3 = DELETE for orderkey % 97 == 0.
+    * Apply = per-key max-seq row wins, DELETE tombstones drop. Output
+    * is the per-status reconciliation report (live rows, live cents,
+    * tombstoned and updated counts) a CDC sink audits after each apply.
+    *
+    * Scale: the apply is ONE key-partitioned window (max_by over seq) —
+    * the shuffle is keyed on the primary key exactly like the
+    * production merge; the three log branches are projections of the
+    * same scan (Catalyst reuses it), and the report aggregate is
+    * |status|-bounded, map-side combined.
+    */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("okey"),
+      col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val ins = o.select(col("okey"), lit(1L).as("seq"), lit("I").as("op"),
+      col("status"), col("cents"))
+    val upd = o.filter(col("status") === "O")
+      .select(col("okey"), lit(2L).as("seq"), lit("U").as("op"),
+        col("status"), (col("cents") + expr("cents div 20")).as("cents"))
+    val del = o.filter(col("okey") % 97 === 0)
+      .select(col("okey"), lit(3L).as("seq"), lit("D").as("op"),
+        col("status"), lit(null).cast("long").as("cents"))
+    val log = ins.unionByName(upd).unionByName(del)
+    val w = Window.partitionBy("okey").orderBy(desc("seq"))
+    log.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("status")
+      .agg(
+        sum(when(col("op") =!= "D", 1L).otherwise(0L)).as("n_live"),
+        sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deleted"),
+        sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updated"),
+        sum(when(col("op") =!= "D", col("cents")).otherwise(0L)).as("live_cents"))
+      .orderBy("status")
+  }
+
+  /** #272 k-anonymity / l-diversity audit of the event stream treated
+    * as a quasi-identified release: QI group = activity hour, sensitive
+    * attribute = event_type. Reports, per hour, the group size k (rows
+    * + distinct users) and diversity l (distinct sensitive values),
+    * with the release flags (k ≥ 5, l ≥ 3) the privacy gate enforces —
+    * the AUDIT companion to the enforcement ops (odFlows suppresses on
+    * k; dpNoisyCounts randomizes): before publishing, you measure which
+    * groups fail.
+    *
+    * Scale: one groupBy(hour) with count + two count_distincts —
+    * calendar-bounded output, map-side partials for the counts; the
+    * distinct-user/type counts shuffle (hour, value) pairs, bounded by
+    * hours × |users| in the worst case but never wider than the raw
+    * event relation, and exact (the HLL variant of this audit is
+    * q_rolling_active_hll's territory).
+    */
+  def privacyLdiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("k_rows"),
+        countDistinct(col("user_id")).as("k_users"),
+        countDistinct(col("event_type")).as("l_types"))
+      .select(col("hour"), col("k_rows"), col("k_users"), col("l_types"),
+        (col("k_users") >= 5).as("ok_k5"), (col("l_types") >= 3).as("ok_l3"))
+      .orderBy("hour")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cdc_apply" -> (cdcApply _),
+    "q_privacy_ldiversity" -> (privacyLdiversity _),
     "q_dp_counts" -> (dpNoisyCounts _),
     "q_scd2_join" -> (scd2Join _),
     "q_json_quarantine" -> (jsonQuarantine _),
@@ -299,6 +372,33 @@ object QualityOps {
     "q_scd2_pit" -> (scd2Pit _))
 
   val oracles: Map[String, String] = Map(
+    "q_cdc_apply" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS okey, o_orderstatus AS status,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |log AS (
+        |  SELECT okey, 1 AS seq, 'I' AS op, status, cents FROM o
+        |  UNION ALL
+        |  SELECT okey, 2, 'U', status, cents + cents // 20 FROM o WHERE status = 'O'
+        |  UNION ALL
+        |  SELECT okey, 3, 'D', status, NULL FROM o WHERE okey % 97 = 0),
+        |last AS (
+        |  SELECT * FROM log
+        |  QUALIFY row_number() OVER (PARTITION BY okey ORDER BY seq DESC) = 1)
+        |SELECT status,
+        |  CAST(SUM(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+        |  CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+        |  CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+        |  CAST(SUM(CASE WHEN op <> 'D' THEN cents ELSE 0 END) AS BIGINT) AS live_cents
+        |FROM last GROUP BY status ORDER BY status""".stripMargin,
+    "q_privacy_ldiversity" ->
+      """SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS k_rows,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS k_users,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS l_types,
+        |  COUNT(DISTINCT user_id) >= 5 AS ok_k5,
+        |  COUNT(DISTINCT event_type) >= 3 AS ok_l3
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
     "q_dp_counts" ->
       """WITH g AS (
         |  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source),

@@ -678,7 +678,39 @@ object StatsOps {
       .orderBy("event_type", "day")
   }
 
+  /** #270 Pareto skyline (maximize both dimensions) of the daily order
+    * stream: the (day, peak-price) points not dominated by any
+    * strictly-later-or-equal day with an equal-or-higher peak — the
+    * multi-objective "best tradeoff" frontier query of analytics
+    * engines (Börzsönyi et al., ICDE 2001 "The Skyline Operator").
+    *
+    * Distributed shape: the classic skyline reduction — a point can
+    * only be dominated via its dimension-wise maxima, so FIRST collapse
+    * to the per-day max price (one map-side-combined groupBy; within a
+    * day, only the max-price order can survive dominance), THEN run the
+    * sort-scan on the per-day relation: sweeping days descending, a day
+    * is on the frontier iff its peak strictly exceeds the running max
+    * of every later day (an equal later peak dominates — later day,
+    * equal price, strict on day). The scan window runs over the
+    * CALENDAR-BOUNDED daily relation (~365 rows/year whatever the
+    * order count — the [[TimeWindows]].tsSeasonal argument), so the
+    * single-partition window is never row-cardinality; at 100 TB the
+    * only scaling work is the first groupBy.
+    */
+  def skylineDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(max(round(col("o_totalprice") * 100, 0).cast("long")).as("peak_cents"))
+    val later = Window.orderBy(desc("day")).rowsBetween(Window.unboundedPreceding, -1)
+    daily
+      .withColumn("later_max", coalesce(max(col("peak_cents")).over(later), lit(Long.MinValue)))
+      .filter(col("peak_cents") > col("later_max"))
+      .select(col("day"), col("peak_cents"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline" -> (skylineDaily _),
     "q_stats_zscore_daily" -> (statsZscoreDaily _),
     "q_stats_weighted_median" -> (statsWeightedMedian _),
     "q_stats_corr_pairs" -> (statsCorrPairs _),
@@ -701,6 +733,20 @@ object StatsOps {
     "q_text_entropy" -> (textEntropy _))
 
   val oracles: Map[String, String] = Map(
+    "q_skyline" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |    CAST(MAX(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS peak_cents
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT day, peak_cents,
+        |    COALESCE(MAX(peak_cents) OVER (ORDER BY day DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -9223372036854775808) AS later_max
+        |  FROM daily)
+        |SELECT day, peak_cents FROM s WHERE peak_cents > later_max
+        |ORDER BY day""".stripMargin,
     "q_stats_zscore_daily" ->
       """WITH d AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

@@ -230,4 +230,32 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Long]("mce_ppm") === gaps.map(_._2).max)
     assert(r.getAs[Long]("ece_ppm") <= r.getAs[Long]("mce_ppm"))
   }
+
+  test("PR curve matches a driver-side threshold sweep and AP its step sum") {
+    val d = docs
+    val nPos = d.count(_._2).toLong
+    val curve = operators.EvalOps.evalPrCurve(spark, sfDir).collect()
+    val scores = d.map(_._1).distinct.sorted.reverse
+    assert(curve.length === scores.length, "one row per distinct score")
+    var apNum = BigInt(0); var rPrev = 0L
+    curve.zip(scores).foreach { case (r, thr) =>
+      assert(r.getLong(0) === thr)
+      val tp = d.count(x => x._1 >= thr && x._2).toLong
+      val fp = d.count(x => x._1 >= thr && !x._2).toLong
+      assert(r.getAs[Long]("tp") === tp)
+      assert(r.getAs[Long]("fp") === fp)
+      val p = tp * 1000000L / (tp + fp)
+      val rec = tp * 1000000L / nPos
+      assert(r.getAs[Long]("precision_ppm") === p)
+      assert(r.getAs[Long]("recall_ppm") === rec)
+      apNum += BigInt(rec - rPrev) * p; rPrev = rec
+    }
+    // recall is non-decreasing as the threshold drops; last recall = 1
+    assert(curve.last.getAs[Long]("recall_ppm") === 1000000L)
+    val ap = operators.EvalOps.evalPrAuc(spark, sfDir).collect()(0)
+    assert(ap.getAs[Long]("n_thresholds") === scores.length.toLong)
+    assert(ap.getAs[Long]("n_pos") === nPos)
+    assert(ap.getAs[Long]("ap_ppm") === (apNum / 1000000).toLong)
+    assert(ap.getAs[Long]("ap_ppm") >= 0L && ap.getAs[Long]("ap_ppm") <= 1000000L)
+  }
 }

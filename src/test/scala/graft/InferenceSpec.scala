@@ -145,4 +145,53 @@ class InferenceSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Long]("r2_ppm") === r2.toLong)
     assert(r2 >= 0 && r2 <= 1000000, s"r2_ppm in range: $r2")
   }
+
+  test("kendallDaily equals brute-force pair classification on the daily series") {
+    val r = operators.InferenceOps.kendallDaily(spark, sfDir).collect()(0)
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("y"))
+      .collect().map(x => (x.getTimestamp(0).getTime, x.getLong(1), x.getLong(2)))
+    var c = 0L; var d = 0L; var tx = 0L; var ty = 0L; var np = 0L
+    for (i <- daily.indices; j <- daily.indices; if daily(i)._1 < daily(j)._1) {
+      np += 1
+      val sx = (daily(j)._2 - daily(i)._2).sign
+      val sy = (daily(j)._3 - daily(i)._3).sign
+      if (sx * sy > 0) c += 1 else if (sx * sy < 0) d += 1
+      if (sx == 0) tx += 1
+      if (sy == 0) ty += 1
+    }
+    assert(r.getAs[Long]("n_pairs") === np)
+    assert(r.getAs[Long]("n_concordant") === c)
+    assert(r.getAs[Long]("n_discordant") === d)
+    assert(r.getAs[Long]("n_ties_x") === tx)
+    assert(r.getAs[Long]("n_ties_y") === ty)
+    assert(r.getAs[Long]("tau_a_ppm") ===
+      BigInt((c - d) * 1000000L)./(BigInt(np)).toLong)
+    assert(math.abs(r.getAs[Long]("tau_a_ppm")) <= 1000000L)
+  }
+
+  test("propZ: counts partition events and z2 matches the closed form") {
+    val r = operators.InferenceOps.propZ(spark, sfDir).collect()(0)
+    val ev = Tables.events(spark, sfDir)
+      .select(dayofweek(col("ts")).isin(1, 7).as("we"),
+        (col("event_type") === "purchase").as("hit"))
+      .collect().map(x => (x.getBoolean(0), x.getBoolean(1)))
+    val nWe = ev.count(_._1).toLong; val xWe = ev.count(e => e._1 && e._2).toLong
+    val nWd = ev.size - nWe; val xWd = ev.count(e => !e._1 && e._2).toLong
+    assert(r.getAs[Long]("n_we") === nWe)
+    assert(r.getAs[Long]("x_we") === xWe)
+    assert(r.getAs[Long]("n_wd") === nWd)
+    assert(r.getAs[Long]("x_wd") === xWd)
+    val pWe = xWe * 1000000L / nWe; val pWd = xWd * 1000000L / nWd
+    val pPool = (xWe + xWd) * 1000000L / (nWe + nWd)
+    val dppm = pWe - pWd
+    val z2 = BigInt(dppm) * dppm * nWe * nWd * 1000 /
+      (BigInt(pPool) * (1000000L - pPool) * (nWe + nWd))
+    assert(r.getAs[Long]("p_we_ppm") === pWe)
+    assert(r.getAs[Long]("p_wd_ppm") === pWd)
+    assert(r.getAs[Long]("z2_milli") === z2.toLong)
+    assert(r.getAs[Boolean]("significant_05") === (z2.toLong > 3841L))
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pinned quality metrics for the approximate operators — correctness of
@@ -290,6 +291,45 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
       assert(m >= 0.0 && m <= 1.0)
       assert(r.getAs[Long]("n_flagged") >= 0L &&
         r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_anchors"))
+    }
+  }
+
+  test("cdcApply equals a driver-side replay of the change log") {
+    val rows = operators.QualityOps.cdcApply(spark, sfDir).collect()
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // replay: last op wins — D for %97 keys, else U for 'O' status, else I
+    case class Fin(status: String, op: String, cents: Long)
+    val fin = orders.map { case (k, st, c) =>
+      if (k % 97 == 0) Fin(st, "D", 0L)
+      else if (st == "O") Fin(st, "U", c + c / 20)
+      else Fin(st, "I", c)
+    }
+    val byStatus = fin.groupBy(_.status)
+    assert(rows.length === byStatus.size)
+    rows.foreach { r =>
+      val g = byStatus(r.getString(0))
+      assert(r.getAs[Long]("n_live") === g.count(_.op != "D").toLong)
+      assert(r.getAs[Long]("n_deleted") === g.count(_.op == "D").toLong)
+      assert(r.getAs[Long]("n_updated") === g.count(_.op == "U").toLong)
+      assert(r.getAs[Long]("live_cents") === g.filter(_.op != "D").map(_.cents).sum)
+    }
+    // conservation: live + deleted = all orders
+    assert(rows.map(r => r.getAs[Long]("n_live") + r.getAs[Long]("n_deleted")).sum
+      === orders.length.toLong)
+  }
+
+  test("l-diversity audit: flags match the k/l counts and hours partition events") {
+    val rows = operators.QualityOps.privacyLdiversity(spark, sfDir).collect()
+    val n = Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("k_rows")).sum === n, "hours partition events")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("ok_k5") === (r.getAs[Long]("k_users") >= 5L))
+      assert(r.getAs[Boolean]("ok_l3") === (r.getAs[Long]("l_types") >= 3L))
+      assert(r.getAs[Long]("k_users") <= r.getAs[Long]("k_rows"))
+      assert(r.getAs[Long]("l_types") <= r.getAs[Long]("k_rows"))
     }
   }
 }

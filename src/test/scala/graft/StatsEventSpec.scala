@@ -481,4 +481,23 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
       assert(r.getLong(4) === xs.count(v => math.abs(v - med) > 3 * mad).toLong)
     }
   }
+
+  test("skyline equals brute-force dominance over the daily peaks") {
+    val rows = operators.StatsOps.skylineDaily(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(max(round(col("o_totalprice") * 100, 0).cast("long")).as("peak"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+    // brute force: a day survives iff no other day dominates it
+    val expected = daily.filter { case (d, p) =>
+      !daily.exists { case (d2, p2) =>
+        (d2 >= d && p2 >= p) && (d2 > d || p2 > p)
+      }
+    }.sortBy(_._1)
+    assert(rows.toSeq === expected.toSeq)
+    // frontier law: sorted by day, peaks strictly decrease
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq)
+    assert(rows.map(_._2).distinct.length === rows.length)
+  }
 }
