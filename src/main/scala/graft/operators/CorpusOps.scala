@@ -166,7 +166,121 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** #274 Winnowing fingerprints (Schleimer, Wilkerson, Aiken — SIGMOD
+    * 2003 "Winnowing: Local Algorithms for Document Fingerprinting"):
+    * per document, hash every 3-token gram, slide a w=4 window over the
+    * gram-hash sequence, and select each window's minimum hash with the
+    * RIGHTMOST-position tie rule — the guarantee-carrying fingerprint
+    * scheme (any shared run of ≥ w+k−1 tokens shares ≥1 fingerprint)
+    * that MOSS-style plagiarism/overlap detectors use, reported as the
+    * per-doc fingerprint density audit (grams, selected prints, density
+    * ppm of windows).
+    *
+    * The rightmost-min rule is encoded ORDER-FREE as one integer key:
+    * key = hash·2²⁰ − pos (positions are < 2²⁰ — document token counts,
+    * not corpus-wide), so a plain frame-min picks min hash then max
+    * position, and ⌈key/2²⁰⌉ recovers the hash exactly. Window = 4-row
+    * frame per doc; selected set = DISTINCT keys.
+    *
+    * Scale: the gram explode is linear; the only window is PARTITIONED
+    * BY doc (per-doc bounded frames, never a global sort); the distinct
+    * and count aggregates shuffle on doc_id with map-side combine. Gram
+    * split convention matches [[textDupNgrams]] (raw whitespace split —
+    * the fixture has no empty tokens).
+    */
+  def winnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val W = 4 // winnowing window (guarantee threshold t = W + 3 - 1 tokens)
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .select(col("doc_id"), expr(
+        "CASE WHEN size(a) >= 3 THEN " +
+          "transform(sequence(1, size(a) - 2), " +
+          "i -> concat_ws(' ', a[i-1], a[i], a[i+1])) " +
+          "ELSE cast(array() as array<string>) END").as("gs"))
+    val keyed = grams
+      .select(col("doc_id"), posexplode(col("gs")).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"),
+        (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") *
+          lit(1048576L) - col("p0") - 1).as("key"))
+    val wmin = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(-(W - 1), 0)
+    val sel = keyed
+      .withColumn("skey", min(col("key")).over(wmin))
+      .filter(col("p") >= W)
+      .select(col("doc_id"), col("skey")).distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_selected"))
+    grams.select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
+      .join(sel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        when(col("n_grams") >= W,
+          expr(s"(coalesce(n_selected, 0) * 1000000) div (n_grams - ${W - 1})"))
+          .as("density_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** #275 Jensen-Shannon divergence of each language's unigram
+    * distribution from the whole-corpus distribution — the
+    * distribution-level mix-governance readout next to the value-level
+    * drift family (KS/PSI): how far does each language's token profile
+    * sit from the blend the model will actually train on? JSD (the
+    * symmetrised, bounded KL) in exact floored nano-nats via the
+    * entropy form JSD(P,Q) = H(M) − (H(P)+H(Q))/2, M = (P+Q)/2.
+    *
+    * Exactness: with c = per-lang count, g = global count, N_l / N the
+    * totals, M_w ∝ c·N + g·N_l over 2·N_l·N — every ln() argument is an
+    * exact integer (product in DECIMAL first; the decimal→double cast
+    * feeding ln() is correctly rounded on both engines, the envelope
+    * note of [[InferenceOps]].anovaLang), every Σ x·lnNano(x) term
+    * accumulates in DECIMAL(38,0), and three truncating divisions
+    * assemble the result. The union-of-support sum splits JOIN-FREE as
+    * Σ_global f(g·N_l) plus a shared-word correction from the one
+    * vocab-bounded (lang,word)⋈(word) join — no full-outer join per
+    * pair.
+    *
+    * Scale: one token explode feeds both count tables (map-side
+    * combined, vocab-bounded outputs); lang totals broadcast; every
+    * post-explode relation is vocab-cardinality. Output: |lang| rows,
+    * 0 ≤ jsd_nano ≤ ln2·10⁹.
+    */
+  def textJsd(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def f(x: org.apache.spark.sql.Column) = x.cast(dec) * lnNano(x)
+    val words = Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+    val wc = words.groupBy("lang", "word").agg(count(lit(1)).as("c"))
+    val wcg = words.groupBy("word").agg(count(lit(1)).as("g"))
+    val nl = wc.groupBy("lang")
+      .agg(sum(col("c")).as("n_l"), count(lit(1)).as("n_words"))
+    val nTot = wcg.agg(sum(col("g")).as("n"), sum(f(col("g"))).as("sq"))
+    // Σ_global f(g·N_l) per lang (c=0 base of the mixture sum)
+    val smA = wcg.crossJoin(broadcast(nl.select(col("lang"), col("n_l"))))
+      .groupBy("lang")
+      .agg(sum(f(col("g").cast(dec) * col("n_l"))).as("sm_a"))
+    // shared-word correction f(c·N + g·N_l) − f(g·N_l), plus Sp = Σ f(c)
+    val smB = wc.join(wcg, Seq("word"))
+      .join(broadcast(nl.select(col("lang"), col("n_l"))), Seq("lang"))
+      .crossJoin(broadcast(nTot.select(col("n"))))
+      .groupBy("lang")
+      .agg(sum(f(col("c").cast(dec) * col("n") + col("g").cast(dec) * col("n_l")) -
+          f(col("g").cast(dec) * col("n_l"))).as("sm_b"),
+        sum(f(col("c"))).as("sp"))
+    nl.join(smA, Seq("lang")).join(smB, Seq("lang"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("hm_nano", lnNano(col("n_l").cast(dec) * col("n") * 2) -
+        expr("cast((sm_a + sm_b) div (2 * cast(n_l as decimal(38,0)) * n) as long)"))
+      .withColumn("hp_nano",
+        lnNano(col("n_l")) - expr("cast(sp div cast(n_l as decimal(38,0)) as long)"))
+      .withColumn("hq_nano",
+        lnNano(col("n")) - expr("cast(sq div cast(n as decimal(38,0)) as long)"))
+      .select(col("lang"), col("n_l").as("n_tokens"), col("n_words"),
+        expr("hm_nano - (hp_nano + hq_nano) div 2").as("jsd_nano"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winnow_fingerprint" -> (winnowFingerprint _),
+    "q_text_jsd" -> (textJsd _),
     "q_text_bigram_lm" -> (textBigramLm _),
     "q_dedup_span_exact" -> (dedupSpanExact _),
     "q_text_feature_hash" -> (textFeatureHash _),
@@ -174,6 +288,88 @@ object CorpusOps {
     "q_text_zipf" -> (textZipf _))
 
   val oracles: Map[String, String] = Map(
+    // same 3-gram construction (1-based lists), same hash·2^20−pos key
+    // encoding, same 4-row frame min + distinct — the rightmost-min tie
+    // rule falls out of the key arithmetic identically on both engines
+    "q_winnow_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(a) >= 3 THEN
+        |      list_transform(range(1, len(a) - 1),
+        |        i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])
+        |    ELSE [] END AS gs
+        |  FROM toks),
+        |g AS (
+        |  SELECT doc_id, unnest(gs) AS gram,
+        |    unnest(range(1, len(gs) + 1)) AS p
+        |  FROM grams),
+        |k AS (
+        |  SELECT doc_id, p,
+        |    ('0x' || substring(md5(gram), 1, 8))::BIGINT * 1048576 - p AS key
+        |  FROM g),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, skey FROM (
+        |    SELECT doc_id, p,
+        |      min(key) OVER (PARTITION BY doc_id ORDER BY p
+        |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS skey
+        |    FROM k) WHERE p >= 4),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_selected FROM sel GROUP BY doc_id),
+        |base AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams FROM grams)
+        |SELECT b.doc_id, b.n_grams,
+        |  CAST(COALESCE(c.n_selected, 0) AS BIGINT) AS n_selected,
+        |  CASE WHEN b.n_grams >= 4 THEN
+        |    CAST((COALESCE(c.n_selected, 0) * 1000000) // (b.n_grams - 3) AS BIGINT)
+        |  END AS density_ppm
+        |FROM base b LEFT JOIN cnt c USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+    // same entropy-form decomposition: Sm = Σ f(g·N_l) + shared-word
+    // correction, f(x) = x·floor(ln(x)·1e9), three truncating divisions
+    "q_text_jsd" ->
+      """WITH words AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+        |wc AS (SELECT lang, word, COUNT(*) AS c FROM words GROUP BY lang, word),
+        |wcg AS (SELECT word, COUNT(*) AS g FROM words GROUP BY word),
+        |nl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_l,
+        |         COUNT(*) AS n_words FROM wc GROUP BY lang),
+        |ntot AS (
+        |  SELECT CAST(SUM(g) AS BIGINT) AS n,
+        |    SUM(CAST(g AS HUGEINT) *
+        |      CAST(floor(ln(CAST(g AS DOUBLE)) * 1e9) AS BIGINT)) AS sq
+        |  FROM wcg),
+        |sma AS (
+        |  SELECT nl.lang,
+        |    SUM(CAST(wcg.g AS HUGEINT) * nl.n_l *
+        |      CAST(floor(ln(CAST(CAST(wcg.g AS HUGEINT) * nl.n_l AS DOUBLE)) * 1e9)
+        |        AS BIGINT)) AS sm_a
+        |  FROM wcg CROSS JOIN nl GROUP BY nl.lang),
+        |smb AS (
+        |  SELECT wc.lang,
+        |    SUM((CAST(wc.c AS HUGEINT) * ntot.n + CAST(wcg.g AS HUGEINT) * nl.n_l) *
+        |      CAST(floor(ln(CAST(CAST(wc.c AS HUGEINT) * ntot.n
+        |        + CAST(wcg.g AS HUGEINT) * nl.n_l AS DOUBLE)) * 1e9) AS BIGINT)
+        |      - CAST(wcg.g AS HUGEINT) * nl.n_l *
+        |        CAST(floor(ln(CAST(CAST(wcg.g AS HUGEINT) * nl.n_l AS DOUBLE)) * 1e9)
+        |          AS BIGINT)) AS sm_b,
+        |    SUM(CAST(wc.c AS HUGEINT) *
+        |      CAST(floor(ln(CAST(wc.c AS DOUBLE)) * 1e9) AS BIGINT)) AS sp
+        |  FROM wc JOIN wcg USING (word) JOIN nl ON nl.lang = wc.lang
+        |    CROSS JOIN ntot
+        |  GROUP BY wc.lang),
+        |h AS (
+        |  SELECT nl.lang, nl.n_l, nl.n_words,
+        |    CAST(floor(ln(CAST(CAST(nl.n_l AS HUGEINT) * ntot.n * 2 AS DOUBLE)) * 1e9)
+        |      AS BIGINT)
+        |      - CAST((sma.sm_a + smb.sm_b)
+        |        // (2 * CAST(nl.n_l AS HUGEINT) * ntot.n) AS BIGINT) AS hm_nano,
+        |    CAST(floor(ln(CAST(nl.n_l AS DOUBLE)) * 1e9) AS BIGINT)
+        |      - CAST(smb.sp // CAST(nl.n_l AS HUGEINT) AS BIGINT) AS hp_nano,
+        |    CAST(floor(ln(CAST(ntot.n AS DOUBLE)) * 1e9) AS BIGINT)
+        |      - CAST(ntot.sq // CAST(ntot.n AS HUGEINT) AS BIGINT) AS hq_nano
+        |  FROM nl JOIN sma USING (lang) JOIN smb USING (lang) CROSS JOIN ntot)
+        |SELECT lang, n_l AS n_tokens, n_words,
+        |  CAST(hm_nano - (hp_nano + hq_nano) // 2 AS BIGINT) AS jsd_nano
+        |FROM h ORDER BY lang""".stripMargin,
     // same gram construction (5-token windows over the whitespace split),
     // same global-count join, same terminal 6dp rounding of an exact
     // integer ratio

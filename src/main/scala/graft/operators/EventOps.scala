@@ -414,7 +414,35 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** #276 Longest consecutive-day activity streak per user — the
+    * engagement "gaps and islands" classic (statusIslands segments a
+    * VALUE sequence; this segments the presence CALENDAR): distinct
+    * active days, island id = day_number − dense position (constant
+    * within a consecutive run), then per-user longest / count of
+    * streaks.
+    *
+    * Scale: the distinct (user, day) reduction is the only
+    * row-cardinality shuffle (map-side combined); both windows are
+    * PARTITIONED BY user over per-user day counts (calendar-bounded per
+    * key), and the final aggregate is user-cardinality. All integers.
+    */
+  def winStreaks(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), expr("cast(ts as long) div 86400").as("dayno"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("dayno")
+    days
+      .withColumn("grp", col("dayno") - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(sum(col("len")).as("n_active_days"),
+        max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_streaks" -> (winStreaks _),
     "q_peak_concurrency" -> (peakConcurrency _),
     "q_survival" -> (survival _),
     "q_event_transitions" -> (eventTransitions _),
@@ -432,6 +460,21 @@ object EventOps {
     "q_time_decay" -> (timeDecay _))
 
   val oracles: Map[String, String] = Map(
+    "q_win_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS dayno
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id,
+        |    dayno - row_number() OVER (PARTITION BY user_id ORDER BY dayno) AS grp
+        |  FROM days),
+        |runs AS (
+        |  SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY user_id, grp)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  CAST(MAX(len) AS BIGINT) AS longest_streak,
+        |  COUNT(*) AS n_streaks
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_peak_concurrency" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),

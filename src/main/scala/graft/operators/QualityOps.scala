@@ -357,7 +357,43 @@ object QualityOps {
         (col("k_users") >= 5).as("ok_k5"), (col("l_types") >= 3).as("ok_l3"))
       .orderBy("hour")
 
+  /** #277 k-anonymity generalization ladder (Samarati-style full-domain
+    * time generalization): each 15-minute activity cell is released at
+    * the FINEST rung of the 15 → 30 → 60-minute hierarchy whose group
+    * reaches k ≥ 5, or suppressed if even the hour fails — the
+    * enforcement policy between odFlows' flat suppression (drop every
+    * small cell) and dpNoisyCounts' randomization: coarsen first, drop
+    * last. Output: per rung, how many 15-min base cells and events land
+    * there — the utility/privacy tradeoff readout of the ladder.
+    *
+    * Scale: aligned buckets mean the WHOLE ladder derives from ONE
+    * map-side-combined aggregate — b30 = b15 div 2, b60 = b15 div 4, so
+    * the 30/60-min counts are re-aggregates of the calendar-bounded
+    * 15-min relation, not new scans; rung classification is a
+    * projection over that same tiny relation after two broadcast-scale
+    * joins. Nothing row-cardinality moves after the first groupBy.
+    */
+  def anonLadder(s: SparkSession, dir: String): DataFrame = {
+    val c15 = Tables.events(s, dir)
+      .select(expr("cast(ts as long) div 900").as("b15"))
+      .groupBy("b15").agg(count(lit(1)).as("n15"))
+    val c30 = c15.groupBy(expr("b15 div 2").as("b30"))
+      .agg(sum(col("n15")).as("n30"))
+    val c60 = c15.groupBy(expr("b15 div 4").as("b60"))
+      .agg(sum(col("n15")).as("n60"))
+    c15
+      .join(broadcast(c30), expr("b15 div 2") === col("b30"))
+      .join(broadcast(c60), expr("b15 div 4") === col("b60"))
+      .withColumn("rung",
+        when(col("n15") >= 5, "15min").when(col("n30") >= 5, "30min")
+          .when(col("n60") >= 5, "60min").otherwise("suppressed"))
+      .groupBy("rung")
+      .agg(count(lit(1)).as("n_cells"), sum(col("n15")).as("n_events"))
+      .orderBy("rung")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anon_ladder" -> (anonLadder _),
     "q_cdc_apply" -> (cdcApply _),
     "q_privacy_ldiversity" -> (privacyLdiversity _),
     "q_dp_counts" -> (dpNoisyCounts _),
@@ -372,6 +408,20 @@ object QualityOps {
     "q_scd2_pit" -> (scd2Pit _))
 
   val oracles: Map[String, String] = Map(
+    "q_anon_ladder" ->
+      """WITH c15 AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 900 AS b15, COUNT(*) AS n15
+        |  FROM events GROUP BY 1),
+        |c30 AS (SELECT b15 // 2 AS b30, SUM(n15) AS n30 FROM c15 GROUP BY 1),
+        |c60 AS (SELECT b15 // 4 AS b60, SUM(n15) AS n60 FROM c15 GROUP BY 1),
+        |r AS (
+        |  SELECT CASE WHEN n15 >= 5 THEN '15min' WHEN n30 >= 5 THEN '30min'
+        |              WHEN n60 >= 5 THEN '60min' ELSE 'suppressed' END AS rung,
+        |    n15
+        |  FROM c15 JOIN c30 ON c15.b15 // 2 = c30.b30
+        |    JOIN c60 ON c15.b15 // 4 = c60.b60)
+        |SELECT rung, COUNT(*) AS n_cells, CAST(SUM(n15) AS BIGINT) AS n_events
+        |FROM r GROUP BY rung ORDER BY rung""".stripMargin,
     "q_cdc_apply" ->
       """WITH o AS (
         |  SELECT o_orderkey AS okey, o_orderstatus AS status,

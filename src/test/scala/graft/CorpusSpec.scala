@@ -154,4 +154,74 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getAs[String]("pair"), r.getAs[Long]("n_occurrences")))
     assert(got.toSeq === expected, "top-20 merge candidates diverge")
   }
+
+  test("winnowFingerprint equals the textbook per-window rightmost-min replay") {
+    val w = 4
+    val rows = operators.CorpusOps.winnowFingerprint(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.size === docs.length)
+    def md5_32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val grams = (0 to toks.length - 3).map(i =>
+        s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
+      val hs = grams.map(md5_32)
+      // textbook robust winnowing: per window, min hash, rightmost on tie
+      val sel = scala.collection.mutable.Set[(Long, Int)]()
+      for (end <- (w - 1) until hs.length) {
+        val win = (end - w + 1) to end
+        val mn = win.map(hs).min
+        val pos = win.filter(p => hs(p) == mn).max
+        sel += ((hs(pos), pos))
+      }
+      val (nGrams, nSel, density) = rows(id)
+      assert(nGrams === grams.length.toLong, s"doc $id gram count")
+      assert(nSel === sel.size.toLong, s"doc $id fingerprint count")
+      if (grams.length >= w)
+        assert(density === nSel * 1000000L / (grams.length - w + 1))
+      else assert(density === -1L)
+    }
+  }
+
+  test("textJsd is bounded by ln2 and matches an exact driver replay") {
+    val rows = operators.CorpusOps.textJsd(spark, sfDir).collect()
+    val ln2Nano = 693147180L
+    assert(rows.nonEmpty)
+    val words = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val global = words.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nTot = words.length.toLong
+    def lnN(x: BigInt): Long = math.floor(math.log(x.toDouble) * 1e9).toLong
+    def f(x: BigInt): BigInt = x * lnN(x)
+    val sq = global.values.map(g => f(BigInt(g))).sum
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val wc = words.filter(_._1 == lang).groupBy(_._2)
+        .view.mapValues(_.length.toLong).toMap
+      val nl = wc.values.sum
+      assert(r.getAs[Long]("n_tokens") === nl)
+      assert(r.getAs[Long]("n_words") === wc.size.toLong)
+      val smA = global.values.map(g => f(BigInt(g) * nl)).sum
+      val smB = wc.map { case (wd, c) =>
+        val g = global(wd)
+        f(BigInt(c) * nTot + BigInt(g) * nl) - f(BigInt(g) * nl)
+      }.sum
+      val sp = wc.values.map(c => f(BigInt(c))).sum
+      val hm = lnN(BigInt(nl) * nTot * 2) - ((smA + smB) / (BigInt(nl) * nTot * 2)).toLong
+      val hp = lnN(BigInt(nl)) - (sp / BigInt(nl)).toLong
+      val hq = lnN(BigInt(nTot)) - (sq / BigInt(nTot)).toLong
+      val jsd = hm - (hp + hq) / 2
+      assert(r.getAs[Long]("jsd_nano") === jsd, s"jsd for $lang")
+      assert(jsd >= 0L && jsd <= ln2Nano + 2L, s"jsd bound for $lang: $jsd")
+    }
+  }
 }

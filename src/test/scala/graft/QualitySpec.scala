@@ -332,4 +332,25 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[Long]("l_types") <= r.getAs[Long]("k_rows"))
     }
   }
+
+  test("anonLadder partitions the 15-min cells and matches a driver replay") {
+    val rows = operators.QualityOps.anonLadder(spark, sfDir).collect()
+      .map(r => (r.getString(0), (r.getAs[Long]("n_cells"), r.getAs[Long]("n_events"))))
+      .toMap
+    val c15 = Tables.events(spark, sfDir)
+      .select(expr("cast(ts as long) div 900").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val c30 = c15.groupBy(_._1 / 2).view.mapValues(_.map(_._2).sum).toMap
+    val c60 = c15.groupBy(_._1 / 4).view.mapValues(_.map(_._2).sum).toMap
+    val expected = c15.groupBy { case (b, n) =>
+      if (n >= 5) "15min" else if (c30(b / 2) >= 5) "30min"
+      else if (c60(b / 4) >= 5) "60min" else "suppressed"
+    }.view.mapValues(cells =>
+      (cells.length.toLong, cells.map(_._2).sum)).toMap
+    assert(rows === expected)
+    // conservation: every event lands in exactly one rung
+    assert(rows.values.map(_._2).sum === c15.map(_._2).sum)
+    assert(rows.values.map(_._1).sum === c15.length.toLong)
+  }
 }

@@ -500,4 +500,27 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq)
     assert(rows.map(_._2).distinct.length === rows.length)
   }
+
+  test("winStreaks equals a driver-side consecutive-day fold per user") {
+    val rows = operators.EventOps.winStreaks(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val byUser = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("cast(ts as long) div 86400").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    assert(rows.size === byUser.size)
+    byUser.foreach { case (u, days) =>
+      val runs = scala.collection.mutable.ArrayBuffer[Long]()
+      var len = 1L
+      for (i <- 1 until days.length) {
+        if (days(i) == days(i - 1) + 1) len += 1
+        else { runs += len; len = 1L }
+      }
+      runs += len
+      val (active, longest, nStreaks) = rows(u)
+      assert(active === days.length.toLong, s"user $u active days")
+      assert(longest === runs.max, s"user $u longest streak")
+      assert(nStreaks === runs.length.toLong, s"user $u streak count")
+    }
+  }
 }
