@@ -248,8 +248,13 @@ object CorpusOps {
     def f(x: org.apache.spark.sql.Column) = x.cast(dec) * lnNano(x)
     val words = Tables.documents(s, dir)
       .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+    // both count tables are vocab-bounded; localCheckpoint so their
+    // multiple consumers (totals, base sum, correction join) share one
+    // token explode instead of re-running it per consumer
     val wc = words.groupBy("lang", "word").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val wcg = words.groupBy("word").agg(count(lit(1)).as("g"))
+      .localCheckpoint()
     val nl = wc.groupBy("lang")
       .agg(sum(col("c")).as("n_l"), count(lit(1)).as("n_words"))
     val nTot = wcg.agg(sum(col("g")).as("n"), sum(f(col("g"))).as("sq"))

@@ -371,12 +371,16 @@ object QualityOps {
     * the 30/60-min counts are re-aggregates of the calendar-bounded
     * 15-min relation, not new scans; rung classification is a
     * projection over that same tiny relation after two broadcast-scale
-    * joins. Nothing row-cardinality moves after the first groupBy.
+    * joins. Nothing row-cardinality moves after the first groupBy. The
+    * 15-min relation is localCheckpoint'd so its four consumers (c30,
+    * c60, and both sides of the classification join) share the single
+    * event scan instead of re-running it — the derived-file pattern.
     */
   def anonLadder(s: SparkSession, dir: String): DataFrame = {
     val c15 = Tables.events(s, dir)
       .select(expr("cast(ts as long) div 900").as("b15"))
       .groupBy("b15").agg(count(lit(1)).as("n15"))
+      .localCheckpoint()
     val c30 = c15.groupBy(expr("b15 div 2").as("b30"))
       .agg(sum(col("n15")).as("n30"))
     val c60 = c15.groupBy(expr("b15 div 4").as("b60"))

@@ -589,4 +589,61 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(windows.forall(_.partitionSpec.nonEmpty),
       s"every window must partition by event_type:\n$plan")
   }
+
+  test("CDC apply runs exactly one keyed window and no cartesian anywhere") {
+    val plan = executed(operators.QualityOps.cdcApply(spark, sfDir))
+    val all = collectAll(plan)
+    val windows = all.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // the rn=1 filter should compile to WindowGroupLimit (top-1 per key),
+    // and whatever form it takes it must be partitioned by the key
+    assert(windows.nonEmpty, s"no window in CDC plan:\n$plan")
+    windows.foreach {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        assert(w.partitionSpec.nonEmpty, s"unpartitioned CDC window:\n$plan")
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+        assert(w.partitionSpec.nonEmpty, s"unpartitioned CDC group limit:\n$plan")
+      case _ => ()
+    }
+    assert(!all.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]))
+  }
+
+  test("anon ladder classifies via broadcast joins over the bucket relation") {
+    val plan = executed(operators.QualityOps.anonLadder(spark, sfDir))
+    val all = collectAll(plan)
+    val bhj = all.count(_.isInstanceOf[BroadcastHashJoinExec])
+    assert(bhj === 2, s"expected both rung joins broadcast:\n$plan")
+    assert(!all.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      s"no sort-merge join should appear on the tiny bucket relations:\n$plan")
+  }
+
+  test("winnowing window is partitioned by doc (never a global sort)") {
+    val plan = executed(operators.CorpusOps.winnowFingerprint(spark, sfDir))
+    val windows = collectAll(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"winnowing frame-min must partition by doc_id:\n$plan")
+  }
+
+  test("JSD broadcasts the lang totals on every enrichment join") {
+    val plan = executed(operators.CorpusOps.textJsd(spark, sfDir))
+    val all = collectAll(plan)
+    // nl (5 rows) and nTot (1 row) enter via broadcast; the only
+    // non-broadcast join permitted is the vocab-bounded word correction
+    val smj = all.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(smj.size <= 2,
+      s"only the word join (+ final lang assembly) may shuffle:\n$plan")
+    assert(all.count(_.isInstanceOf[BroadcastHashJoinExec]) +
+      all.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) >= 3,
+      s"lang/total enrichments must broadcast:\n$plan")
+  }
 }
