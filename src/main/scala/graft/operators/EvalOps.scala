@@ -432,7 +432,47 @@ object EvalOps {
         expr("cast(ap_num div 1000000 as long)").as("ap_ppm"))
   }
 
+  /** #281 Lift / gains table of the length→English classifier: docs
+    * bucketed into score deciles (highest scores = decile 1) via the
+    * distinct-score cumulative scaffold, reporting per decile the
+    * positive rate's lift over base (ppm) and the cumulative captured
+    * share of all positives — the targeting readout (top-k% capture)
+    * that AUC/PR summarize away.
+    *
+    * Tie discipline: all docs sharing one score land in the decile of
+    * that score's cumulative END position (d = (cum−1)·10 div N), so
+    * bucket membership is engine-independent — no within-score row
+    * splitting. Same domain-bounded window argument as [[evalAuc]];
+    * everything is counts and floored-ppm quotients.
+    */
+  def evalLiftDeciles(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir)
+      .select(col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy("score")
+      .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("np"))
+    val w = Window.orderBy(desc("score")).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = g.withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(g.agg(sum(col("cnt")).as("n_total"),
+        sum(col("np")).as("pos_total"))))
+      .withColumn("decile", expr("((cum - 1) * 10) div n_total + 1"))
+    val wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum.groupBy("decile")
+      .agg(sum(col("cnt")).as("n_docs"), sum(col("np")).as("n_pos"),
+        max(col("n_total")).as("n_total"), max(col("pos_total")).as("pos_total"))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wd))
+      .select(col("decile"), col("n_docs"), col("n_pos"),
+        expr("(n_pos * 1000000) div n_docs").as("rate_ppm"),
+        // lift = (n_pos/n_docs) / (pos_total/n_total), cleared to one
+        // exact integer quotient in DECIMAL
+        expr("cast((cast(n_pos as decimal(38,0)) * n_total * 1000000) div " +
+          "(cast(n_docs as decimal(38,0)) * pos_total) as long)").as("lift_ppm"),
+        expr("(cum_pos * 1000000) div pos_total").as("capture_ppm"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_lift" -> (evalLiftDeciles _),
     "q_eval_pr_curve" -> (evalPrCurve _),
     "q_eval_pr_auc" -> (evalPrAuc _),
     "q_eval_ece" -> (evalEce _),
@@ -447,6 +487,37 @@ object EvalOps {
     "q_bootstrap_ci" -> (bootstrapCi _))
 
   val oracles: Map[String, String] = Map(
+    "q_eval_lift" ->
+      """WITH g AS (
+        |  SELECT n_chars AS score, COUNT(*) AS cnt,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS np
+        |  FROM documents GROUP BY n_chars),
+        |c AS (
+        |  SELECT score, cnt, np,
+        |    CAST(SUM(cnt) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST((SELECT SUM(cnt) FROM g) AS BIGINT) AS n_total,
+        |    CAST((SELECT SUM(np) FROM g) AS BIGINT) AS pos_total
+        |  FROM g),
+        |d AS (
+        |  SELECT ((cum - 1) * 10) // n_total + 1 AS decile, cnt, np,
+        |    n_total, pos_total
+        |  FROM c),
+        |a AS (
+        |  SELECT decile, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+        |    CAST(SUM(np) AS BIGINT) AS n_pos,
+        |    MAX(n_total) AS n_total, MAX(pos_total) AS pos_total
+        |  FROM d GROUP BY decile),
+        |f AS (
+        |  SELECT *, CAST(SUM(n_pos) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+        |  FROM a)
+        |SELECT decile, n_docs, n_pos,
+        |  CAST((n_pos * 1000000) // n_docs AS BIGINT) AS rate_ppm,
+        |  CAST((CAST(n_pos AS HUGEINT) * n_total * 1000000)
+        |    // (CAST(n_docs AS HUGEINT) * pos_total) AS BIGINT) AS lift_ppm,
+        |  CAST((cum_pos * 1000000) // pos_total AS BIGINT) AS capture_ppm
+        |FROM f ORDER BY decile""".stripMargin,
     "q_eval_pr_curve" ->
       """WITH g AS (
         |  SELECT n_chars AS score,

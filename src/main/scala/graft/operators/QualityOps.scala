@@ -396,7 +396,46 @@ object QualityOps {
       .orderBy("rung")
   }
 
+  /** #280 t-closeness audit (Li/Li/Venkatasubramanian, ICDE 2007) —
+    * completes the k / l / t privacy-audit triple with
+    * [[privacyLdiversity]] and [[anonLadder]]: per QI group (activity
+    * hour), the total-variation distance between the group's sensitive
+    * event_type distribution and the global one, TVD = ½·Σ_t |p_t −
+    * q_t| in floored ppm, flagged at t ≤ 0.3. l-diversity counts
+    * sensitive values; t-closeness catches the group whose values are
+    * DIVERSE but skewed enough to leak.
+    *
+    * Exactness: per-type shares floored to ppm first (both engines
+    * floor the same integer quotients), |diffs| summed, halved by one
+    * truncating div. Missing (hour, type) cells contribute the full
+    * global share, so the grid is completed hours × |event_type| —
+    * calendar-bounded times a constant — via one cross join of two
+    * broadcast-scale relations before a left join of the observed
+    * counts. One row-cardinality aggregate total.
+    */
+  def privacyTcloseness(s: SparkSession, dir: String): DataFrame = {
+    val ht = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_ht"))
+      .localCheckpoint()
+    val h = ht.groupBy("hour").agg(sum(col("n_ht")).as("n_h"))
+    val g = ht.groupBy("event_type").agg(sum(col("n_ht")).as("n_t"))
+    val tot = ht.agg(sum(col("n_ht")).as("n")).select(col("n").cast("long").as("n"))
+    h.crossJoin(broadcast(g)).crossJoin(broadcast(tot))
+      .join(ht, Seq("hour", "event_type"), "left")
+      .select(col("hour"), col("n_h"),
+        (expr("(coalesce(n_ht, 0) * 1000000) div n_h") -
+          expr("(n_t * 1000000) div n")).as("d_ppm"))
+      .groupBy("hour")
+      .agg(max(col("n_h")).as("k_rows"),
+        expr("sum(abs(d_ppm)) div 2").as("tvd_ppm"))
+      .select(col("hour"), col("k_rows"), col("tvd_ppm"),
+        (col("tvd_ppm") <= 300000L).as("ok_t03"))
+      .orderBy("hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_privacy_tcloseness" -> (privacyTcloseness _),
     "q_anon_ladder" -> (anonLadder _),
     "q_cdc_apply" -> (cdcApply _),
     "q_privacy_ldiversity" -> (privacyLdiversity _),
@@ -412,6 +451,27 @@ object QualityOps {
     "q_scd2_pit" -> (scd2Pit _))
 
   val oracles: Map[String, String] = Map(
+    "q_privacy_tcloseness" ->
+      """WITH ht AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_ht
+        |  FROM events GROUP BY 1, 2),
+        |h AS (SELECT hour, CAST(SUM(n_ht) AS BIGINT) AS n_h FROM ht GROUP BY hour),
+        |g AS (SELECT event_type, CAST(SUM(n_ht) AS BIGINT) AS n_t
+        |      FROM ht GROUP BY event_type),
+        |tot AS (SELECT CAST(SUM(n_ht) AS BIGINT) AS n FROM ht),
+        |grid AS (
+        |  SELECT h.hour, h.n_h, g.event_type, g.n_t, tot.n,
+        |    COALESCE(ht.n_ht, 0) AS n_ht
+        |  FROM h CROSS JOIN g CROSS JOIN tot
+        |    LEFT JOIN ht ON ht.hour = h.hour AND ht.event_type = g.event_type),
+        |d AS (
+        |  SELECT hour, n_h,
+        |    (n_ht * 1000000) // n_h - (n_t * 1000000) // n AS d_ppm
+        |  FROM grid)
+        |SELECT hour, MAX(n_h) AS k_rows,
+        |  CAST(SUM(abs(d_ppm)) // 2 AS BIGINT) AS tvd_ppm,
+        |  CAST(SUM(abs(d_ppm)) // 2 AS BIGINT) <= 300000 AS ok_t03
+        |FROM d GROUP BY hour ORDER BY hour""".stripMargin,
     "q_anon_ladder" ->
       """WITH c15 AS (
         |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 900 AS b15, COUNT(*) AS n15

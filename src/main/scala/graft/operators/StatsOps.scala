@@ -709,7 +709,44 @@ object StatsOps {
       .orderBy("day")
   }
 
+  /** #278 Q-Q (quantile-quantile) table of purchase vs click value
+    * distributions: at each decile d, the smallest cent value whose
+    * cumulative count reaches ⌈d·N/10⌉ in each group, plus the gap —
+    * the full distribution-shape comparison behind KS's single max-gap
+    * number (ksDrift says IF they differ; this says WHERE).
+    *
+    * Scale + determinism: same grouped-by-value scaffold as
+    * [[EvalOps]].mannWhitney — one map-side-combined groupBy(cents),
+    * cumulative windows over the DISTINCT-VALUE relation (cent domain,
+    * not event count), ceil thresholds as integer (d·N + 9) div 10, and
+    * a min() per decile; every number is an exact integer.
+    */
+  def statsQq(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_type").as("grp"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy("grp", "cents").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("grp").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("grp")
+    val cum = g.withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    val deciles = cum
+      .crossJoin(broadcast(s.range(1, 10).select(col("id").as("decile"))))
+      .filter(col("cum") >= expr("(decile * n + 9) div 10"))
+      .groupBy("grp", "decile").agg(min(col("cents")).as("q_cents"))
+    deciles.filter(col("grp") === "purchase")
+      .select(col("decile"), col("q_cents").as("q_purchase_cents"))
+      .join(deciles.filter(col("grp") === "click")
+        .select(col("decile"), col("q_cents").as("q_click_cents")), Seq("decile"))
+      .select(col("decile"), col("q_purchase_cents"), col("q_click_cents"),
+        (col("q_purchase_cents") - col("q_click_cents")).as("gap_cents"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_qq" -> (statsQq _),
     "q_skyline" -> (skylineDaily _),
     "q_stats_zscore_daily" -> (statsZscoreDaily _),
     "q_stats_weighted_median" -> (statsWeightedMedian _),
@@ -733,6 +770,28 @@ object StatsOps {
     "q_text_entropy" -> (textEntropy _))
 
   val oracles: Map[String, String] = Map(
+    "q_stats_qq" ->
+      """WITH g AS (
+        |  SELECT event_type AS grp, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |    COUNT(*) AS cnt
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  GROUP BY grp, cents),
+        |c AS (
+        |  SELECT grp, cents,
+        |    SUM(cnt) OVER (PARTITION BY grp ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY grp) AS n
+        |  FROM g),
+        |q AS (
+        |  SELECT grp, d.decile, MIN(cents) AS q_cents
+        |  FROM c CROSS JOIN (SELECT unnest(range(1, 10)) AS decile) d
+        |  WHERE cum >= (d.decile * n + 9) // 10
+        |  GROUP BY grp, d.decile)
+        |SELECT a.decile, a.q_cents AS q_purchase_cents, b.q_cents AS q_click_cents,
+        |  a.q_cents - b.q_cents AS gap_cents
+        |FROM q a JOIN q b ON a.decile = b.decile
+        |WHERE a.grp = 'purchase' AND b.grp = 'click'
+        |ORDER BY a.decile""".stripMargin,
     "q_skyline" ->
       """WITH daily AS (
         |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,

@@ -452,7 +452,37 @@ object TimeWindows {
           .as("n_anomalies"))
       .orderBy("event_type")
 
+  /** #279 Burstiness of each event type's daily arrival process via the
+    * Fano factor F = Var/Mean of daily counts (population variance) —
+    * F ≈ 1 is Poisson-like, F ≫ 1 is bursty: the dispersion readout
+    * that tells a capacity planner whether tsAnomaly's spikes are rare
+    * shocks or the process's normal texture.
+    *
+    * All-integer: daily counts → one |type|-group aggregate of
+    * (n, Σc, Σc²) in DECIMAL(38,0), then milli-scaled truncating
+    * divisions — var·n² and mean·n cleared so F_milli =
+    * (n·Σc² − S²)·1000 div (n·S) is a single exact quotient. Scale: the
+    * daily reduction is the only row-cardinality work (map-side
+    * combined); everything after is |event_type| rows.
+    */
+  def tsBurstiness(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("c").cast(DecimalType(38, 0))).as("sc"),
+        sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("scc"))
+      .select(col("event_type"), col("n_days"),
+        expr("cast((sc * 1000) div n_days as long)").as("mean_milli"),
+        expr("cast(((n_days * scc - sc * sc) * 1000) div (cast(n_days as decimal(38,0)) * n_days) as long)")
+          .as("var_milli"),
+        expr("cast(((n_days * scc - sc * sc) * 1000) div (cast(n_days as decimal(38,0)) * sc) as long)")
+          .as("fano_milli"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_burstiness" -> (tsBurstiness _),
     "q_ts_anomaly" -> (tsAnomaly _),
     "q_ts_holt" -> (tsHolt _),
     "q_ts_theilsen" -> (tsTheilSen _),
@@ -471,6 +501,22 @@ object TimeWindows {
     "q_window_session" -> (windowSession _))
 
   val oracles: Map[String, String] = Map(
+    "q_ts_burstiness" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS c
+        |  FROM events GROUP BY event_type, day),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n_days,
+        |    CAST(SUM(CAST(c AS HUGEINT)) AS HUGEINT) AS sc,
+        |    CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS scc
+        |  FROM daily GROUP BY event_type)
+        |SELECT event_type, n_days,
+        |  CAST((sc * 1000) // n_days AS BIGINT) AS mean_milli,
+        |  CAST(((n_days * scc - sc * sc) * 1000)
+        |    // (CAST(n_days AS HUGEINT) * n_days) AS BIGINT) AS var_milli,
+        |  CAST(((n_days * scc - sc * sc) * 1000)
+        |    // (CAST(n_days AS HUGEINT) * sc) AS BIGINT) AS fano_milli
+        |FROM m ORDER BY event_type""".stripMargin,
     "q_ts_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

@@ -231,6 +231,39 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Long]("ece_ppm") <= r.getAs[Long]("mce_ppm"))
   }
 
+  test("lift deciles match a driver replay; capture is monotone to 1e6") {
+    val rows = operators.EvalOps.evalLiftDeciles(spark, sfDir).collect()
+    val d = docs
+    val n = d.length.toLong; val nPos = d.count(_._2).toLong
+    // replay the tie-stable decile rule: all docs of one score share the
+    // decile of that score's cumulative END position
+    val byScore = d.groupBy(_._1).view
+      .mapValues(xs => (xs.length.toLong, xs.count(_._2).toLong)).toMap
+    var cum = 0L
+    val perDecile = scala.collection.mutable.Map[Long, (Long, Long)]()
+    byScore.toSeq.sortBy(-_._1).foreach { case (_, (cnt, np)) =>
+      cum += cnt
+      val dec = (cum - 1) * 10 / n + 1
+      val (a, b) = perDecile.getOrElse(dec, (0L, 0L))
+      perDecile(dec) = (a + cnt, b + np)
+    }
+    assert(rows.map(_.getLong(0)).toSet === perDecile.keySet)
+    var cumPos = 0L
+    rows.foreach { r =>
+      val (nd, np) = perDecile(r.getLong(0))
+      cumPos += np
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("n_pos") === np)
+      assert(r.getAs[Long]("rate_ppm") === np * 1000000L / nd)
+      assert(r.getAs[Long]("lift_ppm") ===
+        (BigInt(np) * n * 1000000 / (BigInt(nd) * nPos)).toLong)
+      assert(r.getAs[Long]("capture_ppm") === cumPos * 1000000L / nPos)
+    }
+    assert(rows.last.getAs[Long]("capture_ppm") === 1000000L)
+    val caps = rows.map(_.getAs[Long]("capture_ppm")).toSeq
+    assert(caps === caps.sorted, "capture is non-decreasing")
+  }
+
   test("PR curve matches a driver-side threshold sweep and AP its step sum") {
     val d = docs
     val nPos = d.count(_._2).toLong

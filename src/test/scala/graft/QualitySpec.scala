@@ -333,6 +333,31 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("tcloseness TVD matches a driver replay and sits in [0, 1e6]") {
+    val rows = operators.QualityOps.privacyTcloseness(spark, sfDir).collect()
+    val ev = Tables.events(spark, sfDir)
+      .select(date_trunc("hour", col("ts")).cast("long").as("h"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val n = ev.length.toLong
+    val global = ev.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val types = global.keySet
+    val byHour = ev.groupBy(_._1)
+    assert(rows.length === byHour.size)
+    rows.foreach { r =>
+      val h = r.getTimestamp(0).getTime / 1000
+      val grp = byHour(h)
+      val nh = grp.length.toLong
+      assert(r.getAs[Long]("k_rows") === nh)
+      val tvd = types.toSeq.map { t =>
+        val nht = grp.count(_._2 == t).toLong
+        math.abs(nht * 1000000L / nh - global(t) * 1000000L / n)
+      }.sum / 2
+      assert(r.getAs[Long]("tvd_ppm") === tvd, s"hour $h")
+      assert(tvd >= 0L && tvd <= 1000000L)
+      assert(r.getAs[Boolean]("ok_t03") === (tvd <= 300000L))
+    }
+  }
+
   test("anonLadder partitions the 15-min cells and matches a driver replay") {
     val rows = operators.QualityOps.anonLadder(spark, sfDir).collect()
       .map(r => (r.getString(0), (r.getAs[Long]("n_cells"), r.getAs[Long]("n_events"))))

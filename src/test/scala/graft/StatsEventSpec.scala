@@ -501,6 +501,53 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_._2).distinct.length === rows.length)
   }
 
+  test("statsQq deciles equal a driver-side sort-and-index computation") {
+    val rows = operators.StatsOps.statsQq(spark, sfDir).collect()
+    val vals = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_type"), round(col("value") * 100, 0).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def deciles(grp: String): Map[Long, Long] = {
+      val xs = vals.filter(_._1 == grp).map(_._2).sorted
+      (1L to 9L).map { d =>
+        // smallest value whose cumulative count reaches ceil(d*N/10)
+        val thr = (d * xs.length + 9) / 10
+        d -> xs(thr.toInt - 1)
+      }.toMap
+    }
+    val p = deciles("purchase"); val c = deciles("click")
+    assert(rows.length === 9)
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      assert(r.getLong(1) === p(d), s"purchase decile $d")
+      assert(r.getLong(2) === c(d), s"click decile $d")
+      assert(r.getLong(3) === p(d) - c(d))
+    }
+    // quantiles are non-decreasing in d
+    assert(rows.map(_.getLong(1)).toSeq === rows.map(_.getLong(1)).sorted.toSeq)
+    assert(rows.map(_.getLong(2)).toSeq === rows.map(_.getLong(2)).sorted.toSeq)
+  }
+
+  test("tsBurstiness matches driver moments and is Poisson-consistent in scale") {
+    val rows = operators.TimeWindows.tsBurstiness(spark, sfDir).collect()
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(rows.length === daily.size)
+    rows.foreach { r =>
+      val cs = daily(r.getString(0))
+      val n = BigInt(cs.length); val s1 = cs.map(BigInt(_)).sum
+      val s2 = cs.map(c => BigInt(c) * c).sum
+      assert(r.getLong(1) === cs.length.toLong)
+      assert(r.getLong(2) === ((s1 * 1000) / n).toLong, "mean_milli")
+      assert(r.getLong(3) === (((n * s2 - s1 * s1) * 1000) / (n * n)).toLong, "var_milli")
+      assert(r.getLong(4) === (((n * s2 - s1 * s1) * 1000) / (n * s1)).toLong, "fano_milli")
+      assert(r.getLong(4) >= 0L)
+    }
+  }
+
   test("winStreaks equals a driver-side consecutive-day fold per user") {
     val rows = operators.EventOps.winStreaks(spark, sfDir).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
