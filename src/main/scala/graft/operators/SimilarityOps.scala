@@ -315,7 +315,79 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** #282 MMR diversified retrieval (Carbonell & Goldstein, SIGIR 1998):
+    * for each probe, greedily select 5 of its top-20 candidates
+    * maximizing relevance MINUS similarity to what's already selected —
+    * the de-duplicating re-rank every RAG/retrieval stack applies after
+    * plain top-k (q_sim_cosine_topk happily returns 5 near-copies; this
+    * returns 5 that COVER).
+    *
+    * Exactness contract: inner-product (MIPS) space over the
+    * integer-micro quantized vectors — every relevance and pairwise
+    * score is an exact int64 dot (|q|≤1e6, 64 dims ⇒ products < 2^53
+    * through the codegen'd double kernel), and λ = ½ is cleared to
+    * score2 = 2·rel − max_sim so the greedy argmax compares only
+    * integers (ties → smallest cand_id). No floating knife edges
+    * anywhere; the cosine-normalized variant differs only by an isqrt
+    * scaling (documented, not graded).
+    *
+    * Scale: the ONLY corpus-sized work is the broadcast-probe relevance
+    * scan + per-probe top-20 window (the q_sim_cosine_topk shape); the
+    * greedy runs 5 UNROLLED dataflow rounds over the 20-row-per-probe
+    * candidate set and its 380-pair dot table, both localCheckpoint'd —
+    * bounded by probes·k², independent of corpus size, no driver loop.
+    */
+  def embedMmr(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6).cast("long").cast("double")).as("qd"))
+    val probes = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("qd").as("pqd"))
+    val rel20 = vecs.join(broadcast(probes), col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        expr("cast(graft_dot(pqd, qd) as long)").as("rel"), col("qd"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(desc("rel"), asc("cand_id"))))
+      .filter(col("rk") <= 20).drop("rk")
+      .localCheckpoint()
+    val pp = rel20.select(col("probe_id"), col("cand_id").as("a"), col("qd").as("qa"))
+      .join(rel20.select(col("probe_id"), col("cand_id").as("b"), col("qd").as("qb")),
+        Seq("probe_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("probe_id"), col("a"), col("b"),
+        expr("cast(graft_dot(qa, qb) as long)").as("sim"))
+      .localCheckpoint()
+    val cands = rel20.select("probe_id", "cand_id", "rel")
+    val wPick = Window.partitionBy("probe_id").orderBy(desc("score2"), asc("cand_id"))
+    val first = cands.withColumn("score2", col("rel") * 2)
+      .withColumn("pick", row_number().over(wPick)).filter(col("pick") === 1)
+      .select(col("probe_id"), col("cand_id"), col("rel"), col("score2"),
+        lit(1).as("rank"))
+    val selected = (2 to 5).foldLeft(first) { (sel, k) =>
+      val next = cands
+        .join(sel.select(col("probe_id"), col("cand_id").as("sel_id")),
+          Seq("probe_id"))
+        .join(pp.withColumnRenamed("a", "cand_id").withColumnRenamed("b", "sel_id"),
+          Seq("probe_id", "cand_id", "sel_id"))
+        .groupBy("probe_id", "cand_id", "rel")
+        .agg(max(col("sim")).as("max_sim"))
+        .join(sel.select(col("probe_id"), col("cand_id")),
+          Seq("probe_id", "cand_id"), "left_anti")
+        .withColumn("score2", col("rel") * 2 - col("max_sim"))
+        .withColumn("pick", row_number().over(wPick)).filter(col("pick") === 1)
+        .select(col("probe_id"), col("cand_id"), col("rel"), col("score2"),
+          lit(k).as("rank"))
+      sel.unionByName(next).localCheckpoint()
+    }
+    selected.select(col("probe_id"), col("rank"), col("cand_id"),
+        col("rel").as("rel_dot"), col("score2"))
+      .orderBy("probe_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_mmr" -> (embedMmr _),
     "q_embed_quantize" -> (embedQuantize _),
     "q_sim_cosine_topk" -> (simCosineTopk _),
     "q_hard_negatives" -> (hardNegatives _),
@@ -402,7 +474,60 @@ object SimilarityOps {
        |FROM scored QUALIFY rank <= 5
        |ORDER BY probe_id, rank""".stripMargin
 
+  /** MMR twin: the 5 greedy rounds unrolled as CTEs — round k scores
+    * every unselected top-20 candidate as 2·rel − max sim to the
+    * selected set so far, picks the row_number()=1 argmax (ties →
+    * smallest cand_id), exactly the operator's integer arithmetic.
+    */
+  private def mmrOracleSql: String = {
+    val rounds = (2 to 5).map { k =>
+      s"""s$k AS (
+         |  SELECT probe_id, cand_id, rel, score2, $k AS rank FROM (
+         |    SELECT r.probe_id, r.cand_id, r.rel,
+         |      2 * r.rel - MAX(pp.sim) AS score2
+         |    FROM rel r
+         |    JOIN sel${k - 1} s ON s.probe_id = r.probe_id
+         |    JOIN pp ON pp.probe_id = r.probe_id AND pp.a = r.cand_id
+         |      AND pp.b = s.cand_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} t
+         |      WHERE t.probe_id = r.probe_id AND t.cand_id = r.cand_id)
+         |    GROUP BY r.probe_id, r.cand_id, r.rel)
+         |  QUALIFY row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY score2 DESC, cand_id) = 1),
+         |sel$k AS (SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM s$k),""".stripMargin
+    }.mkString("\n")
+    s"""WITH vd AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT) AS DOUBLE)) AS qd
+       |  FROM embeddings),
+       |rel AS (
+       |  SELECT probe_id, cand_id, rel FROM (
+       |    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |      CAST(list_dot_product(p.qd, c.qd) AS BIGINT) AS rel
+       |    FROM vd p JOIN vd c ON c.vec_id <> p.vec_id
+       |    WHERE p.vec_id < 10)
+       |  QUALIFY row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY rel DESC, cand_id) <= 20),
+       |pp AS (
+       |  SELECT r1.probe_id, r1.cand_id AS a, r2.cand_id AS b,
+       |    CAST(list_dot_product(v1.qd, v2.qd) AS BIGINT) AS sim
+       |  FROM rel r1
+       |  JOIN rel r2 ON r1.probe_id = r2.probe_id AND r1.cand_id <> r2.cand_id
+       |  JOIN vd v1 ON v1.vec_id = r1.cand_id
+       |  JOIN vd v2 ON v2.vec_id = r2.cand_id),
+       |sel1 AS (
+       |  SELECT probe_id, cand_id, rel, 2 * rel AS score2, 1 AS rank FROM rel
+       |  QUALIFY row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY 2 * rel DESC, cand_id) = 1),
+       |$rounds
+       |fin AS (SELECT * FROM sel5)
+       |SELECT probe_id, CAST(rank AS INTEGER) AS rank, cand_id,
+       |  rel AS rel_dot, CAST(score2 AS BIGINT) AS score2
+       |FROM fin ORDER BY probe_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_embed_mmr" -> mmrOracleSql,
     "q_sim_lsh_bucketed" -> lshOracleSql,
     "q_sim_ivf_bucketed" -> ivfOracleSql,
     "q_embed_quantize" ->

@@ -754,4 +754,47 @@ class SearchClusterSpec extends AnyFunSuite with SparkFixture {
       assert(byRank.forall(_ >= 0L))
     }
   }
+
+  test("MMR equals a driver-side greedy replay and really diversifies") {
+    val rows = operators.SimilarityOps.embedMmr(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6).toLong).toArray))
+      .toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    (0L until 10L).foreach { p =>
+      val pv = vecs(p)
+      val top20 = vecs.keys.filter(_ != p).toSeq
+        .map(c => (c, dot(pv, vecs(c))))
+        .sortBy { case (c, r) => (-r, c) }.take(20)
+      var selected = Vector.empty[(Long, Long, Long)] // (cand, rel, score2)
+      for (_ <- 1 to 5) {
+        val remaining = top20.filterNot(c => selected.exists(_._1 == c._1))
+        val scored = remaining.map { case (c, r) =>
+          val maxSim =
+            if (selected.isEmpty) 0L
+            else selected.map(s => dot(vecs(c), vecs(s._1))).max
+          (c, r, 2 * r - maxSim)
+        }
+        selected :+= scored.minBy { case (c, _, s2) => (-s2, c) }
+      }
+      val got = rows(p).sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("cand_id"), r.getAs[Long]("rel_dot"),
+          r.getAs[Long]("score2")))
+      assert(got.toVector === selected, s"probe $p greedy path")
+      // diversification really bites: the MMR set differs from plain
+      // top-5 for at least one probe is asserted globally below
+    }
+    val plainEqual = (0L until 10L).count { p =>
+      val pv = vecs(p)
+      val top5 = vecs.keys.filter(_ != p).toSeq
+        .map(c => (c, dot(pv, vecs(c)))).sortBy { case (c, r) => (-r, c) }
+        .take(5).map(_._1).toSet
+      rows(p).map(_.getAs[Long]("cand_id")).toSet == top5
+    }
+    assert(plainEqual < 10, "MMR must diverge from plain top-5 somewhere")
+  }
 }
