@@ -336,7 +336,49 @@ object ExtraFuncs {
       .limit(10)
   }
 
+  /** #284 Cohort LTV matrix: customers grouped by the month of their
+    * FIRST order, then per (cohort, month offset) the active-customer
+    * count, period revenue, cumulative revenue, and cumulative
+    * lifetime value per cohort customer in exact micros — the
+    * revenue-side cohort readout next to q_retention's activity-side
+    * one. Months are integer indices (year·12 + month − 1), so offsets
+    * are plain subtraction on both engines; offsets with no orders are
+    * simply absent (the cumulative window carries value across gaps).
+    *
+    * Scale: first-order month is one groupBy(customer) (map-side
+    * combined); the join back to orders co-partitions on the customer
+    * key; the (cohort, offset) aggregate and its cumulative window are
+    * calendar²-bounded. LTV division is a single truncating div of a
+    * DECIMAL product.
+    */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_custkey").as("cust"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long").as("midx"),
+      round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val first = o.groupBy("cust").agg(min(col("midx")).as("cohort"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+    val per = o.join(first, Seq("cust"))
+      .groupBy(col("cohort"), (col("midx") - col("cohort")).as("offset"))
+      .agg(countDistinct(col("cust")).as("n_active"),
+        sum(col("cents")).as("revenue_cents"))
+    val w = Window.partitionBy("cohort").orderBy("offset")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    per.join(broadcast(sizes), Seq("cohort"))
+      .withColumn("cum_cents", sum(col("revenue_cents")).over(w))
+      .select(
+        expr("make_date(cast(cohort div 12 as int), cast(cohort % 12 + 1 as int), 1)")
+          .as("cohort_month"),
+        col("offset"), col("n_cohort"), col("n_active"), col("revenue_cents"),
+        col("cum_cents"),
+        expr("cast((cast(cum_cents as decimal(38,0)) * 10000) div n_cohort as long)")
+          .as("ltv_micro"))
+      .orderBy("cohort_month", "offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_ltv" -> (cohortLtv _),
     "q_assoc_rules" -> (assocRules _),
     "q_rfm_segments" -> (rfmSegments _),
     "q_join_null_safe" -> (joinNullSafe _),
@@ -355,6 +397,33 @@ object ExtraFuncs {
     "q_agg_salted" -> (aggSalted _))
 
   val oracles: Map[String, String] = Map(
+    "q_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS cust,
+        |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS midx,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |f AS (SELECT cust, MIN(midx) AS cohort FROM o GROUP BY cust),
+        |sz AS (SELECT cohort, COUNT(*) AS n_cohort FROM f GROUP BY cohort),
+        |per AS (
+        |  SELECT f.cohort, o.midx - f.cohort AS "offset",
+        |    CAST(COUNT(DISTINCT o.cust) AS BIGINT) AS n_active,
+        |    CAST(SUM(o.cents) AS BIGINT) AS revenue_cents
+        |  FROM o JOIN f ON f.cust = o.cust
+        |  GROUP BY f.cohort, o.midx - f.cohort),
+        |c AS (
+        |  SELECT per.cohort, per."offset", sz.n_cohort, per.n_active,
+        |    per.revenue_cents,
+        |    CAST(SUM(per.revenue_cents) OVER (PARTITION BY per.cohort
+        |      ORDER BY per."offset"
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_cents
+        |  FROM per JOIN sz ON sz.cohort = per.cohort)
+        |SELECT make_date(cohort // 12, cohort % 12 + 1, 1) AS cohort_month,
+        |  "offset", n_cohort, n_active, revenue_cents, cum_cents,
+        |  CAST((CAST(cum_cents AS HUGEINT) * 10000) // n_cohort AS BIGINT)
+        |    AS ltv_micro
+        |FROM c ORDER BY cohort_month, "offset"""".stripMargin,
     "q_assoc_rules" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -745,7 +745,51 @@ object StatsOps {
       .orderBy("decile")
   }
 
+  /** #283 ABC inventory classification: parts sorted by revenue
+    * descending, class A = parts whose EXCLUSIVE cumulative revenue is
+    * under 80% of total (so the top part is always A), B under 95%, C
+    * the tail — the Pareto segmentation every inventory/catalog
+    * pipeline runs (lorenzDeciles profiles the same curve by population
+    * decile; ABC cuts it by revenue thresholds).
+    *
+    * Scale: part revenue is one map-side-combined groupBy; the global
+    * revenue order reuses the memoized two-phase rank kernel
+    * ([[rankedRel]]) — range repartition + per-partition windows with
+    * collected per-partition sums (#partitions rows) as offsets, never
+    * a SinglePartition window. Products run in DECIMAL(38,0) (total
+    * cents ×100 outgrows int64 at ~10^16 cents). Output: 3 class rows.
+    */
+  def partAbc(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+        .cast("long")).as("rev"))
+    val rel = rankedRel(s, rev, Seq(desc("rev"), asc("partkey")), s"abc:$dir")
+    val sums = rel.sorted.groupBy("pid").agg(sum(col("rev")).as("p_rev")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets: Map[Int, Long] =
+      sums.map(_._1).zip(sums.scanLeft(0L)(_ + _._2)).toMap
+    val total = sums.map(_._2).sum
+    val w = Window.partitionBy("pid").orderBy(desc("rev"), asc("partkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    rel.sorted
+      .withColumn("cum_excl",
+        (element_at(typedLit(offsets), col("pid")) +
+          coalesce(sum(col("rev")).over(w), lit(0L))).cast(DecimalType(38, 0)))
+      .withColumn("cls",
+        when(col("cum_excl") * 100 < lit(total).cast(DecimalType(38, 0)) * 80, "A")
+          .when(col("cum_excl") * 100 < lit(total).cast(DecimalType(38, 0)) * 95, "B")
+          .otherwise("C"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("revenue_cents"))
+      .select(col("cls"), col("n_parts"), col("revenue_cents"),
+        expr(s"cast((cast(revenue_cents as decimal(38,0)) * 1000000) div ${total}L as long)")
+          .as("share_ppm"))
+      .orderBy("cls")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_part_abc" -> (partAbc _),
     "q_stats_qq" -> (statsQq _),
     "q_skyline" -> (skylineDaily _),
     "q_stats_zscore_daily" -> (statsZscoreDaily _),
@@ -770,6 +814,30 @@ object StatsOps {
     "q_text_entropy" -> (textEntropy _))
 
   val oracles: Map[String, String] = Map(
+    "q_part_abc" ->
+      """WITH rev AS (
+        |  SELECT l_partkey AS partkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+        |      AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY l_partkey),
+        |t AS (SELECT CAST(SUM(rev) AS HUGEINT) AS total FROM rev),
+        |c AS (
+        |  SELECT rev,
+        |    CAST(COALESCE(SUM(rev) OVER (ORDER BY rev DESC, partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT)
+        |      AS cum_excl,
+        |    t.total
+        |  FROM rev CROSS JOIN t),
+        |k AS (
+        |  SELECT CASE WHEN cum_excl * 100 < total * 80 THEN 'A'
+        |              WHEN cum_excl * 100 < total * 95 THEN 'B'
+        |              ELSE 'C' END AS cls, rev, total
+        |  FROM c)
+        |SELECT cls, COUNT(*) AS n_parts,
+        |  CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+        |  CAST((CAST(SUM(rev) AS HUGEINT) * 1000000) // MAX(total) AS BIGINT)
+        |    AS share_ppm
+        |FROM k GROUP BY cls ORDER BY cls""".stripMargin,
     "q_stats_qq" ->
       """WITH g AS (
         |  SELECT event_type AS grp, CAST(round(value * 100, 0) AS BIGINT) AS cents,

@@ -501,6 +501,62 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_._2).distinct.length === rows.length)
   }
 
+  test("partAbc matches a driver Pareto sweep and conserves parts/revenue") {
+    val rows = operators.StatsOps.partAbc(spark, sfDir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val rev = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+        .cast("long")).as("rev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (k, v) => (-v, k) }
+    val total = rev.map(x => BigInt(x._2)).sum
+    var cum = BigInt(0)
+    val expected = rev.map { case (_, v) =>
+      val cls = if (cum * 100 < total * 80) "A"
+        else if (cum * 100 < total * 95) "B" else "C"
+      cum += v
+      (cls, v)
+    }.groupBy(_._1).view.mapValues { xs =>
+      (xs.length.toLong, xs.map(x => BigInt(x._2)).sum)
+    }.toMap
+    assert(rows.keySet === expected.keySet)
+    expected.foreach { case (cls, (n, r)) =>
+      assert(rows(cls)._1 === n, s"class $cls count")
+      assert(rows(cls)._2 === r.toLong, s"class $cls revenue")
+      assert(rows(cls)._3 === (r * 1000000 / total).toLong, s"class $cls share")
+    }
+    assert(rows.values.map(_._1).sum === rev.length.toLong)
+    // A captures at least as much revenue as its population share implies
+    if (rows.contains("A") && rows.contains("C"))
+      assert(rows("A")._2 / rows("A")._1 >= rows("C")._2 / rows("C")._1)
+  }
+
+  test("cohortLtv: offset-0 activity equals cohort size; cum is monotone") {
+    val rows = operators.ExtraFuncs.cohortLtv(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getDate(0).toString)
+    byCohort.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(1))
+      // every cohort customer orders in their first month
+      assert(sorted.head.getLong(1) === 0L)
+      assert(sorted.head.getAs[Long]("n_active") === sorted.head.getAs[Long]("n_cohort"))
+      // cumulative revenue reconciles with the per-period column
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += r.getAs[Long]("revenue_cents")
+        assert(r.getAs[Long]("cum_cents") === cum)
+        assert(r.getAs[Long]("n_active") <= r.getAs[Long]("n_cohort"))
+        assert(r.getAs[Long]("ltv_micro") ===
+          (BigInt(cum) * 10000 / r.getAs[Long]("n_cohort")).toLong)
+      }
+    }
+    // cohort sizes sum to the distinct customer count
+    val nCust = Tables.orders(spark, sfDir)
+      .select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    assert(byCohort.values.map(_.head.getAs[Long]("n_cohort")).sum === nCust)
+  }
+
   test("statsQq deciles equal a driver-side sort-and-index computation") {
     val rows = operators.StatsOps.statsQq(spark, sfDir).collect()
     val vals = Tables.events(spark, sfDir)
