@@ -303,13 +303,15 @@ object ExtraFuncs {
     * pairs are the bulk of the pair relation.
     */
   def assocRules(s: SparkSession, dir: String): DataFrame = {
-    // shared distinct (order, part) head; nTx/itemCnt re-aggregate it.
-    // (r11b note: an eagerly-checkpointed single-shuffle basket variant
-    // measured SLOWER at sf0.1 — 4.6 s vs 3.1 s — the checkpoint write
-    // of array-typed baskets outweighs the avoided re-aggregations, so
-    // the straightforward shape stays.)
+    // shared distinct (order, part) head, localCheckpoint'd: three
+    // consumers (nTx, itemCnt, baskets) read the materialized two-long
+    // relation instead of re-running the scan+distinct shuffle each.
+    // (r11b note: checkpointing the array-typed BASKETS instead measured
+    // SLOWER at sf0.1 — 4.6 s vs 3.1 s — the wide array checkpoint write
+    // outweighs the saving; the flat pair relation is the cheap one.)
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .localCheckpoint()
     val nTx = li.select(col("ok")).distinct().agg(count(lit(1)).as("n_tx"))
     val itemCnt = li.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
     val baskets = li.groupBy(col("ok")).agg(collect_set(col("pk")).as("pks"))
