@@ -434,7 +434,38 @@ object QualityOps {
       .orderBy("hour")
   }
 
+  /** #286 Data-freshness audit: per event type, the lag between its
+    * latest event and the stream's global watermark (exact integer
+    * minutes), the last-24h arrival count, and a staleness flag at 2
+    * hours — the first monitor an ingestion on-call reads when a source
+    * silently stops (dqChecks validates VALUES; this validates
+    * ARRIVAL).
+    *
+    * Scale: two map-side-combined aggregates (global max is a 1-row
+    * broadcast; per-type max/count shuffles |type| states); the 24h
+    * predicate folds into the same per-type aggregate via a conditional
+    * sum against the broadcast watermark. All epoch-seconds integer
+    * math.
+    */
+  def dqFreshness(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("ts").cast("long").as("sec"))
+    val wm = ev.agg(max(col("sec")).as("wm"))
+    ev.crossJoin(broadcast(wm))
+      .groupBy("event_type")
+      .agg(max(col("sec")).as("last_sec"),
+        sum(when(col("sec") > col("wm") - 86400L, 1L).otherwise(0L))
+          .as("n_last_24h"),
+        max(col("wm")).as("wm"))
+      .select(col("event_type"),
+        expr("(wm - last_sec) div 60").as("staleness_min"),
+        col("n_last_24h"),
+        ((col("wm") - col("last_sec")) > 7200L).as("stale_2h"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_freshness" -> (dqFreshness _),
     "q_privacy_tcloseness" -> (privacyTcloseness _),
     "q_anon_ladder" -> (anonLadder _),
     "q_cdc_apply" -> (cdcApply _),
@@ -451,6 +482,19 @@ object QualityOps {
     "q_scd2_pit" -> (scd2Pit _))
 
   val oracles: Map[String, String] = Map(
+    "q_dq_freshness" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |wm AS (SELECT MAX(sec) AS wm FROM ev),
+        |g AS (
+        |  SELECT event_type, MAX(sec) AS last_sec,
+        |    CAST(SUM(CASE WHEN sec > wm.wm - 86400 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_last_24h,
+        |    MAX(wm.wm) AS wm
+        |  FROM ev CROSS JOIN wm GROUP BY event_type)
+        |SELECT event_type, (wm - last_sec) // 60 AS staleness_min, n_last_24h,
+        |  (wm - last_sec) > 7200 AS stale_2h
+        |FROM g ORDER BY event_type""".stripMargin,
     "q_privacy_tcloseness" ->
       """WITH ht AS (
         |  SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n_ht

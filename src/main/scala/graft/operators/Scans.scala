@@ -212,6 +212,7 @@ object Scans {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_dsv2" -> (scanDsv2 _),
     "q_scan_parquet" -> (scanParquet _),
+    "q_scan_evolved" -> (scanEvolved _),
     "q_scan_csv" -> (scanCsv _),
     "q_scan_jsonl" -> (scanJsonl _),
     "q_scan_orc" -> (scanOrc _),
@@ -236,6 +237,40 @@ object Scans {
     * cluster scale the same shape targets shared storage). The graded
     * OPERATOR is the binaryFile scan.
     */
+  /** #285 Schema-evolution read: two parquet generations of the same
+    * table — generation A (even docs) written BEFORE a `source` column
+    * existed, generation B (odd docs) after — read together with
+    * `mergeSchema`, the widened schema back-filling NULL for the old
+    * files' missing column. This is the lakehouse reality every
+    * long-lived dataset hits (columns appear mid-history; old files are
+    * never rewritten); the aggregate proves the merged read loses
+    * nothing: the oracle recomputes the same numbers from the ORIGINAL
+    * un-split table, so any row lost, duplicated, or mis-nulled by the
+    * merge breaks the hash.
+    *
+    * Scale: schema merging unions FILE FOOTERS (one tiny task per
+    * file), not data; the scan itself stays pruned/pushed like any
+    * parquet read. Fixture generations are written once per tmp
+    * lifetime (derived-file pattern).
+    */
+  def scanEvolved(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/evolved_v1_${DedupOps.cacheKey(dir, "documents")}"
+    if (!new java.io.File(s"$path/b", "_SUCCESS").exists()) {
+      Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$path/a")
+      Tables.documents(s, dir).filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+        .write.mode("overwrite").parquet(s"$path/b")
+    }
+    s.read.option("mergeSchema", "true").parquet(s"$path/a", s"$path/b")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("source").isNotNull, 1L).otherwise(0L)).as("n_with_source"),
+        sum(col("n_chars")).as("chars_total"))
+      .orderBy("lang")
+  }
+
   def scanBinary(s: SparkSession, dir: String): DataFrame = {
     val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/bin_v1_${DedupOps.cacheKey(dir, "documents")}"
     val d = new java.io.File(path)
@@ -285,6 +320,14 @@ object Scans {
     "q_scan_csv" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // recomputed from the ORIGINAL table: the merged two-generation read
+    // must reconstruct exactly these numbers (odd docs carry source)
+    "q_scan_evolved" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_with_source,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars_total
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_scan_jsonl" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_shipdate
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

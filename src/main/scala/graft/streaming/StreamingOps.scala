@@ -276,4 +276,52 @@ object StreamingOps {
       throw new java.io.IOException(
         s"upsertBatch: rename $tmp -> $targetDir failed after target delete")
   }
+
+  case class CdcOp(okey: Long, seq: Long, op: String, status: String, cents: Long)
+  case class CdcCurrent(okey: Long, seq: Long, op: String, status: String,
+                        cents: Long)
+
+  /** #287 Streaming CDC apply — the stream twin of
+    * [[graft.operators.QualityOps.cdcApply]]'s batch last-op-wins
+    * reduction, with TOMBSTONES (which #56's upsertBatch, a
+    * new-rows-win upsert, cannot express): per-key ValueState holds the
+    * highest-seq operation seen so far; each micro-batch folds its rows
+    * into the state and emits the key's new current row, so the LAST
+    * emission per key (max seq) IS the final table state whatever the
+    * batch slicing — the parity spec replays the identical change log
+    * in one batch and in per-seq batches and checks both against the
+    * batch operator. State = one row per live key (the same O(keys)
+    * footprint a lakehouse merge sink carries); out-of-order arrivals
+    * within and across batches resolve by seq, not arrival time.
+    */
+  class CdcApplyProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, CdcOp, CdcCurrent] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var cur: ValueState[(Long, String, String, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cur = getHandle.getValueState[(Long, String, String, Long)]("cur",
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.STRING,
+          Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[CdcOp],
+                                 timerValues: TimerValues): Iterator[CdcCurrent] = {
+      var st = if (cur.exists()) cur.get() else (Long.MinValue, "", "", 0L)
+      rows.foreach { r =>
+        if (r.seq > st._1) st = (r.seq, r.op, r.status, r.cents)
+      }
+      cur.update(st)
+      Iterator.single(CdcCurrent(key, st._1, st._2, st._3, st._4))
+    }
+  }
+
+  def cdcApplyStream(log: Dataset[CdcOp]): Dataset[CdcCurrent] = {
+    import log.sparkSession.implicits._
+    log.groupByKey(_.okey)
+      .transformWithState(new CdcApplyProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
 }
