@@ -471,7 +471,42 @@ object EvalOps {
       .orderBy("decile")
   }
 
+  /** #288 Fleiss' kappa across THREE deterministic heuristic raters
+    * (length ≥ 300 chars, ≥ 45 whitespace tokens, mean word length ≥ 5)
+    * voting "high-quality document" — the multi-rater chance-corrected
+    * agreement that generalizes [[evalKappa]]'s two-rater Cohen form:
+    * before trusting an ensemble of cheap labelers, measure whether
+    * they agree beyond chance.
+    *
+    * All-integer: with N=3 raters and v = positive votes per item,
+    * item agreement P_i = [v(v−1) + (3−v)(2−v)]/6, so S2 = Σ numerators
+    * and S1 = Σ v are plain integer sums; P̄, p, P_e and κ are floored
+    * ppm quotients of DECIMAL products. One map-side-combined global
+    * aggregate; nothing row-cardinality shuffles.
+    */
+  def evalFleiss(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        ((col("n_chars") >= 300).cast("long") +
+          (size(split(col("text"), " ")) >= 45).cast("long") +
+          (col("n_chars") >= size(split(col("text"), " ")) * 5).cast("long"))
+          .as("v"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        sum(col("v") * (col("v") - 1) +
+          (lit(3) - col("v")) * (lit(2) - col("v"))).as("s2"))
+      .select(col("n"),
+        expr("(s1 * 1000000) div (3 * n)").as("p_pos_ppm"),
+        expr("(s2 * 1000000) div (6 * n)").as("p_bar_ppm"))
+      .withColumn("p_e_ppm",
+        expr("cast((cast(p_pos_ppm as decimal(38,0)) * p_pos_ppm + " +
+          "cast(1000000 - p_pos_ppm as decimal(38,0)) * (1000000 - p_pos_ppm))" +
+          " div 1000000 as long)"))
+      .withColumn("kappa_ppm",
+        expr("cast((cast(p_bar_ppm - p_e_ppm as decimal(38,0)) * 1000000)" +
+          " div (1000000 - p_e_ppm) as long)"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_fleiss" -> (evalFleiss _),
     "q_eval_lift" -> (evalLiftDeciles _),
     "q_eval_pr_curve" -> (evalPrCurve _),
     "q_eval_pr_auc" -> (evalPrAuc _),
@@ -487,6 +522,29 @@ object EvalOps {
     "q_bootstrap_ci" -> (bootstrapCi _))
 
   val oracles: Map[String, String] = Map(
+    "q_eval_fleiss" ->
+      """WITH v AS (
+        |  SELECT CAST(n_chars >= 300 AS BIGINT)
+        |    + CAST(len(string_split(text, ' ')) >= 45 AS BIGINT)
+        |    + CAST(n_chars >= len(string_split(text, ' ')) * 5 AS BIGINT) AS v
+        |  FROM documents),
+        |a AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s1,
+        |    CAST(SUM(v * (v - 1) + (3 - v) * (2 - v)) AS BIGINT) AS s2
+        |  FROM v),
+        |p AS (
+        |  SELECT n, (s1 * 1000000) // (3 * n) AS p_pos_ppm,
+        |    (s2 * 1000000) // (6 * n) AS p_bar_ppm
+        |  FROM a),
+        |e AS (
+        |  SELECT *, CAST((CAST(p_pos_ppm AS HUGEINT) * p_pos_ppm
+        |    + CAST(1000000 - p_pos_ppm AS HUGEINT) * (1000000 - p_pos_ppm))
+        |    // 1000000 AS BIGINT) AS p_e_ppm
+        |  FROM p)
+        |SELECT n, p_pos_ppm, p_bar_ppm, p_e_ppm,
+        |  CAST((CAST(p_bar_ppm - p_e_ppm AS HUGEINT) * 1000000)
+        |    // (1000000 - p_e_ppm) AS BIGINT) AS kappa_ppm
+        |FROM e""".stripMargin,
     "q_eval_lift" ->
       """WITH g AS (
         |  SELECT n_chars AS score, COUNT(*) AS cnt,

@@ -517,7 +517,38 @@ object PipelineOps {
       .orderBy("lang", "pack_id")
   }
 
+  /** #290 Sample-ratio-mismatch (SRM) check on the content-addressed
+    * split: observed train/val/test counts vs the EXACT md5-prefix
+    * design ratios (204/26/26 of 256 — the two-hex-char thresholds in
+    * [[splitAssign]]'s splitCol), as an all-integer χ² with 2 df,
+    * flagged at the 5% critical value (5.991) — the experimentation
+    * guardrail that catches a broken or biased assignment before anyone
+    * trusts a metric computed on the splits.
+    *
+    * χ²_milli = Σ_i (256·o_i − n·w_i)²·1000 div (256·n·w_i), every
+    * product in DECIMAL(38,0). One 3-group map-side-combined aggregate.
+    */
+  def splitSrm(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(splitCol(col("doc_id")).as("split"))
+      .groupBy("split").agg(count(lit(1)).as("o"))
+    counts
+      .agg(sum(col("o")).as("n"),
+        max(when(col("split") === "train", col("o"))).as("n_train"),
+        max(when(col("split") === "val", col("o"))).as("n_val"),
+        max(when(col("split") === "test", col("o"))).as("n_test"))
+      .select(col("n"), col("n_train"), col("n_val"), col("n_test"),
+        (Seq(("n_train", 204L), ("n_val", 26L), ("n_test", 26L)).map {
+          case (c, wi) =>
+            expr(s"(cast($c as decimal(38,0)) * 256 - cast(n as decimal(38,0)) * $wi)" +
+              s" * (cast($c as decimal(38,0)) * 256 - cast(n as decimal(38,0)) * $wi)" +
+              s" * 1000 div (256 * cast(n as decimal(38,0)) * $wi)")
+        }.reduce(_ + _)).cast("long").as("chi2_milli"))
+      .withColumn("srm_flag", col("chi2_milli") > 5991L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_srm" -> (splitSrm _),
     "q_compaction_plan" -> (compactionPlan _),
     "q_pipeline_e2e" -> (pipelineE2e _),
     "q_token_budget" -> (tokenBudget _),
@@ -536,6 +567,41 @@ object PipelineOps {
     "q_dedup_canonical" -> (dedupCanonical _))
 
   val oracles: Map[String, String] = Map(
+    "q_split_srm" ->
+      """WITH sp AS (
+        |  SELECT CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+        |      THEN 'train'
+        |    WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |      THEN 'val' ELSE 'test' END AS split
+        |  FROM documents),
+        |c AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |    CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+        |    CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        |  FROM sp)
+        |SELECT n, n_train, n_val, n_test,
+        |  CAST(
+        |    (CAST(n_train AS HUGEINT) * 256 - CAST(n AS HUGEINT) * 204)
+        |      * (CAST(n_train AS HUGEINT) * 256 - CAST(n AS HUGEINT) * 204)
+        |      * 1000 // (256 * CAST(n AS HUGEINT) * 204)
+        |    + (CAST(n_val AS HUGEINT) * 256 - CAST(n AS HUGEINT) * 26)
+        |      * (CAST(n_val AS HUGEINT) * 256 - CAST(n AS HUGEINT) * 26)
+        |      * 1000 // (256 * CAST(n AS HUGEINT) * 26)
+        |    + (CAST(n_test AS HUGEINT) * 256 - CAST(n AS HUGEINT) * 26)
+        |      * (CAST(n_test AS HUGEINT) * 256 - CAST(n AS HUGEINT) * 26)
+        |      * 1000 // (256 * CAST(n AS HUGEINT) * 26) AS BIGINT) AS chi2_milli,
+        |  CAST(
+        |    (CAST(n_train AS HUGEINT) * 256 - CAST(n AS HUGEINT) * 204)
+        |      * (CAST(n_train AS HUGEINT) * 256 - CAST(n AS HUGEINT) * 204)
+        |      * 1000 // (256 * CAST(n AS HUGEINT) * 204)
+        |    + (CAST(n_val AS HUGEINT) * 256 - CAST(n AS HUGEINT) * 26)
+        |      * (CAST(n_val AS HUGEINT) * 256 - CAST(n AS HUGEINT) * 26)
+        |      * 1000 // (256 * CAST(n AS HUGEINT) * 26)
+        |    + (CAST(n_test AS HUGEINT) * 256 - CAST(n AS HUGEINT) * 26)
+        |      * (CAST(n_test AS HUGEINT) * 256 - CAST(n AS HUGEINT) * 26)
+        |      * 1000 // (256 * CAST(n AS HUGEINT) * 26) AS BIGINT) > 5991 AS srm_flag
+        |FROM c""".stripMargin,
     "q_compaction_plan" ->
       """WITH files AS (
         |  SELECT lang, doc_id // 50 AS file_id,

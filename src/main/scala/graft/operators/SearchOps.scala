@@ -123,12 +123,78 @@ object SearchOps {
       .select("t1", "t2", "c12", "pmi_nano")
   }
 
+  /** #289 Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009)
+    * — THE hybrid-search combiner: for each query term, fuse a lexical
+    * ranking (tf desc) with an independent prior ranking (document
+    * length desc, standing in for the semantic/recency ranker) by
+    * RRF(d) = Σ_r 1/(60 + rank_r(d)), kept integer as 10⁹ div (60+rank)
+    * so fusion scores and their ordering are exact; top-5 fused docs
+    * per term.
+    *
+    * Scale: the candidate set per term is the docs CONTAINING the term
+    * (the postings row set — the standard fusion input, both rankings
+    * over the same candidates so every rank is defined); both rankings
+    * are term-PARTITIONED windows over that bounded relation; one
+    * explode + one tf aggregate is the only corpus-sized work.
+    */
+  def rankFusion(s: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("join", "vector", "scan")
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(col("token").isin(qTerms: _*))
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"), max(col("n_chars")).as("n_chars"))
+    val wA = Window.partitionBy("token").orderBy(desc("tf"), asc("doc_id"))
+    val wB = Window.partitionBy("token").orderBy(desc("n_chars"), asc("doc_id"))
+    val wF = Window.partitionBy("token").orderBy(desc("fused_nano"), asc("doc_id"))
+    tf.withColumn("rank_tf", row_number().over(wA))
+      .withColumn("rank_len", row_number().over(wB))
+      .withColumn("fused_nano",
+        expr("1000000000 div (60 + rank_tf) + 1000000000 div (60 + rank_len)"))
+      .withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= 5)
+      .select(col("token"), col("rank"), col("doc_id"),
+        col("rank_tf"), col("rank_len"), col("fused_nano"))
+      .orderBy("token", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rank_fusion" -> (rankFusion _),
     "q_text_bm25" -> (textBm25 _),
     "q_text_postings" -> (textPostings _),
     "q_text_cooccur" -> (textCooccur _))
 
   val oracles: Map[String, String] = Map(
+    "q_rank_fusion" ->
+      """WITH tf AS (
+        |  SELECT token, doc_id, COUNT(*) AS tf, MAX(n_chars) AS n_chars
+        |  FROM (
+        |    SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  WHERE token IN ('join', 'vector', 'scan')
+        |  GROUP BY token, doc_id),
+        |r AS (
+        |  SELECT token, doc_id,
+        |    row_number() OVER (PARTITION BY token
+        |      ORDER BY tf DESC, doc_id) AS rank_tf,
+        |    row_number() OVER (PARTITION BY token
+        |      ORDER BY n_chars DESC, doc_id) AS rank_len
+        |  FROM tf),
+        |f AS (
+        |  SELECT token, doc_id, rank_tf, rank_len,
+        |    1000000000 // (60 + rank_tf) + 1000000000 // (60 + rank_len)
+        |      AS fused_nano
+        |  FROM r)
+        |SELECT token, CAST(row_number() OVER (PARTITION BY token
+        |    ORDER BY fused_nano DESC, doc_id) AS INTEGER) AS rank,
+        |  doc_id, CAST(rank_tf AS INTEGER) AS rank_tf,
+        |  CAST(rank_len AS INTEGER) AS rank_len,
+        |  CAST(fused_nano AS BIGINT) AS fused_nano
+        |FROM f
+        |QUALIFY row_number() OVER (PARTITION BY token
+        |  ORDER BY fused_nano DESC, doc_id) <= 5
+        |ORDER BY token, rank""".stripMargin,
     "q_text_bm25" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -231,6 +231,31 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Long]("ece_ppm") <= r.getAs[Long]("mce_ppm"))
   }
 
+  test("Fleiss' kappa matches a driver replay of the three raters") {
+    val r = operators.EvalOps.evalFleiss(spark, sfDir).collect()(0)
+    val d = Tables.documents(spark, sfDir)
+      .select(col("n_chars"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val vs = d.map { case (chars, toks) =>
+      (if (chars >= 300) 1L else 0L) + (if (toks >= 45) 1L else 0L) +
+        (if (chars >= toks * 5) 1L else 0L)
+    }
+    val n = vs.length.toLong
+    val s1 = vs.sum
+    val s2 = vs.map(v => v * (v - 1) + (3 - v) * (2 - v)).sum
+    val pPos = s1 * 1000000L / (3 * n)
+    val pBar = s2 * 1000000L / (6 * n)
+    val pE = (BigInt(pPos) * pPos + BigInt(1000000L - pPos) * (1000000L - pPos)) / 1000000
+    val kappa = (BigInt(pBar) - pE) * 1000000 / (BigInt(1000000) - pE)
+    assert(r.getAs[Long]("n") === n)
+    assert(r.getAs[Long]("p_pos_ppm") === pPos)
+    assert(r.getAs[Long]("p_bar_ppm") === pBar)
+    assert(r.getAs[Long]("p_e_ppm") === pE.toLong)
+    assert(r.getAs[Long]("kappa_ppm") === kappa.toLong)
+    // chance-corrected agreement is bounded and P̄ ≥ P_e would make κ ≥ 0
+    assert(r.getAs[Long]("kappa_ppm") <= 1000000L)
+  }
+
   test("lift deciles match a driver replay; capture is monotone to 1e6") {
     val rows = operators.EvalOps.evalLiftDeciles(spark, sfDir).collect()
     val d = docs

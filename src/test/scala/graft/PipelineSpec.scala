@@ -218,4 +218,26 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
         s"component $comp kept a non-canonical member")
     }
   }
+
+  test("SRM check reconciles with splitAssign counts and stays quiet on the fixture") {
+    val r = operators.PipelineOps.splitSrm(spark, sfDir).collect()(0)
+    val counts = operators.PipelineOps.splitAssign(spark, sfDir)
+      .groupBy("split").count().collect()
+      .map(x => (x.getString(0), x.getLong(1))).toMap
+    assert(r.getAs[Long]("n_train") === counts("train"))
+    assert(r.getAs[Long]("n_val") === counts("val"))
+    assert(r.getAs[Long]("n_test") === counts("test"))
+    assert(r.getAs[Long]("n") === counts.values.sum)
+    // driver chi2 replay with the same per-term flooring
+    val n = counts.values.sum
+    val chi2 = Seq(("train", 204L), ("val", 26L), ("test", 26L)).map {
+      case (k, w) =>
+        val d = BigInt(counts(k)) * 256 - BigInt(n) * w
+        d * d * 1000 / (BigInt(256) * n * w)
+    }.sum
+    assert(r.getAs[Long]("chi2_milli") === chi2.toLong)
+    // the content-addressed split is unbiased by construction — no SRM
+    assert(!r.getAs[Boolean]("srm_flag"),
+      s"fixture split flagged SRM: chi2_milli=${r.getAs[Long]("chi2_milli")}")
+  }
 }

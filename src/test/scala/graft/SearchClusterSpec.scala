@@ -755,6 +755,32 @@ class SearchClusterSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("rank fusion equals a driver RRF replay over the postings candidates") {
+    val rows = operators.SearchOps.rankFusion(spark, sfDir).collect()
+      .groupBy(_.getString(0))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    Seq("join", "vector", "scan").foreach { term =>
+      val cand = docs.map { case (id, nc, text) =>
+        (id, nc, text.split(" ").count(_ == term).toLong)
+      }.filter(_._3 > 0)
+      val rankTf = cand.sortBy { case (id, _, tf) => (-tf, id) }
+        .zipWithIndex.map { case ((id, _, _), i) => id -> (i + 1) }.toMap
+      val rankLen = cand.sortBy { case (id, nc, _) => (-nc, id) }
+        .zipWithIndex.map { case ((id, _, _), i) => id -> (i + 1) }.toMap
+      val fused = cand.map { case (id, _, _) =>
+        (id, 1000000000L / (60 + rankTf(id)) + 1000000000L / (60 + rankLen(id)))
+      }.sortBy { case (id, f) => (-f, id) }.take(5)
+      val got = rows(term).sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("fused_nano")))
+      assert(got.toSeq === fused.toSeq, s"term $term fusion")
+      // a doc ranked 1 by BOTH rankers must be the fused winner
+      val both1 = cand.map(_._1).find(id => rankTf(id) == 1 && rankLen(id) == 1)
+      both1.foreach(id => assert(got.head._1 === id))
+    }
+  }
+
   test("MMR equals a driver-side greedy replay and really diversifies") {
     val rows = operators.SimilarityOps.embedMmr(spark, sfDir).collect()
       .groupBy(_.getLong(0))
