@@ -505,7 +505,52 @@ object EvalOps {
         expr("cast((cast(p_bar_ppm - p_e_ppm as decimal(38,0)) * 1000000)" +
           " div (1000000 - p_e_ppm) as long)"))
 
+  /** #291 Feature-leakage AUC sweep: the exact tie-aware AUC of EACH
+    * candidate feature (n_chars, whitespace token count, mean word
+    * length ×100) against the English label, in ONE pass — the audit
+    * that catches a feature "predicting too well" (target leakage)
+    * before it enters a model, and ranks cheap heuristics by
+    * discriminative power ([[evalAuc]] grades one fixed scorer; this
+    * sweeps the candidate set).
+    *
+    * Shape: a 3-way per-row explode to (feature, score, label), then
+    * the evalAuc machinery PARTITIONED BY feature — grouped counts per
+    * (feature, score), cumulative windows over each feature's
+    * score-domain-bounded relation, concordant/tied pair counts from
+    * counts in DECIMAL(38,0). The explode multiplies the map-side rows
+    * by |features| but everything past the first aggregate is
+    * domain-bounded per feature.
+    */
+  def evalFeatureAuc(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir)
+      .select(
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        col("n_chars"))
+      .select(col("pos"), explode(expr(
+        "array(named_struct('feature', 'n_chars', 'score', n_chars)," +
+          " named_struct('feature', 'n_tokens', 'score', n_tokens)," +
+          " named_struct('feature', 'mean_wordlen_x100', 'score'," +
+          "   (n_chars * 100) div n_tokens))")).as("f"))
+      .select(col("f.feature").as("feature"), col("f.score").as("score"), col("pos"))
+      .groupBy("feature", "score")
+      .agg(sum(col("pos")).as("np"), sum(lit(1L) - col("pos")).as("nn"))
+    val w = Window.partitionBy("feature").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cum_nn", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .groupBy("feature")
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np").cast(DecimalType(38, 0)) * col("cum_nn")).as("c_dec"),
+        sum(col("np").cast(DecimalType(38, 0)) * col("nn")).as("t_dec"))
+      .select(col("feature"), col("n_pos"), col("n_neg"),
+        round((col("c_dec") * 2 + col("t_dec")).cast("double") /
+          (col("n_pos").cast(DecimalType(38, 0)) * col("n_neg") * 2).cast("double"), 6)
+          .as("auc"))
+      .orderBy("feature")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_feature_auc" -> (evalFeatureAuc _),
     "q_eval_fleiss" -> (evalFleiss _),
     "q_eval_lift" -> (evalLiftDeciles _),
     "q_eval_pr_curve" -> (evalPrCurve _),
@@ -522,6 +567,31 @@ object EvalOps {
     "q_bootstrap_ci" -> (bootstrapCi _))
 
   val oracles: Map[String, String] = Map(
+    "q_eval_feature_auc" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, n_chars
+        |  FROM documents),
+        |f AS (
+        |  SELECT 'n_chars' AS feature, n_chars AS score, pos FROM d
+        |  UNION ALL SELECT 'n_tokens', n_tokens, pos FROM d
+        |  UNION ALL SELECT 'mean_wordlen_x100', (n_chars * 100) // n_tokens, pos FROM d),
+        |g AS (
+        |  SELECT feature, score, CAST(SUM(pos) AS BIGINT) AS np,
+        |    CAST(SUM(1 - pos) AS BIGINT) AS nn
+        |  FROM f GROUP BY feature, score),
+        |c AS (
+        |  SELECT feature, np, nn,
+        |    CAST(COALESCE(SUM(nn) OVER (PARTITION BY feature ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_nn
+        |  FROM g)
+        |SELECT feature, CAST(SUM(np) AS BIGINT) AS n_pos,
+        |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+        |  round(CAST(SUM(CAST(np AS HUGEINT) * cum_nn) * 2
+        |      + SUM(CAST(np AS HUGEINT) * nn) AS DOUBLE) /
+        |    CAST(CAST(SUM(np) AS HUGEINT) * SUM(nn) * 2 AS DOUBLE), 6) AS auc
+        |FROM c GROUP BY feature ORDER BY feature""".stripMargin,
     "q_eval_fleiss" ->
       """WITH v AS (
         |  SELECT CAST(n_chars >= 300 AS BIGINT)

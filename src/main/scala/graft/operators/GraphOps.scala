@@ -19,6 +19,32 @@ object GraphOps {
   private val Iterations = 5
   private val UnitMass = 1000000L // 1.0 in micro-units
 
+  /** #292 Degree distribution of the similarity graph: per degree value,
+    * node count plus floored-nano log-log coordinates — the first
+    * profile anyone reads off a graph (is it power-law-ish? where is
+    * the hub tail?), the graph analog of [[TextOps]]' Zipf profile, and
+    * the input for choosing the k-core / cap parameters the dedup
+    * family runs with.
+    *
+    * Scale: one degree aggregate over the symmetrized edge list
+    * (map-side combined), then a DEGREE-DOMAIN-bounded re-aggregate —
+    * the output is |distinct degrees| rows whatever the node count. ln
+    * floored to nanos (the repo convention) so both engines emit
+    * identical integers.
+    */
+  def degreeDist(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.materializedEdges(s, dir)
+    val sym = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    sym.groupBy(col("doc_a").as("node")).agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+      .select(col("deg"), col("n_nodes"),
+        floor(log(col("deg").cast("double")) * 1e9).cast("long").as("ln_deg_nano"),
+        floor(log(col("n_nodes").cast("double")) * 1e9).cast("long")
+          .as("ln_count_nano"))
+      .orderBy("deg")
+  }
+
   /** Fixed-point PageRank (damping 0.85, 5 rounds) on the symmetrized
     * exact-Jaccard pair graph: r'(v) = 0.15 + 0.85·Σ_{u→v} r(u) div
     * deg(u), all in micro-units. Per round: one join on the edge list +
@@ -370,6 +396,7 @@ object GraphOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_degree_dist" -> (degreeDist _),
     "q_graph_conductance" -> (conductance _),
     "q_graph_modularity" -> (modularity _),
     "q_graph_label_prop" -> (labelProp _),
@@ -382,6 +409,24 @@ object GraphOps {
     "q_graph_triangles" -> (triangles _))
 
   val oracles: Map[String, String] = Map(
+    "q_graph_degree_dist" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |deg AS (SELECT a AS node, COUNT(*) AS deg FROM sym GROUP BY a),
+        |d AS (SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY deg)
+        |SELECT CAST(deg AS BIGINT) AS deg, n_nodes,
+        |  CAST(floor(ln(CAST(deg AS DOUBLE)) * 1e9) AS BIGINT) AS ln_deg_nano,
+        |  CAST(floor(ln(CAST(n_nodes AS DOUBLE)) * 1e9) AS BIGINT) AS ln_count_nano
+        |FROM d ORDER BY deg""".stripMargin,
     "q_graph_conductance" ->
       """WITH base AS (
         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset

@@ -231,6 +231,31 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Long]("ece_ppm") <= r.getAs[Long]("mce_ppm"))
   }
 
+  test("feature AUC sweep: each feature equals its own brute-force pair count") {
+    val rows = operators.EvalOps.evalFeatureAuc(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val d = Tables.documents(spark, sfDir)
+      .select(col("n_chars"), size(split(col("text"), " ")).cast("long"),
+        (col("lang") === "en"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val feats = Map[String, ((Long, Long, Boolean)) => Long](
+      "n_chars" -> (_._1), "n_tokens" -> (_._2),
+      "mean_wordlen_x100" -> (x => x._1 * 100 / x._2))
+    assert(rows.keySet === feats.keySet)
+    feats.foreach { case (name, f) =>
+      val pos = d.filter(_._3).map(f)
+      val neg = d.filterNot(_._3).map(f)
+      var c = 0L; var t = 0L
+      for (p <- pos; n <- neg) { if (p > n) c += 1 else if (p == n) t += 1 }
+      val r = rows(name)
+      assert(r.getAs[Long]("n_pos") === pos.length.toLong)
+      assert(r.getAs[Long]("n_neg") === neg.length.toLong)
+      val auc = BigDecimal((2.0 * c + t) / (2.0 * pos.length * neg.length))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("auc") === auc, s"feature $name")
+    }
+  }
+
   test("Fleiss' kappa matches a driver replay of the three raters") {
     val r = operators.EvalOps.evalFleiss(spark, sfDir).collect()(0)
     val d = Tables.documents(spark, sfDir)

@@ -501,6 +501,24 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_._2).distinct.length === rows.length)
   }
 
+  test("degree distribution conserves nodes/edge-endpoints and ln-coords are exact") {
+    val rows = operators.GraphOps.degreeDist(spark, sfDir).collect()
+    val edges = operators.DedupOps.materializedEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = deg.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(_.getLong(0)).toSet === expected.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(1) === expected(r.getLong(0)), s"deg ${r.getLong(0)}")
+      assert(r.getLong(2) === math.floor(math.log(r.getLong(0).toDouble) * 1e9).toLong)
+      assert(r.getLong(3) === math.floor(math.log(r.getLong(1).toDouble) * 1e9).toLong)
+    }
+    // Σ deg·n_nodes = 2·|edges| (handshake), Σ n_nodes = |nodes|
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum === 2L * edges.length)
+    assert(rows.map(_.getLong(1)).sum === deg.size.toLong)
+  }
+
   test("partAbc matches a driver Pareto sweep and conserves parts/revenue") {
     val rows = operators.StatsOps.partAbc(spark, sfDir).collect()
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
