@@ -303,15 +303,16 @@ object ExtraFuncs {
     * pairs are the bulk of the pair relation.
     */
   def assocRules(s: SparkSession, dir: String): DataFrame = {
-    // shared distinct (order, part) head, localCheckpoint'd: three
-    // consumers (nTx, itemCnt, baskets) read the materialized two-long
-    // relation instead of re-running the scan+distinct shuffle each.
-    // (r11b note: checkpointing the array-typed BASKETS instead measured
-    // SLOWER at sf0.1 — 4.6 s vs 3.1 s — the wide array checkpoint write
-    // outweighs the saving; the flat pair relation is the cheap one.)
+    // shared distinct (order, part) head; nTx/itemCnt re-aggregate it.
+    // Measured twice against checkpoint variants at sf0.1 and the
+    // straightforward shape wins BOTH times: the array-typed basket
+    // checkpoint (r11b: 4.6 s vs 3.1 s) and the flat pair-relation
+    // checkpoint (r11 continuation, warmed A/B: ~2.3 s ckpt vs ~2.0 s
+    // without) each cost more in materialization than the re-run
+    // scan+distinct they avoid — the 600k-row distinct is cheap, the
+    // local checkpoint write is not.
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      .localCheckpoint()
     val nTx = li.select(col("ok")).distinct().agg(count(lit(1)).as("n_tx"))
     val itemCnt = li.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
     val baskets = li.groupBy(col("ok")).agg(collect_set(col("pk")).as("pks"))
