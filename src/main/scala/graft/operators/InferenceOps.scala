@@ -207,12 +207,19 @@ object InferenceOps {
     * beyond that drop slope precision to milli (documented, like the
     * ANOVA envelope above).
     */
-  def olsMulti(s: SparkSession, dir: String): DataFrame = {
-    val per = Tables.lineitem(s, dir)
+  /** Shared per-order feature/target relation for the OLS fit and its
+    * conformal wrapper: (okey, line count x1, total quantity x2, price
+    * cents y).
+    */
+  private def olsPerOrder(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey").as("okey"))
       .agg(count(lit(1)).as("x1"), sum(col("l_quantity").cast("long")).as("x2"))
       .join(Tables.orders(s, dir).select(col("o_orderkey").as("okey"),
         round(col("o_totalprice") * 100, 0).cast("long").as("y")), Seq("okey"))
+
+  def olsMulti(s: SparkSession, dir: String): DataFrame = {
+    val per = olsPerOrder(s, dir)
     val piv = per.agg(count(lit(1)).as("n0"),
         sum(col("x1")).as("t1"), sum(col("x2")).as("t2"),
         sum(col("y").cast(DecimalType(38, 0))).as("ty"))
@@ -345,7 +352,52 @@ object InferenceOps {
         col("p_we_ppm"), col("p_wd_ppm"), col("z2_milli"),
         (col("z2_milli") > 3841L).as("significant_05"))
 
+  /** #294 Split-conformal prediction interval (Vovk et al.; Lei et al.
+    * 2018) around the [[olsMulti]] price model: on a content-addressed
+    * 25% calibration split (md5 of the order key — the
+    * [[PipelineOps]] split discipline), take the ⌈(1−α)(n+1)⌉-th
+    * smallest absolute residual as the half-width q̂ (α = 0.1), then
+    * report the EMPIRICAL coverage of ±q̂ on the held-out 75% — the
+    * distribution-free guarantee (≥ 90%) demonstrated, not assumed.
+    *
+    * Exactness: residuals use the oracle-identical floored integer-micro
+    * betas, so every |r| is exact int64; the quantile is an ORDER
+    * STATISTIC (no interpolation) selected by the two-phase rank kernel
+    * — rank over (|r|, okey) with no SinglePartition window; coverage is
+    * a count ratio in ppm. Scale: one per-order aggregate feeds fit,
+    * calibration, and coverage; the kernel's range shuffle is the only
+    * extra row-cardinality stage.
+    */
+  def conformalInterval(s: SparkSession, dir: String): DataFrame = {
+    val alpha10 = 9L // (1-α)·10 with α = 0.1
+    val resid = olsPerOrder(s, dir)
+      .crossJoin(broadcast(olsMulti(s, dir)
+        .select(col("beta1_micro"), col("beta2_micro"), col("intercept_micro"))))
+      .select(col("okey"),
+        (substring(md5(concat(lit("conf:"), col("okey").cast("string"))), 1, 2) < "40")
+          .as("is_cal"),
+        abs(col("y") * 1000000L - col("beta1_micro") * col("x1") -
+          col("beta2_micro") * col("x2") - col("intercept_micro")).as("abs_r"))
+      .localCheckpoint() // feeds the rank kernel AND the coverage count
+    val cal = resid.filter(col("is_cal")).select(col("okey"), col("abs_r"))
+    val (ranked, nCal) = StatsOps.globalRanked(s, cal,
+      Seq(asc("abs_r"), asc("okey")), s"conformal:$dir")
+    val qIdx = (alpha10 * (nCal + 1) + 9) / 10 // ceil(0.9·(n+1))
+    val qHat = ranked.filter(col("r") === qIdx)
+      .select(col("abs_r").as("q_hat_micro"))
+    resid.filter(!col("is_cal"))
+      .crossJoin(broadcast(qHat))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("abs_r") <= col("q_hat_micro"), 1L).otherwise(0L))
+          .as("n_covered"),
+        max(col("q_hat_micro")).as("q_hat_micro"))
+      .select(lit(nCal).as("n_cal"), col("q_hat_micro"), col("n_test"),
+        col("n_covered"),
+        expr("(n_covered * 1000000) div n_test").as("coverage_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_conformal" -> (conformalInterval _),
     "q_stats_kendall" -> (kendallDaily _),
     "q_stats_prop_z" -> (propZ _),
     "q_stats_ols_multi" -> (olsMulti _),
@@ -354,7 +406,74 @@ object InferenceOps {
     "q_stats_spearman" -> (spearman _),
     "q_ts_cross_corr" -> (crossCorrLag1 _))
 
+  /** Conformal twin: the full OLS CTE chain (identical to the
+    * q_stats_ols_multi twin) feeding residuals, an order-statistic
+    * pick from a sorted list, and the held-out coverage count.
+    */
+  private def conformalOracleSql: String =
+    """WITH per AS (
+      |  SELECT l.l_orderkey AS okey, COUNT(*) AS x1,
+      |    CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS x2,
+      |    MAX(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS y
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  GROUP BY l.l_orderkey),
+      |piv AS (
+      |  SELECT COUNT(*) AS n0,
+      |    SUM(x1) AS t1, SUM(x2) AS t2, CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS ty,
+      |    SUM(x1) // COUNT(*) AS p1, SUM(x2) // COUNT(*) AS p2,
+      |    CAST(SUM(CAST(y AS HUGEINT)) // COUNT(*) AS BIGINT) AS py
+      |  FROM per),
+      |m AS (
+      |  SELECT n0, t1, t2, ty, COUNT(*) AS n,
+      |    CAST(SUM(x1 - p1) AS HUGEINT) AS s1,
+      |    CAST(SUM(x2 - p2) AS HUGEINT) AS s2,
+      |    CAST(SUM(CAST(y - py AS HUGEINT)) AS HUGEINT) AS sy,
+      |    CAST(SUM((x1 - p1) * (x1 - p1)) AS HUGEINT) AS r11,
+      |    CAST(SUM((x1 - p1) * (x2 - p2)) AS HUGEINT) AS r12,
+      |    CAST(SUM((x2 - p2) * (x2 - p2)) AS HUGEINT) AS r22,
+      |    CAST(SUM(CAST(x1 - p1 AS HUGEINT) * (y - py)) AS HUGEINT) AS r1y,
+      |    CAST(SUM(CAST(x2 - p2 AS HUGEINT) * (y - py)) AS HUGEINT) AS r2y
+      |  FROM per CROSS JOIN piv
+      |  GROUP BY n0, t1, t2, ty),
+      |mom AS (
+      |  SELECT n0, t1, t2, ty, n,
+      |    (n * r11 - s1 * s1) // n AS S11, (n * r12 - s1 * s2) // n AS S12,
+      |    (n * r22 - s2 * s2) // n AS S22, (n * r1y - s1 * sy) // n AS S1y,
+      |    (n * r2y - s2 * sy) // n AS S2y
+      |  FROM m),
+      |d AS (SELECT *, S11 * S22 - S12 * S12 AS det FROM mom
+      |      WHERE S11 * S22 - S12 * S12 <> 0),
+      |bb AS (
+      |  SELECT ((S1y * S22 - S2y * S12) * 1000000) // det AS beta1_micro,
+      |    ((S2y * S11 - S1y * S12) * 1000000) // det AS beta2_micro,
+      |    (ty * 1000000 - ((S1y * S22 - S2y * S12) * 1000000) // det * t1
+      |      - ((S2y * S11 - S1y * S12) * 1000000) // det * t2) // n0 AS intercept_micro
+      |  FROM d),
+      |conf AS (
+      |  SELECT per.okey,
+      |    substring(md5('conf:' || CAST(per.okey AS VARCHAR)), 1, 2) < '40' AS is_cal,
+      |    abs(CAST(per.y AS HUGEINT) * 1000000 - bb.beta1_micro * per.x1
+      |      - bb.beta2_micro * per.x2 - bb.intercept_micro) AS abs_r
+      |  FROM per CROSS JOIN bb),
+      |cal AS (SELECT okey, abs_r FROM conf WHERE is_cal),
+      |nq AS (SELECT COUNT(*) AS n_cal,
+      |         (9 * (COUNT(*) + 1) + 9) // 10 AS q_idx FROM cal),
+      |ql AS (SELECT list(abs_r ORDER BY abs_r, okey) AS l FROM cal),
+      |qh AS (SELECT nq.n_cal, ql.l[nq.q_idx] AS q_hat_micro
+      |       FROM nq CROSS JOIN ql),
+      |t AS (
+      |  SELECT MAX(qh.n_cal) AS n_cal, MAX(qh.q_hat_micro) AS q_hat_micro,
+      |    COUNT(*) AS n_test,
+      |    CAST(SUM(CASE WHEN conf.abs_r <= qh.q_hat_micro THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_covered
+      |  FROM conf CROSS JOIN qh WHERE NOT conf.is_cal)
+      |SELECT CAST(n_cal AS BIGINT) AS n_cal,
+      |  CAST(q_hat_micro AS BIGINT) AS q_hat_micro, n_test, n_covered,
+      |  CAST((n_covered * 1000000) // n_test AS BIGINT) AS coverage_ppm
+      |FROM t""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_eval_conformal" -> conformalOracleSql,
     "q_stats_kendall" ->
       """WITH daily AS (
         |  SELECT date_trunc('day', o_orderdate) AS day, COUNT(*) AS x,

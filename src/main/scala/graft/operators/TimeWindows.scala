@@ -481,7 +481,59 @@ object TimeWindows {
           .as("fano_milli"))
       .orderBy("event_type")
 
+  /** #293 Single-changepoint detection per event type (binary
+    * segmentation step): the split of the daily value-mass series that
+    * maximizes the between-segment SSE reduction — [[tsCusum]] says a
+    * shift HAPPENED, this says WHERE, with the pre/post levels; the
+    * one-step kernel PELT-style detectors iterate.
+    *
+    * Exactness: with prefix sums (k, cs_k) and totals (n, S), the
+    * candidate score is gain(k) = ⌊(cs_k²·(n−k) + (S−cs_k)²·k) /
+    * (k·(n−k))⌋ — the raw rational comparison has no common
+    * denominator, so floor-then-argmax IS the contract (micro²-unit
+    * granularity; both engines floor identical integers), tie-broken to
+    * the earliest split. The quotient itself reaches ~10²⁹ at sf0.1, so
+    * it must NEVER pass through Spark's long-producing `div` (the
+    * silent-wrap lesson of the OLS post-mortem, PARITY.md): the floor
+    * division runs wholly in DECIMAL as (num − num % den) / den — the
+    * subtraction makes the division exact, so the decimal divide's
+    * rounding is the identity.
+    *
+    * Scale: one (type, day) map-side-combined aggregate; every window
+    * is type-PARTITIONED over the calendar-bounded daily relation.
+    */
+  def tsChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("m"))
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val wAll = Window.partitionBy("event_type")
+    daily
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .withColumn("cs", sum(col("m").cast(dec)).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("st", sum(col("m").cast(dec)).over(wAll))
+      .filter(col("k") < col("n"))
+      .withColumn("num",
+        expr("cs * cs * (n - k) + (st - cs) * (st - cs) * k"))
+      .withColumn("den", expr("cast(k as decimal(38,0)) * (n - k)"))
+      .withColumn("gain",
+        expr("cast((num - pmod(num, den)) / den as decimal(38,0))"))
+      .withColumn("pick", row_number().over(
+        Window.partitionBy("event_type").orderBy(desc("gain"), asc("k"))))
+      .filter(col("pick") === 1)
+      .select(col("event_type"), col("day").as("split_after_day"),
+        col("k").as("n_left"), (col("n") - col("k")).as("n_right"),
+        expr("cast((cs * 1000) div k as long)").as("mean_left_nano"),
+        expr("cast(((st - cs) * 1000) div (n - k) as long)").as("mean_right_nano"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_changepoint" -> (tsChangepoint _),
     "q_ts_burstiness" -> (tsBurstiness _),
     "q_ts_anomaly" -> (tsAnomaly _),
     "q_ts_holt" -> (tsHolt _),
@@ -501,6 +553,32 @@ object TimeWindows {
     "q_window_session" -> (windowSession _))
 
   val oracles: Map[String, String] = Map(
+    "q_ts_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS HUGEINT) AS m
+        |  FROM events GROUP BY event_type, day),
+        |p AS (
+        |  SELECT event_type, day,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS k,
+        |    CAST(SUM(m) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cs,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(SUM(m) OVER (PARTITION BY event_type) AS HUGEINT) AS st
+        |  FROM daily),
+        |g AS (
+        |  SELECT *, (cs * cs * (n - k) + (st - cs) * (st - cs) * k)
+        |      // (CAST(k AS HUGEINT) * (n - k)) AS gain
+        |  FROM p WHERE k < n),
+        |b AS (
+        |  SELECT * FROM g
+        |  QUALIFY row_number() OVER (PARTITION BY event_type
+        |    ORDER BY gain DESC, k) = 1)
+        |SELECT event_type, CAST(day AS TIMESTAMP) AS split_after_day,
+        |  k AS n_left, n - k AS n_right,
+        |  CAST((cs * 1000) // k AS BIGINT) AS mean_left_nano,
+        |  CAST(((st - cs) * 1000) // (n - k) AS BIGINT) AS mean_right_nano
+        |FROM b ORDER BY event_type""".stripMargin,
     "q_ts_burstiness" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS c

@@ -146,6 +146,41 @@ class InferenceSpec extends AnyFunSuite with SparkFixture {
     assert(r2 >= 0 && r2 <= 1000000, s"r2_ppm in range: $r2")
   }
 
+  test("conformal interval equals a driver replay and roughly honors 1-alpha") {
+    val r = operators.InferenceOps.conformalInterval(spark, sfDir).collect()(0)
+    val betas = operators.InferenceOps.olsMulti(spark, sfDir).collect()(0)
+    val (b1, b2, b0) = (betas.getAs[Long]("beta1_micro"),
+      betas.getAs[Long]("beta2_micro"), betas.getAs[Long]("intercept_micro"))
+    val per = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey").as("okey"))
+      .agg(count(lit(1)).as("x1"), sum(col("l_quantity").cast("long")).as("x2"))
+      .join(Tables.orders(spark, sfDir).select(col("o_orderkey").as("okey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("y")), Seq("okey"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    def md5hex2(s: String): String = {
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+    }
+    val resid = per.map { case (k, x1, x2, y) =>
+      (k, md5hex2(s"conf:$k") < "40",
+        math.abs(y * 1000000L - b1 * x1 - b2 * x2 - b0))
+    }
+    val cal = resid.filter(_._2).map(x => (x._3, x._1)).sorted
+    val qIdx = (9 * (cal.length + 1) + 9) / 10
+    val qHat = cal(qIdx - 1)._1
+    assert(r.getAs[Long]("n_cal") === cal.length.toLong)
+    assert(r.getAs[Long]("q_hat_micro") === qHat)
+    val test = resid.filterNot(_._2)
+    val covered = test.count(_._3 <= qHat).toLong
+    assert(r.getAs[Long]("n_test") === test.length.toLong)
+    assert(r.getAs[Long]("n_covered") === covered)
+    assert(r.getAs[Long]("coverage_ppm") === covered * 1000000L / test.length)
+    // the distribution-free guarantee is on expectation; a realized split
+    // sits near 1-alpha — keep a wide band so the law, not luck, is pinned
+    assert(r.getAs[Long]("coverage_ppm") >= 850000L &&
+      r.getAs[Long]("coverage_ppm") <= 1000000L)
+  }
+
   test("kendallDaily equals brute-force pair classification on the daily series") {
     val r = operators.InferenceOps.kendallDaily(spark, sfDir).collect()(0)
     val daily = Tables.orders(spark, sfDir)

@@ -501,6 +501,38 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_._2).distinct.length === rows.length)
   }
 
+  test("changepoint equals a brute-force split sweep per event type") {
+    val rows = operators.TimeWindows.tsChangepoint(spark, sfDir).collect()
+      .map(r => (r.getString(0), (r.getTimestamp(1).getTime, r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("m"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(x => (x._2, x._3)).toVector)
+      .toMap
+    assert(rows.keySet === daily.keySet)
+    daily.foreach { case (tpe, series) =>
+      val n = series.length
+      val st = series.map(x => BigInt(x._2)).sum
+      var best = (BigInt(-1), 0) // (gain, k)
+      var cs = BigInt(0)
+      for (k <- 1 until n) {
+        cs += series(k - 1)._2
+        val gain = (cs * cs * (n - k) + (st - cs) * (st - cs) * k) /
+          (BigInt(k) * (n - k))
+        if (gain > best._1) best = (gain, k)
+      }
+      val (day, nl, nr, ml, mr) = rows(tpe)
+      assert(nl === best._2.toLong, s"$tpe split index")
+      assert(day === series(best._2 - 1)._1, s"$tpe split day")
+      assert(nr === (n - best._2).toLong)
+      val csb = series.take(best._2).map(x => BigInt(x._2)).sum
+      assert(ml === (csb * 1000 / best._2).toLong)
+      assert(mr === ((st - csb) * 1000 / (n - best._2)).toLong)
+    }
+  }
+
   test("degree distribution conserves nodes/edge-endpoints and ln-coords are exact") {
     val rows = operators.GraphOps.degreeDist(spark, sfDir).collect()
     val edges = operators.DedupOps.materializedEdges(spark, sfDir).collect()
