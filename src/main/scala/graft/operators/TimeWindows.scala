@@ -532,7 +532,59 @@ object TimeWindows {
       .orderBy("event_type")
   }
 
+  /** #295 STL-style decomposition strength (Hyndman's F_trend /
+    * F_seasonal): how much of the daily series' variance the
+    * [[tsSeasonal]] trend and day-of-week components actually explain —
+    * F_T = 1 − Var(R)/Var(mass − S), F_S = 1 − Var(R)/Var(mass − T),
+    * clamped at 0, in ppm. The one-number quality readout of the
+    * decomposition (near 0 ⇒ the component is noise; near 1e6 ⇒ it
+    * carries the series).
+    *
+    * Integer discipline: the seasonal component here is the FLOORED
+    * per-dow mean (detr_sum div n_valid) so remainder and both
+    * contrasts are exact int64 micros; population-variance numerators
+    * n·Σx² − (Σx)² run in DECIMAL(38,0), and each strength is one
+    * floored quotient (≤ 10⁶ — no wrap). Same centered-7-day-window
+    * trend and same valid-row set as tsSeasonal (the two queries cannot
+    * disagree about the decomposition). Scale: identical to tsSeasonal
+    * — the one daily reduction is the only row-cardinality stage.
+    */
+  def tsStlStrength(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("mass_micro"))
+    val w7 = org.apache.spark.sql.expressions.Window
+      .orderBy("day").rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("sum7", sum(col("mass_micro")).over(w7))
+      .withColumn("trend_micro", when(col("n7") === 7, expr("sum7 div 7")))
+      .withColumn("dow", dayofweek(col("day")) - 1)
+      .filter(col("trend_micro").isNotNull)
+    val seas = t.groupBy("dow")
+      .agg(expr("sum(mass_micro - trend_micro) div count(1)").as("s_micro"))
+    // square AFTER the decimal cast: r² ≈ 10²² overflows a long product
+    def varNum(c: String) = (count(lit(1)).cast(dec) *
+      sum(col(c).cast(dec) * col(c)) - sum(col(c).cast(dec)) * sum(col(c).cast(dec)))
+    t.join(broadcast(seas), Seq("dow"))
+      .withColumn("r", col("mass_micro") - col("trend_micro") - col("s_micro"))
+      .withColumn("detr", col("mass_micro") - col("trend_micro"))
+      .withColumn("deseas", col("mass_micro") - col("s_micro"))
+      .agg(count(lit(1)).as("n_valid_days"),
+        varNum("r").as("vr"), varNum("detr").as("vdetr"),
+        varNum("deseas").as("vdeseas"))
+      .select(col("n_valid_days"),
+        greatest(lit(0L),
+          expr("1000000 - cast((vr * 1000000) div vdetr as long)"))
+          .as("f_seasonal_ppm"),
+        greatest(lit(0L),
+          expr("1000000 - cast((vr * 1000000) div vdeseas as long)"))
+          .as("f_trend_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_stl_strength" -> (tsStlStrength _),
     "q_ts_changepoint" -> (tsChangepoint _),
     "q_ts_burstiness" -> (tsBurstiness _),
     "q_ts_anomaly" -> (tsAnomaly _),
@@ -553,6 +605,41 @@ object TimeWindows {
     "q_window_session" -> (windowSession _))
 
   val oracles: Map[String, String] = Map(
+    "q_ts_stl_strength" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS m
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT day, m,
+        |    COUNT(*) OVER w7 AS n7, CAST(SUM(m) OVER w7 AS BIGINT) AS sum7,
+        |    CAST(dayofweek(day) AS BIGINT) AS dow
+        |  FROM daily
+        |  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |v AS (
+        |  SELECT day, m, dow, sum7 // 7 AS trend FROM t WHERE n7 = 7),
+        |seas AS (
+        |  SELECT dow, CAST(SUM(m - trend) AS BIGINT) // COUNT(*) AS s_micro
+        |  FROM v GROUP BY dow),
+        |j AS (
+        |  SELECT v.m - v.trend - seas.s_micro AS r,
+        |    v.m - v.trend AS detr, v.m - seas.s_micro AS deseas
+        |  FROM v JOIN seas ON seas.dow = v.dow),
+        |a AS (
+        |  SELECT COUNT(*) AS n_valid_days,
+        |    COUNT(*) * SUM(CAST(r AS HUGEINT) * r)
+        |      - SUM(CAST(r AS HUGEINT)) * SUM(CAST(r AS HUGEINT)) AS vr,
+        |    COUNT(*) * SUM(CAST(detr AS HUGEINT) * detr)
+        |      - SUM(CAST(detr AS HUGEINT)) * SUM(CAST(detr AS HUGEINT)) AS vdetr,
+        |    COUNT(*) * SUM(CAST(deseas AS HUGEINT) * deseas)
+        |      - SUM(CAST(deseas AS HUGEINT)) * SUM(CAST(deseas AS HUGEINT)) AS vdeseas
+        |  FROM j)
+        |SELECT n_valid_days,
+        |  greatest(0, 1000000 - CAST((vr * 1000000) // vdetr AS BIGINT))
+        |    AS f_seasonal_ppm,
+        |  greatest(0, 1000000 - CAST((vr * 1000000) // vdeseas AS BIGINT))
+        |    AS f_trend_ppm
+        |FROM a""".stripMargin,
     "q_ts_changepoint" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

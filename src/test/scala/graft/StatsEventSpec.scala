@@ -501,6 +501,40 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_._2).distinct.length === rows.length)
   }
 
+  test("STL strength equals a driver replay of the tsSeasonal decomposition") {
+    val r = operators.TimeWindows.tsStlStrength(spark, sfDir).collect()(0)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("m"))
+      .collect().map(x => (x.getTimestamp(0).getTime, x.getLong(1)))
+      .sortBy(_._1)
+    val valid = daily.indices.filter(i => i >= 3 && i < daily.length - 3).map { i =>
+      val trend = (i - 3 to i + 3).map(j => BigInt(daily(j)._2)).sum / 7
+      val dow = ((daily(i)._1 / 86400000 + 4) % 7).toInt // epoch day 0 = Thursday
+      (daily(i)._2 - trend.toLong, dow)
+    }
+    val seas = valid.groupBy(_._2).view.mapValues { xs =>
+      (xs.map(x => BigInt(x._1)).sum / xs.length).toLong
+    }.toMap
+    val full = daily.indices.filter(i => i >= 3 && i < daily.length - 3).map { i =>
+      val trend = ((i - 3 to i + 3).map(j => BigInt(daily(j)._2)).sum / 7).toLong
+      val dow = ((daily(i)._1 / 86400000 + 4) % 7).toInt
+      val m = daily(i)._2
+      (m - trend - seas(dow), m - trend, m - seas(dow))
+    }
+    def varNum(xs: Seq[Long]): BigInt = {
+      val n = BigInt(xs.length)
+      n * xs.map(x => BigInt(x) * x).sum - xs.map(BigInt(_)).sum * xs.map(BigInt(_)).sum
+    }
+    val vr = varNum(full.map(_._1))
+    val fSeas = (BigInt(1000000) - vr * 1000000 / varNum(full.map(_._2))).max(0)
+    val fTrend = (BigInt(1000000) - vr * 1000000 / varNum(full.map(_._3))).max(0)
+    assert(r.getAs[Long]("n_valid_days") === full.length.toLong)
+    assert(r.getAs[Long]("f_seasonal_ppm") === fSeas.toLong)
+    assert(r.getAs[Long]("f_trend_ppm") === fTrend.toLong)
+    assert(fSeas >= 0 && fSeas <= 1000000 && fTrend >= 0 && fTrend <= 1000000)
+  }
+
   test("changepoint equals a brute-force split sweep per event type") {
     val rows = operators.TimeWindows.tsChangepoint(spark, sfDir).collect()
       .map(r => (r.getString(0), (r.getTimestamp(1).getTime, r.getLong(2),
