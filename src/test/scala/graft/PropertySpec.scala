@@ -392,4 +392,65 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
     assert(rows.forall(_._6 > 0L), "no empty packs")
   }
+
+  test("winnowing degrades gracefully on degenerate documents") {
+    import spark.implicits._
+    // 0/1/2-token docs have no 3-grams; a 3-token doc has one gram but
+    // no complete w=4 window; 6 tokens = 4 grams = exactly one window;
+    // an all-identical-gram doc must select exactly one fingerprint per
+    // window position but dedup to a single distinct key per position
+    val docs = Seq(
+      (1L, "only", "en", "s0", 4L),
+      (2L, "two words", "en", "s0", 9L),
+      (3L, "just three tokens", "en", "s0", 17L),
+      (4L, "a b c d e f", "en", "s0", 11L),
+      (5L, "x x x x x x x x x x", "en", "s0", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_win").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = operators.CorpusOps.winnowFingerprint(spark, tmp).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(rows(1L) === ((0L, 0L, None)), "0 grams")
+    assert(rows(2L) === ((0L, 0L, None)), "1-gram impossible at 2 tokens")
+    assert(rows(3L) === ((1L, 0L, None)), "one gram, no complete window")
+    assert(rows(4L)._1 === 4L)
+    assert(rows(4L)._2 === 1L, "exactly one window -> one fingerprint")
+    assert(rows(4L)._3 === Some(1000000L), "density = 1 selection / 1 window")
+    // identical grams: every window's rightmost-min is a DIFFERENT
+    // position (ties break right), so each window selects its own key
+    val (g5, s5, d5) = rows(5L)
+    assert(g5 === 8L)
+    assert(s5 === 5L, "8 grams, windows ending at p=4..8 each pick p")
+    assert(d5 === Some(1000000L))
+  }
+
+  test("anon ladder suppression and coarsening rungs fire on a crafted stream") {
+    import spark.implicits._
+    // bucket layout (15-min cells): cell 0 holds 5 events (released at
+    // 15min); cells 4..5 hold 3+2 -> their 30-min parent reaches 5;
+    // cells 8..11 hold 1+1+1+1 -> only the 60-min rung reaches 4... which
+    // is < 5, so all four are suppressed; cell 16 holds 2, its 30-min
+    // parent 2, its hour 2 -> suppressed
+    def ts(cell: Int, i: Int) =
+      new java.sql.Timestamp(1700000000000L + cell * 900000L + i * 1000L)
+    val events = (
+      (0 until 5).map(i => (i.toLong, ts(0, i), 1L, "click", 1.0, "")) ++
+      (0 until 3).map(i => (10L + i, ts(4, i), 1L, "click", 1.0, "")) ++
+      (0 until 2).map(i => (20L + i, ts(5, i), 1L, "click", 1.0, "")) ++
+      (0 until 4).map(i => (30L + i, ts(8 + i, 0), 1L, "click", 1.0, "")) ++
+      (0 until 2).map(i => (40L + i, ts(16, i), 1L, "click", 1.0, "")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ladder").toString
+    events.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = operators.QualityOps.anonLadder(spark, tmp).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(rows("15min") === ((1L, 5L)), "cell 0 released at the finest rung")
+    assert(rows("30min") === ((2L, 5L)), "cells 4+5 coarsen to their parent")
+    assert(rows("suppressed") === ((5L, 6L)),
+      "hour of 4 singletons + the lone pair cell all suppressed")
+    assert(!rows.contains("60min"), "no cell qualifies exactly at the hour rung")
+    // conservation under the crafted layout too
+    assert(rows.values.map(_._2).sum === 16L)
+  }
 }
