@@ -425,6 +425,58 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(d5 === Some(1000000L))
   }
 
+  test("skyline collapses to one point on a monotone stream and keeps all on an antitone one") {
+    import spark.implicits._
+    def mk(prices: Seq[Double], tmpName: String): Seq[(Long, Long)] = {
+      val orders = prices.zipWithIndex.map { case (p, i) =>
+        (i.toLong, 1L, "F", p,
+          new java.sql.Timestamp(1700000000000L + i * 86400000L), "1-URGENT")
+      }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      val tmp = java.nio.file.Files.createTempDirectory(tmpName).toString
+      orders.write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+      operators.StatsOps.skylineDaily(spark, tmp).collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSeq
+    }
+    // expected frontier day = UTC midnight of the i-th order's day
+    def day(i: Int): Long =
+      (1700000000000L + i * 86400000L) / 86400000L * 86400000L
+    // strictly increasing prices: every earlier day is dominated by the
+    // last — frontier = the single final point
+    assert(mk(Seq(10.0, 20.0, 30.0, 40.0), "graft_sky_up") === Seq((day(3), 4000L)))
+    // strictly decreasing prices: nothing dominates anything — all kept
+    assert(mk(Seq(40.0, 30.0, 20.0, 10.0), "graft_sky_dn") ===
+      Seq((day(0), 4000L), (day(1), 3000L), (day(2), 2000L), (day(3), 1000L)))
+    // an equal-price later day dominates the earlier one
+    assert(mk(Seq(20.0, 20.0), "graft_sky_eq") === Seq((day(1), 2000L)))
+  }
+
+  test("MMR emits fewer rounds than k when the candidate pool runs dry") {
+    import spark.implicits._
+    // 10 probes but only 13 vectors total -> each probe has 12 candidates,
+    // still >= 5; shrink further: 6 vectors -> probes 0..5 exist, probes
+    // with vec_id < 10 are all 6, candidates per probe = 5 -> exactly 5
+    // picks; with 5 vectors candidates = 4 -> rank 5 must be absent, not
+    // null/error
+    def mk(n: Int, name: String) = {
+      val vecs = (0 until n).map { i =>
+        (i.toLong, Array.tabulate(8)(d => (0.1f * ((i + d) % 5))), i % 2)
+      }.toDF("vec_id", "embedding", "label")
+      val tmp = java.nio.file.Files.createTempDirectory(name).toString
+      vecs.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      operators.SimilarityOps.embedMmr(spark, tmp).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getAs[Int]("rank")).sorted.toSeq)
+        .toMap
+    }
+    val full = mk(6, "graft_mmr6")
+    assert(full.size === 6)
+    assert(full.values.forall(_ === Seq(1, 2, 3, 4, 5)), "5 candidates -> 5 ranks")
+    val dry = mk(5, "graft_mmr5")
+    assert(dry.size === 5)
+    assert(dry.values.forall(_ === Seq(1, 2, 3, 4)),
+      "4 candidates -> greedy stops at rank 4 without fabricating rows")
+  }
+
   test("anon ladder suppression and coarsening rungs fire on a crafted stream") {
     import spark.implicits._
     // bucket layout (15-min cells): cell 0 holds 5 events (released at
