@@ -631,6 +631,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"winnowing frame-min must partition by doc_id:\n$plan")
   }
 
+  test("feature-AUC, rank-fusion, and changepoint windows all stay partitioned") {
+    Seq(
+      operators.EvalOps.evalFeatureAuc(spark, sfDir),
+      operators.SearchOps.rankFusion(spark, sfDir),
+      operators.TimeWindows.tsChangepoint(spark, sfDir)
+    ).foreach { df =>
+      val windows = collectAll(executed(df)).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty)
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        s"unpartitioned window in:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("cohort LTV broadcasts the cohort sizes and windows per cohort") {
+    val plan = executed(operators.ExtraFuncs.cohortLtv(spark, sfDir))
+    val all = collectAll(plan)
+    assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"cohort sizes must broadcast:\n$plan")
+    val windows = all.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"LTV cumulative window must partition by cohort:\n$plan")
+  }
+
   test("JSD broadcasts the lang totals on every enrichment join") {
     val plan = executed(operators.CorpusOps.textJsd(spark, sfDir))
     val all = collectAll(plan)
