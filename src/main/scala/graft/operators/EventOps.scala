@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
 /** Product-analytics operators over the event stream: ordered funnel
@@ -441,7 +442,79 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** #296 Stationary distribution of the event-type Markov chain: 10
+    * synchronous power-iteration rounds of π' = πP over the
+    * [[eventTransitions]] count matrix, from a uniform start, all in
+    * integer micro-mass — the long-run state-occupancy readout that
+    * turns the one-step transition matrix into "where does a user
+    * session SPEND its time"; the [[GraphOps]].pageRank recurrence on
+    * the |event_type|² chain instead of the document graph.
+    *
+    * Exactness: each round's term is (π_from·c) div rowtotal — exact
+    * integer products and truncating divisions, so the ≤ |types|·rounds
+    * micro-units of floor drift are identical on both engines (Σπ
+    * stays within 10⁻⁴ of unit mass at the fixture's 5 types). Scale:
+    * the chain state is |event_type| rows — after the one pair
+    * aggregate (map-side combined), every round is arithmetic on a
+    * broadcast-sized relation; rounds localCheckpoint to keep lineage
+    * flat, the [[GraphOps]] discipline.
+    */
+  def markovStationary(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(s, dir)
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val totals = pairs.groupBy("from_type").agg(sum(col("n")).as("rt"))
+    val mat = pairs.join(broadcast(totals), Seq("from_type")).localCheckpoint()
+    val states = totals.select(col("from_type").as("event_type")).distinct()
+    val nStates = states.count()
+    var pi = states.select(col("event_type"),
+      lit(1000000L / nStates).as("pi_micro")).localCheckpoint()
+    (1 to 10).foreach { _ =>
+      pi = mat
+        .join(pi.select(col("event_type").as("from_type"),
+          col("pi_micro").as("pf")), Seq("from_type"))
+        .groupBy(col("to_type").as("event_type"))
+        .agg(sum(expr("(pf * n) div rt")).as("pi_micro"))
+        .localCheckpoint()
+    }
+    pi.orderBy("event_type")
+  }
+
+  /** #297 Inter-event dwell times by transition pair: for each
+    * (from_type → to_type) pair, how LONG users sit between the two
+    * events (exact integer seconds: n, mean, max) — the timing
+    * companion to [[eventTransitions]]' probabilities (a funnel that
+    * converts at the same rate but 10× slower is a different product).
+    *
+    * Scale: the same single user-keyed lag window as the transition
+    * query (one shuffle on user), then a |types|²-group
+    * map-side-combined aggregate; the mean is one truncating division
+    * of a DECIMAL sum.
+    */
+  def eventDwell(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .withColumn("dwell_sec",
+        col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dwell_sec").cast(DecimalType(38, 0))).as("sd"),
+        max(col("dwell_sec")).as("max_dwell_sec"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("cast(sd div n as long)").as("mean_dwell_sec"),
+        col("max_dwell_sec"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_markov_stationary" -> (markovStationary _),
+    "q_event_dwell" -> (eventDwell _),
     "q_win_streaks" -> (winStreaks _),
     "q_peak_concurrency" -> (peakConcurrency _),
     "q_survival" -> (survival _),
@@ -459,7 +532,55 @@ object EventOps {
     "q_event_paths" -> (eventPaths _),
     "q_time_decay" -> (timeDecay _))
 
+  /** Markov twin: the 10 power-iteration rounds unrolled as CTEs over
+    * the same pair/total matrix — identical (pf·n) div rt floor terms.
+    */
+  private def markovOracleSql: String = {
+    val rounds = (1 to 10).map { k =>
+      s"""p$k AS (
+         |  SELECT mat.to_type AS event_type,
+         |    CAST(SUM((p.pi_micro * mat.n) // mat.rt) AS BIGINT) AS pi_micro
+         |  FROM mat JOIN p${k - 1} p ON p.event_type = mat.from_type
+         |  GROUP BY mat.to_type),""".stripMargin
+    }.mkString("\n")
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type, ts, event_id,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS from_type
+       |  FROM events),
+       |pairs AS (
+       |  SELECT from_type, event_type AS to_type, COUNT(*) AS n
+       |  FROM seq WHERE from_type IS NOT NULL GROUP BY from_type, event_type),
+       |totals AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS rt
+       |           FROM pairs GROUP BY from_type),
+       |mat AS (SELECT pairs.from_type, pairs.to_type, pairs.n, totals.rt
+       |        FROM pairs JOIN totals USING (from_type)),
+       |p0 AS (
+       |  SELECT from_type AS event_type,
+       |    (SELECT 1000000 // COUNT(*) FROM totals) AS pi_micro
+       |  FROM totals),
+       |$rounds
+       |fin AS (SELECT * FROM p10)
+       |SELECT event_type, CAST(pi_micro AS BIGINT) AS pi_micro
+       |FROM fin ORDER BY event_type""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_markov_stationary" -> markovOracleSql,
+    "q_event_dwell" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    lag(event_type) OVER w AS from_type,
+        |    lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS prev_sec
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT from_type, event_type AS to_type, COUNT(*) AS n,
+        |  CAST(CAST(SUM(sec - prev_sec) AS HUGEINT) // COUNT(*) AS BIGINT)
+        |    AS mean_dwell_sec,
+        |  CAST(MAX(sec - prev_sec) AS BIGINT) AS max_dwell_sec
+        |FROM seq WHERE from_type IS NOT NULL
+        |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
     "q_win_streaks" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,

@@ -501,6 +501,62 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_._2).distinct.length === rows.length)
   }
 
+  test("Markov stationary matches a 10-round driver replay and conserves mass") {
+    val rows = operators.EventOps.markovStationary(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val seq = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getLong(2), r.getString(3)))
+      .groupBy(_._1).values.flatMap { es =>
+        val sorted = es.sortBy(e => (e._2, e._3)).map(_._4)
+        sorted.zip(sorted.tail)
+      }.toSeq
+    val counts = seq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rts = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val states = rts.keySet.toSeq.sorted
+    var pi = states.map(_ -> 1000000L / states.size).toMap
+    for (_ <- 1 to 10) {
+      pi = states.map { to =>
+        to -> states.map { from =>
+          counts.get((from, to)).map(n => pi(from) * n / rts(from)).getOrElse(0L)
+        }.sum
+      }.toMap
+    }
+    pi.foreach { case (k, v) => assert(rows.getOrElse(k, 0L) === v, s"pi($k)") }
+    assert(rows.keySet.subsetOf(states.toSet))
+    // each round floors one term per (from, to) cell: drift ≤ rounds·|S|²
+    val mass = rows.values.sum
+    assert(mass <= 1000000L && mass >= 1000000L - 10L * states.size * states.size,
+      s"floor drift bounded: $mass")
+  }
+
+  test("event dwell equals a driver lag replay and dwells are non-negative") {
+    val rows = operators.EventOps.eventDwell(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val byUser = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("long"), col("event_id"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val dwells = byUser.values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      sorted.zip(sorted.tail).map { case (a, b) => ((a._4, b._4), b._2 - a._2) }
+    }.toSeq
+    val expected = dwells.groupBy(_._1).view.mapValues { xs =>
+      val ds = xs.map(_._2)
+      (ds.length.toLong, ds.map(BigInt(_)).sum / ds.length, ds.max)
+    }.toMap
+    assert(rows.keySet === expected.keySet)
+    expected.foreach { case (k, (n, mean, mx)) =>
+      assert(rows(k)._1 === n, s"$k n")
+      assert(rows(k)._2 === mean.toLong, s"$k mean")
+      assert(rows(k)._3 === mx, s"$k max")
+      assert(rows(k)._2 >= 0L && rows(k)._3 >= rows(k)._2)
+    }
+  }
+
   test("STL strength equals a driver replay of the tsSeasonal decomposition") {
     val r = operators.TimeWindows.tsStlStrength(spark, sfDir).collect()(0)
     val daily = Tables.events(spark, sfDir)
