@@ -549,7 +549,56 @@ object EvalOps {
       .orderBy("feature")
   }
 
+  /** #298 Brier score + Murphy decomposition of the [[evalCalibration]]
+    * classifier: BS = (1/N)·Σ(p−y)² alongside reliability
+    * REL = (1/N)·Σ_b n_b·(conf_b−acc_b)², resolution
+    * RES = (1/N)·Σ_b n_b·(acc_b−ȳ)², and uncertainty UNC = ȳ·(1−ȳ) —
+    * the standard readout that splits a probability model's error into
+    * "miscalibrated" vs "undiscriminating" vs "irreducible".
+    *
+    * Exactness: p and y live in ppm, so every squared term is an exact
+    * integer ≤ 1e12 and all four statistics are integer sums with ONE
+    * truncating division by N each (units 1e-12, hence the `_e12`
+    * suffix; conf/acc/ȳ are the SAME floored bin integers the
+    * calibration and ECE queries grade). RES expands to
+    * Σn·acc² − 2ȳΣn·acc + Nȳ² so the global base rate never has to be
+    * joined back per bin. Scale: the one row-cardinality stage is the
+    * shared 10-bin aggregate (map-side combined); the decomposition is
+    * a 10-row re-aggregate. Envelope: Σ(p−y)² ≤ N·1e12 holds DECIMAL38
+    * headroom past 1e24 rows.
+    */
+  def evalBrier(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        expr("least(1000000L, (n_chars * 1000000L) div 600)").as("score_ppm"),
+        when(col("lang") === "en", 1000000L).otherwise(0L).as("y_ppm"))
+      .withColumn("bin", expr("least(9L, score_ppm div 100000)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("score_ppm").cast(DecimalType(38, 0))).as("s_sum"),
+        sum(expr("y_ppm div 1000000")).as("n_pos"),
+        sum(((col("score_ppm") - col("y_ppm")) *
+          (col("score_ppm") - col("y_ppm"))).cast(DecimalType(38, 0))).as("sq"))
+      .select(col("n"), col("n_pos"), col("sq"),
+        expr("s_sum div cast(n as decimal(38,0))").as("conf"),
+        expr("(n_pos * 1000000) div n").as("acc"))
+      .agg(sum(col("n")).as("n_docs"), sum(col("n_pos")).as("s_pos"),
+        sum(col("sq")).as("sq_all"),
+        sum(col("n").cast(DecimalType(38, 0)) *
+          (col("conf") - col("acc")) * (col("conf") - col("acc"))).as("rel_num"),
+        sum(col("n").cast(DecimalType(38, 0)) * col("acc") * col("acc")).as("acc2"),
+        sum(col("n").cast(DecimalType(38, 0)) * col("acc")).as("acc1"))
+      .withColumn("ybar_ppm", expr("(s_pos * 1000000) div n_docs"))
+      .select(col("n_docs"), col("ybar_ppm").cast("long").as("base_rate_ppm"),
+        expr("cast(sq_all div cast(n_docs as decimal(38,0)) as long)").as("brier_e12"),
+        expr("cast(rel_num div cast(n_docs as decimal(38,0)) as long)").as("rel_e12"),
+        expr("cast((acc2 - 2 * ybar_ppm * acc1 + cast(n_docs as decimal(38,0))" +
+          " * ybar_ppm * ybar_ppm) div cast(n_docs as decimal(38,0)) as long)")
+          .as("res_e12"),
+        expr("cast(ybar_ppm * (1000000 - ybar_ppm) as long)").as("unc_e12"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_brier" -> (evalBrier _),
     "q_eval_feature_auc" -> (evalFeatureAuc _),
     "q_eval_fleiss" -> (evalFleiss _),
     "q_eval_lift" -> (evalLiftDeciles _),
@@ -567,6 +616,36 @@ object EvalOps {
     "q_bootstrap_ci" -> (bootstrapCi _))
 
   val oracles: Map[String, String] = Map(
+    "q_eval_brier" ->
+      """WITH d AS (
+        |  SELECT least(1000000, (n_chars * 1000000) // 600) AS score_ppm,
+        |    CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y_ppm
+        |  FROM documents),
+        |b AS (SELECT least(9, score_ppm // 100000) AS bin, score_ppm, y_ppm FROM d),
+        |g AS (
+        |  SELECT bin, COUNT(*) AS n,
+        |    CAST(SUM(y_ppm // 1000000) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CAST(score_ppm - y_ppm AS HUGEINT)
+        |      * (score_ppm - y_ppm)) AS HUGEINT) AS sq,
+        |    CAST(SUM(score_ppm) // COUNT(*) AS HUGEINT) AS conf,
+        |    CAST((SUM(y_ppm // 1000000) * 1000000) // COUNT(*) AS HUGEINT) AS acc
+        |  FROM b GROUP BY bin),
+        |t AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_pos) AS HUGEINT) AS s_pos,
+        |    SUM(sq) AS sq_all,
+        |    SUM(CAST(n AS HUGEINT) * (conf - acc) * (conf - acc)) AS rel_num,
+        |    SUM(CAST(n AS HUGEINT) * acc * acc) AS acc2,
+        |    SUM(CAST(n AS HUGEINT) * acc) AS acc1
+        |  FROM g),
+        |y AS (SELECT *, (s_pos * 1000000) // n_docs AS ybar_ppm FROM t)
+        |SELECT n_docs, CAST(ybar_ppm AS BIGINT) AS base_rate_ppm,
+        |  CAST(sq_all // n_docs AS BIGINT) AS brier_e12,
+        |  CAST(rel_num // n_docs AS BIGINT) AS rel_e12,
+        |  CAST((acc2 - 2 * ybar_ppm * acc1 + CAST(n_docs AS HUGEINT)
+        |    * ybar_ppm * ybar_ppm) // n_docs AS BIGINT) AS res_e12,
+        |  CAST(ybar_ppm * (1000000 - ybar_ppm) AS BIGINT) AS unc_e12
+        |FROM y""".stripMargin,
     "q_eval_feature_auc" ->
       """WITH d AS (
         |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,

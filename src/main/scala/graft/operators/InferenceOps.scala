@@ -396,7 +396,149 @@ object InferenceOps {
         expr("(n_covered * 1000000) div n_test").as("coverage_ppm"))
   }
 
+  /** #299 CUPED variance-reduced A/B readout (Deng et al. 2013, WSDM):
+    * adjust each user's outcome metric (purchase mass, micro) by a
+    * pre-experiment covariate (view-event count) before differencing
+    * the arms — Ŷ_adj = Ȳ − θ·(X̄ − μ_x), θ = S_xy/S_xx pooled.
+    * Arms come from the content-addressed md5 split (the
+    * [[PipelineOps]] split discipline, key `cuped:user_id`, 50/50).
+    *
+    * Output: pooled θ (micro), raw and CUPED-adjusted treatment-minus-
+    * control differences (micro), and the theoretical variance-
+    * reduction factor ρ² (ppm) = S_xy²/(S_xx·S_yy), reported as
+    * (θ_micro·S_xy) div S_yy so no S_xy² term is ever materialized
+    * (S_xy² would pass DECIMAL38 near 1e9 users; θ·S_xy stays ≤ ~1e33).
+    *
+    * Scale: ONE per-user aggregate (the only row-cardinality shuffle),
+    * then a 1-row pooled-moment aggregate and a 2-row per-arm
+    * aggregate, recombined via broadcast. All moments are exact
+    * DECIMAL(38,0)/HUGEINT; θ and the means are truncating divisions
+    * (Spark `div` = DuckDB `//` on these positive-denominator terms),
+    * mirrored term-for-term in the twin. Envelope: Σy ≤ 1e18 micro at
+    * 1e6 users ⇒ (Σy)² ≤ 1e36 < 1e38; past ~1e7 heavy users drop y to
+    * milli (documented, the ANOVA-envelope convention).
+    */
+  def cuped(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase",
+          floor(col("value") * 1e6).cast("long")).otherwise(0L)).as("y"))
+      .select(col("x"), col("y"),
+        (substring(md5(concat(lit("cuped:"), col("user_id").cast("string"))), 1, 1) < "8")
+          .as("treat"))
+    val mom = per.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+        sum(col("y").cast(DecimalType(38, 0))).as("sy"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("y")).as("sxy"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"),
+        sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("syy"))
+      .withColumn("Sxx", expr("n * sxx - sx * sx"))
+      .withColumn("Sxy", expr("n * sxy - sx * sy"))
+      .withColumn("Syy", expr("n * syy - sy * sy"))
+      .filter(col("Sxx") =!= 0 && col("Syy") =!= 0)
+      .withColumn("theta_micro", expr("cast((Sxy * 1000000) div Sxx as long)"))
+    val arms = per.groupBy("treat")
+      .agg(count(lit(1)).as("na"), sum(col("x")).as("ax"),
+        sum(col("y").cast(DecimalType(38, 0))).as("ay"))
+      .agg(
+        max(when(col("treat"), col("na"))).as("n_t"),
+        max(when(col("treat"), col("ax"))).as("x_t"),
+        max(when(col("treat"), col("ay"))).as("y_t"),
+        max(when(!col("treat"), col("na"))).as("n_c"),
+        max(when(!col("treat"), col("ax"))).as("x_c"),
+        max(when(!col("treat"), col("ay"))).as("y_c"))
+      .filter(col("n_t").isNotNull && col("n_c").isNotNull)
+    arms.crossJoin(broadcast(mom.select(col("n"), col("theta_micro"),
+        col("Sxy"), col("Syy"))))
+      .withColumn("my_t", expr("cast((y_t * 1000000) div n_t as long)"))
+      .withColumn("my_c", expr("cast((y_c * 1000000) div n_c as long)"))
+      .withColumn("mx_t", expr("(x_t * 1000000) div n_t"))
+      .withColumn("mx_c", expr("(x_c * 1000000) div n_c"))
+      .select(col("n").as("n_users"), col("n_t"), col("n_c"),
+        col("theta_micro"),
+        expr("cast((my_t - my_c) div 1000000 as long)").as("diff_raw_micro"),
+        expr("cast((my_t - my_c - (cast(theta_micro as decimal(38,0))" +
+          " * (mx_t - mx_c)) div 1000000) div 1000000 as long)")
+          .as("diff_cuped_micro"),
+        expr("cast((cast(theta_micro as decimal(38,0)) * Sxy) div Syy as long)")
+          .as("var_reduction_ppm"))
+  }
+
+  /** #300 Difference-in-differences: the 2×2 (arm × period) panel
+    * estimate DiD = (Ȳ_t,post − Ȳ_t,pre) − (Ȳ_c,post − Ȳ_c,pre) over
+    * event value mass, with arm = md5 user split (`did:user_id`) and
+    * period = first vs second half of the month (day ≤ 15 ⇒ pre) —
+    * the causal-readout companion to [[cuped]] when assignment
+    * correlates with time.
+    *
+    * Pure integer: one 4-group map-side-combined aggregate of exact
+    * micro masses, cell means by truncating division, DiD as their
+    * integer combination. Nothing row-cardinality shuffles; the output
+    * is one row carrying all four cell means + counts so the parallel
+    * trends inspection is in the same relation as the estimate.
+    */
+  def didEstimator(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        (substring(md5(concat(lit("did:"), col("user_id").cast("string"))), 1, 1) < "8")
+          .as("treat"),
+        (dayofmonth(col("ts")) <= 15).as("pre"),
+        floor(col("value") * 1e6).cast("long").as("y"))
+      .groupBy("treat", "pre")
+      .agg(count(lit(1)).as("n"), sum(col("y").cast(DecimalType(38, 0))).as("sy"))
+      .withColumn("mean_micro", expr("cast(sy div cast(n as decimal(38,0)) as long)"))
+      .agg(
+        max(when(col("treat") && col("pre"), col("n"))).as("n_t_pre"),
+        max(when(col("treat") && col("pre"), col("mean_micro"))).as("m_t_pre"),
+        max(when(col("treat") && !col("pre"), col("n"))).as("n_t_post"),
+        max(when(col("treat") && !col("pre"), col("mean_micro"))).as("m_t_post"),
+        max(when(!col("treat") && col("pre"), col("n"))).as("n_c_pre"),
+        max(when(!col("treat") && col("pre"), col("mean_micro"))).as("m_c_pre"),
+        max(when(!col("treat") && !col("pre"), col("n"))).as("n_c_post"),
+        max(when(!col("treat") && !col("pre"), col("mean_micro"))).as("m_c_post"))
+      .filter(col("n_t_pre").isNotNull && col("n_t_post").isNotNull &&
+        col("n_c_pre").isNotNull && col("n_c_post").isNotNull)
+      .withColumn("did_micro",
+        (col("m_t_post") - col("m_t_pre")) - (col("m_c_post") - col("m_c_pre")))
+
+  /** #301 Poisson overdispersion check: per event type, the index of
+    * dispersion D = s²/x̄ of DAILY event counts (milli), plus the
+    * (n−1)·D statistic that is χ²(n−1) under a homogeneous Poisson —
+    * the standard first test of whether arrival counts are burstier
+    * than independent arrivals (cf. the Fano readout in
+    * [[TimeWindows]], which this complements with a calendar-day grain
+    * and a per-type χ² decision column).
+    *
+    * Scale: groupBy(type, day) is map-side combined and its output is
+    * calendar-bounded (|days|·|types| rows); the dispersion re-
+    * aggregate is tiny. Exactness: D_milli = ((n·Σx²−S²)·1000) div
+    * ((n−1)·S) — all integer, one truncating division; sample variance
+    * uses the same n·Σx²−S² moment form as every other module.
+    */
+  def dispersion(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"))
+      .filter(col("n_days") > 1 && col("sx") =!= 0)
+      .select(col("event_type"), col("n_days"),
+        col("sx").cast("long").as("n_events"),
+        expr("cast((sx * 1000) div n_days as long)").as("mean_milli"),
+        expr("cast(((n_days * sxx - sx * sx) * 1000)" +
+          " div ((n_days - 1) * sx) as long)").as("dispersion_milli"))
+      .withColumn("chi2_milli",
+        expr("cast(cast(dispersion_milli as decimal(38,0)) * (n_days - 1) as long)"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_cuped" -> (cuped _),
+    "q_ab_did" -> (didEstimator _),
+    "q_stats_dispersion" -> (dispersion _),
     "q_eval_conformal" -> (conformalInterval _),
     "q_stats_kendall" -> (kendallDaily _),
     "q_stats_prop_z" -> (propZ _),
@@ -473,6 +615,105 @@ object InferenceOps {
       |FROM t""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_ab_cuped" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 1e6) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |p2 AS (
+        |  SELECT x, y,
+        |    substring(md5('cuped:' || CAST(user_id AS VARCHAR)), 1, 1) < '8' AS treat
+        |  FROM per),
+        |mom AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |    CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        |  FROM p2),
+        |mm AS (
+        |  SELECT n, n * sxx - sx * sx AS Sxx, n * sxy - sx * sy AS Sxy,
+        |    n * syy - sy * sy AS Syy
+        |  FROM mom WHERE n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0),
+        |th AS (SELECT *, CAST((Sxy * 1000000) // Sxx AS BIGINT) AS theta_micro
+        |       FROM mm),
+        |arms AS (
+        |  SELECT treat, COUNT(*) AS na, CAST(SUM(x) AS BIGINT) AS ax,
+        |    CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS ay
+        |  FROM p2 GROUP BY treat),
+        |a2 AS (
+        |  SELECT
+        |    MAX(CASE WHEN treat THEN na END) AS n_t,
+        |    MAX(CASE WHEN treat THEN ax END) AS x_t,
+        |    MAX(CASE WHEN treat THEN ay END) AS y_t,
+        |    MAX(CASE WHEN NOT treat THEN na END) AS n_c,
+        |    MAX(CASE WHEN NOT treat THEN ax END) AS x_c,
+        |    MAX(CASE WHEN NOT treat THEN ay END) AS y_c
+        |  FROM arms),
+        |j AS (
+        |  SELECT a2.*, th.n, th.theta_micro, th.Sxy, th.Syy,
+        |    CAST((y_t * 1000000) // n_t AS BIGINT) AS my_t,
+        |    CAST((y_c * 1000000) // n_c AS BIGINT) AS my_c,
+        |    (x_t * 1000000) // n_t AS mx_t,
+        |    (x_c * 1000000) // n_c AS mx_c
+        |  FROM a2 CROSS JOIN th
+        |  WHERE n_t IS NOT NULL AND n_c IS NOT NULL)
+        |SELECT CAST(n AS BIGINT) AS n_users, n_t, n_c, theta_micro,
+        |  CAST((my_t - my_c) // 1000000 AS BIGINT) AS diff_raw_micro,
+        |  CAST((my_t - my_c
+        |      - (CAST(theta_micro AS HUGEINT) * (mx_t - mx_c)) // 1000000)
+        |    // 1000000 AS BIGINT) AS diff_cuped_micro,
+        |  CAST((CAST(theta_micro AS HUGEINT) * Sxy) // Syy AS BIGINT)
+        |    AS var_reduction_ppm
+        |FROM j""".stripMargin,
+    "q_ab_did" ->
+      """WITH d AS (
+        |  SELECT substring(md5('did:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      AS treat,
+        |    day(ts) <= 15 AS pre,
+        |    CAST(floor(value * 1e6) AS BIGINT) AS y
+        |  FROM events),
+        |g AS (
+        |  SELECT treat, pre, COUNT(*) AS n,
+        |    CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy
+        |  FROM d GROUP BY treat, pre),
+        |m AS (SELECT treat, pre, n, CAST(sy // n AS BIGINT) AS mean_micro FROM g),
+        |p AS (
+        |  SELECT
+        |    MAX(CASE WHEN treat AND pre THEN n END) AS n_t_pre,
+        |    MAX(CASE WHEN treat AND pre THEN mean_micro END) AS m_t_pre,
+        |    MAX(CASE WHEN treat AND NOT pre THEN n END) AS n_t_post,
+        |    MAX(CASE WHEN treat AND NOT pre THEN mean_micro END) AS m_t_post,
+        |    MAX(CASE WHEN NOT treat AND pre THEN n END) AS n_c_pre,
+        |    MAX(CASE WHEN NOT treat AND pre THEN mean_micro END) AS m_c_pre,
+        |    MAX(CASE WHEN NOT treat AND NOT pre THEN n END) AS n_c_post,
+        |    MAX(CASE WHEN NOT treat AND NOT pre THEN mean_micro END) AS m_c_post
+        |  FROM m)
+        |SELECT *, (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did_micro
+        |FROM p
+        |WHERE n_t_pre IS NOT NULL AND n_t_post IS NOT NULL
+        |  AND n_c_pre IS NOT NULL AND n_c_post IS NOT NULL""".stripMargin,
+    "q_stats_dispersion" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, COUNT(*) AS n_days,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |  FROM daily GROUP BY event_type),
+        |r AS (
+        |  SELECT event_type, n_days, CAST(sx AS BIGINT) AS n_events,
+        |    CAST((sx * 1000) // n_days AS BIGINT) AS mean_milli,
+        |    CAST(((n_days * sxx - sx * sx) * 1000) // ((n_days - 1) * sx)
+        |      AS BIGINT) AS dispersion_milli
+        |  FROM g WHERE n_days > 1 AND sx <> 0)
+        |SELECT *, CAST(CAST(dispersion_milli AS HUGEINT) * (n_days - 1) AS BIGINT)
+        |    AS chi2_milli
+        |FROM r ORDER BY event_type""".stripMargin,
     "q_eval_conformal" -> conformalOracleSql,
     "q_stats_kendall" ->
       """WITH daily AS (

@@ -341,4 +341,28 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(ap.getAs[Long]("ap_ppm") === (apNum / 1000000).toLong)
     assert(ap.getAs[Long]("ap_ppm") >= 0L && ap.getAs[Long]("ap_ppm") <= 1000000L)
   }
+
+  test("evalBrier: naive Brier, Murphy residual is the within-bin variance") {
+    val r = operators.EvalOps.evalBrier(spark, sfDir).collect()(0)
+    val d = Tables.documents(spark, sfDir)
+      .select(col("n_chars"), (col("lang") === "en").as("pos")).collect()
+      .map(x => (math.min(1000000L, x.getLong(0) * 1000000L / 600),
+        if (x.getBoolean(1)) 1000000L else 0L))
+    val n = d.length.toLong
+    assert(r.getAs[Long]("n_docs") === n)
+    val brier = d.map(p => BigInt(p._1 - p._2) * (p._1 - p._2)).sum / n
+    assert(r.getAs[Long]("brier_e12") === brier.toLong)
+    val ybar = d.map(_._2 / 1000000L).sum * 1000000L / n
+    assert(r.getAs[Long]("base_rate_ppm") === ybar)
+    assert(r.getAs[Long]("unc_e12") === ybar * (1000000L - ybar))
+    // Murphy: BS = REL - RES + UNC + within-bin-variance of p; the residual
+    // must therefore be nonnegative (tolerance: ppm flooring of the bin
+    // statistics, each bounded by 1 ppm of conf/acc -> ~2e6 in e12 units)
+    val resid = r.getAs[Long]("brier_e12") -
+      (r.getAs[Long]("rel_e12") - r.getAs[Long]("res_e12") +
+        r.getAs[Long]("unc_e12"))
+    assert(resid >= -4000000L, s"Murphy residual $resid must be >= 0 (mod flooring)")
+    // and the within-bin variance cannot exceed the worst bin width (100k ppm)^2
+    assert(resid <= 10000000000L, s"Murphy residual $resid exceeds bin-width bound")
+  }
 }

@@ -229,4 +229,86 @@ class InferenceSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Long]("z2_milli") === z2.toLong)
     assert(r.getAs[Boolean]("significant_05") === (z2.toLong > 3841L))
   }
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  test("cuped: theta matches naive pooled Sxy/Sxx and rho2 is in [0, 1e6]") {
+    val r = operators.InferenceOps.cuped(spark, sfDir).collect()(0)
+    val per = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase",
+          floor(col("value") * 1e6).cast("long")).otherwise(0L)).as("y"))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1).toDouble, x.getLong(2).toDouble))
+    val n = per.length
+    val sxy = per.map(p => p._2 * p._3).sum; val sx = per.map(_._2).sum
+    val sy = per.map(_._3).sum; val sxx = per.map(p => p._2 * p._2).sum
+    val syy = per.map(p => p._3 * p._3).sum
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(r.getAs[Long]("n_users") === n.toLong)
+    assert(math.abs(r.getAs[Long]("theta_micro") / 1e6 - theta) < 1e-5,
+      "pooled theta")
+    val rho2 = math.pow(n * sxy - sx * sy, 2) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(math.abs(r.getAs[Long]("var_reduction_ppm") / 1e6 - rho2) < 1e-4)
+    assert(r.getAs[Long]("var_reduction_ppm") >= 0L)
+    assert(r.getAs[Long]("var_reduction_ppm") <= 1000000L)
+    // arms partition the users under the md5 split
+    val nT = per.count(p => md5Hex(s"cuped:${p._1}").charAt(0) < '8').toLong
+    assert(r.getAs[Long]("n_t") === nT)
+    assert(r.getAs[Long]("n_c") === n - nT)
+  }
+
+  test("didEstimator: cell means are naive-exact and DiD is their combination") {
+    val r = operators.InferenceOps.didEstimator(spark, sfDir).collect()(0)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), dayofmonth(col("ts")).as("dom"),
+        floor(col("value") * 1e6).cast("long").as("y"))
+      .collect()
+      .map(x => (md5Hex(s"did:${x.getLong(0)}").charAt(0) < '8',
+        x.getInt(1) <= 15, x.getLong(2)))
+    def cell(t: Boolean, p: Boolean): (Long, Long) = {
+      val ys = ev.filter(e => e._1 == t && e._2 == p).map(_._3)
+      (ys.length.toLong,
+        (ys.map(BigInt(_)).sum / ys.length).toLong)
+    }
+    val (ntp, mtp) = cell(t = true, p = true)
+    val (nto, mto) = cell(t = true, p = false)
+    val (ncp, mcp) = cell(t = false, p = true)
+    val (nco, mco) = cell(t = false, p = false)
+    assert(r.getAs[Long]("n_t_pre") === ntp)
+    assert(r.getAs[Long]("m_t_pre") === mtp)
+    assert(r.getAs[Long]("n_t_post") === nto)
+    assert(r.getAs[Long]("m_t_post") === mto)
+    assert(r.getAs[Long]("n_c_pre") === ncp)
+    assert(r.getAs[Long]("m_c_pre") === mcp)
+    assert(r.getAs[Long]("n_c_post") === nco)
+    assert(r.getAs[Long]("m_c_post") === mco)
+    assert(r.getAs[Long]("did_micro") === (mto - mtp) - (mco - mcp))
+  }
+
+  test("dispersion: naive daily var/mean per type, chi2 = D*(n-1)") {
+    val rows = operators.InferenceOps.dispersion(spark, sfDir).collect()
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(x => (x.getString(0), x.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2.toDouble)).toMap
+    assert(rows.map(_.getString(0)).toSeq === daily.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val xs = daily(r.getString(0))
+      val n = xs.length; val m = xs.sum / n
+      val s2 = xs.map(x => (x - m) * (x - m)).sum / (n - 1)
+      assert(r.getAs[Long]("n_days") === n.toLong)
+      assert(r.getAs[Long]("n_events") === xs.sum.toLong)
+      assert(math.abs(r.getAs[Long]("dispersion_milli") / 1e3 - s2 / m) < 2e-3,
+        s"dispersion for ${r.getString(0)}")
+      assert(r.getAs[Long]("chi2_milli") ===
+        r.getAs[Long]("dispersion_milli") * (n - 1))
+    }
+  }
 }
