@@ -395,7 +395,45 @@ object GraphOps {
       .orderBy("community")
   }
 
+  /** #302 Neighbor-set Jaccard similarity for link prediction: for each
+    * non-adjacent candidate pair reachable through a common neighbor,
+    * |Γ(a)∩Γ(b)| / |Γ(a)∪Γ(b)| in ppm — the set-overlap companion to
+    * [[adamicAdar]] (which weights the same wedges by 1/ln deg): Jaccard
+    * asks "how much of their neighborhoods do they share", Adamic-Adar
+    * "how RARE are the neighbors they share". Top-20 under a total
+    * (score desc, pair) order.
+    *
+    * Scale: identical shape to adamicAdar — wedge self-join on the
+    * degree-bounded sub-block-capped edge list (never all-pairs), one
+    * anti-join against existing edges, common-neighbor counts by
+    * groupBy, degrees joined back, TakeOrderedAndProject top-k. The
+    * union denominator is exact from counts (da + db − common); one
+    * truncating division.
+    */
+  def jaccardSim(s: SparkSession, dir: String): DataFrame = {
+    val e = DedupOps.materializedEdges(s, dir)
+    val sym = e.select(col("doc_a").as("x"), col("doc_b").as("z"))
+      .unionByName(e.select(col("doc_b").as("x"), col("doc_a").as("z")))
+    val deg = sym.groupBy(col("x").as("n")).agg(count(lit(1)).as("d"))
+    val wedges = sym.select(col("x").as("a"), col("z").as("mid"))
+      .join(sym.select(col("z").as("b"), col("x").as("mid")), Seq("mid"))
+      .filter(col("a") < col("b"))
+    wedges
+      .join(e.select(col("doc_a").as("a"), col("doc_b").as("b")),
+        Seq("a", "b"), "left_anti")
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(deg.select(col("n").as("doc_a"), col("d").as("deg_a")), Seq("doc_a"))
+      .join(deg.select(col("n").as("doc_b"), col("d").as("deg_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        expr("(n_common * 1000000) div (deg_a + deg_b - n_common)")
+          .as("jaccard_ppm"))
+      .orderBy(desc("jaccard_ppm"), col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_jaccard" -> (jaccardSim _),
     "q_graph_degree_dist" -> (degreeDist _),
     "q_graph_conductance" -> (conductance _),
     "q_graph_modularity" -> (modularity _),
@@ -409,6 +447,34 @@ object GraphOps {
     "q_graph_triangles" -> (triangles _))
 
   val oracles: Map[String, String] = Map(
+    "q_graph_jaccard" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |sym AS (SELECT doc_a AS x, doc_b AS z FROM pairs
+        |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |deg AS (SELECT x AS n, COUNT(*) AS d FROM sym GROUP BY x),
+        |w AS (
+        |  SELECT s1.x AS a, s2.z AS b
+        |  FROM sym s1 JOIN sym s2 ON s1.z = s2.x AND s1.x < s2.z),
+        |cand AS (
+        |  SELECT a, b FROM w
+        |  WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.doc_a = w.a AND p.doc_b = w.b)),
+        |cc AS (SELECT a AS doc_a, b AS doc_b, COUNT(*) AS n_common
+        |       FROM cand GROUP BY a, b),
+        |sc AS (
+        |  SELECT cc.doc_a, cc.doc_b, cc.n_common,
+        |    CAST((cc.n_common * 1000000) // (da.d + db.d - cc.n_common) AS BIGINT)
+        |      AS jaccard_ppm
+        |  FROM cc JOIN deg da ON da.n = cc.doc_a JOIN deg db ON db.n = cc.doc_b)
+        |SELECT doc_a, doc_b, n_common, jaccard_ppm FROM sc
+        |ORDER BY jaccard_ppm DESC, doc_a, doc_b LIMIT 20""".stripMargin,
     "q_graph_degree_dist" ->
       """WITH base AS (
         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset

@@ -535,7 +535,39 @@ object InferenceOps {
         expr("cast(cast(dispersion_milli as decimal(38,0)) * (n_days - 1) as long)"))
       .orderBy("event_type")
 
+  /** #304 Wilson score interval (95%, z = 1.96) for a per-type binomial
+    * proportion — the share of each event type's traffic falling on a
+    * weekend: the CI that stays inside [0,1] and behaves at small n
+    * where the Wald interval collapses, i.e. the right error bar for
+    * every rate the event dashboards report.
+    *
+    * Determinism: p̂ = x/n is an exact small-integer quotient (both
+    * engines produce the identical binary double), and the closed-form
+    * center ± half expressions are mirrored node-for-node in the twin,
+    * with the repo's 6dp terminal round (the [[welchT]] envelope
+    * argument). Scale: one |event_type|-group map-side-combined
+    * aggregate; nothing row-cardinality shuffles.
+    */
+  def wilsonCi(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        when(dayofweek(col("ts")).isin(1, 7), 1L).otherwise(0L).as("hit"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("hit")).as("x"))
+      .withColumn("p_hat", col("x").cast("double") / col("n"))
+      .withColumn("denom", lit(1.0) + lit(3.8416) / col("n"))
+      .withColumn("center", (col("p_hat") + lit(1.9208) / col("n")) / col("denom"))
+      .withColumn("half",
+        lit(1.96) * sqrt(col("p_hat") * (lit(1.0) - col("p_hat")) / col("n") +
+          lit(0.9604) / (col("n") * col("n"))) / col("denom"))
+      .select(col("event_type"), col("n"), col("x"),
+        round(col("p_hat"), 6).as("p_hat"),
+        round(col("center") - col("half"), 6).as("wilson_lo"),
+        round(col("center") + col("half"), 6).as("wilson_hi"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_wilson_ci" -> (wilsonCi _),
     "q_ab_cuped" -> (cuped _),
     "q_ab_did" -> (didEstimator _),
     "q_stats_dispersion" -> (dispersion _),
@@ -615,6 +647,26 @@ object InferenceOps {
       |FROM t""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_stats_wilson_ci" ->
+      """WITH g AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM events GROUP BY event_type),
+        |p AS (
+        |  SELECT event_type, n, x,
+        |    CAST(x AS DOUBLE) / n AS p_hat,
+        |    1.0 + 3.8416 / n AS denom
+        |  FROM g),
+        |c AS (
+        |  SELECT *, (p_hat + 1.9208 / n) / denom AS center,
+        |    1.96 * sqrt(p_hat * (1.0 - p_hat) / n + 0.9604 / (n * n)) / denom
+        |      AS half
+        |  FROM p)
+        |SELECT event_type, n, x, round(p_hat, 6) AS p_hat,
+        |  round(center - half, 6) AS wilson_lo,
+        |  round(center + half, 6) AS wilson_hi
+        |FROM c ORDER BY event_type""".stripMargin,
     "q_ab_cuped" ->
       """WITH per AS (
         |  SELECT user_id,

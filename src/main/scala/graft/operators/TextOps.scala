@@ -513,7 +513,52 @@ object TextOps {
       .withColumn("valid_ppm", expr("(n_valid * 1000000) div n_candidates"))
       .orderBy("lang")
 
+  /** #303 Per-language readability profile: syllables-per-word (vowel-
+    * group proxy), chars-per-word, and a Flesch-reading-ease score in
+    * milli — the classic corpus-difficulty readout used to filter or
+    * curriculum-order training text.
+    *
+    * Convention: the fixture corpus has NO sentence punctuation, so
+    * the words-per-sentence term uses 15-word PSEUDO-SENTENCES
+    * (sents = max(1, words div 15), documented here and mirrored in
+    * the twin) — the informative signal is the syllables-per-word
+    * term; the W/S term is a near-constant offset by construction.
+    * Syllables = count of [aeiouy]+ runs (both engines' regex engines
+    * agree on ASCII character-class semantics; fixture text is
+    * lowercase ASCII).
+    *
+    * Exactness: every per-doc ratio is a floored milli integer and the
+    * per-lang rollup is exact DECIMAL sums with one truncating
+    * division each. Scale: one projection + one |lang|-group map-side-
+    * combined aggregate — embarrassingly parallel; the regex runs
+    * inside codegen.
+    */
+  def readability(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        size(expr("regexp_extract_all(text, '[aeiouy]+', 0)")).cast("long").as("syl"),
+        col("n_chars"))
+      .filter(col("w") > 0)
+      .withColumn("sents", greatest(lit(1L), expr("w div 15")))
+      .withColumn("wps_milli", expr("(w * 1000) div sents"))
+      .withColumn("spw_milli", expr("(syl * 1000) div w"))
+      .withColumn("fre_milli",
+        expr("206835 - (1015 * wps_milli) div 1000 - (84600 * spw_milli) div 1000"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w").cast("decimal(38,0)")).as("sw"),
+        sum(col("syl").cast("decimal(38,0)")).as("ssyl"),
+        sum(col("n_chars").cast("decimal(38,0)")).as("sch"),
+        sum(col("fre_milli").cast("decimal(38,0)")).as("sfre"))
+      .select(col("lang"), col("n_docs"),
+        expr("cast((ssyl * 1000) div sw as long)").as("spw_milli"),
+        expr("cast((sch * 1000) div sw as long)").as("cpw_milli"),
+        expr("cast(sfre div cast(n_docs as decimal(38,0)) as long)").as("avg_fre_milli"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_readability" -> (readability _),
     "q_pii_luhn" -> (piiLuhn _),
     "q_sample_weighted" -> (sampleWeighted _),
     "q_text_tfidf" -> (textTfidf _),
@@ -537,6 +582,33 @@ object TextOps {
     "q_text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_text_readability" ->
+      """WITH d AS (
+        |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS syl,
+        |    n_chars
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |f AS (
+        |  SELECT lang, w, syl, n_chars, greatest(1, w // 15) AS sents
+        |  FROM d),
+        |f2 AS (
+        |  SELECT lang, w, syl, n_chars,
+        |    (w * 1000) // sents AS wps_milli,
+        |    (syl * 1000) // w AS spw_milli
+        |  FROM f),
+        |f3 AS (
+        |  SELECT lang, w, syl, n_chars,
+        |    206835 - (1015 * wps_milli) // 1000 - (84600 * spw_milli) // 1000
+        |      AS fre_milli
+        |  FROM f2)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST((SUM(CAST(syl AS HUGEINT)) * 1000) // SUM(CAST(w AS HUGEINT))
+        |    AS BIGINT) AS spw_milli,
+        |  CAST((SUM(CAST(n_chars AS HUGEINT)) * 1000) // SUM(CAST(w AS HUGEINT))
+        |    AS BIGINT) AS cpw_milli,
+        |  CAST(SUM(CAST(fre_milli AS HUGEINT)) // COUNT(*) AS BIGINT)
+        |    AS avg_fre_milli
+        |FROM f3 GROUP BY lang ORDER BY lang""".stripMargin,
     "q_pii_luhn" ->
       """WITH a AS (
         |  SELECT doc_id, lang,

@@ -224,4 +224,33 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
       assert(jsd >= 0L && jsd <= ln2Nano + 2L, s"jsd bound for $lang: $jsd")
     }
   }
+
+  test("readability matches a driver syllable/word replay per language") {
+    val rows = operators.TextOps.readability(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "text", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byLang = docs.groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSeq === byLang.keys.toSeq.sorted)
+    val vowelRun = "[aeiouy]+".r
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val ds = byLang(lang)
+      val per = ds.map { case (_, text, nChars) =>
+        val w = text.split(" ", -1).length.toLong
+        val syl = vowelRun.findAllIn(text).size.toLong
+        val sents = math.max(1L, w / 15)
+        val wps = w * 1000 / sents
+        val spw = syl * 1000 / w
+        (w, syl, nChars, 206835L - 1015 * wps / 1000 - 84600 * spw / 1000)
+      }
+      assert(r.getAs[Long]("n_docs") === ds.length.toLong)
+      val sw = per.map(_._1).sum; val ssyl = per.map(_._2).sum
+      assert(r.getAs[Long]("spw_milli") === ssyl * 1000 / sw, s"spw for $lang")
+      assert(r.getAs[Long]("cpw_milli") === per.map(_._3).sum * 1000 / sw)
+      assert(r.getAs[Long]("avg_fre_milli") === per.map(_._4).sum / per.length)
+      // vowel-group syllables land in a plausible band for ASCII tokens
+      assert(r.getAs[Long]("spw_milli") > 500L && r.getAs[Long]("spw_milli") < 4000L)
+    }
+  }
 }

@@ -230,6 +230,26 @@ class InferenceSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Boolean]("significant_05") === (z2.toLong > 3841L))
   }
 
+  test("wilsonCi: interval brackets p_hat, stays in [0,1], matches closed form") {
+    val rows = operators.InferenceOps.wilsonCi(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n").toDouble
+      val x = r.getAs[Long]("x").toDouble
+      val p = x / n
+      assert(r.getAs[Double]("p_hat") === round6(p))
+      val denom = 1.0 + 3.8416 / n
+      val center = (p + 1.9208 / n) / denom
+      val half = 1.96 * math.sqrt(p * (1.0 - p) / n + 0.9604 / (n * n)) / denom
+      assert(math.abs(r.getAs[Double]("wilson_lo") - (center - half)) < 1e-5)
+      assert(math.abs(r.getAs[Double]("wilson_hi") - (center + half)) < 1e-5)
+      assert(r.getAs[Double]("wilson_lo") >= 0.0 - 1e-9)
+      assert(r.getAs[Double]("wilson_hi") <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("wilson_lo") <= r.getAs[Double]("p_hat") + 1e-9)
+      assert(r.getAs[Double]("wilson_hi") >= r.getAs[Double]("p_hat") - 1e-9)
+    }
+  }
+
   private def md5Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
     d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

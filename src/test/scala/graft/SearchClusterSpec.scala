@@ -572,6 +572,34 @@ class SearchClusterSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("jaccardSim matches brute-force neighbor sets and excludes existing edges") {
+    val edges = operators.DedupOps.materializedEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edgeSet = edges.toSet
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val cand = for {
+      (z, ns) <- adj.toSeq
+      a <- ns; b <- ns
+      if a < b && !edgeSet.contains((a, b))
+    } yield (a, b)
+    val expected = cand.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((a, b), common) =>
+        (a, b, common,
+          common * 1000000L / (adj(a).size + adj(b).size - common))
+      }
+      .sortBy { case (a, b, _, j) => (-j, a, b) }.take(20)
+    val got = operators.GraphOps.jaccardSim(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_common"), r.getAs[Long]("jaccard_ppm"))).toSeq
+    assert(got === expected)
+    got.foreach { case (a, b, common, j) =>
+      assert(!edgeSet.contains((a, b)), "predicted pair already linked")
+      assert(common >= 1L)
+      assert(j >= 0L && j <= 1000000L)
+    }
+  }
+
   test("assortativity is a correlation in [-1, 1] and matches a driver recomputation") {
     val edges = operators.DedupOps.materializedEdges(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
