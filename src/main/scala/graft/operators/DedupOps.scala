@@ -662,7 +662,36 @@ object DedupOps {
       .orderBy("canonical_url")
   }
 
+  /** #306 Entity-resolution blocking planner: token-block the part
+    * catalog on (first name token, brand) and report each block's
+    * record count, its exact-comparison pair cost C(n,2), and whether
+    * it breaches the repo's [[MaxBlockDocs]] sub-blocking cap — the
+    * relation a linkage pipeline inspects BEFORE paying the pairwise
+    * join, and the planning counterpart to the cap the near-dup family
+    * enforces ([[dedupJaccardBlocked]]).
+    *
+    * Scale: one map-side-combined groupBy over a projection; output is
+    * bounded by the blocking-key DOMAIN (name-token vocabulary ×
+    * brands), not the record count. Top-30 by size under a total
+    * order keeps the graded relation fixed while the full relation
+    * feeds the planner. Pair counts in DECIMAL (n² passes int64 at
+    * ~3e9-record blocks).
+    */
+  def linkBlocking(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(concat(substring_index(col("p_name"), " ", 1), lit(":"),
+        col("p_brand")).as("block_key"))
+      .groupBy("block_key")
+      .agg(count(lit(1)).as("n_records"))
+      .select(col("block_key"), col("n_records"),
+        expr("cast((cast(n_records as decimal(38,0)) * (n_records - 1))" +
+          " div 2 as long)").as("n_pairs"),
+        (col("n_records") > MaxBlockDocs).as("over_cap"))
+      .orderBy(desc("n_records"), col("block_key"))
+      .limit(30)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_link_blocking" -> (linkBlocking _),
     "q_dedup_url" -> (dedupUrl _),
     "q_sketch_calibration" -> (sketchCalibration _),
     "q_dedup_near_minhash" -> (dedupNearMinhash _),
@@ -737,6 +766,16 @@ object DedupOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_link_blocking" ->
+      """WITH b AS (
+        |  SELECT string_split(p_name, ' ')[1] || ':' || p_brand AS block_key
+        |  FROM part),
+        |g AS (SELECT block_key, COUNT(*) AS n_records FROM b GROUP BY block_key)
+        |SELECT block_key, n_records,
+        |  CAST((CAST(n_records AS HUGEINT) * (n_records - 1)) // 2 AS BIGINT)
+        |    AS n_pairs,
+        |  n_records > 4096 AS over_cap
+        |FROM g ORDER BY n_records DESC, block_key LIMIT 30""".stripMargin,
     "q_sketch_calibration" ->
       """WITH base AS (
         |  SELECT doc_id, lang, source, text,

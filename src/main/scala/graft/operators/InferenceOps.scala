@@ -566,7 +566,53 @@ object InferenceOps {
         round(col("center") + col("half"), 6).as("wilson_hi"))
       .orderBy("event_type")
 
+  /** #305 Log-log price elasticity of demand per brand: the OLS slope of
+    * ln(quantity) on ln(unit price) over lineitems joined to their part
+    * — the econometric readout (a 1% price increase moves demand by
+    * slope %) every pricing team fits, here per p_brand.
+    *
+    * Exactness: unit price is floored to exact integer cents FIRST
+    * ((100·extendedprice) div quantity), then both regressors take the
+    * repo's floor-ln discipline (ln of an INTEGER argument, floored to
+    * nano-nats — both engines evaluate ln on identical integers, cf.
+    * [[EvalOps]]); moments are exact DECIMAL(38,0) sums and the slope /
+    * R² are single truncating divisions, with R² as (slope·S_xy) div
+    * S_yy so no S_xy² term is materialized (the [[cuped]] trick).
+    * Scale: one part join (broadcast-able dim at any sf) + one
+    * |brand|-group map-side-combined aggregate. Envelope: ln-nano ≤
+    * 2.4e10 ⇒ n·Σxy ≤ 6e31 at 1e9 rows/brand; past that drop the
+    * regressors to micro-nats (documented, the ANOVA convention).
+    */
+  def priceElasticity(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .filter(col("qty") > 0)
+      .join(Tables.part(s, dir).select(col("p_partkey").as("l_partkey"),
+        col("p_brand")), Seq("l_partkey"))
+      .select(col("p_brand"),
+        floor(log(expr("cents div qty").cast("double")) * 1e9).cast("long").as("x"),
+        floor(log(col("qty").cast("double")) * 1e9).cast("long").as("y"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+        sum(col("y").cast(DecimalType(38, 0))).as("sy"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("y")).as("sxy"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"),
+        sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("syy"))
+      .withColumn("Sxx", expr("n * sxx - sx * sx"))
+      .withColumn("Sxy", expr("n * sxy - sx * sy"))
+      .withColumn("Syy", expr("n * syy - sy * sy"))
+      .filter(col("Sxx") =!= 0 && col("Syy") =!= 0)
+      .select(col("p_brand"), col("n"),
+        expr("cast((Sxy * 1000000) div Sxx as long)").as("elasticity_micro"),
+        expr("cast((((Sxy * 1000000) div Sxx) * Sxy) div Syy as long)")
+          .as("r2_ppm"))
+      .orderBy("p_brand")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_price_elasticity" -> (priceElasticity _),
     "q_stats_wilson_ci" -> (wilsonCi _),
     "q_ab_cuped" -> (cuped _),
     "q_ab_did" -> (didEstimator _),
@@ -647,6 +693,34 @@ object InferenceOps {
       |FROM t""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_price_elasticity" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem WHERE CAST(l_quantity AS BIGINT) > 0),
+        |d AS (
+        |  SELECT p.p_brand,
+        |    CAST(floor(ln(CAST(li.cents // li.qty AS DOUBLE)) * 1e9) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(li.qty AS DOUBLE)) * 1e9) AS BIGINT) AS y
+        |  FROM li JOIN part p ON p.p_partkey = li.l_partkey),
+        |g AS (
+        |  SELECT p_brand, COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |    CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        |  FROM d GROUP BY p_brand),
+        |m AS (
+        |  SELECT p_brand, n, n * sxx - sx * sx AS Sxx, n * sxy - sx * sy AS Sxy,
+        |    n * syy - sy * sy AS Syy
+        |  FROM g
+        |  WHERE n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0)
+        |SELECT p_brand, n,
+        |  CAST((Sxy * 1000000) // Sxx AS BIGINT) AS elasticity_micro,
+        |  CAST((((Sxy * 1000000) // Sxx) * Sxy) // Syy AS BIGINT) AS r2_ppm
+        |FROM m ORDER BY p_brand""".stripMargin,
     "q_stats_wilson_ci" ->
       """WITH g AS (
         |  SELECT event_type, COUNT(*) AS n,

@@ -583,7 +583,35 @@ object TimeWindows {
           .as("f_trend_ppm"))
   }
 
+  /** #307 Running-peak drawdown of the daily revenue series: per day,
+    * revenue (exact cents), the running maximum so far, the drawdown
+    * peak − today, and drawdown as ppm of the peak — the
+    * risk/regression readout (how far below the best day are we, and
+    * what was the deepest trough) applied to any cumulative KPI.
+    *
+    * Scale: the window runs over the DAILY aggregate, calendar-bounded
+    * (|days| rows whatever the order count — the [[tsSeasonal]]
+    * boundedness argument), so the single-partition running-max window
+    * is over ≤366 rows/year regardless of corpus size; the only
+    * row-cardinality stage is the map-side-combined groupBy(day).
+    * Exact integer cents throughout; dd_ppm one truncating division.
+    */
+  def tsDrawdown(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.orders(s, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev_cents"))
+      .withColumn("peak_cents", max(col("rev_cents")).over(w))
+      .withColumn("dd_cents", col("peak_cents") - col("rev_cents"))
+      .withColumn("dd_ppm",
+        expr("(cast(dd_cents as decimal(38,0)) * 1000000) div peak_cents")
+          .cast("long"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_drawdown" -> (tsDrawdown _),
     "q_ts_stl_strength" -> (tsStlStrength _),
     "q_ts_changepoint" -> (tsChangepoint _),
     "q_ts_burstiness" -> (tsBurstiness _),
@@ -605,6 +633,22 @@ object TimeWindows {
     "q_window_session" -> (windowSession _))
 
   val oracles: Map[String, String] = Map(
+    "q_win_drawdown" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT day, rev_cents,
+        |    MAX(rev_cents) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_cents
+        |  FROM daily)
+        |SELECT day, rev_cents, peak_cents,
+        |  peak_cents - rev_cents AS dd_cents,
+        |  CAST((CAST(peak_cents - rev_cents AS HUGEINT) * 1000000) // peak_cents
+        |    AS BIGINT) AS dd_ppm
+        |FROM r ORDER BY day""".stripMargin,
     "q_ts_stl_strength" ->
       """WITH daily AS (
         |  SELECT date_trunc('day', ts) AS day,

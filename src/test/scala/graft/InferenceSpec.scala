@@ -230,6 +230,39 @@ class InferenceSpec extends AnyFunSuite with SparkFixture {
     assert(r.getAs[Boolean]("significant_05") === (z2.toLong > 3841L))
   }
 
+  test("priceElasticity: slope matches a naive per-brand ln-ln regression") {
+    val rows = operators.InferenceOps.priceElasticity(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brand = Tables.part(spark, sfDir).select("p_partkey", "p_brand")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val pts = li.filter(_._2 > 0).map { case (pk, qty, cents) =>
+      (brand(pk),
+        math.floor(math.log((cents / qty).toDouble) * 1e9).toLong,
+        math.floor(math.log(qty.toDouble) * 1e9).toLong)
+    }.groupBy(_._1)
+    rows.foreach { r =>
+      val b = r.getString(0)
+      val xs = pts(b)
+      val n = xs.length
+      val sx = xs.map(p => BigInt(p._2)).sum; val sy = xs.map(p => BigInt(p._3)).sum
+      val sxy = xs.map(p => BigInt(p._2) * p._3).sum
+      val sxx = xs.map(p => BigInt(p._2) * p._2).sum
+      val syy = xs.map(p => BigInt(p._3) * p._3).sum
+      val Sxx = n * sxx - sx * sx; val Sxy = n * sxy - sx * sy
+      val Syy = n * syy - sy * sy
+      assert(r.getAs[Long]("n") === n.toLong, s"n for $b")
+      val slope = (Sxy * 1000000) / Sxx
+      assert(r.getAs[Long]("elasticity_micro") === slope.toLong, s"slope for $b")
+      val r2 = (slope * Sxy) / Syy
+      assert(r.getAs[Long]("r2_ppm") === r2.toLong, s"r2 for $b")
+      assert(r2.toLong >= 0L && r2.toLong <= 1000000L, s"r2 range for $b")
+    }
+  }
+
   test("wilsonCi: interval brackets p_hat, stays in [0,1], matches closed form") {
     val rows = operators.InferenceOps.wilsonCi(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -766,4 +766,37 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
       assert(nStreaks === runs.length.toLong, s"user $u streak count")
     }
   }
+
+  test("tsDrawdown: peak is the exact running max, drawdown non-negative") {
+    val rows = operators.TimeWindows.tsDrawdown(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var peak = Long.MinValue
+    rows.foreach { r =>
+      val rev = r.getAs[Long]("rev_cents")
+      peak = math.max(peak, rev)
+      assert(r.getAs[Long]("peak_cents") === peak)
+      assert(r.getAs[Long]("dd_cents") === peak - rev)
+      assert(r.getAs[Long]("dd_ppm") === BigInt(peak - rev).*(1000000)./(BigInt(peak)).toLong)
+      assert(r.getAs[Long]("dd_cents") >= 0L)
+      assert(r.getAs[Long]("dd_ppm") <= 1000000L)
+    }
+    // the series must actually draw down somewhere (fixture has quiet days)
+    assert(rows.exists(_.getAs[Long]("dd_cents") > 0L))
+  }
+
+  test("linkBlocking: naive block sizes, pair formula, cap flag") {
+    val rows = operators.DedupOps.linkBlocking(spark, sfDir).collect()
+    val naive = Tables.part(spark, sfDir).select("p_name", "p_brand").collect()
+      .map(r => r.getString(0).split(" ")(0) + ":" + r.getString(1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = naive.toSeq.map { case (k, n) => (k, n) }
+      .sortBy { case (k, n) => (-n, k) }.take(30)
+    assert(rows.map(r => (r.getString(0), r.getAs[Long]("n_records"))).toSeq
+      === expected)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_records")
+      assert(r.getAs[Long]("n_pairs") === n * (n - 1) / 2)
+      assert(r.getAs[Boolean]("over_cap") === (n > 4096L))
+    }
+  }
 }
