@@ -673,4 +673,52 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       all.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) >= 3,
       s"lang/total enrichments must broadcast:\n$plan")
   }
+
+  test("price elasticity broadcasts the part dim and blocking prunes to two columns") {
+    val plan = executed(operators.InferenceOps.priceElasticity(spark, sfDir))
+    val all = collectAll(plan)
+    assert(all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"part dim must broadcast into the lineitem scan side:\n$plan")
+    assert(!all.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      s"no sort-merge join on a broadcast-able dim:\n$plan")
+    // blocking planner: the part scan must read only p_name + p_brand
+    val scan = executed(operators.DedupOps.linkBlocking(spark, sfDir))
+      .toString
+    assert(scan.contains("ReadSchema") &&
+      scan.contains("p_name") && scan.contains("p_brand") &&
+      !scan.contains("p_retailprice"),
+      s"blocking scan must prune to the two blocking columns:\n$scan")
+  }
+
+  test("CUPED/DiD aggregate shapes: no join or window touches row cardinality") {
+    Seq(
+      operators.InferenceOps.cuped(spark, sfDir),
+      operators.InferenceOps.didEstimator(spark, sfDir)
+    ).foreach { df =>
+      val all = collectAll(executed(df))
+      assert(!all.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.window.WindowExec]),
+        "moment pipelines must not window")
+      // every join present must be broadcast (1-row moment / 2-row arm sides)
+      assert(!all.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+        s"tiny recombinations must broadcast:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("drawdown's only unpartitioned window runs over the daily aggregate") {
+    val plan = executed(operators.TimeWindows.tsDrawdown(spark, sfDir))
+    val all = collectAll(plan)
+    val windows = all.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size === 1)
+    // the window input must already be the grouped daily relation: a
+    // HashAggregate appears BELOW the window in the plan tree
+    def below(p: SparkPlan): Seq[SparkPlan] = collectAll(p)
+    assert(windows.forall(w => below(w).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec])),
+      s"running max must consume the calendar-bounded daily aggregate:\n$plan")
+  }
 }
