@@ -439,7 +439,55 @@ object ClusterOps {
       .orderBy("probe_id", "rank")
   }
 
+  /** #310 Simplified silhouette (centroid form, on exact squared-L2):
+    * for each vector, a² = distance to its own (nearest) centroid and
+    * b² = distance to the second-nearest, s = (b²−a²)/max(a²,b²) in
+    * ppm, rolled up per cluster — the cluster-quality readout that,
+    * unlike inertia, is comparable across K. This is the centroid
+    * ("simplified") silhouette of Hruschka et al. on SQUARED
+    * distances — documented variant: identical ordering to the
+    * classical simplified silhouette (x→x² is monotone on the
+    * nonneg distances), no floor-sqrt knife edge, and s stays in
+    * [0, 1e6] because a² is the minimum by construction.
+    *
+    * Scale: the same broadcast-centroid crossJoin as every assignment
+    * pass ([[assign]]), one per-vector rank window keyed by vec_id
+    * (never SinglePartition), one K-group rollup. Exactness: micro²
+    * distances are exact int64 (Σ over 64 dims of (Δ≤2e6)² ≤ 2.6e14);
+    * the ppm quotient runs in DECIMAL and both engines truncate.
+    */
+  def embedSilhouette(s: SparkSession, dir: String): DataFrame = {
+    val vecs = quantized(s, dir)
+    val seed = vecs.filter(col("vec_id") < K)
+      .select(col("vec_id").cast("int").as("cid"), col("q").as("c"))
+    val cents = (1 until Iters).foldLeft(seed)((c, _) =>
+      update(assign(vecs, c)).localCheckpoint())
+    val dist = aggregate(
+      zip_with(col("q"), col("c"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+    val ranked = vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"), dist.as("d2"))
+      .withColumn("rn", row_number().over(w))
+    val own = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cluster_id"), col("d2").as("a2"))
+    val alt = ranked.filter(col("rn") === 2)
+      .select(col("vec_id"), col("d2").as("b2"))
+    own.join(alt, Seq("vec_id"))
+      .filter(greatest(col("a2"), col("b2")) > 0)
+      .withColumn("s2_ppm",
+        expr("cast(((cast(b2 as decimal(38,0)) - a2) * 1000000)" +
+          " div greatest(a2, b2) as long)"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        expr("cast(sum(cast(s2_ppm as decimal(38,0))) div count(1) as long)")
+          .as("mean_s2_ppm"),
+        min(col("s2_ppm")).as("min_s2_ppm"))
+      .orderBy("cluster_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_silhouette" -> (embedSilhouette _),
     "q_embed_pq_adc" -> (embedPqAdc _),
     "q_embed_pq" -> (embedPq _),
     "q_embed_rand_proj" -> (embedRandProj _),
@@ -465,6 +513,42 @@ object ClusterOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_embed_silhouette" ->
+      """WITH qv AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS v
+        |  FROM embeddings),
+        |cent0 AS (
+        |  SELECT CAST(vec_id AS INT) AS cid, dim, v FROM qv WHERE vec_id < 8),
+        |d1 AS (
+        |  SELECT a.vec_id, c.cid, SUM((a.v - c.v) * (a.v - c.v)) AS dist
+        |  FROM qv a JOIN cent0 c USING (dim) GROUP BY a.vec_id, c.cid),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM d1
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+        |cent1 AS (
+        |  SELECT a1.cid, qv.dim,
+        |    CAST(floor(CAST(SUM(qv.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+        |  FROM qv JOIN a1 USING (vec_id) GROUP BY a1.cid, qv.dim),
+        |d2 AS (
+        |  SELECT a.vec_id, c.cid, SUM((a.v - c.v) * (a.v - c.v)) AS dist
+        |  FROM qv a JOIN cent1 c USING (dim) GROUP BY a.vec_id, c.cid),
+        |rk AS (
+        |  SELECT vec_id, cid, dist,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |  FROM d2),
+        |own AS (SELECT vec_id, cid AS cluster_id, dist AS a2 FROM rk WHERE rn = 1),
+        |alt AS (SELECT vec_id, dist AS b2 FROM rk WHERE rn = 2),
+        |sil AS (
+        |  SELECT own.cluster_id,
+        |    CAST(((CAST(alt.b2 AS HUGEINT) - own.a2) * 1000000)
+        |      // greatest(own.a2, alt.b2) AS BIGINT) AS s2_ppm
+        |  FROM own JOIN alt USING (vec_id)
+        |  WHERE greatest(own.a2, alt.b2) > 0)
+        |SELECT cluster_id, COUNT(*) AS n_members,
+        |  CAST(SUM(CAST(s2_ppm AS HUGEINT)) // COUNT(*) AS BIGINT) AS mean_s2_ppm,
+        |  CAST(MIN(s2_ppm) AS BIGINT) AS min_s2_ppm
+        |FROM sil GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "q_embed_pq_adc" ->
       """WITH qv AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,

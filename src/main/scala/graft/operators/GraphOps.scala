@@ -432,7 +432,43 @@ object GraphOps {
       .limit(20)
   }
 
+  /** #309 Landmark (multi-source) BFS: hop-layer reach profiles from the
+    * 4 smallest node ids, the landmark-embedding primitive large-scale
+    * systems use to approximate shortest paths and closeness without
+    * all-pairs BFS. Generalizes [[bfsHops]] (single source) by carrying
+    * a landmark column through the frontier state, so ONE iterative
+    * dataflow serves all seeds simultaneously.
+    *
+    * Scale: per round one frontier-edge join + distinct + anti-join
+    * against the visited set, all keyed by (landmark, node) — state is
+    * |landmarks|·|reached| rows; localCheckpoint per round keeps the
+    * lineage flat (the [[pageRank]] discipline). Output is
+    * |landmarks|·|hops| rows. Pure integer counts.
+    */
+  def landmarkBfs(s: SparkSession, dir: String): DataFrame = {
+    val e = DedupOps.materializedEdges(s, dir)
+    val sym = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionAll(e.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .localCheckpoint()
+    val seeds = sym.select(col("a")).distinct().orderBy("a").limit(4)
+      .select(col("a").as("lm"))
+    var dist = seeds.select(col("lm"), col("lm").as("node"),
+      lit(0L).as("hop")).localCheckpoint()
+    var frontier = dist.select("lm", "node")
+    for (h <- 1 to 6) {
+      val next = frontier.join(sym, frontier("node") === sym("a"))
+        .select(col("lm"), sym("b").as("node")).distinct()
+        .join(dist.select("lm", "node"), Seq("lm", "node"), "left_anti")
+        .withColumn("hop", lit(h.toLong)).localCheckpoint()
+      dist = dist.unionByName(next).localCheckpoint()
+      frontier = next.select("lm", "node")
+    }
+    dist.groupBy("lm", "hop").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("lm", "hop")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_landmarks" -> (landmarkBfs _),
     "q_graph_jaccard" -> (jaccardSim _),
     "q_graph_degree_dist" -> (degreeDist _),
     "q_graph_conductance" -> (conductance _),
@@ -447,6 +483,27 @@ object GraphOps {
     "q_graph_triangles" -> (triangles _))
 
   val oracles: Map[String, String] = Map(
+    "q_graph_landmarks" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |sym(a, b) AS (
+        |  SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |seeds AS (SELECT a AS lm FROM sym GROUP BY a ORDER BY a LIMIT 4),
+        |walk(lm, node, hop) AS (
+        |  SELECT lm, lm, CAST(0 AS BIGINT) FROM seeds
+        |  UNION
+        |  SELECT w.lm, e.b, w.hop + 1 FROM walk w JOIN sym e ON e.a = w.node
+        |  WHERE w.hop < 6),
+        |d AS (SELECT lm, node, MIN(hop) AS hop FROM walk GROUP BY lm, node)
+        |SELECT lm, hop, COUNT(*) AS n_nodes
+        |FROM d GROUP BY lm, hop ORDER BY lm, hop""".stripMargin,
     "q_graph_jaccard" ->
       """WITH base AS (
         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset

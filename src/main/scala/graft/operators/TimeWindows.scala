@@ -610,7 +610,51 @@ object TimeWindows {
       .orderBy("day")
   }
 
+  /** #308 Mann-Kendall trend test per event type on the daily mass
+    * series: S = Σ_{i<j} sign(x_j − x_i), the tie-corrected variance
+    * (kept as the INTEGER 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)
+    * so no division leaves the integers), and the continuity-corrected
+    * z² in milli — the non-parametric significance companion to the
+    * Theil-Sen slope (#237): sen gives the trend's size, M-K whether
+    * it is real.
+    *
+    * Scale: the pair join runs over the DAILY aggregate (calendar-
+    * bounded — the [[tsSeasonal]] argument), so pairs are |days|²/2
+    * per type regardless of corpus size; tie groups come from one
+    * value-domain-bounded aggregate. Exactness: S is an integer sign
+    * sum; z²_milli = ((|S|−1)²·18000) div var18 with the product in
+    * DECIMAL (n⁴ passes int64 near a century of days), zero when
+    * S = 0 on both engines.
+    */
+  def tsMannKendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+    val a = daily.select(col("event_type"), col("day").as("da"), col("x").as("xa"))
+    val b = daily.select(col("event_type"), col("day").as("db"), col("x").as("xb"))
+    val sStat = a.join(b, Seq("event_type")).filter(col("da") < col("db"))
+      .groupBy("event_type")
+      .agg(sum(signum(col("xb") - col("xa")).cast("long")).as("s_stat"))
+    val ties = daily.groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(col("t")).as("n_days"),
+        sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie_term"))
+    sStat.join(ties, Seq("event_type"))
+      .withColumn("var18",
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_term"))
+      .filter(col("var18") > 0)
+      .withColumn("z2_milli",
+        expr("case when s_stat = 0 then 0L else " +
+          "cast(((abs(cast(s_stat as decimal(38,0))) - 1) * (abs(s_stat) - 1)" +
+          " * 18000) div var18 as long) end"))
+      .select(col("event_type"), col("n_days"), col("s_stat"), col("var18"),
+        col("z2_milli"), (col("z2_milli") > 3841L).as("significant_05"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_mann_kendall" -> (tsMannKendall _),
     "q_win_drawdown" -> (tsDrawdown _),
     "q_ts_stl_strength" -> (tsStlStrength _),
     "q_ts_changepoint" -> (tsChangepoint _),
@@ -633,6 +677,39 @@ object TimeWindows {
     "q_window_session" -> (windowSession _))
 
   val oracles: Map[String, String] = Map(
+    "q_ts_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT a.event_type,
+        |    CAST(SUM(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY a.event_type),
+        |tg AS (
+        |  SELECT event_type, COUNT(*) AS t
+        |  FROM daily GROUP BY event_type, x),
+        |ties AS (
+        |  SELECT event_type, CAST(SUM(t) AS BIGINT) AS n_days,
+        |    CAST(SUM(t * (t - 1) * (t * 2 + 5)) AS BIGINT) AS tie_term
+        |  FROM tg GROUP BY event_type),
+        |j AS (
+        |  SELECT sp.event_type, ties.n_days, sp.s_stat,
+        |    ties.n_days * (ties.n_days - 1) * (2 * ties.n_days + 5)
+        |      - ties.tie_term AS var18
+        |  FROM sp JOIN ties USING (event_type)
+        |  WHERE ties.n_days * (ties.n_days - 1) * (2 * ties.n_days + 5)
+        |      - ties.tie_term > 0),
+        |z AS (
+        |  SELECT *, CASE WHEN s_stat = 0 THEN 0
+        |    ELSE CAST(((abs(CAST(s_stat AS HUGEINT)) - 1) * (abs(s_stat) - 1)
+        |      * 18000) // var18 AS BIGINT) END AS z2_milli
+        |  FROM j)
+        |SELECT event_type, n_days, s_stat, var18, z2_milli,
+        |  z2_milli > 3841 AS significant_05
+        |FROM z ORDER BY event_type""".stripMargin,
     "q_win_drawdown" ->
       """WITH daily AS (
         |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,

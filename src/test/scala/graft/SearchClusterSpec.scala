@@ -77,6 +77,46 @@ class SearchClusterSpec extends AnyFunSuite with SparkFixture {
     assert(i2 <= i1, s"inertia rose after a Lloyd round: $i1 -> $i2")
   }
 
+  test("silhouette: clusters match kmeans, s2 in [0, 1e6], counts conserve") {
+    val sil = operators.ClusterOps.embedSilhouette(spark, sfDir).collect()
+    val km = operators.ClusterOps.embedKmeans(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // every silhouette cluster is a kmeans cluster with the same member count
+    // (the filter greatest(a2,b2)>0 can only drop exact-centroid duplicates;
+    // assert conservation holds on this fixture)
+    sil.foreach { r =>
+      assert(km(r.getInt(0)) === r.getAs[Long]("n_members"))
+      assert(r.getAs[Long]("mean_s2_ppm") >= 0L &&
+        r.getAs[Long]("mean_s2_ppm") <= 1000000L)
+      assert(r.getAs[Long]("min_s2_ppm") >= 0L)
+      assert(r.getAs[Long]("min_s2_ppm") <= r.getAs[Long]("mean_s2_ppm"))
+    }
+    assert(sil.map(_.getAs[Long]("n_members")).sum === km.values.sum)
+  }
+
+  test("landmarkBfs matches a driver BFS from the 4 smallest nodes") {
+    val edges = operators.DedupOps.materializedEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val seeds = adj.keys.toSeq.sorted.take(4)
+    val expected = scala.collection.mutable.Map[(Long, Long), Long]()
+    seeds.foreach { lm =>
+      var frontier = Set(lm)
+      var seen = Set(lm)
+      expected((lm, 0L)) = 1L
+      for (h <- 1 to 6) {
+        frontier = frontier.flatMap(adj(_)) -- seen
+        seen ++= frontier
+        if (frontier.nonEmpty) expected((lm, h.toLong)) = frontier.size.toLong
+      }
+    }
+    val got = operators.GraphOps.landmarkBfs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("lm"), r.getAs[Long]("hop")) -> r.getAs[Long]("n_nodes"))
+      .toMap
+    assert(got === expected.toMap)
+  }
+
   test("MAD stats are internally consistent (nonneg dispersion, outliers a strict subset)") {
     val rows = operators.StatsOps.statsMad(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -784,6 +784,34 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
     assert(rows.exists(_.getAs[Long]("dd_cents") > 0L))
   }
 
+  test("tsMannKendall matches a naive pair sweep with tie-corrected variance") {
+    val rows = operators.TimeWindows.tsMannKendall(spark, sfDir).collect()
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val xs = daily(et).sortBy(_._2.getTime).map(_._3)
+      val n = xs.length
+      var sStat = 0L
+      for (i <- xs.indices; j <- i + 1 until n)
+        sStat += java.lang.Long.signum(xs(j) - xs(i)).toLong
+      val tieTerm = xs.groupBy(identity).values
+        .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      val var18 = n.toLong * (n - 1) * (2L * n + 5) - tieTerm
+      assert(r.getAs[Long]("n_days") === n.toLong, s"n for $et")
+      assert(r.getAs[Long]("s_stat") === sStat, s"S for $et")
+      assert(r.getAs[Long]("var18") === var18, s"var18 for $et")
+      val z2 = if (sStat == 0) 0L
+        else (BigInt(math.abs(sStat) - 1) * (math.abs(sStat) - 1) * 18000 /
+          var18).toLong
+      assert(r.getAs[Long]("z2_milli") === z2, s"z2 for $et")
+      assert(r.getAs[Boolean]("significant_05") === (z2 > 3841L))
+    }
+  }
+
   test("linkBlocking: naive block sizes, pair formula, cap flag") {
     val rows = operators.DedupOps.linkBlocking(spark, sfDir).collect()
     val naive = Tables.part(spark, sfDir).select("p_name", "p_brand").collect()
