@@ -597,7 +597,43 @@ object EvalOps {
           .as("res_e12"),
         expr("cast(ybar_ppm * (1000000 - ybar_ppm) as long)").as("unc_e12"))
 
+  /** #313 Matthews correlation coefficient over the same length-based
+    * en-classifier sweep as [[evalConfusion]]: the single-number
+    * confusion summary that stays honest under class imbalance, where
+    * accuracy and even F1 (which ignores TN) mislead — the standard
+    * model-selection readout when the positive class is rare.
+    *
+    * Exactness: MCC's sqrt never materializes — the signed SQUARE is
+    * exact: mcc2_ppm = (num²·1e6) div denom with num = tp·tn − fp·fn
+    * (int64-safe: counts ≤ corpus) and denom = (tp+fp)(tp+fn)(tn+fp)
+    * (tn+fn) in DECIMAL(38,0) (≤ n⁴, inside 38 digits to 10^9 docs);
+    * the sign rides separately so the truncating division always sees
+    * a positive numerator. Scale: one 3-threshold explode + one
+    * map-side-combined groupBy, identical to the confusion plan.
+    */
+  def evalMcc(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .withColumn("thr", explode(typedLit(Seq(200L, 300L, 450L))))
+      .groupBy("thr")
+      .agg(
+        sum(when(col("score") >= col("thr"), col("pos")).otherwise(0L)).as("tp"),
+        sum(when(col("score") >= col("thr"), lit(1L) - col("pos")).otherwise(0L)).as("fp"),
+        sum(when(col("score") < col("thr"), col("pos")).otherwise(0L)).as("fn"),
+        sum(when(col("score") < col("thr"), lit(1L) - col("pos")).otherwise(0L)).as("tn"))
+      .withColumn("num", expr("tp * tn - fp * fn"))
+      .withColumn("denom",
+        expr("cast(tp + fp as decimal(38,0)) * (tp + fn) * (tn + fp) * (tn + fn)"))
+      .select(col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
+        signum(col("num")).cast("long").as("mcc_sign"),
+        when(col("denom") > 0,
+          expr("cast((cast(num as decimal(38,0)) * num * 1000000) div denom as long)"))
+          .as("mcc2_ppm"))
+      .orderBy("thr")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_mcc" -> (evalMcc _),
     "q_eval_brier" -> (evalBrier _),
     "q_eval_feature_auc" -> (evalFeatureAuc _),
     "q_eval_fleiss" -> (evalFleiss _),
@@ -616,6 +652,29 @@ object EvalOps {
     "q_bootstrap_ci" -> (bootstrapCi _))
 
   val oracles: Map[String, String] = Map(
+    "q_eval_mcc" ->
+      """WITH d AS (
+        |  SELECT n_chars AS score, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |t AS (SELECT CAST(unnest([200, 300, 450]) AS BIGINT) AS thr),
+        |m AS (
+        |  SELECT thr,
+        |    CAST(SUM(CASE WHEN score >= thr THEN pos ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN score >= thr THEN 1 - pos ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN score < thr THEN pos ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN score < thr THEN 1 - pos ELSE 0 END) AS BIGINT) AS tn
+        |  FROM d CROSS JOIN t GROUP BY thr),
+        |r AS (
+        |  SELECT thr, tp, fp, fn, tn,
+        |    tp * tn - fp * fn AS num,
+        |    CAST(tp + fp AS HUGEINT) * (tp + fn) * (tn + fp) * (tn + fn) AS denom
+        |  FROM m)
+        |SELECT thr, tp, fp, fn, tn,
+        |  CAST(sign(num) AS BIGINT) AS mcc_sign,
+        |  CASE WHEN denom > 0 THEN
+        |    CAST((CAST(num AS HUGEINT) * num * 1000000) // denom AS BIGINT)
+        |  END AS mcc2_ppm
+        |FROM r ORDER BY thr""".stripMargin,
     "q_eval_brier" ->
       """WITH d AS (
         |  SELECT least(1000000, (n_chars * 1000000) // 600) AS score_ppm,

@@ -611,7 +611,61 @@ object InferenceOps {
           .as("r2_ppm"))
       .orderBy("p_brand")
 
+  /** #312 Wald-Wolfowitz runs test per event type on the daily mass
+    * series: count maximal runs of days above/below the per-type MEAN
+    * and test the run count against its randomness expectation — the
+    * serial-independence check that catches regime clustering (all the
+    * high days bunched together) that marginal tests like [[welchT]]
+    * are blind to.
+    *
+    * Exactness: the above-mean flag compares n·x_t > Σx in
+    * DECIMAL(38,0) — no mean is ever divided out, so the flag is an
+    * exact integer predicate on both engines (ties go below,
+    * deterministically). R, n1, n2 are integers from one
+    * key-partitioned lag window; with m2 = 2·n1·n2 and
+    * dev = n·R − n − m2, the closed form z² = dev²·(n−1) /
+    * (m2·(m2 − n)) is a single truncating division to milli (μ =
+    * m2/n + 1 and σ² = m2(m2−n)/(n²(n−1)) fold in exactly). 3.841
+    * milli is the χ²₁ 5% bound, the [[tsMannKendall]] convention.
+    *
+    * Scale: |days|-bounded per type after the daily aggregate; the
+    * global stats broadcast back (|types| rows), never a shuffle of
+    * row-cardinality data.
+    */
+  def runsTest(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+    val tot = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 0))).as("sx"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily.join(broadcast(tot), Seq("event_type"))
+      .withColumn("above",
+        (col("x").cast(DecimalType(38, 0)) * col("n") > col("sx"))
+          .cast("long"))
+      .withColumn("prev", lag(col("above"), 1).over(w))
+      .withColumn("switch",
+        when(col("prev").isNull || col("prev") =!= col("above"), 1L)
+          .otherwise(0L))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"), sum(col("switch")).as("r"),
+        sum(col("above")).as("n1"))
+      .withColumn("n2", col("n") - col("n1"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .withColumn("m2", expr("2 * n1 * n2"))
+      .filter(expr("m2 - n > 0"))
+      .withColumn("dev", expr("n * r - n - m2"))
+      .withColumn("z2_milli",
+        expr("cast((cast(dev as decimal(38,0)) * dev * (n - 1) * 1000)" +
+          " div (cast(m2 as decimal(38,0)) * (m2 - n)) as long)"))
+      .select(col("event_type"), col("n"), col("n1"), col("n2"), col("r"),
+        col("z2_milli"), (col("z2_milli") > 3841L).as("nonrandom_05"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_runs" -> (runsTest _),
     "q_price_elasticity" -> (priceElasticity _),
     "q_stats_wilson_ci" -> (wilsonCi _),
     "q_ab_cuped" -> (cuped _),
@@ -693,6 +747,42 @@ object InferenceOps {
       |FROM t""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_stats_runs" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx
+        |  FROM daily GROUP BY event_type),
+        |f AS (
+        |  SELECT d.event_type, d.day, t.n,
+        |    CASE WHEN CAST(d.x AS HUGEINT) * t.n > t.sx THEN 1 ELSE 0 END
+        |      AS above
+        |  FROM daily d JOIN tot t USING (event_type)),
+        |sw AS (
+        |  SELECT event_type, n, above,
+        |    CASE WHEN lag(above) OVER (PARTITION BY event_type ORDER BY day)
+        |      IS DISTINCT FROM above THEN 1 ELSE 0 END AS switch
+        |  FROM f),
+        |g AS (
+        |  SELECT event_type, MAX(n) AS n,
+        |    CAST(SUM(switch) AS BIGINT) AS r,
+        |    CAST(SUM(above) AS BIGINT) AS n1
+        |  FROM sw GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n, n1, n - n1 AS n2, r, 2 * n1 * (n - n1) AS m2
+        |  FROM g WHERE n1 > 0 AND n - n1 > 0 AND 2 * n1 * (n - n1) - n > 0),
+        |z AS (
+        |  SELECT event_type, n, n1, n2, r,
+        |    CAST((CAST(n * r - n - m2 AS HUGEINT) * (n * r - n - m2)
+        |      * (n - 1) * 1000) // (CAST(m2 AS HUGEINT) * (m2 - n))
+        |      AS BIGINT) AS z2_milli
+        |  FROM m)
+        |SELECT event_type, n, n1, n2, r, z2_milli,
+        |  z2_milli > 3841 AS nonrandom_05
+        |FROM z ORDER BY event_type""".stripMargin,
     "q_price_elasticity" ->
       """WITH li AS (
         |  SELECT l_partkey,

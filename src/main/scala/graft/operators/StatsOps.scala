@@ -596,6 +596,39 @@ object StatsOps {
         round(sum(col("term_nano")) / 1e9, 6).as("chi2"))
   }
 
+  /** #314 Cramér's V effect size for the (lang, source) association:
+    * V² = χ²/(n·(min(r,c)−1)), the [0,1]-normalized companion to
+    * [[statsChisq]] — χ² says WHETHER lang and source are associated
+    * (it grows with n even for trivial dependence); V says HOW MUCH,
+    * comparably across tables of different size and shape.
+    *
+    * Exactness: identical per-cell term_nano floor discipline as the
+    * χ² twin (exact-integer-fed doubles, floored once per cell), then
+    * v2_nano = Σterm_nano div (n·mindim) — one truncating integer
+    * division, positive numerator. The sqrt never materializes (the
+    * [[InferenceOps.runsTest]] squared-statistic convention). Scale:
+    * the same |L|×|S| cell relation; marginals broadcast back.
+    */
+  def cramersV(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.documents(s, dir).groupBy("lang", "source")
+      .agg(count(lit(1)).as("o"))
+    val rowT = obs.groupBy("lang").agg(sum(col("o")).as("rt"))
+    val colT = obs.groupBy("source").agg(sum(col("o")).as("ct"))
+    val tot = obs.agg(sum(col("o")).as("n"),
+      countDistinct(col("lang")).as("nl"), countDistinct(col("source")).as("ns"))
+    obs.join(broadcast(rowT), Seq("lang")).join(broadcast(colT), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("e", (col("rt") * col("ct")).cast("double") / col("n"))
+      .withColumn("d", col("o").cast("double") - col("e"))
+      .withColumn("term_nano", floor(col("d") * col("d") / col("e") * 1e9).cast("long"))
+      .agg(max(col("n")).as("n"),
+        max(expr("(nl - 1) * (ns - 1)")).as("dof"),
+        max(expr("least(nl, ns) - 1")).as("mindim"),
+        sum(col("term_nano")).as("chi2_nano"))
+      .select(col("n"), col("dof"), col("mindim"), col("chi2_nano"),
+        expr("chi2_nano div (n * mindim)").as("v2_nano"))
+  }
+
   /** Pairwise Pearson correlation between event types over their
     * hourly value-mass series — the metric-dependency matrix read
     * before alert tuning or feature pruning. Series align on common
@@ -796,6 +829,7 @@ object StatsOps {
     "q_stats_weighted_median" -> (statsWeightedMedian _),
     "q_stats_corr_pairs" -> (statsCorrPairs _),
     "q_stats_chisq" -> (statsChisq _),
+    "q_stats_cramers_v" -> (cramersV _),
     "q_stats_mad" -> (statsMad _),
     "q_stats_regression" -> (statsRegression _),
     "q_profile_columns" -> (profileColumns _),
@@ -926,6 +960,28 @@ object StatsOps {
         |SELECT type_a, type_b, n, round(num / sqrt(varx * vary), 6) AS corr
         |FROM v WHERE varx > 0 AND vary > 0
         |ORDER BY type_a, type_b""".stripMargin,
+    "q_stats_cramers_v" ->
+      """WITH obs AS (
+        |  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source),
+        |rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM obs GROUP BY lang),
+        |ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY source),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |  COUNT(DISTINCT lang) AS nl, COUNT(DISTINCT source) AS ns FROM obs),
+        |cells AS (
+        |  SELECT o, CAST(rt * ct AS DOUBLE) / n AS e, n, nl, ns
+        |  FROM obs JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot),
+        |t AS (
+        |  SELECT CAST(floor((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e * 1e9) AS BIGINT)
+        |    AS term_nano, n, nl, ns
+        |  FROM cells),
+        |g AS (
+        |  SELECT MAX(n) AS n, MAX((nl - 1) * (ns - 1)) AS dof,
+        |    MAX(least(nl, ns) - 1) AS mindim,
+        |    CAST(SUM(term_nano) AS BIGINT) AS chi2_nano
+        |  FROM t)
+        |SELECT n, dof, mindim, chi2_nano,
+        |  CAST(chi2_nano // (n * mindim) AS BIGINT) AS v2_nano
+        |FROM g""".stripMargin,
     "q_stats_chisq" ->
       """WITH obs AS (
         |  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source),

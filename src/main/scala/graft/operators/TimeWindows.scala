@@ -610,6 +610,63 @@ object TimeWindows {
       .orderBy("day")
   }
 
+  /** #311 Dickey-Fuller unit-root test (lag-0 form) per event type on
+    * the daily value-mass series: regress Δx_t on x_{t-1} (intercept
+    * absorbed by centering) and report the slope plus its squared
+    * t-statistic — the stationarity gate a forecasting/ACF readout
+    * (#166, #232) must pass before its output is trusted. A
+    * significantly NEGATIVE slope rejects the unit root (stationary);
+    * slope ≈ 0 means shocks persist and trend-following models apply.
+    *
+    * Exactness: daily mass in integer micro, the (z = x_{t-1}, y = Δx)
+    * pairs from one key-partitioned lag window, centered second moments
+    * in DECIMAL(38,0), and the t² via the staged-division ladder of
+    * [[InferenceOps.priceElasticity]]: slope_micro = (Sxy·1e6) div Sxx
+    * (intermediate ≤ Sxy·1e6 ≈ 1e28), r2_ppm = (slope_micro·Sxy) div
+    * Syy (≤ 1e6 by Cauchy-Schwarz), t²_milli = ((n−2)·r2_ppm·1000) div
+    * (1e6 − r2_ppm) — every div truncates toward zero identically on
+    * both engines and no Sxy² is ever materialized. The 5% DF critical
+    * value for the constant model is −2.86, i.e. t² > 8180 milli with
+    * slope < 0.
+    *
+    * Scale: |days|-bounded per type after the daily aggregate (the
+    * [[tsSeasonal]] calendar argument); the lag window partitions by
+    * event_type so no SinglePartition ever appears.
+    */
+  def tsAdf(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("xl", lag(col("x"), 1).over(w))
+      .filter(col("xl").isNotNull)
+      .select(col("event_type"),
+        col("xl").cast(DecimalType(38, 0)).as("z"),
+        (col("x") - col("xl")).cast(DecimalType(38, 0)).as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("z")).as("sz"), sum(col("y")).as("sy"),
+        sum(col("z") * col("y")).as("szy"),
+        sum(col("z") * col("z")).as("szz"),
+        sum(col("y") * col("y")).as("sy2"))
+      .withColumn("Sxx", expr("n * szz - sz * sz"))
+      .withColumn("Sxy", expr("n * szy - sz * sy"))
+      .withColumn("Syy", expr("n * sy2 - sy * sy"))
+      .filter(col("Sxx") =!= 0 && col("Syy") =!= 0 && col("n") > 2)
+      .withColumn("slope_micro", expr("cast((Sxy * 1000000) div Sxx as long)"))
+      .withColumn("r2_ppm",
+        expr("cast((((Sxy * 1000000) div Sxx) * Sxy) div Syy as long)"))
+      .filter(col("r2_ppm") < 1000000)
+      .select(col("event_type"), col("n"), col("slope_micro"), col("r2_ppm"),
+        expr("cast(((n - 2) * r2_ppm * 1000) div (1000000 - r2_ppm) as long)")
+          .as("t2_milli"))
+      .withColumn("stationary_05",
+        col("slope_micro") < 0 && col("t2_milli") > 8180L)
+      .orderBy("event_type")
+  }
+
   /** #308 Mann-Kendall trend test per event type on the daily mass
     * series: S = Σ_{i<j} sign(x_j − x_i), the tie-corrected variance
     * (kept as the INTEGER 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)
@@ -654,6 +711,7 @@ object TimeWindows {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_adf" -> (tsAdf _),
     "q_ts_mann_kendall" -> (tsMannKendall _),
     "q_win_drawdown" -> (tsDrawdown _),
     "q_ts_stl_strength" -> (tsStlStrength _),
@@ -677,6 +735,38 @@ object TimeWindows {
     "q_window_session" -> (windowSession _))
 
   val oracles: Map[String, String] = Map(
+    "q_ts_adf" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_type,
+        |    CAST(lag(x) OVER (PARTITION BY event_type ORDER BY day) AS HUGEINT) AS z,
+        |    CAST(x - lag(x) OVER (PARTITION BY event_type ORDER BY day) AS HUGEINT) AS y
+        |  FROM daily),
+        |g AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(z) AS sz, SUM(y) AS sy, SUM(z * y) AS szy,
+        |    SUM(z * z) AS szz, SUM(y * y) AS sy2
+        |  FROM p WHERE z IS NOT NULL GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n, n * szz - sz * sz AS Sxx,
+        |    n * szy - sz * sy AS Sxy, n * sy2 - sy * sy AS Syy
+        |  FROM g
+        |  WHERE n * szz - sz * sz <> 0 AND n * sy2 - sy * sy <> 0 AND n > 2),
+        |r AS (
+        |  SELECT event_type, n,
+        |    CAST((Sxy * 1000000) // Sxx AS BIGINT) AS slope_micro,
+        |    CAST((((Sxy * 1000000) // Sxx) * Sxy) // Syy AS BIGINT) AS r2_ppm
+        |  FROM m)
+        |SELECT event_type, n, slope_micro, r2_ppm,
+        |  CAST(((n - 2) * r2_ppm * 1000) // (1000000 - r2_ppm) AS BIGINT)
+        |    AS t2_milli,
+        |  (slope_micro < 0 AND
+        |   ((n - 2) * r2_ppm * 1000) // (1000000 - r2_ppm) > 8180)
+        |    AS stationary_05
+        |FROM r WHERE r2_ppm < 1000000 ORDER BY event_type""".stripMargin,
     "q_ts_mann_kendall" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

@@ -365,4 +365,25 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     // and the within-bin variance cannot exceed the worst bin width (100k ppm)^2
     assert(resid <= 10000000000L, s"Murphy residual $resid exceeds bin-width bound")
   }
+
+  test("evalMcc agrees with the confusion counts and the BigInt closed form") {
+    val mcc = operators.EvalOps.evalMcc(spark, sfDir).collect()
+    val conf = operators.EvalOps.evalConfusion(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("thr") -> (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+        r.getAs[Long]("fn"), r.getAs[Long]("tn"))).toMap
+    assert(mcc.length === 3)
+    mcc.foreach { r =>
+      val (tp, fp, fn, tn) = conf(r.getAs[Long]("thr"))
+      assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+        r.getAs[Long]("fn"), r.getAs[Long]("tn")) === ((tp, fp, fn, tn)))
+      val num = BigInt(tp) * tn - BigInt(fp) * fn
+      val denom = BigInt(tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+      assert(r.getAs[Long]("mcc_sign") === num.signum.toLong)
+      if (denom > 0) {
+        val m2 = (num * num * 1000000) / denom
+        assert(r.getAs[Long]("mcc2_ppm") === m2.toLong)
+        assert(m2 >= 0 && m2 <= 1000000, s"MCC^2 out of [0,1]: $m2")
+      } else assert(r.isNullAt(r.fieldIndex("mcc2_ppm")))
+    }
+  }
 }

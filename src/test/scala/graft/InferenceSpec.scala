@@ -364,4 +364,32 @@ class InferenceSpec extends AnyFunSuite with SparkFixture {
         r.getAs[Long]("dispersion_milli") * (n - 1))
     }
   }
+
+  test("runsTest matches an exact driver replay of flags, runs, and z2") {
+    val rows = operators.InferenceOps.runsTest(spark, sfDir).collect()
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { rr =>
+      val et = rr.getString(0)
+      val xs = daily(et).sortBy(_._2.getTime).map(_._3)
+      val n = xs.length.toLong
+      val sx = xs.map(BigInt(_)).sum
+      val flags = xs.map(x => if (BigInt(x) * n > sx) 1L else 0L)
+      val n1 = flags.sum
+      val runs = 1L + flags.zip(flags.drop(1)).count { case (a, b) => a != b }
+      assert(rr.getAs[Long]("n") === n, s"n for $et")
+      assert(rr.getAs[Long]("n1") === n1, s"n1 for $et")
+      assert(rr.getAs[Long]("n2") === n - n1, s"n2 for $et")
+      assert(rr.getAs[Long]("r") === runs, s"runs for $et")
+      val m2 = BigInt(2) * n1 * (n - n1)
+      val dev = BigInt(n) * runs - n - m2
+      val z2 = (dev * dev * (n - 1) * 1000) / (m2 * (m2 - n))
+      assert(rr.getAs[Long]("z2_milli") === z2.toLong, s"z2 for $et")
+      assert(rr.getAs[Boolean]("nonrandom_05") === (z2 > 3841))
+    }
+  }
 }

@@ -827,4 +827,49 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[Boolean]("over_cap") === (n > 4096L))
     }
   }
+
+  test("tsAdf matches an exact BigInt lag-1 regression replay") {
+    val rows = operators.TimeWindows.tsAdf(spark, sfDir).collect()
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val xs = daily(et).sortBy(_._2.getTime).map(_._3)
+      val pairs = xs.zip(xs.drop(1)).map { case (a, b) => (BigInt(a), BigInt(b) - a) }
+      val n = BigInt(pairs.length)
+      val sz = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val szy = pairs.map(p => p._1 * p._2).sum
+      val szz = pairs.map(p => p._1 * p._1).sum
+      val sy2 = pairs.map(p => p._2 * p._2).sum
+      val sxx = n * szz - sz * sz; val sxy = n * szy - sz * sy
+      val syy = n * sy2 - sy * sy
+      // BigInt '/' truncates toward zero, exactly like Spark's div
+      val slope = (sxy * 1000000) / sxx
+      val r2 = (slope * sxy) / syy
+      val t2 = ((n - 2) * r2 * 1000) / (1000000 - r2)
+      assert(r.getAs[Long]("n") === pairs.length.toLong, s"n for $et")
+      assert(r.getAs[Long]("slope_micro") === slope.toLong, s"slope for $et")
+      assert(r.getAs[Long]("r2_ppm") === r2.toLong, s"r2 for $et")
+      assert(r2 >= 0 && r2 < 1000000, s"r2 range for $et")
+      assert(r.getAs[Long]("t2_milli") === t2.toLong, s"t2 for $et")
+      assert(r.getAs[Boolean]("stationary_05") === (slope < 0 && t2 > 8180))
+    }
+  }
+
+  test("cramersV: v2 is the chi2 quotient, bounded, dof agrees with chisq") {
+    val r = operators.StatsOps.cramersV(spark, sfDir).collect()(0)
+    val chis = operators.StatsOps.statsChisq(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("dof") === chis.getAs[Long]("dof"))
+    val v2 = r.getAs[Long]("v2_nano")
+    assert(v2 === r.getAs[Long]("chi2_nano") /
+      (r.getAs[Long]("n") * r.getAs[Long]("mindim")))
+    assert(v2 >= 0L && v2 <= 1000000000L, s"V^2 out of [0,1]: $v2")
+    // same per-cell floor discipline => nano sum agrees with chisq's 6dp value
+    assert(math.abs(r.getAs[Long]("chi2_nano") / 1e9 -
+      chis.getAs[Double]("chi2")) < 1e-3)
+  }
 }
