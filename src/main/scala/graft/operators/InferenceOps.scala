@@ -664,7 +664,113 @@ object InferenceOps {
       .orderBy("event_type")
   }
 
+  /** #315 Kruskal-Wallis H test across event types on the daily mass
+    * series: the rank-based one-way ANOVA — does ANY type's daily
+    * distribution differ? — robust to the heavy tails that break
+    * [[anovaLang]]'s normality premise. Ranks are tie-aware average
+    * ranks kept in HALF-RANK integer units (r2 = 2·cnt_less + cnt_eq
+    * + 1), so no .5 ever leaves the integers; H folds the /2 into the
+    * closed form: H = 3·Σ(r2ᵢ²/nᵢ)/(N(N+1)) − 3(N+1), then the tie
+    * correction H_c = H·(N³−N)/(N³−N−Σ(t³−t)) as one more staged
+    * division. The per-group (r2ᵢ²·1000) div nᵢ stage truncates
+    * identically on both engines; the χ² critical value is a CASE on
+    * dof (the [[runsTest]] convention).
+    *
+    * Scale: ranks come from the VALUE-DOMAIN aggregate of the daily
+    * relation (≤ |days|·|types| rows, calendar-bounded — the global
+    * cum-count window over it is the documented tsDrawdown exception),
+    * then join back to |type|×|value| groups; nothing row-cardinality
+    * ever ranks.
+    */
+  def kruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+    val byVal = daily.groupBy("x").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = byVal
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("r2", lit(2) * (col("cum") - col("cnt")) + col("cnt") + 1)
+    val grp = daily.groupBy("event_type", "x").agg(count(lit(1)).as("m"))
+      .join(ranked.select("x", "r2"), Seq("x"))
+      .groupBy("event_type")
+      .agg(sum(col("m")).as("ni"),
+        sum(col("m").cast(DecimalType(38, 0)) * col("r2")).as("r2i"))
+      .withColumn("ti_milli", expr("(r2i * r2i * 1000) div ni"))
+    val ties = byVal.agg(
+      sum(col("cnt")).as("n_total"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie3"))
+    grp.agg(count(lit(1)).as("k"), sum(col("ti_milli")).as("s_milli"))
+      .crossJoin(broadcast(ties))
+      .withColumn("h_milli",
+        expr("cast((3 * s_milli) div (n_total * (n_total + 1)) - " +
+          "3000 * (n_total + 1) as long)"))
+      .withColumn("denom_c",
+        expr("n_total * n_total * n_total - n_total - tie3"))
+      .filter(col("denom_c") > 0)
+      .withColumn("h_c_milli",
+        expr("cast((cast(h_milli as decimal(38,0)) * " +
+          "(n_total * n_total * n_total - n_total)) div denom_c as long)"))
+      .withColumn("dof", col("k") - 1)
+      .withColumn("chi2_crit_milli",
+        expr("case dof when 1 then 3841L when 2 then 5991L " +
+          "when 3 then 7815L when 4 then 9488L when 5 then 11070L " +
+          "when 6 then 12592L else null end"))
+      .select(col("n_total"), col("k"), col("dof"), col("h_milli"),
+        col("h_c_milli"), col("chi2_crit_milli"),
+        (col("h_c_milli") > col("chi2_crit_milli")).as("significant_05"))
+  }
+
+  /** #316 Cohen's d (pooled-SD standardized mean difference) of event
+    * value, weekend vs weekday, per event type: the EFFECT SIZE that
+    * [[welchT]]'s p-value deliberately refuses to be — at corpus n
+    * everything is "significant"; d says whether the difference is
+    * worth acting on (|d| > 0.2 = small effect and up).
+    *
+    * Exactness: the sqrt never materializes — signed d² in milli as
+    * ONE exact rational: d²_milli = num²(n−2)·1000 div (n₁n₂·pooled)
+    * with num = S₁n₂ − S₂n₁ and pooled = ss₁n₂ + ss₂n₁, ssᵢ = nᵢqᵢ −
+    * sᵢ² the exact centered sum-squares — deliberately NOT staged,
+    * because IntegralDivide's LONG result type would wrap near 1e18
+    * where the all-DECIMAL single quotient stays inside 38 digits
+    * (envelope in the inline note). Scale: ONE
+    * |event_type|-group map-side-combined aggregate over a projected
+    * scan; nothing else.
+    */
+  def cohensD(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        when(dayofweek(col("ts")).isin(1, 7), 1L).otherwise(0L).as("we"),
+        floor(col("value") * 1e6).cast("long").cast(DecimalType(38, 0)).as("x"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("we") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("we") === 0, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("we") === 1, col("x"))).as("s1"),
+        sum(when(col("we") === 0, col("x"))).as("s2"),
+        sum(when(col("we") === 1, col("x") * col("x"))).as("q1"),
+        sum(when(col("we") === 0, col("x") * col("x"))).as("q2"))
+      .filter(col("n1") > 1 && col("n2") > 1)
+      .withColumn("num", expr("s1 * n2 - s2 * n1"))
+      .withColumn("pooled",
+        expr("(n1 * q1 - s1 * s1) * n2 + (n2 * q2 - s2 * s2) * n1"))
+      .filter(col("pooled") > 0)
+      .select(col("event_type"), col("n1").as("n_we"), col("n2").as("n_wd"),
+        expr("cast(num div (n1 * n2) as long)").as("diff_micro"),
+        signum(col("num")).cast("long").as("d_sign"),
+        // ONE division, both sides decimal: a staged `div` would emit an
+        // intermediate LONG (IntegralDivide's type) that wraps near 1e18.
+        // Envelope: num²(n−2)10³ ≈ 2e35 and n₁n₂·pooled ≈ 4e35 at sf0.1;
+        // past ~1e8 events/type drop the micro units to milli (d is
+        // scale-invariant, so only the flooring grain changes).
+        expr("cast((num * num * (n1 + n2 - 2) * 1000) div " +
+          "(pooled * n1 * n2) as long)").as("d2_milli"))
+      .withColumn("effect_small_plus", col("d2_milli") > 40L)
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_kruskal" -> (kruskalWallis _),
+    "q_stats_cohens_d" -> (cohensD _),
     "q_stats_runs" -> (runsTest _),
     "q_price_elasticity" -> (priceElasticity _),
     "q_stats_wilson_ci" -> (wilsonCi _),
@@ -747,6 +853,81 @@ object InferenceOps {
       |FROM t""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_stats_kruskal" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |bv AS (SELECT x, COUNT(*) AS cnt FROM daily GROUP BY x),
+        |rk AS (
+        |  SELECT x, cnt, SUM(cnt) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM bv),
+        |r2t AS (SELECT x, 2 * (cum - cnt) + cnt + 1 AS r2 FROM rk),
+        |g AS (
+        |  SELECT event_type, CAST(SUM(m) AS BIGINT) AS ni,
+        |    CAST(SUM(CAST(m AS HUGEINT) * r2) AS HUGEINT) AS r2i
+        |  FROM (SELECT event_type, x, COUNT(*) AS m
+        |        FROM daily GROUP BY event_type, x) d
+        |  JOIN r2t USING (x) GROUP BY event_type),
+        |t AS (SELECT event_type, ni,
+        |  (r2i * r2i * 1000) // ni AS ti_milli FROM g),
+        |ties AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+        |    CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+        |  FROM bv),
+        |ag AS (SELECT COUNT(*) AS k, SUM(ti_milli) AS s_milli FROM t),
+        |h AS (
+        |  SELECT n_total, k,
+        |    CAST((3 * s_milli) // (n_total * (n_total + 1))
+        |      - 3000 * (n_total + 1) AS BIGINT) AS h_milli,
+        |    CAST(n_total AS HUGEINT) * n_total * n_total - n_total - tie3
+        |      AS denom_c,
+        |    CAST(n_total AS HUGEINT) * n_total * n_total - n_total AS n3n
+        |  FROM ag CROSS JOIN ties
+        |  WHERE CAST(n_total AS HUGEINT) * n_total * n_total - n_total - tie3
+        |    > 0),
+        |f AS (
+        |  SELECT n_total, k, k - 1 AS dof, h_milli,
+        |    CAST((CAST(h_milli AS HUGEINT) * n3n) // denom_c AS BIGINT)
+        |      AS h_c_milli,
+        |    CASE k - 1 WHEN 1 THEN CAST(3841 AS BIGINT)
+        |      WHEN 2 THEN 5991 WHEN 3 THEN 7815 WHEN 4 THEN 9488
+        |      WHEN 5 THEN 11070 WHEN 6 THEN 12592 END AS chi2_crit_milli
+        |  FROM h)
+        |SELECT n_total, k, dof, h_milli, h_c_milli, chi2_crit_milli,
+        |  h_c_milli > chi2_crit_milli AS significant_05
+        |FROM f""".stripMargin,
+    "q_stats_cohens_d" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS we,
+        |    CAST(CAST(floor(value * 1e6) AS BIGINT) AS HUGEINT) AS x
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    SUM(CASE WHEN we = 1 THEN x END) AS s1,
+        |    SUM(CASE WHEN we = 0 THEN x END) AS s2,
+        |    SUM(CASE WHEN we = 1 THEN x * x END) AS q1,
+        |    SUM(CASE WHEN we = 0 THEN x * x END) AS q2
+        |  FROM e GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n1, n2,
+        |    s1 * n2 - s2 * n1 AS num,
+        |    (n1 * q1 - s1 * s1) * n2 + (n2 * q2 - s2 * s2) * n1 AS pooled
+        |  FROM g WHERE n1 > 1 AND n2 > 1),
+        |f AS (
+        |  SELECT event_type, n1 AS n_we, n2 AS n_wd,
+        |    CAST(num // (n1 * n2) AS BIGINT) AS diff_micro,
+        |    CAST(sign(num) AS BIGINT) AS d_sign,
+        |    CAST((num * num * (n1 + n2 - 2) * 1000)
+        |      // (pooled * n1 * n2) AS BIGINT) AS d2_milli
+        |  FROM m WHERE pooled > 0)
+        |SELECT event_type, n_we, n_wd, diff_micro, d_sign, d2_milli,
+        |  d2_milli > 40 AS effect_small_plus
+        |FROM f ORDER BY event_type""".stripMargin,
     "q_stats_runs" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

@@ -557,7 +557,44 @@ object TextOps {
         expr("cast(sfre div cast(n_docs as decimal(38,0)) as long)").as("avg_fre_milli"))
       .orderBy("lang")
 
+  /** #317 RAKE keyword extraction over the corpus: split every document
+    * into candidate phrases at stopword boundaries (the islands trick —
+    * a running sum of break flags groups consecutive content words),
+    * score each word by degree (Σ length of the phrases it appears in,
+    * i.e. its within-phrase co-occurrence count including itself) over
+    * frequency, and emit the top-20 keywords — the classic
+    * unsupervised keyphrase primitive (Rose et al. 2010), purely
+    * integer.
+    *
+    * Scale: the phrase window partitions by doc_id (never
+    * SinglePartition); phrase lengths are a (doc, phrase)-keyed
+    * aggregate joined back on the same key (co-partitioned, no extra
+    * shuffle); the final score aggregate is vocab-bounded and the
+    * top-20 a TakeOrderedAndProject. Ties break (score, degree,
+    * token) — fully deterministic.
+    */
+  def textRake(s: SparkSession, dir: String): DataFrame = {
+    val stops = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .withColumn("brk",
+        when(col("token").isInCollection(stops) || col("token") === "", 1L)
+          .otherwise(0L))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val inPhrase = toks.withColumn("grp", sum(col("brk")).over(w))
+      .filter(col("brk") === 0)
+      .select("doc_id", "grp", "token")
+    val plen = inPhrase.groupBy("doc_id", "grp").agg(count(lit(1)).as("plen"))
+    inPhrase.join(plen, Seq("doc_id", "grp"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+      .withColumn("score_milli", expr("(degree * 1000) div freq"))
+      .orderBy(desc("score_milli"), desc("degree"), asc("token"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_rake" -> (textRake _),
     "q_text_readability" -> (readability _),
     "q_pii_luhn" -> (piiLuhn _),
     "q_sample_weighted" -> (sampleWeighted _),
@@ -582,6 +619,32 @@ object TextOps {
     "q_text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_text_rake" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |    unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, pos, token,
+        |    CASE WHEN token IN ('the','a','an','and','or','of','to','in',
+        |      'is','on') OR token = '' THEN 1 ELSE 0 END AS brk
+        |  FROM tok),
+        |g AS (
+        |  SELECT doc_id, token, brk,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM b),
+        |ip AS (SELECT doc_id, grp, token FROM g WHERE brk = 0),
+        |pl AS (SELECT doc_id, grp, COUNT(*) AS plen
+        |       FROM ip GROUP BY doc_id, grp),
+        |sc AS (
+        |  SELECT token, COUNT(*) AS freq, CAST(SUM(plen) AS BIGINT) AS degree
+        |  FROM ip JOIN pl USING (doc_id, grp) GROUP BY token)
+        |SELECT token, freq, degree,
+        |  CAST((degree * 1000) // freq AS BIGINT) AS score_milli
+        |FROM sc
+        |ORDER BY score_milli DESC, degree DESC, token ASC LIMIT 20""".stripMargin,
     "q_text_readability" ->
       """WITH d AS (
         |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS w,

@@ -253,4 +253,32 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[Long]("spw_milli") > 500L && r.getAs[Long]("spw_milli") < 4000L)
     }
   }
+
+  test("textRake matches a driver-side phrase split and degree/freq count") {
+    val got = operators.TextOps.textRake(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("freq"), r.getAs[Long]("degree"),
+        r.getAs[Long]("score_milli")))
+    val stops = Set("the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "")
+    val freq = collection.mutable.Map.empty[String, Long]
+    val degree = collection.mutable.Map.empty[String, Long]
+    Tables.documents(spark, sfDir).select("text").collect().foreach { r =>
+      val toks = r.getString(0).split(" ", -1)
+      var phrase = collection.mutable.Buffer.empty[String]
+      def flush(): Unit = {
+        val len = phrase.length.toLong
+        phrase.foreach { w =>
+          freq(w) = freq.getOrElse(w, 0L) + 1
+          degree(w) = degree.getOrElse(w, 0L) + len
+        }
+        phrase.clear()
+      }
+      toks.foreach { t => if (stops(t)) flush() else phrase += t }
+      flush()
+    }
+    val expected = freq.keys.toSeq
+      .map(w => (w, freq(w), degree(w), degree(w) * 1000 / freq(w)))
+      .sortBy { case (w, _, d, s) => (-s, -d, w) }
+      .take(20)
+    assert(got.toSeq === expected)
+  }
 }

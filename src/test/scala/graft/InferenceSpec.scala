@@ -365,6 +365,62 @@ class InferenceSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("kruskalWallis matches an exact half-rank BigInt driver replay") {
+    val r = operators.InferenceOps.kruskalWallis(spark, sfDir).collect()(0)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .collect().map(row => (row.getString(0), row.getLong(2)))
+    val all = daily.map(_._2)
+    val n = all.length.toLong
+    def r2(v: Long) = 2L * all.count(_ < v) + all.count(_ == v) + 1
+    val groups = daily.groupBy(_._1).values.map(_.map(_._2))
+    val sMilli = groups.map { xs =>
+      val r2i = xs.map(v => BigInt(r2(v))).sum
+      (r2i * r2i * 1000) / xs.length
+    }.sum
+    val hMilli = (3 * sMilli) / (n * (n + 1)) - 3000 * (n + 1)
+    val tie3 = all.groupBy(identity).values
+      .map(g => { val t = BigInt(g.length); t * t * t - t }).sum
+    val n3n = BigInt(n) * n * n - n
+    val hcMilli = (hMilli * n3n) / (n3n - tie3)
+    assert(r.getAs[Long]("n_total") === n)
+    assert(r.getAs[Long]("k") === groups.size.toLong)
+    assert(r.getAs[Long]("h_milli") === hMilli.toLong)
+    assert(r.getAs[Long]("h_c_milli") === hcMilli.toLong)
+    assert(r.getAs[Boolean]("significant_05") ===
+      (hcMilli.toLong > r.getAs[Long]("chi2_crit_milli")))
+  }
+
+  test("cohensD matches the exact single-quotient BigInt closed form") {
+    val rows = operators.InferenceOps.cohensD(spark, sfDir).collect()
+    val evs = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        when(dayofweek(col("ts")).isin(1, 7), 1L).otherwise(0L).as("we"),
+        floor(col("value") * 1e6).cast("long").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val (wes, wds) = evs(et).partition(_._2 == 1L)
+      val n1 = BigInt(wes.length); val n2 = BigInt(wds.length)
+      val s1 = wes.map(e => BigInt(e._3)).sum
+      val s2 = wds.map(e => BigInt(e._3)).sum
+      val q1 = wes.map(e => BigInt(e._3) * e._3).sum
+      val q2 = wds.map(e => BigInt(e._3) * e._3).sum
+      val num = s1 * n2 - s2 * n1
+      val pooled = (n1 * q1 - s1 * s1) * n2 + (n2 * q2 - s2 * s2) * n1
+      assert(r.getAs[Long]("n_we") === n1.toLong)
+      assert(r.getAs[Long]("n_wd") === n2.toLong)
+      assert(r.getAs[Long]("diff_micro") === (num / (n1 * n2)).toLong)
+      assert(r.getAs[Long]("d_sign") === num.signum.toLong)
+      val d2 = (num * num * (n1 + n2 - 2) * 1000) / (pooled * n1 * n2)
+      assert(r.getAs[Long]("d2_milli") === d2.toLong, s"d2 for $et")
+      assert(d2 >= 0, s"d2 must be non-negative for $et")
+    }
+  }
+
   test("runsTest matches an exact driver replay of flags, runs, and z2") {
     val rows = operators.InferenceOps.runsTest(spark, sfDir).collect()
     val daily = Tables.events(spark, sfDir)
