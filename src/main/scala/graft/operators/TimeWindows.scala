@@ -610,6 +610,44 @@ object TimeWindows {
       .orderBy("day")
   }
 
+  /** #319 SAX symbolization (PAA-7 + empirical quartile alphabet) of
+    * the daily mass series per event type: average each 7-day segment
+    * (PAA), assign each segment one of 4 symbols a-d by its
+    * EQUI-DEPTH rank among the type's own segments (ntile — the
+    * empirical-breakpoint SAX variant: no Gaussian assumption, no
+    * z-normalization sqrt), and emit the symbol string — the
+    * dimensionality-reduced time-series representation motif/anomaly
+    * mining indexes on (Lin et al. 2003).
+    *
+    * Exactness: PAA as (Σx·1000) div len — the unequal final segment
+    * divides exactly the same way on both engines; ntile(4) over the
+    * total order (paa_milli, seg) is deterministic because seg is
+    * unique; the string assembles via sort_array over (seg, sym)
+    * structs, the [[ExtraFuncs.stringAgg]] order-free idiom. Scale:
+    * |days|-bounded per type after the daily aggregate; the ntile
+    * window partitions by event_type.
+    */
+  def tsSax(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+    val minDay = daily.groupBy("event_type").agg(min(col("day")).as("d0"))
+    val seg = daily.join(broadcast(minDay), Seq("event_type"))
+      .withColumn("seg", expr("datediff(day, d0) div 7"))
+      .groupBy("event_type", "seg")
+      .agg(count(lit(1)).as("len"), sum(col("x")).as("sx"))
+      .withColumn("paa_milli",
+        expr("(cast(sx as decimal(38,0)) * 1000) div len"))
+    seg.withColumn("sym", expr("char(96 + ntile(4) over " +
+        "(partition by event_type order by paa_milli, seg))"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_segments"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("seg"), col("sym")))),
+          x => x.getField("sym")), "").as("sax"))
+      .orderBy("event_type")
+  }
+
   /** #311 Dickey-Fuller unit-root test (lag-0 form) per event type on
     * the daily value-mass series: regress Δx_t on x_{t-1} (intercept
     * absorbed by centering) and report the slope plus its squared
@@ -712,6 +750,7 @@ object TimeWindows {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_adf" -> (tsAdf _),
+    "q_ts_sax" -> (tsSax _),
     "q_ts_mann_kendall" -> (tsMannKendall _),
     "q_win_drawdown" -> (tsDrawdown _),
     "q_ts_stl_strength" -> (tsStlStrength _),
@@ -735,6 +774,27 @@ object TimeWindows {
     "q_window_session" -> (windowSession _))
 
   val oracles: Map[String, String] = Map(
+    "q_ts_sax" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m0 AS (SELECT event_type, MIN(day) AS d0 FROM daily GROUP BY 1),
+        |sg AS (
+        |  SELECT d.event_type, date_diff('day', m.d0, d.day) // 7 AS seg,
+        |    COUNT(*) AS len, CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx
+        |  FROM daily d JOIN m0 m USING (event_type)
+        |  GROUP BY 1, 2),
+        |p AS (SELECT event_type, seg, (sx * 1000) // len AS paa_milli
+        |      FROM sg),
+        |q AS (
+        |  SELECT event_type, seg,
+        |    ntile(4) OVER (PARTITION BY event_type
+        |      ORDER BY paa_milli, seg) AS qt
+        |  FROM p)
+        |SELECT event_type, COUNT(*) AS n_segments,
+        |  string_agg(chr(CAST(96 + qt AS INTEGER)), '' ORDER BY seg) AS sax
+        |FROM q GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_ts_adf" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

@@ -366,6 +366,24 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(resid <= 10000000000L, s"Murphy residual $resid exceeds bin-width bound")
   }
 
+  test("evalLogloss matches a driver floor-ln replay and is positive") {
+    val r = operators.EvalOps.evalLogloss(spark, sfDir).collect()(0)
+    def lnNano(x: Long): Long = math.floor(math.log(x.toDouble) * 1e9).toLong
+    val docs = Tables.documents(spark, sfDir).select("lang", "n_chars")
+      .collect().map(d => (d.getString(0), d.getLong(1)))
+    val terms = docs.map { case (lang, nc) =>
+      val p = math.max(1L, math.min(999999L, nc * 1000000 / 600))
+      val y = if (lang == "en") 1L else 0L
+      y * (lnNano(p) - lnNano(1000000L)) +
+        (1 - y) * (lnNano(1000000L - p) - lnNano(1000000L))
+    }
+    val ll = (-terms.map(BigInt(_)).sum) / (docs.length.toLong * 1000)
+    assert(r.getAs[Long]("n_docs") === docs.length.toLong)
+    assert(r.getAs[Long]("n_pos") === docs.count(_._1 == "en").toLong)
+    assert(r.getAs[Long]("logloss_micro") === ll.toLong)
+    assert(ll > 0, "log-loss must be positive")
+  }
+
   test("evalMcc agrees with the confusion counts and the BigInt closed form") {
     val mcc = operators.EvalOps.evalMcc(spark, sfDir).collect()
     val conf = operators.EvalOps.evalConfusion(spark, sfDir).collect()

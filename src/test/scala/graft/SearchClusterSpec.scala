@@ -891,4 +891,29 @@ class SearchClusterSpec extends AnyFunSuite with SparkFixture {
     }
     assert(plainEqual < 10, "MMR must diverge from plain top-5 somewhere")
   }
+
+  test("hits matches a driver-side BigInt replay of the 2.5-round recurrence") {
+    val got = operators.GraphOps.hits(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("s_suppkey"), r.getAs[Long]("auth_micro")))
+    val edges = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey")),
+        Seq("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def normalize(m: Map[Long, BigInt]): Map[Long, BigInt] = {
+      val tot = m.values.sum
+      m.view.mapValues(v => v * 1000000 / tot).toMap
+    }
+    val a0 = normalize(edges.groupBy(_._2).view
+      .mapValues(es => BigInt(es.length)).toMap)
+    val h1 = normalize(edges.groupBy(_._1).view
+      .mapValues(es => es.map(e => a0(e._2)).sum).toMap)
+    val a1 = normalize(edges.groupBy(_._2).view
+      .mapValues(es => es.map(e => h1(e._1)).sum).toMap)
+    val expected = a1.toSeq.map { case (k, v) => (k, v.toLong) }
+      .sortBy { case (k, v) => (-v, k) }.take(20)
+    assert(got.toSeq === expected)
+  }
 }

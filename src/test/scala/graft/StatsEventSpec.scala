@@ -860,6 +860,38 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("tsSax matches a driver replay of PAA segments and ntile symbols") {
+    val rows = operators.TimeWindows.tsSax(spark, sfDir).collect()
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val series = daily(et).sortBy(_._2.getTime)
+      val d0 = series.head._2.getTime
+      val segs = series.groupBy(e =>
+          ((e._2.getTime - d0) / 86400000L) / 7).toSeq
+        .map { case (seg, es) =>
+          (seg, (es.map(e => BigInt(e._3)).sum * 1000) / es.length)
+        }
+      val n = segs.length
+      // ntile(4): first (n mod 4) buckets get ceil(n/4) rows
+      val sorted = segs.sortBy { case (seg, paa) => (paa, seg) }
+      val base = n / 4; val extra = n % 4
+      val bucketOf = (0 until 4).flatMap(b =>
+        Seq.fill(base + (if (b < extra) 1 else 0))(b))
+      val sym = sorted.zipWithIndex.map { case ((seg, _), idx) =>
+        seg -> ('a' + bucketOf(idx)).toChar
+      }.toMap
+      val sax = segs.map(_._1).sorted.map(sym).mkString
+      assert(r.getAs[Long]("n_segments") === n.toLong, s"segments for $et")
+      assert(r.getAs[String]("sax") === sax, s"sax for $et")
+    }
+  }
+
   test("cramersV: v2 is the chi2 quotient, bounded, dof agrees with chisq") {
     val r = operators.StatsOps.cramersV(spark, sfDir).collect()(0)
     val chis = operators.StatsOps.statsChisq(spark, sfDir).collect()(0)
