@@ -597,6 +597,42 @@ object EvalOps {
           .as("res_e12"),
         expr("cast(ybar_ppm * (1000000 - ybar_ppm) as long)").as("unc_e12"))
 
+  /** #323 Kolmogorov-Smirnov score separation: max |CDF_pos − CDF_neg|
+    * of the n_chars score between en and non-en documents — the
+    * threshold-free discrimination readout credit-scoring teams quote
+    * next to AUC, with the ARGMAX score emitted as the natural
+    * operating threshold.
+    *
+    * Exactness: the CDF difference never divides per-row — dev =
+    * |cum_pos·n_neg − cum_neg·n_pos| is exact integer cross-
+    * multiplication, the max row picked by (dev DESC, score ASC)
+    * total order, and ks_ppm one terminal truncating division. Scale:
+    * one SCORE-DOMAIN-bounded aggregate (|distinct n_chars| rows —
+    * the [[evalAuc]] argument) carries the global cum window; totals
+    * broadcast. Contrast with [[StatsOps.ksDrift]], which compares
+    * one metric across time — this compares labels across one score.
+    */
+  def evalKsScore(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val byScore = d.groupBy("score")
+      .agg(sum(col("pos")).as("p"), sum(lit(1L) - col("pos")).as("q"))
+    val tot = byScore.agg(sum(col("p")).as("np"), sum(col("q")).as("nq"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("score")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    byScore
+      .withColumn("cp", sum(col("p")).over(w))
+      .withColumn("cq", sum(col("q")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("dev", abs(col("cp") * col("nq") - col("cq") * col("np")))
+      .orderBy(desc("dev"), asc("score"))
+      .limit(1)
+      .select(col("np").as("n_pos"), col("nq").as("n_neg"),
+        col("score").as("ks_thr"),
+        expr("cast((dev * 1000000) div (np * nq) as long)").as("ks_ppm"))
+  }
+
   /** #320 Cross-entropy (log-loss) of the length-derived en-probability
     * against the lang='en' label — the proper scoring rule that
     * punishes CONFIDENT wrong predictions where [[evalBrier]] only
@@ -662,6 +698,7 @@ object EvalOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_eval_logloss" -> (evalLogloss _),
+    "q_eval_ks_score" -> (evalKsScore _),
     "q_eval_mcc" -> (evalMcc _),
     "q_eval_brier" -> (evalBrier _),
     "q_eval_feature_auc" -> (evalFeatureAuc _),
@@ -681,6 +718,30 @@ object EvalOps {
     "q_bootstrap_ci" -> (bootstrapCi _))
 
   val oracles: Map[String, String] = Map(
+    "q_eval_ks_score" ->
+      """WITH d AS (
+        |  SELECT n_chars AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |bs AS (
+        |  SELECT score, CAST(SUM(pos) AS BIGINT) AS p,
+        |    CAST(SUM(1 - pos) AS BIGINT) AS q
+        |  FROM d GROUP BY score),
+        |tot AS (SELECT CAST(SUM(p) AS BIGINT) AS np,
+        |  CAST(SUM(q) AS BIGINT) AS nq FROM bs),
+        |c AS (
+        |  SELECT score,
+        |    SUM(p) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+        |    SUM(q) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cq
+        |  FROM bs),
+        |dev AS (
+        |  SELECT score, np, nq, abs(cp * nq - cq * np) AS dev
+        |  FROM c CROSS JOIN tot)
+        |SELECT np AS n_pos, nq AS n_neg, score AS ks_thr,
+        |  CAST((dev * 1000000) // (np * nq) AS BIGINT) AS ks_ppm
+        |FROM dev ORDER BY dev DESC, score ASC LIMIT 1""".stripMargin,
     "q_eval_logloss" ->
       """WITH d AS (
         |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,

@@ -768,7 +768,63 @@ object InferenceOps {
       .withColumn("effect_small_plus", col("d2_milli") > 40L)
       .orderBy("event_type")
 
+  /** #321 Brown-Forsythe test (median-based Levene) for variance
+    * homogeneity across event types on the daily mass series: one-way
+    * ANOVA F on z = |x − median| — does any type's daily VOLATILITY
+    * differ? The robust precondition check for [[anovaLang]]/[[welchT]]
+    * style pooled-variance inference, and a dispersion-drift alarm in
+    * its own right.
+    *
+    * Exactness: the median never divides — the per-type DOUBLED median
+    * (x_lo + x_hi, or 2·x_mid for odd n) comes from two row_number
+    * picks of the type-partitioned sort, so z2 = |2x − med2| div 1000
+    * is an exact integer in doubled milli-units (the unit drop is the
+    * inline envelope note); the F numerator/denominator
+    * use the staged (sⱼ²) div nⱼ ladder with every sum in
+    * DECIMAL(38,0) and the final F_milli one truncating division
+    * (scale-invariance of F absorbs the doubled units). Scale: the
+    * rank window partitions by event_type over the |days|-bounded
+    * daily relation; the ANOVA is one |k|-group aggregate.
+    */
+  def leveneBF(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+    val cnt = daily.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("x", "day")
+    val med2 = daily.join(broadcast(cnt), Seq("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === expr("(n + 1) div 2") ||
+        col("rn") === expr("n div 2 + 1"))
+      .groupBy("event_type")
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("c2"))
+      .select(col("event_type"),
+        expr("case when c2 = 1 then 2 * sx else sx end").as("med2"))
+    // z drops to MILLI units (F is scale-invariant; only the flooring
+    // grain changes): in micro, sⱼ² div nⱼ ≈ 3.6e22 wraps
+    // IntegralDivide's LONG result type. Envelope: milli keeps the
+    // quotient inside int64 to ~10³ days/type; at a longer calendar
+    // drop another 10³.
+    val z = daily.join(broadcast(med2), Seq("event_type"))
+      .select(col("event_type"),
+        expr("abs(2 * x - med2) div 1000").cast(DecimalType(38, 0)).as("z2"))
+    val g = z.groupBy("event_type")
+      .agg(count(lit(1)).as("nj"), sum(col("z2")).as("sj"),
+        sum(col("z2") * col("z2")).as("qj"))
+      .withColumn("sj2nj", expr("(sj * sj) div nj"))
+    g.agg(count(lit(1)).as("k"), sum(col("nj")).as("n_total"),
+        sum(col("sj")).as("st"), sum(col("qj")).as("qt"),
+        sum(col("sj2nj")).as("sb_part"))
+      .withColumn("ssb", expr("sb_part - (st * st) div n_total"))
+      .withColumn("ssw", expr("qt - sb_part"))
+      .filter(col("ssw") > 0 && col("k") > 1)
+      .select(col("k"), col("n_total"),
+        expr("cast((ssb * (n_total - k) * 1000) div (ssw * (k - 1)) as long)")
+          .as("f_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_levene" -> (leveneBF _),
     "q_stats_kruskal" -> (kruskalWallis _),
     "q_stats_cohens_d" -> (cohensD _),
     "q_stats_runs" -> (runsTest _),
@@ -853,6 +909,45 @@ object InferenceOps {
       |FROM t""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_stats_levene" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |cnt AS (SELECT event_type, COUNT(*) AS n FROM daily GROUP BY 1),
+        |rk AS (
+        |  SELECT d.event_type, d.x, c.n,
+        |    row_number() OVER (PARTITION BY d.event_type
+        |      ORDER BY d.x, d.day) AS rn
+        |  FROM daily d JOIN cnt c USING (event_type)),
+        |med AS (
+        |  SELECT event_type,
+        |    CASE WHEN COUNT(*) = 1 THEN 2 * SUM(x) ELSE SUM(x) END AS med2
+        |  FROM rk WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        |  GROUP BY event_type),
+        |z AS (
+        |  SELECT d.event_type,
+        |    CAST(abs(2 * d.x - m.med2) // 1000 AS HUGEINT) AS z2
+        |  FROM daily d JOIN med m USING (event_type)),
+        |g AS (
+        |  SELECT event_type, COUNT(*) AS nj,
+        |    SUM(z2) AS sj, SUM(z2 * z2) AS qj
+        |  FROM z GROUP BY event_type),
+        |g2 AS (SELECT event_type, nj, sj, qj, (sj * sj) // nj AS sj2nj
+        |       FROM g),
+        |t AS (
+        |  SELECT COUNT(*) AS k, CAST(SUM(nj) AS BIGINT) AS n_total,
+        |    SUM(sj) AS st, SUM(qj) AS qt, SUM(sj2nj) AS sb_part
+        |  FROM g2),
+        |f AS (
+        |  SELECT k, n_total,
+        |    sb_part - (st * st) // n_total AS ssb,
+        |    qt - sb_part AS ssw
+        |  FROM t WHERE qt - sb_part > 0 AND k > 1)
+        |SELECT k, n_total,
+        |  CAST((ssb * (n_total - k) * 1000) // (ssw * (k - 1)) AS BIGINT)
+        |    AS f_milli
+        |FROM f""".stripMargin,
     "q_stats_kruskal" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

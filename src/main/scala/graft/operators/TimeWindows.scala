@@ -610,6 +610,74 @@ object TimeWindows {
       .orderBy("day")
   }
 
+  /** #322 Hurst exponent (rescaled-range slope over window sizes 8/16/
+    * 32) per event type on the daily mass series: H ≈ 0.5 means the
+    * series forgets (random walk increments), H > 0.5 long-range
+    * persistence, H < 0.5 mean reversion — the memory diagnostic that
+    * decides whether [[tsEwma]]-style momentum features carry signal.
+    *
+    * Exactness: the sqrt-free trick — per full chunk of length w, the
+    * w-SCALED cumulative deviation w·cum_k = w·prefix_k − k·S is an
+    * exact integer, so R²/S² = R2w²/(w·Q − S²) is an exact integer
+    * ratio (R2w = max − min of the scaled deviations, Q = Σx²); its
+    * floor-nano ln halves into the regression y, and H_micro =
+    * (Sxy·1e6) div (2·Sxx) folds the ½ into the final truncating
+    * division. Per-(type,w) chunk means truncate identically on both
+    * engines. Scale: |days|-bounded per type; every window partitions
+    * by (event_type[, w, chunk]).
+    */
+  def tsHurst(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+    val wIdx = Window.partitionBy("event_type").orderBy("day")
+    val chunked = daily.withColumn("i", row_number().over(wIdx) - 1)
+      .withColumn("w", explode(typedLit(Seq(8, 16, 32))))
+      .withColumn("chunk", expr("i div w"))
+    val wOrd = Window.partitionBy("event_type", "w", "chunk").orderBy("i")
+    val base = chunked
+      .withColumn("k", row_number().over(wOrd))
+      .withColumn("pref",
+        sum(col("x")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = base.groupBy("event_type", "w", "chunk")
+      .agg(count(lit(1)).as("nr"),
+        sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("qx"))
+      .filter(col("nr") === col("w"))
+    val ratio = base.join(tot, Seq("event_type", "w", "chunk"))
+      .select(col("event_type"), col("w"), col("chunk"), col("sx"), col("qx"),
+        (col("w").cast(DecimalType(38, 0)) * col("pref") -
+          col("k") * col("sx")).as("dev"))
+      .groupBy("event_type", "w", "chunk")
+      .agg((max(col("dev")) - min(col("dev"))).as("r2w"),
+        (max(col("w").cast(DecimalType(38, 0)) * col("qx") -
+          col("sx") * col("sx"))).as("s2"))
+      .filter(col("r2w") > 0 && col("s2") > 0)
+      .withColumn("ratio_ppm",
+        expr("cast((r2w * r2w * 1000000) div s2 as long)"))
+      .withColumn("ln_ratio",
+        floor(log(col("ratio_ppm").cast("double")) * 1e9).cast("long") -
+          floor(log(lit(1000000.0)) * 1e9).cast("long"))
+    val perW = ratio.groupBy("event_type", "w")
+      .agg(count(lit(1)).as("n_chunks"),
+        expr("cast(sum(ln_ratio) div count(1) as long)").as("y"))
+      .withColumn("lx", floor(log(col("w").cast("double")) * 1e9).cast("long"))
+    perW.groupBy("event_type")
+      .agg(sum(col("n_chunks")).as("n_chunks"), count(lit(1)).as("np"),
+        sum(col("lx").cast(DecimalType(38, 0))).as("sxl"),
+        sum(col("y").cast(DecimalType(38, 0))).as("syl"),
+        sum(col("lx").cast(DecimalType(38, 0)) * col("y")).as("sxy"),
+        sum(col("lx").cast(DecimalType(38, 0)) * col("lx")).as("sxx"))
+      .filter(col("np") > 1)
+      .withColumn("Sxx", expr("np * sxx - sxl * sxl"))
+      .withColumn("Sxy", expr("np * sxy - sxl * syl"))
+      .filter(col("Sxx") =!= 0)
+      .select(col("event_type"), col("n_chunks"),
+        expr("cast((Sxy * 1000000) div (2 * Sxx) as long)").as("hurst_micro"))
+      .orderBy("event_type")
+  }
+
   /** #319 SAX symbolization (PAA-7 + empirical quartile alphabet) of
     * the daily mass series per event type: average each 7-day segment
     * (PAA), assign each segment one of 4 symbols a-d by its
@@ -750,6 +818,7 @@ object TimeWindows {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_adf" -> (tsAdf _),
+    "q_ts_hurst" -> (tsHurst _),
     "q_ts_sax" -> (tsSax _),
     "q_ts_mann_kendall" -> (tsMannKendall _),
     "q_win_drawdown" -> (tsDrawdown _),
@@ -774,6 +843,66 @@ object TimeWindows {
     "q_window_session" -> (windowSession _))
 
   val oracles: Map[String, String] = Map(
+    "q_ts_hurst" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, day, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i
+        |  FROM daily),
+        |ch AS (
+        |  SELECT event_type, i, x, w, i // w AS chunk
+        |  FROM idx CROSS JOIN (SELECT unnest([8, 16, 32]) AS w) ws),
+        |b AS (
+        |  SELECT event_type, w, chunk, x,
+        |    row_number() OVER (PARTITION BY event_type, w, chunk
+        |      ORDER BY i) AS k,
+        |    SUM(x) OVER (PARTITION BY event_type, w, chunk ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pref
+        |  FROM ch),
+        |t AS (
+        |  SELECT event_type, w, chunk, COUNT(*) AS nr,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qx
+        |  FROM ch GROUP BY 1, 2, 3),
+        |d AS (
+        |  SELECT b.event_type, b.w, b.chunk,
+        |    CAST(b.w AS HUGEINT) * b.pref - b.k * t.sx AS dev, t.sx, t.qx
+        |  FROM b JOIN t ON b.event_type = t.event_type AND b.w = t.w
+        |    AND b.chunk = t.chunk AND t.nr = b.w),
+        |r AS (
+        |  SELECT event_type, w, chunk,
+        |    MAX(dev) - MIN(dev) AS r2w,
+        |    MAX(CAST(w AS HUGEINT) * qx - sx * sx) AS s2
+        |  FROM d GROUP BY 1, 2, 3),
+        |lr AS (
+        |  SELECT event_type, w,
+        |    CAST(floor(ln(CAST(CAST((r2w * r2w * 1000000) // s2 AS BIGINT)
+        |      AS DOUBLE)) * 1e9) AS BIGINT)
+        |      - CAST(floor(ln(1000000.0) * 1e9) AS BIGINT) AS ln_ratio
+        |  FROM r WHERE r2w > 0 AND s2 > 0),
+        |pw AS (
+        |  SELECT event_type, w, COUNT(*) AS n_chunks,
+        |    CAST(SUM(ln_ratio) // COUNT(*) AS BIGINT) AS y,
+        |    CAST(floor(ln(CAST(w AS DOUBLE)) * 1e9) AS BIGINT) AS lx
+        |  FROM lr GROUP BY event_type, w),
+        |g AS (
+        |  SELECT event_type, CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+        |    COUNT(*) AS np,
+        |    CAST(SUM(CAST(lx AS HUGEINT)) AS HUGEINT) AS sxl,
+        |    CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS syl,
+        |    CAST(SUM(CAST(lx AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(SUM(CAST(lx AS HUGEINT) * lx) AS HUGEINT) AS sxx
+        |  FROM pw GROUP BY event_type),
+        |f AS (
+        |  SELECT event_type, n_chunks,
+        |    np * sxy - sxl * syl AS Sxy, np * sxx - sxl * sxl AS Sxx
+        |  FROM g WHERE np > 1)
+        |SELECT event_type, n_chunks,
+        |  CAST((Sxy * 1000000) // (2 * Sxx) AS BIGINT) AS hurst_micro
+        |FROM f WHERE Sxx <> 0 ORDER BY event_type""".stripMargin,
     "q_ts_sax" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

@@ -366,6 +366,27 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(resid <= 10000000000L, s"Murphy residual $resid exceeds bin-width bound")
   }
 
+  test("evalKsScore matches a driver CDF sweep and brackets [0, 1e6]") {
+    val r = operators.EvalOps.evalKsScore(spark, sfDir).collect()(0)
+    val docs = Tables.documents(spark, sfDir).select("n_chars", "lang")
+      .collect().map(d => (d.getLong(0), d.getString(1) == "en"))
+    val np = docs.count(_._2).toLong; val nq = docs.length - np
+    val scores = docs.map(_._1).distinct.sorted
+    var best = (BigInt(-1), Long.MaxValue)
+    scores.foreach { s =>
+      val cp = docs.count(d => d._1 <= s && d._2).toLong
+      val cq = docs.count(d => d._1 <= s && !d._2).toLong
+      val dev = (BigInt(cp) * nq - BigInt(cq) * np).abs
+      if (dev > best._1 || (dev == best._1 && s < best._2)) best = (dev, s)
+    }
+    assert(r.getAs[Long]("n_pos") === np)
+    assert(r.getAs[Long]("n_neg") === nq)
+    assert(r.getAs[Long]("ks_thr") === best._2)
+    val ks = (best._1 * 1000000) / (BigInt(np) * nq)
+    assert(r.getAs[Long]("ks_ppm") === ks.toLong)
+    assert(ks >= 0 && ks <= 1000000)
+  }
+
   test("evalLogloss matches a driver floor-ln replay and is positive") {
     val r = operators.EvalOps.evalLogloss(spark, sfDir).collect()(0)
     def lnNano(x: Long): Long = math.floor(math.log(x.toDouble) * 1e9).toLong

@@ -365,6 +365,34 @@ class InferenceSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("leveneBF matches an exact doubled-median BigInt driver replay") {
+    val r = operators.InferenceOps.leveneBF(spark, sfDir).collect()(0)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .collect().map(row => (row.getString(0), row.getTimestamp(1), row.getLong(2)))
+      .groupBy(_._1)
+    val groups = daily.values.map { es =>
+      val xs = es.sortBy(e => (e._3, e._2.getTime)).map(_._3)
+      val n = xs.length
+      val med2 = if (n % 2 == 1) 2 * xs(n / 2)
+        else xs(n / 2 - 1) + xs(n / 2)
+      xs.map(x => BigInt((2 * x - med2).abs / 1000))
+    }.toSeq
+    val k = groups.length.toLong
+    val nTot = groups.map(_.length).sum.toLong
+    val sbPart = groups.map { zs => (zs.sum * zs.sum) / zs.length }.sum
+    val st = groups.map(_.sum).sum
+    val qt = groups.map(zs => zs.map(z => z * z).sum).sum
+    val ssb = sbPart - (st * st) / nTot
+    val ssw = qt - sbPart
+    val f = (ssb * (nTot - k) * 1000) / (ssw * (k - 1))
+    assert(r.getAs[Long]("k") === k)
+    assert(r.getAs[Long]("n_total") === nTot)
+    assert(r.getAs[Long]("f_milli") === f.toLong)
+    assert(ssw > 0 && ssb >= 0)
+  }
+
   test("kruskalWallis matches an exact half-rank BigInt driver replay") {
     val r = operators.InferenceOps.kruskalWallis(spark, sfDir).collect()(0)
     val daily = Tables.events(spark, sfDir)

@@ -860,6 +860,49 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("tsHurst matches a BigInt scaled-R/S replay and sits in a sane band") {
+    val rows = operators.TimeWindows.tsHurst(spark, sfDir).collect()
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+      .groupBy(_._1)
+    def lnN(x: BigInt): Long =
+      math.floor(math.log(x.toDouble) * 1e9).toLong
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val xs = daily(et).sortBy(_._2.getTime).map(_._3)
+      var nChunks = 0L
+      val pts = Seq(8, 16, 32).flatMap { w =>
+        val lns = xs.grouped(w).filter(_.length == w).toSeq.flatMap { c =>
+          val s = c.map(BigInt(_)).sum
+          val q = c.map(v => BigInt(v) * v).sum
+          val devs = c.scanLeft(BigInt(0))(_ + _).drop(1).zipWithIndex
+            .map { case (pref, i) => BigInt(w) * pref - BigInt(i + 1) * s }
+          val r2w = devs.max - devs.min
+          val s2 = BigInt(w) * q - s * s
+          if (r2w > 0 && s2 > 0)
+            Some(lnN((r2w * r2w * 1000000) / s2) - lnN(1000000))
+          else None
+        }
+        if (lns.isEmpty) None else {
+          nChunks += lns.length
+          Some((lnN(w), lns.map(BigInt(_)).sum / lns.length))
+        }
+      }
+      val np = BigInt(pts.length)
+      val sx = pts.map(p => BigInt(p._1)).sum
+      val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+      val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+      val hurst = ((np * sxy - sx * sy) * 1000000) / (2 * (np * sxx - sx * sx))
+      assert(r.getAs[Long]("n_chunks") === nChunks, s"chunks for $et")
+      assert(r.getAs[Long]("hurst_micro") === hurst.toLong, s"hurst for $et")
+      assert(hurst > -500000 && hurst < 1500000, s"hurst band for $et")
+    }
+  }
+
   test("tsSax matches a driver replay of PAA segments and ntile symbols") {
     val rows = operators.TimeWindows.tsSax(spark, sfDir).collect()
     val daily = Tables.events(spark, sfDir)
