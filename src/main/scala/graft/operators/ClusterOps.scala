@@ -486,7 +486,51 @@ object ClusterOps {
       .orderBy("cluster_id")
   }
 
+  /** #326 Semi-hard triplet mining over the labeled embeddings — the
+    * metric-learning data-prep step (FaceNet, Schroff et al. 2015):
+    * per anchor, the NEAREST same-label positive and the counts of
+    * hard (d_an ≤ d_ap) and semi-hard (d_ap < d_an < 1.5·d_ap)
+    * negatives — the mining report that decides whether a contrastive
+    * run has usable triplets at all.
+    *
+    * Exactness: distances are exact int64 squared-L2 on the micro-
+    * quantized vectors (the [[assign]] kernel); the positive picked by
+    * (d, vec_id); the multiplicative margin compares 2·d_an < 3·d_ap —
+    * no float ratio ever forms. Scale: anchors are a deterministic
+    * 1-in-25 id slice BROADCAST against the corpus (the scale path
+    * mines per-batch, not all-pairs: anchors ≪ corpus by
+    * construction); one |anchor|-partitioned window + one aggregate.
+    */
+  def embedTriplets(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1e6).cast("long")).as("q"))
+    val anchors = base.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("aid"), col("label").as("albl"),
+        col("q").as("aq"))
+    val dist = aggregate(
+      zip_with(col("aq"), col("q"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val pairs = base.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("aid"))
+      .select(col("aid"), col("albl"), col("vec_id"), col("label"),
+        dist.as("d"))
+    val posW = Window.partitionBy("aid").orderBy("d", "vec_id")
+    val pos = pairs.filter(col("label") === col("albl"))
+      .withColumn("rn", row_number().over(posW)).filter(col("rn") === 1)
+      .select(col("aid"), col("vec_id").as("pos_id"), col("d").as("d_ap"))
+    pairs.filter(col("label") =!= col("albl"))
+      .join(pos, Seq("aid"))
+      .groupBy(col("aid"), col("pos_id"), col("d_ap"))
+      .agg(count(lit(1)).as("n_neg"),
+        sum(when(col("d") <= col("d_ap"), 1L).otherwise(0L)).as("n_hard"),
+        sum(when(col("d") > col("d_ap") && col("d") * 2 < col("d_ap") * 3,
+          1L).otherwise(0L)).as("n_semihard"))
+      .orderBy("aid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_triplets" -> (embedTriplets _),
     "q_embed_silhouette" -> (embedSilhouette _),
     "q_embed_pq_adc" -> (embedPqAdc _),
     "q_embed_pq" -> (embedPq _),
@@ -513,6 +557,38 @@ object ClusterOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_embed_triplets" ->
+      """WITH base AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |anch AS (
+        |  SELECT vec_id AS aid, label AS albl, q AS aq
+        |  FROM base WHERE vec_id % 25 = 0),
+        |dims AS (
+        |  SELECT b.vec_id, b.label, a.aid, a.albl,
+        |    unnest(a.aq) AS av, unnest(b.q) AS bv
+        |  FROM base b CROSS JOIN anch a
+        |  WHERE b.vec_id <> a.aid),
+        |pairs AS (
+        |  SELECT aid, albl, vec_id, label,
+        |    CAST(SUM((av - bv) * (av - bv)) AS BIGINT) AS d
+        |  FROM dims GROUP BY aid, albl, vec_id, label),
+        |pos AS (
+        |  SELECT aid, vec_id AS pos_id, d AS d_ap
+        |  FROM (SELECT aid, vec_id, d,
+        |      row_number() OVER (PARTITION BY aid ORDER BY d, vec_id) AS rn
+        |    FROM pairs WHERE label = albl)
+        |  WHERE rn = 1),
+        |neg AS (SELECT * FROM pairs WHERE label <> albl)
+        |SELECT n.aid, p.pos_id, p.d_ap, COUNT(*) AS n_neg,
+        |  CAST(SUM(CASE WHEN n.d <= p.d_ap THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hard,
+        |  CAST(SUM(CASE WHEN n.d > p.d_ap AND n.d * 2 < p.d_ap * 3
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_semihard
+        |FROM neg n JOIN pos p USING (aid)
+        |GROUP BY n.aid, p.pos_id, p.d_ap ORDER BY n.aid""".stripMargin,
     "q_embed_silhouette" ->
       """WITH qv AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,

@@ -823,7 +823,97 @@ object InferenceOps {
           .as("f_milli"))
   }
 
+  /** #324 Grubbs' test statistic per event type: the squared
+    * studentized extreme deviation G² = (max|x − x̄|)²(n−1) /
+    * (n·(nQ − S²)) of the daily mass series, with the argmax day —
+    * WHICH day is the most suspicious outlier and HOW extreme it is in
+    * SD² units, the single-outlier companion to the IQR screen (#101).
+    *
+    * Exactness: the deviation never divides — dev = |n·x − S| is exact
+    * integer cross-multiplication, the argmax row picked by (dev DESC,
+    * day ASC) inside a type-partitioned window, and G²_milli one
+    * truncating division of DECIMAL products. Scale: |days|-bounded
+    * per type; group moments broadcast back.
+    */
+  def grubbs(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+    val g = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("qx"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(desc("dev"), asc("day"))
+    daily.join(broadcast(g), Seq("event_type"))
+      .withColumn("dev", abs(col("n") * col("x").cast(DecimalType(38, 0))
+        - col("sx")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .filter(expr("n * qx - sx * sx") > 0 && col("n") > 2)
+      .select(col("event_type"), col("n"), col("day").as("peak_day"),
+        col("x").as("peak_x"),
+        expr("cast((dev * dev * (n - 1) * 1000) div " +
+          "(n * (n * qx - sx * sx)) as long)").as("g2_milli"))
+      .orderBy("event_type")
+  }
+
+  /** #325 Tukey HSD post-hoc sweep after [[anovaLang]]-style one-way
+    * ANOVA: every event-type pair's observed studentized-range q² in
+    * milli against the k-dependent 5% critical value — WHICH pairs
+    * differ once the omnibus F fires, with familywise error held.
+    *
+    * Exactness: q²_obs = 2(m_i−m_j)²(N−k) / (MSW·(1/n_i+1/n_j)) folds
+    * into ONE all-DECIMAL quotient (diff² cross-multiplied, SSW from
+    * the exact group moments, no MSW ever materialized); the critical
+    * q² is a CASE table on k (df=∞ row — conservative at calendar n),
+    * the [[kruskalWallis]] convention. Scale: |k|-group moments, a
+    * |k|²/2 pair cross-join of a broadcast-size relation, nothing
+    * row-cardinality.
+    */
+  def tukeyHsd(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+    // means keep micro sums (sj) for the reported diff; the q² quotient
+    // runs on MILLI moments (sm, qm) because the exact per-group SSW
+    // stage (nⱼqⱼ − sⱼ²) div nⱼ must fit IntegralDivide's LONG result —
+    // the leveneBF unit-envelope argument, and q² is scale-invariant
+    val g = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("nj"),
+        sum(col("x").cast(DecimalType(38, 0))).as("sj"),
+        sum(expr("x div 1000").cast(DecimalType(38, 0))).as("sm"),
+        sum(expr("cast(x div 1000 as decimal(38,0)) " +
+          "* (x div 1000)")).as("qm"))
+      .withColumn("ssw_j", expr("(nj * qm - sm * sm) div nj"))
+    val tot = g.agg(count(lit(1)).as("k"), sum(col("nj")).as("n_total"),
+      sum(col("ssw_j")).as("ssw"))
+    val a = g.select(col("event_type").as("type_a"), col("nj").as("na"),
+      col("sj").as("sa"), col("sm").as("sma"))
+    val b = g.select(col("event_type").as("type_b"), col("nj").as("nb"),
+      col("sj").as("sb"), col("sm").as("smb"))
+    a.crossJoin(b).filter(col("type_a") < col("type_b"))
+      .crossJoin(broadcast(tot))
+      .filter(col("ssw") > 0)
+      .withColumn("diff_micro",
+        expr("cast((sa * nb - sb * na) div (na * nb) as long)"))
+      .withColumn("q2_obs_milli",
+        expr("cast(((sma * nb - smb * na) * (sma * nb - smb * na) * 2 " +
+          "* (n_total - k) * 1000) div " +
+          "(cast(ssw as decimal(38,0)) * (na + nb) * na * nb) as long)"))
+      .withColumn("q2_crit_milli",
+        expr("case k when 2 then 7673L when 3 then 10956L " +
+          "when 4 then 13177L when 5 then 14900L when 6 then 16240L " +
+          "else null end"))
+      .select(col("type_a"), col("type_b"), col("na"), col("nb"),
+        col("diff_micro"), col("q2_obs_milli"), col("q2_crit_milli"),
+        (col("q2_obs_milli") > col("q2_crit_milli")).as("significant_05"))
+      .orderBy("type_a", "type_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_grubbs" -> (grubbs _),
+    "q_stats_tukey" -> (tukeyHsd _),
     "q_stats_levene" -> (leveneBF _),
     "q_stats_kruskal" -> (kruskalWallis _),
     "q_stats_cohens_d" -> (cohensD _),
@@ -909,6 +999,69 @@ object InferenceOps {
       |FROM t""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_stats_grubbs" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS qx
+        |  FROM daily GROUP BY event_type),
+        |d AS (
+        |  SELECT d.event_type, d.day, d.x, g.n, g.sx, g.qx,
+        |    abs(g.n * CAST(d.x AS HUGEINT) - g.sx) AS dev,
+        |    row_number() OVER (PARTITION BY d.event_type
+        |      ORDER BY abs(g.n * CAST(d.x AS HUGEINT) - g.sx) DESC,
+        |        d.day ASC) AS rn
+        |  FROM daily d JOIN g USING (event_type))
+        |SELECT event_type, n, CAST(day AS TIMESTAMP) AS peak_day,
+        |  x AS peak_x,
+        |  CAST((dev * dev * (n - 1) * 1000)
+        |    // (n * (n * qx - sx * sx)) AS BIGINT) AS g2_milli
+        |FROM d
+        |WHERE rn = 1 AND n * qx - sx * sx > 0 AND n > 2
+        |ORDER BY event_type""".stripMargin,
+    "q_stats_tukey" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, COUNT(*) AS nj,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sj,
+        |    CAST(SUM(CAST(x // 1000 AS HUGEINT)) AS HUGEINT) AS sm,
+        |    CAST(SUM(CAST(x // 1000 AS HUGEINT) * (x // 1000)) AS HUGEINT)
+        |      AS qm
+        |  FROM daily GROUP BY event_type),
+        |g2 AS (
+        |  SELECT event_type, nj, sj, sm, qm,
+        |    (nj * qm - sm * sm) // nj AS ssw_j
+        |  FROM g),
+        |tot AS (
+        |  SELECT COUNT(*) AS k, CAST(SUM(nj) AS BIGINT) AS n_total,
+        |    SUM(ssw_j) AS ssw
+        |  FROM g2),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.nj AS na, b.nj AS nb, a.sj AS sa, b.sj AS sb,
+        |    a.sm AS sma, b.sm AS smb, t.k, t.n_total, t.ssw
+        |  FROM g2 a CROSS JOIN g2 b CROSS JOIN tot t
+        |  WHERE a.event_type < b.event_type AND t.ssw > 0),
+        |r AS (
+        |  SELECT type_a, type_b, na, nb,
+        |    CAST((sa * nb - sb * na) // (na * nb) AS BIGINT) AS diff_micro,
+        |    CAST(((sma * nb - smb * na) * (sma * nb - smb * na) * 2
+        |      * (n_total - k) * 1000)
+        |      // (ssw * (na + nb) * na * nb) AS BIGINT) AS q2_obs_milli,
+        |    CASE k WHEN 2 THEN CAST(7673 AS BIGINT) WHEN 3 THEN 10956
+        |      WHEN 4 THEN 13177 WHEN 5 THEN 14900 WHEN 6 THEN 16240
+        |    END AS q2_crit_milli
+        |  FROM p)
+        |SELECT type_a, type_b, na, nb, diff_micro, q2_obs_milli,
+        |  q2_crit_milli, q2_obs_milli > q2_crit_milli AS significant_05
+        |FROM r ORDER BY type_a, type_b""".stripMargin,
     "q_stats_levene" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

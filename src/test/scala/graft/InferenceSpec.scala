@@ -365,6 +365,62 @@ class InferenceSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("grubbs matches a BigInt argmax-deviation replay") {
+    val rows = operators.InferenceOps.grubbs(spark, sfDir).collect()
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val es = daily(et)
+      val n = BigInt(es.length)
+      val sx = es.map(e => BigInt(e._3)).sum
+      val qx = es.map(e => BigInt(e._3) * e._3).sum
+      val peak = es.map(e => ((n * e._3 - sx).abs, e._2.getTime, e._3))
+        .sortBy(p => (-p._1, p._2)).head
+      assert(r.getAs[Long]("n") === es.length.toLong)
+      assert(r.getAs[java.sql.Timestamp]("peak_day").getTime === peak._2)
+      assert(r.getAs[Long]("peak_x") === peak._3)
+      val g2 = (peak._1 * peak._1 * (n - 1) * 1000) / (n * (n * qx - sx * sx))
+      assert(r.getAs[Long]("g2_milli") === g2.toLong, s"g2 for $et")
+    }
+  }
+
+  test("tukeyHsd matches a BigInt pairwise replay and pairs are complete") {
+    val rows = operators.InferenceOps.tukeyHsd(spark, sfDir).collect()
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = daily.size
+    assert(rows.length === k * (k - 1) / 2)
+    val mom = daily.view.mapValues { xs =>
+      val n = BigInt(xs.length)
+      val s = xs.map(BigInt(_)).sum
+      val sm = xs.map(x => BigInt(x / 1000)).sum
+      val qm = xs.map(x => BigInt(x / 1000) * (x / 1000)).sum
+      (n, s, sm, (n * qm - sm * sm) / n)
+    }.toMap
+    val ssw = mom.values.map(_._4).sum
+    val nTot = mom.values.map(_._1).sum
+    rows.foreach { r =>
+      val (na, sa, sma, _) = mom(r.getString(0))
+      val (nb, sb, smb, _) = mom(r.getString(1))
+      assert(r.getAs[Long]("diff_micro") ===
+        ((sa * nb - sb * na) / (na * nb)).toLong)
+      val q2 = ((sma * nb - smb * na) * (sma * nb - smb * na) * 2
+        * (nTot - k) * 1000) / (ssw * (na + nb) * na * nb)
+      assert(r.getAs[Long]("q2_obs_milli") === q2.toLong,
+        s"q2 for ${r.getString(0)}/${r.getString(1)}")
+      assert(r.getAs[Boolean]("significant_05") ===
+        (q2.toLong > r.getAs[Long]("q2_crit_milli")))
+    }
+  }
+
   test("leveneBF matches an exact doubled-median BigInt driver replay") {
     val r = operators.InferenceOps.leveneBF(spark, sfDir).collect()(0)
     val daily = Tables.events(spark, sfDir)

@@ -892,6 +892,36 @@ class SearchClusterSpec extends AnyFunSuite with SparkFixture {
     assert(plainEqual < 10, "MMR must diverge from plain top-5 somewhere")
   }
 
+  test("embedTriplets matches a brute-force driver mining replay") {
+    val got = operators.ClusterOps.embedTriplets(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("aid"),
+        (r.getAs[Long]("pos_id"), r.getAs[Long]("d_ap"),
+          r.getAs[Long]("n_neg"), r.getAs[Long]("n_hard"),
+          r.getAs[Long]("n_semihard")))).toMap
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(f => math.floor(f.toDouble * 1e6).toLong)))
+    def d(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val anchors = vecs.filter(_._1 % 25 == 0)
+    assert(got.size === anchors.count(a =>
+      vecs.exists(v => v._1 != a._1 && v._2 == a._2)))
+    anchors.foreach { case (aid, albl, aq) =>
+      val others = vecs.filter(_._1 != aid)
+      val poss = others.filter(_._2 == albl)
+        .map(v => (d(aq, v._3), v._1)).sorted
+      if (poss.nonEmpty) {
+        val (dap, posId) = poss.head
+        val negs = others.filter(_._2 != albl).map(v => d(aq, v._3))
+        val expected = (posId, dap, negs.length.toLong,
+          negs.count(_ <= dap).toLong,
+          negs.count(dn => dn > dap && dn * 2 < dap * 3).toLong)
+        assert(got(aid) === expected, s"anchor $aid")
+      }
+    }
+  }
+
   test("hits matches a driver-side BigInt replay of the 2.5-round recurrence") {
     val got = operators.GraphOps.hits(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("s_suppkey"), r.getAs[Long]("auth_micro")))
