@@ -597,6 +597,45 @@ object EvalOps {
           .as("res_e12"),
         expr("cast(ybar_ppm * (1000000 - ybar_ppm) as long)").as("unc_e12"))
 
+  /** #329 Cost-sensitive operating points: for false-positive cost
+    * ratios c ∈ {1, 2, 5}, the threshold minimizing c·FP + FN over the
+    * full score domain — what [[evalConfusion]]'s three fixed
+    * thresholds become once someone prices the two error types; the
+    * cost-curve readout deployment reviews actually decide on.
+    *
+    * Exactness: FP/FN at "predict positive iff score ≥ s" come from
+    * the same cumulative integer counts as [[evalKsScore]] (FP = n_neg
+    * − cq + q_s, FN = cp − p_s); the per-ratio argmin row is picked by
+    * the (cost ASC, thr ASC) total order — all integers, no division
+    * at all. Scale: SCORE-DOMAIN-bounded relation × 3 exploded ratios;
+    * totals broadcast.
+    */
+  def evalCostCurve(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val byScore = d.groupBy("score")
+      .agg(sum(col("pos")).as("p"), sum(lit(1L) - col("pos")).as("q"))
+    val tot = byScore.agg(sum(col("p")).as("np"), sum(col("q")).as("nq"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("score")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val rk = org.apache.spark.sql.expressions.Window.partitionBy("cost_ratio")
+      .orderBy(asc("cost"), asc("score"))
+    byScore
+      .withColumn("cp", sum(col("p")).over(w))
+      .withColumn("cq", sum(col("q")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("fp", col("nq") - col("cq") + col("q"))
+      .withColumn("fn", col("cp") - col("p"))
+      .withColumn("cost_ratio", explode(typedLit(Seq(1L, 2L, 5L))))
+      .withColumn("cost", col("cost_ratio") * col("fp") + col("fn"))
+      .withColumn("rn", row_number().over(rk))
+      .filter(col("rn") === 1)
+      .select(col("cost_ratio"), col("score").as("best_thr"),
+        col("fp"), col("fn"), col("cost"))
+      .orderBy("cost_ratio")
+  }
+
   /** #323 Kolmogorov-Smirnov score separation: max |CDF_pos − CDF_neg|
     * of the n_chars score between en and non-en documents — the
     * threshold-free discrimination readout credit-scoring teams quote
@@ -699,6 +738,7 @@ object EvalOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_eval_logloss" -> (evalLogloss _),
     "q_eval_ks_score" -> (evalKsScore _),
+    "q_eval_cost_curve" -> (evalCostCurve _),
     "q_eval_mcc" -> (evalMcc _),
     "q_eval_brier" -> (evalBrier _),
     "q_eval_feature_auc" -> (evalFeatureAuc _),
@@ -718,6 +758,36 @@ object EvalOps {
     "q_bootstrap_ci" -> (bootstrapCi _))
 
   val oracles: Map[String, String] = Map(
+    "q_eval_cost_curve" ->
+      """WITH d AS (
+        |  SELECT n_chars AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |bs AS (
+        |  SELECT score, CAST(SUM(pos) AS BIGINT) AS p,
+        |    CAST(SUM(1 - pos) AS BIGINT) AS q
+        |  FROM d GROUP BY score),
+        |tot AS (SELECT CAST(SUM(p) AS BIGINT) AS np,
+        |  CAST(SUM(q) AS BIGINT) AS nq FROM bs),
+        |c AS (
+        |  SELECT score, p, q,
+        |    SUM(p) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+        |    SUM(q) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cq
+        |  FROM bs),
+        |e AS (
+        |  SELECT score, nq - cq + q AS fp, cp - p AS fn, cr AS cost_ratio
+        |  FROM c CROSS JOIN tot
+        |  CROSS JOIN (SELECT CAST(unnest([1, 2, 5]) AS BIGINT) AS cr) r),
+        |k AS (
+        |  SELECT cost_ratio, score, fp, fn,
+        |    cost_ratio * fp + fn AS cost,
+        |    row_number() OVER (PARTITION BY cost_ratio
+        |      ORDER BY cost_ratio * fp + fn ASC, score ASC) AS rn
+        |  FROM e)
+        |SELECT cost_ratio, score AS best_thr, fp, fn, cost
+        |FROM k WHERE rn = 1 ORDER BY cost_ratio""".stripMargin,
     "q_eval_ks_score" ->
       """WITH d AS (
         |  SELECT n_chars AS score,

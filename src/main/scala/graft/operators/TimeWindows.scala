@@ -610,6 +610,87 @@ object TimeWindows {
       .orderBy("day")
   }
 
+  /** #327 Average True Range (Wilder's ATR-14, simple-mean form) per
+    * event type on the daily value OHLC: true range = max(H−L, |H−C₋₁|,
+    * |L−C₋₁|) bridges overnight gaps the plain H−L range misses; the
+    * 14-day mean is THE classic volatility unit stop-losses and
+    * anomaly bands are quoted in.
+    *
+    * Exactness: the daily close picks the last event by (ts, event_id)
+    * row_number (the [[tsOhlc]] tie discipline) on integer micro
+    * values; TR is exact integer min/max arithmetic and ATR one
+    * truncating div of the 14-row rolling sum (only FULL windows
+    * emit). Scale: the close window partitions by (type, day), the
+    * rolling window by type over the |days|-bounded daily relation.
+    */
+  def tsAtr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.events(s, dir).select(col("event_type"),
+      date_trunc("day", col("ts")).as("day"), col("ts"), col("event_id"),
+      floor(col("value") * 1e6).cast("long").as("v"))
+    val wDesc = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = base.withColumn("rn_d", row_number().over(wDesc))
+      .groupBy("event_type", "day")
+      .agg(max(col("v")).as("h"), min(col("v")).as("l"),
+        max(when(col("rn_d") === 1, col("v"))).as("c"))
+    val wLag = Window.partitionBy("event_type").orderBy("day")
+    val wRoll = wLag.rowsBetween(-13, 0)
+    daily.withColumn("cp", lag(col("c"), 1).over(wLag))
+      .withColumn("tr", when(col("cp").isNull, col("h") - col("l"))
+        .otherwise(greatest(col("h") - col("l"),
+          abs(col("h") - col("cp")), abs(col("l") - col("cp")))))
+      .withColumn("cnt", count(lit(1)).over(wRoll))
+      .withColumn("trs", sum(col("tr")).over(wRoll))
+      .filter(col("cnt") === 14)
+      .select(col("event_type"), col("day"), col("tr").as("tr_micro"),
+        expr("trs div 14").as("atr_micro"))
+      .orderBy("event_type", "day")
+  }
+
+  /** #328 Bollinger-band breakout profile (20→14-day window, ±2σ) per
+    * event type: how often the daily mass escapes its own rolling
+    * two-sigma envelope, and the worst squared z — the
+    * mean-reversion-vs-trend profile read next to [[tsHurst]].
+    *
+    * Exactness: sqrt-free — with c = 14, dev = c·x − Σ and the band
+    * test dev² > 4·(cQ − S²) compares exact integers (z² > 4
+    * cross-multiplied); the reported max z²_milli is one truncating
+    * division. x drops to milli so dev² stays inside DECIMAL headroom
+    * at any calendar length. Scale: one type-partitioned rolling
+    * window over the |days|-bounded daily relation, then a |k|-row
+    * rollup.
+    */
+  def winBollinger(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .withColumn("xm", expr("x div 1000"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-13, 0)
+    daily
+      .withColumn("c", count(lit(1)).over(w))
+      .withColumn("sw", sum(col("xm").cast(DecimalType(38, 0))).over(w))
+      .withColumn("qw",
+        sum(expr("cast(xm as decimal(38,0)) * xm")).over(w))
+      .filter(col("c") === 14)
+      .withColumn("dev", expr("cast(14 * xm as decimal(38,0)) - sw"))
+      .withColumn("varn", expr("14 * qw - sw * sw"))
+      .filter(col("varn") > 0)
+      .withColumn("up",
+        col("dev") > 0 && expr("dev * dev") > expr("4 * varn"))
+      .withColumn("dn",
+        col("dev") < 0 && expr("dev * dev") > expr("4 * varn"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("up"), 1L).otherwise(0L)).as("n_upper"),
+        sum(when(col("dn"), 1L).otherwise(0L)).as("n_lower"),
+        max(expr("cast((dev * dev * 1000) div varn as long)"))
+          .as("max_z2_milli"))
+      .orderBy("event_type")
+  }
+
   /** #322 Hurst exponent (rescaled-range slope over window sizes 8/16/
     * 32) per event type on the daily mass series: H ≈ 0.5 means the
     * series forgets (random walk increments), H > 0.5 long-range
@@ -818,6 +899,8 @@ object TimeWindows {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_adf" -> (tsAdf _),
+    "q_ts_atr" -> (tsAtr _),
+    "q_win_bollinger" -> (winBollinger _),
     "q_ts_hurst" -> (tsHurst _),
     "q_ts_sax" -> (tsSax _),
     "q_ts_mann_kendall" -> (tsMannKendall _),
@@ -843,6 +926,62 @@ object TimeWindows {
     "q_window_session" -> (windowSession _))
 
   val oracles: Map[String, String] = Map(
+    "q_ts_atr" ->
+      """WITH base AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+        |    CAST(floor(value * 1e6) AS BIGINT) AS v
+        |  FROM events),
+        |rk AS (
+        |  SELECT event_type, day, v,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM base),
+        |daily AS (
+        |  SELECT event_type, day, MAX(v) AS h, MIN(v) AS l,
+        |    MAX(CASE WHEN rn_d = 1 THEN v END) AS c
+        |  FROM rk GROUP BY event_type, day),
+        |tr AS (
+        |  SELECT event_type, day,
+        |    CASE WHEN lag(c) OVER w IS NULL THEN h - l
+        |      ELSE greatest(h - l, abs(h - lag(c) OVER w),
+        |        abs(l - lag(c) OVER w)) END AS tr
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |roll AS (
+        |  SELECT event_type, day, tr,
+        |    COUNT(*) OVER r AS cnt, SUM(tr) OVER r AS trs
+        |  FROM tr
+        |  WINDOW r AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+        |  tr AS tr_micro, CAST(trs // 14 AS BIGINT) AS atr_micro
+        |FROM roll WHERE cnt = 14
+        |ORDER BY event_type, day""".stripMargin,
+    "q_win_bollinger" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) // 1000
+        |      AS xm
+        |  FROM events GROUP BY 1, 2),
+        |roll AS (
+        |  SELECT event_type, day, xm,
+        |    COUNT(*) OVER r AS c,
+        |    CAST(SUM(CAST(xm AS HUGEINT)) OVER r AS HUGEINT) AS sw,
+        |    CAST(SUM(CAST(xm AS HUGEINT) * xm) OVER r AS HUGEINT) AS qw
+        |  FROM daily
+        |  WINDOW r AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |f AS (
+        |  SELECT event_type, CAST(14 * xm AS HUGEINT) - sw AS dev,
+        |    14 * qw - sw * sw AS varn
+        |  FROM roll WHERE c = 14 AND 14 * qw - sw * sw > 0)
+        |SELECT event_type, COUNT(*) AS n_windows,
+        |  CAST(SUM(CASE WHEN dev > 0 AND dev * dev > 4 * varn
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_upper,
+        |  CAST(SUM(CASE WHEN dev < 0 AND dev * dev > 4 * varn
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_lower,
+        |  CAST(MAX((dev * dev * 1000) // varn) AS BIGINT) AS max_z2_milli
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_ts_hurst" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

@@ -366,6 +366,24 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(resid <= 10000000000L, s"Murphy residual $resid exceeds bin-width bound")
   }
 
+  test("evalCostCurve argmin matches a brute-force threshold sweep") {
+    val rows = operators.EvalOps.evalCostCurve(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("cost_ratio") ->
+        (r.getAs[Long]("best_thr"), r.getAs[Long]("fp"),
+          r.getAs[Long]("fn"), r.getAs[Long]("cost"))).toMap
+    val docs = Tables.documents(spark, sfDir).select("n_chars", "lang")
+      .collect().map(d => (d.getLong(0), d.getString(1) == "en"))
+    assert(rows.keySet === Set(1L, 2L, 5L))
+    Seq(1L, 2L, 5L).foreach { cr =>
+      val best = docs.map(_._1).distinct.sorted.map { thr =>
+        val fp = docs.count(d => d._1 >= thr && !d._2).toLong
+        val fn = docs.count(d => d._1 < thr && d._2).toLong
+        (cr * fp + fn, thr, fp, fn)
+      }.minBy(t => (t._1, t._2))
+      assert(rows(cr) === ((best._2, best._3, best._4, best._1)), s"ratio $cr")
+    }
+  }
+
   test("evalKsScore matches a driver CDF sweep and brackets [0, 1e6]") {
     val r = operators.EvalOps.evalKsScore(spark, sfDir).collect()(0)
     val docs = Tables.documents(spark, sfDir).select("n_chars", "lang")

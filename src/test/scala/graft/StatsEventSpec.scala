@@ -860,6 +860,71 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("tsAtr matches a driver OHLC/true-range replay on full windows") {
+    val rows = operators.TimeWindows.tsAtr(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1).getTime),
+        (r.getAs[Long]("tr_micro"), r.getAs[Long]("atr_micro")))).toMap
+    val evs = Tables.events(spark, sfDir)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        col("ts").cast("long").as("t"), col("event_id"),
+        floor(col("value") * 1e6).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    evs.groupBy(_._1).foreach { case (et, es) =>
+      val daily = es.groupBy(_._2).toSeq.sortBy(_._1).map { case (day, ds) =>
+        val close = ds.maxBy(e => (e._3, e._4))._5
+        (day, ds.map(_._5).max, ds.map(_._5).min, close)
+      }
+      val trs = daily.zipWithIndex.map { case ((day, h, l, c), i) =>
+        val tr = if (i == 0) h - l else {
+          val cp = daily(i - 1)._4
+          math.max(h - l, math.max((h - cp).abs, (l - cp).abs))
+        }
+        (day, tr)
+      }
+      trs.zipWithIndex.filter(_._2 >= 13).foreach { case ((day, tr), i) =>
+        val atr = trs.slice(i - 13, i + 1).map(_._2).sum / 14
+        assert(rows((et, day)) === ((tr, atr)), s"$et $day")
+      }
+      assert(trs.count(_._2 >= 0) === trs.length)
+    }
+  }
+
+  test("winBollinger breakout counts match a driver sqrt replay") {
+    val rows = operators.TimeWindows.winBollinger(spark, sfDir).collect()
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getLong(2) / 1000))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val xs = daily(et).sortBy(_._2).map(_._3)
+      var nUp = 0L; var nDn = 0L; var nW = 0L; var maxZ2 = Long.MinValue
+      xs.sliding(14).foreach { win =>
+        if (win.length == 14) {
+          val x = BigInt(win.last)
+          val s = win.map(BigInt(_)).sum
+          val q = win.map(v => BigInt(v) * v).sum
+          val dev = 14 * x - s; val varn = 14 * q - s * s
+          if (varn > 0) {
+            nW += 1
+            if (dev > 0 && dev * dev > 4 * varn) nUp += 1
+            if (dev < 0 && dev * dev > 4 * varn) nDn += 1
+            maxZ2 = math.max(maxZ2, ((dev * dev * 1000) / varn).toLong)
+          }
+        }
+      }
+      assert(r.getAs[Long]("n_windows") === nW, s"windows for $et")
+      assert(r.getAs[Long]("n_upper") === nUp, s"upper for $et")
+      assert(r.getAs[Long]("n_lower") === nDn, s"lower for $et")
+      assert(r.getAs[Long]("max_z2_milli") === maxZ2, s"maxz2 for $et")
+    }
+  }
+
   test("tsHurst matches a BigInt scaled-R/S replay and sits in a sane band") {
     val rows = operators.TimeWindows.tsHurst(spark, sfDir).collect()
     val daily = Tables.events(spark, sfDir)
