@@ -509,7 +509,15 @@ object GraphOps {
     * lineage flat (the [[pageRank]] discipline). Output is
     * |landmarks|·|hops| rows. Pure integer counts.
     */
-  def landmarkBfs(s: SparkSession, dir: String): DataFrame = {
+  def landmarkBfs(s: SparkSession, dir: String): DataFrame =
+    landmarkDistances(s, dir).groupBy("lm", "hop")
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("lm", "hop")
+
+  /** Shared (lm, node, hop) relation for #309/#330: 6-round multi-source
+    * BFS from the 4 smallest nodes, localCheckpoint per round.
+    */
+  private def landmarkDistances(s: SparkSession, dir: String): DataFrame = {
     val e = DedupOps.materializedEdges(s, dir)
     val sym = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionAll(e.select(col("doc_b").as("a"), col("doc_a").as("b")))
@@ -527,12 +535,65 @@ object GraphOps {
       dist = dist.unionByName(next).localCheckpoint()
       frontier = next.select("lm", "node")
     }
-    dist.groupBy("lm", "hop").agg(count(lit(1)).as("n_nodes"))
-      .orderBy("lm", "hop")
+    dist
+  }
+
+  /** #330 Landmark closeness profile: per landmark the 6-hop reach,
+    * eccentricity-within-horizon, and mean hop distance in milli — the
+    * closeness-centrality readout the landmark-embedding literature
+    * derives from exactly this relation (no all-pairs BFS at any
+    * scale), answering "how central is each probe node and how compact
+    * is its component".
+    *
+    * Exactness: one truncating division per landmark over exact
+    * integer hop sums (hop 0 rows excluded so an isolated landmark
+    * yields no row rather than a fake 0-mean). Scale: inherits the
+    * [[landmarkBfs]] iterative dataflow; the rollup is 4 rows.
+    */
+  def landmarkCloseness(s: SparkSession, dir: String): DataFrame =
+    landmarkDistances(s, dir).filter(col("hop") > 0)
+      .groupBy("lm")
+      .agg(count(lit(1)).as("reach"), max(col("hop")).as("ecc6"),
+        sum(col("hop")).as("hop_sum"))
+      .select(col("lm"), col("reach"), col("ecc6"),
+        expr("cast((hop_sum * 1000) div reach as long)").as("mean_hop_milli"))
+      .orderBy("lm")
+
+  /** #331 Exact 2-hop neighborhood size per node on the similarity
+    * graph: |{c : a—b—c, c ≠ a, c ∉ N(a)}| next to the direct degree —
+    * the friend-of-a-friend expansion factor that prices a 2-hop
+    * crawl/propagation step before running it.
+    *
+    * Exactness: pure joins + distinct on integer ids. Scale: wedge
+    * join bounded by Σdeg² (the sub-block-capped edge graph keeps
+    * degrees bounded, the [[triangles]] argument); at web scale the
+    * distinct-of-wedges becomes the HLL-sketch twin of
+    * [[EventOps]] rolling_active_hll — documented, not needed at
+    * fixture degrees. One distinct + one anti-join + one count, all
+    * node-keyed.
+    */
+  def twoHop(s: SparkSession, dir: String): DataFrame = {
+    val e = DedupOps.materializedEdges(s, dir)
+    val sym = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionAll(e.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    val deg = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+    val wedges = sym.select(col("a"), col("b"))
+      .join(sym.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      .filter(col("c") =!= col("a"))
+      .select("a", "c").distinct()
+      .join(sym.select(col("a"), col("b").as("c")), Seq("a", "c"),
+        "left_anti")
+      .groupBy("a").agg(count(lit(1)).as("n_2hop"))
+    deg.join(wedges, Seq("a"), "left_outer")
+      .select(col("a").as("doc_id"), col("deg"),
+        coalesce(col("n_2hop"), lit(0L)).as("n_2hop"))
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_landmarks" -> (landmarkBfs _),
+    "q_graph_closeness" -> (landmarkCloseness _),
+    "q_graph_2hop" -> (twoHop _),
     "q_graph_jaccard" -> (jaccardSim _),
     "q_graph_degree_dist" -> (degreeDist _),
     "q_graph_conductance" -> (conductance _),
@@ -548,6 +609,58 @@ object GraphOps {
     "q_graph_triangles" -> (triangles _))
 
   val oracles: Map[String, String] = Map(
+    "q_graph_closeness" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |sym(a, b) AS (
+        |  SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |seeds AS (SELECT a AS lm FROM sym GROUP BY a ORDER BY a LIMIT 4),
+        |walk(lm, node, hop) AS (
+        |  SELECT lm, lm, CAST(0 AS BIGINT) FROM seeds
+        |  UNION
+        |  SELECT w.lm, e.b, w.hop + 1 FROM walk w JOIN sym e ON e.a = w.node
+        |  WHERE w.hop < 6),
+        |d AS (SELECT lm, node, MIN(hop) AS hop FROM walk GROUP BY lm, node),
+        |g AS (
+        |  SELECT lm, COUNT(*) AS reach, MAX(hop) AS ecc6,
+        |    CAST(SUM(hop) AS BIGINT) AS hop_sum
+        |  FROM d WHERE hop > 0 GROUP BY lm)
+        |SELECT lm, reach, ecc6,
+        |  CAST((hop_sum * 1000) // reach AS BIGINT) AS mean_hop_milli
+        |FROM g ORDER BY lm""".stripMargin,
+    "q_graph_2hop" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |deg AS (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a),
+        |w2 AS (
+        |  SELECT DISTINCT s1.a, s2.b AS c
+        |  FROM sym s1 JOIN sym s2 ON s2.a = s1.b
+        |  WHERE s2.b <> s1.a),
+        |h2 AS (
+        |  SELECT w2.a, COUNT(*) AS n_2hop
+        |  FROM w2 LEFT JOIN sym ON sym.a = w2.a AND sym.b = w2.c
+        |  WHERE sym.a IS NULL
+        |  GROUP BY w2.a)
+        |SELECT d.a AS doc_id, d.deg,
+        |  COALESCE(h2.n_2hop, 0) AS n_2hop
+        |FROM deg d LEFT JOIN h2 ON h2.a = d.a
+        |ORDER BY doc_id""".stripMargin,
     "q_graph_landmarks" ->
       """WITH RECURSIVE base AS (
         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset

@@ -593,7 +593,41 @@ object TextOps {
       .limit(20)
   }
 
+  /** #332 Pairwise vocabulary overlap between languages: |V_a ∩ V_b|
+    * Jaccard in ppm per lang pair — how much lexical surface two
+    * corpus slices share, the first question asked before
+    * cross-lingual dedup, shared-BPE sizing (#82), or contamination
+    * triage across splits.
+    *
+    * Exactness: pure set counts — distinct (lang, token), one
+    * token-keyed self-join for intersections, union by
+    * inclusion-exclusion, one truncating ppm division. Scale: the
+    * distinct relation is vocab-bounded per lang; the self-join keys
+    * on token (never exploding beyond co-occurring vocab); per-lang
+    * sizes broadcast back to the |L|²/2 pair rows.
+    */
+  def textVocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "").distinct()
+    val cnt = v.groupBy("lang").agg(count(lit(1)).as("nv"))
+    v.select(col("lang").as("lang_a"), col("token"))
+      .join(v.select(col("lang").as("lang_b"), col("token")), Seq("token"))
+      .filter(col("lang_a") < col("lang_b"))
+      .groupBy("lang_a", "lang_b").agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(cnt.select(col("lang").as("lang_a"),
+        col("nv").as("na"))), Seq("lang_a"))
+      .join(broadcast(cnt.select(col("lang").as("lang_b"),
+        col("nv").as("nb"))), Seq("lang_b"))
+      .select(col("lang_a"), col("lang_b"), col("na"), col("nb"),
+        col("n_inter"),
+        expr("cast((n_inter * 1000000) div (na + nb - n_inter) as long)")
+          .as("jaccard_ppm"))
+      .orderBy("lang_a", "lang_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_vocab_overlap" -> (textVocabOverlap _),
     "q_text_rake" -> (textRake _),
     "q_text_readability" -> (readability _),
     "q_pii_luhn" -> (piiLuhn _),
@@ -619,6 +653,23 @@ object TextOps {
     "q_text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_text_vocab_overlap" ->
+      """WITH v AS (
+        |  SELECT DISTINCT lang, token FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  WHERE token <> ''),
+        |cnt AS (SELECT lang, COUNT(*) AS nv FROM v GROUP BY lang),
+        |i AS (
+        |  SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_inter
+        |  FROM v a JOIN v b ON a.token = b.token AND a.lang < b.lang
+        |  GROUP BY a.lang, b.lang)
+        |SELECT i.lang_a, i.lang_b, ca.nv AS na, cb.nv AS nb, i.n_inter,
+        |  CAST((i.n_inter * 1000000) // (ca.nv + cb.nv - i.n_inter)
+        |    AS BIGINT) AS jaccard_ppm
+        |FROM i JOIN cnt ca ON ca.lang = i.lang_a
+        |JOIN cnt cb ON cb.lang = i.lang_b
+        |ORDER BY lang_a, lang_b""".stripMargin,
     "q_text_rake" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -254,6 +254,27 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("textVocabOverlap matches driver set arithmetic and bounds") {
+    val got = operators.TextOps.textVocabOverlap(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Long]("na"), r.getAs[Long]("nb"),
+          r.getAs[Long]("n_inter"), r.getAs[Long]("jaccard_ppm")))).toMap
+    val vocab = Tables.documents(spark, sfDir).select("lang", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view
+      .mapValues(_.flatMap(_._2.split(" ")).filter(_.nonEmpty).toSet).toMap
+    val langs = vocab.keys.toSeq.sorted
+    val pairs = for { a <- langs; b <- langs if a < b } yield (a, b)
+    assert(got.keySet === pairs.toSet)
+    pairs.foreach { case (a, b) =>
+      val inter = (vocab(a) & vocab(b)).size.toLong
+      val union = (vocab(a) | vocab(b)).size.toLong
+      val expected = (vocab(a).size.toLong, vocab(b).size.toLong, inter,
+        inter * 1000000 / union)
+      assert(got((a, b)) === expected, s"pair $a/$b")
+    }
+  }
+
   test("textRake matches a driver-side phrase split and degree/freq count") {
     val got = operators.TextOps.textRake(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getAs[Long]("freq"), r.getAs[Long]("degree"),

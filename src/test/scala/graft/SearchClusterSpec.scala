@@ -892,6 +892,36 @@ class SearchClusterSpec extends AnyFunSuite with SparkFixture {
     assert(plainEqual < 10, "MMR must diverge from plain top-5 somewhere")
   }
 
+  test("landmarkCloseness is consistent with the landmark BFS layers") {
+    val layers = operators.GraphOps.landmarkBfs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = operators.GraphOps.landmarkCloseness(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("reach"),
+        r.getAs[Long]("ecc6"), r.getAs[Long]("mean_hop_milli"))).toMap
+    val byLm = layers.filter(_._2 > 0).groupBy(_._1)
+    assert(got.keySet === byLm.keySet)
+    byLm.foreach { case (lm, ls) =>
+      val reach = ls.map(_._3).sum
+      val ecc = ls.map(_._2).max
+      val meanMilli = ls.map(l => BigInt(l._2) * l._3).sum * 1000 / reach
+      assert(got(lm) === ((reach, ecc, meanMilli.toLong)), s"lm $lm")
+    }
+  }
+
+  test("twoHop matches a driver adjacency replay") {
+    val edges = operators.DedupOps.materializedEdges(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val got = operators.GraphOps.twoHop(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === adj.keySet)
+    adj.foreach { case (a, nbrs) =>
+      val twoHop = nbrs.flatMap(adj(_)) - a -- nbrs
+      assert(got(a) === ((nbrs.size.toLong, twoHop.size.toLong)), s"node $a")
+    }
+  }
+
   test("embedTriplets matches a brute-force driver mining replay") {
     val got = operators.ClusterOps.embedTriplets(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("aid"),
