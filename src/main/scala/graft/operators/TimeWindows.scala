@@ -610,6 +610,120 @@ object TimeWindows {
       .orderBy("day")
   }
 
+  /** #333 RSI-14 (simple-mean Cutler form) per event type on the daily
+    * mass series: gains vs losses over the trailing 14 deltas,
+    * RSI_milli = 100000·G/(G+L) — the bounded momentum oscillator
+    * (overbought > 70, oversold < 30) read next to [[tsAtr]]'s
+    * volatility and [[winBollinger]]'s bands.
+    *
+    * Exactness: deltas, gain/loss splits, and rolling sums are exact
+    * integers; RSI is ONE truncating division per day (G + L > 0
+    * guarded — an all-flat window emits no row); full 14-delta windows
+    * only. Scale: two type-partitioned windows (lag + rolling) over
+    * the |days|-bounded daily relation.
+    */
+  def winRsi(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wLag = Window.partitionBy("event_type").orderBy("day")
+    val wRoll = wLag.rowsBetween(-13, 0)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .withColumn("d", col("x") - lag(col("x"), 1).over(wLag))
+      .filter(col("d").isNotNull)
+      .withColumn("gain", greatest(col("d"), lit(0L)))
+      .withColumn("loss", greatest(-col("d"), lit(0L)))
+      .withColumn("cnt", count(lit(1)).over(wRoll))
+      .withColumn("g", sum(col("gain")).over(wRoll))
+      .withColumn("l", sum(col("loss")).over(wRoll))
+      .filter(col("cnt") === 14 && col("g") + col("l") > 0)
+      .select(col("event_type"), col("day"),
+        expr("cast((g * 100000) div (g + l) as long)").as("rsi_milli"))
+      .withColumn("overbought", col("rsi_milli") > 70000L)
+      .withColumn("oversold", col("rsi_milli") < 30000L)
+      .orderBy("event_type", "day")
+  }
+
+  /** #334 ACF(1), ACF(2) and the lag-2 partial autocorrelation per
+    * event type in ppm, via the CLASSICAL autocovariance-ratio form
+    * ρk = γk/γ0 — deliberately not per-lag Pearson ([[tsAcf]]): the
+    * covariance RATIO needs no sqrt, so the whole chain stays in exact
+    * integers, and Durbin-Levinson closes PACF(2) = (ρ2 − ρ1²)/(1 −
+    * ρ1²) as one more integer quotient — the AR-order diagnostic (is
+    * the lag-2 dependence real or just propagated lag-1?).
+    *
+    * Exactness: centered terms n·x − S are exact cross-multiplied
+    * integers; γk sums in DECIMAL; ρk_ppm and pacf2_ppm are staged
+    * truncating divisions with sign handled by shared toward-zero
+    * semantics. Scale: |days|-bounded; lag windows partition by type;
+    * global moments broadcast back.
+    */
+  def tsPacf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+    val mom = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 0))).as("sx"))
+    val c = daily.join(broadcast(mom), Seq("event_type"))
+      .withColumn("ct", expr("n * cast(x as decimal(38,0)) - sx"))
+      .withColumn("c1", lag(col("ct"), 1).over(w))
+      .withColumn("c2", lag(col("ct"), 2).over(w))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n_days"),
+        sum(expr("ct * ct")).as("g0"),
+        sum(expr("ct * c1")).as("g1"),
+        sum(expr("ct * c2")).as("g2"))
+      .filter(col("g0") > 0)
+      .withColumn("rho1_ppm", expr("cast((g1 * 1000000) div g0 as long)"))
+      .withColumn("rho2_ppm", expr("cast((g2 * 1000000) div g0 as long)"))
+    c.select(col("event_type"), col("n_days"), col("rho1_ppm"),
+        col("rho2_ppm"),
+        expr("case when 1000000000000 - rho1_ppm * rho1_ppm > 0 then " +
+          "cast(((rho2_ppm * 1000000 - rho1_ppm * rho1_ppm) * 1000000) div " +
+          "(1000000000000 - rho1_ppm * rho1_ppm) as long) end")
+          .as("pacf2_ppm"))
+      .orderBy("event_type")
+  }
+
+  /** #335 Naive-forecast error profile (lag-1 persistence baseline) per
+    * event type: MAE, MSE and MAPE of x̂_t = x_{t-1} on the daily mass
+    * series — the baseline every forecasting claim ([[tsHolt]],
+    * [[tsEwma]]) must beat, and the yardstick that prices how
+    * forecastable each stream even is.
+    *
+    * Exactness: errors are exact integer deltas; MAE one truncating
+    * division of micro sums; MSE in MILLI² units (the unit-envelope
+    * convention — micro squared sums pass DECIMAL but the mean must
+    * fit the LONG output); per-day APE ppm staged then averaged, both
+    * truncating toward zero. Scale: one lag window + one group
+    * aggregate, |days|-bounded.
+    */
+  def evalForecastErr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("day")
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .withColumn("xp", lag(col("x"), 1).over(w))
+      .filter(col("xp").isNotNull && col("xp") > 0)
+      .withColumn("err", col("x") - col("xp"))
+      .withColumn("errm", expr("abs(err) div 1000"))
+      .withColumn("ape_ppm", expr("(abs(err) * 1000000) div xp"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(abs(col("err")).cast(DecimalType(38, 0))).as("sae"),
+        sum(expr("cast(errm as decimal(38,0)) * errm")).as("sse_m"),
+        sum(col("ape_ppm").cast(DecimalType(38, 0))).as("sape"))
+      .select(col("event_type"), col("n"),
+        expr("cast(sae div n as long)").as("mae_micro"),
+        expr("cast(sse_m div n as long)").as("mse_milli2"),
+        expr("cast(sape div n as long)").as("mape_ppm"))
+      .orderBy("event_type")
+  }
+
   /** #327 Average True Range (Wilder's ATR-14, simple-mean form) per
     * event type on the daily value OHLC: true range = max(H−L, |H−C₋₁|,
     * |L−C₋₁|) bridges overnight gaps the plain H−L range misses; the
@@ -899,6 +1013,9 @@ object TimeWindows {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_adf" -> (tsAdf _),
+    "q_win_rsi" -> (winRsi _),
+    "q_ts_pacf" -> (tsPacf _),
+    "q_eval_forecast_err" -> (evalForecastErr _),
     "q_ts_atr" -> (tsAtr _),
     "q_win_bollinger" -> (winBollinger _),
     "q_ts_hurst" -> (tsHurst _),
@@ -926,6 +1043,86 @@ object TimeWindows {
     "q_window_session" -> (windowSession _))
 
   val oracles: Map[String, String] = Map(
+    "q_win_rsi" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT event_type, day,
+        |    x - lag(x) OVER (PARTITION BY event_type ORDER BY day) AS d
+        |  FROM daily),
+        |gl AS (
+        |  SELECT event_type, day,
+        |    greatest(d, 0) AS gain, greatest(-d, 0) AS loss
+        |  FROM d WHERE d IS NOT NULL),
+        |roll AS (
+        |  SELECT event_type, day,
+        |    COUNT(*) OVER r AS cnt,
+        |    CAST(SUM(gain) OVER r AS BIGINT) AS g,
+        |    CAST(SUM(loss) OVER r AS BIGINT) AS l
+        |  FROM gl
+        |  WINDOW r AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+        |  CAST((g * 100000) // (g + l) AS BIGINT) AS rsi_milli,
+        |  (g * 100000) // (g + l) > 70000 AS overbought,
+        |  (g * 100000) // (g + l) < 30000 AS oversold
+        |FROM roll WHERE cnt = 14 AND g + l > 0
+        |ORDER BY event_type, day""".stripMargin,
+    "q_ts_pacf" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |mom AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx
+        |  FROM daily GROUP BY event_type),
+        |ct AS (
+        |  SELECT d.event_type, d.day,
+        |    m.n * CAST(d.x AS HUGEINT) - m.sx AS ct
+        |  FROM daily d JOIN mom m USING (event_type)),
+        |lg AS (
+        |  SELECT event_type, ct,
+        |    lag(ct, 1) OVER w AS c1, lag(ct, 2) OVER w AS c2
+        |  FROM ct WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |g AS (
+        |  SELECT event_type, COUNT(*) AS n_days,
+        |    SUM(ct * ct) AS g0, SUM(ct * c1) AS g1, SUM(ct * c2) AS g2
+        |  FROM lg GROUP BY event_type),
+        |r AS (
+        |  SELECT event_type, n_days,
+        |    CAST((g1 * 1000000) // g0 AS BIGINT) AS rho1_ppm,
+        |    CAST((g2 * 1000000) // g0 AS BIGINT) AS rho2_ppm
+        |  FROM g WHERE g0 > 0)
+        |SELECT event_type, n_days, rho1_ppm, rho2_ppm,
+        |  CASE WHEN 1000000000000 - rho1_ppm * rho1_ppm > 0 THEN
+        |    CAST(((rho2_ppm * 1000000 - rho1_ppm * rho1_ppm) * 1000000)
+        |      // (1000000000000 - rho1_ppm * rho1_ppm) AS BIGINT)
+        |  END AS pacf2_ppm
+        |FROM r ORDER BY event_type""".stripMargin,
+    "q_eval_forecast_err" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_type, x,
+        |    lag(x) OVER (PARTITION BY event_type ORDER BY day) AS xp
+        |  FROM daily),
+        |e AS (
+        |  SELECT event_type, x - xp AS err, abs(x - xp) // 1000 AS errm,
+        |    (abs(x - xp) * 1000000) // xp AS ape_ppm
+        |  FROM p WHERE xp IS NOT NULL AND xp > 0)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(abs(err) AS HUGEINT)) AS HUGEINT)
+        |    // COUNT(*) AS BIGINT) AS mae_micro,
+        |  CAST(SUM(CAST(errm AS HUGEINT) * errm) // COUNT(*) AS BIGINT)
+        |    AS mse_milli2,
+        |  CAST(SUM(CAST(ape_ppm AS HUGEINT)) // COUNT(*) AS BIGINT)
+        |    AS mape_ppm
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_ts_atr" ->
       """WITH base AS (
         |  SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,

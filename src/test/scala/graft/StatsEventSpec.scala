@@ -860,6 +860,91 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("winRsi matches a driver gain/loss replay and stays in [0, 100k]") {
+    val got = operators.TimeWindows.winRsi(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1).getTime),
+        (r.getAs[Long]("rsi_milli"), r.getAs[Boolean]("overbought"),
+          r.getAs[Boolean]("oversold")))).toMap
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getLong(2))).groupBy(_._1)
+    assert(got.nonEmpty)
+    var checked = 0
+    daily.foreach { case (et, es) =>
+      val series = es.sortBy(_._2)
+      val deltas = series.zip(series.drop(1))
+        .map { case (a, b) => (b._2, b._3 - a._3) }
+      deltas.zipWithIndex.filter(_._2 >= 13).foreach { case ((day, _), i) =>
+        val win = deltas.slice(i - 13, i + 1).map(_._2)
+        val g = win.filter(_ > 0).sum
+        val l = -win.filter(_ < 0).sum
+        if (g + l > 0) {
+          val rsi = g * 100000 / (g + l)
+          assert(got((et, day)) === ((rsi, rsi > 70000, rsi < 30000)),
+            s"$et $day")
+          assert(rsi >= 0 && rsi <= 100000)
+          checked += 1
+        }
+      }
+    }
+    assert(checked === got.size)
+  }
+
+  test("tsPacf matches a BigInt autocovariance-ratio replay") {
+    val rows = operators.TimeWindows.tsPacf(spark, sfDir).collect()
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getLong(2))).groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val xs = daily(et).sortBy(_._2).map(_._3)
+      val n = BigInt(xs.length); val sx = xs.map(BigInt(_)).sum
+      val ct = xs.map(x => n * x - sx)
+      val g0 = ct.map(c => c * c).sum
+      def gk(k: Int) = ct.drop(k).zip(ct).map { case (a, b) => a * b }.sum
+      val rho1 = (gk(1) * 1000000) / g0
+      val rho2 = (gk(2) * 1000000) / g0
+      assert(r.getAs[Long]("rho1_ppm") === rho1.toLong, s"rho1 $et")
+      assert(r.getAs[Long]("rho2_ppm") === rho2.toLong, s"rho2 $et")
+      val den = BigInt("1000000000000") - rho1 * rho1
+      if (den > 0) {
+        val pacf2 = ((rho2 * 1000000 - rho1 * rho1) * 1000000) / den
+        assert(r.getAs[Long]("pacf2_ppm") === pacf2.toLong, s"pacf2 $et")
+      }
+      assert(rho1.abs <= 1000000 && rho2.abs <= 1000000)
+    }
+  }
+
+  test("evalForecastErr matches a driver lag-1 baseline replay") {
+    val rows = operators.TimeWindows.evalForecastErr(spark, sfDir).collect()
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getLong(2))).groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val xs = daily(et).sortBy(_._2).map(_._3)
+      val pairs = xs.zip(xs.drop(1)).filter(_._1 > 0)
+      val n = pairs.length.toLong
+      val mae = pairs.map { case (p, x) => BigInt((x - p).abs) }.sum / n
+      val mse = pairs.map { case (p, x) =>
+        val em = BigInt((x - p).abs / 1000); em * em }.sum / n
+      val mape = pairs.map { case (p, x) =>
+        BigInt((x - p).abs) * 1000000 / p }.sum / n
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Long]("mae_micro") === mae.toLong, s"mae $et")
+      assert(r.getAs[Long]("mse_milli2") === mse.toLong, s"mse $et")
+      assert(r.getAs[Long]("mape_ppm") === mape.toLong, s"mape $et")
+    }
+  }
+
   test("tsAtr matches a driver OHLC/true-range replay on full windows") {
     val rows = operators.TimeWindows.tsAtr(spark, sfDir).collect()
       .map(r => ((r.getString(0), r.getTimestamp(1).getTime),
