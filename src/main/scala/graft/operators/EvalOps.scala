@@ -597,6 +597,73 @@ object EvalOps {
           .as("res_e12"),
         expr("cast(ybar_ppm * (1000000 - ybar_ppm) as long)").as("unc_e12"))
 
+  /** #336 McNemar's test between the 300- and 450-char en-classifiers:
+    * do the two models disagree ASYMMETRICALLY on the same documents?
+    * — the paired comparison that a marginal-accuracy diff (or an
+    * unpaired [[welchT]]-style test) gets wrong because it ignores
+    * that both models score the SAME items.
+    *
+    * Exactness: b (A right, B wrong) and c (A wrong, B right) are one
+    * conditional aggregate; the continuity-corrected χ²_milli =
+    * (|b−c|−1)²·1000 div (b+c) is a single truncating division
+    * (3.841 the χ²₁ bound, the [[InferenceOps.runsTest]] convention).
+    * Scale: pure projection + one global aggregate.
+    */
+  def statsMcnemar(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        (when(col("n_chars") >= 300, 1L).otherwise(0L) ===
+          when(col("lang") === "en", 1L).otherwise(0L)).as("a_ok"),
+        (when(col("n_chars") >= 450, 1L).otherwise(0L) ===
+          when(col("lang") === "en", 1L).otherwise(0L)).as("b_ok"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("a_ok") && !col("b_ok"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("a_ok") && col("b_ok"), 1L).otherwise(0L)).as("c"))
+      .filter(col("b") + col("c") > 0)
+      .select(col("n_docs"), col("b"), col("c"),
+        expr("case when abs(b - c) > 1 then " +
+          "((abs(b - c) - 1) * (abs(b - c) - 1) * 1000) div (b + c) " +
+          "else 0L end").as("chi2_milli"))
+      .withColumn("significant_05", col("chi2_milli") > 3841L)
+
+  /** #337 Cochran's Q across the three [[evalConfusion]] thresholds:
+    * does ANY of the k=3 paired classifiers differ in accuracy? — the
+    * k-sample generalization of [[statsMcnemar]] and the omnibus gate
+    * before pairwise post-hocs, exactly as [[InferenceOps.anovaLang]]
+    * gates [[InferenceOps.tukeyHsd]].
+    *
+    * Exactness: Q = (k−1)(k·ΣCⱼ² − (ΣCⱼ)²) / (k·ΣRᵢ − ΣRᵢ²) is
+    * integer-exact by construction (Cⱼ column-correct sums, Rᵢ ∈
+    * [0,3] row sums); one truncating milli division; χ²₂ bound 5.991.
+    * Scale: the row sums are a projection (no per-doc shuffle — Rᵢ
+    * and Rᵢ² aggregate directly); Cⱼ are three conditional sums in
+    * the same pass.
+    */
+  def statsCochranQ(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        col("n_chars"))
+      .select(
+        (when(col("n_chars") >= 200, 1L).otherwise(0L) === col("y"))
+          .cast("long").as("x1"),
+        (when(col("n_chars") >= 300, 1L).otherwise(0L) === col("y"))
+          .cast("long").as("x2"),
+        (when(col("n_chars") >= 450, 1L).otherwise(0L) === col("y"))
+          .cast("long").as("x3"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("x1")).as("c1"), sum(col("x2")).as("c2"),
+        sum(col("x3")).as("c3"),
+        sum(col("x1") + col("x2") + col("x3")).as("sr"),
+        sum((col("x1") + col("x2") + col("x3")) *
+          (col("x1") + col("x2") + col("x3"))).as("sr2"))
+      .filter(expr("3 * sr - sr2") > 0)
+      .select(col("n_docs"), col("c1"), col("c2"), col("c3"),
+        expr("cast((2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - " +
+          "(c1 + c2 + c3) * (c1 + c2 + c3)) * 1000) div " +
+          "(3 * sr - sr2) as long)").as("q_milli"))
+      .withColumn("significant_05", col("q_milli") > 5991L)
+
   /** #329 Cost-sensitive operating points: for false-positive cost
     * ratios c ∈ {1, 2, 5}, the threshold minimizing c·FP + FN over the
     * full score domain — what [[evalConfusion]]'s three fixed
@@ -739,6 +806,8 @@ object EvalOps {
     "q_eval_logloss" -> (evalLogloss _),
     "q_eval_ks_score" -> (evalKsScore _),
     "q_eval_cost_curve" -> (evalCostCurve _),
+    "q_stats_mcnemar" -> (statsMcnemar _),
+    "q_stats_cochran_q" -> (statsCochranQ _),
     "q_eval_mcc" -> (evalMcc _),
     "q_eval_brier" -> (evalBrier _),
     "q_eval_feature_auc" -> (evalFeatureAuc _),
@@ -758,6 +827,56 @@ object EvalOps {
     "q_bootstrap_ci" -> (bootstrapCi _))
 
   val oracles: Map[String, String] = Map(
+    "q_stats_mcnemar" ->
+      """WITH d AS (
+        |  SELECT
+        |    (CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) =
+        |      (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS a_ok,
+        |    (CASE WHEN n_chars >= 450 THEN 1 ELSE 0 END) =
+        |      (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS b_ok
+        |  FROM documents),
+        |m AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM d),
+        |r AS (
+        |  SELECT n_docs, b, c,
+        |    CASE WHEN abs(b - c) > 1 THEN
+        |      ((abs(b - c) - 1) * (abs(b - c) - 1) * 1000) // (b + c)
+        |    ELSE 0 END AS chi2_milli
+        |  FROM m WHERE b + c > 0)
+        |SELECT n_docs, b, c, CAST(chi2_milli AS BIGINT) AS chi2_milli,
+        |  chi2_milli > 3841 AS significant_05
+        |FROM r""".stripMargin,
+    "q_stats_cochran_q" ->
+      """WITH d AS (
+        |  SELECT
+        |    CAST((CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) =
+        |      (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+        |    CAST((CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) =
+        |      (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+        |    CAST((CASE WHEN n_chars >= 450 THEN 1 ELSE 0 END) =
+        |      (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS x3
+        |  FROM documents),
+        |m AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(x1) AS BIGINT) AS c1, CAST(SUM(x2) AS BIGINT) AS c2,
+        |    CAST(SUM(x3) AS BIGINT) AS c3,
+        |    CAST(SUM(x1 + x2 + x3) AS BIGINT) AS sr,
+        |    CAST(SUM((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT) AS sr2
+        |  FROM d),
+        |r AS (
+        |  SELECT n_docs, c1, c2, c3,
+        |    CAST((2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3)
+        |      - (c1 + c2 + c3) * (c1 + c2 + c3)) * 1000)
+        |      // (3 * sr - sr2) AS BIGINT) AS q_milli
+        |  FROM m WHERE 3 * sr - sr2 > 0)
+        |SELECT n_docs, c1, c2, c3, q_milli,
+        |  q_milli > 5991 AS significant_05
+        |FROM r""".stripMargin,
     "q_eval_cost_curve" ->
       """WITH d AS (
         |  SELECT n_chars AS score,

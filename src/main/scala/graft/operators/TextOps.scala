@@ -626,7 +626,48 @@ object TextOps {
       .orderBy("lang_a", "lang_b")
   }
 
+  /** #338 Function-word style distance between sources (a simplified
+    * Burrows' Delta): per source the rate-per-million of each of the
+    * 10 [[textRake]] stopwords — the content-independent style
+    * signature — then pairwise L1 distance in ppm. High delta between
+    * two sources says their PROSE differs even where their topics
+    * overlap; the authorship/style-drift screen run before corpus
+    * mixing.
+    *
+    * Exactness: rates are staged truncating ppm divisions; a
+    * (source × word) scaffold zero-fills absent words so every pair
+    * compares the same 10 coordinates; the L1 sum is exact integers.
+    * Scale: token explode → |S|×10-bounded aggregate; totals
+    * broadcast; the pair join is scaffold-sized.
+    */
+  def textStyleDelta(s: SparkSession, dir: String): DataFrame = {
+    val fws = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val tot = toks.groupBy("source").agg(count(lit(1)).as("n_tokens"))
+    val rates = toks.filter(col("token").isInCollection(fws))
+      .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(tot), Seq("source"))
+      .select(col("source"), col("token"),
+        expr("(cnt * 1000000) div n_tokens").as("rate_ppm"))
+    val scaffold = tot.select("source")
+      .withColumn("token", explode(typedLit(fws)))
+      .join(rates, Seq("source", "token"), "left_outer")
+      .withColumn("rate_ppm", coalesce(col("rate_ppm"), lit(0L)))
+    val a = scaffold.select(col("source").as("src_a"), col("token"),
+      col("rate_ppm").as("ra"))
+    val b = scaffold.select(col("source").as("src_b"), col("token"),
+      col("rate_ppm").as("rb"))
+    a.join(b, Seq("token")).filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_words"),
+        sum(abs(col("ra") - col("rb"))).as("delta_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_style_delta" -> (textStyleDelta _),
     "q_text_vocab_overlap" -> (textVocabOverlap _),
     "q_text_rake" -> (textRake _),
     "q_text_readability" -> (readability _),
@@ -653,6 +694,33 @@ object TextOps {
     "q_text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_text_style_delta" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT source, token FROM toks WHERE token <> ''),
+        |tot AS (SELECT source, COUNT(*) AS n_tokens FROM t2 GROUP BY source),
+        |rates AS (
+        |  SELECT t.source, t.token,
+        |    CAST((COUNT(*) * 1000000) // MAX(o.n_tokens) AS BIGINT)
+        |      AS rate_ppm
+        |  FROM t2 t JOIN tot o USING (source)
+        |  WHERE t.token IN ('the','a','an','and','or','of','to','in',
+        |    'is','on')
+        |  GROUP BY t.source, t.token),
+        |scaffold AS (
+        |  SELECT s.source, w.token, COALESCE(r.rate_ppm, 0) AS rate_ppm
+        |  FROM tot s
+        |  CROSS JOIN (SELECT unnest(['the','a','an','and','or','of','to',
+        |    'in','is','on']) AS token) w
+        |  LEFT JOIN rates r ON r.source = s.source AND r.token = w.token)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  COUNT(*) AS n_words,
+        |  CAST(SUM(abs(a.rate_ppm - b.rate_ppm)) AS BIGINT) AS delta_ppm
+        |FROM scaffold a JOIN scaffold b
+        |  ON a.token = b.token AND a.source < b.source
+        |GROUP BY a.source, b.source
+        |ORDER BY src_a, src_b""".stripMargin,
     "q_text_vocab_overlap" ->
       """WITH v AS (
         |  SELECT DISTINCT lang, token FROM (

@@ -254,6 +254,28 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("textStyleDelta matches a driver function-word rate replay") {
+    val fws = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
+    val got = operators.TextOps.textStyleDelta(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Long]("n_words"), r.getAs[Long]("delta_ppm")))).toMap
+    val bySrc = Tables.documents(spark, sfDir).select("source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view
+      .mapValues(_.flatMap(_._2.split(" ")).filter(_.nonEmpty)).toMap
+    val rates = bySrc.view.mapValues { toks =>
+      val n = toks.length.toLong
+      fws.map(w => toks.count(_ == w).toLong * 1000000 / n)
+    }.toMap
+    val srcs = rates.keys.toSeq.sorted
+    val pairs = for { x <- srcs; y <- srcs if x < y } yield (x, y)
+    assert(got.keySet === pairs.toSet)
+    pairs.foreach { case (x, y) =>
+      val delta = rates(x).zip(rates(y)).map { case (p, q) => (p - q).abs }.sum
+      assert(got((x, y)) === ((10L, delta)), s"pair $x/$y")
+    }
+  }
+
   test("textVocabOverlap matches driver set arithmetic and bounds") {
     val got = operators.TextOps.textVocabOverlap(spark, sfDir).collect()
       .map(r => ((r.getString(0), r.getString(1)),

@@ -366,6 +366,30 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(resid <= 10000000000L, s"Murphy residual $resid exceeds bin-width bound")
   }
 
+  test("statsMcnemar and statsCochranQ match a driver contingency replay") {
+    val docs = Tables.documents(spark, sfDir).select("n_chars", "lang")
+      .collect().map(d => (d.getLong(0), d.getString(1) == "en"))
+    def ok(thr: Long)(d: (Long, Boolean)) = (d._1 >= thr) == d._2
+    val b = docs.count(d => ok(300)(d) && !ok(450)(d)).toLong
+    val c = docs.count(d => !ok(300)(d) && ok(450)(d)).toLong
+    val mc = operators.EvalOps.statsMcnemar(spark, sfDir).collect()(0)
+    assert((mc.getAs[Long]("b"), mc.getAs[Long]("c")) === ((b, c)))
+    val chi2 = if ((b - c).abs > 1)
+      ((b - c).abs - 1) * ((b - c).abs - 1) * 1000 / (b + c) else 0L
+    assert(mc.getAs[Long]("chi2_milli") === chi2)
+    assert(mc.getAs[Boolean]("significant_05") === (chi2 > 3841))
+
+    val cs = Seq(200L, 300L, 450L).map(t => docs.count(ok(t)).toLong)
+    val rs = docs.map(d => Seq(200L, 300L, 450L).count(t => ok(t)(d)).toLong)
+    val num = 2 * (3 * cs.map(x => x * x).sum - cs.sum * cs.sum) * 1000
+    val den = 3 * rs.sum - rs.map(x => x * x).sum
+    val cq = operators.EvalOps.statsCochranQ(spark, sfDir).collect()(0)
+    assert((cq.getAs[Long]("c1"), cq.getAs[Long]("c2"),
+      cq.getAs[Long]("c3")) === ((cs(0), cs(1), cs(2))))
+    assert(cq.getAs[Long]("q_milli") === num / den)
+    assert(cq.getAs[Boolean]("significant_05") === (num / den > 5991))
+  }
+
   test("evalCostCurve argmin matches a brute-force threshold sweep") {
     val rows = operators.EvalOps.evalCostCurve(spark, sfDir).collect()
       .map(r => r.getAs[Long]("cost_ratio") ->
