@@ -597,6 +597,54 @@ object EvalOps {
           .as("res_e12"),
         expr("cast(ybar_ppm * (1000000 - ybar_ppm) as long)").as("unc_e12"))
 
+  /** #339 Gini decision stump on n_chars for the en label: the best
+    * single-threshold split by impurity reduction — the one-node
+    * decision tree that is both the simplest trainable model and the
+    * feature-importance primitive (CART's split criterion) a data
+    * team runs to ask "does this feature cut the label at all, and
+    * where?"
+    *
+    * Exactness: for fixed totals, maximizing the reduction equals
+    * maximizing g(s) = (l_p²+l_n²)·1e6 div n_l + (r_p²+r_n²)·1e6 div
+    * n_r — staged truncating divisions MIRRORED in the twin, so both
+    * engines pick the identical argmax row by (g DESC, thr ASC); the
+    * reported parent/child/gain ppm re-derive from the same staged
+    * pieces. Scale: the SCORE-DOMAIN cumulative relation of
+    * [[evalKsScore]]; totals broadcast; argmax via one ordered limit.
+    */
+  def mlStump(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val byScore = d.groupBy("score")
+      .agg(sum(col("pos")).as("p"), sum(lit(1L) - col("pos")).as("q"))
+    val tot = byScore.agg(sum(col("p")).as("np"), sum(col("q")).as("nq"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("score")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    byScore
+      .withColumn("cp", sum(col("p")).over(w))
+      .withColumn("cq", sum(col("q")).over(w))
+      .crossJoin(broadcast(tot))
+      // split: left = score < thr  (cum counts EXCLUDE the row itself)
+      .withColumn("lp", col("cp") - col("p"))
+      .withColumn("ln", col("cq") - col("q"))
+      .withColumn("rp", col("np") - col("lp"))
+      .withColumn("rn", col("nq") - col("ln"))
+      .filter(col("lp") + col("ln") > 0 && col("rp") + col("rn") > 0)
+      .withColumn("g",
+        expr("((lp * lp + ln * ln) * 1000000) div (lp + ln) + " +
+          "((rp * rp + rn * rn) * 1000000) div (rp + rn)"))
+      .orderBy(desc("g"), asc("score"))
+      .limit(1)
+      .select(col("score").as("best_thr"), col("lp"), col("ln"),
+        col("rp"), col("rn"),
+        expr("1000000 - ((np * np + nq * nq) * 1000000) div " +
+          "((np + nq) * (np + nq))").as("parent_gini_ppm"),
+        expr("1000000 - g div (np + nq)").as("child_gini_ppm"))
+      .withColumn("gain_ppm",
+        col("parent_gini_ppm") - col("child_gini_ppm"))
+  }
+
   /** #336 McNemar's test between the 300- and 450-char en-classifiers:
     * do the two models disagree ASYMMETRICALLY on the same documents?
     * — the paired comparison that a marginal-accuracy diff (or an
@@ -808,6 +856,7 @@ object EvalOps {
     "q_eval_cost_curve" -> (evalCostCurve _),
     "q_stats_mcnemar" -> (statsMcnemar _),
     "q_stats_cochran_q" -> (statsCochranQ _),
+    "q_ml_stump" -> (mlStump _),
     "q_eval_mcc" -> (evalMcc _),
     "q_eval_brier" -> (evalBrier _),
     "q_eval_feature_auc" -> (evalFeatureAuc _),
@@ -827,6 +876,47 @@ object EvalOps {
     "q_bootstrap_ci" -> (bootstrapCi _))
 
   val oracles: Map[String, String] = Map(
+    "q_ml_stump" ->
+      """WITH d AS (
+        |  SELECT n_chars AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |bs AS (
+        |  SELECT score, CAST(SUM(pos) AS BIGINT) AS p,
+        |    CAST(SUM(1 - pos) AS BIGINT) AS q
+        |  FROM d GROUP BY score),
+        |tot AS (SELECT CAST(SUM(p) AS BIGINT) AS np,
+        |  CAST(SUM(q) AS BIGINT) AS nq FROM bs),
+        |c AS (
+        |  SELECT score, p, q,
+        |    SUM(p) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+        |    SUM(q) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cq
+        |  FROM bs),
+        |sp AS (
+        |  SELECT score, cp - p AS lp, cq - q AS ln,
+        |    np - (cp - p) AS rp, nq - (cq - q) AS rn, np, nq
+        |  FROM c CROSS JOIN tot
+        |  WHERE cp - p + cq - q > 0
+        |    AND np - (cp - p) + nq - (cq - q) > 0),
+        |g AS (
+        |  SELECT score, lp, ln, rp, rn, np, nq,
+        |    ((lp * lp + ln * ln) * 1000000) // (lp + ln)
+        |      + ((rp * rp + rn * rn) * 1000000) // (rp + rn) AS g
+        |  FROM sp),
+        |k AS (
+        |  SELECT score AS best_thr, lp, ln, rp, rn,
+        |    1000000 - ((np * np + nq * nq) * 1000000)
+        |      // ((np + nq) * (np + nq)) AS parent_gini_ppm,
+        |    1000000 - g // (np + nq) AS child_gini_ppm,
+        |    row_number() OVER (ORDER BY g DESC, score ASC) AS rk
+        |  FROM g)
+        |SELECT best_thr, lp, ln, rp, rn,
+        |  CAST(parent_gini_ppm AS BIGINT) AS parent_gini_ppm,
+        |  CAST(child_gini_ppm AS BIGINT) AS child_gini_ppm,
+        |  CAST(parent_gini_ppm - child_gini_ppm AS BIGINT) AS gain_ppm
+        |FROM k WHERE rk = 1""".stripMargin,
     "q_stats_mcnemar" ->
       """WITH d AS (
         |  SELECT

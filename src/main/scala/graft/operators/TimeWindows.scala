@@ -610,6 +610,77 @@ object TimeWindows {
       .orderBy("day")
   }
 
+  /** #340 Open-order item backlog curve: per day, lineitems placed
+    * (o_orderdate) minus shipped (l_shipdate) cumulatively — the WIP
+    * inventory curve every operations dashboard opens with, and the
+    * event-sourcing +1/−1 ledger pattern (a fact row becomes two
+    * signed deltas, the [[graft.operators.EventOps]] islands idiom
+    * generalized to two event kinds).
+    *
+    * Exactness: pure integer deltas and one cumulative window ordered
+    * by the DATE-DOMAIN-bounded day relation (SinglePartition over
+    * ≤|calendar| rows — the tsDrawdown exception). Scale: the union
+    * projects only (day, delta); the daily aggregate map-side
+    * combines; nothing row-cardinality sorts.
+    */
+  def tsBacklog(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir)
+    val placed = li.select(col("l_orderkey").as("o_orderkey"))
+      .join(broadcast(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"))), Seq("o_orderkey"))
+      .select(date_trunc("day", col("o_orderdate")).as("day"),
+        lit(1L).as("delta"))
+    val shipped = li.select(date_trunc("day", col("l_shipdate")).as("day"),
+      lit(-1L).as("delta"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    placed.unionByName(shipped)
+      .groupBy("day").agg(sum(col("delta")).as("net"))
+      .withColumn("backlog", sum(col("net")).over(w))
+      .orderBy("day")
+  }
+
+  /** #341 On-balance volume per event type: OBV_t = Σ sign(ΔC)·V — does
+    * activity volume flow with or against the daily value direction?
+    * The volume-confirmation companion to [[winRsi]] momentum: price
+    * up on heavy volume (OBV rising) reads differently from price up
+    * on thin volume.
+    *
+    * Exactness: the close is the last event by (ts, event_id) (the
+    * [[tsAtr]] pick), volume the exact event count, sign an integer,
+    * and the rollup min/max/final of the exact cumulative sum. Scale:
+    * (type, day) close window + type-partitioned cumulative window,
+    * |days|-bounded.
+    */
+  def winObv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDesc = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        col("ts"), col("event_id"),
+        floor(col("value") * 1e6).cast("long").as("v"))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy("event_type", "day")
+      .agg(max(when(col("rn_d") === 1, col("v"))).as("c"),
+        count(lit(1)).as("vol"))
+    val wLag = Window.partitionBy("event_type").orderBy("day")
+    val wCum = wLag.rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("dc", col("c") - lag(col("c"), 1).over(wLag))
+      .withColumn("flow",
+        when(col("dc").isNull, 0L)
+          .otherwise(signum(col("dc")).cast("long") * col("vol")))
+      .withColumn("obv", sum(col("flow")).over(wCum))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), max(col("obv")).as("obv_max"),
+        min(col("obv")).as("obv_min"),
+        max(struct(col("day"), col("obv"))).getField("obv")
+          .as("obv_final"))
+      .orderBy("event_type")
+  }
+
   /** #333 RSI-14 (simple-mean Cutler form) per event type on the daily
     * mass series: gains vs losses over the trailing 14 deltas,
     * RSI_milli = 100000·G/(G+L) — the bounded momentum oscillator
@@ -1013,6 +1084,8 @@ object TimeWindows {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_adf" -> (tsAdf _),
+    "q_ts_backlog" -> (tsBacklog _),
+    "q_win_obv" -> (winObv _),
     "q_win_rsi" -> (winRsi _),
     "q_ts_pacf" -> (tsPacf _),
     "q_eval_forecast_err" -> (evalForecastErr _),
@@ -1043,6 +1116,55 @@ object TimeWindows {
     "q_window_session" -> (windowSession _))
 
   val oracles: Map[String, String] = Map(
+    "q_ts_backlog" ->
+      """WITH placed AS (
+        |  SELECT date_trunc('day', o.o_orderdate) AS day,
+        |    CAST(1 AS BIGINT) AS delta
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |shipped AS (
+        |  SELECT date_trunc('day', l_shipdate) AS day,
+        |    CAST(-1 AS BIGINT) AS delta
+        |  FROM lineitem),
+        |u AS (SELECT * FROM placed UNION ALL SELECT * FROM shipped),
+        |g AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS net
+        |      FROM u GROUP BY day)
+        |SELECT CAST(day AS TIMESTAMP) AS day, net,
+        |  CAST(SUM(net) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS backlog
+        |FROM g ORDER BY day""".stripMargin,
+    "q_win_obv" ->
+      """WITH base AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+        |    CAST(floor(value * 1e6) AS BIGINT) AS v
+        |  FROM events),
+        |rk AS (
+        |  SELECT event_type, day, v,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM base),
+        |daily AS (
+        |  SELECT event_type, day, MAX(CASE WHEN rn_d = 1 THEN v END) AS c,
+        |    COUNT(*) AS vol
+        |  FROM rk GROUP BY event_type, day),
+        |f AS (
+        |  SELECT event_type, day, vol,
+        |    c - lag(c) OVER (PARTITION BY event_type ORDER BY day) AS dc
+        |  FROM daily),
+        |fl AS (
+        |  SELECT event_type, day,
+        |    CASE WHEN dc IS NULL THEN 0
+        |      ELSE CAST(sign(dc) AS BIGINT) * vol END AS flow
+        |  FROM f),
+        |o AS (
+        |  SELECT event_type, day,
+        |    CAST(SUM(flow) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS obv
+        |  FROM fl)
+        |SELECT event_type, COUNT(*) AS n_days, MAX(obv) AS obv_max,
+        |  MIN(obv) AS obv_min, arg_max(obv, day) AS obv_final
+        |FROM o GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_win_rsi" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

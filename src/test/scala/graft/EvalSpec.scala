@@ -366,6 +366,34 @@ class EvalSpec extends AnyFunSuite with SparkFixture {
     assert(resid <= 10000000000L, s"Murphy residual $resid exceeds bin-width bound")
   }
 
+  test("mlStump picks the brute-force best Gini split") {
+    val r = operators.EvalOps.mlStump(spark, sfDir).collect()(0)
+    val docs = Tables.documents(spark, sfDir).select("n_chars", "lang")
+      .collect().map(d => (d.getLong(0), d.getString(1) == "en"))
+    val np = docs.count(_._2).toLong; val nq = docs.length - np
+    val n = np + nq
+    val candidates = docs.map(_._1).distinct.sorted.flatMap { thr =>
+      val lp = docs.count(d => d._1 < thr && d._2).toLong
+      val ln = docs.count(d => d._1 < thr && !d._2).toLong
+      val (rp, rn) = (np - lp, nq - ln)
+      if (lp + ln > 0 && rp + rn > 0)
+        Some((thr, lp, ln, rp, rn,
+          (lp * lp + ln * ln) * 1000000 / (lp + ln) +
+            (rp * rp + rn * rn) * 1000000 / (rp + rn)))
+      else None
+    }
+    val best = candidates.minBy(c => (-c._6, c._1))
+    assert((r.getAs[Long]("best_thr"), r.getAs[Long]("lp"),
+      r.getAs[Long]("ln"), r.getAs[Long]("rp"), r.getAs[Long]("rn")) ===
+      ((best._1, best._2, best._3, best._4, best._5)))
+    val parent = 1000000 - (np * np + nq * nq) * 1000000 / (n * n)
+    val child = 1000000 - best._6 / n
+    assert(r.getAs[Long]("parent_gini_ppm") === parent)
+    assert(r.getAs[Long]("child_gini_ppm") === child)
+    assert(r.getAs[Long]("gain_ppm") === parent - child)
+    assert(parent - child >= 0, "best split cannot increase impurity")
+  }
+
   test("statsMcnemar and statsCochranQ match a driver contingency replay") {
     val docs = Tables.documents(spark, sfDir).select("n_chars", "lang")
       .collect().map(d => (d.getLong(0), d.getString(1) == "en"))

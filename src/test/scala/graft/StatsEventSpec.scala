@@ -860,6 +860,57 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("tsBacklog conserves placed/shipped mass and matches a driver fold") {
+    val rows = operators.TimeWindows.tsBacklog(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2)))
+    val placedDays = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(date_trunc("day", col("o_orderdate")).as("d")).collect()
+      .map(_.getTimestamp(0).getTime)
+    val shippedDays = Tables.lineitem(spark, sfDir)
+      .select(date_trunc("day", col("l_shipdate")).as("d")).collect()
+      .map(_.getTimestamp(0).getTime)
+    val net = (placedDays.map((_, 1L)) ++ shippedDays.map((_, -1L)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(rows.map(_._1).toSeq === net.keys.toSeq.sorted)
+    var run = 0L
+    rows.foreach { case (day, n, backlog) =>
+      assert(n === net(day), s"net at $day")
+      run += n
+      assert(backlog === run, s"backlog at $day")
+    }
+    assert(run === 0L, "every placed item eventually ships in the fixture")
+  }
+
+  test("winObv matches a driver close/volume fold") {
+    val rows = operators.TimeWindows.winObv(spark, sfDir).collect()
+    val evs = Tables.events(spark, sfDir)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        col("ts").cast("long"), col("event_id"),
+        floor(col("value") * 1e6).cast("long"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val daily = evs(et).groupBy(_._2).toSeq.sortBy(_._1).map {
+        case (day, ds) =>
+          (day, ds.maxBy(e => (e._3, e._4))._5, ds.length.toLong)
+      }
+      var obv = 0L; var mx = Long.MinValue; var mn = Long.MaxValue
+      daily.zipWithIndex.foreach { case ((_, c, vol), i) =>
+        if (i > 0) obv += java.lang.Long.signum(c - daily(i - 1)._2) * vol
+        mx = math.max(mx, obv); mn = math.min(mn, obv)
+      }
+      assert(r.getAs[Long]("n_days") === daily.length.toLong)
+      assert(r.getAs[Long]("obv_max") === mx, s"max for $et")
+      assert(r.getAs[Long]("obv_min") === mn, s"min for $et")
+      assert(r.getAs[Long]("obv_final") === obv, s"final for $et")
+    }
+  }
+
   test("winRsi matches a driver gain/loss replay and stays in [0, 100k]") {
     val got = operators.TimeWindows.winRsi(spark, sfDir).collect()
       .map(r => ((r.getString(0), r.getTimestamp(1).getTime),
