@@ -823,6 +823,58 @@ object InferenceOps {
           .as("f_milli"))
   }
 
+  /** #344 Mood's median test across event types: the 2×k contingency
+    * of daily masses above/below the GLOBAL median and its χ² — the
+    * location-shift companion to [[kruskalWallis]] that only asks
+    * "which side of the overall median does each type live on",
+    * maximally robust to outliers and unequal spreads.
+    *
+    * Exactness: the global median stays DOUBLED (the [[leveneBF]] two-
+    * pick trick on the all-types daily sort), the above flag is an
+    * exact integer predicate (ties-at-median go below), and the χ²
+    * terms reuse the [[graft.operators.StatsOps.statsChisq]] exact-
+    * integer-fed floor-nano discipline. Scale: one global rank window
+    * over the calendar-bounded daily relation (the tsDrawdown
+    * exception), then |k|-group counts.
+    */
+  def moodMedian(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+    val n = daily.agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("x"), col("event_type"), col("day"))
+    val med2 = daily.crossJoin(broadcast(n))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === expr("(n + 1) div 2") ||
+        col("rn") === expr("n div 2 + 1"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("c2"))
+      .select(expr("case when c2 = 1 then 2 * sx else sx end").as("med2"))
+    val obs = daily.crossJoin(broadcast(med2))
+      .withColumn("above", (col("x") * 2 > col("med2")).cast("long"))
+      .groupBy("event_type")
+      .agg(sum(col("above")).as("o_above"),
+        sum(lit(1L) - col("above")).as("o_below"))
+    val tot = obs.agg(sum(col("o_above")).as("ta"),
+      sum(col("o_below")).as("tb"), count(lit(1)).as("k"))
+    obs.crossJoin(broadcast(tot))
+      .withColumn("e_above",
+        ((col("o_above") + col("o_below")) * col("ta")).cast("double") /
+          (col("ta") + col("tb")))
+      .withColumn("e_below",
+        ((col("o_above") + col("o_below")) * col("tb")).cast("double") /
+          (col("ta") + col("tb")))
+      .withColumn("term_nano",
+        floor((col("o_above") - col("e_above")) *
+          (col("o_above") - col("e_above")) / col("e_above") * 1e9)
+          .cast("long") +
+        floor((col("o_below") - col("e_below")) *
+          (col("o_below") - col("e_below")) / col("e_below") * 1e9)
+          .cast("long"))
+      .agg(max(col("k")).as("k"), max(expr("ta + tb")).as("n_days"),
+        max(col("k") - 1).as("dof"),
+        round(sum(col("term_nano")) / 1e9, 6).as("chi2"))
+  }
+
   /** #324 Grubbs' test statistic per event type: the squared
     * studentized extreme deviation G² = (max|x − x̄|)²(n−1) /
     * (n·(nQ − S²)) of the daily mass series, with the argmax day —
@@ -914,6 +966,7 @@ object InferenceOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stats_grubbs" -> (grubbs _),
     "q_stats_tukey" -> (tukeyHsd _),
+    "q_stats_mood" -> (moodMedian _),
     "q_stats_levene" -> (leveneBF _),
     "q_stats_kruskal" -> (kruskalWallis _),
     "q_stats_cohens_d" -> (cohensD _),
@@ -999,6 +1052,47 @@ object InferenceOps {
       |FROM t""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_stats_mood" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT COUNT(*) AS n FROM daily),
+        |rk AS (
+        |  SELECT x, row_number() OVER (ORDER BY x, event_type, day) AS rn,
+        |    n.n
+        |  FROM daily CROSS JOIN n),
+        |med AS (
+        |  SELECT CASE WHEN COUNT(*) = 1 THEN 2 * SUM(x) ELSE SUM(x) END
+        |    AS med2
+        |  FROM rk WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1),
+        |obs AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN x * 2 > med2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS o_above,
+        |    CAST(SUM(CASE WHEN x * 2 > med2 THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS o_below
+        |  FROM daily CROSS JOIN med GROUP BY event_type),
+        |tot AS (
+        |  SELECT CAST(SUM(o_above) AS BIGINT) AS ta,
+        |    CAST(SUM(o_below) AS BIGINT) AS tb, COUNT(*) AS k
+        |  FROM obs),
+        |t AS (
+        |  SELECT k, ta + tb AS n_days, k - 1 AS dof,
+        |    CAST(floor((o_above - CAST((o_above + o_below) * ta AS DOUBLE)
+        |        / (ta + tb)) * (o_above - CAST((o_above + o_below) * ta
+        |        AS DOUBLE) / (ta + tb))
+        |        / (CAST((o_above + o_below) * ta AS DOUBLE) / (ta + tb))
+        |        * 1e9) AS BIGINT)
+        |      + CAST(floor((o_below - CAST((o_above + o_below) * tb
+        |        AS DOUBLE) / (ta + tb)) * (o_below -
+        |        CAST((o_above + o_below) * tb AS DOUBLE) / (ta + tb))
+        |        / (CAST((o_above + o_below) * tb AS DOUBLE) / (ta + tb))
+        |        * 1e9) AS BIGINT) AS term_nano
+        |  FROM obs CROSS JOIN tot)
+        |SELECT MAX(k) AS k, MAX(n_days) AS n_days, MAX(dof) AS dof,
+        |  round(CAST(SUM(term_nano) AS BIGINT) / 1e9, 6) AS chi2
+        |FROM t""".stripMargin,
     "q_stats_grubbs" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

@@ -666,7 +666,60 @@ object TextOps {
       .orderBy("src_a", "src_b")
   }
 
+  /** #342 Multinomial Naive Bayes language classifier, trained AND
+    * applied in one dataflow: per-lang Laplace-smoothed token
+    * likelihoods + doc-count priors, per-doc log-space argmax, and
+    * the resulting confusion matrix against the true labels — the
+    * complete train→score→evaluate loop of the classic baseline
+    * text classifier, upgrading the [[langId]] heuristic to a real
+    * trained model (self-evaluation on the training corpus,
+    * documented — the standard smoke test of a NB pipeline).
+    *
+    * Exactness: every log term is the repo floor-nano ln of an
+    * INTEGER (c+1, n_l + V, doc counts), summed per (doc, lang) in
+    * exact int64 (≤ tokens·1e10 per doc); the argmax row is picked by
+    * (score DESC, lang ASC). Scale: the lexicon and lang totals are
+    * vocab-bounded broadcasts; the scoring relation is tokens × |L|
+    * rows feeding ONE map-side-combined aggregate; the confusion
+    * rollup is |L|² rows.
+    */
+  def mlNaiveBayes(s: SparkSession, dir: String): DataFrame = {
+    def lnNano(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double")) * 1e9).cast("long")
+    val docs = Tables.documents(s, dir)
+    val toks = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val counts = toks.groupBy(col("lang").as("plang"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val nl = counts.groupBy("plang").agg(sum(col("c")).as("n_l"))
+    val v = toks.agg(countDistinct(col("token")).as("v"))
+    val priors = docs.groupBy(col("lang").as("plang"))
+      .agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .select(col("plang"),
+        (lnNano(col("nd")) - lnNano(col("n_docs"))).as("prior"))
+    val scored = toks
+      .crossJoin(broadcast(nl))
+      .join(broadcast(counts), Seq("plang", "token"), "left_outer")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("lang"), col("plang"),
+        (lnNano(coalesce(col("c"), lit(0L)) + 1) -
+          lnNano(col("n_l") + col("v"))).as("term"))
+      .groupBy("doc_id", "lang", "plang")
+      .agg(sum(col("term")).as("ll"))
+      .join(broadcast(priors), Seq("plang"))
+      .withColumn("score", col("ll") + col("prior"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("score"), asc("plang"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("lang").as("true_lang"), col("plang").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("true_lang", "pred_lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ml_naive_bayes" -> (mlNaiveBayes _),
     "q_text_style_delta" -> (textStyleDelta _),
     "q_text_vocab_overlap" -> (textVocabOverlap _),
     "q_text_rake" -> (textRake _),
@@ -694,6 +747,45 @@ object TextOps {
     "q_text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_ml_naive_bayes" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT * FROM toks WHERE token <> ''),
+        |counts AS (
+        |  SELECT lang AS plang, token, COUNT(*) AS c
+        |  FROM t2 GROUP BY 1, 2),
+        |nl AS (SELECT plang, CAST(SUM(c) AS BIGINT) AS n_l
+        |       FROM counts GROUP BY plang),
+        |v AS (SELECT COUNT(DISTINCT token) AS v FROM t2),
+        |pri AS (
+        |  SELECT lang AS plang,
+        |    CAST(floor(ln(CAST(COUNT(*) AS DOUBLE)) * 1e9) AS BIGINT)
+        |      - CAST(floor(ln(CAST((SELECT COUNT(*) FROM documents)
+        |        AS DOUBLE)) * 1e9) AS BIGINT) AS prior
+        |  FROM documents GROUP BY lang),
+        |sc AS (
+        |  SELECT t.doc_id, t.lang, n.plang,
+        |    CAST(floor(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)) * 1e9)
+        |      AS BIGINT)
+        |    - CAST(floor(ln(CAST(n.n_l + (SELECT v FROM v) AS DOUBLE))
+        |      * 1e9) AS BIGINT) AS term
+        |  FROM t2 t CROSS JOIN nl n
+        |  LEFT JOIN counts c ON c.plang = n.plang AND c.token = t.token),
+        |ll AS (
+        |  SELECT doc_id, lang, plang, CAST(SUM(term) AS BIGINT) AS ll
+        |  FROM sc GROUP BY doc_id, lang, plang),
+        |sco AS (
+        |  SELECT l.doc_id, l.lang, l.plang, l.ll + p.prior AS score
+        |  FROM ll l JOIN pri p USING (plang)),
+        |am AS (
+        |  SELECT doc_id, lang, plang,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, plang ASC) AS rn
+        |  FROM sco)
+        |SELECT lang AS true_lang, plang AS pred_lang, COUNT(*) AS n
+        |FROM am WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin,
     "q_text_style_delta" ->
       """WITH toks AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS token

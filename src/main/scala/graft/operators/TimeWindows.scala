@@ -610,6 +610,50 @@ object TimeWindows {
       .orderBy("day")
   }
 
+  /** #343 Monthly fulfillment-latency profile: per order month
+    * the lineitem count, mean days order→ship in milli, and the EXACT
+    * p50/p90 order statistics — the operations SLA readout (is
+    * fulfillment drifting? is the tail getting worse faster than the
+    * median?).
+    *
+    * Exactness: latency is an integer datediff; the percentiles are
+    * true order statistics picked by row_number at ranks (n+1) div 2
+    * and (9n+9) div 10 under the (latency, orderkey, linenumber)
+    * total order — no interpolation, no quantile-algorithm dialect
+    * deltas; the mean is one truncating milli division. Scale: the
+    * rank window partitions by month; counts broadcast back; the
+    * order join is orderkey-co-partitioned (broadcast at fixture sf,
+    * shuffle-join at TB — same plan as q_join_inner).
+    */
+  def tsFulfillment(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lat = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+        col("l_shipdate"))
+      .join(broadcast(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"))), Seq("o_orderkey"))
+      .select(date_trunc("month", col("o_orderdate")).as("month"),
+        col("o_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+          .as("days"))
+    val cnt = lat.groupBy("month").agg(count(lit(1)).as("n"),
+      sum(col("days")).as("sd"))
+    val w = Window.partitionBy("month")
+      .orderBy(col("days"), col("o_orderkey"), col("l_linenumber"))
+    lat.join(broadcast(cnt), Seq("month"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === expr("(n + 1) div 2") ||
+        col("rn") === expr("(9 * n + 9) div 10"))
+      .groupBy("month")
+      .agg(max(col("n")).as("n"),
+        expr("cast(max(sd * 1000 div n) as long)").as("mean_days_milli"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("days")))
+          .as("p50_days"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("days")))
+          .as("p90_days"))
+      .orderBy("month")
+  }
+
   /** #340 Open-order item backlog curve: per day, lineitems placed
     * (o_orderdate) minus shipped (l_shipdate) cumulatively — the WIP
     * inventory curve every operations dashboard opens with, and the
@@ -1085,6 +1129,7 @@ object TimeWindows {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ts_adf" -> (tsAdf _),
     "q_ts_backlog" -> (tsBacklog _),
+    "q_ts_fulfillment" -> (tsFulfillment _),
     "q_win_obv" -> (winObv _),
     "q_win_rsi" -> (winRsi _),
     "q_ts_pacf" -> (tsPacf _),
@@ -1116,6 +1161,28 @@ object TimeWindows {
     "q_window_session" -> (windowSession _))
 
   val oracles: Map[String, String] = Map(
+    "q_ts_fulfillment" ->
+      """WITH lat AS (
+        |  SELECT date_trunc('month', o.o_orderdate) AS month,
+        |    l.l_orderkey, l.l_linenumber,
+        |    CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+        |      AS days
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |cnt AS (
+        |  SELECT month, COUNT(*) AS n, CAST(SUM(days) AS BIGINT) AS sd
+        |  FROM lat GROUP BY month),
+        |rk AS (
+        |  SELECT l.month, l.days, c.n, c.sd,
+        |    row_number() OVER (PARTITION BY l.month
+        |      ORDER BY l.days, l.l_orderkey, l.l_linenumber) AS rn
+        |  FROM lat l JOIN cnt c USING (month))
+        |SELECT CAST(month AS TIMESTAMP) AS month, MAX(n) AS n,
+        |  CAST(MAX(sd * 1000 // n) AS BIGINT) AS mean_days_milli,
+        |  MAX(CASE WHEN rn = (n + 1) // 2 THEN days END) AS p50_days,
+        |  MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN days END) AS p90_days
+        |FROM rk
+        |WHERE rn = (n + 1) // 2 OR rn = (9 * n + 9) // 10
+        |GROUP BY month ORDER BY month""".stripMargin,
     "q_ts_backlog" ->
       """WITH placed AS (
         |  SELECT date_trunc('day', o.o_orderdate) AS day,

@@ -254,6 +254,39 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("mlNaiveBayes matches an exact driver NB replay and beats the prior") {
+    val got = operators.TextOps.mlNaiveBayes(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getAs[Long]("n"))).toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").filter(_.nonEmpty).toSeq))
+    def lnN(x: Long): Long = math.floor(math.log(x.toDouble) * 1e9).toLong
+    val counts = docs.flatMap(d => d._3.map(t => (d._2, t)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nl = counts.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val v = docs.flatMap(_._3).distinct.size.toLong
+    val nDocs = docs.length.toLong
+    val priors = docs.groupBy(_._2).view
+      .mapValues(ds => lnN(ds.size.toLong) - lnN(nDocs)).toMap
+    val langs = priors.keys.toSeq.sorted
+    val confusion = collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach { case (_, trueLang, toks) =>
+      val pred = langs.map { l =>
+        val s = priors(l) + toks.map(t =>
+          lnN(counts.getOrElse((l, t), 0L) + 1) - lnN(nl(l) + v)).sum
+        (l, s)
+      }.minBy { case (l, s) => (-s, l) }._1
+      confusion((trueLang, pred)) =
+        confusion.getOrElse((trueLang, pred), 0L) + 1
+    }
+    assert(got === confusion.toMap)
+    val correct = confusion.collect { case ((t, p), n) if t == p => n }.sum
+    val majority = docs.groupBy(_._2).values.map(_.size).max.toLong
+    assert(correct > majority,
+      "trained NB must beat the majority-class baseline on its own corpus")
+  }
+
   test("textStyleDelta matches a driver function-word rate replay") {
     val fws = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
     val got = operators.TextOps.textStyleDelta(spark, sfDir).collect()

@@ -365,6 +365,37 @@ class InferenceSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("moodMedian matches a driver doubled-median contingency replay") {
+    val r = operators.InferenceOps.moodMedian(spark, sfDir).collect()(0)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .collect().map(row => (row.getString(0), row.getTimestamp(1).getTime,
+        row.getLong(2)))
+    val sorted = daily.sortBy(d => (d._3, d._1, d._2)).map(_._3)
+    val n = sorted.length
+    val med2 = if (n % 2 == 1) 2 * sorted(n / 2)
+      else sorted(n / 2 - 1) + sorted(n / 2)
+    val byType = daily.groupBy(_._1).view.mapValues { ds =>
+      val above = ds.count(_._3 * 2 > med2).toLong
+      (above, ds.length - above)
+    }.toMap
+    val ta = byType.values.map(_._1).sum
+    val tb = byType.values.map(_._2).sum
+    val chi2 = byType.values.map { case (oa, ob) =>
+      val ea = ((oa + ob) * ta).toDouble / (ta + tb)
+      val eb = ((oa + ob) * tb).toDouble / (ta + tb)
+      math.floor((oa - ea) * (oa - ea) / ea * 1e9).toLong +
+        math.floor((ob - eb) * (ob - eb) / eb * 1e9).toLong
+    }.sum
+    assert(r.getAs[Long]("k") === byType.size.toLong)
+    assert(r.getAs[Long]("n_days") === n.toLong)
+    assert(r.getAs[Long]("dof") === byType.size.toLong - 1)
+    assert(r.getAs[Double]("chi2") ===
+      BigDecimal(chi2 / 1e9).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
+
   test("grubbs matches a BigInt argmax-deviation replay") {
     val rows = operators.InferenceOps.grubbs(spark, sfDir).collect()
     val daily = Tables.events(spark, sfDir)

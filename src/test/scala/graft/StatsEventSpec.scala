@@ -860,6 +860,29 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("tsFulfillment percentiles are exact order statistics per month") {
+    val rows = operators.TimeWindows.tsFulfillment(spark, sfDir).collect()
+    val lat = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(date_trunc("month", col("o_orderdate")).as("m"),
+        col("l_orderkey"), col("l_linenumber").cast("long"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getTimestamp(0).getTime
+      val ds = lat(m).sortBy(e => (e._4, e._2, e._3)).map(_._4)
+      val n = ds.length
+      assert(r.getAs[Long]("n") === n.toLong)
+      assert(r.getAs[Long]("mean_days_milli") === ds.sum * 1000 / n)
+      assert(r.getAs[Long]("p50_days") === ds((n + 1) / 2 - 1))
+      assert(r.getAs[Long]("p90_days") === ds((9 * n + 9) / 10 - 1))
+    }
+  }
+
   test("tsBacklog conserves placed/shipped mass and matches a driver fold") {
     val rows = operators.TimeWindows.tsBacklog(spark, sfDir).collect()
       .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2)))
