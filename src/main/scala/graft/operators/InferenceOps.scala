@@ -823,6 +823,63 @@ object InferenceOps {
           .as("f_milli"))
   }
 
+  /** #346 Durbin-Watson statistic on the [[TimeWindows.tsAdf]] lag-1
+    * regression residuals per event type: DW = Σ(e_t − e_{t−1})²/Σe_t²
+    * — is the REGRESSION MISSPECIFIED (residuals still serially
+    * correlated, DW far from 2) even after the unit-root slope is
+    * fitted? The diagnostic that tells you whether to trust the ADF
+    * read at all.
+    *
+    * Exactness: residuals are staged integers built from the SAME
+    * truncated slope both engines computed — E_t = 10⁶·y_t −
+    * slope_micro·z_t − ((10⁶·S_y − slope_micro·S_z) div n), then one
+    * milli de-scale (the fully-scaled Σ(ΔE)²·1000 wrapped
+    * DECIMAL(38,0) at sf0.1 — the inline note; DW is a ratio so the
+    * grain cancels); DW_milli one truncating division. Scale: group moments
+    * broadcast back; two type-partitioned windows; |days|-bounded.
+    */
+  def durbinWatson(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val pairs = daily
+      .withColumn("xl", lag(col("x"), 1).over(w))
+      .filter(col("xl").isNotNull)
+      .select(col("event_type"), col("day"),
+        col("xl").cast(DecimalType(38, 0)).as("z"),
+        (col("x") - col("xl")).cast(DecimalType(38, 0)).as("y"))
+    val g = pairs.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("z")).as("sz"),
+        sum(col("y")).as("sy"), sum(col("z") * col("y")).as("szy"),
+        sum(col("z") * col("z")).as("szz"))
+      .withColumn("Sxx", expr("n * szz - sz * sz"))
+      .withColumn("Sxy", expr("n * szy - sz * sy"))
+      .filter(col("Sxx") =!= 0)
+      .withColumn("slope_micro", expr("cast((Sxy * 1000000) div Sxx as long)"))
+      .select("event_type", "n", "sz", "sy", "slope_micro")
+    pairs.join(broadcast(g), Seq("event_type"))
+      // per-row residual WITHOUT the n·10⁶ common factor: the intercept
+      // term divides by n once (staged, mirrored), then the residual
+      // drops to milli — at sf0.1 the fully-scaled Σ(ΔE)²·1000 reached
+      // 1.4e38 and wrapped DECIMAL(38,0); DW is a ratio, so the grain
+      // change cancels
+      .withColumn("ee",
+        expr("1000000 * y - slope_micro * z - " +
+          "cast((1000000 * sy - slope_micro * sz) div n as long)"))
+      .withColumn("eem", expr("cast(ee div 1000 as long)").cast(DecimalType(38, 0)))
+      .withColumn("el", lag(col("eem"), 1).over(w))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"), max(col("slope_micro")).as("slope_micro"),
+        sum(col("eem") * col("eem")).as("see"),
+        sum(when(col("el").isNotNull,
+          (col("eem") - col("el")) * (col("eem") - col("el")))).as("sdd"))
+      .filter(col("see") > 0)
+      .select(col("event_type"), col("n"), col("slope_micro"),
+        expr("cast((sdd * 1000) div see as long)").as("dw_milli"))
+      .orderBy("event_type")
+  }
+
   /** #344 Mood's median test across event types: the 2×k contingency
     * of daily masses above/below the GLOBAL median and its χ² — the
     * location-shift companion to [[kruskalWallis]] that only asks
@@ -967,6 +1024,7 @@ object InferenceOps {
     "q_stats_grubbs" -> (grubbs _),
     "q_stats_tukey" -> (tukeyHsd _),
     "q_stats_mood" -> (moodMedian _),
+    "q_stats_dw" -> (durbinWatson _),
     "q_stats_levene" -> (leveneBF _),
     "q_stats_kruskal" -> (kruskalWallis _),
     "q_stats_cohens_d" -> (cohensD _),
@@ -1052,6 +1110,48 @@ object InferenceOps {
       |FROM t""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_stats_dw" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_type, day,
+        |    CAST(lag(x) OVER w AS HUGEINT) AS z,
+        |    CAST(x - lag(x) OVER w AS HUGEINT) AS y
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |p2 AS (SELECT * FROM p WHERE z IS NOT NULL),
+        |g AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(z) AS sz, SUM(y) AS sy, SUM(z * y) AS szy,
+        |    SUM(z * z) AS szz
+        |  FROM p2 GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n, sz, sy,
+        |    CAST(((n * szy - sz * sy) * 1000000) // (n * szz - sz * sz)
+        |      AS BIGINT) AS slope_micro
+        |  FROM g WHERE n * szz - sz * sz <> 0),
+        |e AS (
+        |  SELECT p2.event_type, p2.day,
+        |    (1000000 * p2.y - m.slope_micro * p2.z
+        |      - CAST((1000000 * m.sy - m.slope_micro * m.sz) // m.n
+        |        AS BIGINT)) // 1000 AS eem,
+        |    m.n, m.slope_micro
+        |  FROM p2 JOIN m USING (event_type)),
+        |l AS (
+        |  SELECT event_type, n, slope_micro, eem,
+        |    lag(eem) OVER (PARTITION BY event_type ORDER BY day) AS el
+        |  FROM e),
+        |f AS (
+        |  SELECT event_type, MAX(n) AS n,
+        |    MAX(slope_micro) AS slope_micro,
+        |    SUM(eem * eem) AS see,
+        |    SUM(CASE WHEN el IS NOT NULL
+        |      THEN (eem - el) * (eem - el) END) AS sdd
+        |  FROM l GROUP BY event_type)
+        |SELECT event_type, n, slope_micro,
+        |  CAST((sdd * 1000) // see AS BIGINT) AS dw_milli
+        |FROM f WHERE see > 0 ORDER BY event_type""".stripMargin,
     "q_stats_mood" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

@@ -718,7 +718,56 @@ object TextOps {
       .orderBy("true_lang", "pred_lang")
   }
 
+  /** #345 TextRank keywords (Mihalcea & Tarau 2004): PageRank over the
+    * word-adjacency co-occurrence graph — token bigrams become
+    * weighted undirected edges, 3 damped integer-micro rounds rank the
+    * vocabulary, top-20 out. The GLOBAL-graph complement to
+    * [[textRake]]'s per-phrase degree scoring: RAKE asks "which words
+    * anchor long phrases", TextRank "which words sit central in the
+    * co-occurrence network".
+    *
+    * Exactness: edge weights are exact bigram counts; each round is
+    * r' = 0.15 + 0.85·Σ (r·w_uv) div W_u in integer micro (the
+    * [[graft.operators.GraphOps.pageRank]] recurrence, weighted);
+    * top-20 by (rank DESC, word). Scale: bigrams from ONE lead window
+    * per doc (no self-join); the word graph is vocab²-bounded; rounds
+    * localCheckpoint so lineage stays flat.
+    */
+  def textTextrank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+    val bigrams = toks.withColumn("next", lead(col("token"), 1).over(w))
+      .filter(col("next").isNotNull && col("next") =!= col("token"))
+      .select(least(col("token"), col("next")).as("w1"),
+        greatest(col("token"), col("next")).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("wt"))
+    val sym = bigrams.select(col("w1").as("u"), col("w2").as("v"), col("wt"))
+      .unionByName(bigrams.select(col("w2").as("u"), col("w1").as("v"),
+        col("wt")))
+      .localCheckpoint()
+    val wu = sym.groupBy("u").agg(sum(col("wt")).as("wu"))
+    val symWu = sym.join(wu, Seq("u")).localCheckpoint()
+    var ranks = wu.select(col("u").as("node"), lit(1000000L).as("r"))
+      .localCheckpoint()
+    (1 to 3).foreach { _ =>
+      ranks = symWu
+        .join(ranks.select(col("node").as("u"), col("r")), Seq("u"))
+        .select(col("v"), expr("(r * wt) div wu").as("c"))
+        .groupBy(col("v").as("node"))
+        .agg(sum(col("c")).as("in_mass"))
+        .select(col("node"),
+          (lit(150000L) + expr("(85 * in_mass) div 100")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.orderBy(desc("r"), asc("node")).limit(20)
+      .select(col("node").as("token"), col("r").as("rank_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_textrank" -> (textTextrank _),
     "q_ml_naive_bayes" -> (mlNaiveBayes _),
     "q_text_style_delta" -> (textStyleDelta _),
     "q_text_vocab_overlap" -> (textVocabOverlap _),
@@ -747,6 +796,46 @@ object TextOps {
     "q_text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_text_textrank" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |    unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT * FROM toks WHERE token <> ''),
+        |bg AS (
+        |  SELECT token,
+        |    lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS next
+        |  FROM t2),
+        |e AS (
+        |  SELECT least(token, next) AS w1, greatest(token, next) AS w2,
+        |    COUNT(*) AS wt
+        |  FROM bg WHERE next IS NOT NULL AND next <> token
+        |  GROUP BY 1, 2),
+        |sym AS (SELECT w1 AS u, w2 AS v, wt FROM e
+        |        UNION ALL SELECT w2, w1, wt FROM e),
+        |wu AS (SELECT u, CAST(SUM(wt) AS BIGINT) AS wu FROM sym GROUP BY u),
+        |r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM wu),
+        |r1 AS (
+        |  SELECT s.v AS node,
+        |    CAST(150000 + (85 * SUM((r.r * s.wt) // w.wu)) // 100
+        |      AS BIGINT) AS r
+        |  FROM sym s JOIN wu w USING (u) JOIN r0 r ON r.node = s.u
+        |  GROUP BY s.v),
+        |r2 AS (
+        |  SELECT s.v AS node,
+        |    CAST(150000 + (85 * SUM((r.r * s.wt) // w.wu)) // 100
+        |      AS BIGINT) AS r
+        |  FROM sym s JOIN wu w USING (u) JOIN r1 r ON r.node = s.u
+        |  GROUP BY s.v),
+        |r3 AS (
+        |  SELECT s.v AS node,
+        |    CAST(150000 + (85 * SUM((r.r * s.wt) // w.wu)) // 100
+        |      AS BIGINT) AS r
+        |  FROM sym s JOIN wu w USING (u) JOIN r2 r ON r.node = s.u
+        |  GROUP BY s.v)
+        |SELECT node AS token, r AS rank_micro
+        |FROM r3 ORDER BY r DESC, node ASC LIMIT 20""".stripMargin,
     "q_ml_naive_bayes" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token

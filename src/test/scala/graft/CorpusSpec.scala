@@ -254,6 +254,29 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("textTextrank matches a driver weighted-PageRank replay") {
+    val got = operators.TextOps.textTextrank(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("rank_micro")))
+    val docs = Tables.documents(spark, sfDir).select("text").collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty).toSeq)
+    val bigrams = docs.flatMap(ts => ts.zip(ts.drop(1)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sym = bigrams.toSeq.flatMap { case ((a, b), w) =>
+      Seq((a, b, w), (b, a, w)) }
+    val wu = sym.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var ranks = wu.keys.map(_ -> 1000000L).toMap
+    (1 to 3).foreach { _ =>
+      ranks = sym.groupBy(_._2).view.mapValues { es =>
+        val inMass = es.map(e => ranks(e._1) * e._3 / wu(e._1)).sum
+        150000L + 85 * inMass / 100
+      }.toMap
+    }
+    val expected = ranks.toSeq.sortBy { case (t, r) => (-r, t) }.take(20)
+    assert(got.toSeq === expected)
+  }
+
   test("mlNaiveBayes matches an exact driver NB replay and beats the prior") {
     val got = operators.TextOps.mlNaiveBayes(spark, sfDir).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getAs[Long]("n"))).toMap

@@ -365,6 +365,37 @@ class InferenceSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("durbinWatson matches a staged-residual BigInt replay") {
+    val rows = operators.InferenceOps.durbinWatson(spark, sfDir).collect()
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getLong(2))).groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val xs = daily(et).sortBy(_._2).map(_._3)
+      val pairs = xs.zip(xs.drop(1)).map { case (p, x) =>
+        (BigInt(p), BigInt(x) - p) }
+      val n = BigInt(pairs.length)
+      val sz = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val szy = pairs.map(p => p._1 * p._2).sum
+      val szz = pairs.map(p => p._1 * p._1).sum
+      val slope = ((n * szy - sz * sy) * 1000000) / (n * szz - sz * sz)
+      val c = (1000000 * sy - slope * sz) / n
+      val eem = pairs.map { case (z, y) =>
+        (1000000 * y - slope * z - c) / 1000 }
+      val see = eem.map(e => e * e).sum
+      val sdd = eem.zip(eem.drop(1)).map { case (a, b) => (b - a) * (b - a) }.sum
+      assert(r.getAs[Long]("slope_micro") === slope.toLong, s"slope $et")
+      assert(r.getAs[Long]("dw_milli") === ((sdd * 1000) / see).toLong,
+        s"dw for $et")
+      assert(r.getAs[Long]("dw_milli") >= 0 &&
+        r.getAs[Long]("dw_milli") <= 4000, s"dw range for $et")
+    }
+  }
+
   test("moodMedian matches a driver doubled-median contingency replay") {
     val r = operators.InferenceOps.moodMedian(spark, sfDir).collect()(0)
     val daily = Tables.events(spark, sfDir)
