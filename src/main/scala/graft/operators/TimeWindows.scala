@@ -610,6 +610,43 @@ object TimeWindows {
       .orderBy("day")
   }
 
+  /** #347 Page-Hinkley drift statistic per event type on the daily
+    * mass series: PH_t = Σ(x_i − μ_i) against its running minimum —
+    * the classic sequential change detector (Page 1954) whose batch
+    * twin this is; where [[tsCusum]] tracks deviation from a FIXED
+    * reference, Page-Hinkley self-references the RUNNING mean, so it
+    * fires on drift the fixed-reference chart normalizes away.
+    *
+    * Exactness: the running mean stages as C_t div t (truncating,
+    * mirrored); deviations, cumulative PH, running min, and the max
+    * gap are exact integer window folds; the drift flag compares the
+    * max gap to one average day's mass — a data-free relative
+    * threshold. Scale: three type-partitioned cumulative windows over
+    * the |days|-bounded daily relation.
+    */
+  def tsPageHinkley(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .withColumn("t", count(lit(1)).over(wCum))
+      .withColumn("c", sum(col("x")).over(wCum))
+      .withColumn("dev", expr("x - c div t"))
+      .withColumn("ph", sum(col("dev")).over(wCum))
+      .withColumn("ph_min", min(col("ph")).over(wCum))
+      .groupBy("event_type")
+      .agg(max(col("t")).as("n_days"),
+        max(col("ph") - col("ph_min")).as("ph_max"),
+        max(struct(col("t"), expr("c div t").as("m"))).getField("m")
+          .as("mean_daily"))
+      .select(col("event_type"), col("n_days"), col("ph_max"),
+        col("mean_daily"),
+        (col("ph_max") > col("mean_daily")).as("drift_flag"))
+      .orderBy("event_type")
+  }
+
   /** #343 Monthly fulfillment-latency profile: per order month
     * the lineitem count, mean days order→ship in milli, and the EXACT
     * p50/p90 order statistics — the operations SLA readout (is
@@ -1130,6 +1167,7 @@ object TimeWindows {
     "q_ts_adf" -> (tsAdf _),
     "q_ts_backlog" -> (tsBacklog _),
     "q_ts_fulfillment" -> (tsFulfillment _),
+    "q_ts_page_hinkley" -> (tsPageHinkley _),
     "q_win_obv" -> (winObv _),
     "q_win_rsi" -> (winRsi _),
     "q_ts_pacf" -> (tsPacf _),
@@ -1161,6 +1199,38 @@ object TimeWindows {
     "q_window_session" -> (windowSession _))
 
   val oracles: Map[String, String] = Map(
+    "q_ts_page_hinkley" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, day, x,
+        |    COUNT(*) OVER r AS t, CAST(SUM(x) OVER r AS BIGINT) AS c
+        |  FROM daily
+        |  WINDOW r AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |d AS (SELECT event_type, day, t, c, x - c // t AS dev FROM c),
+        |p AS (
+        |  SELECT event_type, day, t, c,
+        |    CAST(SUM(dev) OVER r AS BIGINT) AS ph
+        |  FROM d
+        |  WINDOW r AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (
+        |  SELECT event_type, t, c, ph,
+        |    MIN(ph) OVER r AS ph_min
+        |  FROM p
+        |  WINDOW r AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (
+        |  SELECT event_type, MAX(t) AS n_days,
+        |    CAST(MAX(ph - ph_min) AS BIGINT) AS ph_max,
+        |    CAST(arg_max(c // t, t) AS BIGINT) AS mean_daily
+        |  FROM m GROUP BY event_type)
+        |SELECT event_type, n_days, ph_max, mean_daily,
+        |  ph_max > mean_daily AS drift_flag
+        |FROM g ORDER BY event_type""".stripMargin,
     "q_ts_fulfillment" ->
       """WITH lat AS (
         |  SELECT date_trunc('month', o.o_orderdate) AS month,

@@ -860,6 +860,32 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("tsPageHinkley matches a driver sequential fold") {
+    val rows = operators.TimeWindows.tsPageHinkley(spark, sfDir).collect()
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getLong(2))).groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val xs = daily(et).sortBy(_._2).map(_._3)
+      var c = 0L; var ph = 0L; var phMin = Long.MaxValue
+      var gapMax = Long.MinValue; var mean = 0L
+      xs.zipWithIndex.foreach { case (x, i) =>
+        c += x; mean = c / (i + 1)
+        ph += x - mean
+        phMin = math.min(phMin, ph)
+        gapMax = math.max(gapMax, ph - phMin)
+      }
+      assert(r.getAs[Long]("n_days") === xs.length.toLong)
+      assert(r.getAs[Long]("ph_max") === gapMax, s"ph for $et")
+      assert(r.getAs[Long]("mean_daily") === mean, s"mean for $et")
+      assert(r.getAs[Boolean]("drift_flag") === (gapMax > mean))
+    }
+  }
+
   test("tsFulfillment percentiles are exact order statistics per month") {
     val rows = operators.TimeWindows.tsFulfillment(spark, sfDir).collect()
     val lat = Tables.lineitem(spark, sfDir)
