@@ -512,7 +512,42 @@ object EventOps {
       .orderBy("from_type", "to_type")
   }
 
+  /** #348 Time-bounded conversion funnel: first view → first click
+    * within 3 days OF THAT VIEW → first purchase within 7 days of that
+    * click — the product-metric form of [[funnel]], whose unbounded
+    * predicate credits conversions weeks later. The windowed variant
+    * needs TWO-PHASE mins: the relevant click is the first one INSIDE
+    * the window after the user's first view, which a single-pass
+    * conditional min cannot express (the overall-first click may
+    * precede the view).
+    *
+    * Exactness: epoch-second integer comparisons only. Scale: three
+    * user-keyed aggregates chained by user-co-partitioned joins —
+    * shuffle volume is #users at every stage, never #events; the
+    * final row is a crossJoin of 1-row aggregates.
+    */
+  def funnelWindowed(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("long").as("t"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("t")).as("tv"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("t") > col("tv") && col("t") <= col("tv") + 259200L)
+      .groupBy("user_id").agg(min(col("t")).as("tc"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("t") > col("tc") && col("t") <= col("tc") + 604800L)
+      .groupBy("user_id").agg(min(col("t")).as("tp"))
+    ev.agg(countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(v.agg(count(lit(1)).as("n_view")))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_3d")))
+      .crossJoin(p.agg(count(lit(1)).as("n_buy_7d")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_windowed" -> (funnelWindowed _),
     "q_markov_stationary" -> (markovStationary _),
     "q_event_dwell" -> (eventDwell _),
     "q_win_streaks" -> (winStreaks _),
@@ -566,6 +601,31 @@ object EventOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_funnel_windowed" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t
+        |  FROM events),
+        |v AS (
+        |  SELECT user_id, MIN(t) AS tv FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.t) AS tc
+        |  FROM ev e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.t > v.tv
+        |    AND e.t <= v.tv + 259200
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.t) AS tp
+        |  FROM ev e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.t > c.tc
+        |    AND e.t <= c.tc + 604800
+        |  GROUP BY e.user_id)
+        |SELECT
+        |  (SELECT COUNT(DISTINCT user_id) FROM ev) AS n_users,
+        |  (SELECT COUNT(*) FROM v) AS n_view,
+        |  (SELECT COUNT(*) FROM c) AS n_click_3d,
+        |  (SELECT COUNT(*) FROM p) AS n_buy_7d""".stripMargin,
     "q_markov_stationary" -> markovOracleSql,
     "q_event_dwell" ->
       """WITH seq AS (

@@ -823,6 +823,54 @@ object InferenceOps {
           .as("f_milli"))
   }
 
+  /** #349 Kendall's W (coefficient of concordance) across event types
+    * over the shared daily calendar: do the k types agree on WHICH
+    * days are big? — the multi-judge rank-agreement statistic (types
+    * are judges, common days are objects), with the χ² significance
+    * transform k(n−1)W. High W says one market-wide driver moves all
+    * streams; low W says the streams are idiosyncratic.
+    *
+    * Exactness: tie-aware average ranks in HALF-RANK integers from
+    * ONE pass (2·rank() + tie_count − 1, the [[kruskalWallis]] unit
+    * trick); Σ(R2_d − k(n+1))² folds the doubling into W = 3·S2/
+    * (k²(n³−n) − k·ΣT); one truncating ppm division. Objects are the
+    * days EVERY type reports (complete-block requirement). Scale:
+    * rank windows partition by type; the day rollup is calendar-
+    * bounded.
+    */
+  def kendallW(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+    val k1 = daily.agg(countDistinct(col("event_type")).as("k"))
+    val common = daily.groupBy("day").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(k1)).filter(col("c") === col("k"))
+      .select("day")
+    val block = daily.join(common, Seq("day"))
+    val wRank = Window.partitionBy("event_type").orderBy("x")
+    val wTie = Window.partitionBy("event_type", "x")
+    val ranked = block
+      .withColumn("r2",
+        lit(2) * rank().over(wRank) + count(lit(1)).over(wTie) - 1)
+    val ties = block.groupBy("event_type", "x")
+      .agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
+    val perDay = ranked.groupBy("day").agg(sum(col("r2")).as("r2d"))
+    val n1 = perDay.agg(count(lit(1)).as("n"))
+    perDay.crossJoin(broadcast(n1)).crossJoin(broadcast(k1))
+      .withColumn("dev", col("r2d") - col("k") * (col("n") + 1))
+      .agg(max(col("k")).as("k"), max(col("n")).as("n_days"),
+        sum(col("dev") * col("dev")).as("s2"))
+      .crossJoin(broadcast(ties))
+      .withColumn("denom",
+        expr("k * k * (n_days * n_days * n_days - n_days) - k * tsum"))
+      .filter(col("denom") > 0)
+      .select(col("k"), col("n_days"),
+        expr("cast((3 * s2 * 1000000) div denom as long)").as("w_ppm"))
+      .withColumn("chi2_milli",
+        expr("cast((k * (n_days - 1) * w_ppm) div 1000 as long)"))
+  }
+
   /** #346 Durbin-Watson statistic on the [[TimeWindows.tsAdf]] lag-1
     * regression residuals per event type: DW = Σ(e_t − e_{t−1})²/Σe_t²
     * — is the REGRESSION MISSPECIFIED (residuals still serially
@@ -1025,6 +1073,7 @@ object InferenceOps {
     "q_stats_tukey" -> (tukeyHsd _),
     "q_stats_mood" -> (moodMedian _),
     "q_stats_dw" -> (durbinWatson _),
+    "q_stats_kendall_w" -> (kendallW _),
     "q_stats_levene" -> (leveneBF _),
     "q_stats_kruskal" -> (kruskalWallis _),
     "q_stats_cohens_d" -> (cohensD _),
@@ -1110,6 +1159,43 @@ object InferenceOps {
       |FROM t""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_stats_kendall_w" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |k1 AS (SELECT COUNT(DISTINCT event_type) AS k FROM daily),
+        |common AS (
+        |  SELECT day FROM daily GROUP BY day
+        |  HAVING COUNT(*) = (SELECT k FROM k1)),
+        |block AS (SELECT d.* FROM daily d JOIN common USING (day)),
+        |rk AS (
+        |  SELECT event_type, day,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+        |      + COUNT(*) OVER (PARTITION BY event_type, x) - 1 AS r2
+        |  FROM block),
+        |ties AS (
+        |  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tsum FROM (
+        |    SELECT COUNT(*) AS t FROM block GROUP BY event_type, x)),
+        |pd AS (SELECT day, CAST(SUM(r2) AS BIGINT) AS r2d
+        |       FROM rk GROUP BY day),
+        |n1 AS (SELECT COUNT(*) AS n FROM pd),
+        |s AS (
+        |  SELECT (SELECT k FROM k1) AS k, (SELECT n FROM n1) AS n_days,
+        |    CAST(SUM((r2d - (SELECT k FROM k1) * ((SELECT n FROM n1) + 1))
+        |      * (r2d - (SELECT k FROM k1) * ((SELECT n FROM n1) + 1)))
+        |      AS BIGINT) AS s2
+        |  FROM pd),
+        |f AS (
+        |  SELECT k, n_days, s2,
+        |    k * k * (n_days * n_days * n_days - n_days)
+        |      - k * (SELECT tsum FROM ties) AS denom
+        |  FROM s)
+        |SELECT k, n_days,
+        |  CAST((3 * s2 * 1000000) // denom AS BIGINT) AS w_ppm,
+        |  CAST((k * (n_days - 1) * ((3 * s2 * 1000000) // denom)) // 1000
+        |    AS BIGINT) AS chi2_milli
+        |FROM f WHERE denom > 0""".stripMargin,
     "q_stats_dw" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

@@ -610,6 +610,86 @@ object TimeWindows {
       .orderBy("day")
   }
 
+  /** #350 Engle-Granger cointegration step on the two largest event
+    * streams: regress stream A's daily mass on stream B's, then run
+    * the [[tsAdf]] unit-root test ON THE RESIDUALS — correlated
+    * trending series are everywhere; cointegration asks the stronger
+    * question of whether a LINEAR COMBINATION is stationary (a real
+    * long-run equilibrium, the pairs-trading / shared-driver read).
+    * Residual-based DF uses the stricter ~−3.34 critical value, i.e.
+    * t² > 11156 milli.
+    *
+    * Exactness: the pair picks deterministically ((total DESC, name)
+    * twice); the cointegrating slope is the staged micro ladder; the
+    * residuals stage exactly as [[InferenceOps.durbinWatson]] (per-n
+    * intercept, milli de-scale); the residual DF t² is the tsAdf
+    * ladder again. Scale: the joined pair series is calendar-bounded,
+    * so its two global windows are the documented drawdown exception;
+    * the 1-row moment relations broadcast.
+    */
+  def tsEngleGranger(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+    val tot = daily.groupBy("event_type")
+      .agg(sum(col("x").cast(DecimalType(38, 0))).as("tot"))
+    val ta = tot.orderBy(desc("tot"), asc("event_type")).limit(1)
+      .select(col("event_type").as("type_a"))
+    val tb = tot.orderBy(desc("tot"), asc("event_type")).limit(2)
+      .orderBy(asc("tot"), desc("event_type")).limit(1)
+      .select(col("event_type").as("type_b"))
+    val pair = daily.join(broadcast(ta), col("event_type") === col("type_a"))
+      .select(col("day"), col("x").as("ya"))
+      .join(daily.join(broadcast(tb), col("event_type") === col("type_b"))
+        .select(col("day"), col("x").as("yb")), Seq("day"))
+    val m = pair.agg(count(lit(1)).as("n"),
+        sum(col("ya").cast(DecimalType(38, 0))).as("sy"),
+        sum(col("yb").cast(DecimalType(38, 0))).as("sz"),
+        sum(col("yb").cast(DecimalType(38, 0)) * col("ya")).as("szy"),
+        sum(col("yb").cast(DecimalType(38, 0)) * col("yb")).as("szz"))
+      .withColumn("Sxx", expr("n * szz - sz * sz"))
+      .withColumn("Sxy", expr("n * szy - sz * sy"))
+      .filter(col("Sxx") =!= 0)
+      .withColumn("slope_micro",
+        expr("cast((Sxy * 1000000) div Sxx as long)"))
+      .select("n", "sy", "sz", "slope_micro")
+    val wd = Window.orderBy("day")
+    val resid = pair.crossJoin(broadcast(m))
+      .withColumn("eem",
+        expr("cast((1000000 * ya - slope_micro * yb - " +
+          "cast((1000000 * sy - slope_micro * sz) div n as long)) " +
+          "div 1000 as long)"))
+      .withColumn("el", lag(col("eem"), 1).over(wd))
+      .filter(col("el").isNotNull)
+      .select(col("slope_micro"),
+        col("el").cast(DecimalType(38, 0)).as("z"),
+        (col("eem") - col("el")).cast(DecimalType(38, 0)).as("y"))
+    resid.groupBy("slope_micro")
+      .agg(count(lit(1)).as("n"),
+        sum(col("z")).as("sz"), sum(col("y")).as("sy"),
+        sum(col("z") * col("y")).as("szy"),
+        sum(col("z") * col("z")).as("szz"),
+        sum(col("y") * col("y")).as("sy2"))
+      .withColumn("Sxx", expr("n * szz - sz * sz"))
+      .withColumn("Sxy", expr("n * szy - sz * sy"))
+      .withColumn("Syy", expr("n * sy2 - sy * sy"))
+      .filter(col("Sxx") =!= 0 && col("Syy") =!= 0 && col("n") > 2)
+      .withColumn("adf_slope_micro",
+        expr("cast((Sxy * 1000000) div Sxx as long)"))
+      .withColumn("r2_ppm",
+        expr("cast((((Sxy * 1000000) div Sxx) * Sxy) div Syy as long)"))
+      .filter(col("r2_ppm") < 1000000)
+      .withColumn("adf_t2_milli",
+        expr("cast(((n - 2) * r2_ppm * 1000) div (1000000 - r2_ppm) " +
+          "as long)"))
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col("type_a"), col("type_b"), col("n").as("n_diffs"),
+        col("slope_micro"), col("adf_slope_micro"), col("adf_t2_milli"),
+        (col("adf_slope_micro") < 0 && col("adf_t2_milli") > 11156L)
+          .as("cointegrated_05"))
+  }
+
   /** #347 Page-Hinkley drift statistic per event type on the daily
     * mass series: PH_t = Σ(x_i − μ_i) against its running minimum —
     * the classic sequential change detector (Page 1954) whose batch
@@ -1168,6 +1248,7 @@ object TimeWindows {
     "q_ts_backlog" -> (tsBacklog _),
     "q_ts_fulfillment" -> (tsFulfillment _),
     "q_ts_page_hinkley" -> (tsPageHinkley _),
+    "q_ts_engle_granger" -> (tsEngleGranger _),
     "q_win_obv" -> (winObv _),
     "q_win_rsi" -> (winRsi _),
     "q_ts_pacf" -> (tsPacf _),
@@ -1199,6 +1280,73 @@ object TimeWindows {
     "q_window_session" -> (windowSession _))
 
   val oracles: Map[String, String] = Map(
+    "q_ts_engle_granger" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, SUM(CAST(x AS HUGEINT)) AS tot
+        |        FROM daily GROUP BY 1),
+        |ta AS (SELECT event_type AS type_a FROM tot
+        |       ORDER BY tot DESC, event_type ASC LIMIT 1),
+        |tb AS (SELECT event_type AS type_b FROM (
+        |    SELECT * FROM tot ORDER BY tot DESC, event_type ASC LIMIT 2) t
+        |  ORDER BY tot ASC, event_type DESC LIMIT 1),
+        |pair AS (
+        |  SELECT a.day, a.x AS ya, b.x AS yb
+        |  FROM daily a JOIN daily b USING (day)
+        |  WHERE a.event_type = (SELECT type_a FROM ta)
+        |    AND b.event_type = (SELECT type_b FROM tb)),
+        |m AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(CAST(ya AS HUGEINT)) AS sy, SUM(CAST(yb AS HUGEINT)) AS sz,
+        |    SUM(CAST(yb AS HUGEINT) * ya) AS szy,
+        |    SUM(CAST(yb AS HUGEINT) * yb) AS szz
+        |  FROM pair),
+        |m2 AS (
+        |  SELECT n, sy, sz,
+        |    CAST(((n * szy - sz * sy) * 1000000)
+        |      // (n * szz - sz * sz) AS BIGINT) AS slope_micro
+        |  FROM m WHERE n * szz - sz * sz <> 0),
+        |r AS (
+        |  SELECT p.day,
+        |    CAST((1000000 * p.ya - m2.slope_micro * p.yb
+        |      - CAST((1000000 * m2.sy - m2.slope_micro * m2.sz) // m2.n
+        |        AS BIGINT)) // 1000 AS BIGINT) AS eem,
+        |    m2.slope_micro
+        |  FROM pair p CROSS JOIN m2),
+        |l AS (
+        |  SELECT slope_micro, eem, lag(eem) OVER (ORDER BY day) AS el
+        |  FROM r),
+        |g AS (
+        |  SELECT slope_micro, COUNT(*) AS n,
+        |    SUM(CAST(el AS HUGEINT)) AS sz,
+        |    SUM(CAST(eem - el AS HUGEINT)) AS sy,
+        |    SUM(CAST(el AS HUGEINT) * (eem - el)) AS szy,
+        |    SUM(CAST(el AS HUGEINT) * el) AS szz,
+        |    SUM(CAST(eem - el AS HUGEINT) * (eem - el)) AS sy2
+        |  FROM l WHERE el IS NOT NULL GROUP BY slope_micro),
+        |f AS (
+        |  SELECT slope_micro, n,
+        |    n * szz - sz * sz AS Sxx, n * szy - sz * sy AS Sxy,
+        |    n * sy2 - sy * sy AS Syy
+        |  FROM g WHERE n > 2 AND n * szz - sz * sz <> 0
+        |    AND n * sy2 - sy * sy <> 0),
+        |f2 AS (
+        |  SELECT slope_micro, n,
+        |    CAST((Sxy * 1000000) // Sxx AS BIGINT) AS adf_slope_micro,
+        |    CAST((((Sxy * 1000000) // Sxx) * Sxy) // Syy AS BIGINT)
+        |      AS r2_ppm
+        |  FROM f)
+        |SELECT (SELECT type_a FROM ta) AS type_a,
+        |  (SELECT type_b FROM tb) AS type_b,
+        |  n AS n_diffs, slope_micro, adf_slope_micro,
+        |  CAST(((n - 2) * r2_ppm * 1000) // (1000000 - r2_ppm) AS BIGINT)
+        |    AS adf_t2_milli,
+        |  (adf_slope_micro < 0 AND
+        |   ((n - 2) * r2_ppm * 1000) // (1000000 - r2_ppm) > 11156)
+        |    AS cointegrated_05
+        |FROM f2 WHERE r2_ppm < 1000000""".stripMargin,
     "q_ts_page_hinkley" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

@@ -365,6 +365,41 @@ class InferenceSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("kendallW matches a driver half-rank concordance replay") {
+    val r = operators.InferenceOps.kendallW(spark, sfDir).collect()(0)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .collect().map(row => (row.getString(0), row.getTimestamp(1).getTime,
+        row.getLong(2)))
+    val k = daily.map(_._1).distinct.size
+    val commonDays = daily.groupBy(_._2).collect {
+      case (d, es) if es.size == k => d }.toSet
+    val block = daily.filter(e => commonDays(e._2))
+    val n = commonDays.size.toLong
+    // half-ranks per type
+    val r2of = block.groupBy(_._1).view.mapValues { es =>
+      val xs = es.map(_._3)
+      es.map(e => e._2 ->
+        (2L * (xs.count(_ < e._3) + 1) + xs.count(_ == e._3) - 1)).toMap
+    }.toMap
+    val s2 = commonDays.toSeq.map { d =>
+      val r2d = r2of.values.map(_(d)).sum
+      val dev = BigInt(r2d) - k * (n + 1)
+      dev * dev
+    }.sum
+    val tsum = block.groupBy(_._1).values.flatMap(
+      _.groupBy(_._3).values.map { g =>
+        val t = BigInt(g.size); t * t * t - t }).sum
+    val denom = BigInt(k) * k * (BigInt(n) * n * n - n) - k * tsum
+    val w = (3 * s2 * 1000000) / denom
+    assert(r.getAs[Long]("k") === k.toLong)
+    assert(r.getAs[Long]("n_days") === n)
+    assert(r.getAs[Long]("w_ppm") === w.toLong)
+    assert(w >= 0 && w <= 1000000, s"W out of [0,1]: $w")
+    assert(r.getAs[Long]("chi2_milli") === (k * (n - 1) * w / 1000).toLong)
+  }
+
   test("durbinWatson matches a staged-residual BigInt replay") {
     val rows = operators.InferenceOps.durbinWatson(spark, sfDir).collect()
     val daily = Tables.events(spark, sfDir)

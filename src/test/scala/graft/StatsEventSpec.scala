@@ -860,6 +860,79 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("funnelWindowed matches a driver replay and is within the plain funnel") {
+    val r = operators.EventOps.funnelWindowed(spark, sfDir).collect()(0)
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts").cast("long"))
+      .collect().map(e => (e.getLong(0), e.getString(1), e.getLong(2)))
+      .groupBy(_._1)
+    var nView = 0L; var nClick = 0L; var nBuy = 0L
+    evs.values.foreach { us =>
+      val views = us.collect { case (_, "view", t) => t }
+      if (views.nonEmpty) {
+        nView += 1
+        val tv = views.min
+        val clicks = us.collect { case (_, "click", t)
+          if t > tv && t <= tv + 259200 => t }
+        if (clicks.nonEmpty) {
+          nClick += 1
+          val tc = clicks.min
+          if (us.exists { case (_, et, t) =>
+            et == "purchase" && t > tc && t <= tc + 604800 }) nBuy += 1
+        }
+      }
+    }
+    assert(r.getAs[Long]("n_users") === evs.size.toLong)
+    assert(r.getAs[Long]("n_view") === nView)
+    assert(r.getAs[Long]("n_click_3d") === nClick)
+    assert(r.getAs[Long]("n_buy_7d") === nBuy)
+    assert(nView >= nClick && nClick >= nBuy)
+  }
+
+  test("tsEngleGranger picks the two largest streams and replays exactly") {
+    val r = operators.TimeWindows.tsEngleGranger(spark, sfDir).collect()(0)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .collect().map(row => (row.getString(0), row.getTimestamp(1).getTime,
+        row.getLong(2)))
+    val totals = daily.groupBy(_._1).view
+      .mapValues(_.map(e => BigInt(e._3)).sum).toMap
+    val sorted = totals.toSeq.sortBy { case (t, v) => (-v, t) }
+    val (typeA, typeB) = (sorted(0)._1, sorted(1)._1)
+    assert(r.getString(0) === typeA && r.getString(1) === typeB)
+    val byDay = daily.groupBy(_._2)
+    val pair = byDay.collect { case (d, es)
+      if es.exists(_._1 == typeA) && es.exists(_._1 == typeB) =>
+        (d, BigInt(es.find(_._1 == typeA).get._3),
+          BigInt(es.find(_._1 == typeB).get._3))
+    }.toSeq.sortBy(_._1)
+    val n = BigInt(pair.length)
+    val sy = pair.map(_._2).sum; val sz = pair.map(_._3).sum
+    val szy = pair.map(p => p._3 * p._2).sum
+    val szz = pair.map(p => p._3 * p._3).sum
+    val slope = ((n * szy - sz * sy) * 1000000) / (n * szz - sz * sz)
+    assert(r.getAs[Long]("slope_micro") === slope.toLong)
+    val c = (1000000 * sy - slope * sz) / n
+    val eem = pair.map { case (_, ya, yb) =>
+      (1000000 * ya - slope * yb - c) / 1000 }
+    val ps = eem.zip(eem.drop(1)).map { case (a, b) => (a, b - a) }
+    val n2 = BigInt(ps.length)
+    val sz2 = ps.map(_._1).sum; val sy2 = ps.map(_._2).sum
+    val szy2 = ps.map(p => p._1 * p._2).sum
+    val szz2 = ps.map(p => p._1 * p._1).sum
+    val syy2 = ps.map(p => p._2 * p._2).sum
+    val sxx = n2 * szz2 - sz2 * sz2; val sxy = n2 * szy2 - sz2 * sy2
+    val syy = n2 * syy2 - sy2 * sy2
+    val aSlope = (sxy * 1000000) / sxx
+    val r2 = (aSlope * sxy) / syy
+    val t2 = ((n2 - 2) * r2 * 1000) / (1000000 - r2)
+    assert(r.getAs[Long]("adf_slope_micro") === aSlope.toLong)
+    assert(r.getAs[Long]("adf_t2_milli") === t2.toLong)
+    assert(r.getAs[Boolean]("cointegrated_05") ===
+      (aSlope < 0 && t2 > 11156))
+  }
+
   test("tsPageHinkley matches a driver sequential fold") {
     val rows = operators.TimeWindows.tsPageHinkley(spark, sfDir).collect()
     val daily = Tables.events(spark, sfDir)
