@@ -529,7 +529,40 @@ object ClusterOps {
       .orderBy("aid")
   }
 
+  /** #353 Hubness profile of the embedding space: which vectors appear
+    * most often in OTHER points' k=5 nearest-neighbor lists (over the
+    * deterministic 1-in-25 anchor slice) — high-dimensional spaces
+    * concentrate neighborhoods onto a few "hub" points (Radovanović
+    * 2010), and hub-dominated kNN silently degrades retrieval,
+    * [[embedTriplets]] mining, and [[graft.operators.SimilarityOps]]
+    * ANN recall. The top-15 hub list is the first thing to inspect
+    * when kNN quality drifts.
+    *
+    * Exactness: exact int64 squared-L2 (the [[assign]] kernel), top-5
+    * per anchor by the (d, vec_id) total order, exact occurrence
+    * counts, top-15 by (hits, id). Scale: anchors broadcast (the
+    * triplet-mining argument — per-batch slices, never all-pairs);
+    * one anchor-partitioned window + a vector-keyed count.
+    */
+  def embedHubness(s: SparkSession, dir: String): DataFrame = {
+    val base = quantized(s, dir)
+    val anchors = base.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("aid"), col("q").as("aq"))
+    val dist = aggregate(
+      zip_with(col("aq"), col("q"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val w = Window.partitionBy("aid").orderBy("d", "vec_id")
+    base.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("aid"))
+      .select(col("aid"), col("vec_id"), dist.as("d"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .groupBy("vec_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy(desc("n_hits"), asc("vec_id")).limit(15)
+      .select(col("vec_id").as("hub_id"), col("n_hits"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_hubness" -> (embedHubness _),
     "q_embed_triplets" -> (embedTriplets _),
     "q_embed_silhouette" -> (embedSilhouette _),
     "q_embed_pq_adc" -> (embedPqAdc _),
@@ -557,6 +590,33 @@ object ClusterOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_embed_hubness" ->
+      """WITH base AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |anch AS (
+        |  SELECT vec_id AS aid, q AS aq FROM base WHERE vec_id % 25 = 0),
+        |dims AS (
+        |  SELECT b.vec_id, a.aid,
+        |    unnest(a.aq) AS av, unnest(b.q) AS bv
+        |  FROM base b CROSS JOIN anch a
+        |  WHERE b.vec_id <> a.aid),
+        |pairs AS (
+        |  SELECT aid, vec_id,
+        |    CAST(SUM((av - bv) * (av - bv)) AS BIGINT) AS d
+        |  FROM dims GROUP BY aid, vec_id),
+        |top5 AS (
+        |  SELECT vec_id FROM (
+        |    SELECT aid, vec_id,
+        |      row_number() OVER (PARTITION BY aid ORDER BY d, vec_id)
+        |        AS rn
+        |    FROM pairs)
+        |  WHERE rn <= 5)
+        |SELECT vec_id AS hub_id, COUNT(*) AS n_hits
+        |FROM top5 GROUP BY vec_id
+        |ORDER BY n_hits DESC, hub_id ASC LIMIT 15""".stripMargin,
     "q_embed_triplets" ->
       """WITH base AS (
         |  SELECT vec_id, label,

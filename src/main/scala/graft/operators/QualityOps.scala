@@ -464,7 +464,50 @@ object QualityOps {
       .orderBy("event_type")
   }
 
+  /** #352 Referential-integrity orphan audit over the full FK chain
+    * (lineitem→orders, lineitem→part, lineitem→supplier,
+    * orders→customer, customer→nation, supplier→nation,
+    * nation→region): per edge the child count and orphan count — the
+    * first DQ gate on any warehouse load, and the PROOF of zero
+    * orphans is as valuable as a catch (asserting the fixture's FK
+    * guarantees instead of assuming them).
+    *
+    * Exactness: pure left-anti-join counts. Scale: each edge is one
+    * key-partitioned anti-join (dims broadcast at any sf where they
+    * fit; the child side streams); the result is 7 rows regardless of
+    * corpus size.
+    */
+  def dqOrphans(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val c = child.select(col(key).as("k"))
+      val orphans = c.join(broadcast(parent.select(col(pkey).as("k"))
+        .distinct()), Seq("k"), "left_anti")
+      c.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"))
+    }
+    val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
+    val cst = Tables.customer(s, dir); val sup = Tables.supplier(s, dir)
+    val nat = Tables.nation(s, dir)
+    edge("lineitem.orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+      .unionByName(edge("lineitem.partkey->part", li, "l_partkey",
+        Tables.part(s, dir), "p_partkey"))
+      .unionByName(edge("lineitem.suppkey->supplier", li, "l_suppkey",
+        sup, "s_suppkey"))
+      .unionByName(edge("orders.custkey->customer", o, "o_custkey",
+        cst, "c_custkey"))
+      .unionByName(edge("customer.nationkey->nation", cst, "c_nationkey",
+        nat, "n_nationkey"))
+      .unionByName(edge("supplier.nationkey->nation", sup, "s_nationkey",
+        nat, "n_nationkey"))
+      .unionByName(edge("nation.regionkey->region", nat, "n_regionkey",
+        Tables.region(s, dir), "r_regionkey"))
+      .orderBy("fk_edge")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_orphans" -> (dqOrphans _),
     "q_dq_freshness" -> (dqFreshness _),
     "q_privacy_tcloseness" -> (privacyTcloseness _),
     "q_anon_ladder" -> (anonLadder _),
@@ -482,6 +525,49 @@ object QualityOps {
     "q_scd2_pit" -> (scd2Pit _))
 
   val oracles: Map[String, String] = Map(
+    "q_dq_orphans" ->
+      """WITH e AS (
+        |  SELECT 'lineitem.orderkey->orders' AS fk_edge,
+        |    (SELECT COUNT(*) FROM lineitem) AS n_child,
+        |    (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+        |      ON o.o_orderkey = l.l_orderkey
+        |      WHERE o.o_orderkey IS NULL) AS n_orphans
+        |  UNION ALL
+        |  SELECT 'lineitem.partkey->part',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem l LEFT JOIN part p
+        |      ON p.p_partkey = l.l_partkey WHERE p.p_partkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'lineitem.suppkey->supplier',
+        |    (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem l LEFT JOIN supplier s
+        |      ON s.s_suppkey = l.l_suppkey WHERE s.s_suppkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'orders.custkey->customer',
+        |    (SELECT COUNT(*) FROM orders),
+        |    (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+        |      ON c.c_custkey = o.o_custkey WHERE c.c_custkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'customer.nationkey->nation',
+        |    (SELECT COUNT(*) FROM customer),
+        |    (SELECT COUNT(*) FROM customer c LEFT JOIN nation n
+        |      ON n.n_nationkey = c.c_nationkey
+        |      WHERE n.n_nationkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'supplier.nationkey->nation',
+        |    (SELECT COUNT(*) FROM supplier),
+        |    (SELECT COUNT(*) FROM supplier s LEFT JOIN nation n
+        |      ON n.n_nationkey = s.s_nationkey
+        |      WHERE n.n_nationkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'nation.regionkey->region',
+        |    (SELECT COUNT(*) FROM nation),
+        |    (SELECT COUNT(*) FROM nation n LEFT JOIN region r
+        |      ON r.r_regionkey = n.n_regionkey
+        |      WHERE r.r_regionkey IS NULL))
+        |SELECT fk_edge, CAST(n_child AS BIGINT) AS n_child,
+        |  CAST(n_orphans AS BIGINT) AS n_orphans
+        |FROM e ORDER BY fk_edge""".stripMargin,
     "q_dq_freshness" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),

@@ -610,6 +610,84 @@ object TimeWindows {
       .orderBy("day")
   }
 
+  /** #351 Granger-causality F (lag-1, restricted-vs-unrestricted) on
+    * the two largest event streams: does B's yesterday improve
+    * predicting A's today beyond A's own yesterday? — the standard
+    * lead/lag screen, one step past [[InferenceOps.crossCorrLag1]]'s
+    * symmetric correlation: Granger asks about INCREMENTAL predictive
+    * content.
+    *
+    * Exactness: the 2-regressor normal equations solve by Cramer's
+    * rule entirely in integers — RSS_r·S11 and RSS_u·D are exact
+    * cofactor forms, each then de-scaled by its own denominator
+    * (staged truncation, ≤1 unit on ~1e10, mirrored); the
+    * cross-multiplied joint form would need ~43 digits. Daily masses
+    * drop by 10⁷ (the documented aggressive envelope: Syy·S11 and
+    * Syy·D must fit 38 digits; an F statistic is scale-invariant so
+    * only flooring grain is lost). Scale: one lag window on the
+    * calendar-bounded pair series + a 1-row moment aggregate.
+    */
+  def tsGranger(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("xm"))
+      .withColumn("x", expr("xm div 10000000"))
+    val tot = daily.groupBy("event_type")
+      .agg(sum(col("xm").cast(DecimalType(38, 0))).as("tot"))
+    val ta = tot.orderBy(desc("tot"), asc("event_type")).limit(1)
+      .select(col("event_type").as("type_a"))
+    val tb = tot.orderBy(desc("tot"), asc("event_type")).limit(2)
+      .orderBy(asc("tot"), desc("event_type")).limit(1)
+      .select(col("event_type").as("type_b"))
+    val wd = Window.orderBy("day")
+    val pair = daily.join(broadcast(ta), col("event_type") === col("type_a"))
+      .select(col("day"), col("x").as("a"))
+      .join(daily.join(broadcast(tb), col("event_type") === col("type_b"))
+        .select(col("day"), col("x").as("b")), Seq("day"))
+      .withColumn("al", lag(col("a"), 1).over(wd))
+      .withColumn("bl", lag(col("b"), 1).over(wd))
+      .filter(col("al").isNotNull)
+      .select(col("a").cast(DecimalType(38, 0)).as("y"),
+        col("al").cast(DecimalType(38, 0)).as("x1"),
+        col("bl").cast(DecimalType(38, 0)).as("x2"))
+    pair.agg(count(lit(1)).as("n"),
+        sum(col("y")).as("sy"), sum(col("x1")).as("s1"),
+        sum(col("x2")).as("s2"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("x2")).as("s12"))
+      .withColumn("Syy", expr("n * syy - sy * sy"))
+      .withColumn("S1y", expr("n * s1y - s1 * sy"))
+      .withColumn("S2y", expr("n * s2y - s2 * sy"))
+      .withColumn("S11", expr("n * s11 - s1 * s1"))
+      .withColumn("S22", expr("n * s22 - s2 * s2"))
+      .withColumn("S12", expr("n * s12 - s1 * s2"))
+      .withColumn("D", expr("S11 * S22 - S12 * S12"))
+      .filter(col("S11") > 0 && col("D") > 0)
+      // restricted RSS·S11 and unrestricted RSS·D (Cramer cofactors)
+      .withColumn("rssr_s11", expr("Syy * S11 - S1y * S1y"))
+      .withColumn("rssu_d",
+        expr("Syy * D - S1y * (S1y * S22 - S2y * S12) " +
+          "- S2y * (S2y * S11 - S1y * S12)"))
+      .filter(col("rssu_d") > 0)
+      // de-scale each RSS by its own cofactor denominator (staged,
+      // mirrored): the cross-multiplied exact form A·D − B·S11 would
+      // need ~43 digits; the staged quotients lose ≤1 unit on ~1e10
+      // values, identical on both engines
+      .withColumn("rss_r", expr("cast(rssr_s11 div S11 as long)"))
+      .withColumn("rss_u", expr("cast(rssu_d div D as long)"))
+      .filter(col("rss_u") > 0)
+      .withColumn("f_milli",
+        expr("cast(((rss_r - rss_u) * (n - 3) * 1000) div rss_u as long)"))
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col("type_a"), col("type_b"), col("n"), col("f_milli"),
+        (col("f_milli") > 3960L).as("b_granger_causes_a_05"))
+  }
+
   /** #350 Engle-Granger cointegration step on the two largest event
     * streams: regress stream A's daily mass on stream B's, then run
     * the [[tsAdf]] unit-root test ON THE RESIDUALS — correlated
@@ -1249,6 +1327,7 @@ object TimeWindows {
     "q_ts_fulfillment" -> (tsFulfillment _),
     "q_ts_page_hinkley" -> (tsPageHinkley _),
     "q_ts_engle_granger" -> (tsEngleGranger _),
+    "q_ts_granger" -> (tsGranger _),
     "q_win_obv" -> (winObv _),
     "q_win_rsi" -> (winRsi _),
     "q_ts_pacf" -> (tsPacf _),
@@ -1280,6 +1359,61 @@ object TimeWindows {
     "q_window_session" -> (windowSession _))
 
   val oracles: Map[String, String] = Map(
+    "q_ts_granger" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS xm
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT event_type, day, xm // 10000000 AS x FROM daily),
+        |tot AS (SELECT event_type, SUM(CAST(xm AS HUGEINT)) AS tot
+        |        FROM daily GROUP BY 1),
+        |ta AS (SELECT event_type AS type_a FROM tot
+        |       ORDER BY tot DESC, event_type ASC LIMIT 1),
+        |tb AS (SELECT event_type AS type_b FROM (
+        |    SELECT * FROM tot ORDER BY tot DESC, event_type ASC LIMIT 2) t
+        |  ORDER BY tot ASC, event_type DESC LIMIT 1),
+        |pair AS (
+        |  SELECT a.day, a.x AS a, b.x AS b
+        |  FROM d2 a JOIN d2 b USING (day)
+        |  WHERE a.event_type = (SELECT type_a FROM ta)
+        |    AND b.event_type = (SELECT type_b FROM tb)),
+        |lg AS (
+        |  SELECT CAST(a AS HUGEINT) AS y,
+        |    CAST(lag(a) OVER w AS HUGEINT) AS x1,
+        |    CAST(lag(b) OVER w AS HUGEINT) AS x2
+        |  FROM pair WINDOW w AS (ORDER BY day)),
+        |p2 AS (SELECT * FROM lg WHERE x1 IS NOT NULL),
+        |g AS (
+        |  SELECT COUNT(*) AS n, SUM(y) AS sy, SUM(x1) AS s1,
+        |    SUM(x2) AS s2, SUM(y * y) AS syy, SUM(x1 * y) AS s1y,
+        |    SUM(x2 * y) AS s2y, SUM(x1 * x1) AS s11,
+        |    SUM(x2 * x2) AS s22, SUM(x1 * x2) AS s12
+        |  FROM p2),
+        |c AS (
+        |  SELECT n,
+        |    n * syy - sy * sy AS Syy, n * s1y - s1 * sy AS S1y,
+        |    n * s2y - s2 * sy AS S2y, n * s11 - s1 * s1 AS S11,
+        |    n * s22 - s2 * s2 AS S22, n * s12 - s1 * s2 AS S12
+        |  FROM g),
+        |k AS (
+        |  SELECT n, S11, S11 * S22 - S12 * S12 AS D,
+        |    Syy * S11 - S1y * S1y AS rssr_s11,
+        |    Syy * (S11 * S22 - S12 * S12)
+        |      - S1y * (S1y * S22 - S2y * S12)
+        |      - S2y * (S2y * S11 - S1y * S12) AS rssu_d
+        |  FROM c WHERE S11 > 0 AND S11 * S22 - S12 * S12 > 0),
+        |f AS (
+        |  SELECT n,
+        |    CAST(rssr_s11 // S11 AS BIGINT) AS rss_r,
+        |    CAST(rssu_d // D AS BIGINT) AS rss_u
+        |  FROM k WHERE rssu_d > 0)
+        |SELECT (SELECT type_a FROM ta) AS type_a,
+        |  (SELECT type_b FROM tb) AS type_b, n,
+        |  CAST(((rss_r - rss_u) * (n - 3) * 1000) // rss_u AS BIGINT)
+        |    AS f_milli,
+        |  ((rss_r - rss_u) * (n - 3) * 1000) // rss_u > 3960
+        |    AS b_granger_causes_a_05
+        |FROM f WHERE rss_u > 0""".stripMargin,
     "q_ts_engle_granger" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

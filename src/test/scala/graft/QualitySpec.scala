@@ -378,4 +378,24 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     assert(rows.values.map(_._2).sum === c15.map(_._2).sum)
     assert(rows.values.map(_._1).sum === c15.length.toLong)
   }
+
+  test("dqOrphans proves the fixture FK chain is orphan-free, counts exact") {
+    val rows = operators.QualityOps.dqOrphans(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 7)
+    // every child count matches the raw table size; fixture guarantees
+    // zero orphans on every edge (FIXTURES.md) — assert it, don't assume
+    val li = Tables.lineitem(spark, sfDir).count()
+    val o = Tables.orders(spark, sfDir).count()
+    val expected = Map(
+      "lineitem.orderkey->orders" -> li, "lineitem.partkey->part" -> li,
+      "lineitem.suppkey->supplier" -> li, "orders.custkey->customer" -> o,
+      "customer.nationkey->nation" -> Tables.customer(spark, sfDir).count(),
+      "supplier.nationkey->nation" -> Tables.supplier(spark, sfDir).count(),
+      "nation.regionkey->region" -> Tables.nation(spark, sfDir).count())
+    rows.foreach { case (edge, nChild, nOrphans) =>
+      assert(nChild === expected(edge), s"child count for $edge")
+      assert(nOrphans === 0L, s"orphans on $edge")
+    }
+  }
 }

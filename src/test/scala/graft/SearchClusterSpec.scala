@@ -922,6 +922,24 @@ class SearchClusterSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("embedHubness matches a brute-force kNN occurrence count") {
+    val got = operators.ClusterOps.embedHubness(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(f => math.floor(f.toDouble * 1e6).toLong)))
+    def d(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val hits = collection.mutable.Map.empty[Long, Long]
+    vecs.filter(_._1 % 25 == 0).foreach { case (aid, aq) =>
+      vecs.filter(_._1 != aid).map(v => (d(aq, v._2), v._1))
+        .sorted.take(5)
+        .foreach { case (_, vid) => hits(vid) = hits.getOrElse(vid, 0L) + 1 }
+    }
+    val expected = hits.toSeq.sortBy { case (id, n) => (-n, id) }.take(15)
+    assert(got.toSeq === expected)
+  }
+
   test("embedTriplets matches a brute-force driver mining replay") {
     val got = operators.ClusterOps.embedTriplets(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("aid"),

@@ -889,6 +889,47 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
     assert(nView >= nClick && nClick >= nBuy)
   }
 
+  test("tsGranger matches a BigInt Cramer-cofactor replay") {
+    val r = operators.TimeWindows.tsGranger(spark, sfDir).collect()(0)
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .collect().map(row => (row.getString(0), row.getTimestamp(1).getTime,
+        row.getLong(2)))
+    val totals = daily.groupBy(_._1).view
+      .mapValues(_.map(e => BigInt(e._3)).sum).toMap
+    val sorted = totals.toSeq.sortBy { case (t, v) => (-v, t) }
+    val (typeA, typeB) = (sorted(0)._1, sorted(1)._1)
+    assert(r.getString(0) === typeA && r.getString(1) === typeB)
+    val byDay = daily.groupBy(_._2)
+    val pair = byDay.collect { case (d, es)
+      if es.exists(_._1 == typeA) && es.exists(_._1 == typeB) =>
+        (d, es.find(_._1 == typeA).get._3 / 10000000,
+          es.find(_._1 == typeB).get._3 / 10000000)
+    }.toSeq.sortBy(_._1)
+    val rows = pair.zip(pair.drop(1)).map { case ((_, al, bl), (_, a, _)) =>
+      (BigInt(a), BigInt(al), BigInt(bl)) }
+    val n = BigInt(rows.length)
+    def s(f: ((BigInt, BigInt, BigInt)) => BigInt) = rows.map(f).sum
+    val (sy, s1, s2) = (s(_._1), s(_._2), s(_._3))
+    val Syy = n * s(t => t._1 * t._1) - sy * sy
+    val S1y = n * s(t => t._2 * t._1) - s1 * sy
+    val S2y = n * s(t => t._3 * t._1) - s2 * sy
+    val S11 = n * s(t => t._2 * t._2) - s1 * s1
+    val S22 = n * s(t => t._3 * t._3) - s2 * s2
+    val S12 = n * s(t => t._2 * t._3) - s1 * s2
+    val d = S11 * S22 - S12 * S12
+    val rssR = (Syy * S11 - S1y * S1y) / S11
+    val rssU = (Syy * d - S1y * (S1y * S22 - S2y * S12)
+      - S2y * (S2y * S11 - S1y * S12)) / d
+    val f = ((rssR - rssU) * (n - 3) * 1000) / rssU
+    assert(r.getAs[Long]("n") === rows.length.toLong)
+    assert(r.getAs[Long]("f_milli") === f.toLong)
+    // exact RSS_u <= RSS_r; the staged de-scale can perturb by 1 unit
+    assert(rssU <= rssR + 1, "adding a regressor can only reduce RSS")
+    assert(r.getAs[Boolean]("b_granger_causes_a_05") === (f > 3960))
+  }
+
   test("tsEngleGranger picks the two largest streams and replays exactly") {
     val r = operators.TimeWindows.tsEngleGranger(spark, sfDir).collect()(0)
     val daily = Tables.events(spark, sfDir)
