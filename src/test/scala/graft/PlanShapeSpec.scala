@@ -768,10 +768,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(all.count(_.isInstanceOf[BroadcastHashJoinExec]) +
       all.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) >= 3,
       s"lexicon, lang totals, vocab size and priors must broadcast:\n$plan")
-    val windows = all.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    // depending on prior session conf the rn=1 filter either keeps the
+    // WindowExec or is fully rewritten to WindowGroupLimitExec (the
+    // better plan: the argmax never materializes ranks) — both must be
+    // doc_id-partitioned
+    val partSpecs = all.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec
+      case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
+        g.partitionSpec
     }
-    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+    assert(partSpecs.nonEmpty && partSpecs.forall(_.nonEmpty),
       s"the argmax window must partition by doc_id:\n$plan")
   }
 
