@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
 /** North-star text analysis over the documents corpus: tokenization
@@ -766,7 +767,96 @@ object TextOps {
       .select(col("node").as("token"), col("r").as("rank_micro"))
   }
 
+  /** #354 Yule's K vocabulary-richness characteristic per language:
+    * K = 10⁴·(Σ m²·V_m − N)/N² over the frequency spectrum (V_m =
+    * number of tokens occurring exactly m times) — the repetitiveness
+    * constant that, unlike raw type-token ratio, is (asymptotically)
+    * corpus-size invariant, so it compares slices of different sizes
+    * honestly; the classic lexical-diversity readout next to the Zipf
+    * slope (#231).
+    *
+    * Exactness: the spectrum is two nested exact count aggregates; K
+    * emits in milli via one truncating division of DECIMAL products
+    * (Σm²V_m ≈ heavy-token² ≈ 1e10·... inside 38 digits at any sf).
+    * Scale: vocab-bounded then SPECTRUM-bounded aggregates — the
+    * final relation is |distinct frequencies| rows per lang.
+    */
+  def textYuleK(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("lang", "token").agg(count(lit(1)).as("m"))
+      .groupBy("lang", "m").agg(count(lit(1)).as("vm"))
+      .groupBy("lang")
+      .agg(sum(col("m").cast(DecimalType(38, 0)) * col("vm")).as("n_tokens"),
+        sum(col("m").cast(DecimalType(38, 0)) * col("m") * col("vm"))
+          .as("m2vm"),
+        sum(col("vm")).as("vocab"))
+      .filter(col("n_tokens") > 0)
+      .select(col("lang"), col("n_tokens").cast("long").as("n_tokens"),
+        col("vocab"),
+        expr("cast((10000000 * (m2vm - n_tokens)) div " +
+          "(n_tokens * n_tokens) as long)").as("yule_k_milli"))
+      .orderBy("lang")
+
+  /** #355 Heaps'-law exponent per language: vocabulary grows as V(N) ≈
+    * K·N^β; β comes from the ln-ln regression over the 10 doc-order
+    * deciles, with each token's FIRST-SEEN doc giving cumulative
+    * vocabulary per decile without any windowed distinct-count — the
+    * corpus-scaling readout that predicts how much NEW vocabulary the
+    * next 10× of data will bring (BPE sizing, OOV budgeting).
+    *
+    * Exactness: first-seen = min(doc_id) per (lang, token) is exact;
+    * decile boundaries come from ntile over the per-lang doc order;
+    * cumulative sums are DECILE-domain windows; both regression
+    * coordinates are floor-nano lns of integers and the slope is the
+    * staged micro ladder. Scale: one vocab-bounded aggregate + one
+    * |lang|×10 relation; the ntile window partitions by lang over the
+    * DOC relation (id-keyed, the standard rank shape).
+    */
+  def textHeaps(s: SparkSession, dir: String): DataFrame = {
+    def lnNano(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double")) * 1e9).cast("long")
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val wDoc = Window.partitionBy("lang").orderBy("doc_id")
+    val docDecile = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("dec", ntile(10).over(wDoc))
+    val withDec = toks.join(docDecile, Seq("doc_id", "lang"))
+    val newVocab = withDec.groupBy("lang", "token")
+      .agg(min(col("dec")).as("first_dec"))
+      .groupBy(col("lang"), col("first_dec").as("dec"))
+      .agg(count(lit(1)).as("v_new"))
+    val massPerDec = withDec.groupBy("lang", "dec")
+      .agg(count(lit(1)).as("n_toks"))
+    val wCum = Window.partitionBy("lang").orderBy("dec")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pts = massPerDec.join(newVocab, Seq("lang", "dec"), "left_outer")
+      .withColumn("v_new", coalesce(col("v_new"), lit(0L)))
+      .withColumn("cum_n", sum(col("n_toks")).over(wCum))
+      .withColumn("cum_v", sum(col("v_new")).over(wCum))
+      .select(col("lang"), lnNano(col("cum_n")).as("x"),
+        lnNano(col("cum_v")).as("y"))
+    pts.groupBy("lang")
+      .agg(count(lit(1)).as("n_pts"),
+        sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+        sum(col("y").cast(DecimalType(38, 0))).as("sy"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("y")).as("sxy"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"))
+      .withColumn("Sxx", expr("n_pts * sxx - sx * sx"))
+      .withColumn("Sxy", expr("n_pts * sxy - sx * sy"))
+      .filter(col("Sxx") > 0)
+      .select(col("lang"), col("n_pts"),
+        expr("cast((Sxy * 1000000) div Sxx as long)").as("beta_micro"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_yule_k" -> (textYuleK _),
+    "q_text_heaps" -> (textHeaps _),
     "q_text_textrank" -> (textTextrank _),
     "q_ml_naive_bayes" -> (mlNaiveBayes _),
     "q_text_style_delta" -> (textStyleDelta _),
@@ -796,6 +886,67 @@ object TextOps {
     "q_text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_text_yule_k" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT * FROM toks WHERE token <> ''),
+        |freq AS (SELECT lang, token, COUNT(*) AS m
+        |         FROM t2 GROUP BY lang, token),
+        |spec AS (SELECT lang, m, COUNT(*) AS vm
+        |         FROM freq GROUP BY lang, m),
+        |g AS (
+        |  SELECT lang,
+        |    CAST(SUM(CAST(m AS HUGEINT) * vm) AS HUGEINT) AS n_tokens,
+        |    CAST(SUM(CAST(m AS HUGEINT) * m * vm) AS HUGEINT) AS m2vm,
+        |    CAST(SUM(vm) AS BIGINT) AS vocab
+        |  FROM spec GROUP BY lang)
+        |SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens, vocab,
+        |  CAST((10000000 * (m2vm - n_tokens)) // (n_tokens * n_tokens)
+        |    AS BIGINT) AS yule_k_milli
+        |FROM g WHERE n_tokens > 0 ORDER BY lang""".stripMargin,
+    "q_text_heaps" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT * FROM toks WHERE token <> ''),
+        |dd AS (
+        |  SELECT doc_id, lang,
+        |    ntile(10) OVER (PARTITION BY lang ORDER BY doc_id) AS dec
+        |  FROM documents),
+        |wd AS (
+        |  SELECT t.lang, t.token, d.dec
+        |  FROM t2 t JOIN dd d ON d.doc_id = t.doc_id AND d.lang = t.lang),
+        |nv AS (
+        |  SELECT lang, dec, COUNT(*) AS v_new FROM (
+        |    SELECT lang, token, MIN(dec) AS dec
+        |    FROM wd GROUP BY lang, token)
+        |  GROUP BY lang, dec),
+        |mp AS (SELECT lang, dec, COUNT(*) AS n_toks
+        |       FROM wd GROUP BY lang, dec),
+        |pts AS (
+        |  SELECT m.lang,
+        |    CAST(floor(ln(CAST(SUM(m.n_toks) OVER c AS DOUBLE)) * 1e9)
+        |      AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(SUM(COALESCE(n.v_new, 0)) OVER c
+        |      AS DOUBLE)) * 1e9) AS BIGINT) AS y
+        |  FROM mp m LEFT JOIN nv n ON n.lang = m.lang AND n.dec = m.dec
+        |  WINDOW c AS (PARTITION BY m.lang ORDER BY m.dec
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (
+        |  SELECT lang, COUNT(*) AS n_pts,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |  FROM pts GROUP BY lang),
+        |f AS (
+        |  SELECT lang, n_pts, n_pts * sxy - sx * sy AS Sxy,
+        |    n_pts * sxx - sx * sx AS Sxx
+        |  FROM g WHERE n_pts * sxx - sx * sx > 0)
+        |SELECT lang, n_pts,
+        |  CAST((Sxy * 1000000) // Sxx AS BIGINT) AS beta_micro
+        |FROM f ORDER BY lang""".stripMargin,
     "q_text_textrank" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -920,6 +920,38 @@ object TimeWindows {
       .orderBy("event_type")
   }
 
+  /** #356 Stochastic oscillator %K (14-day) per event type: where
+    * today's mass sits inside its own trailing 14-day range, in ppm —
+    * the range-position momentum readout that completes the
+    * [[winRsi]]/[[winBollinger]]/[[tsAtr]] technical family (RSI
+    * measures gain/loss balance, %K measures range position; they
+    * disagree exactly when a move is drifting vs. breaking out).
+    *
+    * Exactness: rolling min/max are exact integers and %K is ONE
+    * truncating ppm division ((C − L)·1e6 div (H − L)), flat windows
+    * (H = L) structurally excluded on both engines; full 14-day
+    * windows only. Scale: one type-partitioned rolling window over
+    * the |days|-bounded daily relation.
+    */
+  def winStochastic(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-13, 0)
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("l14", min(col("x")).over(w))
+      .withColumn("h14", max(col("x")).over(w))
+      .filter(col("cnt") === 14 && col("h14") > col("l14"))
+      .select(col("event_type"), col("day"),
+        expr("cast(((x - l14) * 1000000) div (h14 - l14) as long)")
+          .as("k_ppm"))
+      .withColumn("overbought", col("k_ppm") > 800000L)
+      .withColumn("oversold", col("k_ppm") < 200000L)
+      .orderBy("event_type", "day")
+  }
+
   /** #333 RSI-14 (simple-mean Cutler form) per event type on the daily
     * mass series: gains vs losses over the trailing 14 deltas,
     * RSI_milli = 100000·G/(G+L) — the bounded momentum oscillator
@@ -1330,6 +1362,7 @@ object TimeWindows {
     "q_ts_granger" -> (tsGranger _),
     "q_win_obv" -> (winObv _),
     "q_win_rsi" -> (winRsi _),
+    "q_win_stochastic" -> (winStochastic _),
     "q_ts_pacf" -> (tsPacf _),
     "q_eval_forecast_err" -> (evalForecastErr _),
     "q_ts_atr" -> (tsAtr _),
@@ -1584,6 +1617,24 @@ object TimeWindows {
         |SELECT event_type, COUNT(*) AS n_days, MAX(obv) AS obv_max,
         |  MIN(obv) AS obv_min, arg_max(obv, day) AS obv_final
         |FROM o GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_win_stochastic" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |roll AS (
+        |  SELECT event_type, day, x,
+        |    COUNT(*) OVER r AS cnt,
+        |    MIN(x) OVER r AS l14, MAX(x) OVER r AS h14
+        |  FROM daily
+        |  WINDOW r AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+        |  CAST(((x - l14) * 1000000) // (h14 - l14) AS BIGINT) AS k_ppm,
+        |  ((x - l14) * 1000000) // (h14 - l14) > 800000 AS overbought,
+        |  ((x - l14) * 1000000) // (h14 - l14) < 200000 AS oversold
+        |FROM roll WHERE cnt = 14 AND h14 > l14
+        |ORDER BY event_type, day""".stripMargin,
     "q_win_rsi" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

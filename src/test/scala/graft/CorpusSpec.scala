@@ -254,6 +254,68 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("textYuleK matches a driver spectrum replay and is size-sane") {
+    val rows = operators.TextOps.textYuleK(spark, sfDir).collect()
+    val byLang = Tables.documents(spark, sfDir).select("lang", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view
+      .mapValues(_.flatMap(_._2.split(" ")).filter(_.nonEmpty)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val toks = byLang(r.getString(0))
+      val freq = toks.groupBy(identity).view.mapValues(_.size.toLong)
+      val n = BigInt(toks.length)
+      val m2vm = freq.values.map(m => BigInt(m) * m).sum
+      assert(r.getAs[Long]("n_tokens") === toks.length.toLong)
+      assert(r.getAs[Long]("vocab") === freq.size.toLong)
+      assert(r.getAs[Long]("yule_k_milli") ===
+        ((10000000 * (m2vm - n)) / (n * n)).toLong)
+      assert(r.getAs[Long]("yule_k_milli") >= 0)
+    }
+  }
+
+  test("textHeaps matches a driver decile replay with beta in (0, 1e6)") {
+    val rows = operators.TextOps.textHeaps(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").filter(_.nonEmpty).toSeq))
+      .groupBy(_._2)
+    def lnN(x: Long): Long = math.floor(math.log(x.toDouble) * 1e9).toLong
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val ds = docs(lang).sortBy(_._1)
+      val n = ds.length
+      val base = n / 10; val extra = n % 10
+      val decOf = (0 until 10).flatMap(b =>
+        Seq.fill(base + (if (b < extra) 1 else 0))(b + 1))
+      val byDec = ds.zipWithIndex.groupBy { case (_, i) => decOf(i) }
+      val seen = collection.mutable.Set.empty[String]
+      var cumN = 0L
+      val pts = (1 to 10).flatMap { d =>
+        byDec.get(d).map { dds =>
+          val toks = dds.flatMap(_._1._3)
+          cumN += toks.length
+          toks.foreach(seen += _)
+          (lnN(cumN), lnN(seen.size.toLong))
+        }
+      }
+      val np = BigInt(pts.length)
+      val sx = pts.map(p => BigInt(p._1)).sum
+      val sy = pts.map(p => BigInt(p._2)).sum
+      val sxy = pts.map(p => BigInt(p._1) * p._2).sum
+      val sxx = pts.map(p => BigInt(p._1) * p._1).sum
+      val beta = ((np * sxy - sx * sy) * 1000000) / (np * sxx - sx * sx)
+      assert(r.getAs[Long]("n_pts") === pts.length.toLong)
+      assert(r.getAs[Long]("beta_micro") === beta.toLong, s"beta for $lang")
+      // the fixture's CLOSED synthetic vocabulary saturates within the
+      // first deciles, so beta legitimately hits 0 at tiny sf; a real
+      // open-vocabulary corpus sits strictly inside (0, 1)
+      assert(beta >= 0 && beta < 1000000,
+        s"Heaps beta must sit in [0,1): $beta for $lang")
+    }
+  }
+
   test("textTextrank matches a driver weighted-PageRank replay") {
     val got = operators.TextOps.textTextrank(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getAs[Long]("rank_micro")))

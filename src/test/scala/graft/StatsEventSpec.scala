@@ -1074,6 +1074,34 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("winStochastic matches a driver rolling-range replay") {
+    val got = operators.TimeWindows.winStochastic(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1).getTime),
+        (r.getAs[Long]("k_ppm"), r.getAs[Boolean]("overbought"),
+          r.getAs[Boolean]("oversold")))).toMap
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getLong(2))).groupBy(_._1)
+    var checked = 0
+    daily.foreach { case (et, es) =>
+      val series = es.sortBy(_._2)
+      series.zipWithIndex.filter(_._2 >= 13).foreach { case ((_, day, x), i) =>
+        val win = series.slice(i - 13, i + 1).map(_._3)
+        val (l, h) = (win.min, win.max)
+        if (h > l) {
+          val k = (x - l) * 1000000 / (h - l)
+          assert(got((et, day)) === ((k, k > 800000, k < 200000)),
+            s"$et $day")
+          assert(k >= 0 && k <= 1000000)
+          checked += 1
+        }
+      }
+    }
+    assert(checked === got.size && checked > 0)
+  }
+
   test("winRsi matches a driver gain/loss replay and stays in [0, 100k]") {
     val got = operators.TimeWindows.winRsi(spark, sfDir).collect()
       .map(r => ((r.getString(0), r.getTimestamp(1).getTime),
