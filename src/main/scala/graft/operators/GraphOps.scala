@@ -538,6 +538,47 @@ object GraphOps {
     dist
   }
 
+  /** #357 Rich-club coefficient φ(k) for k ∈ {2, 4, 8}: among nodes of
+    * degree > k, the realized fraction of possible edges — do the
+    * high-degree nodes of the similarity graph preferentially connect
+    * to EACH OTHER (a dense duplicate core that dedup should collapse
+    * as a unit) or merely fan out (hub-and-spoke near-dups)? The
+    * density readout that [[degreeDist]]'s marginal histogram can't
+    * answer.
+    *
+    * Exactness: degrees, rich-node counts, and within-club edge counts
+    * are exact integers; φ ppm is one truncating division of
+    * 2E_k·10⁶ by N_k(N_k−1). Scale: the degree relation broadcasts
+    * back onto both edge endpoints (node-cardinality); per k one
+    * filtered count — the k-ladder explodes a 3-element literal, not
+    * data.
+    */
+  def richClub(s: SparkSession, dir: String): DataFrame = {
+    val e = DedupOps.materializedEdges(s, dir)
+    val sym = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionAll(e.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    val ks = Seq(2L, 4L, 8L)
+    val nodesK = deg.withColumn("k", explode(typedLit(ks)))
+      .filter(col("deg") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_k"))
+    val edgesK = e
+      .join(broadcast(deg.select(col("node").as("doc_a"),
+        col("deg").as("da"))), Seq("doc_a"))
+      .join(broadcast(deg.select(col("node").as("doc_b"),
+        col("deg").as("db"))), Seq("doc_b"))
+      .withColumn("k", explode(typedLit(ks)))
+      .filter(col("da") > col("k") && col("db") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("e_k"))
+    nodesK.join(edgesK, Seq("k"), "left_outer")
+      .withColumn("e_k", coalesce(col("e_k"), lit(0L)))
+      .filter(col("n_k") > 1)
+      .select(col("k"), col("n_k"), col("e_k"),
+        expr("cast((2 * e_k * 1000000) div (n_k * (n_k - 1)) as long)")
+          .as("phi_ppm"))
+      .orderBy("k")
+  }
+
   /** #330 Landmark closeness profile: per landmark the 6-hop reach,
     * eccentricity-within-horizon, and mean hop distance in milli — the
     * closeness-centrality readout the landmark-embedding literature
@@ -594,6 +635,7 @@ object GraphOps {
     "q_graph_landmarks" -> (landmarkBfs _),
     "q_graph_closeness" -> (landmarkCloseness _),
     "q_graph_2hop" -> (twoHop _),
+    "q_graph_rich_club" -> (richClub _),
     "q_graph_jaccard" -> (jaccardSim _),
     "q_graph_degree_dist" -> (degreeDist _),
     "q_graph_conductance" -> (conductance _),
@@ -609,6 +651,36 @@ object GraphOps {
     "q_graph_triangles" -> (triangles _))
 
   val oracles: Map[String, String] = Map(
+    "q_graph_rich_club" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |deg AS (SELECT a AS node, COUNT(*) AS deg FROM sym GROUP BY a),
+        |ks AS (SELECT CAST(unnest([2, 4, 8]) AS BIGINT) AS k),
+        |nk AS (
+        |  SELECT k, COUNT(*) AS n_k
+        |  FROM deg CROSS JOIN ks WHERE deg > k GROUP BY k),
+        |ek AS (
+        |  SELECT k, COUNT(*) AS e_k
+        |  FROM pairs p
+        |  JOIN deg da ON da.node = p.doc_a
+        |  JOIN deg db ON db.node = p.doc_b
+        |  CROSS JOIN ks
+        |  WHERE da.deg > k AND db.deg > k
+        |  GROUP BY k)
+        |SELECT nk.k, nk.n_k, COALESCE(ek.e_k, 0) AS e_k,
+        |  CAST((2 * COALESCE(ek.e_k, 0) * 1000000)
+        |    // (nk.n_k * (nk.n_k - 1)) AS BIGINT) AS phi_ppm
+        |FROM nk LEFT JOIN ek USING (k)
+        |WHERE nk.n_k > 1 ORDER BY k""".stripMargin,
     "q_graph_closeness" ->
       """WITH RECURSIVE base AS (
         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset

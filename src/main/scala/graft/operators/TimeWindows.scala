@@ -920,6 +920,35 @@ object TimeWindows {
       .orderBy("event_type")
   }
 
+  /** #358 Seasonal index of order revenue by month-of-year: each
+    * calendar month's revenue against the average month, in ppm — the
+    * classical retail seasonality profile (is December 1.4× an
+    * average month?) that feeds deseasonalized comparisons and
+    * inventory planning; the INDEX view of what [[tsSeasonal]]
+    * decomposes additively.
+    *
+    * Exactness: exact integer cents, index_ppm = rev·n_months·10⁶ div
+    * total — one truncating division per month against the
+    * multi-year-pooled calendar. Scale: one MONTH-OF-YEAR-bounded
+    * (≤12 rows) map-side-combined aggregate; the total broadcasts.
+    */
+  def tsSeasonalIndex(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .groupBy(month(col("o_orderdate")).as("month_of_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("rev_cents"))
+    val tot = monthly.agg(
+      sum(col("rev_cents").cast(DecimalType(38, 0))).as("tot"),
+      count(lit(1)).as("n_months"))
+    monthly.crossJoin(broadcast(tot))
+      .filter(col("tot") > 0)
+      .select(col("month_of_year"), col("n_orders"), col("rev_cents"),
+        expr("cast((cast(rev_cents as decimal(38,0)) * n_months * 1000000)" +
+          " div tot as long)").as("index_ppm"))
+      .orderBy("month_of_year")
+  }
+
   /** #356 Stochastic oscillator %K (14-day) per event type: where
     * today's mass sits inside its own trailing 14-day range, in ppm —
     * the range-position momentum readout that completes the
@@ -1363,6 +1392,7 @@ object TimeWindows {
     "q_win_obv" -> (winObv _),
     "q_win_rsi" -> (winRsi _),
     "q_win_stochastic" -> (winStochastic _),
+    "q_ts_seasonal_index" -> (tsSeasonalIndex _),
     "q_ts_pacf" -> (tsPacf _),
     "q_eval_forecast_err" -> (evalForecastErr _),
     "q_ts_atr" -> (tsAtr _),
@@ -1617,6 +1647,22 @@ object TimeWindows {
         |SELECT event_type, COUNT(*) AS n_days, MAX(obv) AS obv_max,
         |  MIN(obv) AS obv_min, arg_max(obv, day) AS obv_final
         |FROM o GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_ts_seasonal_index" ->
+      """WITH monthly AS (
+        |  SELECT CAST(month(o_orderdate) AS INTEGER) AS month_of_year,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(CAST(rev_cents AS HUGEINT)) AS HUGEINT) AS tot,
+        |    COUNT(*) AS n_months
+        |  FROM monthly)
+        |SELECT month_of_year, n_orders, rev_cents,
+        |  CAST((CAST(rev_cents AS HUGEINT) * n_months * 1000000) // tot
+        |    AS BIGINT) AS index_ppm
+        |FROM monthly CROSS JOIN tot
+        |WHERE tot > 0 ORDER BY month_of_year""".stripMargin,
     "q_win_stochastic" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

@@ -892,6 +892,26 @@ class SearchClusterSpec extends AnyFunSuite with SparkFixture {
     assert(plainEqual < 10, "MMR must diverge from plain top-5 somewhere")
   }
 
+  test("richClub matches a driver adjacency replay and phi is monotone-sane") {
+    val got = operators.GraphOps.richClub(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val edges = operators.DedupOps.materializedEdges(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.size.toLong).toMap
+    Seq(2L, 4L, 8L).foreach { k =>
+      val rich = deg.filter(_._2 > k).keySet
+      if (rich.size > 1) {
+        val ek = edges.count(e => rich(e._1) && rich(e._2)).toLong
+        val nk = rich.size.toLong
+        val phi = 2 * ek * 1000000 / (nk * (nk - 1))
+        assert(got(k) === ((nk, ek, phi)), s"k=$k")
+        assert(phi <= 1000000)
+      } else assert(!got.contains(k))
+    }
+  }
+
   test("landmarkCloseness is consistent with the landmark BFS layers") {
     val layers = operators.GraphOps.landmarkBfs(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

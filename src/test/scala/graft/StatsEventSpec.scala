@@ -1074,6 +1074,28 @@ class StatsEventSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("tsSeasonalIndex conserves mass and indexes average to ~1e6") {
+    val rows = operators.TimeWindows.tsSeasonalIndex(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val orders = Tables.orders(spark, sfDir)
+      .select(month(col("o_orderdate")),
+        round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val byMonth = orders.groupBy(_._1).view
+      .mapValues(es => (es.length.toLong, es.map(e => BigInt(e._2)).sum))
+      .toMap
+    val tot = byMonth.values.map(_._2).sum
+    val nm = byMonth.size
+    assert(rows.map(_._1).toSeq === byMonth.keys.toSeq.sorted)
+    rows.foreach { case (m, n, rev, idx) =>
+      assert((n, BigInt(rev)) === byMonth(m), s"month $m")
+      assert(idx === (BigInt(rev) * nm * 1000000 / tot).toLong, s"idx $m")
+    }
+    // indices average to 1e6 up to per-month truncation
+    val mean = rows.map(_._4).sum / nm
+    assert(mean <= 1000000L && mean > 1000000L - nm, s"index mean $mean")
+  }
+
   test("winStochastic matches a driver rolling-range replay") {
     val got = operators.TimeWindows.winStochastic(spark, sfDir).collect()
       .map(r => ((r.getString(0), r.getTimestamp(1).getTime),
