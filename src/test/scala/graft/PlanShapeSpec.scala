@@ -795,6 +795,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"the nearest-positive window must partition by anchor:\n$plan")
   }
 
+  test("the final r11m wave keeps windows keyed and dims broadcast") {
+    // stochastic/RSI-family sibling + the corpus-scaling pair + the
+    // month/club rollups: no SinglePartition window over row
+    // cardinality, and the seasonal/rich-club totals enter broadcast
+    Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)](
+      ("stochastic", operators.TimeWindows.winStochastic),
+      ("heaps", operators.TextOps.textHeaps)
+    ).foreach { case (name, fn) =>
+      val plan = executed(fn(spark, sfDir))
+      val windows = collectAll(plan).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+        s"$name windows must stay key-partitioned:\n$plan")
+    }
+    val si = executed(operators.TimeWindows.tsSeasonalIndex(spark, sfDir))
+    assert(collectAll(si).exists(
+      _.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      s"the seasonal total must broadcast:\n$si")
+    val rc = executed(operators.GraphOps.richClub(spark, sfDir))
+    assert(collectAll(rc).count(p =>
+      p.isInstanceOf[BroadcastHashJoinExec] ||
+        p.isInstanceOf[BroadcastNestedLoopJoinExec]) >= 2,
+      s"rich-club degrees must broadcast onto both endpoints:\n$rc")
+  }
+
   test("textrank's bigram window partitions by doc (never a global sort)") {
     val plan = executed(operators.TextOps.textTextrank(spark, sfDir))
     val windows = collectAll(plan).collect {
