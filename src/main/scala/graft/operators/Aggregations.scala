@@ -204,8 +204,10 @@ object Aggregations {
     * string-canonicalized on BOTH engines.
     */
   def aggCollect(s: SparkSession, dir: String): DataFrame =
+    // customer scales with the corpus — no forced hint; the planner
+    // broadcasts it at fixture sf and shuffle-joins on custkey at TB
     Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(array_join(sort_array(collect_set(col("o_orderpriority"))), ",").as("priorities"),
         count(lit(1)).as("n_orders"))

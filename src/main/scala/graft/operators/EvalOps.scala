@@ -609,8 +609,13 @@ object EvalOps {
     * n_r — staged truncating divisions MIRRORED in the twin, so both
     * engines pick the identical argmax row by (g DESC, thr ASC); the
     * reported parent/child/gain ppm re-derive from the same staged
-    * pieces. Scale: the SCORE-DOMAIN cumulative relation of
-    * [[evalKsScore]]; totals broadcast; argmax via one ordered limit.
+    * pieces. Envelope: the count² products run in DECIMAL(38,0)
+    * (HUGEINT in the twin), so the binding bound is each g term's
+    * quotient ≈ count·1e6 fitting int64 — exact to ~9·10¹² rows per
+    * class, the repo's n·1e6 convention (overflow past that fails
+    * loudly as a DECIMAL overflow, not a silent wrap). Scale: the
+    * SCORE-DOMAIN cumulative relation of [[evalKsScore]]; totals
+    * broadcast; argmax via one ordered limit.
     */
   def mlStump(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
@@ -632,14 +637,17 @@ object EvalOps {
       .withColumn("rn", col("nq") - col("ln"))
       .filter(col("lp") + col("ln") > 0 && col("rp") + col("rn") > 0)
       .withColumn("g",
-        expr("((lp * lp + ln * ln) * 1000000) div (lp + ln) + " +
-          "((rp * rp + rn * rn) * 1000000) div (rp + rn)"))
+        expr("((cast(lp as decimal(38,0)) * lp + cast(ln as decimal(38,0))" +
+          " * ln) * 1000000) div (lp + ln) + " +
+          "((cast(rp as decimal(38,0)) * rp + cast(rn as decimal(38,0))" +
+          " * rn) * 1000000) div (rp + rn)"))
       .orderBy(desc("g"), asc("score"))
       .limit(1)
       .select(col("score").as("best_thr"), col("lp"), col("ln"),
         col("rp"), col("rn"),
-        expr("1000000 - ((np * np + nq * nq) * 1000000) div " +
-          "((np + nq) * (np + nq))").as("parent_gini_ppm"),
+        expr("1000000 - ((cast(np as decimal(38,0)) * np + " +
+          "cast(nq as decimal(38,0)) * nq) * 1000000) div " +
+          "(cast(np + nq as decimal(38,0)) * (np + nq))").as("parent_gini_ppm"),
         expr("1000000 - g div (np + nq)").as("child_gini_ppm"))
       .withColumn("gain_ppm",
         col("parent_gini_ppm") - col("child_gini_ppm"))
@@ -902,17 +910,21 @@ object EvalOps {
         |    AND np - (cp - p) + nq - (cq - q) > 0),
         |g AS (
         |  SELECT score, lp, ln, rp, rn, np, nq,
-        |    ((lp * lp + ln * ln) * 1000000) // (lp + ln)
-        |      + ((rp * rp + rn * rn) * 1000000) // (rp + rn) AS g
+        |    ((CAST(lp AS HUGEINT) * lp + CAST(ln AS HUGEINT) * ln)
+        |      * 1000000) // (lp + ln)
+        |      + ((CAST(rp AS HUGEINT) * rp + CAST(rn AS HUGEINT) * rn)
+        |      * 1000000) // (rp + rn) AS g
         |  FROM sp),
         |k AS (
         |  SELECT score AS best_thr, lp, ln, rp, rn,
-        |    1000000 - ((np * np + nq * nq) * 1000000)
-        |      // ((np + nq) * (np + nq)) AS parent_gini_ppm,
+        |    1000000 - ((CAST(np AS HUGEINT) * np + CAST(nq AS HUGEINT) * nq)
+        |      * 1000000)
+        |      // (CAST(np + nq AS HUGEINT) * (np + nq)) AS parent_gini_ppm,
         |    1000000 - g // (np + nq) AS child_gini_ppm,
         |    row_number() OVER (ORDER BY g DESC, score ASC) AS rk
         |  FROM g)
-        |SELECT best_thr, lp, ln, rp, rn,
+        |SELECT best_thr, CAST(lp AS BIGINT) AS lp, CAST(ln AS BIGINT) AS ln,
+        |  CAST(rp AS BIGINT) AS rp, CAST(rn AS BIGINT) AS rn,
         |  CAST(parent_gini_ppm AS BIGINT) AS parent_gini_ppm,
         |  CAST(child_gini_ppm AS BIGINT) AS child_gini_ppm,
         |  CAST(parent_gini_ppm - child_gini_ppm AS BIGINT) AS gain_ppm
@@ -995,7 +1007,8 @@ object EvalOps {
         |    row_number() OVER (PARTITION BY cost_ratio
         |      ORDER BY cost_ratio * fp + fn ASC, score ASC) AS rn
         |  FROM e)
-        |SELECT cost_ratio, score AS best_thr, fp, fn, cost
+        |SELECT cost_ratio, score AS best_thr, CAST(fp AS BIGINT) AS fp,
+        |  CAST(fn AS BIGINT) AS fn, CAST(cost AS BIGINT) AS cost
         |FROM k WHERE rn = 1 ORDER BY cost_ratio""".stripMargin,
     "q_eval_ks_score" ->
       """WITH d AS (

@@ -65,15 +65,15 @@ object GraphOps {
     * are the same dataflow.
     */
   def hits(s: SparkSession, dir: String): DataFrame = {
-    // broadcast the (orderkey -> custkey) map: the fact side never
-    // shuffles for the join, so the only edge-build shuffle is the
-    // distinct itself (at TB scale orders outgrows a broadcast — drop
-    // the hint and both relations shuffle on orderkey, same plan as
-    // q_join_inner)
+    // no hint on the (orderkey -> custkey) map: size-based planning
+    // broadcasts it at fixture sf (fact side never shuffles for the
+    // join), and at TB scale — where orders outgrows any broadcast —
+    // the same plan degrades to an orderkey shuffle join instead of
+    // OOMing on a forced hint
     val edges = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"))
-      .join(broadcast(Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_custkey"))), Seq("o_orderkey"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey")), Seq("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
       .distinct().persist()
     // localCheckpoint each normalized score relation (|C| or |S| rows):

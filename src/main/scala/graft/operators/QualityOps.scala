@@ -473,16 +473,18 @@ object QualityOps {
     * guarantees instead of assuming them).
     *
     * Exactness: pure left-anti-join counts. Scale: each edge is one
-    * key-partitioned anti-join (dims broadcast at any sf where they
-    * fit; the child side streams); the result is 7 rows regardless of
-    * corpus size.
+    * key-partitioned anti-join with NO forced hint — several parents
+    * (orders, customer, part, supplier) scale with the corpus, so the
+    * planner/AQE broadcasts the ones that fit (all of them at fixture
+    * sf) and shuffle-anti-joins the rest at TB; the result is 7 rows
+    * regardless of corpus size.
     */
   def dqOrphans(s: SparkSession, dir: String): DataFrame = {
     def edge(name: String, child: DataFrame, key: String,
         parent: DataFrame, pkey: String): DataFrame = {
       val c = child.select(col(key).as("k"))
-      val orphans = c.join(broadcast(parent.select(col(pkey).as("k"))
-        .distinct()), Seq("k"), "left_anti")
+      val orphans = c.join(parent.select(col(pkey).as("k"))
+        .distinct(), Seq("k"), "left_anti")
       c.agg(count(lit(1)).as("n_child"))
         .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
         .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"))

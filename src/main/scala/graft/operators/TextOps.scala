@@ -17,6 +17,15 @@ import graft.Tables
   */
 object TextOps {
 
+  /** Single source of the 10-stopword list shared by [[textRake]] and
+    * [[textStyleDelta]] AND interpolated into both of their DuckDB
+    * twins below — edit here and all four sites move together (the
+    * duplicated literals were a silent-parity-break risk).
+    */
+  private val StopWords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
+  private val StopWordsSql = StopWords.map(w => s"'$w'").mkString(",")
+
   private def tokens(df: DataFrame): DataFrame =
     df.select(col("doc_id"), col("lang"), col("source"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
@@ -575,7 +584,7 @@ object TextOps {
     * token) — fully deterministic.
     */
   def textRake(s: SparkSession, dir: String): DataFrame = {
-    val stops = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
+    val stops = StopWords
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
       .withColumn("brk",
@@ -642,7 +651,7 @@ object TextOps {
     * broadcast; the pair join is scaffold-sized.
     */
   def textStyleDelta(s: SparkSession, dir: String): DataFrame = {
-    val fws = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
+    val fws = StopWords
     val toks = Tables.documents(s, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
@@ -1027,7 +1036,7 @@ object TextOps {
         |FROM am WHERE rn = 1
         |GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin,
     "q_text_style_delta" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS token
         |  FROM documents),
         |t2 AS (SELECT source, token FROM toks WHERE token <> ''),
@@ -1037,14 +1046,12 @@ object TextOps {
         |    CAST((COUNT(*) * 1000000) // MAX(o.n_tokens) AS BIGINT)
         |      AS rate_ppm
         |  FROM t2 t JOIN tot o USING (source)
-        |  WHERE t.token IN ('the','a','an','and','or','of','to','in',
-        |    'is','on')
+        |  WHERE t.token IN ($StopWordsSql)
         |  GROUP BY t.source, t.token),
         |scaffold AS (
         |  SELECT s.source, w.token, COALESCE(r.rate_ppm, 0) AS rate_ppm
         |  FROM tot s
-        |  CROSS JOIN (SELECT unnest(['the','a','an','and','or','of','to',
-        |    'in','is','on']) AS token) w
+        |  CROSS JOIN (SELECT unnest([$StopWordsSql]) AS token) w
         |  LEFT JOIN rates r ON r.source = s.source AND r.token = w.token)
         |SELECT a.source AS src_a, b.source AS src_b,
         |  COUNT(*) AS n_words,
@@ -1071,15 +1078,15 @@ object TextOps {
         |JOIN cnt cb ON cb.lang = i.lang_b
         |ORDER BY lang_a, lang_b""".stripMargin,
     "q_text_rake" ->
-      """WITH tok AS (
+      s"""WITH tok AS (
         |  SELECT doc_id,
         |    generate_subscripts(string_split(text, ' '), 1) AS pos,
         |    unnest(string_split(text, ' ')) AS token
         |  FROM documents),
         |b AS (
         |  SELECT doc_id, pos, token,
-        |    CASE WHEN token IN ('the','a','an','and','or','of','to','in',
-        |      'is','on') OR token = '' THEN 1 ELSE 0 END AS brk
+        |    CASE WHEN token IN ($StopWordsSql)
+        |      OR token = '' THEN 1 ELSE 0 END AS brk
         |  FROM tok),
         |g AS (
         |  SELECT doc_id, token, brk,

@@ -817,16 +817,18 @@ object TimeWindows {
     * total order — no interpolation, no quantile-algorithm dialect
     * deltas; the mean is one truncating milli division. Scale: the
     * rank window partitions by month; counts broadcast back; the
-    * order join is orderkey-co-partitioned (broadcast at fixture sf,
-    * shuffle-join at TB — same plan as q_join_inner).
+    * order join carries NO hint — size-based planning/AQE broadcasts
+    * it at fixture sf and degrades to an orderkey-partitioned
+    * shuffle join at TB (same plan as q_join_inner), which a forced
+    * broadcast() would instead OOM on.
     */
   def tsFulfillment(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lat = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
         col("l_shipdate"))
-      .join(broadcast(Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_orderdate"))), Seq("o_orderkey"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate")), Seq("o_orderkey"))
       .select(date_trunc("month", col("o_orderdate")).as("month"),
         col("o_orderkey"), col("l_linenumber"),
         datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
@@ -865,9 +867,12 @@ object TimeWindows {
   def tsBacklog(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(s, dir)
+    // no broadcast hint: orders scales with the fact side — the
+    // planner broadcasts it at fixture sf from parquet size stats and
+    // shuffle-joins on orderkey at TB (a forced hint would OOM there)
     val placed = li.select(col("l_orderkey").as("o_orderkey"))
-      .join(broadcast(Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_orderdate"))), Seq("o_orderkey"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate")), Seq("o_orderkey"))
       .select(date_trunc("day", col("o_orderdate")).as("day"),
         lit(1L).as("delta"))
     val shipped = li.select(date_trunc("day", col("l_shipdate")).as("day"),

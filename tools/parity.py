@@ -55,6 +55,28 @@ def main():
             print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
             n_fail += 1
             continue
+        # Driver-hash sensitivity: the driver stringifies PANDAS values
+        # before hashing, and pandas renders both float64 and
+        # decimal128 (DuckDB HUGEINT, e.g. a window SUM over BIGINT) as
+        # "218.0" while int64 renders "218" — so a float/decimal column
+        # on one side vs an integral column on the other FAILS the
+        # driver hash even though Python's 218.0 == 218 passes the
+        # value compare below. Flag any kind asymmetry.
+        import pyarrow.types as pt
+        def kind(t):
+            if pt.is_floating(t) or pt.is_decimal(t):
+                return "floatlike"
+            if pt.is_integer(t):
+                return "int"
+            return str(t)
+        tbad = [(c, str(s.schema.field(c).type), str(o.schema.field(c).type))
+                for c in ocols
+                if kind(s.schema.field(c).type) != kind(o.schema.field(c).type)]
+        if tbad:
+            print(f"FAIL {name}: dtype-kind mismatch (driver hash breaks): "
+                  f"{tbad}")
+            n_fail += 1
+            continue
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(srows, orows)) if a != b]
         if bad:
             i, a, b = bad[0]
