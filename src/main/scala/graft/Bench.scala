@@ -9,6 +9,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Spark 4 default, pinned explicitly: the integer-exact operators
+      // (e.g. mlStump's DECIMAL envelope) guarantee loud overflow only
+      // under ANSI semantics — with ANSI off, overflow yields NULL and
+      // silently drops rows from argmax orderings
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

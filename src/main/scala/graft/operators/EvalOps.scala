@@ -609,13 +609,21 @@ object EvalOps {
     * n_r — staged truncating divisions MIRRORED in the twin, so both
     * engines pick the identical argmax row by (g DESC, thr ASC); the
     * reported parent/child/gain ppm re-derive from the same staged
-    * pieces. Envelope: the count² products run in DECIMAL(38,0)
-    * (HUGEINT in the twin), so the binding bound is each g term's
-    * quotient ≈ count·1e6 fitting int64 — exact to ~9·10¹² rows per
-    * class, the repo's n·1e6 convention (overflow past that fails
-    * loudly as a DECIMAL overflow, not a silent wrap). Scale: the
-    * SCORE-DOMAIN cumulative relation of [[evalKsScore]]; totals
-    * broadcast; argmax via one ordered limit.
+    * pieces. Envelope: ONLY the count² products run in DECIMAL(38,0)
+    * (HUGEINT in the twin); each g term's quotient ≈ count·1e6 fits
+    * int64 to ~9·10¹² rows per class (the repo's n·1e6 convention),
+    * so it is cast back to long right after its division and the
+    * argmax sort, child-gini subtraction, and gain all stay in int64
+    * (r13: the r12 version kept g itself DECIMAL, which dragged the
+    * sort and every downstream arithmetic op through non-codegen
+    * decimal paths). Overflow past the envelope fails loudly — as a
+    * DECIMAL-overflow error on the product, or a CAST_OVERFLOW on the
+    * long narrowing — NOT a silent wrap; note this loud-failure
+    * guarantee assumes ANSI mode (spark.sql.ansi.enabled=true, the
+    * Spark 4 default, pinned in Bench/Verify): with ANSI off the
+    * overflowed rows would go NULL and silently drop from the argmax.
+    * Scale: the SCORE-DOMAIN cumulative relation of [[evalKsScore]];
+    * totals broadcast; argmax via one ordered limit.
     */
   def mlStump(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
@@ -637,17 +645,18 @@ object EvalOps {
       .withColumn("rn", col("nq") - col("ln"))
       .filter(col("lp") + col("ln") > 0 && col("rp") + col("rn") > 0)
       .withColumn("g",
-        expr("((cast(lp as decimal(38,0)) * lp + cast(ln as decimal(38,0))" +
-          " * ln) * 1000000) div (lp + ln) + " +
-          "((cast(rp as decimal(38,0)) * rp + cast(rn as decimal(38,0))" +
-          " * rn) * 1000000) div (rp + rn)"))
+        expr("cast(((cast(lp as decimal(38,0)) * lp + cast(ln as decimal(38,0))" +
+          " * ln) * 1000000) div (lp + ln) as long) + " +
+          "cast(((cast(rp as decimal(38,0)) * rp + cast(rn as decimal(38,0))" +
+          " * rn) * 1000000) div (rp + rn) as long)"))
       .orderBy(desc("g"), asc("score"))
       .limit(1)
       .select(col("score").as("best_thr"), col("lp"), col("ln"),
         col("rp"), col("rn"),
-        expr("1000000 - ((cast(np as decimal(38,0)) * np + " +
+        expr("1000000 - cast(((cast(np as decimal(38,0)) * np + " +
           "cast(nq as decimal(38,0)) * nq) * 1000000) div " +
-          "(cast(np + nq as decimal(38,0)) * (np + nq))").as("parent_gini_ppm"),
+          "(cast(np + nq as decimal(38,0)) * (np + nq)) as long)")
+          .as("parent_gini_ppm"),
         expr("1000000 - g div (np + nq)").as("child_gini_ppm"))
       .withColumn("gain_ppm",
         col("parent_gini_ppm") - col("child_gini_ppm"))
@@ -910,16 +919,17 @@ object EvalOps {
         |    AND np - (cp - p) + nq - (cq - q) > 0),
         |g AS (
         |  SELECT score, lp, ln, rp, rn, np, nq,
-        |    ((CAST(lp AS HUGEINT) * lp + CAST(ln AS HUGEINT) * ln)
-        |      * 1000000) // (lp + ln)
-        |      + ((CAST(rp AS HUGEINT) * rp + CAST(rn AS HUGEINT) * rn)
-        |      * 1000000) // (rp + rn) AS g
+        |    CAST(((CAST(lp AS HUGEINT) * lp + CAST(ln AS HUGEINT) * ln)
+        |      * 1000000) // (lp + ln) AS BIGINT)
+        |      + CAST(((CAST(rp AS HUGEINT) * rp + CAST(rn AS HUGEINT) * rn)
+        |      * 1000000) // (rp + rn) AS BIGINT) AS g
         |  FROM sp),
         |k AS (
         |  SELECT score AS best_thr, lp, ln, rp, rn,
-        |    1000000 - ((CAST(np AS HUGEINT) * np + CAST(nq AS HUGEINT) * nq)
-        |      * 1000000)
-        |      // (CAST(np + nq AS HUGEINT) * (np + nq)) AS parent_gini_ppm,
+        |    1000000 - CAST(((CAST(np AS HUGEINT) * np
+        |      + CAST(nq AS HUGEINT) * nq) * 1000000)
+        |      // (CAST(np + nq AS HUGEINT) * (np + nq)) AS BIGINT)
+        |      AS parent_gini_ppm,
         |    1000000 - g // (np + nq) AS child_gini_ppm,
         |    row_number() OVER (ORDER BY g DESC, score ASC) AS rk
         |  FROM g)

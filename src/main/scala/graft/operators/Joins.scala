@@ -27,7 +27,14 @@ object Joins {
       .orderBy("o_orderpriority")
 
   /** #12 star join with explicitly broadcast dims: the fact table never
-    * shuffles — the canonical 100 TB star-join shape.
+    * shuffles — the canonical 100 TB star-join shape. Size-gate caveat
+    * (the repo's hint policy, r12): nation (25 rows) and region (5) are
+    * TRUE constant dims — safe to hint at any corpus size — but
+    * customer SCALES with the corpus, so at TB scale the customer hint
+    * must come off (size-based planning then picks broadcast vs shuffle
+    * per actual stats, as in [[graft.operators.GraphOps.hits]]). It
+    * stays hinted here because this query IS the demonstration of the
+    * explicit-hint star-join shape; the un-hinted shape is #11.
     */
   def joinBroadcastDims(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)

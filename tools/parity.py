@@ -6,9 +6,35 @@ sort columns by name, and compare row-by-row. Usage:
 """
 import sys, json, math, glob, os
 import duckdb
+import pyarrow.types as pt
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def kind(t):
+    """Dtype KIND for the driver-hash asymmetry check: the driver
+    stringifies pandas values before hashing, so what matters is which
+    types render identically ("218.0" for float64 AND decimal128 vs
+    "218" for int64), not arrow-type identity. Group the families whose
+    pandas rendering agrees; benign representation differences within a
+    family (string vs large_string, timestamp unit) must NOT fail a
+    query whose values match."""
+    if pt.is_floating(t) or pt.is_decimal(t):
+        return "floatlike"
+    if pt.is_integer(t):
+        return "int"
+    if pt.is_string(t) or pt.is_large_string(t):
+        return "str"
+    if pt.is_timestamp(t):
+        return "timestamp"
+    if pt.is_date(t):
+        return "date"
+    if pt.is_boolean(t):
+        return "bool"
+    if pt.is_list(t) or pt.is_large_list(t) or pt.is_fixed_size_list(t):
+        return "list:" + kind(t.value_type)
+    return str(t)
 
 def norm(v):
     if isinstance(v, float):
@@ -61,14 +87,8 @@ def main():
         # "218.0" while int64 renders "218" — so a float/decimal column
         # on one side vs an integral column on the other FAILS the
         # driver hash even though Python's 218.0 == 218 passes the
-        # value compare below. Flag any kind asymmetry.
-        import pyarrow.types as pt
-        def kind(t):
-            if pt.is_floating(t) or pt.is_decimal(t):
-                return "floatlike"
-            if pt.is_integer(t):
-                return "int"
-            return str(t)
+        # value compare below. Flag any kind asymmetry (kind() at module
+        # scope groups render-equivalent families).
         tbad = [(c, str(s.schema.field(c).type), str(o.schema.field(c).type))
                 for c in ocols
                 if kind(s.schema.field(c).type) != kind(o.schema.field(c).type)]
