@@ -47,7 +47,11 @@ object SparkEntry {
       (ClusterOps.queries, ClusterOps.oracles),
       (EvalOps.queries, EvalOps.oracles),
       (InferenceOps.queries, InferenceOps.oracles),
-      (CorpusOps.queries, CorpusOps.oracles))
+      (CorpusOps.queries, CorpusOps.oracles),
+      (TrainSplitOps.queries, TrainSplitOps.oracles),
+      (TextEvalOps.queries, TextEvalOps.oracles),
+      (SeriesOps.queries, SeriesOps.oracles),
+      (TuningOps.queries, TuningOps.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,468 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** Round-13 additions, SURVEY §2 #367–#372: complexity/spectral
+  * readouts of the revenue time series (permutation entropy, Schuster
+  * periodogram), the MACD momentum indicator completing the finance
+  * window family, a Jarque–Bera normality screen, and two embedding
+  * geometry diagnostics (isotropy, SemDeDup-style threshold sweep).
+  *
+  * Exactness discipline: every series value is staged to exact integer
+  * cents (decimal-sum × 100); counts and clipped sums are integers;
+  * libm surfaces (ln, cos) evaluate over exact integer inputs and are
+  * floored to nano units BEFORE any aggregation, so all SUMS are
+  * integer-exact and partition-order-proof (the one repo-wide rule for
+  * order-sensitive doubles — see [[graft.Det]]).
+  */
+object SeriesOps {
+
+  /** Daily revenue in exact integer cents, per order priority. */
+  private def dailyByPri(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("pri"),
+        date_trunc("day", col("o_orderdate")).as("day"))
+      .agg((sum(Det.money(col("o_totalprice"))) * 100).cast("long").as("v"))
+
+  /** #367 Permutation entropy (order 3) of the daily revenue series per
+    * priority: each 3-day window maps to its ordinal pattern (6 valid
+    * patterns, encoded by the three pairwise strict-less comparisons on
+    * exact cents), and the pattern distribution's Shannon entropy — the
+    * model-free complexity gauge that separates trending/periodic
+    * series (few patterns) from noise (uniform patterns). Bandt &
+    * Pompe 2002.
+    *
+    * Entropy is computed from integer counts with ln floored to nano
+    * units per term (H_nano = lnN_nano − Σc·ln(c)_nano div N), so the
+    * aggregation is exact-integer and the normalized entropy is a pure
+    * integer division by ln(6)·1e9. Scale: one day-grain aggregate
+    * (calendar-bounded), lag windows on the priority partitioning,
+    * then a ≤6-row-per-priority pattern aggregate.
+    */
+  def tsPermEntropy(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("pri").orderBy("day")
+    val pat = dailyByPri(s, dir)
+      .withColumn("a", lag(col("v"), 2).over(w))
+      .withColumn("b", lag(col("v"), 1).over(w))
+      .filter(col("a").isNotNull)
+      .withColumn("code",
+        when(col("a") < col("b"), 4).otherwise(0) +
+          when(col("a") < col("v"), 2).otherwise(0) +
+          when(col("b") < col("v"), 1).otherwise(0))
+    val ln6Nano = 1791759469L // floor(ln(6)·1e9), pinned on both engines
+    pat.groupBy("pri", "code").agg(count(lit(1)).as("c"))
+      .groupBy("pri")
+      .agg(sum(col("c")).as("nw"), count(lit(1)).as("n_patterns"),
+        sum(col("c") * floor(log(col("c").cast("double")) * 1e9).cast("long"))
+          .as("clc_nano"))
+      .select(col("pri"), col("nw"), col("n_patterns"),
+        (floor(log(col("nw").cast("double")) * 1e9).cast("long") -
+          expr("clc_nano div nw")).as("h_nano"))
+      .withColumn("h_milli", expr("h_nano div 1000000"))
+      .withColumn("h_norm_ppm", expr(s"(h_nano * 1000000) div ${ln6Nano}L"))
+      .select("pri", "nw", "n_patterns", "h_milli", "h_norm_ppm")
+      .orderBy("pri")
+  }
+
+  /** #368 Schuster periodogram of the global daily revenue series at
+    * wave numbers k = 1..8: P(k) = (Σv·cos θ_kt / N)² + (Σv·sin θ_kt /
+    * N)², θ_kt = 2πkt/N — the spectral screen for calendar periodicity
+    * before fitting any seasonal model. cos/sin are floored to nano
+    * BEFORE the sum, so both Σ terms are exact DECIMAL(38,0) integer
+    * sums (cents × nano ≈ 1e17/term — inside the envelope to ~1e19
+    * daily cents, i.e. thousands of SF beyond the fixture); power
+    * emits div 1e18 (≈ cents² units). Scale: the series is CALENDAR-
+    * bounded (the only corpus-sized job is the day aggregate); k×t
+    * expansion is 8×|days|.
+    */
+  def tsPeriodogram(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg((sum(Det.money(col("o_totalprice"))) * 100).cast("long").as("v"))
+    val idx = daily
+      .withColumn("t", row_number().over(Window.orderBy("day")) - 1)
+    val withN = idx.crossJoin(broadcast(idx.agg(count(lit(1)).as("nd"))))
+    withN.select(col("t"), col("v"), col("nd"),
+      explode(sequence(lit(1), lit(8))).as("k"))
+      .withColumn("cnano",
+        expr("cast(floor(cos(2 * pi() * k * cast(t as double) / nd) * 1e9) as long)"))
+      .withColumn("snano",
+        expr("cast(floor(sin(2 * pi() * k * cast(t as double) / nd) * 1e9) as long)"))
+      .groupBy("k")
+      .agg(max(col("nd")).as("n_days"),
+        sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+          col("cnano")).as("ck"),
+        sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+          col("snano")).as("sk"))
+      .select(col("k"), col("n_days"),
+        expr("cast(ck div n_days as long)").as("ck_e9"),
+        expr("cast(sk div n_days as long)").as("sk_e9"),
+        // squares re-stage through DECIMAL: div yields int64 and the
+        // square of a ~3e17 term would overflow a long product
+        expr("cast((cast(ck div n_days as decimal(38,0)) * (ck div n_days) + " +
+          "cast(sk div n_days as decimal(38,0)) * (sk div n_days)) " +
+          "div 1000000000000000000 as long)")
+          .as("power_e18"))
+      .orderBy("k")
+  }
+
+  /** #369 MACD on the per-priority daily revenue series, completing the
+    * finance window family (#327 ATR, #328 Bollinger, #333 RSI, #341
+    * OBV, #356 %K): fast and slow truncated EMAs with exact RATIONAL
+    * weights (α=1/2 over 8 lags → dyadic 2^j; α=1/4 over 8 lags →
+    * 3^j·4^(7−j) — the same truncated-horizon construction as
+    * q_ts_ewma, which keeps numerator/denominator exact int64 and
+    * leaves ONE mirrored truncating division per EMA), signal = EMA
+    * (α=1/2, 4 lags) of the MACD line, histogram = MACD − signal. Two
+    * window passes on the same priority partitioning — no extra
+    * shuffle, no float recurrence to diverge.
+    */
+  def winMacd(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("pri").orderBy("day")
+    def ema(src: Column, wNum: Int => Long, lags: Int): (Column, Column) = {
+      val terms = (0 until lags).map { j =>
+        val v = if (j == 0) src else lag(src, j).over(w)
+        (coalesce(v.cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+          wNum(j), lit(0L).cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+          when(v.isNotNull, lit(wNum(j))).otherwise(lit(0L)))
+      }
+      (terms.map(_._1).reduce(_ + _), terms.map(_._2).reduce(_ + _))
+    }
+    val base = dailyByPri(s, dir)
+    val fast = ema(col("v"), j => 1L << (7 - j), 8)
+    val slow = ema(col("v"), j => {
+      var p3 = 1L; var p4 = 1L
+      (0 until j).foreach(_ => p3 *= 3); (0 until (7 - j)).foreach(_ => p4 *= 4)
+      p3 * p4
+    }, 8)
+    val macd = base
+      .withColumn("fn", fast._1).withColumn("fd", fast._2)
+      .withColumn("sn", slow._1).withColumn("sd", slow._2)
+      .withColumn("macd_micro",
+        expr("cast((fn * 1000000) div fd as long) - " +
+          "cast((sn * 1000000) div sd as long)"))
+      .select(col("pri"), col("day"), col("macd_micro"))
+    val sig = ema(col("macd_micro"), j => 1L << (3 - j), 4)
+    macd
+      .withColumn("gn", sig._1).withColumn("gd", sig._2)
+      .withColumn("signal_micro", expr("cast(gn div gd as long)"))
+      .withColumn("hist_micro", col("macd_micro") - col("signal_micro"))
+      .select(col("pri"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("macd_micro"), col("signal_micro"), col("hist_micro"))
+      .orderBy("pri", "day")
+  }
+
+  /** #370 Jarque–Bera normality screen on lineitem quantity per return
+    * flag: JB = n/6·(S² + (K−3)²/4) from the four raw power sums —
+    * the cheap gatekeeper before any normality-assuming test (#312
+    * Welch, #325 Tukey). The sums are exact DECIMAL integers (quantity
+    * is a small int); skewness and kurtosis derive via the raw-moment
+    * identities in double with the EXPRESSION ORDER mirrored verbatim
+    * in the twin (each op is a correctly-rounded function of exact
+    * ints; m2^1.5 spelled m2·√m2 — no pow), floored to micro/milli.
+    * One map-side-combined aggregate; the moment algebra runs on the
+    * |flags|-row result.
+    */
+  def statsJarqueBera(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = col("l_quantity").cast("long")
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n"),
+        sum(q.cast(dec)).as("s1"), sum((q * q).cast(dec)).as("s2"),
+        sum((q * q * q).cast(dec)).as("s3"),
+        sum((q * q * q * q).cast(dec)).as("s4"))
+      .withColumn("mu", col("s1").cast("double") / col("n"))
+      .withColumn("m2",
+        col("s2").cast("double") / col("n") - col("mu") * col("mu"))
+      .withColumn("m3",
+        col("s3").cast("double") / col("n") -
+          lit(3.0) * col("mu") * (col("s2").cast("double") / col("n")) +
+          lit(2.0) * col("mu") * col("mu") * col("mu"))
+      .withColumn("m4",
+        col("s4").cast("double") / col("n") -
+          lit(4.0) * col("mu") * (col("s3").cast("double") / col("n")) +
+          lit(6.0) * col("mu") * col("mu") * (col("s2").cast("double") / col("n")) -
+          lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
+      .withColumn("skew", col("m3") / (col("m2") * sqrt(col("m2"))))
+      .withColumn("kurt", col("m4") / (col("m2") * col("m2")))
+      .select(col("flag"), col("n"), col("s1").cast("long").as("s1"),
+        floor(col("skew") * 1e6).cast("long").as("skew_micro"),
+        floor(col("kurt") * 1e6).cast("long").as("kurt_micro"),
+        floor(col("n") / lit(6.0) *
+          (col("skew") * col("skew") +
+            (col("kurt") - 3.0) * (col("kurt") - 3.0) / 4.0) * 1000)
+          .cast("long").as("jb_milli"))
+      .orderBy("flag")
+  }
+
+  /** #371 Embedding isotropy diagnostics: mean pairwise cosine of the
+    * unit-normalized corpus via the sum-vector identity (Σ_d S_d² −
+    * Σ_d Q_d)/(n²−n) — NO pairwise pass — plus the participation ratio
+    * (Σvar)²/Σvar² of the per-dimension variances (≈dim when isotropic,
+    * ≪dim when collapsed). Anisotropy is the known failure mode that
+    * sinks cosine-based retrieval/dedup; this is the one-pass audit.
+    *
+    * Unit components floor to nano ints right after the (cross-engine
+    * identical) norm fold, so S_d, Q_d and every downstream sum are
+    * exact integers; variances downscale div 1e9 before squaring to
+    * stay inside DECIMAL(38,0). Scale: one posexplode aggregate on the
+    * dim key (64 groups), then a 64-row reduction.
+    */
+  def embedIsotropy(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val unit = Tables.embeddings(s, dir)
+      .withColumn("norm",
+        sqrt(aggregate(transform(col("embedding"),
+          x => x.cast("double") * x.cast("double")), lit(0.0), _ + _)))
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast("double") / col("norm") * 1e9).cast("long")).as("u"))
+    val perDim = unit
+      .select(posexplode(col("u")).as(Seq("dim0", "ud")))
+      .groupBy("dim0")
+      .agg(count(lit(1)).as("n"), sum(col("ud").cast(dec)).as("sd"),
+        sum((col("ud") * col("ud")).cast(dec)).as("qd"))
+    perDim
+      .withColumn("vs",
+        expr("cast((n * qd - sd * sd) div 1000000000 as decimal(38,0))"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("dim"),
+        sum(col("sd") * col("sd")).as("ss2"), sum(col("qd")).as("qq"),
+        sum(col("vs")).as("vsum"), sum(col("vs") * col("vs")).as("vsq"))
+      .select(col("n"), col("dim"),
+        expr("cast(((ss2 - qq) * 1000000) div " +
+          "((n * n - n) * cast(1000000000000000000 as decimal(38,0))) as long)")
+          .as("mean_cos_ppm"),
+        expr("cast((vsum * vsum * 1000000) div vsq as long)").as("pr_micro"))
+  }
+
+  /** #372 SemDeDup-style cosine threshold sweep: duplicate-pair counts
+    * at seven candidate thresholds in ONE pass over the blocked
+    * candidate relation of q_dedup_embed_cosine (same label-block +
+    * angular-prefix pruning, lossless for cos ≥ 0.35), against the
+    * total within-label pair count — the ablation that picks the
+    * semantic-dedup threshold by showing how much of the corpus each
+    * candidate value would collapse. Thresholds materialize as rows
+    * (zero-count thresholds included via left join); cosines compare
+    * in floor(c·1e6+0.5) ppm (the repo's tie-rule-free quantizer).
+    */
+  def embedThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val thr = Seq(350000L, 500000L, 650000L, 800000L, 900000L, 950000L, 990000L)
+    val pairs = DedupOps.dedupEmbedCosine(s, dir)
+      .select(floor(col("cosine") * 1e6 + 0.5).cast("long").as("c_ppm"))
+    val tdf = s.range(1).select(
+      explode(array(thr.map(lit): _*)).as("thr_ppm"))
+    val counts = tdf.join(pairs, col("c_ppm") >= col("thr_ppm"), "left_outer")
+      .groupBy("thr_ppm")
+      .agg(sum(when(col("c_ppm").isNotNull, 1L).otherwise(0L)).as("n_pairs"))
+    val total = Tables.embeddings(s, dir)
+      .groupBy(col("label")).agg(count(lit(1)).as("nl"))
+      .agg(sum(expr("nl * (nl - 1) div 2")).as("total_pairs"))
+    counts.crossJoin(broadcast(total))
+      .select(col("thr_ppm"), col("n_pairs"),
+        col("total_pairs").cast("long").as("total_pairs"),
+        expr("(n_pairs * 1000000000) div total_pairs").as("frac_ppb"))
+      .orderBy("thr_ppm")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_perm_entropy" -> (tsPermEntropy _),
+    "q_ts_periodogram" -> (tsPeriodogram _),
+    "q_win_macd" -> (winMacd _),
+    "q_stats_jarque_bera" -> (statsJarqueBera _),
+    "q_embed_isotropy" -> (embedIsotropy _),
+    "q_embed_threshold_sweep" -> (embedThresholdSweep _))
+
+  private val DailyPriSql =
+    """daily AS (
+      |  SELECT o_orderpriority AS pri, date_trunc('day', o_orderdate) AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS v
+      |  FROM orders GROUP BY 1, 2)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_ts_perm_entropy" ->
+      s"""WITH $DailyPriSql,
+         |pat AS (
+         |  SELECT pri,
+         |    (CASE WHEN a < b THEN 4 ELSE 0 END) +
+         |    (CASE WHEN a < v THEN 2 ELSE 0 END) +
+         |    (CASE WHEN b < v THEN 1 ELSE 0 END) AS code
+         |  FROM (
+         |    SELECT pri, v,
+         |      LAG(v, 2) OVER (PARTITION BY pri ORDER BY day) AS a,
+         |      LAG(v, 1) OVER (PARTITION BY pri ORDER BY day) AS b
+         |    FROM daily)
+         |  WHERE a IS NOT NULL),
+         |pc AS (SELECT pri, code, COUNT(*) AS c FROM pat GROUP BY pri, code),
+         |g AS (
+         |  SELECT pri, CAST(SUM(c) AS BIGINT) AS nw,
+         |    COUNT(*) AS n_patterns,
+         |    CAST(SUM(c * CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1e9) AS BIGINT))
+         |      AS BIGINT) AS clc_nano
+         |  FROM pc GROUP BY pri),
+         |h AS (
+         |  SELECT pri, nw, n_patterns,
+         |    CAST(FLOOR(LN(CAST(nw AS DOUBLE)) * 1e9) AS BIGINT)
+         |      - clc_nano // nw AS h_nano
+         |  FROM g)
+         |SELECT pri, nw, n_patterns,
+         |  CAST(h_nano // 1000000 AS BIGINT) AS h_milli,
+         |  CAST((h_nano * 1000000) // 1791759469 AS BIGINT) AS h_norm_ppm
+         |FROM h ORDER BY pri""".stripMargin,
+    "q_ts_periodogram" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |idx AS (
+        |  SELECT v, ROW_NUMBER() OVER (ORDER BY day) - 1 AS t FROM daily),
+        |nn AS (SELECT COUNT(*) AS nd FROM idx),
+        |terms AS (
+        |  SELECT k.k, i.v, nn.nd,
+        |    CAST(FLOOR(COS(2 * pi() * k.k * CAST(i.t AS DOUBLE) / nn.nd) * 1e9)
+        |      AS BIGINT) AS cnano,
+        |    CAST(FLOOR(SIN(2 * pi() * k.k * CAST(i.t AS DOUBLE) / nn.nd) * 1e9)
+        |      AS BIGINT) AS snano
+        |  FROM idx i, nn, (SELECT unnest(range(1, 9)) AS k) k),
+        |g AS (
+        |  SELECT k, MAX(nd) AS n_days,
+        |    SUM(CAST(v AS HUGEINT) * cnano) AS ck,
+        |    SUM(CAST(v AS HUGEINT) * snano) AS sk
+        |  FROM terms GROUP BY k)
+        |SELECT CAST(k AS BIGINT) AS k, n_days,
+        |  CAST(ck // n_days AS BIGINT) AS ck_e9,
+        |  CAST(sk // n_days AS BIGINT) AS sk_e9,
+        |  CAST(((ck // n_days) * (ck // n_days) +
+        |        (sk // n_days) * (sk // n_days)) // 1000000000000000000
+        |    AS BIGINT) AS power_e18
+        |FROM g ORDER BY k""".stripMargin,
+    "q_win_macd" -> {
+      def emaSql(src: String, part: String, wNum: Int => Long, lags: Int,
+          num: String, den: String): String = {
+        val nums = (0 until lags).map { j =>
+          val v = if (j == 0) src
+          else s"LAG($src, $j) OVER (PARTITION BY $part ORDER BY day)"
+          s"COALESCE(CAST($v AS HUGEINT) * ${wNum(j)}, 0)"
+        }.mkString(" + ")
+        val dens = (0 until lags).map { j =>
+          val v = if (j == 0) src
+          else s"LAG($src, $j) OVER (PARTITION BY $part ORDER BY day)"
+          s"(CASE WHEN $v IS NOT NULL THEN ${wNum(j)} ELSE 0 END)"
+        }.mkString(" + ")
+        s"$nums AS $num, $dens AS $den"
+      }
+      val fastW: Int => Long = j => 1L << (7 - j)
+      val slowW: Int => Long = j => {
+        var p3 = 1L; var p4 = 1L
+        (0 until j).foreach(_ => p3 *= 3); (0 until (7 - j)).foreach(_ => p4 *= 4)
+        p3 * p4
+      }
+      val sigW: Int => Long = j => 1L << (3 - j)
+      s"""WITH $DailyPriSql,
+         |e AS (
+         |  SELECT pri, day,
+         |    ${emaSql("v", "pri", fastW, 8, "fn", "fd")},
+         |    ${emaSql("v", "pri", slowW, 8, "sn", "sd")}
+         |  FROM daily),
+         |m AS (
+         |  SELECT pri, day,
+         |    CAST((fn * 1000000) // fd AS BIGINT)
+         |      - CAST((sn * 1000000) // sd AS BIGINT) AS macd_micro
+         |  FROM e),
+         |g AS (
+         |  SELECT pri, day, macd_micro,
+         |    ${emaSql("macd_micro", "pri", sigW, 4, "gn", "gd")}
+         |  FROM m)
+         |SELECT pri, strftime(day, '%Y-%m-%d') AS day, macd_micro,
+         |  CAST(gn // gd AS BIGINT) AS signal_micro,
+         |  macd_micro - CAST(gn // gd AS BIGINT) AS hist_micro
+         |FROM g ORDER BY pri, day""".stripMargin
+    },
+    "q_stats_jarque_bera" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS flag, COUNT(*) AS n,
+        |    SUM(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)) AS s1,
+        |    SUM(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)
+        |      * CAST(l_quantity AS BIGINT)) AS s2,
+        |    SUM(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)
+        |      * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s3,
+        |    SUM(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)
+        |      * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)) AS s4
+        |  FROM lineitem GROUP BY 1),
+        |mm AS (
+        |  SELECT flag, n, s1, CAST(s1 AS DOUBLE) / n AS mu,
+        |    CAST(s2 AS DOUBLE) / n AS r2, CAST(s3 AS DOUBLE) / n AS r3,
+        |    CAST(s4 AS DOUBLE) / n AS r4
+        |  FROM g),
+        |c AS (
+        |  SELECT flag, n, s1, mu,
+        |    r2 - mu * mu AS m2,
+        |    r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+        |    r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+        |      - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM mm),
+        |sk AS (
+        |  SELECT flag, n, s1, m2,
+        |    m3 / (m2 * sqrt(m2)) AS skew, m4 / (m2 * m2) AS kurt
+        |  FROM c)
+        |SELECT flag, n, CAST(s1 AS BIGINT) AS s1,
+        |  CAST(FLOOR(skew * 1e6) AS BIGINT) AS skew_micro,
+        |  CAST(FLOOR(kurt * 1e6) AS BIGINT) AS kurt_micro,
+        |  CAST(FLOOR(n / 6.0 * (skew * skew
+        |    + (kurt - 3.0) * (kurt - 3.0) / 4.0) * 1000) AS BIGINT) AS jb_milli
+        |FROM sk ORDER BY flag""".stripMargin,
+    "q_embed_isotropy" ->
+      """WITH unitv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) /
+        |      sqrt(list_aggregate(list_transform(embedding,
+        |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')) * 1e9)
+        |      AS BIGINT)) AS u
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT generate_subscripts(u, 1) AS dim0,
+        |    CAST(unnest(u) AS HUGEINT) AS ud
+        |  FROM unitv),
+        |pd AS (
+        |  SELECT dim0, COUNT(*) AS n, SUM(ud) AS sd, SUM(ud * ud) AS qd
+        |  FROM ex GROUP BY dim0),
+        |v AS (SELECT *, (n * qd - sd * sd) // 1000000000 AS vs FROM pd),
+        |agg AS (
+        |  SELECT MAX(n) AS n, COUNT(*) AS dim,
+        |    SUM(sd * sd) AS ss2, SUM(qd) AS qq,
+        |    SUM(vs) AS vsum, SUM(vs * vs) AS vsq
+        |  FROM v)
+        |SELECT CAST(n AS BIGINT) AS n, dim,
+        |  CAST(((ss2 - qq) * 1000000) //
+        |    ((n * n - n) * CAST(1000000000000000000 AS HUGEINT)) AS BIGINT)
+        |    AS mean_cos_ppm,
+        |  CAST((vsum * vsum * 1000000) // vsq AS BIGINT) AS pr_micro
+        |FROM agg""".stripMargin,
+    "q_embed_threshold_sweep" ->
+      """WITH base AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT CAST(FLOOR(round(list_cosine_similarity(a.v, b.v), 6) * 1e6
+        |    + 0.5) AS BIGINT) AS c_ppm
+        |  FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35),
+        |thr AS (SELECT unnest([350000, 500000, 650000, 800000, 900000,
+        |                      950000, 990000]) AS thr_ppm),
+        |cnt AS (
+        |  SELECT t.thr_ppm,
+        |    CAST(SUM(CASE WHEN p.c_ppm IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_pairs
+        |  FROM thr t LEFT JOIN p ON p.c_ppm >= t.thr_ppm
+        |  GROUP BY t.thr_ppm),
+        |tot AS (
+        |  SELECT CAST(SUM(nl * (nl - 1) // 2) AS BIGINT) AS total_pairs FROM
+        |    (SELECT COUNT(*) AS nl FROM embeddings GROUP BY label))
+        |SELECT thr_ppm, n_pairs, total_pairs,
+        |  CAST((n_pairs * 1000000000) // total_pairs AS BIGINT) AS frac_ppb
+        |FROM cnt, tot ORDER BY thr_ppm""".stripMargin)
+}

@@ -22,9 +22,9 @@ object TextOps {
     * twins below — edit here and all four sites move together (the
     * duplicated literals were a silent-parity-break risk).
     */
-  private val StopWords =
+  private[graft] val StopWords =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
-  private val StopWordsSql = StopWords.map(w => s"'$w'").mkString(",")
+  private[graft] val StopWordsSql = StopWords.map(w => s"'$w'").mkString(",")
 
   private def tokens(df: DataFrame): DataFrame =
     df.select(col("doc_id"), col("lang"), col("source"),
