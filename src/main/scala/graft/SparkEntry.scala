@@ -51,7 +51,8 @@ object SparkEntry {
       (TrainSplitOps.queries, TrainSplitOps.oracles),
       (TextEvalOps.queries, TextEvalOps.oracles),
       (SeriesOps.queries, SeriesOps.oracles),
-      (TuningOps.queries, TuningOps.oracles))
+      (TuningOps.queries, TuningOps.oracles),
+      (ImpactOps.queries, ImpactOps.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -207,9 +207,25 @@ object TextEvalOps {
     * cross-multiplication — no division); one map-side-combined
     * aggregate over a pure per-row projection. The stopword list is the
     * repo-wide [[TextOps.StopWords]] single source. */
-  def qualityGopher(s: SparkSession, dir: String): DataFrame = {
+  def qualityGopher(s: SparkSession, dir: String): DataFrame =
+    gopherFlags(s, dir).groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("r_wc"), 1L).otherwise(0L)).as("n_wc"),
+        sum(when(col("r_mwl"), 1L).otherwise(0L)).as("n_mwl"),
+        sum(when(col("r_stop"), 1L).otherwise(0L)).as("n_stop"),
+        sum(when(col("r_alpha"), 1L).otherwise(0L)).as("n_alpha"),
+        sum(when(col("r_wc") && col("r_mwl") && col("r_stop") && col("r_alpha"),
+          1L).otherwise(0L)).as("n_pass"))
+      .withColumn("pass_ppm", expr("(n_pass * 1000000) div n_docs"))
+      .orderBy("lang", "source")
+
+  /** Doc-grain Gopher rule flags — ONE definition shared by
+    * [[qualityGopher]] and the per-rule ablation report
+    * ([[ImpactOps.qualityAblation]]), with [[GopherFlagsSql]] as its
+    * twin-side single source. */
+  private[graft] def gopherFlags(s: SparkSession, dir: String): DataFrame = {
     val stopArr = array(TextOps.StopWords.map(lit): _*)
-    val flags = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("nt", size(col("toks")).cast("long"))
       .withColumn("wl_num", col("n_chars") - col("nt") + 1)
@@ -220,17 +236,25 @@ object TextEvalOps {
         size(array_intersect(array_distinct(col("toks")), stopArr)) >= 2)
       .withColumn("r_alpha",
         size(filter(col("toks"), t => t.rlike("^[a-z]+$"))) * 10 >= col("nt") * 8)
-    flags.groupBy("lang", "source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("r_wc"), 1L).otherwise(0L)).as("n_wc"),
-        sum(when(col("r_mwl"), 1L).otherwise(0L)).as("n_mwl"),
-        sum(when(col("r_stop"), 1L).otherwise(0L)).as("n_stop"),
-        sum(when(col("r_alpha"), 1L).otherwise(0L)).as("n_alpha"),
-        sum(when(col("r_wc") && col("r_mwl") && col("r_stop") && col("r_alpha"),
-          1L).otherwise(0L)).as("n_pass"))
-      .withColumn("pass_ppm", expr("(n_pass * 1000000) div n_docs"))
-      .orderBy("lang", "source")
   }
+
+  /** The flags CTE (named `flags`) interpolated into both the
+    * q_quality_gopher twin and the ablation twin. */
+  private[graft] val GopherFlagsSql: String =
+    s"""flags AS (
+       |  SELECT lang, source, n_chars,
+       |    len(string_split(text, ' ')) AS nt,
+       |    (len(string_split(text, ' ')) BETWEEN 50 AND 100000) AS r_wc,
+       |    (n_chars - len(string_split(text, ' ')) + 1
+       |       >= len(string_split(text, ' ')) * 3
+       |     AND n_chars - len(string_split(text, ' ')) + 1
+       |       <= len(string_split(text, ' ')) * 10) AS r_mwl,
+       |    (len(list_intersect(list_distinct(string_split(text, ' ')),
+       |       [${TextOps.StopWordsSql}])) >= 2) AS r_stop,
+       |    (len(list_filter(string_split(text, ' '),
+       |       x -> regexp_full_match(x, '[a-z]+'))) * 10
+       |       >= len(string_split(text, ' ')) * 8) AS r_alpha
+       |  FROM documents)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_eval_bleu" -> (evalBleu _),
@@ -371,21 +395,7 @@ object TextEvalOps {
         |FROM pt LEFT JOIN mm ON mm.doc_a = pt.doc_a AND mm.doc_b = pt.doc_b
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_quality_gopher" ->
-      s"""WITH flags AS (
-         |  SELECT lang, source,
-         |    len(string_split(text, ' ')) AS nt,
-         |    n_chars - len(string_split(text, ' ')) + 1 AS wl_num,
-         |    (len(string_split(text, ' ')) BETWEEN 50 AND 100000) AS r_wc,
-         |    (n_chars - len(string_split(text, ' ')) + 1
-         |       >= len(string_split(text, ' ')) * 3
-         |     AND n_chars - len(string_split(text, ' ')) + 1
-         |       <= len(string_split(text, ' ')) * 10) AS r_mwl,
-         |    (len(list_intersect(list_distinct(string_split(text, ' ')),
-         |       [${TextOps.StopWordsSql}])) >= 2) AS r_stop,
-         |    (len(list_filter(string_split(text, ' '),
-         |       x -> regexp_full_match(x, '[a-z]+'))) * 10
-         |       >= len(string_split(text, ' ')) * 8) AS r_alpha
-         |  FROM documents)
+      s"""WITH $GopherFlagsSql
          |SELECT lang, source, COUNT(*) AS n_docs,
          |  CAST(SUM(CASE WHEN r_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_wc,
          |  CAST(SUM(CASE WHEN r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_mwl,

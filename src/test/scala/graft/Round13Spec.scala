@@ -227,6 +227,57 @@ class Round13Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("Shapley: every channel scores within the 2^(n-1)-pair lattice") {
+    val rows = operators.ImpactOps.eventShapley(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // the OBSERVED lattice can be partial at tiny sf — each channel sees
+    // between 1 and 2^(n-1) = 8 coalition pairs, never more
+    rows.foreach(r =>
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 8,
+        s"${r.getString(0)} saw ${r.getLong(1)} pairs"))
+  }
+
+  test("Neyman allocation: hands out exactly the budget") {
+    val rows = operators.ImpactOps.sampleNeyman(spark, sfDir).collect()
+    assert(rows.map(_.getLong(3)).sum === 10000L)
+    rows.foreach(r => assert(r.getLong(3) >= 0))
+  }
+
+  test("Matryoshka: full width recovers itself perfectly, overlap monotone on average") {
+    val rows = operators.ImpactOps.embedMatryoshka(spark, sfDir).collect()
+    val byDim = rows.groupBy(_.getInt(0))
+    assert(byDim(64).forall(_.getLong(2) === 5L),
+      "d=64 disagrees with its own truth")
+    val means = Seq(8, 16, 32, 64).map(d =>
+      byDim(d).map(_.getLong(2)).sum.toDouble / byDim(d).length)
+    assert(means.last === 5.0 && means.head <= means.last)
+  }
+
+  test("permutation test: p-value well-formed, extremes bounded") {
+    val r = operators.ImpactOps.statsPermutation(spark, sfDir).collect().head
+    assert(r.getLong(4) <= r.getLong(3), "more extremes than permutations")
+    assert(r.getLong(5) >= 0 && r.getLong(5) <= 1000)
+    assert(r.getLong(5) === (r.getLong(4) + 1) * 1000 / (r.getLong(3) + 1))
+  }
+
+  test("ablation: unique kills bounded by total kills, ppm recomputes") {
+    val rows = operators.ImpactOps.qualityAblation(spark, sfDir).collect()
+    assert(rows.length === 4)
+    val total = Tables.documents(spark, sfDir).count()
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1))
+      assert(r.getLong(4) === r.getLong(1) * 1000000L / total)
+    }
+  }
+
+  test("dedup savings: ledger is conservative and self-consistent") {
+    operators.ImpactOps.dedupSavings(spark, sfDir).collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "dropped more docs than exist")
+      assert(r.getLong(4) <= r.getLong(3))
+      assert(r.getLong(5) === r.getLong(4) * 1000000L / r.getLong(3))
+    }
+  }
+
   test("LSH tuning: geometries agree on the pair universe, probabilities bounded") {
     val rows = operators.TuningOps.dedupLshTuning(spark, sfDir).collect()
     assert(rows.length === 4)
