@@ -193,12 +193,20 @@ object TuningOps {
         .agg(count(lit(1)).as("n_days"),
           sum(col("err") * col("err")).as("sse"))
         .select(col("pri"), lit(a).as("alpha_eighths"), col("n_days"),
-          expr("cast(sse div 1000000000000 as long)").as("sse_e12"))
+          col("sse"))
     }
     val all = perAlpha.reduce(_ unionByName _)
+    // rank on the EXACT decimal SSE (a truncated readout would tie at
+    // small sf, and Spark's decimal `div` silently WRAPS past 2^63 —
+    // the q_stats_ols_multi footgun, re-caught by the r13 sf0.1 sweep);
+    // the emitted magnitude column downscales by 1e18, safe to ~1e19
+    // daily cents
     val wBest = Window.partitionBy("pri")
-      .orderBy(col("sse_e12"), col("alpha_eighths"))
+      .orderBy(col("sse"), col("alpha_eighths"))
     all.withColumn("is_best", row_number().over(wBest) === 1)
+      .select(col("pri"), col("alpha_eighths"), col("n_days"),
+        expr("cast(sse div 1000000000000000000 as long)").as("sse_e18"),
+        col("is_best"))
       .orderBy("pri", "alpha_eighths")
   }
 
@@ -364,11 +372,11 @@ object TuningOps {
           s"(CASE WHEN l$j IS NOT NULL THEN ${ws(j - 1)} ELSE 0 END)")
           .mkString(" + ")
         s"""SELECT pri, $a AS alpha_eighths, COUNT(*) AS n_days,
-           |  CAST(SUM(
+           |  SUM(
            |    CAST(v * 1000000 - CAST(($num) * 1000000 // ($den) AS BIGINT)
            |      AS HUGEINT)
            |    * (v * 1000000 - CAST(($num) * 1000000 // ($den) AS BIGINT))
-           |  ) // 1000000000000 AS BIGINT) AS sse_e12
+           |  ) AS sse
            |FROM lagged WHERE l1 IS NOT NULL GROUP BY pri""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""WITH daily AS (
@@ -381,9 +389,10 @@ object TuningOps {
          |  FROM daily),
          |allrows AS (
          |$alphaSql)
-         |SELECT pri, alpha_eighths, n_days, sse_e12,
+         |SELECT pri, alpha_eighths, n_days,
+         |  CAST(sse // 1000000000000000000 AS BIGINT) AS sse_e18,
          |  (ROW_NUMBER() OVER (PARTITION BY pri
-         |     ORDER BY sse_e12, alpha_eighths) = 1) AS is_best
+         |     ORDER BY sse, alpha_eighths) = 1) AS is_best
          |FROM allrows ORDER BY pri, alpha_eighths""".stripMargin
     },
     "q_dedup_lsh_tuning" -> {
