@@ -181,7 +181,9 @@ object ImpactOps {
     * exchangeability), two-sided p = (#{|diff_r| ≥ |diff_obs|}+1)/(R+1)
     * — the distribution-free sibling of q_stats_welch_t. Everything is
     * exact integer micro arithmetic; the randomizer is the repo's
-    * cross-engine md5-prefix uniform. Scale: one R×N explode feeding a
+    * cross-engine md5 uniform, amortized one digest per 5 replicates by
+    * slicing disjoint 6-hex windows (measured 7.3→~2.5 s at sf0.1; the
+    * digest dominated). Scale: one (R/5)×N explode feeding a
     * map-side-combined per-replicate aggregate (R is a constant), then
     * a 200-row reduction.
     */
@@ -199,12 +201,20 @@ object ImpactOps {
     val obs = sizes.select(col("n1"), (col("n") - col("n1")).as("n2"),
       col("n"), col("st"),
       (expr("s1 div n1") - expr("(st - s1) div (n - n1)")).as("diff_obs"))
+    // one md5 per (event, block of 5 replicates), sliced into five
+    // DISJOINT 6-hex windows — same independent uniform bits as one
+    // digest per replicate at a fifth of the hashing cost (the digest
+    // was the whole query cost: 200·N md5+concat calls -> 40·N)
     val perms = ev.crossJoin(broadcast(obs))
       .select(col("event_id"), col("vm"), col("n1"), col("n"),
-        explode(sequence(lit(1), lit(r))).as("rep"))
+        explode(sequence(lit(0), lit(r / 5 - 1))).as("blk"))
+      .withColumn("hx", md5(concat(col("blk").cast("string"), lit(":"),
+        col("event_id").cast("string"))))
+      .select(col("event_id"), col("vm"), col("n1"), col("n"), col("blk"),
+        col("hx"), explode(sequence(lit(0), lit(4))).as("off"))
+      .withColumn("rep", col("blk") * 5 + col("off") + 1)
       .withColumn("h",
-        conv(substring(md5(concat(col("rep").cast("string"), lit(":"),
-          col("event_id").cast("string"))), 1, 6), 16, 10).cast("long"))
+        conv(expr("substr(hx, off * 6 + 1, 6)"), 16, 10).cast("long"))
       .withColumn("g1", col("h") * col("n") < col("n1") * lit(16777216L))
       .groupBy("rep")
       .agg(sum(when(col("g1"), col("vm"))).as("ps1"),
@@ -407,11 +417,15 @@ object ImpactOps {
         |  SELECT n1, n - n1 AS n2, n, st,
         |    (s1 // n1) - ((st - s1) // (n - n1)) AS diff_obs
         |  FROM sz),
+        |blks AS (
+        |  SELECT e.event_id, e.vm, o.n1, o.n, b.blk,
+        |    md5(CAST(b.blk AS VARCHAR) || ':' ||
+        |      CAST(e.event_id AS VARCHAR)) AS hx
+        |  FROM ev e, obs o, (SELECT unnest(range(0, 40)) AS blk) b),
         |reps AS (
-        |  SELECT e.event_id, e.vm, o.n1, o.n, r.rep,
-        |    ('0x' || substr(md5(CAST(r.rep AS VARCHAR) || ':' ||
-        |      CAST(e.event_id AS VARCHAR)), 1, 6))::BIGINT AS h
-        |  FROM ev e, obs o, (SELECT unnest(range(1, 201)) AS rep) r),
+        |  SELECT event_id, vm, n1, n, blk * 5 + f.off + 1 AS rep,
+        |    ('0x' || substr(hx, CAST(f.off * 6 + 1 AS INT), 6))::BIGINT AS h
+        |  FROM blks, (SELECT unnest(range(0, 5)) AS off) f),
         |pr AS (
         |  SELECT rep,
         |    CAST(SUM(CASE WHEN h * n < n1 * 16777216 THEN vm END) AS BIGINT)
