@@ -257,7 +257,61 @@ object Joins {
       .orderBy("event_type")
   }
 
+  /** #385 NEAREST-direction as-of join with tolerance: each purchase
+    * matched to the temporally CLOSEST click of the same user within
+    * ±10 minutes, whichever side it falls on — the pandas
+    * `merge_asof(direction='nearest', tolerance=...)` semantics that
+    * backward-only as-of (#17) can't express. Ties (equidistant clicks)
+    * resolve to the EARLIER click, mirrored in the twin's
+    * (gap, click_sec, click_id) ordering.
+    *
+    * Scale: the same union-and-window formulation as [[joinAsof]] — one
+    * shuffle on user_id carries BOTH directional candidates (running
+    * last-click backward, running next-click forward over the reversed
+    * frame), then a per-row pick; no pair explosion at any scale. The
+    * twin does the O(pairs-within-tolerance) candidate join + QUALIFY —
+    * fine as an oracle, exactly what the operator avoids in production.
+    */
+  def joinAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val tol = 600L
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("long").as("sec"))
+    val wB = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("user_id")
+      .orderBy(col("sec").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val clickStruct = when(col("event_type") === "click",
+      struct(col("sec"), col("event_id")))
+    ev
+      .withColumn("back", last(clickStruct, ignoreNulls = true).over(wB))
+      .withColumn("fwd", last(clickStruct, ignoreNulls = true).over(wF))
+      .filter(col("event_type") === "purchase")
+      .withColumn("gap_b",
+        when(col("back").isNotNull, col("sec") - col("back.sec")))
+      .withColumn("gap_f",
+        when(col("fwd").isNotNull, col("fwd.sec") - col("sec")))
+      .withColumn("pick_back",
+        col("gap_b").isNotNull && col("gap_b") <= tol &&
+          (col("gap_f").isNull || col("gap_f") > tol ||
+            col("gap_b") <= col("gap_f")))
+      .withColumn("pick_fwd",
+        !col("pick_back") && col("gap_f").isNotNull && col("gap_f") <= tol)
+      .select(col("event_id").as("buy_id"), col("user_id"),
+        col("sec").as("buy_sec"),
+        when(col("pick_back"), col("back.event_id"))
+          .when(col("pick_fwd"), col("fwd.event_id")).as("click_id"),
+        when(col("pick_back"), col("gap_b"))
+          .when(col("pick_fwd"), col("gap_f")).as("gap_sec"),
+        when(col("pick_back"), "before")
+          .when(col("pick_fwd"), "after").otherwise("none").as("direction"))
+      .orderBy("buy_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_asof_nearest" -> (joinAsofNearest _),
     "q_join_salted" -> (joinSalted _),
     "q_join_inner" -> (joinInner _),
     "q_join_broadcast_dims" -> (joinBroadcastDims _),
@@ -273,6 +327,43 @@ object Joins {
     "q_pip_exact" -> (pipExact _))
 
   val oracles: Map[String, String] = Map(
+    "q_join_asof_nearest" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |buys AS (SELECT event_id AS buy_id, user_id, sec AS buy_sec
+        |         FROM ev WHERE event_type = 'purchase'),
+        |clicks AS (SELECT event_id AS click_id, user_id, sec AS click_sec
+        |           FROM ev WHERE event_type = 'click'),
+        |cand AS (
+        |  -- tie-breaks replicate the Spark window semantics exactly:
+        |  -- second-truncation makes same-sec click/purchase collisions
+        |  -- real at sf0.1, so "backward" is the LEXICOGRAPHIC (sec, id)
+        |  -- order, backward wins a distance tie, the backward candidate
+        |  -- is the LARGEST (sec, id) below, the forward the smallest
+        |  -- above
+        |  SELECT b.buy_id, c.click_id, c.click_sec,
+        |    ABS(b.buy_sec - c.click_sec) AS gap_sec,
+        |    (c.click_sec < b.buy_sec OR
+        |     (c.click_sec = b.buy_sec AND c.click_id < b.buy_id)) AS backward
+        |  FROM buys b JOIN clicks c ON c.user_id = b.user_id
+        |    AND ABS(b.buy_sec - c.click_sec) <= 600
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY b.buy_id
+        |    ORDER BY ABS(b.buy_sec - c.click_sec),
+        |      CASE WHEN c.click_sec < b.buy_sec OR
+        |        (c.click_sec = b.buy_sec AND c.click_id < b.buy_id)
+        |        THEN 0 ELSE 1 END,
+        |      CASE WHEN c.click_sec < b.buy_sec OR
+        |        (c.click_sec = b.buy_sec AND c.click_id < b.buy_id)
+        |        THEN -c.click_id ELSE c.click_id END)
+        |    = 1)
+        |SELECT b.buy_id, b.user_id, b.buy_sec, cand.click_id, cand.gap_sec,
+        |  CASE WHEN cand.click_id IS NULL THEN 'none'
+        |       WHEN cand.backward THEN 'before'
+        |       ELSE 'after' END AS direction
+        |FROM buys b LEFT JOIN cand USING (buy_id)
+        |ORDER BY buy_id""".stripMargin,
     "q_join_salted" ->
       """WITH dim AS (
         |  SELECT event_type, COUNT(*) AS type_n FROM events GROUP BY event_type)

@@ -201,6 +201,43 @@ object TimeWindows {
       .orderBy("user_id", "event_id")
   }
 
+  /** #386 Exponentially-weighted mean AND variance per user — the risk/
+    * volatility monitor next to [[tsEwma]]'s mean-only smoother: same
+    * dyadic truncated-horizon weights (α = 1/2, 8 lags, weights 2^(7−k)
+    * — exact integers), with the variance in the EXACT integer identity
+    * var = (W·Σwv² − (Σwv)²)/W², so there is no float recurrence and no
+    * mean-subtraction rounding anywhere; one truncating division per
+    * output, mirrored in the twin. Emitted in milli² units (div 1e6):
+    * the micro² variance tops out near 1e18 for |value| ≤ $1000 — inside
+    * int64 but close enough that the readout downscales (the
+    * q_ts_alpha_select wrap lesson). One window pass on the user_id
+    * partitioning.
+    */
+  def tsEwvar(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val base = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * 1e6).cast("long").as("vmicro"))
+    val lags = (0 to 7).map { k =>
+      val wt = 1L << (7 - k)
+      val v = if (k == 0) col("vmicro") else lag(col("vmicro"), k).over(w)
+      (coalesce(v.cast(dec) * wt, lit(0L).cast(dec)),
+        coalesce(v.cast(dec) * v * wt, lit(0L).cast(dec)),
+        when(v.isNotNull, lit(wt)).otherwise(lit(0L)))
+    }
+    base
+      .withColumn("swv", lags.map(_._1).reduce(_ + _))
+      .withColumn("swv2", lags.map(_._2).reduce(_ + _))
+      .withColumn("den", lags.map(_._3).reduce(_ + _))
+      .select(col("user_id"), col("event_id"),
+        expr("cast(swv div den as long)").as("ewm_micro"),
+        expr("cast(((den * swv2 - swv * swv) div (den * den)) " +
+          "div 1000000 as long)").as("ewvar_milli2"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Union-of-intervals coverage per user: each event opens a 30-minute
     * activity interval; overlapping/touching intervals merge and the
     * total covered seconds + merged-island count are reported. The
@@ -1388,6 +1425,7 @@ object TimeWindows {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_ewvar" -> (tsEwvar _),
     "q_ts_adf" -> (tsAdf _),
     "q_ts_backlog" -> (tsBacklog _),
     "q_ts_fulfillment" -> (tsFulfillment _),
@@ -2158,6 +2196,43 @@ object TimeWindows {
         |  round(CAST(x - prev AS DOUBLE) / prev, 6) AS wow_change
         |FROM l WHERE prev IS NOT NULL AND prev <> 0
         |ORDER BY event_type, day""".stripMargin,
+    "q_ts_ewvar" -> {
+      val num = (0 to 7).map { k =>
+        val wt = 1L << (7 - k)
+        val v = if (k == 0) "vmicro" else s"v$k"
+        s"COALESCE(CAST($v AS HUGEINT) * $wt, 0)"
+      }.mkString(" + ")
+      val num2 = (0 to 7).map { k =>
+        val wt = 1L << (7 - k)
+        val v = if (k == 0) "vmicro" else s"v$k"
+        s"COALESCE(CAST($v AS HUGEINT) * $v * $wt, 0)"
+      }.mkString(" + ")
+      val den = (0 to 7).map { k =>
+        val wt = 1L << (7 - k)
+        val v = if (k == 0) "vmicro" else s"v$k"
+        s"(CASE WHEN $v IS NULL THEN 0 ELSE $wt END)"
+      }.mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, ts,
+         |    CAST(floor(value * 1e6) AS BIGINT) AS vmicro
+         |  FROM events),
+         |l AS (
+         |  SELECT user_id, event_id, vmicro,
+         |    lag(vmicro, 1) OVER w AS v1, lag(vmicro, 2) OVER w AS v2,
+         |    lag(vmicro, 3) OVER w AS v3, lag(vmicro, 4) OVER w AS v4,
+         |    lag(vmicro, 5) OVER w AS v5, lag(vmicro, 6) OVER w AS v6,
+         |    lag(vmicro, 7) OVER w AS v7
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |g AS (
+         |  SELECT user_id, event_id,
+         |    ($num) AS swv, ($num2) AS swv2, ($den) AS den
+         |  FROM l)
+         |SELECT user_id, event_id,
+         |  CAST(swv // den AS BIGINT) AS ewm_micro,
+         |  CAST(((den * swv2 - swv * swv) // (den * den)) // 1000000
+         |    AS BIGINT) AS ewvar_milli2
+         |FROM g ORDER BY user_id, event_id""".stripMargin
+    },
     "q_ts_ewma" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts,

@@ -278,6 +278,47 @@ class Round13Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("nearest as-of join equals a brute-force driver replay") {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("long").as("sec")).collect()
+    val clicks = ev.filter(_.getString(2) == "click")
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(0)))
+    val got = operators.Joins.joinAsofNearest(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3), r.getString(5))).toMap
+    ev.filter(_.getString(2) == "purchase").foreach { b =>
+      val (uid, bsec, bid) = (b.getLong(1), b.getLong(3), b.getLong(0))
+      val cand = clicks.filter(c => c._1 == uid && math.abs(c._2 - bsec) <= 600)
+      val expected =
+        if (cand.isEmpty) (-1L, "none")
+        else {
+          // backward = lexicographically below (sec, id); prefer the
+          // smaller gap, then backward, then nearest-in-order id
+          val best = cand.minBy { case (_, csec, cid) =>
+            val back = csec < bsec || (csec == bsec && cid < bid)
+            (math.abs(csec - bsec), if (back) 0 else 1,
+              if (back) -cid else cid)
+          }
+          val back = best._2 < bsec || (best._2 == bsec && best._3 < bid)
+          (best._3, if (back) "before" else "after")
+        }
+      assert(got(bid) === expected, s"buy $bid mismatch")
+    }
+  }
+
+  test("EW variance: non-negative everywhere, zero on each user's first event") {
+    val rows = operators.TimeWindows.tsEwvar(spark, sfDir).collect()
+    rows.foreach(r => assert(r.getLong(3) >= 0))
+    val firsts = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(min(struct(col("ts"), col("event_id"))).as("f"))
+      .select(col("f.event_id")).collect().map(_.getLong(0)).toSet
+    rows.filter(r => firsts(r.getLong(1)))
+      .foreach(r => assert(r.getLong(3) === 0L,
+        s"first event ${r.getLong(1)} has nonzero EW variance"))
+  }
+
   test("LSH tuning: geometries agree on the pair universe, probabilities bounded") {
     val rows = operators.TuningOps.dedupLshTuning(spark, sfDir).collect()
     assert(rows.length === 4)
