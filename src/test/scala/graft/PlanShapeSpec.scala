@@ -832,4 +832,56 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(windows.forall(_.partitionSpec.nonEmpty),
       s"textrank windows must stay doc-partitioned:\n$plan")
   }
+
+  test("r13 top-20 language-model rankings are TakeOrderedAndProject") {
+    for (df <- Seq(operators.TuningOps.textKneserNey(spark, sfDir),
+      operators.TuningOps.textCollocationLlr(spark, sfDir))) {
+      val plan = executed(df)
+      assert(collectAll(plan).exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+        s"top-20 must be a bounded heap, not a global sort:\n$plan")
+    }
+  }
+
+  test("r13 BLEU clip kernel joins without cartesian products") {
+    val plan = executed(operators.TextEvalOps.evalBleu(spark, sfDir))
+    val str = plan.toString
+    assert(!str.contains("CartesianProduct"), str.take(3000))
+  }
+
+  test("r13 nearest as-of join: keyed windows only, no pair join") {
+    val plan = executed(operators.Joins.joinAsofNearest(spark, sfDir))
+    val windows = collectAll(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      s"both directional windows must stay user-partitioned:\n$plan")
+    val str = plan.toString
+    assert(!str.contains("CartesianProduct") &&
+      !str.contains("BroadcastNestedLoopJoin"),
+      "nearest as-of must never build candidate pairs:\n" + str.take(3000))
+  }
+
+  test("r13 zone-map clustered layout avoids the single-partition window") {
+    val plan = executed(operators.TrainSplitOps.zonemapPrune(spark, sfDir))
+    val windows = collectAll(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // the date-clustered file assignment rides the two-phase rank kernel
+    // (range repartition + pid-keyed window) — an unkeyed window here
+    // would mean the kernel was bypassed
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"zonemap windows must stay pid-partitioned:\n$plan")
+  }
+
+  test("r13 Shapley: the corpus-sized job is one aggregate; algebra broadcasts") {
+    val plan = executed(operators.ImpactOps.eventShapley(spark, sfDir))
+    val str = plan.toString
+    assert(!str.contains("CartesianProduct") ||
+      !str.contains("SortMergeJoin"),
+      "coalition algebra must broadcast, not shuffle:\n" + str.take(3000))
+    assert(collectAll(plan).exists(p =>
+      p.isInstanceOf[BroadcastHashJoinExec] ||
+        p.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      s"expected broadcast joins on the coalition relation:\n$plan")
+  }
 }
