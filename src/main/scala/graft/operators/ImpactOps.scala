@@ -205,21 +205,27 @@ object ImpactOps {
     // DISJOINT 6-hex windows — same independent uniform bits as one
     // digest per replicate at a fifth of the hashing cost (the digest
     // was the whole query cost: 200·N md5+concat calls -> 40·N)
-    val perms = ev.crossJoin(broadcast(obs))
+    val blocks = ev.crossJoin(broadcast(obs))
       .select(col("event_id"), col("vm"), col("n1"), col("n"),
         explode(sequence(lit(0), lit(r / 5 - 1))).as("blk"))
       .withColumn("hx", md5(concat(col("blk").cast("string"), lit(":"),
         col("event_id").cast("string"))))
-      .select(col("event_id"), col("vm"), col("n1"), col("n"), col("blk"),
-        col("hx"), explode(sequence(lit(0), lit(4))).as("off"))
-      .withColumn("rep", col("blk") * 5 + col("off") + 1)
-      .withColumn("h",
-        conv(expr("substr(hx, off * 6 + 1, 6)"), 16, 10).cast("long"))
-      .withColumn("g1", col("h") * col("n") < col("n1") * lit(16777216L))
-      .groupBy("rep")
-      .agg(sum(when(col("g1"), col("vm"))).as("ps1"),
-        sum(when(col("g1"), 1L).otherwise(0L)).as("pc1"),
-        max(col("n1")).as("n1"), max(col("n")).as("n"))
+    // five conditional sums per block in ONE aggregate pass (one agg
+    // row per block carries all five replicates), then a 40-row stack —
+    // no 5x row explosion between the digest and the combine
+    val offAggs = (0 to 4).flatMap { off =>
+      val h = conv(expr(s"substr(hx, ${off * 6 + 1}, 6)"), 16, 10)
+        .cast("long")
+      val g1 = h * col("n") < col("n1") * lit(16777216L)
+      Seq(sum(when(g1, col("vm"))).as(s"ps$off"),
+        sum(when(g1, 1L).otherwise(0L)).as(s"pc$off"))
+    } ++ Seq(max(col("n1")).as("n1"), max(col("n")).as("n"))
+    val stacked = (0 to 4).map(off => s"blk * 5 + $off + 1, ps$off, pc$off")
+      .mkString(", ")
+    val perms = blocks.groupBy("blk")
+      .agg(offAggs.head, offAggs.tail: _*)
+      .select(col("n1"), col("n"),
+        expr(s"stack(5, $stacked) AS (rep, ps1, pc1)"))
     val diffs = perms.crossJoin(broadcast(obs.select(col("st"),
       col("diff_obs"))))
       .filter(col("pc1") > 0 && col("pc1") < col("n"))
@@ -399,53 +405,58 @@ object ImpactOps {
          |SELECT dim, probe_id, hits, (hits * 1000000) // 5 AS overlap_ppm
          |FROM u ORDER BY dim, probe_id""".stripMargin
     },
-    "q_stats_permutation" ->
-      """WITH ev AS (
-        |  SELECT event_id, event_type,
-        |    CAST(FLOOR(value * 1e6) AS BIGINT) AS vm
-        |  FROM events WHERE event_type IN ('click', 'view')),
-        |sz AS (
-        |  SELECT
-        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n1,
-        |    COUNT(*) AS n,
-        |    CAST(SUM(CASE WHEN event_type = 'click' THEN vm END) AS BIGINT)
-        |      AS s1,
-        |    CAST(SUM(vm) AS BIGINT) AS st
-        |  FROM ev),
-        |obs AS (
-        |  SELECT n1, n - n1 AS n2, n, st,
-        |    (s1 // n1) - ((st - s1) // (n - n1)) AS diff_obs
-        |  FROM sz),
-        |blks AS (
-        |  SELECT e.event_id, e.vm, o.n1, o.n, b.blk,
-        |    md5(CAST(b.blk AS VARCHAR) || ':' ||
-        |      CAST(e.event_id AS VARCHAR)) AS hx
-        |  FROM ev e, obs o, (SELECT unnest(range(0, 40)) AS blk) b),
-        |reps AS (
-        |  SELECT event_id, vm, n1, n, blk * 5 + f.off + 1 AS rep,
-        |    ('0x' || substr(hx, CAST(f.off * 6 + 1 AS INT), 6))::BIGINT AS h
-        |  FROM blks, (SELECT unnest(range(0, 5)) AS off) f),
-        |pr AS (
-        |  SELECT rep,
-        |    CAST(SUM(CASE WHEN h * n < n1 * 16777216 THEN vm END) AS BIGINT)
-        |      AS ps1,
-        |    CAST(SUM(CASE WHEN h * n < n1 * 16777216 THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS pc1,
-        |    MAX(n1) AS n1, MAX(n) AS n
-        |  FROM reps GROUP BY rep),
-        |df AS (
-        |  SELECT pr.*, o.st, o.diff_obs,
-        |    (ps1 // pc1) - ((o.st - ps1) // (pr.n - pc1)) AS diff_r
-        |  FROM pr, obs o WHERE pc1 > 0 AND pc1 < pr.n)
-        |SELECT MAX(n1) AS n1, MAX(n - n1) AS n2,
-        |  MAX(diff_obs) AS diff_obs_micro,
-        |  COUNT(*) AS n_perms,
-        |  CAST(SUM(CASE WHEN ABS(diff_r) >= ABS(diff_obs) THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS r_extreme,
-        |  CAST(((SUM(CASE WHEN ABS(diff_r) >= ABS(diff_obs) THEN 1 ELSE 0
-        |    END) + 1) * 1000) // (COUNT(*) + 1) AS BIGINT) AS p_milli
-        |FROM df""".stripMargin,
+    "q_stats_permutation" -> {
+      val bpCols = (0 to 4).map { off =>
+        val cond = s"('0x' || substr(hx, ${off * 6 + 1}, 6))::BIGINT * n" +
+          s" < n1 * 16777216"
+        s"CAST(SUM(CASE WHEN $cond THEN vm END) AS BIGINT) AS ps$off, " +
+          s"CAST(SUM(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS pc$off"
+      }.mkString(",\n    ")
+      val prUnion = (0 to 4).map(off =>
+        s"SELECT blk * 5 + $off + 1 AS rep, ps$off AS ps1, " +
+          s"pc$off AS pc1, n1, n FROM bp").mkString("\n  UNION ALL\n  ")
+      s"""WITH ev AS (
+         |  SELECT event_id, event_type,
+         |    CAST(FLOOR(value * 1e6) AS BIGINT) AS vm
+         |  FROM events WHERE event_type IN ('click', 'view')),
+         |sz AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n1,
+         |    COUNT(*) AS n,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN vm END) AS BIGINT)
+         |      AS s1,
+         |    CAST(SUM(vm) AS BIGINT) AS st
+         |  FROM ev),
+         |obs AS (
+         |  SELECT n1, n - n1 AS n2, n, st,
+         |    (s1 // n1) - ((st - s1) // (n - n1)) AS diff_obs
+         |  FROM sz),
+         |blks AS (
+         |  SELECT e.event_id, e.vm, o.n1, o.n, b.blk,
+         |    md5(CAST(b.blk AS VARCHAR) || ':' ||
+         |      CAST(e.event_id AS VARCHAR)) AS hx
+         |  FROM ev e, obs o, (SELECT unnest(range(0, 40)) AS blk) b),
+         |bp AS (
+         |  SELECT blk,
+         |    $bpCols,
+         |    MAX(n1) AS n1, MAX(n) AS n
+         |  FROM blks GROUP BY blk),
+         |pr AS (
+         |  $prUnion),
+         |df AS (
+         |  SELECT pr.*, o.st, o.diff_obs,
+         |    (ps1 // pc1) - ((o.st - ps1) // (pr.n - pc1)) AS diff_r
+         |  FROM pr, obs o WHERE pc1 > 0 AND pc1 < pr.n)
+         |SELECT MAX(n1) AS n1, MAX(n - n1) AS n2,
+         |  MAX(diff_obs) AS diff_obs_micro,
+         |  COUNT(*) AS n_perms,
+         |  CAST(SUM(CASE WHEN ABS(diff_r) >= ABS(diff_obs) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS r_extreme,
+         |  CAST(((SUM(CASE WHEN ABS(diff_r) >= ABS(diff_obs) THEN 1 ELSE 0
+         |    END) + 1) * 1000) // (COUNT(*) + 1) AS BIGINT) AS p_milli
+         |FROM df""".stripMargin
+    },
     "q_quality_ablation" -> {
       val rules = Seq(
         ("word_count", "r_wc"), ("mean_word_len", "r_mwl"),
