@@ -52,7 +52,9 @@ object SparkEntry {
       (TextEvalOps.queries, TextEvalOps.oracles),
       (SeriesOps.queries, SeriesOps.oracles),
       (TuningOps.queries, TuningOps.oracles),
-      (ImpactOps.queries, ImpactOps.oracles))
+      (ImpactOps.queries, ImpactOps.oracles),
+      (DiagnosticOps.queries, DiagnosticOps.oracles),
+      (IndicatorOps.queries, IndicatorOps.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

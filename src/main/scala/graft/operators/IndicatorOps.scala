@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.{Det, Tables}
+
+/** Round-13 additions, SURVEY §2 #394–#397: the four missing members
+  * of the rolling-indicator family (#327 ATR, #328 Bollinger, #333 RSI,
+  * #341 OBV, #356 %K, #369 MACD): volume-weighted average price,
+  * Donchian channel, Aroon up/down, and the commodity channel index
+  * (whose mean-absolute-deviation-around-a-rolling-mean is the one
+  * shape a plain window aggregate cannot express — solved with a
+  * frame-collected list folded through an order-insensitive integer
+  * sum, NOT a float recurrence).
+  *
+  * Exactness discipline: prices stage to exact integer cents,
+  * quantities are native integers; every rolling statistic is an
+  * integer window sum / min / max; each readout is one truncating
+  * division (Spark `div` ≡ DuckDB `//`, both toward zero).
+  */
+object IndicatorOps {
+
+  /** Daily revenue in exact integer cents per order priority — the
+    * CALENDAR-bounded series (≤ |days|·|priorities| rows at any corpus
+    * size); the only corpus-scaled job is the day aggregate, which
+    * map-side combines.
+    */
+  private def dailyByPri(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("pri"),
+        date_trunc("day", col("o_orderdate")).as("day"))
+      .agg((sum(Det.money(col("o_totalprice"))) * 100).cast("long").as("v"))
+
+  private val dec = DecimalType(38, 0)
+
+  /** #394 Cumulative VWAP per return flag over ship days: running
+    * Σ(notional cents) / Σ(quantity), emitted in exact micro-dollars
+    * via one truncating division per row — the canonical
+    * execution-quality benchmark price. Cumulative notional stages to
+    * DECIMAL(38,0) (corpus-proportional: ~2e12 cents at sf0.1, int64
+    * would die at ~4000×; decimal never). Scale: one map-side-combined
+    * day aggregate, then cumulative windows on the |flags|-partitioned
+    * calendar-bounded series.
+    */
+  def winVwap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("flag").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("flag"),
+        date_trunc("day", col("l_shipdate")).as("day"))
+      .agg((sum(Det.money(col("l_extendedprice"))) * 100).cast("long")
+          .as("notional"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .withColumn("cum_notional", sum(col("notional").cast(dec)).over(w))
+      .withColumn("cum_qty", sum(col("qty")).over(w))
+      .select(col("flag"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cum_qty"),
+        expr("cast((cum_notional * 10000) div cum_qty as long)")
+          .as("vwap_microusd"))
+      .orderBy("flag", "day")
+  }
+
+  /** #395 Donchian channel (8-day) on the per-priority daily revenue
+    * series: rolling high/low, channel width, and the position of
+    * today's value inside the channel in ppm (zero-width windows emit
+    * NULL position on both engines rather than an arbitrary midpoint).
+    * Pure integer min/max/width; one ppm division. Scale: one frame
+    * window on the calendar-bounded series.
+    */
+  def winDonchian(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("pri").orderBy("day").rowsBetween(-7, 0)
+    dailyByPri(s, dir)
+      .withColumn("hi", max(col("v")).over(w))
+      .withColumn("lo", min(col("v")).over(w))
+      .select(col("pri"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("v"), col("hi"), col("lo"), (col("hi") - col("lo")).as("width"),
+        when(col("hi") =!= col("lo"),
+          expr("((v - lo) * 1000000) div (hi - lo)")).as("pos_ppm"))
+      .orderBy("pri", "day")
+  }
+
+  /** #396 Aroon up/down (period 8) on the per-priority daily revenue
+    * series: bars since the rolling high/low, read out as
+    * (8 − bars)/8 in ppm. "Bars since extreme" is recovered WITHOUT a
+    * nested window: each row encodes value·1e5 + index (ties → the
+    * larger index, i.e. the most recent extreme, the standard Aroon
+    * convention; for the low the index rides complemented so min()
+    * also prefers recent), and one max/min over the frame decodes to
+    * the extreme's index. Envelope: v·1e5 ≤ 9e13 at sf0.1, int64-safe
+    * to ~100× daily cents (documented). Scale: row_number + one frame
+    * window, all on the calendar-bounded series.
+    */
+  def winAroon(s: SparkSession, dir: String): DataFrame = {
+    val wSeq = Window.partitionBy("pri").orderBy("day")
+    val w = wSeq.rowsBetween(-8, 0)
+    dailyByPri(s, dir)
+      .withColumn("t", (row_number().over(wSeq) - 1).cast("long"))
+      .withColumn("enc_hi", col("v") * 100000L + col("t"))
+      .withColumn("enc_lo", col("v") * 100000L + (lit(99999L) - col("t")))
+      .withColumn("ds_hi", col("t") - (max(col("enc_hi")).over(w) % 100000L))
+      .withColumn("ds_lo",
+        col("t") - (lit(99999L) - (min(col("enc_lo")).over(w) % 100000L)))
+      .select(col("pri"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("v"), col("ds_hi"), col("ds_lo"),
+        ((lit(8L) - col("ds_hi")) * 125000L).as("aroon_up_ppm"),
+        ((lit(8L) - col("ds_lo")) * 125000L).as("aroon_down_ppm"))
+      .orderBy("pri", "day")
+  }
+
+  /** #397 Commodity channel index (8-day) on the per-priority daily
+    * revenue series: (v − SMA)/(0.015·meanDev). The mean absolute
+    * deviation around the ROLLING mean is the nested-window shape
+    * plain aggregates can't express — the frame's values collect into
+    * a list and fold through |v_i·m − s| (an order-insensitive exact
+    * integer sum, so the list's collection order is irrelevant and
+    * both engines agree bit-for-bit). cci = (v·m−s)·m·1e6 div
+    * (15·mdNum) in milli, staged DECIMAL (numerator ~7e16 at sf0.1 —
+    * int64 would die at ~100×); flat windows emit NULL. Scale: the
+    * list is ≤8 elements per row of a calendar-bounded series — never
+    * corpus-sized.
+    */
+  def winCci(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("pri").orderBy("day").rowsBetween(-7, 0)
+    dailyByPri(s, dir)
+      .withColumn("s", sum(col("v")).over(w))
+      .withColumn("m", count(lit(1)).over(w))
+      .withColumn("l", collect_list(col("v")).over(w))
+      .withColumn("md_num",
+        aggregate(col("l"), lit(0L), (acc, x) => acc + abs(x * col("m") - col("s"))))
+      .select(col("pri"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("v"), expr("(s * 1000) div m").as("sma_milli"),
+        expr("md_num div m").as("md_raw"),
+        when(col("md_num") > 0L,
+          expr("cast(((v * m - s) * cast(m as decimal(38,0)) * 1000000) " +
+            "div (15 * md_num) as long)")).as("cci_milli"))
+      .orderBy("pri", "day")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_vwap" -> (winVwap _),
+    "q_win_donchian" -> (winDonchian _),
+    "q_win_aroon" -> (winAroon _),
+    "q_win_cci" -> (winCci _))
+
+  private val DailyPriSql =
+    """daily AS (
+      |  SELECT o_orderpriority AS pri, date_trunc('day', o_orderdate) AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS v
+      |  FROM orders GROUP BY 1, 2)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_win_vwap" ->
+      """WITH d AS (
+        |  SELECT l_returnflag AS flag, date_trunc('day', l_shipdate) AS day,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+        |      AS notional,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT flag, day,
+        |    SUM(CAST(notional AS HUGEINT)) OVER w AS cum_notional,
+        |    CAST(SUM(qty) OVER w AS BIGINT) AS cum_qty
+        |  FROM d WINDOW w AS (PARTITION BY flag ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT flag, strftime(day, '%Y-%m-%d') AS day, cum_qty,
+        |  CAST((cum_notional * 10000) // cum_qty AS BIGINT) AS vwap_microusd
+        |FROM c ORDER BY flag, day""".stripMargin,
+    "q_win_donchian" ->
+      s"""WITH $DailyPriSql,
+         |w AS (
+         |  SELECT pri, day, v,
+         |    MAX(v) OVER fr AS hi, MIN(v) OVER fr AS lo
+         |  FROM daily WINDOW fr AS (PARTITION BY pri ORDER BY day
+         |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+         |SELECT pri, strftime(day, '%Y-%m-%d') AS day, v, hi, lo,
+         |  hi - lo AS width,
+         |  CASE WHEN hi <> lo THEN ((v - lo) * 1000000) // (hi - lo) END
+         |    AS pos_ppm
+         |FROM w ORDER BY pri, day""".stripMargin,
+    "q_win_aroon" ->
+      s"""WITH $DailyPriSql,
+         |idx AS (
+         |  SELECT pri, day, v,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY pri ORDER BY day) - 1
+         |      AS BIGINT) AS t
+         |  FROM daily),
+         |e AS (
+         |  SELECT pri, day, v, t,
+         |    t - ((MAX(v * 100000 + t) OVER fr) % 100000) AS ds_hi,
+         |    t - (99999 - ((MIN(v * 100000 + (99999 - t)) OVER fr) % 100000))
+         |      AS ds_lo
+         |  FROM idx WINDOW fr AS (PARTITION BY pri ORDER BY day
+         |    ROWS BETWEEN 8 PRECEDING AND CURRENT ROW))
+         |SELECT pri, strftime(day, '%Y-%m-%d') AS day, v, ds_hi, ds_lo,
+         |  (8 - ds_hi) * 125000 AS aroon_up_ppm,
+         |  (8 - ds_lo) * 125000 AS aroon_down_ppm
+         |FROM e ORDER BY pri, day""".stripMargin,
+    "q_win_cci" ->
+      s"""WITH $DailyPriSql,
+         |w AS (
+         |  SELECT pri, day, v,
+         |    SUM(v) OVER fr AS s, COUNT(*) OVER fr AS m,
+         |    list(v) OVER fr AS l
+         |  FROM daily WINDOW fr AS (PARTITION BY pri ORDER BY day
+         |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+         |md AS (
+         |  SELECT pri, day, v, s, m,
+         |    list_aggregate(list_transform(l, x -> abs(x * m - s)), 'sum')
+         |      AS md_num
+         |  FROM w)
+         |SELECT pri, strftime(day, '%Y-%m-%d') AS day, v,
+         |  CAST((s * 1000) // m AS BIGINT) AS sma_milli,
+         |  CAST(md_num // m AS BIGINT) AS md_raw,
+         |  CASE WHEN md_num > 0 THEN
+         |    CAST(((v * m - s) * CAST(m AS HUGEINT) * 1000000) // (15 * md_num)
+         |      AS BIGINT) END AS cci_milli
+         |FROM md ORDER BY pri, day""".stripMargin)
+}

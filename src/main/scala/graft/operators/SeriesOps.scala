@@ -267,7 +267,59 @@ object SeriesOps {
       .orderBy("thr_ppm")
   }
 
+  /** #399 TwoNN intrinsic-dimension estimate of the embedding corpus,
+    * per label block (Facco et al. 2017): ID = n / Σ ln(r2/r1) from
+    * each point's first and second nearest-neighbor distances — the
+    * geometry audit that says how many of the 64 ambient dims the data
+    * actually occupies (low ID ⇒ aggressive PQ/Matryoshka truncation
+    * is safe, see #361/#381). Components quantize to exact micro ints,
+    * so squared distances are exact int64 (≤9e13 — ints stay exact
+    * through the double ln); ln(r2/r1) = (ln d2² − ln d1²)/2 with each
+    * ln floored to nano BEFORE the sum (integer-exact aggregation);
+    * ID reads out via one truncating milli division. Duplicate points
+    * (d1² = 0) are excluded from the estimator — standard practice,
+    * identical filter on both engines. Scale: candidate generation is
+    * BLOCKED by label (the IVF/LSH bucket structure of the sim family
+    * — never global all-pairs); per-point top-2 via one window rank
+    * on the (point) partitioning.
+    */
+  def embedIntrinsicDim(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1e6).cast("long")).as("u"))
+      .withColumn("q",
+        aggregate(transform(col("u"), x => x * x), lit(0L), _ + _))
+    val a = u.select(col("vec_id").as("ida"), col("label"),
+      col("u").as("ua"), col("q").as("qa"))
+    val b = u.select(col("vec_id").as("idb"), col("label"),
+      col("u").as("ub"), col("q").as("qb"))
+    val w = Window.partitionBy("ida")
+      .orderBy(col("d2"), col("idb"))
+    val top2 = a.join(b, Seq("label"))
+      .filter(col("ida") =!= col("idb"))
+      .withColumn("dot",
+        aggregate(zip_with(col("ua"), col("ub"), _ * _), lit(0L), _ + _))
+      .withColumn("d2", col("qa") + col("qb") - lit(2L) * col("dot"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("label", "ida")
+      .agg(min(when(col("rn") === 1, col("d2"))).as("d1sq"),
+        min(when(col("rn") === 2, col("d2"))).as("d2sq"))
+      .filter(col("d1sq") > 0L && col("d2sq").isNotNull)
+    top2
+      .withColumn("term_nano",
+        floor(log(col("d2sq").cast("double")) * 1e9).cast("long") -
+          floor(log(col("d1sq").cast("double")) * 1e9).cast("long"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_pts"), sum(col("term_nano")).as("sum_nano"))
+      .select(col("label"), col("n_pts"), col("sum_nano"),
+        expr("(n_pts * 2000000000000) div sum_nano").as("id_milli"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_intrinsic_dim" -> (embedIntrinsicDim _),
     "q_ts_perm_entropy" -> (tsPermEntropy _),
     "q_ts_periodogram" -> (tsPeriodogram _),
     "q_win_macd" -> (winMacd _),
@@ -282,6 +334,41 @@ object SeriesOps {
       |  FROM orders GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_embed_intrinsic_dim" ->
+      """WITH u AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS u
+        |  FROM embeddings),
+        |uq AS (
+        |  SELECT vec_id, label, u,
+        |    list_aggregate(list_transform(u, y -> y * y), 'sum') AS q
+        |  FROM u),
+        |pairs AS (
+        |  SELECT a.label, a.vec_id AS ida, b.vec_id AS idb,
+        |    a.q + b.q - 2 * list_aggregate(
+        |      list_transform(list_zip(a.u, b.u), p -> p[1] * p[2]), 'sum') AS d2
+        |  FROM uq a JOIN uq b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT label, ida, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY ida ORDER BY d2, idb) AS rn
+        |  FROM pairs),
+        |top2 AS (
+        |  SELECT label, ida,
+        |    MIN(CASE WHEN rn = 1 THEN d2 END) AS d1sq,
+        |    MIN(CASE WHEN rn = 2 THEN d2 END) AS d2sq
+        |  FROM ranked WHERE rn <= 2 GROUP BY label, ida),
+        |terms AS (
+        |  SELECT label,
+        |    CAST(FLOOR(LN(CAST(d2sq AS DOUBLE)) * 1e9) AS BIGINT)
+        |      - CAST(FLOOR(LN(CAST(d1sq AS DOUBLE)) * 1e9) AS BIGINT) AS t
+        |  FROM top2 WHERE d1sq > 0 AND d2sq IS NOT NULL),
+        |agg AS (
+        |  SELECT label, COUNT(*) AS n_pts, CAST(SUM(t) AS BIGINT) AS sum_nano
+        |  FROM terms GROUP BY label)
+        |SELECT label, n_pts, sum_nano,
+        |  (n_pts * 2000000000000) // sum_nano AS id_milli
+        |FROM agg ORDER BY label""".stripMargin,
     "q_ts_perm_entropy" ->
       s"""WITH $DailyPriSql,
          |pat AS (

@@ -256,11 +256,51 @@ object TextEvalOps {
        |       >= len(string_split(text, ' ')) * 8) AS r_alpha
        |  FROM documents)""".stripMargin
 
+  /** #398 pass@k (k = 1, 5, 10) per user over the purchase-vs-click
+    * attempt stream: the unbiased estimator 1 − C(n−c,k)/C(n,k)
+    * (Chen et al. 2021, "Evaluating LLMs Trained on Code") with
+    * purchases as successes among n = clicks+purchases attempts — the
+    * standard eval readout for any sampled-generation benchmark. The
+    * falling-factorial quotient Π(n−c−i)/Π(n−i) is computed EXACTLY:
+    * every factor is an integer (greatest(·,0) zeroes the product when
+    * n−c < k, giving pass@k = 1, the correct boundary), products stage
+    * to DECIMAL(38,0)/HUGEINT (n ≤ ~1e3 per user ⇒ den ≤ 1e3¹⁰ = 1e30;
+    * int64 would die at n≈90), and each readout is ONE truncating ppm
+    * division. n is per-user (attempt cap, not corpus-sized), so the
+    * envelope holds at any corpus scale; users with n < 10 are
+    * excluded (largest k undefined). Scale: one map-side-combined
+    * user aggregate; the k-expansion is arithmetic on the user-grain
+    * result — no explode, no join.
+    */
+  def evalPassAtK(s: SparkSession, dir: String): DataFrame = {
+    def prod(terms: Seq[String]): String =
+      terms.zipWithIndex.map { case (t, i) =>
+        if (i == 0) s"cast($t as decimal(38,0))" else t
+      }.mkString(" * ")
+    def passK(k: Int): String = {
+      val num = prod((0 until k).map(i => s"greatest(n - c - $i, 0L)"))
+      val den = prod((0 until k).map(i => s"(n - $i)"))
+      s"cast(1000000 - (($num) * 1000000) div ($den) as long)"
+    }
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c"))
+      .filter(col("n") >= 10L)
+      .select(col("user_id"), col("n"), col("c"),
+        expr(passK(1)).as("pass1_ppm"),
+        expr(passK(5)).as("pass5_ppm"),
+        expr(passK(10)).as("pass10_ppm"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_eval_bleu" -> (evalBleu _),
     "q_eval_rouge_n" -> (evalRougeN _),
     "q_eval_chrf" -> (evalChrf _),
-    "q_quality_gopher" -> (qualityGopher _))
+    "q_quality_gopher" -> (qualityGopher _),
+    "q_eval_pass_at_k" -> (evalPassAtK _))
 
   /** Shared twin prelude: the SAME near-dup pair CTE the dedup/graph
     * twins use (all-pairs shingle-set Jaccard within (lang, source) ≥
@@ -405,5 +445,27 @@ object TextEvalOps {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
          |  CAST((SUM(CASE WHEN r_wc AND r_mwl AND r_stop AND r_alpha
          |    THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS pass_ppm
-         |FROM flags GROUP BY lang, source ORDER BY lang, source""".stripMargin)
+         |FROM flags GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_eval_pass_at_k" -> {
+      def prod(terms: Seq[String]): String =
+        terms.zipWithIndex.map { case (t, i) =>
+          if (i == 0) s"CAST($t AS HUGEINT)" else t
+        }.mkString(" * ")
+      def passK(k: Int): String = {
+        val num = prod((0 until k).map(i => s"GREATEST(n - c - $i, 0)"))
+        val den = prod((0 until k).map(i => s"(n - $i)"))
+        s"CAST(1000000 - (($num) * 1000000) // ($den) AS BIGINT)"
+      }
+      s"""WITH g AS (
+         |  SELECT user_id, COUNT(*) AS n,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c
+         |  FROM events WHERE event_type IN ('click', 'purchase')
+         |  GROUP BY user_id)
+         |SELECT user_id, n, c,
+         |  ${passK(1)} AS pass1_ppm,
+         |  ${passK(5)} AS pass5_ppm,
+         |  ${passK(10)} AS pass10_ppm
+         |FROM g WHERE n >= 10 ORDER BY user_id""".stripMargin
+    })
 }
