@@ -296,11 +296,17 @@ object SeriesOps {
       col("u").as("ub"), col("q").as("qb"))
     val w = Window.partitionBy("ida")
       .orderBy(col("d2"), col("idb"))
-    val top2 = a.join(b, Seq("label"))
-      .filter(col("ida") =!= col("idb"))
+    // each unordered pair's 64-element dot fold runs ONCE (ida < idb);
+    // the cheap union mirrors it — halves the dominant HOF cost
+    val half = a.join(b, Seq("label"))
+      .filter(col("ida") < col("idb"))
       .withColumn("dot",
         aggregate(zip_with(col("ua"), col("ub"), _ * _), lit(0L), _ + _))
       .withColumn("d2", col("qa") + col("qb") - lit(2L) * col("dot"))
+      .select(col("label"), col("ida"), col("idb"), col("d2"))
+    val top2 = half
+      .unionAll(half.select(col("label"), col("idb").as("ida"),
+        col("ida").as("idb"), col("d2")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2)
       .groupBy("label", "ida")
