@@ -54,7 +54,8 @@ object SparkEntry {
       (TuningOps.queries, TuningOps.oracles),
       (ImpactOps.queries, ImpactOps.oracles),
       (DiagnosticOps.queries, DiagnosticOps.oracles),
-      (IndicatorOps.queries, IndicatorOps.oracles))
+      (IndicatorOps.queries, IndicatorOps.oracles),
+      (DecisionOps.queries, DecisionOps.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
