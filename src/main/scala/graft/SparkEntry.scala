@@ -55,7 +55,8 @@ object SparkEntry {
       (ImpactOps.queries, ImpactOps.oracles),
       (DiagnosticOps.queries, DiagnosticOps.oracles),
       (IndicatorOps.queries, IndicatorOps.oracles),
-      (DecisionOps.queries, DecisionOps.oracles))
+      (DecisionOps.queries, DecisionOps.oracles),
+      (CurationOps.queries, CurationOps.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Det, Tables}
+
+/** Round-13 additions, SURVEY §2 #406–#409: corpus-curation operators —
+  * routing code-like documents, measuring how fast new data stops being
+  * new (the saturation curve behind every "do we need more data"
+  * decision), deduplicating an incoming batch against the standing
+  * corpus (the operational incremental path #43's full-corpus pass
+  * doesn't model), and the trimmed mean (drop-the-tails sibling of #106
+  * winsorize, which clamps them).
+  *
+  * Exactness: symbol/gram counts are exact integers from identical
+  * tokenization and regex classes on both engines; ratios are one
+  * truncating ppm division; the trimmed mean reuses the #106
+  * percentile↔quantile_cont 4-dp parity and the [[graft.Det]] decimal
+  * mean.
+  */
+object CurationOps {
+
+  /** #406 Code-likeness router per (lang, source): documents whose
+    * code-symbol density ({};=<>() as a fraction of characters)
+    * crosses 2% route to the code pipeline — the cheap structural
+    * screen an LLM-data mixer runs before language-specific
+    * processing. Counts derive from length(text) −
+    * length(regexp_replace(text, class, '')) with the SAME character
+    * class on both engines; per-group means are integer ppm of summed
+    * counts (never averaged averages). Scale: one stateless projection
+    * + one map-side-combined aggregate.
+    */
+  def textCodeDetect(s: SparkSession, dir: String): DataFrame = {
+    val len = length(col("text")).cast("long")
+    val nSym = (len - length(regexp_replace(col("text"), "[{};=<>()]", ""))
+      .cast("long")).as("n_sym")
+    val nDig = (len - length(regexp_replace(col("text"), "[0-9]", ""))
+      .cast("long")).as("n_dig")
+    Tables.documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("lang"), col("source"), len.as("len"), nSym, nDig)
+      .withColumn("sym_ppm", expr("(n_sym * 1000000) div len"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sym_ppm") > 20000L, 1L).otherwise(0L)).as("n_codelike"),
+        sum(col("n_sym")).as("sym"), sum(col("n_dig")).as("dig"),
+        sum(col("len")).as("chars"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_codelike"),
+        expr("(sym * 1000000) div chars").as("sym_ppm"),
+        expr("(dig * 1000000) div chars").as("dig_ppm"))
+      .orderBy("lang", "source")
+  }
+
+  /** #407 Corpus saturation curve: per source, walk the documents in
+    * doc_id order, call a bigram "novel" when this document is its
+    * first occurrence within the source, and report gram/novel mass
+    * per position decile — the marginal-novelty readout that says
+    * whether the next 10% of data still buys new text (the
+    * scaling-curve question) where #241 dup-ngrams only gives the
+    * corpus-total duplication. Novelty attribution via min(doc_id)
+    * per (source, gram) joined back to per-doc gram counts — exact
+    * integers end to end. Scale: the gram explode is the standard
+    * text-op shape (#134 TF-IDF); both aggregates key on (source,
+    * gram) — embarrassingly parallel, no broadcast of anything
+    * corpus-sized; the position decile uses a row_number over the
+    * SOURCE partitioning (bounded per partition, never global).
+    */
+  def textNoveltyCurve(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val grams = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        explode(PipelineOps.biGrams(toks, size(toks))).as("g"))
+    val perDocGram = grams.groupBy("source", "doc_id", "g")
+      .agg(count(lit(1)).as("cnt"))
+    val firstDoc = perDocGram.groupBy("source", "g")
+      .agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = perDocGram.join(firstDoc, Seq("source", "g"))
+      .groupBy("source", "doc_id")
+      .agg(sum(col("cnt")).as("grams"),
+        sum(when(col("first_doc") === col("doc_id"), col("cnt"))
+          .otherwise(0L)).as("novel"))
+    val wSrc = Window.partitionBy("source").orderBy("doc_id")
+    perDoc
+      .withColumn("rn", row_number().over(wSrc).cast("long"))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("decile", expr("((rn - 1) * 10) div nd"))
+      .groupBy("source", "decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("grams")).as("grams"),
+        sum(col("novel")).as("novel"))
+      .withColumn("novelty_ppm", expr("(novel * 1000000) div grams"))
+      .orderBy("source", "decile")
+  }
+
+  /** #408 Incremental dedup of an arriving batch against the standing
+    * corpus: the newest tenth of the id space (cut = 9·max_id div 10)
+    * is "the batch"; each batch document is a duplicate-of-corpus if
+    * its exact key (the #43 first-5-token key, reused verbatim)
+    * already exists below the cut, else a within-batch duplicate if an
+    * earlier batch doc holds the key — the operational path a daily
+    * ingest runs, which #43's full-corpus pass doesn't model (at
+    * 100 TB the standing corpus is a bucketed key table; the batch
+    * probes it, never the reverse). One key aggregate carrying BOTH
+    * sides' min-ids as conditional mins (no self-join), one summary
+    * row.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(s, dir)
+      .withColumn("key", array_join(slice(split(col("text"), " "), 1, 5), " "))
+    val cut = keyed.agg(((max(col("doc_id")) * 9L).cast("long"))
+      .as("m")).select(expr("m div 10").as("cut"))
+    val marked = keyed.crossJoin(broadcast(cut))
+      .withColumn("is_new", col("doc_id") >= col("cut"))
+    val grp = marked.groupBy("key")
+      .agg(min(when(!col("is_new"), col("doc_id"))).as("old_min"),
+        min(when(col("is_new"), col("doc_id"))).as("new_min"))
+    marked.filter(col("is_new"))
+      .join(grp, Seq("key"))
+      .select(col("cut"),
+        when(col("old_min").isNotNull, 1L).otherwise(0L).as("dup_old"),
+        when(col("old_min").isNull && col("new_min") < col("doc_id"), 1L)
+          .otherwise(0L).as("dup_new"))
+      .groupBy("cut")
+      .agg(count(lit(1)).as("n_batch"), sum(col("dup_old")).as("n_dup_vs_corpus"),
+        sum(col("dup_new")).as("n_dup_within_batch"))
+      .select(col("cut").as("cut_doc_id"), col("n_batch"),
+        col("n_dup_vs_corpus"), col("n_dup_within_batch"),
+        (col("n_batch") - col("n_dup_vs_corpus") - col("n_dup_within_batch"))
+          .as("n_unique"))
+  }
+
+  /** #409 10% two-sided trimmed mean of order value per priority —
+    * the drop-the-tails robust location estimate (#106 winsorize
+    * CLAMPS the tails; trimming excludes them, a different estimator
+    * with a different breakdown point). Reuses the #106 dialect
+    * bridge: percentile() ↔ quantile_cont rounded to 4 dp on both
+    * engines, then a [[graft.Det]] exact-decimal mean over the kept
+    * rows. Scale: one percentile aggregate (5 groups) broadcast back
+    * over the scan — no sort, no window.
+    */
+  def statsTrimmedMean(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("pri"))
+      .agg(round(expr("percentile(o_totalprice, 0.1)"), 4).as("p10"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+    Tables.orders(s, dir)
+      .join(broadcast(q), col("o_orderpriority") === col("pri"))
+      .filter(col("o_totalprice") >= col("p10") &&
+        col("o_totalprice") <= col("p90"))
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n_kept"),
+        round(Det.davg(col("o_totalprice")), 4).as("trimmed_mean"))
+      .orderBy("pri")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_code_detect" -> (textCodeDetect _),
+    "q_text_novelty_curve" -> (textNoveltyCurve _),
+    "q_dedup_incremental" -> (dedupIncremental _),
+    "q_stats_trimmed_mean" -> (statsTrimmedMean _))
+
+  val oracles: Map[String, String] = Map(
+    "q_text_code_detect" ->
+      """WITH d AS (
+        |  SELECT lang, source, CAST(length(text) AS BIGINT) AS len,
+        |    CAST(length(text) - length(regexp_replace(text, '[{};=<>()]', '', 'g'))
+        |      AS BIGINT) AS n_sym,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |      AS BIGINT) AS n_dig
+        |  FROM documents WHERE length(text) > 0),
+        |f AS (SELECT *, (n_sym * 1000000) // len AS sym_ppm FROM d)
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN sym_ppm > 20000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_codelike,
+        |  CAST((SUM(n_sym) * 1000000) // SUM(len) AS BIGINT) AS sym_ppm,
+        |  CAST((SUM(n_dig) * 1000000) // SUM(len) AS BIGINT) AS dig_ppm
+        |FROM f GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_text_novelty_curve" ->
+      """WITH tk AS (
+        |  SELECT source, doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |grams AS (
+        |  SELECT source, doc_id,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS g
+        |  FROM tk),
+        |pdg AS (
+        |  SELECT source, doc_id, g, COUNT(*) AS cnt
+        |  FROM grams GROUP BY source, doc_id, g),
+        |fd AS (
+        |  SELECT source, g, MIN(doc_id) AS first_doc
+        |  FROM pdg GROUP BY source, g),
+        |pd AS (
+        |  SELECT pdg.source, pdg.doc_id,
+        |    CAST(SUM(pdg.cnt) AS BIGINT) AS grams,
+        |    CAST(SUM(CASE WHEN fd.first_doc = pdg.doc_id THEN pdg.cnt
+        |      ELSE 0 END) AS BIGINT) AS novel
+        |  FROM pdg JOIN fd ON fd.source = pdg.source AND fd.g = pdg.g
+        |  GROUP BY pdg.source, pdg.doc_id),
+        |r AS (
+        |  SELECT source, grams, novel,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS nd
+        |  FROM pd),
+        |d AS (
+        |  SELECT source, ((rn - 1) * 10) // nd AS decile, COUNT(*) AS n_docs,
+        |    CAST(SUM(grams) AS BIGINT) AS grams,
+        |    CAST(SUM(novel) AS BIGINT) AS novel
+        |  FROM r GROUP BY 1, 2)
+        |SELECT source, CAST(decile AS BIGINT) AS decile, n_docs, grams, novel,
+        |  (novel * 1000000) // grams AS novelty_ppm
+        |FROM d ORDER BY source, decile""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |    array_to_string(string_split(text, ' ')[1:5], ' ') AS key
+        |  FROM documents),
+        |cut AS (SELECT (MAX(doc_id) * 9) // 10 AS cut FROM keyed),
+        |marked AS (
+        |  SELECT doc_id, key, doc_id >= cut.cut AS is_new, cut.cut
+        |  FROM keyed, cut),
+        |grp AS (
+        |  SELECT key,
+        |    MIN(CASE WHEN NOT is_new THEN doc_id END) AS old_min,
+        |    MIN(CASE WHEN is_new THEN doc_id END) AS new_min
+        |  FROM marked GROUP BY key),
+        |b AS (
+        |  SELECT m.cut,
+        |    CASE WHEN g.old_min IS NOT NULL THEN 1 ELSE 0 END AS dup_old,
+        |    CASE WHEN g.old_min IS NULL AND g.new_min < m.doc_id
+        |      THEN 1 ELSE 0 END AS dup_new
+        |  FROM marked m JOIN grp g USING (key) WHERE m.is_new)
+        |SELECT CAST(cut AS BIGINT) AS cut_doc_id, COUNT(*) AS n_batch,
+        |  CAST(SUM(dup_old) AS BIGINT) AS n_dup_vs_corpus,
+        |  CAST(SUM(dup_new) AS BIGINT) AS n_dup_within_batch,
+        |  CAST(COUNT(*) - SUM(dup_old) - SUM(dup_new) AS BIGINT) AS n_unique
+        |FROM b GROUP BY cut""".stripMargin,
+    "q_stats_trimmed_mean" ->
+      """WITH q AS (
+        |  SELECT o_orderpriority AS pri,
+        |    round(quantile_cont(o_totalprice, 0.1), 4) AS p10,
+        |    round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT pri, COUNT(*) AS n_kept,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    / COUNT(*), 4) AS trimmed_mean
+        |FROM orders JOIN q ON o_orderpriority = pri
+        |WHERE o_totalprice >= p10 AND o_totalprice <= p90
+        |GROUP BY pri ORDER BY pri""".stripMargin)
+}

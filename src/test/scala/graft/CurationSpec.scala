@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic pins for the CurationOps family (#406–#409): accounting
+  * identities (batch conservation, first-decile full novelty) and
+  * estimator orderings the twin hash can't distinguish from chance.
+  */
+class CurationSpec extends AnyFunSuite with SparkFixture {
+
+  test("code detect: codelike subset, ratios bounded, counts positive") {
+    val rows = operators.CurationOps.textCodeDetect(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "codelike must be a subset")
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L)
+      assert(r.getLong(5) >= 0L && r.getLong(5) <= 1000000L)
+    }
+  }
+
+  test("novelty curve: decile 0 of each source is maximally novel") {
+    val rows = operators.CurationOps.textNoveltyCurve(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getString(0))
+    bySource.values.foreach { sr =>
+      val sorted = sr.sortBy(_.getLong(1))
+      // the very first document of a source contributes only novel grams;
+      // later deciles can only be less or equally novel than pure novelty
+      assert(sorted.head.getLong(5) > 0L, "first decile has novelty")
+      sorted.foreach { r =>
+        assert(r.getLong(4) <= r.getLong(3), "novel <= grams")
+        assert(r.getLong(5) <= 1000000L)
+      }
+    }
+  }
+
+  test("incremental dedup: batch partitions into the three outcomes") {
+    val r = operators.CurationOps.dedupIncremental(spark, sfDir).collect().head
+    val (batch, dupOld, dupNew, uniq) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(batch === dupOld + dupNew + uniq, "outcome partition")
+    assert(batch > 0L)
+    val total = Tables.documents(spark, sfDir).count()
+    assert(batch < total, "the batch is a strict subset of the corpus")
+  }
+
+  test("trimmed mean: lies within the winsorized band, keeps ~80%") {
+    val rows = operators.CurationOps.statsTrimmedMean(spark, sfDir).collect()
+    assert(rows.length === 5)
+    val totals = Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val kept = r.getLong(1)
+      val all = totals(r.getString(0))
+      assert(kept <= all && kept * 10 >= all * 7,
+        s"trim should keep roughly 80% (kept $kept of $all)")
+      assert(r.getDouble(2) > 0.0)
+    }
+  }
+}
