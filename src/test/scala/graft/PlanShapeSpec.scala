@@ -884,4 +884,62 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
         p.isInstanceOf[BroadcastNestedLoopJoinExec]),
       s"expected broadcast joins on the coalition relation:\n$plan")
   }
+
+  test("r13 pass@k is one user aggregate: no join, no window, no explode") {
+    val plan = executed(operators.TextEvalOps.evalPassAtK(spark, sfDir))
+    val all = collectAll(plan)
+    assert(!all.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      s"pass@k must not join:\n$plan")
+    assert(!all.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowExec]),
+      s"pass@k must not window:\n$plan")
+    assert(!all.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.GenerateExec]),
+      s"the k-expansion must be row-local arithmetic, not explode:\n$plan")
+  }
+
+  test("r13 intrinsic dim: label-blocked equi-join, never a cartesian pass") {
+    val plan = executed(operators.SeriesOps.embedIntrinsicDim(spark, sfDir))
+    assert(!collectAll(plan).exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      s"pair generation must stay label-blocked:\n$plan")
+  }
+
+  test("r13 rolling indicators keep their windows priority-partitioned") {
+    Seq(
+      operators.IndicatorOps.winDonchian(spark, sfDir),
+      operators.IndicatorOps.winAroon(spark, sfDir),
+      operators.IndicatorOps.winCci(spark, sfDir),
+      operators.IndicatorOps.winVwap(spark, sfDir)).foreach { df =>
+      val windows = collectAll(executed(df)).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty)
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        "indicator windows must stay key-partitioned")
+    }
+  }
+
+  test("r13 prune curve rides the rank kernel: windows stay partitioned") {
+    val plan = executed(operators.DecisionOps.pruneCurve(spark, sfDir))
+    val windows = collectAll(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // corpus-sized ranking must ride the pid-keyed kernel; only the
+    // 10-row decile cumulative may run unpartitioned
+    val unkeyed = windows.filter(_.partitionSpec.isEmpty)
+    assert(unkeyed.size <= 1,
+      s"at most the bounded 10-row cumulative may be unpartitioned:\n$plan")
+  }
+
+  test("r13 incremental dedup: the cut is broadcast, one key aggregate") {
+    val plan = executed(operators.CurationOps.dedupIncremental(spark, sfDir))
+    assert(collectAll(plan).exists(p =>
+      p.isInstanceOf[BroadcastNestedLoopJoinExec] ||
+        p.isInstanceOf[BroadcastHashJoinExec]),
+      s"the 1-row cut must broadcast over the corpus:\n$plan")
+    assert(!plan.toString.contains("CartesianProduct"),
+      s"no cartesian pass:\n$plan")
+  }
 }
