@@ -56,7 +56,8 @@ object SparkEntry {
       (DiagnosticOps.queries, DiagnosticOps.oracles),
       (IndicatorOps.queries, IndicatorOps.oracles),
       (DecisionOps.queries, DecisionOps.oracles),
-      (CurationOps.queries, CurationOps.oracles))
+      (CurationOps.queries, CurationOps.oracles),
+      (SqlSuite4.queries, SqlSuite4.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -97,6 +97,35 @@ object Joins {
       .agg(count(lit(1)).as("n_parts_in_band"))
       .orderBy("s_suppkey")
 
+  /** #16b the SAME band join as [[joinThetaRange]], binned into an
+    * equi-join — the formulation #16's docstring promises for 100 TB,
+    * graded in its own right. The band has width 50, so bucketing both
+    * sides at width 50 means a supplier's band touches AT MOST two
+    * buckets: the supplier side explodes to those (array_distinct
+    * collapses the single-bucket case so no pair matches twice — each
+    * part lives in exactly one bucket), the join is a plain equi-join
+    * on the bucket id, and the exact BETWEEN refines after. Identical
+    * output to #16 (the twin IS #16's range-join SQL); the plan is a
+    * shuffled/broadcast HASH join — no BroadcastNestedLoopJoin, no
+    * quadratic band scan — which is the entire point at scale.
+    */
+  def joinThetaBinned(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_retailprice"),
+        floor(col("p_retailprice") / 50).cast("long").as("bkt"))
+    val supp = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_acctbal"),
+        explode(array_distinct(array(
+          floor((col("s_acctbal") / 10 - 25) / 50).cast("long"),
+          floor((col("s_acctbal") / 10 + 25) / 50).cast("long")))).as("bkt"))
+    parts.join(supp, Seq("bkt"))
+      .filter(col("p_retailprice").between(
+        col("s_acctbal") / 10 - 25, col("s_acctbal") / 10 + 25))
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_parts_in_band"))
+      .orderBy("s_suppkey")
+  }
+
   /** #17 as-of join within events: each purchase matched to the latest click
     * at-or-before it, per user. Implemented as union + running last-click
     * window — ONE shuffle on user_id, no range-join pair explosion; this is
@@ -320,6 +349,7 @@ object Joins {
     "q_join_left_outer" -> (joinLeftOuter _),
     "q_join_full_outer" -> (joinFullOuter _),
     "q_join_theta_range" -> (joinThetaRange _),
+    "q_join_theta_binned" -> (joinThetaBinned _),
     "q_join_asof" -> (joinAsof _),
     "q_join_interval" -> (joinInterval _),
     "q_join_cross_small" -> (joinCrossSmall _),
@@ -406,6 +436,13 @@ object Joins {
         |  ON f.f_key = u.u_key
         |ORDER BY okey""".stripMargin,
     "q_join_theta_range" ->
+      """SELECT s_suppkey, COUNT(*) AS n_parts_in_band
+        |FROM part JOIN supplier
+        |  ON p_retailprice BETWEEN s_acctbal / 10 - 25 AND s_acctbal / 10 + 25
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+    // the binned formulation must reproduce the range join exactly, so
+    // its oracle IS the range-join SQL
+    "q_join_theta_binned" ->
       """SELECT s_suppkey, COUNT(*) AS n_parts_in_band
         |FROM part JOIN supplier
         |  ON p_retailprice BETWEEN s_acctbal / 10 - 25 AND s_acctbal / 10 + 25

@@ -933,6 +933,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"at most the bounded 10-row cumulative may be unpartitioned:\n$plan")
   }
 
+  test("r13 binned theta join: hash equi-join, no nested-loop band scan") {
+    val df = operators.Joins.joinThetaBinned(spark, sfDir)
+    val plan = executed(df)
+    assert(!collectAll(plan).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      s"the binned formulation must never nested-loop:\n$plan")
+    assert(!plan.toString.contains("CartesianProduct"))
+    // and it must reproduce the range join EXACTLY
+    val binned = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val ranged = operators.Joins.joinThetaRange(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(binned.sameElements(ranged), "binned != range join output")
+  }
+
+  test("r13 SQL top-3-per-nation plans as WindowGroupLimit, not a global sort") {
+    val plan = executed(operators.SqlSuite4.top3PerNation(spark, sfDir))
+    assert(plan.toString.contains("WindowGroupLimit"),
+      s"rank<=3 filter should push into the window:\n$plan")
+  }
+
   test("r13 incremental dedup: the cut is broadcast, one key aggregate") {
     val plan = executed(operators.CurationOps.dedupIncremental(spark, sfDir))
     assert(collectAll(plan).exists(p =>
