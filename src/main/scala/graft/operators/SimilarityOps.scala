@@ -138,7 +138,15 @@ object SimilarityOps {
     */
   private val IvfNprobe = 4
   private val IvfCentroids = 16
-  def simIvfBucketed(s: SparkSession, dir: String): DataFrame = {
+
+  /** The IVF build + probe-list ranking, shared between the graded #75
+    * search (crank ≤ IvfNprobe) and the #414 nprobe sweep (which keeps
+    * crank up to its largest candidate value and attributes each
+    * candidate to the smallest crank that reaches it). Returns (base,
+    * centroid-ranked probe lists carrying `crank`, assignment).
+    */
+  private[graft] def ivfParts(s: SparkSession, dir: String, maxRank: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val base = vectors(s, dir)
     val cents = base
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
@@ -152,7 +160,7 @@ object SimilarityOps {
         struct((expr("graft_dot(embedding, centv)") / (col("norm") * col("cnorm"))).as("cos"),
           col("cent_id")).as("sc"))
     val assign = scored.groupBy("vec_id").agg(max(col("sc")).getField("cent_id").as("cent_id"))
-    // probes: nprobe nearest centroid lists each
+    // probes: ranked centroid lists
     val pw = Window.partitionBy("probe_id").orderBy(desc("pcos"), asc("cent_id"))
     val probeLists = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"), col("norm").as("pnorm"))
@@ -161,8 +169,13 @@ object SimilarityOps {
         (expr("graft_dot(pv, centv)") / (col("pnorm") * col("cnorm"))).as("pcos"),
         col("cent_id"))
       .withColumn("crank", row_number().over(pw))
-      .filter(col("crank") <= IvfNprobe)
-      .select("probe_id", "cent_id")
+      .filter(col("crank") <= maxRank)
+    (base, probeLists, assign)
+  }
+
+  def simIvfBucketed(s: SparkSession, dir: String): DataFrame = {
+    val (base, probeLists0, assign) = ivfParts(s, dir, IvfNprobe)
+    val probeLists = probeLists0.select("probe_id", "cent_id")
     // search: candidates = members of the probed lists only
     val candidates = probeLists.join(assign, Seq("cent_id"))
       .select(col("probe_id"), col("vec_id").as("cand_id"))

@@ -243,13 +243,70 @@ object TuningOps {
     g.reduce(_ unionByName _).orderBy("bands")
   }
 
+  /** #414 IVF nprobe sweep: recall@5 and candidate volume at nprobe ∈
+    * {1, 2, 4, 8} against the exact #64 top-5 — the tuning CURVE behind
+    * #75's fixed nprobe=4 (and behind #375's single-point audit): how
+    * much recall each additional probed list buys and at what candidate
+    * cost. The expensive parts run ONCE: the [[SimilarityOps.ivfParts]]
+    * build is shared, each candidate pair scores its cosine a single
+    * time and carries the SMALLEST centroid rank that reaches it
+    * (min-crank attribution), so the four sweep points are pure
+    * filter + rank over one scored relation (a candidate set is a
+    * superset of every smaller-nprobe set by construction). Scale: the
+    * sweep adds only the ×|nprobe values| rank pass over the bounded
+    * per-probe candidate relation — the corpus-sized work is the same
+    * one assignment pass #75 already does.
+    */
+  def simNprobeSweep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (base, probeLists, assign) = SimilarityOps.ivfParts(s, dir, 8)
+    val attributed = probeLists.select("probe_id", "cent_id", "crank")
+      .join(assign, Seq("cent_id"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .groupBy(col("probe_id"), col("vec_id").as("cand_id"))
+      .agg(min(col("crank")).as("mc"))
+    val scored = attributed
+      .join(base.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+        col("norm").as("cnorm")), Seq("cand_id"))
+      .join(broadcast(base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+          col("norm").as("pnorm"))), Seq("probe_id"))
+      .select(col("probe_id"), col("cand_id"), col("mc"),
+        round(expr("graft_dot(pv, cv)") / (col("pnorm") * col("cnorm")), 6)
+          .as("cosine"))
+    val swept = scored
+      .crossJoin(broadcast(s.range(1).select(
+        explode(array(lit(1), lit(2), lit(4), lit(8))).as("nprobe"))))
+      .filter(col("mc") <= col("nprobe"))
+    val w = Window.partitionBy("nprobe", "probe_id")
+      .orderBy(desc("cosine"), asc("cand_id"))
+    val top5 = swept.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+    val brute = SimilarityOps.simCosineTopk(s, dir)
+      .select(col("probe_id"), col("cand_id"))
+    val nProbes = brute.select(countDistinct(col("probe_id")).as("npr"))
+    val volumes = swept.groupBy("nprobe")
+      .agg(count(lit(1)).as("n_candidates"))
+    val hits = top5.join(brute, Seq("probe_id", "cand_id"), "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("hits"))
+    // left join from volumes: a (theoretical) zero-hit sweep point must
+    // still emit its row identically on both engines
+    volumes.join(hits, Seq("nprobe"), "left_outer")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .crossJoin(broadcast(nProbes))
+      .select(col("nprobe").cast("long").as("nprobe"), col("n_candidates"),
+        col("hits"), expr("(hits * 1000000) div (npr * 5)").as("recall_ppm"))
+      .orderBy("nprobe")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_kneser_ney" -> (textKneserNey _),
     "q_text_collocation_llr" -> (textCollocationLlr _),
     "q_embed_knn_recall" -> (embedKnnRecall _),
     "q_mix_temperature" -> (mixTemperature _),
     "q_ts_alpha_select" -> (tsAlphaSelect _),
-    "q_dedup_lsh_tuning" -> (dedupLshTuning _))
+    "q_dedup_lsh_tuning" -> (dedupLshTuning _),
+    "q_sim_nprobe_sweep" -> (simNprobeSweep _))
 
   private val BigramSql =
     """bg AS (
@@ -425,5 +482,65 @@ object TuningOps {
          |SELECT * FROM (
          |$geomSql)
          |ORDER BY bands""".stripMargin
+    },
+    "q_sim_nprobe_sweep" -> {
+      val brute = SimilarityOps.oracles("q_sim_cosine_topk")
+      // the v/cents/assign pipeline mirrors the q_sim_ivf_bucketed twin
+      // (C = 16 centroids, md5 sample); crank runs to 8 here and each
+      // candidate keeps its smallest reaching crank
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT vec_id AS cent_id, v AS cv FROM v
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT a.vec_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cent_id DESC) AS rn
+         |    FROM v a CROSS JOIN cents c)
+         |  WHERE rn = 1),
+         |pl AS (
+         |  SELECT probe_id, cent_id, crank FROM (
+         |    SELECT p.vec_id AS probe_id, c.cent_id,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY list_cosine_similarity(p.v, c.cv) DESC, c.cent_id ASC) AS crank
+         |    FROM v p CROSS JOIN cents c WHERE p.vec_id < 10)
+         |  WHERE crank <= 8),
+         |attr AS (
+         |  SELECT pl.probe_id, a.vec_id AS cand_id, MIN(pl.crank) AS mc
+         |  FROM pl JOIN assign a ON pl.cent_id = a.cent_id
+         |  WHERE a.vec_id <> pl.probe_id
+         |  GROUP BY pl.probe_id, a.vec_id),
+         |scored AS (
+         |  SELECT probe_id, cand_id, mc,
+         |    round(list_cosine_similarity(pv.v, cv.v), 6) AS cosine
+         |  FROM attr
+         |  JOIN v pv ON pv.vec_id = probe_id
+         |  JOIN v cv ON cv.vec_id = cand_id),
+         |np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+         |swept AS (
+         |  SELECT np.nprobe, s.probe_id, s.cand_id, s.cosine
+         |  FROM scored s JOIN np ON s.mc <= np.nprobe),
+         |top5 AS (
+         |  SELECT nprobe, probe_id, cand_id FROM swept
+         |  QUALIFY row_number() OVER (PARTITION BY nprobe, probe_id
+         |    ORDER BY cosine DESC, cand_id ASC) <= 5),
+         |brute AS (SELECT probe_id, cand_id FROM ($brute)),
+         |npr AS (SELECT COUNT(DISTINCT probe_id) AS npr FROM brute),
+         |vol AS (SELECT nprobe, COUNT(*) AS n_candidates FROM swept
+         |        GROUP BY nprobe),
+         |hits AS (
+         |  SELECT t.nprobe, COUNT(*) AS hits
+         |  FROM top5 t JOIN brute b
+         |    ON b.probe_id = t.probe_id AND b.cand_id = t.cand_id
+         |  GROUP BY t.nprobe)
+         |SELECT CAST(vol.nprobe AS BIGINT) AS nprobe, vol.n_candidates,
+         |  CAST(COALESCE(hits.hits, 0) AS BIGINT) AS hits,
+         |  CAST((COALESCE(hits.hits, 0) * 1000000) // (npr.npr * 5) AS BIGINT)
+         |    AS recall_ppm
+         |FROM vol LEFT JOIN hits ON hits.nprobe = vol.nprobe CROSS JOIN npr
+         |ORDER BY nprobe""".stripMargin
     })
 }

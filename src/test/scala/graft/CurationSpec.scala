@@ -44,6 +44,25 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(batch < total, "the batch is a strict subset of the corpus")
   }
 
+  test("nprobe sweep: recall and volume monotone; np=4 matches the audit") {
+    val rows = operators.TuningOps.simNprobeSweep(spark, sfDir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L, 8L))
+    val vols = rows.map(_.getLong(1))
+    vols.zip(vols.tail).foreach { case (a, b) =>
+      assert(a <= b, "candidate volume must grow with nprobe")
+    }
+    val recalls = rows.map(_.getLong(3))
+    recalls.zip(recalls.tail).foreach { case (a, b) =>
+      assert(a <= b, "recall can only improve with more probed lists")
+    }
+    // the np=4 sweep point IS the fixed-nprobe audit: hit counts agree
+    val ivfHits = operators.TuningOps.embedKnnRecall(spark, sfDir).collect()
+      .filter(_.getString(0) == "ivf").map(_.getLong(2)).sum
+    assert(rows(2).getLong(2) === ivfHits,
+      "sweep np=4 must reproduce q_embed_knn_recall's IVF hits")
+  }
+
   test("trimmed mean: lies within the winsorized band, keeps ~80%") {
     val rows = operators.CurationOps.statsTrimmedMean(spark, sfDir).collect()
     assert(rows.length === 5)
