@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.{Det, Tables}
 
 /** Round-13 additions, SURVEY §2 #406–#409: corpus-curation operators —
@@ -20,6 +21,8 @@ import graft.{Det, Tables}
   * mean.
   */
 object CurationOps {
+
+  private val dec = DecimalType(38, 0)
 
   /** #406 Code-likeness router per (lang, source): documents whose
     * code-symbol density ({};=<>() as a fraction of characters)
@@ -153,11 +156,118 @@ object CurationOps {
       .orderBy("pri")
   }
 
+  /** #415 Quality-filter length-bias audit: per-language Spearman rank
+    * correlation between the type-token-ratio quality proxy (integer
+    * ppm) and document length — "is the quality score just a length
+    * filter in disguise?", the honesty check run before trusting any
+    * quality-based pruning (#404) or Gopher gate (#366). Reuses the
+    * #227 midrank machinery verbatim: tie-aware 2·average-ranks from
+    * cumulative windows over each variable's DISTINCT-VALUE relation
+    * (domain-bounded, LANGUAGE-partitioned — never a per-row global
+    * window), joined back and fed to an exact-decimal Pearson; rho is
+    * the single terminal double at 6 dp. TTR is known to shrink with
+    * length, so a strongly negative rho is the expected signature —
+    * the audit quantifies it per language.
+    */
+  def qualityLengthBias(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) > 0)
+      .select(col("lang"),
+        expr("(size(array_distinct(toks)) * 1000000) div size(toks)")
+          .as("x"),
+        col("n_chars").as("y"))
+    def rank2(c: String): DataFrame = {
+      val w = Window.partitionBy("lang").orderBy(c)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.groupBy("lang", c).agg(count(lit(1)).as("cnt"))
+        .withColumn(s"r2_$c",
+          (coalesce(sum(col("cnt")).over(w), lit(0L)) * 2 + col("cnt") + 1)
+            .cast(dec))
+        .drop("cnt")
+    }
+    d.join(rank2("x"), Seq("lang", "x"))
+      .join(rank2("y"), Seq("lang", "y"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("r2_x")).as("sx"), sum(col("r2_y")).as("sy"),
+        sum(col("r2_x") * col("r2_y")).as("sxy"),
+        sum(col("r2_x") * col("r2_x")).as("sxx"),
+        sum(col("r2_y") * col("r2_y")).as("syy"))
+      .select(col("lang"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt(((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))).cast("double")), 6)
+          .as("rho"))
+      .orderBy("lang")
+  }
+
+  /** #416 Epoch-capped temperature mixture (water-filling): allocate a
+    * token budget B = 2·|corpus| across sources by τ=0.5 temperature
+    * weights (small sources up-weighted, the #376 idiom) subject to a
+    * 4-epoch repeat cap per source — the allocation rule an LLM data
+    * mix actually trains under (unbounded up-weighting would repeat a
+    * tiny source dozens of times). Water-fill unrolls THREE synchronous
+    * rounds (≥ enough for |sources| this size — the final round's
+    * clamp set is spec-checked stable): clamp any source whose
+    * proportional share exceeds its cap, re-distribute the residual
+    * budget over unclamped weights, repeat. All state is integer
+    * (weights in floored nano via exp(τ·ln·) — identical libm both
+    * engines; shares via DECIMAL-staged truncating division); every
+    * round is arithmetic on the |sources|-row relation against 1-row
+    * broadcast totals — nothing corpus-sized after the first
+    * aggregate.
+    */
+  def mixEpochCap(s: SparkSession, dir: String): DataFrame =
+    waterFill(Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("tokens")))
+
+  /** The water-fill itself over any (source, tokens) relation — split
+    * out so the clamp branch (inert on the size-uniform fixture) is
+    * provable on a skewed input in the spec. */
+  private[graft] def waterFill(base0: DataFrame): DataFrame = {
+    val tot = base0.agg(sum(col("tokens")).as("tt"))
+    var st = base0.crossJoin(broadcast(tot))
+      .withColumn("w_nano",
+        floor(exp(lit(0.5) * log(col("tokens").cast("double") / col("tt")))
+          * 1e9).cast("long"))
+      .withColumn("cap", col("tokens") * 4L)
+      .withColumn("budget", col("tt") * 2L)
+      .withColumn("clamped", lit(false))
+      .select("source", "tokens", "w_nano", "cap", "budget", "clamped")
+    (1 to 3).foreach { _ =>
+      val totals = st.agg(
+        sum(when(col("clamped"), col("cap")).otherwise(0L)).as("used"),
+        sum(when(!col("clamped"), col("w_nano")).otherwise(0L)).as("wsum"))
+      st = st.crossJoin(broadcast(totals))
+        .withColumn("prop",
+          expr("cast(((budget - used) * cast(w_nano as decimal(38,0))) " +
+            "div wsum as long)"))
+        .withColumn("clamped", col("clamped") || col("prop") > col("cap"))
+        .select("source", "tokens", "w_nano", "cap", "budget", "clamped")
+    }
+    val fin = st.agg(
+      sum(when(col("clamped"), col("cap")).otherwise(0L)).as("used"),
+      sum(when(!col("clamped"), col("w_nano")).otherwise(0L)).as("wsum"))
+    st.crossJoin(broadcast(fin))
+      .withColumn("alloc",
+        when(col("clamped"), col("cap")).otherwise(
+          expr("cast(((budget - used) * cast(w_nano as decimal(38,0))) " +
+            "div wsum as long)")))
+      .select(col("source"), col("tokens"), col("w_nano"), col("cap"),
+        col("clamped"), col("alloc"),
+        expr("(alloc * 1000000) div tokens").as("epochs_micro"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_code_detect" -> (textCodeDetect _),
     "q_text_novelty_curve" -> (textNoveltyCurve _),
     "q_dedup_incremental" -> (dedupIncremental _),
-    "q_stats_trimmed_mean" -> (statsTrimmedMean _))
+    "q_stats_trimmed_mean" -> (statsTrimmedMean _),
+    "q_quality_length_bias" -> (qualityLengthBias _),
+    "q_mix_epoch_cap" -> (mixEpochCap _))
 
   val oracles: Map[String, String] = Map(
     "q_text_code_detect" ->
@@ -235,6 +345,79 @@ object CurationOps {
         |  CAST(SUM(dup_new) AS BIGINT) AS n_dup_within_batch,
         |  CAST(COUNT(*) - SUM(dup_old) - SUM(dup_new) AS BIGINT) AS n_unique
         |FROM b GROUP BY cut""".stripMargin,
+    "q_quality_length_bias" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    (len(list_distinct(string_split(text, ' '))) * 1000000)
+        |      // len(string_split(text, ' ')) AS x,
+        |    n_chars AS y
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |rx AS (
+        |  SELECT lang, x, CAST(2 * COALESCE(CAST(SUM(cnt) OVER (
+        |      PARTITION BY lang ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      + cnt + 1 AS HUGEINT) AS r2_x
+        |  FROM (SELECT lang, x, COUNT(*) AS cnt FROM d GROUP BY lang, x)),
+        |ry AS (
+        |  SELECT lang, y, CAST(2 * COALESCE(CAST(SUM(cnt) OVER (
+        |      PARTITION BY lang ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |      + cnt + 1 AS HUGEINT) AS r2_y
+        |  FROM (SELECT lang, y, COUNT(*) AS cnt FROM d GROUP BY lang, y)),
+        |j AS (
+        |  SELECT d.lang, rx.r2_x, ry.r2_y
+        |  FROM d JOIN rx ON rx.lang = d.lang AND rx.x = d.x
+        |         JOIN ry ON ry.lang = d.lang AND ry.y = d.y),
+        |a AS (
+        |  SELECT lang, COUNT(*) AS n, SUM(r2_x) AS sx, SUM(r2_y) AS sy,
+        |    SUM(r2_x * r2_y) AS sxy, SUM(r2_x * r2_x) AS sxx,
+        |    SUM(r2_y * r2_y) AS syy
+        |  FROM j GROUP BY lang)
+        |SELECT lang, n, round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |  sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)), 6)
+        |  AS rho
+        |FROM a ORDER BY lang""".stripMargin,
+    "q_mix_epoch_cap" -> {
+      def round(k: Int): String =
+        s"""t$k AS (
+           |  SELECT CAST(SUM(CASE WHEN clamped THEN cap ELSE 0 END) AS BIGINT)
+           |      AS used,
+           |    CAST(SUM(CASE WHEN clamped THEN 0 ELSE w_nano END) AS BIGINT)
+           |      AS wsum
+           |  FROM r${k - 1}),
+           |r$k AS (
+           |  SELECT source, tokens, w_nano, cap, budget,
+           |    clamped OR (CAST(((budget - t$k.used) *
+           |      CAST(w_nano AS HUGEINT)) // t$k.wsum AS BIGINT) > cap)
+           |      AS clamped
+           |  FROM r${k - 1}, t$k)""".stripMargin
+      s"""WITH base AS (
+         |  SELECT source,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tt FROM base),
+         |r0 AS (
+         |  SELECT source, tokens,
+         |    CAST(FLOOR(exp(0.5 * ln(CAST(tokens AS DOUBLE) / tt)) * 1e9)
+         |      AS BIGINT) AS w_nano,
+         |    tokens * 4 AS cap, tt * 2 AS budget, FALSE AS clamped
+         |  FROM base, tot),
+         |${(1 to 3).map(round).mkString(",\n")},
+         |fin AS (
+         |  SELECT CAST(SUM(CASE WHEN clamped THEN cap ELSE 0 END) AS BIGINT)
+         |      AS used,
+         |    CAST(SUM(CASE WHEN clamped THEN 0 ELSE w_nano END) AS BIGINT)
+         |      AS wsum
+         |  FROM r3)
+         |SELECT source, tokens, w_nano, cap, clamped,
+         |  CASE WHEN clamped THEN cap
+         |    ELSE CAST(((budget - fin.used) * CAST(w_nano AS HUGEINT))
+         |      // fin.wsum AS BIGINT) END AS alloc,
+         |  (CASE WHEN clamped THEN cap
+         |    ELSE CAST(((budget - fin.used) * CAST(w_nano AS HUGEINT))
+         |      // fin.wsum AS BIGINT) END * 1000000) // tokens AS epochs_micro
+         |FROM r3, fin ORDER BY source""".stripMargin
+    },
     "q_stats_trimmed_mean" ->
       """WITH q AS (
         |  SELECT o_orderpriority AS pri,
