@@ -284,6 +284,58 @@ object StatsOps {
             / (lit(n).cast(big) * col("sx")).cast("double"), 6).as("gini"))
   }
 
+  /** #417 Theil T index of customer revenue with the exact
+    * within/between market-segment decomposition — the property that
+    * makes Theil the actionable inequality measure next to #198 Gini
+    * (which cannot say whether concentration lives INSIDE segments or
+    * BETWEEN them): T_total = Σ_g w_g·T_g + T_between with
+    * w_g = X_g/X, every identity spec-checked. Per-row terms stage as
+    * x·⌊ln x⌋_nano in DECIMAL (x·ln x ≈ 3e18 at sf0.1 — int64 dies
+    * in-row); group means are rationals whose ln is one mirrored
+    * double over sub-2^53 exact ints; each readout is a truncating
+    * nano division. Scale: one customer aggregate (map-side combined),
+    * a |segments|-row join, algebra on ≤|segments| rows.
+    */
+  def statsTheil(s: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    val perCust = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("x"))
+      .filter(col("x") > 0L)
+    val grp = perCust
+      .groupBy("seg")
+      .agg(count(lit(1)).as("ng"), sum(col("x").cast(big)).as("xg"),
+        sum(col("x").cast(big) *
+          floor(log(col("x").cast("double")) * 1e9).cast("long")).as("xlx"))
+      .withColumn("ln_mu_g",
+        floor(log(col("xg").cast("double") / col("ng")) * 1e9).cast("long"))
+      .withColumn("t_within_nano",
+        expr("cast((xlx - xg * ln_mu_g) div xg as long)"))
+    val tot = grp.agg(sum(col("ng")).as("n"), sum(col("xg")).as("x"))
+    val withTot = grp.crossJoin(broadcast(tot))
+      .withColumn("ln_mu",
+        floor(log(col("x").cast("double") / col("n")) * 1e9).cast("long"))
+      .withColumn("w_ppm", expr("cast((xg * 1000000) div x as long)"))
+      .withColumn("btw_term",
+        expr("xg * (ln_mu_g - ln_mu)").cast(big))
+    val summary = withTot.groupBy()
+      .agg(max(col("x")).as("x2"),
+        sum(col("btw_term")).as("btw_sum"),
+        sum(col("w_ppm").cast(big) * col("t_within_nano")).as("win_sum"))
+      .select(
+        expr("cast(btw_sum div x2 as long)").as("t_between_nano"),
+        expr("cast(win_sum div 1000000 as long)").as("t_within_total_nano"))
+    withTot.crossJoin(broadcast(summary))
+      .select(col("seg"), col("ng").as("n_customers"),
+        col("xg").cast("long").as("rev_cents"), col("w_ppm"),
+        col("t_within_nano"), col("t_between_nano"),
+        (col("t_within_total_nano") + col("t_between_nano"))
+          .as("t_total_nano"))
+      .orderBy("seg")
+  }
+
   /** Lorenz-curve deciles: the revenue share held by each tenth of
     * customers, poorest to richest — the distribution table behind the
     * Gini scalar. Decile assignment is the exact ntile arithmetic on the
@@ -840,6 +892,7 @@ object StatsOps {
     "q_ks_drift" -> (ksDrift _),
     "q_psi_drift" -> (psiDrift _),
     "q_gini" -> (giniRevenue _),
+    "q_stats_theil" -> (statsTheil _),
     "q_skew_report" -> (skewReport _),
     "q_lorenz_deciles" -> (lorenzDeciles _),
     "q_hhi" -> (hhiConcentration _),
@@ -1104,6 +1157,44 @@ object StatsOps {
         |  round(CAST(CAST(2 * srx - (n + 1) * sx AS VARCHAR) AS DOUBLE)
         |    / CAST(CAST(n * sx AS VARCHAR) AS DOUBLE), 6) AS gini
         |FROM t""".stripMargin,
+    "q_stats_theil" ->
+      """WITH pc AS (
+        |  SELECT c.c_mktsegment AS seg, o.o_custkey,
+        |    CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_mktsegment, o.o_custkey
+        |  HAVING SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) > 0),
+        |grp AS (
+        |  SELECT seg, COUNT(*) AS ng, SUM(CAST(x AS HUGEINT)) AS xg,
+        |    SUM(CAST(x AS HUGEINT) *
+        |      CAST(FLOOR(LN(CAST(x AS DOUBLE)) * 1e9) AS BIGINT)) AS xlx
+        |  FROM pc GROUP BY seg),
+        |g2 AS (
+        |  SELECT seg, ng, xg, xlx,
+        |    CAST(FLOOR(LN(CAST(xg AS DOUBLE) / ng) * 1e9) AS BIGINT) AS ln_mu_g,
+        |    CAST((xlx - xg * CAST(FLOOR(LN(CAST(xg AS DOUBLE) / ng) * 1e9)
+        |      AS BIGINT)) // xg AS BIGINT) AS t_within_nano
+        |  FROM grp),
+        |tot AS (
+        |  SELECT CAST(SUM(ng) AS BIGINT) AS n, SUM(xg) AS x FROM g2),
+        |wt AS (
+        |  SELECT g2.*, tot.n, tot.x,
+        |    CAST(FLOOR(LN(CAST(tot.x AS DOUBLE) / tot.n) * 1e9) AS BIGINT)
+        |      AS ln_mu,
+        |    CAST((g2.xg * 1000000) // tot.x AS BIGINT) AS w_ppm
+        |  FROM g2, tot),
+        |summary AS (
+        |  SELECT MAX(x) AS x2,
+        |    SUM(xg * (ln_mu_g - ln_mu)) AS btw_sum,
+        |    SUM(CAST(w_ppm AS HUGEINT) * t_within_nano) AS win_sum
+        |  FROM wt)
+        |SELECT wt.seg, wt.ng AS n_customers, CAST(wt.xg AS BIGINT) AS rev_cents,
+        |  wt.w_ppm, wt.t_within_nano,
+        |  CAST(summary.btw_sum // summary.x2 AS BIGINT) AS t_between_nano,
+        |  CAST(summary.win_sum // 1000000 AS BIGINT)
+        |    + CAST(summary.btw_sum // summary.x2 AS BIGINT) AS t_total_nano
+        |FROM wt, summary ORDER BY wt.seg""".stripMargin,
     "q_lorenz_deciles" ->
       """WITH pc AS (
         |  SELECT o_custkey, SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents

@@ -64,6 +64,23 @@ class DiagnosticSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(_.getLong(4) === expected), "chi2_milli recompute")
   }
 
+  test("Theil: weights sum to unit mass; decomposition identity holds") {
+    val rows = operators.StatsOps.statsTheil(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val wSum = rows.map(_.getLong(3)).sum
+    assert(math.abs(wSum - 1000000L) <= rows.length,
+      s"segment weights must sum to ~1e6 ppm (got $wSum)")
+    val within = rows.map(r => r.getLong(3) * r.getLong(4)).sum / 1000000L
+    val between = rows.head.getLong(5)
+    assert(rows.forall(_.getLong(5) === between), "between term is global")
+    val total = rows.head.getLong(6)
+    assert(rows.forall(_.getLong(6) === total))
+    assert(math.abs(total - (within + between)) <= 1L,
+      "T_total must equal weighted within + between (up to 1 nano)")
+    rows.foreach(r => assert(r.getLong(4) >= 0L, "within-Theil >= 0"))
+    assert(total >= 0L)
+  }
+
   test("paired t: mean readout recomputes; t sign tracks the mean") {
     val r = operators.DiagnosticOps.statsPairedT(spark, sfDir).collect().head
     val (n, sd) = (r.getLong(0), r.getLong(1))
