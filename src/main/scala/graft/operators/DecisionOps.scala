@@ -256,7 +256,98 @@ object DecisionOps {
       .orderBy("duration_days")
   }
 
+  /** #419 Funnel conversion-window sweep: view→click conversion at
+    * attribution windows of 1h / 6h / 1d / 3d, each chained to a
+    * 7-day click→purchase leg — the tuning curve behind #348's single
+    * fixed window (how much conversion does each extra attribution
+    * hour actually credit?). Attribution is FIXED (first click after
+    * the first view, first purchase after that click — documented
+    * difference from #348, whose click must fall INSIDE the window to
+    * count as "the" click), so the whole sweep is ONE per-user
+    * (dt_click, dt_purchase) relation and the four points are
+    * cumulative conditional counts — no per-window recomputation.
+    * Scale: three user-keyed min-aggregates chained by user-
+    * co-partitioned joins (the #348 shape), then a 4-row readout.
+    */
+  def funnelWindowSweep(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts").cast("long").as("t"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("t")).as("tv"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("t") > col("tv"))
+      .groupBy("user_id").agg(min(col("t")).as("tc"), max(col("tv")).as("tv2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("t") > col("tc"))
+      .groupBy("user_id").agg(min(col("t")).as("tp"), max(col("tc")).as("tc2"),
+        max(col("tv2")).as("tv3"))
+    val per = c.select(col("user_id"), (col("tc") - col("tv2")).as("dtc"))
+      .join(p.select(col("user_id"), (col("tp") - col("tc2")).as("dtp")),
+        Seq("user_id"), "left_outer")
+    val nv = v.agg(count(lit(1)).as("n_view"))
+    per.crossJoin(broadcast(s.range(1).select(explode(array(
+        lit(3600L), lit(21600L), lit(86400L), lit(259200L))).as("w_sec"))))
+      .groupBy("w_sec")
+      .agg(sum(when(col("dtc") <= col("w_sec"), 1L).otherwise(0L))
+          .as("n_click_w"),
+        sum(when(col("dtc") <= col("w_sec") &&
+          col("dtp").isNotNull && col("dtp") <= 604800L, 1L).otherwise(0L))
+          .as("n_full_w"))
+      .crossJoin(broadcast(nv))
+      .select(col("w_sec"), col("n_view"), col("n_click_w"), col("n_full_w"),
+        expr("(n_click_w * 1000000) div n_view").as("click_conv_ppm"),
+        expr("(n_full_w * 1000000) div n_view").as("full_conv_ppm"))
+      .orderBy("w_sec")
+  }
+
+  /** #420 Trace unicity (de Montjoye et al. 2013 applied to event
+    * logs): the fraction of users uniquely re-identifiable from just
+    * their first k event types (k = 1, 2, 3) — the privacy-risk
+    * readout the #272/#277/#280 k-anonymity/l-diversity/t-closeness
+    * family doesn't cover (those audit a RELEASED aggregate; unicity
+    * audits the raw trace). A trace element is type@hour-of-day — the
+    * spatiotemporal-style point of the original study (type alone has
+    * a 5-symbol alphabet, structurally never unique at any user count;
+    * the 120-symbol type×hour alphabet is where re-identification
+    * risk actually lives). Users with fewer than k events are
+    * excluded at level k (a shorter trace is a different, weaker
+    * quasi-identifier). One user-keyed window pass pivots the first
+    * three elements; each level is a trace-grain count-of-counts.
+    * Scale: the trace relation is user-cardinality; the
+    * count-of-counts aggregates are trace-domain-bounded (≤120^k).
+    */
+  def privacyUnicity(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val el = concat_ws("@", col("event_type"),
+      hour(col("ts")).cast("string"))
+    val first3 = Tables.events(s, dir)
+      .withColumn("e", el)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("user_id")
+      .agg(max(when(col("rn") === 1, col("e"))).as("t1"),
+        max(when(col("rn") === 2, col("e"))).as("t2"),
+        max(when(col("rn") === 3, col("e"))).as("t3"))
+    def level(k: Int, trace: org.apache.spark.sql.Column,
+        ok: org.apache.spark.sql.Column): DataFrame =
+      first3.filter(ok).select(trace.as("trace"))
+        .groupBy("trace").agg(count(lit(1)).as("c"))
+        .agg(lit(k.toLong).as("k"), sum(col("c")).as("n_users"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_unique"))
+    level(1, col("t1"), col("t1").isNotNull)
+      .unionAll(level(2, concat_ws(">", col("t1"), col("t2")),
+        col("t2").isNotNull))
+      .unionAll(level(3, concat_ws(">", col("t1"), col("t2"), col("t3")),
+        col("t3").isNotNull))
+      .withColumn("unicity_ppm", expr("(n_unique * 1000000) div n_users"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_window_sweep" -> (funnelWindowSweep _),
+    "q_privacy_unicity" -> (privacyUnicity _),
     "q_stats_tost" -> (statsTost _),
     "q_eval_youden" -> (evalYouden _),
     "q_win_beta" -> (winBeta _),
@@ -265,6 +356,71 @@ object DecisionOps {
     "q_event_hazard" -> (eventHazard _))
 
   val oracles: Map[String, String] = Map(
+    "q_funnel_window_sweep" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t
+        |  FROM events),
+        |v AS (
+        |  SELECT user_id, MIN(t) AS tv FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.t) AS tc, MAX(v.tv) AS tv2
+        |  FROM ev e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.t > v.tv
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.t) AS tp, MAX(c.tc) AS tc2
+        |  FROM ev e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.t > c.tc
+        |  GROUP BY e.user_id),
+        |per AS (
+        |  SELECT c.user_id, c.tc - c.tv2 AS dtc, p.tp - p.tc2 AS dtp
+        |  FROM c LEFT JOIN p ON p.user_id = c.user_id),
+        |nv AS (SELECT COUNT(*) AS n_view FROM v),
+        |ws AS (SELECT unnest([3600, 21600, 86400, 259200]) AS w_sec),
+        |agg AS (
+        |  SELECT ws.w_sec,
+        |    CAST(SUM(CASE WHEN per.dtc <= ws.w_sec THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_click_w,
+        |    CAST(SUM(CASE WHEN per.dtc <= ws.w_sec AND per.dtp IS NOT NULL
+        |      AND per.dtp <= 604800 THEN 1 ELSE 0 END) AS BIGINT) AS n_full_w
+        |  FROM per CROSS JOIN ws GROUP BY ws.w_sec)
+        |SELECT CAST(w_sec AS BIGINT) AS w_sec, nv.n_view, n_click_w, n_full_w,
+        |  (n_click_w * 1000000) // nv.n_view AS click_conv_ppm,
+        |  (n_full_w * 1000000) // nv.n_view AS full_conv_ppm
+        |FROM agg, nv ORDER BY w_sec""".stripMargin,
+    "q_privacy_unicity" -> {
+      def level(k: Int, trace: String, ok: String): String =
+        s"""SELECT $k AS k, CAST(SUM(c) AS BIGINT) AS n_users,
+           |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_unique
+           |FROM (SELECT $trace AS trace, COUNT(*) AS c
+           |      FROM first3 WHERE $ok GROUP BY 1)""".stripMargin
+      s"""WITH seq AS (
+         |  SELECT user_id,
+         |    event_type || '@' ||
+         |      CAST(CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS VARCHAR)
+         |      AS e,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS rn
+         |  FROM events),
+         |first3 AS (
+         |  SELECT user_id,
+         |    MAX(CASE WHEN rn = 1 THEN e END) AS t1,
+         |    MAX(CASE WHEN rn = 2 THEN e END) AS t2,
+         |    MAX(CASE WHEN rn = 3 THEN e END) AS t3
+         |  FROM seq WHERE rn <= 3 GROUP BY user_id),
+         |u AS (
+         |  ${level(1, "t1", "t1 IS NOT NULL")}
+         |  UNION ALL
+         |  ${level(2, "t1 || '>' || t2", "t2 IS NOT NULL")}
+         |  UNION ALL
+         |  ${level(3, "t1 || '>' || t2 || '>' || t3", "t3 IS NOT NULL")})
+         |SELECT k, n_users, n_unique,
+         |  (n_unique * 1000000) // n_users AS unicity_ppm
+         |FROM u ORDER BY k""".stripMargin
+    },
     "q_stats_tost" ->
       """WITH g AS (
         |  SELECT event_type, COUNT(*) AS n,

@@ -873,7 +873,37 @@ object StatsOps {
       .orderBy("cls")
   }
 
+  /** #418 Atkinson index (aversion ε = 0.5) of customer revenue per
+    * segment — the inequality member with an explicit welfare knob,
+    * completing the family (#198 Gini: rank-based; #417 Theil:
+    * decomposable; #200 HHI: share-squared): A = 1 − (Σ√x/n)²/μ,
+    * i.e. one minus the ratio of the ε=0.5 generalized mean to the
+    * arithmetic mean. √x floors to milli per row (mirrored libm over
+    * exact ints), so Σ√x is an exact integer, its square stages
+    * DECIMAL, and A reads out as ONE truncating ppm division —
+    * (Σ√x_milli)²/(n·X) is already ppm-scaled by the milli² factor.
+    * Scale: one customer aggregate, |segments|-row algebra.
+    */
+  def statsAtkinson(s: SparkSession, dir: String): DataFrame = {
+    val big = DecimalType(38, 0)
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("x"))
+      .filter(col("x") > 0L)
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum(col("x").cast(big)).as("xg"),
+        sum(floor(sqrt(col("x").cast("double")) * 1e3).cast("long")).as("sx"))
+      .select(col("seg"), col("n"), col("xg").cast("long").as("rev_cents"),
+        expr("cast(xg div n as long)").as("mean_cents"),
+        (lit(1000000L) -
+          expr("cast((cast(sx as decimal(38,0)) * sx) div (n * xg) as long)"))
+          .as("atkinson_ppm"))
+      .orderBy("seg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_atkinson" -> (statsAtkinson _),
     "q_part_abc" -> (partAbc _),
     "q_stats_qq" -> (statsQq _),
     "q_skyline" -> (skylineDaily _),
@@ -1157,6 +1187,23 @@ object StatsOps {
         |  round(CAST(CAST(2 * srx - (n + 1) * sx AS VARCHAR) AS DOUBLE)
         |    / CAST(CAST(n * sx AS VARCHAR) AS DOUBLE), 6) AS gini
         |FROM t""".stripMargin,
+    "q_stats_atkinson" ->
+      """WITH pc AS (
+        |  SELECT c.c_mktsegment AS seg, o.o_custkey,
+        |    CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_mktsegment, o.o_custkey
+        |  HAVING SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) > 0),
+        |g AS (
+        |  SELECT seg, COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS xg,
+        |    CAST(SUM(CAST(FLOOR(sqrt(CAST(x AS DOUBLE)) * 1e3) AS BIGINT))
+        |      AS HUGEINT) AS sx
+        |  FROM pc GROUP BY seg)
+        |SELECT seg, n, CAST(xg AS BIGINT) AS rev_cents,
+        |  CAST(xg // n AS BIGINT) AS mean_cents,
+        |  1000000 - CAST((sx * sx) // (n * xg) AS BIGINT) AS atkinson_ppm
+        |FROM g ORDER BY seg""".stripMargin,
     "q_stats_theil" ->
       """WITH pc AS (
         |  SELECT c.c_mktsegment AS seg, o.o_custkey,

@@ -59,6 +59,48 @@ class DecisionSpec extends AnyFunSuite with SparkFixture {
     assert(rows.last.getLong(5) === 0L, "pruning everything keeps nothing")
   }
 
+  test("funnel window sweep: conversions cumulative in the window") {
+    val rows = operators.DecisionOps.funnelWindowSweep(spark, sfDir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === Seq(3600L, 21600L, 86400L, 259200L))
+    val clicks = rows.map(_.getLong(2))
+    clicks.zip(clicks.tail).foreach { case (a, b) =>
+      assert(a <= b, "a wider window can only credit more clicks")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "full conversions subset clicks")
+      assert(r.getLong(2) <= r.getLong(1), "clicks subset views")
+      assert(r.getLong(4) === r.getLong(2) * 1000000L / r.getLong(1))
+    }
+  }
+
+  test("unicity: monotone in k, unique counts bounded by users") {
+    val rows = operators.DecisionOps.privacyUnicity(spark, sfDir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) === r.getLong(2) * 1000000L / r.getLong(1))
+    }
+    // a longer prefix can only sharpen identification among the users
+    // that HAVE k events; with the fixture's dense traces user sets are
+    // identical across k, so unicity must be non-decreasing
+    if (rows.map(_.getLong(1)).distinct.length == 1) {
+      val u = rows.map(_.getLong(3))
+      u.zip(u.tail).foreach { case (a, b) => assert(a <= b) }
+    }
+  }
+
+  test("Atkinson: index in [0, 1e6), zero only under perfect equality") {
+    val rows = operators.StatsOps.statsAtkinson(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getLong(4)
+      assert(a >= 0L && a < 1000000L)
+      assert(r.getLong(3) === r.getLong(2) / r.getLong(1), "mean recompute")
+    }
+  }
+
   test("hazard: rates bounded, risk set shrinks, Nelson-Aalen accumulates") {
     val rows = operators.DecisionOps.eventHazard(spark, sfDir).collect()
       .sortBy(_.getLong(0))
