@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
 /** Reference-based text-similarity metrics + the Gopher quality-rule
@@ -295,12 +296,97 @@ object TextEvalOps {
       .orderBy("user_id")
   }
 
+  /** #421 Multi-class evaluation of the #q_text_lang_id classifier
+    * against the fixture's true language labels: per-class support,
+    * true positives, predicted count, precision/recall/F1 in exact
+    * ppm, plus the macro-F1 repeated on every row — the readout #211's
+    * binary-threshold confusion cannot express (5 classes, per-class
+    * errors). Composes the lang-id relation verbatim (the twin embeds
+    * the #q_text_lang_id twin as a subquery — ONE definition of the
+    * classifier rides both engines). Scale: the composed classifier's
+    * own shape (vocabulary-bounded lexicon broadcast + doc-keyed
+    * argmax), then |langs|²-bounded aggregates.
+    */
+  def evalMulticlass(s: SparkSession, dir: String): DataFrame = {
+    val pred = TextOps.textLangId(s, dir)
+      .select(col("actual_lang"), col("predicted_lang"))
+    val support = pred.groupBy(col("actual_lang").as("lang"))
+      .agg(count(lit(1)).as("support"))
+    val predicted = pred.groupBy(col("predicted_lang").as("lang"))
+      .agg(count(lit(1)).as("n_predicted"))
+    val tp = pred.filter(col("actual_lang") === col("predicted_lang"))
+      .groupBy(col("actual_lang").as("lang"))
+      .agg(count(lit(1)).as("tp"))
+    val perClass = support
+      .join(predicted, Seq("lang"), "left_outer")
+      .join(tp, Seq("lang"), "left_outer")
+      .select(col("lang"), col("support"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision_ppm",
+        when(col("n_predicted") > 0, expr("(tp * 1000000) div n_predicted")))
+      .withColumn("recall_ppm", expr("(tp * 1000000) div support"))
+      .withColumn("f1_ppm",
+        when(coalesce(col("precision_ppm"), lit(0L)) + col("recall_ppm") > 0,
+          expr("(2 * coalesce(precision_ppm, 0L) * recall_ppm) div " +
+            "(coalesce(precision_ppm, 0L) + recall_ppm)")).otherwise(lit(0L)))
+    val macroF1 = perClass.agg(count(lit(1)).as("k"),
+      sum(col("f1_ppm")).as("f1_sum"))
+      .select(expr("f1_sum div k").as("macro_f1_ppm"))
+    perClass.crossJoin(broadcast(macroF1))
+      .select(col("lang"), col("support"), col("n_predicted"), col("tp"),
+        col("precision_ppm"), col("recall_ppm"), col("f1_ppm"),
+        col("macro_f1_ppm"))
+      .orderBy("lang")
+  }
+
+  /** #422 Krippendorff's alpha (nominal, three raters, complete data)
+    * over three deterministic binary quality judges (length ≥ 300
+    * chars, ≥ 55 tokens, type-token ratio ≥ 60%): the
+    * reliability standard that generalizes #257 kappa (2 raters) and
+    * #288 Fleiss (fixed marginals) with a chance model pooled over ALL
+    * votes — alpha = 1 − Do/De with BOTH disagreement terms exact
+    * integer rationals here (Do from per-item vote splits, De from the
+    * pooled vote totals with the small-sample T−1 correction), so the
+    * readout is one DECIMAL-staged truncating ppm division. Scale: one
+    * stateless projection + one map-side-combined aggregate (votes per
+    * item are a 0..3 integer, the per-item relation never leaves its
+    * scan task).
+    */
+  def evalKrippendorff(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val votes = Tables.documents(s, dir)
+      .select(
+        (when(col("n_chars") >= 300, 1L).otherwise(0L) +
+          when(size(toks) >= 55, 1L).otherwise(0L) +
+          when(size(array_distinct(toks)) * 10 >= size(toks) * 6, 1L)
+            .otherwise(0L)).as("v"))
+    votes.agg(count(lit(1)).as("n"), sum(col("v")).as("p1"),
+        sum(col("v") * (lit(3L) - col("v"))).as("do_num"))
+      .withColumn("t", col("n") * 3L)
+      .withColumn("p0", col("t") - col("p1"))
+      .withColumn("de_num",
+        (col("p1").cast(DecimalType(38, 0)) * (col("t") - col("p1")) +
+          col("p0").cast(DecimalType(38, 0)) * (col("t") - col("p0"))))
+      .select(col("n").as("n_items"), col("t").as("n_votes"),
+        col("p1").as("votes_pass"), col("do_num"),
+        expr("cast((cast(do_num as decimal(38,0)) * t * (t - 1) * 1000000) " +
+          "div (cast(6 as decimal(38,0)) * n * de_num) as long)")
+          .as("do_over_de_ppm"),
+        (lit(1000000L) -
+          expr("cast((cast(do_num as decimal(38,0)) * t * (t - 1) * 1000000) " +
+            "div (cast(6 as decimal(38,0)) * n * de_num) as long)"))
+          .as("alpha_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_eval_bleu" -> (evalBleu _),
     "q_eval_rouge_n" -> (evalRougeN _),
     "q_eval_chrf" -> (evalChrf _),
     "q_quality_gopher" -> (qualityGopher _),
-    "q_eval_pass_at_k" -> (evalPassAtK _))
+    "q_eval_pass_at_k" -> (evalPassAtK _),
+    "q_eval_multiclass" -> (evalMulticlass _),
+    "q_eval_krippendorff" -> (evalKrippendorff _))
 
   /** Shared twin prelude: the SAME near-dup pair CTE the dedup/graph
     * twins use (all-pairs shingle-set Jaccard within (lang, source) ≥
@@ -467,5 +553,74 @@ object TextEvalOps {
          |  ${passK(5)} AS pass5_ppm,
          |  ${passK(10)} AS pass10_ppm
          |FROM g WHERE n >= 10 ORDER BY user_id""".stripMargin
-    })
+    },
+    "q_eval_multiclass" -> {
+      val langId = TextOps.oracles("q_text_lang_id")
+      s"""WITH pred AS (
+         |  SELECT actual_lang, predicted_lang FROM ($langId)),
+         |support AS (
+         |  SELECT actual_lang AS lang, COUNT(*) AS support
+         |  FROM pred GROUP BY actual_lang),
+         |predicted AS (
+         |  SELECT predicted_lang AS lang, COUNT(*) AS n_predicted
+         |  FROM pred GROUP BY predicted_lang),
+         |tp AS (
+         |  SELECT actual_lang AS lang, COUNT(*) AS tp
+         |  FROM pred WHERE actual_lang = predicted_lang GROUP BY actual_lang),
+         |pc AS (
+         |  SELECT s.lang, s.support,
+         |    COALESCE(p.n_predicted, 0) AS n_predicted,
+         |    COALESCE(t.tp, 0) AS tp
+         |  FROM support s
+         |  LEFT JOIN predicted p ON p.lang = s.lang
+         |  LEFT JOIN tp t ON t.lang = s.lang),
+         |pr AS (
+         |  SELECT lang, support, n_predicted, tp,
+         |    CASE WHEN n_predicted > 0
+         |      THEN (tp * 1000000) // n_predicted END AS precision_ppm,
+         |    (tp * 1000000) // support AS recall_ppm
+         |  FROM pc),
+         |f AS (
+         |  SELECT *, CASE WHEN COALESCE(precision_ppm, 0)
+         |      + recall_ppm > 0
+         |    THEN (2 * COALESCE(precision_ppm, 0) * recall_ppm)
+         |      // (COALESCE(precision_ppm, 0) + recall_ppm)
+         |    ELSE 0 END AS f1_ppm
+         |  FROM pr),
+         |macro AS (
+         |  SELECT CAST(SUM(f1_ppm) // COUNT(*) AS BIGINT) AS macro_f1_ppm
+         |  FROM f)
+         |SELECT f.lang, f.support, CAST(f.n_predicted AS BIGINT) AS n_predicted,
+         |  CAST(f.tp AS BIGINT) AS tp,
+         |  CAST(f.precision_ppm AS BIGINT) AS precision_ppm,
+         |  CAST(f.recall_ppm AS BIGINT) AS recall_ppm,
+         |  CAST(f.f1_ppm AS BIGINT) AS f1_ppm, macro.macro_f1_ppm
+         |FROM f, macro ORDER BY f.lang""".stripMargin
+    },
+    "q_eval_krippendorff" ->
+      """WITH v AS (
+        |  SELECT
+        |    (CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN len(string_split(text, ' ')) >= 55 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN len(list_distinct(string_split(text, ' '))) * 10
+        |        >= len(string_split(text, ' ')) * 6 THEN 1 ELSE 0 END) AS v
+        |  FROM documents),
+        |a AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS p1,
+        |    CAST(SUM(v * (3 - v)) AS BIGINT) AS do_num
+        |  FROM v),
+        |b AS (
+        |  SELECT n, p1, do_num, n * 3 AS t, n * 3 - p1 AS p0 FROM a),
+        |c AS (
+        |  SELECT n, t, p1, do_num,
+        |    CAST(p1 AS HUGEINT) * (t - p1) + CAST(p0 AS HUGEINT) * (t - p0)
+        |      AS de_num
+        |  FROM b)
+        |SELECT n AS n_items, CAST(t AS BIGINT) AS n_votes,
+        |  p1 AS votes_pass, do_num,
+        |  CAST((CAST(do_num AS HUGEINT) * t * (t - 1) * 1000000)
+        |    // (CAST(6 AS HUGEINT) * n * de_num) AS BIGINT) AS do_over_de_ppm,
+        |  1000000 - CAST((CAST(do_num AS HUGEINT) * t * (t - 1) * 1000000)
+        |    // (CAST(6 AS HUGEINT) * n * de_num) AS BIGINT) AS alpha_ppm
+        |FROM c""".stripMargin)
 }

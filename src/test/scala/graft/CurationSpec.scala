@@ -98,6 +98,28 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
       "freed budget redistributes (up to truncation)")
   }
 
+  test("multiclass eval: confusion mass conserved, macro-F1 recomputes") {
+    val rows = operators.TextEvalOps.evalMulticlass(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val supp = rows.map(_.getLong(1)).sum
+    val pred = rows.map(_.getLong(2)).sum
+    assert(supp === pred, "every doc gets exactly one prediction")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= math.min(r.getLong(1), r.getLong(2)),
+        "tp bounded by support and predicted")
+    }
+    val macroExpect = rows.map(_.getLong(6)).sum / rows.length
+    assert(rows.forall(_.getLong(7) === macroExpect), "macro-F1 recompute")
+  }
+
+  test("Krippendorff: alpha complements Do/De exactly, both in range") {
+    val r = operators.TextEvalOps.evalKrippendorff(spark, sfDir).collect().head
+    assert(r.getLong(4) + r.getLong(5) === 1000000L)
+    assert(r.getLong(5) <= 1000000L)
+    assert(r.getLong(1) === r.getLong(0) * 3L, "three raters per item")
+    assert(r.getLong(3) >= 0L)
+  }
+
   test("trimmed mean: lies within the winsorized band, keeps ~80%") {
     val rows = operators.CurationOps.statsTrimmedMean(spark, sfDir).collect()
     assert(rows.length === 5)
