@@ -345,7 +345,73 @@ object DecisionOps {
       .orderBy("k")
   }
 
+  /** #424 Group-sequential A/B monitor (O'Brien–Fleming, K = 5 looks):
+    * the click-vs-view mean-value z statistic recomputed at five
+    * equally-spaced calendar looks against the classic OBF two-sided
+    * 5% boundaries (4.562, 3.226, 2.634, 2.281, 2.040 — Pocock 1982's
+    * table, pinned as milli literals) — the peeking-safe monitoring
+    * rule an experimentation platform runs instead of one fixed-horizon
+    * #225 test. Look cutoffs derive from the observed time range by
+    * integer arithmetic (no fixture-date literals); each look's
+    * n/Σ/Σ² are exact integer cents via ONE explode-to-look pass
+    * (the #414 sweep shape — a look's data is a prefix, so conditional
+    * sums per look need no recomputation); z is the mirrored double
+    * sequence floored to milli; the stop decision is pure integer
+    * comparison plus a running any-rejection window over 5 rows.
+    */
+  def abSequential(s: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), cents.as("x"), col("ts").cast("long").as("t"))
+    val range = ev.agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
+    val looks = s.range(1).select(
+      explode(array((1 to 5).map(lit): _*)).as("k"))
+    val boundaries = Map(1 -> 4562L, 2 -> 3226L, 3 -> 2634L, 4 -> 2281L,
+      5 -> 2040L)
+    val bCol = (1 to 5).foldLeft(lit(0L)) { (acc, k) =>
+      when(col("k") === k, lit(boundaries(k))).otherwise(acc)
+    }
+    val perLook = ev.crossJoin(broadcast(range))
+      .crossJoin(broadcast(looks))
+      .filter(col("t") <= col("t0") + expr("((t1 - t0 + 1) * k) div 5"))
+      .groupBy("k")
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("event_type") === "click", col("x")).otherwise(0L)).as("s1"),
+        sum(when(col("event_type") === "click", col("x") * col("x"))
+          .otherwise(0L)).as("q1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("event_type") === "view", col("x")).otherwise(0L)).as("s2"),
+        sum(when(col("event_type") === "view", col("x") * col("x"))
+          .otherwise(0L)).as("q2"))
+      .withColumn("m1", col("s1").cast("double") / col("n1"))
+      .withColumn("m2", col("s2").cast("double") / col("n2"))
+      .withColumn("v1",
+        (col("q1").cast("double") - col("s1").cast("double") * col("s1") / col("n1")) /
+          (col("n1") - 1))
+      .withColumn("v2",
+        (col("q2").cast("double") - col("s2").cast("double") * col("s2") / col("n2")) /
+          (col("n2") - 1))
+      .withColumn("z_milli",
+        floor(abs(col("m1") - col("m2")) /
+          sqrt(col("v1") / col("n1") + col("v2") / col("n2")) * 1e3)
+          .cast("long"))
+      .withColumn("boundary_milli", bCol)
+      .withColumn("reject", col("z_milli") > col("boundary_milli"))
+    perLook
+      .withColumn("stopped_by_now",
+        max(col("reject").cast("int")).over(
+          Window.orderBy("k")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) === 1)
+      .select(col("k").cast("long").as("look"), col("n1"), col("n2"),
+        col("z_milli"), col("boundary_milli"), col("reject"),
+        col("stopped_by_now"))
+      .orderBy("look")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_sequential" -> (abSequential _),
     "q_funnel_window_sweep" -> (funnelWindowSweep _),
     "q_privacy_unicity" -> (privacyUnicity _),
     "q_stats_tost" -> (statsTost _),
@@ -356,6 +422,48 @@ object DecisionOps {
     "q_event_hazard" -> (eventHazard _))
 
   val oracles: Map[String, String] = Map(
+    "q_ab_sequential" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(FLOOR("value" * 100 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |rg AS (SELECT MIN(t) AS t0, MAX(t) AS t1 FROM ev),
+        |looks AS (SELECT unnest([1, 2, 3, 4, 5]) AS k),
+        |g AS (
+        |  SELECT looks.k,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN x ELSE 0 END)
+        |      AS BIGINT) AS s1,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN x * x ELSE 0 END)
+        |      AS BIGINT) AS q1,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN x ELSE 0 END)
+        |      AS BIGINT) AS s2,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN x * x ELSE 0 END)
+        |      AS BIGINT) AS q2
+        |  FROM ev, rg, looks
+        |  WHERE ev.t <= rg.t0 + ((rg.t1 - rg.t0 + 1) * looks.k) // 5
+        |  GROUP BY looks.k),
+        |z AS (
+        |  SELECT k, n1, n2,
+        |    CAST(FLOOR(abs(CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+        |      / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+        |          / (n1 - 1)) / n1
+        |        + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2)
+        |          / (n2 - 1)) / n2) * 1e3) AS BIGINT) AS z_milli,
+        |    CASE k WHEN 1 THEN 4562 WHEN 2 THEN 3226 WHEN 3 THEN 2634
+        |      WHEN 4 THEN 2281 ELSE 2040 END AS boundary_milli
+        |  FROM g)
+        |SELECT CAST(k AS BIGINT) AS look, n1, n2, z_milli,
+        |  CAST(boundary_milli AS BIGINT) AS boundary_milli,
+        |  z_milli > boundary_milli AS reject,
+        |  MAX(CASE WHEN z_milli > boundary_milli THEN 1 ELSE 0 END)
+        |    OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    = 1 AS stopped_by_now
+        |FROM z ORDER BY look""".stripMargin,
     "q_funnel_window_sweep" ->
       """WITH ev AS (
         |  SELECT user_id, event_type,

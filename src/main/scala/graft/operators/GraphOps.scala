@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
@@ -139,6 +140,54 @@ object GraphOps {
     symDeg.unpersist()
     ranks.select(col("node").as("doc_id"), col("r").as("rank_micros"))
       .orderBy("doc_id")
+  }
+
+  /** #423 Personalized PageRank from the hub document (max degree, ties
+    * → smallest id — a deterministic seed choice): 5 synchronous rounds
+    * of r' = 0.85·Σ in-mass + 0.15·restart-at-seed over the same
+    * similarity edges as #88, total mass 1e12 micro-units at the seed —
+    * the related-document retrieval score global PageRank can't give
+    * (locality around ONE node, the "more like this" primitive). Top-20
+    * readout by (rank DESC, id) — a bounded TakeOrdered, never a global
+    * sort. Same integer-mass / truncating-div / localCheckpoint
+    * discipline as #88; the one extra build is a 1-row broadcast seed.
+    */
+  def pagerankPersonalized(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.materializedEdges(s, dir)
+    val sym = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val deg = sym.groupBy(col("doc_a").as("node")).agg(count(lit(1)).as("deg"))
+    val seed = deg.orderBy(desc("deg"), asc("node")).limit(1)
+      .select(col("node").as("seed"))
+    val symDeg = sym
+      .join(deg.select(col("node").as("doc_a"), col("deg")), Seq("doc_a"))
+      .persist()
+    var ranks = deg.crossJoin(broadcast(seed))
+      .select(col("node"), col("seed"),
+        when(col("node") === col("seed"), lit(1000000000000L))
+          .otherwise(lit(0L)).as("r"))
+      .localCheckpoint()
+    (1 to Iterations).foreach { _ =>
+      val contrib = symDeg
+        .join(ranks.select(col("node").as("doc_a"), col("r")), Seq("doc_a"))
+        .select(col("doc_b"), expr("r div deg").as("c"))
+      ranks = contrib.groupBy(col("doc_b").as("node"))
+        .agg(sum(col("c")).as("in_mass"))
+        .crossJoin(broadcast(seed))
+        .select(col("node"), col("seed"),
+          (expr("(85 * in_mass) div 100") +
+            when(col("node") === col("seed"), lit(150000000000L))
+              .otherwise(lit(0L))).as("r"))
+        .localCheckpoint()
+    }
+    symDeg.unpersist()
+    ranks.orderBy(desc("r"), asc("node")).limit(20)
+      .select(col("seed").as("seed_doc"), col("node").as("doc_id"),
+        col("r").as("ppr_picos"))
+      .withColumn("position",
+        row_number().over(Window.orderBy(desc("ppr_picos"), asc("doc_id")))
+          .cast("long"))
+      .orderBy("position")
   }
 
   /** Per-node triangle participation over the similarity graph — the
@@ -642,6 +691,7 @@ object GraphOps {
     "q_graph_bfs" -> (bfsHops _),
     "q_graph_kcore" -> (kcore _),
     "q_graph_pagerank" -> (pageRank _),
+    "q_graph_ppr" -> (pagerankPersonalized _),
     "q_graph_hits" -> (hits _),
     "q_graph_adamic_adar" -> (adamicAdar _),
     "q_graph_assortativity" -> (assortativity _),
@@ -1094,6 +1144,39 @@ object GraphOps {
         |  FROM a1)
         |SELECT sp AS s_suppkey, a AS auth_micro
         |FROM a1n ORDER BY a DESC, sp ASC LIMIT 20""".stripMargin,
+    "q_graph_ppr" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |e(a, b) AS (
+        |  SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |deg AS (SELECT a, COUNT(*) AS d FROM e GROUP BY a),
+        |seed AS (SELECT a AS s FROM deg ORDER BY d DESC, a LIMIT 1),
+        |pr(iter, node, r) AS (
+        |  SELECT 0, a,
+        |    CAST(CASE WHEN a = seed.s THEN 1000000000000 ELSE 0 END AS BIGINT)
+        |  FROM deg, seed
+        |  UNION ALL
+        |  SELECT iter + 1, e.b,
+        |    CAST((85 * SUM(pr.r // deg.d)) // 100
+        |      + CASE WHEN e.b = (SELECT s FROM seed)
+        |          THEN 150000000000 ELSE 0 END AS BIGINT)
+        |  FROM pr JOIN e ON pr.node = e.a JOIN deg ON deg.a = pr.node
+        |  WHERE iter < 5
+        |  GROUP BY iter + 1, e.b)
+        |SELECT (SELECT s FROM seed) AS seed_doc, node AS doc_id,
+        |  r AS ppr_picos,
+        |  CAST(row_number() OVER (ORDER BY r DESC, node ASC) AS BIGINT)
+        |    AS position
+        |FROM pr WHERE iter = 5
+        |QUALIFY position <= 20
+        |ORDER BY position""".stripMargin,
     "q_graph_pagerank" ->
       """WITH RECURSIVE base AS (
         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset

@@ -101,6 +101,36 @@ class DecisionSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("sequential monitor: looks accumulate, boundaries decay, flags recompute") {
+    val rows = operators.DecisionOps.abSequential(spark, sfDir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 5L))
+    val n1s = rows.map(_.getLong(1))
+    n1s.zip(n1s.tail).foreach { case (a, b) =>
+      assert(a <= b, "look samples must accumulate")
+    }
+    val bs = rows.map(_.getLong(4))
+    assert(bs.toSeq === Seq(4562L, 3226L, 2634L, 2281L, 2040L))
+    var stopped = false
+    rows.foreach { r =>
+      assert(r.getBoolean(5) === (r.getLong(3) > r.getLong(4)))
+      stopped = stopped || r.getBoolean(5)
+      assert(r.getBoolean(6) === stopped, "stopped_by_now recompute")
+    }
+  }
+
+  test("personalized PageRank: seed ranks first, 20 rows, mass positive") {
+    val rows = operators.GraphOps.pagerankPersonalized(spark, sfDir).collect()
+    assert(rows.length === 20)
+    assert(rows.map(_.getLong(3)).toSeq === (1L to 20L))
+    val seed = rows.head.getLong(0)
+    assert(rows.forall(_.getLong(0) === seed))
+    assert(rows.head.getLong(1) === seed,
+      "the restart node must hold the top PPR score")
+    val rs = rows.map(_.getLong(2))
+    rs.zip(rs.tail).foreach { case (a, b) => assert(a >= b) }
+  }
+
   test("hazard: rates bounded, risk set shrinks, Nelson-Aalen accumulates") {
     val rows = operators.DecisionOps.eventHazard(spark, sfDir).collect()
       .sortBy(_.getLong(0))
