@@ -305,7 +305,47 @@ object DiagnosticOps {
           .cast("long").as("t_milli"))
   }
 
+  /** #425 Hill tail-index estimator over the top k = 100 order values:
+    * α̂ = k / Σ_{i≤k} (ln x_(i) − ln x_(k+1)) — the heavy-tail exponent
+    * that decides whether means/variances of the value distribution
+    * even exist (α ≤ 2 ⇒ infinite variance ⇒ every CLT-based test in
+    * the tree is on thin ice for this column) — the EVT complement of
+    * the #204 skew report. The order statistics come from ONE bounded
+    * TakeOrderedAndProject (101 rows by (cents DESC, orderkey) — a
+    * total order, never a global sort); each ln floors to nano over an
+    * exact integer input, the excess sum is exact, and both readouts
+    * are truncating divisions. Scale: top-k heap per partition + one
+    * 101-row reduction, independent of corpus size.
+    */
+  def statsHill(s: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    val top = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .orderBy(desc("cents"), asc("o_orderkey"))
+      .limit(k + 1)
+    // rank INSIDE the bounded 101-row relation: boundary ties resolve by
+    // the same total (cents DESC, key) order that selected the rows
+    val ranked = top.withColumn("rn", row_number().over(
+      Window.orderBy(desc("cents"), asc("o_orderkey"))))
+    val thr = ranked.filter(col("rn") === k + 1)
+      .select(col("cents").as("x_thr"))
+    ranked.filter(col("rn") <= k)
+      .crossJoin(broadcast(thr))
+      .select(col("cents"), col("x_thr"),
+        (floor(log(col("cents").cast("double")) * 1e9).cast("long") -
+          floor(log(col("x_thr").cast("double")) * 1e9).cast("long"))
+          .as("excess_nano"))
+      .agg(count(lit(1)).as("k_used"), max(col("x_thr")).as("x_thr"),
+        sum(col("excess_nano")).as("sum_nano"))
+      .select(col("k_used"), col("x_thr").as("threshold_cents"),
+        col("sum_nano"),
+        expr("sum_nano div k_used").as("hill_inv_nano"),
+        expr("(k_used * 1000000000000) div sum_nano").as("alpha_milli"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_hill" -> (statsHill _),
     "q_ts_ljung_box" -> (tsLjungBox _),
     "q_ts_kpss" -> (tsKpss _),
     "q_ts_variance_ratio" -> (tsVarianceRatio _),
@@ -327,6 +367,30 @@ object DiagnosticOps {
       |  FROM daily, st)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_stats_hill" ->
+      """WITH top AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders ORDER BY cents DESC, o_orderkey LIMIT 101),
+        |ranked AS (
+        |  SELECT cents,
+        |    row_number() OVER (ORDER BY cents DESC, o_orderkey) AS rn
+        |  FROM top),
+        |thr AS (SELECT cents AS x_thr FROM ranked WHERE rn = 101),
+        |terms AS (
+        |  SELECT r.cents, thr.x_thr,
+        |    CAST(FLOOR(LN(CAST(r.cents AS DOUBLE)) * 1e9) AS BIGINT)
+        |      - CAST(FLOOR(LN(CAST(thr.x_thr AS DOUBLE)) * 1e9) AS BIGINT)
+        |      AS excess_nano
+        |  FROM ranked r, thr WHERE r.rn <= 100),
+        |agg AS (
+        |  SELECT COUNT(*) AS k_used, MAX(x_thr) AS x_thr,
+        |    CAST(SUM(excess_nano) AS BIGINT) AS sum_nano
+        |  FROM terms)
+        |SELECT k_used, x_thr AS threshold_cents, sum_nano,
+        |  sum_nano // k_used AS hill_inv_nano,
+        |  (k_used * 1000000000000) // sum_nano AS alpha_milli
+        |FROM agg""".stripMargin,
     "q_ts_ljung_box" ->
       s"""WITH $DailyGlobalSql,
          |$CenteredSql,

@@ -64,6 +64,15 @@ class DiagnosticSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(_.getLong(4) === expected), "chi2_milli recompute")
   }
 
+  test("Hill: exactly k excesses, all non-negative, alpha recomputes") {
+    val r = operators.DiagnosticOps.statsHill(spark, sfDir).collect().head
+    assert(r.getLong(0) === 100L)
+    assert(r.getLong(2) >= 0L, "excess sum non-negative by construction")
+    assert(r.getLong(3) === r.getLong(2) / 100L)
+    if (r.getLong(2) > 0L)
+      assert(r.getLong(4) === 100L * 1000000000000L / r.getLong(2))
+  }
+
   test("Theil: weights sum to unit mass; decomposition identity holds") {
     val rows = operators.StatsOps.statsTheil(spark, sfDir).collect()
     assert(rows.nonEmpty)
