@@ -505,4 +505,34 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     // conservation under the crafted layout too
     assert(rows.values.map(_._2).sum === 16L)
   }
+
+  test("water-fill invariants hold on 30 random skewed source mixes") {
+    import spark.implicits._
+    val mixGen = for {
+      k <- Gen.choose(2, 8)
+      toks <- Gen.listOfN(k, Gen.choose(10L, 1000000L))
+    } yield toks
+    samples(mixGen, 30).zipWithIndex.foreach { case (toks, i) =>
+      val base = toks.zipWithIndex
+        .map { case (t, j) => (s"s$j", t) }.toDF("source", "tokens")
+      val rows = operators.CurationOps.waterFill(base).collect()
+      val total = toks.sum
+      val budget = 2L * total
+      val allocSum = rows.map(_.getLong(5)).sum
+      // budget never exceeded; per-source cap never exceeded
+      assert(allocSum <= budget, s"mix $i: allocation over budget")
+      rows.foreach { r =>
+        assert(r.getLong(5) <= r.getLong(3), s"mix $i: cap violated")
+        assert(r.getLong(5) >= 0L)
+        assert(r.getLong(6) <= 4000000L, s"mix $i: epochs over the cap")
+        // clamped sources sit exactly at their cap
+        if (r.getBoolean(4)) assert(r.getLong(5) === r.getLong(3))
+      }
+      // truncation-bounded budget use: if nothing clamped, the fill is
+      // proportional and leaves at most |sources| units on the table
+      if (rows.forall(!_.getBoolean(4)))
+        assert(budget - allocSum <= rows.length.toLong,
+          s"mix $i: unclamped fill must spend the budget up to truncation")
+    }
+  }
 }
