@@ -106,9 +106,15 @@ object DecisionOps {
         col("tn_all").as("n_neg"), col("tpr_ppm"), col("fpr_ppm"), col("j_ppm"))
   }
 
-  /** #402 Rolling 8-day OLS beta of each event type's daily value mass
-    * against the GLOBAL daily mass (the type's own mass included — the
-    * index-includes-the-stock market-beta convention): beta =
+  /** #402 Rolling 8-OBSERVATION OLS beta of each event type's daily
+    * value mass against the GLOBAL daily mass (the type's own mass
+    * included — the index-includes-the-stock market-beta convention).
+    * The frame is rowsBetween(-7, 0) over the type's OBSERVED days:
+    * for a type with calendar gaps the window spans more than 8
+    * calendar days — the trading-days convention (finance betas roll
+    * over sessions, not wall-clock days), chosen deliberately over a
+    * rangeBetween epoch-day frame, which would shrink sparse types'
+    * samples to the point of constant-x NULLs. beta =
     * (mΣxy − ΣxΣy)/(mΣx² − (Σx)²) over the frame, every sum an exact
     * DECIMAL integer (row products ~1e22 at sf0.1 — int64 dies 10³×
     * earlier), one truncating ppm division; constant-x frames emit

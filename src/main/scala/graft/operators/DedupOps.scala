@@ -136,13 +136,11 @@ object DedupOps {
     // the signatures, not silently serve stale ones (shingle width is the
     // only other parameter; bump the _s3 tag if it ever changes).
     val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/minhash_sigs_v1_p${NumPerms}_s3_${cacheKey(dir, "documents")}"
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    DerivedFiles.getOrBuildParquet(s, path)(
       docsWithShingleHashes(s, dir)
         .select(col("doc_id"), explode(col("sh_hashes")).as("sh_hash"))
         .groupBy("doc_id")
-        .agg(expr(s"graft_minhash_sig(sh_hash, $NumPerms)").as("sig"))
-        .write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
+        .agg(expr(s"graft_minhash_sig(sh_hash, $NumPerms)").as("sig")))
   }
 
   private def minhashMelted(s: SparkSession, dir: String): DataFrame = {
@@ -369,9 +367,7 @@ object DedupOps {
     */
   private[graft] def materializedJaccard(s: SparkSession, dir: String): DataFrame = {
     val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/jaccard_v3_${cacheKey(dir, "documents")}"
-    if (!new java.io.File(path, "_SUCCESS").exists())
-      jaccardPairs(s, dir).write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
+    DerivedFiles.getOrBuildParquet(s, path)(jaccardPairs(s, dir))
   }
 
   private[graft] def materializedEdges(s: SparkSession, dir: String): DataFrame =
@@ -498,10 +494,7 @@ object DedupOps {
     */
   private[graft] def componentLabels(s: SparkSession, dir: String): DataFrame = {
     val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/components_v2_${cacheKey(dir, "documents")}"
-    if (!new java.io.File(path, "_SUCCESS").exists())
-      computeComponents(s, dir)
-        .write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
+    DerivedFiles.getOrBuildParquet(s, path)(computeComponents(s, dir))
   }
 
   private def computeComponents(s: SparkSession, dir: String): DataFrame = {

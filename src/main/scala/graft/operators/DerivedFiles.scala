@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Build-once / read-many derived files under `$tmp/graft_io`.
+  *
+  * Every derived relation in the repo (LSH signatures, the similarity
+  * edge list, connected-component and LPA label assignments, the
+  * scan-family round-trip files) is a pure function of the input
+  * corpus, keyed by a content hash — so it is written once per tmp
+  * lifetime and read by every consumer, exactly how a production
+  * pipeline shares a materialization across downstream jobs.
+  *
+  * Until round 14 each site open-coded `if (!_SUCCESS) write.mode
+  * ("overwrite")` onto the SHARED target path. That check-then-write
+  * is racy two ways: two JVMs (or threads) that both miss `_SUCCESS`
+  * write the same directory concurrently, and `overwrite` first
+  * DELETES the directory — yanking files out from under any
+  * concurrent reader. This helper closes both races:
+  *
+  *  - a per-path JVM lock serializes same-process builders;
+  *  - the build lands in a UNIQUE scratch directory and is atomically
+  *    renamed into place (one `rename(2)` on the same filesystem), so
+  *    a reader observes either no directory or a complete one, never
+  *    a partial or vanishing one;
+  *  - a builder that loses a cross-process rename race simply
+  *    discards its scratch and reads the winner's output — last
+  *    writer never clobbers.
+  *
+  * A stale target WITHOUT `_SUCCESS` (a crashed historical build) is
+  * cleared under the lock before publishing.
+  */
+private[graft] object DerivedFiles {
+
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def complete(path: String): Boolean =
+    new java.io.File(path, "_SUCCESS").exists()
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Ensure `path` holds a complete build, producing it via
+    * `writeTo(scratchPath)` if absent. The closure must write a
+    * directory dataset (any format) to the scratch path it is given;
+    * Spark's committer drops the `_SUCCESS` marker that doubles as
+    * our completeness flag.
+    */
+  def ensure(path: String)(writeTo: String => Unit): Unit = {
+    if (complete(path)) return
+    val lock = locks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      if (complete(path)) return
+      val target = new java.io.File(path)
+      target.getParentFile.mkdirs()
+      val scratch = new java.io.File(path + ".build-" +
+        java.lang.Long.toHexString(Thread.currentThread().getId) + "-" +
+        java.lang.Long.toHexString(System.nanoTime()))
+      writeTo(scratch.getPath)
+      // Publish: clear a stale (incomplete) target, then one atomic
+      // rename. A failed rename after which the target IS complete
+      // means another process won — keep theirs.
+      if (target.exists() && !complete(path)) deleteRecursively(target)
+      if (!scratch.renameTo(target)) {
+        if (!complete(path))
+          throw new IllegalStateException(
+            s"could not publish derived file $path")
+        deleteRecursively(scratch)
+      }
+    }
+  }
+
+  /** Parquet convenience: build `df` into `path` once, read it back. */
+  def getOrBuildParquet(s: SparkSession, path: String)(
+      build: => DataFrame): DataFrame = {
+    ensure(path)(scratch => build.write.parquet(scratch))
+    s.read.parquet(path)
+  }
+}

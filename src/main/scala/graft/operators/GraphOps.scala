@@ -405,9 +405,7 @@ object GraphOps {
   private[graft] def lpaLabels(s: SparkSession, dir: String): DataFrame = {
     val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
       s"/graft_io/lpa_v1_${DedupOps.cacheKey(dir, "documents")}"
-    if (!new java.io.File(path, "_SUCCESS").exists())
-      lpaLabelsUncached(s, dir).write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
+    DerivedFiles.getOrBuildParquet(s, path)(lpaLabelsUncached(s, dir))
   }
 
   private def lpaLabelsUncached(s: SparkSession, dir: String): DataFrame = {

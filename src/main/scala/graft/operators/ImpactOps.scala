@@ -31,10 +31,12 @@ object ImpactOps {
     * Σ_S |S|!(n−1−|S|)!/n!·[v(S∪c)−v(S)] over coalition pairs where
     * both sides are observed — the cooperative-game credit rule that,
     * unlike last-touch (#q_attribution), pays every channel its
-    * marginal contribution averaged over orderings. n = 4 observed
-    * channels → 16 coalitions; the factorial weights are exact integers
-    * over the common denominator 4! = 24, so φ emits as an exact micro
-    * division.
+    * marginal contribution averaged over orderings. n = the OBSERVED
+    * channel alphabet (4 on the fixtures → 16 coalitions); the
+    * factorial weights |S|!·(n−1−|S|)! are exact integers over the
+    * common denominator n!, derived from the alphabet in both engines,
+    * so φ emits as an exact micro division and a fixture drift changes
+    * the weights instead of silently mis-weighting them.
     *
     * Scale: the corpus-sized work is ONE user-grain aggregate; the
     * Shapley algebra runs on the ≤2ⁿ-row coalition relation (bounded by
@@ -72,20 +74,34 @@ object ImpactOps {
       .withColumn("sz", size(col("chset")))
     val channels = ev.filter(col("event_type") =!= "purchase")
       .select(col("event_type").as("ch")).distinct()
+    // |S|!·(n−1−|S|)! over the common denominator n!, derived from the
+    // OBSERVED channel alphabet (r14; previously hardcoded for n = 4,
+    // which would silently mis-weight every pair if the fixture ever
+    // grew a channel). The count is a driver action on the distinct
+    // alphabet — |alphabet| rows, never corpus-sized. Pairs whose
+    // superset coalition is unobserved drop out of the inner join by
+    // construction (observational Shapley has no value for an
+    // unobserved coalition without a model); n_pairs per channel is
+    // the monitor for how sparse the lattice is.
+    val nCh = channels.count().toInt
+    require(nCh >= 1 && nCh <= 20,
+      s"Shapley factorial weights need 1..20 channels, got $nCh")
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _.toLong)
+    val wCase = (0 until nCh)
+      .map(k => s"WHEN $k THEN ${fact(k) * fact(nCh - 1 - k)}L")
+      .mkString("CASE sz ", " ", s" ELSE ${fact(nCh - 1)}L END")
     val pairs = coal.crossJoin(broadcast(channels))
       .filter(!array_contains(col("chset"), col("ch")))
       .withColumn("up_key",
         array_join(array_sort(array_union(col("chset"), array(col("ch")))), ","))
       .join(coal.select(col("coalition").as("up_key"),
         col("v_ppm").as("v1")), Seq("up_key"))
-      // |S|!·(4−1−|S|)! over the common denominator 4! = 24
-      .withColumn("w",
-        expr("CASE sz WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END"))
+      .withColumn("w", expr(wCase))
     pairs.groupBy("ch")
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("w") * (col("v1") - col("v_ppm"))).as("wsum"))
       .select(col("ch"), col("n_pairs"),
-        expr("wsum div 24").as("phi_micro"))
+        expr(s"wsum div ${fact(nCh)}L").as("phi_micro"))
       .orderBy("ch")
   }
 
@@ -339,15 +355,18 @@ object ImpactOps {
         |  FROM uc GROUP BY chset),
         |chn AS (SELECT DISTINCT event_type AS ch FROM events
         |        WHERE event_type <> 'purchase'),
+        |nc AS (SELECT COUNT(*) AS n FROM chn),
         |pairs AS (
         |  SELECT c.ch, s.sz, s.v_ppm AS v0, s2.v_ppm AS v1
         |  FROM coal s JOIN chn c ON NOT list_contains(s.chset, c.ch)
         |  JOIN coal s2 ON s2.coalition =
         |    array_to_string(list_sort(list_append(s.chset, c.ch)), ','))
         |SELECT ch, COUNT(*) AS n_pairs,
-        |  CAST(SUM((CASE sz WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2
-        |            ELSE 6 END) * (v1 - v0)) // 24 AS BIGINT) AS phi_micro
-        |FROM pairs GROUP BY ch ORDER BY ch""".stripMargin,
+        |  CAST(SUM(factorial(CAST(sz AS INTEGER))
+        |    * factorial(CAST(nc.n - 1 - sz AS INTEGER)) * (v1 - v0))
+        |    // factorial(CAST(ANY_VALUE(nc.n) AS INTEGER)) AS BIGINT)
+        |    AS phi_micro
+        |FROM pairs, nc GROUP BY ch ORDER BY ch""".stripMargin,
     "q_sample_neyman" ->
       """WITH strata AS (
         |  SELECT lang, COUNT(*) AS n,

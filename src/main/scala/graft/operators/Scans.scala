@@ -21,12 +21,13 @@ object Scans {
 
   /** The round-trip files are a pure function of (sfDir, projection), so
     * the write happens once per tmp lifetime — repeated Verify/Bench runs
-    * only pay the read side.
+    * only pay the read side. Delegates to [[DerivedFiles.ensure]] for the
+    * scratch-dir + atomic-rename publish (r14: the bare check-then-write
+    * raced concurrent builders/readers); the closure receives the scratch
+    * path it must write to.
     */
-  private def ensureWritten(path: String)(write: => Unit): Unit = {
-    val marker = new java.io.File(path, "_SUCCESS")
-    if (!marker.exists()) write
-  }
+  private def ensureWritten(path: String)(write: String => Unit): Unit =
+    DerivedFiles.ensure(path)(write)
 
   /** Columns chosen to round-trip text formats losslessly (ints, strings,
     * X.0 doubles, ms timestamps).
@@ -45,41 +46,50 @@ object Scans {
         col("l_extendedprice"), col("l_returnflag"), col("l_shipdate"))
       .orderBy("l_orderkey", "l_linenumber")
 
-  def scanCsv(s: SparkSession, dir: String): DataFrame = {
+  private def buildCsv(s: SparkSession, dir: String): String = {
     val path = ioDir("csv", dir)
-    ensureWritten(path) {
+    ensureWritten(path) { p =>
       Tables.lineitem(s, dir).select(rtCols.map(col): _*)
-        .write.mode("overwrite").option("header", "true").csv(path)
+        .write.option("header", "true").csv(p)
     }
-    s.read.schema(rtSchema).option("header", "true").csv(path)
-      .orderBy("l_orderkey", "l_linenumber")
+    path
   }
 
-  def scanJsonl(s: SparkSession, dir: String): DataFrame = {
+  def scanCsv(s: SparkSession, dir: String): DataFrame =
+    s.read.schema(rtSchema).option("header", "true").csv(buildCsv(s, dir))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private def buildJsonl(s: SparkSession, dir: String): String = {
     val path = ioDir("jsonl", dir)
-    ensureWritten(path) {
+    ensureWritten(path) { p =>
       Tables.lineitem(s, dir)
         .select((rtCols :+ "l_shipdate").map(col): _*)
-        .write.mode("overwrite").json(path)
+        .write.json(p)
     }
-    s.read.schema(rtSchema.add(StructField("l_shipdate", TimestampType)))
-      .json(path)
-      .orderBy("l_orderkey", "l_linenumber")
+    path
   }
+
+  def scanJsonl(s: SparkSession, dir: String): DataFrame =
+    s.read.schema(rtSchema.add(StructField("l_shipdate", TimestampType)))
+      .json(buildJsonl(s, dir))
+      .orderBy("l_orderkey", "l_linenumber")
 
   /** ORC round-trip — the second columnar format Spark ships natively.
     * Binary format, so unlike CSV/JSONL the full-fidelity columns
     * (double prices, timestamps) ride along untruncated.
     */
-  def scanOrc(s: SparkSession, dir: String): DataFrame = {
+  private def buildOrc(s: SparkSession, dir: String): String = {
     val path = ioDir("orc", dir)
-    ensureWritten(path) {
+    ensureWritten(path) { p =>
       Tables.lineitem(s, dir)
         .select((rtCols ++ Seq("l_extendedprice", "l_shipdate")).map(col): _*)
-        .write.mode("overwrite").orc(path)
+        .write.orc(p)
     }
-    s.read.orc(path).orderBy("l_orderkey", "l_linenumber")
+    path
   }
+
+  def scanOrc(s: SparkSession, dir: String): DataFrame =
+    s.read.orc(buildOrc(s, dir)).orderBy("l_orderkey", "l_linenumber")
 
   /** XML round-trip — Spark 4 ships the (formerly spark-xml) source
     * natively. rowTag framing, explicit schema on the read (same
@@ -88,16 +98,20 @@ object Scans {
     * deterministic 1-in-10 orderkey slice — format fidelity is proven
     * per-row, no need to pay the verbosity on the full table.
     */
-  def scanXml(s: SparkSession, dir: String): DataFrame = {
+  private def buildXml(s: SparkSession, dir: String): String = {
     val path = ioDir("xml", dir)
-    ensureWritten(path) {
+    ensureWritten(path) { p =>
       Tables.lineitem(s, dir).filter(col("l_orderkey") % 10 === 0)
         .select(rtCols.map(col): _*)
-        .write.mode("overwrite").option("rowTag", "row").format("xml").save(path)
+        .write.option("rowTag", "row").format("xml").save(p)
     }
-    s.read.schema(rtSchema).option("rowTag", "row").format("xml").load(path)
-      .orderBy("l_orderkey", "l_linenumber")
+    path
   }
+
+  def scanXml(s: SparkSession, dir: String): DataFrame =
+    s.read.schema(rtSchema).option("rowTag", "row").format("xml")
+      .load(buildXml(s, dir))
+      .orderBy("l_orderkey", "l_linenumber")
 
   /** Partitioned layout + dynamic partition pruning — the single most
     * valuable scan optimization at 100 TB: lineitem written once
@@ -111,14 +125,18 @@ object Scans {
     * the partition filters). Oracle: same join over the unpartitioned
     * originals.
     */
-  def scanPartitioned(s: SparkSession, dir: String): DataFrame = {
+  private def buildPartitioned(s: SparkSession, dir: String): String = {
     val path = ioDir("partyear", dir)
-    ensureWritten(path) {
+    ensureWritten(path) { p =>
       Tables.lineitem(s, dir)
         .withColumn("ship_year", year(col("l_shipdate")))
-        .write.mode("overwrite").partitionBy("ship_year").parquet(path)
+        .write.partitionBy("ship_year").parquet(p)
     }
-    val fact = s.read.parquet(path)
+    path
+  }
+
+  def scanPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val fact = s.read.parquet(buildPartitioned(s, dir))
     val dim = Tables.orders(s, dir)
       .filter(col("o_orderpriority") === "1-URGENT"
         && col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
@@ -149,7 +167,7 @@ object Scans {
     * the layout being demonstrated; at real scale neither side
     * broadcasts and SMJ is what the planner picks anyway).
     */
-  def scanBucketed(s: SparkSession, dir: String): DataFrame = {
+  private def buildBucketed(s: SparkSession, dir: String): (String, String) = {
     val key = DedupOps.cacheKey(dir, "lineitem").take(16)
     def ensure(name: String, path: String, ddlCols: String, bucketCol: String)
               (write: => Unit): Unit =
@@ -175,6 +193,11 @@ object Scans {
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", ordPath).mode("overwrite").saveAsTable(ordName)
     }
+    (liName, ordName)
+  }
+
+  def scanBucketed(s: SparkSession, dir: String): DataFrame = {
+    val (liName, ordName) = buildBucketed(s, dir)
     val li = s.table(liName)
     val ord = s.table(ordName)
     li.join(ord.hint("merge"), li("l_orderkey") === ord("o_orderkey"))
@@ -193,16 +216,20 @@ object Scans {
     * pushdown/pruning contract is asserted in SourceV2Spec; THIS query
     * proves end-to-end value correctness against the parquet original.
     */
-  def scanDsv2(s: SparkSession, dir: String): DataFrame = {
+  private def buildKvlog(s: SparkSession, dir: String): String = {
     val path = ioDir("kvlog", dir)
-    ensureWritten(path) {
+    ensureWritten(path) { p =>
       Tables.documents(s, dir)
         .select(concat_ws("\t", col("doc_id"), col("lang"), col("source"), col("n_chars"))
           .as("value"))
         .repartition(4, col("value"))
-        .write.mode("overwrite").text(path)
+        .write.text(p)
     }
-    s.read.format("graft.sources.KvLogSource").load(path)
+    path
+  }
+
+  def scanDsv2(s: SparkSession, dir: String): DataFrame = {
+    s.read.format("graft.sources.KvLogSource").load(buildKvlog(s, dir))
       .filter(col("n_chars") >= 500)
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
@@ -253,16 +280,24 @@ object Scans {
     * parquet read. Fixture generations are written once per tmp
     * lifetime (derived-file pattern).
     */
-  def scanEvolved(s: SparkSession, dir: String): DataFrame = {
+  private def buildEvolved(s: SparkSession, dir: String): String = {
     val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/evolved_v1_${DedupOps.cacheKey(dir, "documents")}"
-    if (!new java.io.File(s"$path/b", "_SUCCESS").exists()) {
+    DerivedFiles.ensure(path) { p =>
       Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("lang"), col("n_chars"))
-        .write.mode("overwrite").parquet(s"$path/a")
+        .write.parquet(s"$p/a")
       Tables.documents(s, dir).filter(col("doc_id") % 2 === 1)
         .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
-        .write.mode("overwrite").parquet(s"$path/b")
+        .write.parquet(s"$p/b")
+      // root completeness marker: the generations live in subdirs
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(p, "_SUCCESS"), Array.emptyByteArray)
     }
+    path
+  }
+
+  def scanEvolved(s: SparkSession, dir: String): DataFrame = {
+    val path = buildEvolved(s, dir)
     s.read.option("mergeSchema", "true").parquet(s"$path/a", s"$path/b")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
@@ -271,11 +306,10 @@ object Scans {
       .orderBy("lang")
   }
 
-  def scanBinary(s: SparkSession, dir: String): DataFrame = {
+  private def buildBinary(s: SparkSession, dir: String): String = {
     val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/bin_v1_${DedupOps.cacheKey(dir, "documents")}"
-    val d = new java.io.File(path)
-    if (!new java.io.File(d, "_SUCCESS").exists()) {
-      d.mkdirs()
+    DerivedFiles.ensure(path) { p =>
+      new java.io.File(p).mkdirs()
       Tables.documents(s, dir)
         .select(col("lang"), col("doc_id"), col("text"))
         .repartition(col("lang"))
@@ -290,19 +324,36 @@ object Scans {
               if (out != null) out.close()
               cur = lang
               out = new java.io.BufferedOutputStream(java.nio.file.Files.newOutputStream(
-                java.nio.file.Paths.get(path, s"$lang.bin")))
+                java.nio.file.Paths.get(p, s"$lang.bin")))
             } else out.write(nl)
             out.write(r.getString(2).getBytes("UTF-8"))
           }
           if (out != null) out.close()
         }
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(path, "_SUCCESS"), Array.emptyByteArray)
+        java.nio.file.Paths.get(p, "_SUCCESS"), Array.emptyByteArray)
     }
-    s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(path)
+    path
+  }
+
+  def scanBinary(s: SparkSession, dir: String): DataFrame =
+    s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+      .load(buildBinary(s, dir))
       .select(regexp_extract(col("path"), "([^/]+)\\.bin$", 1).as("lang"),
         col("length").as("n_bytes"), md5(col("content")).as("md5_hex"))
       .orderBy("lang")
+
+  /** Force every scan-family derived layout (round-trip files, the
+    * partitioned/bucketed layouts, the two-generation parquet, the
+    * binary corpus) without running the graded reads — Bench's
+    * pre-warm hook, so first consumers time the READ they demonstrate,
+    * not the one-time fixture write (one-time per tmp lifetime: every
+    * build is a [[DerivedFiles]] no-op once present).
+    */
+  private[graft] def prewarmBuilds(s: SparkSession, dir: String): Unit = {
+    buildCsv(s, dir); buildJsonl(s, dir); buildOrc(s, dir); buildXml(s, dir)
+    buildPartitioned(s, dir); buildKvlog(s, dir); buildEvolved(s, dir)
+    buildBinary(s, dir); buildBucketed(s, dir)
   }
 
   /** CSV/JSONL oracles read the parquet originals: equality proves the text

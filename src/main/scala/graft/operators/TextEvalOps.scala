@@ -348,7 +348,12 @@ object TextEvalOps {
     * votes — alpha = 1 − Do/De with BOTH disagreement terms exact
     * integer rationals here (Do from per-item vote splits, De from the
     * pooled vote totals with the small-sample T−1 correction), so the
-    * readout is one DECIMAL-staged truncating ppm division. Scale: one
+    * readout is one DECIMAL-staged truncating ppm division. With
+    * do_num = Σ_u v(3−v) (ordered disagreeing pairs per unit over
+    * m−1 = 2) and de_num = 2·p1·p0, Do/De = do_num·(t−1)/de_num; the
+    * staged form divides by 3·n·de_num = t·de_num (sanity pin: a
+    * single unit voted (1,0,0) gives Do/De = 2·2/4 = 1, alpha = 0 —
+    * see TextEvalSpec's hand-computed cases). Scale: one
     * stateless projection + one map-side-combined aggregate (votes per
     * item are a 0..3 integer, the per-item relation never leaves its
     * scan task).
@@ -361,6 +366,13 @@ object TextEvalOps {
           when(size(toks) >= 55, 1L).otherwise(0L) +
           when(size(array_distinct(toks)) * 10 >= size(toks) * 6, 1L)
             .otherwise(0L)).as("v"))
+    krippendorffFromVotes(votes)
+  }
+
+  /** Alpha kernel over a `v: long` column (per-unit pass-vote count in
+    * 0..3) — split out so specs can pin hand-computed alphas on tiny
+    * vote tables in addition to the fixture run. */
+  def krippendorffFromVotes(votes: DataFrame): DataFrame = {
     votes.agg(count(lit(1)).as("n"), sum(col("v")).as("p1"),
         sum(col("v") * (lit(3L) - col("v"))).as("do_num"))
       .withColumn("t", col("n") * 3L)
@@ -371,11 +383,11 @@ object TextEvalOps {
       .select(col("n").as("n_items"), col("t").as("n_votes"),
         col("p1").as("votes_pass"), col("do_num"),
         expr("cast((cast(do_num as decimal(38,0)) * t * (t - 1) * 1000000) " +
-          "div (cast(6 as decimal(38,0)) * n * de_num) as long)")
+          "div (cast(3 as decimal(38,0)) * n * de_num) as long)")
           .as("do_over_de_ppm"),
         (lit(1000000L) -
           expr("cast((cast(do_num as decimal(38,0)) * t * (t - 1) * 1000000) " +
-            "div (cast(6 as decimal(38,0)) * n * de_num) as long)"))
+            "div (cast(3 as decimal(38,0)) * n * de_num) as long)"))
           .as("alpha_ppm"))
   }
 
@@ -619,8 +631,8 @@ object TextEvalOps {
         |SELECT n AS n_items, CAST(t AS BIGINT) AS n_votes,
         |  p1 AS votes_pass, do_num,
         |  CAST((CAST(do_num AS HUGEINT) * t * (t - 1) * 1000000)
-        |    // (CAST(6 AS HUGEINT) * n * de_num) AS BIGINT) AS do_over_de_ppm,
+        |    // (CAST(3 AS HUGEINT) * n * de_num) AS BIGINT) AS do_over_de_ppm,
         |  1000000 - CAST((CAST(do_num AS HUGEINT) * t * (t - 1) * 1000000)
-        |    // (CAST(6 AS HUGEINT) * n * de_num) AS BIGINT) AS alpha_ppm
+        |    // (CAST(3 AS HUGEINT) * n * de_num) AS BIGINT) AS alpha_ppm
         |FROM c""".stripMargin)
 }

@@ -120,6 +120,42 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(3) >= 0L)
   }
 
+  test("Krippendorff: hand-computed alphas on tiny vote tables") {
+    import spark.implicits._
+    def alpha(vs: Long*): Long =
+      operators.TextEvalOps.krippendorffFromVotes(vs.toDF("v"))
+        .collect().head.getLong(5)
+    // One unit split (1,0,0): all disagreement is within-unit → Do/De=1.
+    assert(alpha(1L) === 0L, "chance-level agreement must read alpha=0")
+    // Two unanimous units, one of each value: Do=0 → alpha=1.
+    assert(alpha(3L, 0L) === 1000000L)
+    // Units v=3,0,1: do_num=2, t=9, p1=4, p0=5, de_num=40;
+    // Do/De = do_num*(t-1)/de_num = 16/40 = 0.4 → alpha = 0.6.
+    assert(alpha(3L, 0L, 1L) === 600000L)
+    // Fixture-side cross-check: recompute alpha from raw documents
+    // with an independent BigInt path and compare to the operator.
+    val docs = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("n_chars"),
+        org.apache.spark.sql.functions.col("text")).collect()
+    val votes = docs.map { row =>
+      val toks = row.getString(1).split(" ", -1)
+      var v = 0L
+      if (row.getLong(0) >= 300L) v += 1
+      if (toks.length >= 55) v += 1
+      if (toks.distinct.length * 10 >= toks.length * 6) v += 1
+      v
+    }
+    val n = BigInt(votes.length); val t = n * 3
+    val p1 = BigInt(votes.sum); val p0 = t - p1
+    val doNum = votes.map(v => BigInt(v) * (3 - v)).sum
+    val deNum = p1 * (t - p1) + p0 * (t - p0)
+    val expect = 1000000L -
+      ((doNum * t * (t - 1) * 1000000) / (3 * n * deNum)).toLong
+    val got = operators.TextEvalOps.evalKrippendorff(spark, sfDir)
+      .collect().head.getLong(5)
+    assert(got === expect, "operator alpha must match independent BigInt path")
+  }
+
   test("trimmed mean: lies within the winsorized band, keeps ~80%") {
     val rows = operators.CurationOps.statsTrimmedMean(spark, sfDir).collect()
     assert(rows.length === 5)
