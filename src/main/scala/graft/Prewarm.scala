@@ -48,6 +48,8 @@ object Prewarm {
         (() => { DedupOps.componentLabels(s, dir).count(); () }),
       "lpa_labels" ->
         (() => { GraphOps.lpaLabels(s, dir).count(); () }),
+      "degrees" ->
+        (() => { GraphOps.materializedDegrees(s, dir).count(); () }),
       "scan_layouts" -> (() => Scans.prewarmBuilds(s, dir)),
     ) ++ rankOwners.map(q =>
       s"rank:$q" -> (() => { SparkEntry.queries(q)(s, dir).count(); () }))
