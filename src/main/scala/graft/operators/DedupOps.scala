@@ -82,7 +82,7 @@ object DedupOps {
     * intra-bucket pairs. `payload` rides alongside doc_id through the
     * bucket (empty for minhash; simhash carries the fingerprint).
     */
-  private def boundedBucketPairs(melted: DataFrame, keyCols: Seq[String],
+  private[graft] def boundedBucketPairs(melted: DataFrame, keyCols: Seq[String],
       payload: Seq[String], maxBucket: Int = MaxBucket): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*).orderBy("doc_id")

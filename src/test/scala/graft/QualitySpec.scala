@@ -64,7 +64,11 @@ class QualitySpec extends AnyFunSuite with SparkFixture {
     val exact = Tables.events(spark, sfDir)
       .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // union of per-day partials is lossless at equal lgK
+    // union of per-day partials is lossless at equal lgK. Strict
+    // ESTIMATE equality holds at this fixture scale only: registers are
+    // always identical, but DataSketches' estimator differs by merge
+    // history (HIP vs composite) once cardinality grows — see
+    // SketchBoundsSf01Spec, which bounds the same pair at sf0.1.
     assert(viaPartials === direct, s"partial-union drifted from the direct sketch")
     exact.foreach { case (k, n) =>
       val est = viaPartials(k)

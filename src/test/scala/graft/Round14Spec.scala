@@ -64,6 +64,65 @@ class Round14Spec extends AnyFunSuite with SparkFixture {
       "ppr_picos not non-increasing")
   }
 
+  test("salted join gives bit-identical results to the plain join under adversarial skew") {
+    import spark.implicits._
+    // 90% of fact rows on ONE key — the hot-key distribution salting
+    // exists for. The salt must be a pure repartitioning trick: the
+    // (key, salt) equi-join against the salt-exploded dim followed by a
+    // key-grain aggregate must reproduce the unsalted join exactly.
+    val rnd = new scala.util.Random(4242L)
+    val keys = Vector("hot", "warm", "cool", "cold")
+    val fact = (1L to 20000L).map { id =>
+      val k = if (rnd.nextInt(10) < 9) "hot" else keys(1 + rnd.nextInt(3))
+      (id, k, rnd.nextInt(1000).toLong)
+    }.toDF("id", "key", "v")
+    val dim = keys.zipWithIndex.map { case (k, i) => (k, (i + 1) * 100L) }
+      .toDF("key", "weight")
+    val plain = fact.join(dim, Seq("key"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), sum(col("v") * col("weight")).as("wsum"))
+      .orderBy("key").collect().toSeq
+    val saltFactor = 8
+    val saltedDim = dim.withColumn("salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    val saltedFact = fact.withColumn("salt",
+      pmod(xxhash64(col("id")), lit(saltFactor)).cast("int"))
+    val salted = saltedFact.join(saltedDim, Seq("key", "salt"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), sum(col("v") * col("weight")).as("wsum"))
+      .orderBy("key").collect().toSeq
+    assert(salted === plain, "salting changed the join result")
+  }
+
+  test("LSH hot bucket: cap bounds the pair fan-out and the loss is band-local") {
+    import spark.implicits._
+    val cap = operators.DedupOps.MaxBucket
+    // one degenerate bucket of 5000 members in band 0 (a boilerplate
+    // flood), the same docs spread over healthy sub-cap buckets in band
+    // 1 — the 16-band recovery story the cap's doc comment promises.
+    val hot = (1L to 5000L).map(id => (0, 999L, id))
+    val healthy = (1L to 5000L).map(id => (1, id / 100L, id)) // ≤100/bucket
+    val melted = (hot ++ healthy).toDF("band_idx", "band_hash", "doc_id")
+    val pairs = operators.DedupOps.boundedBucketPairs(
+        melted, Seq("band_idx", "band_hash"), Seq.empty)
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b")).cache()
+    // hot-bucket pairs are capped at C(cap, 2), not C(5000, 2)
+    val hotPairs = pairs.filter(col("a") <= cap && col("b") <= cap).count()
+    assert(pairs.count() < 5000L * 4999 / 2, "cap did not bound the blow-up")
+    // docs beyond the cap keep their pairing through the healthy band:
+    // doc 4000 and 4001 share band-1 bucket 40
+    val recovered = pairs.filter(col("a") === 4000L && col("b") === 4001L).count()
+    assert(recovered === 1L, "band-local loss leaked into other bands")
+    assert(hotPairs >= cap.toLong * (cap - 1) / 2,
+      "capped bucket lost more than the overflow tail")
+    // and the monitor arithmetic: dropped = bucket size - cap
+    val dropped = melted.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("n")).filter(col("n") > cap)
+      .select((col("n") - cap).as("dropped")).collect()
+    assert(dropped.map(_.getLong(0)).toSeq === Seq(5000L - cap))
+    pairs.unpersist()
+  }
+
   test("DerivedFiles: concurrent builders publish exactly one complete copy") {
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
     val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
