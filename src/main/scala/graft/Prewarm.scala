@@ -34,8 +34,8 @@ object Prewarm {
   private val rankOwners = Seq(
     "q_batch_buckets", "q_curriculum", "q_eval_conformal", "q_gini",
     "q_histogram_equidepth", "q_lorenz_deciles", "q_negative_pairs",
-    "q_ntile", "q_part_abc", "q_prune_curve", "q_rfm_segments",
-    "q_sample_index", "q_zonemap_prune")
+    "q_ntile", "q_part_abc", "q_prune_curve", "q_quality_filter_sweep",
+    "q_rfm_segments", "q_sample_index", "q_zonemap_prune")
 
   def apply(s: SparkSession, dir: String): Seq[(String, Double)] = {
     import graft.operators._

@@ -283,7 +283,56 @@ object CorpusOps {
       .orderBy("lang")
   }
 
+  /** #437 Burrows' Delta between sources — the classical stylometric
+    * distance (authorship attribution applied to corpus provenance):
+    * over the 16 most frequent corpus words (the "function word"
+    * marker set), each source's relative frequency z-scores against
+    * the across-source distribution, and Delta(a,b) = mean |z_a − z_b|.
+    * Two sources with near-zero Delta share a template/generator — the
+    * provenance screen next to the style-delta probe (#338).
+    *
+    * Exactness: relative frequencies are ppm integers; with S sources,
+    * z = (S·f − Σf)/√(S·Σf² − (Σf)²) has an EXACT integer numerator
+    * (≤4e6 — exact in a double) over one correctly-rounded sqrt, so
+    * z_nano = ⌊z·1e9⌋ is deterministic cross-engine, and Delta sums
+    * |z_nano| differences exactly. Scale: one linear token explode +
+    * a semi-join against the broadcast 16-word marker set; everything
+    * after is |sources|×16 rows; pair count is |sources|²-bounded.
+    */
+  def textBurrowsDelta(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val markers = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("tok")).limit(16).select("tok")
+    val srcTot = toks.groupBy("source").agg(count(lit(1)).as("tot"))
+    val cells = toks.join(broadcast(markers), Seq("tok"), "left_semi")
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    // zero-fill: a marker absent from a source is f = 0, not a dropped cell
+    val grid = srcTot.crossJoin(broadcast(markers))
+      .join(cells, Seq("source", "tok"), "left_outer")
+      .withColumn("f_ppm", expr("(coalesce(c, 0L) * 1000000) div tot"))
+    val stats = grid.groupBy("tok")
+      .agg(count(lit(1)).as("sn"), sum(col("f_ppm")).as("sf"),
+        sum(col("f_ppm") * col("f_ppm")).as("qf"))
+      .withColumn("dvar", expr("sn * qf - sf * sf"))
+    val z = grid.join(broadcast(stats), Seq("tok"))
+      .filter(col("dvar") > 0)
+      .withColumn("z_nano",
+        expr("cast(floor((sn * f_ppm - sf) * 1e9 / " +
+          "sqrt(cast(dvar as double))) as long)"))
+    val za = z.select(col("tok"), col("source").as("src_a"), col("z_nano").as("zva"))
+    val zb = z.select(col("tok"), col("source").as("src_b"), col("z_nano").as("zvb"))
+    za.join(zb, Seq("tok")).filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_markers"),
+        sum(abs(col("zva") - col("zvb"))).as("absz"))
+      .select(col("src_a"), col("src_b"), col("n_markers"),
+        expr("absz div n_markers").as("delta_nano"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_burrows_delta" -> (textBurrowsDelta _),
     "q_winnow_fingerprint" -> (winnowFingerprint _),
     "q_text_jsd" -> (textJsd _),
     "q_text_bigram_lm" -> (textBigramLm _),
@@ -293,6 +342,40 @@ object CorpusOps {
     "q_text_zipf" -> (textZipf _))
 
   val oracles: Map[String, String] = Map(
+    "q_text_burrows_delta" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |markers AS (
+        |  SELECT tok FROM toks GROUP BY tok
+        |  ORDER BY COUNT(*) DESC, tok LIMIT 16),
+        |src AS (SELECT source, COUNT(*) AS tot FROM toks GROUP BY source),
+        |cells AS (
+        |  SELECT source, tok, COUNT(*) AS c FROM toks
+        |  WHERE tok IN (SELECT tok FROM markers)
+        |  GROUP BY source, tok),
+        |grid AS (
+        |  SELECT s.source, m.tok, s.tot,
+        |    (COALESCE(c.c, 0) * 1000000) // s.tot AS f_ppm
+        |  FROM src s CROSS JOIN markers m
+        |  LEFT JOIN cells c ON c.source = s.source AND c.tok = m.tok),
+        |st AS (
+        |  SELECT tok, COUNT(*) AS sn, CAST(SUM(f_ppm) AS BIGINT) AS sf,
+        |    CAST(SUM(f_ppm * f_ppm) AS BIGINT) AS qf
+        |  FROM grid GROUP BY tok),
+        |z AS (
+        |  SELECT g.source, g.tok,
+        |    CAST(floor((st.sn * g.f_ppm - st.sf) * 1e9 /
+        |      sqrt(CAST(st.sn * st.qf - st.sf * st.sf AS DOUBLE))) AS BIGINT)
+        |      AS z_nano
+        |  FROM grid g JOIN st ON st.tok = g.tok
+        |  WHERE st.sn * st.qf - st.sf * st.sf > 0)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  COUNT(*) AS n_markers,
+        |  CAST(SUM(abs(a.z_nano - b.z_nano)) // COUNT(*) AS BIGINT)
+        |    AS delta_nano
+        |FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // same 3-gram construction (1-based lists), same hash·2^20−pos key
     // encoding, same 4-row frame min + distinct — the rightmost-min tie
     // rule falls out of the key arithmetic identically on both engines

@@ -261,15 +261,129 @@ object CurationOps {
       .orderBy("source")
   }
 
+  /** #433 Importance weights + effective sample size for reweighting
+    * the observed language mix to the UNIFORM target — the
+    * distribution-shift readout behind every mixture decision
+    * ([[TextOps.mixWeights]] plans the TARGET; this measures what
+    * reweighting to it COSTS): w_l = target/source = N/(L·n_l) in ppm,
+    * and Kish's ESS = (Σn·w)²/(Σn·w²) says how many effective docs
+    * survive the reweighting (ESS ≪ N = the target is unreachable by
+    * weighting alone, go sample instead). Exact: one |lang| aggregate,
+    * ppm truncating divisions, DECIMAL squares; the 1-row ESS broadcast
+    * rides every row (the macro-F1 readout pattern). Scale: one
+    * map-side-combined groupBy; everything after is |lang|-row.
+    */
+  def sampleImportance(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(count(lit(1)).as("l"), sum(col("n_docs")).as("n"))
+    val weighted = counts.crossJoin(broadcast(tot))
+      .withColumn("w_ppm", expr("(n * 1000000) div (l * n_docs)"))
+    val ess = weighted
+      .agg(sum(col("n_docs").cast(dec) * col("w_ppm")).as("sw"),
+        sum(col("n_docs").cast(dec) * col("w_ppm") * col("w_ppm")).as("sw2"))
+      .select(expr("cast((sw * sw) div sw2 as long)").as("ess_docs"))
+    weighted.crossJoin(broadcast(ess))
+      .crossJoin(broadcast(tot.select(col("n").as("n_total"))))
+      .select(col("lang"), col("n_docs"), col("w_ppm"), col("ess_docs"),
+        expr("(ess_docs * 1000000) div n_total").as("ess_ratio_ppm"))
+      .orderBy("lang")
+  }
+
+  /** #434 Quality-filter threshold sweep: rank every document by the
+    * chars-per-token score (the cheapest quality proxy — boilerplate
+    * and code-ish text sit at the extremes), cut the corpus into
+    * GLOBAL deciles, and report cumulative docs/tokens retained at
+    * each cut — the keep-curve a data team reads before committing to
+    * a quality threshold (the corpus-level sibling of the per-feature
+    * AUC screen #291). Ranks ride the shared two-phase kernel
+    * ([[StatsOps.globalRanked]] — range partition + per-partition
+    * windows, never a single-partition window over the corpus);
+    * deciles are integer arithmetic on (rank, N); the cumulative runs
+    * on the 10-row decile aggregate. Tie-break (score, doc_id),
+    * mirrored in the twin.
+    */
+  def qualityFilterSweep(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        col("n_chars"))
+      .withColumn("score_ppm", expr("(n_chars * 1000000) div n_tokens"))
+    val (ranked, n) = StatsOps.globalRanked(s, scored,
+      Seq(col("score_ppm"), col("doc_id")), s"fsweep:$dir")
+    val byDecile = ranked
+      .withColumn("decile", expr(s"((r - 1) * 10) div ${n}L + 1"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("score_ppm")).as("score_lo"), max(col("score_ppm")).as("score_hi"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totTok = byDecile.agg(sum(col("n_tokens")).as("tok_all"))
+    byDecile
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .crossJoin(broadcast(totTok))
+      .select(col("decile"), col("n_docs"), col("n_tokens"),
+        col("score_lo"), col("score_hi"), col("cum_docs"), col("cum_tokens"),
+        expr("(cum_tokens * 1000000) div tok_all").as("cum_token_share_ppm"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_code_detect" -> (textCodeDetect _),
     "q_text_novelty_curve" -> (textNoveltyCurve _),
     "q_dedup_incremental" -> (dedupIncremental _),
     "q_stats_trimmed_mean" -> (statsTrimmedMean _),
     "q_quality_length_bias" -> (qualityLengthBias _),
-    "q_mix_epoch_cap" -> (mixEpochCap _))
+    "q_mix_epoch_cap" -> (mixEpochCap _),
+    "q_sample_importance" -> (sampleImportance _),
+    "q_quality_filter_sweep" -> (qualityFilterSweep _))
 
   val oracles: Map[String, String] = Map(
+    "q_sample_importance" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |t AS (SELECT COUNT(*) AS l, CAST(SUM(n_docs) AS BIGINT) AS n FROM c),
+        |w AS (
+        |  SELECT lang, n_docs, (t.n * 1000000) // (t.l * n_docs) AS w_ppm
+        |  FROM c, t),
+        |e AS (
+        |  SELECT CAST((SUM(CAST(n_docs AS HUGEINT) * w_ppm)
+        |      * SUM(CAST(n_docs AS HUGEINT) * w_ppm))
+        |    // SUM(CAST(n_docs AS HUGEINT) * w_ppm * w_ppm) AS BIGINT)
+        |    AS ess_docs
+        |  FROM w)
+        |SELECT w.lang, w.n_docs, CAST(w.w_ppm AS BIGINT) AS w_ppm,
+        |  e.ess_docs,
+        |  CAST((e.ess_docs * 1000000) // t.n AS BIGINT) AS ess_ratio_ppm
+        |FROM w, e, t ORDER BY w.lang""".stripMargin,
+    "q_quality_filter_sweep" ->
+      """WITH scored AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+        |      AS n_tokens,
+        |    n_chars,
+        |    (n_chars * 1000000) // CAST(len(string_split(text, ' ')) AS BIGINT)
+        |      AS score_ppm
+        |  FROM documents),
+        |rk AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY score_ppm, doc_id)
+        |    AS BIGINT) AS r, COUNT(*) OVER () AS n
+        |  FROM scored),
+        |dd AS (
+        |  SELECT ((r - 1) * 10) // n + 1 AS decile,
+        |    COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |    MIN(score_ppm) AS score_lo, MAX(score_ppm) AS score_hi
+        |  FROM rk GROUP BY 1),
+        |cum AS (
+        |  SELECT *, CAST(SUM(n_docs) OVER w AS BIGINT) AS cum_docs,
+        |    CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+        |    CAST(SUM(n_tokens) OVER () AS BIGINT) AS tok_all
+        |  FROM dd WINDOW w AS (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_tokens,
+        |  CAST(score_lo AS BIGINT) AS score_lo,
+        |  CAST(score_hi AS BIGINT) AS score_hi, cum_docs, cum_tokens,
+        |  (cum_tokens * 1000000) // tok_all AS cum_token_share_ppm
+        |FROM cum ORDER BY decile""".stripMargin,
     "q_text_code_detect" ->
       """WITH d AS (
         |  SELECT lang, source, CAST(length(text) AS BIGINT) AS len,

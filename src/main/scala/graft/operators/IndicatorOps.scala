@@ -138,17 +138,107 @@ object IndicatorOps {
       .orderBy("pri", "day")
   }
 
+  /** Daily OHLC-ish bars of the event value stream per type: high, low,
+    * and close (last by (ts, event_id)) in exact micro — the shared
+    * input of [[winKeltner]] and [[winIchimoku]], the same bar
+    * construction as TimeWindows.tsAtr (#327). Calendar-bounded.
+    */
+  private def dailyBars(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir).select(col("event_type"),
+      date_trunc("day", col("ts")).as("day"), col("ts"), col("event_id"),
+      floor(col("value") * 1e6).cast("long").as("v"))
+    val wDesc = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    base.withColumn("rn_d", row_number().over(wDesc))
+      .groupBy("event_type", "day")
+      .agg(max(col("v")).as("h"), min(col("v")).as("l"),
+        max(when(col("rn_d") === 1, col("v"))).as("c"))
+  }
+
+  /** #426 Keltner channel (original 8-day SMA form) on the per-type
+    * daily bars: basis = SMA of the typical price (h+l+c)/3, band
+    * offset = SMA of the daily range (h−l), upper/lower = basis ±
+    * offset — the volatility envelope whose band width tracks realized
+    * range instead of Bollinger's σ (#328), read together with ATR
+    * (#327). Exactness: the typical price rides as the UN-divided sum
+    * tp3 = h+l+c so the basis is one truncating division by 3·cnt;
+    * offset is an integer window mean; full-window rows only (cnt = 8),
+    * like ATR. Scale: two frame sums over the calendar-bounded bar
+    * relation — the corpus-sized work is the one day aggregate.
+    */
+  def winKeltner(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, 0)
+    dailyBars(s, dir)
+      .withColumn("tp3", col("h") + col("l") + col("c"))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("tp3s", sum(col("tp3")).over(w))
+      .withColumn("rs", sum(col("h") - col("l")).over(w))
+      .filter(col("cnt") === 8)
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        expr("tp3s div (3 * cnt)").as("basis_micro"),
+        expr("rs div cnt").as("offset_micro"),
+        (expr("tp3s div (3 * cnt)") + expr("rs div cnt")).as("upper_micro"),
+        (expr("tp3s div (3 * cnt)") - expr("rs div cnt")).as("lower_micro"))
+      .orderBy("event_type", "day")
+  }
+
+  /** #427 Ichimoku baseline set (9/26/52 observed-day periods) on the
+    * per-type daily bars: tenkan = 9-day (maxH+minL)/2, kijun = 26-day,
+    * senkou B = 52-day, senkou A = (tenkan+kijun)/2 — each a rolling
+    * max + min + one truncating halving, no recurrence anywhere (the
+    * one indicator family that is pure order statistics). The cloud
+    * displacement (+26) is deliberately NOT applied — the emitted row
+    * is the value computed AT each day, the form a feature pipeline
+    * joins on; periods count observed rows (trading-days convention,
+    * same note as DecisionOps.winBeta). Scale: three frame windows on
+    * the calendar-bounded bar relation.
+    */
+  def winIchimoku(s: SparkSession, dir: String): DataFrame = {
+    val base = Window.partitionBy("event_type").orderBy("day")
+    val w9 = base.rowsBetween(-8, 0)
+    val w26 = base.rowsBetween(-25, 0)
+    val w52 = base.rowsBetween(-51, 0)
+    dailyBars(s, dir)
+      .withColumn("tenkan2", max(col("h")).over(w9) + min(col("l")).over(w9))
+      .withColumn("kijun2", max(col("h")).over(w26) + min(col("l")).over(w26))
+      .withColumn("senb2", max(col("h")).over(w52) + min(col("l")).over(w52))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        expr("tenkan2 div 2").as("tenkan_micro"),
+        expr("kijun2 div 2").as("kijun_micro"),
+        expr("(tenkan2 + kijun2) div 4").as("senkou_a_micro"),
+        expr("senb2 div 2").as("senkou_b_micro"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_vwap" -> (winVwap _),
     "q_win_donchian" -> (winDonchian _),
     "q_win_aroon" -> (winAroon _),
-    "q_win_cci" -> (winCci _))
+    "q_win_cci" -> (winCci _),
+    "q_win_keltner" -> (winKeltner _),
+    "q_win_ichimoku" -> (winIchimoku _))
 
   private val DailyPriSql =
     """daily AS (
       |  SELECT o_orderpriority AS pri, date_trunc('day', o_orderdate) AS day,
       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS v
       |  FROM orders GROUP BY 1, 2)""".stripMargin
+
+  /** The shared daily-bar CTE (same construction as the q_ts_atr twin). */
+  private val DailyBarsSql =
+    """base AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+      |    CAST(floor(value * 1e6) AS BIGINT) AS v
+      |  FROM events),
+      |rk AS (
+      |  SELECT event_type, day, v,
+      |    row_number() OVER (PARTITION BY event_type, day
+      |      ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM base),
+      |bars AS (
+      |  SELECT event_type, day, MAX(v) AS h, MIN(v) AS l,
+      |    MAX(CASE WHEN rn_d = 1 THEN v END) AS c
+      |  FROM rk GROUP BY event_type, day)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_win_vwap" ->
@@ -216,5 +306,40 @@ object IndicatorOps {
          |  CASE WHEN md_num > 0 THEN
          |    CAST(((v * m - s) * CAST(m AS HUGEINT) * 1000000) // (15 * md_num)
          |      AS BIGINT) END AS cci_milli
-         |FROM md ORDER BY pri, day""".stripMargin)
+         |FROM md ORDER BY pri, day""".stripMargin,
+    "q_win_keltner" ->
+      s"""WITH $DailyBarsSql,
+         |w AS (
+         |  SELECT event_type, day,
+         |    COUNT(*) OVER fr AS cnt,
+         |    SUM(h + l + c) OVER fr AS tp3s,
+         |    SUM(h - l) OVER fr AS rs
+         |  FROM bars WINDOW fr AS (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+         |  CAST(tp3s // (3 * cnt) AS BIGINT) AS basis_micro,
+         |  CAST(rs // cnt AS BIGINT) AS offset_micro,
+         |  CAST(tp3s // (3 * cnt) + rs // cnt AS BIGINT) AS upper_micro,
+         |  CAST(tp3s // (3 * cnt) - rs // cnt AS BIGINT) AS lower_micro
+         |FROM w WHERE cnt = 8 ORDER BY event_type, day""".stripMargin,
+    "q_win_ichimoku" ->
+      s"""WITH $DailyBarsSql,
+         |w AS (
+         |  SELECT event_type, day,
+         |    MAX(h) OVER w9 + MIN(l) OVER w9 AS tenkan2,
+         |    MAX(h) OVER w26 + MIN(l) OVER w26 AS kijun2,
+         |    MAX(h) OVER w52 + MIN(l) OVER w52 AS senb2
+         |  FROM bars WINDOW
+         |    w9 AS (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+         |    w26 AS (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+         |    w52 AS (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN 51 PRECEDING AND CURRENT ROW))
+         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+         |  CAST(tenkan2 // 2 AS BIGINT) AS tenkan_micro,
+         |  CAST(kijun2 // 2 AS BIGINT) AS kijun_micro,
+         |  CAST((tenkan2 + kijun2) // 4 AS BIGINT) AS senkou_a_micro,
+         |  CAST(senb2 // 2 AS BIGINT) AS senkou_b_micro
+         |FROM w ORDER BY event_type, day""".stripMargin)
 }

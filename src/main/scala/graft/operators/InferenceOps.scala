@@ -1068,7 +1068,138 @@ object InferenceOps {
       .orderBy("type_a", "type_b")
   }
 
+  /** #428 Two-sample Cramér–von Mises test between the click and
+    * purchase daily value-mass distributions — the whole-distribution
+    * sibling of the KS gate (#195): T integrates the squared ECDF gap
+    * instead of taking its max, so diffuse shape differences that never
+    * open a large single gap still register. Anderson's exact rank
+    * form: U = n·Σ(r_i − i)² + m·Σ(s_j − j)² over combined ranks r/s
+    * and within-sample indices i/j, T = U/(Nnm) − (4nm−1)/(6N) — every
+    * term an exact integer over the common denominator 6Nnm, so
+    * T_nano is ONE truncating DECIMAL division (U ~ N³ outgrows
+    * nothing at calendar scale but ×1e9 passes int64 — staged).
+    * Ranks are tie-broken by (v, day, type) — a deterministic total
+    * order mirrored in the twin; the asymptotic 5% critical value for
+    * T is 0.461. Scale: ranks ride ONE global window over the
+    * calendar-bounded daily relation (above the day aggregate — the
+    * GlobalWindowSpec-pinned bounded shape).
+    */
+  def cvmTwoSample(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("v"))
+    val wAll = Window.orderBy("v", "day", "event_type")
+    val wIn = Window.partitionBy("event_type").orderBy("v", "day", "event_type")
+    val ss = daily
+      .withColumn("r", row_number().over(wAll).cast("long"))
+      .withColumn("i", row_number().over(wIn).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(((col("r") - col("i")) * (col("r") - col("i"))).cast(dec)).as("ssq"))
+    val a = ss.filter(col("event_type") === "click")
+      .select(col("cnt").as("n"), col("ssq").as("ssn"))
+    val b = ss.filter(col("event_type") === "purchase")
+      .select(col("cnt").as("m"), col("ssq").as("ssm"))
+    a.crossJoin(b)
+      .withColumn("u", expr("n * ssn + m * ssm"))
+      .select(col("n"), col("m"), col("u").cast("long").as("u"),
+        expr("cast(((6 * u - cast(n as decimal(38,0)) * m * (4 * n * m - 1)) " +
+          "* 1000000000) div (cast(6 as decimal(38,0)) * (n + m) * n * m) " +
+          "as long)").as("t_nano"))
+      .withColumn("significant_05", col("t_nano") > 461000000L)
+  }
+
+  /** #429 Page's L trend test for an ordered weekly alternative:
+    * within each event type (block), the month's weeks (day-of-month
+    * sliced into 1–7, 8–14, 15–21, 22–28, 29+) rank by value mass, and
+    * L = Σ week·rank pools the blocks — significant L means the mass
+    * trends monotonically through the month, the ordered refinement a
+    * Friedman test (#392) can't see. L, E[L] = n·k(k+1)²/4·(staged ×4
+    * to stay integral) and 144·Var = n·k²(k+1)(k²−1) are exact
+    * integers; z_milli = (L−E)·12√n / √(k²(k+1)(k²−1)) floors ONE
+    * double division (both engines: integer→IEEE-double conversions
+    * and one correctly-rounded sqrt). Ranks tie-break by (mass, week),
+    * mirrored in the twin. Scale: one |type|×5-row window over the
+    * week aggregate.
+    */
+  def pageTrend(s: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("cast(least((dayofmonth(ts) - 1) div 7, 4) + 1 as long)")
+          .as("wk"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("v"))
+    val wIn = Window.partitionBy("event_type").orderBy("v", "wk")
+    weekly
+      .withColumn("rk", row_number().over(wIn).cast("long"))
+      .agg(countDistinct(col("event_type")).as("n"),
+        max(col("wk")).as("k"),
+        sum(col("wk") * col("rk")).as("l"))
+      .withColumn("e_l4", expr("n * k * (k + 1) * (k + 1)"))
+      .withColumn("var144", expr("n * k * k * (k + 1) * (k * k - 1)"))
+      .select(col("n").as("n_blocks"), col("k").as("k_treatments"),
+        col("l"), expr("e_l4 div 4").as("e_l"),
+        expr("cast(floor(cast(4 * l - e_l4 as double) * 3000 " +
+          "/ sqrt(cast(var144 as double))) as long)").as("z_milli"))
+  }
+
+  /** #430 Deterministic block bootstrap CI for the mean weekly value
+    * mass per event type — the dependence-respecting sibling of the
+    * iid bootstrap (#214): resampling whole ISO weeks preserves
+    * within-week autocorrelation, which an iid resample of days would
+    * destroy. B = 64 replicas; replica r's slot k picks week
+    * 1 + md5('bb:'·type·r·k) mod W (the repo's content-addressed-hash
+    * idiom — partition/order-independent, identical in both engines),
+    * replica stat = Σ picked weekly masses div W; the CI reads the 4th
+    * and 61st order statistics of the 64 replica stats (≈ 5%/95%).
+    * Everything integer; no rand() anywhere. Scale: the corpus-sized
+    * work is one week aggregate; the resample relation is
+    * |types|·B·W ≈ 17k rows at ANY corpus size.
+    */
+  def blockBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val B = 64
+    val weekly = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("week", col("ts")).as("wk"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("v"))
+      .withColumn("wk_idx", row_number()
+        .over(Window.partitionBy("event_type").orderBy("wk")).cast("long"))
+    val wCount = weekly.groupBy("event_type")
+      .agg(count(lit(1)).as("w"), sum(col("v")).as("v_all"))
+    val picks = wCount
+      .select(col("event_type"), col("w"),
+        explode(sequence(lit(1L), lit(B.toLong))).as("r"))
+      .select(col("event_type"), col("w"), col("r"),
+        explode(expr("sequence(1L, w)")).as("k"))
+      .withColumn("wk_idx",
+        pmod(conv(substring(md5(concat(lit("bb:"), col("event_type"),
+          lit(":"), col("r").cast("string"), lit(":"),
+          col("k").cast("string"))), 1, 8), 16, 10).cast("long"),
+          col("w")) + 1L)
+    val stats = picks
+      .join(weekly.select(col("event_type"), col("wk_idx"), col("v")),
+        Seq("event_type", "wk_idx"))
+      .groupBy(col("event_type"), col("r"))
+      .agg(max(col("w")).as("w"), sum(col("v")).as("rep_sum"))
+      .withColumn("stat", expr("rep_sum div w"))
+    val wOrd = Window.partitionBy("event_type").orderBy("stat", "r")
+    stats
+      .withColumn("pos", row_number().over(wOrd))
+      .groupBy("event_type")
+      .agg(max(col("w")).as("n_weeks"),
+        max(when(col("pos") === 4, col("stat"))).as("lo_micro"),
+        max(when(col("pos") === 61, col("stat"))).as("hi_micro"))
+      .join(wCount.select(col("event_type"),
+        expr("v_all div w").as("mean_micro")), Seq("event_type"))
+      .select(col("event_type"), col("n_weeks"), col("mean_micro"),
+        col("lo_micro"), col("hi_micro"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_cvm" -> (cvmTwoSample _),
+    "q_stats_page_trend" -> (pageTrend _),
+    "q_stats_block_bootstrap" -> (blockBootstrap _),
     "q_stats_grubbs" -> (grubbs _),
     "q_stats_tukey" -> (tukeyHsd _),
     "q_stats_mood" -> (moodMedian _),
@@ -1159,6 +1290,106 @@ object InferenceOps {
       |FROM t""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_stats_cvm" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT event_type,
+        |    CAST(row_number() OVER (ORDER BY v, day, event_type) AS BIGINT)
+        |      AS r,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY v, day, event_type) AS BIGINT) AS i
+        |  FROM daily),
+        |ss AS (
+        |  SELECT event_type, COUNT(*) AS cnt,
+        |    SUM(CAST((r - i) * (r - i) AS HUGEINT)) AS ssq
+        |  FROM rk GROUP BY event_type),
+        |ab AS (
+        |  SELECT
+        |    (SELECT cnt FROM ss WHERE event_type = 'click') AS n,
+        |    (SELECT ssq FROM ss WHERE event_type = 'click') AS ssn,
+        |    (SELECT cnt FROM ss WHERE event_type = 'purchase') AS m,
+        |    (SELECT ssq FROM ss WHERE event_type = 'purchase') AS ssm),
+        |u AS (SELECT n, m, n * ssn + m * ssm AS u FROM ab)
+        |SELECT n, m, CAST(u AS BIGINT) AS u,
+        |  CAST(((6 * u - CAST(n AS HUGEINT) * m * (4 * n * m - 1))
+        |    * 1000000000) // (CAST(6 AS HUGEINT) * (n + m) * n * m)
+        |    AS BIGINT) AS t_nano,
+        |  CAST(((6 * u - CAST(n AS HUGEINT) * m * (4 * n * m - 1))
+        |    * 1000000000) // (CAST(6 AS HUGEINT) * (n + m) * n * m)
+        |    AS BIGINT) > 461000000 AS significant_05
+        |FROM u""".stripMargin,
+    "q_stats_page_trend" ->
+      """WITH weekly AS (
+        |  SELECT event_type,
+        |    CAST(least((day(ts) - 1) // 7, 4) + 1 AS BIGINT) AS wk,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT event_type, wk, v,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY v, wk)
+        |      AS BIGINT) AS rk
+        |  FROM weekly),
+        |agg AS (
+        |  SELECT COUNT(DISTINCT event_type) AS n, MAX(wk) AS k,
+        |    CAST(SUM(wk * rk) AS BIGINT) AS l
+        |  FROM rk),
+        |e AS (
+        |  SELECT n, k, l,
+        |    n * k * (k + 1) * (k + 1) AS e_l4,
+        |    n * k * k * (k + 1) * (k * k - 1) AS var144
+        |  FROM agg)
+        |SELECT n AS n_blocks, CAST(k AS BIGINT) AS k_treatments, l,
+        |  CAST(e_l4 // 4 AS BIGINT) AS e_l,
+        |  CAST(floor(CAST(4 * l - e_l4 AS DOUBLE) * 3000
+        |    / sqrt(CAST(var144 AS DOUBLE))) AS BIGINT) AS z_milli
+        |FROM e""".stripMargin,
+    "q_stats_block_bootstrap" ->
+      """WITH weekly AS (
+        |  SELECT event_type, date_trunc('week', ts) AS wk,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |wi AS (
+        |  SELECT event_type, v,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY wk)
+        |      AS BIGINT) AS wk_idx
+        |  FROM weekly),
+        |wc AS (
+        |  SELECT event_type, COUNT(*) AS w, CAST(SUM(v) AS BIGINT) AS v_all
+        |  FROM wi GROUP BY event_type),
+        |picks AS (
+        |  SELECT event_type, w, r.r, k.k,
+        |    (('0x' || substring(md5('bb:' || event_type || ':'
+        |        || CAST(r.r AS VARCHAR) || ':' || CAST(k.k AS VARCHAR)), 1, 8))
+        |      ::BIGINT % w) + 1 AS wk_idx
+        |  FROM wc,
+        |    (SELECT unnest(range(1, 65)) AS r) r,
+        |    LATERAL (SELECT unnest(range(1, CAST(w + 1 AS BIGINT)))
+        |      AS k) k),
+        |stats AS (
+        |  SELECT p.event_type, p.r, MAX(p.w) AS w,
+        |    CAST(SUM(wi.v) AS BIGINT) // MAX(p.w) AS stat
+        |  FROM picks p JOIN wi ON wi.event_type = p.event_type
+        |    AND wi.wk_idx = p.wk_idx
+        |  GROUP BY p.event_type, p.r),
+        |ord AS (
+        |  SELECT event_type, w, stat,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY stat, r)
+        |      AS pos
+        |  FROM stats),
+        |ci AS (
+        |  SELECT event_type, MAX(w) AS n_weeks,
+        |    MAX(CASE WHEN pos = 4 THEN stat END) AS lo_micro,
+        |    MAX(CASE WHEN pos = 61 THEN stat END) AS hi_micro
+        |  FROM ord GROUP BY event_type)
+        |SELECT ci.event_type, ci.n_weeks,
+        |  CAST(wc.v_all // wc.w AS BIGINT) AS mean_micro,
+        |  ci.lo_micro, ci.hi_micro
+        |FROM ci JOIN wc ON wc.event_type = ci.event_type
+        |ORDER BY ci.event_type""".stripMargin,
     "q_stats_kendall_w" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

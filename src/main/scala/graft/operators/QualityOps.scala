@@ -508,7 +508,48 @@ object QualityOps {
       .orderBy("fk_edge")
   }
 
+  /** #436 Schema/statistics drift report between the two parquet
+    * generations of the evolved table (#285's fixture: generation A
+    * written before the `source` column existed, generation B after) —
+    * the lakehouse check a data team runs when a long-lived dataset's
+    * writer changes: per column, row counts, null counts, and distinct
+    * cardinalities side by side, with the back-filled-NULL column
+    * surfacing as 100% null in the old generation rather than
+    * silently. Scale: one aggregate per generation (multi-distinct →
+    * Spark's Expand, grouping-bounded); the report relation is
+    * |columns| rows. Oracle recomputes from the ORIGINAL table under
+    * the generations' doc_id parity split.
+    */
+  def dqSchemaDrift(s: SparkSession, dir: String): DataFrame = {
+    val root = Scans.buildEvolved(s, dir)
+    val genA = s.read.parquet(s"$root/a")
+      .withColumn("source", lit(null).cast("string"))
+    val genB = s.read.parquet(s"$root/b")
+    def profile(df: DataFrame, gen: String): DataFrame =
+      df.agg(count(lit(1)).as("rows"),
+          sum(when(col("lang").isNull, 1L).otherwise(0L)).as("lang_nulls"),
+          countDistinct(col("lang")).as("lang_distinct"),
+          sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("nchars_nulls"),
+          countDistinct(col("n_chars")).as("nchars_distinct"),
+          sum(when(col("source").isNull, 1L).otherwise(0L)).as("source_nulls"),
+          countDistinct(col("source")).as("source_distinct"))
+        .select(lit(gen).as("gen"), col("rows"),
+          expr("stack(3, 'lang', lang_nulls, lang_distinct, " +
+            "'n_chars', nchars_nulls, nchars_distinct, " +
+            "'source', source_nulls, source_distinct) " +
+            "as (col_name, nulls, n_distinct)"))
+    val a = profile(genA, "a").select(col("col_name"), col("rows").as("rows_a"),
+      col("nulls").as("nulls_a"), col("n_distinct").as("distinct_a"))
+    val b = profile(genB, "b").select(col("col_name"), col("rows").as("rows_b"),
+      col("nulls").as("nulls_b"), col("n_distinct").as("distinct_b"))
+    a.join(b, Seq("col_name"))
+      .withColumn("null_frac_drift_ppm",
+        expr("abs(nulls_a * 1000000 div rows_a - nulls_b * 1000000 div rows_b)"))
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_schema_drift" -> (dqSchemaDrift _),
     "q_dq_orphans" -> (dqOrphans _),
     "q_dq_freshness" -> (dqFreshness _),
     "q_privacy_tcloseness" -> (privacyTcloseness _),
@@ -527,6 +568,53 @@ object QualityOps {
     "q_scd2_pit" -> (scd2Pit _))
 
   val oracles: Map[String, String] = Map(
+    "q_dq_schema_drift" ->
+      """WITH a AS (
+        |  SELECT COUNT(*) AS rows_a,
+        |    CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS lang_nulls,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS lang_distinct,
+        |    CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nchars_nulls,
+        |    CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS nchars_distinct,
+        |    COUNT(*) AS source_nulls, CAST(0 AS BIGINT) AS source_distinct
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |b AS (
+        |  SELECT COUNT(*) AS rows_b,
+        |    CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS lang_nulls,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS lang_distinct,
+        |    CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nchars_nulls,
+        |    CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS nchars_distinct,
+        |    CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS source_nulls,
+        |    CAST(COUNT(DISTINCT source) AS BIGINT) AS source_distinct
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |am AS (
+        |  SELECT m.col_name, a.rows_a,
+        |    CASE m.col_name WHEN 'lang' THEN a.lang_nulls
+        |      WHEN 'n_chars' THEN a.nchars_nulls ELSE a.source_nulls END
+        |      AS nulls_a,
+        |    CASE m.col_name WHEN 'lang' THEN a.lang_distinct
+        |      WHEN 'n_chars' THEN a.nchars_distinct ELSE a.source_distinct END
+        |      AS distinct_a
+        |  FROM a, (VALUES ('lang'), ('n_chars'), ('source')) m(col_name)),
+        |bm AS (
+        |  SELECT m.col_name, b.rows_b,
+        |    CASE m.col_name WHEN 'lang' THEN b.lang_nulls
+        |      WHEN 'n_chars' THEN b.nchars_nulls ELSE b.source_nulls END
+        |      AS nulls_b,
+        |    CASE m.col_name WHEN 'lang' THEN b.lang_distinct
+        |      WHEN 'n_chars' THEN b.nchars_distinct ELSE b.source_distinct END
+        |      AS distinct_b
+        |  FROM b, (VALUES ('lang'), ('n_chars'), ('source')) m(col_name))
+        |SELECT am.col_name, am.rows_a, am.nulls_a, am.distinct_a,
+        |  bm.rows_b, bm.nulls_b, bm.distinct_b,
+        |  abs(am.nulls_a * 1000000 // am.rows_a
+        |    - bm.nulls_b * 1000000 // bm.rows_b) AS null_frac_drift_ppm
+        |FROM am JOIN bm USING (col_name)
+        |ORDER BY col_name""".stripMargin,
     "q_dq_orphans" ->
       """WITH e AS (
         |  SELECT 'lineitem.orderkey->orders' AS fk_edge,

@@ -280,7 +280,7 @@ object Scans {
     * parquet read. Fixture generations are written once per tmp
     * lifetime (derived-file pattern).
     */
-  private def buildEvolved(s: SparkSession, dir: String): String = {
+  private[graft] def buildEvolved(s: SparkSession, dir: String): String = {
     val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io/evolved_v1_${DedupOps.cacheKey(dir, "documents")}"
     DerivedFiles.ensure(path) { p =>
       Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)

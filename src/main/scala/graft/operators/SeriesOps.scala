@@ -324,7 +324,87 @@ object SeriesOps {
       .orderBy("label")
   }
 
+  /** #431 Sample entropy (m = 2, tolerance = range/20) of the daily
+    * revenue series per priority — the regularity readout next to
+    * permutation entropy (#367): SampEn = −ln(A/B) with B the count of
+    * length-2 template pairs matching within tolerance and A the same
+    * for length 3; low SampEn = self-similar/templated series. The
+    * σ-based tolerance convention is replaced by the exact-integer
+    * range/20 (documented deviation — keeps every comparison integer);
+    * ln stages per the repo rule as ⌊ln·1e9⌋ on each exact count, so
+    * sampen_nano = ⌊ln B⌋ − ⌊ln A⌋. Scale: templates ride two lead()
+    * windows partitioned per priority; the pair relation is
+    * calendar²-bounded per priority (≈66k rows at ANY corpus size) —
+    * the same bounded-self-join argument as the TwoNN estimator (#399).
+    */
+  def tsSampen(s: SparkSession, dir: String): DataFrame = {
+    val wSeq = Window.partitionBy("pri").orderBy("day")
+    val base = dailyByPri(s, dir)
+      .withColumn("x1", col("v"))
+      .withColumn("x2", lead(col("v"), 1).over(wSeq))
+      .withColumn("x3", lead(col("v"), 2).over(wSeq))
+      .withColumn("t", row_number().over(wSeq).cast("long"))
+    val tol = dailyByPri(s, dir).groupBy("pri")
+      .agg(max(col("v")).as("mxv"), min(col("v")).as("mnv"),
+        count(lit(1)).as("n_days"))
+      .select(col("pri"), col("n_days"),
+        expr("(mxv - mnv) div 20").as("r_tol"))
+    val tmpl = base.join(broadcast(tol), Seq("pri"))
+    val a = tmpl.select(col("pri"), col("t").as("ti"), col("x1").as("a1"),
+      col("x2").as("a2"), col("x3").as("a3"), col("r_tol"))
+    val b = tmpl.select(col("pri"), col("t").as("tj"), col("x1").as("b1"),
+      col("x2").as("b2"), col("x3").as("b3"))
+    val pairs = a.join(b, Seq("pri")).filter(col("ti") < col("tj"))
+      .filter(col("a2").isNotNull && col("b2").isNotNull)
+      .withColumn("m2",
+        (abs(col("a1") - col("b1")) <= col("r_tol")) &&
+          (abs(col("a2") - col("b2")) <= col("r_tol")))
+      .withColumn("m3", col("m2") && col("a3").isNotNull &&
+        col("b3").isNotNull && (abs(col("a3") - col("b3")) <= col("r_tol")))
+    pairs.groupBy("pri")
+      .agg(sum(when(col("m2"), 1L).otherwise(0L)).as("b_cnt"),
+        sum(when(col("m3"), 1L).otherwise(0L)).as("a_cnt"))
+      .join(broadcast(tol), Seq("pri"))
+      .select(col("pri"), col("n_days"), col("r_tol"),
+        col("b_cnt"), col("a_cnt"),
+        when(col("a_cnt") > 0 && col("b_cnt") > 0,
+          floor(log(col("b_cnt")) * 1e9).cast("long") -
+            floor(log(col("a_cnt")) * 1e9).cast("long")).as("sampen_nano"))
+      .orderBy("pri")
+  }
+
+  /** #432 Gumbel (EV-I) fit by the method of moments on monthly maxima
+    * of the daily revenue series per priority — the extreme-value
+    * profile behind capacity planning ("how bad is a 1-in-N month"):
+    * block maxima → β = σ·√6/π, µ = mean − γ·β (γ Euler–Mascheroni).
+    * Moment sums (n, Σmx, Σmx²) are exact DECIMAL integers; the two
+    * readouts are single terminal double expressions with the IDENTICAL
+    * operation order in both engines (one sqrt, fixed √6/π and γ
+    * literals, one floor to milli-cents) — the assortativity
+    * discipline. Scale: monthly maxima are a |pri|×12-row relation.
+    */
+  def tsGumbel(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    dailyByPri(s, dir)
+      .groupBy(col("pri"), month(col("day")).cast("long").as("mo"))
+      .agg(max(col("v")).as("mx"))
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n"),
+        sum(col("mx").cast(dec)).as("sx"),
+        sum(col("mx").cast(dec) * col("mx")).as("qx"))
+      .select(col("pri"), col("n").as("n_months"),
+        expr("cast(sx div n as long)").as("mean_cents"),
+        expr("cast(floor(sqrt(cast(n * qx - sx * sx as double)) / n " +
+          "* 779.6968012336793) as long)").as("beta_millicents"),
+        expr("cast(floor(sx * 1000.0 / n - 0.5772156649015329 * " +
+          "(sqrt(cast(n * qx - sx * sx as double)) / n " +
+          "* 779.6968012336793)) as long)").as("mu_millicents"))
+      .orderBy("pri")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_sampen" -> (tsSampen _),
+    "q_ts_gumbel" -> (tsGumbel _),
     "q_embed_intrinsic_dim" -> (embedIntrinsicDim _),
     "q_ts_perm_entropy" -> (tsPermEntropy _),
     "q_ts_periodogram" -> (tsPeriodogram _),
@@ -340,6 +420,56 @@ object SeriesOps {
       |  FROM orders GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_ts_sampen" ->
+      s"""WITH $DailyPriSql,
+         |seq AS (
+         |  SELECT pri, v AS x1,
+         |    lead(v, 1) OVER w AS x2, lead(v, 2) OVER w AS x3,
+         |    CAST(row_number() OVER w AS BIGINT) AS t
+         |  FROM daily WINDOW w AS (PARTITION BY pri ORDER BY day)),
+         |tol AS (
+         |  SELECT pri, COUNT(*) AS n_days,
+         |    (MAX(v) - MIN(v)) // 20 AS r_tol
+         |  FROM daily GROUP BY pri),
+         |pairs AS (
+         |  SELECT a.pri,
+         |    (abs(a.x1 - b.x1) <= t.r_tol AND abs(a.x2 - b.x2) <= t.r_tol)
+         |      AS m2,
+         |    (abs(a.x1 - b.x1) <= t.r_tol AND abs(a.x2 - b.x2) <= t.r_tol
+         |      AND a.x3 IS NOT NULL AND b.x3 IS NOT NULL
+         |      AND abs(a.x3 - b.x3) <= t.r_tol) AS m3
+         |  FROM seq a JOIN seq b ON a.pri = b.pri AND a.t < b.t
+         |  JOIN tol t ON t.pri = a.pri
+         |  WHERE a.x2 IS NOT NULL AND b.x2 IS NOT NULL),
+         |cnt AS (
+         |  SELECT pri,
+         |    CAST(SUM(CASE WHEN m2 THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt,
+         |    CAST(SUM(CASE WHEN m3 THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt
+         |  FROM pairs GROUP BY pri)
+         |SELECT c.pri, t.n_days, t.r_tol, c.b_cnt, c.a_cnt,
+         |  CASE WHEN c.a_cnt > 0 AND c.b_cnt > 0 THEN
+         |    CAST(floor(ln(c.b_cnt) * 1e9) AS BIGINT)
+         |      - CAST(floor(ln(c.a_cnt) * 1e9) AS BIGINT) END AS sampen_nano
+         |FROM cnt c JOIN tol t ON t.pri = c.pri
+         |ORDER BY c.pri""".stripMargin,
+    "q_ts_gumbel" ->
+      s"""WITH $DailyPriSql,
+         |mm AS (
+         |  SELECT pri, CAST(month(day) AS BIGINT) AS mo, MAX(v) AS mx
+         |  FROM daily GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT pri, COUNT(*) AS n,
+         |    SUM(CAST(mx AS HUGEINT)) AS sx,
+         |    SUM(CAST(mx AS HUGEINT) * mx) AS qx
+         |  FROM mm GROUP BY pri)
+         |SELECT pri, n AS n_months,
+         |  CAST(sx // n AS BIGINT) AS mean_cents,
+         |  CAST(floor(sqrt(CAST(n * qx - sx * sx AS DOUBLE)) / n
+         |    * 779.6968012336793) AS BIGINT) AS beta_millicents,
+         |  CAST(floor(sx * 1000.0 / n - 0.5772156649015329 *
+         |    (sqrt(CAST(n * qx - sx * sx AS DOUBLE)) / n
+         |    * 779.6968012336793)) AS BIGINT) AS mu_millicents
+         |FROM agg ORDER BY pri""".stripMargin,
     "q_embed_intrinsic_dim" ->
       """WITH u AS (
         |  SELECT vec_id, label,

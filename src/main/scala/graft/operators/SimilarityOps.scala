@@ -47,6 +47,35 @@ object SimilarityOps {
       .orderBy("probe_id", "rank")
   }
 
+  /** #435 Radius (range) similarity search: ALL candidates within
+    * cosine ≥ 0.25 of each probe — the "everything this similar"
+    * retrieval semantics top-k (#64) can't express (a probe in a dense
+    * near-dup cluster returns the whole cluster; an isolated probe
+    * returns nothing — exactly the dedup-review contract). Per-probe
+    * in-range count rides a probe-partitioned window. Same kernel and
+    * scale shape as the exact top-k: probes broadcast, corpus streamed
+    * once through the codegen'd [[graft.functions.DotProductExpr]];
+    * at production scale the IVF/LSH candidate pass (#75) bolts in
+    * front unchanged — range queries prune even better than top-k
+    * there because the radius bounds which centroid cells can qualify.
+    */
+  def simRangeQuery(s: SparkSession, dir: String): DataFrame = {
+    val base = vectors(s, dir)
+    val probes = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        col("norm").as("pnorm"))
+    val cand = base.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"), col("norm").as("cnorm"))
+    cand.join(broadcast(probes), col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(expr("graft_dot(pv, cv)") / (col("pnorm") * col("cnorm")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= 0.25)
+      .withColumn("n_in_range",
+        count(lit(1)).over(Window.partitionBy("probe_id")))
+      .orderBy(col("probe_id"), desc("cosine"), col("cand_id"))
+  }
+
   /** Deterministic pseudo-random hyperplanes via splitmix64 — regenerated
     * identically on every run/executor. Multi-table LSH: NumTables
     * independent tables of PlanesPerTable planes each. More tables → more
@@ -403,6 +432,7 @@ object SimilarityOps {
     "q_embed_mmr" -> (embedMmr _),
     "q_embed_quantize" -> (embedQuantize _),
     "q_sim_cosine_topk" -> (simCosineTopk _),
+    "q_sim_range_query" -> (simRangeQuery _),
     "q_hard_negatives" -> (hardNegatives _),
     "q_knn_label_noise" -> (knnLabelNoise _),
     "q_sim_lsh_bucketed" -> (simLshBucketed _),
@@ -589,6 +619,18 @@ object SimilarityOps {
         |  round(CAST(SUM(n_same) AS DOUBLE) / (5.0 * COUNT(*)), 6) AS mean_consistency,
         |  CAST(SUM(CASE WHEN n_same <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
         |FROM per GROUP BY anchor_label ORDER BY label""".stripMargin,
+    "q_sim_range_query" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |hits AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    round(list_cosine_similarity(p.v, c.v), 6) AS cosine
+        |  FROM base p JOIN base c ON p.vec_id < 10 AND p.vec_id <> c.vec_id
+        |  WHERE round(list_cosine_similarity(p.v, c.v), 6) >= 0.25)
+        |SELECT probe_id, cand_id, cosine,
+        |  COUNT(*) OVER (PARTITION BY probe_id) AS n_in_range
+        |FROM hits ORDER BY probe_id, cosine DESC, cand_id""".stripMargin,
     "q_sim_cosine_topk" ->
       """WITH base AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic pins for the round-14 operator batch (#426–#437) beyond the
+  * oracle hash: structural invariants (band geometry, count dominance,
+  * conservation) plus exact recomputation of the staged statistics.
+  */
+class Wave14Spec extends AnyFunSuite with SparkFixture {
+
+  test("Keltner: bands are symmetric around the basis, offset non-negative") {
+    val rows = operators.IndicatorOps.winKeltner(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (basis, off, up, lo) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(off >= 0L)
+      assert(up === basis + off && lo === basis - off)
+    }
+  }
+
+  test("Ichimoku: senkou A sits between tenkan and kijun (±1 truncation)") {
+    val rows = operators.IndicatorOps.winIchimoku(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tk, kj, sa, sb) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(sa >= math.min(tk, kj) - 1 && sa <= math.max(tk, kj) + 1,
+        s"senkou A $sa outside [$tk, $kj]")
+      assert(sb > 0L)
+    }
+  }
+
+  test("CvM: t_nano recomputes exactly from (u, n, m); counts positive") {
+    val r = operators.InferenceOps.cvmTwoSample(spark, sfDir).collect().head
+    val (n, m, u, tNano) =
+      (BigInt(r.getLong(0)), BigInt(r.getLong(1)), BigInt(r.getLong(2)),
+        r.getLong(3))
+    assert(n > 0 && m > 0)
+    val expect = (6 * u - n * m * (4 * n * m - 1)) * 1000000000 /
+      (6 * (n + m) * n * m)
+    assert(tNano === expect.toLong)
+    assert(r.getBoolean(4) === (tNano > 461000000L))
+  }
+
+  test("Page trend: L within its algebraic extremes, E[L] exact") {
+    val r = operators.InferenceOps.pageTrend(spark, sfDir).collect().head
+    val (n, k, l, eL) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(eL === n * k * (k + 1) * (k + 1) / 4)
+    // min L: ranks anti-ordered (rank k+1-j for treatment j); max: aligned
+    val lMin = n * (1L to k).map(j => j * (k + 1 - j)).sum
+    val lMax = n * (1L to k).map(j => j * j).sum
+    assert(l >= lMin && l <= lMax, s"L=$l outside [$lMin, $lMax]")
+  }
+
+  test("block bootstrap: CI ordered, deterministic across runs") {
+    val a = operators.InferenceOps.blockBootstrap(spark, sfDir).collect()
+    val b = operators.InferenceOps.blockBootstrap(spark, sfDir).collect()
+    assert(a.toSeq === b.toSeq, "hash-driven resample must be rerunnable")
+    a.foreach { r =>
+      assert(r.getLong(1) > 0L, "weeks")
+      assert(r.getLong(3) <= r.getLong(4), "lo <= hi")
+    }
+  }
+
+  test("SampEn: length-3 matches are a subset of length-2 matches") {
+    val rows = operators.SeriesOps.tsSampen(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3), "A > B is impossible")
+      if (!r.isNullAt(5)) assert(r.getLong(5) >= 0L, "SampEn = lnB - lnA >= 0")
+    }
+  }
+
+  test("Gumbel: beta non-negative, mu below the mean by gamma*beta") {
+    val rows = operators.SeriesOps.tsGumbel(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L, "beta")
+      assert(r.getLong(4) <= r.getLong(2) * 1000L, "mu must not exceed mean")
+    }
+  }
+
+  test("importance weights: mass conserved within truncation, ESS <= N") {
+    val rows = operators.CurationOps.sampleImportance(spark, sfDir).collect()
+    val total = Tables.documents(spark, sfDir).count()
+    val massW = rows.map(r => r.getLong(1) * r.getLong(2)).sum
+    assert(math.abs(massW - total * 1000000L) <= total,
+      "sum of n*w must be N*1e6 up to per-doc truncation")
+    val ess = rows.head.getLong(3)
+    assert(rows.forall(_.getLong(3) === ess))
+    assert(ess > 0L && ess <= total)
+  }
+
+  test("filter sweep: cumulative monotone and conserved") {
+    val rows = operators.CurationOps.qualityFilterSweep(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 10L))
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.last.getLong(5) === total, "last cum_docs = corpus size")
+    assert(rows.last.getLong(7) === 1000000L, "last token share = 100%")
+    val cums = rows.map(_.getLong(6))
+    assert(cums.zip(cums.tail).forall { case (x, y) => x <= y })
+    // deciles ordered by score: each decile's hi <= next decile's lo
+    rows.sliding(2).foreach { case Array(x, y) =>
+      assert(x.getLong(4) <= y.getLong(3), "decile score ranges overlap")
+    case _ => ()
+    }
+  }
+
+  test("Burrows Delta: all source pairs present, non-negative, <=16 markers") {
+    val rows = operators.CorpusOps.textBurrowsDelta(spark, sfDir).collect()
+    val nSrc = Tables.documents(spark, sfDir)
+      .select("source").distinct().count()
+    assert(rows.length === (nSrc * (nSrc - 1) / 2).toInt)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 16L)
+      assert(r.getLong(3) >= 0L)
+    }
+  }
+
+  test("schema drift: generations partition the corpus, old gen 100% null source") {
+    val rows = operators.QualityOps.dqSchemaDrift(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val total = Tables.documents(spark, sfDir).count()
+    val src = rows("source")
+    assert(src.getLong(1) + src.getLong(4) === total, "rows_a + rows_b = N")
+    assert(src.getLong(2) === src.getLong(1), "gen A source all-null")
+    assert(src.getLong(3) === 0L, "gen A source distinct = 0")
+    assert(src.getLong(5) === 0L, "gen B source has no nulls")
+    assert(rows("lang").getLong(2) === 0L && rows("lang").getLong(5) === 0L)
+  }
+
+  test("range query is consistent with exact top-k above the radius") {
+    val topk = operators.SimilarityOps.simCosineTopk(spark, sfDir)
+      .filter(col("cosine") >= 0.25)
+      .select("probe_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val range = operators.SimilarityOps.simRangeQuery(spark, sfDir)
+      .select("probe_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(topk.subsetOf(range),
+      s"top-k pairs above the radius missing from range: ${topk -- range}")
+    // per-probe n_in_range is the actual group size
+    val byProbe = operators.SimilarityOps.simRangeQuery(spark, sfDir)
+      .select("probe_id", "n_in_range").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    byProbe.groupBy(_._1).foreach { case (p, xs) =>
+      assert(xs.forall(_._2 === xs.length.toLong), s"probe $p count mismatch")
+    }
+  }
+}
