@@ -210,13 +210,40 @@ object IndicatorOps {
       .orderBy("event_type", "day")
   }
 
+  /** #441 Classic floor-trader pivot points from the PREVIOUS day's
+    * bar: P = (h+l+c)/3, R1 = 2P−l, S1 = 2P−h, R2 = P+(h−l),
+    * S2 = P−(h−l) — the intraday support/resistance levels every
+    * trading desk pre-computes at the open; here the next-day feature
+    * row a forecasting pipeline joins on. Exactness: levels derive
+    * from the UN-divided tp3 = h+l+c with ONE truncating div by 3
+    * (r1 = 2·(tp3 div 3) − l, documented staging), all integer micro.
+    * Scale: one lag window over the calendar-bounded bar relation.
+    */
+  def winPivotPoints(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    dailyBars(s, dir)
+      .withColumn("ph", lag(col("h"), 1).over(w))
+      .withColumn("pl", lag(col("l"), 1).over(w))
+      .withColumn("pc", lag(col("c"), 1).over(w))
+      .filter(col("ph").isNotNull)
+      .withColumn("p", expr("(ph + pl + pc) div 3"))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("p").as("pivot_micro"),
+        (lit(2L) * col("p") - col("pl")).as("r1_micro"),
+        (lit(2L) * col("p") - col("ph")).as("s1_micro"),
+        (col("p") + (col("ph") - col("pl"))).as("r2_micro"),
+        (col("p") - (col("ph") - col("pl"))).as("s2_micro"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_vwap" -> (winVwap _),
     "q_win_donchian" -> (winDonchian _),
     "q_win_aroon" -> (winAroon _),
     "q_win_cci" -> (winCci _),
     "q_win_keltner" -> (winKeltner _),
-    "q_win_ichimoku" -> (winIchimoku _))
+    "q_win_ichimoku" -> (winIchimoku _),
+    "q_win_pivot_points" -> (winPivotPoints _))
 
   private val DailyPriSql =
     """daily AS (
@@ -341,5 +368,22 @@ object IndicatorOps {
          |  CAST(kijun2 // 2 AS BIGINT) AS kijun_micro,
          |  CAST((tenkan2 + kijun2) // 4 AS BIGINT) AS senkou_a_micro,
          |  CAST(senb2 // 2 AS BIGINT) AS senkou_b_micro
-         |FROM w ORDER BY event_type, day""".stripMargin)
+         |FROM w ORDER BY event_type, day""".stripMargin,
+    "q_win_pivot_points" ->
+      s"""WITH $DailyBarsSql,
+         |lagged AS (
+         |  SELECT event_type, day,
+         |    lag(h) OVER w AS ph, lag(l) OVER w AS pl, lag(c) OVER w AS pc
+         |  FROM bars WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         |pp AS (
+         |  SELECT event_type, day, ph, pl,
+         |    (ph + pl + pc) // 3 AS p
+         |  FROM lagged WHERE ph IS NOT NULL)
+         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+         |  CAST(p AS BIGINT) AS pivot_micro,
+         |  CAST(2 * p - pl AS BIGINT) AS r1_micro,
+         |  CAST(2 * p - ph AS BIGINT) AS s1_micro,
+         |  CAST(p + (ph - pl) AS BIGINT) AS r2_micro,
+         |  CAST(p - (ph - pl) AS BIGINT) AS s2_micro
+         |FROM pp ORDER BY event_type, day""".stripMargin)
 }

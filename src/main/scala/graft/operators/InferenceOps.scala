@@ -1196,7 +1196,107 @@ object InferenceOps {
       .orderBy("event_type")
   }
 
+  /** #438 Cliff's delta effect size for every event-type pair over the
+    * daily value-mass distributions: δ = (#(x>y) − #(x<y))/(n·m) — the
+    * ordinal, distribution-free effect size that says HOW SEPARATED two
+    * groups are where Mann-Whitney (#213) only says whether. Computed
+    * by direct dominance counting over the calendar²-bounded pair
+    * relation (≤366² per pair at any corpus size — the #399/#431
+    * bounded-self-join argument), every count exact, one truncating
+    * ppm division; |δ| ≥ 0.474 = "large" (Romano et al.) flagged.
+    */
+  def cliffsDelta(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("v"))
+    val a = daily.select(col("event_type").as("type_a"), col("v").as("xa"))
+    val b = daily.select(col("event_type").as("type_b"), col("v").as("xb"))
+    a.join(b, col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("nm"),
+        sum(when(col("xa") > col("xb"), 1L).otherwise(0L)).as("gt"),
+        sum(when(col("xa") < col("xb"), 1L).otherwise(0L)).as("lt"))
+      .select(col("type_a"), col("type_b"), col("gt"), col("lt"),
+        expr("((gt - lt) * 1000000) div nm").as("delta_ppm"))
+      .withColumn("large_effect", abs(col("delta_ppm")) >= 474000L)
+      .orderBy("type_a", "type_b")
+  }
+
+  /** #439 Quade test — the weighted Friedman (#392): within-block
+    * treatment ranks are weighted by the rank of each block's RANGE, so
+    * blocks where the treatments actually differ dominate the
+    * statistic. Blocks = event types, treatments = week-of-month (the
+    * #429 design). Doubled-and-centered scores S2 = Q·(2r − (k+1)) keep
+    * everything integer: F = (n−1)·ΣⱼSⱼ² / (n·ΣS² − ΣⱼSⱼ²) emits as one
+    * truncating milli division (denominator ≥ 0 by Cauchy-Schwarz,
+    * zero → NULL on both engines). Range-rank ties break by block name,
+    * treatment-rank ties by (v, wk) — documented total orders mirrored
+    * in the twin. Scale: |type|×5-row algebra over the week aggregate.
+    */
+  def quadeTest(s: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("cast(least((dayofmonth(ts) - 1) div 7, 4) + 1 as long)")
+          .as("wk"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("v"))
+    val wIn = Window.partitionBy("event_type").orderBy("v", "wk")
+    val ranked = weekly
+      .withColumn("rk", row_number().over(wIn).cast("long"))
+    val blockQ = weekly.groupBy("event_type")
+      .agg((max(col("v")) - min(col("v"))).as("rng"), count(lit(1)).as("k"))
+      .withColumn("q",
+        row_number().over(Window.orderBy("rng", "event_type")).cast("long"))
+    val scores = ranked.join(broadcast(blockQ), Seq("event_type"))
+      .withColumn("s2", col("q") * (lit(2L) * col("rk") - (col("k") + 1L)))
+    val perTreat = scores.groupBy("wk")
+      .agg(sum(col("s2")).as("s2j"), max(col("k")).as("k"))
+    val tot = scores.agg(sum(col("s2") * col("s2")).as("a4"),
+      countDistinct(col("event_type")).as("n"))
+    perTreat.agg(sum(col("s2j") * col("s2j")).as("sb2"), max(col("k")).as("k"))
+      .crossJoin(broadcast(tot))
+      .select(col("n").as("n_blocks"), col("k").as("k_treatments"),
+        col("a4"), col("sb2"),
+        when(col("n") * col("a4") - col("sb2") > 0,
+          expr("((n - 1) * sb2 * 1000) div (n * a4 - sb2)")).as("f_milli"))
+  }
+
+  /** #440 Ansari–Bradley scale test between the click and purchase
+    * daily-mass distributions: combined sort, score = min(rank, N+1−rank)
+    * (extremes score low, the middle high), statistic = Σ scores of the
+    * first sample — small AB = sample 1 is MORE DISPERSED. The exact
+    * null mean rides along staged ×4N to stay integral for both
+    * parities: E·4N = n(N+2)N (N even) / n(N+1)² (N odd). Rank
+    * tie-break (v, day, type), the #428 total order. Scale: one global
+    * window above the day aggregate (GlobalWindowSpec-pinned class).
+    */
+  def ansariBradley(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("v"))
+    val wAll = Window.orderBy("v", "day", "event_type")
+    val scored = daily
+      .withColumn("r", row_number().over(wAll).cast("long"))
+      .withColumn("nn", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("score", least(col("r"), col("nn") + 1L - col("r")))
+    scored.groupBy(lit(1).as("g"))
+      .agg(max(col("nn")).as("nn"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("m"),
+        sum(when(col("event_type") === "click", col("score"))
+          .otherwise(0L)).as("ab_stat"))
+      .select(col("n"), col("m"), col("ab_stat"),
+        when(col("nn") % 2 === 0, col("n") * (col("nn") + 2) * col("nn"))
+          .otherwise(col("n") * (col("nn") + 1) * (col("nn") + 1))
+          .as("e_ab_4n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_cliffs_delta" -> (cliffsDelta _),
+    "q_stats_quade" -> (quadeTest _),
+    "q_stats_ansari_bradley" -> (ansariBradley _),
     "q_stats_cvm" -> (cvmTwoSample _),
     "q_stats_page_trend" -> (pageTrend _),
     "q_stats_block_bootstrap" -> (blockBootstrap _),
@@ -1290,6 +1390,87 @@ object InferenceOps {
       |FROM t""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_stats_cliffs_delta" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(SUM(CASE WHEN a.v > b.v THEN 1 ELSE 0 END) AS BIGINT) AS gt,
+        |  CAST(SUM(CASE WHEN a.v < b.v THEN 1 ELSE 0 END) AS BIGINT) AS lt,
+        |  CAST(((SUM(CASE WHEN a.v > b.v THEN 1 ELSE 0 END)
+        |    - SUM(CASE WHEN a.v < b.v THEN 1 ELSE 0 END)) * 1000000)
+        |    // COUNT(*) AS BIGINT) AS delta_ppm,
+        |  abs(CAST(((SUM(CASE WHEN a.v > b.v THEN 1 ELSE 0 END)
+        |    - SUM(CASE WHEN a.v < b.v THEN 1 ELSE 0 END)) * 1000000)
+        |    // COUNT(*) AS BIGINT)) >= 474000 AS large_effect
+        |FROM daily a JOIN daily b ON a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stats_quade" ->
+      """WITH weekly AS (
+        |  SELECT event_type,
+        |    CAST(least((day(ts) - 1) // 7, 4) + 1 AS BIGINT) AS wk,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT event_type, wk, v,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY v, wk)
+        |      AS BIGINT) AS rk
+        |  FROM weekly),
+        |bq AS (
+        |  SELECT event_type, MAX(v) - MIN(v) AS rng,
+        |    CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM weekly GROUP BY event_type),
+        |bqr AS (
+        |  SELECT event_type, k,
+        |    CAST(row_number() OVER (ORDER BY rng, event_type) AS BIGINT) AS q
+        |  FROM bq),
+        |sc AS (
+        |  SELECT rk.event_type, rk.wk, bqr.k,
+        |    bqr.q * (2 * rk.rk - (bqr.k + 1)) AS s2
+        |  FROM rk JOIN bqr ON bqr.event_type = rk.event_type),
+        |pt AS (
+        |  SELECT wk, CAST(SUM(s2) AS BIGINT) AS s2j, MAX(k) AS k
+        |  FROM sc GROUP BY wk),
+        |tot AS (
+        |  SELECT CAST(SUM(s2 * s2) AS BIGINT) AS a4,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n
+        |  FROM sc),
+        |fin AS (
+        |  SELECT CAST(SUM(s2j * s2j) AS BIGINT) AS sb2, MAX(k) AS k FROM pt)
+        |SELECT tot.n AS n_blocks, fin.k AS k_treatments, tot.a4, fin.sb2,
+        |  CASE WHEN tot.n * tot.a4 - fin.sb2 > 0 THEN
+        |    CAST(((tot.n - 1) * fin.sb2 * 1000) // (tot.n * tot.a4 - fin.sb2)
+        |      AS BIGINT) END AS f_milli
+        |FROM fin, tot""".stripMargin,
+    "q_stats_ansari_bradley" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT event_type,
+        |    CAST(row_number() OVER (ORDER BY v, day, event_type) AS BIGINT)
+        |      AS r,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS nn
+        |  FROM daily),
+        |sc AS (SELECT event_type, nn, least(r, nn + 1 - r) AS score FROM rk)
+        |SELECT
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS m,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN score ELSE 0 END)
+        |    AS BIGINT) AS ab_stat,
+        |  CASE WHEN MAX(nn) % 2 = 0 THEN
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      * (MAX(nn) + 2) * MAX(nn) AS BIGINT)
+        |  ELSE
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      * (MAX(nn) + 1) * (MAX(nn) + 1) AS BIGINT)
+        |  END AS e_ab_4n
+        |FROM sc""".stripMargin,
     "q_stats_cvm" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

@@ -402,7 +402,68 @@ object SeriesOps {
       .orderBy("pri")
   }
 
+  /** #442 Turning-points randomness test on the daily revenue series
+    * per priority: T = count of strict local extrema (plateaus excluded
+    * — strict comparisons, documented), with the exact null moments
+    * E[T] = 2(n−2)/3 and Var = (16n−29)/90; z = (3T − 2(n−2))·√10 /
+    * √(16n−29) — the cheapest "is this series iid noise or does it
+    * have structure" screen, read before trusting any iid-assuming
+    * test in the module. 3T−2(n−2) and 16n−29 are exact integers; z is
+    * one floored milli double with identical operation order both
+    * engines. Scale: one lag/lead window on the calendar-bounded
+    * series, |pri|-row readout.
+    */
+  def tsTurningPoints(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("pri").orderBy("day")
+    dailyByPri(s, dir)
+      .withColumn("pv", lag(col("v"), 1).over(w))
+      .withColumn("nv", lead(col("v"), 1).over(w))
+      .withColumn("tp",
+        when(col("pv").isNotNull && col("nv").isNotNull &&
+          ((col("v") > col("pv") && col("v") > col("nv")) ||
+            (col("v") < col("pv") && col("v") < col("nv"))), 1L)
+          .otherwise(0L))
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n"), sum(col("tp")).as("t"))
+      .select(col("pri"), col("n").as("n_days"), col("t").as("n_turning"),
+        expr("(2 * (n - 2)) div 3").as("e_t_floor"),
+        expr("cast(floor(cast(3 * t - 2 * (n - 2) as double) * 1000 " +
+          "* sqrt(10.0) / sqrt(cast(16 * n - 29 as double))) as long)")
+          .as("z_milli"))
+      .orderBy("pri")
+  }
+
+  /** #443 Katz fractal dimension of the daily revenue series per
+    * priority: FD = ln(n)/(ln(n) + ln(d/L)) with L = Σ|Δv| the curve
+    * length and d = max|v_t − v_1| the diameter from the first point —
+    * the waveform-complexity index (FD→1 smooth trend, larger =
+    * jagged) read next to Hurst (#322) and permutation entropy (#367).
+    * L, d, n are exact integers; FD is one floored micro double with
+    * the identical ln/division order both engines (n = steps = days−1).
+    * Scale: one lag window + one |pri|-group aggregate.
+    */
+  def tsFractalKatz(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("pri").orderBy("day")
+    dailyByPri(s, dir)
+      .withColumn("dv", abs(col("v") - lag(col("v"), 1).over(w)))
+      .withColumn("v0", first(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("pri")
+      .agg((count(lit(1)) - 1L).as("n"),
+        sum(col("dv")).as("len"),
+        max(abs(col("v") - col("v0"))).as("diam"))
+      .filter(col("len") > 0 && col("diam") > 0 && col("n") > 1)
+      .select(col("pri"), col("n").as("n_steps"), col("len").as("curve_len"),
+        col("diam"),
+        expr("cast(floor(ln(cast(n as double)) * 1000000 / " +
+          "(ln(cast(n as double)) + ln(cast(diam as double)) " +
+          "- ln(cast(len as double)))) as long)").as("fd_micro"))
+      .orderBy("pri")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_turning_points" -> (tsTurningPoints _),
+    "q_ts_fractal_katz" -> (tsFractalKatz _),
     "q_ts_sampen" -> (tsSampen _),
     "q_ts_gumbel" -> (tsGumbel _),
     "q_embed_intrinsic_dim" -> (embedIntrinsicDim _),
@@ -420,6 +481,41 @@ object SeriesOps {
       |  FROM orders GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_ts_turning_points" ->
+      s"""WITH $DailyPriSql,
+         |lagged AS (
+         |  SELECT pri, v, lag(v) OVER w AS pv, lead(v) OVER w AS nv
+         |  FROM daily WINDOW w AS (PARTITION BY pri ORDER BY day)),
+         |agg AS (
+         |  SELECT pri, COUNT(*) AS n,
+         |    CAST(SUM(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+         |      AND ((v > pv AND v > nv) OR (v < pv AND v < nv))
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS t
+         |  FROM lagged GROUP BY pri)
+         |SELECT pri, n AS n_days, t AS n_turning,
+         |  CAST((2 * (n - 2)) // 3 AS BIGINT) AS e_t_floor,
+         |  CAST(floor(CAST(3 * t - 2 * (n - 2) AS DOUBLE) * 1000
+         |    * sqrt(10.0) / sqrt(CAST(16 * n - 29 AS DOUBLE))) AS BIGINT)
+         |    AS z_milli
+         |FROM agg ORDER BY pri""".stripMargin,
+    "q_ts_fractal_katz" ->
+      s"""WITH $DailyPriSql,
+         |lagged AS (
+         |  SELECT pri, v,
+         |    abs(v - lag(v) OVER w) AS dv,
+         |    first_value(v) OVER w AS v0
+         |  FROM daily WINDOW w AS (PARTITION BY pri ORDER BY day)),
+         |agg AS (
+         |  SELECT pri, COUNT(*) - 1 AS n,
+         |    CAST(SUM(dv) AS BIGINT) AS len,
+         |    CAST(MAX(abs(v - v0)) AS BIGINT) AS diam
+         |  FROM lagged GROUP BY pri)
+         |SELECT pri, CAST(n AS BIGINT) AS n_steps, len AS curve_len, diam,
+         |  CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 /
+         |    (ln(CAST(n AS DOUBLE)) + ln(CAST(diam AS DOUBLE))
+         |    - ln(CAST(len AS DOUBLE)))) AS BIGINT) AS fd_micro
+         |FROM agg WHERE len > 0 AND diam > 0 AND n > 1
+         |ORDER BY pri""".stripMargin,
     "q_ts_sampen" ->
       s"""WITH $DailyPriSql,
          |seq AS (

@@ -863,7 +863,33 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** #444 Hapax/dis-legomena lexical-richness profile per language:
+    * vocabulary size, once-seen (hapax) and twice-seen (dis) type
+    * counts, and their per-million-of-vocabulary shares — the
+    * frequency-spectrum head that complements Yule's K (#354, spectrum
+    * moments) and Heaps' β (#355, growth): a template-flooded corpus
+    * shows a collapsed hapax share long before K moves. All exact
+    * integers; two truncating ppm divisions. Scale: one linear token
+    * explode + (lang, token) map-side-combined aggregate, then a
+    * |lang|-row readout.
+    */
+  def textHapax(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("lang", "token").agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("dis"))
+      .select(col("lang"), col("n_tokens"), col("vocab"), col("hapax"),
+        col("dis"),
+        expr("(hapax * 1000000) div vocab").as("hapax_ppm"),
+        expr("(dis * 1000000) div vocab").as("dis_ppm"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_hapax" -> (textHapax _),
     "q_text_yule_k" -> (textYuleK _),
     "q_text_heaps" -> (textHeaps _),
     "q_text_textrank" -> (textTextrank _),
@@ -895,6 +921,22 @@ object TextOps {
     "q_text_fingerprint" -> (textFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_text_hapax" ->
+      """WITH tc AS (
+        |  SELECT lang, tok, COUNT(*) AS c FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) t
+        |  WHERE tok <> '' GROUP BY lang, tok)
+        |SELECT lang,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  COUNT(*) AS vocab,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+        |  CAST((SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000)
+        |    // COUNT(*) AS BIGINT) AS hapax_ppm,
+        |  CAST((SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) * 1000000)
+        |    // COUNT(*) AS BIGINT) AS dis_ppm
+        |FROM tc GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_yule_k" ->
       """WITH toks AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS token

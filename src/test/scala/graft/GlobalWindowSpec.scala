@@ -26,8 +26,9 @@ class GlobalWindowSpec extends AnyFunSuite with SparkFixture {
     "q_hhi", "q_lorenz_deciles", "q_mix_resample", "q_mix_temperature",
     "q_mix_weights", "q_ml_stump", "q_prune_curve", "q_quality_filter_sweep",
     "q_sample_apportion", "q_sample_neyman", "q_skew_report", "q_skyline",
-    "q_split_rolling_origin", "q_stats_cvm",
-    "q_stats_hill", "q_stats_kruskal", "q_stats_mood", "q_stats_spearman",
+    "q_split_rolling_origin", "q_stats_ansari_bradley", "q_stats_cvm",
+    "q_stats_hill", "q_stats_kruskal", "q_stats_mood", "q_stats_quade",
+    "q_stats_spearman",
     "q_survival", "q_text_zipf", "q_ts_backlog", "q_ts_engle_granger",
     "q_ts_gapfill", "q_ts_granger", "q_ts_kpss", "q_ts_ljung_box",
     "q_ts_periodogram", "q_ts_seasonal", "q_ts_spectral_entropy",

@@ -132,6 +132,82 @@ class Wave14Spec extends AnyFunSuite with SparkFixture {
     assert(rows("lang").getLong(2) === 0L && rows("lang").getLong(5) === 0L)
   }
 
+  test("Cliff's delta: antisymmetric pair counts, bounded in [-1e6, 1e6]") {
+    val rows = operators.InferenceOps.cliffsDelta(spark, sfDir).collect()
+    val nTypes = Tables.events(spark, sfDir)
+      .select("event_type").distinct().count()
+    assert(rows.length === (nTypes * (nTypes - 1) / 2).toInt)
+    rows.foreach { r =>
+      assert(math.abs(r.getLong(4)) <= 1000000L)
+      assert(r.getBoolean(5) === (math.abs(r.getLong(4)) >= 474000L))
+    }
+  }
+
+  test("Quade: F recomputes from (n, a4, sb2); scores sum to zero per block") {
+    val r = operators.InferenceOps.quadeTest(spark, sfDir).collect().head
+    val (n, a4, sb2) = (r.getLong(0), r.getLong(2), r.getLong(3))
+    if (!r.isNullAt(4))
+      assert(r.getLong(4) === (n - 1) * sb2 * 1000 / (n * a4 - sb2))
+    // Cauchy-Schwarz: sb2 = (Σ_j S_j)² summed over j ≤ n·ΣS² = n·a4
+    assert(sb2 <= n * a4)
+  }
+
+  test("Ansari-Bradley: statistic within its algebraic extremes") {
+    val r = operators.InferenceOps.ansariBradley(spark, sfDir).collect().head
+    val (n, m, ab) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val nn = n + m
+    // scores are min(r, N+1-r) ∈ [1, (N+1)/2]; AB sums n of them
+    assert(ab >= n && ab <= n * ((nn + 1) / 2 + (if (nn % 2 == 0) 1 else 0)))
+    assert(r.getLong(3) > 0L)
+  }
+
+  test("pivot points: level ordering S2 <= S1 <= P <= R1 <= R2 (±1 truncation)") {
+    val rows = operators.IndicatorOps.winPivotPoints(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, r1, s1, r2, s2) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      // 2P−l ≥ P ≥ 2P−h up to the div-3 truncation; range bands bracket
+      assert(s2 <= s1 + 1 && s1 <= p + 1 && p <= r1 + 1 && r1 <= r2 + 1,
+        s"pivot ordering violated: $s2 $s1 $p $r1 $r2")
+    }
+  }
+
+  test("turning points: count bounded by interior points; z recomputes") {
+    val rows = operators.SeriesOps.tsTurningPoints(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, t) = (r.getLong(1), r.getLong(2))
+      assert(t >= 0 && t <= n - 2, "turning points exceed interior count")
+      val z = math.floor((3.0 * t - 2.0 * (n - 2)) * 1000 * math.sqrt(10.0) /
+        math.sqrt(16.0 * n - 29.0)).toLong
+      assert(r.getLong(4) === z, "z_milli driver recompute")
+    }
+  }
+
+  test("Katz FD: diameter never exceeds curve length, FD >= 1e6") {
+    val rows = operators.SeriesOps.tsFractalKatz(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "diam > curve length impossible")
+      // d <= L ⇒ ln(d/L) <= 0 ⇒ FD >= 1 (waveform at least a line)
+      assert(r.getLong(4) >= 1000000L, s"FD < 1: ${r.getLong(4)}")
+    }
+  }
+
+  test("hapax profile: spectrum counts nest inside the vocabulary") {
+    val rows = operators.TextOps.textHapax(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (toks, vocab, hapax, dis) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(hapax + dis <= vocab)
+      assert(vocab <= toks)
+      // mass identity: hapax contribute exactly 1 token, dis exactly 2
+      assert(hapax * 1 + dis * 2 <= toks)
+    }
+  }
+
   test("range query is consistent with exact top-k above the radius") {
     val topk = operators.SimilarityOps.simCosineTopk(spark, sfDir)
       .filter(col("cosine") >= 0.25)
