@@ -50,6 +50,13 @@ object Prewarm {
         (() => { GraphOps.lpaLabels(s, dir).count(); () }),
       "degrees" ->
         (() => { GraphOps.materializedDegrees(s, dir).count(); () }),
+      "bipartite" ->
+        (() => { GraphOps.materializedBipartite(s, dir).count(); () }),
+      // in-session memo owner (the stationary π collect): first
+      // consumer in name order is q_markov_entropy_rate, which would
+      // otherwise absorb the 10-round power-iteration build
+      "memo:q_markov_stationary" ->
+        (() => { SparkEntry.queries("q_markov_stationary")(s, dir).count(); () }),
       "scan_layouts" -> (() => Scans.prewarmBuilds(s, dir)),
     ) ++ rankOwners.map(q =>
       s"rank:$q" -> (() => { SparkEntry.queries(q)(s, dir).count(); () }))

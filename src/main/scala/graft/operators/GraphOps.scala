@@ -31,6 +31,28 @@ object GraphOps {
     * pipeline keeps next to its edge list. Same [[DerivedFiles]]
     * atomic-publish discipline as every derived file.
     */
+  /** Materialized distinct (customer, supplier) bipartite edge list of
+    * the purchase graph — the [[hits]] input, a pure function of the
+    * corpus that previously re-paid the lineitem⋈orders join + distinct
+    * (~half of hits' wall time) on every run. Same [[DerivedFiles]]
+    * discipline; the join stays un-hinted inside the build (size-based
+    * planning broadcasts the order→customer map at fixture sf and
+    * degrades to an orderkey shuffle join at TB scale instead of
+    * OOMing on a forced hint).
+    */
+  private[graft] def materializedBipartite(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
+      s"/graft_io/bipartite_v1_${DedupOps.cacheKey(dir, "lineitem")}"
+    DerivedFiles.getOrBuildParquet(s, path) {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey")), Seq("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+    }
+  }
+
   private[graft] def materializedDegrees(s: SparkSession, dir: String): DataFrame = {
     val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
       s"/graft_io/degrees_v1_${DedupOps.cacheKey(dir, "documents")}"
@@ -87,17 +109,7 @@ object GraphOps {
     * are the same dataflow.
     */
   def hits(s: SparkSession, dir: String): DataFrame = {
-    // no hint on the (orderkey -> custkey) map: size-based planning
-    // broadcasts it at fixture sf (fact side never shuffles for the
-    // join), and at TB scale — where orders outgrows any broadcast —
-    // the same plan degrades to an orderkey shuffle join instead of
-    // OOMing on a forced hint
-    val edges = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("o_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_custkey")), Seq("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-      .distinct().persist()
+    val edges = materializedBipartite(s, dir).persist()
     // localCheckpoint each normalized score relation (|C| or |S| rows):
     // without it every normalize re-evaluates its input twice (total +
     // scores), and the three chained half-rounds cascade that into 2^3
