@@ -508,6 +508,50 @@ object EventOps {
     pi.orderBy("event_type")
   }
 
+  /** #445 Truncated-horizon absorption probability into `purchase`:
+    * treating purchase as an ABSORBING state of the event-type Markov
+    * chain, a_i = P(a session starting at type i reaches purchase
+    * within 10 steps) — the conversion-reachability readout that turns
+    * [[eventTransitions]]' one-step matrix into "which entry points
+    * ever convert" ([[markovStationary]] answers where time is spent;
+    * this answers where it ENDS). Recurrence a' = (n_{i,purchase}·10⁶ +
+    * Σ_{j≠purchase} n_ij·a_j) div rt_i from a₀ = 0, 10 unrolled rounds
+    * — ONE truncating division per state per round, so the ≤10 micro
+    * floor drift is engine-identical; a type with no observed outgoing
+    * row contributes 0 (conservative). Scale: the same single
+    * user-keyed lag window as every chain op, then 10 rounds of
+    * |types|²-row arithmetic (localCheckpoint per round, the
+    * [[GraphOps]] discipline). The twin unrolls the identical rounds
+    * as CTEs.
+    */
+  def markovAbsorbing(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(s, dir)
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull && col("from_type") =!= "purchase")
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val totals = pairs.groupBy("from_type").agg(sum(col("n")).as("rt"))
+    val mat = pairs.join(broadcast(totals), Seq("from_type")).localCheckpoint()
+    var a = totals.select(col("from_type").as("event_type"),
+      lit(0L).as("a_micro")).localCheckpoint()
+    (1 to 10).foreach { _ =>
+      a = mat
+        .join(a.select(col("event_type").as("to_type"),
+          col("a_micro").as("aj")), Seq("to_type"), "left_outer")
+        .withColumn("term",
+          when(col("to_type") === "purchase", col("n") * 1000000L)
+            .otherwise(col("n") * coalesce(col("aj"), lit(0L))))
+        .groupBy(col("from_type"))
+        .agg(max(col("rt")).as("rt"), sum(col("term")).as("tsum"))
+        .select(col("from_type").as("event_type"),
+          expr("tsum div rt").as("a_micro"))
+        .localCheckpoint()
+    }
+    a.orderBy("event_type")
+  }
+
   /** #297 Inter-event dwell times by transition pair: for each
     * (from_type → to_type) pair, how LONG users sit between the two
     * events (exact integer seconds: n, mean, max) — the timing
@@ -573,6 +617,7 @@ object EventOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel_windowed" -> (funnelWindowed _),
     "q_markov_stationary" -> (markovStationary _),
+    "q_markov_absorbing" -> (markovAbsorbing _),
     "q_event_dwell" -> (eventDwell _),
     "q_win_streaks" -> (winStreaks _),
     "q_peak_concurrency" -> (peakConcurrency _),
@@ -624,7 +669,42 @@ object EventOps {
        |FROM fin ORDER BY event_type""".stripMargin
   }
 
+  /** Absorption twin: the 10 recurrence rounds unrolled as CTEs over
+    * the purchase-absorbing matrix — identical (Σ term) div rt floors.
+    */
+  private def absorbingOracleSql: String = {
+    val rounds = (1 to 10).map { k =>
+      s"""a$k AS (
+         |  SELECT m.from_type AS event_type,
+         |    CAST(SUM(CASE WHEN m.to_type = 'purchase' THEN m.n * 1000000
+         |      ELSE m.n * COALESCE(p.a_micro, 0) END) // MAX(m.rt)
+         |      AS BIGINT) AS a_micro
+         |  FROM mat m LEFT JOIN a${k - 1} p ON p.event_type = m.to_type
+         |  GROUP BY m.from_type),""".stripMargin
+    }.mkString("\n")
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type, ts, event_id,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS from_type
+       |  FROM events),
+       |pairs AS (
+       |  SELECT from_type, event_type AS to_type, COUNT(*) AS n
+       |  FROM seq WHERE from_type IS NOT NULL AND from_type <> 'purchase'
+       |  GROUP BY from_type, event_type),
+       |totals AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS rt
+       |           FROM pairs GROUP BY from_type),
+       |mat AS (SELECT pairs.from_type, pairs.to_type, pairs.n, totals.rt
+       |        FROM pairs JOIN totals USING (from_type)),
+       |a0 AS (
+       |  SELECT from_type AS event_type, CAST(0 AS BIGINT) AS a_micro
+       |  FROM totals),
+       |$rounds
+       |fin AS (SELECT * FROM a10)
+       |SELECT event_type, a_micro FROM fin ORDER BY event_type""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_markov_absorbing" -> absorbingOracleSql,
     "q_funnel_windowed" ->
       """WITH ev AS (
         |  SELECT user_id, event_type,

@@ -647,6 +647,39 @@ object TimeWindows {
       .orderBy("day")
   }
 
+  /** #446 Martin's ulcer index of the daily revenue series per order
+    * priority: UI = √(mean(dd%²)) over the running-peak drawdown
+    * profile — the depth-AND-duration risk summary the max-drawdown
+    * readout (#307) can't give (a series that lingers 20% down scores
+    * far worse than one that dipped once). dd_ppm are exact integers
+    * from the running-max window; Σdd² ≤ |days|·10¹² stays in int64;
+    * UI is ONE floored double sqrt, identical expression both engines.
+    * Also emits the max drawdown for the #307 cross-read. Scale:
+    * priority-partitioned running-max over the calendar-bounded daily
+    * aggregate, then a |pri|-row readout.
+    */
+  def winUlcer(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pri").orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("pri"),
+        date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev"))
+      .withColumn("peak", max(col("rev")).over(w))
+      .withColumn("dd_ppm",
+        expr("(cast(peak - rev as decimal(38,0)) * 1000000) div peak")
+          .cast("long"))
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n_days"),
+        max(col("dd_ppm")).as("max_dd_ppm"),
+        sum(col("dd_ppm") * col("dd_ppm")).as("sdd2"))
+      .select(col("pri"), col("n_days"), col("max_dd_ppm"),
+        expr("cast(floor(sqrt(cast(sdd2 as double) / n_days)) as long)")
+          .as("ulcer_ppm"))
+      .orderBy("pri")
+  }
+
   /** #351 Granger-causality F (lag-1, restricted-vs-unrestricted) on
     * the two largest event streams: does B's yesterday improve
     * predicting A's today beyond A's own yesterday? — the standard
@@ -1444,6 +1477,7 @@ object TimeWindows {
     "q_ts_sax" -> (tsSax _),
     "q_ts_mann_kendall" -> (tsMannKendall _),
     "q_win_drawdown" -> (tsDrawdown _),
+    "q_win_ulcer" -> (winUlcer _),
     "q_ts_stl_strength" -> (tsStlStrength _),
     "q_ts_changepoint" -> (tsChangepoint _),
     "q_ts_burstiness" -> (tsBurstiness _),
@@ -2022,6 +2056,28 @@ object TimeWindows {
         |  CAST((CAST(peak_cents - rev_cents AS HUGEINT) * 1000000) // peak_cents
         |    AS BIGINT) AS dd_ppm
         |FROM r ORDER BY day""".stripMargin,
+    "q_win_ulcer" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS pri,
+        |    CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT pri, rev,
+        |    MAX(rev) OVER (PARTITION BY pri ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM daily),
+        |dd AS (
+        |  SELECT pri,
+        |    CAST((CAST(peak - rev AS HUGEINT) * 1000000) // peak AS BIGINT)
+        |      AS dd_ppm
+        |  FROM r)
+        |SELECT pri, COUNT(*) AS n_days,
+        |  CAST(MAX(dd_ppm) AS BIGINT) AS max_dd_ppm,
+        |  CAST(floor(sqrt(CAST(SUM(dd_ppm * dd_ppm) AS DOUBLE) / COUNT(*)))
+        |    AS BIGINT) AS ulcer_ppm
+        |FROM dd GROUP BY pri ORDER BY pri""".stripMargin,
     "q_ts_stl_strength" ->
       """WITH daily AS (
         |  SELECT date_trunc('day', ts) AS day,

@@ -208,6 +208,48 @@ class Wave14Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("Markov absorption: exact BigInt replay of the 10-round recurrence") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(spark, sfDir)
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull && col("from_type") =!= "purchase")
+      .groupBy("from_type", "event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val froms = pairs.keys.map(_._1).toSeq.distinct.sorted
+    val rt = froms.map(f => f -> pairs.collect {
+      case ((ff, _), n) if ff == f => n }.sum).toMap
+    var a = froms.map(_ -> BigInt(0)).toMap
+    (1 to 10).foreach { _ =>
+      a = froms.map { f =>
+        val tsum = pairs.collect { case ((ff, t), n) if ff == f =>
+          BigInt(n) * (if (t == "purchase") BigInt(1000000) else a.getOrElse(t, BigInt(0)))
+        }.sum
+        f -> tsum / rt(f)
+      }.toMap
+    }
+    val got = operators.EventOps.markovAbsorbing(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === froms.toSet && !got.contains("purchase"))
+    froms.foreach { f =>
+      assert(BigInt(got(f)) === a(f), s"$f: ${got(f)} vs ${a(f)}")
+      assert(got(f) >= 0L && got(f) <= 1000000L)
+    }
+  }
+
+  test("ulcer index: bounded by the max drawdown, at least the single-dip floor") {
+    val rows = operators.TimeWindows.winUlcer(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, maxDd, ui) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ui <= maxDd, "RMS of drawdowns cannot exceed the max")
+      assert(ui >= math.floor(math.sqrt(maxDd.toDouble * maxDd / n)).toLong,
+        "RMS at least the one-max-dip contribution")
+      assert(maxDd <= 1000000L)
+    }
+  }
+
   test("range query plan: probes broadcast, corpus never sort-merge joined") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, SortMergeJoinExec}
