@@ -867,7 +867,84 @@ object EvalOps {
           .as("mcc2_ppm"))
       .orderBy("thr")
 
+  /** Poisson(1) inverse-CDF cut points over the 24-bit uniform from an
+    * md5 prefix — ONE source of truth: the Spark CASE and the DuckDB
+    * twin both interpolate these exact longs, so the bootstrap weights
+    * cannot desynchronize (the lshPlaneValues discipline). Mass above
+    * w = 4 collapses into w = 5 (P ≈ 0.37%, documented truncation).
+    */
+  private val PoissonCut: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    val pdf = Seq(1.0, 1.0, 0.5, 1.0 / 6, 1.0 / 24).map(_ * e1)
+    pdf.scanLeft(0.0)(_ + _).tail.map(c => math.floor(c * 16777216.0).toLong)
+  }
+
+  private def poissonCase(h: String): String =
+    s"CASE WHEN $h < ${PoissonCut(0)}L THEN 0L" +
+      (1 to 4).map(k => s" WHEN $h < ${PoissonCut(k)}L THEN ${k}L")
+        .mkString + " ELSE 5L END"
+
+  /** #447 Deterministic Poisson-bootstrap CI for the AUC (#209): each
+    * of 32 replicas reweights every document by a Poisson(1) draw from
+    * the content-addressed md5 uniform (the large-scale "Poisson
+    * bootstrap" — weights are independent per (replica, doc), no
+    * resampling shuffle, rerunnable byte-for-byte), recomputes the
+    * grouped-score-count AUC with weighted counts, and the CI reads
+    * the 2nd/31st order statistics (≈ 5%/95%). The error bar that
+    * turns the point AUC into a shippable claim. Per-replica AUC emits
+    * as an exact ppm integer so the order statistics have no float
+    * ties. Scale: the explode is B× the corpus but map-only until the
+    * (replica, score) aggregate — the shuffle carries B×|score-domain|
+    * states, never B× rows; the CI window is a ≤B-row bounded readout.
+    */
+  def evalBootstrapAuc(s: SparkSession, dir: String): DataFrame = {
+    val B = 32
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val point = docs
+      .groupBy("score")
+      .agg(sum(col("pos")).as("np"), sum(lit(1L) - col("pos")).as("nn"))
+      .withColumn("cum_nn", coalesce(sum(col("nn")).over(
+        Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .agg(sum(col("np").cast(DecimalType(38, 0)) * col("cum_nn")).as("c"),
+        sum(col("np").cast(DecimalType(38, 0)) * col("nn")).as("t"),
+        sum(col("np")).as("npos"), sum(col("nn")).as("nneg"))
+      .select(expr("cast(((c * 2 + t) * 1000000) div " +
+        "(cast(npos as decimal(38,0)) * nneg * 2) as long)")
+        .as("auc_point_ppm"))
+    val reps = docs
+      .withColumn("r", explode(sequence(lit(1L), lit(B.toLong))))
+      .withColumn("h", conv(substring(md5(concat(lit("bauc:"),
+        col("r").cast("string"), lit(":"), col("doc_id").cast("string"))),
+        1, 6), 16, 10).cast("long"))
+      .withColumn("wgt", expr(poissonCase("h")))
+    val aucs = reps.groupBy("r", "score")
+      .agg(sum(col("wgt") * col("pos")).as("np"),
+        sum(col("wgt") * (lit(1L) - col("pos"))).as("nn"))
+      .withColumn("cum_nn", coalesce(sum(col("nn")).over(
+        Window.partitionBy("r").orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy("r")
+      .agg(sum(col("np").cast(DecimalType(38, 0)) * col("cum_nn")).as("c"),
+        sum(col("np").cast(DecimalType(38, 0)) * col("nn")).as("t"),
+        sum(col("np")).as("npos"), sum(col("nn")).as("nneg"))
+      .filter(col("npos") > 0 && col("nneg") > 0)
+      .select(col("r"), expr("cast(((c * 2 + t) * 1000000) div " +
+        "(cast(npos as decimal(38,0)) * nneg * 2) as long)").as("auc_ppm"))
+    val wOrd = Window.orderBy("auc_ppm", "r")
+    aucs.withColumn("posn", row_number().over(wOrd))
+      .agg(count(lit(1)).as("n_replicas"),
+        max(when(col("posn") === 2, col("auc_ppm"))).as("lo_ppm"),
+        max(when(col("posn") === 31, col("auc_ppm"))).as("hi_ppm"))
+      .crossJoin(broadcast(point))
+      .select(col("n_replicas"), col("auc_point_ppm"),
+        col("lo_ppm"), col("hi_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_bootstrap_auc" -> (evalBootstrapAuc _),
     "q_eval_logloss" -> (evalLogloss _),
     "q_eval_ks_score" -> (evalKsScore _),
     "q_eval_cost_curve" -> (evalCostCurve _),
@@ -892,7 +969,65 @@ object EvalOps {
     "q_mann_whitney" -> (mannWhitney _),
     "q_bootstrap_ci" -> (bootstrapCi _))
 
+  private def bootstrapAucOracleSql: String = {
+    val wCase = s"CASE WHEN h < ${PoissonCut(0)} THEN 0" +
+      (1 to 4).map(k => s" WHEN h < ${PoissonCut(k)} THEN $k").mkString +
+      " ELSE 5 END"
+    s"""WITH docs AS (
+       |  SELECT doc_id, n_chars AS score,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+       |  FROM documents),
+       |pg AS (
+       |  SELECT score, CAST(SUM(pos) AS BIGINT) AS np,
+       |    CAST(SUM(1 - pos) AS BIGINT) AS nn
+       |  FROM docs GROUP BY score),
+       |pc AS (
+       |  SELECT np, nn, COALESCE(SUM(nn) OVER (ORDER BY score
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+       |  FROM pg),
+       |point AS (
+       |  SELECT CAST(((SUM(CAST(np AS HUGEINT) * cum_nn) * 2
+       |      + SUM(CAST(np AS HUGEINT) * nn)) * 1000000)
+       |    // (CAST(SUM(np) AS HUGEINT) * SUM(nn) * 2) AS BIGINT)
+       |    AS auc_point_ppm
+       |  FROM pc),
+       |reps AS (
+       |  SELECT d.score, d.pos, r.r,
+       |    ('0x' || substring(md5('bauc:' || CAST(r.r AS VARCHAR) || ':'
+       |      || CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT AS h
+       |  FROM docs d, (SELECT unnest(range(1, 33)) AS r) r),
+       |wr AS (SELECT score, pos, r, $wCase AS wgt FROM reps),
+       |g AS (
+       |  SELECT r, score, CAST(SUM(wgt * pos) AS BIGINT) AS np,
+       |    CAST(SUM(wgt * (1 - pos)) AS BIGINT) AS nn
+       |  FROM wr GROUP BY r, score),
+       |cw AS (
+       |  SELECT r, np, nn, COALESCE(SUM(nn) OVER (PARTITION BY r
+       |    ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |    0) AS cum_nn
+       |  FROM g),
+       |aucs AS (
+       |  SELECT r,
+       |    CAST(((SUM(CAST(np AS HUGEINT) * cum_nn) * 2
+       |        + SUM(CAST(np AS HUGEINT) * nn)) * 1000000)
+       |      // (CAST(SUM(np) AS HUGEINT) * SUM(nn) * 2) AS BIGINT)
+       |      AS auc_ppm
+       |  FROM cw GROUP BY r
+       |  HAVING SUM(np) > 0 AND SUM(nn) > 0),
+       |ord AS (
+       |  SELECT auc_ppm, row_number() OVER (ORDER BY auc_ppm, r) AS posn
+       |  FROM aucs),
+       |ci AS (
+       |  SELECT COUNT(*) AS n_replicas,
+       |    MAX(CASE WHEN posn = 2 THEN auc_ppm END) AS lo_ppm,
+       |    MAX(CASE WHEN posn = 31 THEN auc_ppm END) AS hi_ppm
+       |  FROM ord)
+       |SELECT ci.n_replicas, point.auc_point_ppm, ci.lo_ppm, ci.hi_ppm
+       |FROM ci, point""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_eval_bootstrap_auc" -> bootstrapAucOracleSql,
     "q_ml_stump" ->
       """WITH d AS (
         |  SELECT n_chars AS score,

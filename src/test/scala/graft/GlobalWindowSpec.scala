@@ -21,6 +21,7 @@ class GlobalWindowSpec extends AnyFunSuite with SparkFixture {
     */
   private val reviewed: Set[String] = Set(
     "q_ab_sequential", "q_benford", "q_bpe_train_step", "q_eval_auc",
+    "q_eval_bootstrap_auc",
     "q_eval_cost_curve", "q_eval_ks_score", "q_eval_lift", "q_eval_pr_auc",
     "q_eval_pr_curve", "q_eval_youden", "q_event_hazard", "q_graph_ppr",
     "q_hhi", "q_lorenz_deciles", "q_mix_resample", "q_mix_temperature",

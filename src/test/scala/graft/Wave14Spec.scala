@@ -208,6 +208,16 @@ class Wave14Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("bootstrap AUC: 32 replicas, ordered CI bracketing the point estimate") {
+    val r = operators.EvalOps.evalBootstrapAuc(spark, sfDir).collect().head
+    val (n, point, lo, hi) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n === 32L)
+    assert(lo <= hi && lo >= 0L && hi <= 1000000L)
+    assert(lo <= point && point <= hi,
+      s"point AUC $point outside bootstrap CI [$lo, $hi]")
+  }
+
   test("Markov absorption: exact BigInt replay of the 10-round recurrence") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
