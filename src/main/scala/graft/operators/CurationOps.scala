@@ -303,14 +303,20 @@ object CurationOps {
     * on the 10-row decile aggregate. Tie-break (score, doc_id),
     * mirrored in the twin.
     */
-  def qualityFilterSweep(s: SparkSession, dir: String): DataFrame = {
+  /** Rank-kernel builder shared with the bench prewarm (see
+    * [[StatsOps.rankedOrdersPrice]] for the discipline). */
+  private[graft] def rankedQualityScore(s: SparkSession, dir: String): (DataFrame, Long) = {
     val scored = Tables.documents(s, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         col("n_chars"))
       .withColumn("score_ppm", expr("(n_chars * 1000000) div n_tokens"))
-    val (ranked, n) = StatsOps.globalRanked(s, scored,
+    StatsOps.globalRanked(s, scored,
       Seq(col("score_ppm"), col("doc_id")), s"fsweep:$dir")
+  }
+
+  def qualityFilterSweep(s: SparkSession, dir: String): DataFrame = {
+    val (ranked, n) = rankedQualityScore(s, dir)
     val byDecile = ranked
       .withColumn("decile", expr(s"((r - 1) * 10) div ${n}L + 1"))
       .groupBy("decile")

@@ -195,15 +195,21 @@ object DecisionOps {
     * corpus pass for the proxy, the kernel's bounded histogram
     * collect, then 10-row algebra.
     */
-  def pruneCurve(s: SparkSession, dir: String): DataFrame = {
+  /** Rank-kernel builder shared with the bench prewarm (see
+    * [[StatsOps.rankedOrdersPrice]] for the discipline). */
+  private[graft] def rankedPruneH(s: SparkSession, dir: String): (DataFrame, Long) = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("n_chars"),
         size(split(col("text"), " ")).cast("long").as("nt"))
       .filter(col("nt") > 0L)
       .withColumn("h_milli", expr("(n_chars * 1000) div nt"))
-    val (ranked, n) = StatsOps.globalRanked(s,
+    StatsOps.globalRanked(s,
       docs.select(col("doc_id"), col("n_chars"), col("h_milli")),
       Seq(col("h_milli"), col("doc_id")), s"$dir#documents:prune_h")
+  }
+
+  def pruneCurve(s: SparkSession, dir: String): DataFrame = {
+    val (ranked, n) = rankedPruneH(s, dir)
     val byDecile = ranked
       .withColumn("decile", expr(s"((r - 1) * 10) div ${math.max(n, 1L)}"))
       .groupBy("decile")

@@ -254,7 +254,9 @@ object ExtraFuncs {
     * pivot back is one custkey aggregate; the monetary mass rides the
     * melt (metric='m' rows), so no join back to the base relation.
     */
-  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+  /** Rank-kernel builder shared with the bench prewarm (see
+    * [[StatsOps.rankedOrdersPrice]] for the discipline). */
+  private[graft] def rankedRfmMelt(s: SparkSession, dir: String): (DataFrame, Long) = {
     val maxD = Tables.orders(s, dir).agg(max(col("o_orderdate")).as("mx"))
     val melted = Tables.orders(s, dir)
       .groupBy(col("o_custkey").as("custkey"))
@@ -268,8 +270,12 @@ object ExtraFuncs {
           lit("m"), col("m"),
           lit("r"), datediff(col("mx"), col("last_d")).cast("long"))))
       .toDF("custkey", "metric", "v")
-    val (ranked, n) = graft.operators.StatsOps.globalRanked(s, melted,
+    graft.operators.StatsOps.globalRanked(s, melted,
       Seq(col("metric"), col("v"), col("custkey")), s"$dir#orders:rfm-melt")
+  }
+
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val (ranked, n) = rankedRfmMelt(s, dir)
     val c = n / 3
     val off: Map[String, Long] = Map("f" -> 0L, "m" -> c, "r" -> 2 * c)
     ranked

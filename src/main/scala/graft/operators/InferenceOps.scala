@@ -368,9 +368,8 @@ object InferenceOps {
     * calibration, and coverage; the kernel's range shuffle is the only
     * extra row-cardinality stage.
     */
-  def conformalInterval(s: SparkSession, dir: String): DataFrame = {
-    val alpha10 = 9L // (1-α)·10 with α = 0.1
-    val resid = olsPerOrder(s, dir)
+  private[graft] def conformalResid(s: SparkSession, dir: String): DataFrame =
+    olsPerOrder(s, dir)
       .crossJoin(broadcast(olsMulti(s, dir)
         .select(col("beta1_micro"), col("beta2_micro"), col("intercept_micro"))))
       .select(col("okey"),
@@ -379,9 +378,20 @@ object InferenceOps {
         abs(col("y") * 1000000L - col("beta1_micro") * col("x1") -
           col("beta2_micro") * col("x2") - col("intercept_micro")).as("abs_r"))
       .localCheckpoint() // feeds the rank kernel AND the coverage count
-    val cal = resid.filter(col("is_cal")).select(col("okey"), col("abs_r"))
-    val (ranked, nCal) = StatsOps.globalRanked(s, cal,
+
+  /** Rank-kernel builder shared with the bench prewarm (see
+    * [[StatsOps.rankedOrdersPrice]] for the discipline). `resid` is
+    * by-name: on a memo hit the calibration slice is never built. */
+  private[graft] def rankedConformal(s: SparkSession, dir: String,
+      resid: => DataFrame): (DataFrame, Long) =
+    StatsOps.globalRanked(s,
+      resid.filter(col("is_cal")).select(col("okey"), col("abs_r")),
       Seq(asc("abs_r"), asc("okey")), s"conformal:$dir")
+
+  def conformalInterval(s: SparkSession, dir: String): DataFrame = {
+    val alpha10 = 9L // (1-α)·10 with α = 0.1
+    val resid = conformalResid(s, dir)
+    val (ranked, nCal) = rankedConformal(s, dir, resid)
     val qIdx = (alpha10 * (nCal + 1) + 9) / 10 // ceil(0.9·(n+1))
     val qHat = ranked.filter(col("r") === qIdx)
       .select(col("abs_r").as("q_hat_micro"))

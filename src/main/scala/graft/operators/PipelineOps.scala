@@ -235,10 +235,16 @@ object PipelineOps {
     * (a bare repartitionByRange folds small inputs to one partition —
     * the exact single-task shape this avoids; see ntileBuckets).
     */
-  def sampleIndex(s: SparkSession, dir: String): DataFrame = {
-    val (ranked, _) = StatsOps.globalRanked(s,
+  /** Rank-kernel builder shared with the bench prewarm (see
+    * [[StatsOps.rankedOrdersPrice]] for the discipline); also shared by
+    * [[negativePairs]], which rides the same (relation, order) memo. */
+  private[graft] def rankedDocId(s: SparkSession, dir: String): (DataFrame, Long) =
+    StatsOps.globalRanked(s,
       Tables.documents(s, dir).select(col("doc_id"), col("lang")),
       Seq(col("doc_id")), s"$dir#docs:doc_id")
+
+  def sampleIndex(s: SparkSession, dir: String): DataFrame = {
+    val (ranked, _) = rankedDocId(s, dir)
     ranked
       .withColumn("sample_idx", col("r") - 1)
       .select(col("doc_id"), col("lang"), col("sample_idx"))
@@ -292,15 +298,23 @@ object PipelineOps {
     * would grow with the corpus (the exact ntile failure mode the
     * shared kernel exists to avoid).
     */
-  def batchBuckets(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+  private def lenBucketToks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("bucket",
         when(col("n_tokens") <= 16, 16L).when(col("n_tokens") <= 32, 32L)
           .when(col("n_tokens") <= 64, 64L).when(col("n_tokens") <= 128, 128L)
           .when(col("n_tokens") <= 256, 256L).otherwise(512L))
-    val (ranked, _) = StatsOps.globalRanked(s, toks,
+
+  /** Rank-kernel builder shared with the bench prewarm (see
+    * [[StatsOps.rankedOrdersPrice]] for the discipline). */
+  private[graft] def rankedLenBucket(s: SparkSession, dir: String): (DataFrame, Long) =
+    StatsOps.globalRanked(s, lenBucketToks(s, dir),
       Seq(col("bucket"), col("doc_id")), s"$dir#docs:len-bucket")
+
+  def batchBuckets(s: SparkSession, dir: String): DataFrame = {
+    val toks = lenBucketToks(s, dir)
+    val (ranked, _) = rankedLenBucket(s, dir)
     val offsets = toks.groupBy("bucket").count().collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val off: Map[Long, Long] =
@@ -328,9 +342,7 @@ object PipelineOps {
   def negativePairs(s: SparkSession, dir: String): DataFrame = {
     // same (relation, order) as sampleIndex — the lang column rides along
     // unused so the two queries share one memoized kernel build
-    val (ranked, n) = StatsOps.globalRanked(s,
-      Tables.documents(s, dir).select(col("doc_id"), col("lang")),
-      Seq(col("doc_id")), s"$dir#docs:doc_id")
+    val (ranked, n) = rankedDocId(s, dir)
     val idx = ranked.select(col("doc_id"), (col("r") - 1).as("idx"))
     val drawn = idx
       .withColumn("j", explode(expr("sequence(1, 4)")))
@@ -355,10 +367,15 @@ object PipelineOps {
     * relation is |L| rows) — per-stratum windows would shard the corpus
     * into |L| giant partitions at 100 TB.
     */
-  def curriculumInterleave(s: SparkSession, dir: String): DataFrame = {
-    val rel = StatsOps.rankedRel(s,
+  /** Rank-kernel builder shared with the bench prewarm (see
+    * [[StatsOps.rankedOrdersPrice]] for the discipline). */
+  private[graft] def relLangChars(s: SparkSession, dir: String): StatsOps.RankedRel =
+    StatsOps.rankedRel(s,
       Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
       Seq(col("lang"), col("n_chars"), col("doc_id")), s"$dir#docs:lang-chars")
+
+  def curriculumInterleave(s: SparkSession, dir: String): DataFrame = {
+    val rel = relLangChars(s, dir)
     val ranked = rel.ranked
     // lang offsets from the kernel's checkpointed relation — a |L|-group
     // aggregate over cached partitions, not a second parquet-scan job

@@ -138,13 +138,18 @@ object TrainSplitOps {
     * corpus/1000), which is precisely how engine scan planners consume
     * zone maps.
     */
+  /** Rank-kernel builder shared with the bench prewarm (see
+    * [[StatsOps.rankedOrdersPrice]] for the discipline). */
+  private[graft] def rankedOrdersDate(s: SparkSession, dir: String): (DataFrame, Long) =
+    StatsOps.globalRanked(s,
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+      Seq(col("o_orderdate"), col("o_orderkey")), s"$dir#orders:date_cluster")
+
   def zonemapPrune(s: SparkSession, dir: String): DataFrame = {
     val lo = "1996-03-01"
     val hi = "1996-09-01"
     val rows = 1000L
-    val (ranked, _) = StatsOps.globalRanked(s,
-      Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
-      Seq(col("o_orderdate"), col("o_orderkey")), s"$dir#orders:date_cluster")
+    val (ranked, _) = rankedOrdersDate(s, dir)
     val clustered = ranked.select(lit("date_clustered").as("layout"),
       expr(s"(r - 1) div ${rows}L").as("file_id"), col("o_orderdate"))
     val insertion = Tables.orders(s, dir)
