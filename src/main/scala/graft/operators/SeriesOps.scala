@@ -328,8 +328,13 @@ object SeriesOps {
     * revenue series per priority — the regularity readout next to
     * permutation entropy (#367): SampEn = −ln(A/B) with B the count of
     * length-2 template pairs matching within tolerance and A the same
-    * for length 3; low SampEn = self-similar/templated series. The
-    * σ-based tolerance convention is replaced by the exact-integer
+    * for length 3; low SampEn = self-similar/templated series.
+    * Template range is CANONICAL Richman–Moorman (r15, closing the r14
+    * verdict's convention nit): both the A and B counts run over the
+    * same population — template starts i, j ∈ [1, N−m] (positions
+    * admitting a length-3 template), enforced by requiring x3 on BOTH
+    * sides of every pair, so A/B is a true conditional probability.
+    * The σ-based tolerance convention is replaced by the exact-integer
     * range/20 (documented deviation — keeps every comparison integer);
     * ln stages per the repo rule as ⌊ln·1e9⌋ on each exact count, so
     * sampen_nano = ⌊ln B⌋ − ⌊ln A⌋. Scale: templates ride two lead()
@@ -355,12 +360,13 @@ object SeriesOps {
     val b = tmpl.select(col("pri"), col("t").as("tj"), col("x1").as("b1"),
       col("x2").as("b2"), col("x3").as("b3"))
     val pairs = a.join(b, Seq("pri")).filter(col("ti") < col("tj"))
-      .filter(col("a2").isNotNull && col("b2").isNotNull)
+      // canonical template range: both counts' populations are the
+      // positions admitting a length-(m+1) template (x3 exists)
+      .filter(col("a3").isNotNull && col("b3").isNotNull)
       .withColumn("m2",
         (abs(col("a1") - col("b1")) <= col("r_tol")) &&
           (abs(col("a2") - col("b2")) <= col("r_tol")))
-      .withColumn("m3", col("m2") && col("a3").isNotNull &&
-        col("b3").isNotNull && (abs(col("a3") - col("b3")) <= col("r_tol")))
+      .withColumn("m3", col("m2") && (abs(col("a3") - col("b3")) <= col("r_tol")))
     pairs.groupBy("pri")
       .agg(sum(when(col("m2"), 1L).otherwise(0L)).as("b_cnt"),
         sum(when(col("m3"), 1L).otherwise(0L)).as("a_cnt"))
@@ -532,11 +538,10 @@ object SeriesOps {
          |    (abs(a.x1 - b.x1) <= t.r_tol AND abs(a.x2 - b.x2) <= t.r_tol)
          |      AS m2,
          |    (abs(a.x1 - b.x1) <= t.r_tol AND abs(a.x2 - b.x2) <= t.r_tol
-         |      AND a.x3 IS NOT NULL AND b.x3 IS NOT NULL
          |      AND abs(a.x3 - b.x3) <= t.r_tol) AS m3
          |  FROM seq a JOIN seq b ON a.pri = b.pri AND a.t < b.t
          |  JOIN tol t ON t.pri = a.pri
-         |  WHERE a.x2 IS NOT NULL AND b.x2 IS NOT NULL),
+         |  WHERE a.x3 IS NOT NULL AND b.x3 IS NOT NULL),
          |cnt AS (
          |  SELECT pri,
          |    CAST(SUM(CASE WHEN m2 THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt,

@@ -83,6 +83,49 @@ class Round15Spec extends AnyFunSuite with SparkFixture {
     assert(got === ref)
   }
 
+  test("SampEn matches an exact driver replay of the canonical convention") {
+    // canonical Richman-Moorman template range (r15): BOTH the m=2 and
+    // m=3 counts run over template starts in [1, N-2] (x3 exists), so
+    // A/B is a true conditional probability. The replay recomputes the
+    // daily series and the O(n^2) counts in plain Scala -- the
+    // Krippendorff-class guard against a both-engines-wrong constant.
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority").as("pri"),
+        date_trunc("day", col("o_orderdate")).as("day"))
+      .agg((sum(Det.money(col("o_totalprice"))) * 100).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val byPri = daily.groupBy(_._1).map { case (pri, rows) =>
+      pri -> rows.sortBy(_._2.getTime).map(_._3)
+    }
+    val expected = byPri.map { case (pri, xs) =>
+      val n = xs.length
+      val rTol = (xs.max - xs.min) / 20
+      var bCnt = 0L; var aCnt = 0L
+      for (i <- 0 until n - 2; j <- (i + 1) until n - 2) {
+        val m2 = math.abs(xs(i) - xs(j)) <= rTol &&
+          math.abs(xs(i + 1) - xs(j + 1)) <= rTol
+        if (m2) {
+          bCnt += 1
+          if (math.abs(xs(i + 2) - xs(j + 2)) <= rTol) aCnt += 1
+        }
+      }
+      val sampen: Option[Long] =
+        if (aCnt > 0 && bCnt > 0)
+          Some(math.floor(math.log(bCnt.toDouble) * 1e9).toLong -
+            math.floor(math.log(aCnt.toDouble) * 1e9).toLong)
+        else None
+      pri -> ((n.toLong, rTol, bCnt, aCnt, sampen))
+    }
+    val got = operators.SeriesOps.tsSampen(spark, sfDir).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    }.toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (pri, exp) =>
+      assert(got(pri) === exp, s"SampEn replay mismatch for $pri")
+    }
+  }
+
   test("jaccard/adamic-adar graded queries still produce their top-20 shape") {
     val j = operators.GraphOps.jaccardSim(spark, sfDir).collect()
     assert(j.nonEmpty && j.length <= 20)
