@@ -1094,6 +1094,29 @@ object InferenceOps {
     * calendar-bounded daily relation (above the day aggregate — the
     * GlobalWindowSpec-pinned bounded shape).
     */
+  /** Week-of-month value-mass per event type, zero-filled to the
+    * complete (type, week) grid up to the GLOBAL max observed week —
+    * the shared input of the two complete-block rank designs
+    * ([[pageTrend]], [[quadeTest]]). A block missing a week gets an
+    * explicit v = 0 cell (ranked lowest by the (v, wk) tie-break, in
+    * both engines), so the tests' complete-design null moments hold
+    * structurally instead of by fixture luck.
+    */
+  private[graft] def weeklyByTypeFilled(s: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("cast(least((dayofmonth(ts) - 1) div 7, 4) + 1 as long)")
+          .as("wk"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("v"))
+    val mx = weekly.agg(max(col("wk")).as("mk"))
+    weekly.select("event_type").distinct()
+      .crossJoin(broadcast(mx))
+      .select(col("event_type"), explode(expr("sequence(1L, mk)")).as("wk"))
+      .join(weekly, Seq("event_type", "wk"), "left")
+      .select(col("event_type"), col("wk"),
+        coalesce(col("v"), lit(0L)).as("v"))
+  }
+
   def cvmTwoSample(s: SparkSession, dir: String): DataFrame = {
     val dec = DecimalType(38, 0)
     val daily = Tables.events(s, dir)
@@ -1132,14 +1155,15 @@ object InferenceOps {
     * double division (both engines: integer→IEEE-double conversions
     * and one correctly-rounded sqrt). Ranks tie-break by (mass, week),
     * mirrored in the twin. Scale: one |type|×5-row window over the
-    * week aggregate.
+    * week aggregate. r15 (ADVICE): the design is made COMPLETE before
+    * ranking — the (type, week) grid is zero-filled up to the global
+    * max week via [[weeklyByTypeFilled]], so E[L] and Var(L)'s
+    * complete-block null moments are valid even if a block misses a
+    * week (on the complete January fixture the fill is a no-op and the
+    * output is unchanged).
     */
   def pageTrend(s: SparkSession, dir: String): DataFrame = {
-    val weekly = Tables.events(s, dir)
-      .groupBy(col("event_type"),
-        expr("cast(least((dayofmonth(ts) - 1) div 7, 4) + 1 as long)")
-          .as("wk"))
-      .agg(sum(floor(col("value") * 1e6).cast("long")).as("v"))
+    val weekly = weeklyByTypeFilled(s, dir)
     val wIn = Window.partitionBy("event_type").orderBy("v", "wk")
     weekly
       .withColumn("rk", row_number().over(wIn).cast("long"))
@@ -1242,13 +1266,12 @@ object InferenceOps {
     * zero → NULL on both engines). Range-rank ties break by block name,
     * treatment-rank ties by (v, wk) — documented total orders mirrored
     * in the twin. Scale: |type|×5-row algebra over the week aggregate.
+    * r15 (ADVICE): blocks are zero-filled to a complete design before
+    * ranking ([[weeklyByTypeFilled]] — the pageTrend note), so every
+    * block's k equals the global treatment count by construction.
     */
   def quadeTest(s: SparkSession, dir: String): DataFrame = {
-    val weekly = Tables.events(s, dir)
-      .groupBy(col("event_type"),
-        expr("cast(least((dayofmonth(ts) - 1) div 7, 4) + 1 as long)")
-          .as("wk"))
-      .agg(sum(floor(col("value") * 1e6).cast("long")).as("v"))
+    val weekly = weeklyByTypeFilled(s, dir)
     val wIn = Window.partitionBy("event_type").orderBy("v", "wk")
     val ranked = weekly
       .withColumn("rk", row_number().over(wIn).cast("long"))
@@ -1422,15 +1445,24 @@ object InferenceOps {
         |    CAST(least((day(ts) - 1) // 7, 4) + 1 AS BIGINT) AS wk,
         |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS v
         |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT t.event_type, CAST(gs.wk AS BIGINT) AS wk
+        |  FROM (SELECT DISTINCT event_type FROM weekly) t
+        |  CROSS JOIN (SELECT unnest(generate_series(1,
+        |    (SELECT MAX(wk) FROM weekly))) AS wk) gs),
+        |filled AS (
+        |  SELECT g.event_type, g.wk, CAST(COALESCE(w.v, 0) AS BIGINT) AS v
+        |  FROM grid g LEFT JOIN weekly w
+        |    ON w.event_type = g.event_type AND w.wk = g.wk),
         |rk AS (
         |  SELECT event_type, wk, v,
         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY v, wk)
         |      AS BIGINT) AS rk
-        |  FROM weekly),
+        |  FROM filled),
         |bq AS (
         |  SELECT event_type, MAX(v) - MIN(v) AS rng,
         |    CAST(COUNT(*) AS BIGINT) AS k
-        |  FROM weekly GROUP BY event_type),
+        |  FROM filled GROUP BY event_type),
         |bqr AS (
         |  SELECT event_type, k,
         |    CAST(row_number() OVER (ORDER BY rng, event_type) AS BIGINT) AS q
@@ -1465,7 +1497,8 @@ object InferenceOps {
         |      AS r,
         |    CAST(COUNT(*) OVER () AS BIGINT) AS nn
         |  FROM daily),
-        |sc AS (SELECT event_type, nn, least(r, nn + 1 - r) AS score FROM rk)
+        |sc AS (SELECT 1 AS g, event_type, nn, least(r, nn + 1 - r) AS score
+        |  FROM rk)
         |SELECT
         |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n,
@@ -1480,7 +1513,7 @@ object InferenceOps {
         |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
         |      * (MAX(nn) + 1) * (MAX(nn) + 1) AS BIGINT)
         |  END AS e_ab_4n
-        |FROM sc""".stripMargin,
+        |FROM sc GROUP BY g""".stripMargin,
     "q_stats_cvm" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,
@@ -1499,11 +1532,9 @@ object InferenceOps {
         |    SUM(CAST((r - i) * (r - i) AS HUGEINT)) AS ssq
         |  FROM rk GROUP BY event_type),
         |ab AS (
-        |  SELECT
-        |    (SELECT cnt FROM ss WHERE event_type = 'click') AS n,
-        |    (SELECT ssq FROM ss WHERE event_type = 'click') AS ssn,
-        |    (SELECT cnt FROM ss WHERE event_type = 'purchase') AS m,
-        |    (SELECT ssq FROM ss WHERE event_type = 'purchase') AS ssm),
+        |  SELECT a.cnt AS n, a.ssq AS ssn, b.cnt AS m, b.ssq AS ssm
+        |  FROM ss a JOIN ss b
+        |    ON a.event_type = 'click' AND b.event_type = 'purchase'),
         |u AS (SELECT n, m, n * ssn + m * ssm AS u FROM ab)
         |SELECT n, m, CAST(u AS BIGINT) AS u,
         |  CAST(((6 * u - CAST(n AS HUGEINT) * m * (4 * n * m - 1))
@@ -1519,11 +1550,20 @@ object InferenceOps {
         |    CAST(least((day(ts) - 1) // 7, 4) + 1 AS BIGINT) AS wk,
         |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS v
         |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT t.event_type, CAST(gs.wk AS BIGINT) AS wk
+        |  FROM (SELECT DISTINCT event_type FROM weekly) t
+        |  CROSS JOIN (SELECT unnest(generate_series(1,
+        |    (SELECT MAX(wk) FROM weekly))) AS wk) gs),
+        |filled AS (
+        |  SELECT g.event_type, g.wk, CAST(COALESCE(w.v, 0) AS BIGINT) AS v
+        |  FROM grid g LEFT JOIN weekly w
+        |    ON w.event_type = g.event_type AND w.wk = g.wk),
         |rk AS (
         |  SELECT event_type, wk, v,
         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY v, wk)
         |      AS BIGINT) AS rk
-        |  FROM weekly),
+        |  FROM filled),
         |agg AS (
         |  SELECT COUNT(DISTINCT event_type) AS n, MAX(wk) AS k,
         |    CAST(SUM(wk * rk) AS BIGINT) AS l

@@ -126,6 +126,88 @@ class Round15Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  // raw events collected once for the rank-test replays: everything
+  // downstream (day/week-of-month slicing, integer mass, ranking, the
+  // statistic algebra) is recomputed in plain Scala/BigInt, independent
+  // of the Spark pipeline under test -- the Krippendorff-class guard
+  // the r14 verdict asked for on the new rank-test wave.
+  private lazy val rawEvents: Array[(String, java.time.Instant, Double)] =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"), col("value")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toInstant, r.getDouble(2)))
+
+  test("Cramer-von Mises matches an exact BigInt driver replay") {
+    val utc = java.time.ZoneOffset.UTC
+    val daily = rawEvents
+      .filter(e => e._1 == "click" || e._1 == "purchase")
+      .groupBy(e => (e._1, e._2.atZone(utc).toLocalDate))
+      .map { case ((t, d), es) =>
+        (t, d, es.map(e => math.floor(e._3 * 1e6).toLong).sum)
+      }.toArray
+    val sorted = daily.sortBy { case (t, d, v) => (v, d.toString, t) }
+    var iClick = 0L; var iPur = 0L
+    var ssn = BigInt(0); var ssm = BigInt(0)
+    sorted.zipWithIndex.foreach { case ((t, _, _), idx) =>
+      val r = idx + 1L
+      if (t == "click") { iClick += 1; ssn += BigInt(r - iClick).pow(2) }
+      else { iPur += 1; ssm += BigInt(r - iPur).pow(2) }
+    }
+    val n = BigInt(iClick); val m = BigInt(iPur)
+    val u = n * ssn + m * ssm
+    val tNano = (6 * u - n * m * (4 * n * m - 1)) * 1000000000L /
+      (6 * (n + m) * n * m)
+    val row = operators.InferenceOps.cvmTwoSample(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === n.toLong, "n")
+    assert(row(0).getLong(1) === m.toLong, "m")
+    assert(row(0).getLong(2) === u.toLong, "u")
+    assert(row(0).getLong(3) === tNano.toLong, "t_nano")
+  }
+
+  test("Quade matches an exact BigInt driver replay on the zero-filled grid") {
+    val utc = java.time.ZoneOffset.UTC
+    val weekly = rawEvents
+      .groupBy(e => (e._1,
+        math.min((e._2.atZone(utc).getDayOfMonth - 1) / 7, 4) + 1L))
+      .map { case ((t, w), es) =>
+        ((t, w), es.map(e => math.floor(e._3 * 1e6).toLong).sum)
+      }
+    val types = weekly.keys.map(_._1).toSeq.distinct.sorted
+    val kMax = weekly.keys.map(_._2).max
+    val filled: Map[(String, Long), Long] = (for {
+      t <- types; w <- 1L to kMax
+    } yield (t, w) -> weekly.getOrElse((t, w), 0L)).toMap
+    // within-block treatment ranks by (v, wk); block range ranks by (rng, type)
+    val rk: Map[(String, Long), Long] = types.flatMap { t =>
+      (1L to kMax).map(w => (w, filled((t, w)))).sortBy { case (w, v) => (v, w) }
+        .zipWithIndex.map { case ((w, _), i) => (t, w) -> (i + 1L) }
+    }.toMap
+    val q: Map[String, Long] = types
+      .map(t => t -> ((1L to kMax).map(w => filled((t, w))).max -
+        (1L to kMax).map(w => filled((t, w))).min))
+      .sortBy { case (t, rng) => (rng, t) }
+      .zipWithIndex.map { case ((t, _), i) => t -> (i + 1L) }.toMap
+    val s2: Map[(String, Long), BigInt] = filled.keys.map { case (t, w) =>
+      (t, w) -> BigInt(q(t)) * (2 * rk((t, w)) - (kMax + 1))
+    }.toMap
+    val a4 = s2.values.map(x => x * x).sum
+    val sb2 = (1L to kMax).map { w =>
+      val s2j = types.map(t => s2((t, w))).sum; s2j * s2j
+    }.sum
+    val nB = BigInt(types.length)
+    val denom = nB * a4 - sb2
+    val fMilli: Option[Long] =
+      if (denom > 0) Some(((nB - 1) * sb2 * 1000 / denom).toLong) else None
+    val row = operators.InferenceOps.quadeTest(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === nB.toLong, "n_blocks")
+    assert(row(0).getLong(1) === kMax, "k_treatments")
+    assert(row(0).getLong(2) === a4.toLong, "a4")
+    assert(row(0).getLong(3) === sb2.toLong, "sb2")
+    assert((if (row(0).isNullAt(4)) None else Some(row(0).getLong(4))) === fMilli,
+      "f_milli")
+  }
+
   test("jaccard/adamic-adar graded queries still produce their top-20 shape") {
     val j = operators.GraphOps.jaccardSim(spark, sfDir).collect()
     assert(j.nonEmpty && j.length <= 20)
