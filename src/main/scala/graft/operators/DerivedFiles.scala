@@ -61,10 +61,24 @@ private[graft] object DerivedFiles {
         java.lang.Long.toHexString(Thread.currentThread().getId) + "-" +
         java.lang.Long.toHexString(System.nanoTime()))
       writeTo(scratch.getPath)
-      // Publish: clear a stale (incomplete) target, then one atomic
-      // rename. A failed rename after which the target IS complete
-      // means another process won — keep theirs.
-      if (target.exists() && !complete(path)) deleteRecursively(target)
+      // Publish. A concurrent process may have published while we
+      // built — keep the winner (the build is a pure function of the
+      // corpus, so any complete copy is THE copy) and discard scratch.
+      if (complete(path)) { deleteRecursively(scratch); return }
+      // A stale (incomplete) target is cleared by RENAME-ASIDE, not
+      // in-place delete (r14 ADVICE): deleteRecursively on the live
+      // path could tear down a complete directory that a concurrent
+      // process renamed into place between our check and the delete,
+      // and expose readers to a half-deleted tree. rename(2) is atomic:
+      // whatever sits at `path` moves aside whole, our complete
+      // scratch replaces it immediately, and the aside copy is
+      // reclaimed off the live path. If the aside rename itself loses
+      // a race (target vanished or was replaced), fall through — the
+      // publish rename below re-checks completeness.
+      if (target.exists()) {
+        val aside = new java.io.File(scratch.getPath + ".aside")
+        if (target.renameTo(aside)) deleteRecursively(aside)
+      }
       if (!scratch.renameTo(target)) {
         if (!complete(path))
           throw new IllegalStateException(

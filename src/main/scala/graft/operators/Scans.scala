@@ -160,38 +160,48 @@ object Scans {
     * layout is a pure function of the source table, written once per tmp
     * lifetime. Bucketed metadata lives in the session catalog (bucket ids
     * are encoded in file NAMES, not parquet footers), which is in-memory
-    * and dies with the JVM — so a fresh JVM re-attaches the existing
-    * files with a CREATE TABLE … CLUSTERED BY DDL instead of rewriting
-    * the data; only the very first run pays the write. The merge hint
-    * pins SMJ (orders at test SF is broadcast-sized, which would bypass
-    * the layout being demonstrated; at real scale neither side
-    * broadcasts and SMJ is what the planner picks anyway).
+    * and dies with the JVM — so every JVM attaches the shared files with
+    * a CREATE TABLE … CLUSTERED BY DDL; only the very first process pays
+    * the write. r15 (ADVICE): the DATA write goes through
+    * [[DerivedFiles.ensure]] like every other derived file — Spark only
+    * bucket-writes via saveAsTable, so the build lands as a throwaway
+    * EXTERNAL table whose location IS the scratch directory (dropping it
+    * keeps the files), and the scratch is atomically renamed into place.
+    * Bucket ids live in file names, so the rename preserves the layout
+    * the attach DDL declares. The merge hint pins SMJ (orders at test SF
+    * is broadcast-sized, which would bypass the layout being
+    * demonstrated; at real scale neither side broadcasts and SMJ is what
+    * the planner picks anyway).
     */
   private def buildBucketed(s: SparkSession, dir: String): (String, String) = {
     val key = DedupOps.cacheKey(dir, "lineitem").take(16)
     def ensure(name: String, path: String, ddlCols: String, bucketCol: String)
-              (write: => Unit): Unit =
+              (writeVia: (String, String) => Unit): Unit =
       if (!s.catalog.tableExists(name)) {
-        if (new java.io.File(path, "_SUCCESS").exists())
-          s.sql(s"""CREATE TABLE $name ($ddlCols) USING PARQUET
-                   |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO 8 BUCKETS
-                   |LOCATION '$path'""".stripMargin)
-        else write
+        DerivedFiles.ensure(path) { scratch =>
+          val tmp = name + "_build_" +
+            java.lang.Long.toHexString(System.nanoTime())
+          writeVia(tmp, scratch)
+          s.sql(s"DROP TABLE IF EXISTS $tmp") // external: files stay
+        }
+        s.sql(s"""CREATE TABLE IF NOT EXISTS $name ($ddlCols) USING PARQUET
+                 |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO 8 BUCKETS
+                 |LOCATION '$path'""".stripMargin)
       }
     val liName = s"graft_b_lineitem_$key"
     val liPath = ioDir("bkt_lineitem", dir)
     ensure(liName, liPath, "l_orderkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE",
-        "l_orderkey") {
+        "l_orderkey") { (tmp, scratch) =>
       Tables.lineitem(s, dir).select("l_orderkey", "l_quantity", "l_extendedprice")
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", liPath).mode("overwrite").saveAsTable(liName)
+        .option("path", scratch).saveAsTable(tmp)
     }
     val ordName = s"graft_b_orders_$key"
     val ordPath = ioDir("bkt_orders", dir)
-    ensure(ordName, ordPath, "o_orderkey BIGINT, o_orderstatus STRING", "o_orderkey") {
+    ensure(ordName, ordPath, "o_orderkey BIGINT, o_orderstatus STRING", "o_orderkey") { (tmp, scratch) =>
       Tables.orders(s, dir).select("o_orderkey", "o_orderstatus")
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", ordPath).mode("overwrite").saveAsTable(ordName)
+        .option("path", scratch).saveAsTable(tmp)
     }
     (liName, ordName)
   }

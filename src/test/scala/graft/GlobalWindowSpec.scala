@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, LogicalPlan, Window => LWindow}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, LogicalPlan, Project, Window => LWindow}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Closes the "single-partition WindowExec warning" class: a window
@@ -35,12 +36,86 @@ class GlobalWindowSpec extends AnyFunSuite with SparkFixture {
     "q_ts_periodogram", "q_ts_seasonal", "q_ts_spectral_entropy",
     "q_ts_stl_strength", "q_ts_variance_ratio", "q_win_drawdown")
 
+  /** Attribute names an in-subtree Aggregate may group by and still
+    * count as a BOUND (r15, tightening the r14 ADVICE's "any Aggregate
+    * anywhere" hole): each is a reviewed bounded domain — event/flag
+    * alphabets, languages, priorities, calendar units, fixed bucket or
+    * threshold grids — so the aggregate's output cardinality is
+    * data-scale-free. An aggregate grouping by a row-grain key
+    * (user_id, doc_id, okey…) no longer qualifies: a no-partition
+    * window above it fails this spec until the plan is fixed.
+    */
+  private val boundedGroupCols: Set[String] = Set(
+    // event alphabet + calendar units (events fixture)
+    "event_type", "day", "wk", "week", "mo", "month", "yr", "year", "d",
+    // documents: language / source / fixed mixture grids
+    "lang", "source", "w_ppm", "temp_milli",
+    // orders/lineitem: priority, flags, status
+    "pri", "o_orderpriority", "l_returnflag", "o_orderstatus", "flag",
+    // fixed evaluation/threshold/bucket grids
+    "bucket", "decile", "thr_ppm", "tau_ppm", "cut_ppm", "k", "grp",
+    "metric", "side", "cls", "digit", "lag", "split", "b", "seg",
+    // value-resolution grids: distinct values of a quantized integer
+    // measurement (the ROC/PR score axis), bounded by the value range,
+    // not the row count; n_name is the 25-value nation dimension
+    "n_chars", "n_name")
+
+  /** Calendar-unit extractors: their RANGE is bounded whatever column
+    * they read, so a grouping expression built from them is a bounded
+    * domain even when its leaf reference (ts, o_orderdate) is row-grain.
+    */
+  private def calendarFn(e: Expression): Boolean = e match {
+    case _: TruncTimestamp | _: TruncDate | _: Year | _: Month |
+         _: DayOfMonth | _: DayOfWeek | _: WeekDay | _: WeekOfYear |
+         _: Quarter | _: Hour | _: Minute => true
+    case _ => false
+  }
+
+  /** Resolve an attribute to the expression that defines it in a
+    * Project/Aggregate below (the optimizer extracts computed grouping
+    * keys into `_groupingexpression` aliases).
+    */
+  private def defining(a: Attribute, below: LogicalPlan): Option[Expression] = {
+    val aliases = below.collect {
+      case p: Project => p.projectList
+      case ag: Aggregate => ag.aggregateExpressions
+    }.flatten.collect { case al: Alias if al.exprId == a.exprId => al.child }
+    aliases.headOption
+  }
+
+  /** An attribute produced by a Generate (explode of a sequence) whose
+    * bounds are themselves bounded — a replica/slot index grid.
+    */
+  private def fromBoundedGenerate(a: Attribute, below: LogicalPlan): Boolean =
+    below.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate
+          if g.generatorOutput.exists(_.exprId == a.exprId) =>
+        g.generator.children.forall(boundedExpr(_, g.child))
+    }.exists(identity)
+
+  private def boundedExpr(e: Expression, below: LogicalPlan): Boolean = e match {
+    case a: Attribute =>
+      boundedGroupCols.contains(a.name) ||
+        defining(a, below).exists(boundedExpr(_, below)) ||
+        fromBoundedGenerate(a, below)
+    case _: Literal => true
+    case e if calendarFn(e) => true
+    // a grouping key that IS a lower aggregate's output (count/sum per
+    // entity) makes the node a VALUE HISTOGRAM: its cardinality is the
+    // number of distinct aggregate values — bounded by the value range,
+    // never by the entity count (the Spearman tie-histogram shape)
+    case _: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression => true
+    case other =>
+      other.children.nonEmpty && other.children.forall(boundedExpr(_, below))
+  }
+
   private def boundedBelow(w: LWindow): Boolean =
-    w.child.collectFirst {
-      case _: GlobalLimit => ()
-      case _: LocalLimit => ()
-      case _: Aggregate => ()
-    }.nonEmpty
+    w.child.collect {
+      case _: GlobalLimit => true
+      case _: LocalLimit => true
+      case a: Aggregate =>
+        a.groupingExpressions.forall(boundedExpr(_, a.child))
+    }.exists(identity)
 
   test("every no-partition window sits over a limit or aggregate; set is pinned") {
     val offenders = scala.collection.mutable.ListBuffer[String]()
