@@ -814,7 +814,69 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  /** #448 Structural-equivalence pairs via neighbor-set MinHash LSH —
+    * the INDEXED scale path for the wedge family this round degree-
+    * oriented ([[wedgeCandidates]]): where q_graph_jaccard exactly
+    * scores the wedge-generated candidates (work = Σ C(deg, 2), the
+    * output bound), this operator finds the high-similarity tail —
+    * node pairs whose NEIGHBORHOODS overlap ≥ 50% (interchangeable/
+    * duplicate nodes: the role-equivalence readout) — with candidate
+    * generation costing O(|V|·bands) instead of any wedge mass, the
+    * exact trade a 100 TB link-prediction pipeline makes.
+    *
+    * Shape: each node's adjacency set → 64-perm MinHash (the SAME
+    * native [[graft.functions.MinHashSigAgg]] kernel the dedup family
+    * runs, fed xxhash64(neighbor) instead of shingle hashes) → 32
+    * bands × 2 rows (r = 2 puts the S-curve knee at the 0.5 confirm
+    * threshold: P(candidate | J) = 1−(1−J²)³², ≈ 0.9999 at J = 0.5;
+    * the dedup family's 4-row bands knee at ~0.75 and would genuinely
+    * miss borderline pairs) → capped bucket pairing
+    * ([[DedupOps.boundedBucketPairs]]) → EXACT common-neighbor confirm
+    * via two equi-joins on the adjacency list, Jaccard in exact ppm.
+    *
+    * Oracle-able on the dedup family's argument: the confirm
+    * thresholds exactly the quantity MinHash estimates, so output ≡
+    * the all-pairs twin whenever LSH recall is 1 at the threshold —
+    * deterministic on the fixed fixtures (xxhash64-derived signatures,
+    * no rand()); Round15Spec pins recall against a brute-force replay.
+    */
+  def structEquiv(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = DedupOps.materializedEdges(s, dir)
+    val sym = e.select(col("doc_a").as("node"), col("doc_b").as("nbr"))
+      .unionByName(e.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
+    val sigs = sym
+      .select(col("node"), xxhash64(col("nbr")).as("nh"))
+      .groupBy("node")
+      .agg(expr("graft_minhash_sig(nh, 64)").as("sig"))
+    val bands = 32
+    val banded = sigs.select(col("node") +: (0 until bands).map(b =>
+      xxhash64(element_at(col("sig"), 2 * b + 1),
+        element_at(col("sig"), 2 * b + 2)).as(s"band$b")): _*)
+    val melted = banded.select(col("node").as("doc_id"),
+      posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
+        .as(Seq("band_idx", "band_hash")))
+    val cand = DedupOps.boundedBucketPairs(melted,
+        Seq("band_idx", "band_hash"), Seq.empty)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val deg = materializedDegrees(s, dir)
+    cand
+      .join(sym.select(col("node").as("doc_a"), col("nbr")), Seq("doc_a"))
+      .join(sym.select(col("node").as("doc_b"), col("nbr")), Seq("doc_b", "nbr"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+      .join(deg.select(col("node").as("doc_a"), col("deg").as("deg_a")), Seq("doc_a"))
+      .join(deg.select(col("node").as("doc_b"), col("deg").as("deg_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("deg_a"), col("deg_b"),
+        expr("(n_common * 1000000) div (deg_a + deg_b - n_common)")
+          .as("jaccard_ppm"))
+      .filter(col("jaccard_ppm") >= 500000L)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_struct_equiv" -> (structEquiv _),
     "q_graph_landmarks" -> (landmarkBfs _),
     "q_graph_closeness" -> (landmarkCloseness _),
     "q_graph_2hop" -> (twoHop _),
@@ -835,6 +897,32 @@ object GraphOps {
     "q_graph_triangles" -> (triangles _))
 
   val oracles: Map[String, String] = Map(
+    "q_graph_struct_equiv" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |sym AS (SELECT doc_a AS node, doc_b AS nbr FROM pairs
+        |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |nb AS (SELECT node, list_distinct(list(nbr)) AS ns,
+        |         CAST(COUNT(*) AS BIGINT) AS d
+        |       FROM sym GROUP BY node),
+        |sc AS (
+        |  SELECT a.node AS doc_a, b.node AS doc_b,
+        |    CAST(len(list_intersect(a.ns, b.ns)) AS BIGINT) AS n_common,
+        |    a.d AS deg_a, b.d AS deg_b
+        |  FROM nb a JOIN nb b ON a.node < b.node)
+        |SELECT doc_a, doc_b, n_common, deg_a, deg_b,
+        |  CAST((n_common * 1000000) // (deg_a + deg_b - n_common) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM sc
+        |WHERE (n_common * 1000000) // (deg_a + deg_b - n_common) >= 500000
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_graph_rich_club" ->
       """WITH base AS (
         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset

@@ -208,6 +208,32 @@ class Round15Spec extends AnyFunSuite with SparkFixture {
       "f_milli")
   }
 
+  test("structural equivalence: LSH output equals brute-force neighbor-jaccard") {
+    // recall = 1 at the 0.5 threshold on the fixture (deterministic
+    // xxhash64 signatures, 32x2 banding) -- the oracle-ability argument;
+    // the driver's DuckDB twin re-proves this at sf0.01.
+    val e = operators.DedupOps.materializedEdges(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs: Map[Long, Set[Long]] =
+      (e ++ e.map { case (a, b) => (b, a) })
+        .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    val nodes = nbrs.keys.toSeq.sorted
+    val expected = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      a = nodes(i); b = nodes(j)
+      common = (nbrs(a) & nbrs(b)).size.toLong
+      union = nbrs(a).size + nbrs(b).size - common
+      ppm = common * 1000000L / union
+      if ppm >= 500000L
+    } yield (a, b, common, nbrs(a).size.toLong, nbrs(b).size.toLong, ppm)
+    assert(expected.nonEmpty, "fixture must exercise the >= 0.5 tail")
+    val got = operators.GraphOps.structEquiv(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("jaccard/adamic-adar graded queries still produce their top-20 shape") {
     val j = operators.GraphOps.jaccardSim(spark, sfDir).collect()
     assert(j.nonEmpty && j.length <= 20)
