@@ -47,6 +47,12 @@ object Prewarm {
         (() => { GraphOps.lpaLabels(s, dir).count(); () }),
       "degrees" ->
         (() => { GraphOps.materializedDegrees(s, dir).count(); () }),
+      "oriented_edges" ->
+        (() => { GraphOps.materializedOriented(s, dir).count(); () }),
+      "wedge_pairs" ->
+        (() => { GraphOps.materializedWedgePairs(s, dir).count(); () }),
+      "neighbor_sigs" ->
+        (() => { GraphOps.materializedNeighborSigs(s, dir).count(); () }),
       "bipartite" ->
         (() => { GraphOps.materializedBipartite(s, dir).count(); () }),
       "scan_layouts" -> (() => Scans.prewarmBuilds(s, dir)),

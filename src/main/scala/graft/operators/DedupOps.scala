@@ -78,9 +78,21 @@ object DedupOps {
   private[graft] val MaxBucket = 256
 
   /** Shared candidate-pair tail: cap each (key, bucket) to [[MaxBucket]]
-    * members (bounded memory, see above), collect, and explode the
-    * intra-bucket pairs. `payload` rides alongside doc_id through the
-    * bucket (empty for minhash; simhash carries the fingerprint).
+    * members (bounded memory, see above), collect, dedupe IDENTICAL
+    * bucket contents, and explode the intra-bucket pairs. `payload`
+    * rides alongside doc_id through the bucket (empty for minhash;
+    * simhash carries the fingerprint).
+    *
+    * The content dedupe (r16) is the banded-LSH pruning trick: a tight
+    * cluster collides in MANY of its bands with the SAME membership (an
+    * identical-neighborhood equivalence class collides in ALL 32
+    * struct-equiv bands), so without it the C(n,2) explosion and the
+    * consumer's pair-distinct pay the band multiplicity — measured 32×
+    * pair mass on q_graph_struct_equiv at sf0.1. One extra hash-distinct
+    * over the BUCKET relation (rows ≤ melt size, each ≤ cap wide) buys
+    * an explosion bounded by DISTINCT bucket contents. Output-safe:
+    * every consumer takes the candidate set through `.distinct()` —
+    * pair multiplicity across bands carries no information.
     */
   private[graft] def boundedBucketPairs(melted: DataFrame, keyCols: Seq[String],
       payload: Seq[String], maxBucket: Int = MaxBucket): DataFrame = {
@@ -94,6 +106,7 @@ object DedupOps {
       .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(entry)).as("docs"))
       .filter(size(col("docs")) > 1)
+      .select("docs").distinct()
       .select(explode(expr(
         """flatten(transform(docs, (a, i) ->
           |  transform(slice(docs, i + 2, size(docs)), b -> struct(a, b))))""".stripMargin))

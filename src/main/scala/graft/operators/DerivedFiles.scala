@@ -75,9 +75,27 @@ private[graft] object DerivedFiles {
       // reclaimed off the live path. If the aside rename itself loses
       // a race (target vanished or was replaced), fall through — the
       // publish rename below re-checks completeness.
+      // NOTE for cross-process readers: between the aside rename and the
+      // publish rename below, `path` is transiently absent (ENOENT
+      // window). In-process consumers are safe (they call ensure() and
+      // hold the per-path lock); an out-of-process reader must either
+      // tolerate a transient missing path or gate its read on the same
+      // ensure() protocol — which every repo consumer does via
+      // getOrBuildParquet.
       if (target.exists()) {
         val aside = new java.io.File(scratch.getPath + ".aside")
-        if (target.renameTo(aside)) deleteRecursively(aside)
+        if (target.renameTo(aside)) {
+          // Re-check the moved-aside copy before reclaiming it: a racing
+          // PROCESS may have published a COMPLETE build between our
+          // completeness check and the rename (r15 ADVICE). The build is
+          // a pure function of the corpus, so a complete copy is THE
+          // copy — rename the winner back and discard our scratch.
+          if (complete(aside.getPath) && aside.renameTo(target)) {
+            deleteRecursively(scratch)
+            return
+          }
+          deleteRecursively(aside)
+        }
       }
       if (!scratch.renameTo(target)) {
         if (!complete(path))

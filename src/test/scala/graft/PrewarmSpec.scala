@@ -67,9 +67,16 @@ class PrewarmSpec extends AnyFunSuite with SparkFixture {
     def num(key: String): Option[Double] =
       (s""""$key":\\s*(-?[0-9.Ee+]+)""").r.findFirstMatchIn(line).map(_.group(1).toDouble)
     val prewarm = num("prewarm_sec").getOrElse(0.0)
-    val value = num("value").getOrElse(fail("no value in BENCH_FULL.json"))
+    // anchor to the top-level metric record so a per-query "value" field
+    // added later can never shadow the headline number (r15 ADVICE)
+    val value = """"metric"\s*:\s*"[^"]*"\s*,\s*"value"\s*:\s*(-?[0-9.Ee+]+)""".r
+      .findFirstMatchIn(line).map(_.group(1).toDouble)
+      .getOrElse(fail("no top-level metric/value in BENCH_FULL.json"))
     val nQueries = """"q_[a-z0-9_]+":""".r.findAllIn(line).size
-    assert(nQueries > 100, s"unexpected bench shape ($nQueries queries)")
+    // a partial/targeted bench artifact (e.g. a SPARK_GRAFT_ONLY judge
+    // re-run) is a different shape, not a budget violation — cancel, don't
+    // fail (r15 ADVICE)
+    assume(nQueries > 100, s"partial bench artifact ($nQueries queries) — budget gate needs a full run")
     // BASELINE.md's derived engine budget: ~1.2 s/query leaves 2x margin
     // on the driver-held constant => 2.4 s/query is the hard gate the
     // COMBINED number must clear, so moving cost into prewarm can never

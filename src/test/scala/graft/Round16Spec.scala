@@ -1,0 +1,249 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-16 pins:
+  *
+  *  1. the shared-materialization refactor (oriented edges, neighbor-set
+  *     signatures) is OUTPUT-INVARIANT — the memoized paths the graded
+  *     graph queries now take produce the same relations the pure
+  *     kernels derive from scratch;
+  *  2. [[operators.GraphOps.structEquivOverflow]] is empty on the
+  *     fixtures, closing the r15 ADVICE recall-contingency item — the
+  *     256-bucket cap never engages, so oracle equality is limited only
+  *     by the documented 1e-4 banding-miss probability;
+  *  3. the Page/Quade zero-fill is exercised on a design that is
+  *     actually INCOMPLETE (the January fixture is complete, so the r15
+  *     fill was proven only as a no-op): a synthetic events fixture
+  *     missing one (type, week) cell, replayed against BigInt
+  *     recomputes over the FILLED grid;
+  *  4. the CvM / Ansari-Bradley degenerate-input contract (r15 ADVICE):
+  *     one-sample-empty and both-samples-empty fixtures pin the exact
+  *     row shapes the DuckDB twins' inner-join / GROUP BY rewrites
+  *     produce, so the engines can't drift on inputs the January
+  *     fixture never exercises.
+  */
+class Round16Spec extends AnyFunSuite with SparkFixture {
+
+  // ---- 1. shared-materialization output invariance -------------------
+
+  test("materializedOriented equals the pure orientation kernel's output") {
+    val e = operators.DedupOps.materializedEdges(spark, sfDir)
+    val deg = operators.GraphOps.materializedDegrees(spark, sfDir)
+    val fresh = operators.GraphOps.orientEdges(e, deg).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted
+    val memo = operators.GraphOps.materializedOriented(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted
+    assert(memo.nonEmpty && memo.toSeq === fresh.toSeq)
+  }
+
+  test("wedgeCandidatesOf(materialized) equals wedgeCandidates from scratch") {
+    val e = operators.DedupOps.materializedEdges(spark, sfDir)
+    val deg = operators.GraphOps.materializedDegrees(spark, sfDir)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+    val fresh = operators.GraphOps.wedgeCandidates(e, deg)
+      .collect().map(key).sorted
+    val memo = operators.GraphOps
+      .wedgeCandidatesOf(operators.GraphOps.materializedOriented(spark, sfDir))
+      .collect().map(key).sorted
+    assert(memo.nonEmpty && memo.toSeq === fresh.toSeq)
+  }
+
+  test("materializedWedgePairs equals a from-scratch wedge aggregate") {
+    val e = operators.DedupOps.materializedEdges(spark, sfDir)
+    val deg = operators.GraphOps.materializedDegrees(spark, sfDir)
+    val inv = deg.filter(col("deg") >= 2).select(col("node").as("mid"),
+      expr("1000000000000000000 div " +
+        "cast(floor(ln(cast(deg as double)) * 1e9) as bigint)").as("inv_nano"))
+    val fresh = operators.GraphOps.wedgeCandidates(e, deg)
+      .select("a", "b", "mid")
+      .join(e.select(col("doc_a").as("a"), col("doc_b").as("b")),
+        Seq("a", "b"), "left_anti")
+      .join(inv, Seq("mid"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("inv_nano").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("long").as("aa_nano"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted
+    val memo = operators.GraphOps.materializedWedgePairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted
+    assert(memo.nonEmpty && memo.toSeq === fresh.toSeq)
+  }
+
+  test("materializedNeighborSigs equals the inline signature aggregate") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = operators.DedupOps.materializedEdges(spark, sfDir)
+    val fresh = e.select(col("doc_a").as("node"), col("doc_b").as("nbr"))
+      .unionByName(e.select(col("doc_b").as("node"), col("doc_a").as("nbr")))
+      .select(col("node"), xxhash64(col("nbr")).as("nh"))
+      .groupBy("node").agg(expr("graft_minhash_sig(nh, 64)").as("sig"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toVector))
+      .sortBy(_._1)
+    val memo = operators.GraphOps.materializedNeighborSigs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toVector))
+      .sortBy(_._1)
+    assert(memo.nonEmpty && memo.toSeq === fresh.toSeq)
+  }
+
+  // ---- 2. struct-equiv bucket-cap monitor -----------------------------
+
+  test("structEquivOverflow is empty: the 256-cap never engages on the fixture") {
+    assert(operators.GraphOps.structEquivOverflow(spark, sfDir).collect().isEmpty,
+      "a non-empty overflow means a dense equivalence class melted past " +
+        "MaxBucket and the all-pairs oracle equality is at risk")
+  }
+
+  // ---- 3. Page/Quade zero-fill on a genuinely incomplete design ------
+
+  /** 3 types × weeks 1..4, with (c, 4) MISSING — one event per present
+    * cell on days 1/8/15/22 of January 2024, values chosen with no v
+    * ties anywhere (so every rank order is forced). ts is a plain
+    * TimestampType column — Tables.events passes it through unchanged.
+    */
+  private lazy val incompleteDir: String = {
+    import spark.implicits._
+    def ts(day: Int) =
+      java.sql.Timestamp.from(java.time.Instant.parse(
+        f"2024-01-$day%02dT12:00:00Z"))
+    // (type, week) -> value; c4 absent. Values distinct per design.
+    val cells = Seq(
+      ("a", 1, 5.0), ("a", 2, 3.0), ("a", 3, 9.0), ("a", 4, 7.0),
+      ("b", 1, 2.0), ("b", 2, 8.0), ("b", 3, 4.0), ("b", 4, 6.0),
+      ("c", 1, 11.0), ("c", 2, 1.0), ("c", 3, 10.0))
+    val rows = cells.zipWithIndex.map { case ((t, w, v), i) =>
+      (i.toLong, ts(1 + (w - 1) * 7), 1L, t, v, "")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_r16_fill").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def filledGrid: Map[(String, Long), Long] = {
+    val present = Map(
+      ("a", 1L) -> 5L, ("a", 2L) -> 3L, ("a", 3L) -> 9L, ("a", 4L) -> 7L,
+      ("b", 1L) -> 2L, ("b", 2L) -> 8L, ("b", 3L) -> 4L, ("b", 4L) -> 6L,
+      ("c", 1L) -> 11L, ("c", 2L) -> 1L, ("c", 3L) -> 10L)
+      .map { case (k, v) => k -> v * 1000000L }
+    (for (t <- Seq("a", "b", "c"); w <- 1L to 4L)
+      yield (t, w) -> present.getOrElse((t, w), 0L)).toMap
+  }
+
+  test("weeklyByTypeFilled creates the missing (c, 4) cell as an explicit zero") {
+    val got = operators.InferenceOps.weeklyByTypeFilled(spark, incompleteDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size === 12, s"expected the complete 3x4 grid, got ${got.size} cells")
+    assert(got(("c", 4L)) === 0L, "the absent cell must be zero-filled, not dropped")
+    assert(got === filledGrid)
+  }
+
+  test("Page's L on the incomplete design matches a BigInt replay over the filled grid") {
+    val grid = filledGrid
+    val types = Seq("a", "b", "c"); val k = 4L
+    // within-block ranks by (v, wk) -- no v ties by construction except
+    // none exist, so the wk tiebreak never fires
+    val rk: Map[(String, Long), Long] = types.flatMap { t =>
+      (1L to k).map(w => (w, grid((t, w)))).sortBy { case (w, v) => (v, w) }
+        .zipWithIndex.map { case ((w, _), i) => (t, w) -> (i + 1L) }
+    }.toMap
+    val n = BigInt(types.length)
+    // toSeq first: mapping over the key SET would dedup equal products
+    val l = grid.keys.toSeq.map { case (t, w) => BigInt(w) * rk((t, w)) }.sum
+    val eL4 = n * k * (k + 1) * (k + 1)
+    val var144 = n * k * k * (k + 1) * (k * k - 1)
+    val zMilli = math.floor((4 * l - eL4).toDouble * 3000 /
+      math.sqrt(var144.toDouble)).toLong
+    // the complete-design moments are only valid BECAUSE of the fill:
+    // with block c truncated at 3 treatments, E[L] and Var(L) would mix
+    // block sizes and the closed forms above would not apply
+    val row = operators.InferenceOps.pageTrend(spark, incompleteDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === n.toLong, "n_blocks")
+    assert(row(0).getLong(1) === k, "k_treatments")
+    assert(row(0).getLong(2) === l.toLong, "l")
+    assert(row(0).getLong(3) === (eL4 / 4).toLong, "e_l")
+    assert(row(0).getLong(4) === zMilli, "z_milli")
+  }
+
+  test("Quade on the incomplete design matches a BigInt replay over the filled grid") {
+    val grid = filledGrid
+    val types = Seq("a", "b", "c"); val k = 4L
+    val rk: Map[(String, Long), Long] = types.flatMap { t =>
+      (1L to k).map(w => (w, grid((t, w)))).sortBy { case (w, v) => (v, w) }
+        .zipWithIndex.map { case ((w, _), i) => (t, w) -> (i + 1L) }
+    }.toMap
+    val q: Map[String, Long] = types
+      .map(t => t -> ((1L to k).map(w => grid((t, w))).max -
+        (1L to k).map(w => grid((t, w))).min))
+      .sortBy { case (t, rng) => (rng, t) }
+      .zipWithIndex.map { case ((t, _), i) => t -> (i + 1L) }.toMap
+    val s2: Map[(String, Long), BigInt] = grid.keys.map { case (t, w) =>
+      (t, w) -> BigInt(q(t)) * (2 * rk((t, w)) - (k + 1))
+    }.toMap
+    val a4 = s2.values.map(x => x * x).sum
+    val sb2 = (1L to k).map { w =>
+      val s2j = types.map(t => s2((t, w))).sum; s2j * s2j
+    }.sum
+    val nB = BigInt(types.length)
+    val denom = nB * a4 - sb2
+    val fMilli: Option[Long] =
+      if (denom > 0) Some(((nB - 1) * sb2 * 1000 / denom).toLong) else None
+    val row = operators.InferenceOps.quadeTest(spark, incompleteDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === nB.toLong, "n_blocks")
+    assert(row(0).getLong(1) === k, "k_treatments")
+    assert(row(0).getLong(2) === a4.toLong, "a4")
+    assert(row(0).getLong(3) === sb2.toLong, "sb2")
+    assert((if (row(0).isNullAt(4)) None else Some(row(0).getLong(4))) === fMilli,
+      "f_milli")
+  }
+
+  // ---- 4. CvM / Ansari degenerate-input contracts ---------------------
+
+  private def eventsDir(types: Seq[String]): String = {
+    import spark.implicits._
+    val rows = types.zipWithIndex.map { case (t, i) =>
+      (i.toLong,
+        java.sql.Timestamp.from(java.time.Instant.parse(
+          f"2024-01-${1 + i}%02dT12:00:00Z")),
+        1L, t, 2.0 + i, "")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_r16_degen").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("CvM emits ZERO rows when one sample is absent (twin inner-join contract)") {
+    // the DuckDB twin's ab CTE is an inner join of the click and purchase
+    // aggregates -- absent purchase means zero rows there; the Spark side's
+    // a.crossJoin(b) with empty b must agree
+    val oneType = eventsDir(Seq("click", "click", "click"))
+    assert(operators.InferenceOps.cvmTwoSample(spark, oneType).collect().isEmpty)
+    // both samples absent: the WHERE filter leaves nothing on either side
+    val neither = eventsDir(Seq("view", "view"))
+    assert(operators.InferenceOps.cvmTwoSample(spark, neither).collect().isEmpty)
+  }
+
+  test("Ansari emits ONE row with m=0 on one sample, ZERO rows on none (twin GROUP BY contract)") {
+    // the twin's GROUP BY g over a non-empty scored relation emits exactly
+    // one row even when the purchase sample is empty (m = 0); over an
+    // empty relation it emits zero rows -- the Spark groupBy(lit(1))
+    // matches both shapes
+    val oneType = eventsDir(Seq("click", "click", "click"))
+    val one = operators.InferenceOps.ansariBradley(spark, oneType).collect()
+    assert(one.length === 1)
+    assert(one(0).getLong(0) === 3L, "n = 3 click days")
+    assert(one(0).getLong(1) === 0L, "m = 0: purchase sample empty")
+    // 3 distinct days, scores = min(r, 4-r) over r=1..3 -> 1+2+1 = 4
+    assert(one(0).getLong(2) === 4L, "ab_stat over the click sample alone")
+    val neither = eventsDir(Seq("view", "view"))
+    assert(operators.InferenceOps.ansariBradley(spark, neither).collect().isEmpty)
+  }
+}
