@@ -91,6 +91,43 @@ class Round16Spec extends AnyFunSuite with SparkFixture {
     assert(memo.nonEmpty && memo.toSeq === fresh.toSeq)
   }
 
+  // ---- 1b. plan shapes of the amortized consumers ---------------------
+
+  private def executed(df: org.apache.spark.sql.DataFrame) = {
+    df.collect()
+    df.queryExecution.executedPlan
+  }
+
+  private def collectAll(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      a +: collectAll(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      q +: collectAll(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      r +: collectAll(r.child)
+    case other => other +: (other.children.flatMap(collectAll) ++
+      other.subqueries.flatMap(collectAll))
+  }
+
+  test("adamic-adar is a wedge-pair read + TakeOrderedAndProject, no join at all") {
+    val plan = executed(operators.GraphOps.adamicAdar(spark, sfDir))
+    val all = collectAll(plan)
+    assert(all.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      s"expected TakeOrderedAndProject, plan:\n$plan")
+    assert(!all.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      s"the materialized candidate table leaves nothing to join:\n$plan")
+  }
+
+  test("jaccard is a wedge-pair read + degree joins + TakeOrderedAndProject") {
+    val plan = executed(operators.GraphOps.jaccardSim(spark, sfDir))
+    assert(collectAll(plan).exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      s"expected TakeOrderedAndProject, plan:\n$plan")
+  }
+
   // ---- 2. struct-equiv bucket-cap monitor -----------------------------
 
   test("structEquivOverflow is empty: the 256-cap never engages on the fixture") {
