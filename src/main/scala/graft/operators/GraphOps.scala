@@ -1030,7 +1030,65 @@ object GraphOps {
       .select(col("band_idx"), col("band_hash"),
         (col("n") - DedupOps.MaxBucket).as("dropped"))
 
+  private val TrussK = 4
+  private val TrussRounds = 3
+
+  /** #450 4-truss of the similarity graph by synchronous support
+    * peeling: each round computes every edge's triangle SUPPORT (the
+    * number of triangles it closes) over the surviving edge set and
+    * drops edges with support < k−2 — the edge-cohesion analog of
+    * [[kcore]] (a k-truss is always inside a (k−1)-core, but not vice
+    * versa: truss demands the shared-neighbor witnesses, so it isolates
+    * the genuinely clique-like near-dup communities that degree alone
+    * can't certify — the "template family" readout reviewers want
+    * after components/kcore over-merge). Output: surviving edges with
+    * their within-truss support.
+    *
+    * Shape per round: one degree aggregate → the degree-oriented
+    * triangle kernel ([[orientPlan]]/[[wedgesOf]] — each triangle
+    * enumerated once, hub wedges arboricity-bounded) → explode the 3
+    * id-normalized edges → support aggregate → semi-join the survivor
+    * set; localCheckpoint per round (the bounded-iteration house
+    * shape). EXACTLY `TrussRounds` rounds on both engines — extra
+    * rounds past the fixpoint are no-ops; Round16Spec pins fixpoint on
+    * the fixture (every surviving edge's final support ≥ k−2) and the
+    * K4-vs-pendant-triangle counterexample. Support counts are
+    * orientation-invariant, so the id-ordered unrolled-CTE twin (the
+    * [[kcore]] pattern) hash-matches.
+    */
+  def ktruss(s: SparkSession, dir: String): DataFrame =
+    ktrussOf(DedupOps.materializedEdges(s, dir).select("doc_a", "doc_b"))
+
+  private[graft] def ktrussOf(initial: DataFrame): DataFrame = {
+    def supportOf(edges: DataFrame): DataFrame = {
+      val deg = edges.select(col("doc_a").as("node"))
+        .unionAll(edges.select(col("doc_b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val ori = orientEdges(edges, deg)
+      wedgesOf(ori)
+        .join(ori.select(col("lo").as("b"), col("hi").as("c")), Seq("b", "c"))
+        .select(explode(array(
+          struct(least(col("a"), col("b")).as("doc_a"),
+            greatest(col("a"), col("b")).as("doc_b")),
+          struct(least(col("a"), col("c")).as("doc_a"),
+            greatest(col("a"), col("c")).as("doc_b")),
+          struct(least(col("b"), col("c")).as("doc_a"),
+            greatest(col("b"), col("c")).as("doc_b")))).as("e"))
+        .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("support"))
+    }
+    var edges = initial.localCheckpoint()
+    (1 to TrussRounds).foreach { _ =>
+      val keep = supportOf(edges).filter(col("support") >= TrussK - 2)
+      edges = edges.join(keep.select("doc_a", "doc_b"),
+        Seq("doc_a", "doc_b"), "left_semi").localCheckpoint()
+    }
+    edges.join(supportOf(edges), Seq("doc_a", "doc_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_ktruss" -> (ktruss _),
     "q_graph_struct_equiv" -> (structEquiv _),
     "q_graph_landmarks" -> (landmarkBfs _),
     "q_graph_closeness" -> (landmarkCloseness _),
@@ -1052,6 +1110,54 @@ object GraphOps {
     "q_graph_triangles" -> (triangles _))
 
   val oracles: Map[String, String] = Map(
+    "q_graph_ktruss" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs),
+        |t1 AS MATERIALIZED (SELECT p.a AS a, p.b AS b, q.b AS c FROM e0 p
+        |       JOIN e0 q ON p.b = q.a
+        |       JOIN e0 r ON r.a = p.a AND r.b = q.b),
+        |s1 AS MATERIALIZED (SELECT x, y, COUNT(*) AS sup FROM (
+        |         SELECT a AS x, b AS y FROM t1
+        |         UNION ALL SELECT a, c FROM t1
+        |         UNION ALL SELECT b, c FROM t1) GROUP BY x, y),
+        |e1 AS MATERIALIZED (SELECT e.a, e.b FROM e0 e
+        |       JOIN s1 s ON s.x = e.a AND s.y = e.b WHERE s.sup >= 2),
+        |t2 AS MATERIALIZED (SELECT p.a AS a, p.b AS b, q.b AS c FROM e1 p
+        |       JOIN e1 q ON p.b = q.a
+        |       JOIN e1 r ON r.a = p.a AND r.b = q.b),
+        |s2 AS MATERIALIZED (SELECT x, y, COUNT(*) AS sup FROM (
+        |         SELECT a AS x, b AS y FROM t2
+        |         UNION ALL SELECT a, c FROM t2
+        |         UNION ALL SELECT b, c FROM t2) GROUP BY x, y),
+        |e2 AS MATERIALIZED (SELECT e.a, e.b FROM e1 e
+        |       JOIN s2 s ON s.x = e.a AND s.y = e.b WHERE s.sup >= 2),
+        |t3 AS MATERIALIZED (SELECT p.a AS a, p.b AS b, q.b AS c FROM e2 p
+        |       JOIN e2 q ON p.b = q.a
+        |       JOIN e2 r ON r.a = p.a AND r.b = q.b),
+        |s3 AS MATERIALIZED (SELECT x, y, COUNT(*) AS sup FROM (
+        |         SELECT a AS x, b AS y FROM t3
+        |         UNION ALL SELECT a, c FROM t3
+        |         UNION ALL SELECT b, c FROM t3) GROUP BY x, y),
+        |e3 AS MATERIALIZED (SELECT e.a, e.b FROM e2 e
+        |       JOIN s3 s ON s.x = e.a AND s.y = e.b WHERE s.sup >= 2),
+        |t4 AS MATERIALIZED (SELECT p.a AS a, p.b AS b, q.b AS c FROM e3 p
+        |       JOIN e3 q ON p.b = q.a
+        |       JOIN e3 r ON r.a = p.a AND r.b = q.b),
+        |s4 AS MATERIALIZED (SELECT x, y, COUNT(*) AS sup FROM (
+        |         SELECT a AS x, b AS y FROM t4
+        |         UNION ALL SELECT a, c FROM t4
+        |         UNION ALL SELECT b, c FROM t4) GROUP BY x, y)
+        |SELECT e.a AS doc_a, e.b AS doc_b, CAST(s.sup AS BIGINT) AS support
+        |FROM e3 e JOIN s4 s ON s.x = e.a AND s.y = e.b
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_graph_struct_equiv" ->
       """WITH base AS (
         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset

@@ -1326,7 +1326,61 @@ object InferenceOps {
           .as("e_ab_4n"))
   }
 
+  /** #449 Anderson–Darling two-sample test between the click and
+    * purchase daily-mass distributions — the tail-sensitive member of
+    * the rank-test family (#428 CvM weighs all quantiles equally, #440
+    * Ansari targets scale; AD's 1/(j(N−j)) weight amplifies the tails,
+    * which is where corpus drift usually shows first). Pettitt (1976)
+    * rank form: with the pooled sample sorted under the #428 total
+    * order (v, day, type) and M_j = #sample-1 obs among the first j,
+    *   A² = (1/nm) · Σ_{j=1}^{N−1} (M_j·N − j·n)² / (j·(N−j)),
+    * whose limiting null distribution equals the one-sample AD — 5%
+    * point 2.492.
+    *
+    * Determinism: each term stages as one truncating nano division of
+    * exact DECIMAL(38,0) integers ((M_j·N − j·n)²·10⁹ div j(N−j),
+    * identical in DuckDB HUGEINT `//`), summed exactly; A²_nano = the
+    * sum div nm — two truncating divisions total, mirrored verbatim.
+    * Degenerate contract (the #428 class): ZERO rows when either
+    * sample is absent (WHERE n>0 AND m>0 both engines; Round16Spec
+    * pins it). Scale: one global window above the |types|×|days|-row
+    * day aggregate — the GlobalWindowSpec-pinned bounded carrier
+    * class, same as CvM/Ansari.
+    */
+  def adTwoSample(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("v"))
+    val wAll = Window.orderBy("v", "day", "event_type")
+    val frame = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val isClick = when(col("event_type") === "click", 1L).otherwise(0L)
+    val scored = daily
+      .withColumn("j", row_number().over(wAll).cast("long"))
+      .withColumn("mj", sum(isClick).over(wAll))
+      .withColumn("nn", count(lit(1)).over(frame))
+      .withColumn("n", sum(isClick).over(frame))
+    scored
+      .filter(col("j") < col("nn"))
+      .select(col("j"), col("mj"), col("nn"), col("n"),
+        expr("cast((cast(mj as decimal(38,0)) * nn - cast(j as decimal(38,0)) * n) " +
+          "* (cast(mj as decimal(38,0)) * nn - cast(j as decimal(38,0)) * n) " +
+          "* 1000000000 div (cast(j as decimal(38,0)) * (nn - j)) as decimal(38,0))")
+          .as("term_nano"))
+      .groupBy(lit(1).as("g"))
+      .agg(max(col("n")).as("n"),
+        (max(col("nn")) - max(col("n"))).as("m"),
+        sum(col("term_nano")).as("ts"))
+      .filter(col("n") > 0 && col("m") > 0)
+      .select(col("n"), col("m"),
+        expr("cast(ts div (cast(n as decimal(38,0)) * m) as bigint)").as("a2_nano"))
+      .withColumn("significant_05", col("a2_nano") > 2492000000L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_ad_2sample" -> (adTwoSample _),
     "q_stats_cliffs_delta" -> (cliffsDelta _),
     "q_stats_quade" -> (quadeTest _),
     "q_stats_ansari_bradley" -> (ansariBradley _),
@@ -1514,6 +1568,37 @@ object InferenceOps {
         |      * (MAX(nn) + 1) * (MAX(nn) + 1) AS BIGINT)
         |  END AS e_ab_4n
         |FROM sc GROUP BY g""".stripMargin,
+    "q_stats_ad_2sample" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT event_type,
+        |    CAST(row_number() OVER w AS BIGINT) AS j,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      OVER w AS BIGINT) AS mj,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS nn,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      OVER () AS BIGINT) AS n
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY v, day, event_type)),
+        |terms AS (
+        |  SELECT j, mj, nn, n,
+        |    (CAST(mj AS HUGEINT) * nn - CAST(j AS HUGEINT) * n)
+        |    * (CAST(mj AS HUGEINT) * nn - CAST(j AS HUGEINT) * n)
+        |    * 1000000000 // (CAST(j AS HUGEINT) * (nn - j)) AS term_nano
+        |  FROM rk WHERE j < nn),
+        |agg AS (
+        |  SELECT 1 AS g, MAX(n) AS n, MAX(nn) - MAX(n) AS m,
+        |    SUM(term_nano) AS ts
+        |  FROM terms GROUP BY g)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+        |  CAST(ts // (CAST(n AS HUGEINT) * m) AS BIGINT) AS a2_nano,
+        |  CAST(ts // (CAST(n AS HUGEINT) * m) AS BIGINT) > 2492000000
+        |    AS significant_05
+        |FROM agg WHERE n > 0 AND m > 0""".stripMargin,
     "q_stats_cvm" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

@@ -28,7 +28,10 @@ class GlobalWindowSpec extends AnyFunSuite with SparkFixture {
     "q_hhi", "q_lorenz_deciles", "q_mix_resample", "q_mix_temperature",
     "q_mix_weights", "q_ml_stump", "q_prune_curve", "q_quality_filter_sweep",
     "q_sample_apportion", "q_sample_neyman", "q_skew_report", "q_skyline",
-    "q_split_rolling_origin", "q_stats_ansari_bradley", "q_stats_cvm",
+    "q_split_rolling_origin",
+    // r16: AD two-sample — same (event_type, day) bounded carrier as cvm
+    "q_stats_ad_2sample",
+    "q_stats_ansari_bradley", "q_stats_cvm",
     "q_stats_hill", "q_stats_kruskal", "q_stats_mood", "q_stats_quade",
     "q_stats_spearman",
     "q_survival", "q_text_zipf", "q_ts_backlog", "q_ts_engle_granger",

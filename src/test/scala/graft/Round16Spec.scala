@@ -268,6 +268,102 @@ class Round16Spec extends AnyFunSuite with SparkFixture {
     assert(operators.InferenceOps.cvmTwoSample(spark, neither).collect().isEmpty)
   }
 
+  test("Anderson-Darling matches an exact BigInt driver replay") {
+    val utc = java.time.ZoneOffset.UTC
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"), col("value")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toInstant, r.getDouble(2)))
+      .filter(e => e._1 == "click" || e._1 == "purchase")
+      .groupBy(e => (e._1, e._2.atZone(utc).toLocalDate))
+      .map { case ((t, d), es) =>
+        (t, d, es.map(e => math.floor(e._3 * 1e6).toLong).sum)
+      }.toArray
+    val sorted = daily.sortBy { case (t, d, v) => (v, d.toString, t) }
+    val nn = BigInt(sorted.length)
+    val n = BigInt(sorted.count(_._1 == "click"))
+    val m = nn - n
+    var mj = BigInt(0); var ts = BigInt(0)
+    sorted.zipWithIndex.foreach { case ((t, _, _), idx) =>
+      val j = BigInt(idx + 1)
+      if (t == "click") mj += 1
+      if (j < nn) {
+        val d = mj * nn - j * n
+        ts += d * d * 1000000000L / (j * (nn - j))
+      }
+    }
+    val a2 = ts / (n * m)
+    val row = operators.InferenceOps.adTwoSample(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === n.toLong, "n")
+    assert(row(0).getLong(1) === m.toLong, "m")
+    assert(row(0).getLong(2) === a2.toLong, "a2_nano")
+  }
+
+  test("Anderson-Darling emits ZERO rows when either sample is absent") {
+    assert(operators.InferenceOps.adTwoSample(
+      spark, eventsDir(Seq("click", "click", "click"))).collect().isEmpty)
+    assert(operators.InferenceOps.adTwoSample(
+      spark, eventsDir(Seq("view", "view"))).collect().isEmpty)
+  }
+
+  // ---- 6. k-truss ------------------------------------------------------
+
+  private def trussOf(pairs: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    operators.GraphOps.ktrussOf(
+      pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+  }
+
+  test("ktruss: K4 survives with support 2; a lone triangle and a pendant peel away") {
+    // K4 on {0,1,2,3}: every edge closes exactly 2 triangles -> 4-truss.
+    // Lone triangle {10,11,12}: support 1 per edge -> dropped round 1.
+    // Pendant (20,21): support 0 -> dropped round 1.
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val got = trussOf(k4 ++ Seq((10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L)))
+    assert(got.toSeq === k4.map { case (a, b) => (a, b, 2L) }.toSeq)
+  }
+
+  test("ktruss: peeling cascades (chain of triangles strung edge to edge)") {
+    // Triangles T_i = {2i, 2i+1, 2i+2} sharing single vertices: every
+    // edge has support exactly 1, so the WHOLE chain peels in round 1 --
+    // support, unlike degree, is not fooled by chained weak structure
+    // (kcore with k=2 would keep every edge of the chain).
+    val chain = (0L until 4L).flatMap(i =>
+      Seq((2 * i, 2 * i + 1), (2 * i, 2 * i + 2), (2 * i + 1, 2 * i + 2)))
+    assert(trussOf(chain).isEmpty)
+  }
+
+  test("ktruss on the fixture reaches fixpoint and matches a driver replay") {
+    val e = operators.DedupOps.materializedEdges(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // driver replay: peel to FIXPOINT (not round-bounded), support via
+    // common-neighbor intersection per edge
+    var cur = e.toSet
+    var changed = true
+    while (changed) {
+      val nbrs = (cur.toSeq ++ cur.toSeq.map { case (a, b) => (b, a) })
+        .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+      val keep = cur.filter { case (a, b) =>
+        (nbrs(a) & nbrs(b)).size >= 2 }
+      changed = keep != cur
+      cur = keep
+    }
+    val nbrs = (cur.toSeq ++ cur.toSeq.map { case (a, b) => (b, a) })
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+    val expected = cur.toSeq.map { case (a, b) =>
+      (a, b, (nbrs(a) & nbrs(b)).size.toLong) }.sorted
+    val got = operators.GraphOps.ktruss(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty, "fixture must have a non-empty 4-truss")
+    assert(got.forall(_._3 >= 2L),
+      "3 rounds must reach fixpoint on the fixture (else bump TrussRounds)")
+    assert(got === expected,
+      "round-bounded peel must equal the fixpoint replay on the fixture")
+  }
+
   test("Ansari emits ONE row with m=0 on one sample, ZERO rows on none (twin GROUP BY contract)") {
     // the twin's GROUP BY g over a non-empty scored relation emits exactly
     // one row even when the purchase sample is empty (m = 0); over an
