@@ -374,6 +374,43 @@ object EvalOps {
         expr("cast(((n * (n11 + n00) - chance) * 1000000) div (n * n - chance) as long)")
           .as("kappa_ppm"))
 
+  /** #452 Linearly-weighted Cohen's kappa between two ORDINAL 3-level
+    * document gradings — character-length terciles (pred) vs
+    * token-count terciles (truth): unlike #257 (binary kappa) and #288
+    * (Fleiss), the weighted variant charges a 2-level disagreement
+    * twice a 1-level one, which is the right loss for ordinal quality
+    * rubrics (the standard inter-rater metric when labels are
+    * graded, not categorical). κ_w = 1 − N·D_o / D_e with linear
+    * weights |i−j|: D_o = Σ|p−t| (observed disagreement mass), D_e =
+    * Σ_{i,j}|i−j|·r_i·c_j (the N²-scaled chance mass from the
+    * margins). All counts exact DECIMAL(38,0); ONE truncating ppm
+    * division; NULL when D_e = 0 (both gradings constant) on both
+    * engines. Scale: one map-side-combined aggregate over the corpus;
+    * the 3×3 algebra is a 1-row readout.
+    */
+  def evalKappaWeighted(s: SparkSession, dir: String): DataFrame = {
+    val toks = size(split(col("text"), " ")).cast("long")
+    val graded = Tables.documents(s, dir).select(
+      when(col("n_chars") < 300, 0L).when(col("n_chars") < 600, 1L)
+        .otherwise(2L).as("p"),
+      when(toks < 50L, 0L).when(toks < 100L, 1L).otherwise(2L).as("t"))
+    def m(c: String, v: Long) =
+      sum(when(col(c) === v, 1L).otherwise(0L)).cast(DecimalType(38, 0))
+    graded
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+        sum(abs(col("p") - col("t"))).cast(DecimalType(38, 0)).as("dobs"),
+        m("p", 0).as("r0"), m("p", 1).as("r1"), m("p", 2).as("r2"),
+        m("t", 0).as("c0"), m("t", 1).as("c1"), m("t", 2).as("c2"))
+      .withColumn("dexp", expr(
+        "r0 * c1 + r1 * c0 + r1 * c2 + r2 * c1 + 2 * (r0 * c2 + r2 * c0)"))
+      .select(col("n").cast("long").as("n_docs"),
+        col("dobs").cast("long").as("d_obs"),
+        col("dexp").cast("long").as("d_exp"),
+        when(col("dexp") > 0,
+          expr("cast(((dexp - n * dobs) * 1000000) div dexp as long)"))
+          .as("kappa_w_ppm"))
+  }
+
   /** Shared threshold relation for the PR family: per DISTINCT score
     * (descending), cumulative predicted-positive counts tp/fp — the
     * same score-domain-bounded scaffold as [[evalAuc]], so the window
@@ -960,6 +997,7 @@ object EvalOps {
     "q_eval_pr_auc" -> (evalPrAuc _),
     "q_eval_ece" -> (evalEce _),
     "q_eval_kappa" -> (evalKappa _),
+    "q_eval_kappa_weighted" -> (evalKappaWeighted _),
     "q_eval_map_mrr" -> (evalMapMrr _),
     "q_eval_ndcg" -> (evalNdcg _),
     "q_eval_auc" -> (evalAuc _),
@@ -1392,6 +1430,36 @@ object EvalOps {
         |  CAST(SUM(CAST(n AS HUGEINT) * abs(conf - acc)) // SUM(n) AS BIGINT) AS ece_ppm,
         |  CAST(MAX(abs(conf - acc)) AS BIGINT) AS mce_ppm
         |FROM g""".stripMargin,
+    "q_eval_kappa_weighted" ->
+      """WITH d AS (
+        |  SELECT
+        |    CASE WHEN n_chars < 300 THEN 0 WHEN n_chars < 600 THEN 1
+        |      ELSE 2 END AS p,
+        |    CASE WHEN len(string_split(text, ' ')) < 50 THEN 0
+        |      WHEN len(string_split(text, ' ')) < 100 THEN 1
+        |      ELSE 2 END AS t
+        |  FROM documents),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(abs(p - t)) AS HUGEINT) AS dobs,
+        |    CAST(SUM(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS r0,
+        |    CAST(SUM(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS r1,
+        |    CAST(SUM(CASE WHEN p = 2 THEN 1 ELSE 0 END) AS HUGEINT) AS r2,
+        |    CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS c0,
+        |    CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS c1,
+        |    CAST(SUM(CASE WHEN t = 2 THEN 1 ELSE 0 END) AS HUGEINT) AS c2
+        |  FROM d),
+        |e AS (
+        |  SELECT n, dobs,
+        |    r0 * c1 + r1 * c0 + r1 * c2 + r2 * c1
+        |      + 2 * (r0 * c2 + r2 * c0) AS dexp
+        |  FROM a)
+        |SELECT CAST(n AS BIGINT) AS n_docs, CAST(dobs AS BIGINT) AS d_obs,
+        |  CAST(dexp AS BIGINT) AS d_exp,
+        |  CASE WHEN dexp > 0 THEN
+        |    CAST(((dexp - n * dobs) * 1000000) // dexp AS BIGINT)
+        |  ELSE NULL END AS kappa_w_ppm
+        |FROM e""".stripMargin,
     "q_eval_kappa" ->
       """WITH d AS (
         |  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS pred,

@@ -109,6 +109,78 @@ object SeriesOps {
       .orderBy("k")
   }
 
+  /** #451 Bartlett cumulative periodogram white-noise test on the
+    * global daily revenue series — the spectral goodness-of-fit
+    * companion to #368 (which SCREENS 8 wave numbers; this one TESTS
+    * the whole spectrum): under white noise the normalized cumulative
+    * periodogram C_j = Σ_{i≤j} P_i / Σ P climbs the diagonal j/K, and
+    * the KS-style statistic D = max_j |C_j − j/K| rejects at the
+    * 1.36/√K asymptotic 5% band. The standard residual-whiteness check
+    * after any seasonal/trend fit (#232/#255), frequency-domain dual
+    * of Ljung–Box (#387).
+    *
+    * Determinism: the same floored-nano cos/sin staging as #368 over
+    * the FULL Fourier grid j = 1..(N−1) div 2; per-frequency power
+    * re-staged div 1e18 (exact, mirrored), so the cumulative sum and
+    * the cross-multiplied deviation |cum_j·K − j·total| are exact
+    * DECIMAL(38,0) integers — ONE terminal ppm division, and the 5%
+    * band is the identical floor(1.36e6/√K) double expression on both
+    * engines. The argmax frequency ties to the smallest j. Scale: the
+    * series is CALENDAR-bounded, so the j×t term grid is ~N²/2 ≈ 3M
+    * rows at ANY corpus size — the only corpus-sized job is the day
+    * aggregate.
+    */
+  def tsCumPeriodogram(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg((sum(Det.money(col("o_totalprice"))) * 100).cast("long").as("v"))
+    val idx = daily
+      .withColumn("t", row_number().over(Window.orderBy("day")) - 1)
+    val withN = idx.crossJoin(broadcast(idx.agg(count(lit(1)).as("nd"))))
+    val pw = withN
+      .select(col("t"), col("v"), col("nd"),
+        explode(sequence(lit(1L), expr("(nd - 1) div 2"))).as("j"))
+      .withColumn("cnano",
+        expr("cast(floor(cos(2 * pi() * j * cast(t as double) / nd) * 1e9) as long)"))
+      .withColumn("snano",
+        expr("cast(floor(sin(2 * pi() * j * cast(t as double) / nd) * 1e9) as long)"))
+      .groupBy("j")
+      .agg(max(col("nd")).as("nd"),
+        sum(col("v").cast(DecimalType(38, 0)) * col("cnano")).as("ck"),
+        sum(col("v").cast(DecimalType(38, 0)) * col("snano")).as("sk"))
+      // per-frequency power, re-staged exactly like #368: div by N keeps
+      // the square inside DECIMAL(38,0); div 1e18 keeps the K-term
+      // cumulative sum inside it too (both floored, mirrored)
+      .select(col("j"),
+        expr("cast((cast(ck div nd as decimal(38,0)) * (ck div nd) + " +
+          "cast(sk div nd as decimal(38,0)) * (sk div nd)) " +
+          "div 1000000000000000000 as decimal(38,0))").as("p_e18"))
+    val wCum = Window.orderBy("j")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val frame = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val dev = pw
+      .withColumn("cum", sum(col("p_e18")).over(wCum))
+      .withColumn("kmax", count(lit(1)).over(frame))
+      .withColumn("total", sum(col("p_e18")).over(frame))
+      .withColumn("d", abs(col("cum") * col("kmax") - col("total") * col("j")))
+      .withColumn("dmax", max(col("d")).over(frame))
+    dev
+      .filter(col("d") === col("dmax"))
+      .groupBy(lit(1).as("g"))
+      .agg(max(col("kmax")).as("k_freqs"),
+        max(col("total")).cast("long").as("total_e18"),
+        max(col("dmax")).as("dmax"),
+        min(col("j")).as("j_at_max"))
+      .select(col("k_freqs"), col("total_e18"), col("j_at_max"),
+        expr("cast((dmax * 1000000) div (k_freqs * cast(total_e18 as decimal(38,0))) as long)")
+          .as("d_max_ppm"))
+      .withColumn("crit_ppm",
+        expr("cast(floor(1360000 / sqrt(cast(k_freqs as double))) as long)"))
+      .withColumn("white_noise_rejected", col("d_max_ppm") > col("crit_ppm"))
+  }
+
   /** #369 MACD on the per-priority daily revenue series, completing the
     * finance window family (#327 ATR, #328 Bollinger, #333 RSI, #341
     * OBV, #356 %K): fast and slow truncated EMAs with exact RATIONAL
@@ -475,6 +547,7 @@ object SeriesOps {
     "q_embed_intrinsic_dim" -> (embedIntrinsicDim _),
     "q_ts_perm_entropy" -> (tsPermEntropy _),
     "q_ts_periodogram" -> (tsPeriodogram _),
+    "q_ts_cum_periodogram" -> (tsCumPeriodogram _),
     "q_win_macd" -> (winMacd _),
     "q_stats_jarque_bera" -> (statsJarqueBera _),
     "q_embed_isotropy" -> (embedIsotropy _),
@@ -662,6 +735,56 @@ object SeriesOps {
         |        (sk // n_days) * (sk // n_days)) // 1000000000000000000
         |    AS BIGINT) AS power_e18
         |FROM g ORDER BY k""".stripMargin,
+    "q_ts_cum_periodogram" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |idx AS (
+        |  SELECT v, ROW_NUMBER() OVER (ORDER BY day) - 1 AS t FROM daily),
+        |nn AS (SELECT COUNT(*) AS nd FROM idx),
+        |jt AS (
+        |  SELECT unnest(range(1, (nd - 1) // 2 + 1)) AS j, v, t, nd
+        |  FROM idx, nn),
+        |terms AS (
+        |  SELECT j, v, nd,
+        |    CAST(FLOOR(COS(2 * pi() * j * CAST(t AS DOUBLE) / nd) * 1e9)
+        |      AS BIGINT) AS cnano,
+        |    CAST(FLOOR(SIN(2 * pi() * j * CAST(t AS DOUBLE) / nd) * 1e9)
+        |      AS BIGINT) AS snano
+        |  FROM jt),
+        |g AS (
+        |  SELECT j, MAX(nd) AS nd,
+        |    SUM(CAST(v AS HUGEINT) * cnano) AS ck,
+        |    SUM(CAST(v AS HUGEINT) * snano) AS sk
+        |  FROM terms GROUP BY j),
+        |p AS (
+        |  SELECT j, ((ck // nd) * (ck // nd) + (sk // nd) * (sk // nd))
+        |    // 1000000000000000000 AS p_e18
+        |  FROM g),
+        |c AS (
+        |  SELECT j,
+        |    SUM(p_e18) OVER (ORDER BY j ROWS UNBOUNDED PRECEDING) AS cum,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS kmax,
+        |    SUM(p_e18) OVER () AS total
+        |  FROM p),
+        |d AS (
+        |  SELECT j, kmax, total,
+        |    abs(cum * kmax - total * j) AS dv,
+        |    MAX(abs(cum * kmax - total * j)) OVER () AS dmax
+        |  FROM c)
+        |SELECT MAX(kmax) AS k_freqs, CAST(MAX(total) AS BIGINT) AS total_e18,
+        |  MIN(j) AS j_at_max,
+        |  CAST((MAX(dmax) * 1000000)
+        |    // (MAX(kmax) * CAST(MAX(total) AS HUGEINT)) AS BIGINT)
+        |    AS d_max_ppm,
+        |  CAST(FLOOR(1360000 / sqrt(CAST(MAX(kmax) AS DOUBLE))) AS BIGINT)
+        |    AS crit_ppm,
+        |  CAST((MAX(dmax) * 1000000)
+        |    // (MAX(kmax) * CAST(MAX(total) AS HUGEINT)) AS BIGINT)
+        |    > CAST(FLOOR(1360000 / sqrt(CAST(MAX(kmax) AS DOUBLE))) AS BIGINT)
+        |    AS white_noise_rejected
+        |FROM d WHERE dv = dmax""".stripMargin,
     "q_win_macd" -> {
       def emaSql(src: String, part: String, wNum: Int => Long, lags: Int,
           num: String, den: String): String = {

@@ -35,6 +35,9 @@ class GlobalWindowSpec extends AnyFunSuite with SparkFixture {
     "q_stats_hill", "q_stats_kruskal", "q_stats_mood", "q_stats_quade",
     "q_stats_spearman",
     "q_survival", "q_text_zipf", "q_ts_backlog", "q_ts_engle_granger",
+    // r16: cumulative periodogram — row_number above the calendar-bounded
+    // day aggregate + cum/extrema windows above the Fourier-grid aggregate
+    "q_ts_cum_periodogram",
     "q_ts_gapfill", "q_ts_granger", "q_ts_kpss", "q_ts_ljung_box",
     "q_ts_periodogram", "q_ts_seasonal", "q_ts_spectral_entropy",
     "q_ts_stl_strength", "q_ts_variance_ratio", "q_win_drawdown")

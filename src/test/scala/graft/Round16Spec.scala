@@ -364,6 +364,80 @@ class Round16Spec extends AnyFunSuite with SparkFixture {
       "round-bounded peel must equal the fixpoint replay on the fixture")
   }
 
+  // ---- 7. cumulative periodogram + weighted kappa replays --------------
+
+  test("weighted kappa matches an exact BigInt driver replay") {
+    val graded = Tables.documents(spark, sfDir)
+      .select(col("n_chars"), col("text")).collect()
+      .map { r =>
+        val nc = r.getAs[Number](0).longValue
+        val tk = r.getString(1).split(" ", -1).length.toLong
+        (if (nc < 300) 0L else if (nc < 600) 1L else 2L,
+          if (tk < 50) 0L else if (tk < 100) 1L else 2L)
+      }
+    val n = BigInt(graded.length)
+    val dObs = BigInt(graded.map { case (p, t) => math.abs(p - t) }.sum)
+    def r(v: Long) = BigInt(graded.count(_._1 == v))
+    def c(v: Long) = BigInt(graded.count(_._2 == v))
+    val dExp = r(0) * c(1) + r(1) * c(0) + r(1) * c(2) + r(2) * c(1) +
+      2 * (r(0) * c(2) + r(2) * c(0))
+    val kappa: Option[Long] =
+      if (dExp > 0) Some(((dExp - n * dObs) * 1000000 / dExp).toLong) else None
+    val row = operators.EvalOps.evalKappaWeighted(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === n.toLong, "n_docs")
+    assert(row(0).getLong(1) === dObs.toLong, "d_obs")
+    assert(row(0).getLong(2) === dExp.toLong, "d_exp")
+    assert((if (row(0).isNullAt(3)) None else Some(row(0).getLong(3))) === kappa,
+      "kappa_w_ppm")
+  }
+
+  test("cumulative periodogram matches an exact driver replay (shared libm)") {
+    // daily cents, day-sorted; same floored-nano cos/sin staging with the
+    // SAME java.lang.Math cos/sin/PI Spark's codegen calls, so the replay
+    // is exact, not approximate
+    val daily = Tables.orders(spark, sfDir)
+      .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      .collect()
+      .map { r =>
+        // mirror Det.money's double -> DECIMAL(12,2) cast: Spark builds
+        // the decimal from the double's shortest string repr, HALF_UP
+        val cents = new java.math.BigDecimal(
+            java.lang.Double.toString(r.getAs[Number](1).doubleValue))
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(2).toBigIntegerExact()
+        (r.getDate(0).toString, BigInt(cents))
+      }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, xs) => xs.map(_._2).sum }
+    val nd = daily.length
+    val kmax = (nd - 1) / 2
+    val ps: Seq[BigInt] = (1 to kmax).map { j =>
+      var ck = BigInt(0); var sk = BigInt(0)
+      daily.zipWithIndex.foreach { case (v, t) =>
+        val theta = 2 * math.Pi * j.toDouble * t.toDouble / nd.toDouble
+        ck += v * BigInt(math.floor(math.cos(theta) * 1e9).toLong)
+        sk += v * BigInt(math.floor(math.sin(theta) * 1e9).toLong)
+      }
+      val ce = ck / nd; val se = sk / nd // BigInt / truncates like Spark div
+      (ce * ce + se * se) / BigInt("1000000000000000000")
+    }
+    val total = ps.sum
+    var cum = BigInt(0)
+    val ds = ps.zipWithIndex.map { case (p, i) =>
+      cum += p; (cum * kmax - total * (i + 1)).abs
+    }
+    val dmax = ds.max
+    val jAtMax = ds.indexOf(dmax) + 1L
+    val dPpm = (dmax * 1000000 / (total * kmax)).toLong
+    val row = operators.SeriesOps.tsCumPeriodogram(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === kmax.toLong, "k_freqs")
+    assert(row(0).getLong(1) === total.toLong, "total_e18")
+    assert(row(0).getLong(2) === jAtMax, "j_at_max")
+    assert(row(0).getLong(3) === dPpm, "d_max_ppm")
+  }
+
   test("Ansari emits ONE row with m=0 on one sample, ZERO rows on none (twin GROUP BY contract)") {
     // the twin's GROUP BY g over a non-empty scored relation emits exactly
     // one row even when the purchase sample is empty (m = 0); over an
