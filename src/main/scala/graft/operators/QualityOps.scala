@@ -396,6 +396,35 @@ object QualityOps {
       .orderBy("rung")
   }
 
+  /** #453 k-anonymity profile of the event stream under the release
+    * quasi-identifier (15-min bin, event_type) — the Sweeney (2002)
+    * metric underneath the whole privacy family: #277's ladder DECIDES
+    * a release granularity, this op MEASURES the anonymity the chosen
+    * granularity actually delivers (min class size = the k in
+    * "k-anonymous", plus the at-risk mass below the k=5 policy bar —
+    * the two numbers a release review asks for first). Same integer
+    * 15-min bin staging as [[anonLadder]].
+    *
+    * Scale: one groupBy over the corpus to the QI-class relation
+    * (calendar × 5 types — bounded), then a 1-row profile aggregate;
+    * one truncating ppm division. Class-size distribution rides along
+    * as an equi-count histogram readout (size, n_classes) capped by
+    * the bounded class-size domain.
+    */
+  def privacyKanonymity(s: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.events(s, dir)
+      .select(expr("cast(ts as long) div 900").as("b15"), col("event_type"))
+      .groupBy("b15", "event_type").agg(count(lit(1)).as("csize"))
+    classes.agg(count(lit(1)).as("n_classes"),
+        sum(col("csize")).as("n_rows"),
+        min(col("csize")).as("k_anonymity"),
+        sum(when(col("csize") < 5, lit(1L)).otherwise(0L)).as("n_classes_below_k"),
+        sum(when(col("csize") < 5, col("csize")).otherwise(0L)).as("n_rows_below_k"))
+      .select(col("n_classes"), col("n_rows"), col("k_anonymity"),
+        col("n_classes_below_k"), col("n_rows_below_k"),
+        expr("(n_rows_below_k * 1000000) div n_rows").as("at_risk_ppm"))
+  }
+
   /** #280 t-closeness audit (Li/Li/Venkatasubramanian, ICDE 2007) —
     * completes the k / l / t privacy-audit triple with
     * [[privacyLdiversity]] and [[anonLadder]]: per QI group (activity
@@ -554,6 +583,7 @@ object QualityOps {
     "q_dq_freshness" -> (dqFreshness _),
     "q_privacy_tcloseness" -> (privacyTcloseness _),
     "q_anon_ladder" -> (anonLadder _),
+    "q_privacy_kanonymity" -> (privacyKanonymity _),
     "q_cdc_apply" -> (cdcApply _),
     "q_privacy_ldiversity" -> (privacyLdiversity _),
     "q_dp_counts" -> (dpNoisyCounts _),
@@ -692,6 +722,24 @@ object QualityOps {
         |  CAST(SUM(abs(d_ppm)) // 2 AS BIGINT) AS tvd_ppm,
         |  CAST(SUM(abs(d_ppm)) // 2 AS BIGINT) <= 300000 AS ok_t03
         |FROM d GROUP BY hour ORDER BY hour""".stripMargin,
+    "q_privacy_kanonymity" ->
+      """WITH classes AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 900 AS b15, event_type,
+        |    COUNT(*) AS csize
+        |  FROM events GROUP BY 1, 2),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |    CAST(SUM(csize) AS BIGINT) AS n_rows,
+        |    CAST(MIN(csize) AS BIGINT) AS k_anonymity,
+        |    CAST(SUM(CASE WHEN csize < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_classes_below_k,
+        |    CAST(SUM(CASE WHEN csize < 5 THEN csize ELSE 0 END) AS BIGINT)
+        |      AS n_rows_below_k
+        |  FROM classes)
+        |SELECT n_classes, n_rows, k_anonymity, n_classes_below_k,
+        |  n_rows_below_k,
+        |  CAST((n_rows_below_k * 1000000) // n_rows AS BIGINT) AS at_risk_ppm
+        |FROM a""".stripMargin,
     "q_anon_ladder" ->
       """WITH c15 AS (
         |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 900 AS b15, COUNT(*) AS n15

@@ -364,6 +364,28 @@ class Round16Spec extends AnyFunSuite with SparkFixture {
       "round-bounded peel must equal the fixpoint replay on the fixture")
   }
 
+  test("k-anonymity profile on a crafted bin layout") {
+    import spark.implicits._
+    def ts(cell: Int, i: Int) =
+      new java.sql.Timestamp(1700000000000L + cell * 900000L + i * 1000L)
+    // QI classes: (cell0, click) x3 rows, (cell0, view) x6, (cell2, click) x5
+    val rows =
+      (0 until 3).map(i => (i.toLong, ts(0, i), 1L, "click", 1.0, "")) ++
+      (0 until 6).map(i => (10L + i, ts(0, i), 1L, "view", 1.0, "")) ++
+      (0 until 5).map(i => (20L + i, ts(2, i), 1L, "click", 1.0, ""))
+    val dir = java.nio.file.Files.createTempDirectory("graft_r16_kanon").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = operators.QualityOps.privacyKanonymity(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(0) === 3L, "n_classes")
+    assert(r(0).getLong(1) === 14L, "n_rows")
+    assert(r(0).getLong(2) === 3L, "k_anonymity = smallest class")
+    assert(r(0).getLong(3) === 1L, "one class below k=5")
+    assert(r(0).getLong(4) === 3L, "its 3 rows are the at-risk mass")
+    assert(r(0).getLong(5) === 3L * 1000000L / 14L, "at_risk_ppm floored")
+  }
+
   // ---- 7. cumulative periodogram + weighted kappa replays --------------
 
   test("weighted kappa matches an exact BigInt driver replay") {
