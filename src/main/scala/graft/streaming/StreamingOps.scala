@@ -41,6 +41,26 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("bucket_start"), col("event_type"), col("n_events"))
 
+  /** #454 Streaming k-anonymity release gate — the streaming twin of the
+    * batch #453 profile and the #277 ladder's finest rung: watermarked
+    * 15-min tumbling (bin, type) counts, append mode so a cell emits
+    * ONLY once the watermark closes it (its count is final), and the
+    * k-filter releases only cells with ≥ k members. Suppression is
+    * simply non-emission. Late rows past the watermark can only be
+    * DROPPED — they can never resurrect a suppressed cell or inflate a
+    * released one — so a released count is a floor on the cell's true
+    * anonymity set: the gate fails closed, the property a privacy
+    * release needs from a stream.
+    */
+  def kAnonymityGate(events: DataFrame, k: Long = 5,
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") >= k)
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n_events"))
+
   /** Native session_window aggregation — Spark's built-in dynamic-gap
     * session operator (vs the hand-rolled FMGWS sessionize below, which
     * exists for custom per-session state). Sessions merge while events

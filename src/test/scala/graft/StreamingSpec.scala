@@ -46,6 +46,34 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(out("2024-01-01 10:00:00.0") === 2L)
   }
 
+  test("#454 streaming k-anonymity gate releases only closed cells with >= k members") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Event]
+    runBatches(stream, "kanon_gate",
+      df => StreamingOps.kAnonymityGate(df, k = 5),
+      Seq(
+        // 10:00 cell: 5 clicks (releasable); 10:15 cell: 2 views (suppress)
+        Seq((1 to 5).map(i => Event(i.toLong, ts(i), 1, "click", 1.0)) ++
+          Seq(Event(10, ts(16), 2, "view", 1.0), Event(11, ts(17), 3, "view", 1.0)): _*),
+        // advance the watermark far past both cells so they close
+        Seq(Event(20, Timestamp.valueOf("2024-01-01 12:00:00"), 1, "click", 1.0)),
+        // late click into the already-closed 10:00 cell: dropped — the
+        // released count stays the floor, no duplicate emission
+        Seq(Event(21, ts(3, 30), 1, "click", 1.0)),
+        Seq(Event(22, Timestamp.valueOf("2024-01-01 13:00:00"), 1, "click", 1.0))),
+      "append")
+    val out = spark.table("kanon_gate").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out.get(("2024-01-01 10:00:00.0", "click")) === Some(5L),
+      "the 5-member cell is released with its final count")
+    assert(!out.keys.exists(_._2 == "view"),
+      "the 2-member cell is suppressed (never emitted)")
+    assert(out.count(_._1._2 == "click") <= 3,
+      "no duplicate emission for the closed cell")
+  }
+
   test("native session_window merges within the gap and closes on watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
