@@ -497,6 +497,23 @@ object DedupOps {
       .select(col("doc_id"), col("component"))
       .orderBy("doc_id")
 
+  /** #455 Component-SIZE distribution of the near-dup similarity graph:
+    * per component size, how many components and how much document mass
+    * — THE dedup health readout (a fat tail of giant components means
+    * the threshold under-merges nothing but over-merges everything;
+    * all-size-2 means near-exact pairs only), and the input for
+    * capacity-planning the canonical-selection step (#94 processes one
+    * component at a time). Reads the same materialized labels as #71;
+    * output is |distinct sizes| rows — bounded by the largest component,
+    * not the corpus. Pure integer counts.
+    */
+  def componentSizes(s: SparkSession, dir: String): DataFrame =
+    componentLabels(s, dir)
+      .groupBy("component").agg(count(lit(1)).as("csize"))
+      .groupBy("csize")
+      .agg(count(lit(1)).as("n_components"), sum(col("csize")).as("n_docs"))
+      .orderBy("csize")
+
   /** Materialized component labels — the same derived-table discipline as
     * [[materializedEdges]]: the propagation loop below runs ONCE per
     * corpus; the graded components query, canonical selection
@@ -705,7 +722,8 @@ object DedupOps {
     "q_dedup_jaccard_blocked" -> (dedupJaccardBlocked _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_embed_cosine" -> ((s, d) => dedupEmbedCosine(s, d)),
-    "q_dedup_components" -> (dedupComponents _))
+    "q_dedup_components" -> (dedupComponents _),
+    "q_dedup_component_sizes" -> (componentSizes _))
 
   private val CalibPerms = 32
 
@@ -941,6 +959,32 @@ object DedupOps {
         |WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
         |        / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_component_sizes" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |sym AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+        |, comp AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS component
+        |  FROM reach GROUP BY a),
+        |sizes AS (
+        |  SELECT component, CAST(COUNT(*) AS BIGINT) AS csize
+        |  FROM comp GROUP BY component)
+        |SELECT csize, CAST(COUNT(*) AS BIGINT) AS n_components,
+        |  CAST(SUM(csize) AS BIGINT) AS n_docs
+        |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin,
     "q_dedup_components" ->
       """WITH RECURSIVE base AS (
         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset

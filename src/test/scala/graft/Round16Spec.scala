@@ -364,6 +364,17 @@ class Round16Spec extends AnyFunSuite with SparkFixture {
       "round-bounded peel must equal the fixpoint replay on the fixture")
   }
 
+  test("component-size distribution is the exact histogram of the labels") {
+    val labels = operators.DedupOps.dedupComponents(spark, sfDir).collect()
+      .map(r => r.getLong(1))
+    val expected = labels.groupBy(identity).values.map(_.length.toLong)
+      .groupBy(identity).map { case (sz, xs) =>
+        sz -> (xs.size.toLong, sz * xs.size) }
+    val got = operators.DedupOps.componentSizes(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty && got === expected)
+  }
+
   test("k-anonymity profile on a crafted bin layout") {
     import spark.implicits._
     def ts(cell: Int, i: Int) =
