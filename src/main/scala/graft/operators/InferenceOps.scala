@@ -1379,7 +1379,52 @@ object InferenceOps {
       .withColumn("significant_05", col("a2_nano") > 2492000000L)
   }
 
+  /** #456 Hodges–Lehmann two-sample shift estimator between the click
+    * and purchase daily-mass distributions: the median of all n·m
+    * pairwise differences (purchase − click) — the EFFECT-SIZE answer
+    * the rank family's tests (#213 Mann–Whitney decides "shifted?",
+    * #438 Cliff's delta grades the ordinal overlap) don't give: BY HOW
+    * MUCH, in value units, robust to outliers that wreck the mean
+    * difference.
+    *
+    * Exactness: differences are exact integer micro-mass; the median
+    * is an ORDER-STATISTIC PICK under the total order (diff, day_a,
+    * day_b) — rows (np+1) div 2 and (np+2) div 2 (equal when n·m is
+    * odd), point estimate = their floored mean, all mirrored. Scale:
+    * both inputs are the bounded |days|-row day aggregates, so the
+    * cross join is calendar² rows at ANY corpus size — the one
+    * corpus-sized job is the day aggregate; the global window sits
+    * over that bounded product (GlobalWindowSpec carrier class). Zero
+    * rows when either sample is absent (the #428/#449 contract).
+    */
+  def hodgesLehmann(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("v"))
+    val x = daily.filter(col("event_type") === "click")
+      .select(col("day").as("day_a"), col("v").as("va"))
+    val y = daily.filter(col("event_type") === "purchase")
+      .select(col("day").as("day_b"), col("v").as("vb"))
+    val diffs = x.crossJoin(y)
+      .select((col("vb") - col("va")).as("diff"), col("day_a"), col("day_b"))
+    val w = Window.orderBy("diff", "day_a", "day_b")
+    val frame = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    diffs
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("np", count(lit(1)).over(frame))
+      .filter(col("r") === expr("(np + 1) div 2") ||
+        col("r") === expr("(np + 2) div 2"))
+      .groupBy(lit(1).as("g"))
+      .agg(max(col("np")).as("n_pairs"),
+        min(col("diff")).as("hl_lo"), max(col("diff")).as("hl_hi"))
+      .select(col("n_pairs"), col("hl_lo"), col("hl_hi"),
+        expr("(hl_lo + hl_hi) div 2").as("hl_point"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_hodges_lehmann" -> (hodgesLehmann _),
     "q_stats_ad_2sample" -> (adTwoSample _),
     "q_stats_cliffs_delta" -> (cliffsDelta _),
     "q_stats_quade" -> (quadeTest _),
@@ -1568,6 +1613,33 @@ object InferenceOps {
         |      * (MAX(nn) + 1) * (MAX(nn) + 1) AS BIGINT)
         |  END AS e_ab_4n
         |FROM sc GROUP BY g""".stripMargin,
+    "q_stats_hodges_lehmann" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2),
+        |x AS (SELECT day AS day_a, v AS va FROM daily
+        |      WHERE event_type = 'click'),
+        |y AS (SELECT day AS day_b, v AS vb FROM daily
+        |      WHERE event_type = 'purchase'),
+        |diffs AS (
+        |  SELECT vb - va AS diff, day_a, day_b FROM x CROSS JOIN y),
+        |rk AS (
+        |  SELECT diff,
+        |    CAST(row_number() OVER (ORDER BY diff, day_a, day_b) AS BIGINT)
+        |      AS r,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS np
+        |  FROM diffs),
+        |mid AS (
+        |  SELECT 1 AS g, MAX(np) AS n_pairs,
+        |    MIN(diff) AS hl_lo, MAX(diff) AS hl_hi
+        |  FROM rk
+        |  WHERE r = (np + 1) // 2 OR r = (np + 2) // 2
+        |  GROUP BY g)
+        |SELECT n_pairs, hl_lo, hl_hi,
+        |  CAST((hl_lo + hl_hi) // 2 AS BIGINT) AS hl_point
+        |FROM mid""".stripMargin,
     "q_stats_ad_2sample" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

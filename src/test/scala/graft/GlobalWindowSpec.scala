@@ -32,6 +32,9 @@ class GlobalWindowSpec extends AnyFunSuite with SparkFixture {
     // r16: AD two-sample — same (event_type, day) bounded carrier as cvm
     "q_stats_ad_2sample",
     "q_stats_ansari_bradley", "q_stats_cvm",
+    // r16: HL shift estimator — order-statistic pick over the bounded
+    // calendar² cross product of the two day aggregates
+    "q_stats_hodges_lehmann",
     "q_stats_hill", "q_stats_kruskal", "q_stats_mood", "q_stats_quade",
     "q_stats_spearman",
     "q_survival", "q_text_zipf", "q_ts_backlog", "q_ts_engle_granger",

@@ -299,6 +299,38 @@ class Round16Spec extends AnyFunSuite with SparkFixture {
     assert(row(0).getLong(2) === a2.toLong, "a2_nano")
   }
 
+  test("Hodges-Lehmann matches an exact BigInt driver replay") {
+    val utc = java.time.ZoneOffset.UTC
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"), col("value")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toInstant, r.getDouble(2)))
+      .filter(e => e._1 == "click" || e._1 == "purchase")
+      .groupBy(e => (e._1, e._2.atZone(utc).toLocalDate))
+      .map { case ((t, d), es) =>
+        (t, d.toString, es.map(e => math.floor(e._3 * 1e6).toLong).sum)
+      }.toArray
+    val xs = daily.filter(_._1 == "click").map(e => (e._2, e._3))
+    val ys = daily.filter(_._1 == "purchase").map(e => (e._2, e._3))
+    val diffs = (for { (da, va) <- xs; (db, vb) <- ys }
+      yield (vb - va, da, db)).sorted
+    val np = diffs.length
+    val lo = diffs((np + 1) / 2 - 1)._1
+    val hi = diffs((np + 2) / 2 - 1)._1
+    val row = operators.InferenceOps.hodgesLehmann(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === np.toLong, "n_pairs")
+    assert(row(0).getLong(1) === lo, "hl_lo")
+    assert(row(0).getLong(2) === hi, "hl_hi")
+    assert(row(0).getLong(3) === (lo + hi) / 2, "hl_point")
+  }
+
+  test("Hodges-Lehmann emits ZERO rows when either sample is absent") {
+    assert(operators.InferenceOps.hodgesLehmann(
+      spark, eventsDir(Seq("click", "click"))).collect().isEmpty)
+    assert(operators.InferenceOps.hodgesLehmann(
+      spark, eventsDir(Seq("view"))).collect().isEmpty)
+  }
+
   test("Anderson-Darling emits ZERO rows when either sample is absent") {
     assert(operators.InferenceOps.adTwoSample(
       spark, eventsDir(Seq("click", "click", "click"))).collect().isEmpty)
