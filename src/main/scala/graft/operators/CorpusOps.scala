@@ -102,6 +102,46 @@ object CorpusOps {
           col("n"), 6).as("intercept_nano"))
   }
 
+  /** #458 Corpus dispersion (Gries' DP) of the 20 most frequent terms
+    * across sources: DP(t) = ½ Σ_s |v_{t,s} − w_s| where v is the
+    * term's share of its own occurrences in source s and w is the
+    * source's share of all tokens — 0 means the term tracks the corpus
+    * mix perfectly, →1 means it is confined to one source. The
+    * burstiness question the marginal profiles (#231 Zipf, #332 vocab
+    * overlap, #437 Burrows' Delta) don't answer: is a frequent term
+    * corpus-wide vocabulary or one source's tic? (The mix-weights /
+    * contamination decisions read exactly this.)
+    *
+    * Exactness: the absolute deviations cross-multiply to integers —
+    * |c_{t,s}·T − c_t·T_s| — summed as DECIMAL(38,0), ONE truncating
+    * ppm division by 2·c_t·T. Top-20 by (freq desc, term) is a
+    * TakeOrderedAndProject. Scale: one token explode → (term, source)
+    * counts (map-side combined); the deviation grid is top-K × sources.
+    */
+  def textDispersion(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    // localCheckpoint: the (term, source) cell relation feeds the source
+    // totals, the top-K selection, AND the deviation grid
+    val cells = toks.groupBy("tok", "source").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val srcTot = cells.groupBy("source").agg(sum(col("c")).as("ts"))
+      .crossJoin(broadcast(cells.agg(sum(col("c")).as("t"))))
+    val top = cells.groupBy("tok").agg(sum(col("c")).as("ct"))
+      .orderBy(desc("ct"), col("tok")).limit(20)
+    top.crossJoin(srcTot)
+      .join(cells, Seq("tok", "source"), "left")
+      .select(col("tok"), col("ct"), col("ts"), col("t"),
+        coalesce(col("c"), lit(0L)).as("cts"))
+      .groupBy("tok", "ct", "t")
+      .agg(sum(abs(col("cts").cast(DecimalType(38, 0)) * col("t") -
+        col("ct").cast(DecimalType(38, 0)) * col("ts"))).as("dev"))
+      .select(col("tok"), col("ct").as("freq"),
+        expr("cast((dev * 1000000) div (2 * cast(ct as decimal(38,0)) * t) as long)")
+          .as("dp_ppm"))
+      .orderBy(desc("freq"), col("tok"))
+  }
+
   /** Top-20 bigram continuations of the corpus language model:
     * P(w2|w1) in exact ppm, where the conditioning mass c1 counts w1 in
     * bigram-initial position (= Σ_w2 c12, so probabilities sum to 1 per
@@ -339,9 +379,35 @@ object CorpusOps {
     "q_dedup_span_exact" -> (dedupSpanExact _),
     "q_text_feature_hash" -> (textFeatureHash _),
     "q_text_dup_ngrams" -> (textDupNgrams _),
-    "q_text_zipf" -> (textZipf _))
+    "q_text_zipf" -> (textZipf _),
+    "q_text_dispersion" -> (textDispersion _))
 
   val oracles: Map[String, String] = Map(
+    "q_text_dispersion" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |cells AS (
+        |  SELECT tok, source, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY tok, source),
+        |src AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS ts,
+        |    (SELECT CAST(SUM(c) AS BIGINT) FROM cells) AS t
+        |  FROM cells GROUP BY source),
+        |top AS (
+        |  SELECT tok, CAST(SUM(c) AS BIGINT) AS ct FROM cells
+        |  GROUP BY tok ORDER BY SUM(c) DESC, tok LIMIT 20),
+        |grid AS (
+        |  SELECT top.tok, top.ct, s.ts, s.t,
+        |    CAST(COALESCE(c.c, 0) AS BIGINT) AS cts
+        |  FROM top CROSS JOIN src s
+        |  LEFT JOIN cells c ON c.tok = top.tok AND c.source = s.source)
+        |SELECT tok, ct AS freq,
+        |  CAST(SUM(abs(CAST(cts AS HUGEINT) * t - CAST(ct AS HUGEINT) * ts))
+        |    * 1000000 // (2 * CAST(ct AS HUGEINT) * MAX(t)) AS BIGINT)
+        |    AS dp_ppm
+        |FROM grid GROUP BY tok, ct
+        |ORDER BY freq DESC, tok""".stripMargin,
     "q_text_burrows_delta" ->
       """WITH toks AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS tok

@@ -527,8 +527,16 @@ object DedupOps {
     DerivedFiles.getOrBuildParquet(s, path)(computeComponents(s, dir))
   }
 
-  private def computeComponents(s: SparkSession, dir: String): DataFrame = {
-    val edges = materializedEdges(s, dir)
+  private def computeComponents(s: SparkSession, dir: String): DataFrame =
+    minLabelComponents(materializedEdges(s, dir))
+
+  /** Reusable min-label propagation kernel over an id-ordered edge list
+    * (doc_a < doc_b) → (doc_id, component = min reachable id), the exact
+    * connected-components fixpoint. r16: extracted from the similarity-
+    * graph components build so other edge relations (the phash image
+    * near-dup graph) can reuse the pointer-jumped loop verbatim.
+    */
+  private[graft] def minLabelComponents(edges: DataFrame): DataFrame = {
     val sym = edges.unionByName(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).persist()
     // init fuses propagation round 1: label₀ = min(self, direct neighbors)

@@ -327,6 +327,24 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** #457 Perceptual duplicate CLUSTERS: connected components over the
+    * #262 phash near-dup pairs — the multimodal twin of the text-side
+    * #71 components: candidate pairs alone leave the reviewer with
+    * O(pairs) decisions, the transitive clusters are what image dedup
+    * actually deletes against (keep min doc_id, drop the rest). Reuses
+    * [[DedupOps.minLabelComponents]] (pointer-jumped min-label
+    * propagation, exact fixpoint) over the hamming ≤ 3 edge list;
+    * output = (doc_id, cluster) for every clustered image. Scale: the
+    * edge list is the pigeonhole-blocked #262 relation; propagation
+    * rounds are graph-diameter-bounded (tiny for near-dup clusters),
+    * each one key-partitioned join + aggregate.
+    */
+  def multimodalPhashClusters(s: SparkSession, dir: String): DataFrame =
+    DedupOps.minLabelComponents(
+        multimodalPhashNear(s, dir).select("doc_a", "doc_b"))
+      .select(col("doc_id"), col("component").as("cluster"))
+      .orderBy("doc_id")
+
   // ---- audio: real RIFF/WAVE PCM16 codec --------------------------------
 
   case class AudioFeatures(doc_id: Long, n_samples: Long, energy: Long,
@@ -441,7 +459,8 @@ object Multimodal {
     "q_multimodal_frames" -> (multimodalFrames _),
     "q_multimodal_resize" -> (multimodalResize _),
     "q_multimodal_phash" -> (multimodalPhash _),
-    "q_multimodal_phash_near" -> (multimodalPhashNear _))
+    "q_multimodal_phash_near" -> (multimodalPhashNear _),
+    "q_multimodal_phash_clusters" -> (multimodalPhashClusters _))
 
   // DuckDB twins recompute the closed-form pixel sums the Spark side must
   // reproduce through the real PNG encode/decode round trip (see object
@@ -535,6 +554,50 @@ object Multimodal {
         |        FROM bits GROUP BY doc_id))
         |SELECT doc_id, phash, COUNT(*) OVER (PARTITION BY phash) AS n_same
         |FROM ph ORDER BY doc_id""".stripMargin,
+    "q_multimodal_phash_clusters" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 16 + 1 AS INTEGER) AS w,
+        |    CAST(doc_id % 9 + 1 AS INTEGER) AS h
+        |  FROM documents),
+        |grid AS (
+        |  SELECT doc_id, gx, gy,
+        |    ((77 * ((doc_id * 31 + ((gx * w) // 9) * 7 + ((gy * h) // 8) * 13) % 256)
+        |    + 150 * ((doc_id * 17 + ((gx * w) // 9) * 5 + ((gy * h) // 8) * 3) % 256)
+        |    + 29 * ((doc_id * 29 + ((gx * w) // 9) * 11 + ((gy * h) // 8) * 19) % 256)) // 256)
+        |      AS luma
+        |  FROM m CROSS JOIN range(9) rx(gx) CROSS JOIN range(8) ry(gy)),
+        |ph AS (
+        |  SELECT doc_id, s
+        |  FROM (
+        |    SELECT a.doc_id, COALESCE(SUM(
+        |      CASE WHEN b.luma > a.luma
+        |           THEN CAST(1 AS HUGEINT) << (a.gy * 8 + a.gx)
+        |           ELSE CAST(0 AS HUGEINT) END), CAST(0 AS HUGEINT)) AS s
+        |    FROM grid a JOIN grid b
+        |      ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+        |    WHERE a.gx < 8 GROUP BY a.doc_id)),
+        |chunks AS (
+        |  SELECT p.doc_id, p.s, c.ci,
+        |    CAST((p.s // c.d) % 65536 AS BIGINT) AS chunk
+        |  FROM ph p CROSS JOIN (VALUES
+        |    (0, CAST(1 AS HUGEINT)), (1, CAST(65536 AS HUGEINT)),
+        |    (2, CAST(4294967296 AS HUGEINT)),
+        |    (3, CAST(281474976710656 AS HUGEINT))) c(ci, d)),
+        |edges AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM chunks a JOIN chunks b
+        |    ON a.ci = b.ci AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.s, b.s)) <= 3),
+        |sym AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM edges
+        |  UNION SELECT doc_b, doc_a FROM edges),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "q_multimodal_phash_near" ->
       """WITH m AS (
         |  SELECT doc_id,

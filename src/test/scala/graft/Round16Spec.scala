@@ -407,6 +407,50 @@ class Round16Spec extends AnyFunSuite with SparkFixture {
     assert(got.nonEmpty && got === expected)
   }
 
+  test("phash clusters are the exact components of the phash-near pairs") {
+    val edges = operators.Multimodal.multimodalPhashNear(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assume(edges.nonEmpty, "fixture must have phash near-dups")
+    // driver union-find over the collected edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = nodes.map(n => n -> find(n)).toMap
+    val got = operators.Multimodal.multimodalPhashClusters(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("term dispersion matches an exact BigInt driver replay") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = docs.flatMap { case (src, text) =>
+      text.split(" ", -1).map(t => (t, src)) }
+      .groupBy(identity).map { case ((t, s), xs) => (t, s) -> xs.length.toLong }
+    val srcTot = cells.groupBy(_._1._2).map { case (s, m) => s -> m.values.sum }
+    val grand = BigInt(srcTot.values.sum)
+    val termTot = cells.groupBy(_._1._1).map { case (t, m) => t -> m.values.sum }
+    val top = termTot.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+    val expected = top.map { case (t, ct) =>
+      val dev = srcTot.map { case (s, ts) =>
+        (BigInt(cells.getOrElse((t, s), 0L)) * grand -
+          BigInt(ct) * ts).abs }.sum
+      (t, ct, (dev * 1000000 / (2 * BigInt(ct) * grand)).toLong)
+    }
+    val got = operators.CorpusOps.textDispersion(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
+
   test("k-anonymity profile on a crafted bin layout") {
     import spark.implicits._
     def ts(cell: Int, i: Int) =
