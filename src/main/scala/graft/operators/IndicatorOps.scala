@@ -236,7 +236,62 @@ object IndicatorOps {
       .orderBy("event_type", "day")
   }
 
+  /** #459 Garman–Klass volatility per event type over daily OHLC of the
+    * event-value series: σ²_GK = mean over days of ½·ln²(H/L) −
+    * (2ln2−1)·ln²(C/O) — the range-based estimator that is ~7× more
+    * efficient than close-to-close variance, completing the volatility
+    * corner of the indicator family (#327 ATR measures the range, GK
+    * turns it into a variance estimate).
+    *
+    * Exactness: values stage to integer micro; ln(H/L) = lnNano(H) −
+    * lnNano(L) (the scale cancels, so both terms are the house
+    * floored-nano ln of exact integers, and the DIFFERENCE is exact);
+    * the per-day term d1²·5e8 − d2²·(2ln2−1 floored to nano) is pure
+    * DECIMAL(38,0) multiplication — ZERO divisions until the final
+    * mirrored readouts (variance in micro², vol = floor(√) micro).
+    * Days with L ≤ 0 are excluded on both engines (ln undefined).
+    * Scale: the OHLC grid is |types|×|days| rows; one corpus-sized
+    * window+agg pass, everything after is calendar-bounded.
+    */
+  def winGarmanKlass(s: SparkSession, dir: String): DataFrame = {
+    val day = date_trunc("day", col("ts"))
+    val base = Tables.events(s, dir)
+      .select(col("event_type"), day.as("day"), col("ts"), col("event_id"),
+        floor(col("value") * 1e6).cast("long").as("m"))
+    val wAsc = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    def lnN(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double")) * 1e9).cast("long")
+    base
+      .withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy("event_type", "day")
+      .agg(max(when(col("rn_a") === 1, col("m"))).as("o"),
+        max(col("m")).as("h"), min(col("m")).as("l"),
+        max(when(col("rn_d") === 1, col("m"))).as("c"))
+      .filter(col("l") > 0)
+      .select(col("event_type"),
+        (lnN(col("h")) - lnN(col("l"))).cast(dec).as("d1"),
+        (lnN(col("c")) - lnN(col("o"))).cast(dec).as("d2"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("d1") * col("d1") * 500000000L -
+          col("d2") * col("d2") * 386294361L).as("ts2"))
+      .select(col("event_type"), col("n_days"),
+        expr("cast(ts2 div (n_days * 1000000000000000) as long)")
+          .as("gk_var_micro2"))
+      // GK can go negative on pathological days (known estimator quirk);
+      // NULL the vol readout rather than sqrt(<0) — mirrored CASE
+      .withColumn("gk_vol_micro",
+        when(col("gk_var_micro2") >= 0,
+          expr("cast(floor(sqrt(cast(gk_var_micro2 as double))) as long)")))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_garman_klass" -> (winGarmanKlass _),
     "q_win_vwap" -> (winVwap _),
     "q_win_donchian" -> (winDonchian _),
     "q_win_aroon" -> (winAroon _),
@@ -268,6 +323,47 @@ object IndicatorOps {
       |  FROM rk GROUP BY event_type, day)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_win_garman_klass" ->
+      """WITH base AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+        |    CAST(floor(value * 1e6) AS BIGINT) AS m
+        |  FROM events),
+        |rk AS (
+        |  SELECT event_type, day, m,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY ts ASC, event_id ASC) AS ra,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM base),
+        |ohlc AS (
+        |  SELECT event_type, day,
+        |    MAX(CASE WHEN ra = 1 THEN m END) AS o,
+        |    MAX(m) AS h, MIN(m) AS l,
+        |    MAX(CASE WHEN rd = 1 THEN m END) AS c
+        |  FROM rk GROUP BY event_type, day),
+        |d AS (
+        |  SELECT event_type,
+        |    CAST(CAST(FLOOR(LN(CAST(h AS DOUBLE)) * 1e9) AS BIGINT)
+        |       - CAST(FLOOR(LN(CAST(l AS DOUBLE)) * 1e9) AS BIGINT)
+        |      AS HUGEINT) AS d1,
+        |    CAST(CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1e9) AS BIGINT)
+        |       - CAST(FLOOR(LN(CAST(o AS DOUBLE)) * 1e9) AS BIGINT)
+        |      AS HUGEINT) AS d2
+        |  FROM ohlc WHERE l > 0),
+        |g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    SUM(d1 * d1 * 500000000 - d2 * d2 * 386294361) AS ts2
+        |  FROM d GROUP BY event_type),
+        |v AS (
+        |  SELECT event_type, n_days,
+        |    CAST(ts2 // (CAST(n_days AS HUGEINT) * 1000000000000000)
+        |      AS BIGINT) AS gk_var_micro2
+        |  FROM g)
+        |SELECT event_type, n_days, gk_var_micro2,
+        |  CASE WHEN gk_var_micro2 >= 0 THEN
+        |    CAST(FLOOR(SQRT(CAST(gk_var_micro2 AS DOUBLE))) AS BIGINT)
+        |  ELSE NULL END AS gk_vol_micro
+        |FROM v ORDER BY event_type""".stripMargin,
     "q_win_vwap" ->
       """WITH d AS (
         |  SELECT l_returnflag AS flag, date_trunc('day', l_shipdate) AS day,

@@ -407,6 +407,40 @@ class Round16Spec extends AnyFunSuite with SparkFixture {
     assert(got.nonEmpty && got === expected)
   }
 
+  test("Garman-Klass matches an exact driver replay (shared libm)") {
+    val utc = java.time.ZoneOffset.UTC
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toInstant,
+        r.getLong(2), math.floor(r.getDouble(3) * 1e6).toLong))
+    def lnN(x: Long) = math.floor(math.log(x.toDouble) * 1e9).toLong
+    val expected = rows
+      .groupBy(e => (e._1, e._2.atZone(utc).toLocalDate))
+      .toSeq
+      .map { case ((t, _), es) =>
+        val sorted = es.sortBy(e => (e._2, e._3))
+        (t, sorted.head._4, es.map(_._4).max, es.map(_._4).min, sorted.last._4)
+      }
+      .filter(_._4 > 0)
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (t, days) =>
+        val ts2 = days.map { case (_, o, h, l, c) =>
+          val d1 = BigInt(lnN(h) - lnN(l)); val d2 = BigInt(lnN(c) - lnN(o))
+          d1 * d1 * 500000000L - d2 * d2 * 386294361L
+        }.sum
+        val n = days.length.toLong
+        val varM = ts2 / (BigInt(n) * BigInt("1000000000000000"))
+        val vol: Option[Long] = if (varM >= 0)
+          Some(math.floor(math.sqrt(varM.toDouble)).toLong) else None
+        (t, n, varM.toLong, vol)
+      }
+    val got = operators.IndicatorOps.winGarmanKlass(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    assert(got === expected)
+  }
+
   test("phash clusters are the exact components of the phash-near pairs") {
     val edges = operators.Multimodal.multimodalPhashNear(spark, sfDir)
       .select("doc_a", "doc_b").collect()
