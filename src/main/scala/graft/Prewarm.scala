@@ -55,6 +55,8 @@ object Prewarm {
         (() => { GraphOps.materializedNeighborSigs(s, dir).count(); () }),
       "bipartite" ->
         (() => { GraphOps.materializedBipartite(s, dir).count(); () }),
+      "phash_clusters" ->
+        (() => { Multimodal.materializedPhashClusters(s, dir).count(); () }),
       "scan_layouts" -> (() => Scans.prewarmBuilds(s, dir)),
     ) ++ RankKernels.builders.map { case (name, b) =>
       name -> (() => b(s, dir))

@@ -340,10 +340,25 @@ object Multimodal {
     * each one key-partitioned join + aggregate.
     */
   def multimodalPhashClusters(s: SparkSession, dir: String): DataFrame =
-    DedupOps.minLabelComponents(
-        multimodalPhashNear(s, dir).select("doc_a", "doc_b"))
-      .select(col("doc_id"), col("component").as("cluster"))
+    materializedPhashClusters(s, dir)
+      .select(col("doc_id"), col("cluster"))
       .orderBy("doc_id")
+
+  /** Materialized phash cluster labels — the image-side twin of
+    * [[DedupOps.componentLabels]]' discipline: labels are a pure
+    * function of the corpus (deterministic phash edges + min-label
+    * fixpoint), so the decode + near-join + propagation rounds run
+    * ONCE per tmp lifetime and every consumer reads the parquet.
+    */
+  private[graft] def materializedPhashClusters(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
+      s"/graft_io/phash_clusters_v1_${DedupOps.cacheKey(dir, "documents")}"
+    DerivedFiles.getOrBuildParquet(s, path) {
+      DedupOps.minLabelComponents(
+          multimodalPhashNear(s, dir).select("doc_a", "doc_b"))
+        .select(col("doc_id"), col("component").as("cluster"))
+    }
+  }
 
   // ---- audio: real RIFF/WAVE PCM16 codec --------------------------------
 
