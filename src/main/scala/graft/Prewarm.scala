@@ -53,6 +53,12 @@ object Prewarm {
         (() => { GraphOps.materializedWedgePairs(s, dir).count(); () }),
       "neighbor_sigs" ->
         (() => { GraphOps.materializedNeighborSigs(s, dir).count(); () }),
+      "struct_equiv_pairs" ->
+        (() => { GraphOps.materializedStructEquivPairs(s, dir).count(); () }),
+      "triangle_support" ->
+        (() => { GraphOps.materializedTriangleSupport(s, dir).count(); () }),
+      "power_spectrum" ->
+        (() => { SeriesOps.materializedPowerSpectrum(s, dir).count(); () }),
       "bipartite" ->
         (() => { GraphOps.materializedBipartite(s, dir).count(); () }),
       "phash_clusters" ->

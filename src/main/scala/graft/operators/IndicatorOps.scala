@@ -290,7 +290,186 @@ object IndicatorOps {
       .orderBy("event_type")
   }
 
+  /** #462 Parkinson range-based volatility per event type over the
+    * daily high/low of the event-value series: σ²_P = mean ln²(H/L) /
+    * (4·ln 2) — the oldest and simplest of the range estimators
+    * (Parkinson 1980), ~5× more efficient than close-to-close and the
+    * natural cross-read against #459 Garman–Klass (GK adds the
+    * open/close drift term; P-vs-GK disagreement flags days where the
+    * close jumped the range).
+    *
+    * Exactness: the #459 staging verbatim — ln(H/L) = lnNano(H) −
+    * lnNano(L) (exact difference of house floored-nano lns), per-day
+    * squares pure DECIMAL(38,0); the constant 4·ln 2 is floored to nano
+    * (2772588722, pinned on both engines) and the readout is ONE
+    * truncating division (Σd1²·1000) div (n·4ln2_nano) = variance in
+    * micro². Parkinson is a sum of squares, so ≥ 0 always — the vol
+    * sqrt needs no sign guard. L ≤ 0 days excluded both engines.
+    * Scale: one |types|×|days| window+agg pass; readout |types| rows.
+    */
+  def winParkinson(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        floor(col("value") * 1e6).cast("long").as("m"))
+    def lnN(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double")) * 1e9).cast("long")
+    base
+      .groupBy("event_type", "day")
+      .agg(max(col("m")).as("h"), min(col("m")).as("l"))
+      .filter(col("l") > 0)
+      .select(col("event_type"), (lnN(col("h")) - lnN(col("l"))).cast(dec).as("d1"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("d1") * col("d1")).as("ts2"))
+      .select(col("event_type"), col("n_days"),
+        expr("cast((ts2 * 1000) div (n_days * 2772588722) as long)")
+          .as("pk_var_micro2"))
+      .withColumn("pk_vol_micro",
+        expr("cast(floor(sqrt(cast(pk_var_micro2 as double))) as long)"))
+      .orderBy("event_type")
+  }
+
+  /** #463 Rogers–Satchell volatility per event type over daily OHLC:
+    * σ²_RS = mean[ln(H/C)·ln(H/O) + ln(L/C)·ln(L/O)] — the
+    * drift-INDEPENDENT member of the range family (Rogers & Satchell
+    * 1991): #462 Parkinson and #459 GK are biased when the series
+    * trends within the day; RS is exact under nonzero drift, so
+    * P ≫ RS flags drift-dominated days. Both per-day products are ≥ 0
+    * by construction (H ≥ O,C ≥ L and floored-nano ln is monotone), so
+    * the estimate is ≥ 0 and the vol sqrt needs no sign guard.
+    *
+    * Exactness: four exact lnNano differences per day, term u1·u2 +
+    * v1·v2 pure DECIMAL(38,0); ONE truncating division Σterm div
+    * (n·10⁶) = variance in micro². L ≤ 0 days excluded both engines.
+    * Scale: the same |types|×|days| OHLC pass as #459.
+    */
+  def winRogersSatchell(s: SparkSession, dir: String): DataFrame = {
+    val day = date_trunc("day", col("ts"))
+    val base = Tables.events(s, dir)
+      .select(col("event_type"), day.as("day"), col("ts"), col("event_id"),
+        floor(col("value") * 1e6).cast("long").as("m"))
+    val wAsc = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    def lnN(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double")) * 1e9).cast("long")
+    base
+      .withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy("event_type", "day")
+      .agg(max(when(col("rn_a") === 1, col("m"))).as("o"),
+        max(col("m")).as("h"), min(col("m")).as("l"),
+        max(when(col("rn_d") === 1, col("m"))).as("c"))
+      .filter(col("l") > 0)
+      .select(col("event_type"),
+        (lnN(col("h")) - lnN(col("c"))).cast(dec).as("u1"),
+        (lnN(col("h")) - lnN(col("o"))).cast(dec).as("u2"),
+        (lnN(col("l")) - lnN(col("c"))).cast(dec).as("v1"),
+        (lnN(col("l")) - lnN(col("o"))).cast(dec).as("v2"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("u1") * col("u2") + col("v1") * col("v2")).as("ts2"))
+      .select(col("event_type"), col("n_days"),
+        expr("cast(ts2 div (n_days * 1000000) as long)").as("rs_var_micro2"))
+      .withColumn("rs_vol_micro",
+        expr("cast(floor(sqrt(cast(rs_var_micro2 as double))) as long)"))
+      .orderBy("event_type")
+  }
+
+  /** #464 Amihud illiquidity per event type: mean over days of
+    * |daily ln-return| / daily event count — Amihud (2002)'s
+    * price-impact-per-unit-volume ratio, here "how much does the
+    * day-over-day value level move per event": a HIGH ratio means thin
+    * activity moves the aggregate a lot (fragile/spiky stream), a low
+    * one means the level is liquid against its own volume. Completes
+    * the volume corner of the indicator family (#341 OBV: direction ×
+    * volume; Amihud: magnitude ÷ volume).
+    *
+    * Exactness: daily value mass is an exact integer micro sum; the
+    * ln-return is the exact difference of floored-nano lns; each day's
+    * term is ONE truncating division by the integer event count
+    * (nano-return per event), the readout mean ONE more by n_days —
+    * both mirrored. Days with v ≤ 0 are excluded BEFORE the lag on
+    * both engines (the return spans the surviving calendar, the
+    * standard gap convention of the return family). Scale: one
+    * |types|×|days| aggregate, then a lag window on the
+    * calendar-bounded relation.
+    */
+  def winAmihud(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    def lnN(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double")) * 1e9).cast("long")
+    Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        floor(col("value") * 1e6).cast("long").as("m"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("m")).as("v"), count(lit(1)).as("n_ev"))
+      .filter(col("v") > 0)
+      .withColumn("pv", lag(col("v"), 1).over(w))
+      .filter(col("pv").isNotNull)
+      .select(col("event_type"),
+        expr("abs(cast(floor(ln(cast(v as double)) * 1e9) as bigint) - " +
+          "cast(floor(ln(cast(pv as double)) * 1e9) as bigint)) div n_ev")
+          .as("term"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("term").cast(dec)).as("ts"))
+      .select(col("event_type"), col("n_days"),
+        expr("cast(ts div n_days as long)").as("amihud_nano"))
+      .orderBy("event_type")
+  }
+
+  /** #465 Sortino ratio per event type on the daily ln-return series of
+    * the value mass: mean return over DOWNSIDE semideviation (target
+    * 0) — the risk-adjusted read the symmetric family can't give
+    * (penalizing only losses is the right loss for pipeline-health
+    * series where upside spikes are fine and drops are incidents).
+    * Completes #446 ulcer (drawdown depth×duration) and #459/#462/#463
+    * (two-sided vol) with the one-sided ratio.
+    *
+    * Exactness: returns are exact lnNano differences; mean = Σr div n;
+    * downside variance = Σ(r<0: r²) div (n·10⁶) in pure DECIMAL with
+    * ONE truncating division — the ·10⁶ downscale keeps the int→double
+    * input of the terminal sqrt under 2^53 on both engines (the #390
+    * caveat: nano² per-day squares are ~1e16), so semidev lands in
+    * exact micro units; ratio = mean_nano div semidev_micro ( = ratio
+    * in milli), NULL when no down day (both engines). Scale: one
+    * |types|×|days| aggregate + lag window, |types|-row readout.
+    */
+  def winSortino(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        floor(col("value") * 1e6).cast("long").as("m"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("m")).as("v"))
+      .filter(col("v") > 0)
+      .withColumn("pv", lag(col("v"), 1).over(w))
+      .filter(col("pv").isNotNull)
+      .select(col("event_type"),
+        (floor(log(col("v").cast("double")) * 1e9).cast("long") -
+          floor(log(col("pv").cast("double")) * 1e9).cast("long")).as("r"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("r").cast(dec)).as("sr"),
+        sum(when(col("r") < 0, col("r").cast(dec) * col("r")).otherwise(
+          lit(0L).cast(dec))).as("sdd2"))
+      .select(col("event_type"), col("n_days"),
+        expr("cast(sr div n_days as long)").as("mean_r_nano"),
+        expr("cast(floor(sqrt(cast(sdd2 div (n_days * 1000000) as double))) " +
+          "as long)").as("semidev_micro"))
+      .withColumn("sortino_milli",
+        expr("CASE WHEN semidev_micro > 0 THEN " +
+          "mean_r_nano div semidev_micro END"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_parkinson" -> (winParkinson _),
+    "q_win_rogers_satchell" -> (winRogersSatchell _),
+    "q_win_amihud" -> (winAmihud _),
+    "q_win_sortino" -> (winSortino _),
     "q_win_garman_klass" -> (winGarmanKlass _),
     "q_win_vwap" -> (winVwap _),
     "q_win_donchian" -> (winDonchian _),
@@ -323,6 +502,128 @@ object IndicatorOps {
       |  FROM rk GROUP BY event_type, day)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_win_parkinson" ->
+      """WITH base AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(floor(value * 1e6) AS BIGINT) AS m
+        |  FROM events),
+        |hl AS (
+        |  SELECT event_type, day, MAX(m) AS h, MIN(m) AS l
+        |  FROM base GROUP BY event_type, day),
+        |d AS (
+        |  SELECT event_type,
+        |    CAST(CAST(FLOOR(LN(CAST(h AS DOUBLE)) * 1e9) AS BIGINT)
+        |       - CAST(FLOOR(LN(CAST(l AS DOUBLE)) * 1e9) AS BIGINT)
+        |      AS HUGEINT) AS d1
+        |  FROM hl WHERE l > 0),
+        |g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    SUM(d1 * d1) AS ts2
+        |  FROM d GROUP BY event_type)
+        |SELECT event_type, n_days,
+        |  CAST((ts2 * 1000) // (n_days * 2772588722) AS BIGINT)
+        |    AS pk_var_micro2,
+        |  CAST(FLOOR(SQRT(CAST((ts2 * 1000) // (n_days * 2772588722)
+        |    AS DOUBLE))) AS BIGINT) AS pk_vol_micro
+        |FROM g ORDER BY event_type""".stripMargin,
+    "q_win_rogers_satchell" ->
+      """WITH base AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+        |    CAST(floor(value * 1e6) AS BIGINT) AS m
+        |  FROM events),
+        |rk AS (
+        |  SELECT event_type, day, m,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY ts ASC, event_id ASC) AS ra,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM base),
+        |ohlc AS (
+        |  SELECT event_type, day,
+        |    MAX(CASE WHEN ra = 1 THEN m END) AS o,
+        |    MAX(m) AS h, MIN(m) AS l,
+        |    MAX(CASE WHEN rd = 1 THEN m END) AS c
+        |  FROM rk GROUP BY event_type, day),
+        |d AS (
+        |  SELECT event_type,
+        |    CAST(CAST(FLOOR(LN(CAST(h AS DOUBLE)) * 1e9) AS BIGINT)
+        |       - CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1e9) AS BIGINT)
+        |      AS HUGEINT) AS u1,
+        |    CAST(CAST(FLOOR(LN(CAST(h AS DOUBLE)) * 1e9) AS BIGINT)
+        |       - CAST(FLOOR(LN(CAST(o AS DOUBLE)) * 1e9) AS BIGINT)
+        |      AS HUGEINT) AS u2,
+        |    CAST(CAST(FLOOR(LN(CAST(l AS DOUBLE)) * 1e9) AS BIGINT)
+        |       - CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1e9) AS BIGINT)
+        |      AS HUGEINT) AS v1,
+        |    CAST(CAST(FLOOR(LN(CAST(l AS DOUBLE)) * 1e9) AS BIGINT)
+        |       - CAST(FLOOR(LN(CAST(o AS DOUBLE)) * 1e9) AS BIGINT)
+        |      AS HUGEINT) AS v2
+        |  FROM ohlc WHERE l > 0),
+        |g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    SUM(u1 * u2 + v1 * v2) AS ts2
+        |  FROM d GROUP BY event_type)
+        |SELECT event_type, n_days,
+        |  CAST(ts2 // (n_days * 1000000) AS BIGINT) AS rs_var_micro2,
+        |  CAST(FLOOR(SQRT(CAST(ts2 // (n_days * 1000000) AS DOUBLE)))
+        |    AS BIGINT) AS rs_vol_micro
+        |FROM g ORDER BY event_type""".stripMargin,
+    "q_win_amihud" ->
+      """WITH base AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(floor(value * 1e6) AS BIGINT) AS m
+        |  FROM events),
+        |dv AS (
+        |  SELECT event_type, day, SUM(m) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ev
+        |  FROM base GROUP BY event_type, day),
+        |lg AS (
+        |  SELECT event_type, n_ev, v,
+        |    LAG(v) OVER (PARTITION BY event_type ORDER BY day) AS pv
+        |  FROM dv WHERE v > 0),
+        |t AS (
+        |  SELECT event_type,
+        |    abs(CAST(FLOOR(LN(CAST(v AS DOUBLE)) * 1e9) AS BIGINT)
+        |      - CAST(FLOOR(LN(CAST(pv AS DOUBLE)) * 1e9) AS BIGINT))
+        |      // n_ev AS term
+        |  FROM lg WHERE pv IS NOT NULL)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(CAST(term AS HUGEINT)) // COUNT(*) AS BIGINT)
+        |    AS amihud_nano
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_win_sortino" ->
+      """WITH base AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(floor(value * 1e6) AS BIGINT) AS m
+        |  FROM events),
+        |dv AS (
+        |  SELECT event_type, day, SUM(m) AS v
+        |  FROM base GROUP BY event_type, day),
+        |lg AS (
+        |  SELECT event_type, v,
+        |    LAG(v) OVER (PARTITION BY event_type ORDER BY day) AS pv
+        |  FROM dv WHERE v > 0),
+        |r AS (
+        |  SELECT event_type,
+        |    CAST(FLOOR(LN(CAST(v AS DOUBLE)) * 1e9) AS BIGINT)
+        |      - CAST(FLOOR(LN(CAST(pv AS DOUBLE)) * 1e9) AS BIGINT) AS r
+        |  FROM lg WHERE pv IS NOT NULL),
+        |g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    SUM(CAST(r AS HUGEINT)) AS sr,
+        |    SUM(CASE WHEN r < 0 THEN CAST(r AS HUGEINT) * r ELSE 0 END)
+        |      AS sdd2
+        |  FROM r GROUP BY event_type),
+        |sel AS (
+        |  SELECT event_type, n_days,
+        |    CAST(sr // n_days AS BIGINT) AS mean_r_nano,
+        |    CAST(FLOOR(SQRT(CAST(sdd2 // (n_days * 1000000) AS DOUBLE)))
+        |      AS BIGINT) AS semidev_micro
+        |  FROM g)
+        |SELECT event_type, n_days, mean_r_nano, semidev_micro,
+        |  CAST(CASE WHEN semidev_micro > 0 THEN
+        |    mean_r_nano // semidev_micro END AS BIGINT) AS sortino_milli
+        |FROM sel ORDER BY event_type""".stripMargin,
     "q_win_garman_klass" ->
       """WITH base AS (
         |  SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,

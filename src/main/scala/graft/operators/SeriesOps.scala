@@ -130,17 +130,63 @@ object SeriesOps {
     * rows at ANY corpus size — the only corpus-sized job is the day
     * aggregate.
     */
-  def tsCumPeriodogram(s: SparkSession, dir: String): DataFrame = {
+  /** Structural bound declaration for the cumulative readout's global
+    * windows over the materialized spectrum read (GlobalWindowSpec's
+    * contract: a no-partition window must sit above a Limit or bounded
+    * Aggregate). Value-neutral: the spectrum has (N−1) div 2 rows for
+    * an N-day calendar — 10M frequencies would need a ~55,000-year
+    * daily series — so the limit never truncates; it DECLARES the
+    * bound the inline plan used to carry via its day aggregate.
+    */
+  private val SpectrumBound = 10000000
+
+  def tsCumPeriodogram(s: SparkSession, dir: String): DataFrame =
+    cumPeriodogramReadout(materializedPowerSpectrum(s, dir).limit(SpectrumBound))
+
+  /** From-scratch #451 (spectrum plan + readout) over an arbitrary
+    * (day, v) daily frame — the kernel the derived file caches and the
+    * Round17Spec invariance/degenerate-calendar pins replay.
+    */
+  private[graft] def tsCumPeriodogramOf(daily: DataFrame): DataFrame =
+    cumPeriodogramReadout(powerSpectrumPlanOf(daily))
+
+  /** Materialized full-grid power spectrum (j, p_e18) of the global
+    * daily revenue series — the r16 verdict's third amortization: the
+    * ~N²/2-row Fourier-grid evaluation in [[powerSpectrumPlanOf]] is a
+    * pure function of orders (the series is the day aggregate, the grid
+    * a pure function of the series), so the spectrum joins the same
+    * build-once tier as the graph derivations. |frequencies| =
+    * (N−1) div 2 rows — tiny, but the grid behind it is the cost. Two
+    * graded consumers: #451's cumulative readout and #460's flatness.
+    * Round17Spec pins output invariance against the from-scratch plan.
+    */
+  private[graft] def materializedPowerSpectrum(
+      s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
+      s"/graft_io/power_spectrum_v1_${DedupOps.cacheKey(dir, "orders")}"
+    DerivedFiles.getOrBuildParquet(s, path)(
+      powerSpectrumPlanOf(Tables.orders(s, dir)
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg((sum(Det.money(col("o_totalprice"))) * 100).cast("long").as("v"))))
+  }
+
+  /** Full Fourier grid j = 1..(N−1) div 2 → per-frequency power
+    * (j, p_e18) with the #368 floored-nano staging (see
+    * [[tsCumPeriodogram]]'s scaladoc for the exactness argument).
+    */
+  private[graft] def powerSpectrumPlanOf(daily: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val daily = Tables.orders(s, dir)
-      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
-      .agg((sum(Det.money(col("o_totalprice"))) * 100).cast("long").as("v"))
     val idx = daily
       .withColumn("t", row_number().over(Window.orderBy("day")) - 1)
     val withN = idx.crossJoin(broadcast(idx.agg(count(lit(1)).as("nd"))))
-    val pw = withN
+    withN
       .select(col("t"), col("v"), col("nd"),
         explode(sequence(lit(1L), expr("(nd - 1) div 2"))).as("j"))
+      // Degenerate-calendar guard (r16 ADVICE): when nd <= 2 the upper
+      // bound is 0 and Spark's sequence(1, 0) DESCENDS to [1, 0] —
+      // DuckDB's range(1, 1) is empty. The grid contract is empty there;
+      // this filter is a codegen'd no-op on any real calendar.
+      .filter(col("j") >= 1L && col("j") <= expr("(nd - 1) div 2"))
       .withColumn("cnano",
         expr("cast(floor(cos(2 * pi() * j * cast(t as double) / nd) * 1e9) as long)"))
       .withColumn("snano",
@@ -156,6 +202,9 @@ object SeriesOps {
         expr("cast((cast(ck div nd as decimal(38,0)) * (ck div nd) + " +
           "cast(sk div nd as decimal(38,0)) * (sk div nd)) " +
           "div 1000000000000000000 as decimal(38,0))").as("p_e18"))
+  }
+
+  private def cumPeriodogramReadout(pw: DataFrame): DataFrame = {
     val wCum = Window.orderBy("j")
       .rowsBetween(Window.unboundedPreceding, 0)
     val frame = Window.partitionBy().rowsBetween(
@@ -179,6 +228,92 @@ object SeriesOps {
       .withColumn("crit_ppm",
         expr("cast(floor(1360000 / sqrt(cast(k_freqs as double))) as long)"))
       .withColumn("white_noise_rejected", col("d_max_ppm") > col("crit_ppm"))
+  }
+
+  /** #461 Log spectral flatness (Wiener entropy) of the daily revenue
+    * series over the FULL Fourier grid: ln(GM/AM) = mean ln P_j −
+    * ln(mean P_j) ≤ 0 — 0 for a perfectly flat (white) spectrum,
+    * deeply negative when power concentrates in few frequencies. The
+    * full-spectrum companion to #390 (spectral entropy of the 8-wave
+    * SCREEN): entropy says how evenly the screen bins split, flatness
+    * certifies whiteness against the whole grid — and the second
+    * graded consumer of the r17-materialized [[materializedPowerSpectrum]].
+    *
+    * Exactness: powers downscale div 1e9 (the #390 move — keeps every
+    * int→double conversion under 2^53 on both engines; ln flatness is
+    * scale-invariant so the shift only moves the shared staging); zero
+    * bins are excluded by the GM convention on both engines; ln floored
+    * to nano per exact integer; GM ln = Σln div n and AM = ΣP div n are
+    * the two mirrored truncating divisions. Scale: a |K|-row readout of
+    * the materialized spectrum; the N²/2 grid behind it is paid once
+    * per tmp lifetime.
+    */
+  def tsSpectralFlatness(s: SparkSession, dir: String): DataFrame =
+    tsSpectralFlatnessOf(materializedPowerSpectrum(s, dir))
+
+  private[graft] def tsSpectralFlatnessOf(pw: DataFrame): DataFrame =
+    pw.select(expr("cast(p_e18 div 1000000000 as long)").as("q"))
+      .groupBy(lit(1).as("g"))
+      .agg(count(lit(1)).as("n_bins"),
+        count(when(col("q") > 0L, lit(1))).as("n_pos"),
+        sum(when(col("q") > 0L, col("q"))).as("t"),
+        sum(when(col("q") > 0L,
+          floor(log(col("q").cast("double")) * 1e9).cast("long"))).as("sum_ln"))
+      .select(col("n_bins"), col("n_pos"),
+        expr("CASE WHEN n_pos > 0 THEN sum_ln div n_pos END").as("gm_ln_nano"),
+        expr("CASE WHEN n_pos > 0 THEN t div n_pos END").as("am_e9"))
+      .withColumn("ln_flatness_nano",
+        expr("CASE WHEN am_e9 > 0 THEN gm_ln_nano - " +
+          "cast(floor(ln(cast(am_e9 as double)) * 1e9) as bigint) END"))
+      .withColumn("ln_flatness_milli", expr("ln_flatness_nano div 1000000"))
+
+  /** #466 Cox–Stuart trend test on the global daily revenue series:
+    * pair each day t with day t + h (h = (N+1) div 2 — the odd-length
+    * middle observation drops out, the textbook convention), count
+    * strictly-up vs strictly-down pairs (ties drop), and test S⁺
+    * against Binomial(n, ½) via the normal approximation z =
+    * (2S⁺ − n)/√n — the distribution-free "is there ANY monotone
+    * trend" screen that needs no slope model: the sign-test dual of
+    * Mann–Kendall (#308, which pays O(N²) comparisons; Cox–Stuart pays
+    * N/2) and the formal test behind the #466-adjacent descriptive
+    * trend fits (#232 Theil–Sen gives the slope, this says whether to
+    * believe any).
+    *
+    * Exactness: counts are exact integers; the single z readout is one
+    * floored double with the identical expression order on both
+    * engines (the #442 turning-points pattern); zero rows when the
+    * calendar has no usable pair (both engines, GROUP BY g contract).
+    * Scale: the series is CALENDAR-bounded — the pairing is an
+    * equi-join on t at ~N/2 rows; the only corpus-sized job is the day
+    * aggregate.
+    */
+  def tsCoxStuart(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg((sum(Det.money(col("o_totalprice"))) * 100).cast("long").as("v"))
+    // The indexed series feeds the pair join's both sides and the
+    // count; deliberately NOT checkpointed — the three subtrees are
+    // identical, so ReuseExchange serves them from ONE day-aggregate
+    // shuffle (a measured localCheckpoint experiment here was ~0.4 s
+    // SLOWER: it splits the plan into extra jobs and loses the reuse)
+    val idx = daily
+      .withColumn("t", row_number().over(Window.orderBy("day")))
+    val withN = idx.crossJoin(broadcast(idx.agg(count(lit(1)).as("nd"))))
+    withN
+      .filter(col("t") <= expr("nd - ((nd + 1) div 2)"))
+      .select(col("t"), col("v").as("va"), col("nd"))
+      .join(idx.select(col("t").as("tb"), col("v").as("vb")),
+        col("tb") === col("t") + expr("(nd + 1) div 2"))
+      .groupBy(lit(1).as("g"))
+      .agg(count(when(col("vb") > col("va"), lit(1))).as("s_plus"),
+        count(when(col("vb") < col("va"), lit(1))).as("s_minus"))
+      .select(expr("s_plus + s_minus").as("n_pairs"),
+        col("s_plus"), col("s_minus"))
+      .withColumn("z_milli",
+        expr("CASE WHEN n_pairs > 0 THEN cast(floor(" +
+          "cast(2 * s_plus - n_pairs as double) / " +
+          "sqrt(cast(n_pairs as double)) * 1000) as bigint) END"))
+      .withColumn("trend_significant_05", abs(col("z_milli")) > 1960L)
   }
 
   /** #369 MACD on the per-priority daily revenue series, completing the
@@ -548,6 +683,8 @@ object SeriesOps {
     "q_ts_perm_entropy" -> (tsPermEntropy _),
     "q_ts_periodogram" -> (tsPeriodogram _),
     "q_ts_cum_periodogram" -> (tsCumPeriodogram _),
+    "q_ts_spectral_flatness" -> (tsSpectralFlatness _),
+    "q_ts_cox_stuart" -> (tsCoxStuart _),
     "q_win_macd" -> (winMacd _),
     "q_stats_jarque_bera" -> (statsJarqueBera _),
     "q_embed_isotropy" -> (embedIsotropy _),
@@ -769,7 +906,7 @@ object SeriesOps {
         |    SUM(p_e18) OVER () AS total
         |  FROM p),
         |d AS (
-        |  SELECT j, kmax, total,
+        |  SELECT 1 AS g, j, kmax, total,
         |    abs(cum * kmax - total * j) AS dv,
         |    MAX(abs(cum * kmax - total * j)) OVER () AS dmax
         |  FROM c)
@@ -784,7 +921,80 @@ object SeriesOps {
         |    // (MAX(kmax) * CAST(MAX(total) AS HUGEINT)) AS BIGINT)
         |    > CAST(FLOOR(1360000 / sqrt(CAST(MAX(kmax) AS DOUBLE))) AS BIGINT)
         |    AS white_noise_rejected
-        |FROM d WHERE dv = dmax""".stripMargin,
+        |FROM d WHERE dv = dmax GROUP BY g""".stripMargin,
+    "q_ts_spectral_flatness" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |idx AS (
+        |  SELECT v, ROW_NUMBER() OVER (ORDER BY day) - 1 AS t FROM daily),
+        |nn AS (SELECT COUNT(*) AS nd FROM idx),
+        |jt AS (
+        |  SELECT unnest(range(1, (nd - 1) // 2 + 1)) AS j, v, t, nd
+        |  FROM idx, nn),
+        |terms AS (
+        |  SELECT j, v, nd,
+        |    CAST(FLOOR(COS(2 * pi() * j * CAST(t AS DOUBLE) / nd) * 1e9)
+        |      AS BIGINT) AS cnano,
+        |    CAST(FLOOR(SIN(2 * pi() * j * CAST(t AS DOUBLE) / nd) * 1e9)
+        |      AS BIGINT) AS snano
+        |  FROM jt),
+        |g0 AS (
+        |  SELECT j, MAX(nd) AS nd,
+        |    SUM(CAST(v AS HUGEINT) * cnano) AS ck,
+        |    SUM(CAST(v AS HUGEINT) * snano) AS sk
+        |  FROM terms GROUP BY j),
+        |p AS (
+        |  SELECT 1 AS g, CAST(((ck // nd) * (ck // nd) + (sk // nd) * (sk // nd))
+        |    // 1000000000000000000 // 1000000000 AS BIGINT) AS q
+        |  FROM g0),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+        |    CAST(COUNT(CASE WHEN q > 0 THEN 1 END) AS BIGINT) AS n_pos,
+        |    SUM(CASE WHEN q > 0 THEN q END) AS t,
+        |    SUM(CASE WHEN q > 0 THEN
+        |      CAST(FLOOR(LN(CAST(q AS DOUBLE)) * 1e9) AS BIGINT) END) AS sum_ln
+        |  FROM p GROUP BY g)
+        |SELECT n_bins, n_pos,
+        |  CAST(CASE WHEN n_pos > 0 THEN sum_ln // n_pos END AS BIGINT)
+        |    AS gm_ln_nano,
+        |  CAST(CASE WHEN n_pos > 0 THEN t // n_pos END AS BIGINT) AS am_e9,
+        |  CAST(CASE WHEN (CASE WHEN n_pos > 0 THEN t // n_pos END) > 0 THEN
+        |    (sum_ln // n_pos) - CAST(FLOOR(LN(CAST(t // n_pos AS DOUBLE)) * 1e9)
+        |      AS BIGINT) END AS BIGINT) AS ln_flatness_nano,
+        |  CAST((CASE WHEN (CASE WHEN n_pos > 0 THEN t // n_pos END) > 0 THEN
+        |    (sum_ln // n_pos) - CAST(FLOOR(LN(CAST(t // n_pos AS DOUBLE)) * 1e9)
+        |      AS BIGINT) END) // 1000000 AS BIGINT) AS ln_flatness_milli
+        |FROM a""".stripMargin,
+    "q_ts_cox_stuart" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |idx AS (
+        |  SELECT v, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM idx),
+        |pr AS (
+        |  SELECT 1 AS g, a.v AS va, b.v AS vb
+        |  FROM idx a, nn, idx b
+        |  WHERE a.t <= nd - ((nd + 1) // 2)
+        |    AND b.t = a.t + ((nd + 1) // 2)),
+        |ag AS (
+        |  SELECT CAST(COUNT(CASE WHEN vb > va THEN 1 END) AS BIGINT) AS s_plus,
+        |    CAST(COUNT(CASE WHEN vb < va THEN 1 END) AS BIGINT) AS s_minus
+        |  FROM pr GROUP BY g),
+        |sel AS (
+        |  SELECT s_plus + s_minus AS n_pairs, s_plus, s_minus FROM ag)
+        |SELECT n_pairs, s_plus, s_minus,
+        |  CAST(CASE WHEN n_pairs > 0 THEN FLOOR(
+        |    CAST(2 * s_plus - n_pairs AS DOUBLE) /
+        |    SQRT(CAST(n_pairs AS DOUBLE)) * 1000) END AS BIGINT) AS z_milli,
+        |  abs(CAST(CASE WHEN n_pairs > 0 THEN FLOOR(
+        |    CAST(2 * s_plus - n_pairs AS DOUBLE) /
+        |    SQRT(CAST(n_pairs AS DOUBLE)) * 1000) END AS BIGINT)) > 1960
+        |    AS trend_significant_05
+        |FROM sel""".stripMargin,
     "q_win_macd" -> {
       def emaSql(src: String, part: String, wNum: Int => Long, lags: Int,
           num: String, den: String): String = {

@@ -38,9 +38,14 @@ class GlobalWindowSpec extends AnyFunSuite with SparkFixture {
     "q_stats_hill", "q_stats_kruskal", "q_stats_mood", "q_stats_quade",
     "q_stats_spearman",
     "q_survival", "q_text_zipf", "q_ts_backlog", "q_ts_engle_granger",
-    // r16: cumulative periodogram — row_number above the calendar-bounded
-    // day aggregate + cum/extrema windows above the Fourier-grid aggregate
+    // r16: cumulative periodogram — cum/extrema windows above the
+    // materialized-spectrum read, bounded by the value-neutral
+    // SpectrumBound limit (r17: the spectrum moved to the derived tier,
+    // so the bound is declared by a Limit instead of the day aggregate)
     "q_ts_cum_periodogram",
+    // r17: Cox–Stuart — row_number above the calendar-bounded day
+    // aggregate; the pairing join is ~N/2 rows
+    "q_ts_cox_stuart",
     "q_ts_gapfill", "q_ts_granger", "q_ts_kpss", "q_ts_ljung_box",
     "q_ts_periodogram", "q_ts_seasonal", "q_ts_spectral_entropy",
     "q_ts_stl_strength", "q_ts_variance_ratio", "q_win_drawdown")
