@@ -222,8 +222,13 @@ object SeriesOps {
         max(col("total")).cast("long").as("total_e18"),
         max(col("dmax")).as("dmax"),
         min(col("j")).as("j_at_max"))
+      // zero-total guard (Round17Spec): a series whose every power floors
+      // to 0 after the e18 downscale has nothing to normalize by — NULL
+      // ppm on both engines (ANSI Spark would throw on div 0; DuckDB's
+      // // 0 is NULL, so the CASE is what makes the contract MIRRORED)
       .select(col("k_freqs"), col("total_e18"), col("j_at_max"),
-        expr("cast((dmax * 1000000) div (k_freqs * cast(total_e18 as decimal(38,0))) as long)")
+        expr("CASE WHEN total_e18 > 0 THEN " +
+          "cast((dmax * 1000000) div (k_freqs * cast(total_e18 as decimal(38,0))) as long) END")
           .as("d_max_ppm"))
       .withColumn("crit_ppm",
         expr("cast(floor(1360000 / sqrt(cast(k_freqs as double))) as long)"))
@@ -912,13 +917,13 @@ object SeriesOps {
         |  FROM c)
         |SELECT MAX(kmax) AS k_freqs, CAST(MAX(total) AS BIGINT) AS total_e18,
         |  MIN(j) AS j_at_max,
-        |  CAST((MAX(dmax) * 1000000)
-        |    // (MAX(kmax) * CAST(MAX(total) AS HUGEINT)) AS BIGINT)
+        |  CASE WHEN MAX(total) > 0 THEN CAST((MAX(dmax) * 1000000)
+        |    // (MAX(kmax) * CAST(MAX(total) AS HUGEINT)) AS BIGINT) END
         |    AS d_max_ppm,
         |  CAST(FLOOR(1360000 / sqrt(CAST(MAX(kmax) AS DOUBLE))) AS BIGINT)
         |    AS crit_ppm,
-        |  CAST((MAX(dmax) * 1000000)
-        |    // (MAX(kmax) * CAST(MAX(total) AS HUGEINT)) AS BIGINT)
+        |  CASE WHEN MAX(total) > 0 THEN CAST((MAX(dmax) * 1000000)
+        |    // (MAX(kmax) * CAST(MAX(total) AS HUGEINT)) AS BIGINT) END
         |    > CAST(FLOOR(1360000 / sqrt(CAST(MAX(kmax) AS DOUBLE))) AS BIGINT)
         |    AS white_noise_rejected
         |FROM d WHERE dv = dmax GROUP BY g""".stripMargin,
