@@ -57,7 +57,8 @@ object SparkEntry {
       (IndicatorOps.queries, IndicatorOps.oracles),
       (DecisionOps.queries, DecisionOps.oracles),
       (CurationOps.queries, CurationOps.oracles),
-      (SqlSuite4.queries, SqlSuite4.oracles))
+      (SqlSuite4.queries, SqlSuite4.oracles),
+      (NonparamOps.queries, NonparamOps.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

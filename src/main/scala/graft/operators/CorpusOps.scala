@@ -371,7 +371,45 @@ object CorpusOps {
       .orderBy("src_a", "src_b")
   }
 
+  /** #472 Standardized (segmental) type-token ratio per source: tokens
+    * of each document are cut into consecutive FULL 50-token segments,
+    * TTR = distinct/50 is computed per segment, and the source readout
+    * is the mean segment TTR in ppm — Johnson's STTR, the
+    * length-debiased lexical-diversity measure. Raw TTR falls with
+    * document length purely mechanically (Heaps' law, #355), so
+    * cross-source raw-TTR comparisons confound verbosity with
+    * vocabulary; fixing the segment length removes the confound
+    * without the iterative machinery of MTLD. Completes the
+    * lexicostatistics corner: Yule's K (#354, repeat concentration),
+    * Heaps (#355, growth exponent), hapax (#444, tail mass) — STTR is
+    * the mean-diversity member, and the per-source readout feeds the
+    * same mix-weight decisions as #458's dispersion.
+    *
+    * Exactness: Σ distinct-counts and segment counts are exact
+    * integers; the mean TTR is ONE ppm division. Trailing partial
+    * segments are EXCLUDED on both engines (the standard convention —
+    * a short tail segment would re-introduce exactly the length bias
+    * the measure removes). Scale: one token-array pass per doc with a
+    * bounded per-segment array_distinct (segments are 50 tokens); the
+    * aggregate is map-side combined per source.
+    */
+  def textSttr(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("nseg", expr("size(toks) div 50"))
+      .filter(col("nseg") >= 1)
+      .withColumn("seg", explode(sequence(lit(0L), col("nseg") - 1L)))
+      .select(col("source"),
+        size(array_distinct(expr("slice(toks, cast(seg * 50 + 1 as int), 50)")))
+          .cast("long").as("n_types"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_segments"), sum(col("n_types")).as("sum_types"))
+      .select(col("source"), col("n_segments"),
+        expr("(sum_types * 1000000) div (n_segments * 50)").as("sttr_ppm"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_sttr" -> (textSttr _),
     "q_text_burrows_delta" -> (textBurrowsDelta _),
     "q_winnow_fingerprint" -> (winnowFingerprint _),
     "q_text_jsd" -> (textJsd _),
@@ -383,6 +421,26 @@ object CorpusOps {
     "q_text_dispersion" -> (textDispersion _))
 
   val oracles: Map[String, String] = Map(
+    "q_text_sttr" ->
+      """WITH t AS (
+        |  SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |segs AS (
+        |  SELECT source, toks,
+        |    unnest(range(0, CAST(len(toks) // 50 AS BIGINT))) AS seg
+        |  FROM t WHERE len(toks) // 50 >= 1),
+        |d AS (
+        |  SELECT source,
+        |    CAST(len(list_distinct(list_slice(toks, seg * 50 + 1,
+        |      seg * 50 + 50))) AS BIGINT) AS n_types
+        |  FROM segs),
+        |a AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |    CAST(SUM(n_types) AS BIGINT) AS sum_types
+        |  FROM d GROUP BY source)
+        |SELECT source, n_segments,
+        |  CAST((sum_types * 1000000) // (n_segments * 50) AS BIGINT)
+        |    AS sttr_ppm
+        |FROM a ORDER BY source""".stripMargin,
     "q_text_dispersion" ->
       """WITH toks AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS tok

@@ -1085,6 +1085,36 @@ object GraphOps {
       .orderBy("n_partners")
   }
 
+  /** #467 Triangle-participation histogram: per triangle count t(v),
+    * how many nodes sit in exactly t triangles, with the triangle mass
+    * t·n_nodes — the node-side readout of the edge-side support
+    * relation (#450's input), and the THIRD graded consumer of
+    * [[materializedTriangleSupport]]. The identity: every edge e ∋ v
+    * belongs only to triangles containing v (both its endpoints are in
+    * any triangle through it), and each triangle at v has exactly 2 of
+    * its 3 edges incident to v — so Σ_{e∋v} support(e) = 2·t(v), an
+    * always-even exact integer. Nodes in no triangle carry no support
+    * row and are by contract absent (the #292 degree distribution
+    * covers them).
+    *
+    * WHY next to #221/#292: clustering coefficient averages the
+    * closure RATIO, the degree distribution counts edges — this is the
+    * distribution of raw closure MASS, the readout that separates "a
+    * few dense template families" (fat tail) from "uniform weak
+    * clustering" at a glance. Scale: one explode + two bounded
+    * aggregates over the ≤|E|-row materialized support relation.
+    */
+  def triParticipation(s: SparkSession, dir: String): DataFrame =
+    materializedTriangleSupport(s, dir)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("node"),
+        col("support"))
+      .groupBy("node").agg(sum(col("support")).as("s2"))
+      .select(col("node"), expr("s2 div 2").as("n_tri"))
+      .groupBy("n_tri").agg(count(lit(1)).as("n_nodes"))
+      .select(col("n_tri"), col("n_nodes"),
+        (col("n_tri") * col("n_nodes")).as("tri_mass"))
+      .orderBy("n_tri")
+
   private val TrussK = 4
   private[graft] val TrussRounds = 3
 
@@ -1238,6 +1268,7 @@ object GraphOps {
     "q_graph_ktruss" -> (ktruss _),
     "q_graph_struct_equiv" -> (structEquiv _),
     "q_graph_equiv_partners" -> (equivPartners _),
+    "q_graph_tri_participation" -> (triParticipation _),
     "q_graph_landmarks" -> (landmarkBfs _),
     "q_graph_closeness" -> (landmarkCloseness _),
     "q_graph_2hop" -> (twoHop _),
@@ -1359,6 +1390,28 @@ object GraphOps {
         |SELECT n_partners, CAST(COUNT(*) AS BIGINT) AS n_nodes,
         |  n_partners * CAST(COUNT(*) AS BIGINT) AS pair_mass
         |FROM pc GROUP BY n_partners ORDER BY n_partners""".stripMargin,
+    "q_graph_tri_participation" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs),
+        |t1 AS MATERIALIZED (SELECT p.a AS a, p.b AS b, q.b AS c FROM e0 p
+        |       JOIN e0 q ON p.b = q.a
+        |       JOIN e0 r ON r.a = p.a AND r.b = q.b),
+        |pn AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        |    SELECT a AS node FROM t1
+        |    UNION ALL SELECT b FROM t1
+        |    UNION ALL SELECT c FROM t1) GROUP BY node)
+        |SELECT n_tri, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  n_tri * CAST(COUNT(*) AS BIGINT) AS tri_mass
+        |FROM pn GROUP BY n_tri ORDER BY n_tri""".stripMargin,
     "q_graph_rich_club" ->
       """WITH base AS (
         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset

@@ -46,6 +46,11 @@ class GlobalWindowSpec extends AnyFunSuite with SparkFixture {
     // r17: Cox–Stuart — row_number above the calendar-bounded day
     // aggregate; the pairing join is ~N/2 rows
     "q_ts_cox_stuart",
+    // r17 nonparametric batch: each carries ranks/cumulative windows
+    // above a calendar- or weekday-bounded aggregate ((event_type, day),
+    // day, or dow — all bounded domains)
+    "q_stats_wilcoxon_signed", "q_stats_pettitt", "q_stats_kuiper",
+    "q_stats_breusch_pagan",
     "q_ts_gapfill", "q_ts_granger", "q_ts_kpss", "q_ts_ljung_box",
     "q_ts_periodogram", "q_ts_seasonal", "q_ts_spectral_entropy",
     "q_ts_stl_strength", "q_ts_variance_ratio", "q_win_drawdown")

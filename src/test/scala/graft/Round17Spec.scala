@@ -150,6 +150,30 @@ class Round17Spec extends AnyFunSuite with SparkFixture {
     assert(got === expected)
   }
 
+  /** One-type synthetic events dir (the Round16Spec eventsDir pattern)
+    * for degenerate-contract pins.
+    */
+  private def degenEventsDir(types: Seq[String]): String = {
+    import spark.implicits._
+    val rows = types.zipWithIndex.map { case (t, i) =>
+      (i.toLong,
+        java.sql.Timestamp.from(java.time.Instant.parse(
+          f"2024-01-${1 + i}%02dT12:00:00Z")),
+        1L, t, 2.0 + i, "")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_r17_degen").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  /** Day-sorted ISO day keys of the global daily revenue series —
+    * index-aligned with [[dailyCents]].
+    */
+  private lazy val dailyDayKeys: Seq[String] = Tables.orders(spark, sfDir)
+    .select(to_date(col("o_orderdate")).as("day")).collect()
+    .map(_.getDate(0).toString).distinct.sorted.toSeq
+
   /** Day-sorted global daily revenue in exact integer cents — the shared
     * input of the #461/#466 replays (the Round16Spec periodogram replay's
     * staging: Det.money mirrored via shortest-string HALF_UP decimal).
@@ -291,6 +315,202 @@ class Round17Spec extends AnyFunSuite with SparkFixture {
         else Some((t, terms.length.toLong, (terms.sum / terms.length).toLong))
       }
     val got = operators.IndicatorOps.winAmihud(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty && got === expected)
+  }
+
+  // ---- 5. exact driver replays for #467-#473 (second r17 batch) --------
+
+  test("triangle participation is the exact per-node histogram of the edge file") {
+    val edges = operators.DedupOps.materializedEdges(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (edges ++ edges.map { case (a, b) => (b, a) })
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+    val triCount = scala.collection.mutable.Map[Long, Long]()
+    edges.foreach { case (a, b) =>
+      (nbrs(a) & nbrs(b)).filter(_ > math.max(a, b)).foreach { c =>
+        Seq(a, b, c).foreach(v => triCount(v) = triCount.getOrElse(v, 0L) + 1) }
+    }
+    val expected = triCount.values.groupBy(identity).map { case (t, xs) =>
+      t -> (xs.size.toLong, t * xs.size) }
+    val got = operators.GraphOps.triParticipation(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty && got === expected)
+  }
+
+  /** Daily (click, purchase) masses keyed by ISO day — the #468 replay's
+    * input (the eventDays staging restricted to the two types).
+    */
+  private lazy val pairedDays: (Map[String, Long], Map[String, Long]) = {
+    val m = eventDays.filter(e => e._1 == "click" || e._1 == "purchase")
+      .map(e => (e._1, e._2, e._7))
+    (m.filter(_._1 == "click").map(e => e._2 -> e._3).toMap,
+      m.filter(_._1 == "purchase").map(e => e._2 -> e._3).toMap)
+  }
+
+  test("Wilcoxon signed-rank matches an exact driver replay") {
+    val (cx, py) = pairedDays
+    val ds = cx.keySet.intersect(py.keySet).toSeq
+      .map(d => py(d) - cx(d)).filter(_ != 0L)
+    assume(ds.nonEmpty)
+    val byAbs = ds.groupBy(math.abs)
+    val sortedAbs = byAbs.keys.toSeq.sorted
+    // 2*midrank via min-rank + tie count - 1 (exact integers)
+    var seen = 0L
+    val m2: Map[Long, Long] = sortedAbs.map { a =>
+      val t = byAbs(a).length.toLong
+      val v = 2 * (seen + 1) + t - 1; seen += t; a -> v
+    }.toMap
+    val n = ds.length.toLong
+    val w2 = ds.filter(_ > 0).map(d => m2(math.abs(d))).sum
+    val tie = byAbs.values.map(g => { val t = g.length.toLong; t * t * t - t }).sum
+    val e2 = n * (n + 1) / 2
+    val var48 = 2 * n * (n + 1) * (2 * n + 1) - tie
+    val z = math.floor((w2 - e2).toDouble /
+      math.sqrt(var48.toDouble / 12.0) * 1000).toLong
+    val row = operators.NonparamOps.wilcoxonSigned(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === n, "n_pairs")
+    assert(row(0).getLong(1) === w2, "w2_plus")
+    assert(row(0).getLong(2) === e2, "e_w2")
+    assert(row(0).getLong(3) === tie, "tie_term")
+    assert(row(0).getLong(4) === z, "z_milli")
+    assert(row(0).getBoolean(5) === (math.abs(z) > 1960L))
+  }
+
+  test("Wilcoxon signed-rank emits ZERO rows when no nonzero-diff common day") {
+    assert(operators.NonparamOps.wilcoxonSigned(
+      spark, degenEventsDir(Seq("click", "click"))).collect().isEmpty)
+  }
+
+  test("Pettitt matches an exact driver replay") {
+    val vs = dailyCents.map(_.toLong)
+    val n = vs.length.toLong
+    // 2*midranks of v
+    val byV = vs.groupBy(identity)
+    var seen = 0L
+    val m2: Map[Long, Long] = byV.keys.toSeq.sorted.map { v =>
+      val t = byV(v).length.toLong
+      val r = 2 * (seen + 1) + t - 1; seen += t; v -> r
+    }.toMap
+    var cum = 0L
+    val us = vs.zipWithIndex.dropRight(1).map { case (v, i) =>
+      cum += m2(v); (i, cum - (i + 1) * (n + 1))
+    }
+    val k = us.map(u => math.abs(u._2)).max
+    val atIdx = us.filter(u => math.abs(u._2) == k).map(_._1).min
+    val sig = BigInt(6) * k * k * 1000000000L >
+      BigInt(3688879454L) * (n * n * n + n * n)
+    val row = operators.NonparamOps.pettitt(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === n, "n_days")
+    assert(row(0).getLong(1) === k, "k_stat")
+    assert(row(0).getString(2) === dailyDayKeys(atIdx), "break_day")
+    assert(row(0).getLong(3) === us(atIdx)._2, "u_at_max")
+    assert(row(0).getBoolean(4) === sig, "change_significant_05")
+  }
+
+  test("Kuiper matches an exact driver replay") {
+    val utc = java.time.ZoneOffset.UTC
+    val dows = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toInstant))
+      .filter(e => e._1 == "click" || e._1 == "purchase")
+      .map(e => (e._1, e._2.atZone(utc).toLocalDate.toEpochDay % 7))
+    val na = dows.count(_._1 == "click").toLong
+    val nb = dows.count(_._1 == "purchase").toLong
+    var ca = 0L; var cb = 0L; var dp = Long.MinValue; var dm = Long.MinValue
+    (0L to 6L).foreach { d =>
+      ca += dows.count(e => e._1 == "click" && e._2 == d)
+      cb += dows.count(e => e._1 == "purchase" && e._2 == d)
+      dp = math.max(dp, ca * nb - cb * na)
+      dm = math.max(dm, cb * na - ca * nb)
+    }
+    val vPpm = (dp + dm) * 1000000L / (na * nb)
+    val row = operators.NonparamOps.kuiper(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === na, "n_a")
+    assert(row(0).getLong(1) === nb, "n_b")
+    assert(row(0).getLong(2) === dp, "d_plus_num")
+    assert(row(0).getLong(3) === dm, "d_minus_num")
+    assert(row(0).getLong(4) === vPpm, "v_ppm")
+  }
+
+  test("Breusch-Pagan matches an exact BigInt driver replay") {
+    val ys = dailyCents
+    val n = ys.length
+    val ts = (0 until n).map(BigInt(_))
+    val st = ts.sum; val stt = ts.map(t => t * t).sum
+    val sy = ys.sum
+    val sty = ts.zip(ys).map { case (t, y) => t * y }.sum
+    val d = n * stt - st * st
+    val bnum = n * sty - st * sy
+    val anum = sy * stt - st * sty
+    // BigInt / truncates toward zero, matching Spark div on the signed
+    // residual numerator
+    val ws = ts.zip(ys).map { case (t, y) => ((y * d - anum - bnum * t) / d) / 1000 }
+    val sw2 = ws.map(w => w * w).sum
+    val stw2 = ts.zip(ws).map { case (t, w) => t * w * w }.sum
+    val sw4 = ws.map(w => w * w * w * w).sum
+    val cov = n * stw2 - st * sw2
+    val varW2 = n * sw4 - sw2 * sw2
+    val bp = math.floor(cov.toDouble * cov.toDouble /
+      (d.toDouble * varW2.toDouble) * n * 1000).toLong
+    val row = operators.NonparamOps.breuschPagan(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === n.toLong, "n_days")
+    assert(row(0).getLong(1) === sw2.toLong, "s_w2")
+    assert(row(0).getLong(2) === bp, "bp_milli")
+    assert(row(0).getBoolean(3) === (bp > 3841L))
+  }
+
+  test("Cochran-Armitage matches an exact driver replay") {
+    // o_orderdate / l_shipdate are TIMESTAMP_NTZ -> LocalDateTime rows
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getAs[java.time.LocalDateTime](1),
+        r.getString(2).substring(0, 1).toLong)).toMap
+    val lines = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate")).collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1)))
+    val cells = lines.map { case (ok, ship) =>
+      val (odate, sg) = orders(ok)
+      (sg, if (ship.isAfter(odate.plusDays(30))) 1L else 0L)
+    }
+    val n = cells.length.toLong
+    val x = cells.map(_._2).sum
+    val byG = cells.groupBy(_._1)
+    val sns = byG.map { case (g, xs) => g * xs.length }.sum
+    val snss = byG.map { case (g, xs) => g * g * xs.length }.sum
+    val ssx = byG.map { case (g, xs) => g * xs.map(_._2).sum }.sum
+    val tnum = n * ssx - x * sns
+    val z = math.floor(tnum.toDouble / math.sqrt(
+      x.toDouble * (n - x) * (n * snss - sns * sns) / n) * 1000).toLong
+    val row = operators.NonparamOps.cochranArmitage(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === n, "n_lines")
+    assert(row(0).getLong(1) === x, "n_late")
+    assert(row(0).getLong(2) === tnum, "t_num")
+    assert(row(0).getLong(3) === z, "z_milli")
+    assert(row(0).getBoolean(4) === (math.abs(z) > 1960L))
+  }
+
+  test("STTR matches an exact driver replay") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val segs = docs.flatMap { case (src, text) =>
+      val toks = text.split(" ", -1)
+      (0 until toks.length / 50).map(i =>
+        (src, toks.slice(i * 50, i * 50 + 50).distinct.length.toLong))
+    }
+    val expected = segs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, xs) =>
+      (src, xs.length.toLong,
+        xs.map(_._2).sum * 1000000L / (xs.length * 50L))
+    }
+    val got = operators.CorpusOps.textSttr(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got.nonEmpty && got === expected)
   }
