@@ -335,7 +335,45 @@ object CurationOps {
       .orderBy("decile")
   }
 
+  /** #477 One distributionally-robust (DRO) mixture reweighting step:
+    * per source, loss = short-document rate (n_chars < 300 — the
+    * simplest quality deficit), and the multiplicative-weights update
+    * w'_s ∝ w0_s·exp(η·loss_s) with η = 1 and w0 = corpus share —
+    * upweighting the WORST-performing domains, the Group-DRO move that
+    * counters the "easy majority domain swallows the mixture" failure
+    * of proportional sampling. Emits old share, loss, new weight, and
+    * the tilt (all ppm) per source.
+    *
+    * Determinism discipline: exp is the ONLY transcendental — floored
+    * to nano per source (exp of a ppm-quantized loss, identical libm
+    * double on both engines); the update numerator n_s·exp_nano is an
+    * exact integer, the normalizing denominator is their exact integer
+    * SUM (never a float sum, whose partial-aggregation order would
+    * diverge), and each readout is one truncating ppm division.
+    * Scale: one map-side-combined source aggregate; the update algebra
+    * runs on |sources| rows against a broadcast 1-row total.
+    */
+  def mixDroStep(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("n_chars") < 300, lit(1))).as("n_fail"))
+      .withColumn("loss_ppm", expr("(n_fail * 1000000) div n_docs"))
+      .withColumn("exp_nano",
+        expr("cast(floor(exp(cast(loss_ppm as double) / 1e6) * 1e9) as bigint)"))
+      .withColumn("num", (col("n_docs") * col("exp_nano")).cast(dec))
+    val tot = src.agg(sum(col("n_docs")).as("n_total"),
+      sum(col("num")).as("denom"))
+    src.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("loss_ppm"),
+        expr("(n_docs * 1000000) div n_total").as("w0_ppm"),
+        expr("cast((num * 1000000) div denom as long)").as("dro_w_ppm"))
+      .withColumn("tilt_ppm", col("dro_w_ppm") - col("w0_ppm"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_dro_step" -> (mixDroStep _),
     "q_text_code_detect" -> (textCodeDetect _),
     "q_text_novelty_curve" -> (textNoveltyCurve _),
     "q_dedup_incremental" -> (dedupIncremental _),
@@ -346,6 +384,35 @@ object CurationOps {
     "q_quality_filter_sweep" -> (qualityFilterSweep _))
 
   val oracles: Map[String, String] = Map(
+    "q_mix_dro_step" ->
+      """WITH src AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(CASE WHEN n_chars < 300 THEN 1 END) AS BIGINT)
+        |      AS n_fail
+        |  FROM documents GROUP BY source),
+        |l AS (
+        |  SELECT source, n_docs,
+        |    (n_fail * 1000000) // n_docs AS loss_ppm
+        |  FROM src),
+        |e AS (
+        |  SELECT source, n_docs, loss_ppm,
+        |    CAST(FLOOR(EXP(CAST(loss_ppm AS DOUBLE) / 1e6) * 1e9) AS BIGINT)
+        |      AS exp_nano
+        |  FROM l),
+        |n AS (
+        |  SELECT source, n_docs, loss_ppm,
+        |    CAST(n_docs * exp_nano AS HUGEINT) AS num
+        |  FROM e),
+        |t AS (SELECT SUM(n_docs) AS n_total, SUM(num) AS denom FROM n)
+        |SELECT source, n_docs, loss_ppm,
+        |  CAST((n_docs * 1000000) // (SELECT n_total FROM t) AS BIGINT)
+        |    AS w0_ppm,
+        |  CAST((num * 1000000) // (SELECT denom FROM t) AS BIGINT)
+        |    AS dro_w_ppm,
+        |  CAST((num * 1000000) // (SELECT denom FROM t) AS BIGINT)
+        |    - CAST((n_docs * 1000000) // (SELECT n_total FROM t) AS BIGINT)
+        |    AS tilt_ppm
+        |FROM n ORDER BY source""".stripMargin,
     "q_sample_importance" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
         |t AS (SELECT COUNT(*) AS l, CAST(SUM(n_docs) AS BIGINT) AS n FROM c),

@@ -1115,6 +1115,41 @@ object GraphOps {
         (col("n_tri") * col("n_nodes")).as("tri_mass"))
       .orderBy("n_tri")
 
+  /** #474 Clustering-by-degree curve c(k): per degree k ≥ 2, the node
+    * count and the mean local closure rate in ppm — c(v) =
+    * 2t(v)/(d(d−1)) with t(v) from the same incident-support identity
+    * as #467, ZERO-triangle nodes included via a left join against the
+    * degree relation (a curve that silently drops them overstates
+    * closure exactly where it matters). Per-node closure is ONE ppm
+    * division; the per-degree mean is ONE more (mean-of-ratios, the
+    * convention of the local-clustering literature, stated here).
+    *
+    * WHY: the DEGREE-RESOLVED closure answer — #221's coefficient is
+    * one number, #467's histogram marginalizes degree away; c(k)
+    * falling as a power of k is the standard hierarchical-modularity
+    * signature, flat c(k) means closure is degree-independent (pure
+    * template duplication). Fourth graded consumer of the
+    * triangle_support + degree derived relations. Scale: two ≤|V|-row
+    * joins + a bounded per-degree aggregate.
+    */
+  def clusteringByDegree(s: SparkSession, dir: String): DataFrame = {
+    val t = materializedTriangleSupport(s, dir)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("node"),
+        col("support"))
+      .groupBy("node").agg(sum(col("support")).as("s2"))
+      .select(col("node"), expr("s2 div 2").as("n_tri"))
+    materializedDegrees(s, dir).filter(col("deg") >= 2)
+      .join(t, Seq("node"), "left")
+      .select(col("deg"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .select(col("deg"),
+        expr("(2 * n_tri * 1000000) div (deg * (deg - 1))").as("c_ppm"))
+      .groupBy("deg")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("c_ppm")).as("sc"))
+      .select(col("deg"), col("n_nodes"),
+        expr("sc div n_nodes").as("mean_c_ppm"))
+      .orderBy("deg")
+  }
+
   private val TrussK = 4
   private[graft] val TrussRounds = 3
 
@@ -1269,6 +1304,7 @@ object GraphOps {
     "q_graph_struct_equiv" -> (structEquiv _),
     "q_graph_equiv_partners" -> (equivPartners _),
     "q_graph_tri_participation" -> (triParticipation _),
+    "q_graph_clustering_by_degree" -> (clusteringByDegree _),
     "q_graph_landmarks" -> (landmarkBfs _),
     "q_graph_closeness" -> (landmarkCloseness _),
     "q_graph_2hop" -> (twoHop _),
@@ -1412,6 +1448,38 @@ object GraphOps {
         |SELECT n_tri, CAST(COUNT(*) AS BIGINT) AS n_nodes,
         |  n_tri * CAST(COUNT(*) AS BIGINT) AS tri_mass
         |FROM pn GROUP BY n_tri ORDER BY n_tri""".stripMargin,
+    "q_graph_clustering_by_degree" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs),
+        |deg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+        |  GROUP BY node),
+        |t1 AS MATERIALIZED (SELECT p.a AS a, p.b AS b, q.b AS c FROM e0 p
+        |       JOIN e0 q ON p.b = q.a
+        |       JOIN e0 r ON r.a = p.a AND r.b = q.b),
+        |pn AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        |    SELECT a AS node FROM t1
+        |    UNION ALL SELECT b FROM t1
+        |    UNION ALL SELECT c FROM t1) GROUP BY node),
+        |c AS (
+        |  SELECT d.deg,
+        |    (2 * COALESCE(p.n_tri, 0) * 1000000) // (d.deg * (d.deg - 1))
+        |      AS c_ppm
+        |  FROM deg d LEFT JOIN pn p ON d.node = p.node
+        |  WHERE d.deg >= 2)
+        |SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(SUM(c_ppm) // COUNT(*) AS BIGINT) AS mean_c_ppm
+        |FROM c GROUP BY deg ORDER BY deg""".stripMargin,
     "q_graph_rich_club" ->
       """WITH base AS (
         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset

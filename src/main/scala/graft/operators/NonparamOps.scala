@@ -313,7 +313,127 @@ object NonparamOps {
         (abs(col("z_milli")) > 1960L).as("trend_significant_05"))
   }
 
+  /** #475 Jonckheere-Terpstra ordered-alternative test: do lineitem
+    * quantities shift monotonically across the five ORDERED priority
+    * classes? JT = Σ_{i<j} U_ij carried DOUBLED (jt_x2 = Σ over group
+    * pairs of 2·#{x<y} + #{x=y}, an exact integer), E[2JT] =
+    * (N² − Σn_g²)/2, and the FULL tie-corrected null variance
+    * (Hollander-Wolfe): 72·Var's three terms A, B, C assembled from
+    * exact group (n_g) and pooled-value (t_u) tie counts in
+    * DECIMAL(38,0), the single z readout in mirrored double order
+    * (DuckDB HUGEINTs through VARCHAR — the Det cast caveat).
+    *
+    * WHY next to #315/#473: Kruskal-Wallis (#315) spends its power on
+    * ANY group difference; CA (#473) orders a binary rate; JT is the
+    * ordered test for a full ordinal response — the "does quantity
+    * drift with priority" question a mixture designer actually asks.
+    * Scale: the corpus-sized work is one join + one (group, value)
+    * grid aggregate (≤ 5·50 cells — quantity is a bounded small int);
+    * the pair algebra runs on the ≤250-row grid's self-join.
+    */
+  def jonckheere(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("okey"),
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("sg"))
+    val cells = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("okey"),
+        col("l_quantity").cast("long").as("q"))
+      .join(g, Seq("okey"))
+      .groupBy("sg", "q").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val jt2 = cells.as("a")
+      .join(broadcast(cells.as("b")), col("a.sg") < col("b.sg"))
+      .select((col("a.c") * col("b.c") *
+        (when(col("a.q") < col("b.q"), 2L)
+          .when(col("a.q") === col("b.q"), 1L).otherwise(0L))).as("term"))
+      .agg(sum(col("term")).as("jt_x2"))
+    val grp = cells.groupBy("sg").agg(sum(col("c")).as("n_g"))
+      .agg(sum(col("n_g")).as("n"),
+        sum(col("n_g") * col("n_g")).as("sn2"),
+        sum((col("n_g") * (col("n_g") - 1L)).cast(dec) *
+          (lit(2L) * col("n_g") + 5L)).as("ga"),
+        sum((col("n_g") * (col("n_g") - 1L)).cast(dec) *
+          (col("n_g") - 2L)).as("gb"),
+        sum(col("n_g") * (col("n_g") - 1L)).as("gc"))
+    val tie = cells.groupBy("q").agg(sum(col("c")).as("t_u"))
+      .agg(sum((col("t_u") * (col("t_u") - 1L)).cast(dec) *
+          (lit(2L) * col("t_u") + 5L)).as("ta"),
+        sum((col("t_u") * (col("t_u") - 1L)).cast(dec) *
+          (col("t_u") - 2L)).as("tb"),
+        sum(col("t_u") * (col("t_u") - 1L)).as("tc"))
+    jt2.crossJoin(broadcast(grp)).crossJoin(broadcast(tie))
+      .select(col("n").as("n_lines"), col("jt_x2"),
+        expr("(n * n - sn2) div 2").as("e_jt_x2"),
+        (col("n").cast(dec) * (col("n") - 1L) * (lit(2L) * col("n") + 5L) -
+          col("ga") - col("ta")).as("va"),
+        (col("gb") * col("tb")).as("vb"),
+        (col("gc").cast(dec) * col("tc")).as("vc"), col("n"))
+      .withColumn("z_milli",
+        expr("cast(floor(cast(jt_x2 - e_jt_x2 as double) / (2.0 * sqrt(" +
+          "cast(va as double) / 72.0 + " +
+          "cast(vb as double) / (36.0 * n * (n - 1) * (n - 2)) + " +
+          "cast(vc as double) / (8.0 * n * (n - 1)))) * 1000) as bigint)"))
+      .select(col("n_lines"), col("jt_x2"), col("e_jt_x2"), col("z_milli"),
+        (abs(col("z_milli")) > 1960L).as("trend_significant_05"))
+  }
+
+  /** #476 Chow structural-break test on the daily-revenue trend OLS at
+    * the calendar midpoint (h = N div 2): F = ((SSE_pooled − SSE₁ −
+    * SSE₂)/2) / ((SSE₁+SSE₂)/(N−4)) — did the level/slope regime
+    * CHANGE where Pettitt (#469) locates a shift? The two are the
+    * planned pair: the rank test finds the break day model-free, the
+    * Chow F quantifies it against the linear model at a FIXED split
+    * (here the midpoint, so the test stays a pure corpus function).
+    *
+    * Per-segment sums (m, St, Stt int64; Sy, Syy, Sty DECIMAL) are
+    * exact; each SSE evaluates in double with the expression order
+    * mirrored VERBATIM (Syy − Sy²/m − (Sty − St·Sy/m)²/(Stt − St²/m),
+    * the #370 JB pattern; DuckDB HUGEINTs through VARCHAR); the flag
+    * uses the asymptotic χ²₂/2 5% bound (f > 2.996), stated as such.
+    * NULL-guarded for N < 5 or degenerate segments. Scale:
+    * calendar-bounded; one day aggregate is the corpus-sized job.
+    */
+  def chow(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg((sum(Det.money(col("o_totalprice"))) * 100).cast("long").as("v"))
+    val wSeq = Window.orderBy("day")
+    val frame = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val idx = daily
+      .withColumn("t", (row_number().over(wSeq) - 1).cast("long"))
+      .withColumn("n", count(lit(1)).over(frame))
+      .withColumn("seg", when(col("t") < expr("n div 2"), 0L).otherwise(1L))
+    def sums(df: DataFrame) = df.agg(
+      count(lit(1)).as("m"), sum(col("t")).as("st"),
+      sum(col("t") * col("t")).as("stt"),
+      sum(col("v").cast(dec)).as("sy"),
+      sum(col("v").cast(dec) * col("v")).as("syy"),
+      sum(col("t").cast(dec) * col("v")).as("sty"))
+    val sseExpr = "cast(syy as double) - cast(sy as double) * " +
+      "cast(sy as double) / m - (cast(sty as double) - st * " +
+      "cast(sy as double) / m) * (cast(sty as double) - st * " +
+      "cast(sy as double) / m) / (cast(stt as double) - " +
+      "cast(st as double) * st / m)"
+    def sseOf(df: DataFrame, name: String) =
+      sums(df).select(col("m").as(s"m_$name"),
+        expr(sseExpr).as(s"sse_$name"))
+    sseOf(idx, "p")
+      .crossJoin(broadcast(sseOf(idx.filter(col("seg") === 0L), "1")))
+      .crossJoin(broadcast(sseOf(idx.filter(col("seg") === 1L), "2")))
+      .select(col("m_p").as("n_days"), col("m_1").as("n_seg1"),
+        col("sse_p"), col("sse_1"), col("sse_2"))
+      .withColumn("f_milli",
+        expr("CASE WHEN n_days >= 5 AND sse_1 + sse_2 > 0 THEN " +
+          "cast(floor(((sse_p - sse_1 - sse_2) / 2.0) / " +
+          "((sse_1 + sse_2) / (n_days - 4.0)) * 1000) as bigint) END"))
+      .select(col("n_days"), col("n_seg1"), col("f_milli"),
+        (col("f_milli") > 2996L).as("break_significant_05"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_jonckheere" -> (jonckheere _),
+    "q_ts_chow" -> (chow _),
     "q_stats_wilcoxon_signed" -> (wilcoxonSigned _),
     "q_stats_pettitt" -> (pettitt _),
     "q_stats_kuiper" -> (kuiper _),
@@ -328,6 +448,100 @@ object NonparamOps {
       |  GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_stats_jonckheere" ->
+      """WITH li AS (
+        |  SELECT CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS sg,
+        |    CAST(l.l_quantity AS BIGINT) AS q
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |cells AS MATERIALIZED (
+        |  SELECT sg, q, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY sg, q),
+        |jt AS (
+        |  SELECT CAST(SUM(a.c * b.c *
+        |    (CASE WHEN a.q < b.q THEN 2 WHEN a.q = b.q THEN 1 ELSE 0 END))
+        |    AS BIGINT) AS jt_x2
+        |  FROM cells a JOIN cells b ON a.sg < b.sg),
+        |gs AS (SELECT sg, SUM(c) AS n_g FROM cells GROUP BY sg),
+        |grp AS (
+        |  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+        |    CAST(SUM(n_g * n_g) AS BIGINT) AS sn2,
+        |    SUM(CAST(n_g * (n_g - 1) AS HUGEINT) * (2 * n_g + 5)) AS ga,
+        |    SUM(CAST(n_g * (n_g - 1) AS HUGEINT) * (n_g - 2)) AS gb,
+        |    CAST(SUM(n_g * (n_g - 1)) AS BIGINT) AS gc
+        |  FROM gs),
+        |ts AS (SELECT q, SUM(c) AS t_u FROM cells GROUP BY q),
+        |tie AS (
+        |  SELECT SUM(CAST(t_u * (t_u - 1) AS HUGEINT) * (2 * t_u + 5)) AS ta,
+        |    SUM(CAST(t_u * (t_u - 1) AS HUGEINT) * (t_u - 2)) AS tb,
+        |    CAST(SUM(t_u * (t_u - 1)) AS BIGINT) AS tc
+        |  FROM ts),
+        |b AS (
+        |  SELECT n AS n_lines, jt_x2,
+        |    CAST((n * n - sn2) // 2 AS BIGINT) AS e_jt_x2,
+        |    CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - ga - ta AS va,
+        |    gb * tb AS vb, CAST(gc AS HUGEINT) * tc AS vc, n
+        |  FROM jt, grp, tie),
+        |s AS (
+        |  SELECT n_lines, jt_x2, e_jt_x2,
+        |    CAST(FLOOR(CAST(jt_x2 - e_jt_x2 AS DOUBLE) / (2.0 * SQRT(
+        |      CAST(CAST(va AS VARCHAR) AS DOUBLE) / 72.0 +
+        |      CAST(CAST(vb AS VARCHAR) AS DOUBLE) /
+        |        (36.0 * n * (n - 1) * (n - 2)) +
+        |      CAST(CAST(vc AS VARCHAR) AS DOUBLE) / (8.0 * n * (n - 1))))
+        |      * 1000) AS BIGINT) AS z_milli
+        |  FROM b)
+        |SELECT n_lines, jt_x2, e_jt_x2, z_milli,
+        |  abs(z_milli) > 1960 AS trend_significant_05
+        |FROM s""".stripMargin,
+    "q_ts_chow" -> {
+      def sseSql(src: String, name: String) =
+        s"""a_$name AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+           |    CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(t * t) AS BIGINT) AS stt,
+           |    SUM(CAST(v AS HUGEINT)) AS sy,
+           |    SUM(CAST(v AS HUGEINT) * v) AS syy,
+           |    SUM(CAST(t AS HUGEINT) * v) AS sty
+           |  FROM $src),
+           |s_$name AS (
+           |  SELECT m AS m_$name,
+           |    CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+           |    - CAST(CAST(sy AS VARCHAR) AS DOUBLE) *
+           |      CAST(CAST(sy AS VARCHAR) AS DOUBLE) / m
+           |    - (CAST(CAST(sty AS VARCHAR) AS DOUBLE) - st *
+           |       CAST(CAST(sy AS VARCHAR) AS DOUBLE) / m) *
+           |      (CAST(CAST(sty AS VARCHAR) AS DOUBLE) - st *
+           |       CAST(CAST(sy AS VARCHAR) AS DOUBLE) / m) /
+           |      (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st / m)
+           |    AS sse_$name
+           |  FROM a_$name)""".stripMargin
+      s"""WITH daily AS (
+         |  SELECT date_trunc('day', o_orderdate) AS day,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS v
+         |  FROM orders GROUP BY 1),
+         |idx0 AS (
+         |  SELECT v,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT) AS t
+         |  FROM daily),
+         |idx AS (
+         |  SELECT v, t, CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         |    CASE WHEN t < CAST(COUNT(*) OVER () AS BIGINT) // 2
+         |      THEN 0 ELSE 1 END AS seg
+         |  FROM idx0),
+         |${sseSql("idx", "p")},
+         |${sseSql("(SELECT * FROM idx WHERE seg = 0)", "1")},
+         |${sseSql("(SELECT * FROM idx WHERE seg = 1)", "2")},
+         |b AS (
+         |  SELECT m_p AS n_days, m_1 AS n_seg1, sse_p, sse_1, sse_2
+         |  FROM s_p, s_1, s_2),
+         |s AS (
+         |  SELECT n_days, n_seg1,
+         |    CASE WHEN n_days >= 5 AND sse_1 + sse_2 > 0 THEN
+         |      CAST(FLOOR(((sse_p - sse_1 - sse_2) / 2.0) /
+         |        ((sse_1 + sse_2) / (n_days - 4.0)) * 1000) AS BIGINT) END
+         |      AS f_milli
+         |  FROM b)
+         |SELECT n_days, n_seg1, f_milli, f_milli > 2996 AS break_significant_05
+         |FROM s""".stripMargin
+    },
     "q_stats_wilcoxon_signed" ->
       s"""WITH $DailyMassSql,
          |x AS (SELECT day, v AS vx FROM daily WHERE event_type = 'click'),

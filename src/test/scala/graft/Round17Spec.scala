@@ -515,6 +515,123 @@ class Round17Spec extends AnyFunSuite with SparkFixture {
     assert(got.nonEmpty && got === expected)
   }
 
+  // ---- 6. exact driver replays for #474-#477 (third r17 batch) ---------
+
+  test("clustering-by-degree matches an exact driver replay") {
+    val edges = operators.DedupOps.materializedEdges(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (edges ++ edges.map { case (a, b) => (b, a) })
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+    val triCount = scala.collection.mutable.Map[Long, Long]()
+    edges.foreach { case (a, b) =>
+      (nbrs(a) & nbrs(b)).filter(_ > math.max(a, b)).foreach { c =>
+        Seq(a, b, c).foreach(v => triCount(v) = triCount.getOrElse(v, 0L) + 1) }
+    }
+    // toSeq FIRST: collecting pairs straight off the Map would key by
+    // degree and collapse same-degree nodes to one row
+    val perNode = nbrs.toSeq.collect { case (v, ns) if ns.size >= 2 =>
+      (ns.size.toLong,
+        2 * triCount.getOrElse(v, 0L) * 1000000L /
+          (ns.size.toLong * (ns.size - 1)))
+    }
+    val expected = perNode.groupBy(_._1).map { case (d, xs) =>
+      d -> (xs.length.toLong, xs.map(_._2).sum / xs.length) }
+    val got = operators.GraphOps.clusteringByDegree(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty && got === expected)
+  }
+
+  test("Jonckheere-Terpstra matches an exact BigInt driver replay") {
+    val pri = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).substring(0, 1).toLong).toMap
+    val cells = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity")).collect()
+      .map(r => (pri(r.getLong(0)), r.getAs[Number](1).longValue))
+      .groupBy(identity).map { case ((g, q), xs) => (g, q, xs.length.toLong) }
+      .toSeq
+    val jt2 = (for {
+      (g1, q1, c1) <- cells; (g2, q2, c2) <- cells if g1 < g2
+    } yield c1 * c2 * (if (q1 < q2) 2L else if (q1 == q2) 1L else 0L)).sum
+    val byG = cells.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._3).sum }
+    val byQ = cells.groupBy(_._2).map { case (q, xs) => q -> xs.map(_._3).sum }
+    val n = byG.values.sum
+    val e2 = (n * n - byG.values.map(x => x * x).sum) / 2
+    def f(xs: Iterable[Long], fn: Long => BigInt) = xs.map(fn).sum
+    val va = BigInt(n) * (n - 1) * (2 * n + 5) -
+      f(byG.values, x => BigInt(x) * (x - 1) * (2 * x + 5)) -
+      f(byQ.values, x => BigInt(x) * (x - 1) * (2 * x + 5))
+    val vb = f(byG.values, x => BigInt(x) * (x - 1) * (x - 2)) *
+      f(byQ.values, x => BigInt(x) * (x - 1) * (x - 2))
+    val vc = f(byG.values, x => BigInt(x) * (x - 1)) *
+      f(byQ.values, x => BigInt(x) * (x - 1))
+    val z = math.floor((jt2 - e2).toDouble / (2.0 * math.sqrt(
+      va.toDouble / 72.0 +
+        vb.toDouble / (36.0 * n * (n - 1) * (n - 2)) +
+        vc.toDouble / (8.0 * n * (n - 1)))) * 1000).toLong
+    val row = operators.NonparamOps.jonckheere(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === n, "n_lines")
+    assert(row(0).getLong(1) === jt2, "jt_x2")
+    assert(row(0).getLong(2) === e2, "e_jt_x2")
+    assert(row(0).getLong(3) === z, "z_milli")
+    assert(row(0).getBoolean(4) === (math.abs(z) > 1960L))
+  }
+
+  test("Chow matches an exact driver replay") {
+    val ys = dailyCents
+    val n = ys.length
+    def sse(seg: Seq[(Int, BigInt)]): Double = {
+      val m = seg.length
+      val st = seg.map(e => BigInt(e._1)).sum
+      val stt = seg.map(e => BigInt(e._1) * e._1).sum
+      val sy = seg.map(_._2).sum
+      val syy = seg.map(e => e._2 * e._2).sum
+      val sty = seg.map(e => e._1 * e._2).sum
+      syy.toDouble - sy.toDouble * sy.toDouble / m -
+        (sty.toDouble - st.toDouble * sy.toDouble / m) *
+          (sty.toDouble - st.toDouble * sy.toDouble / m) /
+          (stt.toDouble - st.toDouble * st.toDouble / m)
+    }
+    val idx = ys.zipWithIndex.map { case (y, t) => (t, y) }
+    val h = n / 2
+    val (s1, s2) = idx.partition(_._1 < h)
+    val (sp, e1, e2) = (sse(idx), sse(s1), sse(s2))
+    val fM = math.floor(((sp - e1 - e2) / 2.0) /
+      ((e1 + e2) / (n - 4.0)) * 1000).toLong
+    val row = operators.NonparamOps.chow(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === n.toLong, "n_days")
+    assert(row(0).getLong(1) === h.toLong, "n_seg1")
+    assert(row(0).getLong(2) === fM, "f_milli")
+    assert(row(0).getBoolean(3) === (fM > 2996L))
+  }
+
+  test("DRO mixture step matches an exact driver replay") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue))
+    val bySrc = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, xs) =>
+      val nD = xs.length.toLong
+      val fail = xs.count(_._2 < 300).toLong
+      val loss = fail * 1000000L / nD
+      val en = math.floor(math.exp(loss.toDouble / 1e6) * 1e9).toLong
+      (src, nD, loss, BigInt(nD) * en)
+    }
+    val nTot = bySrc.map(_._2).sum
+    val denom = bySrc.map(_._4).sum
+    val expected = bySrc.map { case (src, nD, loss, num) =>
+      val w0 = nD * 1000000L / nTot
+      val w = (num * 1000000 / denom).toLong
+      (src, nD, loss, w0, w, w - w0)
+    }
+    val got = operators.CurationOps.mixDroStep(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got.nonEmpty && got === expected)
+  }
+
   test("Sortino matches an exact driver replay (shared libm)") {
     val expected = eventDays
       .filter(_._7 > 0)
