@@ -561,7 +561,68 @@ object ClusterOps {
       .select(col("vec_id").as("hub_id"), col("n_hits"))
   }
 
+  /** #478 Linear CKA (centered kernel alignment) between the two
+    * 32-dim HALVES of the embedding space: CKA = ‖C_XY‖²_F /
+    * (‖C_XX‖_F·‖C_YY‖_F) over the centered cross-covariance blocks —
+    * ≈1 when the halves encode the same geometry (redundant
+    * dimensions, a truncation candidate — the Matryoshka question
+    * #381 asks about PREFIXES, CKA answers it for arbitrary splits),
+    * ≈0 when they carry independent structure. The standard
+    * representation-similarity diagnostic, here self-applied as a
+    * redundancy audit.
+    *
+    * Exactness: components stage to integer micro; the centered gram
+    * identity n·Σx_a x_b − S_a·S_b is EXACT DECIMAL (no mean
+    * subtraction per row), each cell downscales div 1e6 ONCE before
+    * squaring (keeps the Frobenius sums inside DECIMAL(38,0)); the
+    * single CKA readout is one mirrored floored-double expression
+    * (DuckDB HUGEINTs through VARCHAR). Scale: the gram build is one
+    * self-join on vec_id over the exploded (vec, dim) relation —
+    * n·dim² rows, dim bounded at 64, map-side combinable; everything
+    * after runs on the 64×64 grid.
+    */
+  def embedCka(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val m = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        floor(col("x").cast("double") * 1e6).cast("long").as("m"))
+      .localCheckpoint()
+    val sums = m.groupBy("d").agg(sum(col("m").cast(dec)).as("sd"))
+    val grid = m.as("a")
+      .join(m.select(col("vec_id"), col("d").as("d2"), col("m").as("m2")),
+        Seq("vec_id"))
+      .groupBy("d", "d2")
+      .agg(count(lit(1)).as("n"),
+        sum(col("m").cast(dec) * col("m2")).as("sxy"))
+      .join(broadcast(sums), Seq("d"))
+      .join(broadcast(sums.select(col("d").as("d2"), col("sd").as("sd2"))),
+        Seq("d2"))
+      .select(col("d"), col("d2"),
+        expr("(n * sxy - sd * sd2) div 1000000").as("g"))
+    // g is a LONG (div yields int64); the square must restage through
+    // DECIMAL — g² ~ 1e25 at sf0.1
+    val g2 = col("g").cast(dec) * col("g")
+    grid
+      .select(
+        when(col("d") < 32 && col("d2") >= 32, g2)
+          .otherwise(lit(0L).cast(dec)).as("fxy"),
+        when(col("d") < 32 && col("d2") < 32, g2)
+          .otherwise(lit(0L).cast(dec)).as("fxx"),
+        when(col("d") >= 32 && col("d2") >= 32, g2)
+          .otherwise(lit(0L).cast(dec)).as("fyy"))
+      .groupBy(lit(1).as("gg"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("fxy")).as("fxy"),
+        sum(col("fxx")).as("fxx"), sum(col("fyy")).as("fyy"))
+      .select(col("n_cells"),
+        expr("CASE WHEN fxx > 0 AND fyy > 0 THEN " +
+          "cast(floor(cast(fxy as double) / " +
+          "sqrt(cast(fxx as double) * cast(fyy as double)) * 1000000) " +
+          "as bigint) END").as("cka_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_cka" -> (embedCka _),
     "q_embed_hubness" -> (embedHubness _),
     "q_embed_triplets" -> (embedTriplets _),
     "q_embed_silhouette" -> (embedSilhouette _),
@@ -590,6 +651,36 @@ object ClusterOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_embed_cka" ->
+      """WITH m AS MATERIALIZED (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+        |      AS m
+        |  FROM embeddings),
+        |sums AS (SELECT d, SUM(CAST(m AS HUGEINT)) AS sd FROM m GROUP BY d),
+        |grid AS (
+        |  SELECT a.d, b.d AS d2, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(a.m AS HUGEINT) * b.m) AS sxy
+        |  FROM m a JOIN m b ON a.vec_id = b.vec_id
+        |  GROUP BY a.d, b.d),
+        |g AS (
+        |  SELECT grid.d, grid.d2,
+        |    (grid.n * grid.sxy - s1.sd * s2.sd) // 1000000 AS g
+        |  FROM grid JOIN sums s1 ON grid.d = s1.d
+        |    JOIN sums s2 ON grid.d2 = s2.d),
+        |f AS (
+        |  SELECT 1 AS gg, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |    SUM(CASE WHEN d < 32 AND d2 >= 32 THEN g * g ELSE 0 END) AS fxy,
+        |    SUM(CASE WHEN d < 32 AND d2 < 32 THEN g * g ELSE 0 END) AS fxx,
+        |    SUM(CASE WHEN d >= 32 AND d2 >= 32 THEN g * g ELSE 0 END) AS fyy
+        |  FROM g GROUP BY gg)
+        |SELECT n_cells,
+        |  CASE WHEN fxx > 0 AND fyy > 0 THEN
+        |    CAST(FLOOR(CAST(CAST(fxy AS VARCHAR) AS DOUBLE) /
+        |      SQRT(CAST(CAST(fxx AS VARCHAR) AS DOUBLE) *
+        |           CAST(CAST(fyy AS VARCHAR) AS DOUBLE)) * 1000000)
+        |      AS BIGINT) END AS cka_ppm
+        |FROM f""".stripMargin,
     "q_embed_hubness" ->
       """WITH base AS (
         |  SELECT vec_id,

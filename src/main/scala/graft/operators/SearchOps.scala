@@ -159,13 +159,176 @@ object SearchOps {
       .orderBy("token", "rank")
   }
 
+  /** #479 Group exposure audit of the quality ranking: per language,
+    * the share of position-discounted EXPOSURE (w = 1/log₂(rank+1),
+    * the DCG discount) under the corpus-wide quality ranking vs the
+    * share of documents, and the disparity between the two — the
+    * standard ranking-fairness readout (Singh-Joachims exposure): a
+    * language can hold 20% of the corpus but 5% of the exposure if it
+    * ranks systematically low, which a mixture/curation decision needs
+    * to see BEFORE training on "top-ranked" data.
+    *
+    * Determinism: ranks come from the shared [[CurationOps.
+    * rankedQualityScore]] kernel (range-partitioned + per-partition
+    * offsets — no data-scale global window; prewarmed); the discount
+    * is floored to nano per rank (1e9·ln 2/ln(r+1), rank 1 → exactly
+    * 1e9 since ln2/ln2 ≡ 1.0 in FP); shares are exact-integer ppm
+    * divisions over exact integer sums. Scale: one rank-kernel read +
+    * one doc_id join + a |langs|-row aggregate.
+    */
+  def rankExposure(s: SparkSession, dir: String): DataFrame = {
+    val (ranked, n) = CurationOps.rankedQualityScore(s, dir)
+    val expo = ranked.select(col("doc_id"),
+        (lit(n) - col("r") + 1L).as("rank_e"))
+      .withColumn("w_nano",
+        expr("cast(floor(1e9 * ln(2.0) / ln(cast(rank_e + 1 as double))) " +
+          "as bigint)"))
+    val byLang = expo
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w_nano")).as("w_sum"))
+    val tot = byLang.agg(sum(col("n_docs")).as("n_all"),
+      sum(col("w_sum")).as("w_all"))
+    byLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        expr("(n_docs * 1000000) div n_all").as("doc_share_ppm"),
+        // DECIMAL staging: w_sum·1e6 would cross int64 around 500k docs
+        expr("cast((cast(w_sum as decimal(38,0)) * 1000000) div w_all as long)")
+          .as("exposure_share_ppm"))
+      .withColumn("disparity_ppm",
+        col("exposure_share_ppm") - col("doc_share_ppm"))
+      .orderBy("lang")
+  }
+
+  /** #480 Rank-biased overlap (p = 0.9, truncated at depth 50) between
+    * the QUALITY ranking (chars per token) and the LENGTH ranking
+    * (token count) of the corpus: RBO = (1−p)·Σ_{d≤50} p^{d−1}·
+    * |A_d ∩ B_d|/d — the top-weighted rank-agreement measure. Kendall/
+    * Spearman (#269/#227) weight all positions equally and need
+    * conjoint lists; RBO weights the head geometrically and handles
+    * non-conjoint top-k lists — the right tool for "do two curation
+    * criteria pick the SAME top documents", which is what decides
+    * whether a second filter adds signal or redundancy.
+    *
+    * Determinism: both top-50 lists use total tie-break orders
+    * (…, doc_id); overlap counts are exact integers via
+    * max(pos_a, pos_b) ≤ d over the full-outer-joined position pairs;
+    * the per-depth weight grid W_d = floor(1e11·0.9^{d−1}/d) is the
+    * ONLY float staging (pow on identical exact arguments, the #46
+    * math-funcs surface), and the truncated-RBO readout Σ overlap_d·
+    * W_d is an exact integer (·10 div 1e6 → ppm; extrapolation term
+    * deliberately omitted — stated truncated-RBO_min semantics).
+    * Scale: two TakeOrderedAndProject top-50s; everything after runs
+    * on ≤50-row relations (windows bounded by Limit).
+    */
+  def evalRbo(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        col("n_chars"))
+      .withColumn("score_ppm", expr("(n_chars * 1000000) div n_tokens"))
+    def top50(ord: Seq[org.apache.spark.sql.Column], posName: String) = {
+      val w = Window.orderBy(ord: _*)
+      docs.orderBy(ord: _*).limit(50)
+        .withColumn(posName, row_number().over(w).cast("long"))
+        .select(col("doc_id"), col(posName))
+    }
+    val a = top50(Seq(col("score_ppm").desc, col("doc_id")), "pa")
+    val b = top50(Seq(col("n_tokens").desc, col("doc_id")), "pb")
+    val m = a.join(b, Seq("doc_id"), "full")
+      .select(greatest(coalesce(col("pa"), lit(51L)),
+        coalesce(col("pb"), lit(51L))).as("md"))
+    val spine = s.range(1, 51).select(col("id").as("d"))
+      .withColumn("w_d",
+        expr("cast(floor(1e11 * pow(0.9, cast(d - 1 as double)) / d) as bigint)"))
+    spine.join(m, col("md") <= col("d"), "left")
+      .groupBy("d", "w_d")
+      .agg(count(col("md")).as("overlap_d"))
+      .groupBy(lit(1).as("g"))
+      .agg(sum(col("overlap_d") * col("w_d")).as("rbo_e12x"),
+        max(when(col("d") === 50, col("overlap_d"))).as("overlap_50"))
+      .select(col("overlap_50"),
+        expr("cast(rbo_e12x div 1000000 as long)").as("rbo_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_eval_rank_exposure" -> (rankExposure _),
+    "q_eval_rbo" -> (evalRbo _),
     "q_rank_fusion" -> (rankFusion _),
     "q_text_bm25" -> (textBm25 _),
     "q_text_postings" -> (textPostings _),
     "q_text_cooccur" -> (textCooccur _))
 
   val oracles: Map[String, String] = Map(
+    "q_eval_rank_exposure" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    n_chars
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(ROW_NUMBER() OVER (
+        |      ORDER BY (n_chars * 1000000) // n_tokens DESC, doc_id DESC)
+        |      AS BIGINT) AS rank_e
+        |  FROM scored),
+        |w AS (
+        |  SELECT lang,
+        |    CAST(FLOOR(1e9 * ln(2.0) / ln(CAST(rank_e + 1 AS DOUBLE)))
+        |      AS BIGINT) AS w_nano
+        |  FROM r),
+        |g AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(w_nano) AS BIGINT) AS w_sum
+        |  FROM w GROUP BY lang),
+        |t AS (SELECT SUM(n_docs) AS n_all, SUM(CAST(w_sum AS HUGEINT)) AS w_all
+        |      FROM g)
+        |SELECT lang, n_docs,
+        |  CAST((n_docs * 1000000) // (SELECT n_all FROM t) AS BIGINT)
+        |    AS doc_share_ppm,
+        |  CAST((CAST(w_sum AS HUGEINT) * 1000000) // (SELECT w_all FROM t)
+        |    AS BIGINT) AS exposure_share_ppm,
+        |  CAST((CAST(w_sum AS HUGEINT) * 1000000) // (SELECT w_all FROM t)
+        |    AS BIGINT)
+        |  - CAST((n_docs * 1000000) // (SELECT n_all FROM t) AS BIGINT)
+        |    AS disparity_ppm
+        |FROM g ORDER BY lang""".stripMargin,
+    "q_eval_rbo" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    n_chars,
+        |    (n_chars * 1000000) // CAST(len(string_split(text, ' ')) AS BIGINT)
+        |      AS score_ppm
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |      ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS pa
+        |  FROM docs ORDER BY score_ppm DESC, doc_id LIMIT 50),
+        |b AS (
+        |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |      ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS pb
+        |  FROM docs ORDER BY n_tokens DESC, doc_id LIMIT 50),
+        |m AS (
+        |  SELECT greatest(COALESCE(pa, 51), COALESCE(pb, 51)) AS md
+        |  FROM a FULL OUTER JOIN b USING (doc_id)),
+        |spine AS (
+        |  SELECT unnest(range(1, 51)) AS d),
+        |sw AS (
+        |  SELECT d, CAST(FLOOR(1e11 * pow(0.9, CAST(d - 1 AS DOUBLE)) / d)
+        |    AS BIGINT) AS w_d
+        |  FROM spine),
+        |o AS (
+        |  SELECT sw.d, sw.w_d, CAST(COUNT(m.md) AS BIGINT) AS overlap_d
+        |  FROM sw LEFT JOIN m ON m.md <= sw.d
+        |  GROUP BY sw.d, sw.w_d),
+        |f AS (
+        |  SELECT 1 AS g, CAST(SUM(overlap_d * w_d) AS BIGINT) AS rbo_e12x,
+        |    MAX(CASE WHEN d = 50 THEN overlap_d END) AS overlap_50
+        |  FROM o GROUP BY g)
+        |SELECT overlap_50, CAST(rbo_e12x // 1000000 AS BIGINT) AS rbo_ppm
+        |FROM f""".stripMargin,
     "q_rank_fusion" ->
       """WITH tf AS (
         |  SELECT token, doc_id, COUNT(*) AS tf, MAX(n_chars) AS n_chars

@@ -51,6 +51,8 @@ class GlobalWindowSpec extends AnyFunSuite with SparkFixture {
     // day, or dow — all bounded domains)
     "q_stats_wilcoxon_signed", "q_stats_pettitt", "q_stats_kuiper",
     "q_stats_breusch_pagan",
+    // r17: RBO — position row_numbers above LIMIT 50 relations
+    "q_eval_rbo",
     "q_ts_gapfill", "q_ts_granger", "q_ts_kpss", "q_ts_ljung_box",
     "q_ts_periodogram", "q_ts_seasonal", "q_ts_spectral_entropy",
     "q_ts_stl_strength", "q_ts_variance_ratio", "q_win_drawdown")

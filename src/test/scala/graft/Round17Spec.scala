@@ -632,6 +632,90 @@ class Round17Spec extends AnyFunSuite with SparkFixture {
     assert(got.nonEmpty && got === expected)
   }
 
+  // ---- 7. exact driver replays for #478-#480 (fourth r17 batch) --------
+
+  test("linear CKA matches an exact BigInt driver replay") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getSeq[Float](1).toArray
+        .map(x => math.floor(x.toDouble * 1e6).toLong))
+    val n = vecs.length
+    val dim = vecs.head.length
+    val sums = (0 until dim).map(d => BigInt(vecs.map(_(d)).sum))
+    def gram(a: Int, b: Int): BigInt = {
+      val sxy = vecs.map(v => BigInt(v(a)) * v(b)).sum
+      (n * sxy - sums(a) * sums(b)) / 1000000
+    }
+    var fxy = BigInt(0); var fxx = BigInt(0); var fyy = BigInt(0)
+    for (a <- 0 until dim; b <- 0 until dim) {
+      val g2 = { val g = gram(a, b); g * g }
+      if (a < 32 && b >= 32) fxy += g2
+      if (a < 32 && b < 32) fxx += g2
+      if (a >= 32 && b >= 32) fyy += g2
+    }
+    val cka = math.floor(fxy.toDouble /
+      math.sqrt(fxx.toDouble * fyy.toDouble) * 1000000).toLong
+    val row = operators.ClusterOps.embedCka(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === (dim.toLong * dim), "n_cells")
+    assert(row(0).getLong(1) === cka, "cka_ppm")
+  }
+
+  private lazy val scoredDocs: Seq[(Long, String, Long, Long)] =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .collect()
+      .map { r =>
+        val tokens = r.getString(3).split(" ", -1).length.toLong
+        (r.getLong(0), r.getString(1), tokens,
+          r.getAs[Number](2).longValue * 1000000L / tokens)
+      }.toSeq
+
+  test("rank exposure matches an exact driver replay") {
+    val ranked = scoredDocs.sortBy { case (id, _, _, score) => (-score, -id) }
+    val n = ranked.length
+    val perLang = ranked.zipWithIndex
+      .map { case ((_, lang, _, _), i) =>
+        (lang, math.floor(1e9 * math.log(2.0) /
+          math.log((i + 2).toDouble)).toLong)
+      }
+      .groupBy(_._1)
+    val nAll = n.toLong
+    val wAll = BigInt(perLang.values.flatten.map(_._2).sum)
+    val expected = perLang.toSeq.sortBy(_._1).map { case (lang, xs) =>
+      val nd = xs.length.toLong
+      val ws = BigInt(xs.map(_._2).sum)
+      val dShare = nd * 1000000L / nAll
+      val eShare = (ws * 1000000 / wAll).toLong
+      (lang, nd, dShare, eShare, eShare - dShare)
+    }
+    val got = operators.SearchOps.rankExposure(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got.nonEmpty && got === expected)
+  }
+
+  test("RBO matches an exact driver replay") {
+    val topA = scoredDocs.sortBy { case (id, _, _, score) => (-score, id) }
+      .take(50).map(_._1).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val topB = scoredDocs.sortBy { case (id, _, tok, _) => (-tok, id) }
+      .take(50).map(_._1).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val mds = (topA.keySet ++ topB.keySet).toSeq.map(id =>
+      math.max(topA.getOrElse(id, 51L), topB.getOrElse(id, 51L)))
+    var rbo = 0L; var o50 = 0L
+    (1 to 50).foreach { d =>
+      val o = mds.count(_ <= d).toLong
+      if (d == 50) o50 = o
+      rbo += o * math.floor(1e11 * math.pow(0.9, (d - 1).toDouble) / d).toLong
+    }
+    val row = operators.SearchOps.evalRbo(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === o50, "overlap_50")
+    assert(row(0).getLong(1) === rbo / 1000000L, "rbo_ppm")
+  }
+
   test("Sortino matches an exact driver replay (shared libm)") {
     val expected = eventDays
       .filter(_._7 > 0)
