@@ -1150,6 +1150,75 @@ object GraphOps {
       .orderBy("deg")
   }
 
+  /** #482 Attribute (language) assortativity of the similarity graph:
+    * Newman's r over the symmetric lang×lang edge-end mixing counts —
+    * r = (2E·tr − Σa_i²) / ((2E)² − Σa_i²) with tr = same-lang edge-end
+    * pairs and a_i the lang marginals, EXACT integers throughout (the
+    * normalized definition's divisions cancel against 2E), ONE ppm
+    * division, NULL when the graph is single-language (denominator 0).
+    *
+    * WHY next to #216: degree assortativity asks "do hubs link to
+    * hubs"; ATTRIBUTE assortativity asks "do documents near-duplicate
+    * within their own language" — r ≈ 1 says the near-dup graph
+    * respects language boundaries (dedup can shard by lang, a 100×
+    * scale win), r near 0 says cross-language duplication is real and
+    * lang-sharded dedup would MISS it. The operational question before
+    * partitioning a dedup pipeline by language. Scale: two |V|-row
+    * broadcast-joinable lang lookups + a |langs|²-bounded aggregate.
+    */
+  def langAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val langs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val ends = DedupOps.materializedEdges(s, dir)
+      .join(langs.select(col("doc_id").as("doc_a"), col("lang").as("la")),
+        Seq("doc_a"))
+      .join(langs.select(col("doc_id").as("doc_b"), col("lang").as("lb")),
+        Seq("doc_b"))
+    val mix = ends.select(col("la").as("x"), col("lb").as("y"))
+      .unionAll(ends.select(col("lb").as("x"), col("la").as("y")))
+      .groupBy("x", "y").agg(count(lit(1)).as("m"))
+    val marg = mix.groupBy("x").agg(sum(col("m")).as("ax"))
+    mix
+      .agg(sum(col("m")).as("e2"),
+        sum(when(col("x") === col("y"), col("m")).otherwise(0L)).as("tr"))
+      .crossJoin(broadcast(marg.agg(sum(col("ax") * col("ax")).as("sa2"))))
+      .select(expr("e2 div 2").as("n_edges"),
+        expr("tr div 2").as("n_same_lang"),
+        // DECIMAL staging: e2²·1e6 crosses int64 past ~10M edge-ends
+        expr("CASE WHEN cast(e2 as decimal(38,0)) * e2 - sa2 > 0 THEN " +
+          "cast(((cast(e2 as decimal(38,0)) * tr - sa2) * 1000000) div " +
+          "(cast(e2 as decimal(38,0)) * e2 - sa2) as long) END")
+          .as("assortativity_ppm"))
+  }
+
+  /** #483 Effective diameter from the landmark BFS: per landmark, the
+    * reached-node count, the 90%-effective diameter (smallest hop h
+    * with cumulative reach·10 ≥ total·9 — the integer cross-multiplied
+    * form of the standard "90% of reachable pairs within h" readout,
+    * within the 6-hop exploration bound #309 states), and the mean hop
+    * in milli (Σ hop·n div Σn). The small-world summary the per-hop
+    * histogram (#309) and closeness (#330) leave implicit: ONE number
+    * per landmark for "how wide is this near-dup graph", the quantity
+    * that decides how many label-propagation / pointer-jumping rounds
+    * the component family needs. Scale: windows partitioned BY
+    * LANDMARK over the ≤ 4·7-row hop histogram.
+    */
+  def effDiameter(s: SparkSession, dir: String): DataFrame = {
+    val hist = landmarkBfs(s, dir)
+    val wCum = Window.partitionBy("lm").orderBy("hop")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("lm")
+    hist
+      .withColumn("cum", sum(col("n_nodes")).over(wCum))
+      .withColumn("reach", sum(col("n_nodes")).over(wAll))
+      .withColumn("s_hop", sum(col("hop") * col("n_nodes")).over(wAll))
+      .filter(col("cum") * 10 >= col("reach") * 9)
+      .groupBy("lm")
+      .agg(max(col("reach")).as("n_reached"),
+        min(col("hop")).as("eff_diam_90"),
+        max(expr("(s_hop * 1000) div reach")).as("mean_hop_milli"))
+      .orderBy("lm")
+  }
+
   private val TrussK = 4
   private[graft] val TrussRounds = 3
 
@@ -1305,6 +1374,8 @@ object GraphOps {
     "q_graph_equiv_partners" -> (equivPartners _),
     "q_graph_tri_participation" -> (triParticipation _),
     "q_graph_clustering_by_degree" -> (clusteringByDegree _),
+    "q_graph_lang_assortativity" -> (langAssortativity _),
+    "q_graph_eff_diameter" -> (effDiameter _),
     "q_graph_landmarks" -> (landmarkBfs _),
     "q_graph_closeness" -> (landmarkCloseness _),
     "q_graph_2hop" -> (twoHop _),
@@ -1583,6 +1654,67 @@ object GraphOps {
         |d AS (SELECT lm, node, MIN(hop) AS hop FROM walk GROUP BY lm, node)
         |SELECT lm, hop, COUNT(*) AS n_nodes
         |FROM d GROUP BY lm, hop ORDER BY lm, hop""".stripMargin,
+    "q_graph_lang_assortativity" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.lang AS la, b.lang AS lb
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |mix AS (
+        |  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS m FROM (
+        |    SELECT la AS x, lb AS y FROM pairs
+        |    UNION ALL SELECT lb, la FROM pairs) GROUP BY x, y),
+        |t AS (
+        |  SELECT CAST(SUM(m) AS BIGINT) AS e2,
+        |    CAST(SUM(CASE WHEN x = y THEN m ELSE 0 END) AS BIGINT) AS tr
+        |  FROM mix),
+        |a AS (
+        |  SELECT SUM(CAST(ax AS HUGEINT) * ax) AS sa2 FROM (
+        |    SELECT x, SUM(m) AS ax FROM mix GROUP BY x))
+        |SELECT CAST(e2 // 2 AS BIGINT) AS n_edges,
+        |  CAST(tr // 2 AS BIGINT) AS n_same_lang,
+        |  CASE WHEN CAST(e2 AS HUGEINT) * e2 - sa2 > 0 THEN
+        |    CAST(((CAST(e2 AS HUGEINT) * tr - sa2) * 1000000) //
+        |      (CAST(e2 AS HUGEINT) * e2 - sa2) AS BIGINT) END
+        |    AS assortativity_ppm
+        |FROM t, a""".stripMargin,
+    "q_graph_eff_diameter" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |sym(a, b) AS (
+        |  SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |seeds AS (SELECT a AS lm FROM sym GROUP BY a ORDER BY a LIMIT 4),
+        |walk(lm, node, hop) AS (
+        |  SELECT lm, lm, CAST(0 AS BIGINT) FROM seeds
+        |  UNION
+        |  SELECT w.lm, e.b, w.hop + 1 FROM walk w JOIN sym e ON e.a = w.node
+        |  WHERE w.hop < 6),
+        |d AS (SELECT lm, node, MIN(hop) AS hop FROM walk GROUP BY lm, node),
+        |h AS (SELECT lm, hop, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |      FROM d GROUP BY lm, hop),
+        |c AS (
+        |  SELECT lm, hop, n_nodes,
+        |    SUM(n_nodes) OVER (PARTITION BY lm ORDER BY hop) AS cum,
+        |    SUM(n_nodes) OVER (PARTITION BY lm) AS reach,
+        |    SUM(hop * n_nodes) OVER (PARTITION BY lm) AS s_hop
+        |  FROM h)
+        |SELECT lm, CAST(MAX(reach) AS BIGINT) AS n_reached,
+        |  CAST(MIN(hop) AS BIGINT) AS eff_diam_90,
+        |  CAST(MAX((s_hop * 1000) // reach) AS BIGINT) AS mean_hop_milli
+        |FROM c WHERE cum * 10 >= reach * 9
+        |GROUP BY lm ORDER BY lm""".stripMargin,
     "q_graph_jaccard" ->
       """WITH base AS (
         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset

@@ -564,7 +564,58 @@ object PipelineOps {
       .withColumn("srm_flag", col("chi2_milli") > 5991L)
   }
 
+  /** #481 One-sample KS uniformity audit of the split hash: the first
+    * 8 hex chars of md5("split:" + doc_id) — the SAME hash family the
+    * #91 splitter thresholds at 2 chars — read as an integer in
+    * [0, 16⁸), tested against U(0, M) with the exact sup-statistic
+    * D = max_k max(C_k·M − u_k·n, u_k·n − (C_k − c_k)·M) over the
+    * distinct-value cumulative counts (cross-multiplied integers, no
+    * float CDF anywhere); the asymptotic 5% critical 1.358/√n is the
+    * one mirrored floored double. The audit the split family was
+    * missing: #290's SRM test checks the three BUCKET masses, this
+    * checks the whole residue DISTRIBUTION — a biased hash can pass
+    * SRM (buckets sized right) while still correlating with doc_id
+    * ranges, which is exactly what leaks adjacent-document pairs
+    * across splits.
+    *
+    * Scale: the [[StatsOps.ksDrift]] shape — value-grouped counts,
+    * range repartition, per-partition offset memo (O(#partitions)
+    * driver rows), cumulative windows WITHIN partitions — no
+    * data-scale global window.
+    */
+  def splitUniformity(s: SparkSession, dir: String): DataFrame = {
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val M = 4294967296L // 16^8
+    val grouped = Tables.documents(s, dir)
+      .select(expr("cast(conv(substring(md5(concat('split:', " +
+        "cast(doc_id as string))), 1, 8), 16, 10) as bigint)").as("u"))
+      .groupBy("u").agg(count(lit(1)).as("c"))
+      .repartitionByRange(nPart, col("u"))
+      .sortWithinPartitions("u")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val hist = grouped.groupBy("pid").agg(sum(col("c")).as("pc")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val off: Map[Int, Long] = hist.map(_._1).zip(hist.scanLeft(0L)(_ + _._2)).toMap
+    val n = hist.map(_._2).sum
+    val w = Window.partitionBy("pid").orderBy("u")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grouped
+      .withColumn("ck", element_at(typedLit(off), col("pid")) + sum(col("c")).over(w))
+      .select(greatest(col("ck") * M - col("u") * n,
+        col("u") * n - (col("ck") - col("c")) * M).as("dnum"))
+      .agg(max(col("dnum")).as("d_num"))
+      .select(lit(n).as("n_docs"), col("d_num"),
+        // DECIMAL staging: d_num·1e6 crosses int64 (d_num ~ n·M·D)
+        expr(s"cast((cast(d_num as decimal(38,0)) * 1000000) div " +
+          s"(cast(${n} as decimal(38,0)) * ${M}L) as long)").as("d_ppm"))
+      .withColumn("crit_ppm",
+        expr(s"cast(floor(1358000 / sqrt(cast(${n}L as double))) as bigint)"))
+      .withColumn("uniform_rejected_05", col("d_ppm") > col("crit_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_uniformity" -> (splitUniformity _),
     "q_split_srm" -> (splitSrm _),
     "q_compaction_plan" -> (compactionPlan _),
     "q_pipeline_e2e" -> (pipelineE2e _),
@@ -584,6 +635,31 @@ object PipelineOps {
     "q_dedup_canonical" -> (dedupCanonical _))
 
   val oracles: Map[String, String] = Map(
+    "q_split_uniformity" ->
+      """WITH u0 AS (
+        |  SELECT ('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)),
+        |    1, 8))::BIGINT AS u
+        |  FROM documents),
+        |g AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS c FROM u0 GROUP BY u),
+        |c AS (
+        |  SELECT u, c,
+        |    SUM(c) OVER (ORDER BY u) AS ck,
+        |    SUM(c) OVER () AS n
+        |  FROM g),
+        |d AS (
+        |  SELECT greatest(ck * 4294967296 - u * n,
+        |    u * n - (ck - c) * 4294967296) AS dnum, n
+        |  FROM c),
+        |a AS (SELECT 1 AS gg, MAX(dnum) AS d_num, MAX(n) AS n FROM d GROUP BY gg)
+        |SELECT CAST(n AS BIGINT) AS n_docs, CAST(d_num AS BIGINT) AS d_num,
+        |  CAST((CAST(d_num AS HUGEINT) * 1000000) //
+        |    (CAST(n AS HUGEINT) * 4294967296) AS BIGINT) AS d_ppm,
+        |  CAST(FLOOR(1358000 / SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS crit_ppm,
+        |  CAST((CAST(d_num AS HUGEINT) * 1000000) //
+        |    (CAST(n AS HUGEINT) * 4294967296) AS BIGINT) >
+        |  CAST(FLOOR(1358000 / SQRT(CAST(n AS DOUBLE))) AS BIGINT)
+        |    AS uniform_rejected_05
+        |FROM a""".stripMargin,
     "q_split_srm" ->
       """WITH sp AS (
         |  SELECT CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'

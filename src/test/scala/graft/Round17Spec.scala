@@ -716,6 +716,94 @@ class Round17Spec extends AnyFunSuite with SparkFixture {
     assert(row(0).getLong(1) === rbo / 1000000L, "rbo_ppm")
   }
 
+  // ---- 8. exact driver replays for #481-#483 (fifth r17 batch) ---------
+
+  test("split-uniformity KS matches an exact BigInt driver replay") {
+    val ids = Tables.documents(spark, sfDir).select(col("doc_id")).collect()
+      .map(_.getLong(0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val us = ids.map { id =>
+      val h = md.digest(s"split:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(h, 16)
+    }
+    val m = 4294967296L
+    val n = us.length.toLong
+    val byU = us.groupBy(identity).map { case (u, xs) => u -> xs.length.toLong }
+      .toSeq.sortBy(_._1)
+    var ck = 0L; var dnum = Long.MinValue
+    byU.foreach { case (u, c) =>
+      val prev = ck; ck += c
+      dnum = math.max(dnum, math.max(ck * m - u * n, u * n - prev * m))
+    }
+    val dPpm = (BigInt(dnum) * 1000000 / (BigInt(n) * m)).toLong
+    val crit = math.floor(1358000 / math.sqrt(n.toDouble)).toLong
+    val row = operators.PipelineOps.splitUniformity(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === n, "n_docs")
+    assert(row(0).getLong(1) === dnum, "d_num")
+    assert(row(0).getLong(2) === dPpm, "d_ppm")
+    assert(row(0).getLong(3) === crit, "crit_ppm")
+    assert(row(0).getBoolean(4) === (dPpm > crit))
+    assert(!row(0).getBoolean(4),
+      "the house splitter's residues must actually BE uniform at 5%")
+  }
+
+  test("language assortativity matches an exact driver replay") {
+    val lang = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val edges = operators.DedupOps.materializedEdges(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (lang(r.getLong(0)), lang(r.getLong(1))))
+    val e2 = 2L * edges.length
+    val tr = 2L * edges.count { case (a, b) => a == b }
+    val marg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).map { case (_, xs) => xs.length.toLong }
+    val sa2 = marg.map(a => BigInt(a) * a).sum
+    val expected =
+      if (BigInt(e2) * e2 - sa2 > 0)
+        Some(((BigInt(e2) * tr - sa2) * 1000000 /
+          (BigInt(e2) * e2 - sa2)).toLong)
+      else None
+    val row = operators.GraphOps.langAssortativity(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === e2 / 2, "n_edges")
+    assert(row(0).getLong(1) === tr / 2, "n_same_lang")
+    assert((if (row(0).isNullAt(2)) None else Some(row(0).getLong(2)))
+      === expected, "assortativity_ppm")
+  }
+
+  test("effective diameter matches a driver BFS replay") {
+    val edges = operators.DedupOps.materializedEdges(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (edges ++ edges.map { case (a, b) => (b, a) })
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+    val seeds = nbrs.keys.toSeq.sorted.take(4)
+    val expected = seeds.map { lm =>
+      val hop = scala.collection.mutable.Map(lm -> 0L)
+      var frontier = Set(lm); var h = 0L
+      while (frontier.nonEmpty && h < 6) {
+        h += 1
+        frontier = frontier.flatMap(nbrs(_)).filterNot(hop.contains)
+        frontier.foreach(v => hop(v) = h)
+      }
+      val reach = hop.size.toLong
+      val sHop = hop.values.sum
+      val byHop = hop.values.groupBy(identity)
+        .map { case (k, xs) => k -> xs.size.toLong }
+      var cum = 0L
+      val eff = byHop.keys.toSeq.sorted.find { k =>
+        cum += byHop(k); cum * 10 >= reach * 9 }.get
+      (lm, reach, eff, sHop * 1000 / reach)
+    }
+    val got = operators.GraphOps.effDiameter(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got.nonEmpty && got === expected)
+  }
+
   test("Sortino matches an exact driver replay (shared libm)") {
     val expected = eventDays
       .filter(_._7 > 0)
