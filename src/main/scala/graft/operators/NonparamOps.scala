@@ -431,7 +431,92 @@ object NonparamOps {
         (col("f_milli") > 2996L).as("break_significant_05"))
   }
 
+  /** Joined lineitem rows with priority score and late flag — the
+    * shared head of [[cochranArmitage]], [[mantelHaenszel]] and
+    * [[cohensH]] (the #114 late convention).
+    */
+  private def lateByPriority(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("okey"), col("o_orderdate"),
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("sg"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("okey"), col("l_shipdate"))
+      .join(g, Seq("okey"))
+      .select(col("sg"), col("yr"),
+        when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          1L).otherwise(0L).as("late"))
+  }
+
+  /** #484 Mantel-Haenszel common odds ratio across ORDER-YEAR strata:
+    * exposure = high priority (digit ≤ 2), outcome = late shipment;
+    * OR_MH = Σ(a_k d_k/n_k) / Σ(b_k c_k/n_k) with each per-stratum
+    * term floored ONCE at 1e6 scale (a·d·1e6 div n — documented
+    * staging, mirrored), the ratio ONE more milli division; the
+    * POOLED odds ratio (collapsing strata) rides alongside — the
+    * Simpson's-paradox probe: pooled ≉ MH means year is a confounder
+    * and every unstratified late-rate readout upstream is suspect.
+    *
+    * WHY next to #473/#154: CA tests the monotone trend, χ² the
+    * association — MH is the CONFOUNDER-ADJUSTED effect size, the
+    * first thing an analyst computes when a rate comparison spans a
+    * time-varying mix. Scale: one join + a |years|×2×2-bounded
+    * aggregate.
+    */
+  def mantelHaenszel(s: SparkSession, dir: String): DataFrame =
+    lateByPriority(s, dir)
+      .select(col("yr"), (col("sg") <= 2L).as("exp"), col("late"))
+      .groupBy("yr")
+      .agg(sum(when(col("exp") && col("late") === 1L, 1L).otherwise(0L)).as("a"),
+        sum(when(col("exp") && col("late") === 0L, 1L).otherwise(0L)).as("b"),
+        sum(when(!col("exp") && col("late") === 1L, 1L).otherwise(0L)).as("c"),
+        sum(when(!col("exp") && col("late") === 0L, 1L).otherwise(0L)).as("d"))
+      .select(col("yr"), col("a"), col("b"), col("c"), col("d"),
+        (col("a") + col("b") + col("c") + col("d")).as("n"))
+      .groupBy(lit(1).as("g"))
+      .agg(count(lit(1)).as("n_strata"),
+        sum(expr("(a * d * 1000000) div n")).as("r_e6"),
+        sum(expr("(b * c * 1000000) div n")).as("s_e6"),
+        sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+        sum(col("c")).as("sc"), sum(col("d")).as("sd"))
+      .select(col("n_strata"),
+        expr("CASE WHEN s_e6 > 0 THEN (r_e6 * 1000) div s_e6 END")
+          .as("or_mh_milli"),
+        expr("CASE WHEN sb * sc > 0 THEN " +
+          "(cast(sa as decimal(38,0)) * sd * 1000) div " +
+          "(cast(sb as decimal(38,0)) * sc) END").cast("long")
+          .as("or_pooled_milli"))
+
+  /** #486 Cohen's h effect size between the late-shipment PROPORTIONS
+    * of the most urgent (digit 1) and least urgent (digit 5) priority
+    * classes: h = 2·arcsin√p₁ − 2·arcsin√p₂ — the variance-stabilized
+    * proportion difference whose magnitude is comparable ACROSS
+    * baseline rates (a 5-point gap means different things at p=0.5 vs
+    * p=0.02; h doesn't). Completes the effect-size shelf: #316
+    * Cohen's d (means), #438 Cliff's delta (ordinal), h (proportions)
+    * — the numbers a decision memo quotes AFTER #273's z says
+    * "significant". One mirrored floored-double readout over four
+    * exact integer counts; conventional |h| ≥ 0.2 "at least small"
+    * flag. Scale: one join + a 2-row aggregate.
+    */
+  def cohensH(s: SparkSession, dir: String): DataFrame =
+    lateByPriority(s, dir)
+      .filter(col("sg") === 1L || col("sg") === 5L)
+      .groupBy(lit(1).as("g"))
+      .agg(sum(when(col("sg") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("sg") === 1L, col("late")).otherwise(0L)).as("x1"),
+        sum(when(col("sg") === 5L, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("sg") === 5L, col("late")).otherwise(0L)).as("x2"))
+      .select(col("n1"), col("x1"), col("n2"), col("x2"))
+      .withColumn("h_milli",
+        expr("CASE WHEN n1 > 0 AND n2 > 0 THEN " +
+          "cast(floor((2 * asin(sqrt(cast(x1 as double) / n1)) - " +
+          "2 * asin(sqrt(cast(x2 as double) / n2))) * 1000) as bigint) END"))
+      .withColumn("at_least_small_effect", abs(col("h_milli")) >= 200L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_mantel_haenszel" -> (mantelHaenszel _),
+    "q_stats_cohens_h" -> (cohensH _),
     "q_stats_jonckheere" -> (jonckheere _),
     "q_ts_chow" -> (chow _),
     "q_stats_wilcoxon_signed" -> (wilcoxonSigned _),
@@ -447,7 +532,57 @@ object NonparamOps {
       |  FROM events WHERE event_type IN ('click', 'purchase')
       |  GROUP BY 1, 2)""".stripMargin
 
+  private val LateByPrioritySql =
+    """li AS (
+      |  SELECT CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS sg,
+      |    CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+      |    CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      |      THEN 1 ELSE 0 END AS late
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_stats_mantel_haenszel" ->
+      s"""WITH $LateByPrioritySql,
+         |st AS (
+         |  SELECT yr,
+         |    CAST(SUM(CASE WHEN sg <= 2 AND late = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |    CAST(SUM(CASE WHEN sg <= 2 AND late = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         |    CAST(SUM(CASE WHEN sg > 2 AND late = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         |    CAST(SUM(CASE WHEN sg > 2 AND late = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+         |  FROM li GROUP BY yr),
+         |agg AS (
+         |  SELECT 1 AS g, CAST(COUNT(*) AS BIGINT) AS n_strata,
+         |    CAST(SUM((a * d * 1000000) // (a + b + c + d)) AS BIGINT) AS r_e6,
+         |    CAST(SUM((b * c * 1000000) // (a + b + c + d)) AS BIGINT) AS s_e6,
+         |    CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+         |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(d) AS BIGINT) AS sd
+         |  FROM st GROUP BY g)
+         |SELECT n_strata,
+         |  CASE WHEN s_e6 > 0 THEN CAST((r_e6 * 1000) // s_e6 AS BIGINT) END
+         |    AS or_mh_milli,
+         |  CASE WHEN sb * sc > 0 THEN
+         |    CAST((CAST(sa AS HUGEINT) * sd * 1000) //
+         |      (CAST(sb AS HUGEINT) * sc) AS BIGINT) END AS or_pooled_milli
+         |FROM agg""".stripMargin,
+    "q_stats_cohens_h" ->
+      s"""WITH $LateByPrioritySql,
+         |a AS (
+         |  SELECT 1 AS g,
+         |    CAST(SUM(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN sg = 1 THEN late ELSE 0 END) AS BIGINT) AS x1,
+         |    CAST(SUM(CASE WHEN sg = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    CAST(SUM(CASE WHEN sg = 5 THEN late ELSE 0 END) AS BIGINT) AS x2
+         |  FROM li WHERE sg = 1 OR sg = 5 GROUP BY g),
+         |s AS (
+         |  SELECT n1, x1, n2, x2,
+         |    CASE WHEN n1 > 0 AND n2 > 0 THEN
+         |      CAST(FLOOR((2 * ASIN(SQRT(CAST(x1 AS DOUBLE) / n1)) -
+         |        2 * ASIN(SQRT(CAST(x2 AS DOUBLE) / n2))) * 1000) AS BIGINT)
+         |      END AS h_milli
+         |  FROM a)
+         |SELECT n1, x1, n2, x2, h_milli,
+         |  abs(h_milli) >= 200 AS at_least_small_effect
+         |FROM s""".stripMargin,
     "q_stats_jonckheere" ->
       """WITH li AS (
         |  SELECT CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS sg,

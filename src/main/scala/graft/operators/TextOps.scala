@@ -92,7 +92,10 @@ object TextOps {
     * lexicon hits per language, predict the argmax language. A real
     * n-gram-lexicon classifier, fully relational.
     */
-  def textLangId(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc language prediction — the shared kernel of [[textLangId]]
+    * and the #485 confusion readout.
+    */
+  private[graft] def langIdPerDoc(s: SparkSession, dir: String): DataFrame = {
     val tok = tokens(Tables.documents(s, dir))
     val lexW = Window.partitionBy("lex_lang").orderBy(desc("freq"), asc("token"))
     val lexicon = tok.groupBy(col("lang").as("lex_lang"), col("token"))
@@ -108,7 +111,40 @@ object TextOps {
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("lang").as("actual_lang"),
         col("lex_lang").as("predicted_lang"), col("hits"))
-      .orderBy("doc_id")
+  }
+
+  def textLangId(s: SparkSession, dir: String): DataFrame =
+    langIdPerDoc(s, dir).orderBy("doc_id")
+
+  /** #485 Language-ID confusion matrix: per (actual, predicted) cell of
+    * the #62 heuristic classifier, the doc count and the share of the
+    * actual language's CLASSIFIED docs in ppm — plus each actual
+    * language's coverage (classified/total, the inner-join loss the
+    * per-doc readout leaves implicit: a doc whose tokens miss every
+    * lexicon is absent). The error-STRUCTURE readout the per-doc
+    * table (#62) and a scalar accuracy both hide: which language pairs
+    * actually confuse (near-languages sharing stopwords), and whether
+    * "accuracy" is propped up by silently dropping uncovered docs —
+    * the two things that decide if lang-ID is good enough to route
+    * mixture weights (#89) by. Scale: the #62 pipeline (broadcast
+    * lexicon join) into a |langs|²-bounded aggregate + one |langs|-row
+    * total join.
+    */
+  def evalLangidConfusion(s: SparkSession, dir: String): DataFrame = {
+    val cells = langIdPerDoc(s, dir)
+      .groupBy("actual_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val classified = cells.groupBy("actual_lang")
+      .agg(sum(col("n_docs")).as("n_classified"))
+    val totals = Tables.documents(s, dir)
+      .groupBy(col("lang").as("actual_lang"))
+      .agg(count(lit(1)).as("n_total"))
+    cells.join(classified, Seq("actual_lang"))
+      .join(totals, Seq("actual_lang"))
+      .select(col("actual_lang"), col("predicted_lang"), col("n_docs"),
+        expr("(n_docs * 1000000) div n_classified").as("share_ppm"),
+        expr("(n_classified * 1000000) div n_total").as("coverage_ppm"))
+      .orderBy("actual_lang", "predicted_lang")
   }
 
   /** Quality scoring: token count, average token length, type-token ratio,
@@ -917,6 +953,7 @@ object TextOps {
     "q_text_topterms" -> (textTopTerms _),
     "q_text_topterms_cms" -> (textTopTermsCms _),
     "q_text_lang_id" -> (textLangId _),
+    "q_eval_langid_confusion" -> (evalLangidConfusion _),
     "q_text_quality" -> (textQuality _),
     "q_text_fingerprint" -> (textFingerprint _))
 
@@ -1409,6 +1446,39 @@ object TextOps {
         |FROM hits
         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lex_lang ASC) = 1
         |ORDER BY doc_id""".stripMargin,
+    "q_eval_langid_confusion" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |lexicon AS (
+        |  SELECT lex_lang, token FROM (
+        |    SELECT lang AS lex_lang, token, COUNT(*) AS freq,
+        |      row_number() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, token ASC) AS rn
+        |    FROM tok GROUP BY lang, token)
+        |  WHERE rn <= 20),
+        |hits AS (
+        |  SELECT t.doc_id, t.lang, l.lex_lang, COUNT(*) AS hits
+        |  FROM tok t JOIN lexicon l ON t.token = l.token
+        |  GROUP BY t.doc_id, t.lang, l.lex_lang),
+        |best AS (
+        |  SELECT doc_id, lang AS actual_lang, lex_lang AS predicted_lang
+        |  FROM hits
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY hits DESC, lex_lang ASC) = 1),
+        |cells AS (
+        |  SELECT actual_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM best GROUP BY actual_lang, predicted_lang),
+        |cl AS (
+        |  SELECT actual_lang, CAST(SUM(n_docs) AS BIGINT) AS n_classified
+        |  FROM cells GROUP BY actual_lang),
+        |tot AS (
+        |  SELECT lang AS actual_lang, CAST(COUNT(*) AS BIGINT) AS n_total
+        |  FROM documents GROUP BY lang)
+        |SELECT c.actual_lang, c.predicted_lang, c.n_docs,
+        |  CAST((c.n_docs * 1000000) // cl.n_classified AS BIGINT) AS share_ppm,
+        |  CAST((cl.n_classified * 1000000) // t.n_total AS BIGINT)
+        |    AS coverage_ppm
+        |FROM cells c JOIN cl USING (actual_lang) JOIN tot t USING (actual_lang)
+        |ORDER BY actual_lang, predicted_lang""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id, n_chars,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,

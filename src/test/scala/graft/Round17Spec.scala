@@ -804,6 +804,82 @@ class Round17Spec extends AnyFunSuite with SparkFixture {
     assert(got.nonEmpty && got === expected)
   }
 
+  // ---- 9. exact driver replays for #484-#486 (sixth r17 batch) ---------
+
+  /** (sg, yr, late) per lineitem under the #114 30-day convention —
+    * the shared input of the MH / Cohen's h replays.
+    */
+  private lazy val lateCells: Seq[(Long, Long, Long)] = {
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getAs[java.time.LocalDateTime](1),
+        r.getString(2).substring(0, 1).toLong)).toMap
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate")).collect()
+      .map { r =>
+        val (odate, sg) = orders(r.getLong(0))
+        (sg, odate.getYear.toLong,
+          if (r.getAs[java.time.LocalDateTime](1).isAfter(odate.plusDays(30)))
+            1L else 0L)
+      }.toSeq
+  }
+
+  test("Mantel-Haenszel matches an exact driver replay") {
+    val strata = lateCells.groupBy(_._2).map { case (_, xs) =>
+      val a = xs.count(e => e._1 <= 2 && e._3 == 1).toLong
+      val b = xs.count(e => e._1 <= 2 && e._3 == 0).toLong
+      val c = xs.count(e => e._1 > 2 && e._3 == 1).toLong
+      val d = xs.count(e => e._1 > 2 && e._3 == 0).toLong
+      (a, b, c, d)
+    }.toSeq
+    val r = strata.map { case (a, b, c, d) => a * d * 1000000L / (a + b + c + d) }.sum
+    val sE = strata.map { case (a, b, c, d) => b * c * 1000000L / (a + b + c + d) }.sum
+    val (sa, sb, sc, sd) = (strata.map(_._1).sum, strata.map(_._2).sum,
+      strata.map(_._3).sum, strata.map(_._4).sum)
+    val row = operators.NonparamOps.mantelHaenszel(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === strata.length.toLong, "n_strata")
+    assert(row(0).getLong(1) === r * 1000 / sE, "or_mh_milli")
+    assert(row(0).getLong(2) ===
+      (BigInt(sa) * sd * 1000 / (BigInt(sb) * sc)).toLong, "or_pooled_milli")
+  }
+
+  test("Cohen's h matches an exact driver replay (shared libm)") {
+    val n1 = lateCells.count(_._1 == 1).toLong
+    val x1 = lateCells.filter(_._1 == 1).map(_._3).sum
+    val n2 = lateCells.count(_._1 == 5).toLong
+    val x2 = lateCells.filter(_._1 == 5).map(_._3).sum
+    val h = math.floor((2 * math.asin(math.sqrt(x1.toDouble / n1)) -
+      2 * math.asin(math.sqrt(x2.toDouble / n2))) * 1000).toLong
+    val row = operators.NonparamOps.cohensH(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === n1 && row(0).getLong(1) === x1)
+    assert(row(0).getLong(2) === n2 && row(0).getLong(3) === x2)
+    assert(row(0).getLong(4) === h, "h_milli")
+    assert(row(0).getBoolean(5) === (math.abs(h) >= 200L))
+  }
+
+  test("lang-ID confusion is the exact histogram of the per-doc predictions") {
+    val perDoc = operators.TextOps.textLangId(spark, sfDir)
+      .select("actual_lang", "predicted_lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val totals = Tables.documents(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val classified = perDoc.groupBy(_._1).map { case (k, xs) => k -> xs.length.toLong }
+    val expected = perDoc.groupBy(identity).toSeq
+      .map { case ((al, pl), xs) =>
+        val n = xs.length.toLong
+        (al, pl, n, n * 1000000L / classified(al),
+          classified(al) * 1000000L / totals(al))
+      }.sortBy(e => (e._1, e._2))
+    val got = operators.TextOps.evalLangidConfusion(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got.nonEmpty && got === expected)
+  }
+
   test("Sortino matches an exact driver replay (shared libm)") {
     val expected = eventDays
       .filter(_._7 > 0)
