@@ -721,7 +721,42 @@ object DedupOps {
       .orderBy(desc("n_records"), col("block_key"))
       .limit(30)
 
+  /** #488 Per-source duplication profile: each source's document
+    * count, its internal near-dup pair count (the edge relation is
+    * (lang, source)-blocked, so every edge is within-source BY
+    * CONSTRUCTION — stated), the density pairs-per-thousand-docs, and
+    * the source's share of all near-dup mass in ppm. The
+    * mixture-discount readout the per-component views (#71/#455)
+    * aggregate away: a templated source with 10× the duplication
+    * density contributes far less EFFECTIVE data than its doc count
+    * suggests, and the #89/#477 mixture weights should see that
+    * before training — dedup savings (#384) gives the corpus total,
+    * this attributes it. Reads the materialized edge relation; one
+    * broadcast-joinable source lookup per end; |sources|-bounded
+    * output; pure integer counting, two ppm/permille divisions.
+    */
+  def dedupSourceProfile(s: SparkSession, dir: String): DataFrame = {
+    val src = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+    val pairs = materializedEdges(s, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("source")),
+        Seq("doc_a"))
+      .groupBy("source").agg(count(lit(1)).as("n_pairs"))
+    val docs = src.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    docs.join(pairs, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .crossJoin(broadcast(
+        pairs.agg(sum(col("n_pairs")).as("n_all"))))
+      .select(col("source"), col("n_docs"), col("n_pairs"),
+        expr("(n_pairs * 1000) div n_docs").as("pairs_per_kdoc"),
+        expr("CASE WHEN n_all > 0 THEN (n_pairs * 1000000) div n_all END")
+          .as("share_ppm"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_source_profile" -> (dedupSourceProfile _),
     "q_link_blocking" -> (linkBlocking _),
     "q_dedup_url" -> (dedupUrl _),
     "q_sketch_calibration" -> (sketchCalibration _),
@@ -798,6 +833,28 @@ object DedupOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_source_profile" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.doc_id AS doc_a, a.source AS source
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |p AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |      FROM pairs GROUP BY source),
+        |d AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |      FROM documents GROUP BY source),
+        |t AS (SELECT SUM(n_pairs) AS n_all FROM p)
+        |SELECT d.source, d.n_docs, COALESCE(p.n_pairs, 0) AS n_pairs,
+        |  (COALESCE(p.n_pairs, 0) * 1000) // d.n_docs AS pairs_per_kdoc,
+        |  CASE WHEN (SELECT n_all FROM t) > 0 THEN
+        |    CAST((COALESCE(p.n_pairs, 0) * 1000000) // (SELECT n_all FROM t)
+        |      AS BIGINT) END AS share_ppm
+        |FROM d LEFT JOIN p ON d.source = p.source
+        |ORDER BY d.source""".stripMargin,
     "q_link_blocking" ->
       """WITH b AS (
         |  SELECT string_split(p_name, ' ')[1] || ':' || p_brand AS block_key

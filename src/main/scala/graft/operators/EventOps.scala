@@ -622,7 +622,66 @@ object EventOps {
       .crossJoin(p.agg(count(lit(1)).as("n_buy_7d")))
   }
 
+  /** #489 Log-rank test between the signup→first-purchase survival
+    * curves of two deterministic user cohorts (user_id parity — the
+    * reproducible split convention): at each event duration k with
+    * d_k events and (n_k, n1_k) at risk, O₁ accumulates cohort-1
+    * events, E₁ += d·n1/n and V += d·n1·(n−n1)·(n−d)/(n²(n−1)) —
+    * each per-time term floored ONCE at 1e6 scale in DECIMAL
+    * (documented staging, mirrored), the z readout ONE floored double.
+    * Completes the survival family: #222 draws the curves, #405 the
+    * hazards — log-rank is the TEST that the curves differ, the
+    * gate before any retention-intervention readout is believed.
+    * Ties follow the standard hypergeometric form (all same-day
+    * events share one risk set). Scale: the #222 shape — one per-user
+    * reduction, then reverse-cumulative windows on the
+    * calendar-bounded duration relation.
+    */
+  def statsLogrank(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val horizon = ev.agg(max(to_date(col("ts"))).as("h"))
+    val s0 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t0"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("tp"))
+      .join(s0, Seq("user_id"))
+      .filter(col("tp") >= col("t0"))
+      .groupBy("user_id").agg(min(col("tp")).as("te"))
+    val durs = s0.join(conv, Seq("user_id"), "left_outer")
+      .crossJoin(broadcast(horizon))
+      .select((col("user_id") % 2).as("grp"),
+        when(col("te").isNotNull,
+          datediff(to_date(col("te")), to_date(col("t0"))))
+          .otherwise(datediff(col("h"), to_date(col("t0")))).cast("long")
+          .as("dur"),
+        when(col("te").isNotNull, 1L).otherwise(0L).as("ev"))
+    val daily = durs.groupBy("dur")
+      .agg(sum(when(col("grp") === 1L, col("ev")).otherwise(0L)).as("d1"),
+        sum(col("ev")).as("d"),
+        sum(when(col("grp") === 1L, 1L).otherwise(0L)).as("m1"),
+        count(lit(1)).as("m"))
+    val wDesc = Window.orderBy(desc("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("n", sum(col("m")).over(wDesc))
+      .withColumn("n1", sum(col("m1")).over(wDesc))
+      .filter(col("d") > 0 && col("n") > 1)
+      .groupBy(lit(1).as("g"))
+      .agg(count(lit(1)).as("n_times"), sum(col("d1")).as("o1"),
+        sum(expr("(d * n1 * 1000000) div n")).as("e1_e6"),
+        sum(expr("cast((cast(d as decimal(38,0)) * n1 * (n - n1) * (n - d) " +
+          "* 1000000) div (cast(n as decimal(38,0)) * n * (n - 1)) as long)"))
+          .as("v_e6"))
+      .select(col("n_times"), col("o1"), col("e1_e6"), col("v_e6"))
+      .withColumn("z_milli",
+        expr("CASE WHEN v_e6 > 0 THEN " +
+          "cast(floor(cast(o1 * 1000000 - e1_e6 as double) / " +
+          "sqrt(cast(v_e6 as double) * 1e6) * 1000) as bigint) END"))
+      .withColumn("curves_differ_05", abs(col("z_milli")) > 1960L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_logrank" -> (statsLogrank _),
     "q_funnel_windowed" -> (funnelWindowed _),
     "q_markov_stationary" -> (markovStationary _),
     "q_markov_absorbing" -> (markovAbsorbing _),
@@ -712,6 +771,55 @@ object EventOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_stats_logrank" ->
+      """WITH h AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
+        |s0 AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |conv AS (
+        |  SELECT e.user_id, min(e.ts) AS te
+        |  FROM events e JOIN s0 ON s0.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s0.t0
+        |  GROUP BY e.user_id),
+        |durs AS (
+        |  SELECT s0.user_id % 2 AS grp,
+        |    CAST(CASE WHEN conv.te IS NOT NULL
+        |      THEN datediff('day', CAST(s0.t0 AS DATE), CAST(conv.te AS DATE))
+        |      ELSE datediff('day', CAST(s0.t0 AS DATE), h.h) END AS BIGINT)
+        |      AS dur,
+        |    CASE WHEN conv.te IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM s0 LEFT JOIN conv USING (user_id) CROSS JOIN h),
+        |daily AS (
+        |  SELECT dur,
+        |    CAST(SUM(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(SUM(ev) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+        |    CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM durs GROUP BY dur),
+        |r AS (
+        |  SELECT dur, d1, d,
+        |    SUM(m) OVER (ORDER BY dur DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+        |    SUM(m1) OVER (ORDER BY dur DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1
+        |  FROM daily),
+        |a AS (
+        |  SELECT 1 AS g, CAST(COUNT(*) AS BIGINT) AS n_times,
+        |    CAST(SUM(d1) AS BIGINT) AS o1,
+        |    CAST(SUM((d * n1 * 1000000) // n) AS BIGINT) AS e1_e6,
+        |    CAST(SUM((CAST(d AS HUGEINT) * n1 * (n - n1) * (n - d) * 1000000)
+        |      // (CAST(n AS HUGEINT) * n * (n - 1))) AS BIGINT) AS v_e6
+        |  FROM r WHERE d > 0 AND n > 1 GROUP BY g),
+        |s AS (
+        |  SELECT n_times, o1, e1_e6, v_e6,
+        |    CASE WHEN v_e6 > 0 THEN
+        |      CAST(FLOOR(CAST(o1 * 1000000 - e1_e6 AS DOUBLE) /
+        |        SQRT(CAST(v_e6 AS DOUBLE) * 1e6) * 1000) AS BIGINT) END
+        |      AS z_milli
+        |  FROM a)
+        |SELECT n_times, o1, e1_e6, v_e6, z_milli,
+        |  abs(z_milli) > 1960 AS curves_differ_05
+        |FROM s""".stripMargin,
     "q_markov_absorbing" -> absorbingOracleSql,
     "q_funnel_windowed" ->
       """WITH ev AS (

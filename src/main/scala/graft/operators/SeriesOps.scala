@@ -679,7 +679,54 @@ object SeriesOps {
       .orderBy("pri")
   }
 
+  /** #487 Unnormalized Haar wavelet energy by level (j = 1..5) of the
+    * global daily revenue series: per level, the detail coefficient of
+    * each COMPLETE 2ʲ-day block is (first-half sum − second-half sum)
+    * — an exact integer via sign = 1 − 2·((t div 2^{j−1}) mod 2) — and
+    * the level energy is Σd² in DECIMAL, read out with each level's
+    * share of the total detail energy in ppm. TIME-LOCALIZED scale
+    * decomposition: the Fourier family (#368/#451/#461) says WHICH
+    * frequencies carry power, Haar says at WHICH SCALES the
+    * day-to-day variation lives (level 1 ≈ daily noise, level 5 ≈
+    * month-scale swings) while staying exact-integer — no
+    * trigonometry at all. Partial trailing blocks are EXCLUDED
+    * (stated; a short block would mix scales). Scale: a 5×N-row
+    * explode over the calendar-bounded series, grouped per (level,
+    * block).
+    */
+  def tsHaarEnergy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg((sum(Det.money(col("o_totalprice"))) * 100).cast("long").as("v"))
+    val idx = daily
+      .withColumn("t", (row_number().over(Window.orderBy("day")) - 1).cast("long"))
+    val levels = idx
+      .select(col("t"), col("v"),
+        explode(expr("sequence(1L, 5L)")).as("j"))
+      .withColumn("bs", expr("cast(pow(2, cast(j as double)) as bigint)"))
+      .withColumn("blk", expr("t div bs"))
+      .withColumn("sgn", lit(1L) - lit(2L) * expr("(t div (bs div 2)) % 2"))
+    val detail = levels
+      .groupBy("j", "bs", "blk")
+      .agg(count(lit(1)).as("cnt"), sum(col("sgn") * col("v")).as("dcoef"))
+      .filter(col("cnt") === col("bs"))
+    val perLevel = detail
+      .groupBy("j")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("dcoef").cast(dec) * col("dcoef")).as("energy"))
+    perLevel
+      .crossJoin(broadcast(perLevel.agg(sum(col("energy")).as("e_all"))))
+      .select(col("j").as("level"), col("n_blocks"),
+        expr("cast(energy div 1000000 as long)").as("energy_e6"),
+        expr("CASE WHEN e_all > 0 THEN " +
+          "cast((energy * 1000000) div e_all as long) END").as("share_ppm"))
+      .orderBy("level")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ts_haar_energy" -> (tsHaarEnergy _),
     "q_ts_turning_points" -> (tsTurningPoints _),
     "q_ts_fractal_katz" -> (tsFractalKatz _),
     "q_ts_sampen" -> (tsSampen _),
@@ -702,6 +749,38 @@ object SeriesOps {
       |  FROM orders GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_ts_haar_energy" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |idx AS (
+        |  SELECT v,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT) AS t
+        |  FROM daily),
+        |lv AS (
+        |  SELECT t, v, unnest(range(1, 6)) AS j FROM idx),
+        |sg AS (
+        |  SELECT j, CAST(pow(2, CAST(j AS DOUBLE)) AS BIGINT) AS bs,
+        |    t // CAST(pow(2, CAST(j AS DOUBLE)) AS BIGINT) AS blk,
+        |    (1 - 2 * ((t // (CAST(pow(2, CAST(j AS DOUBLE)) AS BIGINT) // 2))
+        |      % 2)) * v AS sv
+        |  FROM lv),
+        |d AS (
+        |  SELECT j, bs, blk, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(sv) AS BIGINT) AS dcoef
+        |  FROM sg GROUP BY j, bs, blk),
+        |pl AS (
+        |  SELECT j, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    SUM(CAST(dcoef AS HUGEINT) * dcoef) AS energy
+        |  FROM d WHERE cnt = bs GROUP BY j),
+        |t AS (SELECT SUM(energy) AS e_all FROM pl)
+        |SELECT j AS level, n_blocks,
+        |  CAST(energy // 1000000 AS BIGINT) AS energy_e6,
+        |  CASE WHEN (SELECT e_all FROM t) > 0 THEN
+        |    CAST((energy * 1000000) // (SELECT e_all FROM t) AS BIGINT) END
+        |    AS share_ppm
+        |FROM pl ORDER BY level""".stripMargin,
     "q_ts_turning_points" ->
       s"""WITH $DailyPriSql,
          |lagged AS (

@@ -880,6 +880,99 @@ class Round17Spec extends AnyFunSuite with SparkFixture {
     assert(got.nonEmpty && got === expected)
   }
 
+  // ---- 10. exact driver replays for #487-#489 (seventh r17 batch) ------
+
+  test("Haar energy matches an exact BigInt driver replay") {
+    val vs = dailyCents
+    val expected = (1 to 5).flatMap { j =>
+      val bs = 1 << j
+      val blocks = vs.grouped(bs).filter(_.length == bs).toSeq
+      if (blocks.isEmpty) None
+      else {
+        val coefs = blocks.map(b =>
+          b.take(bs / 2).sum - b.drop(bs / 2).sum)
+        Some((j.toLong, blocks.length.toLong, coefs.map(c => c * c).sum))
+      }
+    }
+    val eAll = expected.map(_._3).sum
+    val rows = expected.map { case (j, nb, e) =>
+      (j, nb, (e / 1000000).toLong, (e * 1000000 / eAll).toLong) }
+    val got = operators.SeriesOps.tsHaarEnergy(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got.nonEmpty && got === rows)
+  }
+
+  test("source duplication profile is the exact per-source edge histogram") {
+    val src = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySrcDocs = src.values.groupBy(identity)
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val pairSrc = operators.DedupOps.materializedEdges(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map { r =>
+        // edges are (lang, source)-blocked: both ends must agree
+        assert(src(r.getLong(0)) === src(r.getLong(1)))
+        src(r.getLong(0))
+      }
+    val bySrcPairs = pairSrc.groupBy(identity)
+      .map { case (k, xs) => k -> xs.length.toLong }
+    val nAll = pairSrc.length.toLong
+    val expected = bySrcDocs.toSeq.sortBy(_._1).map { case (s0, nd) =>
+      val np = bySrcPairs.getOrElse(s0, 0L)
+      (s0, nd, np, np * 1000L / nd, np * 1000000L / nAll)
+    }
+    val got = operators.DedupOps.dedupSourceProfile(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got.nonEmpty && got === expected)
+  }
+
+  test("log-rank matches an exact driver replay") {
+    val utc = java.time.ZoneOffset.UTC
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).toInstant))
+    def day(i: java.time.Instant) = i.atZone(utc).toLocalDate
+    val horizon = evs.map(e => day(e._3)).max
+    val s0 = evs.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    val durs = s0.toSeq.map { case (u, t0) =>
+      val te = evs.filter(e => e._1 == u && e._2 == "purchase" &&
+        !e._3.isBefore(t0)).map(_._3).sorted.headOption
+      (u % 2,
+        te.map(t => java.time.temporal.ChronoUnit.DAYS.between(day(t0), day(t)))
+          .getOrElse(java.time.temporal.ChronoUnit.DAYS.between(day(t0), horizon)),
+        if (te.isDefined) 1L else 0L)
+    }
+    val daily = durs.groupBy(_._2).toSeq.sortBy(-_._1).map { case (dur, xs) =>
+      (dur, xs.filter(_._1 == 1).map(_._3).sum, xs.map(_._3).sum,
+        xs.count(_._1 == 1).toLong, xs.length.toLong)
+    }
+    var n = 0L; var n1 = 0L; var o1 = 0L; var e1 = 0L; var v = BigInt(0)
+    var nTimes = 0L
+    daily.foreach { case (_, d1, d, m1, m) =>
+      n += m; n1 += m1
+      if (d > 0 && n > 1) {
+        nTimes += 1; o1 += d1
+        e1 += d * n1 * 1000000L / n
+        v += BigInt(d) * n1 * (n - n1) * (n - d) * 1000000 /
+          (BigInt(n) * n * (n - 1))
+      }
+    }
+    val z = math.floor((o1 * 1000000L - e1).toDouble /
+      math.sqrt(v.toDouble * 1e6) * 1000).toLong
+    val row = operators.EventOps.statsLogrank(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === nTimes, "n_times")
+    assert(row(0).getLong(1) === o1, "o1")
+    assert(row(0).getLong(2) === e1, "e1_e6")
+    assert(row(0).getLong(3) === v.toLong, "v_e6")
+    assert(row(0).getLong(4) === z, "z_milli")
+    assert(row(0).getBoolean(5) === (math.abs(z) > 1960L))
+  }
+
   test("Sortino matches an exact driver replay (shared libm)") {
     val expected = eventDays
       .filter(_._7 > 0)
