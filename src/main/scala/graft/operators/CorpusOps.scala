@@ -408,7 +408,61 @@ object CorpusOps {
         expr("(sum_types * 1000000) div (n_segments * 50)").as("sttr_ppm"))
       .orderBy("source")
 
+  /** #491 Log-normality screen of the document-length distribution per
+    * source: Jarque-Bera over x = floor(ln(n_chars)·10⁶) — skewness,
+    * excess kurtosis and the JB statistic of the LOG lengths. Web-
+    * corpus length distributions are conventionally modeled lognormal
+    * (the assumption behind length-bucketed batching #217 and the
+    * length-bias diagnostic #415); this screens that assumption PER
+    * SOURCE — a source whose log-lengths are heavily skewed (JB ≫ 6)
+    * is template-truncated or concatenated, and its length buckets
+    * won't behave. Staging: ln floored to MICRO (not nano — the x⁴
+    * power sum must stay inside DECIMAL(38,0) at corpus scale), four
+    * exact power sums, then the #370 raw-moment double algebra in
+    * mirrored expression order. Scale: one map-side-combined source
+    * aggregate; moment algebra on |sources| rows.
+    */
+  def textLengthLognormality(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = floor(log(col("n_chars").cast("double")) * 1e6).cast("long")
+    Tables.documents(s, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("source"), x.as("x"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("s1"),
+        sum(col("x").cast(dec) * col("x")).as("s2"),
+        sum(col("x").cast(dec) * col("x") * col("x")).as("s3"),
+        sum(col("x").cast(dec) * col("x") * col("x") * col("x")).as("s4"))
+      .withColumn("mu", col("s1").cast("double") / col("n"))
+      .withColumn("m2",
+        col("s2").cast("double") / col("n") - col("mu") * col("mu"))
+      .withColumn("m3",
+        col("s3").cast("double") / col("n") -
+          lit(3.0) * col("mu") * (col("s2").cast("double") / col("n")) +
+          lit(2.0) * col("mu") * col("mu") * col("mu"))
+      .withColumn("m4",
+        col("s4").cast("double") / col("n") -
+          lit(4.0) * col("mu") * (col("s3").cast("double") / col("n")) +
+          lit(6.0) * col("mu") * col("mu") *
+            (col("s2").cast("double") / col("n")) -
+          lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
+      .withColumn("skew", col("m3") / (col("m2") * sqrt(col("m2"))))
+      .withColumn("kurt", col("m4") / (col("m2") * col("m2")))
+      .select(col("source"), col("n").as("n_docs"),
+        floor(col("mu")).cast("long").as("mean_ln_micro"),
+        floor(col("skew") * 1e6).cast("long").as("skew_micro"),
+        floor(col("kurt") * 1e6).cast("long").as("kurt_micro"),
+        floor(col("n") / lit(6.0) *
+          (col("skew") * col("skew") +
+            (col("kurt") - 3.0) * (col("kurt") - 3.0) / 4.0) * 1000)
+          .cast("long").as("jb_milli"))
+      .withColumn("lognormal_rejected_05", col("jb_milli") > 5991L)
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_length_lognormality" -> (textLengthLognormality _),
     "q_text_sttr" -> (textSttr _),
     "q_text_burrows_delta" -> (textBurrowsDelta _),
     "q_winnow_fingerprint" -> (winnowFingerprint _),
@@ -421,6 +475,48 @@ object CorpusOps {
     "q_text_dispersion" -> (textDispersion _))
 
   val oracles: Map[String, String] = Map(
+    "q_text_length_lognormality" ->
+      """WITH x0 AS (
+        |  SELECT source,
+        |    CAST(FLOOR(ln(CAST(n_chars AS DOUBLE)) * 1e6) AS BIGINT) AS x
+        |  FROM documents WHERE n_chars > 0),
+        |g AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS s1,
+        |    SUM(CAST(x AS HUGEINT) * x) AS s2,
+        |    SUM(CAST(x AS HUGEINT) * x * x) AS s3,
+        |    SUM(CAST(x AS HUGEINT) * x * x * x) AS s4
+        |  FROM x0 GROUP BY source),
+        |mm AS (
+        |  SELECT source, n,
+        |    CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n AS mu,
+        |    CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / n AS r2,
+        |    CAST(CAST(s3 AS VARCHAR) AS DOUBLE) / n AS r3,
+        |    CAST(CAST(s4 AS VARCHAR) AS DOUBLE) / n AS r4
+        |  FROM g),
+        |c AS (
+        |  SELECT source, n, mu,
+        |    r2 - mu * mu AS m2,
+        |    r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+        |    r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+        |      - 3.0 * mu * mu * mu * mu AS m4
+        |  FROM mm),
+        |k AS (
+        |  SELECT source, n, mu,
+        |    m3 / (m2 * SQRT(m2)) AS skew, m4 / (m2 * m2) AS kurt
+        |  FROM c),
+        |f AS (
+        |  SELECT source, n AS n_docs,
+        |    CAST(FLOOR(mu) AS BIGINT) AS mean_ln_micro,
+        |    CAST(FLOOR(skew * 1e6) AS BIGINT) AS skew_micro,
+        |    CAST(FLOOR(kurt * 1e6) AS BIGINT) AS kurt_micro,
+        |    CAST(FLOOR(n / 6.0 * (skew * skew
+        |      + (kurt - 3.0) * (kurt - 3.0) / 4.0) * 1000) AS BIGINT)
+        |      AS jb_milli
+        |  FROM k)
+        |SELECT source, n_docs, mean_ln_micro, skew_micro, kurt_micro,
+        |  jb_milli, jb_milli > 5991 AS lognormal_rejected_05
+        |FROM f ORDER BY source""".stripMargin,
     "q_text_sttr" ->
       """WITH t AS (
         |  SELECT source, string_split(text, ' ') AS toks FROM documents),

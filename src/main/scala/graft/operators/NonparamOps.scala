@@ -514,7 +514,95 @@ object NonparamOps {
           "2 * asin(sqrt(cast(x2 as double) / n2))) * 1000) as bigint) END"))
       .withColumn("at_least_small_effect", abs(col("h_milli")) >= 200L)
 
+  /** #490 Distribution-free median confidence interval for the daily
+    * revenue level, via binomial order statistics: the 95% CI is
+    * [x₍ₗ₎, x₍ᵤ₎] with l = floor((n − 1.96·√n)/2) clamped to ≥ 1 and
+    * u = n + 1 − l (the symmetric sign-test inversion — no normality,
+    * no variance estimate, EXACT order-statistic picks under the
+    * (v, day) total order). The median itself rides as the #456
+    * lo/hi/point convention. The interval the point estimators leave
+    * open: #173 gives a weighted median, #456 the shift's point
+    * estimate — this says how UNCERTAIN the level's center is, in
+    * value units, robust to the revenue series' heavy tail. l/u are
+    * the ONLY floored doubles (identical expression both engines);
+    * everything else is rank filtering. Scale: calendar-bounded;
+    * global windows above the day aggregate (GlobalWindowSpec
+    * carrier).
+    */
+  def medianCi(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg((sum(Det.money(col("o_totalprice"))) * 100).cast("long").as("v"))
+    val w = Window.orderBy("v", "day")
+    val frame = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    daily
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(frame))
+      .withColumn("l",
+        expr("greatest(1L, cast(floor((n - 1.96 * sqrt(cast(n as double))) " +
+          "/ 2) as bigint))"))
+      .withColumn("u", col("n") + 1L - col("l"))
+      .filter(col("r") === col("l") || col("r") === col("u") ||
+        col("r") === expr("(n + 1) div 2") || col("r") === expr("(n + 2) div 2"))
+      .groupBy(lit(1).as("g"))
+      .agg(max(col("n")).as("n_days"), max(col("l")).as("l_rank"),
+        max(col("u")).as("u_rank"),
+        min(when(col("r") === col("l"), col("v"))).as("ci_lo"),
+        max(when(col("r") === col("u"), col("v"))).as("ci_hi"),
+        min(when(col("r") === expr("(n + 1) div 2"), col("v"))).as("med_lo"),
+        max(when(col("r") === expr("(n + 2) div 2"), col("v"))).as("med_hi"))
+      .select(col("n_days"), col("l_rank"), col("u_rank"),
+        col("ci_lo"), col("ci_hi"),
+        expr("(med_lo + med_hi) div 2").as("median_cents"))
+  }
+
+  /** #492 AR(1) mean-reversion half-life of the daily revenue level:
+    * regress Δy_t on y_{t−1} (the discrete Ornstein-Uhlenbeck fit),
+    * φ = 1 + b, half-life = −ln 2 / ln φ in milli-days — the SPEED
+    * quantification the stationarity family only gates on: #311 ADF
+    * says WHETHER the level mean-reverts, #322 Hurst says in which
+    * regime, this says HOW FAST a shock decays, the number a
+    * forecasting horizon or an anomaly-recovery SLA actually uses.
+    * Exact integer/DECIMAL sums (m, Σx, Σy, Σxy, Σx² with x = lagged
+    * cents, y = Δ); b and the half-life are ONE mirrored-double chain
+    * (HUGEINT via VARCHAR in the twin); NULL unless −1 < φ < 1 (no
+    * mean reversion ⇒ no half-life, stated). Scale: calendar-bounded;
+    * one lag window above the day aggregate.
+    */
+  def tsHalflife(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg((sum(Det.money(col("o_totalprice"))) * 100).cast("long").as("v"))
+    val w = Window.orderBy("day")
+    daily
+      .withColumn("pv", lag(col("v"), 1).over(w))
+      .filter(col("pv").isNotNull)
+      .select(col("pv").as("x"), (col("v") - col("pv")).as("y"))
+      .groupBy(lit(1).as("g"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"))
+      .select(col("m").as("n_days"),
+        expr("cast(floor((cast(m as double) * cast(sxy as double) - " +
+          "cast(sx as double) * cast(sy as double)) / " +
+          "(cast(m as double) * cast(sxx as double) - " +
+          "cast(sx as double) * cast(sx as double)) * 1000000) as bigint)")
+          .as("b_ppm"), col("m"), col("sx"), col("sy"), col("sxy"), col("sxx"))
+      .withColumn("phi_ppm", col("b_ppm") + 1000000L)
+      // half-life is defined for monotone decay only: 0 < φ < 1 (a
+      // negative φ oscillates, φ ≥ 1 never reverts) — NULL otherwise
+      .withColumn("halflife_milli",
+        expr("CASE WHEN phi_ppm > 0 AND phi_ppm < 1000000 THEN " +
+          "cast(floor(-ln(2.0) / ln(cast(phi_ppm as double) / 1e6) " +
+          "* 1000) as bigint) END"))
+      .select("n_days", "b_ppm", "phi_ppm", "halflife_milli")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_median_ci" -> (medianCi _),
+    "q_ts_halflife" -> (tsHalflife _),
     "q_stats_mantel_haenszel" -> (mantelHaenszel _),
     "q_stats_cohens_h" -> (cohensH _),
     "q_stats_jonckheere" -> (jonckheere _),
@@ -540,7 +628,68 @@ object NonparamOps {
       |      THEN 1 ELSE 0 END AS late
       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)""".stripMargin
 
+  private val DailyRevSql =
+    """daily AS (
+      |  SELECT date_trunc('day', o_orderdate) AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS v
+      |  FROM orders GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_stats_median_ci" ->
+      s"""WITH $DailyRevSql,
+         |rk AS (
+         |  SELECT v,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY v, day) AS BIGINT) AS r,
+         |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+         |  FROM daily),
+         |b AS (
+         |  SELECT v, r, n,
+         |    greatest(1, CAST(FLOOR((n - 1.96 * SQRT(CAST(n AS DOUBLE))) / 2)
+         |      AS BIGINT)) AS l
+         |  FROM rk),
+         |f AS (
+         |  SELECT 1 AS g, MAX(n) AS n_days, MAX(l) AS l_rank,
+         |    MAX(n + 1 - l) AS u_rank,
+         |    MIN(CASE WHEN r = l THEN v END) AS ci_lo,
+         |    MAX(CASE WHEN r = n + 1 - l THEN v END) AS ci_hi,
+         |    MIN(CASE WHEN r = (n + 1) // 2 THEN v END) AS med_lo,
+         |    MAX(CASE WHEN r = (n + 2) // 2 THEN v END) AS med_hi
+         |  FROM b
+         |  WHERE r = l OR r = n + 1 - l OR r = (n + 1) // 2 OR r = (n + 2) // 2
+         |  GROUP BY g)
+         |SELECT n_days, l_rank, u_rank, ci_lo, ci_hi,
+         |  CAST((med_lo + med_hi) // 2 AS BIGINT) AS median_cents
+         |FROM f""".stripMargin,
+    "q_ts_halflife" ->
+      s"""WITH $DailyRevSql,
+         |lg AS (
+         |  SELECT LAG(v) OVER (ORDER BY day) AS x, v
+         |  FROM daily),
+         |p AS (SELECT x, v - x AS y FROM lg WHERE x IS NOT NULL),
+         |a AS (
+         |  SELECT 1 AS g, CAST(COUNT(*) AS BIGINT) AS m,
+         |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+         |  FROM p GROUP BY g),
+         |b AS (
+         |  SELECT m AS n_days,
+         |    CAST(FLOOR((CAST(m AS DOUBLE) *
+         |      CAST(CAST(sxy AS VARCHAR) AS DOUBLE) -
+         |      CAST(CAST(sx AS VARCHAR) AS DOUBLE) *
+         |      CAST(CAST(sy AS VARCHAR) AS DOUBLE)) /
+         |      (CAST(m AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) -
+         |      CAST(CAST(sx AS VARCHAR) AS DOUBLE) *
+         |      CAST(CAST(sx AS VARCHAR) AS DOUBLE)) * 1000000) AS BIGINT)
+         |      AS b_ppm
+         |  FROM a),
+         |s AS (
+         |  SELECT n_days, b_ppm, b_ppm + 1000000 AS phi_ppm FROM b)
+         |SELECT n_days, b_ppm, phi_ppm,
+         |  CASE WHEN phi_ppm > 0 AND phi_ppm < 1000000 THEN
+         |    CAST(FLOOR(-ln(2.0) / ln(CAST(phi_ppm AS DOUBLE) / 1e6) * 1000)
+         |      AS BIGINT) END AS halflife_milli
+         |FROM s""".stripMargin,
     "q_stats_mantel_haenszel" ->
       s"""WITH $LateByPrioritySql,
          |st AS (

@@ -973,6 +973,85 @@ class Round17Spec extends AnyFunSuite with SparkFixture {
     assert(row(0).getBoolean(5) === (math.abs(z) > 1960L))
   }
 
+  // ---- 11. exact driver replays for #490-#492 (eighth r17 batch) -------
+
+  test("median CI matches an exact driver replay") {
+    val vs = dailyCents.map(_.toLong)
+    val sorted = vs.zip(dailyDayKeys).sortBy { case (v, d) => (v, d) }.map(_._1)
+    val n = sorted.length.toLong
+    val l = math.max(1L,
+      math.floor((n - 1.96 * math.sqrt(n.toDouble)) / 2).toLong)
+    val u = n + 1 - l
+    val medLo = sorted(((n + 1) / 2 - 1).toInt)
+    val medHi = sorted(((n + 2) / 2 - 1).toInt)
+    val row = operators.NonparamOps.medianCi(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === n, "n_days")
+    assert(row(0).getLong(1) === l, "l_rank")
+    assert(row(0).getLong(2) === u, "u_rank")
+    assert(row(0).getLong(3) === sorted((l - 1).toInt), "ci_lo")
+    assert(row(0).getLong(4) === sorted((u - 1).toInt), "ci_hi")
+    assert(row(0).getLong(5) === (medLo + medHi) / 2, "median_cents")
+  }
+
+  test("AR(1) half-life matches an exact driver replay") {
+    val vs = dailyCents.map(_.toLong)
+    val pairs = vs.sliding(2).map { case Seq(a, b) => (a, b - a) }.toSeq
+    val m = pairs.length
+    val sx = pairs.map(p => BigInt(p._1)).sum
+    val sy = pairs.map(p => BigInt(p._2)).sum
+    val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+    val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+    val b = math.floor((m.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      (m.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) * 1000000).toLong
+    val phi = b + 1000000L
+    val hl: Option[Long] =
+      if (phi > 0 && phi < 1000000)
+        Some(math.floor(-math.log(2.0) / math.log(phi.toDouble / 1e6) * 1000)
+          .toLong)
+      else None
+    val row = operators.NonparamOps.tsHalflife(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === m.toLong, "n_days")
+    assert(row(0).getLong(1) === b, "b_ppm")
+    assert(row(0).getLong(2) === phi, "phi_ppm")
+    assert((if (row(0).isNullAt(3)) None else Some(row(0).getLong(3))) === hl,
+      "halflife_milli")
+  }
+
+  test("length lognormality matches an exact driver replay (shared libm)") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue))
+      .filter(_._2 > 0)
+    val expected = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, xs) =>
+      val lns = xs.map(e => BigInt(
+        math.floor(math.log(e._2.toDouble) * 1e6).toLong))
+      val n = lns.length
+      val s1 = lns.sum; val s2 = lns.map(x => x * x).sum
+      val s3 = lns.map(x => x * x * x).sum
+      val s4 = lns.map(x => x * x * x * x).sum
+      val mu = s1.toDouble / n
+      val m2 = s2.toDouble / n - mu * mu
+      val m3 = s3.toDouble / n - 3.0 * mu * (s2.toDouble / n) +
+        2.0 * mu * mu * mu
+      val m4 = s4.toDouble / n - 4.0 * mu * (s3.toDouble / n) +
+        6.0 * mu * mu * (s2.toDouble / n) - 3.0 * mu * mu * mu * mu
+      val skew = m3 / (m2 * math.sqrt(m2))
+      val kurt = m4 / (m2 * m2)
+      val jb = math.floor(n / 6.0 *
+        (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0) * 1000).toLong
+      (src, n.toLong, math.floor(mu).toLong,
+        math.floor(skew * 1e6).toLong, math.floor(kurt * 1e6).toLong, jb,
+        jb > 5991L)
+    }
+    val got = operators.CorpusOps.textLengthLognormality(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toSeq
+    assert(got.nonEmpty && got === expected)
+  }
+
   test("Sortino matches an exact driver replay (shared libm)") {
     val expected = eventDays
       .filter(_._7 > 0)
