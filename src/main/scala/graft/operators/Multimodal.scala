@@ -467,7 +467,35 @@ object Multimodal {
       .toDF().orderBy("doc_id")
   }
 
+  /** #494 pHash bit-balance audit: per bit position 0..63 of the #242
+    * dHash, the ones-count across the corpus, its balance in ppm, and
+    * the absolute deviation from 50% — computed through the REAL
+    * PNG-decode + dHash path ([[phashes]]) and read out via
+    * shiftrightunsigned (sign-safe on the int64-packed hash). The
+    * hash-health audit the dedup family assumes silently: banding/
+    * pigeonhole blocking (#262) gets its collision bounds from
+    * near-uniform bits — a stuck bit (deviation → 500000) halves a
+    * block's effective entropy and inflates every candidate bucket,
+    * which is how a "slow LSH" problem is actually a "degenerate
+    * hash" problem. The #481/#493 splitter audits, applied to the
+    * perceptual hash. Scale: one hash scan × 64 exploded bits into a
+    * 64-row aggregate.
+    */
+  def multimodalPhashBalance(s: SparkSession, dir: String): DataFrame =
+    phashes(s, dir)
+      .select(col("phash"),
+        explode(expr("sequence(0, 63)")).as("bit_idx"))
+      .groupBy("bit_idx")
+      .agg(count(lit(1)).as("n_imgs"),
+        sum(expr("shiftrightunsigned(phash, bit_idx) & 1")).as("n_ones"))
+      .select(col("bit_idx").cast("long").as("bit_idx"), col("n_imgs"),
+        col("n_ones"),
+        expr("(n_ones * 1000000) div n_imgs").as("ones_ppm"))
+      .withColumn("dev_ppm", abs(col("ones_ppm") - 500000L))
+      .orderBy("bit_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_phash_balance" -> (multimodalPhashBalance _),
     "q_multimodal_audio" -> (multimodalAudio _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _),
@@ -539,6 +567,34 @@ object Multimodal {
         |     CROSS JOIN range(16) rx(x) CROSS JOIN range(9) ry(y)
         |WHERE f < nf AND x < w AND y < h
         |GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin,
+    "q_multimodal_phash_balance" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 16 + 1 AS INTEGER) AS w,
+        |    CAST(doc_id % 9 + 1 AS INTEGER) AS h
+        |  FROM documents),
+        |grid AS (
+        |  SELECT doc_id, gx, gy,
+        |    ((77 * ((doc_id * 31 + ((gx * w) // 9) * 7 + ((gy * h) // 8) * 13) % 256)
+        |    + 150 * ((doc_id * 17 + ((gx * w) // 9) * 5 + ((gy * h) // 8) * 3) % 256)
+        |    + 29 * ((doc_id * 29 + ((gx * w) // 9) * 11 + ((gy * h) // 8) * 19) % 256)) // 256)
+        |      AS luma
+        |  FROM m CROSS JOIN range(9) rx(gx) CROSS JOIN range(8) ry(gy)),
+        |bits AS (
+        |  SELECT CAST(a.gy * 8 + a.gx AS BIGINT) AS bit_idx,
+        |    CASE WHEN b.luma > a.luma THEN 1 ELSE 0 END AS one
+        |  FROM grid a JOIN grid b
+        |    ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8),
+        |g AS (
+        |  SELECT bit_idx, CAST(COUNT(*) AS BIGINT) AS n_imgs,
+        |    CAST(SUM(one) AS BIGINT) AS n_ones
+        |  FROM bits GROUP BY bit_idx)
+        |SELECT bit_idx, n_imgs, n_ones,
+        |  CAST((n_ones * 1000000) // n_imgs AS BIGINT) AS ones_ppm,
+        |  abs(CAST((n_ones * 1000000) // n_imgs AS BIGINT) - 500000)
+        |    AS dev_ppm
+        |FROM g ORDER BY bit_idx""".stripMargin,
     "q_multimodal_phash" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -600,7 +600,44 @@ object NonparamOps {
       .select("n_days", "b_ppm", "phi_ppm", "halflife_milli")
   }
 
+  /** #495 Welch's ANOVA on lineitem quantity across the three return
+    * flags: the unequal-variance k-group test #226's classic ANOVA
+    * assumes away (and #321 Levene only GATES on) — weights w_j =
+    * n_j/s²_j, F* = [Σw(x̄−x̄_w)²/(k−1)] / [1 + 2(k−2)/(k²−1)·Λ],
+    * Welch-Satterthwaite df₂ = (k²−1)/(3Λ). Determinism discipline:
+    * per-group sums are exact integers; the THREE-GROUP reductions are
+    * PIVOTED into one row and summed in WRITTEN order (A + N + R) —
+    * never a float SUM aggregate, whose partial-aggregation order
+    * would diverge between engines and partitionings; the flag set is
+    * pinned to {A, N, R} (asserted by the n_a/n_n/n_r columns being
+    * non-null). 5% flag via the large-sample χ²₂/2 bound (stated).
+    * Scale: one map-side-combined 3-row aggregate; the algebra runs
+    * on one row.
+    */
+  def welchAnova(s: SparkSession, dir: String): DataFrame = {
+    val q = col("l_quantity").cast("long")
+    val g = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n"), sum(q.cast(dec)).as("s1"),
+        sum((q * q).cast(dec)).as("s2"))
+    def pick(f: String, c: String) = max(when(col("flag") === f, col(c)))
+    val one = g.groupBy(lit(1).as("g"))
+      .agg(pick("A", "n").as("n_a"), pick("A", "s1").as("s1_a"),
+        pick("A", "s2").as("s2_a"),
+        pick("N", "n").as("n_n"), pick("N", "s1").as("s1_n"),
+        pick("N", "s2").as("s2_n"),
+        pick("R", "n").as("n_r"), pick("R", "s1").as("s1_r"),
+        pick("R", "s2").as("s2_r"))
+    one
+      .withColumn("f_milli", expr(WelchExprs.fMilli))
+      .withColumn("df2_milli", expr(WelchExprs.df2Milli))
+      .select(col("n_a"), col("n_n"), col("n_r"), col("f_milli"),
+        col("df2_milli"),
+        (col("f_milli") > 2995L).as("variance_unequal_means_differ_05"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_welch_anova" -> (welchAnova _),
     "q_stats_median_ci" -> (medianCi _),
     "q_ts_halflife" -> (tsHalflife _),
     "q_stats_mantel_haenszel" -> (mantelHaenszel _),
@@ -628,6 +665,38 @@ object NonparamOps {
       |      THEN 1 ELSE 0 END AS late
       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)""".stripMargin
 
+  /** The Welch readout expression chain over the pivoted one-row sums —
+    * shared VERBATIM by the Spark plan and the DuckDB twin so the
+    * written-order double arithmetic is identical by construction.
+    */
+  private[graft] object WelchExprs {
+    private def grp(sfx: String): (String, String, String) = (
+      s"(cast(s1_$sfx as double) / n_$sfx)",
+      s"((cast(n_$sfx as double) * cast(s2_$sfx as double) - " +
+        s"cast(s1_$sfx as double) * cast(s1_$sfx as double)) / " +
+        s"(cast(n_$sfx as double) * (n_$sfx - 1)))",
+      s"n_$sfx")
+    private val (mA, vA, nA) = grp("a")
+    private val (mN, vN, nN) = grp("n")
+    private val (mR, vR, nR) = grp("r")
+    private val wA = s"($nA / $vA)"
+    private val wN = s"($nN / $vN)"
+    private val wR = s"($nR / $vR)"
+    private val wSum = s"($wA + $wN + $wR)"
+    private val xw = s"(($wA * $mA + $wN * $mN + $wR * $mR) / $wSum)"
+    val aNum: String = s"(($wA * ($mA - $xw) * ($mA - $xw) + " +
+      s"$wN * ($mN - $xw) * ($mN - $xw) + " +
+      s"$wR * ($mR - $xw) * ($mR - $xw)) / 2.0)"
+    val lam: String =
+      s"(((1.0 - $wA / $wSum) * (1.0 - $wA / $wSum) / ($nA - 1) + " +
+      s"(1.0 - $wN / $wSum) * (1.0 - $wN / $wSum) / ($nN - 1) + " +
+      s"(1.0 - $wR / $wSum) * (1.0 - $wR / $wSum) / ($nR - 1)))"
+    val fMilli: String =
+      s"cast(floor($aNum / (1.0 + 0.25 * $lam) * 1000) as bigint)"
+    val df2Milli: String =
+      s"cast(floor(8.0 / (3.0 * $lam) * 1000) as bigint)"
+  }
+
   private val DailyRevSql =
     """daily AS (
       |  SELECT date_trunc('day', o_orderdate) AS day,
@@ -635,6 +704,33 @@ object NonparamOps {
       |  FROM orders GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_stats_welch_anova" ->
+      s"""WITH g AS (
+         |  SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+         |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+         |      AS BIGINT) AS s2
+         |  FROM lineitem GROUP BY 1),
+         |one AS (
+         |  SELECT 1 AS gg,
+         |    MAX(CASE WHEN flag = 'A' THEN n END) AS n_a,
+         |    MAX(CASE WHEN flag = 'A' THEN s1 END) AS s1_a,
+         |    MAX(CASE WHEN flag = 'A' THEN s2 END) AS s2_a,
+         |    MAX(CASE WHEN flag = 'N' THEN n END) AS n_n,
+         |    MAX(CASE WHEN flag = 'N' THEN s1 END) AS s1_n,
+         |    MAX(CASE WHEN flag = 'N' THEN s2 END) AS s2_n,
+         |    MAX(CASE WHEN flag = 'R' THEN n END) AS n_r,
+         |    MAX(CASE WHEN flag = 'R' THEN s1 END) AS s1_r,
+         |    MAX(CASE WHEN flag = 'R' THEN s2 END) AS s2_r
+         |  FROM g GROUP BY gg),
+         |s AS (
+         |  SELECT n_a, n_n, n_r,
+         |    ${WelchExprs.fMilli} AS f_milli,
+         |    ${WelchExprs.df2Milli} AS df2_milli
+         |  FROM one)
+         |SELECT n_a, n_n, n_r, f_milli, df2_milli,
+         |  f_milli > 2995 AS variance_unequal_means_differ_05
+         |FROM s""".stripMargin,
     "q_stats_median_ci" ->
       s"""WITH $DailyRevSql,
          |rk AS (

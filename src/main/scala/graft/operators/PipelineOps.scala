@@ -614,8 +614,64 @@ object PipelineOps {
       .withColumn("uniform_rejected_05", col("d_ppm") > col("crit_ppm"))
   }
 
+  /** #493 Anderson-Darling uniformity audit of the split hash — the
+    * tail-weighted sibling of #481 (the KS/AD pairing the two-sample
+    * family already has as #195/#449): A² = −n − (1/n)·Σᵢ[(2i−1)·ln ũᵢ
+    * + (2(n−i)+1)·ln(1−ũᵢ)] with the midpoint convention ũ =
+    * (2u+1)/(2M) (maps the integer residues STRICTLY inside (0,1), so
+    * ln is always defined — stated), each ln the exact difference of
+    * floored-nano lns, and the rank coefficients summed PER DISTINCT
+    * VALUE in closed form (Σ(2i−1) over a tie run [C−c+1, C] is
+    * C²−(C−c)², so collisions need no per-row rank) — the sum is
+    * tie-assignment invariant by construction. 5% flag at the
+    * fully-specified-null critical 2.492. WHY: KS weights the center;
+    * a hash whose residues thin out exactly at the 0/1 TAILS (the
+    * failure mode of truncated-hex parsing bugs) passes #481 and
+    * fails here. Scale: the same value-grouped offset-memo shape as
+    * #481 — no data-scale global window.
+    */
+  def splitUniformityAd(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val M = 4294967296L
+    val grouped = Tables.documents(s, dir)
+      .select(expr("cast(conv(substring(md5(concat('split:', " +
+        "cast(doc_id as string))), 1, 8), 16, 10) as bigint)").as("u"))
+      .groupBy("u").agg(count(lit(1)).as("c"))
+      .repartitionByRange(nPart, col("u"))
+      .sortWithinPartitions("u")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val hist = grouped.groupBy("pid").agg(sum(col("c")).as("pc")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val off: Map[Int, Long] = hist.map(_._1).zip(hist.scanLeft(0L)(_ + _._2)).toMap
+    val n = hist.map(_._2).sum
+    val w = Window.partitionBy("pid").orderBy("u")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def lnN(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double")) * 1e9).cast("long")
+    grouped
+      .withColumn("ck", element_at(typedLit(off), col("pid")) + sum(col("c")).over(w))
+      .withColumn("la", lnN(lit(2L) * col("u") + 1L) - lnN(lit(2L * M)))
+      .withColumn("lb",
+        lnN(lit(2L) * (lit(M) - col("u")) - 1L) - lnN(lit(2L * M)))
+      .select(
+        ((col("ck") * col("ck") -
+          (col("ck") - col("c")) * (col("ck") - col("c"))).cast(dec) * col("la") +
+          (col("c") * (2L * n + 1L) - col("ck") * (col("ck") + 1L) +
+            (col("ck") - col("c")) * (col("ck") - col("c") + 1L)).cast(dec) *
+            col("lb")).as("term"))
+      .agg(sum(col("term")).as("ts"))
+      .select(lit(n).as("n_docs"),
+        expr(s"cast((-${n}L * 1000000000) - (ts div ${n}L) as long)")
+          .as("a2_nano"))
+      .withColumn("uniform_rejected_05", col("a2_nano") > 2492000000L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_uniformity" -> (splitUniformity _),
+    "q_split_uniformity_ad" -> (splitUniformityAd _),
     "q_split_srm" -> (splitSrm _),
     "q_compaction_plan" -> (compactionPlan _),
     "q_pipeline_e2e" -> (pipelineE2e _),
@@ -635,6 +691,35 @@ object PipelineOps {
     "q_dedup_canonical" -> (dedupCanonical _))
 
   val oracles: Map[String, String] = Map(
+    "q_split_uniformity_ad" ->
+      """WITH u0 AS (
+        |  SELECT ('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)),
+        |    1, 8))::BIGINT AS u
+        |  FROM documents),
+        |g AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS c FROM u0 GROUP BY u),
+        |cc AS (
+        |  SELECT u, c,
+        |    SUM(c) OVER (ORDER BY u) AS ck,
+        |    SUM(c) OVER () AS n
+        |  FROM g),
+        |t AS (
+        |  SELECT n,
+        |    (CAST(ck * ck - (ck - c) * (ck - c) AS HUGEINT)) *
+        |      (CAST(FLOOR(ln(CAST(2 * u + 1 AS DOUBLE)) * 1e9) AS BIGINT)
+        |       - CAST(FLOOR(ln(CAST(8589934592 AS DOUBLE)) * 1e9) AS BIGINT))
+        |    + (CAST(c * (2 * n + 1) - ck * (ck + 1)
+        |        + (ck - c) * (ck - c + 1) AS HUGEINT)) *
+        |      (CAST(FLOOR(ln(CAST(2 * (4294967296 - u) - 1 AS DOUBLE)) * 1e9)
+        |        AS BIGINT)
+        |       - CAST(FLOOR(ln(CAST(8589934592 AS DOUBLE)) * 1e9) AS BIGINT))
+        |      AS term
+        |  FROM cc),
+        |a AS (SELECT 1 AS g, MAX(n) AS n, SUM(term) AS ts FROM t GROUP BY g)
+        |SELECT CAST(n AS BIGINT) AS n_docs,
+        |  CAST((-n * 1000000000) - (ts // n) AS BIGINT) AS a2_nano,
+        |  CAST((-n * 1000000000) - (ts // n) AS BIGINT) > 2492000000
+        |    AS uniform_rejected_05
+        |FROM a""".stripMargin,
     "q_split_uniformity" ->
       """WITH u0 AS (
         |  SELECT ('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)),

@@ -1052,6 +1052,92 @@ class Round17Spec extends AnyFunSuite with SparkFixture {
     assert(got.nonEmpty && got === expected)
   }
 
+  // ---- 12. exact driver replays for #493-#495 (ninth r17 batch) --------
+
+  test("AD uniformity matches a per-row driver replay (validates the tie closed form)") {
+    val ids = Tables.documents(spark, sfDir).select(col("doc_id")).collect()
+      .map(_.getLong(0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val us = ids.map { id =>
+      java.lang.Long.parseLong(md.digest(s"split:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8), 16)
+    }.sorted
+    val m = 4294967296L
+    val n = us.length.toLong
+    def lnN(x: Long) = math.floor(math.log(x.toDouble) * 1e9).toLong
+    val ln2M = lnN(2 * m)
+    // per-ROW coefficients (the operator uses the per-tie-run closed
+    // form; equality here proves the collapse)
+    var sS = BigInt(0)
+    us.zipWithIndex.foreach { case (u, idx) =>
+      val i = idx + 1L
+      sS += BigInt(2 * i - 1) * (lnN(2 * u + 1) - ln2M) +
+        BigInt(2 * (n - i) + 1) * (lnN(2 * (m - u) - 1) - ln2M)
+    }
+    val a2 = (BigInt(-n) * 1000000000 - sS / n).toLong
+    val row = operators.PipelineOps.splitUniformityAd(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === n, "n_docs")
+    assert(row(0).getLong(1) === a2, "a2_nano")
+    assert(row(0).getBoolean(2) === (a2 > 2492000000L))
+    assert(!row(0).getBoolean(2),
+      "the house splitter must pass the tail-weighted audit too")
+  }
+
+  test("phash bit balance is the exact per-bit popcount of the hashes") {
+    val hashes = operators.Multimodal.multimodalPhash(spark, sfDir)
+      .select("phash").collect().map(_.getLong(0))
+    val nI = hashes.length.toLong
+    val expected = (0L to 63L).map { b =>
+      val ones = hashes.map(p => (p >>> b) & 1L).sum
+      val ppm = ones * 1000000L / nI
+      (b, nI, ones, ppm, math.abs(ppm - 500000L))
+    }
+    val got = operators.Multimodal.multimodalPhashBalance(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+  }
+
+  test("Welch ANOVA matches an exact driver replay (written-order doubles)") {
+    val cells = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity")).collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue))
+      .groupBy(_._1)
+    def sums(f: String) = {
+      val xs = cells(f).map(_._2)
+      (xs.length.toLong, xs.map(BigInt(_)).sum, xs.map(x => BigInt(x) * x).sum)
+    }
+    val (naL, s1a, s2a) = sums("A"); val (nnL, s1n, s2n) = sums("N")
+    val (nrL, s1r, s2r) = sums("R")
+    def mv(n: Long, s1: BigInt, s2: BigInt) = {
+      val mean = s1.toDouble / n
+      val v = (n.toDouble * s2.toDouble - s1.toDouble * s1.toDouble) /
+        (n.toDouble * (n - 1))
+      (mean, v)
+    }
+    val (mA, vA) = mv(naL, s1a, s2a); val (mN, vN) = mv(nnL, s1n, s2n)
+    val (mR, vR) = mv(nrL, s1r, s2r)
+    val wA = naL / vA; val wN = nnL / vN; val wR = nrL / vR
+    val wS = wA + wN + wR
+    val xw = (wA * mA + wN * mN + wR * mR) / wS
+    val aNum = (wA * (mA - xw) * (mA - xw) + wN * (mN - xw) * (mN - xw) +
+      wR * (mR - xw) * (mR - xw)) / 2.0
+    val lam = (1.0 - wA / wS) * (1.0 - wA / wS) / (naL - 1) +
+      (1.0 - wN / wS) * (1.0 - wN / wS) / (nnL - 1) +
+      (1.0 - wR / wS) * (1.0 - wR / wS) / (nrL - 1)
+    val f = math.floor(aNum / (1.0 + 0.25 * lam) * 1000).toLong
+    val df2 = math.floor(8.0 / (3.0 * lam) * 1000).toLong
+    val row = operators.NonparamOps.welchAnova(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === naL && row(0).getLong(1) === nnL &&
+      row(0).getLong(2) === nrL)
+    assert(row(0).getLong(3) === f, "f_milli")
+    assert(row(0).getLong(4) === df2, "df2_milli")
+    assert(row(0).getBoolean(5) === (f > 2995L))
+  }
+
   test("Sortino matches an exact driver replay (shared libm)") {
     val expected = eventDays
       .filter(_._7 > 0)
