@@ -621,7 +621,45 @@ object ClusterOps {
           "as bigint) END").as("cka_ppm"))
   }
 
+  /** #500 Symmetric-quantization error sweep over bit widths 8/4/2:
+    * per width b, each vector quantizes against its own max-abs scale
+    * with L = 2^{b−1}−1 levels, q = (x·L) div m (truncation toward
+    * zero, mirrored), and the EXACT reconstruction residual is the
+    * integer remainder e = x·L − q·m — so the relative MSE readout
+    * Σe² / (L²·Σx²) is pure integer algebra with ONE ppm division per
+    * width, no float round-trip anywhere. The bit-width TRADEOFF curve
+    * the point designs leave implicit: #77 commits to int8, #253/#261
+    * to PQ codebooks — this says what 4-bit or 2-bit would actually
+    * cost in reconstruction error, the first number an embedding-
+    * storage budget discussion needs. Zero-scale vectors are excluded
+    * (stated). Scale: one exploded pass per width (3·n·dim rows,
+    * map-side combined); readout 3 rows.
+    */
+  def embedQuantSweep(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val m = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        floor(col("x").cast("double") * 1e6).cast("long").as("xm"))
+    val scales = m.groupBy("vec_id").agg(max(abs(col("xm"))).as("sc"))
+      .filter(col("sc") > 0)
+    m.join(scales, Seq("vec_id"))
+      .select(col("xm"), col("sc"),
+        explode(expr("array(8L, 4L, 2L)")).as("bits"))
+      .withColumn("lv",
+        expr("CASE WHEN bits = 8 THEN 127L WHEN bits = 4 THEN 7L ELSE 1L END"))
+      .withColumn("e", expr("xm * lv - ((xm * lv) div sc) * sc"))
+      .groupBy("bits", "lv")
+      .agg(sum(col("e").cast(dec) * col("e")).as("se2"),
+        sum(col("xm").cast(dec) * col("xm")).as("sx2"))
+      .select(col("bits"),
+        expr("cast((se2 * 1000000) div (cast(lv as decimal(38,0)) * lv * sx2) as long)")
+          .as("mse_ppm"))
+      .orderBy(desc("bits"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_quant_sweep" -> (embedQuantSweep _),
     "q_embed_cka" -> (embedCka _),
     "q_embed_hubness" -> (embedHubness _),
     "q_embed_triplets" -> (embedTriplets _),
@@ -651,6 +689,33 @@ object ClusterOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_embed_quant_sweep" ->
+      """WITH m AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+        |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+        |      AS xm
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, MAX(abs(xm)) AS sc FROM m GROUP BY vec_id
+        |  HAVING MAX(abs(xm)) > 0),
+        |j AS (
+        |  SELECT m.xm, sc.sc, b.bits,
+        |    CASE WHEN b.bits = 8 THEN 127 WHEN b.bits = 4 THEN 7 ELSE 1 END
+        |      AS lv
+        |  FROM m JOIN sc USING (vec_id)
+        |  CROSS JOIN (SELECT unnest([8, 4, 2]) AS bits) b),
+        |e AS (
+        |  SELECT bits, lv, xm * lv - ((xm * lv) // sc) * sc AS e, xm
+        |  FROM j),
+        |a AS (
+        |  SELECT bits, lv,
+        |    SUM(CAST(e AS HUGEINT) * e) AS se2,
+        |    SUM(CAST(xm AS HUGEINT) * xm) AS sx2
+        |  FROM e GROUP BY bits, lv)
+        |SELECT CAST(bits AS BIGINT) AS bits,
+        |  CAST((se2 * 1000000) // (CAST(lv AS HUGEINT) * lv * sx2) AS BIGINT)
+        |    AS mse_ppm
+        |FROM a ORDER BY bits DESC""".stripMargin,
     "q_embed_cka" ->
       """WITH m AS MATERIALIZED (
         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,

@@ -461,7 +461,52 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  /** #497 Zipf goodness-of-fit: Kolmogorov distance between the
+    * empirical mass distribution of the TOP-100 tokens (rank by freq
+    * desc, token asc — total order) and the canonical Zipf s=1 law,
+    * whose CDF is the harmonic ratio H_r/H_100 carried as EXACT
+    * integers (H_r = Σ_{k≤r} floor(10⁹/k), identical floored terms
+    * both engines) — D = max_r |cumf_r·H_100 − F·H_r| cross-multiplied,
+    * one ppm readout, argmax rank reported (earliest on ties). WHY
+    * next to #231: the Zipf row ESTIMATES the exponent by regression —
+    * it will happily fit a slope to a distribution that is not a power
+    * law at all; this measures how far the head actually sits from the
+    * canonical law, and the argmax rank says WHERE it breaks (rank 1-3
+    * = stopword inflation, rank ~50+ = truncated vocabulary). Scale:
+    * one token count (map-side combined) + TakeOrderedAndProject
+    * top-100; everything after on 100 rows (windows bounded by Limit).
+    */
+  def textZipfGof(s: SparkSession, dir: String): DataFrame = {
+    val top = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("token")).limit(100)
+    val w = Window.orderBy(desc("freq"), asc("token"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val frame = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    top
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("cumf", sum(col("freq")).over(wCum))
+      .withColumn("h_r", sum(expr("1000000000 div r")).over(wCum))
+      .withColumn("f_all", sum(col("freq")).over(frame))
+      .withColumn("h_all", max(col("h_r")).over(frame))
+      .withColumn("dnum",
+        abs(col("cumf").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+          col("h_all") - col("f_all").cast(
+            org.apache.spark.sql.types.DecimalType(38, 0)) * col("h_r")))
+      .withColumn("dmax", max(col("dnum")).over(frame))
+      .filter(col("dnum") === col("dmax"))
+      .groupBy(lit(1).as("g"))
+      .agg(max(col("f_all")).as("top_mass"), min(col("r")).as("at_rank"),
+        max(col("dmax")).as("dm"), max(col("h_all")).as("h_all"))
+      .select(col("top_mass"), col("at_rank"),
+        expr("cast((dm * 1000000) div " +
+          "(cast(top_mass as decimal(38,0)) * h_all) as long)").as("d_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_zipf_gof" -> (textZipfGof _),
     "q_text_length_lognormality" -> (textLengthLognormality _),
     "q_text_sttr" -> (textSttr _),
     "q_text_burrows_delta" -> (textBurrowsDelta _),
@@ -475,6 +520,42 @@ object CorpusOps {
     "q_text_dispersion" -> (textDispersion _))
 
   val oracles: Map[String, String] = Map(
+    "q_text_zipf_gof" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+        |      FROM tok GROUP BY token),
+        |top AS (
+        |  SELECT token, freq FROM f
+        |  ORDER BY freq DESC, token ASC LIMIT 100),
+        |rk AS (
+        |  SELECT freq,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS BIGINT)
+        |      AS r
+        |  FROM top),
+        |c AS (
+        |  SELECT r,
+        |    SUM(freq) OVER (ORDER BY r) AS cumf,
+        |    SUM(1000000000 // r) OVER (ORDER BY r) AS h_r,
+        |    SUM(freq) OVER () AS f_all
+        |  FROM rk),
+        |c2 AS (
+        |  SELECT r, cumf, h_r, f_all, MAX(h_r) OVER () AS h_all FROM c),
+        |d AS (
+        |  SELECT r, f_all, h_all,
+        |    abs(CAST(cumf AS HUGEINT) * h_all - CAST(f_all AS HUGEINT) * h_r)
+        |      AS dnum,
+        |    MAX(abs(CAST(cumf AS HUGEINT) * h_all
+        |      - CAST(f_all AS HUGEINT) * h_r)) OVER () AS dmax
+        |  FROM c2),
+        |a AS (
+        |  SELECT 1 AS g, CAST(MAX(f_all) AS BIGINT) AS top_mass,
+        |    MIN(r) AS at_rank, MAX(dmax) AS dm, MAX(h_all) AS h_all
+        |  FROM d WHERE dnum = dmax GROUP BY g)
+        |SELECT top_mass, at_rank,
+        |  CAST((dm * 1000000) // (CAST(top_mass AS HUGEINT) * h_all)
+        |    AS BIGINT) AS d_ppm
+        |FROM a""".stripMargin,
     "q_text_length_lognormality" ->
       """WITH x0 AS (
         |  SELECT source,

@@ -680,7 +680,38 @@ object EventOps {
       .withColumn("curves_differ_05", abs(col("z_milli")) > 1960L)
   }
 
+  /** #498 Behavioral-diversity histogram: per user, the Shannon entropy
+    * of their event-TYPE distribution via the exact identity H =
+    * ln n − (Σ c·ln c)/n — both ln's floored to nano per exact integer
+    * count, the division ONE truncation — then users histogrammed into
+    * 0.2-nat entropy buckets (h_nano div 2·10⁸) with user count and
+    * event mass per bucket. The bot/automation screen the volume
+    * readouts miss: a zero-entropy heavy user (thousands of events,
+    * ONE type) is a scraper or a stuck client, and the mass column
+    * says how much of the corpus such users contribute — the
+    * filter-before-training decision (#90's contamination, applied to
+    * behavior). Bucket count is bounded by ln(|types|)/0.2 ≈ 9.
+    * Scale: one (user, type) map-side-combined aggregate → |users|-row
+    * reduction → bounded histogram.
+    */
+  def eventUserEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .select(col("user_id"), col("c"),
+        (col("c") * floor(log(col("c").cast("double")) * 1e9).cast("long"))
+          .as("clnc"))
+      .groupBy("user_id")
+      .agg(sum(col("c")).as("n"), sum(col("clnc")).as("sclnc"))
+      .select(col("n"),
+        (floor(log(col("n").cast("double")) * 1e9).cast("long") -
+          expr("sclnc div n")).as("h_nano"))
+      .select(expr("h_nano div 200000000").as("h_bucket"), col("n"))
+      .groupBy("h_bucket")
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+      .orderBy("h_bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_user_entropy" -> (eventUserEntropy _),
     "q_stats_logrank" -> (statsLogrank _),
     "q_funnel_windowed" -> (funnelWindowed _),
     "q_markov_stationary" -> (markovStationary _),
@@ -771,6 +802,23 @@ object EventOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_event_user_entropy" ->
+      """WITH ct AS (
+        |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY user_id, event_type),
+        |u AS (
+        |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(c * CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT))
+        |      AS BIGINT) AS sclnc
+        |  FROM ct GROUP BY user_id),
+        |h AS (
+        |  SELECT n,
+        |    (CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1e9) AS BIGINT)
+        |      - sclnc // n) // 200000000 AS h_bucket
+        |  FROM u)
+        |SELECT h_bucket, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(n) AS BIGINT) AS n_events
+        |FROM h GROUP BY h_bucket ORDER BY h_bucket""".stripMargin,
     "q_stats_logrank" ->
       """WITH h AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
         |s0 AS (

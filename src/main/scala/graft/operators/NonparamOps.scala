@@ -636,7 +636,44 @@ object NonparamOps {
         (col("f_milli") > 2995L).as("variance_unequal_means_differ_05"))
   }
 
+  /** #496 Circular mean + Rayleigh uniformity test of CLICK arrivals
+    * over the day-of-week circle: resultant components C = Σ n_d·cos θ_d,
+    * S = Σ n_d·sin θ_d with θ_d = 2π·d/7 (d = epoch-days % 7, the #470
+    * convention) — trig evaluated ONCE per cell (7 values) and floored
+    * to nano, so C and S are exact integer combinations of exact
+    * counts; Rayleigh z = (C² + S²)/n via DECIMAL, mean direction via
+    * one mirrored atan2. The parametric companion of Kuiper (#470):
+    * Kuiper detects ANY cyclic difference between two samples, Rayleigh
+    * tests ONE sample against uniformity and hands back the mean
+    * direction — "is there a preferred weekday, and which" — the
+    * readout a send-time/capacity decision actually uses. 5% flag at
+    * z > ln 20 (p = e^(−z)). Scale: one 7-row aggregate over a
+    * filtered scan.
+    */
+  def rayleigh(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select((datediff(to_date(date_trunc("day", col("ts"))),
+        lit("1970-01-01")) % 7).cast("long").as("dow"))
+      .groupBy("dow").agg(count(lit(1)).as("n_d"))
+      .select(col("n_d"),
+        expr("cast(floor(cos(2 * pi() * dow / 7) * 1e9) as bigint)").as("cn"),
+        expr("cast(floor(sin(2 * pi() * dow / 7) * 1e9) as bigint)").as("sn"))
+      .groupBy(lit(1).as("g"))
+      .agg(sum(col("n_d")).as("n_events"),
+        sum(col("n_d") * col("cn")).as("c_nano"),
+        sum(col("n_d") * col("sn")).as("s_nano"))
+      .select(col("n_events"), col("c_nano"), col("s_nano"),
+        expr("cast((cast(c_nano as decimal(38,0)) * c_nano + " +
+          "cast(s_nano as decimal(38,0)) * s_nano) div " +
+          "(cast(n_events as decimal(38,0)) * 1000000000000000) as long)")
+          .as("z_milli"),
+        expr("cast(floor(atan2(cast(s_nano as double), " +
+          "cast(c_nano as double)) * 1000) as bigint)").as("mean_dir_milli"))
+      .withColumn("weekday_preference_05", col("z_milli") > 2995L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_rayleigh" -> (rayleigh _),
     "q_stats_welch_anova" -> (welchAnova _),
     "q_stats_median_ci" -> (medianCi _),
     "q_ts_halflife" -> (tsHalflife _),
@@ -704,6 +741,34 @@ object NonparamOps {
       |  FROM orders GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_stats_rayleigh" ->
+      """WITH ev AS (
+        |  SELECT (CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01') % 7
+        |      AS dow
+        |  FROM events WHERE event_type = 'click'),
+        |g AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_d FROM ev GROUP BY dow),
+        |t AS (
+        |  SELECT n_d,
+        |    CAST(FLOOR(COS(2 * pi() * dow / 7) * 1e9) AS BIGINT) AS cn,
+        |    CAST(FLOOR(SIN(2 * pi() * dow / 7) * 1e9) AS BIGINT) AS sn
+        |  FROM g),
+        |a AS (
+        |  SELECT 1 AS gg, CAST(SUM(n_d) AS BIGINT) AS n_events,
+        |    CAST(SUM(n_d * cn) AS BIGINT) AS c_nano,
+        |    CAST(SUM(n_d * sn) AS BIGINT) AS s_nano
+        |  FROM t GROUP BY gg)
+        |SELECT n_events, c_nano, s_nano,
+        |  CAST((CAST(c_nano AS HUGEINT) * c_nano +
+        |        CAST(s_nano AS HUGEINT) * s_nano) //
+        |    (CAST(n_events AS HUGEINT) * 1000000000000000) AS BIGINT)
+        |    AS z_milli,
+        |  CAST(FLOOR(ATAN2(CAST(s_nano AS DOUBLE), CAST(c_nano AS DOUBLE))
+        |    * 1000) AS BIGINT) AS mean_dir_milli,
+        |  CAST((CAST(c_nano AS HUGEINT) * c_nano +
+        |        CAST(s_nano AS HUGEINT) * s_nano) //
+        |    (CAST(n_events AS HUGEINT) * 1000000000000000) AS BIGINT) > 2995
+        |    AS weekday_preference_05
+        |FROM a""".stripMargin,
     "q_stats_welch_anova" ->
       s"""WITH g AS (
          |  SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,

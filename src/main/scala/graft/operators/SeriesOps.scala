@@ -725,7 +725,58 @@ object SeriesOps {
       .orderBy("level")
   }
 
+  /** #499 True Strength Index on the per-priority daily revenue
+    * series: TSI = EMA(EMA(momentum)) / EMA(EMA(|momentum|)) in milli —
+    * double smoothing kills the sign-flip noise single-smoothed
+    * momentum (#369 MACD) keeps, and the |·| denominator normalizes to
+    * [−1, 1] so TSI is comparable ACROSS priorities where MACD's raw
+    * units are not. House truncated-EMA convention (the #369/#163
+    * construction): stage 1 is the exact dyadic-weight 8-lag EMA with
+    * ONE truncating flooring to micro, stage 2 the 4-lag EMA over the
+    * FLOORED stage-1 values (the MACD signal-line pattern, stated) —
+    * no float recurrence anywhere; NULL TSI on a zero denominator.
+    * Scale: two window passes on the same priority partitioning, no
+    * extra shuffle.
+    */
+  def winTsi(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("pri").orderBy("day")
+    def ema(src: Column, lags: Int): (Column, Column) = {
+      val terms = (0 until lags).map { j =>
+        val v = if (j == 0) src else lag(src, j).over(w)
+        val wt = 1L << (lags - 1 - j)
+        (coalesce(v.cast(org.apache.spark.sql.types.DecimalType(38, 0)) * wt,
+          lit(0L).cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+          when(v.isNotNull, lit(wt)).otherwise(lit(0L)))
+      }
+      (terms.map(_._1).reduce(_ + _), terms.map(_._2).reduce(_ + _))
+    }
+    val base = dailyByPri(s, dir)
+      .withColumn("mom", col("v") - lag(col("v"), 1).over(w))
+      .filter(col("mom").isNotNull)
+      .withColumn("amom", abs(col("mom")))
+    val (mn, md) = ema(col("mom"), 8)
+    val (an, ad) = ema(col("amom"), 8)
+    val s1 = base
+      .withColumn("mn", mn).withColumn("md", md)
+      .withColumn("an", an).withColumn("ad", ad)
+      .withColumn("m1", expr("cast((mn * 1000000) div md as long)"))
+      .withColumn("a1", expr("cast((an * 1000000) div ad as long)"))
+      .select(col("pri"), col("day"), col("m1"), col("a1"))
+    val (m2n, m2d) = ema(col("m1"), 4)
+    val (a2n, a2d) = ema(col("a1"), 4)
+    s1
+      .withColumn("m2n", m2n).withColumn("m2d", m2d)
+      .withColumn("a2n", a2n).withColumn("a2d", a2d)
+      .withColumn("m2", expr("cast(m2n div m2d as long)"))
+      .withColumn("a2", expr("cast(a2n div a2d as long)"))
+      .select(col("pri"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("m2").as("tsi_num_micro"), col("a2").as("tsi_den_micro"),
+        expr("CASE WHEN a2 > 0 THEN (m2 * 1000) div a2 END").as("tsi_milli"))
+      .orderBy("pri", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_tsi" -> (winTsi _),
     "q_ts_haar_energy" -> (tsHaarEnergy _),
     "q_ts_turning_points" -> (tsTurningPoints _),
     "q_ts_fractal_katz" -> (tsFractalKatz _),
@@ -749,6 +800,54 @@ object SeriesOps {
       |  FROM orders GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_win_tsi" -> {
+      def emaSql(src: String, lags: Int, num: String, den: String): String = {
+        val nums = (0 until lags).map { j =>
+          val v = if (j == 0) src
+          else s"LAG($src, $j) OVER (PARTITION BY pri ORDER BY day)"
+          s"COALESCE(CAST($v AS HUGEINT) * ${1L << (lags - 1 - j)}, 0)"
+        }.mkString(" + ")
+        val dens = (0 until lags).map { j =>
+          val v = if (j == 0) src
+          else s"LAG($src, $j) OVER (PARTITION BY pri ORDER BY day)"
+          s"(CASE WHEN $v IS NOT NULL THEN ${1L << (lags - 1 - j)} ELSE 0 END)"
+        }.mkString(" + ")
+        s"$nums AS $num, $dens AS $den"
+      }
+      s"""WITH $DailyPriSql,
+         |m0 AS (
+         |  SELECT pri, day,
+         |    v - LAG(v) OVER (PARTITION BY pri ORDER BY day) AS mom
+         |  FROM daily),
+         |m AS (
+         |  SELECT pri, day, mom, abs(mom) AS amom FROM m0
+         |  WHERE mom IS NOT NULL),
+         |e1 AS (
+         |  SELECT pri, day,
+         |    ${emaSql("mom", 8, "mn", "md")},
+         |    ${emaSql("amom", 8, "an", "ad")}
+         |  FROM m),
+         |s1 AS (
+         |  SELECT pri, day,
+         |    CAST((mn * 1000000) // md AS BIGINT) AS m1,
+         |    CAST((an * 1000000) // ad AS BIGINT) AS a1
+         |  FROM e1),
+         |e2 AS (
+         |  SELECT pri, day,
+         |    ${emaSql("m1", 4, "m2n", "m2d")},
+         |    ${emaSql("a1", 4, "a2n", "a2d")}
+         |  FROM s1),
+         |f AS (
+         |  SELECT pri, day,
+         |    CAST(m2n // m2d AS BIGINT) AS m2,
+         |    CAST(a2n // a2d AS BIGINT) AS a2
+         |  FROM e2)
+         |SELECT pri, strftime(day, '%Y-%m-%d') AS day,
+         |  m2 AS tsi_num_micro, a2 AS tsi_den_micro,
+         |  CASE WHEN a2 > 0 THEN CAST((m2 * 1000) // a2 AS BIGINT) END
+         |    AS tsi_milli
+         |FROM f ORDER BY pri, day""".stripMargin
+    },
     "q_ts_haar_energy" ->
       """WITH daily AS (
         |  SELECT date_trunc('day', o_orderdate) AS day,

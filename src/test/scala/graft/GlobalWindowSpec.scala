@@ -59,6 +59,8 @@ class GlobalWindowSpec extends AnyFunSuite with SparkFixture {
     // r17: median CI ranks / AR(1) lag / Chow's index+segment windows —
     // all above the day aggregate
     "q_stats_median_ci", "q_ts_halflife", "q_ts_chow",
+    // r17: Zipf GOF — rank/cum windows above the LIMIT 100 relation
+    "q_text_zipf_gof",
     "q_ts_gapfill", "q_ts_granger", "q_ts_kpss", "q_ts_ljung_box",
     "q_ts_periodogram", "q_ts_seasonal", "q_ts_spectral_entropy",
     "q_ts_stl_strength", "q_ts_variance_ratio", "q_win_drawdown")

@@ -1138,6 +1138,152 @@ class Round17Spec extends AnyFunSuite with SparkFixture {
     assert(row(0).getBoolean(5) === (f > 2995L))
   }
 
+  // ---- 13. exact driver replays for #496-#500 (tenth r17 batch) --------
+
+  test("Rayleigh matches an exact driver replay (shared libm)") {
+    val utc = java.time.ZoneOffset.UTC
+    val dows = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("ts")).collect()
+      .map(r => r.getTimestamp(0).toInstant.atZone(utc).toLocalDate.toEpochDay % 7)
+    val n = dows.length.toLong
+    val counts = dows.groupBy(identity).map { case (d, xs) => d -> xs.length.toLong }
+    var c = 0L; var sN = 0L
+    counts.foreach { case (d, nd) =>
+      c += nd * math.floor(math.cos(2 * math.Pi * d / 7) * 1e9).toLong
+      sN += nd * math.floor(math.sin(2 * math.Pi * d / 7) * 1e9).toLong
+    }
+    val z = ((BigInt(c) * c + BigInt(sN) * sN) /
+      (BigInt(n) * 1000000000000000L)).toLong
+    val dir0 = math.floor(math.atan2(sN.toDouble, c.toDouble) * 1000).toLong
+    val row = operators.NonparamOps.rayleigh(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === n, "n_events")
+    assert(row(0).getLong(1) === c, "c_nano")
+    assert(row(0).getLong(2) === sN, "s_nano")
+    assert(row(0).getLong(3) === z, "z_milli")
+    assert(row(0).getLong(4) === dir0, "mean_dir_milli")
+    assert(row(0).getBoolean(5) === (z > 2995L))
+  }
+
+  test("Zipf GOF matches an exact driver replay") {
+    val freqs = Tables.documents(spark, sfDir)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val top = freqs.toSeq.sortBy { case (t, f) => (-f, t) }.take(100)
+    // the harmonic total runs over the ACTUAL top size (a vocabulary
+    // smaller than 100 truncates the grid on both engines)
+    val hAll = (1 to top.length).map(k => 1000000000L / k).sum
+    val fAll = top.map(_._2).sum
+    var cumf = 0L; var hr = 0L
+    var dmax = BigInt(-1); var atRank = 0L
+    top.zipWithIndex.foreach { case ((_, f), i) =>
+      cumf += f; hr += 1000000000L / (i + 1)
+      val d = (BigInt(cumf) * hAll - BigInt(fAll) * hr).abs
+      if (d > dmax) { dmax = d; atRank = i + 1L }
+    }
+    val dPpm = (dmax * 1000000 / (BigInt(fAll) * hAll)).toLong
+    val row = operators.CorpusOps.textZipfGof(spark, sfDir).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(0) === fAll, "top_mass")
+    assert(row(0).getLong(1) === atRank, "at_rank")
+    assert(row(0).getLong(2) === dPpm, "d_ppm")
+  }
+
+  test("user entropy histogram matches an exact driver replay") {
+    val cells = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).map { case ((u, t), xs) => (u, t, xs.length.toLong) }
+    def lnN(x: Long) = math.floor(math.log(x.toDouble) * 1e9).toLong
+    // toSeq first: mapping the user Map to (bucket, n) pairs would
+    // re-key by bucket and collapse same-bucket users
+    val perUser = cells.groupBy(_._1).toSeq.map { case (_, xs) =>
+      val nn = xs.map(_._3).sum
+      val scl = xs.map(e => e._3 * lnN(e._3)).sum
+      ((lnN(nn) - scl / nn) / 200000000L, nn)
+    }
+    val expected = perUser.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (b, xs) => (b, xs.size.toLong, xs.map(_._2).sum) }
+    val got = operators.EventOps.eventUserEntropy(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty && got === expected)
+  }
+
+  test("TSI matches an exact integer driver replay") {
+    val daily = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice")).collect()
+      .map { r =>
+        val cents = new java.math.BigDecimal(
+            java.lang.Double.toString(r.getAs[Number](2).doubleValue))
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(2).toBigIntegerExact()
+        (r.getString(0), r.getDate(1).toString, BigInt(cents))
+      }
+      .groupBy(e => (e._1, e._2)).map { case ((p, d), xs) =>
+        (p, d, xs.map(_._3).sum.toLong) }
+      .groupBy(_._1)
+    def ema(xs: Seq[Long], lags: Int): Seq[Long] =
+      xs.indices.map { t =>
+        var num = BigInt(0); var den = 0L
+        (0 until lags).foreach { j =>
+          if (t - j >= 0) {
+            val w = 1L << (lags - 1 - j)
+            num += BigInt(xs(t - j)) * w; den += w
+          }
+        }
+        (num / den).toLong
+      }
+    val expected = daily.toSeq.flatMap { case (pri, cells) =>
+      val vs = cells.toSeq.sortBy(_._2)
+      val days = vs.map(_._2).drop(1)
+      val mom = vs.map(_._3).sliding(2).map { case Seq(a, b) => b - a }.toSeq
+      // stage-1 EMA carries the exact rational via numerator*1e6 then ONE
+      // floor (mirror the (mn*1e6) div md staging)
+      def ema1(xs: Seq[Long]): Seq[Long] = xs.indices.map { t =>
+        var num = BigInt(0); var den = 0L
+        (0 until 8).foreach { j =>
+          if (t - j >= 0) { val w = 1L << (7 - j); num += BigInt(xs(t - j)) * w; den += w }
+        }
+        (num * 1000000 / den).toLong
+      }
+      val m1 = ema1(mom); val a1 = ema1(mom.map(math.abs))
+      val m2 = ema(m1, 4); val a2 = ema(a1, 4)
+      days.indices.map { i =>
+        (pri, days(i), m2(i), a2(i),
+          if (a2(i) > 0) Some(m2(i) * 1000 / a2(i)) else None)
+      }
+    }.sortBy(e => (e._1, e._2))
+    val got = operators.SeriesOps.winTsi(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    assert(got.nonEmpty && got === expected)
+  }
+
+  test("quantization sweep matches an exact BigInt driver replay") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray
+        .map(x => math.floor(x.toDouble * 1e6).toLong))
+      .filter(v => v.map(math.abs).max > 0)
+    val expected = Seq((8L, 127L), (4L, 7L), (2L, 1L)).map { case (b, lv) =>
+      var se2 = BigInt(0); var sx2 = BigInt(0)
+      vecs.foreach { v =>
+        val sc = v.map(math.abs).max
+        v.foreach { x =>
+          val e = x * lv - (x * lv / sc) * sc
+          se2 += BigInt(e) * e; sx2 += BigInt(x) * x
+        }
+      }
+      (b, (se2 * 1000000 / (BigInt(lv) * lv * sx2)).toLong)
+    }
+    val got = operators.ClusterOps.embedQuantSweep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expected)
+  }
+
   test("Sortino matches an exact driver replay (shared libm)") {
     val expected = eventDays
       .filter(_._7 > 0)
