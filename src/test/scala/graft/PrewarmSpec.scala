@@ -86,4 +86,35 @@ class PrewarmSpec extends AnyFunSuite with SparkFixture {
       f"combined (prewarm $prewarm%.1f + timed $value%.1f) / $nQueries = " +
         f"$combinedPerQuery%.2f s/query breaches the 2x budget")
   }
+
+  /** r16 ADVICE: the budget gate above CANCELS on a partial working-tree
+    * artifact (the ad-hoc judge re-run case) — this test closes the hole
+    * that leaves: the COMMITTED BENCH_FULL.json (HEAD, via git — not the
+    * working tree) must be a FULL-run artifact, i.e. a non-empty prewarm
+    * section (dev subsets skip prewarm) and a full-suite query count. An
+    * accidentally-committed partial bench now fails loudly instead of
+    * silently disarming the gate.
+    */
+  test("the COMMITTED BENCH_FULL.json is a full-run artifact") {
+    val line =
+      try {
+        val p = new ProcessBuilder("git", "show", "HEAD:BENCH_FULL.json")
+          .redirectErrorStream(false).start()
+        val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+        assume(p.waitFor() == 0 && out.nonEmpty,
+          "no committed BENCH_FULL.json at HEAD (or no git) — nothing to audit")
+        out
+      } catch { case _: java.io.IOException =>
+        cancel("git unavailable — committed-artifact audit skipped")
+      }
+    val nQueries = """"q_[a-z0-9_]+":""".r.findAllIn(line).size
+    val prewarmEntries =
+      """"prewarm":\{([^}]*)\}""".r.findFirstMatchIn(line).map(_.group(1))
+    assert(prewarmEntries.exists(_.trim.nonEmpty),
+      "committed BENCH_FULL.json has an empty prewarm section — that is a " +
+        "dev-subset artifact, not a full run; re-run the full bench before committing")
+    assert(nQueries >= 400,
+      s"committed BENCH_FULL.json carries only $nQueries queries — partial " +
+        "artifact committed; the budget gate would be silently disarmed")
+  }
 }
