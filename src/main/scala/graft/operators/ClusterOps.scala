@@ -530,23 +530,35 @@ object ClusterOps {
   }
 
   /** #353 Hubness profile of the embedding space: which vectors appear
-    * most often in OTHER points' k=5 nearest-neighbor lists (over the
-    * deterministic 1-in-25 anchor slice) — high-dimensional spaces
+    * most often in OTHER points' k=5 nearest-neighbor lists (over a
+    * FIXED-SIZE deterministic anchor draw) — high-dimensional spaces
     * concentrate neighborhoods onto a few "hub" points (Radovanović
     * 2010), and hub-dominated kNN silently degrades retrieval,
     * [[embedTriplets]] mining, and [[graft.operators.SimilarityOps]]
     * ANN recall. The top-15 hub list is the first thing to inspect
     * when kNN quality drifts.
     *
+    * Anchors: the 64 vectors first in md5("hub:" || vec_id) order (the
+    * samplePerGroup hash-order draw — deterministic, uniform, and
+    * engine-identical since both sides order the same lowercase-hex
+    * strings). A FIXED count, not a proportional slice: the r17 form
+    * (vec_id % 25) kept the anchor broadcast and the anchor×corpus
+    * pair count growing with N — O(N²/25) at 100× corpus — whereas 64
+    * anchors make the scan exactly O(64·N) with a constant broadcast
+    * at any scale.
+    *
     * Exactness: exact int64 squared-L2 (the [[assign]] kernel), top-5
     * per anchor by the (d, vec_id) total order, exact occurrence
-    * counts, top-15 by (hits, id). Scale: anchors broadcast (the
-    * triplet-mining argument — per-batch slices, never all-pairs);
-    * one anchor-partitioned window + a vector-keyed count.
+    * counts, top-15 by (hits, id). Scale: one TakeOrderedAndProject
+    * anchor draw, 64-row broadcast against the corpus scan; one
+    * anchor-partitioned window + a vector-keyed count.
     */
   def embedHubness(s: SparkSession, dir: String): DataFrame = {
     val base = quantized(s, dir)
-    val anchors = base.filter(col("vec_id") % 25 === 0)
+    val anchors = base
+      .orderBy(md5(concat(lit("hub:"), col("vec_id").cast("string"))),
+        col("vec_id"))
+      .limit(64)
       .select(col("vec_id").as("aid"), col("q").as("aq"))
     val dist = aggregate(
       zip_with(col("aq"), col("q"), (x, y) => (x - y) * (x - y)),
@@ -753,7 +765,8 @@ object ClusterOps {
         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
         |  FROM embeddings),
         |anch AS (
-        |  SELECT vec_id AS aid, q AS aq FROM base WHERE vec_id % 25 = 0),
+        |  SELECT vec_id AS aid, q AS aq FROM base
+        |  ORDER BY md5('hub:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
         |dims AS (
         |  SELECT b.vec_id, a.aid,
         |    unnest(a.aq) AS av, unnest(b.q) AS bv

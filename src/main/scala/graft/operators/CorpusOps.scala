@@ -419,7 +419,9 @@ object CorpusOps {
     * won't behave. Staging: ln floored to MICRO (not nano — the x⁴
     * power sum must stay inside DECIMAL(38,0) at corpus scale), four
     * exact power sums, then the #370 raw-moment double algebra in
-    * mirrored expression order. Scale: one map-side-combined source
+    * mirrored expression order; skew/kurt/JB NULL-guarded for
+    * zero-variance (constant-length) sources, m2 > 0 CASE both
+    * engines. Scale: one map-side-combined source
     * aggregate; moment algebra on |sources| rows.
     */
   def textLengthLognormality(s: SparkSession, dir: String): DataFrame = {
@@ -447,8 +449,14 @@ object CorpusOps {
           lit(6.0) * col("mu") * col("mu") *
             (col("s2").cast("double") / col("n")) -
           lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
-      .withColumn("skew", col("m3") / (col("m2") * sqrt(col("m2"))))
-      .withColumn("kurt", col("m4") / (col("m2") * col("m2")))
+      // zero-variance guard (the Chow/BP CASE pattern): a constant-
+      // length source gives m2 = 0, so skew/kurt are 0/0 = NaN —
+      // Spark's non-ANSI bigint cast silently maps NaN to 0 while
+      // DuckDB errors; NULL readout instead, mirrored in the twin
+      .withColumn("skew",
+        when(col("m2") > 0, col("m3") / (col("m2") * sqrt(col("m2")))))
+      .withColumn("kurt",
+        when(col("m2") > 0, col("m4") / (col("m2") * col("m2"))))
       .select(col("source"), col("n").as("n_docs"),
         floor(col("mu")).cast("long").as("mean_ln_micro"),
         floor(col("skew") * 1e6).cast("long").as("skew_micro"),
@@ -584,7 +592,8 @@ object CorpusOps {
         |  FROM mm),
         |k AS (
         |  SELECT source, n, mu,
-        |    m3 / (m2 * SQRT(m2)) AS skew, m4 / (m2 * m2) AS kurt
+        |    CASE WHEN m2 > 0 THEN m3 / (m2 * SQRT(m2)) END AS skew,
+        |    CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END AS kurt
         |  FROM c),
         |f AS (
         |  SELECT source, n AS n_docs,

@@ -1180,7 +1180,10 @@ object GraphOps {
     mix
       .agg(sum(col("m")).as("e2"),
         sum(when(col("x") === col("y"), col("m")).otherwise(0L)).as("tr"))
-      .crossJoin(broadcast(marg.agg(sum(col("ax") * col("ax")).as("sa2"))))
+      // first factor staged through DECIMAL to match the twin's
+      // CAST(ax AS HUGEINT) * ax — int64 ax·ax wraps past ~3e9 edge-ends
+      .crossJoin(broadcast(marg.agg(
+        sum(col("ax").cast(DecimalType(38, 0)) * col("ax")).as("sa2"))))
       .select(expr("e2 div 2").as("n_edges"),
         expr("tr div 2").as("n_same_lang"),
         // DECIMAL staging: e2²·1e6 crosses int64 past ~10M edge-ends

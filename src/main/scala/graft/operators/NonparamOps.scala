@@ -245,7 +245,9 @@ object NonparamOps {
       .groupBy(lit(1).as("g"))
       .agg(max(col("n")).as("n_days"), max(col("st")).as("st"),
         max(col("stt")).as("stt"),
-        sum(col("w") * col("w")).as("sw2"),
+        // first factor staged through DECIMAL to match the twin's
+        // CAST(w AS HUGEINT) * w — int64 w·w wraps past |w| ~ 3e9
+        sum(col("w").cast(dec) * col("w")).as("sw2"),
         sum((col("t") * col("w")).cast(dec) * col("w")).as("stw2"),
         sum((col("w") * col("w")).cast(dec) * col("w") * col("w")).as("sw4"))
       .select(col("n_days"), col("sw2").cast("long").as("s_w2"),
@@ -368,11 +370,17 @@ object NonparamOps {
           col("ga") - col("ta")).as("va"),
         (col("gb") * col("tb")).as("vb"),
         (col("gc").cast(dec) * col("tc")).as("vc"), col("n"))
-      .withColumn("z_milli",
-        expr("cast(floor(cast(jt_x2 - e_jt_x2 as double) / (2.0 * sqrt(" +
-          "cast(va as double) / 72.0 + " +
+      .withColumn("v72",
+        expr("cast(va as double) / 72.0 + " +
           "cast(vb as double) / (36.0 * n * (n - 1) * (n - 2)) + " +
-          "cast(vc as double) / (8.0 * n * (n - 1)))) * 1000) as bigint)"))
+          "cast(vc as double) / (8.0 * n * (n - 1))"))
+      // zero-variance guard (the Chow/BP CASE pattern): all-tied data
+      // (or n ≤ 2 groups' worth of rows) makes the null variance 0, so
+      // z divides by zero — NULL readout, mirrored in the twin
+      .withColumn("z_milli",
+        expr("CASE WHEN n > 2 AND v72 > 0 THEN " +
+          "cast(floor(cast(jt_x2 - e_jt_x2 as double) / (2.0 * sqrt(v72)) " +
+          "* 1000) as bigint) END"))
       .select(col("n_lines"), col("jt_x2"), col("e_jt_x2"), col("z_milli"),
         (abs(col("z_milli")) > 1960L).as("trend_significant_05"))
   }
@@ -566,8 +574,9 @@ object NonparamOps {
     * forecasting horizon or an anomaly-recovery SLA actually uses.
     * Exact integer/DECIMAL sums (m, Σx, Σy, Σxy, Σx² with x = lagged
     * cents, y = Δ); b and the half-life are ONE mirrored-double chain
-    * (HUGEINT via VARCHAR in the twin); NULL unless −1 < φ < 1 (no
-    * mean reversion ⇒ no half-life, stated). Scale: calendar-bounded;
+    * (HUGEINT via VARCHAR in the twin); NULL unless 0 < φ < 1 (a
+    * negative φ oscillates rather than decays monotonically, φ ≥ 1
+    * never reverts ⇒ no half-life either way, stated). Scale: calendar-bounded;
     * one lag window above the day aggregate.
     */
   def tsHalflife(s: SparkSession, dir: String): DataFrame = {
@@ -728,10 +737,18 @@ object NonparamOps {
       s"(((1.0 - $wA / $wSum) * (1.0 - $wA / $wSum) / ($nA - 1) + " +
       s"(1.0 - $wN / $wSum) * (1.0 - $wN / $wSum) / ($nN - 1) + " +
       s"(1.0 - $wR / $wSum) * (1.0 - $wR / $wSum) / ($nR - 1)))"
-    val fMilli: String =
-      s"cast(floor($aNum / (1.0 + 0.25 * $lam) * 1000) as bigint)"
-    val df2Milli: String =
-      s"cast(floor(8.0 / (3.0 * $lam) * 1000) as bigint)"
+    // Zero-variance guard (the Chow/BP CASE pattern): a constant group
+    // makes some v_j = 0, so w_j = n/0 diverges — Spark's non-ANSI
+    // bigint cast of the resulting NaN/Inf silently yields 0 while
+    // DuckDB errors, breaking the cross-engine contract on degenerate
+    // data. NULL readout unless every group has n > 1 and s² > 0.
+    private val defined: String =
+      s"($nA > 1 AND $nN > 1 AND $nR > 1 AND " +
+      s"$vA > 0 AND $vN > 0 AND $vR > 0)"
+    val fMilli: String = s"CASE WHEN $defined THEN " +
+      s"cast(floor($aNum / (1.0 + 0.25 * $lam) * 1000) as bigint) END"
+    val df2Milli: String = s"CASE WHEN $defined THEN " +
+      s"cast(floor(8.0 / (3.0 * $lam) * 1000) as bigint) END"
   }
 
   private val DailyRevSql =
@@ -925,15 +942,20 @@ object NonparamOps {
         |    CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - ga - ta AS va,
         |    gb * tb AS vb, CAST(gc AS HUGEINT) * tc AS vc, n
         |  FROM jt, grp, tie),
+        |v AS (
+        |  SELECT n_lines, jt_x2, e_jt_x2, n,
+        |    CAST(CAST(va AS VARCHAR) AS DOUBLE) / 72.0 +
+        |    CAST(CAST(vb AS VARCHAR) AS DOUBLE) /
+        |      (36.0 * n * (n - 1) * (n - 2)) +
+        |    CAST(CAST(vc AS VARCHAR) AS DOUBLE) / (8.0 * n * (n - 1)) AS v72
+        |  FROM b),
         |s AS (
         |  SELECT n_lines, jt_x2, e_jt_x2,
-        |    CAST(FLOOR(CAST(jt_x2 - e_jt_x2 AS DOUBLE) / (2.0 * SQRT(
-        |      CAST(CAST(va AS VARCHAR) AS DOUBLE) / 72.0 +
-        |      CAST(CAST(vb AS VARCHAR) AS DOUBLE) /
-        |        (36.0 * n * (n - 1) * (n - 2)) +
-        |      CAST(CAST(vc AS VARCHAR) AS DOUBLE) / (8.0 * n * (n - 1))))
-        |      * 1000) AS BIGINT) AS z_milli
-        |  FROM b)
+        |    CASE WHEN n > 2 AND v72 > 0 THEN
+        |      CAST(FLOOR(CAST(jt_x2 - e_jt_x2 AS DOUBLE) / (2.0 * SQRT(v72))
+        |        * 1000) AS BIGINT)
+        |    END AS z_milli
+        |  FROM v)
         |SELECT n_lines, jt_x2, e_jt_x2, z_milli,
         |  abs(z_milli) > 1960 AS trend_significant_05
         |FROM s""".stripMargin,

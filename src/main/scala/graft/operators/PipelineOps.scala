@@ -604,7 +604,9 @@ object PipelineOps {
       .withColumn("ck", element_at(typedLit(off), col("pid")) + sum(col("c")).over(w))
       .select(greatest(col("ck") * M - col("u") * n,
         col("u") * n - (col("ck") - col("c")) * M).as("dnum"))
-      .agg(max(col("dnum")).as("d_num"))
+      // groupBy(lit(1)) (not a global agg) mirrors the oracle's
+      // GROUP BY g empty-input contract: zero rows, not one NULL row
+      .groupBy(lit(1).as("g")).agg(max(col("dnum")).as("d_num"))
       .select(lit(n).as("n_docs"), col("d_num"),
         // DECIMAL staging: d_num·1e6 crosses int64 (d_num ~ n·M·D)
         expr(s"cast((cast(d_num as decimal(38,0)) * 1000000) div " +
@@ -662,7 +664,9 @@ object PipelineOps {
           (col("c") * (2L * n + 1L) - col("ck") * (col("ck") + 1L) +
             (col("ck") - col("c")) * (col("ck") - col("c") + 1L)).cast(dec) *
             col("lb")).as("term"))
-      .agg(sum(col("term")).as("ts"))
+      // groupBy(lit(1)): mirror the oracle's GROUP BY g zero-row
+      // empty-input contract (see splitUniformity)
+      .groupBy(lit(1).as("g")).agg(sum(col("term")).as("ts"))
       .select(lit(n).as("n_docs"),
         expr(s"cast((-${n}L * 1000000000) - (ts div ${n}L) as long)")
           .as("a2_nano"))

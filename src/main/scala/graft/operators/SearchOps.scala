@@ -217,7 +217,8 @@ object SearchOps {
     * the per-depth weight grid W_d = floor(1e11·0.9^{d−1}/d) is the
     * ONLY float staging (pow on identical exact arguments, the #46
     * math-funcs surface), and the truncated-RBO readout Σ overlap_d·
-    * W_d is an exact integer (·10 div 1e6 → ppm; extrapolation term
+    * W_d is an exact integer at 1e12·RBO scale (div 1e6 → ppm;
+    * extrapolation term
     * deliberately omitted — stated truncated-RBO_min semantics).
     * Scale: two TakeOrderedAndProject top-50s; everything after runs
     * on ≤50-row relations (windows bounded by Limit).

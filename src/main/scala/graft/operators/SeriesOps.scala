@@ -490,10 +490,21 @@ object SeriesOps {
     * ln floored to nano BEFORE the sum (integer-exact aggregation);
     * ID reads out via one truncating milli division. Duplicate points
     * (d1² = 0) are excluded from the estimator — standard practice,
-    * identical filter on both engines. Scale: candidate generation is
-    * BLOCKED by label (the IVF/LSH bucket structure of the sim family
-    * — never global all-pairs); per-point top-2 via one window rank
-    * on the (point) partitioning.
+    * identical filter on both engines.
+    *
+    * Anchoring (r18): the estimator averages over a FIXED-SIZE anchor
+    * set — per label, the 128 points first in md5("twonn:" || vec_id)
+    * order (the samplePerGroup hash-order draw, engine-identical) —
+    * while each anchor's NN1/NN2 still rank over the FULL label block.
+    * TwoNN is explicitly subsample-stable (Facco et al. §decimation),
+    * and the r17 form ranked every point against every point in its
+    * block, an O(N²/|labels|) term at 100× corpus; 128 anchors make
+    * the candidate relation O(128·N) with the block scan unchanged.
+    * Blocks smaller than 128 anchor every point (sf0.01 and below:
+    * bit-identical to the unanchored estimator). Scale: candidate
+    * generation is BLOCKED by label (the IVF/LSH bucket structure of
+    * the sim family — never global all-pairs); per-anchor top-2 via
+    * one window rank on the (anchor) partitioning.
     */
   def embedIntrinsicDim(s: SparkSession, dir: String): DataFrame = {
     val u = Tables.embeddings(s, dir)
@@ -502,23 +513,23 @@ object SeriesOps {
           x => floor(x.cast("double") * 1e6).cast("long")).as("u"))
       .withColumn("q",
         aggregate(transform(col("u"), x => x * x), lit(0L), _ + _))
-    val a = u.select(col("vec_id").as("ida"), col("label"),
-      col("u").as("ua"), col("q").as("qa"))
+    val aw = Window.partitionBy("label")
+      .orderBy(md5(concat(lit("twonn:"), col("vec_id").cast("string"))),
+        col("vec_id"))
+    val a = u.withColumn("ar", row_number().over(aw))
+      .filter(col("ar") <= 128)
+      .select(col("vec_id").as("ida"), col("label"),
+        col("u").as("ua"), col("q").as("qa"))
     val b = u.select(col("vec_id").as("idb"), col("label"),
       col("u").as("ub"), col("q").as("qb"))
     val w = Window.partitionBy("ida")
       .orderBy(col("d2"), col("idb"))
-    // each unordered pair's 64-element dot fold runs ONCE (ida < idb);
-    // the cheap union mirrors it — halves the dominant HOF cost
-    val half = a.join(b, Seq("label"))
-      .filter(col("ida") < col("idb"))
+    val top2 = a.join(b, Seq("label"))
+      .filter(col("ida") =!= col("idb"))
       .withColumn("dot",
         aggregate(zip_with(col("ua"), col("ub"), _ * _), lit(0L), _ + _))
       .withColumn("d2", col("qa") + col("qb") - lit(2L) * col("dot"))
       .select(col("label"), col("ida"), col("idb"), col("d2"))
-    val top2 = half
-      .unionAll(half.select(col("label"), col("idb").as("ida"),
-        col("ida").as("idb"), col("d2")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 2)
       .groupBy("label", "ida")
@@ -974,11 +985,19 @@ object SeriesOps {
         |  SELECT vec_id, label, u,
         |    list_aggregate(list_transform(u, y -> y * y), 'sum') AS q
         |  FROM u),
+        |anch AS (
+        |  SELECT vec_id, label, u, q FROM (
+        |    SELECT vec_id, label, u, q,
+        |      ROW_NUMBER() OVER (PARTITION BY label
+        |        ORDER BY md5('twonn:' || CAST(vec_id AS VARCHAR)), vec_id)
+        |        AS ar
+        |    FROM uq)
+        |  WHERE ar <= 128),
         |pairs AS (
         |  SELECT a.label, a.vec_id AS ida, b.vec_id AS idb,
         |    a.q + b.q - 2 * list_aggregate(
         |      list_transform(list_zip(a.u, b.u), p -> p[1] * p[2]), 'sum') AS d2
-        |  FROM uq a JOIN uq b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |  FROM anch a JOIN uq b ON a.label = b.label AND a.vec_id <> b.vec_id),
         |ranked AS (
         |  SELECT label, ida, d2,
         |    ROW_NUMBER() OVER (PARTITION BY ida ORDER BY d2, idb) AS rn

@@ -40,10 +40,20 @@ class PassAtKSpec extends AnyFunSuite with SparkFixture {
         val e = r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6).toLong)
         (r.getLong(0), r.getInt(2), e)
       }
+    // the r18 anchor rule: per label, estimator terms come from the
+    // 128 points first in md5("twonn:"||id) order (a no-op at sf0.001
+    // where blocks are < 128 — asserted so the replay stays exact)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     rows.foreach { row =>
       val label = row.getInt(0)
       val pts = vecs.filter(_._2 == label)
-      val terms = pts.flatMap { case (id, _, u) =>
+      val anchors = pts.map(_._1)
+        .sortBy(id => (md5hex(s"twonn:$id"), id)).take(128).toSet
+      assert(anchors.size == pts.length,
+        "sf0.001 blocks must be under the 128-anchor cap")
+      val terms = pts.filter(p => anchors(p._1)).flatMap { case (id, _, u) =>
         val ds = pts.filter(_._1 != id).map { case (oid, _, v) =>
           (u.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, oid)
         }.sorted
