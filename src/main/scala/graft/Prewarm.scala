@@ -34,39 +34,51 @@ object Prewarm {
     * query registry; PrewarmSpec pins both that property — by source
     * scan — and the registry↔consumer key correspondence).
     */
+  /** The derived-FILES tier, exposed by name so PrewarmSpec can assert
+    * every entry carries an invariance pin (a from-scratch RoundN spec
+    * or a graded DuckDB twin that recomputes the consumer end-to-end
+    * from the raw corpus) — a new entry without a pin fails the spec.
+    */
+  val fileTier: Seq[(String, (SparkSession, String) => Unit)] = {
+    import graft.operators._
+    Seq[(String, (SparkSession, String) => Unit)](
+      "minhash_sigs" ->
+        ((s, dir) => { DedupOps.materializedSignatures(s, dir).count(); () }),
+      "jaccard_edges" ->
+        ((s, dir) => { DedupOps.materializedJaccard(s, dir).count(); () }),
+      "components" ->
+        ((s, dir) => { DedupOps.componentLabels(s, dir).count(); () }),
+      "lpa_labels" ->
+        ((s, dir) => { GraphOps.lpaLabels(s, dir).count(); () }),
+      "degrees" ->
+        ((s, dir) => { GraphOps.materializedDegrees(s, dir).count(); () }),
+      "oriented_edges" ->
+        ((s, dir) => { GraphOps.materializedOriented(s, dir).count(); () }),
+      "wedge_pairs" ->
+        ((s, dir) => { GraphOps.materializedWedgePairs(s, dir).count(); () }),
+      "neighbor_sigs" ->
+        ((s, dir) => { GraphOps.materializedNeighborSigs(s, dir).count(); () }),
+      "struct_equiv_pairs" ->
+        ((s, dir) => { GraphOps.materializedStructEquivPairs(s, dir).count(); () }),
+      "triangle_support" ->
+        ((s, dir) => { GraphOps.materializedTriangleSupport(s, dir).count(); () }),
+      "power_spectrum" ->
+        ((s, dir) => { SeriesOps.materializedPowerSpectrum(s, dir).count(); () }),
+      "bipartite" ->
+        ((s, dir) => { GraphOps.materializedBipartite(s, dir).count(); () }),
+      "phash_clusters" ->
+        ((s, dir) => { Multimodal.materializedPhashClusters(s, dir).count(); () }),
+      "scan_layouts" -> ((s, dir) => operators.Scans.prewarmBuilds(s, dir)),
+    )
+  }
+
   def apply(s: SparkSession, dir: String): Seq[(String, Double)] = {
     import graft.operators._
-    val builds: Seq[(String, () => Unit)] = Seq[(String, () => Unit)](
-      "minhash_sigs" ->
-        (() => { DedupOps.materializedSignatures(s, dir).count(); () }),
-      "jaccard_edges" ->
-        (() => { DedupOps.materializedJaccard(s, dir).count(); () }),
-      "components" ->
-        (() => { DedupOps.componentLabels(s, dir).count(); () }),
-      "lpa_labels" ->
-        (() => { GraphOps.lpaLabels(s, dir).count(); () }),
-      "degrees" ->
-        (() => { GraphOps.materializedDegrees(s, dir).count(); () }),
-      "oriented_edges" ->
-        (() => { GraphOps.materializedOriented(s, dir).count(); () }),
-      "wedge_pairs" ->
-        (() => { GraphOps.materializedWedgePairs(s, dir).count(); () }),
-      "neighbor_sigs" ->
-        (() => { GraphOps.materializedNeighborSigs(s, dir).count(); () }),
-      "struct_equiv_pairs" ->
-        (() => { GraphOps.materializedStructEquivPairs(s, dir).count(); () }),
-      "triangle_support" ->
-        (() => { GraphOps.materializedTriangleSupport(s, dir).count(); () }),
-      "power_spectrum" ->
-        (() => { SeriesOps.materializedPowerSpectrum(s, dir).count(); () }),
-      "bipartite" ->
-        (() => { GraphOps.materializedBipartite(s, dir).count(); () }),
-      "phash_clusters" ->
-        (() => { Multimodal.materializedPhashClusters(s, dir).count(); () }),
-      "scan_layouts" -> (() => Scans.prewarmBuilds(s, dir)),
-    ) ++ RankKernels.builders.map { case (name, b) =>
-      name -> (() => b(s, dir))
-    }
+    val builds: Seq[(String, () => Unit)] =
+      fileTier.map { case (name, b) => name -> (() => b(s, dir)) } ++
+      RankKernels.builders.map { case (name, b) =>
+        name -> (() => b(s, dir))
+      }
     builds.map { case (name, f) =>
       val t0 = System.nanoTime()
       try f()

@@ -201,7 +201,10 @@ object ImpactOps {
     * slicing disjoint 6-hex windows (measured 7.3→~2.5 s at sf0.1; the
     * digest dominated). Scale: one (R/5)×N explode feeding a
     * map-side-combined per-replicate aggregate (R is a constant), then
-    * a 200-row reduction.
+    * a 200-row reduction. Perf is ACCEPTED FOREVER at its current
+    * md5-bound cost (SCALE.md "q_stats_permutation: accepted forever"
+    * — every remaining lever degrades the randomizer or forks the
+    * graded result from the twin).
     */
   def statsPermutation(s: SparkSession, dir: String): DataFrame = {
     val r = 200

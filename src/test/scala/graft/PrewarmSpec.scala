@@ -60,6 +60,56 @@ class PrewarmSpec extends AnyFunSuite with SparkFixture {
     assert(EventOps.stationaryRows(spark, sfDir).nonEmpty)
   }
 
+  /** r17 verdict item 3: every derived-FILES prewarm entry must carry an
+    * invariance pin — either a from-scratch equality test in a RoundN
+    * spec (`spec:<file>:<builderToken>`) or a graded DuckDB twin whose
+    * SQL recomputes the consumer END TO END from the raw corpus
+    * (`oracle:<queryKey>`), so a wrong derived file fails parity. The
+    * registry below is the pin ledger; a new Prewarm.fileTier entry
+    * without a ledger row (or a ledger row whose evidence vanished)
+    * fails here instead of shipping unpinned.
+    */
+  private val invariancePins: Map[String, String] = Map(
+    "minhash_sigs" -> "oracle:q_dedup_near_minhash",
+    "jaccard_edges" -> "oracle:q_dedup_jaccard_blocked",
+    "components" -> "oracle:q_dedup_components",
+    "lpa_labels" -> "oracle:q_graph_label_prop",
+    "degrees" -> "oracle:q_graph_pagerank",
+    "oriented_edges" -> "spec:Round16Spec.scala:materializedOriented",
+    "wedge_pairs" -> "spec:Round16Spec.scala:materializedWedgePairs",
+    "neighbor_sigs" -> "spec:Round16Spec.scala:materializedNeighborSigs",
+    "struct_equiv_pairs" -> "spec:Round17Spec.scala:materializedStructEquivPairs",
+    "triangle_support" -> "spec:Round17Spec.scala:materializedTriangleSupport",
+    "power_spectrum" -> "spec:Round17Spec.scala:materializedPowerSpectrum",
+    "bipartite" -> "oracle:q_graph_hits",
+    "phash_clusters" -> "oracle:q_multimodal_phash_clusters",
+    // csv/jsonl/orc/xml/... layouts: each graded scan's oracle reads the
+    // parquet ORIGINAL, so round-trip equality re-derives the layout
+    "scan_layouts" -> "oracle:q_scan_csv")
+
+  test("every Prewarm file-tier entry carries an invariance pin") {
+    val names = Prewarm.fileTier.map(_._1).toSet
+    assert(names == invariancePins.keySet,
+      s"pin ledger out of sync with Prewarm.fileTier: " +
+        s"unpinned=${names -- invariancePins.keySet} " +
+        s"stale=${invariancePins.keySet -- names}")
+    invariancePins.foreach { case (entry, evidence) =>
+      evidence.split(":", 3) match {
+        case Array("oracle", q) =>
+          assert(SparkEntry.oracleSql.contains(q),
+            s"$entry pins to oracle $q, which has no oracleSql entry")
+        case Array("spec", file, token) =>
+          val p = java.nio.file.Paths.get(s"src/test/scala/graft/$file")
+          assert(java.nio.file.Files.exists(p), s"$entry pin file $file missing")
+          val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          assert(src.contains(token),
+            s"$entry pins to $file:$token but the token is gone")
+        case other =>
+          fail(s"$entry has malformed pin evidence: ${other.mkString(":")}")
+      }
+    }
+  }
+
   test("prewarm_sec + value stays inside the 2x bench budget (if bench ran)") {
     val p = java.nio.file.Paths.get("BENCH_FULL.json")
     assume(java.nio.file.Files.exists(p), "no BENCH_FULL.json — bench not run yet")
