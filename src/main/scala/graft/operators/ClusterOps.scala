@@ -633,6 +633,62 @@ object ClusterOps {
           "as bigint) END").as("cka_ppm"))
   }
 
+  /** #504 Effective rank (participation ratio) of the embedding
+    * covariance SPECTRUM, eigendecomposition-free: PR = (tr C)²/‖C‖²_F
+    * = (Σλ)²/Σλ² over the centered covariance grid — ≈ dim when the
+    * spectrum is flat, ≈ 1 when one direction carries everything.
+    * WHY next to #371/#478: isotropy (#371) takes the participation
+    * ratio of the per-dimension VARIANCES, i.e. C's diagonal only — a
+    * rotated-but-collapsed space fools it (equal marginal variances,
+    * rank ~1); the trace identities see the full spectrum through the
+    * OFF-diagonals without ever computing an eigenvector, closing the
+    * gap between #371's cheap screen and #361 PCA's explicit loadings.
+    * The one number that prices Matryoshka/PQ truncation globally.
+    *
+    * Exactness: the #478 grid verbatim — centered gram cell n·Σx_ax_b −
+    * S_aS_b exact DECIMAL, ONE div 10⁶ downscale per cell before any
+    * square; tr C and ‖C‖²_F are exact DECIMAL sums; the readout is
+    * ONE mirrored floored-double division (HUGEINTs through VARCHAR in
+    * the twin), NULL-guarded for the zero-variance corpus. Scale: the
+    * gram build is the #478 self-join on vec_id (n·dim² rows, dim ≤ 64,
+    * map-side combined); everything after runs on the 64×64 grid.
+    */
+  def embedEffRank(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val m = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        floor(col("x").cast("double") * 1e6).cast("long").as("m"))
+      .localCheckpoint()
+    val sums = m.groupBy("d").agg(sum(col("m").cast(dec)).as("sd"))
+    val grid = m.as("a")
+      .join(m.select(col("vec_id"), col("d").as("d2"), col("m").as("m2")),
+        Seq("vec_id"))
+      .groupBy("d", "d2")
+      .agg(count(lit(1)).as("n"),
+        sum(col("m").cast(dec) * col("m2")).as("sxy"))
+      .join(broadcast(sums), Seq("d"))
+      .join(broadcast(sums.select(col("d").as("d2"), col("sd").as("sd2"))),
+        Seq("d2"))
+      .select(col("d"), col("d2"),
+        expr("(n * sxy - sd * sd2) div 1000000").as("g"))
+    grid
+      .select(col("d"), col("d2"),
+        when(col("d") === col("d2"), col("g")).otherwise(0L).cast(dec)
+          .as("diag"),
+        (col("g").cast(dec) * col("g")).as("g2"))
+      .groupBy(lit(1).as("gg"))
+      .agg(sum(when(col("d") === col("d2"), 1L).otherwise(0L)).as("n_dims"),
+        sum(col("diag")).as("tr"), sum(col("g2")).as("fro"))
+      .select(col("n_dims"),
+        expr("CASE WHEN fro > 0 THEN " +
+          "cast(floor(cast(tr as double) * cast(tr as double) / " +
+          "cast(fro as double) * 1000) as bigint) END").as("pr_milli"))
+      .withColumn("eff_dim_share_ppm",
+        expr("CASE WHEN pr_milli IS NOT NULL THEN " +
+          "(pr_milli * 1000) div n_dims END"))
+  }
+
   /** #500 Symmetric-quantization error sweep over bit widths 8/4/2:
     * per width b, each vector quantizes against its own max-abs scale
     * with L = 2^{b−1}−1 levels, q = (x·L) div m (truncation toward
@@ -672,6 +728,7 @@ object ClusterOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_quant_sweep" -> (embedQuantSweep _),
+    "q_embed_eff_rank" -> (embedEffRank _),
     "q_embed_cka" -> (embedCka _),
     "q_embed_hubness" -> (embedHubness _),
     "q_embed_triplets" -> (embedTriplets _),
@@ -728,6 +785,41 @@ object ClusterOps {
         |  CAST((se2 * 1000000) // (CAST(lv AS HUGEINT) * lv * sx2) AS BIGINT)
         |    AS mse_ppm
         |FROM a ORDER BY bits DESC""".stripMargin,
+    "q_embed_eff_rank" ->
+      """WITH m AS MATERIALIZED (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+        |      AS m
+        |  FROM embeddings),
+        |sums AS (SELECT d, SUM(CAST(m AS HUGEINT)) AS sd FROM m GROUP BY d),
+        |grid AS (
+        |  SELECT a.d, b.d AS d2, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(a.m AS HUGEINT) * b.m) AS sxy
+        |  FROM m a JOIN m b ON a.vec_id = b.vec_id
+        |  GROUP BY a.d, b.d),
+        |g AS (
+        |  SELECT grid.d, grid.d2,
+        |    (grid.n * grid.sxy - s1.sd * s2.sd) // 1000000 AS g
+        |  FROM grid JOIN sums s1 ON grid.d = s1.d
+        |    JOIN sums s2 ON grid.d2 = s2.d),
+        |f AS (
+        |  SELECT 1 AS gg,
+        |    CAST(SUM(CASE WHEN d = d2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dims,
+        |    SUM(CASE WHEN d = d2 THEN g ELSE 0 END) AS tr,
+        |    SUM(g * g) AS fro
+        |  FROM g GROUP BY gg),
+        |s AS (
+        |  SELECT n_dims,
+        |    CASE WHEN fro > 0 THEN
+        |      CAST(FLOOR(CAST(CAST(tr AS VARCHAR) AS DOUBLE) *
+        |        CAST(CAST(tr AS VARCHAR) AS DOUBLE) /
+        |        CAST(CAST(fro AS VARCHAR) AS DOUBLE) * 1000) AS BIGINT)
+        |    END AS pr_milli
+        |  FROM f)
+        |SELECT n_dims, pr_milli,
+        |  CASE WHEN pr_milli IS NOT NULL THEN (pr_milli * 1000) // n_dims END
+        |    AS eff_dim_share_ppm
+        |FROM s""".stripMargin,
     "q_embed_cka" ->
       """WITH m AS MATERIALIZED (
         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,

@@ -408,6 +408,46 @@ object CorpusOps {
         expr("(sum_types * 1000000) div (n_segments * 50)").as("sttr_ppm"))
       .orderBy("source")
 
+  /** #503 Honoré's R + Sichel's S vocabulary-richness constants per
+    * source: R = 100·ln N / (1 − V₁/V) (assembled divisionless as
+    * 100·⌊ln N·10⁹⌋·V / ((V−V₁)·10⁶), one truncating milli readout)
+    * and S = V₂/V in ppm, over the whitespace token stream. WHY next
+    * to #444/#490: the hapax profile (#444) reports the raw frequency-
+    * spectrum head per LANGUAGE and STTR (#490) fixes segment length
+    * by brute force; Honoré's R is the classical LENGTH-CORRECTED
+    * richness scalar (approximately invariant in N where raw V and V₁
+    * both grow), so it is the ONE number comparable across sources of
+    * wildly different volume — the cross-source mix table's richness
+    * column — and Sichel's S is its stability companion (V₂/V is
+    * near-constant for natural text; template floods push it down).
+    *
+    * Exactness: N, V, V₁, V₂ are exact integers from one token
+    * aggregate; ln N is the house floored-nano ln; each readout is ONE
+    * truncating division, NULL-guarded for the all-hapax source
+    * (V₁ = V ⇒ R undefined, stated — mirrored CASE). Numerator staged
+    * DECIMAL (100·lnNano·V wraps int64 past V ~ 4e6). Scale: one
+    * (source, token) map-side-combined aggregate, then a |sources|-row
+    * readout.
+    */
+  def textVocabRichness(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("f"))
+      .groupBy("source")
+      .agg(sum(col("f")).as("n_tokens"),
+        count(lit(1)).as("v_types"),
+        sum(when(col("f") === 1L, 1L).otherwise(0L)).as("v1_hapax"),
+        sum(when(col("f") === 2L, 1L).otherwise(0L)).as("v2_dis"))
+      .select(col("source"), col("n_tokens"), col("v_types"),
+        col("v1_hapax"), col("v2_dis"),
+        expr("CASE WHEN v_types > v1_hapax THEN " +
+          "cast((100 * cast(floor(ln(cast(n_tokens as double)) * 1e9) " +
+          "as decimal(38,0)) * v_types) div " +
+          "(cast(v_types - v1_hapax as decimal(38,0)) * 1000000) as long) " +
+          "END").as("honore_r_milli"),
+        expr("(v2_dis * 1000000) div v_types").as("sichel_s_ppm"))
+      .orderBy("source")
+
   /** #491 Log-normality screen of the document-length distribution per
     * source: Jarque-Bera over x = floor(ln(n_chars)·10⁶) — skewness,
     * excess kurtosis and the JB statistic of the LOG lengths. Web-
@@ -517,6 +557,7 @@ object CorpusOps {
     "q_text_zipf_gof" -> (textZipfGof _),
     "q_text_length_lognormality" -> (textLengthLognormality _),
     "q_text_sttr" -> (textSttr _),
+    "q_text_vocab_richness" -> (textVocabRichness _),
     "q_text_burrows_delta" -> (textBurrowsDelta _),
     "q_winnow_fingerprint" -> (winnowFingerprint _),
     "q_text_jsd" -> (textJsd _),
@@ -607,6 +648,27 @@ object CorpusOps {
         |SELECT source, n_docs, mean_ln_micro, skew_micro, kurt_micro,
         |  jb_milli, jb_milli > 5991 AS lognormal_rejected_05
         |FROM f ORDER BY source""".stripMargin,
+    "q_text_vocab_richness" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (
+        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM tok GROUP BY source, tok),
+        |a AS (
+        |  SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS v_types,
+        |    CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1_hapax,
+        |    CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2_dis
+        |  FROM f GROUP BY source)
+        |SELECT source, n_tokens, v_types, v1_hapax, v2_dis,
+        |  CASE WHEN v_types > v1_hapax THEN
+        |    CAST((100 * CAST(FLOOR(LN(CAST(n_tokens AS DOUBLE)) * 1e9)
+        |      AS HUGEINT) * v_types) //
+        |      (CAST(v_types - v1_hapax AS HUGEINT) * 1000000) AS BIGINT)
+        |  END AS honore_r_milli,
+        |  (v2_dis * 1000000) // v_types AS sichel_s_ppm
+        |FROM a ORDER BY source""".stripMargin,
     "q_text_sttr" ->
       """WITH t AS (
         |  SELECT source, string_split(text, ' ') AS toks FROM documents),

@@ -1193,6 +1193,46 @@ object GraphOps {
           .as("assortativity_ppm"))
   }
 
+  /** #505 Average-neighbor-degree curve knn(k) (Pastor-Satorras 2001):
+    * per degree k, the node count and the mean degree of those nodes'
+    * neighbors in ppm — the degree-RESOLVED mixing readout. WHY next
+    * to #331/#474: assortativity (#331) compresses degree mixing into
+    * ONE correlation and c(k) (#474) resolves CLOSURE by degree; knn(k)
+    * resolves the mixing itself — a rising curve is rich-club wiring
+    * (hubs prefer hubs: near-dup clusters chain into super-clusters), a
+    * falling curve is hub-leaf template structure (one canonical doc
+    * with many satellites). The shape decides whether component-based
+    * dedup will snowball at 100× corpus before anyone runs it.
+    *
+    * Exactness: knn(k) = (Σ_{deg(u)=k} Σ_{v∈N(u)} deg v)·10⁶ div
+    * (k·n_k) — per-node averaging cancels exactly because every
+    * degree-k node has exactly k neighbors, so ONE truncating ppm
+    * division per k row and zero per-node divisions; neighbor-degree
+    * mass staged DECIMAL (Σ kb ~ E·k_max wraps int64 at ~1e9 heavy
+    * ends). Scale: two |V|-row joins of the symmetric edge list
+    * against the derived degree relation + a |degrees|-bounded
+    * aggregate — the #474 dataflow verbatim.
+    */
+  def graphKnnCurve(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.materializedEdges(s, dir)
+    val sym = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val deg = materializedDegrees(s, dir)
+    val ends = sym
+      .join(deg.select(col("node").as("doc_a"), col("deg").as("k")),
+        Seq("doc_a"))
+      .join(deg.select(col("node").as("doc_b"), col("deg").as("kb")),
+        Seq("doc_b"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_ends"),
+        sum(col("kb").cast(DecimalType(38, 0))).as("skb"))
+    deg.groupBy(col("deg").as("k")).agg(count(lit(1)).as("n_nodes"))
+      .join(ends, Seq("k"))
+      .select(col("k"), col("n_nodes"),
+        expr("cast((skb * 1000000) div n_ends as long)").as("knn_ppm"))
+      .orderBy("k")
+  }
+
   /** #483 Effective diameter from the landmark BFS: per landmark, the
     * reached-node count, the 90%-effective diameter (smallest hop h
     * with cumulative reach·10 ≥ total·9 — the integer cross-multiplied
@@ -1378,6 +1418,7 @@ object GraphOps {
     "q_graph_tri_participation" -> (triParticipation _),
     "q_graph_clustering_by_degree" -> (clusteringByDegree _),
     "q_graph_lang_assortativity" -> (langAssortativity _),
+    "q_graph_knn_curve" -> (graphKnnCurve _),
     "q_graph_eff_diameter" -> (effDiameter _),
     "q_graph_landmarks" -> (landmarkBfs _),
     "q_graph_closeness" -> (landmarkCloseness _),
@@ -1657,6 +1698,35 @@ object GraphOps {
         |d AS (SELECT lm, node, MIN(hop) AS hop FROM walk GROUP BY lm, node)
         |SELECT lm, hop, COUNT(*) AS n_nodes
         |FROM d GROUP BY lm, hop ORDER BY lm, hop""".stripMargin,
+    "q_graph_knn_curve" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |sym AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |deg AS (
+        |  SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM sym GROUP BY a),
+        |ends AS (
+        |  SELECT da.deg AS k, CAST(COUNT(*) AS BIGINT) AS n_ends,
+        |    SUM(CAST(db.deg AS HUGEINT)) AS skb
+        |  FROM sym JOIN deg da ON sym.a = da.node
+        |    JOIN deg db ON sym.b = db.node
+        |  GROUP BY da.deg),
+        |nn AS (
+        |  SELECT deg AS k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        |  FROM deg GROUP BY deg)
+        |SELECT nn.k AS k, nn.n_nodes,
+        |  CAST((skb * 1000000) // n_ends AS BIGINT) AS knn_ppm
+        |FROM nn JOIN ends ON nn.k = ends.k
+        |ORDER BY nn.k""".stripMargin,
     "q_graph_lang_assortativity" ->
       """WITH base AS MATERIALIZED (
         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset

@@ -319,7 +319,43 @@ object ImpactOps {
       .orderBy("lang")
   }
 
+  /** #506 Dedup savings by LENGTH band: the #384 canonical-dedup ledger
+    * resolved over power-of-two document-length bands (band =
+    * bit-length of n_chars — an EXACT integer log2 via the binary
+    * string, mirrored; log2()+floor would tie-break differently across
+    * libm at exact powers). WHY next to #384: the language ledger says
+    * WHO loses mass, not at what SHAPE — savings concentrated in short
+    * bands mean template/boilerplate near-dups (a cheap length-gated
+    * pre-filter captures most of the win before any MinHash runs);
+    * savings in long bands mean mirrored articles (LSH is load-bearing
+    * and the pre-filter buys nothing). The first number to read before
+    * sizing the #172 LSH stage at 100×. Zero-length docs excluded both
+    * engines (bin(0) has no band). One doc-grain join + one
+    * |bands|-bounded aggregate; two truncating ppm readouts.
+    */
+  def dedupLengthProfile(s: SparkSession, dir: String): DataFrame = {
+    val kept = PipelineOps.dedupCanonical(s, dir)
+      .select(col("doc_id"), col("is_kept"))
+    Tables.documents(s, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"),
+        length(bin(col("n_chars"))).cast("long").as("band"))
+      .join(kept, Seq("doc_id"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_kept") === 0, 1L).otherwise(0L)).as("n_dropped"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(when(col("is_kept") === 0, col("n_chars")).otherwise(lit(0L)))
+          .as("chars_dropped"))
+      .select(col("band"), col("n_docs"), col("n_dropped"),
+        col("chars_total"), col("chars_dropped"),
+        expr("(n_dropped * 1000000) div n_docs").as("drop_ppm"),
+        expr("(chars_dropped * 1000000) div chars_total").as("savings_ppm"))
+      .orderBy("band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_length_profile" -> (dedupLengthProfile _),
     "q_event_shapley" -> (eventShapley _),
     "q_sample_neyman" -> (sampleNeyman _),
     "q_embed_matryoshka" -> (embedMatryoshka _),
@@ -501,6 +537,27 @@ object ImpactOps {
          |SELECT * FROM (
          |$branches)
          |ORDER BY rule""".stripMargin
+    },
+    "q_dedup_length_profile" -> {
+      val canonical = PipelineOps.oracles("q_dedup_canonical")
+      s"""WITH kept AS (SELECT doc_id, is_kept FROM ($canonical)),
+         |d AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(length(bin(n_chars)) AS BIGINT) AS band
+         |  FROM documents WHERE n_chars > 0),
+         |a AS (
+         |  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN k.is_kept = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dropped,
+         |    CAST(SUM(d.n_chars) AS BIGINT) AS chars_total,
+         |    CAST(SUM(CASE WHEN k.is_kept = 0 THEN d.n_chars ELSE 0 END)
+         |      AS BIGINT) AS chars_dropped
+         |  FROM d JOIN kept k USING (doc_id)
+         |  GROUP BY band)
+         |SELECT band, n_docs, n_dropped, chars_total, chars_dropped,
+         |  (n_dropped * 1000000) // n_docs AS drop_ppm,
+         |  (chars_dropped * 1000000) // chars_total AS savings_ppm
+         |FROM a ORDER BY band""".stripMargin
     },
     "q_dedup_savings" -> {
       val canonical = PipelineOps.oracles("q_dedup_canonical")

@@ -290,6 +290,54 @@ object IndicatorOps {
       .orderBy("event_type")
   }
 
+  /** #507 Chaikin volatility per event type: the 8-day dyadic EMA of
+    * the daily high−low range, and its 7-day rate of change in ppm —
+    * volatility ACCELERATION, where the #459/#462/#463 family reports
+    * volatility LEVEL: Chaikin spiking while GK/Parkinson are still
+    * mid-band is the early-warning shape (range expanding fast off a
+    * low base) that a static threshold misses, and the classic
+    * divergence read against OBV (#341) closes the volume/volatility
+    * indicator pair. WHY an EMA of the RAW range (not ln): the ROC
+    * readout is scale-free, so the exact integer range needs no log
+    * staging at all — the whole pipeline is integer arithmetic.
+    *
+    * Exactness: daily H/L are exact micro ints from the #459 OHLC
+    * pass; the EMA is the house truncated dyadic 8-lag form (#369's
+    * construction — weights 2⁷..2⁰ over available lags, exact rational
+    * floored ONCE via div); the ROC is ONE ppm division, NULL until
+    * the 7-day lag exists and when the lagged EMA is 0 (mirrored
+    * CASE). Scale: one |types|×|days| window+agg pass; both windows
+    * ride the same event_type partitioning, no extra shuffle.
+    */
+  def winChaikin(s: SparkSession, dir: String): DataFrame = {
+    val day = date_trunc("day", col("ts"))
+    val base = Tables.events(s, dir)
+      .select(col("event_type"), day.as("day"),
+        floor(col("value") * 1e6).cast("long").as("m"))
+      .groupBy("event_type", "day")
+      .agg((max(col("m")) - min(col("m"))).as("r"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val terms = (0 until 8).map { j =>
+      val v = if (j == 0) col("r") else lag(col("r"), j).over(w)
+      val wt = 1L << (7 - j)
+      (coalesce(v.cast(DecimalType(38, 0)) * wt,
+        lit(0L).cast(DecimalType(38, 0))),
+        when(v.isNotNull, lit(wt)).otherwise(lit(0L)))
+    }
+    base
+      .withColumn("en", terms.map(_._1).reduce(_ + _))
+      .withColumn("ed", terms.map(_._2).reduce(_ + _))
+      .withColumn("ema_r", expr("cast(en div ed as long)"))
+      .withColumn("e7", lag(col("ema_r"), 7).over(w))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("r").as("range_micro"), col("ema_r").as("ema_range_micro"),
+        expr("CASE WHEN e7 > 0 THEN " +
+          "cast(((ema_r - e7) * 1000000) div e7 as long) END")
+          .as("chaikin_ppm"))
+      .orderBy("event_type", "day")
+  }
+
   /** #462 Parkinson range-based volatility per event type over the
     * daily high/low of the event-value series: σ²_P = mean ln²(H/L) /
     * (4·ln 2) — the oldest and simplest of the range estimators
@@ -466,6 +514,7 @@ object IndicatorOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_chaikin" -> (winChaikin _),
     "q_win_parkinson" -> (winParkinson _),
     "q_win_rogers_satchell" -> (winRogersSatchell _),
     "q_win_amihud" -> (winAmihud _),
@@ -624,6 +673,43 @@ object IndicatorOps {
         |  CAST(CASE WHEN semidev_micro > 0 THEN
         |    mean_r_nano // semidev_micro END AS BIGINT) AS sortino_milli
         |FROM sel ORDER BY event_type""".stripMargin,
+    "q_win_chaikin" -> {
+      def ema8(src: String): String = {
+        val over = "OVER (PARTITION BY event_type ORDER BY day)"
+        val nums = (0 until 8).map { j =>
+          val v = if (j == 0) src else s"LAG($src, $j) $over"
+          s"COALESCE(CAST($v AS HUGEINT) * ${1L << (7 - j)}, 0)"
+        }.mkString(" + ")
+        val dens = (0 until 8).map { j =>
+          val v = if (j == 0) src else s"LAG($src, $j) $over"
+          s"(CASE WHEN $v IS NOT NULL THEN ${1L << (7 - j)} ELSE 0 END)"
+        }.mkString(" + ")
+        s"$nums AS en, $dens AS ed"
+      }
+      s"""WITH base AS (
+         |  SELECT event_type, date_trunc('day', ts) AS day,
+         |    CAST(floor(value * 1e6) AS BIGINT) AS m
+         |  FROM events),
+         |rng AS (
+         |  SELECT event_type, day, CAST(MAX(m) - MIN(m) AS BIGINT) AS r
+         |  FROM base GROUP BY event_type, day),
+         |e AS (
+         |  SELECT event_type, day, r, ${ema8("r")}
+         |  FROM rng),
+         |s AS (
+         |  SELECT event_type, day, r,
+         |    CAST(en // ed AS BIGINT) AS ema_r
+         |  FROM e),
+         |f AS (
+         |  SELECT event_type, day, r, ema_r,
+         |    LAG(ema_r, 7) OVER (PARTITION BY event_type ORDER BY day) AS e7
+         |  FROM s)
+         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+         |  r AS range_micro, ema_r AS ema_range_micro,
+         |  CASE WHEN e7 > 0 THEN
+         |    CAST(((ema_r - e7) * 1000000) // e7 AS BIGINT) END AS chaikin_ppm
+         |FROM f ORDER BY event_type, day""".stripMargin
+    },
     "q_win_garman_klass" ->
       """WITH base AS (
         |  SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,

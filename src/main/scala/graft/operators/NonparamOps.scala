@@ -385,6 +385,56 @@ object NonparamOps {
         (abs(col("z_milli")) > 1960L).as("trend_significant_05"))
   }
 
+  /** #501 Somers' D (with Goodman-Kruskal gamma alongside) for the
+    * ordinal priority → quantity association: D_yx = (C − D)/(C + D +
+    * T_y) over all cross-priority lineitem pairs — concordant,
+    * discordant, and response-tied pair masses assembled EXACTLY from
+    * the same ≤ 5·50-cell (priority, quantity) grid as #475. WHY next
+    * to #475: Jonckheere answers "IS there an ordered shift" (a test);
+    * Somers' D is the EFFECT SIZE that survives the answer — the
+    * probability-scale asymmetric association (predictor = priority,
+    * response = quantity) a mixture designer reports once JT rejects,
+    * and gamma is its tie-agnostic companion (the two bracketing how
+    * much the tie mass dilutes the signal).
+    *
+    * Exactness: every pair mass is Σ c_a·c_b with the first factor
+    * staged through DECIMAL(38,0) (HUGEINT in the twin — C ~ N²/4
+    * wraps int64 past ~6e9 lines); the two readouts are ONE truncating
+    * ppm division each, CASE-guarded for the degenerate single-group /
+    * all-tied corpus (NULL, mirrored). Counts emit as BIGINT —
+    * documented envelope: exact to ~9e18 pairs, i.e. ~4e9 lines.
+    * Scale: one join + grid aggregate is the corpus-sized work; the
+    * pair algebra runs on the ≤250-row grid's broadcast self-join.
+    */
+  def somersD(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("okey"),
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("sg"))
+    val cells = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("okey"),
+        col("l_quantity").cast("long").as("q"))
+      .join(g, Seq("okey"))
+      .groupBy("sg", "q").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    cells.as("a")
+      .join(broadcast(cells.as("b")), col("a.sg") < col("b.sg"))
+      .select((col("a.c").cast(dec) * col("b.c")).as("w"),
+        col("a.q").as("qa"), col("b.q").as("qb"))
+      .groupBy(lit(1).as("gg"))
+      .agg(sum(when(col("qa") < col("qb"), col("w"))).as("nc"),
+        sum(when(col("qa") > col("qb"), col("w"))).as("nd"),
+        sum(when(col("qa") === col("qb"), col("w"))).as("ty"))
+      .select(col("nc").cast("long").as("concordant"),
+        col("nd").cast("long").as("discordant"),
+        col("ty").cast("long").as("ties_y"),
+        expr("CASE WHEN nc + nd + ty > 0 THEN " +
+          "cast(((nc - nd) * 1000000) div (nc + nd + ty) as long) END")
+          .as("somers_d_ppm"),
+        expr("CASE WHEN nc + nd > 0 THEN " +
+          "cast(((nc - nd) * 1000000) div (nc + nd) as long) END")
+          .as("gamma_ppm"))
+  }
+
   /** #476 Chow structural-break test on the daily-revenue trend OLS at
     * the calendar midpoint (h = N div 2): F = ((SSE_pooled − SSE₁ −
     * SSE₂)/2) / ((SSE₁+SSE₂)/(N−4)) — did the level/slope regime
@@ -609,6 +659,57 @@ object NonparamOps {
       .select("n_days", "b_ppm", "phi_ppm", "halflife_milli")
   }
 
+  /** #502 ARCH(1) LM test on the daily ln-revenue returns: is today's
+    * squared return predicted by yesterday's — volatility CLUSTERING —
+    * LM = n·R² of the lag-1 regression of y_t = r²_t on y_{t−1}, χ²₁
+    * 5% flag at 3.841 (Engle 1982, one lag). WHY next to the vol
+    * family: #462/#459/#463 ESTIMATE per-day volatility and #492 times
+    * mean reversion of the LEVEL; none asks whether variance itself is
+    * autocorrelated — the property that decides if a constant-variance
+    * anomaly threshold (#312 z-scores, #327 ATR bands) is even valid.
+    * LM rejecting says thresholds must be conditional (EWVAR #391).
+    *
+    * Exactness: r_t = ⌊ln v_t·10⁹⌋ − ⌊ln v_{t−1}·10⁹⌋ (exact integer
+    * difference of house nano-lns); y = (r·r) div 10⁶ exact (re-staged
+    * through DECIMAL before the square — nano r² wraps int64); the six
+    * regression sums are pure DECIMAL; R² is ONE mirrored double chain
+    * (HUGEINTs through VARCHAR in the twin), NULL-guarded for
+    * zero-variance series. Scale: calendar-bounded — the day aggregate
+    * is the only corpus-sized job; one lag window above it.
+    */
+  def tsArchLm(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg((sum(Det.money(col("o_totalprice"))) * 100).cast("long").as("v"))
+      .filter(col("v") > 0)
+    val w = Window.orderBy("day")
+    daily
+      .withColumn("lnv", floor(log(col("v").cast("double")) * 1e9).cast("long"))
+      .withColumn("r", col("lnv") - lag(col("lnv"), 1).over(w))
+      .filter(col("r").isNotNull)
+      .withColumn("y", expr("(cast(r as decimal(38,0)) * r) div 1000000"))
+      .withColumn("x", lag(col("y"), 1).over(w))
+      .filter(col("x").isNotNull)
+      .groupBy(lit(1).as("g"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"),
+        sum(col("y").cast(dec) * col("y")).as("syy"))
+      .select(col("m").as("n_pairs"),
+        (col("m").cast(dec) * col("sxy") - col("sx") * col("sy")).as("cnum"),
+        (col("m").cast(dec) * col("sxx") - col("sx") * col("sx")).as("vx"),
+        (col("m").cast(dec) * col("syy") - col("sy") * col("sy")).as("vy"),
+        col("m"))
+      .withColumn("lm_milli",
+        expr("CASE WHEN vx > 0 AND vy > 0 THEN " +
+          "cast(floor(cast(cnum as double) * cast(cnum as double) / " +
+          "(cast(vx as double) * cast(vy as double)) * m * 1000) as bigint) " +
+          "END"))
+      .select(col("n_pairs"), col("lm_milli"),
+        (col("lm_milli") > 3841L).as("arch_effect_05"))
+  }
+
   /** #495 Welch's ANOVA on lineitem quantity across the three return
     * flags: the unequal-variance k-group test #226's classic ANOVA
     * assumes away (and #321 Levene only GATES on) — weights w_j =
@@ -686,9 +787,11 @@ object NonparamOps {
     "q_stats_welch_anova" -> (welchAnova _),
     "q_stats_median_ci" -> (medianCi _),
     "q_ts_halflife" -> (tsHalflife _),
+    "q_ts_arch_lm" -> (tsArchLm _),
     "q_stats_mantel_haenszel" -> (mantelHaenszel _),
     "q_stats_cohens_h" -> (cohensH _),
     "q_stats_jonckheere" -> (jonckheere _),
+    "q_stats_somers_d" -> (somersD _),
     "q_ts_chow" -> (chow _),
     "q_stats_wilcoxon_signed" -> (wilcoxonSigned _),
     "q_stats_pettitt" -> (pettitt _),
@@ -838,6 +941,45 @@ object NonparamOps {
          |SELECT n_days, l_rank, u_rank, ci_lo, ci_hi,
          |  CAST((med_lo + med_hi) // 2 AS BIGINT) AS median_cents
          |FROM f""".stripMargin,
+    "q_ts_arch_lm" ->
+      s"""WITH $DailyRevSql,
+         |lnv AS (
+         |  SELECT day,
+         |    CAST(FLOOR(LN(CAST(v AS DOUBLE)) * 1e9) AS BIGINT) AS lnv
+         |  FROM daily WHERE v > 0),
+         |r AS (
+         |  SELECT lnv - LAG(lnv) OVER (ORDER BY day) AS r, day
+         |  FROM lnv),
+         |yv AS (
+         |  SELECT day,
+         |    CAST((CAST(r AS HUGEINT) * r) // 1000000 AS BIGINT) AS y
+         |  FROM r WHERE r IS NOT NULL),
+         |p AS (
+         |  SELECT LAG(y) OVER (ORDER BY day) AS x, y FROM yv),
+         |a AS (
+         |  SELECT 1 AS g, CAST(COUNT(*) AS BIGINT) AS m,
+         |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         |    SUM(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM p WHERE x IS NOT NULL GROUP BY g),
+         |b AS (
+         |  SELECT m AS n_pairs, m,
+         |    CAST(m AS HUGEINT) * sxy - sx * sy AS cnum,
+         |    CAST(m AS HUGEINT) * sxx - sx * sx AS vx,
+         |    CAST(m AS HUGEINT) * syy - sy * sy AS vy
+         |  FROM a),
+         |s AS (
+         |  SELECT n_pairs,
+         |    CASE WHEN vx > 0 AND vy > 0 THEN
+         |      CAST(FLOOR(CAST(CAST(cnum AS VARCHAR) AS DOUBLE) *
+         |        CAST(CAST(cnum AS VARCHAR) AS DOUBLE) /
+         |        (CAST(CAST(vx AS VARCHAR) AS DOUBLE) *
+         |         CAST(CAST(vy AS VARCHAR) AS DOUBLE)) * m * 1000) AS BIGINT)
+         |    END AS lm_milli
+         |  FROM b)
+         |SELECT n_pairs, lm_milli, lm_milli > 3841 AS arch_effect_05
+         |FROM s""".stripMargin,
     "q_ts_halflife" ->
       s"""WITH $DailyRevSql,
          |lg AS (
@@ -910,6 +1052,30 @@ object NonparamOps {
          |SELECT n1, x1, n2, x2, h_milli,
          |  abs(h_milli) >= 200 AS at_least_small_effect
          |FROM s""".stripMargin,
+    "q_stats_somers_d" ->
+      """WITH li AS (
+        |  SELECT CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS sg,
+        |    CAST(l.l_quantity AS BIGINT) AS q
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |cells AS MATERIALIZED (
+        |  SELECT sg, q, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY sg, q),
+        |p AS (
+        |  SELECT 1 AS gg,
+        |    SUM(CASE WHEN a.q < b.q THEN CAST(a.c AS HUGEINT) * b.c END) AS nc,
+        |    SUM(CASE WHEN a.q > b.q THEN CAST(a.c AS HUGEINT) * b.c END) AS nd,
+        |    SUM(CASE WHEN a.q = b.q THEN CAST(a.c AS HUGEINT) * b.c END) AS ty
+        |  FROM cells a JOIN cells b ON a.sg < b.sg
+        |  GROUP BY gg)
+        |SELECT CAST(nc AS BIGINT) AS concordant,
+        |  CAST(nd AS BIGINT) AS discordant,
+        |  CAST(ty AS BIGINT) AS ties_y,
+        |  CASE WHEN nc + nd + ty > 0 THEN
+        |    CAST(((nc - nd) * 1000000) // (nc + nd + ty) AS BIGINT) END
+        |    AS somers_d_ppm,
+        |  CASE WHEN nc + nd > 0 THEN
+        |    CAST(((nc - nd) * 1000000) // (nc + nd) AS BIGINT) END
+        |    AS gamma_ppm
+        |FROM p""".stripMargin,
     "q_stats_jonckheere" ->
       """WITH li AS (
         |  SELECT CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS sg,

@@ -59,6 +59,9 @@ class GlobalWindowSpec extends AnyFunSuite with SparkFixture {
     // r17: median CI ranks / AR(1) lag / Chow's index+segment windows —
     // all above the day aggregate
     "q_stats_median_ci", "q_ts_halflife", "q_ts_chow",
+    // r18: ARCH LM — two lag windows above the day aggregate (the
+    // q_ts_halflife carrier, calendar-bounded)
+    "q_ts_arch_lm",
     // r17: Zipf GOF — rank/cum windows above the LIMIT 100 relation
     "q_text_zipf_gof",
     "q_ts_gapfill", "q_ts_granger", "q_ts_kpss", "q_ts_ljung_box",

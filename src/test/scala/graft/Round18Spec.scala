@@ -160,6 +160,219 @@ class Round18Spec extends AnyFunSuite with SparkFixture {
       "non-degenerate sources keep their readouts")
   }
 
+  // ---- 2b. r18 new-operator exact driver replays -----------------------
+
+  /** Daily revenue in exact integer cents, sorted by ISO day — the
+    * Round17Spec replay carrier, reused for ARCH LM / Lomb-Scargle.
+    */
+  private lazy val dailyDays: Seq[(String, BigInt)] = Tables.orders(spark, sfDir)
+    .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+    .collect()
+    .map { r =>
+      val cents = new java.math.BigDecimal(
+          java.lang.Double.toString(r.getAs[Number](1).doubleValue))
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).toBigIntegerExact()
+      (r.getDate(0).toString, BigInt(cents))
+    }
+    .groupBy(_._1).toSeq.sortBy(_._1)
+    .map { case (d, xs) => (d, xs.map(_._2).sum) }
+
+  private lazy val prioCells: Map[(Long, Long), Long] = {
+    val pri = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).substring(0, 1).toLong).toMap
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity")).collect()
+      .map(r => (pri(r.getLong(0)), r.getDouble(1).toLong))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+  }
+
+  test("Somers' D matches an exact driver replay") {
+    var (nc, nd, ty) = (BigInt(0), BigInt(0), BigInt(0))
+    for (((sga, qa), ca) <- prioCells; ((sgb, qb), cb) <- prioCells
+         if sga < sgb) {
+      val w = BigInt(ca) * cb
+      if (qa < qb) nc += w else if (qa > qb) nd += w else ty += w
+    }
+    val r = operators.NonparamOps.somersD(spark, sfDir).collect()
+    assert(r.length === 1)
+    assert(BigInt(r(0).getLong(0)) === nc)
+    assert(BigInt(r(0).getLong(1)) === nd)
+    assert(BigInt(r(0).getLong(2)) === ty)
+    assert(BigInt(r(0).getLong(3)) === (nc - nd) * 1000000 / (nc + nd + ty))
+    assert(BigInt(r(0).getLong(4)) === (nc - nd) * 1000000 / (nc + nd))
+  }
+
+  test("ARCH LM matches an exact driver replay (shared libm)") {
+    val lnv = dailyDays.map(_._2).filter(_ > 0)
+      .map(v => BigInt(math.floor(math.log(v.toDouble) * 1e9).toLong))
+    val rr = lnv.zip(lnv.tail).map { case (a, b) => b - a }
+    val y = rr.map(r => (r * r) / 1000000)
+    val xy = y.zip(y.tail) // (x = lagged, y = current)
+    val m = xy.length
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val syy = xy.map(p => p._2 * p._2).sum
+    val cnum = m * sxy - sx * sy
+    val vx = m * sxx - sx * sx; val vy = m * syy - sy * sy
+    val lm = math.floor(cnum.toDouble * cnum.toDouble /
+      (vx.toDouble * vy.toDouble) * m * 1000).toLong
+    val r = operators.NonparamOps.tsArchLm(spark, sfDir).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(0) === m.toLong, "n_pairs")
+    assert(r(0).getLong(1) === lm, "lm_milli")
+    assert(r(0).getBoolean(2) === (lm > 3841L))
+  }
+
+  test("vocab richness matches an exact driver replay (shared libm)") {
+    val bySource = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(r.getString(0) -> _))
+      .groupBy(_._1)
+    val expect = bySource.map { case (src, toks) =>
+      val freq = toks.map(_._2).groupBy(identity).map(_._2.length)
+      val n = BigInt(toks.length); val v = BigInt(freq.size)
+      val v1 = BigInt(freq.count(_ == 1)); val v2 = BigInt(freq.count(_ == 2))
+      val lnN = BigInt(math.floor(math.log(n.toDouble) * 1e9).toLong)
+      val honore = if (v > v1) Some((100 * lnN * v / ((v - v1) * 1000000)).toLong)
+        else None
+      src -> (n.toLong, v.toLong, v1.toLong, v2.toLong, honore,
+        (v2 * 1000000 / v).toLong)
+    }
+    operators.CorpusOps.textVocabRichness(spark, sfDir).collect().foreach { r =>
+      val e = expect(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+        ((e._1, e._2, e._3, e._4)), r.getString(0))
+      assert((if (r.isNullAt(5)) None else Some(r.getLong(5))) === e._5)
+      assert(r.getLong(6) === e._6)
+    }
+  }
+
+  test("effective rank matches an exact driver replay") {
+    val vecs = Tables.embeddings(spark, sfDir).collect()
+      .map(_.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6).toLong))
+    val dim = vecs.head.length
+    val n = BigInt(vecs.length)
+    val sd = Array.tabulate(dim)(d => BigInt(vecs.map(_(d)).sum))
+    var tr = BigInt(0); var fro = BigInt(0)
+    for (a <- 0 until dim; b <- 0 until dim) {
+      val sxy = vecs.map(v => BigInt(v(a)) * v(b)).sum
+      val g = (n * sxy - sd(a) * sd(b)) / 1000000
+      if (a == b) tr += g
+      fro += g * g
+    }
+    val pr = math.floor(tr.toDouble * tr.toDouble / fro.toDouble * 1000).toLong
+    val r = operators.ClusterOps.embedEffRank(spark, sfDir).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(0) === dim.toLong)
+    assert(r(0).getLong(1) === pr)
+    assert(r(0).getLong(2) === pr * 1000 / dim)
+  }
+
+  test("knn(k) curve matches an exact replay over the derived edge list") {
+    val edges = operators.DedupOps.materializedEdges(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = edges ++ edges.map(e => (e._2, e._1))
+    val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val byK = sym.groupBy(e => deg(e._1))
+    val expect = byK.map { case (k, ends) =>
+      val skb = ends.map(e => BigInt(deg(e._2))).sum
+      k -> (deg.values.count(_ == k).toLong, (skb * 1000000 / ends.length).toLong)
+    }
+    val got = operators.GraphOps.graphKnnCurve(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expect)
+  }
+
+  test("dedup length profile matches an exact replay over canonical keeps") {
+    val kept = operators.PipelineOps.dedupCanonical(spark, sfDir)
+      .select(col("doc_id"), col("is_kept")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(_._2 > 0)
+    val expect = docs.groupBy(d => (64 - java.lang.Long.numberOfLeadingZeros(d._2)).toLong)
+      .map { case (band, ds) =>
+        val nd = ds.count(d => kept(d._1) == 0L).toLong
+        val ct = ds.map(_._2).sum
+        val cd = ds.filter(d => kept(d._1) == 0L).map(_._2).sum
+        band -> (ds.length.toLong, nd, ct, cd,
+          nd * 1000000L / ds.length, cd * 1000000L / ct)
+      }
+    val got = operators.ImpactOps.dedupLengthProfile(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got === expect)
+  }
+
+  test("Chaikin volatility matches an exact driver replay") {
+    val byType = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"), col("value")).collect()
+      .map { r =>
+        (r.getString(0), r.getTimestamp(1).getTime / 86400000L,
+          math.floor(r.getDouble(2) * 1e6).toLong)
+      }
+      .groupBy(_._1)
+    val expect = byType.flatMap { case (tp, rows) =>
+      val days = rows.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (d, xs) =>
+          (d, BigInt(xs.map(_._3).max - xs.map(_._3).min)) }
+      val emas = days.indices.map { i =>
+        val lags = (0 until 8).filter(_ <= i)
+        val en = lags.map(j => days(i - j)._2 * (1L << (7 - j))).sum
+        val ed = lags.map(j => BigInt(1L << (7 - j))).sum
+        en / ed
+      }
+      days.indices.map { i =>
+        val ch = if (i >= 7 && emas(i - 7) > 0)
+          Some(((emas(i) - emas(i - 7)) * 1000000 / emas(i - 7)).toLong)
+        else None
+        (tp, days(i)._1) -> (days(i)._2.toLong, emas(i).toLong, ch)
+      }
+    }
+    operators.IndicatorOps.winChaikin(spark, sfDir).collect().foreach { r =>
+      val day = java.time.LocalDate.parse(r.getString(1)).toEpochDay
+      val e = expect((r.getString(0), day))
+      assert(r.getLong(2) === e._1, s"range ${r.getString(0)} $day")
+      assert(r.getLong(3) === e._2, s"ema ${r.getString(0)} $day")
+      assert((if (r.isNullAt(4)) None else Some(r.getLong(4))) === e._3)
+    }
+  }
+
+  test("Lomb-Scargle matches an exact driver replay (shared libm)") {
+    val days = dailyDays.map { case (d, v) =>
+      (java.time.LocalDate.parse(d).toEpochDay, v) }
+    val d0 = days.map(_._1).min
+    val span = (days.map(_._1).max - d0 + 1).toDouble
+    val nd = BigInt(days.length)
+    val got = operators.SeriesOps.tsLombScargle(spark, sfDir).collect()
+    assert(got.length === 8)
+    got.foreach { r =>
+      val k = r.getAs[Number](0).longValue
+      val sc2 = days.map { case (d, _) =>
+        BigInt(math.floor(math.cos(4 * math.Pi * k * (d - d0) / span) * 1e9).toLong) }.sum
+      val ss2 = days.map { case (d, _) =>
+        BigInt(math.floor(math.sin(4 * math.Pi * k * (d - d0) / span) * 1e9).toLong) }.sum
+      val theta = math.atan2(ss2.toDouble, sc2.toDouble)
+      val ab = days.map { case (d, v) =>
+        val arg = 2 * math.Pi * k * (d - d0) / span - theta / 2
+        (v, BigInt(math.floor(math.cos(arg) * 1e9).toLong),
+          BigInt(math.floor(math.sin(arg) * 1e9).toLong))
+      }
+      val mva = ab.map(t => t._1 * t._2).sum / nd
+      val mvb = ab.map(t => t._1 * t._3).sum / nd
+      val maa = ab.map(t => t._2 * t._2).sum / nd
+      val mbb = ab.map(t => t._3 * t._3).sum / nd
+      val power = math.floor(0.5 * (mva.toDouble * mva.toDouble / maa.toDouble +
+        mvb.toDouble * mvb.toDouble / mbb.toDouble)).toLong
+      assert(r.getLong(1) === days.length.toLong, s"n_days k=$k")
+      assert(r.getLong(2) === math.floor(theta * 1000).toLong, s"theta k=$k")
+      assert(r.getLong(3) === power, s"power k=$k")
+    }
+  }
+
   // ---- 3. empty-corpus zero-row contracts ------------------------------
 
   test("splitUniformity and AD audit emit zero rows on an empty corpus") {

@@ -950,8 +950,14 @@ class SearchClusterSpec extends AnyFunSuite with SparkFixture {
         r.getSeq[Float](1).map(f => math.floor(f.toDouble * 1e6).toLong)))
     def d(a: Seq[Long], b: Seq[Long]): Long =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // r18: fixed 64-anchor md5-order draw (was the proportional %25 slice)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val anchorIds = vecs.map(_._1)
+      .sortBy(id => (md5hex(s"hub:$id"), id)).take(64).toSet
     val hits = collection.mutable.Map.empty[Long, Long]
-    vecs.filter(_._1 % 25 == 0).foreach { case (aid, aq) =>
+    vecs.filter(v => anchorIds(v._1)).foreach { case (aid, aq) =>
       vecs.filter(_._1 != aid).map(v => (d(aq, v._2), v._1))
         .sorted.take(5)
         .foreach { case (_, vid) => hits(vid) = hits.getOrElse(vid, 0L) + 1 }
