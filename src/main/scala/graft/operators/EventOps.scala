@@ -710,7 +710,56 @@ object EventOps {
       .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
       .orderBy("h_bucket")
 
+  /** #513 Activity-band migration matrix across the calendar midpoint:
+    * per user, the event count in each calendar HALF (split at
+    * d₀ + span div 2 — the #476 fixed-midpoint convention, a pure
+    * corpus function), banded into exact power-of-two activity bands
+    * (band = bit-length of the count, 0 = absent — the #506 trick, no
+    * libm), then the (band_h1, band_h2) transition matrix with user
+    * counts and the row-share in ppm. WHY next to #94/#498: retention
+    * (#94) answers "did the user come back AT ALL" and user entropy
+    * (#498) profiles WHAT they do; the migration matrix is the
+    * INTENSITY answer — mass above the diagonal is a growing base,
+    * below is decay, and the (0, k)/(k, 0) edges are the
+    * acquisition/churn columns a cohort report leads with. The same
+    * matrix a training-data pipeline reads as "is the behavioral mix
+    * drifting between corpus halves".
+    *
+    * Exactness: counts and bands are exact integers; the row share is
+    * ONE truncating ppm division. Scale: one (user, half) map-side-
+    * combined aggregate → |users|-row pivot → ≤ (bands)² matrix; the
+    * calendar bounds ride one broadcast 1-row aggregate.
+    */
+  def eventSegmentMigration(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"),
+        datediff(to_date(date_trunc("day", col("ts"))), lit("1970-01-01"))
+          .cast("long").as("dd"))
+    val bounds = days.agg(min(col("dd")).as("d0"), max(col("dd")).as("d1"))
+    val halves = days.crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        when(col("dd") < col("d0") + expr("(d1 - d0 + 1) div 2"), 0L)
+          .otherwise(1L).as("half"))
+      .groupBy("user_id", "half").agg(count(lit(1)).as("c"))
+    val bands = halves.groupBy("user_id")
+      .agg(sum(when(col("half") === 0L, col("c")).otherwise(0L)).as("c1"),
+        sum(when(col("half") === 1L, col("c")).otherwise(0L)).as("c2"))
+      .select(
+        when(col("c1") > 0, length(bin(col("c1"))).cast("long"))
+          .otherwise(0L).as("band_h1"),
+        when(col("c2") > 0, length(bin(col("c2"))).cast("long"))
+          .otherwise(0L).as("band_h2"))
+    val cells = bands.groupBy("band_h1", "band_h2")
+      .agg(count(lit(1)).as("n_users"))
+    val rows = cells.groupBy("band_h1").agg(sum(col("n_users")).as("rt"))
+    cells.join(broadcast(rows), Seq("band_h1"))
+      .select(col("band_h1"), col("band_h2"), col("n_users"),
+        expr("(n_users * 1000000) div rt").as("row_share_ppm"))
+      .orderBy("band_h1", "band_h2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_segment_migration" -> (eventSegmentMigration _),
     "q_event_user_entropy" -> (eventUserEntropy _),
     "q_stats_logrank" -> (statsLogrank _),
     "q_funnel_windowed" -> (funnelWindowed _),
@@ -802,6 +851,42 @@ object EventOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_event_segment_migration" ->
+      """WITH days AS (
+        |  SELECT user_id,
+        |    CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01'
+        |      AS BIGINT) AS dd
+        |  FROM events),
+        |bounds AS (
+        |  SELECT MIN(dd) AS d0, MAX(dd) AS d1 FROM days),
+        |halves AS (
+        |  SELECT user_id,
+        |    CASE WHEN dd < d0 + (d1 - d0 + 1) // 2 THEN 0 ELSE 1 END AS half
+        |  FROM days, bounds),
+        |hc AS (
+        |  SELECT user_id, half, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM halves GROUP BY user_id, half),
+        |bands AS (
+        |  SELECT
+        |    CASE WHEN c1 > 0 THEN CAST(length(bin(c1)) AS BIGINT)
+        |      ELSE 0 END AS band_h1,
+        |    CASE WHEN c2 > 0 THEN CAST(length(bin(c2)) AS BIGINT)
+        |      ELSE 0 END AS band_h2
+        |  FROM (
+        |    SELECT user_id,
+        |      CAST(SUM(CASE WHEN half = 0 THEN c ELSE 0 END) AS BIGINT) AS c1,
+        |      CAST(SUM(CASE WHEN half = 1 THEN c ELSE 0 END) AS BIGINT) AS c2
+        |    FROM hc GROUP BY user_id)),
+        |cells AS (
+        |  SELECT band_h1, band_h2, CAST(COUNT(*) AS BIGINT) AS n_users
+        |  FROM bands GROUP BY band_h1, band_h2),
+        |rt AS (
+        |  SELECT band_h1, CAST(SUM(n_users) AS BIGINT) AS rt
+        |  FROM cells GROUP BY band_h1)
+        |SELECT c.band_h1, c.band_h2, c.n_users,
+        |  (c.n_users * 1000000) // rt.rt AS row_share_ppm
+        |FROM cells c JOIN rt USING (band_h1)
+        |ORDER BY c.band_h1, c.band_h2""".stripMargin,
     "q_event_user_entropy" ->
       """WITH ct AS (
         |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c

@@ -290,6 +290,64 @@ object IndicatorOps {
       .orderBy("event_type")
   }
 
+  /** #512 Money Flow Index (14-day) per event type over daily OHLC ×
+    * event volume: typical price tp = (H+L+C) div 3, raw money flow
+    * mf = tp·n_events, direction by tp vs yesterday's tp (flat days
+    * contribute NOTHING — the standard convention, stated), MFI =
+    * positive-flow share of the trailing 14-day window in ppm, NULL
+    * until 14 direction days exist or when the window's flow is zero.
+    * WHY next to #341/#333: OBV (#341) signs raw VOLUME by close
+    * direction and RSI (#333) averages price CHANGE — MFI is the
+    * volume-WEIGHTED RSI, the overbought/oversold read that catches
+    * price moves carried by thin volume (RSI fires, MFI doesn't ⇒ the
+    * move has no mass behind it).
+    *
+    * Exactness: H/L/C exact micro ints from the #459 OHLC pass;
+    * volume = exact event count; tp ONE truncating div 3 (mirrored);
+    * mf products DECIMAL-staged; the windowed pos/neg sums are exact
+    * integer window aggregates; MFI is ONE ppm division. Scale: one
+    * |types|×|days| window+agg pass, every window on the same
+    * event_type partitioning.
+    */
+  def winMfi(s: SparkSession, dir: String): DataFrame = {
+    val day = date_trunc("day", col("ts"))
+    val base = Tables.events(s, dir)
+      .select(col("event_type"), day.as("day"), col("ts"), col("event_id"),
+        floor(col("value") * 1e6).cast("long").as("m"))
+    val wDesc = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val wSeq = Window.partitionBy("event_type").orderBy("day")
+    val w14 = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-13, Window.currentRow)
+    base
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy("event_type", "day")
+      .agg(max(col("m")).as("h"), min(col("m")).as("l"),
+        max(when(col("rn_d") === 1, col("m"))).as("c"),
+        count(lit(1)).as("vol"))
+      .withColumn("tp", expr("(h + l + c) div 3"))
+      .withColumn("ptp", lag(col("tp"), 1).over(wSeq))
+      .withColumn("mf",
+        expr("cast(tp as decimal(38,0)) * vol"))
+      .withColumn("pos",
+        when(col("ptp").isNotNull && col("tp") > col("ptp"), col("mf"))
+          .otherwise(lit(0L).cast(DecimalType(38, 0))))
+      .withColumn("neg",
+        when(col("ptp").isNotNull && col("tp") < col("ptp"), col("mf"))
+          .otherwise(lit(0L).cast(DecimalType(38, 0))))
+      .withColumn("dirn",
+        when(col("ptp").isNotNull, 1L).otherwise(0L))
+      .withColumn("sp", sum(col("pos")).over(w14))
+      .withColumn("sn", sum(col("neg")).over(w14))
+      .withColumn("nd", sum(col("dirn")).over(w14))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("tp").as("typical_micro"), col("vol").as("n_events"),
+        expr("CASE WHEN nd >= 14 AND sp + sn > 0 THEN " +
+          "cast((sp * 1000000) div (sp + sn) as long) END").as("mfi_ppm"))
+      .orderBy("event_type", "day")
+  }
+
   /** #507 Chaikin volatility per event type: the 8-day dyadic EMA of
     * the daily high−low range, and its 7-day rate of change in ppm —
     * volatility ACCELERATION, where the #459/#462/#463 family reports
@@ -515,6 +573,7 @@ object IndicatorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_chaikin" -> (winChaikin _),
+    "q_win_mfi" -> (winMfi _),
     "q_win_parkinson" -> (winParkinson _),
     "q_win_rogers_satchell" -> (winRogersSatchell _),
     "q_win_amihud" -> (winAmihud _),
@@ -673,6 +732,51 @@ object IndicatorOps {
         |  CAST(CASE WHEN semidev_micro > 0 THEN
         |    mean_r_nano // semidev_micro END AS BIGINT) AS sortino_milli
         |FROM sel ORDER BY event_type""".stripMargin,
+    "q_win_mfi" ->
+      """WITH base AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+        |    CAST(floor(value * 1e6) AS BIGINT) AS m
+        |  FROM events),
+        |rk AS (
+        |  SELECT event_type, day, m,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM base),
+        |ohlc AS (
+        |  SELECT event_type, day,
+        |    MAX(m) AS h, MIN(m) AS l,
+        |    MAX(CASE WHEN rd = 1 THEN m END) AS c,
+        |    CAST(COUNT(*) AS BIGINT) AS vol
+        |  FROM rk GROUP BY event_type, day),
+        |tp AS (
+        |  SELECT event_type, day, vol, (h + l + c) // 3 AS tp
+        |  FROM ohlc),
+        |d AS (
+        |  SELECT event_type, day, vol, tp,
+        |    LAG(tp) OVER (PARTITION BY event_type ORDER BY day) AS ptp
+        |  FROM tp),
+        |f AS (
+        |  SELECT event_type, day, tp, vol,
+        |    CASE WHEN ptp IS NOT NULL AND tp > ptp
+        |      THEN CAST(tp AS HUGEINT) * vol ELSE 0 END AS pos,
+        |    CASE WHEN ptp IS NOT NULL AND tp < ptp
+        |      THEN CAST(tp AS HUGEINT) * vol ELSE 0 END AS neg,
+        |    CASE WHEN ptp IS NOT NULL THEN 1 ELSE 0 END AS dirn
+        |  FROM d),
+        |win AS (
+        |  SELECT event_type, day, tp, vol,
+        |    SUM(pos) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS sp,
+        |    SUM(neg) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS sn,
+        |    SUM(dirn) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS nd
+        |  FROM f)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  tp AS typical_micro, vol AS n_events,
+        |  CASE WHEN nd >= 14 AND sp + sn > 0 THEN
+        |    CAST((sp * 1000000) // (sp + sn) AS BIGINT) END AS mfi_ppm
+        |FROM win ORDER BY event_type, day""".stripMargin,
     "q_win_chaikin" -> {
       def ema8(src: String): String = {
         val over = "OVER (PARTITION BY event_type ORDER BY day)"

@@ -833,6 +833,51 @@ object InferenceOps {
           .as("f_milli"))
   }
 
+  /** #509 Cochran's C variance-dominance profile across event types on
+    * the daily mass series: per type the sample variance (milli²
+    * units) and its SHARE of the summed variances, with the argmax
+    * flagged — C = max s²_j / Σ s²_j, the test statistic of Cochran's
+    * classic homogeneity check, emitted as a profile (critical values
+    * are n/k-tabulated, so the STATISTIC is the readout — stated).
+    * WHY next to #321/#320: Levene/Bartlett answer "are the variances
+    * EQUAL"; Cochran's C answers the operational follow-up — "is ONE
+    * stream carrying the instability" — the triage readout that says
+    * which event type to rate-limit or split out before the pooled
+    * monitors (#312/#391) are trustworthy.
+    *
+    * Exactness: the [[leveneBF]] milli-unit staging (daily micro mass
+    * div 1000 — the s²·10³ quotient wraps int64 in micro past ~10³
+    * days; milli keeps headroom to ~10⁶); per-type n, Σx, Σx² exact;
+    * s2_m2 = (n·Σx² − (Σx)²)·1000 div (n(n−1)) ONE truncating
+    * division per type row; shares ONE ppm division over the
+    * DECIMAL-staged milli values. Scale: one map-side-combined type
+    * aggregate over the calendar-bounded daily relation; the share
+    * algebra runs on |types| rows against a broadcast 1-row total.
+    */
+  def cochranC(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("xm"))
+      .select(col("event_type"), expr("xm div 1000").as("x"))
+    val g = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("qx"))
+      .filter(col("n") > 1)
+      .withColumn("s2_m2",
+        expr("cast(((n * qx - sx * sx) * 1000) div (n * (n - 1)) as long)"))
+    val tot = g.agg(
+      sum(col("s2_m2").cast(DecimalType(38, 0))).as("s2_all"),
+      max(col("s2_m2")).as("s2_max"))
+    g.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n").as("n_days"), col("s2_m2"),
+        expr("CASE WHEN s2_all > 0 THEN " +
+          "cast((cast(s2_m2 as decimal(38,0)) * 1000000) div s2_all as long) " +
+          "END").as("share_ppm"),
+        (col("s2_m2") === col("s2_max")).as("is_max"))
+      .orderBy("event_type")
+  }
+
   /** #349 Kendall's W (coefficient of concordance) across event types
     * over the shared daily calendar: do the k types agree on WHICH
     * days are big? — the multi-judge rank-agreement statistic (types
@@ -1424,6 +1469,7 @@ object InferenceOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_cochran_c" -> (cochranC _),
     "q_stats_hodges_lehmann" -> (hodgesLehmann _),
     "q_stats_ad_2sample" -> (adTwoSample _),
     "q_stats_cliffs_delta" -> (cliffsDelta _),
@@ -1961,6 +2007,32 @@ object InferenceOps {
         |SELECT type_a, type_b, na, nb, diff_micro, q2_obs_milli,
         |  q2_crit_milli, q2_obs_milli > q2_crit_milli AS significant_05
         |FROM r ORDER BY type_a, type_b""".stripMargin,
+    "q_stats_cochran_c" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) // 1000
+        |      AS x
+        |  FROM events GROUP BY event_type, date_trunc('day', ts)),
+        |g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx,
+        |    SUM(CAST(x AS HUGEINT) * x) AS qx
+        |  FROM daily GROUP BY event_type),
+        |v AS (
+        |  SELECT event_type, n,
+        |    CAST(((n * qx - sx * sx) * 1000) // (n * (n - 1)) AS BIGINT)
+        |      AS s2_m2
+        |  FROM g WHERE n > 1),
+        |t AS (
+        |  SELECT SUM(CAST(s2_m2 AS HUGEINT)) AS s2_all,
+        |    MAX(s2_m2) AS s2_max
+        |  FROM v)
+        |SELECT event_type, n AS n_days, s2_m2,
+        |  CASE WHEN s2_all > 0 THEN
+        |    CAST((CAST(s2_m2 AS HUGEINT) * 1000000) // s2_all AS BIGINT) END
+        |    AS share_ppm,
+        |  s2_m2 = s2_max AS is_max
+        |FROM v, t ORDER BY event_type""".stripMargin,
     "q_stats_levene" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', ts) AS day,

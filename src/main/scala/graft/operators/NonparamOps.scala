@@ -710,6 +710,63 @@ object NonparamOps {
         (col("lm_milli") > 3841L).as("arch_effect_05"))
   }
 
+  /** #510 CUSUM-of-squares (Inclán–Tiao) variance-change locator on
+    * the daily ln-revenue returns: S_k = Σ_{t≤k} r²_t / Σ r², D =
+    * max_k |S_k − k/n| with the argmax day — WHERE the variance regime
+    * changed. WHY next to #502/#469: ARCH LM (#502) says variance is
+    * serially dependent, Pettitt (#469) locates a LEVEL shift
+    * rank-free; CUSUMSQ is the matching locator for a VOLATILITY
+    * break — the day a monitoring threshold (#312/#391) should be
+    * re-based from. 5% flag via the Inclán–Tiao normalization
+    * √(n/2)·D > 1.358 (asymptotic Brownian-bridge band, stated).
+    *
+    * Exactness: the #502 return staging verbatim (exact nano-ln
+    * differences, y = r² div 10⁶); the deviation is the CROSS-
+    * MULTIPLIED exact integer |cum_k·n − k·T| (the #451 pattern — no
+    * per-k division), ONE terminal ppm division, argmax day earliest
+    * on ties (the Zipf-GOF WHERE dev = max convention); the flag's
+    * √(n/2) is one mirrored double. Scale: calendar-bounded — the day
+    * aggregate is the only corpus-sized job; the cumulative window
+    * rides the bounded day relation.
+    */
+  def tsCusumSq(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg((sum(Det.money(col("o_totalprice"))) * 100).cast("long").as("v"))
+      .filter(col("v") > 0)
+    val w = Window.orderBy("day")
+    val cum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ys = daily
+      .withColumn("lnv", floor(log(col("v").cast("double")) * 1e9).cast("long"))
+      .withColumn("r", col("lnv") - lag(col("lnv"), 1).over(w))
+      .filter(col("r").isNotNull)
+      .withColumn("y", expr("(cast(r as decimal(38,0)) * r) div 1000000"))
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("cy", sum(col("y").cast(dec)).over(cum))
+      .localCheckpoint()
+    val tot = ys.agg(max(col("k")).as("n"), sum(col("y").cast(dec)).as("t"))
+    val dev = ys.crossJoin(broadcast(tot))
+      .select(col("day"), col("k"), col("n"), col("t"),
+        abs(col("cy") * col("n") - col("t") * col("k")).as("d"))
+      .localCheckpoint()
+    val dmax = dev.agg(max(col("d")).as("dm"))
+    dev.crossJoin(broadcast(dmax))
+      .filter(col("d") === col("dm"))
+      .groupBy(lit(1).as("g"))
+      .agg(max(col("n")).as("n_returns"),
+        min(col("k")).as("break_k"),
+        min(date_format(col("day"), "yyyy-MM-dd")).as("break_day"),
+        max(col("dm")).as("dm"), max(col("n")).as("n"), max(col("t")).as("t"))
+      .select(col("n_returns"), col("break_k"), col("break_day"),
+        expr("CASE WHEN t > 0 THEN " +
+          "cast((dm * 1000000) div (cast(n as decimal(38,0)) * t) as long) " +
+          "END").as("d_ppm"))
+      .withColumn("variance_break_05",
+        expr("cast(floor(sqrt(cast(n_returns as double) / 2.0) * d_ppm) " +
+          "as bigint) > 1358000"))
+  }
+
   /** #495 Welch's ANOVA on lineitem quantity across the three return
     * flags: the unequal-variance k-group test #226's classic ANOVA
     * assumes away (and #321 Levene only GATES on) — weights w_j =
@@ -788,6 +845,7 @@ object NonparamOps {
     "q_stats_median_ci" -> (medianCi _),
     "q_ts_halflife" -> (tsHalflife _),
     "q_ts_arch_lm" -> (tsArchLm _),
+    "q_ts_cusumsq" -> (tsCusumSq _),
     "q_stats_mantel_haenszel" -> (mantelHaenszel _),
     "q_stats_cohens_h" -> (cohensH _),
     "q_stats_jonckheere" -> (jonckheere _),
@@ -941,6 +999,46 @@ object NonparamOps {
          |SELECT n_days, l_rank, u_rank, ci_lo, ci_hi,
          |  CAST((med_lo + med_hi) // 2 AS BIGINT) AS median_cents
          |FROM f""".stripMargin,
+    "q_ts_cusumsq" ->
+      s"""WITH $DailyRevSql,
+         |lnv AS (
+         |  SELECT day,
+         |    CAST(FLOOR(LN(CAST(v AS DOUBLE)) * 1e9) AS BIGINT) AS lnv
+         |  FROM daily WHERE v > 0),
+         |r AS (
+         |  SELECT day, lnv - LAG(lnv) OVER (ORDER BY day) AS r
+         |  FROM lnv),
+         |yv AS (
+         |  SELECT day,
+         |    CAST((CAST(r AS HUGEINT) * r) // 1000000 AS BIGINT) AS y,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k
+         |  FROM r WHERE r IS NOT NULL),
+         |c AS (
+         |  SELECT day, k, y,
+         |    SUM(CAST(y AS HUGEINT)) OVER (ORDER BY day) AS cy,
+         |    CAST(MAX(k) OVER () AS BIGINT) AS n,
+         |    SUM(CAST(y AS HUGEINT)) OVER () AS t
+         |  FROM yv),
+         |d AS (
+         |  SELECT day, k, n, t, abs(cy * n - t * k) AS dv,
+         |    MAX(abs(cy * n - t * k)) OVER () AS dm
+         |  FROM c),
+         |a AS (
+         |  SELECT 1 AS g, CAST(MAX(n) AS BIGINT) AS n_returns,
+         |    MIN(k) AS break_k,
+         |    MIN(strftime(day, '%Y-%m-%d')) AS break_day,
+         |    MAX(dm) AS dm, MAX(n) AS n, MAX(t) AS t
+         |  FROM d WHERE dv = dm GROUP BY g),
+         |s AS (
+         |  SELECT n_returns, break_k, break_day,
+         |    CASE WHEN t > 0 THEN
+         |      CAST((dm * 1000000) // (CAST(n AS HUGEINT) * t) AS BIGINT) END
+         |      AS d_ppm
+         |  FROM a)
+         |SELECT n_returns, break_k, break_day, d_ppm,
+         |  CAST(FLOOR(SQRT(CAST(n_returns AS DOUBLE) / 2.0) * d_ppm)
+         |    AS BIGINT) > 1358000 AS variance_break_05
+         |FROM s""".stripMargin,
     "q_ts_arch_lm" ->
       s"""WITH $DailyRevSql,
          |lnv AS (

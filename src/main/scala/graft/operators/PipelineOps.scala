@@ -99,6 +99,45 @@ object PipelineOps {
       .select(col("doc_id"), col("lang"), splitCol(col("doc_id")).as("split"))
       .orderBy("doc_id")
 
+  /** #511 Split × language balance audit: Pearson χ² of independence
+    * between the #8 split assignment and the language marginal — does
+    * train/val/test preserve the language mix, or did the hash land a
+    * skewed slice? WHY next to #481/#493/#303: the uniformity audits
+    * test the HASH against U(0,1) globally and the SRM check (#303)
+    * tests the three split SIZES; neither sees a split that is the
+    * right size but the wrong COMPOSITION (val accidentally rich in
+    * one language — every per-language eval number then drifts between
+    * splits for data reasons, not model reasons). Emits the χ²
+    * statistic with dof = (splits−1)(langs−1), the #313 convention
+    * (statistic + dof; the threshold is dof-dependent and left to the
+    * reader — stated).
+    *
+    * Exactness: the #313 term discipline verbatim — exact integer
+    * cell/marginal counts feed one double term per cell, floored to
+    * nano ONCE, exact integer sum, readout rounded at 6 dp. Scale:
+    * one map-side-combined (split, lang) aggregate (≤ 3·|langs|
+    * cells); marginals broadcast back.
+    */
+  def splitBalance(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.documents(s, dir)
+      .select(col("lang"), splitCol(col("doc_id")).as("split"))
+      .groupBy("split", "lang").agg(count(lit(1)).as("o"))
+    val rowT = obs.groupBy("split").agg(sum(col("o")).as("rt"))
+    val colT = obs.groupBy("lang").agg(sum(col("o")).as("ct"))
+    val tot = obs.agg(sum(col("o")).as("n"),
+      countDistinct(col("split")).as("nsp"),
+      countDistinct(col("lang")).as("nl"))
+    obs.join(broadcast(rowT), Seq("split")).join(broadcast(colT), Seq("lang"))
+      .crossJoin(broadcast(tot))
+      .withColumn("e", (col("rt") * col("ct")).cast("double") / col("n"))
+      .withColumn("d", col("o").cast("double") - col("e"))
+      .withColumn("term_nano",
+        floor(col("d") * col("d") / col("e") * 1e9).cast("long"))
+      .agg(count(lit(1)).as("n_cells"),
+        max((col("nsp") - 1) * (col("nl") - 1)).as("dof"),
+        round(sum(col("term_nano")) / 1e9, 6).as("chi2"))
+  }
+
   /** Within-document repetition scoring — the Gopher/RefinedWeb-style
     * quality rule: fraction of duplicated 2-grams and 3-grams inside
     * each document (templated/boilerplate text scores high). Per-row
@@ -675,6 +714,7 @@ object PipelineOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_uniformity" -> (splitUniformity _),
+    "q_split_balance" -> (splitBalance _),
     "q_split_uniformity_ad" -> (splitUniformityAd _),
     "q_split_srm" -> (splitSrm _),
     "q_compaction_plan" -> (compactionPlan _),
@@ -1030,6 +1070,35 @@ object PipelineOps {
         |  round(CAST(COUNT(bg.gram) AS DOUBLE) / COUNT(*), 6) AS contamination
         |FROM cg LEFT JOIN bg USING (gram)
         |GROUP BY cg.doc_id ORDER BY doc_id""".stripMargin,
+    "q_split_balance" ->
+      """WITH a AS (
+        |  SELECT lang,
+        |    CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |         WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |obs AS (
+        |  SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM a GROUP BY split, lang),
+        |rt AS (SELECT split, CAST(SUM(o) AS BIGINT) AS rt FROM obs GROUP BY split),
+        |ct AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY lang),
+        |tot AS (
+        |  SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |    CAST(COUNT(DISTINCT split) AS BIGINT) AS nsp,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS nl
+        |  FROM obs),
+        |cell AS (
+        |  SELECT CAST(FLOOR(
+        |      (CAST(o AS DOUBLE) - CAST(rt.rt * ct.ct AS DOUBLE) / n) *
+        |      (CAST(o AS DOUBLE) - CAST(rt.rt * ct.ct AS DOUBLE) / n) /
+        |      (CAST(rt.rt * ct.ct AS DOUBLE) / n) * 1e9) AS BIGINT)
+        |      AS term_nano,
+        |    nsp, nl
+        |  FROM obs JOIN rt USING (split) JOIN ct USING (lang), tot)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  CAST(MAX((nsp - 1) * (nl - 1)) AS BIGINT) AS dof,
+        |  round(CAST(SUM(term_nano) AS DOUBLE) / 1e9, 6) AS chi2
+        |FROM cell""".stripMargin,
     "q_split_assign" ->
       """SELECT doc_id, lang,
         |  CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'

@@ -60,7 +60,11 @@ class GlobalWindowSpec extends AnyFunSuite with SparkFixture {
     // all above the day aggregate
     "q_stats_median_ci", "q_ts_halflife", "q_ts_chow",
     // r18: ARCH LM — two lag windows above the day aggregate (the
-    // q_ts_halflife carrier, calendar-bounded)
+    // q_ts_halflife carrier, calendar-bounded). CUSUMSQ carries the
+    // same calendar-bounded windows but hides them behind a
+    // localCheckpoint, so it never registers as a carrier here —
+    // its boundedness is reviewed at the operator (NonparamOps
+    // .tsCusumSq scaladoc) instead.
     "q_ts_arch_lm",
     // r17: Zipf GOF — rank/cum windows above the LIMIT 100 relation
     "q_text_zipf_gof",

@@ -373,6 +373,145 @@ class Round18Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  // ---- 2c. r18 second-batch exact driver replays -----------------------
+
+  private lazy val eventRows: Array[(String, Long, Long)] =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"), col("value")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 86400000L,
+        math.floor(r.getDouble(2) * 1e6).toLong))
+
+  test("Cochran's C profile matches an exact driver replay") {
+    val byType = eventRows.groupBy(_._1).map { case (tp, rows) =>
+      val xs = rows.groupBy(_._2).map { case (_, es) =>
+        BigInt(es.map(_._3).sum) / 1000 }.toSeq
+      val n = BigInt(xs.length)
+      val s2 = ((n * xs.map(x => x * x).sum - xs.sum * xs.sum) * 1000) /
+        (n * (n - 1))
+      tp -> (xs.length.toLong, s2)
+    }
+    val s2all = byType.values.map(_._2).sum
+    val s2max = byType.values.map(_._2).max
+    operators.InferenceOps.cochranC(spark, sfDir).collect().foreach { r =>
+      val e = byType(r.getString(0))
+      assert(r.getLong(1) === e._1)
+      assert(BigInt(r.getLong(2)) === e._2)
+      assert(BigInt(r.getLong(3)) === e._2 * 1000000 / s2all)
+      assert(r.getBoolean(4) === (e._2 == s2max))
+    }
+  }
+
+  test("CUSUM-of-squares matches an exact driver replay (shared libm)") {
+    val lnv = dailyDays.map(_._2).filter(_ > 0)
+      .map(v => BigInt(math.floor(math.log(v.toDouble) * 1e9).toLong))
+    val y = lnv.zip(lnv.tail).map { case (a, b) => ((b - a) * (b - a)) / 1000000 }
+    val n = BigInt(y.length)
+    val t = y.sum
+    val devs = y.scanLeft(BigInt(0))(_ + _).tail.zipWithIndex.map {
+      case (cy, i) => ((cy * n - t * BigInt(i + 1)).abs, i + 1) }
+    val dm = devs.map(_._1).max
+    val breakK = devs.filter(_._1 == dm).map(_._2).min
+    val dppm = (dm * 1000000) / (n * t)
+    val flag = math.floor(
+      math.sqrt(y.length.toDouble / 2.0) * dppm.toDouble).toLong > 1358000L
+    val r = operators.NonparamOps.tsCusumSq(spark, sfDir).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(0) === y.length.toLong, "n_returns")
+    assert(r(0).getLong(1) === breakK.toLong, "break_k")
+    assert(BigInt(r(0).getLong(3)) === dppm, "d_ppm")
+    assert(r(0).getBoolean(4) === flag)
+  }
+
+  test("split balance chi2 matches an exact driver replay") {
+    val cells = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang")).collect()
+      .map { r =>
+        val h = md5hex(s"split:${r.getLong(0)}").substring(0, 2)
+        val split = if (h < "cc") "train" else if (h < "e6") "val" else "test"
+        (split, r.getString(1))
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rt = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ct = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = cells.values.sum
+    val chi2nano = cells.map { case ((sp, lg), o) =>
+      val e = (rt(sp) * ct(lg)).toDouble / n
+      val d = o.toDouble - e
+      math.floor(d * d / e * 1e9).toLong
+    }.sum
+    val r = operators.PipelineOps.splitBalance(spark, sfDir).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(0) === cells.size.toLong, "n_cells")
+    assert(r(0).getLong(1) === ((rt.size - 1) * (ct.size - 1)).toLong, "dof")
+    assert(math.abs(r(0).getDouble(2) - chi2nano / 1e9) < 1e-6, "chi2")
+  }
+
+  test("MFI matches an exact driver replay") {
+    val expect = eventRows.groupBy(_._1).flatMap { case (tp, rows) =>
+      // close = value of the LAST event by (ts desc, event_id desc) —
+      // replay via the original rows with ids
+      val withIds = Tables.events(spark, sfDir)
+        .filter(col("event_type") === tp)
+        .select(col("ts"), col("event_id"), col("value")).collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1),
+          math.floor(r.getDouble(2) * 1e6).toLong))
+      val byDay = withIds.groupBy(_._1 / 86400000L).toSeq.sortBy(_._1)
+        .map { case (d, es) =>
+          val c = es.maxBy(e => (e._1, e._2))._3
+          val tp3 = (es.map(_._3).max + es.map(_._3).min + c) / 3
+          (d, tp3, es.length.toLong)
+        }
+      val dirs = byDay.indices.map { i =>
+        if (i == 0) (BigInt(0), BigInt(0), 0L)
+        else {
+          val mf = BigInt(byDay(i)._2) * byDay(i)._3
+          if (byDay(i)._2 > byDay(i - 1)._2) (mf, BigInt(0), 1L)
+          else if (byDay(i)._2 < byDay(i - 1)._2) (BigInt(0), mf, 1L)
+          else (BigInt(0), BigInt(0), 1L)
+        }
+      }
+      byDay.indices.map { i =>
+        val lo = math.max(0, i - 13)
+        val sp = (lo to i).map(dirs(_)._1).sum
+        val sn = (lo to i).map(dirs(_)._2).sum
+        val nd = (lo to i).map(dirs(_)._3).sum
+        val mfi = if (nd >= 14 && sp + sn > 0)
+          Some((sp * 1000000 / (sp + sn)).toLong) else None
+        (tp, byDay(i)._1) -> (byDay(i)._2, byDay(i)._3, mfi)
+      }
+    }
+    operators.IndicatorOps.winMfi(spark, sfDir).collect().foreach { r =>
+      val day = java.time.LocalDate.parse(r.getString(1)).toEpochDay
+      val e = expect((r.getString(0), day))
+      assert(r.getLong(2) === e._1, s"tp ${r.getString(0)} $day")
+      assert(r.getLong(3) === e._2, s"vol ${r.getString(0)} $day")
+      assert((if (r.isNullAt(4)) None else Some(r.getLong(4))) === e._3,
+        s"mfi ${r.getString(0)} $day")
+    }
+  }
+
+  test("segment migration matches an exact driver replay") {
+    val userDays = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 86400000L))
+    val d0 = userDays.map(_._2).min
+    val d1 = userDays.map(_._2).max
+    val mid = d0 + (d1 - d0 + 1) / 2
+    def band(c: Long): Long =
+      if (c > 0) 64 - java.lang.Long.numberOfLeadingZeros(c) else 0L
+    val expect = userDays.groupBy(_._1).values.map { es =>
+      (band(es.count(_._2 < mid).toLong), band(es.count(_._2 >= mid).toLong))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rowT = expect.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val got = operators.EventOps.eventSegmentMigration(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (k, nu) =>
+      assert(got(k) === ((nu, nu * 1000000L / rowT(k._1))), s"cell $k")
+    }
+  }
+
   // ---- 3. empty-corpus zero-row contracts ------------------------------
 
   test("splitUniformity and AD audit emit zero rows on an empty corpus") {
