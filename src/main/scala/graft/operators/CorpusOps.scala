@@ -448,6 +448,44 @@ object CorpusOps {
         expr("(v2_dis * 1000000) div v_types").as("sichel_s_ppm"))
       .orderBy("source")
 
+  /** #516 Simpson diversity per source over the token stream: the
+    * UNBIASED repeat probability λ = Σf(f−1)/(N(N−1)) in ppm, its
+    * Gini-Simpson complement 1−λ, and the inverse-Simpson "effective
+    * vocabulary" 1/λ in milli (NULL for the all-distinct source). WHY
+    * next to #503/#354: this closes the Hill-numbers diversity ladder
+    * the corpus family was reading one rung at a time — richness V is
+    * the order-0 number (every type counts equally), Shannon entropy
+    * the order-1 (types weighted by probability), Simpson the order-2
+    * (dominance-weighted: only the heavy types matter). A source whose
+    * order-0 looks healthy but whose order-2 collapses is a stopword/
+    * template monoculture — exactly the kind the mix table should
+    * discount. λ is Yule's K up to scale (K = 10⁴·(S₂−N)/N², #354) —
+    * kept as the PROBABILITY form here so the three rungs read in one
+    * unit system.
+    *
+    * Exactness: Σf(f−1) and N(N−1) are exact integers (DECIMAL-staged
+    * products); each readout is ONE truncating division. Scale: one
+    * (source, token) map-side-combined aggregate, |sources|-row
+    * readout.
+    */
+  def textSimpson(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("f"))
+      .groupBy("source")
+      .agg(sum(col("f")).as("n_tokens"),
+        sum((col("f") * (col("f") - 1L))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("rep"))
+      .select(col("source"), col("n_tokens"),
+        expr("cast((rep * 1000000) div " +
+          "(cast(n_tokens as decimal(38,0)) * (n_tokens - 1)) as long)")
+          .as("lambda_ppm"))
+      .withColumn("gini_simpson_ppm", lit(1000000L) - col("lambda_ppm"))
+      .withColumn("inv_simpson_milli",
+        expr("CASE WHEN lambda_ppm > 0 THEN " +
+          "(1000000000 div lambda_ppm) END"))
+      .orderBy("source")
+
   /** #491 Log-normality screen of the document-length distribution per
     * source: Jarque-Bera over x = floor(ln(n_chars)·10⁶) — skewness,
     * excess kurtosis and the JB statistic of the LOG lengths. Web-
@@ -558,6 +596,7 @@ object CorpusOps {
     "q_text_length_lognormality" -> (textLengthLognormality _),
     "q_text_sttr" -> (textSttr _),
     "q_text_vocab_richness" -> (textVocabRichness _),
+    "q_text_simpson" -> (textSimpson _),
     "q_text_burrows_delta" -> (textBurrowsDelta _),
     "q_winnow_fingerprint" -> (winnowFingerprint _),
     "q_text_jsd" -> (textJsd _),
@@ -648,6 +687,28 @@ object CorpusOps {
         |SELECT source, n_docs, mean_ln_micro, skew_micro, kurt_micro,
         |  jb_milli, jb_milli > 5991 AS lognormal_rejected_05
         |FROM f ORDER BY source""".stripMargin,
+    "q_text_simpson" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (
+        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM tok GROUP BY source, tok),
+        |a AS (
+        |  SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens,
+        |    SUM(CAST(f * (f - 1) AS HUGEINT)) AS rep
+        |  FROM f GROUP BY source),
+        |l AS (
+        |  SELECT source, n_tokens,
+        |    CAST((rep * 1000000) //
+        |      (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) AS BIGINT)
+        |      AS lambda_ppm
+        |  FROM a)
+        |SELECT source, n_tokens, lambda_ppm,
+        |  1000000 - lambda_ppm AS gini_simpson_ppm,
+        |  CASE WHEN lambda_ppm > 0 THEN 1000000000 // lambda_ppm END
+        |    AS inv_simpson_milli
+        |FROM l ORDER BY source""".stripMargin,
     "q_text_vocab_richness" ->
       """WITH tok AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS tok

@@ -305,6 +305,63 @@ object EvalOps {
       .orderBy("token")
   }
 
+  /** The ERR@10 numerator expression over the pivoted per-rank gains
+    * g1..g10 (0 = absent) — shared VERBATIM by the Spark plan and the
+    * DuckDB twin so the integer arithmetic is identical by
+    * construction. Scaled by D = 8¹⁰·2520 (2520 = lcm 1..10), every
+    * term is an exact int64: term_r = g_r·(2520/r)·8^(10−r)·
+    * Π_{i<r}(8−g_i) ≤ 7·2520·8⁹ ≈ 2.4e12.
+    */
+  private[graft] object ErrExprs {
+    val D: Long = 2520L * (1L << 30) // 8^10 · lcm(1..10)
+    private def term(r: Int): String = {
+      val prod =
+        if (r == 1) "1" else (1 until r).map(i => s"(8 - g$i)").mkString(" * ")
+      s"(g$r * ${2520 / r} * ${1L << (3 * (10 - r))} * $prod)"
+    }
+    val numSum: String = (1 to 10).map(term).mkString(" + ")
+  }
+
+  /** #514 Expected Reciprocal Rank @10 (Chapelle 2009) per query term
+    * on the #250 retrieval carrier (tf ranking, graded editorial gains
+    * 2^(doc_id%4) − 1): ERR = Σ_r (1/r)·R_r·Π_{i<r}(1 − R_i) with
+    * R = gain/8 — the CASCADE ranking metric. WHY next to #250/#251:
+    * NDCG's discount is position-only (a great doc at rank 3 scores
+    * the same whether ranks 1–2 were junk or gold); ERR models the
+    * user who STOPS at the first satisfying result, so a strong early
+    * document correctly suppresses the credit below it — the metric
+    * that separates "top-heavy and satisfying" from "uniformly decent"
+    * rankings, which is what an RAG retriever actually optimizes.
+    *
+    * Exactness: gains pivot to per-rank columns (absent ranks 0);
+    * scaled by D = 8¹⁰·lcm(1..10) every term is an exact int64 and the
+    * ten-term sum is ONE shared expression ([[ErrExprs]], the
+    * WelchExprs precedent); the readout is ONE truncating ppm division
+    * with the numerator DECIMAL-staged. Scale: the #250 shape — one
+    * (term, doc) tf aggregate, term-partitioned window, |terms|-row
+    * pivot + readout.
+    */
+  def evalErr(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("join", "vector", "scan")
+    val sys = Window.partitionBy("token").orderBy(desc("tf"), asc("doc_id"))
+    val ranked = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("gain", expr("shiftleft(1L, cast(doc_id % 4 AS int)) - 1L"))
+      .withColumn("rk", row_number().over(sys))
+      .filter(col("rk") <= 10)
+    val pivotCols = (1 to 10).map(i =>
+      coalesce(max(when(col("rk") === i, col("gain"))), lit(0L)).as(s"g$i"))
+    ranked.groupBy("token")
+      .agg(count(lit(1)).as("n_ranked"), pivotCols: _*)
+      .withColumn("err_num", expr(ErrExprs.numSum))
+      .select(col("token"), col("n_ranked"),
+        expr("cast((cast(err_num as decimal(38,0)) * 1000000) div " +
+          s"${ErrExprs.D}L as long)").as("err_ppm"))
+      .orderBy("token")
+  }
+
   /** #251 MAP@10 + MRR — the binary-relevance ranking metrics next to
     * [[evalNdcg]]'s graded one: per query term, documents rank by term
     * frequency (tf DESC, doc_id ASC) exactly as NDCG, relevance is the
@@ -1000,6 +1057,7 @@ object EvalOps {
     "q_eval_kappa_weighted" -> (evalKappaWeighted _),
     "q_eval_map_mrr" -> (evalMapMrr _),
     "q_eval_ndcg" -> (evalNdcg _),
+    "q_eval_err" -> (evalErr _),
     "q_eval_auc" -> (evalAuc _),
     "q_eval_calibration" -> (evalCalibration _),
     "q_eval_confusion" -> (evalConfusion _),
@@ -1510,6 +1568,33 @@ object EvalOps {
         |  CASE WHEN first_rel IS NOT NULL THEN CAST(1000000 // first_rel AS BIGINT)
         |       ELSE 0 END AS rr_ppm
         |FROM agg ORDER BY token""".stripMargin,
+    "q_eval_err" ->
+      s"""WITH tf AS (
+         |  SELECT token, doc_id, COUNT(*) AS tf,
+         |    (1 << CAST(doc_id % 4 AS INTEGER)) - 1 AS gain
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |        FROM documents)
+         |  WHERE token IN ('join', 'vector', 'scan')
+         |  GROUP BY token, doc_id),
+         |ranked AS (
+         |  SELECT token, gain,
+         |    row_number() OVER (PARTITION BY token
+         |      ORDER BY tf DESC, doc_id ASC) AS rk
+         |  FROM tf),
+         |piv AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_ranked,
+         |    ${(1 to 10).map(i =>
+              s"CAST(COALESCE(MAX(CASE WHEN rk = $i THEN gain END), 0) " +
+              s"AS BIGINT) AS g$i").mkString(",\n         |    ")}
+         |  FROM ranked WHERE rk <= 10 GROUP BY token),
+         |n AS (
+         |  SELECT token, n_ranked,
+         |    ${ErrExprs.numSum} AS err_num
+         |  FROM piv)
+         |SELECT token, n_ranked,
+         |  CAST((CAST(err_num AS HUGEINT) * 1000000) // ${ErrExprs.D}
+         |    AS BIGINT) AS err_ppm
+         |FROM n ORDER BY token""".stripMargin,
     "q_eval_ndcg" ->
       s"""WITH disc AS (
          |  SELECT * FROM (VALUES ${NdcgDisc.zipWithIndex

@@ -833,6 +833,45 @@ object InferenceOps {
           .as("f_milli"))
   }
 
+  /** #515 Bowley (quartile) skewness per event type on the daily mass
+    * series: B = (Q₃ + Q₁ − 2·Q₂)/(Q₃ − Q₁) in milli, with the three
+    * quartiles as SINGLE order statistics at ranks (n+3) div 4,
+    * (n+2) div 2, (3n+1) div 4 of the type-partitioned sort (a stated
+    * lower-hinge convention — quartile conventions differ and the
+    * mirrored rank picks keep both engines on the same element; no
+    * averaging, no division until the one readout). WHY next to
+    * #370/#491: the moment skewness (JB family) is outlier-dominated —
+    * one spike day swings x³ arbitrarily; Bowley reads asymmetry from
+    * the QUARTILES only, so the pair (moment says skewed, Bowley says
+    * symmetric) isolates "a few extreme days" from "a genuinely
+    * asymmetric regime" — different fixes (clip vs re-model). NULL
+    * when the IQR is 0 (mirrored CASE).
+    *
+    * Exactness: order statistics are exact row picks; B is ONE
+    * truncating milli division. Scale: the rank window partitions by
+    * event_type over the calendar-bounded daily relation.
+    */
+  def bowleySkew(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 1e6).cast("long")).as("x"))
+    val cnt = daily.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("x", "day")
+    daily.join(broadcast(cnt), Seq("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n_days"),
+        max(when(col("rn") === expr("(n + 3) div 4"), col("x"))).as("q1"),
+        max(when(col("rn") === expr("(n + 2) div 2"), col("x"))).as("q2"),
+        max(when(col("rn") === expr("(3 * n + 1) div 4"), col("x"))).as("q3"))
+      .select(col("event_type"), col("n_days"),
+        col("q1"), col("q2"), col("q3"),
+        expr("CASE WHEN q3 > q1 THEN " +
+          "((q3 + q1 - 2 * q2) * 1000) div (q3 - q1) END")
+          .as("bowley_milli"))
+      .orderBy("event_type")
+  }
+
   /** #509 Cochran's C variance-dominance profile across event types on
     * the daily mass series: per type the sample variance (milli²
     * units) and its SHARE of the summed variances, with the argmax
@@ -1470,6 +1509,7 @@ object InferenceOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stats_cochran_c" -> (cochranC _),
+    "q_stats_bowley" -> (bowleySkew _),
     "q_stats_hodges_lehmann" -> (hodgesLehmann _),
     "q_stats_ad_2sample" -> (adTwoSample _),
     "q_stats_cliffs_delta" -> (cliffsDelta _),
@@ -2007,6 +2047,28 @@ object InferenceOps {
         |SELECT type_a, type_b, na, nb, diff_micro, q2_obs_milli,
         |  q2_crit_milli, q2_obs_milli > q2_crit_milli AS significant_05
         |FROM r ORDER BY type_a, type_b""".stripMargin,
+    "q_stats_bowley" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |cnt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM daily GROUP BY 1),
+        |rk AS (
+        |  SELECT d.event_type, d.x, c.n,
+        |    row_number() OVER (PARTITION BY d.event_type
+        |      ORDER BY d.x, d.day) AS rn
+        |  FROM daily d JOIN cnt c USING (event_type)),
+        |q AS (
+        |  SELECT event_type, MAX(n) AS n_days,
+        |    MAX(CASE WHEN rn = (n + 3) // 4 THEN x END) AS q1,
+        |    MAX(CASE WHEN rn = (n + 2) // 2 THEN x END) AS q2,
+        |    MAX(CASE WHEN rn = (3 * n + 1) // 4 THEN x END) AS q3
+        |  FROM rk GROUP BY event_type)
+        |SELECT event_type, n_days, q1, q2, q3,
+        |  CASE WHEN q3 > q1 THEN
+        |    ((q3 + q1 - 2 * q2) * 1000) // (q3 - q1) END AS bowley_milli
+        |FROM q ORDER BY event_type""".stripMargin,
     "q_stats_cochran_c" ->
       """WITH daily AS (
         |  SELECT event_type,

@@ -109,6 +109,94 @@ object SeriesOps {
       .orderBy("k")
   }
 
+  /** #517 Detrended fluctuation analysis (log-averaged) of the daily
+    * revenue: per scale s ∈ {8,16,32,64}, the series' demeaned profile
+    * is split into complete s-day blocks, each block OLS-detrended and
+    * its squared fluctuation (SSE) log-read; the scaling exponent α is
+    * the slope of mean-ln-SSE against ln s over the four scales,
+    * halved (SSE ∝ F²). α ≈ 0.5 is uncorrelated noise, α → 1 is 1/f
+    * long-memory, α > 1 is non-stationary drift. WHY next to
+    * #322/#311: Hurst R/S (#322) reads long memory from RANGES and is
+    * famously biased by short-range structure and trends; DFA detrends
+    * each window first, so it separates "genuine long memory" from
+    * "piecewise trends" — the distinction that decides whether history
+    * length helps a forecaster. Conventions stated: the profile is the
+    * N-scaled exact form N·cum_k − k·T (a constant N factor shifts
+    * every ln equally — slope unchanged); blocks average in LOG space
+    * (geometric-mean fluctuation — keeps the cross-block aggregation
+    * an exact integer sum); zero-SSE blocks are excluded (flat block
+    * has no fluctuation to read, and ln 0 diverges) — both engines
+    * identically.
+    *
+    * Exactness: profile exact DECIMAL (the #510 cross-multiplied
+    * demean); per-block OLS sums exact (the #476 ladder); ONE mirrored
+    * double chain per block (SSE → floored-nano ln, HUGEINTs through
+    * VARCHAR in the twin); per-scale means and the 4-point slope are
+    * exact integer algebra with ONE terminal mirrored double division.
+    * Scale: calendar-bounded — the day aggregate is the only
+    * corpus-sized job; the 4×N grid and ≤ N/8-row block relation ride
+    * above it.
+    */
+  def tsDfa(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg((sum(Det.money(col("o_totalprice"))) * 100).cast("long").as("v"))
+    val w = Window.orderBy("day")
+    val cum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val idx = daily
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("cy", sum(col("v").cast(dec)).over(cum))
+    val tot = idx.agg(max(col("k")).as("nn"), sum(col("v").cast(dec)).as("tt"))
+    val prof = idx.crossJoin(broadcast(tot))
+      .select(col("k"), (col("cy") * col("nn") - col("tt") * col("k")).as("p"),
+        col("nn"))
+      .localCheckpoint()
+    val blocks = prof
+      .select(col("k"), col("p"), col("nn"),
+        explode(expr("array(8L, 16L, 32L, 64L)")).as("s"))
+      .filter(col("k") <= expr("(nn div s) * s"))
+      .withColumn("b", expr("(k - 1) div s"))
+      .withColumn("t", expr("(k - 1) % s"))
+      .groupBy("s", "b")
+      .agg(count(lit(1)).as("m"), sum(col("t")).as("st"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("p")).as("sy"),
+        sum(col("p") * col("p")).as("syy"),
+        sum(col("t").cast(dec) * col("p")).as("sty"))
+      .withColumn("sse",
+        expr("cast(syy as double) - cast(sy as double) * " +
+          "cast(sy as double) / m - (cast(sty as double) - st * " +
+          "cast(sy as double) / m) * (cast(sty as double) - st * " +
+          "cast(sy as double) / m) / (cast(stt as double) - " +
+          "cast(st as double) * st / m)"))
+      .filter(col("sse") > 0)
+      .select(col("s"),
+        expr("cast(floor(ln(sse) * 1e9) as bigint)").as("lnsse"))
+    val perScale = blocks.groupBy("s")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("lnsse").cast(dec)).as("sl"))
+      .select(col("s"), col("n_blocks"),
+        expr("cast(sl div n_blocks as long)").as("lnf2_nano"),
+        expr("cast(floor(ln(cast(s as double)) * 1e9) as bigint)").as("lns"))
+      .localCheckpoint()
+    val slope = perScale.agg(count(lit(1)).as("np"),
+        sum(col("lns").cast(dec)).as("sx"),
+        sum(col("lnf2_nano").cast(dec)).as("sy"),
+        sum(col("lns").cast(dec) * col("lnf2_nano")).as("sxy"),
+        sum(col("lns").cast(dec) * col("lns")).as("sxx"))
+      .select(
+        (col("np").cast(dec) * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("np").cast(dec) * col("sxx") - col("sx") * col("sx")).as("den"))
+      .select(expr("CASE WHEN den > 0 THEN " +
+        "cast(floor(cast(num as double) / cast(den as double) / 2.0 * 1000) " +
+        "as bigint) END").as("alpha_milli"))
+    perScale.crossJoin(broadcast(slope))
+      .select(col("s"), col("n_blocks"), col("lnf2_nano"), col("alpha_milli"))
+      .orderBy("s")
+  }
+
   /** #508 Lomb-Scargle periodogram at wave numbers k = 1..8 of the
     * daily revenue on its ACTUAL calendar offsets (t = day − first
     * day): the least-squares spectral estimate that stays unbiased
@@ -871,6 +959,7 @@ object SeriesOps {
     "q_ts_perm_entropy" -> (tsPermEntropy _),
     "q_ts_periodogram" -> (tsPeriodogram _),
     "q_ts_lomb_scargle" -> (tsLombScargle _),
+    "q_ts_dfa" -> (tsDfa _),
     "q_ts_cum_periodogram" -> (tsCumPeriodogram _),
     "q_ts_spectral_flatness" -> (tsSpectralFlatness _),
     "q_ts_cox_stuart" -> (tsCoxStuart _),
@@ -1122,6 +1211,67 @@ object SeriesOps {
          |  CAST(h_nano // 1000000 AS BIGINT) AS h_milli,
          |  CAST((h_nano * 1000000) // 1791759469 AS BIGINT) AS h_norm_ppm
          |FROM h ORDER BY pri""".stripMargin,
+    "q_ts_dfa" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS day,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |idx AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k,
+        |    SUM(CAST(v AS HUGEINT)) OVER (ORDER BY day) AS cy,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS nn,
+        |    SUM(CAST(v AS HUGEINT)) OVER () AS tt
+        |  FROM daily),
+        |prof AS (SELECT k, cy * nn - tt * k AS p, nn FROM idx),
+        |grid AS (
+        |  SELECT k, p, nn, CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS s
+        |  FROM prof),
+        |blk AS (
+        |  SELECT s, (k - 1) // s AS b, CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM((k - 1) % s) AS BIGINT) AS st,
+        |    CAST(SUM(((k - 1) % s) * ((k - 1) % s)) AS BIGINT) AS stt,
+        |    SUM(p) AS sy, SUM(p * p) AS syy,
+        |    SUM(CAST((k - 1) % s AS HUGEINT) * p) AS sty
+        |  FROM grid WHERE k <= (nn // s) * s
+        |  GROUP BY s, (k - 1) // s),
+        |sse0 AS (
+        |  SELECT s,
+        |    CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+        |    - CAST(CAST(sy AS VARCHAR) AS DOUBLE) *
+        |      CAST(CAST(sy AS VARCHAR) AS DOUBLE) / m
+        |    - (CAST(CAST(sty AS VARCHAR) AS DOUBLE) - st *
+        |       CAST(CAST(sy AS VARCHAR) AS DOUBLE) / m) *
+        |      (CAST(CAST(sty AS VARCHAR) AS DOUBLE) - st *
+        |       CAST(CAST(sy AS VARCHAR) AS DOUBLE) / m) /
+        |      (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st / m) AS sse
+        |  FROM blk),
+        |lb AS (
+        |  SELECT s, CAST(FLOOR(LN(sse) * 1e9) AS BIGINT) AS lnsse
+        |  FROM sse0 WHERE sse > 0),
+        |ps AS (
+        |  SELECT s, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    CAST(SUM(CAST(lnsse AS HUGEINT)) // COUNT(*) AS BIGINT)
+        |      AS lnf2_nano,
+        |    CAST(FLOOR(LN(CAST(s AS DOUBLE)) * 1e9) AS BIGINT) AS lns
+        |  FROM lb GROUP BY s),
+        |sl AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS np,
+        |    SUM(CAST(lns AS HUGEINT)) AS sx,
+        |    SUM(CAST(lnf2_nano AS HUGEINT)) AS sy,
+        |    SUM(CAST(lns AS HUGEINT) * lnf2_nano) AS sxy,
+        |    SUM(CAST(lns AS HUGEINT) * lns) AS sxx
+        |  FROM ps),
+        |al AS (
+        |  SELECT CAST(np AS HUGEINT) * sxy - sx * sy AS num,
+        |    CAST(np AS HUGEINT) * sxx - sx * sx AS den
+        |  FROM sl),
+        |a2 AS (
+        |  SELECT CASE WHEN den > 0 THEN
+        |    CAST(FLOOR(CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+        |      CAST(CAST(den AS VARCHAR) AS DOUBLE) / 2.0 * 1000) AS BIGINT)
+        |  END AS alpha_milli FROM al)
+        |SELECT s, n_blocks, lnf2_nano, alpha_milli
+        |FROM ps, a2 ORDER BY s""".stripMargin,
     "q_ts_lomb_scargle" ->
       """WITH daily AS (
         |  SELECT date_trunc('day', o_orderdate) AS day,

@@ -512,6 +512,108 @@ class Round18Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  // ---- 2d. r18 third-batch exact driver replays ------------------------
+
+  test("ERR@10 matches an exact cascade driver replay") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val D = BigInt(2520L) * (1L << 30)
+    Seq("join", "vector", "scan").foreach { term =>
+      val tf = docs.map { case (id, t) =>
+        (id, t.split(" ", -1).count(_ == term)) }.filter(_._2 > 0)
+      val ranked = tf.sortBy { case (id, c) => (-c, id) }.take(10)
+      val gains = ranked.map { case (id, _) => (1L << (id % 4).toInt) - 1L }
+      var (num, prod) = (BigInt(0), BigInt(1))
+      gains.zipWithIndex.foreach { case (g, i) =>
+        val r = i + 1
+        num += BigInt(g) * (2520 / r) * (BigInt(1) << (3 * (10 - r))) * prod
+        prod *= (8 - g)
+      }
+      val row = operators.EvalOps.evalErr(spark, sfDir).collect()
+        .find(_.getString(0) == term).get
+      assert(row.getLong(1) === ranked.length.toLong, s"n_ranked $term")
+      assert(BigInt(row.getLong(2)) === num * 1000000 / D, s"err_ppm $term")
+    }
+  }
+
+  test("Bowley skewness matches an exact order-statistic replay") {
+    val byType = eventRows.groupBy(_._1)
+    operators.InferenceOps.bowleySkew(spark, sfDir).collect().foreach { r =>
+      val xs = byType(r.getString(0)).groupBy(_._2).toSeq
+        .map { case (d, es) => (es.map(_._3).sum, d) }.sorted.map(_._1)
+      val n = xs.length
+      val (q1, q2, q3) = (xs((n + 3) / 4 - 1), xs((n + 2) / 2 - 1),
+        xs((3 * n + 1) / 4 - 1))
+      assert(r.getLong(1) === n.toLong)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((q1, q2, q3)))
+      val e = if (q3 > q1) Some((q3 + q1 - 2 * q2) * 1000 / (q3 - q1)) else None
+      assert((if (r.isNullAt(5)) None else Some(r.getLong(5))) === e)
+    }
+  }
+
+  test("Simpson diversity matches an exact driver replay") {
+    val bySource = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(r.getString(0) -> _))
+      .groupBy(_._1)
+    operators.CorpusOps.textSimpson(spark, sfDir).collect().foreach { r =>
+      val toks = bySource(r.getString(0)).map(_._2)
+      val n = BigInt(toks.length)
+      val rep = toks.groupBy(identity).values
+        .map(g => BigInt(g.length) * (g.length - 1)).sum
+      val lam = rep * 1000000 / (n * (n - 1))
+      assert(BigInt(r.getLong(1)) === n)
+      assert(BigInt(r.getLong(2)) === lam)
+      assert(BigInt(r.getLong(3)) === BigInt(1000000) - lam)
+      val inv = if (lam > 0) Some((BigInt(1000000000) / lam).toLong) else None
+      assert((if (r.isNullAt(4)) None else Some(r.getLong(4))) === inv)
+    }
+  }
+
+  test("DFA matches an exact driver replay (shared libm)") {
+    val vs = dailyDays.map(_._2)
+    val n = BigInt(vs.length)
+    val t = vs.sum
+    val prof = vs.scanLeft(BigInt(0))(_ + _).tail.zipWithIndex
+      .map { case (cy, i) => cy * n - t * BigInt(i + 1) }
+    val perScale = Seq(8, 16, 32, 64).map { s =>
+      val nb = vs.length / s
+      val lnsses = (0 until nb).flatMap { b =>
+        val seg = prof.slice(b * s, b * s + s)
+        val m = seg.length
+        val st = BigInt((0 until m).sum)
+        val stt = BigInt((0 until m).map(i => i * i).sum)
+        val sy = seg.sum
+        val syy = seg.map(p => p * p).sum
+        val sty = seg.zipWithIndex.map { case (p, i) => p * i }.sum
+        val sse = syy.toDouble - sy.toDouble * sy.toDouble / m -
+          (sty.toDouble - st.toDouble * sy.toDouble / m) *
+            (sty.toDouble - st.toDouble * sy.toDouble / m) /
+            (stt.toDouble - st.toDouble * st.toDouble / m)
+        if (sse > 0) Some(BigInt(math.floor(math.log(sse) * 1e9).toLong))
+        else None
+      }
+      val lnf2 = (lnsses.sum / lnsses.length).toLong
+      val lns = math.floor(math.log(s.toDouble) * 1e9).toLong
+      (s.toLong, lnsses.length.toLong, lnf2, lns)
+    }
+    val np = BigInt(4)
+    val sx = perScale.map(p => BigInt(p._4)).sum
+    val sy = perScale.map(p => BigInt(p._3)).sum
+    val sxy = perScale.map(p => BigInt(p._4) * p._3).sum
+    val sxx = perScale.map(p => BigInt(p._4) * p._4).sum
+    val num = np * sxy - sx * sy
+    val den = np * sxx - sx * sx
+    val alpha = math.floor(num.toDouble / den.toDouble / 2.0 * 1000).toLong
+    val got = operators.SeriesOps.tsDfa(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    perScale.foreach { case (s, nb, lnf2, _) =>
+      assert(got(s) === ((nb, lnf2, alpha)), s"scale $s")
+    }
+  }
+
   // ---- 3. empty-corpus zero-row contracts ------------------------------
 
   test("splitUniformity and AD audit emit zero rows on an empty corpus") {
