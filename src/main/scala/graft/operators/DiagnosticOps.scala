@@ -265,6 +265,60 @@ object DiagnosticOps {
       .orderBy("pri")
   }
 
+  /** #519 Nemenyi post-hoc after Friedman (#346): the pairwise
+    * mean-rank differences across the five priority classes against
+    * the critical difference CD = q₀.₀₅·√(k(k+1)/(6N)) (Demšar 2006;
+    * q₀.₀₅ = 2.728 for k = 5, a PINNED tabulated constant — the flag
+    * is NULL if the priority alphabet ever isn't 5, stated). WHY:
+    * Friedman (#346) only says SOME priority ranks differently across
+    * months; every concrete action ("treat 1-URGENT separately")
+    * needs to know WHICH pairs differ, and running pairwise Wilcoxons
+    * uncorrected inflates the family error — Nemenyi is the standard
+    * rank-based multiple-comparison answer.
+    *
+    * Exactness: the #346 ranked relation verbatim (tie-aware RANK over
+    * complete month blocks); mean ranks in exact milli (ONE truncating
+    * division each); pairwise |Δ| exact integers; the CD is one
+    * mirrored double (√ on exact integer ratio arguments), floored to
+    * milli once. Scale: the rank window partitions by month over the
+    * calendar-bounded monthly relation; the pair grid is k² ≤ 25 rows.
+    */
+  def statsNemenyi(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("m"),
+        col("o_orderpriority").as("pri"))
+      .agg((sum(Det.money(col("o_totalprice"))) * 100).cast("long").as("v"))
+    val k = monthly.select(countDistinct(col("pri")).as("k"))
+    val complete = monthly
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy("m")))
+      .crossJoin(broadcast(k))
+      .filter(col("nb") === col("k"))
+    val ranked = complete
+      .withColumn("r", rank().over(
+        Window.partitionBy("m").orderBy(col("v"), col("pri"))))
+    val means = ranked.groupBy("pri")
+      .agg(max(col("k")).as("k"), count(lit(1)).as("n_blocks"),
+        sum(col("r")).as("rank_sum"))
+      .select(col("pri"), col("k"), col("n_blocks"),
+        expr("(rank_sum * 1000) div n_blocks").as("mr_milli"))
+      .localCheckpoint()
+    val cd = means.agg(max(col("k")).as("kk"), max(col("n_blocks")).as("nn"))
+      .select(col("kk"), col("nn"),
+        expr("CASE WHEN kk = 5 THEN cast(floor(2.728 * " +
+          "sqrt(cast(kk * (kk + 1) as double) / (6.0 * nn)) * 1000) " +
+          "as bigint) END").as("cd_milli"))
+    means.as("a")
+      .join(means.select(col("pri").as("pri_b"), col("mr_milli").as("mr_b")),
+        col("a.pri") < col("pri_b"))
+      .crossJoin(broadcast(cd))
+      .select(col("a.pri").as("pri_a"), col("pri_b"),
+        col("a.mr_milli").as("mr_a_milli"), col("mr_b").as("mr_b_milli"),
+        abs(col("a.mr_milli") - col("mr_b")).as("diff_milli"),
+        col("cd_milli"))
+      .withColumn("differs_05", col("diff_milli") > col("cd_milli"))
+      .orderBy("pri_a", "pri_b")
+  }
+
   /** #393 Paired t-test on per-customer revenue across the fixture's
     * two halves (orders before vs from 1995-06-01; customers active in
     * both): the self-controlled before/after design that #225 Welch
@@ -345,6 +399,7 @@ object DiagnosticOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_nemenyi" -> (statsNemenyi _),
     "q_stats_hill" -> (statsHill _),
     "q_ts_ljung_box" -> (tsLjungBox _),
     "q_ts_kpss" -> (tsKpss _),
@@ -502,6 +557,37 @@ object DiagnosticOps {
         |  CAST(FLOOR(cfac * 1e6) AS BIGINT) AS c_micro,
         |  CAST(FLOOR(t_raw / cfac * 1e3) AS BIGINT) AS t_milli
         |FROM t""".stripMargin,
+    "q_stats_nemenyi" ->
+      """WITH monthly AS (
+        |  SELECT date_trunc('month', o_orderdate) AS m,
+        |    o_orderpriority AS pri,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |kk AS (SELECT COUNT(DISTINCT pri) AS k FROM monthly),
+        |complete AS (
+        |  SELECT m, pri, v, kk.k
+        |  FROM (SELECT *, COUNT(*) OVER (PARTITION BY m) AS nb FROM monthly), kk
+        |  WHERE nb = kk.k),
+        |ranked AS (
+        |  SELECT pri, k,
+        |    RANK() OVER (PARTITION BY m ORDER BY v, pri) AS r
+        |  FROM complete),
+        |means AS (
+        |  SELECT pri, MAX(k) AS k, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    (CAST(SUM(r) AS BIGINT) * 1000) // COUNT(*) AS mr_milli
+        |  FROM ranked GROUP BY pri),
+        |cd AS (
+        |  SELECT MAX(k) AS kk, MAX(n_blocks) AS nn,
+        |    CASE WHEN MAX(k) = 5 THEN
+        |      CAST(FLOOR(2.728 * SQRT(CAST(MAX(k) * (MAX(k) + 1) AS DOUBLE)
+        |        / (6.0 * MAX(n_blocks))) * 1000) AS BIGINT) END AS cd_milli
+        |  FROM means)
+        |SELECT a.pri AS pri_a, b.pri AS pri_b,
+        |  a.mr_milli AS mr_a_milli, b.mr_milli AS mr_b_milli,
+        |  abs(a.mr_milli - b.mr_milli) AS diff_milli, cd.cd_milli,
+        |  abs(a.mr_milli - b.mr_milli) > cd.cd_milli AS differs_05
+        |FROM means a JOIN means b ON a.pri < b.pri, cd
+        |ORDER BY pri_a, pri_b""".stripMargin,
     "q_stats_friedman" ->
       """WITH monthly AS (
         |  SELECT date_trunc('month', o_orderdate) AS m,

@@ -1193,6 +1193,36 @@ object GraphOps {
           .as("assortativity_ppm"))
   }
 
+  /** #518 Bridge-edge ratio of the similarity graph: the share of
+    * edges with ZERO triangle support (Granovetter's local bridges —
+    * an edge whose endpoints share no common neighbor), plus the mean
+    * support per edge. WHY next to #467/#450: triangle participation
+    * (#467) profiles NODES and the truss (#450) keeps only the
+    * cohesive CORE; the bridge ratio reads the opposite tail at EDGE
+    * grain — a high ratio means the near-dup graph is a forest of
+    * thin chains (pair evidence only, fragile to one threshold tick:
+    * transitive-closure dedup will over-merge), a low ratio means
+    * clusters are triangle-backed and component dedup is trustworthy.
+    * The SIXTH consumer of the derived triangle_support relation.
+    *
+    * Exactness: support counts are exact; unsupported edges enter via
+    * left join + coalesce 0 (dropping them would overstate cohesion —
+    * the #474 convention); two truncating readouts. Scale: one
+    * ≤|E|-row join of two derived files + a 1-row aggregate.
+    */
+  def graphBridgeRatio(s: SparkSession, dir: String): DataFrame =
+    DedupOps.materializedEdges(s, dir)
+      .join(materializedTriangleSupport(s, dir), Seq("doc_a", "doc_b"), "left")
+      .select(coalesce(col("support"), lit(0L)).as("sup"))
+      .groupBy(lit(1).as("g"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("sup") === 0L, 1L).otherwise(0L)).as("n_bridges"),
+        sum(col("sup").cast(DecimalType(38, 0))).as("ssup"))
+      .select(col("n_edges"), col("n_bridges"),
+        expr("(n_bridges * 1000000) div n_edges").as("bridge_ppm"),
+        expr("cast((ssup * 1000) div n_edges as long)")
+          .as("mean_support_milli"))
+
   /** #505 Average-neighbor-degree curve knn(k) (Pastor-Satorras 2001):
     * per degree k, the node count and the mean degree of those nodes'
     * neighbors in ppm — the degree-RESOLVED mixing readout. WHY next
@@ -1419,6 +1449,7 @@ object GraphOps {
     "q_graph_clustering_by_degree" -> (clusteringByDegree _),
     "q_graph_lang_assortativity" -> (langAssortativity _),
     "q_graph_knn_curve" -> (graphKnnCurve _),
+    "q_graph_bridge_ratio" -> (graphBridgeRatio _),
     "q_graph_eff_diameter" -> (effDiameter _),
     "q_graph_landmarks" -> (landmarkBfs _),
     "q_graph_closeness" -> (landmarkCloseness _),
@@ -1698,6 +1729,37 @@ object GraphOps {
         |d AS (SELECT lm, node, MIN(hop) AS hop FROM walk GROUP BY lm, node)
         |SELECT lm, hop, COUNT(*) AS n_nodes
         |FROM d GROUP BY lm, hop ORDER BY lm, hop""".stripMargin,
+    "q_graph_bridge_ratio" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset
+        |  FROM documents),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM base a JOIN base b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.tokset, b.tokset)) AS DOUBLE)
+        |          / len(list_distinct(a.tokset || b.tokset)), 6) >= 0.2),
+        |e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs),
+        |t1 AS (SELECT p.a AS a, p.b AS b, q.b AS c FROM e0 p
+        |       JOIN e0 q ON p.b = q.a
+        |       JOIN e0 r ON r.a = p.a AND r.b = q.b),
+        |s1 AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+        |         SELECT a AS x, b AS y FROM t1
+        |         UNION ALL SELECT a, c FROM t1
+        |         UNION ALL SELECT b, c FROM t1) GROUP BY x, y),
+        |j AS (
+        |  SELECT COALESCE(s.sup, 0) AS sup
+        |  FROM e0 e LEFT JOIN s1 s ON s.x = e.a AND s.y = e.b),
+        |a AS (
+        |  SELECT 1 AS g, CAST(COUNT(*) AS BIGINT) AS n_edges,
+        |    CAST(SUM(CASE WHEN sup = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_bridges,
+        |    SUM(CAST(sup AS HUGEINT)) AS ssup
+        |  FROM j GROUP BY g)
+        |SELECT n_edges, n_bridges,
+        |  (n_bridges * 1000000) // n_edges AS bridge_ppm,
+        |  CAST((ssup * 1000) // n_edges AS BIGINT) AS mean_support_milli
+        |FROM a""".stripMargin,
     "q_graph_knn_curve" ->
       """WITH base AS MATERIALIZED (
         |  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS tokset

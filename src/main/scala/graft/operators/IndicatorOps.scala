@@ -290,6 +290,73 @@ object IndicatorOps {
       .orderBy("event_type")
   }
 
+  /** #520 Directional movement (+DI/−DI/DX, Wilder) per event type
+    * over daily OHLC: +DM = (H−H₋₁) when it exceeds both (L₋₁−L) and
+    * 0, −DM symmetric (the mutual-exclusion convention — at most one
+    * side moves per day); true range per #327 ATR; all three smoothed
+    * by the house 8-lag dyadic EMA, whose shared denominator CANCELS,
+    * so +DI = EMA(+DM)/EMA(TR) reads directly off the integer
+    * numerators — and DX = |+DI−−DI|/(+DI+−DI) needs only the two DM
+    * numerators. WHY next to #327/#395: ATR says HOW MUCH range the
+    * series has and Aroon (#395) times the last extreme; DX says how
+    * much of the range is DIRECTIONAL — trending vs churning — the
+    * gate a trend-following rule (#369 MACD crossings) should require
+    * before trusting its signal.
+    *
+    * Exactness: H/L/C exact micro ints; DMs and TR exact integers;
+    * EMA numerators DECIMAL-staged with exact availability-summed
+    * dyadic weights; each DI/DX readout ONE truncating ppm division,
+    * NULL-guarded (zero TR mass / zero directional mass / no lag
+    * yet). Scale: one |types|×|days| window+agg pass on the type
+    * partitioning.
+    */
+  def winAdx(s: SparkSession, dir: String): DataFrame = {
+    val day = date_trunc("day", col("ts"))
+    val base = Tables.events(s, dir)
+      .select(col("event_type"), day.as("day"), col("ts"), col("event_id"),
+        floor(col("value") * 1e6).cast("long").as("m"))
+    val wDesc = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val wSeq = Window.partitionBy("event_type").orderBy("day")
+    val daily = base
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy("event_type", "day")
+      .agg(max(col("m")).as("h"), min(col("m")).as("l"),
+        max(when(col("rn_d") === 1, col("m"))).as("c"))
+      .withColumn("hp", lag(col("h"), 1).over(wSeq))
+      .withColumn("lp", lag(col("l"), 1).over(wSeq))
+      .withColumn("cp", lag(col("c"), 1).over(wSeq))
+      .filter(col("hp").isNotNull)
+      .withColumn("up", col("h") - col("hp"))
+      .withColumn("dn", col("lp") - col("l"))
+      .withColumn("pdm",
+        when(col("up") > col("dn") && col("up") > 0, col("up")).otherwise(0L))
+      .withColumn("ndm",
+        when(col("dn") > col("up") && col("dn") > 0, col("dn")).otherwise(0L))
+      .withColumn("tr", greatest(col("h") - col("l"),
+        abs(col("h") - col("cp")), abs(col("l") - col("cp"))))
+    def ema(src: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (0 until 8).map { j =>
+      val v = if (j == 0) src else lag(src, j).over(wSeq)
+      coalesce(v.cast(DecimalType(38, 0)) * (1L << (7 - j)),
+        lit(0L).cast(DecimalType(38, 0)))
+    }.reduce(_ + _)
+    daily
+      .withColumn("epn", ema(col("pdm")))
+      .withColumn("enn", ema(col("ndm")))
+      .withColumn("etn", ema(col("tr")))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        expr("CASE WHEN etn > 0 THEN " +
+          "cast((epn * 1000000) div etn as long) END").as("plus_di_ppm"),
+        expr("CASE WHEN etn > 0 THEN " +
+          "cast((enn * 1000000) div etn as long) END").as("minus_di_ppm"),
+        expr("CASE WHEN epn + enn > 0 THEN " +
+          "cast((abs(epn - enn) * 1000000) div (epn + enn) as long) END")
+          .as("dx_ppm"))
+      .orderBy("event_type", "day")
+  }
+
   /** #512 Money Flow Index (14-day) per event type over daily OHLC ×
     * event volume: typical price tp = (H+L+C) div 3, raw money flow
     * mf = tp·n_events, direction by tp vs yesterday's tp (flat days
@@ -574,6 +641,7 @@ object IndicatorOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_chaikin" -> (winChaikin _),
     "q_win_mfi" -> (winMfi _),
+    "q_win_adx" -> (winAdx _),
     "q_win_parkinson" -> (winParkinson _),
     "q_win_rogers_satchell" -> (winRogersSatchell _),
     "q_win_amihud" -> (winAmihud _),
@@ -732,6 +800,57 @@ object IndicatorOps {
         |  CAST(CASE WHEN semidev_micro > 0 THEN
         |    mean_r_nano // semidev_micro END AS BIGINT) AS sortino_milli
         |FROM sel ORDER BY event_type""".stripMargin,
+    "q_win_adx" -> {
+      def ema8(src: String): String =
+        (0 until 8).map { j =>
+          val v = if (j == 0) src
+          else s"LAG($src, $j) OVER (PARTITION BY event_type ORDER BY day)"
+          s"COALESCE(CAST($v AS HUGEINT) * ${1L << (7 - j)}, 0)"
+        }.mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+         |    CAST(floor(value * 1e6) AS BIGINT) AS m
+         |  FROM events),
+         |rk AS (
+         |  SELECT event_type, day, m,
+         |    row_number() OVER (PARTITION BY event_type, day
+         |      ORDER BY ts DESC, event_id DESC) AS rd
+         |  FROM base),
+         |ohlc AS (
+         |  SELECT event_type, day,
+         |    MAX(m) AS h, MIN(m) AS l,
+         |    MAX(CASE WHEN rd = 1 THEN m END) AS c
+         |  FROM rk GROUP BY event_type, day),
+         |lagd AS (
+         |  SELECT event_type, day, h, l, c,
+         |    LAG(h) OVER (PARTITION BY event_type ORDER BY day) AS hp,
+         |    LAG(l) OVER (PARTITION BY event_type ORDER BY day) AS lp,
+         |    LAG(c) OVER (PARTITION BY event_type ORDER BY day) AS cp
+         |  FROM ohlc),
+         |dm AS (
+         |  SELECT event_type, day,
+         |    CASE WHEN h - hp > lp - l AND h - hp > 0
+         |      THEN h - hp ELSE 0 END AS pdm,
+         |    CASE WHEN lp - l > h - hp AND lp - l > 0
+         |      THEN lp - l ELSE 0 END AS ndm,
+         |    GREATEST(h - l, abs(h - cp), abs(l - cp)) AS tr
+         |  FROM lagd WHERE hp IS NOT NULL),
+         |e AS (
+         |  SELECT event_type, day,
+         |    ${ema8("pdm")} AS epn,
+         |    ${ema8("ndm")} AS enn,
+         |    ${ema8("tr")} AS etn
+         |  FROM dm)
+         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+         |  CASE WHEN etn > 0 THEN
+         |    CAST((epn * 1000000) // etn AS BIGINT) END AS plus_di_ppm,
+         |  CASE WHEN etn > 0 THEN
+         |    CAST((enn * 1000000) // etn AS BIGINT) END AS minus_di_ppm,
+         |  CASE WHEN epn + enn > 0 THEN
+         |    CAST((abs(epn - enn) * 1000000) // (epn + enn) AS BIGINT) END
+         |    AS dx_ppm
+         |FROM e ORDER BY event_type, day""".stripMargin
+    },
     "q_win_mfi" ->
       """WITH base AS (
         |  SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,

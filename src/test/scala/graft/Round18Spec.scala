@@ -614,6 +614,102 @@ class Round18Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  // ---- 2e. r18 fourth-batch exact driver replays -----------------------
+
+  test("bridge ratio matches an exact replay over the derived relations") {
+    val edges = operators.DedupOps.materializedEdges(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sup = operators.GraphOps.materializedTriangleSupport(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sups = edges.map(e => sup.getOrElse(e, 0L))
+    val (ne, nb) = (sups.length.toLong, sups.count(_ == 0L).toLong)
+    val ss = sups.map(BigInt(_)).sum
+    val r = operators.GraphOps.graphBridgeRatio(spark, sfDir).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(0) === ne)
+    assert(r(0).getLong(1) === nb)
+    assert(r(0).getLong(2) === nb * 1000000L / ne)
+    assert(BigInt(r(0).getLong(3)) === ss * 1000 / ne)
+  }
+
+  test("Nemenyi matches an exact rank replay (shared libm sqrt)") {
+    val monthly = Tables.orders(spark, sfDir)
+      .select(date_format(date_trunc("month", col("o_orderdate")),
+        "yyyy-MM").as("m"), col("o_orderpriority").as("pri"),
+        col("o_totalprice"))
+      .collect()
+      .map { r =>
+        val cents = new java.math.BigDecimal(
+            java.lang.Double.toString(r.getAs[Number](2).doubleValue))
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(2).toBigIntegerExact()
+        ((r.getString(0), r.getString(1)), BigInt(cents))
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val k = monthly.keys.map(_._2).toSet.size
+    val complete = monthly.groupBy(_._1._1)
+      .filter(_._2.size == k)
+    val ranks = complete.values.flatMap { cells =>
+      val sorted = cells.toSeq.sortBy { case ((_, p), v) => (v, p) }
+      // tie-aware RANK(): position of first equal (v, pri) — total order
+      sorted.zipWithIndex.map { case (((_, p), _), i) => p -> (i + 1).toLong }
+    }.groupBy(_._1).view.mapValues(vs =>
+      (vs.size.toLong, vs.map(_._2).sum)).toMap
+    val mr = ranks.view.mapValues { case (nb, rs) => rs * 1000 / nb }.toMap
+    val nBlocks = ranks.values.head._1
+    val cd = math.floor(2.728 *
+      math.sqrt((k * (k + 1)).toDouble / (6.0 * nBlocks)) * 1000).toLong
+    operators.DiagnosticOps.statsNemenyi(spark, sfDir).collect().foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) === mr(a), s"mr $a")
+      assert(r.getLong(3) === mr(b), s"mr $b")
+      assert(r.getLong(4) === math.abs(mr(a) - mr(b)))
+      assert(r.getLong(5) === cd)
+      assert(r.getBoolean(6) === (math.abs(mr(a) - mr(b)) > cd))
+    }
+  }
+
+  test("directional movement matches an exact driver replay") {
+    val expect = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+        math.floor(r.getDouble(3) * 1e6).toLong))
+      .groupBy(_._1).flatMap { case (tp, rows) =>
+        val days = rows.groupBy(_._2 / 86400000L).toSeq.sortBy(_._1)
+          .map { case (d, es) =>
+            (d, es.map(_._4).max, es.map(_._4).min,
+              es.maxBy(e => (e._2, e._3))._4)
+          }
+        val dm = days.indices.drop(1).map { i =>
+          val (d, h, l, _) = days(i)
+          val (_, hp, lp, cp) = days(i - 1)
+          val up = h - hp; val dn = lp - l
+          val pdm = if (up > dn && up > 0) up else 0L
+          val ndm = if (dn > up && dn > 0) dn else 0L
+          val tr = math.max(h - l, math.max(math.abs(h - cp), math.abs(l - cp)))
+          (d, pdm, ndm, tr)
+        }
+        dm.indices.map { i =>
+          def ema(f: ((Long, Long, Long, Long)) => Long): BigInt =
+            (0 until 8).filter(_ <= i)
+              .map(j => BigInt(f(dm(i - j))) * (1L << (7 - j))).sum
+          val (epn, enn, etn) = (ema(_._2), ema(_._3), ema(_._4))
+          val pdi = if (etn > 0) Some((epn * 1000000 / etn).toLong) else None
+          val ndi = if (etn > 0) Some((enn * 1000000 / etn).toLong) else None
+          val dx = if (epn + enn > 0)
+            Some(((epn - enn).abs * 1000000 / (epn + enn)).toLong) else None
+          (tp, dm(i)._1) -> (pdi, ndi, dx)
+        }
+      }
+    operators.IndicatorOps.winAdx(spark, sfDir).collect().foreach { r =>
+      val day = java.time.LocalDate.parse(r.getString(1)).toEpochDay
+      val e = expect((r.getString(0), day))
+      def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      assert((opt(2), opt(3), opt(4)) === e, s"${r.getString(0)} $day")
+    }
+  }
+
   // ---- 3. empty-corpus zero-row contracts ------------------------------
 
   test("splitUniformity and AD audit emit zero rows on an empty corpus") {
