@@ -496,16 +496,24 @@ object ClusterOps {
     * Exactness: distances are exact int64 squared-L2 on the micro-
     * quantized vectors (the [[assign]] kernel); the positive picked by
     * (d, vec_id); the multiplicative margin compares 2·d_an < 3·d_ap —
-    * no float ratio ever forms. Scale: anchors are a deterministic
-    * 1-in-25 id slice BROADCAST against the corpus (the scale path
-    * mines per-batch, not all-pairs: anchors ≪ corpus by
-    * construction); one |anchor|-partitioned window + one aggregate.
+    * no float ratio ever forms. Scale: anchors are the 64 vectors
+    * first in md5("tri:" || vec_id) order (the [[embedHubness]]
+    * hash-order draw — deterministic, uniform, engine-identical), a
+    * FIXED count BROADCAST against the corpus. Not a proportional
+    * slice: the r18 form (vec_id % 25) kept the anchor broadcast and
+    * the anchor×corpus pair count growing with N — O(N²/25) at 100×
+    * corpus — whereas 64 anchors make the mine exactly O(64·N) with a
+    * constant broadcast at any scale; one |anchor|-partitioned window
+    * + one aggregate.
     */
   def embedTriplets(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 1e6).cast("long")).as("q"))
-    val anchors = base.filter(col("vec_id") % 25 === 0)
+    val anchors = base
+      .orderBy(md5(concat(lit("tri:"), col("vec_id").cast("string"))),
+        col("vec_id"))
+      .limit(64)
       .select(col("vec_id").as("aid"), col("label").as("albl"),
         col("q").as("aq"))
     val dist = aggregate(
@@ -885,8 +893,8 @@ object ClusterOps {
         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
         |  FROM embeddings),
         |anch AS (
-        |  SELECT vec_id AS aid, label AS albl, q AS aq
-        |  FROM base WHERE vec_id % 25 = 0),
+        |  SELECT vec_id AS aid, label AS albl, q AS aq FROM base
+        |  ORDER BY md5('tri:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
         |dims AS (
         |  SELECT b.vec_id, b.label, a.aid, a.albl,
         |    unnest(a.aq) AS av, unnest(b.q) AS bv

@@ -464,9 +464,12 @@ object CorpusOps {
     * unit system.
     *
     * Exactness: Σf(f−1) and N(N−1) are exact integers (DECIMAL-staged
-    * products); each readout is ONE truncating division. Scale: one
-    * (source, token) map-side-combined aggregate, |sources|-row
-    * readout.
+    * products); each readout is ONE truncating division, guarded by a
+    * mirrored CASE WHEN n_tokens > 1 in both engines — a single-token
+    * source reads lambda_ppm NULL (and the derived complements NULL)
+    * by CONTRACT, not by riding each engine's div-by-zero-to-NULL
+    * mapping. Scale: one (source, token) map-side-combined aggregate,
+    * |sources|-row readout.
     */
   def textSimpson(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -477,9 +480,9 @@ object CorpusOps {
         sum((col("f") * (col("f") - 1L))
           .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("rep"))
       .select(col("source"), col("n_tokens"),
-        expr("cast((rep * 1000000) div " +
-          "(cast(n_tokens as decimal(38,0)) * (n_tokens - 1)) as long)")
-          .as("lambda_ppm"))
+        expr("CASE WHEN n_tokens > 1 THEN cast((rep * 1000000) div " +
+          "(cast(n_tokens as decimal(38,0)) * (n_tokens - 1)) as long) " +
+          "END").as("lambda_ppm"))
       .withColumn("gini_simpson_ppm", lit(1000000L) - col("lambda_ppm"))
       .withColumn("inv_simpson_milli",
         expr("CASE WHEN lambda_ppm > 0 THEN " +
@@ -700,9 +703,9 @@ object CorpusOps {
         |  FROM f GROUP BY source),
         |l AS (
         |  SELECT source, n_tokens,
-        |    CAST((rep * 1000000) //
+        |    CASE WHEN n_tokens > 1 THEN CAST((rep * 1000000) //
         |      (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) AS BIGINT)
-        |      AS lambda_ppm
+        |      END AS lambda_ppm
         |  FROM a)
         |SELECT source, n_tokens, lambda_ppm,
         |  1000000 - lambda_ppm AS gini_simpson_ppm,

@@ -315,7 +315,8 @@ object ImpactOps {
         sum(when(col("is_kept") === 0, col("n_chars")).otherwise(lit(0L)))
           .as("chars_dropped"))
       .withColumn("savings_ppm",
-        expr("(chars_dropped * 1000000) div chars_total"))
+        expr("cast((cast(chars_dropped as decimal(38,0)) * 1000000) " +
+          "div chars_total as long)"))
       .orderBy("lang")
   }
 
@@ -331,7 +332,12 @@ object ImpactOps {
     * and the pre-filter buys nothing). The first number to read before
     * sizing the #172 LSH stage at 100×. Zero-length docs excluded both
     * engines (bin(0) has no band). One doc-grain join + one
-    * |bands|-bounded aggregate; two truncating ppm readouts.
+    * |bands|-bounded aggregate; two truncating ppm readouts. The
+    * savings_ppm numerator stages chars_dropped through DECIMAL(38,0)/
+    * HUGEINT before the ×10⁶ — raw int64 wraps SILENTLY past ~9.2e12
+    * dropped chars per band (a real corpus-scale number) while the
+    * DuckDB BIGINT multiply errors loudly, a silent-vs-loud divergence;
+    * drop_ppm stays int64 (envelope ~9.2e12 DOCS per band, unreachable).
     */
   def dedupLengthProfile(s: SparkSession, dir: String): DataFrame = {
     val kept = PipelineOps.dedupCanonical(s, dir)
@@ -350,7 +356,8 @@ object ImpactOps {
       .select(col("band"), col("n_docs"), col("n_dropped"),
         col("chars_total"), col("chars_dropped"),
         expr("(n_dropped * 1000000) div n_docs").as("drop_ppm"),
-        expr("(chars_dropped * 1000000) div chars_total").as("savings_ppm"))
+        expr("cast((cast(chars_dropped as decimal(38,0)) * 1000000) " +
+          "div chars_total as long)").as("savings_ppm"))
       .orderBy("band")
   }
 
@@ -556,7 +563,8 @@ object ImpactOps {
          |  GROUP BY band)
          |SELECT band, n_docs, n_dropped, chars_total, chars_dropped,
          |  (n_dropped * 1000000) // n_docs AS drop_ppm,
-         |  (chars_dropped * 1000000) // chars_total AS savings_ppm
+         |  CAST((CAST(chars_dropped AS HUGEINT) * 1000000) // chars_total
+         |    AS BIGINT) AS savings_ppm
          |FROM a ORDER BY band""".stripMargin
     },
     "q_dedup_savings" -> {
@@ -568,8 +576,9 @@ object ImpactOps {
          |  CAST(SUM(d.n_chars) AS BIGINT) AS chars_total,
          |  CAST(SUM(CASE WHEN k.is_kept = 0 THEN d.n_chars ELSE 0 END)
          |    AS BIGINT) AS chars_dropped,
-         |  CAST((SUM(CASE WHEN k.is_kept = 0 THEN d.n_chars ELSE 0 END)
-         |    * 1000000) // SUM(d.n_chars) AS BIGINT) AS savings_ppm
+         |  CAST((CAST(SUM(CASE WHEN k.is_kept = 0 THEN d.n_chars ELSE 0 END)
+         |    AS HUGEINT) * 1000000) // SUM(d.n_chars) AS BIGINT)
+         |    AS savings_ppm
          |FROM documents d JOIN kept k USING (doc_id)
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin
     })

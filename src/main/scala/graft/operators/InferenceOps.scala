@@ -835,11 +835,17 @@ object InferenceOps {
 
   /** #515 Bowley (quartile) skewness per event type on the daily mass
     * series: B = (Q₃ + Q₁ − 2·Q₂)/(Q₃ − Q₁) in milli, with the three
-    * quartiles as SINGLE order statistics at ranks (n+3) div 4,
-    * (n+2) div 2, (3n+1) div 4 of the type-partitioned sort (a stated
-    * lower-hinge convention — quartile conventions differ and the
-    * mirrored rank picks keep both engines on the same element; no
-    * averaging, no division until the one readout). WHY next to
+    * quartiles as SINGLE order statistics at ranks r₁ = (n+3) div 4,
+    * (n+2) div 2, and r₃ = n + 1 − r₁ of the type-partitioned sort (a
+    * stated lower-hinge convention — quartile conventions differ and
+    * the mirrored rank picks keep both engines on the same element;
+    * r₃ is the MIRROR of r₁ so a value-symmetric sample reads
+    * q3 + q1 = 2·center and bowley_milli = 0 exactly at odd n — the
+    * r18 pick (3n+1) div 4 sat one rank low for n ≡ 2,3 (mod 4),
+    * biasing symmetric data negative; for EVEN n the single-element
+    * median (n+2) div 2 is the upper-middle, a stated residual
+    * asymmetry of the no-averaging convention; no averaging, no
+    * division until the one readout). WHY next to
     * #370/#491: the moment skewness (JB family) is outlier-dominated —
     * one spike day swings x³ arbitrarily; Bowley reads asymmetry from
     * the QUARTILES only, so the pair (moment says skewed, Bowley says
@@ -863,7 +869,8 @@ object InferenceOps {
       .agg(max(col("n")).as("n_days"),
         max(when(col("rn") === expr("(n + 3) div 4"), col("x"))).as("q1"),
         max(when(col("rn") === expr("(n + 2) div 2"), col("x"))).as("q2"),
-        max(when(col("rn") === expr("(3 * n + 1) div 4"), col("x"))).as("q3"))
+        max(when(col("rn") === expr("n + 1 - ((n + 3) div 4)"), col("x")))
+          .as("q3"))
       .select(col("event_type"), col("n_days"),
         col("q1"), col("q2"), col("q3"),
         expr("CASE WHEN q3 > q1 THEN " +
@@ -2063,7 +2070,7 @@ object InferenceOps {
         |  SELECT event_type, MAX(n) AS n_days,
         |    MAX(CASE WHEN rn = (n + 3) // 4 THEN x END) AS q1,
         |    MAX(CASE WHEN rn = (n + 2) // 2 THEN x END) AS q2,
-        |    MAX(CASE WHEN rn = (3 * n + 1) // 4 THEN x END) AS q3
+        |    MAX(CASE WHEN rn = n + 1 - ((n + 3) // 4) THEN x END) AS q3
         |  FROM rk GROUP BY event_type)
         |SELECT event_type, n_days, q1, q2, q3,
         |  CASE WHEN q3 > q1 THEN

@@ -544,7 +544,7 @@ class Round18Spec extends AnyFunSuite with SparkFixture {
         .map { case (d, es) => (es.map(_._3).sum, d) }.sorted.map(_._1)
       val n = xs.length
       val (q1, q2, q3) = (xs((n + 3) / 4 - 1), xs((n + 2) / 2 - 1),
-        xs((3 * n + 1) / 4 - 1))
+        xs(n + 1 - (n + 3) / 4 - 1))
       assert(r.getLong(1) === n.toLong)
       assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((q1, q2, q3)))
       val e = if (q3 > q1) Some((q3 + q1 - 2 * q2) * 1000 / (q3 - q1)) else None

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-19 pins for this round's ADVICE closes:
+  *
+  *  1. textSimpson's single-token NULL CONTRACT — lambda_ppm (and its
+  *     derived complements) must be NULL for an n_tokens = 1 source via
+  *     the mirrored CASE guard, not via each engine's div-by-zero→NULL
+  *     accident (the r18 ADVICE low);
+  *  2. bowleySkew's mirror-symmetric quartile ranks — a value-symmetric
+  *     odd-n sample reads bowley_milli = 0 EXACTLY; the r18 rank pick
+  *     (3n+1) div 4 read −250 on this same fixture (one rank low for
+  *     n ≡ 3 mod 4, a systematic negative bias on symmetric data);
+  *  3. embedTriplets' fixed-64 md5-order anchor draw ENGAGES at
+  *     sf0.001 — output cardinality equals the 64-row draw (minus
+  *     anchors with no same-label positive), not the 1-in-25
+  *     proportional slice the r18 form used.
+  */
+class Round19Spec extends AnyFunSuite with SparkFixture {
+
+  private def tmpFixture(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  test("textSimpson reads NULL diversity for a single-token source") {
+    import spark.implicits._
+    val dir = tmpFixture("simpson-degenerate")
+    Seq(("solo", "onlytoken"), ("multi", "a a b"))
+      .toDF("source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.CorpusOps.textSimpson(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val solo = rows("solo")
+    assert(solo.getLong(1) === 1L)
+    assert(solo.isNullAt(2), "lambda_ppm must be NULL by CONTRACT at n=1")
+    assert(solo.isNullAt(3), "gini_simpson_ppm must propagate the NULL")
+    assert(solo.isNullAt(4), "inv_simpson_milli must propagate the NULL")
+    val multi = rows("multi")
+    // f = {a: 2, b: 1} → rep = 2, n = 3: λ = 2·10⁶ div 6 = 333333
+    assert(multi.getLong(1) === 3L)
+    assert(multi.getLong(2) === 333333L)
+    assert(multi.getLong(3) === 666667L)
+    assert(multi.getLong(4) === 3000L)
+  }
+
+  test("bowleySkew reads exactly 0 on a value-symmetric odd-n sample") {
+    import spark.implicits._
+    val dir = tmpFixture("bowley-symmetric")
+    // 7 one-event days, daily masses symmetric about 50: ranks r1=2,
+    // r2=4, r3=n+1−r1=6 pick (30, 50, 70) → (70+30−100)·1000/40 = 0.
+    // The r18 pick r3=(3n+1) div 4=5 picked 60 → −250 on this fixture.
+    val days = Seq(10.0, 30.0, 40.0, 50.0, 60.0, 70.0, 90.0)
+    days.zipWithIndex
+      .map { case (v, i) =>
+        ("sym", java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"), v)
+      }
+      .toDF("event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = operators.InferenceOps.bowleySkew(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(1) === 7L)
+    assert((r(0).getLong(2), r(0).getLong(3), r(0).getLong(4)) ===
+      ((30000000L, 50000000L, 70000000L)))
+    assert(r(0).getLong(5) === 0L,
+      "mirror-symmetric ranks must read 0 on symmetric data")
+  }
+
+  test("embedTriplets output cardinality matches the fixed-64 draw") {
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(n > 64, "draw must be a strict subset at sf0.001")
+    val out = operators.ClusterOps.embedTriplets(spark, sfDir).count()
+    // every anchor with ≥1 same-label positive emits exactly one row;
+    // the draw is 64, so the output is ≤64 and, at sf0.001 label
+    // balance, well above the old 1-in-25 slice's n/25 only if n < 1600
+    // — the binding assertion is the ≤64 cap the proportional form
+    // would blow past as the corpus grows (n/25 > 64 for n > 1600).
+    assert(out <= 64L)
+    assert(out > 32L, "sf0.001 label balance gives most anchors a positive")
+  }
+}

@@ -978,7 +978,12 @@ class SearchClusterSpec extends AnyFunSuite with SparkFixture {
         r.getSeq[Float](2).map(f => math.floor(f.toDouble * 1e6).toLong)))
     def d(a: Seq[Long], b: Seq[Long]): Long =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
-    val anchors = vecs.filter(_._1 % 25 == 0)
+    def md5hexT(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val anchorIds = vecs.map(_._1)
+      .sortBy(id => (md5hexT(s"tri:$id"), id)).take(64).toSet
+    val anchors = vecs.filter(v => anchorIds(v._1))
     assert(got.size === anchors.count(a =>
       vecs.exists(v => v._1 != a._1 && v._2 == a._2)))
     anchors.foreach { case (aid, albl, aq) =>
