@@ -72,6 +72,9 @@ class PrewarmSpec extends AnyFunSuite with SparkFixture {
   private val invariancePins: Map[String, String] = Map(
     "minhash_sigs" -> "oracle:q_dedup_near_minhash",
     "jaccard_edges" -> "oracle:q_dedup_jaccard_blocked",
+    // components additionally carries the r19 corpus-version REBUILD
+    // proof (Round19Spec "corpus-version bump rebuilds ..."): a bumped
+    // content key rebuilds the whole chain from scratch, value-identical
     "components" -> "oracle:q_dedup_components",
     "lpa_labels" -> "oracle:q_graph_label_prop",
     "degrees" -> "oracle:q_graph_pagerank",

@@ -16,7 +16,12 @@ import org.apache.spark.sql.functions._
   *  3. embedTriplets' fixed-64 md5-order anchor draw ENGAGES at
   *     sf0.001 — output cardinality equals the 64-row draw (minus
   *     anchors with no same-label positive), not the 1-in-25
-  *     proportional slice the r18 form used.
+  *     proportional slice the r18 form used;
+  *  4. the derived tier's corpus-version REBUILD path end-to-end — a
+  *     bumped content key over identical corpus content rebuilds the
+  *     sigs → jaccard → components chain from scratch to value-identical
+  *     labels, then reuses the published build (the r18 verdict's
+  *     suggested depth test over the r16 content-hash keying argument).
   */
 class Round19Spec extends AnyFunSuite with SparkFixture {
 
@@ -64,6 +69,37 @@ class Round19Spec extends AnyFunSuite with SparkFixture {
       ((30000000L, 50000000L, 70000000L)))
     assert(r(0).getLong(5) === 0L,
       "mirror-symmetric ranks must read 0 on symmetric data")
+  }
+
+  test("corpus-version bump rebuilds the derived dedup chain identically") {
+    // The derived tier (SCALE.md) keys every materialization on a
+    // content hash of its source table (dir|length|mtime). This proves
+    // the REBUILD path end-to-end: an identical corpus under a bumped
+    // key (fresh dir ⇒ fresh cacheKey for documents) must (1) start
+    // unbuilt, (2) rebuild the full sigs → jaccard → components chain
+    // from scratch, (3) produce value-identical labels, and (4) reuse
+    // the published build on the next read instead of rebuilding.
+    val tmp = tmpFixture("corpus-bump")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      java.nio.file.Paths.get(s"$tmp/documents.parquet"))
+    val (keyA, keyB) = (operators.DedupOps.cacheKey(sfDir, "documents"),
+      operators.DedupOps.cacheKey(tmp, "documents"))
+    assert(keyA !== keyB, "a corpus-version bump must change the key")
+    val tmpRoot = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val bumped = new java.io.File(s"$tmpRoot/graft_io/components_v2_$keyB")
+    assert(!bumped.exists(), "a fresh corpus version must start unbuilt")
+    def labels(dir: String) =
+      operators.DedupOps.componentLabels(spark, dir).collect()
+        .map(_.toSeq).sortBy(_.toString)
+    assert(labels(tmp) === labels(sfDir),
+      "identical corpus content must rebuild to identical labels")
+    assert(new java.io.File(bumped, "_SUCCESS").exists(),
+      "the bumped build must publish complete")
+    val published = bumped.lastModified()
+    operators.DedupOps.componentLabels(spark, tmp).count()
+    assert(bumped.lastModified() === published,
+      "a second read must reuse the published build, not rebuild")
   }
 
   test("embedTriplets output cardinality matches the fixed-64 draw") {
