@@ -71,6 +71,47 @@ class Round19Spec extends AnyFunSuite with SparkFixture {
       "mirror-symmetric ranks must read 0 on symmetric data")
   }
 
+  test("bowleySkew reads 0 on random symmetric samples across n mod 4") {
+    import spark.implicits._
+    // Randomized generalization of the single n=7 pin: for EVERY odd n
+    // (both n ≡ 1 and n ≡ 3 mod 4, the class the r18 rank pick biased)
+    // a value-symmetric sample must read exactly 0 under the mirror
+    // ranks; for even n the single-element median is the upper-middle
+    // (the stated convention), so symmetric data reads ≤ 0 and must
+    // match the driver replay of the exact rank formulas.
+    val rng = new scala.util.Random(19L)
+    val dir = tmpFixture("bowley-property")
+    val types = Seq(5, 7, 9, 11, 13, 15, 6, 8).map { n =>
+      val c = 500L + rng.nextInt(100)
+      val half = Array.fill(n / 2)(1L + rng.nextInt(400)).distinct.sorted
+      val vals =
+        half.map(c - _) ++ (if (n % 2 == 1) Seq(c) else Nil) ++
+          half.map(c + _)
+      (s"n$n", vals.map(_.toDouble))
+    }
+    types.flatMap { case (t, vs) =>
+      rng.shuffle(vs.toSeq).zipWithIndex.map { case (v, i) =>
+        (t, java.sql.Timestamp.valueOf(f"2024-02-${i + 1}%02d 03:00:00"), v)
+      }
+    }.toDF("event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.InferenceOps.bowleySkew(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    types.foreach { case (t, vs) =>
+      val xs = vs.sorted.map(v => (v * 1e6).toLong)
+      val n = xs.length
+      val r1 = (n + 3) / 4
+      val (q1, q2, q3) = (xs(r1 - 1), xs((n + 2) / 2 - 1), xs(n - r1))
+      val expect = (q3 + q1 - 2 * q2) * 1000 / (q3 - q1)
+      assert(got(t) === ((n.toLong, q1, q2, q3, expect)), t)
+      if (n % 2 == 1)
+        assert(expect === 0L, s"$t: odd-n symmetric sample must read 0")
+      else assert(expect <= 0L, s"$t: even-n convention is upper-middle")
+    }
+  }
+
   test("corpus-version bump rebuilds the derived dedup chain identically") {
     // The derived tier (SCALE.md) keys every materialization on a
     // content hash of its source table (dir|length|mtime). This proves
