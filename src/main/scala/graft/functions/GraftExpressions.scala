@@ -148,6 +148,112 @@ object DotProductExpr {
   }
 }
 
+/** Exact int64 vector kernels over `array<long>` pairs, codegen'd — the
+  * quantized-embedding hot path. Spark's `zip_with`/`aggregate` HOFs are
+  * `CodegenFallback`: each pair evaluation allocates the zipped array and
+  * interprets two lambdas per element, which dominates every anchor×corpus
+  * and vector×centroid loop in the embed family (the same bottleneck
+  * [[DotProductExpr]] removed for the float/double cosine path). These
+  * evaluate the identical op sequence — `Σ(aᵢ−bᵢ)²` / `Σ aᵢ·bᵢ`, left to
+  * right — as ONE tight long loop, so results are bit-identical to the
+  * HOF formulation and to the DuckDB unnest-twins. Arithmetic uses
+  * `Math.{subtract,multiply,add}Exact`, preserving the ANSI loud-overflow
+  * contract the interpreted path had (a silent wrap would poison exact
+  * readouts downstream; micro-quantized 64-dim inputs sit ~4 decimal
+  * orders inside the envelope).
+  */
+case class LongSqL2Expr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two bigint arrays, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sql2"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    LongVecKernels.sqL2(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.LongVecKernels.sqL2($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LongSqL2Expr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact int64 dot product over `array<long>` — see [[LongSqL2Expr]]. */
+case class LongDotExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two bigint arrays, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_ldot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    LongVecKernels.dot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.LongVecKernels.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LongDotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object LongVecKernels {
+  def sqL2(a: org.apache.spark.sql.catalyst.util.ArrayData,
+           b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = Math.subtractExact(a.getLong(i), b.getLong(i))
+      acc = Math.addExact(acc, Math.multiplyExact(d, d))
+      i += 1
+    }
+    acc
+  }
+
+  def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+          b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc = Math.addExact(acc, Math.multiplyExact(a.getLong(i), b.getLong(i)))
+      i += 1
+    }
+    acc
+  }
+}
+
 /** Jaro-Winkler similarity over UTF-8 bytes, codegen'd — the fuzzy-name
   * scorer Spark lacks (it ships only levenshtein). Semantics are pinned
   * empirically to the RapidFuzz formulation DuckDB exposes as
@@ -372,6 +478,10 @@ object GraftFunctions {
       exprs => RollingHashExpr(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction("graft_dot",
       exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("graft_sql2",
+      exprs => LongSqL2Expr(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("graft_ldot",
+      exprs => LongDotExpr(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction("graft_jaro_winkler",
       exprs => JaroWinklerExpr(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction("graft_damerau_levenshtein",

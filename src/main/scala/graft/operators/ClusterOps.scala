@@ -16,8 +16,8 @@ import graft.Tables
   * partition order can never move an assignment or a hash.
   *
   * Scale shape: K (=8) centroids are a broadcast either way; assignment
-  * is a map over vectors (zip_with/aggregate inside codegen — the
-  * vectors are never exploded on the assignment path); the update step
+  * is a map over vectors (the codegen graft_sql2 kernel — the vectors
+  * are never exploded on the assignment path); the update step
   * is a (cluster, dim)-key aggregate with map-side combine (K·D rows
   * out). Fixed iterations = fixed number of jobs — no driver-side
   * convergence loop over collect()ed data.
@@ -34,12 +34,15 @@ object ClusterOps {
 
   /** One assignment pass: nearest centroid by exact int64 squared-L2,
     * ties broken by the smaller cluster id. Centroids arrive as a K-row
-    * broadcast (cid, c: array<long>).
+    * broadcast (cid, c: array<long>). The distance runs through the
+    * codegen [[graft.functions.LongSqL2Expr]] kernel (r19): bit-identical
+    * to the aggregate(zip_with(...)) fold it replaces, but one tight long
+    * loop per pair instead of interpreted CodegenFallback lambdas — the
+    * vector×centroid product is the embed family's hot path.
     */
   private[graft] def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val dist = aggregate(
-      zip_with(col("q"), col("c"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val dist = expr("graft_sql2(q, c)")
     val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
     vecs.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("q"), col("cid"), dist.as("dist"))
@@ -104,25 +107,25 @@ object ClusterOps {
       .select(col("vec_id").cast("int").as("cid"), col("q").as("c"))
     val cents = (1 until Iters).foldLeft(seed)((c, _) =>
       update(assign(vecs, c)).localCheckpoint())
-    // qd: the micro ints as doubles — every component, product (≤1e12)
-    // and partial sum (≤6.4e13) stays below 2^53, so the double-path
-    // graft_dot kernel returns the EXACT integer dot while the hot pair
-    // loop runs codegen'd instead of through interpreted zip_with
-    // lambdas. localCheckpoint: the assignment feeds the pair join twice
-    // plus the member counts — without it the Lloyd chain re-executes
-    // per branch (GraphOps discipline).
+    // exact int64 dots via the codegen graft_ldot kernel (r19 — this
+    // path predates it with a cast-to-double graft_dot workaround whose
+    // products stayed under 2^53; the long kernel is exact by type and
+    // skips the per-row transform). The long→double conversions in the
+    // cosine are exact (dot ≤ 6.4e13 < 2^53), so values are bit-identical
+    // to the old path. localCheckpoint: the assignment feeds the pair
+    // join twice plus the member counts — without it the Lloyd chain
+    // re-executes per branch (GraphOps discipline).
     val assigned = assign(vecs, cents)
-      .select(col("cid"), col("vec_id"),
-        transform(col("q"), x => x.cast("double")).as("qd"))
-      .withColumn("nsq", expr("graft_dot(qd, qd)"))
+      .select(col("cid"), col("vec_id"), col("q"))
+      .withColumn("nsq", expr("graft_ldot(q, q)"))
       .localCheckpoint()
     val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
-      col("qd").as("qa"), col("nsq").as("na"))
+      col("q").as("qa"), col("nsq").as("na"))
     val b = assigned.select(col("cid"), col("vec_id").as("vec_b"),
-      col("qd").as("qb"), col("nsq").as("nb"))
+      col("q").as("qb"), col("nsq").as("nb"))
     val pairs = a.join(b, Seq("cid")).filter(col("vec_a") < col("vec_b"))
       .select(col("cid"), col("vec_a"), col("vec_b"),
-        round(expr("graft_dot(qa, qb)") /
+        round(expr("graft_ldot(qa, qb)").cast("double") /
           (sqrt(col("na")) * sqrt(col("nb"))), 6)
           .as("cosine"))
       .filter(col("cosine") >= 0.35)
@@ -149,7 +152,7 @@ object ClusterOps {
   /** Top principal component of the embedding corpus via MATRIX-FREE
     * power iteration: the d×d covariance is never materialized —
     * each round computes dot_v = c_v·w as a map over vectors
-    * (zip_with/aggregate, codegen) and the next direction
+    * (the codegen graft_ldot kernel) and the next direction
     * x = Σ_v dot_v·c_v as one (dim)-key aggregate, i.e. two linear
     * passes instead of a d² build. Exactness discipline: centered
     * vectors are integer micros; dots are exact int64; the Σ dot·c
@@ -163,9 +166,13 @@ object ClusterOps {
     * is positive. Output: 64 rows (dim, w_micro, lambda).
     */
   def embedPca(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val big = DecimalType(38, 0)
-    def dotCol(w: org.apache.spark.sql.Column) =
-      aggregate(zip_with(col("c"), w, (a, b) => a * b), lit(0L), (acc, v) => acc + v)
+    // exact int64 dot c·w via the codegen LongDotExpr kernel
+    // (bit-identical to the aggregate/zip_with fold it replaces, one
+    // tight loop per vector×round); both uses dot against the broadcast
+    // 1-row direction column named "w"
+    val dotCol = expr("graft_ldot(c, w)")
     val vecs = quantized(s, dir)
     val mean = vecs.select(posexplode(col("q")).as(Seq("dim", "v")))
       .groupBy("dim")
@@ -179,7 +186,7 @@ object ClusterOps {
     val w0 = centered.filter(col("vec_id") === 0).select(col("c").as("w"))
     def iterate(w: DataFrame): DataFrame = {
       val dots = centered.crossJoin(broadcast(w))
-        .select(col("vec_id"), col("c"), dotCol(col("w")).as("dot"))
+        .select(col("vec_id"), col("c"), dotCol.as("dot"))
       val x = dots.select(posexplode(col("c")).as(Seq("dim", "cv")), col("dot"))
         .groupBy("dim").agg(sum(col("cv").cast(big) * col("dot").cast(big)).as("x"))
       val mx = x.agg(max(abs(col("x"))).as("mx"))
@@ -192,7 +199,7 @@ object ClusterOps {
     }
     val w2 = iterate(iterate(w0))
     val dots2 = centered.crossJoin(broadcast(w2))
-      .select(dotCol(col("w")).as("dot"))
+      .select(dotCol.as("dot"))
     val lam = dots2.agg(
       sum(col("dot").cast(big) * col("dot").cast(big)).cast("double").as("sd2"),
       count(lit(1)).as("nv"))
@@ -282,9 +289,8 @@ object ClusterOps {
       .groupBy()
       .agg(array_sort(collect_list(struct(col("dim"), col("cv")))).as("pairs"))
       .select(transform(col("pairs"), p => p.getField("cv")).as("c"))
-    val dist2 = aggregate(
-      zip_with(col("q"), col("c"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    graft.functions.GraftFunctions.register(s)
+    val dist2 = expr("graft_sql2(q, c)")
     quantized(s, dir).crossJoin(broadcast(centroid))
       .select(col("vec_id"), dist2.as("dist2_micro2"))
       .orderBy(desc("dist2_micro2"), col("vec_id"))
@@ -298,20 +304,21 @@ object ClusterOps {
     * hash pattern (PipelineOps.splitAssign), evaluated once driver-side
     * here and inline in the DuckDB twin, identical by md5's definition.
     * Components quantize to exact integer micros first, so each of the
-    * 8 outputs is an exact int64 dot product folded per-row inside
-    * codegen (zip_with + aggregate — the vector is never exploded); the
-    * op distributes as a pure map with zero shuffles.
+    * 8 outputs is an exact int64 dot product folded per-row by the
+    * codegen graft_ldot kernel against a literal sign array (the vector
+    * is never exploded); the op distributes as a pure map with zero
+    * shuffles.
     */
   def embedRandProj(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     def sign(i: Int, j: Int): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(s"jl:$i:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
       if (hex.charAt(0) < '8') 1L else -1L
     }
     val projCols = (0 until 8).map { j =>
-      val signs = array((0 until 64).map(i => lit(sign(i, j))): _*)
-      aggregate(zip_with(col("q"), signs, (x, sg) => x * sg),
-        lit(0L), (acc, v) => acc + v).as(s"p$j")
+      val signs = (0 until 64).map(i => s"${sign(i, j)}L").mkString(",")
+      expr(s"graft_ldot(q, array($signs))").as(s"p$j")
     }
     quantized(s, dir).select((col("vec_id") +: projCols): _*).orderBy("vec_id")
   }
@@ -373,9 +380,8 @@ object ClusterOps {
     * codebook (m, cid, c) shared by [[embedPq]] and [[embedPqAdc]].
     */
   private def pqSubAssign(sub: DataFrame, cents: DataFrame): DataFrame = {
-    val dist = aggregate(
-      zip_with(col("sq"), col("c"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    graft.functions.GraftFunctions.register(sub.sparkSession)
+    val dist = expr("graft_sql2(sq, c)")
     val w = Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("cid"))
     sub.join(broadcast(cents), Seq("m"))
       .select(col("vec_id"), col("m"), col("sq"), col("cid"), dist.as("dist"))
@@ -428,8 +434,7 @@ object ClusterOps {
       .select(col("vec_id").as("probe_id"), col("m"), col("sq").as("psq"))
       .join(cents1, Seq("m"))
       .select(col("probe_id"), col("m"), col("cid"),
-        aggregate(zip_with(col("psq"), col("c"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, v) => acc + v).as("pd"))
+        expr("graft_sql2(psq, c)").as("pd"))
     val w = Window.partitionBy("probe_id").orderBy(col("adist"), col("vec_id"))
     codes.join(broadcast(pdist), Seq("m", "cid"))
       .filter(col("probe_id") =!= col("vec_id"))
@@ -462,9 +467,7 @@ object ClusterOps {
       .select(col("vec_id").cast("int").as("cid"), col("q").as("c"))
     val cents = (1 until Iters).foldLeft(seed)((c, _) =>
       update(assign(vecs, c)).localCheckpoint())
-    val dist = aggregate(
-      zip_with(col("q"), col("c"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    val dist = expr("graft_sql2(q, c)")
     val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
     val ranked = vecs.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"), dist.as("d2"))
@@ -507,6 +510,7 @@ object ClusterOps {
     * + one aggregate.
     */
   def embedTriplets(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val base = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 1e6).cast("long")).as("q"))
@@ -516,9 +520,7 @@ object ClusterOps {
       .limit(64)
       .select(col("vec_id").as("aid"), col("label").as("albl"),
         col("q").as("aq"))
-    val dist = aggregate(
-      zip_with(col("aq"), col("q"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    val dist = expr("graft_sql2(aq, q)")
     val pairs = base.crossJoin(broadcast(anchors))
       .filter(col("vec_id") =!= col("aid"))
       .select(col("aid"), col("albl"), col("vec_id"), col("label"),
@@ -562,15 +564,14 @@ object ClusterOps {
     * anchor-partitioned window + a vector-keyed count.
     */
   def embedHubness(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val base = quantized(s, dir)
     val anchors = base
       .orderBy(md5(concat(lit("hub:"), col("vec_id").cast("string"))),
         col("vec_id"))
       .limit(64)
       .select(col("vec_id").as("aid"), col("q").as("aq"))
-    val dist = aggregate(
-      zip_with(col("aq"), col("q"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    val dist = expr("graft_sql2(aq, q)")
     val w = Window.partitionBy("aid").orderBy("d", "vec_id")
     base.crossJoin(broadcast(anchors))
       .filter(col("vec_id") =!= col("aid"))

@@ -669,12 +669,12 @@ object SeriesOps {
     * one window rank on the (anchor) partitioning.
     */
   def embedIntrinsicDim(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val u = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"),
           x => floor(x.cast("double") * 1e6).cast("long")).as("u"))
-      .withColumn("q",
-        aggregate(transform(col("u"), x => x * x), lit(0L), _ + _))
+      .withColumn("q", expr("graft_ldot(u, u)"))
     val aw = Window.partitionBy("label")
       .orderBy(md5(concat(lit("twonn:"), col("vec_id").cast("string"))),
         col("vec_id"))
@@ -688,8 +688,10 @@ object SeriesOps {
       .orderBy(col("d2"), col("idb"))
     val top2 = a.join(b, Seq("label"))
       .filter(col("ida") =!= col("idb"))
-      .withColumn("dot",
-        aggregate(zip_with(col("ua"), col("ub"), _ * _), lit(0L), _ + _))
+      // exact int64 dot via the codegen LongDotExpr kernel — the
+      // anchor×block pair loop is the hot path (r19; bit-identical to
+      // the aggregate/zip_with fold it replaces)
+      .withColumn("dot", expr("graft_ldot(ua, ub)"))
       .withColumn("d2", col("qa") + col("qb") - lit(2L) * col("dot"))
       .select(col("label"), col("ida"), col("idb"), col("d2"))
       .withColumn("rn", row_number().over(w))

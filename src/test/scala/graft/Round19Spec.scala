@@ -71,6 +71,38 @@ class Round19Spec extends AnyFunSuite with SparkFixture {
       "mirror-symmetric ranks must read 0 on symmetric data")
   }
 
+  test("graft_sql2/graft_ldot are bit-identical to the HOF folds and loud on overflow") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // random long-array pairs in the micro-quantization envelope: the
+    // codegen kernels must equal the interpreted aggregate(zip_with(...))
+    // formulation element for element (same left-to-right op sequence)
+    val rng = new scala.util.Random(1909L)
+    val rows = Seq.fill(64)((
+      Seq.fill(64)(rng.nextLong() % 2000000L),
+      Seq.fill(64)(rng.nextLong() % 2000000L)))
+    val got = rows.toDF("a", "b").select(
+      expr("graft_sql2(a, b)").as("k_sql2"),
+      expr("graft_ldot(a, b)").as("k_dot"),
+      expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, " +
+        "(acc, v) -> acc + v)").as("h_sql2"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, " +
+        "(acc, v) -> acc + v)").as("h_dot")).collect()
+    got.foreach { r =>
+      assert(r.getLong(0) === r.getLong(2), "sql2 kernel != HOF fold")
+      assert(r.getLong(1) === r.getLong(3), "dot kernel != HOF fold")
+    }
+    // ANSI loud-overflow contract: Math.*Exact must THROW past int64,
+    // never wrap silently (the interpreted path's behavior under ANSI)
+    val big = Seq((Seq(3037000500L, 3037000500L), Seq(-1L, -2L))).toDF("a", "b")
+    val e = intercept[Throwable] {
+      big.select(expr("graft_sql2(a, b)")).collect()
+    }
+    def arithmetic(t: Throwable): Boolean = t != null &&
+      (t.isInstanceOf[ArithmeticException] || arithmetic(t.getCause))
+    assert(arithmetic(e), s"expected a loud ArithmeticException, got $e")
+  }
+
   test("bowleySkew reads 0 on random symmetric samples across n mod 4") {
     import spark.implicits._
     // Randomized generalization of the single n=7 pin: for EVERY odd n
