@@ -227,7 +227,57 @@ case class LongDotExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of positions where two `array<long>` agree — the MinHash
+  * signature-agreement estimator's inner fold (see [[LongSqL2Expr]] for
+  * why the HOF form is hot: 157k calibration pairs × 32 perms ran as
+  * interpreted lambdas). Mirrors
+  * aggregate(zip_with(a, b, (x,y) -> if(x=y, 1L, 0L)), 0L, +) exactly.
+  */
+case class LongEqCountExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two bigint arrays, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_eqcount"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    LongVecKernels.eqCount(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.LongVecKernels.eqCount($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LongEqCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object LongVecKernels {
+  def eqCount(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) acc += 1L
+      i += 1
+    }
+    acc
+  }
+
   def sqL2(a: org.apache.spark.sql.catalyst.util.ArrayData,
            b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
@@ -482,6 +532,8 @@ object GraftFunctions {
       exprs => LongSqL2Expr(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction("graft_ldot",
       exprs => LongDotExpr(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("graft_eqcount",
+      exprs => LongEqCountExpr(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction("graft_jaro_winkler",
       exprs => JaroWinklerExpr(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction("graft_damerau_levenshtein",

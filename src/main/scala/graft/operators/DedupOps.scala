@@ -791,6 +791,7 @@ object DedupOps {
     * because estimator and truth must share the set definition.
     */
   def sketchCalibration(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val pairs = materializedJaccard(s, dir).select(col("doc_a"), col("doc_b"),
       expr("cast(round(jaccard * 1e6) as long)").as("exact_ppm"))
     val docIds = pairs.select(col("doc_a").as("doc_id"))
@@ -820,9 +821,10 @@ object DedupOps {
     pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), Seq("doc_b"))
-      .withColumn("est_ppm", expr(
-        s"(aggregate(zip_with(sa, sb, (x, y) -> if(x = y, 1L, 0L)), 0L, " +
-          s"(a, v) -> a + v) * 1000000) div $CalibPerms"))
+      // agreement count via the codegen graft_eqcount kernel (r19 —
+      // bit-identical to the interpreted zip_with/if fold it replaces)
+      .withColumn("est_ppm",
+        expr(s"(graft_eqcount(sa, sb) * 1000000) div $CalibPerms"))
       .withColumn("bucket", expr("least(9L, exact_ppm div 100000)"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_pairs"),
