@@ -795,6 +795,28 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"the nearest-positive window must partition by anchor:\n$plan")
   }
 
+  test("the int64 vector kernels stay in the hot pair plans (no HOF fallback)") {
+    // r19: the pair loops must run the codegen graft_sql2/graft_ldot/
+    // graft_eqcount kernels — a silent revert to zip_with/aggregate
+    // (CodegenFallback: interpreted lambdas + an allocation per pair)
+    // costs 2-4x on the embed family and would not fail correctness
+    Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame, String)](
+      ("hubness", operators.ClusterOps.embedHubness, "graft_sql2"),
+      ("triplets", operators.ClusterOps.embedTriplets, "graft_sql2"),
+      ("silhouette", operators.ClusterOps.embedSilhouette, "graft_sql2"),
+      ("intrinsic_dim", operators.SeriesOps.embedIntrinsicDim, "graft_ldot"),
+      ("sketch_calibration", operators.DedupOps.sketchCalibration,
+        "graft_eqcount")
+    ).foreach { case (name, fn, kernel) =>
+      val plan = executed(fn(spark, sfDir)).toString
+      assert(plan.contains(kernel),
+        s"$name: the $kernel kernel left the plan")
+      assert(!plan.contains("zip_with"),
+        s"$name: an interpreted zip_with fold re-entered the hot path")
+    }
+  }
+
   test("the final r11m wave keeps windows keyed and dims broadcast") {
     // stochastic/RSI-family sibling + the corpus-scaling pair + the
     // month/club rollups: no SinglePartition window over row
