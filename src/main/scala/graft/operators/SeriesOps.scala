@@ -584,14 +584,20 @@ object SeriesOps {
     * identical) norm fold, so S_d, Q_d and every downstream sum are
     * exact integers; variances downscale div 1e9 before squaring to
     * stay inside DECIMAL(38,0). Scale: one posexplode aggregate on the
-    * dim key (64 groups), then a 64-row reduction.
+    * dim key (64 groups), then a 64-row reduction. The norm runs
+    * through the codegen [[graft.functions.DotProductExpr]] kernel —
+    * bit-identical to the HOF fold (same left-to-right double op
+    * sequence), and load-bearing here beyond style: CollapseProject
+    * inlines the norm subexpression INTO the per-element division
+    * lambda, so an interpreted fold would re-evaluate 64 lambda calls
+    * per ELEMENT (64² per vector — measured 7× the whole query's cost
+    * at sf0.1) where the kernel inline is one tight static call.
     */
   def embedIsotropy(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val unit = Tables.embeddings(s, dir)
-      .withColumn("norm",
-        sqrt(aggregate(transform(col("embedding"),
-          x => x.cast("double") * x.cast("double")), lit(0.0), _ + _)))
+      .withColumn("norm", sqrt(expr("graft_dot(embedding, embedding)")))
       .select(col("vec_id"), transform(col("embedding"),
         x => floor(x.cast("double") / col("norm") * 1e9).cast("long")).as("u"))
     val perDim = unit

@@ -806,6 +806,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       ("triplets", operators.ClusterOps.embedTriplets, "graft_sql2"),
       ("silhouette", operators.ClusterOps.embedSilhouette, "graft_sql2"),
       ("intrinsic_dim", operators.SeriesOps.embedIntrinsicDim, "graft_ldot"),
+      // isotropy's norm is SINGLE-USE, so CollapseProject inlines it into
+      // the per-element division lambda — with an interpreted fold that
+      // re-evaluates 64 lambda calls per element (measured 7x the query)
+      ("isotropy", operators.SeriesOps.embedIsotropy, "graft_dot"),
       ("sketch_calibration", operators.DedupOps.sketchCalibration,
         "graft_eqcount")
     ).foreach { case (name, fn, kernel) =>
