@@ -265,7 +265,61 @@ case class LongEqCountExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Max |aᵢ−bᵢ| over two `array<double>` — the angular-prefix prune's
+  * inner loop (dedupEmbedCosine ran `exists(zip_with(ta, tb,
+  * |x−y| > θ))` interpreted per BLOCKED PAIR). `max|x−y| > θ` is the
+  * same boolean for any θ ≥ 0 (and NaN diffs drop out of both forms —
+  * primitive `>` is false on NaN exactly like the SQL comparison), so
+  * swapping the predicate to `graft_maxabsdiff(ta, tb) <= θ` keeps the
+  * pair set bit-identical while the loop runs codegen'd. Empty arrays
+  * read 0.0 (= exists-over-empty ⇒ keep, since θ > 0).
+  */
+case class DoubleMaxAbsDiffExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two double arrays, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_maxabsdiff"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    LongVecKernels.maxAbsDiff(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.LongVecKernels.maxAbsDiff($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DoubleMaxAbsDiffExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object LongVecKernels {
+  def maxAbsDiff(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                 b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = Math.abs(a.getDouble(i) - b.getDouble(i))
+      if (d > acc) acc = d
+      i += 1
+    }
+    acc
+  }
+
   def eqCount(a: org.apache.spark.sql.catalyst.util.ArrayData,
               b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
@@ -534,6 +588,8 @@ object GraftFunctions {
       exprs => LongDotExpr(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction("graft_eqcount",
       exprs => LongEqCountExpr(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("graft_maxabsdiff",
+      exprs => DoubleMaxAbsDiffExpr(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction("graft_jaro_winkler",
       exprs => JaroWinklerExpr(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction("graft_damerau_levenshtein",

@@ -624,7 +624,10 @@ object DedupOps {
       col("norm").as("nb"), col("thetas").as("tb"))
     a.join(b, Seq("label", "sub"))
       .filter(col("vec_a") < col("vec_b"))
-      .filter(expr(s"!exists(zip_with(ta, tb, (x, y) -> abs(x - y) > ${thetaMax}D), p -> p)"))
+      // prefix prune via the codegen graft_maxabsdiff kernel (r19):
+      // max|x−y| ≤ θ is the same pair set as the interpreted
+      // !exists(zip_with(…, |x−y| > θ)) fold it replaces
+      .filter(expr(s"graft_maxabsdiff(ta, tb) <= ${thetaMax}D"))
       .select(col("label"), col("vec_a"), col("vec_b"),
         round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 6).as("cosine"))
       .filter(col("cosine") >= 0.35)

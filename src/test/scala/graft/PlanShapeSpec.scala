@@ -811,7 +811,9 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       // re-evaluates 64 lambda calls per element (measured 7x the query)
       ("isotropy", operators.SeriesOps.embedIsotropy, "graft_dot"),
       ("sketch_calibration", operators.DedupOps.sketchCalibration,
-        "graft_eqcount")
+        "graft_eqcount"),
+      ("embed_cosine", (s: org.apache.spark.sql.SparkSession, d: String) =>
+        operators.DedupOps.dedupEmbedCosine(s, d), "graft_maxabsdiff")
     ).foreach { case (name, fn, kernel) =>
       val plan = executed(fn(spark, sfDir)).toString
       assert(plan.contains(kernel),

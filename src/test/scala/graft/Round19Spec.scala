@@ -90,11 +90,17 @@ class Round19Spec extends AnyFunSuite with SparkFixture {
         "(acc, v) -> acc + v)").as("h_dot"),
       expr("graft_eqcount(a, b)").as("k_eq"),
       expr("aggregate(zip_with(a, b, (x, y) -> if(x = y, 1L, 0L)), 0L, " +
-        "(acc, v) -> acc + v)").as("h_eq")).collect()
+        "(acc, v) -> acc + v)").as("h_eq"),
+      expr("graft_maxabsdiff(cast(a as array<double>), " +
+        "cast(b as array<double>))").as("k_mad"),
+      expr("aggregate(zip_with(cast(a as array<double>), " +
+        "cast(b as array<double>), (x, y) -> abs(x - y)), 0D, " +
+        "(acc, v) -> greatest(acc, v))").as("h_mad")).collect()
     got.foreach { r =>
       assert(r.getLong(0) === r.getLong(2), "sql2 kernel != HOF fold")
       assert(r.getLong(1) === r.getLong(3), "dot kernel != HOF fold")
       assert(r.getLong(4) === r.getLong(5), "eqcount kernel != HOF fold")
+      assert(r.getDouble(6) === r.getDouble(7), "maxabsdiff kernel != HOF fold")
     }
     // ANSI loud-overflow contract: Math.*Exact must THROW past int64,
     // never wrap silently (the interpreted path's behavior under ANSI)
