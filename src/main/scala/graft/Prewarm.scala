@@ -68,6 +68,8 @@ object Prewarm {
         ((s, dir) => { GraphOps.materializedBipartite(s, dir).count(); () }),
       "phash_clusters" ->
         ((s, dir) => { Multimodal.materializedPhashClusters(s, dir).count(); () }),
+      "basket_pairs" ->
+        ((s, dir) => { ExtraFuncs.materializedBasketPairs(s, dir).count(); () }),
       "scan_layouts" -> ((s, dir) => operators.Scans.prewarmBuilds(s, dir)),
     )
   }

@@ -86,6 +86,9 @@ class PrewarmSpec extends AnyFunSuite with SparkFixture {
     "power_spectrum" -> "spec:Round17Spec.scala:materializedPowerSpectrum",
     "bipartite" -> "oracle:q_graph_hits",
     "phash_clusters" -> "oracle:q_multimodal_phash_clusters",
+    // both consumers' twins recompute the pair relation end-to-end from
+    // raw lineitem (q_copurchase_topk additionally, same relation)
+    "basket_pairs" -> "oracle:q_assoc_rules",
     // csv/jsonl/orc/xml/... layouts: each graded scan's oracle reads the
     // parquet ORIGINAL, so round-trip equality re-derives the layout
     "scan_layouts" -> "oracle:q_scan_csv")
