@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Cross-round bench regression scan — the PARITY.md pinned protocol as a
+command instead of a hand-diff.
+
+Compares SAME-COUNT per-query minima between two run-sets of
+BENCH_FULL_*.json artifacts (each `{"queries": {name: sec, ...}, ...}`;
+negative values mean the query FAILED that run and are excluded from
+minima but reported). Usage:
+
+    python3 tools/benchcmp.py --base BENCH_FULL_r19_run*.json \
+                              --head BENCH_FULL_r20_run*.json \
+                              [--threshold-ratio 2.0] [--floor-sec 0.7] [--top 15]
+
+Exit status: 0 when no carried query regresses past the rule
+(head_min > ratio * base_min AND head_min > floor), 1 when any does,
+2 on usage/artifact errors. Queries present on only one side are listed
+(added/removed) but never violations — the rule applies to carried
+queries only. When the two sides carry different run counts the summed
+minima are still printed but flagged (min-of-N bias: 3-vs-9 measured
+1.188x on identical code — see PARITY.md).
+"""
+import argparse
+import json
+import sys
+
+
+def load_set(paths):
+    runs = []
+    for p in paths:
+        with open(p) as f:
+            d = json.load(f)
+        if "queries" not in d or not isinstance(d["queries"], dict):
+            sys.exit(f"benchcmp: {p} has no per-query map (exit 2)")
+        runs.append(d["queries"])
+    return runs
+
+
+def minima(runs):
+    """Per-query min over runs, skipping failed (negative) samples."""
+    out, failed = {}, set()
+    for qs in runs:
+        for name, v in qs.items():
+            if v < 0:
+                failed.add(name)
+                continue
+            if name not in out or v < out[name]:
+                out[name] = v
+    return out, failed
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", nargs="+", required=True,
+                    help="prior round's BENCH_FULL run files")
+    ap.add_argument("--head", nargs="+", required=True,
+                    help="this round's BENCH_FULL run files")
+    ap.add_argument("--threshold-ratio", type=float, default=2.0)
+    ap.add_argument("--floor-sec", type=float, default=0.7)
+    ap.add_argument("--top", type=int, default=15,
+                    help="rows to print in the biggest-moves table")
+    args = ap.parse_args()
+
+    base_runs = load_set(args.base)
+    head_runs = load_set(args.head)
+    base, base_failed = minima(base_runs)
+    head, head_failed = minima(head_runs)
+
+    carried = sorted(set(base) & set(head))
+    added = sorted(set(head) - set(base))
+    removed = sorted(set(base) - set(head))
+
+    same_count = len(base_runs) == len(head_runs)
+    print(f"base: {len(base_runs)} runs, {len(base)} queries "
+          f"({len(base_failed)} with failed samples)")
+    print(f"head: {len(head_runs)} runs, {len(head)} queries "
+          f"({len(head_failed)} with failed samples)")
+    if not same_count:
+        print(f"WARNING: run counts differ ({len(base_runs)} vs "
+              f"{len(head_runs)}) — min-of-N bias applies (PARITY.md "
+              f"measured 1.188x for 3-vs-9 on identical code); summed "
+              f"totals below are NOT a clean comparison")
+    if added:
+        print(f"added ({len(added)}): {', '.join(added)}")
+    if removed:
+        print(f"removed ({len(removed)}): {', '.join(removed)}")
+    # failed samples are loud: a negative bench value is a breakage
+    # masquerading as a timing, never fold it into a speedup claim
+    for name in sorted(head_failed):
+        print(f"FAILED-SAMPLE head: {name}")
+
+    sum_base = sum(base[q] for q in carried)
+    sum_head = sum(head[q] for q in carried)
+    print(f"\ncarried {len(carried)} queries, summed minima: "
+          f"{sum_base:.1f} s -> {sum_head:.1f} s "
+          f"({(sum_head / sum_base - 1) * 100:+.1f}%)")
+
+    moves = sorted(carried, key=lambda q: head[q] - base[q])
+    show = [q for q in moves if abs(head[q] - base[q]) >= 0.05]
+    head_rows = show[-args.top:][::-1] if show else []
+    if head_rows:
+        print(f"\nbiggest moves (|delta| >= 0.05 s, top {args.top} "
+              f"regressions then top {args.top} improvements):")
+        for q in head_rows:
+            print(f"  {q:40s} {base[q]:7.2f} -> {head[q]:7.2f} "
+                  f"({head[q] - base[q]:+.2f})")
+        for q in show[:args.top]:
+            if q not in head_rows:
+                print(f"  {q:40s} {base[q]:7.2f} -> {head[q]:7.2f} "
+                      f"({head[q] - base[q]:+.2f})")
+
+    violations = [q for q in carried
+                  if head[q] > args.threshold_ratio * base[q]
+                  and head[q] > args.floor_sec]
+    if violations or head_failed:
+        print(f"\nVIOLATIONS (> {args.threshold_ratio}x past "
+              f"{args.floor_sec} s, or failed head samples):")
+        for q in violations:
+            print(f"  {q}: {base[q]:.2f} -> {head[q]:.2f} "
+                  f"({head[q] / base[q]:.2f}x)")
+        for q in sorted(head_failed):
+            print(f"  {q}: FAILED in a head run")
+        sys.exit(1)
+    print("\nno violations")
+    sys.exit(0)
+
+
+if __name__ == "__main__":
+    main()
