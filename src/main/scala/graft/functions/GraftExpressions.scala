@@ -135,10 +135,11 @@ case class DotProductExpr(left: Expression, right: Expression)
 object DotProductExpr {
   def dot(a: org.apache.spark.sql.catalyst.util.ArrayData, aFloat: Boolean,
           b: org.apache.spark.sql.catalyst.util.ArrayData, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = LongVecKernels.shape(a, b, "graft_dot")
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) LongVecKernels.nullElem("graft_dot", i)
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -268,11 +269,14 @@ case class LongEqCountExpr(left: Expression, right: Expression)
 /** Max |aᵢ−bᵢ| over two `array<double>` — the angular-prefix prune's
   * inner loop (dedupEmbedCosine ran `exists(zip_with(ta, tb,
   * |x−y| > θ))` interpreted per BLOCKED PAIR). `max|x−y| > θ` is the
-  * same boolean for any θ ≥ 0 (and NaN diffs drop out of both forms —
-  * primitive `>` is false on NaN exactly like the SQL comparison), so
-  * swapping the predicate to `graft_maxabsdiff(ta, tb) <= θ` keeps the
-  * pair set bit-identical while the loop runs codegen'd. Empty arrays
-  * read 0.0 (= exists-over-empty ⇒ keep, since θ > 0).
+  * same boolean for any θ ≥ 0, so swapping the predicate to
+  * `graft_maxabsdiff(ta, tb) <= θ` keeps the pair set bit-identical
+  * while the loop runs codegen'd — INCLUDING on NaN: Spark compares
+  * doubles nan-safely (NaN sorts above all values, so the exists-form
+  * `NaN > θ` was TRUE ⇒ pair pruned), and the kernel mirrors that by
+  * propagating NaN (see [[LongVecKernels.maxAbsDiff]]), which the
+  * consumer's nan-safe `<= θ` reads as FALSE ⇒ same prune. Empty
+  * arrays read 0.0 (= exists-over-empty ⇒ keep, since θ > 0).
   */
 case class DoubleMaxAbsDiffExpr(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -307,13 +311,63 @@ case class DoubleMaxAbsDiffExpr(left: Expression, right: Expression)
 }
 
 object LongVecKernels {
+  /** Shape guards shared by every pairwise vector kernel (r20, closing
+    * the r19 ADVICE low): the replaced zip_with/aggregate folds
+    * null-padded a length-mismatched pair and propagated a null
+    * element to a NULL result — both SILENT. The kernels take the loud
+    * branch of the repo's silent-vs-loud discipline instead (same
+    * rationale as Math.*Exact overflow): a malformed or variable-dim
+    * vector throws at the exact kernel rather than yielding a
+    * plausible wrong number via min-length truncation or a null read
+    * as 0. Every production call site constructs equal-length non-null
+    * vectors (fixed-dim embeddings, fixed-perm signatures, literal
+    * hyperplanes), so the guards are unreachable there; Round20Spec
+    * pins both throw paths. The null check is FUSED into each
+    * arithmetic loop (one bitmap word read + predictable branch per
+    * element — a separate pre-scan loop measured ~6% on the embed
+    * family by doubling array traversal; the fused form measured
+    * within host noise of the unguarded kernel) with the throw bodies
+    * out-of-line so the hot loops stay compact for the JIT.
+    */
+  def shape(a: org.apache.spark.sql.catalyst.util.ArrayData,
+            b: org.apache.spark.sql.catalyst.util.ArrayData,
+            fn: String): Int = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"$fn: vector length mismatch ($n vs ${b.numElements()}); " +
+          "pairwise kernels require equal-dimension inputs")
+    n
+  }
+
+  /** Out-of-line throw for the fused per-element null guard. */
+  def nullElem(fn: String, i: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"$fn: null element at position $i; " +
+        "pairwise kernels require non-null vector elements")
+
+  /** NaN-PROPAGATING (r20, fixing the r19 ADVICE misclaim): Spark
+    * compares doubles nan-safely (NaN sorts above everything, so
+    * `NaN > θ` is TRUE), which means the replaced
+    * `exists(zip_with(|x−y| > θ))` form PRUNED a NaN-diff pair. A
+    * primitive Java `d > acc` would silently IGNORE the NaN and keep
+    * the pair — so the kernel returns NaN as soon as any diff is NaN,
+    * and the consumer's nan-safe `graft_maxabsdiff(..) <= θ` reads
+    * FALSE (NaN above θ), rejecting the pair exactly like the SQL
+    * exists-form did. Unreachable in dedupEmbedCosine today (thetas
+    * are clamped through greatest/least before acos), but pinned by a
+    * Round20Spec vector so the semantics survive refactors. Empty
+    * arrays read 0.0 (= exists-over-empty ⇒ keep, since θ > 0).
+    */
   def maxAbsDiff(a: org.apache.spark.sql.catalyst.util.ArrayData,
                  b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = shape(a, b, "graft_maxabsdiff")
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) nullElem("graft_maxabsdiff", i)
       val d = Math.abs(a.getDouble(i) - b.getDouble(i))
+      if (d != d) return Double.NaN
       if (d > acc) acc = d
       i += 1
     }
@@ -322,10 +376,11 @@ object LongVecKernels {
 
   def eqCount(a: org.apache.spark.sql.catalyst.util.ArrayData,
               b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = shape(a, b, "graft_eqcount")
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) nullElem("graft_eqcount", i)
       if (a.getLong(i) == b.getLong(i)) acc += 1L
       i += 1
     }
@@ -334,10 +389,11 @@ object LongVecKernels {
 
   def sqL2(a: org.apache.spark.sql.catalyst.util.ArrayData,
            b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = shape(a, b, "graft_sql2")
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) nullElem("graft_sql2", i)
       val d = Math.subtractExact(a.getLong(i), b.getLong(i))
       acc = Math.addExact(acc, Math.multiplyExact(d, d))
       i += 1
@@ -347,10 +403,11 @@ object LongVecKernels {
 
   def dot(a: org.apache.spark.sql.catalyst.util.ArrayData,
           b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = shape(a, b, "graft_ldot")
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) nullElem("graft_ldot", i)
       acc = Math.addExact(acc, Math.multiplyExact(a.getLong(i), b.getLong(i)))
       i += 1
     }
