@@ -261,6 +261,65 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("streaming LSH bucket state survives a query restart from the checkpoint") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // r19 verdict item: the transformWithState LSH path was covered for
+    // LOGIC (cross-batch pairing above) but not for RESTART — this pins
+    // that the RocksDB ListState of bucket members is recovered from the
+    // checkpoint by a brand-new query, the crash-recovery contract a
+    // production incremental dedup relies on.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val boiler = ("alpha beta gamma delta epsilon zeta eta theta " * 6).trim
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_lsh_ckpt").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft_lsh_out").toString
+      val stream = MemoryStream[StreamingOps.Doc]
+      // file sink, not memory: the memory sink refuses checkpoint
+      // recovery in append mode, and the file sink's commit log
+      // additionally pins exactly-once (no re-emission after restart)
+      def startQuery() =
+        StreamingOps.streamingLshCandidates(stream.toDS())
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append")
+          .trigger(Trigger.ProcessingTime(0)).start()
+      def pairs(): Seq[(Long, Long)] = spark.read.parquet(outDir)
+        .select("doc_a", "doc_b").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // run 1: two near-copies pair within the run, then a clean stop
+      // (the checkpoint holds the bucket membership lists)
+      val q1 = startQuery()
+      try {
+        stream.addData(Seq(StreamingOps.Doc(1, boiler),
+          StreamingOps.Doc(2, boiler + " iota")))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      assert(pairs().toSet === Set((1L, 2L)),
+        s"run-1 near-copies must pair: ${pairs()}")
+      val run1Rows = pairs().size // one row per colliding band
+      // run 2: a NEW query over the same checkpoint — a (1, 3) pair can
+      // ONLY come from doc 1's id recovered out of the RocksDB list
+      // state written by run 1
+      val q2 = startQuery()
+      try {
+        stream.addData(Seq(StreamingOps.Doc(3, boiler + " kappa")))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val all = pairs()
+      assert(all.toSet.contains((1L, 3L)),
+        s"bucket state not recovered from checkpoint: ${all.toSet}")
+      assert(all.count(_ == (1L, 2L) ) === run1Rows,
+        s"run-1 output must not re-emit after restart: $all")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static enrichment join keeps dimension-less events (left join)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
