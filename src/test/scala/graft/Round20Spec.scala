@@ -118,6 +118,60 @@ class Round20Spec extends AnyFunSuite with SparkFixture {
     assert(got(2).getLong(0) === 0L) // empty folds to the seed
   }
 
+  test("kernels equal the HOF folds on generator-random vectors (property)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // ScalaCheck-drawn vectors (fixed seeds — reproducible) generalize the
+    // fixed adversarial tables: dims 1..96 incl. mismatched magnitudes,
+    // dense zero runs, and negative-heavy draws. The long draws stay in
+    // the micro-quantization envelope so the folds don't (legitimately)
+    // overflow; doubles mix magnitudes across 12 decimal orders.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def draw[A](g: Gen[A], seed: Long): A =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+    val dimG = Gen.choose(1, 96)
+    val longPair = for {
+      n <- dimG
+      a <- Gen.listOfN(n, Gen.frequency(
+        3 -> Gen.choose(-2000000L, 2000000L), 1 -> Gen.const(0L)))
+      b <- Gen.listOfN(n, Gen.choose(-2000000L, 2000000L))
+    } yield (a, b)
+    val dblPair = for {
+      n <- dimG
+      a <- Gen.listOfN(n, Gen.oneOf(
+        Gen.choose(-1e6, 1e6), Gen.choose(-1e-6, 1e-6)))
+      b <- Gen.listOfN(n, Gen.choose(-1e6, 1e6))
+    } yield (a, b)
+    val longs = (0 until 64).map(i => draw(longPair, 2020L + i))
+    val dbls = (0 until 64).map(i => draw(dblPair, 4040L + i))
+    longs.toDF("a", "b").select(
+      expr("graft_sql2(a, b)"), expr("aggregate(zip_with(a, b, " +
+        "(x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"),
+      expr("graft_ldot(a, b)"), expr("aggregate(zip_with(a, b, " +
+        "(x, y) -> x * y), 0L, (acc, v) -> acc + v)"),
+      expr("graft_eqcount(a, b)"), expr("aggregate(zip_with(a, b, " +
+        "(x, y) -> if(x = y, 1L, 0L)), 0L, (acc, v) -> acc + v)"))
+      .collect().foreach { r =>
+        assert(r.getLong(0) === r.getLong(1), s"sql2 property fail: $r")
+        assert(r.getLong(2) === r.getLong(3), s"ldot property fail: $r")
+        assert(r.getLong(4) === r.getLong(5), s"eqcount property fail: $r")
+      }
+    dbls.toDF("a", "b").select(
+      expr("graft_dot(a, b)"), expr("aggregate(zip_with(a, b, " +
+        "(x, y) -> x * y), 0D, (acc, v) -> acc + v)"),
+      expr("graft_maxabsdiff(a, b)"), expr("aggregate(zip_with(a, b, " +
+        "(x, y) -> abs(x - y)), 0D, (acc, v) -> greatest(acc, v))"))
+      .collect().foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+          java.lang.Double.doubleToLongBits(r.getDouble(1)),
+          s"dot property fail: $r")
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ===
+          java.lang.Double.doubleToLongBits(r.getDouble(3)),
+          s"maxabsdiff property fail: $r")
+      }
+  }
+
   test("materialized basket pairs equal a from-scratch compute") {
     val fresh = operators.ExtraFuncs.basketPairCounts(spark, sfDir)
       .orderBy("part", "co_part").collect().toSeq
