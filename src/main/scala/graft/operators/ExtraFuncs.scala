@@ -189,12 +189,16 @@ object ExtraFuncs {
     * three times — basket collection is ONE map-side-combined shuffle on
     * the order key, and the O(b²) pair expansion happens inside the
     * task, bounded by basket size b, never |parts|²). Single-item
-    * baskets are dropped before exploding. The aggregate partitions by
-    * part ALONE: hashpartitioning(part) satisfies the (part, co_part)
-    * clustering AND coPurchase's window, so the warm read needs no
-    * further exchange before the window. Map-side combine is no loss —
-    * co-occurrence counts are overwhelmingly 1, so partial aggregation
-    * would barely shrink the shuffle anyway.
+    * baskets are dropped before exploding. The BUILD partitions by part
+    * ALONE: hashpartitioning(part) satisfies the (part, co_part)
+    * clustering, fusing what would be two exchanges into one. (A parquet
+    * read carries no partitioning info, so the warm consumers still
+    * shuffle once — but over the AGGREGATED pair relation, and
+    * coPurchase's plan runs the Partial WindowGroupLimit before that
+    * exchange, so only ≤3 rows per part cross it — plan-verified.)
+    * Map-side combine is no loss — co-occurrence counts are
+    * overwhelmingly 1, so partial aggregation would barely shrink the
+    * build shuffle anyway.
     */
   private[graft] def basketPairCounts(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)

@@ -29,7 +29,10 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       // late-r8 double-emitting ops: every double is a single terminal
       // division/sqrt over exact integer/decimal sums — partition-free
       "q_ts_twap", "q_ts_ewma", "q_ts_acf", "q_stats_corr_pairs",
-      "q_funnel_latency", "q_attribution")
+      "q_funnel_latency", "q_attribution",
+      // r20 derived-tier consumers: the shared basket_pairs read must
+      // stay invariant to the consumer-side parallelism too
+      "q_assoc_rules", "q_copurchase_topk")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     def runAll(n: String): Map[String, Seq[org.apache.spark.sql.Row]] = {
       spark.conf.set("spark.sql.shuffle.partitions", n)
