@@ -102,16 +102,39 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges <= 2, s"sessionize should shuffle once + final sort:\n$plan")
   }
 
-  test("co-purchase fuses pair aggregate and top-3 window on one part exchange") {
+  test("co-purchase reads the derived pair relation; top-3 cut precedes its shuffle") {
+    // r20: the basket explosion lives in the basket_pairs derived build;
+    // the graded consumer must READ it (one FileScan over $tmp/graft_io)
+    // and shuffle at most twice — the window's part exchange (fed by a
+    // Partial WindowGroupLimit, so ≤3 rows per part cross it) and the
+    // final presentation sort. A third exchange or a lineitem scan here
+    // means the consumer silently re-derived the pair relation inline.
     val plan = executed(operators.ExtraFuncs.coPurchase(spark, sfDir))
-    // basket groupBy(orderkey) + repartition(part) + final sort = 3;
-    // a 4th exchange means the (part, co_part) aggregate stopped
-    // accepting hashpartitioning(part) and the window re-shuffled
+    val scans = collectAll(plan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty && scans.forall(
+      _.metadata("Location").contains("basket_pairs_")),
+      s"co-purchase must read only the derived pair relation:\n$plan")
     val exchanges = collectAll(plan).count(_.isInstanceOf[Exchange])
-    assert(exchanges <= 3, s"co-purchase should shuffle basket+part+sort only:\n$plan")
-    val limits = plan.toString
-    assert(limits.contains("WindowGroupLimit"),
+    assert(exchanges <= 2, s"co-purchase should shuffle part+sort only:\n$plan")
+    val txt = plan.toString
+    assert(txt.contains("WindowGroupLimit"),
       s"top-3 cut should execute as WindowGroupLimit:\n$plan")
+  }
+
+  test("assoc-rules' min-support cut is pushed into the derived pair scan") {
+    // the n_ab >= 3 filter must reach the basket_pairs parquet scan as a
+    // PushedFilter — at scale the rare pairs are the bulk of the relation,
+    // and a post-scan filter would read them all
+    val df = operators.ExtraFuncs.assocRules(spark, sfDir)
+    val pairScans = collectAll(df.queryExecution.sparkPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.metadata("Location").contains("basket_pairs_") => s
+    }
+    assert(pairScans.nonEmpty, df.queryExecution.sparkPlan.toString)
+    val pushed = pairScans.head.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(n_pair,3)"), pushed)
   }
 
   test("minhash signature aggregates via the native kernel, not 64 agg columns") {
