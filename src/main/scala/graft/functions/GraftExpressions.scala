@@ -351,10 +351,11 @@ object LongVecKernels {
     * `NaN > θ` is TRUE), which means the replaced
     * `exists(zip_with(|x−y| > θ))` form PRUNED a NaN-diff pair. A
     * primitive Java `d > acc` would silently IGNORE the NaN and keep
-    * the pair — so the kernel returns NaN as soon as any diff is NaN,
-    * and the consumer's nan-safe `graft_maxabsdiff(..) <= θ` reads
-    * FALSE (NaN above θ), rejecting the pair exactly like the SQL
-    * exists-form did. Unreachable in dedupEmbedCosine today (thetas
+    * the pair — so the kernel returns NaN whenever any diff is NaN
+    * (after the full null scan: a null element anywhere still throws,
+    * loud-shape contract first), and the consumer's nan-safe
+    * `graft_maxabsdiff(..) <= θ` reads FALSE (NaN above θ), rejecting
+    * the pair exactly like the SQL exists-form did. Unreachable in dedupEmbedCosine today (thetas
     * are clamped through greatest/least before acos), but pinned by a
     * Round20Spec vector so the semantics survive refactors. Empty
     * arrays read 0.0 (= exists-over-empty ⇒ keep, since θ > 0).
@@ -363,15 +364,19 @@ object LongVecKernels {
                  b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
     val n = shape(a, b, "graft_maxabsdiff")
     var acc = 0.0
+    var nan = false
     var i = 0
+    // no early return on NaN: the null guard must see EVERY position
+    // (a null after a NaN diff is still malformed content and must
+    // throw — loud-shape contract first, NaN propagation second)
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) nullElem("graft_maxabsdiff", i)
       val d = Math.abs(a.getDouble(i) - b.getDouble(i))
-      if (d != d) return Double.NaN
-      if (d > acc) acc = d
+      if (d != d) nan = true
+      else if (d > acc) acc = d
       i += 1
     }
-    acc
+    if (nan) Double.NaN else acc
   }
 
   def eqCount(a: org.apache.spark.sql.catalyst.util.ArrayData,

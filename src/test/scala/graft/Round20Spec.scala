@@ -52,6 +52,16 @@ class Round20Spec extends AnyFunSuite with SparkFixture {
     val nullArr = Seq((Option.empty[Seq[Long]], Option(Seq(1L, 2L))))
       .toDF("a", "b")
     assert(nullArr.select(expr("graft_ldot(a, b)")).collect()(0).isNullAt(0))
+    // loud-shape contract takes precedence over NaN propagation: a null
+    // element sitting AFTER a NaN diff must still throw (the null scan
+    // covers every position — no NaN early-return may skip it)
+    val nanThenNull = Seq((Seq[java.lang.Double](Double.NaN, null),
+      Seq[java.lang.Double](1.0, 1.0))).toDF("a", "b")
+    val e2 = intercept[Throwable] {
+      nanThenNull.select(expr("graft_maxabsdiff(a, b)")).collect()
+    }
+    assert(arithmeticCause(e2),
+      s"null after NaN must still throw, got $e2")
   }
 
   test("double kernels match the HOF folds bitwise on NaN/±0.0/subnormal/empty") {

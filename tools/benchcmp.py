@@ -24,13 +24,22 @@ import json
 import sys
 
 
+def artifact_error(msg):
+    # sys.exit(str) would exit 1, colliding with the regression code
+    print(f"benchcmp: {msg}", file=sys.stderr)
+    sys.exit(2)
+
+
 def load_set(paths):
     runs = []
     for p in paths:
-        with open(p) as f:
-            d = json.load(f)
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except (OSError, json.JSONDecodeError) as e:
+            artifact_error(f"{p}: {e}")
         if "queries" not in d or not isinstance(d["queries"], dict):
-            sys.exit(f"benchcmp: {p} has no per-query map (exit 2)")
+            artifact_error(f"{p} has no per-query map")
         runs.append(d["queries"])
     return runs
 
@@ -88,25 +97,28 @@ def main():
     for name in sorted(head_failed):
         print(f"FAILED-SAMPLE head: {name}")
 
+    if not carried:
+        artifact_error("base and head share no carried queries — "
+                       "nothing to compare")
     sum_base = sum(base[q] for q in carried)
     sum_head = sum(head[q] for q in carried)
+    drift = (f"({(sum_head / sum_base - 1) * 100:+.1f}%)"
+             if sum_base > 0 else "(base sum is 0)")
     print(f"\ncarried {len(carried)} queries, summed minima: "
-          f"{sum_base:.1f} s -> {sum_head:.1f} s "
-          f"({(sum_head / sum_base - 1) * 100:+.1f}%)")
+          f"{sum_base:.1f} s -> {sum_head:.1f} s {drift}")
 
-    moves = sorted(carried, key=lambda q: head[q] - base[q])
-    show = [q for q in moves if abs(head[q] - base[q]) >= 0.05]
-    head_rows = show[-args.top:][::-1] if show else []
-    if head_rows:
-        print(f"\nbiggest moves (|delta| >= 0.05 s, top {args.top} "
-              f"regressions then top {args.top} improvements):")
-        for q in head_rows:
+    def show_rows(rows):
+        for q in rows:
             print(f"  {q:40s} {base[q]:7.2f} -> {head[q]:7.2f} "
                   f"({head[q] - base[q]:+.2f})")
-        for q in show[:args.top]:
-            if q not in head_rows:
-                print(f"  {q:40s} {base[q]:7.2f} -> {head[q]:7.2f} "
-                      f"({head[q] - base[q]:+.2f})")
+    regress = sorted((q for q in carried if head[q] - base[q] >= 0.05),
+                     key=lambda q: base[q] - head[q])
+    improve = sorted((q for q in carried if base[q] - head[q] >= 0.05),
+                     key=lambda q: head[q] - base[q])
+    if regress or improve:
+        print(f"\nbiggest moves (|delta| >= 0.05 s, top {args.top} each way):")
+        show_rows(regress[:args.top])
+        show_rows(improve[:args.top])
 
     violations = [q for q in carried
                   if head[q] > args.threshold_ratio * base[q]
@@ -115,8 +127,9 @@ def main():
         print(f"\nVIOLATIONS (> {args.threshold_ratio}x past "
               f"{args.floor_sec} s, or failed head samples):")
         for q in violations:
-            print(f"  {q}: {base[q]:.2f} -> {head[q]:.2f} "
-                  f"({head[q] / base[q]:.2f}x)")
+            ratio = (f"{head[q] / base[q]:.2f}x" if base[q] > 0
+                     else "base 0.00")
+            print(f"  {q}: {base[q]:.2f} -> {head[q]:.2f} ({ratio})")
         for q in sorted(head_failed):
             print(f"  {q}: FAILED in a head run")
         sys.exit(1)
