@@ -152,12 +152,18 @@ object MinHashSigExpr {
     val n = hashes.numElements()
     var i = 0
     while (i < n) {
-      val h = hashes.getLong(i)
-      var j = 0
-      while (j < numPerms) {
-        val p = java.lang.Long.rotateLeft(h, j & 63) ^ MinHashSigAgg.const(j)
-        if (p < sig(j)) sig(j) = p
-        j += 1
+      // SKIP null elements exactly like the aggregate twin's
+      // `child.eval == null` guard — getLong on a null slot reads 0L,
+      // which would win min for many permutations and break the
+      // bit-identical batch/stream signature contract (r20 review)
+      if (!hashes.isNullAt(i)) {
+        val h = hashes.getLong(i)
+        var j = 0
+        while (j < numPerms) {
+          val p = java.lang.Long.rotateLeft(h, j & 63) ^ MinHashSigAgg.const(j)
+          if (p < sig(j)) sig(j) = p
+          j += 1
+        }
       }
       i += 1
     }
@@ -179,12 +185,16 @@ case class SignLshSigExpr(child: Expression, numTables: Int, planesPerTable: Int
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _)
-        if numTables >= 1 && planesPerTable >= 1 && planesPerTable <= 64 =>
+        if numTables >= 1 && planesPerTable >= 1 && planesPerTable <= 64 &&
+          numTables.toLong * planesPerTable <= SignLshSigExpr.MaxPlanes =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"$prettyName needs numTables >= 1 and 1..64 planes per table " +
-            s"(got $numTables, $planesPerTable — a 65th plane would alias bit 0)")
+          s"$prettyName needs numTables >= 1, 1..64 planes per table (a " +
+            s"65th plane would alias bit 0), and at most " +
+            s"${SignLshSigExpr.MaxPlanes} total planes — the matrix is " +
+            s"cached per-executor, an unbounded count is an OOM at first " +
+            s"task (got $numTables, $planesPerTable)")
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"$prettyName requires array<float|double>, got ${other.simpleString}")
@@ -212,6 +222,12 @@ case class SignLshSigExpr(child: Expression, numTables: Int, planesPerTable: Int
 }
 
 object SignLshSigExpr {
+  /** Analysis-time cap on numTables × planesPerTable (same rationale as
+    * CountMinAgg's width cap): 4096 planes × 64 dims × 8 B ≈ 2 MiB
+    * cached per executor — generous for any real LSH geometry (the repo
+    * uses 8×16), and a typo'd argument fails analysis, not the cluster.
+    */
+  val MaxPlanes = 4096
   private val Dim = 64
   /** plane p, coord i — identical to SimilarityOps.planes: uniform in
     * [-0.5, 0.5) with splitmix64(p·64 + i) draws.

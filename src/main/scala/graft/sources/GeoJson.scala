@@ -49,7 +49,8 @@ object GeoJson {
     * one row (outer ring), MultiPolygon features one row per member
     * polygon. `nameProp` selects the feature property to surface.
     */
-  def features(df: DataFrame, jsonCol: Column, nameProp: String): DataFrame = {
+  def features(df: DataFrame, jsonCol: Column, nameProp: String,
+               keep: Seq[String] = Nil): DataFrame = {
     val parsed = df
       .withColumn("_fc3", from_json(jsonCol, fcSchema(3)))
       .withColumn("_fc4", from_json(jsonCol, fcSchema(4)))
@@ -70,14 +71,24 @@ object GeoJson {
           transform(col("_f4.geometry.coordinates"), p => ringToPoly(get(p, lit(0)))))
         .otherwise(array().cast("array<array<struct<x:double,y:double>>>")),
         r => r.isNotNull))
-      .select(col("feature_idx"), col("name"),
-        posexplode(col("_rings")).as(Seq("poly_idx", "polygon")))
+      // `keep` columns ride at the END so the (feature_idx, name,
+      // poly_idx, polygon) positional contract is unchanged; without a
+      // passthrough, multi-document inputs were unattributable —
+      // feature_idx restarts at 0 per document, so two files' rows
+      // collided indistinguishably (r20 review).
+      .select(Seq(col("feature_idx"), col("name"),
+        posexplode(col("_rings")).as(Seq("poly_idx", "polygon"))) ++
+        keep.map(col): _*)
   }
 
-  /** File-reading convenience: whole-file GeoJSON documents → polygons. */
+  /** File-reading convenience: whole-file GeoJSON documents → polygons,
+    * each row attributed to its source file (`src_file`) so a directory
+    * of district documents stays joinable per file.
+    */
   def read(spark: org.apache.spark.sql.SparkSession, path: String,
            nameProp: String = "name"): DataFrame =
     features(
-      spark.read.option("wholetext", true).text(path),
-      col("value"), nameProp)
+      spark.read.option("wholetext", true).text(path)
+        .withColumn("src_file", input_file_name()),
+      col("value"), nameProp, keep = Seq("src_file"))
 }

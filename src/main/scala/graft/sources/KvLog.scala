@@ -120,6 +120,16 @@ class KvLogScan(path: String, required: StructType, pushed: Array[Filter],
   * into each micro-batch's readers unchanged — streaming reads get the
   * same leaf-level pushdown as batch.
   */
+/** Offset = the complete visible file list (set-diff per batch). This is
+  * deliberately the CORRECT-under-any-naming design, not the compact one:
+  * a high-water-mark offset (last processed name) admits only
+  * lexicographically-increasing arrivals and silently skips a file that
+  * sorts below the mark, while the full-list offset handles arbitrary
+  * names and deletions. The cost is O(total files ever seen) per offset
+  * — acceptable for this connector's scope (Spark's own FileStreamSource
+  * pays the same and bounds it with compact log + maxFileAge; that
+  * machinery is out of scope here, noted per the r20 review).
+  */
 class KvLogOffset(val files: Seq[String]) extends Offset {
   override def json(): String =
     files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
@@ -185,14 +195,18 @@ class KvLogReaderFactory(fields: Array[String], pushed: Array[Filter],
 }
 
 /** Batch write with the standard two-phase commit shape: each task
-  * writes to a task-unique `_tmp_` file and reports it in its commit
-  * message; only the DRIVER's commit() renames temp files into place
-  * (and truncate, when requested, clears old data at that same commit
-  * point — not when tasks start). A failed/speculative task's temp file
-  * is deleted by abort(); readers never observe partial output because
-  * `_`-prefixed files are invisible to [[KvLogBatch]]'s listing. This is
-  * the same rename-on-commit protocol file committers use, scaled down
-  * to one class.
+  * writes to a write-and-task-unique `_tmp_` file and reports it in its
+  * commit message; only the DRIVER's commit() renames temp files into
+  * place — publish-first, and for truncate the old files are deleted
+  * only AFTER every new file is in place (r20 review: deleting first
+  * meant a mid-commit rename failure destroyed committed data). A
+  * failed/speculative task's temp file is deleted by abort();
+  * uncommitted output is never visible because `_`-prefixed files are
+  * invisible to [[KvLogBatch]]'s listing. Residual window: a reader
+  * racing a truncate commit can see old+new mixed until the stale
+  * deletes land — lossless, and the manifest needed to close it is out
+  * of scope for this connector. This is the rename-on-commit protocol
+  * file committers use, scaled down to one class.
   */
 class KvLogWriteBuilder(path: String, schema: StructType)
   extends WriteBuilder with SupportsTruncate {
@@ -207,22 +221,40 @@ case class KvLogCommitMessage(tmpFile: String) extends WriterCommitMessage
 
 class KvLogBatchWrite(path: String, schema: StructType, doTruncate: Boolean)
   extends BatchWrite {
+  // write-unique id baked into every file name (r20 review): partitionId/
+  // taskId counters RESTART per application, so `part-0-0.log` from a
+  // second app run would renameTo-CLOBBER the first run's committed file
+  // — silent data loss on an append. With the id, names never collide
+  // across runs.
+  private val writeId = java.util.UUID.randomUUID().toString.take(8)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new KvLogWriterFactory(path, schema.fieldNames)
+    new KvLogWriterFactory(path, schema.fieldNames, writeId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
-    // truncate = drop everything a reader could see (same visibility rule
-    // as KvLogBatch: non-underscore, non-hidden files)
-    if (doTruncate)
-      Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-        .foreach(_.delete())
+    // snapshot the STALE visible set BEFORE publishing (same visibility
+    // rule as KvLogBatch: non-underscore, non-hidden files)
+    val stale =
+      if (doTruncate)
+        Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      else Array.empty[java.io.File]
+    // publish FIRST, truncate LAST (r20 review): deleting old data before
+    // the new files are all in place meant a rename failure mid-loop left
+    // the table half-written with the old rows already destroyed. In this
+    // order a mid-commit failure leaves old + some new visible (messy but
+    // lossless, and abort() reclaims the unrenamed temps); committed data
+    // is never deleted until every new file is published. (A crash in the
+    // window between the last rename and the stale deletes leaves old+new
+    // mixed — the residual non-atomicity of multi-file rename commits; a
+    // manifest file would close it, out of scope for this connector.)
     messages.foreach { case KvLogCommitMessage(tmp) =>
       val f = new java.io.File(tmp)
       if (!f.renameTo(new java.io.File(dir, f.getName.stripPrefix("_tmp_"))))
         throw new java.io.IOException(s"commit rename failed for $tmp")
     }
+    stale.foreach(_.delete())
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -232,15 +264,17 @@ class KvLogBatchWrite(path: String, schema: StructType, doTruncate: Boolean)
     }
 }
 
-class KvLogWriterFactory(path: String, fields: Array[String]) extends DataWriterFactory {
+class KvLogWriterFactory(path: String, fields: Array[String], writeId: String)
+  extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KvLogDataWriter(path, fields, partitionId, taskId)
+    new KvLogDataWriter(path, fields, writeId, partitionId, taskId)
 }
 
-class KvLogDataWriter(path: String, fields: Array[String], partitionId: Int, taskId: Long)
+class KvLogDataWriter(path: String, fields: Array[String], writeId: String,
+                      partitionId: Int, taskId: Long)
   extends DataWriter[InternalRow] {
   new java.io.File(path).mkdirs()
-  private val tmp = new java.io.File(path, s"_tmp_part-$partitionId-$taskId.log")
+  private val tmp = new java.io.File(path, s"_tmp_part-$writeId-$partitionId-$taskId.log")
   private val out = new java.io.PrintWriter(
     new java.io.OutputStreamWriter(new java.io.FileOutputStream(tmp), "UTF-8"))
 

@@ -106,8 +106,16 @@ object StreamingOps {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t < s.last + gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.sum + e.value))
+                // INCLUSIVE gap boundary (t ≤ last + gap merges), mirroring
+                // the batch twin's `gap_sec > 1800 ⇒ new session` exactly —
+                // the r20 review caught the off-by-one at t == last + gap.
+                // min() on start: an in-watermark out-of-order event that
+                // arrives in a LATER micro-batch than a newer one must
+                // still extend the session backwards (within a batch the
+                // sort handles it; across batches only min() does).
+                case Some(s) if t <= s.last + gapMs =>
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1, s.sum + e.value))
                 case Some(s) =>
                   closed ::= SessionSummary(userId, new Timestamp(s.start),
                     new Timestamp(s.last + gapMs), s.n, s.sum)
@@ -118,7 +126,17 @@ object StreamingOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // setTimeoutTimestamp THROWS if the timeout is not strictly
+              // later than the current watermark. Spark 4.1 pre-filters
+              // FMGWS input by the watermark (pinned in StreamingSpec), so
+              // every surviving row has t ≥ wm and last + gap > wm — but
+              // that filter is an implementation detail, not the FMGWS
+              // contract, so clamp to watermark + 1 ms as defense in
+              // depth: a delivered-late event then closes its (already
+              // expired) session at the next watermark advance instead of
+              // killing the query.
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }
@@ -310,9 +328,16 @@ object StreamingOps {
     * emission per key (max seq) IS the final table state whatever the
     * batch slicing — the parity spec replays the identical change log
     * in one batch and in per-seq batches and checks both against the
-    * batch operator. State = one row per live key (the same O(keys)
-    * footprint a lakehouse merge sink carries); out-of-order arrivals
-    * within and across batches resolve by seq, not arrival time.
+    * batch operator. State = one row per key EVER SEEN, tombstones
+    * included — deliberately: a delete's seq must stay in state so a
+    * LATE out-of-order update (seq below the tombstone's) arriving in
+    * a later micro-batch is rejected rather than resurrecting the key,
+    * which eager state.clear() on delete would silently allow. That
+    * matches the batch operator (which always sees every row) at the
+    * cost of tombstone rows persisting; a production deployment bounds
+    * them with a TTL equal to its maximum tolerated out-of-orderness
+    * (TTLConfig here is NONE so the parity replay is exact at any
+    * batch slicing — the r20 review adjudicated this trade-off).
     */
   class CdcApplyProcessor
     extends org.apache.spark.sql.streaming.StatefulProcessor[Long, CdcOp, CdcCurrent] {

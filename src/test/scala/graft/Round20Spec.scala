@@ -182,6 +182,21 @@ class Round20Spec extends AnyFunSuite with SparkFixture {
       }
   }
 
+  test("minhash signature expr skips null hashes exactly like the aggregate") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // pre-r20 the scalar expr read a null slot as 0L, which wins min for
+    // many permutations — a silent batch/stream signature divergence
+    // (the aggregate twin skips nulls via its child.eval == null guard)
+    val df = Seq((Seq[java.lang.Long](12345L, null, 67890L),
+      Seq[java.lang.Long](12345L, 67890L))).toDF("with_null", "clean")
+    val r = df.select(
+      expr("graft_minhash_sig_arr(with_null, 16)").as("a"),
+      expr("graft_minhash_sig_arr(clean, 16)").as("b")).collect()(0)
+    assert(r.getSeq[Long](0) === r.getSeq[Long](1),
+      "null hash elements must be skipped, not read as 0L")
+  }
+
   test("benchcmp.py honors its 0/1/2 exit-code contract") {
     // the close adjudication rides this tool; a future edit that breaks
     // the exit contract would let a regression (or a malformed artifact)

@@ -147,6 +147,56 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(rows(1) === ("2024-01-01 12:00:00.0", 1, 4.0))
   }
 
+  test("#57 sessionize r20 pins: inclusive gap, backward merge, late-row survival") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = StreamingOps.sessionize(stream.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_r20").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: single event 10:30 → watermark advances to 10:20
+      stream.addData(Seq(Event(1, ts(30), 9, "click", 1.0)))
+      q.processAllAvailable()
+      // batch 2, both in-watermark:
+      //  (b) BACKWARD merge — 10:25 precedes the stored session start
+      //      10:30; pre-r20 the stored start won and session_start read
+      //      10:30 (batch/stream parity break);
+      //  (a) INCLUSIVE boundary — 11:00 is EXACTLY last + 30 min; the
+      //      batch twin's `gap_sec > 1800` keeps it in the session,
+      //      pre-r20 streaming's `<` split it.
+      stream.addData(Seq(Event(2, ts(25), 9, "view", 2.0),
+        Event(3, Timestamp.valueOf("2024-01-01 11:00:00"), 9, "click", 4.0)))
+      q.processAllAvailable()
+      // far-future event closes the merged session (watermark → 12:50)
+      stream.addData(Seq(Event(4, Timestamp.valueOf("2024-01-01 13:00:00"), 9, "click", 8.0)))
+      q.processAllAvailable()
+      // (c) late-row platform pin: 10:10 is far more than gap behind
+      // the 12:50 watermark. Spark 4.1 PRE-FILTERS
+      // flatMapGroupsWithState input by the watermark (verified here:
+      // the row never reaches the function, no 10:10 session appears),
+      // which is what makes setTimeoutTimestamp(last + gap) safe —
+      // every surviving row has t ≥ wm, so last + gap > wm. The
+      // operator still clamps the timeout to wm + 1 as defense in
+      // depth (the FMGWS contract does not PROMISE the filter; a
+      // version that delivers late rows would otherwise throw
+      // `timeout ≤ watermark` and kill the query). Either way the
+      // query must survive this batch.
+      stream.addData(Seq(Event(5, ts(10), 9, "click", 16.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(Event(6, Timestamp.valueOf("2024-01-01 15:00:00"), 9, "click", 32.0)))
+      q.processAllAvailable()
+      assert(q.isActive, "a very late row must not kill the query")
+    } finally q.stop()
+    val rows = spark.table("sessions_r20").collect()
+      .map(r => (r.getTimestamp(1).toString, r.getInt(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.exists(r => r == (("2024-01-01 10:25:00.0", 3, 7.0))),
+      s"backward-merged inclusive-gap session missing: ${rows.mkString(";")}")
+    assert(!rows.exists(_._1 == "2024-01-01 10:10:00.0"),
+      s"later-than-watermark row must be dropped pre-function: ${rows.mkString(";")}")
+  }
+
   test("#57b transformWithState keeps per-user running totals across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
