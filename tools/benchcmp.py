@@ -40,6 +40,13 @@ def load_set(paths):
             artifact_error(f"{p}: {e}")
         if "queries" not in d or not isinstance(d["queries"], dict):
             artifact_error(f"{p} has no per-query map")
+        # a structurally-valid artifact with a non-numeric timing must be
+        # exit 2 (artifact error), never a TypeError traceback exiting 1 —
+        # 1 is reserved for a real regression (r20 ADVICE low)
+        for name, v in d["queries"].items():
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                artifact_error(f"{p}: query {name!r} has non-numeric "
+                               f"timing {v!r}")
         runs.append(d["queries"])
     return runs
 
@@ -119,6 +126,34 @@ def main():
         print(f"\nbiggest moves (|delta| >= 0.05 s, top {args.top} each way):")
         show_rows(regress[:args.top])
         show_rows(improve[:args.top])
+
+    # Uniform-vs-concentrated drift readout (r20 verdict item 4): the
+    # host-noise adjudications argue "drift spread proportionally over
+    # code-untouched queries" — make that a statistic. Per-query ratios
+    # over queries big enough to measure (base >= 0.05 s); a HOST-HEAT
+    # drift moves the median with a tight IQR and no large-delta outliers,
+    # a CODE regression concentrates in a few queries far outside the IQR.
+    ratios = sorted((head[q] / base[q], q) for q in carried
+                    if base[q] >= 0.05)
+    if len(ratios) >= 8:
+        def pct(p):
+            i = p * (len(ratios) - 1)
+            lo, hi = int(i), min(int(i) + 1, len(ratios) - 1)
+            return ratios[lo][0] + (i - lo) * (ratios[hi][0] - ratios[lo][0])
+        q1, med, q3 = pct(0.25), pct(0.50), pct(0.75)
+        iqr = q3 - q1
+        fence = q3 + 3.0 * iqr
+        outliers = [(r, q) for r, q in ratios
+                    if r > fence and head[q] - base[q] >= 0.2]
+        shape = ("CONCENTRATED (investigate the outliers below)" if outliers
+                 else ("UNIFORM (host-level; no per-query outlier)"
+                       if abs(med - 1.0) > 0.02
+                       else "FLAT (median within 2% of 1.0)"))
+        print(f"\ndrift readout over {len(ratios)} queries with base >= "
+              f"0.05 s:\n  median ratio {med:.3f}, IQR [{q1:.3f}, {q3:.3f}]"
+              f", outlier fence {fence:.3f} -> {shape}")
+        for r, q in sorted(outliers, reverse=True)[:args.top]:
+            print(f"  outlier {q}: {base[q]:.2f} -> {head[q]:.2f} ({r:.2f}x)")
 
     violations = [q for q in carried
                   if head[q] > args.threshold_ratio * base[q]
