@@ -528,36 +528,41 @@ object EventOps {
     * floor drift is engine-identical; a type with no observed outgoing
     * row contributes 0 (conservative). Scale: the same single
     * user-keyed lag window as every chain op, then 10 rounds of
-    * |types|²-row arithmetic (localCheckpoint per round, the
-    * [[GraphOps]] discipline). The twin unrolls the identical rounds
-    * as CTEs.
+    * arithmetic on the COLLECTED |types|²-bounded transition matrix
+    * in the driver (r21 — the matrix is domain-bounded whatever the
+    * corpus size, the exact boundedness class the Markov π collect and
+    * the rank-kernel histogram already ride; the previous per-round
+    * join + localCheckpoint shape paid 12 scheduler round-trips to
+    * move ≤25 rows). BigInt accumulation (the Wave14Spec pin's own
+    * arithmetic): products are exact at any count, and the one
+    * truncating division per state per round is floor-identical to
+    * Spark's `div`/DuckDB's `//` on the nonnegative operands. The twin
+    * unrolls the identical rounds as CTEs.
     */
   def markovAbsorbing(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val pairs = Tables.events(s, dir)
+    val mat = Tables.events(s, dir)
       .withColumn("from_type", lag(col("event_type"), 1).over(w))
       .filter(col("from_type").isNotNull && col("from_type") =!= "purchase")
       .groupBy(col("from_type"), col("event_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
-    val totals = pairs.groupBy("from_type").agg(sum(col("n")).as("rt"))
-    val mat = pairs.join(broadcast(totals), Seq("from_type")).localCheckpoint()
-    var a = totals.select(col("from_type").as("event_type"),
-      lit(0L).as("a_micro")).localCheckpoint()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rt: Map[String, BigInt] =
+      mat.groupBy(_._1).map { case (f, rs) => f -> rs.map(r => BigInt(r._3)).sum }
+    var a: Map[String, BigInt] = rt.map { case (f, _) => f -> BigInt(0) }
     (1 to 10).foreach { _ =>
-      a = mat
-        .join(a.select(col("event_type").as("to_type"),
-          col("a_micro").as("aj")), Seq("to_type"), "left_outer")
-        .withColumn("term",
-          when(col("to_type") === "purchase", col("n") * 1000000L)
-            .otherwise(col("n") * coalesce(col("aj"), lit(0L))))
-        .groupBy(col("from_type"))
-        .agg(max(col("rt")).as("rt"), sum(col("term")).as("tsum"))
-        .select(col("from_type").as("event_type"),
-          expr("tsum div rt").as("a_micro"))
-        .localCheckpoint()
+      a = rt.map { case (f, total) =>
+        val tsum = mat.iterator.filter(_._1 == f).map { case (_, to, n) =>
+          BigInt(n) * (if (to == "purchase") BigInt(1000000) else a.getOrElse(to, BigInt(0)))
+        }.sum
+        f -> tsum / total
+      }
     }
-    a.orderBy("event_type")
+    import s.implicits._
+    a.toSeq.map { case (f, v) => (f, v.toLong) }
+      .toDF("event_type", "a_micro")
+      .orderBy("event_type")
   }
 
   /** #297 Inter-event dwell times by transition pair: for each
