@@ -375,9 +375,16 @@ object SimilarityOps {
     *
     * Scale: the ONLY corpus-sized work is the broadcast-probe relevance
     * scan + per-probe top-20 window (the q_sim_cosine_topk shape); the
-    * greedy runs 5 UNROLLED dataflow rounds over the 20-row-per-probe
-    * candidate set and its 380-pair dot table, both localCheckpoint'd —
-    * bounded by probes·k², independent of corpus size, no driver loop.
+    * greedy then runs on the COLLECTED candidate set — bounded by
+    * probes·k (≤200 rows) whatever the corpus size, the same
+    * domain-bounded-collect class as the Markov matrix. (r21: the
+    * previous 5 unrolled dataflow rounds + their localCheckpoints paid
+    * ~8 scheduler round-trips and a 380-pair distributed dot table to
+    * move ≤200 rows; SearchClusterSpec's driver-greedy replay pin is
+    * the arithmetic this loop now IS.) Dot products stay exact in the
+    * driver: |q|≤1e6 over 64 dims keeps every partial sum < 2^53, so
+    * the double accumulation is order-independent and equals the
+    * graft_dot kernel bit-for-bit.
     */
   def embedMmr(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -392,39 +399,43 @@ object SimilarityOps {
         expr("cast(graft_dot(pqd, qd) as long)").as("rel"), col("qd"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("probe_id").orderBy(desc("rel"), asc("cand_id"))))
-      .filter(col("rk") <= 20).drop("rk")
-      .localCheckpoint()
-    val pp = rel20.select(col("probe_id"), col("cand_id").as("a"), col("qd").as("qa"))
-      .join(rel20.select(col("probe_id"), col("cand_id").as("b"), col("qd").as("qb")),
-        Seq("probe_id"))
-      .filter(col("a") =!= col("b"))
-      .select(col("probe_id"), col("a"), col("b"),
-        expr("cast(graft_dot(qa, qb) as long)").as("sim"))
-      .localCheckpoint()
-    val cands = rel20.select("probe_id", "cand_id", "rel")
-    val wPick = Window.partitionBy("probe_id").orderBy(desc("score2"), asc("cand_id"))
-    val first = cands.withColumn("score2", col("rel") * 2)
-      .withColumn("pick", row_number().over(wPick)).filter(col("pick") === 1)
-      .select(col("probe_id"), col("cand_id"), col("rel"), col("score2"),
-        lit(1).as("rank"))
-    val selected = (2 to 5).foldLeft(first) { (sel, k) =>
-      val next = cands
-        .join(sel.select(col("probe_id"), col("cand_id").as("sel_id")),
-          Seq("probe_id"))
-        .join(pp.withColumnRenamed("a", "cand_id").withColumnRenamed("b", "sel_id"),
-          Seq("probe_id", "cand_id", "sel_id"))
-        .groupBy("probe_id", "cand_id", "rel")
-        .agg(max(col("sim")).as("max_sim"))
-        .join(sel.select(col("probe_id"), col("cand_id")),
-          Seq("probe_id", "cand_id"), "left_anti")
-        .withColumn("score2", col("rel") * 2 - col("max_sim"))
-        .withColumn("pick", row_number().over(wPick)).filter(col("pick") === 1)
-        .select(col("probe_id"), col("cand_id"), col("rel"), col("score2"),
-          lit(k).as("rank"))
-      sel.unionByName(next).localCheckpoint()
+      .filter(col("rk") <= 20)
+      .select("probe_id", "cand_id", "rel", "qd")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Double](3).toArray))
+    def dotL(a: Array[Double], b: Array[Double]): Long = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc.toLong
     }
-    selected.select(col("probe_id"), col("rank"), col("cand_id"),
-        col("rel").as("rel_dot"), col("score2"))
+    val out = rel20.groupBy(_._1).toSeq.flatMap { case (probe, cs) =>
+      val cands = cs.map(c => (c._2, c._3, c._4)) // (cand_id, rel, qd)
+      var selected = Vector.empty[(Long, Array[Double])]
+      var rows = Vector.empty[(Long, Int, Long, Long, Long)]
+      var rank = 1
+      while (rank <= 5) {
+        val remaining = cands.filter(c => !selected.exists(_._1 == c._1))
+        if (remaining.nonEmpty) {
+          // score2 = 2·rel − max_sim (0 subtracted on the first pick);
+          // argmax ties break to the smallest cand_id, exactly the
+          // row_number(desc score2, asc cand_id) == 1 pick
+          val (cId, rel, qd, s2) = remaining.map { case (c, r, q) =>
+            val maxSim =
+              if (selected.isEmpty) 0L
+              else selected.map(sel => dotL(q, sel._2)).max
+            (c, r, q, 2 * r - (if (selected.isEmpty) 0L else maxSim))
+          }.minBy { case (c, _, _, s2) => (-s2, c) }
+          selected :+= ((cId, qd))
+          rows :+= ((probe, rank, cId, rel, s2))
+        }
+        rank += 1
+      }
+      rows
+    }
+    import s.implicits._
+    out.toDF("probe_id", "rank", "cand_id", "rel_dot", "score2")
       .orderBy("probe_id", "rank")
   }
 
