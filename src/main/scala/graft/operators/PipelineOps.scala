@@ -236,25 +236,26 @@ object PipelineOps {
     * document reports what fraction of its distinct spans are
     * boilerplate and a keep flag at the 0.15 ratio gate.
     *
-    * Two shuffles of the exploded gram stream, both on the gram key:
-    * one for the document-frequency count, one to join the hot set
-    * back. The hot set is NOT broadcast by hint — its size grows with
-    * corpus diversity, so the plan leaves the choice to AQE (at sf0.1
-    * it picks a broadcast; at 100 TB a hot-set too big to broadcast
-    * degrades to a shuffle join instead of an OOM). The keep flag
-    * compares the RAW ratio (IEEE division is engine-exact), only the
-    * reported ratio is rounded.
+    * Two shuffles of the exploded gram stream (r21 shape): one
+    * gram-keyed WINDOW count for the document frequency — the DF is
+    * attached in place of the former aggregate-then-join-back, which
+    * shuffled the exploded stream by gram twice and recomputed the
+    * explode for each arm — and one doc-keyed aggregate. No hot-set
+    * relation exists to broadcast, so the 100 TB posture is strictly
+    * better: nothing vocabulary-sized ever moves to one place. The
+    * keep flag compares the RAW ratio (IEEE division is engine-exact),
+    * only the reported ratio is rounded.
     */
   def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
     val exploded = withGrams(Tables.documents(s, dir))
       .select(col("doc_id"), explode(col("grams")).as("gram"))
     // grams are per-doc distinct, so count(*) per gram = document frequency
-    val hot = exploded.groupBy("gram").agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") > 3)
-      .select(col("gram"), lit(1).as("boiler"))
-    exploded.join(hot, Seq("gram"), "left")
+    exploded
+      .withColumn("n_docs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("gram")))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"), count(col("boiler")).as("n_boiler"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") > 3, 1L).otherwise(0L)).as("n_boiler"))
       .withColumn("boiler_ratio",
         round(col("n_boiler").cast("double") / col("n_grams"), 6))
       .withColumn("keep",

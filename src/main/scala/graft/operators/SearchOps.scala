@@ -99,12 +99,22 @@ object SearchOps {
     * product per side), and the final top-20 is TakeOrderedAndProject.
     */
   def textCooccur(s: SparkSession, dir: String): DataFrame = {
+    // r21: one scan + one distinct for the incidence relation
+    // (localCheckpoint — the un-checkpointed plan re-read documents 14
+    // times and re-ran the distinct 6 times, once per consumer arm),
+    // and the margin joins read the 64-row vocab slice instead of
+    // broadcasting the FULL-vocabulary margins (surviving pairs have
+    // both tokens in the vocab, so the slice carries identical values —
+    // and a corpus-vocabulary broadcast is exactly what must not grow
+    // with scale).
     val docTok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .distinct()
+      .localCheckpoint()
     val margins = docTok.groupBy("token").agg(count(lit(1)).as("c1"))
-    val vocab = margins.orderBy(col("c1").desc, col("token")).limit(64).select("token")
-    val tv = docTok.join(broadcast(vocab), Seq("token"))
+    val vocabM = margins.orderBy(col("c1").desc, col("token")).limit(64)
+      .localCheckpoint()
+    val tv = docTok.join(broadcast(vocabM.select("token")), Seq("token"))
     val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val pairs = tv.as("a").join(tv.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.token") < col("b.token"))
@@ -112,8 +122,8 @@ object SearchOps {
       .agg(count(lit(1)).as("c12"))
       .filter(col("c12") >= 20)
     pairs
-      .join(broadcast(margins.select(col("token").as("t1"), col("c1").as("m1"))), Seq("t1"))
-      .join(broadcast(margins.select(col("token").as("t2"), col("c1").as("m2"))), Seq("t2"))
+      .join(broadcast(vocabM.select(col("token").as("t1"), col("c1").as("m1"))), Seq("t1"))
+      .join(broadcast(vocabM.select(col("token").as("t2"), col("c1").as("m2"))), Seq("t2"))
       .crossJoin(broadcast(nDocs))
       .withColumn("pmi_nano",
         floor(log((col("c12") * col("n_docs")).cast("double")

@@ -733,16 +733,25 @@ object TextOps {
     def lnNano(c: org.apache.spark.sql.Column) =
       floor(log(c.cast("double")) * 1e9).cast("long")
     val docs = Tables.documents(s, dir)
+    // r21: tokenize once (localCheckpoint — the un-checkpointed plan
+    // re-ran scan+explode for every consumer arm); V and the prior's
+    // denominator now fold out of the already-aggregated relations
+    // (countDistinct over the lexicon = countDistinct over raw tokens,
+    // Σ per-lang doc counts = the corpus doc count) instead of paying
+    // two more corpus passes for the same integers.
     val toks = docs
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
+      .localCheckpoint()
     val counts = toks.groupBy(col("lang").as("plang"), col("token"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val nl = counts.groupBy("plang").agg(sum(col("c")).as("n_l"))
-    val v = toks.agg(countDistinct(col("token")).as("v"))
-    val priors = docs.groupBy(col("lang").as("plang"))
+    val v = counts.agg(countDistinct(col("token")).as("v"))
+    val nlang = docs.groupBy(col("lang").as("plang"))
       .agg(count(lit(1)).as("nd"))
-      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+    val priors = nlang
+      .crossJoin(broadcast(nlang.agg(sum(col("nd")).as("n_docs"))))
       .select(col("plang"),
         (lnNano(col("nd")) - lnNano(col("n_docs"))).as("prior"))
     val scored = toks
@@ -756,10 +765,14 @@ object TextOps {
       .agg(sum(col("term")).as("ll"))
       .join(broadcast(priors), Seq("plang"))
       .withColumn("score", col("ll") + col("prior"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(desc("score"), asc("plang"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .groupBy(col("lang").as("true_lang"), col("plang").as("pred_lang"))
+    // argmax via one more map-side-combined aggregate instead of a
+    // row_number window (same shuffle key, no per-partition sort):
+    // min(struct(-score, plang)) IS the (score DESC, lang ASC) pick
+    scored
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(struct((-col("score")).as("neg"), col("plang"))).as("pick"))
+      .groupBy(col("lang").as("true_lang"),
+        col("pick.plang").as("pred_lang"))
       .agg(count(lit(1)).as("n"))
       .orderBy("true_lang", "pred_lang")
   }

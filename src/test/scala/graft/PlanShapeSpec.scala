@@ -785,24 +785,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(smj.isEmpty, s"hits output must be checkpoint-backed:\n$plan")
   }
 
-  test("naive bayes scores via broadcasts and the argmax window stays per-doc") {
+  test("naive bayes scores via broadcasts and the argmax is a windowless aggregate") {
     val plan = executed(operators.TextOps.mlNaiveBayes(spark, sfDir))
     val all = collectAll(plan)
     assert(all.count(_.isInstanceOf[BroadcastHashJoinExec]) +
       all.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) >= 3,
       s"lexicon, lang totals, vocab size and priors must broadcast:\n$plan")
-    // depending on prior session conf the rn=1 filter either keeps the
-    // WindowExec or is fully rewritten to WindowGroupLimitExec (the
-    // better plan: the argmax never materializes ranks) — both must be
-    // doc_id-partitioned
-    val partSpecs = all.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec =>
-        w.partitionSpec
-      case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec =>
-        g.partitionSpec
+    // r21: the per-doc argmax is min(struct(-score, plang)) — a plain
+    // map-side-combinable aggregate. A window (even the
+    // WindowGroupLimit rewrite) would re-introduce a per-partition
+    // sort this plan no longer needs; its reappearance means the
+    // argmax regressed to row_number
+    val windows = all.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+      case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec => g
     }
-    assert(partSpecs.nonEmpty && partSpecs.forall(_.nonEmpty),
-      s"the argmax window must partition by doc_id:\n$plan")
+    assert(windows.isEmpty,
+      s"the argmax must stay a windowless struct-min aggregate:\n$plan")
   }
 
   test("triplet mining broadcasts the anchor slice and windows per anchor") {
