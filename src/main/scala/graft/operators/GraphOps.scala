@@ -232,12 +232,17 @@ object GraphOps {
     val sym = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val deg = materializedDegrees(s, dir)
-    // out-degree rides ON the edge list (joined once, persisted): each of
-    // the 5 rounds then needs only the single ranks join
+    // out-degree rides ON the edge list (joined + checkpointed once):
+    // each of the 5 rounds then needs only the single ranks join. The
+    // rounds chain LAZILY (r21): each rank vector is consumed exactly
+    // once by the next round, so the whole recurrence executes as ONE
+    // job at the caller's action instead of a localCheckpoint
+    // materialization per round — same dataflow, 5 fewer scheduler
+    // round-trips.
     val symDeg = sym
       .join(deg.select(col("node").as("doc_a"), col("deg")), Seq("doc_a"))
-      .persist()
-    var ranks = deg.select(col("node"), lit(UnitMass).as("r")).localCheckpoint()
+      .localCheckpoint()
+    var ranks = deg.select(col("node"), lit(UnitMass).as("r"))
     (1 to Iterations).foreach { _ =>
       val contrib = symDeg
         .join(ranks.select(col("node").as("doc_a"), col("r")), Seq("doc_a"))
@@ -246,9 +251,7 @@ object GraphOps {
         .agg(sum(col("c")).as("in_mass"))
         .select(col("node"),
           (lit(150000L) + expr("(85 * in_mass) div 100")).as("r"))
-        .localCheckpoint()
     }
-    symDeg.unpersist()
     ranks.select(col("node").as("doc_id"), col("r").as("rank_micros"))
       .orderBy("doc_id")
   }
@@ -278,41 +281,39 @@ object GraphOps {
     // measured as the bulk of ppr's 9 s wall time at sf0.1)
     val seedId = deg.orderBy(desc("deg"), asc("node")).limit(1)
       .select(col("node")).collect().head.getLong(0)
+    // checkpointed, not persist()ed: the lazy round chain reads this
+    // subtree once per round inside ONE plan and there is no later
+    // unpersist point (blocks free with the RDD when the caller drops
+    // the returned DataFrame)
     val symDeg = sym
       .join(deg.select(col("node").as("doc_a"), col("deg")), Seq("doc_a"))
-      .persist()
+      .localCheckpoint()
     var ranks = deg
       .select(col("node"),
         when(col("node") === lit(seedId), lit(1000000000000L))
           .otherwise(lit(0L)).as("r"))
-      .localCheckpoint()
-    // integer ranks make the fixpoint exactly testable: once a round
-    // reproduces its input, every further round is a no-op (the
-    // recurrence is a pure function of the rank vector), so skipping
-    // the remaining rounds cannot change the result the unrolled
-    // DuckDB twin computes. The check is a |V|-row join between two
-    // already-checkpointed relations — one cheap job per round, traded
-    // against a full edge-join round when it fires.
-    var converged = false
+    // r21: the rounds chain LAZILY — each rank vector feeds the next
+    // round's join directly, and the whole 5-round recurrence executes
+    // as ONE job at the final top-20 action. The previous shape paid
+    // 2 scheduler jobs per round (a localCheckpoint materialization +
+    // a |V|-row convergence-check join); the early-exit check is
+    // sound but redundant for correctness — a converged round is a
+    // no-op, so running every unrolled round computes exactly what the
+    // unrolled DuckDB twin computes, converged or not. Each round's
+    // vector is consumed exactly once (the check was the second
+    // consumer), so nothing in the chain is recomputed, and symDeg
+    // stays persisted for its 5 reads.
     (1 to Iterations).foreach { _ =>
-      if (!converged) {
-        val contrib = symDeg
-          .join(ranks.select(col("node").as("doc_a"), col("r")), Seq("doc_a"))
-          .select(col("doc_b"), expr("r div deg").as("c"))
-        val next = contrib.groupBy(col("doc_b").as("node"))
-          .agg(sum(col("c")).as("in_mass"))
-          .select(col("node"),
-            (expr("(85 * in_mass) div 100") +
-              when(col("node") === lit(seedId), lit(150000000000L))
-                .otherwise(lit(0L))).as("r"))
-          .localCheckpoint()
-        converged = next
-          .join(ranks.select(col("node"), col("r").as("r_prev")), Seq("node"))
-          .filter(col("r") =!= col("r_prev")).isEmpty
-        ranks = next
-      }
+      val contrib = symDeg
+        .join(ranks.select(col("node").as("doc_a"), col("r")), Seq("doc_a"))
+        .select(col("doc_b"), expr("r div deg").as("c"))
+      ranks = contrib.groupBy(col("doc_b").as("node"))
+        .agg(sum(col("c")).as("in_mass"))
+        .select(col("node"),
+          (expr("(85 * in_mass) div 100") +
+            when(col("node") === lit(seedId), lit(150000000000L))
+              .otherwise(lit(0L))).as("r"))
     }
-    symDeg.unpersist()
     ranks.withColumn("seed", lit(seedId))
       .orderBy(desc("r"), asc("node")).limit(20)
       .select(col("seed").as("seed_doc"), col("node").as("doc_id"),

@@ -509,15 +509,18 @@ object QualityOps {
     * regardless of corpus size.
     */
   def dqOrphans(s: SparkSession, dir: String): DataFrame = {
+    // r21: one pass per edge — the former anti-join + separate child
+    // count scanned every child table twice and crossJoined the two
+    // 1-row aggregates; a left join against the distinct parent keys
+    // (row-count-preserving) carries both counts through ONE aggregate
     def edge(name: String, child: DataFrame, key: String,
-        parent: DataFrame, pkey: String): DataFrame = {
-      val c = child.select(col(key).as("k"))
-      val orphans = c.join(parent.select(col(pkey).as("k"))
-        .distinct(), Seq("k"), "left_anti")
-      c.agg(count(lit(1)).as("n_child"))
-        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        parent: DataFrame, pkey: String): DataFrame =
+      child.select(col(key).as("k"))
+        .join(parent.select(col(pkey).as("k")).distinct()
+          .withColumn("hit", lit(1)), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          count(when(col("hit").isNull, lit(1))).as("n_orphans"))
         .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"))
-    }
     val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
     val cst = Tables.customer(s, dir); val sup = Tables.supplier(s, dir)
     val nat = Tables.nation(s, dir)

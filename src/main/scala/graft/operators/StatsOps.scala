@@ -463,12 +463,14 @@ object StatsOps {
       .withColumn("ca", element_at(typedLit(offA), col("pid")) + sum(col("a_n")).over(w))
       .withColumn("cb", element_at(typedLit(offB), col("pid")) + sum(col("b_n")).over(w))
       .withColumn("dnum", abs(col("ca") * nb - col("cb") * na))
-    val dmax = cum.agg(max(col("dnum")).as("d_num"))
-    cum.join(broadcast(dmax), col("dnum") === col("d_num"))
-      .groupBy("d_num")
-      .agg(min(col("cents")).as("at_cents"))
-      .select(lit(na).as("n_a"), lit(nb).as("n_b"), col("d_num"),
-        expr(s"(1000000 * d_num) div ${na * nb}").as("d_ppm"), col("at_cents"))
+    // r21: the (max D, smallest-cents tie-break) readout is ONE
+    // aggregate — max(struct(dnum, -cents)) — instead of a max
+    // aggregate + broadcast-equality join back over a second
+    // evaluation of the cumulative relation
+    cum.agg(max(struct(col("dnum").as("d"), (-col("cents")).as("negc"))).as("p"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"), col("p.d").as("d_num"),
+        expr(s"(1000000 * p.d) div ${na * nb}").as("d_ppm"),
+        (-col("p.negc")).as("at_cents"))
   }
 
   /** Population Stability Index between two customer segments' balance
