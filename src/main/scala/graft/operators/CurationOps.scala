@@ -76,9 +76,12 @@ object CurationOps {
         explode(PipelineOps.biGrams(toks, size(toks))).as("g"))
     val perDocGram = grams.groupBy("source", "doc_id", "g")
       .agg(count(lit(1)).as("cnt"))
-    val firstDoc = perDocGram.groupBy("source", "g")
-      .agg(min(col("doc_id")).as("first_doc"))
-    val perDoc = perDocGram.join(firstDoc, Seq("source", "g"))
+    // r21: the first-seen doc rides a (source, g)-keyed window min over
+    // the SAME relation — the former separate aggregate + join back
+    // re-evaluated the gram explosion + count for each arm
+    val perDoc = perDocGram
+      .withColumn("first_doc", min(col("doc_id")).over(
+        Window.partitionBy("source", "g")))
       .groupBy("source", "doc_id")
       .agg(sum(col("cnt")).as("grams"),
         sum(when(col("first_doc") === col("doc_id"), col("cnt"))

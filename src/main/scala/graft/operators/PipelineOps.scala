@@ -59,12 +59,19 @@ object PipelineOps {
     */
   def contamination(s: SparkSession, dir: String): DataFrame = {
     val g = withGrams(Tables.documents(s, dir)).select(col("doc_id"), col("grams"))
+    // r21: the bench-gram registry is joined WITHOUT a broadcast hint —
+    // bench grams are ~1/29 of the corpus, so a forced broadcast grew
+    // with corpus size; AQE broadcasts it at fixture sf and degrades to
+    // a shuffle join at registry sizes past the threshold (the
+    // textBoilerplate discipline). A gram-keyed window-membership
+    // variant was A/B'd and lost ~50% locally (it sorts the full gram
+    // stream); the join keeps the hash-only path.
     val bench = g.filter(col("doc_id") % 29 === 0)
       .select(explode(col("grams")).as("gram")).distinct()
       .withColumn("hit", lit(1))
     val corpus = g.filter(col("doc_id") % 29 =!= 0)
       .select(col("doc_id"), explode(col("grams")).as("gram"))
-    corpus.join(broadcast(bench), Seq("gram"), "left")
+    corpus.join(bench, Seq("gram"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
       .withColumn("contamination",

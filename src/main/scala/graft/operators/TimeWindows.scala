@@ -903,11 +903,16 @@ object TimeWindows {
         col("o_orderkey"), col("l_linenumber"),
         datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
           .as("days"))
-    val cnt = lat.groupBy("month").agg(count(lit(1)).as("n"),
-      sum(col("days")).as("sd"))
+    // r21: n and sd ride month-partitioned unbounded windows over the
+    // SAME exchange the rank window already needs — the former separate
+    // aggregate + broadcast join back evaluated the lineitem⋈orders
+    // relation twice
+    val wm = Window.partitionBy("month")
     val w = Window.partitionBy("month")
       .orderBy(col("days"), col("o_orderkey"), col("l_linenumber"))
-    lat.join(broadcast(cnt), Seq("month"))
+    lat
+      .withColumn("n", count(lit(1)).over(wm))
+      .withColumn("sd", sum(col("days")).over(wm))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === expr("(n + 1) div 2") ||
         col("rn") === expr("(9 * n + 9) div 10"))

@@ -172,7 +172,14 @@ object TuningOps {
     val lagged = (1 to 8).foldLeft(daily) { (df, j) =>
       df.withColumn(s"l$j", lag(col("v"), j).over(w))
     }.filter(col("l1").isNotNull)
-    val perAlpha = (1 to 7).map { a =>
+    // r21: all 7 α-candidates ride ONE aggregate pass — the former
+    // 7-arm union re-evaluated the daily aggregate + 8-lag window once
+    // per arm (7 scans, 7 window sorts for identical inputs); here each
+    // arm is just 3 more projected columns over the same lagged rows,
+    // and the 7 SSE columns unpivot via stack() to the identical
+    // (pri, alpha_eighths, n_days, sse) relation
+    var withErr = lagged
+    val sseAggs = (1 to 7).map { a =>
       val ws = (1 to 8).map { j =>
         var p = a.toLong
         (1 until j).foreach(_ => p *= (8 - a))
@@ -185,17 +192,19 @@ object TuningOps {
       val den = (1 to 8).map(j =>
         when(col(s"l$j").isNotNull, lit(ws(j - 1))).otherwise(lit(0L)))
         .reduce(_ + _)
-      lagged
-        .withColumn("num", num).withColumn("den", den)
-        .withColumn("fc_micro", expr("cast((num * 1000000) div den as long)"))
-        .withColumn("err", (col("v") * 1000000L - col("fc_micro")).cast(dec))
-        .groupBy("pri")
-        .agg(count(lit(1)).as("n_days"),
-          sum(col("err") * col("err")).as("sse"))
-        .select(col("pri"), lit(a).as("alpha_eighths"), col("n_days"),
-          col("sse"))
+      withErr = withErr
+        .withColumn(s"num$a", num).withColumn(s"den$a", den)
+        .withColumn(s"fc$a", expr(s"cast((num$a * 1000000) div den$a as long)"))
+        .withColumn(s"err$a", (col("v") * 1000000L - col(s"fc$a")).cast(dec))
+      sum(col(s"err$a") * col(s"err$a")).as(s"sse$a")
     }
-    val all = perAlpha.reduce(_ unionByName _)
+    val all = withErr
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n_days"), sseAggs: _*)
+      .selectExpr("pri", "n_days",
+        "stack(7, " + (1 to 7).map(a => s"$a, sse$a").mkString(", ") +
+          ") as (alpha_eighths, sse)")
+      .select(col("pri"), col("alpha_eighths"), col("n_days"), col("sse"))
     // rank on the EXACT decimal SSE (a truncated readout would tie at
     // small sf, and Spark's decimal `div` silently WRAPS past 2^63 —
     // the q_stats_ols_multi footgun, re-caught by the r13 sf0.1 sweep);
