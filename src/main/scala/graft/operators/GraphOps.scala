@@ -576,7 +576,11 @@ object GraphOps {
         .select(col("b").as("doc_id")).distinct()
         .join(dist, Seq("doc_id"), "left_anti")
         .withColumn("hop", lit(h.toLong)).localCheckpoint()
-      dist = dist.unionAll(next).localCheckpoint()
+      // r21: dist stays a LAZY union of the checkpointed hop layers —
+      // re-materializing the whole settled set every round paid a
+      // second, growing checkpoint job per hop for data already on
+      // the block store
+      dist = dist.unionAll(next)
       frontier = next.select("doc_id")
     }
     dist.orderBy("hop", "doc_id")
@@ -781,7 +785,9 @@ object GraphOps {
         .select(col("lm"), sym("b").as("node")).distinct()
         .join(dist.select("lm", "node"), Seq("lm", "node"), "left_anti")
         .withColumn("hop", lit(h.toLong)).localCheckpoint()
-      dist = dist.unionByName(next).localCheckpoint()
+      // r21: lazy union of checkpointed hop layers (the bfsHops shape) —
+      // no second, growing checkpoint per round
+      dist = dist.unionByName(next)
       frontier = next.select("lm", "node")
     }
     dist

@@ -494,8 +494,6 @@ object PipelineOps {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_toks"), col("n_chars"))
-    val total = docs.agg(sum(col("n_toks"))).first().getLong(0)
-    val budget = total * 6 / 10
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val order = Seq(col("n_chars").desc, col("doc_id").asc)
     val sorted = docs
@@ -505,6 +503,11 @@ object PipelineOps {
       .localCheckpoint()
     val subtotals = sorted.groupBy("pid").agg(sum(col("n_toks")).as("t")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // r21: the corpus token total IS the sum of the per-partition
+    // subtotals the offset pass already collected — the former separate
+    // docs.agg().first() paid one more full scan + job for it
+    val total = subtotals.map(_._2).sum
+    val budget = total * 6 / 10
     val offsets: Map[Int, Long] =
       subtotals.map(_._1).zip(subtotals.scanLeft(0L)(_ + _._2)).toMap
     val w = Window.partitionBy("pid").orderBy(order: _*)
