@@ -66,6 +66,8 @@ object Prewarm {
         ((s, dir) => { SeriesOps.materializedPowerSpectrum(s, dir).count(); () }),
       "bipartite" ->
         ((s, dir) => { GraphOps.materializedBipartite(s, dir).count(); () }),
+      "phashes" ->
+        ((s, dir) => { Multimodal.materializedPhashes(s, dir).count(); () }),
       "phash_clusters" ->
         ((s, dir) => { Multimodal.materializedPhashClusters(s, dir).count(); () }),
       "basket_pairs" ->

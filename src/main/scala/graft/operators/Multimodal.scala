@@ -288,8 +288,23 @@ object Multimodal {
       .toDF("doc_id", "phash")
   }
 
+  /** Materialized dHash relation (doc_id, phash) — r21: the real PNG
+    * decode is the dominant cost of FOUR consumers (q_multimodal_phash,
+    * q_multimodal_phash_near, q_multimodal_phash_balance, and the
+    * phash_clusters build), and each re-decoded every image per call.
+    * Pure function of the corpus, content-hash keyed (the
+    * [[materializedPhashClusters]] discipline, one tier lower);
+    * invariance is pinned by q_multimodal_phash's DuckDB twin, which
+    * recomputes the grid lumas from the pixel formula end-to-end.
+    */
+  private[graft] def materializedPhashes(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
+      s"/graft_io/phashes_v1_${DedupOps.cacheKey(dir, "documents")}"
+    DerivedFiles.getOrBuildParquet(s, path)(phashes(s, dir))
+  }
+
   def multimodalPhash(s: SparkSession, dir: String): DataFrame =
-    phashes(s, dir)
+    materializedPhashes(s, dir)
       .withColumn("n_same", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("phash")))
       .orderBy("doc_id")
@@ -307,9 +322,10 @@ object Multimodal {
     * space).
     */
   def multimodalPhashNear(s: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint: both sides of the candidate self-join read this
-    // relation — without it every task would re-render + re-decode PNGs
-    val hashes = phashes(s, dir).localCheckpoint()
+    // derived-tier read (r21): both sides of the candidate self-join
+    // read the materialized dHash relation; the per-call PNG re-decode
+    // (formerly bounded by a localCheckpoint) is gone entirely
+    val hashes = materializedPhashes(s, dir)
     val chunked = hashes.select(col("doc_id"), col("phash"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("phash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -482,7 +498,7 @@ object Multimodal {
     * 64-row aggregate.
     */
   def multimodalPhashBalance(s: SparkSession, dir: String): DataFrame =
-    phashes(s, dir)
+    materializedPhashes(s, dir)
       .select(col("phash"),
         explode(expr("sequence(0, 63)")).as("bit_idx"))
       .groupBy("bit_idx")

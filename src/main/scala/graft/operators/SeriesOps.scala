@@ -752,7 +752,15 @@ object SeriesOps {
       col("x2").as("a2"), col("x3").as("a3"), col("r_tol"))
     val b = tmpl.select(col("pri"), col("t").as("tj"), col("x1").as("b1"),
       col("x2").as("b2"), col("x3").as("b3"))
-    val pairs = a.join(b, Seq("pri")).filter(col("ti") < col("tj"))
+    // r21: broadcast the b-side template list and RANGE-SPREAD the
+    // a-side first — the equi-join key has only |pri| distinct values,
+    // so the shuffled join ran the d²/2 pair expansion on ≤|pri|
+    // partitions (5-way parallelism whatever the cluster); the a-side
+    // inherits that same 5-way layout from its lead window, so without
+    // the respread the broadcast alone changes nothing
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val pairs = a.repartitionByRange(nPart, col("pri"), col("ti"))
+      .join(broadcast(b), Seq("pri")).filter(col("ti") < col("tj"))
       // canonical template range: both counts' populations are the
       // positions admitting a length-(m+1) template (x3 exists)
       .filter(col("a3").isNotNull && col("b3").isNotNull)

@@ -85,6 +85,8 @@ class PrewarmSpec extends AnyFunSuite with SparkFixture {
     "triangle_support" -> "spec:Round17Spec.scala:materializedTriangleSupport",
     "power_spectrum" -> "spec:Round17Spec.scala:materializedPowerSpectrum",
     "bipartite" -> "oracle:q_graph_hits",
+    // the twin recomputes grid lumas from the pixel formula end-to-end
+    "phashes" -> "oracle:q_multimodal_phash",
     "phash_clusters" -> "oracle:q_multimodal_phash_clusters",
     // both consumers' twins recompute the pair relation end-to-end from
     // raw lineitem (q_copurchase_topk additionally, same relation)
