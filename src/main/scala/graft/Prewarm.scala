@@ -72,6 +72,8 @@ object Prewarm {
         ((s, dir) => { Multimodal.materializedPhashClusters(s, dir).count(); () }),
       "basket_pairs" ->
         ((s, dir) => { ExtraFuncs.materializedBasketPairs(s, dir).count(); () }),
+      "kmeans_cents" ->
+        ((s, dir) => { ClusterOps.materializedCentroids(s, dir).count(); () }),
       "scan_layouts" -> ((s, dir) => operators.Scans.prewarmBuilds(s, dir)),
     )
   }

@@ -811,16 +811,21 @@ object DedupOps {
     // magnitude smaller than the (doc, token) occurrence relation, and
     // the 32-row-per-token hash table broadcasts back (r11b: this was
     // the bench's hottest query at 3.7 s with per-occurrence hashing)
+    // r21: the hash table is WIDE — one row per distinct token carrying
+    // all 32 perm hashes as columns (same md5 count), so the occurrence
+    // join no longer multiplies the (doc, token) relation x32 and the
+    // signature is ONE map-side-combined groupBy of 32 mins instead of
+    // a x32-row aggregate + a collect_list re-aggregate
     val vocabHash = toks.select(col("sg")).distinct()
-      .withColumn("p", explode(expr(s"sequence(0, ${CalibPerms - 1})")))
-      .select(col("sg"), col("p"),
-        conv(substring(md5(concat(col("p").cast("string"), lit(":"), col("sg"))),
-          1, 8), 16, 10).cast("long").as("h"))
+      .select(col("sg") +: (0 until CalibPerms).map(p =>
+        conv(substring(md5(concat(lit(s"$p:"), col("sg"))), 1, 8), 16, 10)
+          .cast("long").as(s"h$p")): _*)
     val sigs = toks.join(broadcast(vocabHash), Seq("sg"))
-      .groupBy("doc_id", "p").agg(min(col("h")).as("minh"))
       .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("p"), col("minh")))).as("ps"))
-      .select(col("doc_id"), expr("transform(ps, x -> x.minh)").as("sig"))
+      .agg(min(col("h0")).as("m0"),
+        (1 until CalibPerms).map(p => min(col(s"h$p")).as(s"m$p")): _*)
+      .select(col("doc_id"),
+        array((0 until CalibPerms).map(p => col(s"m$p")): _*).as("sig"))
     pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), Seq("doc_a"))
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), Seq("doc_b"))

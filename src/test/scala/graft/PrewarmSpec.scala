@@ -91,6 +91,9 @@ class PrewarmSpec extends AnyFunSuite with SparkFixture {
     // both consumers' twins recompute the pair relation end-to-end from
     // raw lineitem (q_copurchase_topk additionally, same relation)
     "basket_pairs" -> "oracle:q_assoc_rules",
+    // four consumers; the kmeans twin recomputes the unrolled Lloyd
+    // rounds from the raw corpus
+    "kmeans_cents" -> "oracle:q_embed_kmeans",
     // csv/jsonl/orc/xml/... layouts: each graded scan's oracle reads the
     // parquet ORIGINAL, so round-trip equality re-derives the layout
     "scan_layouts" -> "oracle:q_scan_csv")
