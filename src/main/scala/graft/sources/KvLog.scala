@@ -249,12 +249,18 @@ class KvLogBatchWrite(path: String, schema: StructType, doTruncate: Boolean)
     // window between the last rename and the stale deletes leaves old+new
     // mixed — the residual non-atomicity of multi-file rename commits; a
     // manifest file would close it, out of scope for this connector.)
-    messages.foreach { case KvLogCommitMessage(tmp) =>
+    val published = messages.map { case KvLogCommitMessage(tmp) =>
       val f = new java.io.File(tmp)
-      if (!f.renameTo(new java.io.File(dir, f.getName.stripPrefix("_tmp_"))))
+      val name = f.getName.stripPrefix("_tmp_")
+      if (!f.renameTo(new java.io.File(dir, name)))
         throw new java.io.IOException(s"commit rename failed for $tmp")
-    }
-    stale.foreach(_.delete())
+      name
+    }.toSet
+    // never delete a name we just published (r20 ADVICE): if a stale
+    // file's name collides with a new one (8-hex writeId + matching
+    // partition/task ids), the rename above already replaced it, and
+    // the stale pass would otherwise delete the fresh data
+    stale.filterNot(f => published(f.getName)).foreach(_.delete())
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

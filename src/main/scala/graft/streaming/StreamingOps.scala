@@ -87,6 +87,15 @@ object StreamingOps {
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
+    // r20 ADVICE close: with gap < the 10-minute watermark delay, an
+    // in-watermark out-of-order event older than (session start − gap)
+    // would be MERGED here but split by the batch twin — and no
+    // single-session state can represent the batch semantics in that
+    // regime. Fail loudly instead of silently diverging.
+    require(gapMinutes >= 10,
+      s"sessionize: gapMinutes ($gapMinutes) must be >= the 10-minute " +
+        "watermark delay, or cross-batch out-of-order events break " +
+        "batch/stream parity")
     val gapMs = gapMinutes * 60L * 1000L
     events
       .withWatermark("ts", "10 minutes")
