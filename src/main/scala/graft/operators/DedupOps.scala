@@ -195,13 +195,13 @@ object DedupOps {
       boundedBucketPairs(minhashMelted(s, dir), Seq("band_idx", "band_hash"), Seq.empty)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // r21: checkpoint — the confirm join reads this relation through
-    // TWO differently-keyed exchanges (doc_a / doc_b), which
-    // ReuseExchange cannot dedupe, so un-materialized the corpus was
-    // shingle-hashed twice
+    // r21 note: a localCheckpoint here (the confirm join reads this
+    // relation through two differently-keyed exchanges ReuseExchange
+    // cannot dedupe) was A/B'd under same-host conditions and measured
+    // neutral-to-negative — the double shingle-hash is cheaper than the
+    // materialization at every tested sf — so the two-pass shape stays
     val sets = withShingleHashes(Tables.documents(s, dir), "text")
       .select(col("doc_id"), array_distinct(col("sh_hashes")).as("shset"))
-      .localCheckpoint()
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")), Seq("doc_b"))
