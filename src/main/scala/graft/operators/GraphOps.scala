@@ -576,11 +576,12 @@ object GraphOps {
         .select(col("b").as("doc_id")).distinct()
         .join(dist, Seq("doc_id"), "left_anti")
         .withColumn("hop", lit(h.toLong)).localCheckpoint()
-      // r21: dist stays a LAZY union of the checkpointed hop layers —
-      // re-materializing the whole settled set every round paid a
-      // second, growing checkpoint job per hop for data already on
-      // the block store
-      dist = dist.unionAll(next)
+      // r21 note: a lazy union of the checkpointed hop layers (saving
+      // the growing per-round dist checkpoint) was A/B'd under the
+      // bench's one-shot methodology and LOST — each round's anti-join
+      // plan deepens by one union arm and the extra codegen outweighs
+      // the saved materialization — so the flat checkpoint stays
+      dist = dist.unionAll(next).localCheckpoint()
       frontier = next.select("doc_id")
     }
     dist.orderBy("hop", "doc_id")
@@ -785,9 +786,9 @@ object GraphOps {
         .select(col("lm"), sym("b").as("node")).distinct()
         .join(dist.select("lm", "node"), Seq("lm", "node"), "left_anti")
         .withColumn("hop", lit(h.toLong)).localCheckpoint()
-      // r21: lazy union of checkpointed hop layers (the bfsHops shape) —
-      // no second, growing checkpoint per round
-      dist = dist.unionByName(next)
+      // flat checkpoint kept — see bfsHops' r21 note (the lazy-union
+      // variant lost the one-shot bench A/B on landmarks/eff_diameter)
+      dist = dist.unionByName(next).localCheckpoint()
       frontier = next.select("lm", "node")
     }
     dist

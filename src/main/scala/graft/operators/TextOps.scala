@@ -809,12 +809,13 @@ object TextOps {
       .localCheckpoint()
     val wu = sym.groupBy("u").agg(sum(col("wt")).as("wu"))
     val symWu = sym.join(wu, Seq("u")).localCheckpoint()
-    // r21: the 3 rounds chain lazily into ONE job at the final top-20
-    // action (the pageRank lazy-chain shape) — each rank vector is
-    // consumed exactly once, so the per-round localCheckpoint bought
-    // only scheduler round-trips; symWu stays checkpointed (it feeds
-    // every round)
-    var ranks: DataFrame = wu.select(col("u").as("node"), lit(1000000L).as("r"))
+    // r21 note: a lazy 3-round chain (the pageRank shape) was A/B'd
+    // under the one-shot bench methodology and measured neutral-to-
+    // negative here — the merged plan's extra codegen offsets the saved
+    // round-trips at this round count — so the flat per-round
+    // checkpoints stay
+    var ranks = wu.select(col("u").as("node"), lit(1000000L).as("r"))
+      .localCheckpoint()
     (1 to 3).foreach { _ =>
       ranks = symWu
         .join(ranks.select(col("node").as("u"), col("r")), Seq("u"))
@@ -823,6 +824,7 @@ object TextOps {
         .agg(sum(col("c")).as("in_mass"))
         .select(col("node"),
           (lit(150000L) + expr("(85 * in_mass) div 100")).as("r"))
+        .localCheckpoint()
     }
     ranks.orderBy(desc("r"), asc("node")).limit(20)
       .select(col("node").as("token"), col("r").as("rank_micro"))
