@@ -74,6 +74,8 @@ object Prewarm {
         ((s, dir) => { ExtraFuncs.materializedBasketPairs(s, dir).count(); () }),
       "kmeans_cents" ->
         ((s, dir) => { ClusterOps.materializedCentroids(s, dir).count(); () }),
+      "landmark_dists" ->
+        ((s, dir) => { GraphOps.materializedLandmarkDists(s, dir).count(); () }),
       "scan_layouts" -> ((s, dir) => operators.Scans.prewarmBuilds(s, dir)),
     )
   }

@@ -764,14 +764,34 @@ object GraphOps {
     * |landmarks|·|hops| rows. Pure integer counts.
     */
   def landmarkBfs(s: SparkSession, dir: String): DataFrame =
-    landmarkDistances(s, dir).groupBy("lm", "hop")
+    materializedLandmarkDists(s, dir).groupBy("lm", "hop")
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy("lm", "hop")
+
+  /** Materialized (lm, node, hop) landmark-distance relation — r21:
+    * THREE graded consumers (q_graph_landmarks, q_graph_closeness,
+    * q_graph_eff_diameter) each re-ran the identical 6-round
+    * multi-source BFS per call; the relation is a pure function of the
+    * corpus (deterministic seeds = 4 smallest node ids), so it joins
+    * the derived tier (the lpa_labels / kmeans_cents discipline: build
+    * once per (corpus, tmp) lifetime, every consumer reads the
+    * parquet). ≤ |landmarks|·|V| rows. Invariance:
+    * q_graph_landmarks' DuckDB twin recomputes the recursive BFS from
+    * the raw corpus end-to-end (oracle pin in PrewarmSpec), and
+    * Round21Spec pins value-identity against [[landmarkDistances]]
+    * from scratch.
+    */
+  private[graft] def materializedLandmarkDists(
+      s: SparkSession, dir: String): DataFrame = {
+    val path = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}" +
+      s"/graft_io/landmark_dists_v1_${DedupOps.cacheKey(dir, "documents")}"
+    DerivedFiles.getOrBuildParquet(s, path)(landmarkDistances(s, dir))
+  }
 
   /** Shared (lm, node, hop) relation for #309/#330: 6-round multi-source
     * BFS from the 4 smallest nodes, localCheckpoint per round.
     */
-  private def landmarkDistances(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def landmarkDistances(s: SparkSession, dir: String): DataFrame = {
     val e = DedupOps.materializedEdges(s, dir)
     val sym = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionAll(e.select(col("doc_b").as("a"), col("doc_a").as("b")))
@@ -848,7 +868,7 @@ object GraphOps {
     * [[landmarkBfs]] iterative dataflow; the rollup is 4 rows.
     */
   def landmarkCloseness(s: SparkSession, dir: String): DataFrame =
-    landmarkDistances(s, dir).filter(col("hop") > 0)
+    materializedLandmarkDists(s, dir).filter(col("hop") > 0)
       .groupBy("lm")
       .agg(count(lit(1)).as("reach"), max(col("hop")).as("ecc6"),
         sum(col("hop")).as("hop_sum"))

@@ -94,6 +94,9 @@ class PrewarmSpec extends AnyFunSuite with SparkFixture {
     // four consumers; the kmeans twin recomputes the unrolled Lloyd
     // rounds from the raw corpus
     "kmeans_cents" -> "oracle:q_embed_kmeans",
+    // three consumers (landmarks/closeness/eff_diameter); the landmarks
+    // twin recomputes the recursive 6-hop BFS from the raw corpus
+    "landmark_dists" -> "oracle:q_graph_landmarks",
     // csv/jsonl/orc/xml/... layouts: each graded scan's oracle reads the
     // parquet ORIGINAL, so round-trip equality re-derives the layout
     "scan_layouts" -> "oracle:q_scan_csv")

@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   *     API is not deterministically reachable.
   *  2. benchcmp.py's artifact-error contract extends to non-numeric
   *     timing values (exit 2, never the regression exit 1).
-  *  3. The two new derived-tier relations are value-identical to
+  *  3. The new derived-tier relations are value-identical to
   *     from-scratch computes (the basket-pairs discipline): the phash
-  *     table and the Lloyd centroid table.
+  *     table, the Lloyd centroid table, and the landmark-distance
+  *     relation.
   *  4. The markov-absorbing and MMR driver solves handle their
   *     degenerate shapes (empty transition matrix; see Wave14Spec /
   *     SearchClusterSpec for the exact-replay pins).
@@ -63,6 +64,17 @@ class Round21Spec extends AnyFunSuite with SparkFixture {
     assert(mat.map(r => (r.getLong(0), r.getLong(1))) ===
       fresh.map(r => (r.getLong(0), r.getLong(1))),
       "derived phashes must be value-identical to the graded decode")
+  }
+
+  test("materialized landmark distances equal a from-scratch BFS") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("lm", "node").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val mat = rows(operators.GraphOps.materializedLandmarkDists(spark, sfDir))
+    val fresh = rows(operators.GraphOps.landmarkDistances(spark, sfDir))
+    assert(mat.nonEmpty, "fixture must reach nodes from the landmarks")
+    assert(mat === fresh,
+      "derived landmark distances must be value-identical to a fresh BFS")
   }
 
   test("materialized Lloyd centroids equal a from-scratch iteration") {
