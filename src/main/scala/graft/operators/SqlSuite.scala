@@ -98,23 +98,32 @@ object SqlSuite {
       .na.fill(0, Seq("F", "O", "P"))
       .orderBy("y")
 
-  /** Large-volume-customer classic (TPC-H Q18 shape): IN over a
-    * grouped-HAVING subquery — the decorrelation-into-semi-join case the
-    * lighter IN/EXISTS queries don't cover (aggregate inside the
-    * subquery), plus a re-aggregation on the outer side.
+  /** Large-volume-customer classic (TPC-H Q18 shape). The DuckDB twin
+    * keeps the textbook IN-over-grouped-HAVING formulation; the Spark
+    * side runs the equivalent single-aggregate form (r22, guide §2.4):
+    * the outer GROUP BY keys are ORDER grain (c_custkey, c_name,
+    * o_orderkey, o_orderdate are all functionally determined by
+    * o_orderkey under the inner FK joins), so the re-aggregated
+    * total_qty IS the HAVING subquery's per-orderkey sum — the original
+    * plan aggregated lineitem twice (two full scans; the optimizer
+    * pushes the semi-join to BOTH sides of the orders⋈lineitem join)
+    * and then re-aggregated the joined fact rows a third time. This
+    * form pays ONE lineitem aggregate and joins the few qualifying
+    * orders (equivalence proved by the unchanged oracle hash; the
+    * r22 A/B measured 2.15 → ~1.2 s at sf0.1).
     */
   def sqlBigOrders(s: SparkSession, dir: String): DataFrame = {
     views(s, dir)
     s.sql(
       """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
-        |FROM v_customer
-        |JOIN v_orders   ON c_custkey = o_custkey
-        |JOIN v_lineitem ON o_orderkey = l_orderkey
-        |WHERE o_orderkey IN (
-        |  SELECT l_orderkey FROM v_lineitem
-        |  GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150)
-        |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+        |  CAST(sum_qty AS DOUBLE) AS total_qty
+        |FROM (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+        |  FROM v_lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150) big
+        |JOIN v_orders   ON o_orderkey = big.l_orderkey
+        |JOIN v_customer ON c_custkey = o_custkey
         |ORDER BY total_qty DESC, o_orderkey
         |LIMIT 50""".stripMargin)
   }

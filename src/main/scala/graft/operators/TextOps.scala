@@ -739,12 +739,21 @@ object TextOps {
     // (countDistinct over the lexicon = countDistinct over raw tokens,
     // Σ per-lang doc counts = the corpus doc count) instead of paying
     // two more corpus passes for the same integers.
-    val toks = docs
+    // r22 (guide §2.3): pre-aggregate occurrences to per-doc term
+    // frequencies BEFORE the ×|L| scoring expansion — the likelihood
+    // term depends only on (plang, token), so Σ_occurrences term
+    // = tf · term exactly (int64 × int64, still ≤ tokens·1e10 per
+    // doc); the scoring relation shrinks from tokens×|L| to
+    // distinct(doc,token)×|L| (2.3× at sf0.1) and the checkpointed
+    // relation shrinks the same way.
+    val tf = docs
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("lang"), col("token"))
+      .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    val counts = toks.groupBy(col("lang").as("plang"), col("token"))
-      .agg(count(lit(1)).as("c"))
+    val counts = tf.groupBy(col("lang").as("plang"), col("token"))
+      .agg(sum(col("tf")).as("c"))
       .localCheckpoint()
     val nl = counts.groupBy("plang").agg(sum(col("c")).as("n_l"))
     val v = counts.agg(countDistinct(col("token")).as("v"))
@@ -754,13 +763,13 @@ object TextOps {
       .crossJoin(broadcast(nlang.agg(sum(col("nd")).as("n_docs"))))
       .select(col("plang"),
         (lnNano(col("nd")) - lnNano(col("n_docs"))).as("prior"))
-    val scored = toks
+    val scored = tf
       .crossJoin(broadcast(nl))
       .join(broadcast(counts), Seq("plang", "token"), "left_outer")
       .crossJoin(broadcast(v))
       .select(col("doc_id"), col("lang"), col("plang"),
-        (lnNano(coalesce(col("c"), lit(0L)) + 1) -
-          lnNano(col("n_l") + col("v"))).as("term"))
+        (col("tf") * (lnNano(coalesce(col("c"), lit(0L)) + 1) -
+          lnNano(col("n_l") + col("v")))).as("term"))
       .groupBy("doc_id", "lang", "plang")
       .agg(sum(col("term")).as("ll"))
       .join(broadcast(priors), Seq("plang"))

@@ -894,35 +894,46 @@ object TimeWindows {
     */
   def tsFulfillment(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lat = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
-        col("l_shipdate"))
+    // r22 (guide §2.3 "aggregate before you shuffle"): days is
+    // DOMAIN-bounded (a ship-minus-order datediff, ~0–122 distinct
+    // values), so the exact p50/p90 order statistics come from a
+    // (month, days) COUNT histogram instead of a row_number sort of
+    // every fact row — the value at global rank r under the
+    // (days, orderkey, linenumber) total order is the smallest days
+    // whose cumulative count reaches r (the tie-break keys only order
+    // rows WITHIN one days value and the readout is the days value
+    // itself, so they cannot change it). The former month-partitioned
+    // rank window shuffled + sorted the full lineitem⋈orders relation;
+    // now the only fact-sized work is one map-side-combined aggregate
+    // and the windows run over the ≤ |months|·|days| histogram.
+    val hist = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"))
       .join(Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderdate")), Seq("o_orderkey"))
       .select(date_trunc("month", col("o_orderdate")).as("month"),
-        col("o_orderkey"), col("l_linenumber"),
         datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
           .as("days"))
-    // r21: n and sd ride month-partitioned unbounded windows over the
-    // SAME exchange the rank window already needs — the former separate
-    // aggregate + broadcast join back evaluated the lineitem⋈orders
-    // relation twice
+      .groupBy("month", "days")
+      .agg(count(lit(1)).as("cnt"))
     val wm = Window.partitionBy("month")
-    val w = Window.partitionBy("month")
-      .orderBy(col("days"), col("o_orderkey"), col("l_linenumber"))
-    lat
-      .withColumn("n", count(lit(1)).over(wm))
-      .withColumn("sd", sum(col("days")).over(wm))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === expr("(n + 1) div 2") ||
-        col("rn") === expr("(9 * n + 9) div 10"))
+    val wc = Window.partitionBy("month").orderBy("days")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist
+      .withColumn("n", sum(col("cnt")).over(wm))
+      .withColumn("sd", sum(col("days") * col("cnt")).over(wm))
+      .withColumn("cum", sum(col("cnt")).over(wc))
+      .withColumn("r50", expr("(n + 1) div 2"))
+      .withColumn("r90", expr("(9 * n + 9) div 10"))
+      .filter((col("cum") >= col("r50") &&
+          col("cum") - col("cnt") < col("r50")) ||
+        (col("cum") >= col("r90") && col("cum") - col("cnt") < col("r90")))
       .groupBy("month")
       .agg(max(col("n")).as("n"),
         expr("cast(max(sd * 1000 div n) as long)").as("mean_days_milli"),
-        max(when(col("rn") === expr("(n + 1) div 2"), col("days")))
-          .as("p50_days"),
-        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("days")))
-          .as("p90_days"))
+        max(when(col("cum") >= col("r50") &&
+          col("cum") - col("cnt") < col("r50"), col("days"))).as("p50_days"),
+        max(when(col("cum") >= col("r90") &&
+          col("cum") - col("cnt") < col("r90"), col("days"))).as("p90_days"))
       .orderBy("month")
   }
 
