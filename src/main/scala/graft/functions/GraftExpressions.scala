@@ -310,6 +310,165 @@ case class DoubleMaxAbsDiffExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** |A∩B| of two STRICTLY-ASCENDING `array<long>` inputs via a single
+  * allocation-free merge pass — the blocked set-similarity hot loop
+  * (r22). Spark's `array_intersect` builds a fresh OpenHashSet of one
+  * side PER ROW; on the containment/Jaccard pair relations (~160k
+  * pairs × ~23-token sets at sf0.1) that per-pair hashing plus the
+  * string-array join carry was 80% of the whole query (measured 3.3 s
+  * full vs 0.65 s join-only). Producers hash + sort once per DOCUMENT
+  * (`array_sort(transform(array_distinct(…), xxhash64))`), so each
+  * PAIR costs one primitive O(|A|+|B|) long-compare walk and the join
+  * carries fixed-width longs instead of string bytes. Result equals
+  * `size(array_intersect(a, b))` of the underlying token sets absent
+  * xxhash64 collisions — the same documented exactness caveat (and the
+  * same hash) as the near-minhash shingle pipeline, whose oracle twin
+  * computes over strings; a collision WITHIN one document's set makes
+  * the producer's sorted array non-strict and throws here rather than
+  * silently undercounting. Loud guards per the kernel discipline:
+  * null elements throw, and an out-of-order or duplicate element in
+  * the VISITED prefix throws (sortedness of the walked region is what
+  * correctness rests on; the merge detects violations for free as it
+  * advances).
+  */
+case class SortedInterSizeLongExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two bigint arrays, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_inter_size_l"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedInterSizeLongExpr.interSize(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedInterSizeLongExpr.interSize($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedInterSizeLongExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedInterSizeLongExpr {
+  private def unsorted(side: String, i: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"graft_inter_size_l: $side array not strictly ascending at position $i; " +
+        "inputs must be array_sort over distinct elements " +
+        "(a duplicate here can also mean an intra-document hash collision)")
+
+  def interSize(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      if (a.isNullAt(i)) LongVecKernels.nullElem("graft_inter_size_l", i)
+      if (b.isNullAt(j)) LongVecKernels.nullElem("graft_inter_size_l", j)
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (i > 0 && a.getLong(i - 1) >= x) unsorted("left", i)
+      if (j > 0 && b.getLong(j - 1) >= y) unsorted("right", j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** Word n-grams of a single-space-tokenized string as ONE codegen'd
+  * byte-scan (r22). Semantics are EXACTLY
+  * `slice(zip_with(toks, slice(toks, 2, …), concat_ws(" ", _, _)), …)`
+  * over `toks = split(text, " ")` (Spark split keeps trailing empties;
+  * so does this scan): because the join separator equals the split
+  * separator, gram i IS the raw byte range from the start of token i
+  * to the end of token i+n−1 — including the empty-token runs the
+  * zip_with form preserves — so each gram is one bounds-checked byte
+  * copy, no per-element interpreted lambdas (the HOF chain is
+  * CodegenFallback and was ~0.9 s of q_contamination's 1.95 s at
+  * sf0.1). 0x20 never occurs inside a UTF-8 multi-byte sequence
+  * (continuation bytes are ≥ 0x80), so the byte scan is
+  * encoding-safe. T < n yields an EMPTY array, matching the
+  * `when(n >= …)` guard of the column form.
+  */
+case class NgramsExpr(child: Expression, n: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType if n >= 1 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires n >= 1, got $n")
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string argument, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramsExpr.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NgramsExpr.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramsExpr =
+    copy(child = newChild)
+}
+
+object NgramsExpr {
+  def compute(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var spaces = 0
+    var k = 0
+    while (k < len) { if (bytes(k) == ' ') spaces += 1; k += 1 }
+    val tokens = spaces + 1 // split(text, " ") token count, empties kept
+    if (tokens < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](0))
+    // starts(i) = first byte of token i; ends(i) = one past its last byte
+    val starts = new Array[Int](tokens)
+    val ends = new Array[Int](tokens)
+    var ti = 0
+    starts(0) = 0
+    k = 0
+    while (k < len) {
+      if (bytes(k) == ' ') { ends(ti) = k; ti += 1; starts(ti) = k + 1 }
+      k += 1
+    }
+    ends(ti) = len
+    val out = new Array[Any](tokens - n + 1)
+    var i = 0
+    while (i < out.length) {
+      val from = starts(i)
+      val until = ends(i + n - 1)
+      out(i) = UTF8String.fromBytes(bytes, from, until - from)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object LongVecKernels {
   /** Shape guards shared by every pairwise vector kernel (r20, closing
     * the r19 ADVICE low): the replaced zip_with/aggregate folds
@@ -652,6 +811,11 @@ object GraftFunctions {
       exprs => LongEqCountExpr(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction("graft_maxabsdiff",
       exprs => DoubleMaxAbsDiffExpr(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("graft_inter_size_l",
+      exprs => SortedInterSizeLongExpr(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("graft_ngrams",
+      exprs => NgramsExpr(exprs(0),
+        intLit(exprs(1), "graft_ngrams", "n")), "scala_udf")
     registry.createOrReplaceTempFunction("graft_jaro_winkler",
       exprs => JaroWinklerExpr(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction("graft_damerau_levenshtein",

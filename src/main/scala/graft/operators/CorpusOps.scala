@@ -38,19 +38,22 @@ object CorpusOps {
     * short (8 tokens), so grouping on it directly keeps the op
     * oracle-checkable without a hash-collision caveat.
     */
-  def dedupSpanExact(s: SparkSession, dir: String): DataFrame =
+  def dedupSpanExact(s: SparkSession, dir: String): DataFrame = {
+    // r22: spans via the codegen'd graft_ngrams byte-scan (see
+    // NgramsExpr) — the transform/sequence/slice/array_join chain was
+    // an interpreted HOF per span; a short doc yields an empty array
+    // that explode() drops, exactly like the former size filter
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= SpanTokens)
-      .select(col("doc_id"), explode(
-        expr(s"transform(sequence(1, size(w) - ${SpanTokens - 1}), i -> array_join(slice(w, i, $SpanTokens), ' '))"))
-        .as("span"))
+      .select(col("doc_id"),
+        explode(expr(s"graft_ngrams(text, $SpanTokens)")).as("span"))
       .groupBy("span")
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occur"),
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= 2)
       .orderBy(desc("n_docs"), desc("n_occur"), col("span"))
+  }
 
   /** Hashing-trick collision audit: tokens → 64 feature buckets via the
     * cross-engine md5-prefix integer (the repo's seeded-hash pattern,
@@ -190,12 +193,14 @@ object CorpusOps {
     * the fixtures (min doc length is 10).
     */
   def textDupNgrams(s: SparkSession, dir: String): DataFrame = {
+    // r22: grams via the codegen'd graft_ngrams byte-scan (see
+    // NgramsExpr) — the transform/sequence/slice/array_join chain was
+    // an interpreted HOF per gram; a short doc now yields an empty
+    // array that explode() drops, exactly like the former size filter
+    graft.functions.GraftFunctions.register(s)
     val grams = Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= DupGramTokens)
-      .select(col("doc_id"), explode(
-        expr(s"transform(sequence(1, size(w) - ${DupGramTokens - 1}), " +
-          s"i -> array_join(slice(w, i, $DupGramTokens), ' '))")).as("gram"))
+      .select(col("doc_id"),
+        explode(expr(s"graft_ngrams(text, $DupGramTokens)")).as("gram"))
     grams
       .withColumn("n_total", count(lit(1)).over(Window.partitionBy("gram")))
       .groupBy("doc_id")

@@ -70,10 +70,12 @@ object CurationOps {
     * SOURCE partitioning (bounded per partition, never global).
     */
   def textNoveltyCurve(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
+    // r22: grams via the codegen'd graft_ngrams byte-scan (see
+    // NgramsExpr) instead of the CodegenFallback zip_with chain
+    graft.functions.GraftFunctions.register(s)
     val grams = Tables.documents(s, dir)
       .select(col("source"), col("doc_id"),
-        explode(PipelineOps.biGrams(toks, size(toks))).as("g"))
+        explode(expr("graft_ngrams(text, 2)")).as("g"))
     val perDocGram = grams.groupBy("source", "doc_id", "g")
       .agg(count(lit(1)).as("cnt"))
     // r21: the first-seen doc rides a (source, g)-keyed window min over

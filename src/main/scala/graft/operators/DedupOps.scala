@@ -156,7 +156,7 @@ object DedupOps {
         .agg(expr(s"graft_minhash_sig(sh_hash, $NumPerms)").as("sig")))
   }
 
-  private def minhashMelted(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def minhashMelted(s: SparkSession, dir: String): DataFrame = {
     val sigs = materializedSignatures(s, dir)
     val bandCols = (0 until Bands).map(b =>
       xxhash64((0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1)): _*).as(s"band$b"))
@@ -200,14 +200,22 @@ object DedupOps {
     // cannot dedupe) was A/B'd under same-host conditions and measured
     // neutral-to-negative — the double shingle-hash is cheaper than the
     // materialization at every tested sf — so the two-pass shape stays
+    // r22: sorted hashed-shingle sets + ONE graft_inter_size_l merge per
+    // pair replace the array_intersect AND array_union hash-set builds
+    // (|A∪B| = |A|+|B|−|A∩B| exactly for distinct sets)
+    graft.functions.GraftFunctions.register(s)
     val sets = withShingleHashes(Tables.documents(s, dir), "text")
-      .select(col("doc_id"), array_distinct(col("sh_hashes")).as("shset"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(col("sh_hashes"))).as("shset"))
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))), 6).as("jaccard"))
+        expr("graft_inter_size_l(set_a, set_b)").as("inter"),
+        (size(col("set_a")) + size(col("set_b"))).cast("long").as("sz_sum"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / (col("sz_sum") - col("inter")), 6)
+          .as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
@@ -284,17 +292,30 @@ object DedupOps {
   private[graft] def jaccardPairs(s: SparkSession, dir: String,
       maxBlock: Int = MaxBlockDocs): DataFrame = {
     val t = 0.1999 // 0.2 minus the round(...,6) acceptance-boundary margin
+    // r22: toksets hashed (xxhash64) + sorted ONCE per document so the
+    // per-PAIR intersect runs as the allocation-free graft_inter_size_l
+    // merge kernel and the self-join carries fixed-width longs instead
+    // of string bytes — the per-pair array_intersect hash-set build plus
+    // the string carry was 80% of the sibling containment query's
+    // runtime (measured 3.4 s → 1.15 s steady; see SortedInterSizeLongExpr
+    // for the collision caveat, identical to the near-minhash shingle
+    // discipline — set SIZES are unchanged absent collisions, so the
+    // PPJoin length filter and the jaccard denominator are unchanged)
+    graft.functions.GraftFunctions.register(s)
     val base0 = Tables.documents(s, dir)
-      .withColumn("tokset", array_distinct(split(col("text"), " ")))
+      .withColumn("tokset",
+        array_sort(transform(array_distinct(split(col("text"), " ")),
+          tk => xxhash64(tk))))
       .select(col("doc_id"), col("lang"), col("source"), col("tokset"))
     // bounded blocks (see withAdaptiveSubBlock): sub key = the 1-perm
-    // MinHash of the token set — P(same min) = J(a,b) by the MinHash
-    // property, so when the cap fires a pair at jaccard J still
-    // co-locates with probability ≥ J (≥ 0.2 at the acceptance floor,
-    // ≥ 0.5 for true near-dups); below the cap (all graded scales,
-    // n_sub = 1) the operator stays EXACT
+    // MinHash of the token set (= array_min of the already-hashed
+    // tokset) — P(same min) = J(a,b) by the MinHash property, so when
+    // the cap fires a pair at jaccard J still co-locates with
+    // probability ≥ J (≥ 0.2 at the acceptance floor, ≥ 0.5 for true
+    // near-dups); below the cap (all graded scales, n_sub = 1) the
+    // operator stays EXACT
     val base = withAdaptiveSubBlock(base0, Seq("lang", "source"),
-      array_min(transform(col("tokset"), tk => xxhash64(tk))), maxBlock)
+      array_min(col("tokset")), maxBlock)
     val a = base.select(col("lang"), col("source"), col("sub"), col("doc_id").as("doc_a"), col("tokset").as("set_a"))
     val b = base.select(col("lang"), col("source"), col("sub"), col("doc_id").as("doc_b"), col("tokset").as("set_b"))
     a.join(b, Seq("lang", "source", "sub"))
@@ -302,10 +323,10 @@ object DedupOps {
         && size(col("set_b")) >= size(col("set_a")) * t
         && size(col("set_b")) <= size(col("set_a")) / t)
       // |A∪B| = |A|+|B|−|A∩B| exactly (toksets are array_distinct), so one
-      // array_intersect replaces the intersect+union pair — the per-pair
+      // intersect-size replaces the intersect+union pair — the per-pair
       // array work is the whole cost of this operator, so this halves it
       .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
-        size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("inter"),
+        expr("graft_inter_size_l(set_a, set_b)").as("inter"),
         (size(col("set_a")) + size(col("set_b"))).cast("long").as("sz_sum"))
       .select(col("lang"), col("source"), col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") / (col("sz_sum") - col("inter")), 6)
@@ -334,11 +355,23 @@ object DedupOps {
     * PropertySpec's cap-parity discipline covers the mechanism.
     */
   def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    // r22: toksets hashed (xxhash64) + sorted ONCE per document — the
+    // per-pair array_intersect hash-set build plus the string-array
+    // join carry was 80% of this query's runtime (3.3 s full vs 0.65 s
+    // join-only at sf0.1; adopted form measured 3.4 → 1.15 s steady).
+    // Hashing costs one transform per DOCUMENT; the per-PAIR work is
+    // the allocation-free graft_inter_size_l long-merge. Set sizes are
+    // |distinct tokens| unchanged, so the containment denominator is
+    // unchanged; collision caveat documented at SortedInterSizeLongExpr
+    // (same discipline and same hash as the near-minhash shingle path).
+    graft.functions.GraftFunctions.register(s)
     val base0 = Tables.documents(s, dir)
-      .withColumn("tokset", array_distinct(split(col("text"), " ")))
+      .withColumn("tokset",
+        array_sort(transform(array_distinct(split(col("text"), " ")),
+          tk => xxhash64(tk))))
       .select(col("doc_id"), col("lang"), col("source"), col("tokset"))
     val base = withAdaptiveSubBlock(base0, Seq("lang", "source"),
-      array_min(transform(col("tokset"), tk => xxhash64(tk))), MaxBlockDocs)
+      array_min(col("tokset")), MaxBlockDocs)
     val a = base.select(col("lang"), col("source"), col("sub"),
       col("doc_id").as("doc_a"), col("tokset").as("set_a"))
     val b = base.select(col("lang"), col("source"), col("sub"),
@@ -348,7 +381,7 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"),
         size(col("set_a")).cast("long").as("size_a"),
         size(col("set_b")).cast("long").as("size_b"),
-        round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+        round(expr("graft_inter_size_l(set_a, set_b)").cast("double") /
           least(size(col("set_a")), size(col("set_b"))), 6).as("containment"))
       .filter(col("containment") >= 0.6)
       .orderBy("doc_a", "doc_b")

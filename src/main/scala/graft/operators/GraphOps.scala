@@ -1027,13 +1027,19 @@ object GraphOps {
     // O(|cand| · deg), all map-side after the joins, no pair re-agg.
     // n_common and the degrees fall out of the same arrays (the edge
     // list is distinct, so array sizes ARE the degree relation).
-    val adj = sym.groupBy("node").agg(collect_list(col("nbr")).as("nbrs"))
+    // r22: adjacency arrays SORTED once per node (also de-flaps
+    // collect_list's nondeterministic order) so the per-candidate
+    // intersect runs as the graft_inter_size_l merge kernel instead of
+    // array_intersect's per-row hash-set build
+    graft.functions.GraftFunctions.register(s)
+    val adj = sym.groupBy("node")
+      .agg(array_sort(collect_list(col("nbr"))).as("nbrs"))
       .localCheckpoint()
     cand
       .join(adj.select(col("node").as("doc_a"), col("nbrs").as("na")), Seq("doc_a"))
       .join(adj.select(col("node").as("doc_b"), col("nbrs").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("na"), col("nb"))).cast("long").as("n_common"),
+        expr("graft_inter_size_l(na, nb)").as("n_common"),
         size(col("na")).cast("long").as("deg_a"),
         size(col("nb")).cast("long").as("deg_b"))
       .select(col("doc_a"), col("doc_b"), col("n_common"),

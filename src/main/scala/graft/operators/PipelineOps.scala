@@ -41,11 +41,14 @@ object PipelineOps {
         (a, b) => concat_ws(" ", a, b)), lit(1), n - 1))
       .otherwise(array().cast("array<string>"))
 
-  private def withGrams(df: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    df.withColumn("toks", toks)
-      .withColumn("grams", array_distinct(triGrams(col("toks"), size(col("toks")))))
-  }
+  // r22: gram construction via the codegen'd graft_ngrams byte-scan —
+  // the zip_with/concat_ws chain is CodegenFallback and was ~0.9 s of
+  // q_contamination's 1.95 s steady at sf0.1 (the relation is evaluated
+  // on both the bench and corpus sides). Byte-identical semantics
+  // (see NgramsExpr); the null-text edge differs (kernel: null, column
+  // form: empty array) but both explode() to zero rows downstream.
+  private def withGrams(df: DataFrame): DataFrame =
+    df.withColumn("grams", array_distinct(expr("graft_ngrams(text, 3)")))
 
   /** Benchmark-contamination check — the eval-set hygiene step of every
     * LLM data pipeline: which training documents contain 3-grams that
@@ -58,6 +61,7 @@ object PipelineOps {
     * un-rolled, map-side combined).
     */
   def contamination(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val g = withGrams(Tables.documents(s, dir)).select(col("doc_id"), col("grams"))
     // r21: the bench-gram registry is joined WITHOUT a broadcast hint —
     // bench grams are ~1/29 of the corpus, so a forced broadcast grew
@@ -151,12 +155,15 @@ object PipelineOps {
     * array arithmetic only; distributes as a map.
     */
   def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    // r22: grams via the codegen'd graft_ngrams byte-scan (see
+    // NgramsExpr) instead of the CodegenFallback zip_with chains
+    graft.functions.GraftFunctions.register(s)
     val toks = split(col("text"), " ")
     Tables.documents(s, dir)
       .withColumn("toks", toks)
       .withColumn("n", size(col("toks")))
-      .withColumn("g2", biGrams(col("toks"), col("n")))
-      .withColumn("g3", triGrams(col("toks"), col("n")))
+      .withColumn("g2", expr("graft_ngrams(text, 2)"))
+      .withColumn("g3", expr("graft_ngrams(text, 3)"))
       .select(col("doc_id"), col("lang"), col("n").as("n_tokens"),
         dupFrac(col("g2")).as("dup_bigram_frac"),
         dupFrac(col("g3")).as("dup_trigram_frac"))
@@ -218,6 +225,7 @@ object PipelineOps {
     * final tiny aggregate — the same plan shape at 100 TB.
     */
   def corpusManifest(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val comp = DedupOps.componentLabels(s, dir).select(col("doc_id"), col("component"))
     val keepW = Window.partitionBy("component").orderBy(desc("n_chars"), asc("doc_id"))
     Tables.documents(s, dir)
@@ -227,7 +235,7 @@ object PipelineOps {
       .filter(col("rn") === 1)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n", size(col("toks")))
-      .withColumn("dup2", dupFrac(biGrams(col("toks"), col("n"))))
+      .withColumn("dup2", dupFrac(expr("graft_ngrams(text, 2)")))
       .filter(col("dup2") <= 0.08)
       .withColumn("split", splitCol(col("doc_id")))
       .groupBy("split", "lang")
@@ -254,6 +262,7 @@ object PipelineOps {
     * only the reported ratio is rounded.
     */
   def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val exploded = withGrams(Tables.documents(s, dir))
       .select(col("doc_id"), explode(col("grams")).as("gram"))
     // grams are per-doc distinct, so count(*) per gram = document frequency
