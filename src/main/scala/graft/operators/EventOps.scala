@@ -479,9 +479,7 @@ object EventOps {
     val perSession = piCache.computeIfAbsent(s,
       _ => scala.collection.mutable.Map.empty)
     perSession.synchronized {
-      perSession.getOrElseUpdate(dir,
-        markovStationaryBuild(s, dir).collect()
-          .map(r => (r.getString(0), r.getLong(1))).toSeq)
+      perSession.getOrElseUpdate(dir, markovStationaryBuild(s, dir))
     }
   }
 
@@ -491,29 +489,41 @@ object EventOps {
     rows.toDF("event_type", "pi_micro").orderBy("event_type")
   }
 
-  private def markovStationaryBuild(s: SparkSession, dir: String): DataFrame = {
+  /** r22: the 10 power-iteration rounds run on the DRIVER over the
+    * collected |types|² transition matrix (the [[markovAbsorbing]]
+    * discipline, r21) — the former per-round join+aggregate+
+    * localCheckpoint chain was ~30 Spark jobs of pure stage overhead
+    * (~3 s of every bench prewarm) for arithmetic on a ≤|types|²-row
+    * relation. The ONE fact-sized computation (user-keyed lag window +
+    * pair aggregate) stays in Spark; the driver loop replicates the
+    * SQL arithmetic op-for-op: per-row truncating `(pf · n) div rt`
+    * THEN the order-independent integer sum, initial π = 1000000 div
+    * |states|, and the inner-join semantics (a from_type absent from
+    * the current π contributes nothing; π keys are the round's
+    * to_types). All values positive, pf·n ≤ 1e6·|rows| ≪ 2⁶³.
+    */
+  private def markovStationaryBuild(s: SparkSession, dir: String): Seq[(String, Long)] = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val pairs = Tables.events(s, dir)
+    val mat = Tables.events(s, dir)
       .withColumn("from_type", lag(col("event_type"), 1).over(w))
       .filter(col("from_type").isNotNull)
       .groupBy(col("from_type"), col("event_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
-    val totals = pairs.groupBy("from_type").agg(sum(col("n")).as("rt"))
-    val mat = pairs.join(broadcast(totals), Seq("from_type")).localCheckpoint()
-    val states = totals.select(col("from_type").as("event_type")).distinct()
-    val nStates = states.count()
-    var pi = states.select(col("event_type"),
-      lit(1000000L / nStates).as("pi_micro")).localCheckpoint()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rt: Map[String, Long] =
+      mat.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._3).sum }
+    val init = 1000000L / rt.size
+    var pi: Map[String, Long] = rt.map { case (f, _) => f -> init }
     (1 to 10).foreach { _ =>
-      pi = mat
-        .join(pi.select(col("event_type").as("from_type"),
-          col("pi_micro").as("pf")), Seq("from_type"))
-        .groupBy(col("to_type").as("event_type"))
-        .agg(sum(expr("(pf * n) div rt")).as("pi_micro"))
-        .localCheckpoint()
+      val next = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      mat.foreach { case (f, t, n) =>
+        pi.get(f).foreach { pf => next(t) += (pf * n) / rt(f) }
+      }
+      pi = next.toMap
     }
-    pi.orderBy("event_type")
+    pi.toSeq.sortBy(_._1)
   }
 
   /** #445 Truncated-horizon absorption probability into `purchase`:

@@ -211,7 +211,33 @@ object InferenceOps {
     * conformal wrapper: (okey, line count x1, total quantity x2, price
     * cents y).
     */
-  private def olsPerOrder(s: SparkSession, dir: String): DataFrame =
+  /** r22: per-(session, dir) memo of the CHECKPOINTED per-order feature
+    * relation (order-grain, bounded — the rank-kernel boundedness
+    * class). Before, this fact-scale lineitem aggregate + orders join
+    * was re-evaluated FIVE times per bench pass: twice inside
+    * [[olsMulti]] (grand-total arm + centered-moment arm), once more by
+    * [[conformalResidBuild]], and olsMulti's two arms again under the
+    * conformal build's own olsMulti call. Same weak-session lifecycle
+    * as [[conformalResid]]'s residCache below.
+    */
+  private final case class PerOrderEntry(
+    session: java.lang.ref.WeakReference[SparkSession], df: DataFrame)
+  private val perOrderCache =
+    new java.util.concurrent.ConcurrentHashMap[String, PerOrderEntry]()
+
+  private def olsPerOrder(s: SparkSession, dir: String): DataFrame = {
+    perOrderCache.entrySet.removeIf { e =>
+      val sess = e.getValue.session.get()
+      sess == null || sess.sparkContext.isStopped
+    }
+    perOrderCache.compute(dir, (_, old) => {
+      if (old != null && (old.session.get() eq s)) old
+      else PerOrderEntry(new java.lang.ref.WeakReference(s),
+        olsPerOrderBuild(s, dir).localCheckpoint())
+    }).df
+  }
+
+  private def olsPerOrderBuild(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey").as("okey"))
       .agg(count(lit(1)).as("x1"), sum(col("l_quantity").cast("long")).as("x2"))
