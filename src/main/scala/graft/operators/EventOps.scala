@@ -399,11 +399,14 @@ object EventOps {
     * argument, in time rather than score space).
     */
   def peakConcurrency(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    // r22 (guide §6.1): ONE events scan emitting both sweep deltas via
+    // explode instead of a two-scan union — same (type, t, d) multiset
+    val cum = Tables.events(s, dir)
       .select(col("event_type"), col("ts").cast("long").as("sec"))
-    val cum = ev.select(col("event_type"), col("sec").as("t"), lit(1L).as("d"))
-      .unionByName(ev.select(col("event_type"), (col("sec") + 1800L).as("t"),
-        lit(-1L).as("d")))
+      .select(col("event_type"), explode(array(
+        struct(col("sec").as("t"), lit(1L).as("d")),
+        struct((col("sec") + 1800L).as("t"), lit(-1L).as("d")))).as("e"))
+      .select(col("event_type"), col("e.t").as("t"), col("e.d").as("d"))
       .groupBy("event_type", "t").agg(sum(col("d")).as("net"))
       .withColumn("conc", sum(col("net")).over(
         Window.partitionBy("event_type").orderBy("t")
