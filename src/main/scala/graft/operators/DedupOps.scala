@@ -156,7 +156,7 @@ object DedupOps {
         .agg(expr(s"graft_minhash_sig(sh_hash, $NumPerms)").as("sig")))
   }
 
-  private[graft] def minhashMelted(s: SparkSession, dir: String): DataFrame = {
+  private def minhashMelted(s: SparkSession, dir: String): DataFrame = {
     val sigs = materializedSignatures(s, dir)
     val bandCols = (0 until Bands).map(b =>
       xxhash64((0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1)): _*).as(s"band$b"))
