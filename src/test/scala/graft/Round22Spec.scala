@@ -101,4 +101,58 @@ class Round22Spec extends AnyFunSuite with SparkFixture {
     val out = operators.DedupOps.dedupContainment(spark, sfDir)
     assert(out.count() >= 0)
   }
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("big_orders pays ONE lineitem aggregate (the r22 single-aggregate Q18)") {
+    val p = plan(operators.SqlSuite.sqlBigOrders(spark, sfDir))
+    val scans = "lineitem\\.parquet".r.findAllIn(p).length
+    assert(scans == 1,
+      s"the decorrelated form scanned lineitem twice; must stay 1, got $scans:\n$p")
+  }
+
+  test("waiting_supplier stays the single-pass aggregate form (no semi/anti)") {
+    val p = plan(operators.SqlSuite.sqlWaitingSupplier(spark, sfDir))
+    val scans = "lineitem\\.parquet".r.findAllIn(p).length
+    assert(scans == 1,
+      s"Q21 must scan lineitem once, got $scans:\n$p")
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"),
+      s"Q21 must not regress to the decorrelated semi/anti joins:\n$p")
+  }
+
+  test("the kernel rewires actually reach the executed plans") {
+    val cont = plan(operators.DedupOps.dedupContainment(spark, sfDir))
+    assert(cont.contains("graft_inter_size_l"),
+      s"containment must intersect via the merge kernel:\n$cont")
+    val contam = plan(operators.PipelineOps.contamination(spark, sfDir))
+    assert(contam.contains("graft_ngrams"),
+      s"contamination must build grams via the byte-scan kernel:\n$contam")
+    val span = plan(operators.CorpusOps.dedupSpanExact(spark, sfDir))
+    assert(span.contains("graft_ngrams"),
+      s"span-exact must build spans via the byte-scan kernel:\n$span")
+  }
+
+  test("fulfillment windows run over the (month, days) histogram, not fact rows") {
+    // the old plan's rank window sorted (days, o_orderkey, l_linenumber)
+    // over every joined fact row; the histogram form has no per-row
+    // tie-break columns anywhere in a window sort
+    val df = operators.TimeWindows.tsFulfillment(spark, sfDir)
+    val windows = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "fulfillment must keep its windows")
+    windows.foreach { w =>
+      val sortCols = w.orderSpec.map(_.child.toString).mkString(",")
+      assert(!sortCols.contains("orderkey") && !sortCols.contains("linenumber"),
+        s"window must not sort fact-row tie-breakers (histogram regressed): $sortCols")
+      // every window input must sit above the (month, days) aggregate
+      val aggBelow = w.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          if a.groupingExpressions.exists(_.toString.contains("days")) => a
+      }
+      assert(aggBelow.nonEmpty,
+        s"window input must be the (month, days) histogram aggregate:\n$w")
+    }
+  }
 }
